@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+  python3 scripts/selfcheck.py <sfDir> <outDir>
+
+For each query in <outDir>/oracle_sql.json: load the Spark parquet
+result, run the oracle SQL in DuckDB against views over the sfDir
+tables, sort columns by name and rows by all columns, and compare
+values. Exit nonzero and print a diff head on mismatch.
+
+(Driver-side tooling only — the Scala library never depends on this.)
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; stringify values like a hash would."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(v)
+        return str(v)
+
+    out = [tuple(cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result written")
+            failures += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        try:
+            want = con.execute(oracle[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        gc, gr = canon(got, got_cols)
+        wc, wr = canon(want, want_cols)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != oracle {wc}")
+            failures += 1
+        elif gr != wr:
+            print(f"FAIL {name}: {len(gr)} spark rows vs {len(wr)} oracle rows")
+            diff = [(a, b) for a, b in zip(gr, wr) if a != b][:3]
+            extra_g = [r for r in gr if r not in set(wr)][:3]
+            extra_w = [r for r in wr if r not in set(gr)][:3]
+            for a, b in diff:
+                print(f"   spark={a}\n  oracle={b}")
+            if extra_g:
+                print(f"  only-spark: {extra_g}")
+            if extra_w:
+                print(f"  only-oracle: {extra_w}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+    no_oracle = []  # queries without oracle get rows-only check by driver
+    print(f"== {len(oracle) - failures}/{len(oracle)} oracle queries pass ==")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

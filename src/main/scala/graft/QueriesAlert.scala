@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.criteria.Criteria
+
+/** SURVEY.md §2 engine-layer operators (G1-G3, A1-A5, T4-T5, O1-O4)
+  * expressed as standalone queries over the local `events` table for
+  * the driver's DuckDB oracle. The full alert pipeline (shells,
+  * templating, stores, sequences) lives in graft.engine / graft.model;
+  * these entries pin the relational core of each operator.
+  *
+  * Local-table mapping (repo:FIXTURES.md §1): `props` plays `details`
+  * (JSON string), `user_id` plays the aggregation key, `event_type`
+  * plays `source`, `event_id` plays `eventid`.
+  */
+private[graft] object QueriesAlert {
+  import SparkEntryRegistry.Q
+
+  // The flagship criteria exercises every Presto construct in the
+  // reference corpus (SURVEY.md §2.2): envelope equality, AND,
+  // json_extract_scalar, CAST(... AS INTEGER), position(x IN y).
+  private val prestoCriteria =
+    "event_type='purchase' AND CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50" +
+      " AND position('pur' IN event_type) = 1"
+  private val duckCriteria =
+    "event_type='purchase' AND CAST(json_extract_string(props,'$.k') AS INTEGER) > 50" +
+      " AND position('pur' IN event_type) = 1"
+
+  def registry: Seq[Q] = Seq(
+    // G1+G2 (mostCommon + threshold trigger): criteria through the
+    // dialect shim, group-count by the aggregation key, fire count>=N.
+    // One hash aggregate with map-side combine; no collect.
+    Q("q05_threshold_trigger",
+      (s, dir) => Criteria(Tables(s, dir, "events"), prestoCriteria)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 5)
+        .orderBy(col("cnt").desc, col("user_id")),
+      Some(s"""SELECT user_id, COUNT(*) AS cnt FROM events
+              |WHERE $duckCriteria
+              |GROUP BY user_id HAVING COUNT(*) >= 5
+              |ORDER BY cnt DESC, user_id""".stripMargin)),
+
+    // G3 (deadman, count<=N form): groups at-or-below threshold fire.
+    Q("q06_deadman_low_count",
+      (s, dir) => Tables(s, dir, "events")
+        .where(col("event_type") === "error")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") <= 8)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS cnt FROM events
+             |WHERE event_type = 'error'
+             |GROUP BY user_id HAVING COUNT(*) <= 8
+             |ORDER BY user_id""".stripMargin)),
+
+    // G3 zero-event / absence form: users present in the window but
+    // with no 'purchase' activity in the last week — a left_anti join
+    // (the deadman "expected event not found" set). The distinct user
+    // side shuffles once; the probe side is aggregated before the join.
+    Q("q06b_deadman_absence",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val active = ev.where(
+          col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-24").cast("timestamp"))
+          .select("user_id").distinct()
+        ev.select("user_id").distinct()
+          .join(active, Seq("user_id"), "left_anti")
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events
+             |WHERE user_id NOT IN (
+             |  SELECT user_id FROM events
+             |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24')
+             |ORDER BY user_id""".stripMargin)),
+
+    // A2 (already-alerted anti-join): candidate events minus the set of
+    // event ids already present in stored alerts (simulated here as
+    // "purchases before Jan 8"). The alerted-id side is small →
+    // broadcast, so the big event scan never shuffles.
+    Q("q07_dedup_antijoin",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val alerted = ev.where(
+          col("event_type") === "purchase" &&
+            col("ts") < lit("2024-01-08").cast("timestamp"))
+          .select("event_id")
+        ev.where(col("event_type") === "purchase")
+          .join(broadcast(alerted), Seq("event_id"), "left_anti")
+          .select("event_id", "user_id")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id FROM events
+             |WHERE event_type = 'purchase' AND event_id NOT IN (
+             |  SELECT event_id FROM events
+             |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08')
+             |ORDER BY event_id""".stripMargin)),
+
+    // G1/O1 (mostCommon over a dotted JSON path): group-count by a
+    // value extracted from the JSON payload, ordered count-desc.
+    Q("q08_mostcommon_json",
+      (s, dir) => Tables(s, dir, "events")
+        .where(col("event_type") === "click")
+        .groupBy(get_json_object(col("props"), "$.k").as("k_val"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k_val")),
+      Some("""SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS cnt
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY 1 ORDER BY cnt DESC, k_val""".stripMargin)),
+
+    // T4 (get_date_parts): the reference's zero-padded year/month/day/
+    // hour partition values derived from event time — the basis of
+    // partition pruning at scale.
+    Q("q09_date_parts",
+      (s, dir) => Criteria.withPartitionColumns(
+          Tables(s, dir, "events"), col("ts"))
+        .groupBy("year", "month", "day", "hour")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("year", "month", "day", "hour"),
+      Some("""SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+             |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+             |  COUNT(*) AS cnt
+             |FROM events GROUP BY 1, 2, 3, 4
+             |ORDER BY year, month, day, hour""".stripMargin)),
+
+    // T5 (utcepoch sort key): epoch seconds per event, the reference's
+    // Mongo sort key (alerta.py:86-88).
+    Q("q10_utcepoch",
+      (s, dir) => Tables(s, dir, "events")
+        .select(col("event_id"), unix_timestamp(col("ts")).as("utcepoch"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS utcepoch
+             |FROM events ORDER BY event_id""".stripMargin)),
+  )
+}

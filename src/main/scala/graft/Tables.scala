@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Test-data table loader. The driver generates one parquet file per
+  * table under `/root/testdata/sf*` (see repo:TESTDATA.md); at
+  * production scale the same names would resolve to partitioned
+  * catalog tables — only this object changes.
+  *
+  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
+  * 4 only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (surfacing it as a nanosecond Long). We normalize it back to a
+  * microsecond TimestampType here — integer `div 1000` truncates
+  * toward zero exactly like DuckDB's ns→µs coercion, so oracle
+  * comparisons agree.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** Session settings every graft entry point needs. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+}

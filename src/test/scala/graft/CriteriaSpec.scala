@@ -1,0 +1,49 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.criteria.Criteria
+
+class CriteriaSpec extends AnyFunSuite with SparkSuite {
+
+  test("json_extract_scalar rewrites to get_json_object, case-insensitive") {
+    assert(Criteria.rewrite("JSON_EXTRACT_SCALAR(details,'$.a') = 'b'") ===
+      "get_json_object(details,'$.a') = 'b'")
+    // no rewrite inside longer identifiers
+    assert(Criteria.rewrite("not_json_extract_scalar_fn(x)") ===
+      "not_json_extract_scalar_fn(x)")
+  }
+
+  test("full corpus criteria parse and filter after rewrite") {
+    // every Presto construct in the reference corpus (SURVEY.md §2.2)
+    val presto = "event_type='purchase' AND " +
+      "CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50 AND " +
+      "position('pur' IN event_type) = 1"
+    val df = Criteria(Tables(spark, sf(), "events"), presto)
+    assert(df.count() > 0)
+    assert(df.select("event_type").distinct().collect().map(_.getString(0)).toSeq === Seq("purchase"))
+  }
+
+  test("partition window covers current and previous hour") {
+    val now = Instant.parse("2026-08-12T00:10:00Z") // crosses a day boundary
+    val sql = Criteria.partitionWindow(now).toString
+    assert(sql.contains("2026") && sql.contains("12") && sql.contains("11"))
+    assert(sql.contains("00") && sql.contains("23"))
+  }
+
+  test("withPartitionColumns derives zero-padded parts") {
+    import org.apache.spark.sql.functions.col
+    val df = Criteria.withPartitionColumns(Tables(spark, sf(), "events"), col("ts"))
+    val row = df.select("year", "month", "day", "hour").head()
+    assert(row.getString(0) === "2024")
+    assert(row.getString(1) === "01")
+    assert(row.getString(2).length === 2)
+    assert(row.getString(3).length === 2)
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
