@@ -126,6 +126,51 @@ private[graft] object QueriesAlert {
              |FROM events GROUP BY 1, 2, 3, 4
              |ORDER BY year, month, day, hour""".stripMargin)),
 
+    // G2 end-to-end (the §7.3 flagship slice): criteria → shell spec →
+    // Trigger.threshold — group-count, trigger filter, in-plan Mustache
+    // summary render — projected to oracle-comparable columns.
+    Q("q12_threshold_pipeline",
+      (s, dir) => {
+        val spec = graft.model.Shells.threshold(Map(
+          "alert_name" -> "purchase_spike",
+          "summary" -> "User {{metadata.value}} had {{metadata.count}} purchases",
+          "aggregation_key" -> "user_id",
+          "threshold" -> 10,
+          "event_sample_count" -> 0))
+        graft.engine.Trigger
+          .threshold(Tables(s, dir, "events").where(col("event_type") === "purchase"), spec)
+          .select(col("alert_name"), col("severity"),
+            col("metadata.value").as("value"), col("metadata.count").as("cnt"),
+            col("summary"))
+      },
+      Some("""SELECT 'purchase_spike' AS alert_name, 'INFO' AS severity,
+             |  CAST(user_id AS VARCHAR) AS value, COUNT(*) AS cnt,
+             |  'User ' || CAST(user_id AS VARCHAR) || ' had ' || CAST(COUNT(*) AS VARCHAR) || ' purchases' AS summary
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id HAVING COUNT(*) >= 10
+             |ORDER BY cnt DESC, value""".stripMargin)),
+
+    // G3 end-to-end: deadman pipeline over sparse groups.
+    Q("q13_deadman_pipeline",
+      (s, dir) => {
+        val spec = graft.model.Shells.deadman(Map(
+          "alert_name" -> "quiet_users",
+          "summary" -> "only {{metadata.count}} errors for {{metadata.value}}",
+          "aggregation_key" -> "user_id",
+          "threshold" -> 8))
+        graft.engine.Trigger
+          .deadman(Tables(s, dir, "events").where(col("event_type") === "error"), spec)
+          .select(col("alert_name"),
+            col("metadata.value").as("value"), col("metadata.count").as("cnt"),
+            col("summary"))
+      },
+      Some("""SELECT 'quiet_users' AS alert_name,
+             |  CAST(user_id AS VARCHAR) AS value, COUNT(*) AS cnt,
+             |  'only ' || CAST(COUNT(*) AS VARCHAR) || ' errors for ' || CAST(user_id AS VARCHAR) AS summary
+             |FROM events WHERE event_type = 'error'
+             |GROUP BY user_id HAVING COUNT(*) <= 8
+             |ORDER BY cnt DESC, value""".stripMargin)),
+
     // T5 (utcepoch sort key): epoch seconds per event, the reference's
     // Mongo sort key (alerta.py:86-88).
     Q("q10_utcepoch",

@@ -102,44 +102,16 @@ object Template {
     val cols = parts(tpl).map {
       case Left(s)  => lit(s)
       case Right(p) =>
-        val segs = p.split('.').toList
-        val resolved = segs match {
-          case head :: rest =>
-            schema.fields.find(_.name == head) match {
-              case Some(f) => resolve(root(head), f.dataType, rest)
-              case None    => lit(null).cast(StringType)
-            }
-          case Nil => lit(null).cast(StringType)
-        }
-        coalesce(resolved, lit(""))
+        val leaf = Paths.leafType(schema, p).getOrElse(StringType)
+        coalesce(asString(Paths.column(schema, p, root), leaf), lit(""))
     }
     if (cols.isEmpty) lit("") else concat(cols: _*)
   }
 
-  /** Walk the remaining path segments down a (Column, DataType) pair.
-    * Struct → getField; Array + numeric segment → element_at (1-based);
-    * Map → element_at by key; String with path remaining → JSONPath via
-    * get_json_object (matches reference `details` handling). Leaf cast
-    * to string; doubles holding integral JSON numbers are formatted
-    * without the trailing ".0" to match driver-side rendering.
+  /** Leaf stringification: doubles holding integral JSON numbers are
+    * formatted without the trailing ".0" to match driver-side
+    * rendering of JSON-parsed integers.
     */
-  private def resolve(c: Column, dt: DataType, path: List[String]): Column =
-    (dt, path) match {
-      case (_, Nil) => asString(c, dt)
-      case (st: StructType, seg :: rest) =>
-        st.fields.find(_.name == seg) match {
-          case Some(f) => resolve(c.getField(seg), f.dataType, rest)
-          case None    => lit(null).cast(StringType)
-        }
-      case (at: ArrayType, seg :: rest) if seg.forall(_.isDigit) =>
-        resolve(element_at(c, seg.toInt + 1), at.elementType, rest)
-      case (mt: MapType, seg :: rest) =>
-        resolve(element_at(c, lit(seg)), mt.valueType, rest)
-      case (StringType, segs) =>
-        get_json_object(c, "$." + segs.mkString("."))
-      case _ => lit(null).cast(StringType)
-    }
-
   private def asString(c: Column, dt: DataType): Column = dt match {
     case DoubleType | FloatType =>
       when(c.cast(LongType).cast(dt) === c, c.cast(LongType).cast(StringType))

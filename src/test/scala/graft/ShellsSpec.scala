@@ -1,0 +1,108 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dates
+import graft.model.{AlertDoc, Shells}
+
+class ShellsSpec extends AnyFunSuite {
+
+  test("threshold shell defaults (alerta.py:164-184)") {
+    val s = Shells.threshold(Map("alert_name" -> "test_threshold"))
+    assert(AlertDoc.str(s, "alert_name") === "test_threshold")
+    assert(AlertDoc.str(s, "alert_type") === "threshold")
+    assert(AlertDoc.str(s, "severity") === "INFO")
+    assert(AlertDoc.str(s, "summary") === "threshold alert!")
+    assert(AlertDoc.int(s, "event_sample_count", -1) === 3)
+    assert(AlertDoc.str(s, "category") === "general")
+    assert(AlertDoc.int(s, "threshold", -1) === 1)
+    assert(AlertDoc.seq(s, "events").isEmpty)
+    // tz-aware timestamp, python-isoformat style
+    assert(AlertDoc.str(s, "utctimestamp").contains("+00:00"))
+  }
+
+  test("deadman shell defaults differ (alerta.py:187-207)") {
+    val s = Shells.deadman(Map())
+    assert(AlertDoc.str(s, "alert_name") === "unnamed")
+    assert(AlertDoc.int(s, "event_sample_count", -1) === 0)
+    assert(AlertDoc.int(s, "threshold", -1) === 0)
+    assert(AlertDoc.str(s, "category") === "deadman")
+    assert(AlertDoc.seq(s, "tags") === Seq("deadman"))
+    assert(AlertDoc.str(s, "aggregation_key") === "none")
+  }
+
+  test("override wins over defaults; extra keys survive the merge") {
+    val s = Shells.threshold(Map(
+      "severity" -> "CRITICAL", "threshold" -> 5, "custom_field" -> "kept"))
+    assert(AlertDoc.str(s, "severity") === "CRITICAL")
+    assert(AlertDoc.int(s, "threshold", -1) === 5)
+    assert(AlertDoc.str(s, "custom_field") === "kept")
+  }
+
+  test("shell always resets events (merge overlay semantics)") {
+    val s = Shells.threshold(Map("events" -> Seq(Map("eventid" -> "x"))))
+    assert(AlertDoc.seq(s, "events").isEmpty)
+  }
+
+  test("sequence shell: lifespan default + expiration computed") {
+    val now = Instant.parse("2026-08-12T00:00:00Z")
+    val s = Shells.sequence(Map("alert_name" -> "seq"), now)
+    assert(AlertDoc.str(s, "lifespan") === "3 days")
+    assert(Dates.toUTC(AlertDoc.str(s, "expiration")) ===
+      Instant.parse("2026-08-15T00:00:00Z"))
+    // explicit utctimestamp is honored (alerta.py:258)
+    val s2 = Shells.sequence(Map("utctimestamp" -> "2026-01-01T00:00:00+00:00",
+      "lifespan" -> "1 hour"), now)
+    assert(Dates.toUTC(AlertDoc.str(s2, "expiration")) ===
+      Instant.parse("2026-01-01T01:00:00Z"))
+  }
+
+  test("deep merge: nested maps merge, overlay scalars win") {
+    val m = AlertDoc.merge(
+      Map("a" -> Map("x" -> 1, "y" -> 2), "b" -> 1),
+      Map("a" -> Map("y" -> 3, "z" -> 4), "c" -> 5))
+    assert(m("a") === Map("x" -> 1, "y" -> 3, "z" -> 4))
+    assert(m("b") === 1 && m("c") === 5)
+  }
+}
+
+class DatesSpec extends AnyFunSuite {
+
+  test("epoch magnitude detection: s / ms / µs / ns (utils/dates.py:58-62)") {
+    val want = Instant.parse("2024-01-01T00:16:06Z")
+    assert(Dates.toUTC(1704068166L) === want)
+    assert(Dates.toUTC("1704068166") === want)
+    assert(Dates.toUTC(1704068166000L) === want)
+    assert(Dates.toUTC(1704068166000000L) === want)
+    assert(Dates.toUTC(1704068166000000000L) === want)
+  }
+
+  test("non-positive clamps to epoch (utils/dates.py:44-45)") {
+    assert(Dates.toUTC(0L) === Instant.EPOCH)
+    assert(Dates.toUTC(-5L) === Instant.EPOCH)
+    assert(Dates.toUTC("-12.5") === Instant.EPOCH)
+  }
+
+  test("float epoch with fraction") {
+    assert(Dates.toUTC(1704068166.5) === Instant.parse("2024-01-01T00:16:06.500Z"))
+  }
+
+  test("ISO strings with and without offset; naive assumed UTC") {
+    assert(Dates.toUTC("2024-01-01T00:16:06+00:00") === Instant.parse("2024-01-01T00:16:06Z"))
+    assert(Dates.toUTC("2024-01-01T02:16:06+02:00") === Instant.parse("2024-01-01T00:16:06Z"))
+    assert(Dates.toUTC("2024-01-01T00:16:06") === Instant.parse("2024-01-01T00:16:06Z"))
+    assert(Dates.toUTC("2024-01-01 00:16:06") === Instant.parse("2024-01-01T00:16:06Z"))
+    assert(Dates.toUTC("2024-01-01") === Instant.parse("2024-01-01T00:00:00Z"))
+  }
+
+  test("interval parser covers the corpus forms (T6)") {
+    assert(Dates.interval("3 days").toDays === 3)
+    assert(Dates.interval("1 day").toDays === 1)
+    assert(Dates.interval("1 hour").toHours === 1)
+    assert(Dates.interval("7 days").toDays === 7)
+    assert(Dates.interval("45 minutes").toMinutes === 45)
+    assert(Dates.interval("2 weeks").toDays === 14)
+  }
+}
