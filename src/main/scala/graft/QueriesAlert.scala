@@ -171,6 +171,36 @@ private[graft] object QueriesAlert {
              |GROUP BY user_id HAVING COUNT(*) <= 8
              |ORDER BY cnt DESC, value""".stripMargin)),
 
+    // Q1-Q3 (sequence correlation), set-based form: slot-0 = first
+    // qualifying purchase per user, slot-1 = errors following it within
+    // the lifespan window. The stateful driver loop lives in
+    // engine.SequenceEngine (cross-slot templated criteria can't be one
+    // DAG); this entry pins the correlation semantics the slots
+    // implement. Slot-0 aggregates before the join (small side).
+    Q("q14_sequence_correlation",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val slot0 = ev
+          .where(col("event_type") === "purchase" && col("value") > 150)
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        ev.where(col("event_type") === "error")
+          .join(broadcast(slot0), Seq("user_id"))
+          .where(col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 7 DAYS"))
+          .groupBy(col("user_id"), col("t0"))
+          .agg(count(lit(1)).as("err_cnt"))
+          .select(col("user_id"), unix_timestamp(col("t0")).as("t0_epoch"), col("err_cnt"))
+          .orderBy("user_id")
+      },
+      Some("""WITH slot0 AS (
+             |  SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'purchase' AND value > 150 GROUP BY user_id)
+             |SELECT e.user_id, CAST(floor(epoch(s.t0)) AS BIGINT) AS t0_epoch, COUNT(*) AS err_cnt
+             |FROM events e JOIN slot0 s ON e.user_id = s.user_id
+             |WHERE e.event_type = 'error' AND e.ts > s.t0 AND e.ts <= s.t0 + INTERVAL 7 DAY
+             |GROUP BY e.user_id, s.t0
+             |ORDER BY e.user_id""".stripMargin)),
+
     // T5 (utcepoch sort key): epoch seconds per event, the reference's
     // Mongo sort key (alerta.py:86-88).
     Q("q10_utcepoch",

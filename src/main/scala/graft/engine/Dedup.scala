@@ -1,0 +1,27 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Event-id dedup (A2/A3): the reference probes Mongo once per
+  * candidate event with `$elemMatch` (alerta.py:38-73); here both
+  * become a single `left_anti` join. The alerted-id side is bounded
+  * (ids of events already inside stored alerts) → broadcast, so the
+  * candidate side — the 100 TB side — never shuffles.
+  */
+object Dedup {
+
+  /** remove_previously_alerted (alerta.py:38-57). */
+  def removePreviouslyAlerted(events: DataFrame, alertedIds: DataFrame,
+      idCol: String = "eventid"): DataFrame =
+    antiJoin(events, alertedIds, idCol)
+
+  /** remove_inflight_events (alerta.py:60-73). */
+  def removeInflightEvents(events: DataFrame, inflightIds: DataFrame,
+      idCol: String = "eventid"): DataFrame =
+    antiJoin(events, inflightIds, idCol)
+
+  private def antiJoin(events: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    if (!events.columns.contains(idCol)) events
+    else events.join(broadcast(ids), Seq(idCol), "left_anti")
+}

@@ -37,7 +37,7 @@ object Json {
       val out = new java.util.LinkedHashMap[String, Any]()
       m.foreach { case (k, value) => out.put(k.toString, toJava(value)) }
       out
-    case s: Seq[_] =>
+    case s: collection.Seq[_] =>
       val out = new java.util.ArrayList[Any]()
       s.foreach(e => out.add(toJava(e)))
       out

@@ -63,7 +63,7 @@ object Template {
       // JSON-parsed integers may surface as Doubles; alert authors
       // expect "87", not "87.0", when the source literal was integral.
       d.toLong.toString
-    case s: Seq[_]          => s.map(format).mkString("[", ", ", "]")
+    case s: collection.Seq[_] => s.map(format).mkString("[", ", ", "]")
     case other              => other.toString
   }
 
@@ -82,7 +82,7 @@ object Template {
               Option(m.asInstanceOf[java.util.Map[String, Any]].get(seg))
             case r: Row =>
               Try(r.getAs[Any](seg)).toOption
-            case s: Seq[_] if seg.forall(_.isDigit) => s.lift(seg.toInt)
+            case s: collection.Seq[_] if seg.forall(_.isDigit) => s.lift(seg.toInt)
             case l: java.util.List[_] if seg.forall(_.isDigit) =>
               if (seg.toInt < l.size) Option(l.get(seg.toInt)) else None
             case _ => None

@@ -41,15 +41,23 @@ object AlertDoc {
       case s: String => s.toInt
     }.getOrElse(default)
 
+  def long(doc: Doc, key: String, default: Long): Long =
+    doc.get(key).filter(_ != null).map {
+      case n: Number => n.longValue
+      case s: String => s.toLong
+    }.getOrElse(default)
+
   def bool(doc: Doc, key: String, default: Boolean): Boolean =
     doc.get(key).filter(_ != null).map {
       case b: Boolean => b
       case s: String  => s.toBoolean
     }.getOrElse(default)
 
+  // NOTE: matches collection.Seq — Spark hands back mutable.ArraySeq,
+  // which is not scala.Seq (immutable) on 2.13.
   def seq(doc: Doc, key: String): Seq[Any] = doc.get(key) match {
-    case Some(s: Seq[_]) => s
-    case _               => Seq.empty
+    case Some(s: collection.Seq[_]) => s.toSeq
+    case _                          => Seq.empty
   }
 
   def docs(doc: Doc, key: String): Seq[Doc] =
