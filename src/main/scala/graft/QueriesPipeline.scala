@@ -1,11 +1,149 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DocDedup, Multimodal, Similarity, TextAnalysis}
+
 /** Training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal) over `documents` / `embeddings` — filled in
-  * by graft.ops. See SURVEY.md §7.2 item 9.
+  * analysis, multimodal) over `documents` / `embeddings`. Exact
+  * operators carry DuckDB oracles (identical float folds, micro-unit
+  * scores); hash-based approximate operators (MinHash/SimHash/SRP) are
+  * rows-only — their hash functions are engine-native by design.
   */
 private[graft] object QueriesPipeline {
   import SparkEntryRegistry.Q
 
-  def registry: Seq[Q] = Seq.empty
+  // shared cosine text for the DuckDB side (deterministic left fold,
+  // same op order as Similarity.dot's aggregate fold)
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a,$b), x -> x[1]*x[2])) /
+       |  (sqrt(list_sum(list_transform(list_zip($a,$a), x -> x[1]*x[2]))) *
+       |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
+
+  def registry: Seq[Q] = Seq(
+    Q("q20_dedup_exact",
+      (s, dir) => DocDedup.exact(Tables(s, dir, "documents")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    Q("q21_dedup_ngram_jaccard",
+      (s, dir) => DocDedup.ngramJaccard(Tables(s, dir, "documents"), n = 3, threshold = 0.5),
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, lang, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |        FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1) AS i FROM w) t
+             |        WHERE i+2 <= len(ws)),
+             |sh AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+             |          GROUP BY 1,2)
+             |SELECT p.a_id, p.b_id, p.inter,
+             |  CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) AS jac
+             |FROM pairs p
+             |JOIN sizes sa ON p.a_id=sa.doc_id
+             |JOIN sizes sb ON p.b_id=sb.doc_id
+             |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // approximate candidate generation — rows-only check; the exact
+    // verification inside makes precision exact, recall probabilistic.
+    Q("q22_dedup_minhash_lsh",
+      (s, dir) => DocDedup.minhashLsh(Tables(s, dir, "documents"),
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5),
+      None),
+
+    Q("q23_dedup_simhash",
+      (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
+      None),
+
+    Q("q24_dedup_embedding_cosine",
+      (s, dir) => DocDedup.embeddingCosine(Tables(s, dir, "embeddings"),
+        thresholdMicro = 350000L),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    CAST(floor((${duckCos("a.v", "b.v")}) * 1000000) AS BIGINT) AS cos_e6
+              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, cos_e6 FROM scored
+              |WHERE cos_e6 >= 350000
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    Q("q25_ann_bruteforce_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id,
+              |    CAST(floor((${duckCos("q.qv", "e.v")}) * 1000000) AS BIGINT) AS cos_e6
+              |  FROM e, q),
+              |ranked AS (SELECT q_id, vec_id, cos_e6,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    Q("q26_ann_lsh_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 3, planes = 6)
+      },
+      None),
+
+    Q("q27_text_quality",
+      (s, dir) => TextAnalysis.quality(Tables(s, dir, "documents")),
+      Some(s"""SELECT doc_id, length(text) AS n_chars,
+              |  len(string_split(text,' ')) AS n_words,
+              |  len(list_distinct(string_split(text,' '))) AS n_uniq,
+              |  len(list_filter(string_split(text,' '),
+              |      t -> t IN ('the','a','of','and','to','in','is'))) AS stop_cnt,
+              |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+              |    / len(string_split(text,' ')) AS ttr,
+              |  CAST(len(list_filter(string_split(text,' '),
+              |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              |    / len(string_split(text,' ')) AS stop_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q28_lang_id",
+      (s, dir) => TextAnalysis.langId(Tables(s, dir, "documents")),
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+             |  len(list_filter(string_split(text,' '),
+             |      t -> t IN ('el','la','de','los','y','en','es'))) AS s_es,
+             |  len(list_filter(string_split(text,' '),
+             |      t -> t IN ('le','la','de','les','et','en','est'))) AS s_fr
+             |  FROM documents)
+             |SELECT doc_id, s_en, s_es, s_fr,
+             |  CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+             |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |       WHEN s_es >= s_fr THEN 'es'
+             |       ELSE 'fr' END AS lang_pred
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    Q("q29_token_count",
+      (s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents")),
+      Some("""SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q30_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents")),
+      Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             |  min(doc_id) AS keep_id, COUNT(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    Q("q31_multimodal_metadata",
+      (s, dir) => Multimodal.pipeline(Tables(s, dir, "documents")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |  320 + octet_length(encode(text)) % 320 AS width,
+             |  240 + octet_length(encode(text)) % 240 AS height,
+             |  1 + octet_length(encode(text)) % 8 AS n_frames,
+             |  (320 + octet_length(encode(text)) % 320)
+             |    * (240 + octet_length(encode(text)) % 240)
+             |    * (1 + octet_length(encode(text)) % 8) AS total_px
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
 }

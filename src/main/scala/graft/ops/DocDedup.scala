@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, from exact to
+  * fuzzy. Every variant is built to scale: shingling/hashing is
+  * per-row (map-only, codegen'd), candidate generation goes through
+  * an equi-join key (shingle, band, or bucket) rather than a cross
+  * join, and verification happens only on candidate pairs.
+  */
+object DocDedup {
+
+  /** Exact dedup by content hash: one hash-aggregate, keep the lowest
+    * id per group. At 100 TB this is the classic first pass — the
+    * groupBy shuffles only (hash, id) pairs, not documents.
+    */
+  def exact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("keep_id")
+
+  /** Word n-gram shingle set (distinct), empty when the doc is shorter
+    * than n words.
+    */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold, blocked by a
+    * cheap key (`lang` here): explode shingles → self-equi-join on
+    * (shingle, block) → per-pair intersection count → |A∩B|/|A∪B|.
+    * The join key is the shingle, so only docs sharing an n-gram ever
+    * meet — no cross join. Division is exact int/int in double, so the
+    * threshold compare is engine-stable.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      blockCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "inter", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set
+    * (hash seeded by index via xxhash64(shingle, i)).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding: signature split into `bands` bands; docs
+    * agreeing on any full band become candidates (equi-join on the
+    * band hash — the scale path where exact Jaccard's shingle join
+    * gets too hot); candidates are then verified with exact Jaccard
+    * over their shingle sets. Approximate recall, exact precision.
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string"))), b)
+            .as("bh")))).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash over distinct word tokens: per-bit signed vote of
+    * token hashes. One explode + one aggregate with 64 codegen'd sum
+    * columns — map-side combinable, shuffles (doc_id, 64 ints).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b"))
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val bitsum = (0 until 64).map(b =>
+      when(col(s"v$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), bitsum.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join (any equal quarter →
+    * candidate), verified by Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    // 4 bands of 16 bits, built at the Scala level (shift amounts are
+    // plain ints)
+    val bandStructs = (0 until 4).map(b => struct(
+      lit(b).as("band"),
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh")))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact embedding-cosine near-dup pairs ≥ threshold (micro-cosine
+    * units), blocked on an equality key (`label` here; at scale an SRP
+    * bucket from [[Similarity.srpBucket]]). Candidates meet through
+    * the block equi-join; cosine math is the deterministic fold.
+    */
+  def embeddingCosine(embeddings: DataFrame, thresholdMicro: Long = 950000L,
+      blockCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vid"), col(blockCol).as("block"),
+      col(vecCol).as("vec"))
+    e.as("a").join(e.as("b"),
+        col("a.block") === col("b.block") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"),
+        Similarity.cosineMicro(col("a.vec"), col("b.vec")).as("cos_e6"))
+      .where(col("cos_e6") >= thresholdMicro)
+      .orderBy("a_id", "b_id")
+  }
+}

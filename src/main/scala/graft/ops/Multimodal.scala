@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed per-partition in batches.
+  *
+  * The decode step is a STUB — this container has no image/audio
+  * codecs — implemented as a deterministic fake (metadata derived
+  * arithmetically from the byte payload) so the Spark-side contract is
+  * fully real and testable: binary column in, typed metadata struct
+  * out, executed via `mapPartitions` so a real decoder (JNI, ONNX,
+  * ffmpeg subprocess) drops in with per-partition init amortized
+  * across the batch. At scale, partition sizing bounds decoder memory;
+  * nothing touches the driver.
+  */
+object Multimodal {
+
+  case class Blob(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+      n_frames: Int, total_px: Long)
+
+  /** STUB decoder: deterministic fake metadata from payload length.
+    * Replace the body with a real codec; the signature and the
+    * batched-per-partition execution are the production shape.
+    */
+  def decodeStub(b: Blob): MediaMeta = {
+    val len = b.payload.length.toLong
+    val width = (320 + len % 320).toInt
+    val height = (240 + len % 240).toInt
+    val frames = (1 + len % 8).toInt
+    MediaMeta(b.doc_id, len, width, height, frames,
+      width.toLong * height * frames)
+  }
+
+  /** Binary ingestion: any table with an id + string payload becomes a
+    * blob table (stand-in for reading image/audio bytes); real media
+    * would arrive via `spark.read.format("binaryFile")` with identical
+    * downstream shape.
+    */
+  def toBlobs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload")).as[Blob]
+  }
+
+  /** The decode pipeline: mapPartitions so a real decoder initializes
+    * once per partition, not once per row.
+    */
+  def extractMetadata(blobs: Dataset[Blob]): Dataset[MediaMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map(decodeStub)
+    }
+  }
+
+  /** End-to-end: documents → blobs → metadata, ordered for the oracle. */
+  def pipeline(docs: DataFrame): DataFrame =
+    extractMetadata(toBlobs(docs)).toDF().orderBy("doc_id")
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All float math is done in double with a strict left-fold
+  * (`aggregate` over `zip_with`), so results are bit-deterministic and
+  * reproducible across engines — the DuckDB oracle computes the same
+  * fold. Scores are exported as `floor(cos * 1e6)` micro-units to
+  * avoid engine-specific `round()` tie behavior entirely.
+  */
+object Similarity {
+
+  /** Deterministic dot product: Σ a[i]*b[i], left to right, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Micro-cosine: floor(cos*1e6) as a long — total-ordering safe. */
+  def cosineMicro(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1e6).cast("long")
+
+  /** Exact brute-force top-k: every query against the whole corpus.
+    * The query side is broadcast (it's small by definition); the
+    * corpus side streams — no shuffle of the big side, and the
+    * row_number window cuts to k within each query partition. This is
+    * the baseline an ANN variant must beat; at 100 TB use [[DocDedup]]
+    * LSH bucketing to prune candidates first.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        cosineMicro(col("q_vec"), col("c_vec")).as("cos_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos_e6")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Pseudo-random hyperplane weight for (plane, dim): deterministic,
+    * derived from xxhash64 — reproducible across runs and cluster
+    * sizes with zero state to ship.
+    */
+  private def planeWeight(p: Column, d: Column): Column =
+    (pmod(xxhash64(p, d), lit(20001)).cast("double") - 10000.0) / 10000.0
+
+  /** Sign-random-projection bucket id: `planes` sign bits packed into a
+    * long. Vectors in the same bucket are near-duplicate candidates;
+    * at scale the bucket id becomes the shuffle/partition key, so
+    * candidate generation is a co-partitioned equi-join instead of a
+    * cross join.
+    */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), size(vec) - 1).cast("array<double>"),
+          (x, d) => x * planeWeight(p, d.cast("int"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    // pack bits: Σ bit_i * 2^i (shift amount must be a plain int, so
+    // multiply by the power instead)
+    aggregate(zip_with(bits, sequence(lit(0), lit(planes - 1)),
+      (bit, i) => bit * pow(lit(2.0), i).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** LSH-bucketed ANN: queries join the corpus only within their SRP
+    * bucket, then exact cosine ranks the candidates. Approximate —
+    * recall depends on `planes` (fewer planes = bigger buckets =
+    * higher recall, more compute).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        cosineMicro(col("q_vec"), col("c_vec")).as("cos_e6"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos_e6")
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DocDedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  def docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s1"), // near-dup of 0
+    (2L, "completely different content here entirely now", "en", "s2"),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s3"), // exact dup of 0
+    (4L, "el gato y el perro en la casa de los padres", "es", "s4"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = DocDedup.exact(docs).collect()
+    val dupGroup = r.find(_.getAs[Long]("dup_count") == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getAs[Long]("keep_id") === 0L)
+    assert(r.length === 4) // 5 docs, one pair collapsed
+  }
+
+  test("shingles produce n-grams; short docs yield empty") {
+    val r = docs.select(DocDedup.shingles(col("text"), 3).as("sh"))
+      .where(col("sh")(0).isNotNull).head()
+    assert(r.getSeq[String](0).contains("the quick brown"))
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(DocDedup.shingles(col("text"), 3).as("sh")).head()
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
+  test("ngram jaccard finds the near-dup pair and the exact pair") {
+    val pairs = DocDedup.ngramJaccard(docs, n = 3, threshold = 0.5).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(ids.contains((0L, 3L))) // exact dup → jac 1.0
+    assert(ids.contains((0L, 1L)) && ids.contains((1L, 3L))) // near-dups
+    assert(!ids.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc clean
+    val exact = pairs.find(r => r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 3L).get
+    assert(exact.getAs[Double]("jac") === 1.0)
+  }
+
+  test("minhash LSH recovers the exact-jaccard pairs (recall on dups)") {
+    val exact = DocDedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = DocDedup.minhashLsh(docs, n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(mh)) // banding with 4 bands @ jac>=0.5 → full recall here
+  }
+
+  test("simhash: identical docs have distance 0, near-dups small, distinct large") {
+    val sh = DocDedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L)) // exact dup → same simhash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("cosine: self-similarity is 1.0; micro-cosine is exact") {
+    val e = Seq((0L, Array(1.0f, 2.0f, 3.0f), 0), (1L, Array(2.0f, 4.0f, 6.0f), 0),
+      (2L, Array(-3.0f, 1.0f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val r = DocDedup.embeddingCosine(e, thresholdMicro = 999999L).collect()
+    // colinear vectors 0 and 1 → cosine 1.0 → floor(1e6) = 1000000
+    assert(r.length === 1)
+    assert((r.head.getAs[Long]("a_id"), r.head.getAs[Long]("b_id")) === (0L, 1L))
+    assert(r.head.getAs[Long]("cos_e6") === 1000000L)
+  }
+
+  test("brute-force top-k: query's own vector ranks first") {
+    val e = Tables(spark, sf(), "embeddings")
+    val top = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 7), k = 2).collect()
+    assert(top.length === 2)
+    assert(top.head.getAs[Long]("vec_id") === 7L && top.head.getAs[Long]("cos_e6") === 1000000L)
+    assert(top(1).getAs[Long]("cos_e6") < 1000000L)
+  }
+
+  test("lsh top-k buckets contain the query itself (same bucket, rank 1)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val top = Similarity.lshTopK(e, e.where(col("vec_id") === 7), k = 2, planes = 6).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") === 7L)
+  }
+
+  test("language id votes by stopword lists") {
+    val r = TextAnalysis.langId(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(r(0L) === "en")
+    assert(r(4L) === "es")
+    assert(r(2L) === "und") // no stopwords from any list
+  }
+
+  test("quality + token counts are consistent") {
+    val q = TextAnalysis.quality(docs).where(col("doc_id") === 0).head()
+    assert(q.getAs[Int]("n_words") === 9)
+    assert(q.getAs[Int]("n_uniq") === 8) // 'the' twice
+    assert(q.getAs[Double]("ttr") === 8.0 / 9.0)
+    val t = TextAnalysis.tokenCounts(docs).where(col("doc_id") === 0).head()
+    assert(t.getAs[Int]("ws_tokens") === 9)
+    assert(t.getAs[Int]("bpe_tokens") === 9) // pure words, no punct
+  }
+
+  test("fingerprint collapses case/whitespace variants") {
+    val d = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other")).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(d).collect()
+    assert(r.length === 2)
+    assert(r.find(_.getAs[Long]("keep_id") == 0L).get.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("multimodal stub pipeline: deterministic metadata through mapPartitions") {
+    val m = Multimodal.pipeline(docs).collect()
+    assert(m.length === 5)
+    val r0 = m.head
+    val len = "the quick brown fox jumps over the lazy dog".length
+    assert(r0.getAs[Long]("byte_len") === len.toLong)
+    assert(r0.getAs[Int]("width") === 320 + len % 320)
+    assert(r0.getAs[Long]("total_px") ===
+      (320 + len % 320).toLong * (240 + len % 240) * (1 + len % 8))
+  }
+}
