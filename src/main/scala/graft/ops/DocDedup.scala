@@ -43,8 +43,16 @@ object DocDedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       blockCol: String = "lang", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-        explode(shingles(col(textCol), n)).as("s"))
+    // shingles are joined as xxhash64 longs, not strings — the shuffle
+    // carries 8 bytes per shingle instead of ~20 chars (collision odds
+    // at 64 bits are negligible against any realistic corpus)
+    // materialized once (localCheckpoint): the self-join and the size
+    // aggregate both consume it — without this the shingle explode runs
+    // three times
+    val sh = Par.spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        explode(shingles(col(textCol), n)).as("s0"))
+      .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.block") === col("b.block") &&
@@ -52,8 +60,8 @@ object DocDedup {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= threshold)
       .select("a_id", "b_id", "inter", "jac")
@@ -77,23 +85,40 @@ object DocDedup {
       threshold: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(col("doc_id"), col("sh"),
+    // Signature via flat explode + k codegen'd min-aggregates, NOT the
+    // nested array lambdas of minhashSignature: higher-order functions
+    // (transform/array_min) are interpreted CodegenFallback expressions
+    // in Spark, ~5× slower on millions of hash calls. Shingles carry on
+    // as xxhash64 longs; the verification set is the hashed set (64-bit
+    // collision odds are negligible).
+    val shRows = Par.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
+    val mins = (1 to numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val aggCols = mins :+ collect_set(xxhash64(col("s"))).as("sh")
+    // materialized once: banding and the two shingle-rejoin branches all read it
+    val withSig = shRows.groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id"), col("sh"),
+        array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .localCheckpoint()
+    // band join carries only (doc_id, band, bandhash) — the shingle
+    // arrays rejoin after pair dedup, so the hot shuffle stays narrow
+    val banded = withSig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
             transform(slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string"))), b)
             .as("bh")))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = banded.as("a").join(banded.as("b"),
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val shOnly = withSig.select(col("doc_id"), col("sh"))
+    val cand = broadcast(candIds)
+      .join(shOnly.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sha"), "a_id")
+      .join(shOnly.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "shb"), "b_id")
     cand
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac", col("inter").cast("double") /
@@ -109,7 +134,7 @@ object DocDedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val toks = Par.spread(docs).select(col(idCol).as("doc_id"),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val votes = (0 until 64).map(b =>
@@ -126,7 +151,8 @@ object DocDedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = simhash(docs, textCol, idCol)
+    // materialized once: the band self-join consumes both sides
+    val sh = simhash(docs, textCol, idCol).localCheckpoint()
     // 4 bands of 16 bits, built at the Scala level (shift amounts are
     // plain ints)
     val bandStructs = (0 until 4).map(b => struct(
@@ -154,12 +180,17 @@ object DocDedup {
   def embeddingCosine(embeddings: DataFrame, thresholdMicro: Long = 950000L,
       blockCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val e = embeddings.select(col(idCol).as("vid"), col(blockCol).as("block"),
-      col(vecCol).as("vec"))
+    // norm once per vector; the block equi-join then pays one dot
+    // product per candidate pair
+    val e = Par.spread(embeddings.select(
+      col(idCol).as("vid"), col(blockCol).as("block"), col(vecCol).as("vec"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("norm")))
+      .localCheckpoint()
     e.as("a").join(e.as("b"),
         col("a.block") === col("b.block") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"),
-        Similarity.cosineMicro(col("a.vec"), col("b.vec")).as("cos_e6"))
+        floor(Similarity.dot(col("a.vec"), col("b.vec")) /
+          (col("a.norm") * col("b.norm")) * 1e6).cast("long").as("cos_e6"))
       .where(col("cos_e6") >= thresholdMicro)
       .orderBy("a_id", "b_id")
   }
