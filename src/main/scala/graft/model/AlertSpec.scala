@@ -62,6 +62,41 @@ object AlertDoc {
 
   def docs(doc: Doc, key: String): Seq[Doc] =
     seq(doc, key).collect { case m: Map[_, _] => m.asInstanceOf[Doc] }
+
+  // --- dict helpers (P2/P4, utils/dict_helpers.py:19-76) -----------------
+
+  /** Project a doc onto keys with a default (sub_dict). */
+  def subDict(doc: Doc, keys: Seq[String], default: Any = null): Doc =
+    keys.map(k => k -> doc.getOrElse(k, default)).toMap
+
+  /** Does target contain every key/value of query? (dict_match) */
+  def dictMatch(query: Doc, target: Doc): Boolean =
+    subDict(target, enumKeys(query).toSeq) == query
+
+  /** All values of `key` anywhere in a nested structure (find_keys). */
+  def findKeys(node: Any, key: String): Iterator[Any] = node match {
+    case l: collection.Seq[_] => l.iterator.flatMap(findKeys(_, key))
+    case m: collection.Map[_, _] =>
+      val d = m.asInstanceOf[collection.Map[String, Any]]
+      d.get(key).iterator ++ d.valuesIterator.flatMap(findKeys(_, key))
+    case _ => Iterator.empty
+  }
+
+  /** All leaf values in a nested structure (enum_values). */
+  def enumValues(node: Any): Iterator[Any] = node match {
+    case l: collection.Seq[_]    => l.iterator.flatMap(enumValues)
+    case m: collection.Map[_, _] => m.valuesIterator.flatMap(enumValues)
+    case other                   => Iterator.single(other)
+  }
+
+  /** All keys in a nested structure, recursive (enum_keys). */
+  def enumKeys(node: Any): Iterator[String] = node match {
+    case l: collection.Seq[_] => l.iterator.flatMap(enumKeys)
+    case m: collection.Map[_, _] =>
+      m.asInstanceOf[collection.Map[String, Any]].iterator
+        .flatMap { case (k, v) => Iterator.single(k) ++ enumKeys(v) }
+    case _ => Iterator.empty
+  }
 }
 
 /** The three alert-shell constructors — defaults exactly as

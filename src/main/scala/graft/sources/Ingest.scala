@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-ingest helpers (S13/S14/P9).
+  *
+  * `jsonBlocks` ports the reference's brace-balancing tokenizer
+  * (utils/helpers.py:13-32): some log shippers concatenate JSON
+  * objects with no delimiter (`{..}{..}{..}`); this splits them into
+  * one object per element, string-aware (braces inside quoted strings
+  * don't count). Used via flatMap over whole-file text — each blob
+  * splits independently, so ingest parallelizes per file.
+  */
+object Ingest {
+
+  /** Split a blob of concatenated JSON objects into complete objects. */
+  def splitJsonBlocks(blob: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = -1
+    var inString = false
+    var escaped = false
+    var i = 0
+    while (i < blob.length) {
+      val c = blob.charAt(i)
+      if (inString) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else c match {
+        case '"' if depth > 0 => inString = true
+        case '{' =>
+          if (depth == 0) start = i
+          depth += 1
+        case '}' if depth > 0 =>
+          depth -= 1
+          if (depth == 0) out += blob.substring(start, i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Distributed form: dataset of blobs → dataset of JSON objects. */
+  def jsonBlocks(blobs: Dataset[String]): Dataset[String] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(splitJsonBlocks _)
+  }
+
+  /** Parse brace-concatenated blobs straight into a DataFrame. */
+  def readJsonBlocks(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).as[String]
+      .transform(jsonBlocks)
+      .transform(ds => spark.read.json(ds))
+  }
+
+  /** CloudTrail delivery filename classifier (P9,
+    * utils/helpers.py:10,39-41) as a plan-side predicate on
+    * input_file_name.
+    */
+  def isCloudtrailFile = input_file_name().rlike("\\d+_cloudtrail_.+\\.json\\.gz$")
+
+  def shortUuid(): String = java.util.UUID.randomUUID().toString.take(8)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{EventPlugin, Plugins}
+import graft.functions.Functions
+import graft.model.AlertDoc
+import graft.model.AlertDoc.Doc
+import graft.sources.Ingest
+
+class FunctionsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("json_extract_scalar registered as native Catalyst function") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT json_extract_scalar('{"a":{"b":"x"}}', '$.a.b') AS v""").head()
+    assert(r.getString(0) === "x")
+    // unrewritten Presto criteria parses directly once registered
+    val df = Seq(("""{"eventname":"ConsoleLogin"}""", "cloudtrail")).toDF("details", "source")
+    assert(df.where("source='cloudtrail' AND json_extract_scalar(details,'$.eventname') = 'ConsoleLogin'")
+      .count() === 1)
+  }
+
+  test("to_utc UDF coerces epochs of any magnitude") {
+    Functions.register(spark)
+    val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()
+    assert(r.getTimestamp(0).toInstant === java.time.Instant.parse("2024-01-01T00:16:06Z"))
+  }
+
+  test("IP validators (utils/helpers.py:44-74)") {
+    assert(Functions.isIPv4("10.1.2.3"))
+    assert(Functions.isIPv4("10.0.0.0/8"))
+    assert(!Functions.isIPv4("10.1.2.256"))
+    assert(!Functions.isIPv4("10.1.2"))
+    assert(Functions.isIPv6("::1"))
+    assert(Functions.isIPv6("2001:db8::/32"))
+    assert(!Functions.isIPv6("example.com"))
+    assert(Functions.isIp("10.1.2.3") && Functions.isIp("::1"))
+    assert(!Functions.isIp("hostname"))
+  }
+
+  test("json block tokenizer splits concatenated objects (S13)") {
+    val blob = """{"a":1}{"b":{"c":"}{"}}{"d":[1,2]}"""
+    val blocks = Ingest.splitJsonBlocks(blob)
+    assert(blocks === Seq("""{"a":1}""", """{"b":{"c":"}{"}}""", """{"d":[1,2]}"""))
+    val df = Ingest.jsonBlocks(Seq(blob).toDS).collect()
+    assert(df.length === 3)
+  }
+
+  test("dict helpers: sub_dict / dict_match / find_keys / enum_*") {
+    val d: Doc = Map("a" -> 1, "b" -> Map("c" -> 2, "d" -> Seq(Map("e" -> 3))))
+    assert(AlertDoc.subDict(d, Seq("a", "z")) === Map("a" -> 1, "z" -> null))
+    assert(AlertDoc.dictMatch(Map("a" -> 1), d))
+    assert(!AlertDoc.dictMatch(Map("a" -> 2), d))
+    assert(AlertDoc.findKeys(d, "e").toSeq === Seq(3))
+    assert(AlertDoc.enumValues(d).toSet === Set(1, 2, 3))
+    assert(AlertDoc.enumKeys(d).toSet === Set("a", "b", "c", "d", "e"))
+  }
+
+  object TagPlugin extends EventPlugin {
+    val name = "tagger"
+    val registration = Seq("cloudtrail")
+    override val priority = 10
+    def message(event: Doc): Option[Doc] =
+      Some(event + ("enriched" -> true))
+  }
+  object DropPlugin extends EventPlugin {
+    val name = "dropper"
+    val registration = Seq("*")
+    override val priority = 90
+    def message(event: Doc): Option[Doc] =
+      if (AlertDoc.str(event, "severity") == "DEBUG") None else Some(event)
+  }
+
+  test("plugin chain: priority order, registration match, drop, provenance (P8)") {
+    val events = Seq(
+      """{"eventid":"1","category":"cloudtrail","severity":"INFO"}""",
+      """{"eventid":"2","category":"other","severity":"INFO"}""",
+      """{"eventid":"3","category":"cloudtrail","severity":"DEBUG"}""").toDS
+    val out = Plugins.run(events, Seq(DropPlugin, TagPlugin))
+      .collect().map(graft.functions.Json.parseMap)
+    assert(out.length === 2) // DEBUG event dropped
+    val e1 = out.find(_("eventid") == "1").get
+    assert(e1("enriched") === true)
+    assert(AlertDoc.seq(e1, "plugins") === Seq("tagger", "dropper")) // priority order
+    val e2 = out.find(_("eventid") == "2").get
+    assert(!e2.contains("enriched")) // registration mismatch
+    assert(AlertDoc.seq(e2, "plugins") === Seq("dropper"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingAlerts
+
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+  def tsH(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String)
+
+  test("thresholdStream fires per closed window when count >= threshold") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "spike",
+      "criteria" -> "event_type='purchase'",
+      "aggregation_key" -> "user_id", "threshold" -> 2)
+    val out = StreamingAlerts.thresholdStream(mem.toDF(), spec,
+      windowDuration = "15 minutes", watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("thr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 3 purchases for user 1 and 1 for user 2 inside 10:00-10:15
+      mem.addData(Ev(ts(1), 1, "purchase"), Ev(ts(2), 1, "purchase"),
+        Ev(ts(3), 1, "purchase"), Ev(ts(4), 2, "purchase"),
+        Ev(ts(5), 9, "view"))
+      q.processAllAvailable()
+      // advance watermark far past the window to close it
+      mem.addData(Ev(tsH(11, 30), 3, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("thr").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("value") === "1")
+      assert(rows.head.getAs[Long]("count") === 3L)
+      assert(rows.head.getAs[String]("summary").contains("spike"))
+    } finally q.stop()
+  }
+
+  test("deadmanStream fires when a key goes silent past its lifespan") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "heartbeat",
+      "criteria" -> "event_type='heartbeat'",
+      "aggregation_key" -> "user_id")
+    val out = StreamingAlerts.deadmanStream(mem.toDF(), spec,
+      lifespan = "30 minutes", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("dm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(ts(0), 1, "heartbeat"), Ev(ts(1), 2, "heartbeat"))
+      q.processAllAvailable()
+      // user 2 keeps beating; user 1 goes silent. Watermark advances
+      // past 10:30 (user 1's deadline) via user 2's later events.
+      mem.addData(Ev(tsH(11, 0), 2, "heartbeat"))
+      q.processAllAvailable()
+      mem.addData(Ev(tsH(12, 0), 2, "heartbeat"))
+      q.processAllAvailable()
+      val fired = spark.table("dm").collect()
+      assert(fired.map(_.getAs[String]("value")).contains("1"))
+      assert(!fired.map(_.getAs[String]("value")).contains("2"))
+      assert(fired.head.getAs[String]("summary").contains("missing"))
+    } finally q.stop()
+  }
+
+  test("sequenceStream completes ordered slots per key") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "buy_then_fail",
+      "aggregation_key" -> "user_id",
+      "slots" -> Seq(
+        Map[String, Any]("alert_name" -> "buy", "criteria" -> "event_type='purchase'"),
+        Map[String, Any]("alert_name" -> "fail", "criteria" -> "event_type='error'")))
+    val out = StreamingAlerts.sequenceStream(mem.toDF(), spec)
+    val q = out.writeStream.format("memory").queryName("seqs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: purchase then error (completes); user 2: error then
+      // purchase (wrong order — slot 0 only fires on purchase, then
+      // awaits an error that never comes)
+      mem.addData(Ev(ts(1), 1, "purchase"), Ev(ts(2), 1, "error"),
+        Ev(ts(1), 2, "error"), Ev(ts(2), 2, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("seqs").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("value") === "1")
+      assert(rows.head.getAs[String]("summary").contains("buy -> fail"))
+    } finally q.stop()
+  }
+}
