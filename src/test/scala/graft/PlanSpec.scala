@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.criteria.Criteria
+
+/** Physical-plan shape assertions — the properties that make these
+  * queries survive a 100 TB scale-up. If a refactor regresses
+  * pushdown, broadcast choice, or partition pruning, these fail before
+  * any benchmark does.
+  */
+class PlanSpec extends AnyFunSuite with SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val plan = planOf("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("IsNotNull(event_type)") || plan.contains("EqualTo(event_type"))
+    // pruned read schema: only the referenced columns are read
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("props")) // untouched column never scanned
+  }
+
+  test("q04: dimension join is a broadcast, not a shuffle join") {
+    val plan = planOf("q04_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q07: dedup anti-join broadcasts the alerted-id side") {
+    val plan = planOf("q07_dedup_antijoin")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial agg") {
+    val df = SparkEntry.queries("q01_pricing_agg")(spark, sf())
+    df.collect() // AQE finalizes the plan (codegen spans appear post-execution)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages
+    assert(plan.contains("*(1)") && plan.contains("HashAggregate"))
+    // map-side partial aggregation before the exchange
+    assert(plan.contains("partial_sum"))
+    // filter pushed to the parquet reader
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("q05: criteria pipeline keeps envelope predicate pushable") {
+    val plan = planOf("q05_threshold_trigger")
+    // the event_type equality is a plain parquet filter even though the
+    // JSON extraction evaluates post-scan (Presto behaves the same)
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"))
+  }
+
+  test("partition-window predicates prune an hour-partitioned lake") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = Criteria.withPartitionColumns(Tables(spark, sf(), "events"), col("ts"))
+    ev.write.mode("overwrite").partitionBy("year", "month", "day", "hour")
+      .parquet(dir)
+    val lake = spark.read.parquet(dir)
+    val now = java.time.Instant.parse("2024-01-30T23:30:00Z")
+    val filtered = lake.where(Criteria.partitionWindow(now))
+    // pruning happens at planning: the scan selects only the 2 hour
+    // partitions of the window, not all ~720 written by the test
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 2)
+    assert(filtered.count() > 0)
+  }
+
+  test("full reference criteria corpus parses through the dialect shim") {
+    // every criteria string shipped in the reference's alerts + test
+    // samples (SURVEY.md §2.2 construct inventory)
+    val corpus = Seq(
+      "source='cloudtrail' AND json_extract_scalar(details,'$.eventname') = 'ConsoleLogin'",
+      "source='onelogin' AND CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80 " +
+        "AND position('Defaulted' IN json_extract_scalar(details,'$.risk_reasons'))=0",
+      "source='cloudtrail' AND json_extract_scalar(details,'$.eventname') = 'ConsoleLogin' " +
+        "AND json_extract_scalar(details,'$.useridentity.type') = 'Root'",
+      "source='bitwarden' AND json_extract_scalar(details,'$.itemid')='root_item_id'")
+    import spark.implicits._
+    val df = Seq(("cloudtrail", """{"eventname":"x"}""")).toDF("source", "details")
+    corpus.foreach { c =>
+      // parses and binds against the envelope — throws on dialect gaps
+      df.where(Criteria.toColumn(c)).count()
+    }
+  }
+
+  test("G1a divergence pinned: exact path resolution, not set-matching") {
+    // the reference's mostCommon matches by set(path) symmetric
+    // difference (utils/mostcommon.py:53): segment order is ignored, so
+    // a leaf at b.a would match key 'a.b'. We resolve exactly —
+    // documented intentional divergence (SURVEY.md §2.3 G1a).
+    import spark.implicits._
+    val df = spark.read.json(Seq("""{"b":{"a":"x"},"id":1}""").toDS)
+    val col = graft.functions.Paths.column(df.schema, "a.b")
+    assert(df.select(col).head().isNullAt(0)) // no set-match: a.b ≠ b.a
+    val exact = graft.functions.Paths.column(df.schema, "b.a")
+    assert(df.select(exact.cast("string")).head().getString(0) === "x")
+  }
+}
