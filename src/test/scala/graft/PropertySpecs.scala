@@ -1,0 +1,95 @@
+package graft
+
+import java.time.Instant
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.functions.{Dates, Template}
+
+/** Property tests (SURVEY.md §5 "our strategy"): the permissive toUTC
+  * ladder, Mustache rendering, and interval parsing hold for arbitrary
+  * inputs, not just the corpus examples.
+  */
+object DatesProps extends Properties("Dates.toUTC") {
+
+  // sane epoch-second range: 2001..2033 (10-digit seconds)
+  val epochGen: Gen[Long] = Gen.choose(1000000000L, 1999999999L)
+
+  property("iso round-trip") = forAll(epochGen) { s =>
+    val t = Instant.ofEpochSecond(s)
+    Dates.toUTC(Dates.iso(t)) == t
+  }
+
+  property("epoch magnitude invariance: s == ms == µs == ns") =
+    forAll(epochGen) { s =>
+      val t = Instant.ofEpochSecond(s)
+      Dates.toUTC(s) == t &&
+        Dates.toUTC(s * 1000L) == t &&
+        Dates.toUTC(s * 1000000L) == t &&
+        Dates.toUTC(s * 1000000000L) == t
+    }
+
+  property("string digits behave like numeric epochs") =
+    forAll(epochGen) { s =>
+      Dates.toUTC(s.toString) == Dates.toUTC(s) &&
+        Dates.toUTC((s * 1000L).toString) == Dates.toUTC(s * 1000L)
+    }
+
+  property("non-positive clamps to epoch zero") =
+    forAll(Gen.choose(Long.MinValue / 2, 0L)) { s =>
+      Dates.toUTC(s) == Instant.EPOCH
+    }
+
+  property("interval parse: value scales linearly") =
+    forAll(Gen.choose(1, 10000), Gen.oneOf("day" -> 86400L, "hour" -> 3600L,
+      "minute" -> 60L, "second" -> 1L, "week" -> 604800L)) { (n, unit) =>
+      Dates.interval(s"$n ${unit._1}s").getSeconds == n * unit._2
+    }
+}
+
+object TemplateProps extends Properties("Template") {
+
+  val ident: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  val literal: Gen[String] =
+    Gen.listOf(Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '.', ':', '/')))
+      .map(_.mkString)
+
+  property("literal templates render unchanged") = forAll(literal) { s =>
+    Template.render(s, Map.empty[String, Any]) == s
+  }
+
+  property("flat variable substitutes; unknown renders empty") =
+    forAll(ident, literal) { (k, v) =>
+      Template.render(s"a {{$k}} b", Map(k -> v)) == s"a $v b" &&
+        Template.render(s"a {{missing$k}} b", Map(k -> v)) == "a  b"
+    }
+
+  property("nested and indexed paths resolve") =
+    forAll(ident, ident, literal) { (k1, k2, v) =>
+      (k1 != k2) ==> Prop(
+        Template.render(s"{{$k1.$k2}}", Map(k1 -> Map(k2 -> v))) == v &&
+          Template.render(s"{{$k1.1.$k2}}",
+            Map(k1 -> Seq(Map(k2 -> "no"), Map(k2 -> v)))) == v)
+    }
+
+  property("parts round-trip: literals + vars reassemble the template") =
+    forAll(ident, ident) { (a, b) =>
+      val tpl = s"x {{$a}} y {{$b.c}} z"
+      Template.parts(tpl).map {
+        case Left(s)  => s
+        case Right(p) => s"{{$p}}"
+      }.mkString == tpl
+    }
+
+  property("json-string context behaves like parsed map") =
+    forAll(ident, Gen.alphaNumStr) { (k, v) =>
+      val json = graft.functions.Json.write(Map(k -> v))
+      Template.render(s"{{d.$k}}", Map("d" -> json)) ==
+        Template.render(s"{{d.$k}}", Map("d" -> Map(k -> v)))
+    }
+}
