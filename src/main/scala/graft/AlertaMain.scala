@@ -27,13 +27,7 @@ object AlertaMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val lake = spark.read.parquet(eventsPath)
-    val lakeNorm = lake.schema.find(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => lake.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
-      .getOrElse(lake)
+    val lakeNorm = Tables.normalizeTs(spark.read.parquet(eventsPath))
     val specs = AlertSpecs.loadAll(specsMask)
     val runner = new Runner(spark, new AlertStore(storeDir), new InflightStore(storeDir))
     val stats = runner.runOnce(lakeNorm, specs, now)

@@ -21,13 +21,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** ns→µs coercion for nanosAsLong-read timestamp columns; shared by
+    * every path-based loader so the rule lives in exactly one place.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema.find(f => f.name == tsCol && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case None => df
     }
-  }
 
   /** Session settings every graft entry point needs. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =

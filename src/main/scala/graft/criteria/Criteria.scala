@@ -20,10 +20,28 @@ import org.apache.spark.sql.functions._
 object Criteria {
 
   /** Presto → Spark SQL dialect rewrite for alert criteria text.
-    * Reference construct inventory: SURVEY.md §2.2.
+    * Reference construct inventory: SURVEY.md §2.2. Rewrites apply
+    * only OUTSIDE single-quoted SQL string literals — a criteria
+    * comparing against text that happens to contain a function name
+    * must not have its literal rewritten.
     */
-  def rewrite(presto: String): String =
-    presto
+  def rewrite(presto: String): String = {
+    // split into alternating [code, 'literal', code, ...] chunks;
+    // '' inside a literal is the SQL escape for a quote
+    val literal = "'(?:[^']|'')*'".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- literal.findAllMatchIn(presto)) {
+      sb.append(rewriteCode(presto.substring(last, m.start)))
+      sb.append(m.matched) // literal untouched
+      last = m.end
+    }
+    sb.append(rewriteCode(presto.substring(last)))
+    sb.toString
+  }
+
+  private def rewriteCode(code: String): String =
+    code
       .replaceAll("(?i)\\bjson_extract_scalar\\b", "get_json_object")
       .replaceAll("(?i)\\bTRY_CAST\\b", "try_cast")
 

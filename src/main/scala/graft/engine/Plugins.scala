@@ -44,7 +44,11 @@ object Plugins {
 
   /** Run the chain over one event, priority order. */
   def sendEventToPlugins(event: Doc, plugins: Seq[EventPlugin]): Option[Doc] =
-    plugins.sortBy(_.priority).foldLeft(Option(event)) { (acc, p) =>
+    runSorted(event, plugins.sortBy(_.priority))
+
+  /** Chain already priority-sorted — the per-event hot path. */
+  private def runSorted(event: Doc, sorted: Seq[EventPlugin]): Option[Doc] =
+    sorted.foldLeft(Option(event)) { (acc, p) =>
       acc.flatMap { ev =>
         if (!matches(p, ev)) Some(ev)
         else p.message(ev).map { out =>
@@ -62,7 +66,7 @@ object Plugins {
       it.flatMap { line =>
         Json.parse(line) match {
           case Some(m: Map[_, _]) =>
-            sendEventToPlugins(m.asInstanceOf[Doc], chain).map(Json.write)
+            runSorted(m.asInstanceOf[Doc], chain).map(Json.write)
           case _ => Some(line) // non-object lines pass through untouched
         }
       }

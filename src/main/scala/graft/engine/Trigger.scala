@@ -32,7 +32,7 @@ object Trigger {
   def threshold(events: DataFrame, spec: Doc, now: Instant = Dates.utcnow()): DataFrame = {
     val th = AlertDoc.int(spec, "threshold", 1)
     val groups = grouped(events, aggKey(spec)).where(col("__count") >= th)
-    alertify(groups, spec, now, structOf(events.schema))
+    alertify(groups, spec, now, events.schema)
   }
 
   /** G3: fire on count <= threshold; absent events/groups synthesize
@@ -52,21 +52,19 @@ object Trigger {
       // when no event produced any key value at all (the reference's
       // meta-event never matches either, alerta.py:399-403).
       val spark = events.sparkSession
-      val evType = ArrayType(structOf(events.schema))
+      val evType = ArrayType(events.schema)
       val fabricated = spark.range(1).select(
         lit(key).as("__value"),
         lit(0L).as("__count"),
         from_json(lit("[]"), evType).as("__events"))
-      if (0 <= th) alertify(fabricated, spec, now, structOf(events.schema))
-      else alertify(fabricated.limit(0), spec, now, structOf(events.schema))
+      if (0 <= th) alertify(fabricated, spec, now, events.schema)
+      else alertify(fabricated.limit(0), spec, now, events.schema)
     } else {
-      alertify(g.where(col("__count") <= th), spec, now, structOf(events.schema))
+      alertify(g.where(col("__count") <= th), spec, now, events.schema)
     }
   }
 
   private def aggKey(spec: Doc): String = AlertDoc.str(spec, "aggregation_key")
-
-  private def structOf(schema: StructType): StructType = schema
 
   /** mostCommon (G1): group-count by the dotted aggregation key, with
     * the group's events collected and deterministically ordered.

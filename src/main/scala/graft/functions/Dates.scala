@@ -56,11 +56,20 @@ object Dates {
     DateTimeFormatter.ISO_INSTANT,
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ssXXX"),
     DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ssXXX"))
+  // space-separated forms accept 0-9 fractional digits (a fixed
+  // "SSSSSS" pattern would reject common millisecond-precision strings)
+  private def spaceSeparated(datePattern: String): DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern(datePattern + " HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .optionalEnd()
+      .toFormatter()
+
   private val naivePatterns = Seq(
     DateTimeFormatter.ISO_LOCAL_DATE_TIME,
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"),
-    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
-    DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ss"))
+    spaceSeparated("yyyy-MM-dd"),
+    spaceSeparated("yyyy/MM/dd"))
 
   def toUTC(suspected: Any): Instant = suspected match {
     case i: Instant            => i

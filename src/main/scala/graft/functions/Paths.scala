@@ -45,9 +45,16 @@ object Paths {
       case (mt: MapType, seg :: rest) =>
         resolve(element_at(c, lit(seg)), mt.valueType, rest)
       case (StringType, segs) =>
-        get_json_object(c, "$." + segs.mkString("."))
+        get_json_object(c, "$" + jsonPath(segs))
       case _ => lit(null).cast(StringType)
     }
+
+  /** JSONPath for the remaining segments: numeric segments are array
+    * indexes and must be spelled `[n]` — `$.a.0` would be read as an
+    * object key by Spark's JSON path parser and return NULL.
+    */
+  private def jsonPath(segs: List[String]): String =
+    segs.map(s => if (s.nonEmpty && s.forall(_.isDigit)) s"[$s]" else s".$s").mkString
 
   /** Leaf DataType a dotted path resolves to, if statically known. */
   def leafType(schema: StructType, dotted: String): Option[DataType] = {

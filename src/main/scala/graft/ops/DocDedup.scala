@@ -59,9 +59,11 @@ object DocDedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: sizes is one row per document (unbounded at
+    // corpus scale) — AQE picks broadcast when it actually fits
     pairs
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na")), "a_id")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb")), "b_id")
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
       .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= threshold)
       .select("a_id", "b_id", "inter", "jac")
@@ -115,8 +117,9 @@ object DocDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // no broadcast hint on candIds (unbounded pair set) — AQE decides
     val shOnly = withSig.select(col("doc_id"), col("sh"))
-    val cand = broadcast(candIds)
+    val cand = candIds
       .join(shOnly.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sha"), "a_id")
       .join(shOnly.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "shb"), "b_id")
     cand

@@ -61,6 +61,11 @@ private[store] trait JsonlFile {
 class AlertStore(dir: String) extends JsonlFile {
   protected val file: java.nio.file.Path = JPaths.get(dir, "alerts.jsonl")
 
+  // The append-only file is read once at open; saves update the cache
+  // in place — alertedEventIds would otherwise re-read and re-parse a
+  // forever-growing file once per spec per run.
+  private var docs: Vector[Doc] = readAll().toVector
+
   /** save_alert (alerta.py:76-89): stamp _id, normalized timestamp,
     * utcepoch; append.
     */
@@ -71,10 +76,11 @@ class AlertStore(dir: String) extends JsonlFile {
       "utctimestamp" -> Dates.iso(ts),
       "utcepoch" -> ts.getEpochSecond)
     appendLine(doc)
+    docs = docs :+ doc
     doc
   }
 
-  def all(): Seq[Doc] = readAll()
+  def all(): Seq[Doc] = docs
 
   /** Every eventid present in stored alerts, at both nesting depths:
     * `events[].eventid` and `slots[].events[].eventid`

@@ -127,8 +127,11 @@ object StreamingAlerts {
     require(slots.nonEmpty, "sequence spec needs slots")
     val keyCol = Paths.column(events.schema, AlertDoc.str(spec, "aggregation_key"))
       .cast(StringType)
+    // coalesce each predicate: SQL three-valued logic can yield NULL
+    // (missing JSON key, null column), and a null element in the
+    // Seq[Boolean]-encoded array would kill the streaming query
     val slotMatch: Column = array(slots.map(s =>
-      Criteria.toColumn(AlertDoc.str(s, "criteria", "false"))): _*)
+      coalesce(Criteria.toColumn(AlertDoc.str(s, "criteria", "false")), lit(false))): _*)
 
     val keyed = events
       .withColumn("__value", keyCol)

@@ -16,6 +16,14 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       "not_json_extract_scalar_fn(x)")
   }
 
+  test("rewrite never touches SQL string literals") {
+    assert(Criteria.rewrite("summary LIKE '%json_extract_scalar%'") ===
+      "summary LIKE '%json_extract_scalar%'")
+    // escaped quote inside a literal doesn't end it early
+    assert(Criteria.rewrite("a = 'it''s json_extract_scalar' AND json_extract_scalar(d,'$.x') = 1") ===
+      "a = 'it''s json_extract_scalar' AND get_json_object(d,'$.x') = 1")
+  }
+
   test("full corpus criteria parse and filter after rewrite") {
     // every Presto construct in the reference corpus (SURVEY.md §2.2)
     val presto = "event_type='purchase' AND " +

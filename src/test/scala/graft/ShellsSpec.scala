@@ -89,6 +89,13 @@ class DatesSpec extends AnyFunSuite {
     assert(Dates.toUTC(1704068166.5) === Instant.parse("2024-01-01T00:16:06.500Z"))
   }
 
+  test("space-separated timestamps accept any fractional precision") {
+    assert(Dates.toUTC("2026-08-12 05:00:00.123") ===
+      Instant.parse("2026-08-12T05:00:00.123Z"))
+    assert(Dates.toUTC("2026-08-12 05:00:00.123456789") ===
+      Instant.parse("2026-08-12T05:00:00.123456789Z"))
+  }
+
   test("ISO strings with and without offset; naive assumed UTC") {
     assert(Dates.toUTC("2024-01-01T00:16:06+00:00") === Instant.parse("2024-01-01T00:16:06Z"))
     assert(Dates.toUTC("2024-01-01T02:16:06+02:00") === Instant.parse("2024-01-01T00:16:06Z"))

@@ -69,6 +69,26 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sequenceStream survives slot criteria that evaluate to SQL NULL") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "null_pred",
+      "aggregation_key" -> "user_id",
+      "slots" -> Seq(
+        // json path missing on every event → predicate is NULL, which
+        // must coalesce to false instead of killing the query
+        Map[String, Any]("alert_name" -> "never",
+          "criteria" -> "CAST(NULL AS BOOLEAN)")))
+    val out = StreamingAlerts.sequenceStream(mem.toDF(), spec)
+    val q = out.writeStream.format("memory").queryName("nullseq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(ts(1), 1, "purchase"))
+      q.processAllAvailable() // would throw pre-fix
+      assert(spark.table("nullseq").count() === 0)
+    } finally q.stop()
+  }
+
   test("sequenceStream completes ordered slots per key") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -38,6 +38,14 @@ class TemplateSpec extends AnyFunSuite {
     assert(Template.variables("a {{b}} c {{ d.e }}") === Seq("b", "d.e"))
   }
 
+  test("numeric index after a JSON-string hop uses JSONPath [n] form") {
+    // compiled (Column) rendering must agree with driver-side rendering
+    // for array indexes inside a JSON-string column
+    val driver = Template.render("{{details.ports.1}}",
+      Map("details" -> """{"ports":[80,443]}"""))
+    assert(driver === "443")
+  }
+
   test("json round trip") {
     val m = Json.parseMap("""{"a":{"b":[1,2,{"c":"x"}]}}""")
     assert(Template.render("{{a.b.2.c}}", m) === "x")

@@ -110,6 +110,15 @@ class TriggerSpec extends AnyFunSuite with SparkSuite {
     assert(summary.contains("from IP 8.8.8.8") && summary.contains("from IP 9.9.9.9"))
   }
 
+  test("compiled template: numeric index into a JSON-string array uses [n] JSONPath") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.json(Seq(
+      """{"id":1,"details":"{\"ports\":[80,443]}"}""").toDS)
+    val rendered = df.select(graft.functions.Template
+      .compile("p={{details.ports.1}}", df.schema).as("s")).head().getString(0)
+    assert(rendered === "p=443") // pre-fix: '$.ports.1' → NULL → "p="
+  }
+
   test("missing aggregation key path yields no groups, no alerts") {
     val spec = Shells.threshold(Map("aggregation_key" -> "no.such.path"))
     assert(Trigger.threshold(cloudtrailEvents, spec).isEmpty)
