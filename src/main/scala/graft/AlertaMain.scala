@@ -11,14 +11,28 @@ import graft.store.{AlertStore, InflightStore}
   * `main` (alerta.py:481-515; cadence startup.sh:24-26 moves to the
   * scheduler invoking this).
   *
-  * Usage: AlertaMain <eventsParquet> <specsGlob> <storeDir> [nowIso]
+  * Usage:
+  *   AlertaMain <eventsParquet> <specsGlob> <storeDir> [nowIso]
+  *   AlertaMain -c config.yml   (S7 config-file form; keys:
+  *     events_path, alerts_file_mask, store_dir, optional now)
   */
 object AlertaMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: AlertaMain <eventsParquet> <specsGlob> <storeDir> [nowIso]")
-    val Array(eventsPath, specsMask, storeDir) = args.take(3)
-    val now = args.lift(3).map(Dates.toUTC(_)).getOrElse(Dates.utcnow())
+    val (eventsPath, specsMask, storeDir, nowOpt) = args.toList match {
+      case "-c" :: cfgPath :: Nil =>
+        val cfg = AlertSpecs.load(cfgPath)
+        def req(k: String): String = {
+          val v = graft.model.AlertDoc.str(cfg, k)
+          require(v.nonEmpty, s"config missing '$k'"); v
+        }
+        (req("events_path"), req("alerts_file_mask"), req("store_dir"),
+          Some(graft.model.AlertDoc.str(cfg, "now")).filter(_.nonEmpty))
+      case e :: s :: d :: rest if !e.startsWith("-") =>
+        (e, s, d, rest.headOption)
+      case _ =>
+        sys.error("usage: AlertaMain <eventsParquet> <specsGlob> <storeDir> [nowIso] | -c config.yml")
+    }
+    val now = nowOpt.map(Dates.toUTC(_)).getOrElse(Dates.utcnow())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
