@@ -201,6 +201,59 @@ private[graft] object QueriesAlert {
              |GROUP BY e.user_id, s.t0
              |ORDER BY e.user_id""".stripMargin)),
 
+    // P8 (plugin transform chain): events serialized to JSON lines,
+    // run through a priority-ordered enrich + drop chain
+    // (mapPartitions), parsed back and aggregated. The oracle states
+    // the chain's net semantics relationally.
+    Q("q15_plugin_transform",
+      (s, dir) => {
+        import s.implicits._
+        import graft.engine.{EventPlugin, Plugins}
+        import graft.model.AlertDoc.Doc
+        object Flagger extends EventPlugin {
+          val name = "flagger"; val registration = Seq("*")
+          override val priority = 10
+          def message(e: Doc): Option[Doc] = Some(e + ("flagged" ->
+            (graft.model.AlertDoc.str(e, "value").toDouble > 150)))
+        }
+        object DropViews extends EventPlugin {
+          val name = "drop_views"; val registration = Seq("*")
+          override val priority = 20
+          def message(e: Doc): Option[Doc] =
+            if (graft.model.AlertDoc.str(e, "event_type") == "view") None else Some(e)
+        }
+        val jsonl = Tables(s, dir, "events")
+          .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
+          .as[String]
+        s.read.json(Plugins.run(jsonl, Seq(DropViews, Flagger)))
+          .groupBy("event_type", "flagged")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("event_type", "flagged")
+      },
+      Some("""SELECT event_type, value > 150 AS flagged, COUNT(*) AS cnt
+             |FROM events WHERE event_type <> 'view'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S13 (JSON-block tokenizer): brace-concatenated blobs split back
+    // into objects; identity proven against the source table.
+    Q("q16_json_blocks",
+      (s, dir) => {
+        import s.implicits._
+        val blobs = Tables(s, dir, "documents")
+          .groupBy("source")
+          .agg(concat_ws("", collect_list(
+            format_string("""{"doc_id":%d,"source":"%s"}""",
+              col("doc_id"), col("source")))).as("blob"))
+          .select(col("blob")).as[String]
+        s.read.json(graft.sources.Ingest.jsonBlocks(blobs))
+          .groupBy("source")
+          .agg(count(lit(1)).as("cnt"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS cnt, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // T5 (utcepoch sort key): epoch seconds per event, the reference's
     // Mongo sort key (alerta.py:86-88).
     Q("q10_utcepoch",
