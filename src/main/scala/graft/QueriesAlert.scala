@@ -28,6 +28,28 @@ private[graft] object QueriesAlert {
     "event_type='purchase' AND CAST(json_extract_string(props,'$.k') AS INTEGER) > 50" +
       " AND position('pur' IN event_type) = 1"
 
+  // identical text executed by Spark AND DuckDB (dialect-portable ANSI)
+  private val RollupSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  private val SetOpsSql =
+    """(SELECT user_id FROM events WHERE event_type = 'click'
+      | INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')
+      |EXCEPT SELECT user_id FROM events WHERE event_type = 'error' AND value > 195
+      |ORDER BY user_id""".stripMargin
+
+  private val ExistsSql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def registry: Seq[Q] = Seq(
     // G1+G2 (mostCommon + threshold trigger): criteria through the
     // dialect shim, group-count by the aggregation key, fire count>=N.
@@ -200,6 +222,32 @@ private[graft] object QueriesAlert {
              |WHERE e.event_type = 'error' AND e.ts > s.t0 AND e.ts <= s.t0 + INTERVAL 7 DAY
              |GROUP BY e.user_id, s.t0
              |ORDER BY e.user_id""".stripMargin)),
+
+    // §2.9 passthrough surface: these three run the IDENTICAL SQL text
+    // on Spark (temp view + spark.sql) and DuckDB — rollup grouping,
+    // set operations, correlated subqueries all come free with the
+    // criteria passthrough contract.
+    Q("q17_rollup",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(RollupSql)
+      },
+      Some(RollupSql)),
+
+    Q("q18_setops",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(SetOpsSql)
+      },
+      Some(SetOpsSql)),
+
+    Q("q19_exists_subquery",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(ExistsSql)
+      },
+      Some(ExistsSql)),
 
     // P8 (plugin transform chain): events serialized to JSON lines,
     // run through a priority-ordered enrich + drop chain
