@@ -117,9 +117,16 @@ object DocDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // no broadcast hint on candIds (unbounded pair set) — AQE decides
+    // size-guarded broadcast: the candidate-pair set is unbounded in
+    // principle (a blind broadcast could OOM the driver at corpus
+    // scale), but it is materialized anyway for the two rejoin
+    // branches — so count it and broadcast only when it actually fits;
+    // otherwise the shingle side shuffles, which is the correct plan
+    // for a huge candidate set.
+    val candMat = candIds.localCheckpoint()
+    val candSide = if (candMat.count() <= 500000) broadcast(candMat) else candMat
     val shOnly = withSig.select(col("doc_id"), col("sh"))
-    val cand = candIds
+    val cand = candSide
       .join(shOnly.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sha"), "a_id")
       .join(shOnly.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "shb"), "b_id")
     cand
