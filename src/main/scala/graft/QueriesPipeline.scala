@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DocDedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{DocDedup, Multimodal, Similarity, Temporal, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
@@ -134,6 +134,49 @@ private[graft] object QueriesPipeline {
       Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
              |  min(doc_id) AS keep_id, COUNT(*) AS dup_count
              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // as-of join (point-in-time feature lookup): each purchase picks
+    // the user's latest click at-or-before it; oracle is DuckDB's
+    // native ASOF JOIN. One key-shuffle, no range explosion.
+    Q("q32_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        Temporal.asofJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_value"))
+          .select(col("event_id"), col("user_id"),
+            col("click_id_r").as("click_id"), col("click_value_r").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // gap-based sessionization: 30-minute inactivity gap per user,
+    // compared in integer epoch-micros for engine-exact parity.
+    Q("q33_sessionize",
+      (s, dir) => Temporal.sessionize(Tables(s, dir, "events"), "user_id", "ts",
+          gapUs = 1800000000L)
+        .withColumnRenamed("key", "user_id"),
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |m AS (SELECT user_id, us,
+             |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+             |       THEN 1 ELSE 0 END AS ns
+             |  FROM t),
+             |s AS (SELECT user_id, us,
+             |  SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  min(us) AS start_us, max(us) AS end_us
+             |FROM s GROUP BY 1, 2
+             |ORDER BY user_id, session_id""".stripMargin)),
 
     Q("q31_multimodal_metadata",
       (s, dir) => Multimodal.pipeline(Tables(s, dir, "documents")),

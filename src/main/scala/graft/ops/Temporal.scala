@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal operators Spark lacks natively, composed from built-ins
+  * (preference (a) of the custom-operator ladder — no custom physical
+  * operator needed, and the composition keeps Catalyst fully in
+  * charge of the shuffle plan).
+  */
+object Temporal {
+
+  /** As-of join: each left row picks the latest right row with the
+    * same key and right ts <= left ts (point-in-time enrichment — the
+    * lookup that makes training-data features leak-free).
+    *
+    * Implementation: tag and union both sides, then one window pass
+    * per key carrying the last-seen right payload forward in event
+    * time (right sorts before left at equal ts → inclusive semantics,
+    * matching DuckDB's `ASOF JOIN ON l.ts >= r.ts`). ONE shuffle on
+    * the key — the same cost as a plain join, no range explosion, skew
+    * bounded by key cardinality.
+    *
+    * @param rightCols right-side payload columns to carry (appended
+    *                  with `suffix`)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      rightCols: Seq[String], suffix: String = "_r"): DataFrame = {
+    val leftStruct = struct(left.columns.map(col): _*)
+    val leftType = StructType(left.schema.fields)
+    val l2 = left.select(
+      col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
+        leftStruct.as("__l") +:
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r2 = right.select(
+      col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
+        lit(null).cast(leftType).as("__l") +:
+        rightCols.map(col): _*)
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.map(c =>
+      last(col(c), ignoreNulls = true).over(w).as(c + suffix))
+    l2.unionByName(r2)
+      .select(col("__side") +: col("__l") +: carried: _*)
+      .where(col("__side") === 1)
+      .select(col("__l.*") +: rightCols.map(c => col(c + suffix)): _*)
+  }
+
+  /** Gap-based sessionization: events more than `gapUs` microseconds
+    * apart start a new session per key. Two window passes over one
+    * key-shuffle, then the per-session aggregate. Timestamps compare
+    * in integer epoch-micros so results are engine-exact.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("__us")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(w).isNull ||
+          col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .groupBy("key", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"), max(col("__us")).as("end_us"))
+      .orderBy("key", "session_id")
+  }
+}

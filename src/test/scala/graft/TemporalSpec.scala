@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+class TemporalSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("asof join picks the latest right row at-or-before each left row") {
+    val left = Seq((1L, 100L, ts(10)), (2L, 100L, ts(30)), (3L, 200L, ts(20)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(5), "a"), (100L, ts(20), "b"), (100L, ts(40), "c"),
+      (300L, ts(1), "z"))
+      .toDF("user_id", "ts", "tag")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", Seq("tag"))
+      .orderBy("event_id").collect()
+    assert(r.map(_.getAs[String]("tag_r")).toSeq === Seq("a", "b", null))
+  }
+
+  test("asof join is inclusive at equal timestamps") {
+    val left = Seq((1L, 100L, ts(20))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(20), "same")).toDF("user_id", "ts", "tag")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", Seq("tag")).collect()
+    assert(r.head.getAs[String]("tag_r") === "same")
+  }
+
+  test("sessionize splits on gaps and counts events") {
+    val ev = Seq((7L, ts(0)), (7L, ts(10)), (7L, ts(12)),
+      (7L, ts(50)), (7L, ts(55)), (9L, ts(0)))
+      .toDF("user_id", "ts")
+    // 30-minute gap
+    val r = Temporal.sessionize(ev, "user_id", "ts", 1800000000L).collect()
+    val u7 = r.filter(_.getAs[Long]("key") == 7L)
+    assert(u7.map(x => (x.getAs[Long]("session_id"), x.getAs[Long]("n_events"))).toSeq ===
+      Seq((1L, 3L), (2L, 2L)))
+    assert(r.count(_.getAs[Long]("key") == 9L) === 1)
+  }
+}
