@@ -41,10 +41,12 @@ object Trigger {
   def deadman(events: DataFrame, spec: Doc, now: Instant = Dates.utcnow()): DataFrame = {
     val th = AlertDoc.int(spec, "threshold", 0)
     val key = aggKey(spec)
-    val g = grouped(events, key)
-    // The emptiness probe is semantically required (a deadman's whole
-    // point is noticing absence); it reads one aggregated row, not the
-    // event scan.
+    // materialized once: the emptiness probe is semantically required
+    // (a deadman's whole point is noticing absence), and without the
+    // checkpoint the aggregation would run twice — once for isEmpty,
+    // once for the real evaluation. The materialized relation is
+    // alert-scale (one row per group).
+    val g = grouped(events, key).localCheckpoint()
     if (g.isEmpty) {
       // No group has the aggregation key: fabricate a (key, 0) count
       // (alerta.py:384-386). Its attached events are empty by

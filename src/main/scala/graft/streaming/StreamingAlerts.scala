@@ -110,7 +110,7 @@ object StreamingAlerts {
       })
   }
 
-  case class SlotProgress(next: Int, slotNames: List[String])
+  case class SlotProgress(next: Int, slotNames: List[String], startedMs: Long)
 
   /** Q1-Q2 as a stream, static-criteria form: per correlation key, a
     * slot cursor advances whenever the current slot's (pre-compiled)
@@ -125,6 +125,11 @@ object StreamingAlerts {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.nonEmpty, "sequence spec needs slots")
+    // lifespan (Q3): a partially-filled sequence expires when the
+    // watermark passes its start + lifespan — the streaming analogue
+    // of expire_sequence_alerts (alerta.py:240-248)
+    val lifespanMs = graft.functions.Dates
+      .interval(AlertDoc.str(spec, "lifespan", "3 days")).toMillis
     val keyCol = Paths.column(events.schema, AlertDoc.str(spec, "aggregation_key"))
       .cast(StringType)
     // coalesce each predicate: SQL three-valued logic can yield NULL
@@ -143,26 +148,35 @@ object StreamingAlerts {
       .groupByKey(_._1)
 
     keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (key: String, rows: Iterator[(String, Timestamp, Seq[Boolean])],
        state: GroupState[SlotProgress]) => {
-        var st = state.getOption.getOrElse(SlotProgress(0, Nil))
-        val out = List.newBuilder[StreamAlert]
-        // event-time order within the batch so slot order is honored
-        rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, m) =>
-          if (st.next < slots.size && m(st.next)) {
-            val named = st.slotNames :+
-              AlertDoc.str(slots(st.next), "alert_name", s"slot${st.next}")
-            st = SlotProgress(st.next + 1, named)
-            if (st.next == slots.size) {
-              out += StreamAlert(name, key, slots.size.toLong, ts, ts,
-                s"$name: sequence [${named.mkString(" -> ")}] completed by $key")
-              st = SlotProgress(0, Nil)
+        if (state.hasTimedOut) {
+          // lifespan exceeded with slots unfilled → expire silently,
+          // like expire_sequence_alerts (no alert emitted)
+          state.remove()
+          Iterator.empty
+        } else {
+          var st = state.getOption.getOrElse(SlotProgress(0, Nil, 0L))
+          val out = List.newBuilder[StreamAlert]
+          // event-time order within the batch so slot order is honored
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, m) =>
+            if (st.next < slots.size && m(st.next)) {
+              val started = if (st.next == 0) ts.getTime else st.startedMs
+              val named = st.slotNames :+
+                AlertDoc.str(slots(st.next), "alert_name", s"slot${st.next}")
+              st = SlotProgress(st.next + 1, named, started)
+              if (st.next == slots.size) {
+                out += StreamAlert(name, key, slots.size.toLong, ts, ts,
+                  s"$name: sequence [${named.mkString(" -> ")}] completed by $key")
+                st = SlotProgress(0, Nil, 0L)
+              }
             }
           }
+          state.update(st)
+          if (st.next > 0) state.setTimeoutTimestamp(st.startedMs + lifespanMs)
+          out.result().iterator
         }
-        state.update(st)
-        out.result().iterator
       })
   }
 }

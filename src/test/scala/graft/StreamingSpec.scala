@@ -69,6 +69,32 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sequenceStream expires partially-filled sequences past their lifespan") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "slow_seq",
+      "aggregation_key" -> "user_id", "lifespan" -> "30 minutes",
+      "slots" -> Seq(
+        Map[String, Any]("alert_name" -> "buy", "criteria" -> "event_type='purchase'"),
+        Map[String, Any]("alert_name" -> "fail", "criteria" -> "event_type='error'")))
+    val out = StreamingAlerts.sequenceStream(mem.toDF(), spec,
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("expseq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 fills slot 0, then goes silent past the 30-min lifespan
+      mem.addData(Ev(ts(0), 1, "purchase"))
+      q.processAllAvailable()
+      mem.addData(Ev(tsH(12, 0), 2, "view")) // advances watermark → expiry
+      q.processAllAvailable()
+      // the error arrives too late: the sequence was expired, and a
+      // lone error can't fill slot 0 (criteria mismatch)
+      mem.addData(Ev(tsH(12, 1), 1, "error"))
+      q.processAllAvailable()
+      assert(spark.table("expseq").isEmpty)
+    } finally q.stop()
+  }
+
   test("sequenceStream survives slot criteria that evaluate to SQL NULL") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
