@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * `jsonBlocks` ports the reference's brace-balancing tokenizer
   * (utils/helpers.py:13-32): some log shippers concatenate JSON
   * objects with no delimiter (`{..}{..}{..}`); this splits them into
-  * one object per element, string-aware (braces inside quoted strings
-  * don't count). Used via flatMap over whole-file text — each blob
-  * splits independently, so ingest parallelizes per file.
+  * one object per element. Intentional divergence: this version is
+  * string-aware (braces inside quoted strings don't count), where the
+  * reference miscounts on payloads containing literal braces — a
+  * strictly-more-correct superset. Used via flatMap over whole-file
+  * text — each blob splits independently, so ingest parallelizes per
+  * file.
   */
 object Ingest {
 
@@ -59,9 +62,9 @@ object Ingest {
 
   /** CloudTrail delivery filename classifier (P9,
     * utils/helpers.py:10,39-41) as a plan-side predicate on
-    * input_file_name.
+    * input_file_name — case-insensitive like the reference's re.I.
     */
-  def isCloudtrailFile = input_file_name().rlike("\\d+_cloudtrail_.+\\.json\\.gz$")
+  def isCloudtrailFile = input_file_name().rlike("(?i)\\d+_cloudtrail_.+\\.json\\.gz$")
 
   def shortUuid(): String = java.util.UUID.randomUUID().toString.take(8)
 }

@@ -71,6 +71,43 @@ class RunnerSpec extends AnyFunSuite with SparkSuite {
     assert(runner.alerts.all().isEmpty)
   }
 
+  test("sequence lifecycle end-to-end over the real lake (§3.3 phase order)") {
+    val runner = mkRunner()
+    val lake = Tables(spark, sf("sf0.01"), "events")
+    val seqSpec = Map[String, Any](
+      "alert_name" -> "purchase_then_error", "alert_type" -> "sequence",
+      "lifespan" -> "1 hour",
+      "summary" -> "user {{slots.1.metadata.value}} purchased then errored",
+      "slots" -> Seq(
+        Map[String, Any]("alert_name" -> "buy", "alert_type" -> "threshold",
+          "criteria" -> "event_type='purchase'",
+          "summary" -> "{{metadata.count}} purchases by {{metadata.value}}",
+          "aggregation_key" -> "user_id", "threshold" -> 1, "event_sample_count" -> 0),
+        Map[String, Any]("alert_name" -> "fail", "alert_type" -> "threshold",
+          // cross-slot ref: the error must belong to the user captured
+          // by slot 0 of THIS inflight doc
+          "criteria" -> "event_type='error' AND user_id = {{slots.0.metadata.value}}",
+          "summary" -> "error by {{metadata.value}}",
+          "aggregation_key" -> "user_id", "threshold" -> 1, "event_sample_count" -> 0)))
+
+    // run 1: slot 0 fires per purchasing user → one inflight doc per group
+    runner.runOnce(lake, Seq(seqSpec), now)
+    val created = runner.inflight.count
+    assert(created > 1)
+    assert(runner.alerts.all().isEmpty)
+
+    // run 2: phase ① advances each inflight (rendered slot-1 criteria);
+    // only user 54 purchased AND errored in the window → exactly one
+    // sequence completes (phase ③) and leaves inflight
+    runner.runOnce(lake, Seq(seqSpec), now)
+    val completed = runner.alerts.all()
+    assert(completed.size === 1)
+    assert(completed.head("summary").toString === "user 54 purchased then errored")
+    val slots = AlertDoc.docs(completed.head, "slots")
+    assert(slots.forall(_.contains("events")))
+    assert(runner.inflight.count === created - 1)
+  }
+
   test("yaml specs load and dispatch (S6)") {
     val dir = Files.createTempDirectory("graft-specs")
     Files.writeString(dir.resolve("a.yml"),
