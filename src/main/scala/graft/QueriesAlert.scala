@@ -93,10 +93,14 @@ private[graft] object QueriesAlert {
           .join(active, Seq("user_id"), "left_anti")
           .orderBy("user_id")
       },
-      Some("""SELECT DISTINCT user_id FROM events
-             |WHERE user_id NOT IN (
-             |  SELECT user_id FROM events
-             |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24')
+      // NOT EXISTS, not NOT IN: left_anti and NOT IN diverge when the
+      // key can be NULL (NOT IN over a NULL-bearing subquery returns
+      // nothing); NOT EXISTS states the anti-join's actual semantics
+      Some("""SELECT DISTINCT user_id FROM events e
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM events a
+             |  WHERE a.user_id = e.user_id
+             |    AND a.event_type = 'purchase' AND a.ts >= TIMESTAMP '2024-01-24')
              |ORDER BY user_id""".stripMargin)),
 
     // A2 (already-alerted anti-join): candidate events minus the set of

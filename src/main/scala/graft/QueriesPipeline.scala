@@ -164,7 +164,7 @@ private[graft] object QueriesPipeline {
       (s, dir) => Temporal.sessionize(Tables(s, dir, "events"), "user_id", "ts",
           gapUs = 1800000000L)
         .withColumnRenamed("key", "user_id"),
-      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
              |m AS (SELECT user_id, us,
              |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
              |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000

@@ -30,22 +30,24 @@ object Temporal {
       rightCols: Seq[String], suffix: String = "_r"): DataFrame = {
     val leftStruct = struct(left.columns.map(col): _*)
     val leftType = StructType(left.schema.fields)
+    val rightType = StructType(rightCols.map(c => right.schema(c)))
     val l2 = left.select(
-      col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
-        leftStruct.as("__l") +:
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      leftStruct.as("__l"), lit(null).cast(rightType).as("__r"))
     val r2 = right.select(
-      col(keyCol).as("__k") +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
-        lit(null).cast(leftType).as("__l") +:
-        rightCols.map(col): _*)
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(leftType).as("__l"),
+      struct(rightCols.map(col): _*).as("__r"))
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.map(c =>
-      last(col(c), ignoreNulls = true).over(w).as(c + suffix))
+    // ONE carried struct, not one last() per column: independent
+    // per-column carries would back-fill a NULL in the matched right
+    // row from an older row, mixing columns of different right rows
+    val carried = last(col("__r"), ignoreNulls = true).over(w).as("__rc")
     l2.unionByName(r2)
-      .select(col("__side") +: col("__l") +: carried: _*)
+      .select(col("__side"), col("__l"), carried)
       .where(col("__side") === 1)
-      .select(col("__l.*") +: rightCols.map(c => col(c + suffix)): _*)
+      .select(col("__l.*") +: rightCols.map(c => col(s"__rc.$c").as(c + suffix)): _*)
   }
 
   /** Gap-based sessionization: events more than `gapUs` microseconds
@@ -59,6 +61,8 @@ object Temporal {
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__us"))
+      .where(col("__us").isNotNull) // null event times sort differently
+                                    // across engines; exclude them
       .withColumn("__new",
         when(lag(col("__us"), 1).over(w).isNull ||
           col("__us") - lag(col("__us"), 1).over(w) > gapUs, 1).otherwise(0))

@@ -44,11 +44,15 @@ object StreamingAlerts {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val keyCol = Paths.column(events.schema, AlertDoc.str(spec, "aggregation_key"))
       .cast(StringType)
-    events
-      .where(Criteria.toColumn(AlertDoc.str(spec, "criteria", "true")))
-      .withColumn("__value", keyCol)
-      .where(col("__value").isNotNull)
-      .withWatermark(tsCol, watermarkDelay)
+    // watermark attaches BEFORE the criteria filter: the event-time
+    // clock must advance on ANY lake traffic, or a quiet criteria
+    // would freeze window close-out (and for deadman, starve the very
+    // absence signal it exists to detect)
+    whereAfterWatermark(
+      events
+        .withWatermark(tsCol, watermarkDelay)
+        .withColumn("__value", keyCol),
+      criteriaColumn(spec) && col("__value").isNotNull)
       .groupBy(window(col(tsCol), windowDuration), col("__value"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= th)
@@ -60,6 +64,27 @@ object StreamingAlerts {
         col("window.end").as("window_end"),
         concat(lit(s"$name: "), col("__value"), lit(" x"), col("cnt")).as("summary"))
   }
+
+  /** Blank criteria means "everything" (shells default to "" when the
+    * author omits it); NULL from three-valued logic never passes.
+    */
+  private def criteriaColumn(spec: Doc): Column = {
+    val text = AlertDoc.str(spec, "criteria").trim
+    if (text.isEmpty) lit(true) else coalesce(Criteria.toColumn(text), lit(false))
+  }
+
+  /** Filter that STAYS above the watermark node. Catalyst pushes
+    * deterministic predicates through EventTimeWatermark, which would
+    * re-starve the event-time clock the moment criteria traffic stops
+    * (the exact condition a deadman watches for). Marking the
+    * predicate non-deterministic pins it: every lake event reaches the
+    * watermark operator, then the filter applies.
+    */
+  private val clockSafeFilter =
+    udf((b: Boolean) => b).asNondeterministic()
+
+  private def whereAfterWatermark(df: DataFrame, pred: Column): DataFrame =
+    df.where(clockSafeFilter(coalesce(pred, lit(false))))
 
   case class LastSeen(lastMs: Long)
 
@@ -78,14 +103,17 @@ object StreamingAlerts {
     val keyCol = Paths.column(events.schema, AlertDoc.str(spec, "aggregation_key"))
       .cast(StringType)
 
-    // select/cast BEFORE withWatermark — a cast afterwards mints a new
-    // attribute without the watermark tag and event-time timeout breaks
-    val keyed = events
-      .where(Criteria.toColumn(AlertDoc.str(spec, "criteria", "true")))
-      .withColumn("__value", keyCol)
-      .where(col("__value").isNotNull)
-      .select(col("__value").as("k"), col(tsCol).cast("timestamp").as("ts"))
-      .withWatermark("ts", watermarkDelay)
+    // cast then watermark FIRST (a cast after withWatermark mints an
+    // untagged attribute), and before the criteria filter so the clock
+    // advances on any traffic — a deadman whose monitored events go
+    // totally silent must still see the watermark move
+    val keyed = whereAfterWatermark(
+      events
+        .withColumn("__ts", col(tsCol).cast("timestamp"))
+        .withWatermark("__ts", watermarkDelay)
+        .withColumn("__value", keyCol),
+      criteriaColumn(spec) && col("__value").isNotNull && col("__ts").isNotNull)
+      .select(col("__value").as("k"), col("__ts").as("ts"))
       .as[(String, Timestamp)]
       .groupByKey(_._1)
 
@@ -104,7 +132,11 @@ object StreamingAlerts {
           val prev = state.getOption.map(_.lastMs).getOrElse(0L)
           val last = math.max(prev, maxMs)
           state.update(LastSeen(last))
-          state.setTimeoutTimestamp(last + lifespanMs)
+          // a timeout below the current watermark throws and kills the
+          // query (a short lifespan + watermark delay can produce one);
+          // clamping fires the timeout at the next watermark advance
+          state.setTimeoutTimestamp(
+            math.max(last + lifespanMs, state.getCurrentWatermarkMs() + 1))
           Iterator.empty
         }
       })
@@ -125,6 +157,14 @@ object StreamingAlerts {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.nonEmpty, "sequence spec needs slots")
+    // streaming contract: slots advance on the FIRST matching event —
+    // slot-level thresholds and deadman (absence) slots are batch-only
+    // semantics; reject rather than silently invert them
+    require(slots.forall(s =>
+      AlertDoc.str(s, "alert_type", "threshold") == "threshold" &&
+        AlertDoc.int(s, "threshold", 1) <= 1),
+      "sequenceStream supports threshold slots with threshold<=1; " +
+        "deadman slots and higher thresholds need the batch SequenceEngine")
     // lifespan (Q3): a partially-filled sequence expires when the
     // watermark passes its start + lifespan — the streaming analogue
     // of expire_sequence_alerts (alerta.py:240-248)
@@ -134,16 +174,21 @@ object StreamingAlerts {
       .cast(StringType)
     // coalesce each predicate: SQL three-valued logic can yield NULL
     // (missing JSON key, null column), and a null element in the
-    // Seq[Boolean]-encoded array would kill the streaming query
-    val slotMatch: Column = array(slots.map(s =>
-      coalesce(Criteria.toColumn(AlertDoc.str(s, "criteria", "false")), lit(false))): _*)
+    // Seq[Boolean]-encoded array would kill the streaming query;
+    // blank criteria (shell default) matches nothing for a slot
+    val slotMatch: Column = array(slots.map { s =>
+      val text = AlertDoc.str(s, "criteria").trim
+      if (text.isEmpty) lit(false)
+      else coalesce(Criteria.toColumn(text), lit(false))
+    }: _*)
 
-    val keyed = events
-      .withColumn("__value", keyCol)
-      .where(col("__value").isNotNull)
-      .select(col("__value").as("k"), col(tsCol).cast("timestamp").as("ts"),
-        slotMatch.as("m"))
-      .withWatermark("ts", watermarkDelay)
+    val keyed = whereAfterWatermark(
+      events
+        .withColumn("__ts", col(tsCol).cast("timestamp"))
+        .withWatermark("__ts", watermarkDelay)
+        .withColumn("__value", keyCol),
+      col("__value").isNotNull && col("__ts").isNotNull)
+      .select(col("__value").as("k"), col("__ts").as("ts"), slotMatch.as("m"))
       .as[(String, Timestamp, Seq[Boolean])]
       .groupByKey(_._1)
 
@@ -157,7 +202,13 @@ object StreamingAlerts {
           state.remove()
           Iterator.empty
         } else {
+          val wm = state.getCurrentWatermarkMs()
           var st = state.getOption.getOrElse(SlotProgress(0, Nil, 0L))
+          // inline expiry: the timeout callback only fires for keys
+          // with no traffic — a chatty key crossing its deadline
+          // expires here instead
+          if (st.next > 0 && wm > st.startedMs + lifespanMs)
+            st = SlotProgress(0, Nil, 0L)
           val out = List.newBuilder[StreamAlert]
           // event-time order within the batch so slot order is honored
           rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, m) =>
@@ -173,8 +224,17 @@ object StreamingAlerts {
               }
             }
           }
-          state.update(st)
-          if (st.next > 0) state.setTimeoutTimestamp(st.startedMs + lifespanMs)
+          if (st.next == 0) {
+            // no in-flight progress: drop the state entry entirely —
+            // keeping it would grow the store by one row per distinct
+            // key ever seen
+            if (state.exists) state.remove()
+          } else {
+            state.update(st)
+            // clamp: a timeout at/below the watermark throws and kills
+            // the query
+            state.setTimeoutTimestamp(math.max(st.startedMs + lifespanMs, wm + 1))
+          }
           out.result().iterator
         }
       })

@@ -69,6 +69,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("deadman fires on TOTAL criteria silence while other traffic advances the clock") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "heartbeat",
+      "criteria" -> "event_type='heartbeat'",
+      "aggregation_key" -> "user_id")
+    val out = StreamingAlerts.deadmanStream(mem.toDF(), spec,
+      lifespan = "30 minutes", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("dm2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(ts(0), 1, "heartbeat"))
+      q.processAllAvailable()
+      // ALL heartbeats stop — only unrelated events keep flowing.
+      // Pre-fix, the criteria filter sat above the watermark and the
+      // clock froze: this exact scenario (the deadman's whole purpose)
+      // never fired.
+      mem.addData(Ev(tsH(11, 0), 9, "view"))
+      q.processAllAvailable()
+      mem.addData(Ev(tsH(12, 0), 9, "view"))
+      q.processAllAvailable()
+      mem.addData(Ev(tsH(13, 0), 9, "view"))
+      q.processAllAvailable()
+      val fired = spark.table("dm2").collect()
+      assert(fired.map(_.getAs[String]("value")).toSeq === Seq("1"))
+    } finally q.stop()
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -22,6 +22,16 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(r.map(_.getAs[String]("tag_r")).toSeq === Seq("a", "b", null))
   }
 
+  test("asof join: NULL in the matched right row stays NULL (no back-fill)") {
+    val left = Seq((1L, 100L, ts(20))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(5), Option("old")), (100L, ts(10), Option.empty[String]))
+      .toDF("user_id", "ts", "tag")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", Seq("tag")).collect()
+    // matched row is ts(10) with tag NULL — a per-column carry would
+    // wrongly resurrect "old" from ts(5)
+    assert(r.head.getAs[String]("tag_r") === null)
+  }
+
   test("asof join is inclusive at equal timestamps") {
     val left = Seq((1L, 100L, ts(20))).toDF("event_id", "user_id", "ts")
     val right = Seq((100L, ts(20), "same")).toDF("user_id", "ts", "tag")
