@@ -135,6 +135,24 @@ private[graft] object QueriesPipeline {
              |  min(doc_id) AS keep_id, COUNT(*) AS dup_count
              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
 
+    // multimodal frame sampling: per-frame rows with offsets and
+    // resize-target dims — the explode is in-plan; the oracle restates
+    // the stub arithmetic over a generated frame-index series.
+    Q("q34_frame_sampling",
+      (s, dir) => graft.ops.Multimodal.framePipeline(Tables(s, dir, "documents")),
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+             |f AS (SELECT doc_id,
+             |        320 + len % 320 AS width, 240 + len % 240 AS height,
+             |        CAST(1 + len % 8 AS INTEGER) AS n_frames
+             |      FROM m)
+             |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             |  CAST(i AS BIGINT) * width * height AS offset_px,
+             |  CAST(LEAST(224, width) AS INTEGER) AS out_width,
+             |  CAST(LEAST(224, height) AS INTEGER) AS out_height
+             |FROM (SELECT doc_id, width, height, unnest(range(0, n_frames)) AS i FROM f) u
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // as-of join (point-in-time feature lookup): each purchase picks
     // the user's latest click at-or-before it; oracle is DuckDB's
     // native ASOF JOIN. One key-shuffle, no range explosion.

@@ -62,4 +62,31 @@ object Multimodal {
   /** End-to-end: documents → blobs → metadata, ordered for the oracle. */
   def pipeline(docs: DataFrame): DataFrame =
     extractMetadata(toBlobs(docs)).toDF().orderBy("doc_id")
+
+  case class Frame(doc_id: Long, frame_idx: Int, offset_px: Long,
+      out_width: Int, out_height: Int)
+
+  /** Frame sampling + resize plumbing: one row per sampled frame with
+    * its offset and the resize-target dims. The explode happens in the
+    * plan (no driver loop); the per-frame decode/resize body is the
+    * same deterministic stub as [[decodeStub]] — swap in a real codec
+    * without touching the shape. Fan-out is bounded by n_frames, so
+    * output scales linearly with media duration, not file size.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], targetW: Int = 224,
+      targetH: Int = 224): Dataset[Frame] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.flatMap { m =>
+      (0 until m.n_frames).map { i =>
+        Frame(m.doc_id, i, i.toLong * m.width * m.height,
+          math.min(targetW, m.width), math.min(targetH, m.height))
+      }
+    }
+  }
+
+  /** documents → blobs → metadata → sampled frames, oracle-ordered. */
+  def framePipeline(docs: DataFrame): DataFrame =
+    sampleFrames(extractMetadata(toBlobs(docs))).toDF()
+      .orderBy("doc_id", "frame_idx")
 }
