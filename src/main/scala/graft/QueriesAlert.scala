@@ -253,6 +253,24 @@ private[graft] object QueriesAlert {
       },
       Some(ExistsSql)),
 
+    // exact interpolated percentiles per group (quality-threshold
+    // analytics): Spark `percentile` and DuckDB `quantile_cont` share
+    // the linear-interpolation definition; export in floor-1e4 units
+    // to absorb last-ulp interpolation differences.
+    Q("q35_percentiles",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          floor(expr("percentile(value, 0.5)") * 1e4).cast("long").as("p50_e4"),
+          floor(expr("percentile(value, 0.95)") * 1e4).cast("long").as("p95_e4"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(floor(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS p50_e4,
+             |  CAST(floor(quantile_cont(value, 0.95) * 10000) AS BIGINT) AS p95_e4,
+             |  COUNT(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // P8 (plugin transform chain): events serialized to JSON lines,
     // run through a priority-ordered enrich + drop chain
     // (mapPartitions), parsed back and aggregated. The oracle states
