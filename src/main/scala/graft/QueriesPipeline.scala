@@ -92,6 +92,17 @@ private[graft] object QueriesPipeline {
       },
       None),
 
+    // IVF ANN: coarse k-means cells, nprobe probing, exact rank within
+    // candidates. Deterministic but iterative-float — rows-only check;
+    // recall vs q25 is asserted in PipelineOpsSpec.
+    Q("q36_ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        graft.ops.Ivf.topK(emb, emb.where(col("vec_id") < 5), k = 3,
+          cells = 16, nprobe = 4)
+      },
+      None),
+
     Q("q27_text_quality",
       (s, dir) => TextAnalysis.quality(Tables(s, dir, "documents")),
       Some(s"""SELECT doc_id, length(text) AS n_chars,

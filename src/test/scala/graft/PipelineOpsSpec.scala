@@ -76,6 +76,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(top(1).getAs[Long]("cos_e6") < 1000000L)
   }
 
+  test("ivf top-k: self at rank 1 and high recall vs brute force") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = graft.ops.Ivf.topK(e, queries, k = 3, cells = 16, nprobe = 4).collect()
+    assert(ivf.count(r => r.getAs[Int]("rank") == 1 &&
+      r.getAs[Long]("q_id") == r.getAs[Long]("vec_id")) === 5) // self found
+    val got = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // nprobe=4 of 16 cells: expect most of the exact top-3 recovered
+    assert((exact & got).size >= exact.size / 2)
+  }
+
   test("lsh top-k buckets contain the query itself (same bucket, rank 1)") {
     val e = Tables(spark, sf(), "embeddings")
     val top = Similarity.lshTopK(e, e.where(col("vec_id") === 7), k = 2, planes = 6).collect()
