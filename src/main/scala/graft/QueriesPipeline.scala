@@ -45,6 +45,40 @@ private[graft] object QueriesPipeline {
              |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // dedup decision step: connected components over the exact
+    // near-dup pairs — every doc in a component maps to its min-id
+    // representative. Oracle computes the same components with a
+    // recursive transitive-closure CTE.
+    Q("q37_dedup_clusters",
+      (s, dir) => DocDedup.clusters(
+        DocDedup.ngramJaccard(Tables(s, dir, "documents"), n = 3, threshold = 0.5)),
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, lang, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |        FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1) AS i FROM w) t
+             |        WHERE i+2 <= len(ws)),
+             |sh AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT p.a_id, p.b_id FROM (
+             |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+             |    FROM sh a JOIN sh b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+             |    GROUP BY 1,2) p
+             |  JOIN sizes sa ON p.a_id=sa.doc_id
+             |  JOIN sizes sb ON p.b_id=sb.doc_id
+             |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5),
+             |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+             |nodes AS (SELECT DISTINCT s AS node FROM edges)
+             |SELECT n.node AS doc_id,
+             |  LEAST(n.node, COALESCE(MIN(r.d), n.node)) AS cluster_id
+             |FROM nodes n LEFT JOIN reach r ON r.s = n.node
+             |GROUP BY n.node
+             |ORDER BY doc_id""".stripMargin)),
+
     // approximate candidate generation — rows-only check; the exact
     // verification inside makes precision exact, recall probabilistic.
     Q("q22_dedup_minhash_lsh",

@@ -182,6 +182,40 @@ object DocDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over near-dup pairs — the dedup *decision*
+    * step: every doc in a component keeps exactly one representative
+    * (the min id). Iterative min-label propagation: labels flow along
+    * edges until fixpoint; each round is one join + one aggregate, and
+    * rounds are bounded by the component diameter (near-dup clusters
+    * are shallow in practice). Labels materialize per round, so no
+    * lineage blow-up.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "slabel"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("slabel")).as("nlabel"))
+      val updated = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") < col("old")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact embedding-cosine near-dup pairs ≥ threshold (micro-cosine
     * units), blocked on an equality key (`label` here; at scale an SRP
     * bucket from [[Similarity.srpBucket]]). Candidates meet through

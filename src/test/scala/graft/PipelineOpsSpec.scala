@@ -51,6 +51,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(exact.subsetOf(mh)) // banding with 4 bands @ jac>=0.5 → full recall here
   }
 
+  test("cluster labels: components collapse to min id, chains included") {
+    val pairs = Seq((0L, 1L), (1L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val r = DocDedup.clusters(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) === 0L && r(1L) === 0L && r(3L) === 0L) // transitive 0-1-3
+    assert(r(5L) === 5L && r(6L) === 5L)
+    assert(Seq(8L, 9L, 10L, 11L).forall(r(_) == 8L)) // 4-chain propagates
+  }
+
   test("simhash: identical docs have distance 0, near-dups small, distinct large") {
     val sh = DocDedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) === sh(3L)) // exact dup → same simhash
