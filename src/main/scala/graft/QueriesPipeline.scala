@@ -174,6 +174,17 @@ private[graft] object QueriesPipeline {
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Rabin-Karp rolling hash per document: exact integer fold,
+    // identical in both engines (corpus is ASCII; ascii()==unicode()).
+    Q("q38_rolling_hash",
+      (s, dir) => TextAnalysis.rollingHashes(Tables(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+             |    (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("q30_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents")),
       Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,

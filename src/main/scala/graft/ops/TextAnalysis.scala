@@ -67,6 +67,42 @@ object TextAnalysis {
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Polynomial rolling hash over the character stream (base-31,
+    * mod 2^31-1): the classic Rabin-Karp document fingerprint, exact
+    * and engine-portable (integer fold both sides). Distinguishes any
+    * content change; pair with [[winnow]] for position-robust matching.
+    */
+  def rollingHash(textCol: Column): Column =
+    aggregate(
+      transform(split(textCol, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  def rollingHashes(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), rollingHash(col(textCol)).as("rhash"))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every character
+    * k-gram, then keep the minimum hash of each window of w
+    * consecutive k-grams — a position-robust fingerprint set whose
+    * overlap survives local edits. Map-only per doc; the fingerprint
+    * set is the join key for plagiarism-style containment search.
+    */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val n = length(col(textCol))
+    val kgrams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(col(textCol).substr(i, lit(k))))
+    val windows = when(size(kgrams) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(kgrams) - w),
+        j => array_min(slice(kgrams, j + lit(1), lit(w))))))
+      .otherwise(array(array_min(kgrams)))
+    docs.select(col(idCol).as("doc_id"), windows.as("fingerprints"))
+      .withColumn("n_fp", size(col("fingerprints")))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase
     * text — the canonical near-exact dedup key (catches case and
     * spacing variants that `DocDedup.exact` misses).

@@ -123,6 +123,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(t.getAs[Int]("bpe_tokens") === 9) // pure words, no punct
   }
 
+  test("rolling hash: content-sensitive, deterministic") {
+    val d = Seq((0L, "abc"), (1L, "abc"), (2L, "abd")).toDF("doc_id", "text")
+    val r = TextAnalysis.rollingHashes(d).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) === r(1L))
+    assert(r(0L) !== r(2L))
+    // known value: fold of 'a','b','c' = ((97*31+98)*31+99) with init 0*31+97
+    assert(r(0L) === ((97L * 31 + 98) * 31 + 99) % 2147483647L)
+  }
+
+  test("winnowing: shared content yields overlapping fingerprints") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "PREFIX the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely different content with no shared substrings at all here")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // local edit (prefix) keeps most fingerprints; unrelated doc shares ~none
+    val shared01 = (fp(0L) & fp(1L)).size.toDouble / fp(0L).size
+    val shared02 = (fp(0L) & fp(2L)).size.toDouble / fp(0L).size
+    assert(shared01 > 0.5)
+    assert(shared02 < 0.2)
+  }
+
   test("fingerprint collapses case/whitespace variants") {
     val d = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other")).toDF("doc_id", "text")
     val r = TextAnalysis.fingerprint(d).collect()
