@@ -39,6 +39,32 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(r.head.getAs[String]("tag_r") === "same")
   }
 
+  test("asof join matches a naive reference implementation on random data") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1L to 60L).map(i =>
+      (i, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(59) + 1)))
+    val rightRows = (1L to 40L).map(i =>
+      (100L + i, (rnd.nextInt(6) + 1).toLong, ts(rnd.nextInt(59) + 1)))
+    val left = leftRows.toDF("event_id", "user_id", "ts")
+    val right = rightRows.map { case (id, u, t) => (u, t, id) }.toDF("user_id", "ts", "rid")
+
+    val got = graft.ops.Temporal.asofJoin(left, right, "user_id", "ts", Seq("rid"))
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[java.lang.Long]("rid_r")).map(_.toLong)).toMap
+    // naive: for each left row, max-ts right row with same key, ts<=lts
+    // (ties impossible here per (user, ts) uniqueness of the generator? not guaranteed —
+    // tie-break by the same ordering the window uses: later union order = higher rid wins is
+    // NOT defined, so skip left rows whose best-ts has duplicates)
+    leftRows.foreach { case (eid, u, lts) =>
+      val cands = rightRows.filter(r => r._2 == u && !r._3.after(lts))
+      if (cands.isEmpty) assert(got(eid).isEmpty, s"event $eid")
+      else {
+        val bestTs = cands.map(_._3.getTime).max
+        val best = cands.filter(_._3.getTime == bestTs)
+        if (best.size == 1) assert(got(eid).contains(best.head._1), s"event $eid")
+      }
+    }
+  }
+
   test("sessionize splits on gaps and counts events") {
     val ev = Seq((7L, ts(0)), (7L, ts(10)), (7L, ts(12)),
       (7L, ts(50)), (7L, ts(55)), (9L, ts(0)))
