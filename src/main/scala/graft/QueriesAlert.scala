@@ -253,6 +253,26 @@ private[graft] object QueriesAlert {
       },
       Some(ExistsSql)),
 
+    // S4 surface (CSV source/sink): events round-trip through
+    // headered CSV with schema inference, then aggregate — identity
+    // proven against direct SQL on the parquet table.
+    Q("q39_csv_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        Tables(s, dir, "events").where(col("event_type") === "signup")
+          .select("event_id", "user_id", "value")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_type = 'signup'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // exact interpolated percentiles per group (quality-threshold
     // analytics): Spark `percentile` and DuckDB `quantile_cont` share
     // the linear-interpolation definition; export in floor-1e4 units

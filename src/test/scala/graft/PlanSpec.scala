@@ -72,6 +72,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(filtered.count() > 0)
   }
 
+  test("bucketed tables co-locate joins: no Exchange on either side") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    Tables(spark, sf(), "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucketed")
+    val t = spark.table("ev_bucketed")
+    val agg = t.groupBy("user_id").agg(count(lit(1)).as("c"))
+    val join = t.join(agg, "user_id")
+    join.collect()
+    val plan = join.queryExecution.executedPlan.toString
+    // the SCALE.md claim, pinned: bucketing pre-partitions by the key,
+    // so neither the aggregation nor the self-join shuffles
+    assert(!plan.contains("Exchange hashpartitioning"))
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+  }
+
   test("full reference criteria corpus parses through the dialect shim") {
     // every criteria string shipped in the reference's alerts + test
     // samples (SURVEY.md §2.2 construct inventory)
