@@ -232,6 +232,30 @@ private[graft] object QueriesPipeline {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // interval join: clicks within ±1 hour of each purchase, same
+    // user — equi-join on the key with a residual range predicate.
+    Q("q40_interval_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts")
+        Temporal.intervalJoin(purchases, clicks, "user_id", "ts", "ts",
+            toleranceUs = 3600000000L)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("nearby_clicks"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, COUNT(*) AS nearby_clicks
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             | AND epoch_us(c.ts) <= epoch_us(p.ts) + 3600000000
+             |GROUP BY p.event_id
+             |ORDER BY p.event_id""".stripMargin)),
+
     // gap-based sessionization: 30-minute inactivity gap per user,
     // compared in integer epoch-micros for engine-exact parity.
     Q("q33_sessionize",

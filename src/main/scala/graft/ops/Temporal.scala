@@ -50,6 +50,22 @@ object Temporal {
       .select(col("__l.*") +: rightCols.map(c => col(s"__rc.$c").as(c + suffix)): _*)
   }
 
+  /** Interval (range) join: for each left row, right rows of the same
+    * key within ±tolerance of its timestamp. The key equality makes
+    * this a hash join with a residual range predicate — no nested-loop
+    * explosion; skew follows key cardinality like any equi-join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lTs: String, rTs: String, toleranceUs: Long): DataFrame = {
+    val l = left.select(col("*"), unix_micros(col(lTs)).as("__lus"))
+    val r = right.select(col(keyCol).as("__rk"), unix_micros(col(rTs)).as("__rus"))
+    l.join(r,
+        l(keyCol) === r("__rk") &&
+          r("__rus") >= l("__lus") - toleranceUs &&
+          r("__rus") <= l("__lus") + toleranceUs)
+      .drop("__rk")
+  }
+
   /** Gap-based sessionization: events more than `gapUs` microseconds
     * apart start a new session per key. Two window passes over one
     * key-shuffle, then the per-session aggregate. Timestamps compare
