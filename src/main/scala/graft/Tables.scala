@@ -34,9 +34,14 @@ object Tables {
       case None => df
     }
 
-  /** Session settings every graft entry point needs. */
+  /** Session settings every graft entry point needs. The extensions
+    * class injects the native vector/fingerprint expressions
+    * (graft.functions.GraftExtensions) into the function registry at
+    * session build time.
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 }

@@ -1,0 +1,329 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector / fingerprint hot paths.
+  *
+  * Spark's higher-order array functions (`transform`, `aggregate`,
+  * `zip_with`, `array_min`) are interpreted `CodegenFallback`
+  * expressions — fine for one call, 5-10× too slow when dedup and ANN
+  * ops evaluate them millions of times per partition (the previous
+  * workaround was explode + flat codegen'd aggregates, which trades
+  * interpretation for a shuffle). These expressions keep the same
+  * bit-exact semantics as the HOF folds they replace (differential
+  * specs pin that) but evaluate as a tight Java loop inside
+  * whole-stage codegen — no shuffle, no virtual dispatch per element.
+  *
+  * Registered under SQL names via [[GraftExtensions]]
+  * (`spark.sql.extensions`, injected by `Tables.configure`), so they
+  * are also available to the criteria dialect surface.
+  *
+  * Hash parity: every hash here routes through Spark's own
+  * `XxHash64Function` (seed 42, left-to-right fold for multi-arg),
+  * exactly like the `xxhash64(...)` calls in the fold versions.
+  */
+object VecKernels {
+
+  /** Strict left-fold dot product: Σ a(i)*b(i) in double, index order.
+    * Same nulls as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: null when
+    * lengths differ or any element is null.
+    */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** 64-bit SimHash over the distinct tokens of `words`: per-bit signed
+    * vote of `xxhash64(token)`; bit set when the vote is ≥ 0. Equal to
+    * the explode + 64-sum-columns aggregate it replaces, with no
+    * shuffle at all.
+    */
+  def simhash64(words: ArrayData): Long = {
+    val n = words.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (seen.add(w)) {
+          val h = XxHash64Function.hash(w, StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingles of `words` (slice + single-space
+    * join, like `concat_ws(" ", slice(words, i+1, n))` over
+    * `split(text, " ")`), in first-appearance order.
+    */
+  private def shingleSet(words: ArrayData, n: Int): java.util.LinkedHashSet[UTF8String] = {
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val len = words.numElements()
+    if (len < n) return out
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        // concat_ws skips nulls, matching the fold path
+        parts(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      out.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    out
+  }
+
+  /** Sorted distinct `xxhash64(shingle)` values — the equi-join keys of
+    * n-gram Jaccard, computed map-only per row.
+    */
+  def shingleHashes(words: ArrayData, n: Int): ArrayData = {
+    val sh = shingleSet(words, n)
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    val it = sh.iterator()
+    while (it.hasNext) {
+      hs.add(XxHash64Function.hash(it.next(), StringType, 42L))
+    }
+    val arr = new Array[Long](hs.size)
+    var i = 0
+    val hit = hs.iterator()
+    while (hit.hasNext) { arr(i) = hit.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature + shingle-hash set in one pass:
+    * `sig(i) = min over shingles s of xxhash64(s, i+1)` (k values) and
+    * `sh` = sorted distinct `xxhash64(s)` — exactly the k min-aggregates
+    * + collect_set the LSH pipeline previously computed through an
+    * explode + groupBy shuffle. Empty shingle set ⇒ empty `sh` (callers
+    * filter, mirroring "doc absent after explode").
+    */
+  def minhashState(words: ArrayData, n: Int, k: Int): InternalRow = {
+    val sh = shingleSet(words, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    val it = sh.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      val h0 = XxHash64Function.hash(s, StringType, 42L)
+      hs.add(h0)
+      var i = 0
+      while (i < k) {
+        // xxhash64(s, i+1) folds left-to-right: seed 42 → hash(s) → hash(int)
+        val hi = XxHash64Function.hash(i + 1, IntegerType, h0)
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
+      }
+    }
+    val shArr = new Array[Long](hs.size)
+    var i = 0
+    val hit = hs.iterator()
+    while (hit.hasNext) { shArr(i) = hit.next(); i += 1 }
+    new GenericInternalRow(Array[Any](new GenericArrayData(sig), new GenericArrayData(shArr)))
+  }
+
+  /** Sign-random-projection bucket: `planes` sign bits of pseudo-random
+    * hyperplane projections packed into a long. Plane weights derive
+    * from `xxhash64(plane, dim)` exactly like the fold version:
+    * `(pmod(h, 20001) - 10000) / 10000` in double, accumulated in
+    * index order.
+    */
+  def srpBucket(vec: ArrayData, planes: Int): Long = {
+    val dim = vec.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      val hp = XxHash64Function.hash(p, IntegerType, 42L)
+      var s = 0.0
+      var anyNull = false
+      var d = 0
+      while (d < dim && !anyNull) {
+        if (vec.isNullAt(d)) anyNull = true
+        else {
+          val h = XxHash64Function.hash(d, IntegerType, hp)
+          var r = h % 20001L
+          if (r < 0) r += 20001L
+          s += vec.getDouble(d) * ((r.toDouble - 10000.0) / 10000.0)
+        }
+        d += 1
+      }
+      // null projection → CASE WHEN null → else-branch 0 bit, as before
+      if (!anyNull && s >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+/** Σ a(i)*b(i) in double, strict index order — null on length mismatch
+  * or null element (zip_with/aggregate parity). Fully inlined into
+  * whole-stage codegen: the loop runs over the columnar `ArrayData`
+  * with no per-element virtual calls.
+  */
+case class DotProductFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SimHash64 over an array of tokens (see [[VecKernels.simhash64]]). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(words: Any): Any =
+    VecKernels.simhash64(words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted distinct xxhash64 shingle hashes of a word array. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(words: Any, n: Any): Any =
+    VecKernels.shingleHashes(words.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, n) => s"graft.functions.VecKernels.shingleHashes($w, $n)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** struct(sig: array<long>, sh: array<long>) — MinHash signature and
+  * shingle-hash set in one map-side pass (see [[VecKernels.minhashState]]).
+  */
+case class MinHashState(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "minhash_state"
+
+  override def nullSafeEval(words: Any, n: Any, k: Any): Any =
+    VecKernels.minhashState(words.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, n, k) => s"graft.functions.VecKernels.minhashState($w, $n, $k)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** SRP bucket id of a double vector (see [[VecKernels.srpBucket]]). */
+case class SrpBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_bucket"
+
+  override def nullSafeEval(vec: Any, planes: Any): Any =
+    VecKernels.srpBucket(vec.asInstanceOf[ArrayData], planes.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p) => s"graft.functions.VecKernels.srpBucket($v, $p)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `spark.sql.extensions` entry point: injects the native functions
+  * into every session built through `Tables.configure`, making them
+  * resolvable by name from both the Column API (`call_function`) and
+  * raw SQL/criteria text.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductFold].getName, "vec_dot"),
+      (es: Seq[Expression]) => DotProductFold(es(0), es(1))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), es(1))),
+    (FunctionIdentifier("minhash_state"),
+      new ExpressionInfo(classOf[MinHashState].getName, "minhash_state"),
+      (es: Seq[Expression]) => MinHashState(es(0), es(1), es(2))),
+    (FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (es: Seq[Expression]) => SrpBucket(es(0), es(1))))
+}

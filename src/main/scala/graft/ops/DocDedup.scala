@@ -45,15 +45,16 @@ object DocDedup {
       idCol: String = "doc_id"): DataFrame = {
     // shingles are joined as xxhash64 longs, not strings — the shuffle
     // carries 8 bytes per shingle instead of ~20 chars (collision odds
-    // at 64 bits are negligible against any realistic corpus)
-    // materialized once (localCheckpoint): the self-join and the size
-    // aggregate both consume it — without this the shingle explode runs
-    // three times
-    val sh = Par.spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
-        explode(shingles(col(textCol), n)).as("s0"))
-      .select(col("doc_id"), col("block"), xxhash64(col("s0")).as("s"))
+    // at 64 bits are negligible against any realistic corpus).
+    // shingle_hashes is the native codegen'd kernel (one map-side pass
+    // per doc); sizes come from the array length — no counting shuffle.
+    // materialized once (localCheckpoint): the self-join consumes both
+    // branches and sizes rejoins at the end
+    val base = Par.spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+        call_function("shingle_hashes", split(col(textCol), " "), lit(n)).as("hs"))
       .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sh = base.select(col("doc_id"), col("block"), explode(col("hs")).as("s"))
+    val sizes = base.select(col("doc_id"), size(col("hs")).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -87,21 +88,21 @@ object DocDedup {
       threshold: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    // Signature via flat explode + k codegen'd min-aggregates, NOT the
-    // nested array lambdas of minhashSignature: higher-order functions
-    // (transform/array_min) are interpreted CodegenFallback expressions
-    // in Spark, ~5× slower on millions of hash calls. Shingles carry on
-    // as xxhash64 longs; the verification set is the hashed set (64-bit
-    // collision odds are negligible).
-    val shRows = Par.spread(docs)
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
-    val mins = (1 to numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
-    val aggCols = mins :+ collect_set(xxhash64(col("s"))).as("sh")
+    // Signature + shingle set in ONE map-side pass per document via the
+    // native minhash_state kernel (graft.functions.MinHashState) — no
+    // explode, no groupBy: the k min-hashes and the collect_set shuffle
+    // the previous version paid are now a per-row loop inside
+    // whole-stage codegen. Shingles carry on as xxhash64 longs; the
+    // verification set is the hashed set (64-bit collision odds are
+    // negligible). Docs shorter than n words have an empty shingle set
+    // and are dropped, exactly as the explode path dropped them.
     // materialized once: banding and the two shingle-rejoin branches all read it
-    val withSig = shRows.groupBy("doc_id")
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("doc_id"), col("sh"),
-        array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val mh = call_function("minhash_state",
+      split(col(textCol), " "), lit(n), lit(numHashes))
+    val withSig = Par.spread(docs)
+      .select(col(idCol).as("doc_id"), mh.as("mh"))
+      .select(col("doc_id"), col("mh.sh").as("sh"), col("mh.sig").as("sig"))
+      .where(size(col("sh")) > 0)
       .localCheckpoint()
     // band join carries only (doc_id, band, bandhash) — the shingle
     // arrays rejoin after pair dedup, so the hot shuffle stays narrow
@@ -139,22 +140,16 @@ object DocDedup {
   }
 
   /** 64-bit SimHash over distinct word tokens: per-bit signed vote of
-    * token hashes. One explode + one aggregate with 64 codegen'd sum
-    * columns — map-side combinable, shuffles (doc_id, 64 ints).
+    * token hashes, computed per row by the native codegen'd
+    * [[graft.functions.SimHash64]] kernel — pure map, NO shuffle at
+    * all (the previous version exploded tokens and aggregated 64 vote
+    * columns through a groupBy; VecExprSpec pins bit-equality).
     */
   def simhash(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val toks = Par.spread(docs).select(col(idCol).as("doc_id"),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map(b =>
-      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b"))
-    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val bitsum = (0 until 64).map(b =>
-      when(col(s"v$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), bitsum.as("simhash")).orderBy("doc_id")
-  }
+      idCol: String = "doc_id"): DataFrame =
+    Par.spread(docs).select(col(idCol).as("doc_id"),
+        call_function("simhash64", split(col(textCol), " ")).as("simhash"))
+      .orderBy("doc_id")
 
   /** SimHash near-dup pairs: 4×16-bit band join (any equal quarter →
     * candidate), verified by Hamming distance ≤ maxHamming.

@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic dot product: Σ a[i]*b[i], left to right, in double. */
+  /** Deterministic dot product: Σ a[i]*b[i], left to right, in double.
+    * Evaluated by the native codegen'd [[graft.functions.DotProductFold]]
+    * (a tight Java loop in whole-stage codegen) — bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced (VecExprSpec pins it).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a.cast("array<double>"), b.cast("array<double>"))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -64,9 +66,17 @@ object Similarity {
     * long. Vectors in the same bucket are near-duplicate candidates;
     * at scale the bucket id becomes the shuffle/partition key, so
     * candidate generation is a co-partitioned equi-join instead of a
-    * cross join.
+    * cross join. Native codegen'd [[graft.functions.SrpBucket]];
+    * [[srpBucketFold]] is the HOF reference semantics (VecExprSpec).
     */
-  def srpBucket(vec: Column, planes: Int): Column = {
+  def srpBucket(vec: Column, planes: Int): Column =
+    call_function("srp_bucket", vec.cast("array<double>"), lit(planes))
+
+  /** Interpreted HOF fold with the same semantics as [[srpBucket]] —
+    * kept as the executable spec the native expression is tested
+    * against.
+    */
+  private[graft] def srpBucketFold(vec: Column, planes: Int): Column = {
     val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
       val proj = aggregate(
         zip_with(vec.cast("array<double>"),
