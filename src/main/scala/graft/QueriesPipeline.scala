@@ -276,6 +276,32 @@ private[graft] object QueriesPipeline {
              |FROM s GROUP BY 1, 2
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // bounded top-k per group via the TopKRows TypedImperativeAggregate
+    // (graft.functions.TopKRows): identical rows to q11's row_number
+    // window, but the shuffle carries at most k rows per group per map
+    // task instead of every event — the at-scale replacement for
+    // row_number-then-filter. Descending value order is encoded by
+    // negating the field in the ordering struct.
+    Q("q41_grouped_topk",
+      (s, dir) => {
+        val tk = call_function("topk_rows",
+          struct((-col("value")).as("nv"), col("event_id")), lit(3))
+        Tables(s, dir, "events")
+          .where(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(tk.as("top"))
+          .select(col("user_id"), posexplode(col("top")).as(Seq("i", "r")))
+          .select(col("user_id"), (col("i") + 1).cast("int").as("rn"),
+            col("r.event_id").as("event_id"), (-col("r.nv")).as("value"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, rn, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |  FROM events WHERE value IS NOT NULL) t
+             |WHERE rn <= 3
+             |ORDER BY user_id, rn""".stripMargin)),
+
     Q("q31_multimodal_metadata",
       (s, dir) => Multimodal.pipeline(Tables(s, dir, "documents")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -153,6 +153,35 @@ object VecKernels {
     new GenericInternalRow(Array[Any](new GenericArrayData(sig), new GenericArrayData(shArr)))
   }
 
+  /** Nearest centroid by dot-product affinity: argmax over `cents` of
+    * the strict-fold dot product, first maximum wins (= lowest cell id
+    * on ties, matching `array_max` over `struct(score, -cell)`).
+    * Centroids whose dot product would be null (length mismatch / null
+    * element) are skipped.
+    */
+  def nearestCell(vec: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0.0
+    var bestI = 0
+    var any = false
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = vec.numElements()
+      if (n == c.length) {
+        var s = 0.0
+        var bad = false
+        var d = 0
+        while (d < n && !bad) {
+          if (vec.isNullAt(d)) bad = true
+          else { s += vec.getDouble(d) * c(d); d += 1 }
+        }
+        if (!bad && (!any || s > best)) { best = s; bestI = i; any = true }
+      }
+      i += 1
+    }
+    bestI
+  }
+
   /** Sign-random-projection bucket: `planes` sign bits of pseudo-random
     * hyperplane projections packed into a long. Plane weights derive
     * from `xxhash64(plane, dim)` exactly like the fold version:
@@ -296,6 +325,35 @@ case class SrpBucket(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmax cell id of a vector against a foldable array<array<double>>
+  * centroid literal (see [[VecKernels.nearestCell]]). The centroid
+  * matrix is materialized once per task via a codegen reference
+  * object, not re-decoded per row.
+  */
+case class NearestCell(left: Expression, right: Expression) extends BinaryExpression {
+  require(right.foldable, "nearest_cell: centroids must be a literal")
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(vec: Any, centsIgnored: Any): Any =
+    VecKernels.nearestCell(vec.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.VecKernels.nearestCell($v, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `spark.sql.extensions` entry point: injects the native functions
   * into every session built through `Tables.configure`, making them
   * resolvable by name from both the Column API (`call_function`) and
@@ -325,5 +383,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashState(es(0), es(1), es(2))),
     (FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
-      (es: Seq[Expression]) => SrpBucket(es(0), es(1))))
+      (es: Seq[Expression]) => SrpBucket(es(0), es(1))),
+    (FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (es: Seq[Expression]) => NearestCell(es(0), es(1))),
+    (FunctionIdentifier("topk_rows"),
+      new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
+      (es: Seq[Expression]) =>
+        TopKRows(es(0), es(1).eval().asInstanceOf[Number].intValue)))
 }

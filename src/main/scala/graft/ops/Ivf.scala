@@ -48,10 +48,18 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid cell id as a Column (argmax of cosine against
-    * each centroid, ties to the lower cell id).
+  /** Nearest-centroid cell id as a Column (argmax of dot affinity
+    * against each centroid, ties to the lower cell id). Native
+    * codegen'd [[graft.functions.NearestCell]] — one loop over
+    * cells × dims per row; [[cellOfFold]] keeps the HOF reference
+    * semantics for the differential spec.
     */
-  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column = {
+  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    call_function("nearest_cell", vec.cast("array<double>"),
+      typedLit(centroids.map(_.toSeq).toSeq))
+
+  /** Interpreted argmax with identical semantics to [[cellOf]]. */
+  private[graft] def cellOfFold(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(Similarity.dot(vec, lit(c)).as("s"), lit(i).as("cell"))
     }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the TopKRows bounded top-k-per-group aggregate
+  * (graft.functions.TopKRows).
+  */
+class TopKSpec extends AnyFunSuite with SparkSuite {
+
+  test("topk_rows returns exactly the row_number window's rows") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sf(), "events").where(col("value").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val ref = ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "value")
+      .orderBy("user_id", "rn")
+      .collect()
+    val tk = call_function("topk_rows",
+      struct((-col("value")).as("nv"), col("event_id")), lit(3))
+    val got = ev.groupBy("user_id").agg(tk.as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("user_id"), (col("i") + 1).cast("int").as("rn"),
+        col("r.event_id").as("event_id"), (-col("r.nv")).as("value"))
+      .orderBy("user_id", "rn")
+      .collect()
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case (g, r) => assert(g === r) }
+  }
+
+  test("topk_rows aggregates partially before the shuffle") {
+    val tk = call_function("topk_rows",
+      struct((-col("value")).as("nv"), col("event_id")), lit(3))
+    val plan = Tables(spark, sf(), "events")
+      .groupBy("user_id").agg(tk.as("top"))
+      .queryExecution.executedPlan.toString
+    // partial top-k runs map-side (ObjectHashAggregate), so the
+    // exchange carries at most k rows per group per task — the whole
+    // point vs a row_number window, which shuffles every row
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_topk_rows"))
+  }
+
+  test("topk_rows handles groups smaller than k and empty input") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+    val tk = call_function("topk_rows", struct(col("v")), lit(10))
+    val rows = df.groupBy("k").agg(tk.as("top"))
+      .select(col("k"), size(col("top")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows === Map("a" -> 2, "b" -> 1))
+    val empty = df.where(lit(false)).groupBy("k").agg(tk.as("top")).collect()
+    assert(empty.isEmpty)
+  }
+
+  test("topk_rows in SQL text (registered via extensions)") {
+    val n = spark.sql(
+      s"""SELECT user_id, topk_rows(struct(-value, event_id), 3) AS top
+         |FROM parquet.`${sf()}/events.parquet`
+         |GROUP BY user_id""".stripMargin).count()
+    assert(n > 0)
+  }
+}

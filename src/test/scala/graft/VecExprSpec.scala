@@ -108,6 +108,17 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
     ref.foreach { case (id, b) => assert(native(id) === b, s"vec_id=$id") }
   }
 
+  test("nearest_cell matches the array_max struct-fold argmax") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cents = graft.ops.Ivf.trainCentroids(e, k = 8, iterations = 1)
+    val ref = e.select(col("vec_id"), graft.ops.Ivf.cellOfFold(col("embedding"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val native = e.select(col("vec_id"), graft.ops.Ivf.cellOf(col("embedding"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native.size === ref.size)
+    ref.foreach { case (id, c) => assert(native(id) === c, s"vec_id=$id") }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(call_function("vec_dot",
