@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming front door for the training-data pipeline ops: the batch
+  * operators in [[graft.ops.DocDedup]] assume a materialized corpus;
+  * these are their ingest-time twins over an unbounded document
+  * stream.
+  *
+  * Scale stance (100 TB/day ingest):
+  *   - exact dedup keys state by a 16-byte content hash, never the
+  *     document, and `dropDuplicatesWithinWatermark` evicts state as
+  *     the watermark passes — state is O(unique docs per watermark
+  *     window), not O(stream).
+  *   - fingerprint tagging (simhash / minhash signature) is stateless
+  *     map-only via the native codegen'd kernels, so it runs at full
+  *     ingest parallelism with zero shuffle; downstream batch LSH
+  *     banding consumes the persisted signatures without re-reading
+  *     text.
+  */
+object StreamingPipeline {
+
+  /** Exact-dup suppression on a document stream: first arrival of each
+    * content hash within the watermark horizon passes through,
+    * duplicates are dropped. The hash column is added (and kept) so
+    * the sink can audit what keyed the state.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", delay: String = "10 minutes"): DataFrame =
+    docs.withColumn("text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Stateless in-stream fingerprinting: attach simhash + MinHash
+    * signature per document via the native kernels (pure projection —
+    * safe in any output mode, no state, no watermark needed).
+    */
+  def fingerprintStream(docs: DataFrame, textCol: String = "text",
+      shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
+    val words: Column = split(col(textCol), " ")
+    docs
+      .withColumn("simhash", call_function("simhash64", words))
+      .withColumn("minhash_sig",
+        call_function("minhash_state", words, lit(shingleN), lit(numHashes))
+          .getField("sig"))
+  }
+}

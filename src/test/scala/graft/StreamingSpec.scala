@@ -167,4 +167,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(rows.head.getAs[String]("summary").contains("buy -> fail"))
     } finally q.stop()
   }
+
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("dedupStream passes first arrival per content hash, drops dups") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline.dedupStream(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(ts(1), 1, "the quick brown fox"),
+        Doc(ts(2), 2, "the quick brown fox"), // exact dup, later ts
+        Doc(ts(3), 3, "an entirely different doc"))
+      q.processAllAvailable()
+      // duplicate arriving in a later batch, still within the watermark
+      mem.addData(Doc(ts(4), 4, "the quick brown fox"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids === Array(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("fingerprintStream tags documents statelessly, matching batch values") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline.fingerprintStream(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("fps")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val text = "one two three four five six seven"
+      mem.addData(Doc(ts(1), 1, text))
+      q.processAllAvailable()
+      val row = spark.table("fps").collect().head
+      // batch twins computed through the same registered kernels
+      val batch = spark.sql(
+        s"""SELECT simhash64(split('$text', ' ')) AS sh,
+           |  minhash_state(split('$text', ' '), 3, 16).sig AS sig""".stripMargin)
+        .collect().head
+      assert(row.getAs[Long]("simhash") === batch.getAs[Long]("sh"))
+      assert(row.getSeq[Long](row.fieldIndex("minhash_sig")) ===
+        batch.getSeq[Long](batch.fieldIndex("sig")))
+    } finally q.stop()
+  }
 }
