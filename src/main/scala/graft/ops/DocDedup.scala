@@ -179,29 +179,41 @@ object DocDedup {
 
   /** Connected components over near-dup pairs — the dedup *decision*
     * step: every doc in a component keeps exactly one representative
-    * (the min id). Iterative min-label propagation: labels flow along
-    * edges until fixpoint; each round is one join + one aggregate, and
-    * rounds are bounded by the component diameter (near-dup clusters
-    * are shallow in practice). Labels materialize per round, so no
-    * lineage blow-up.
+    * (the min id). Min-label propagation with pointer jumping: each
+    * round first flows labels along edges, then short-circuits through
+    * the label graph (label := label-of-label), so convergence is
+    * O(log diameter) rounds instead of O(diameter) — on a 100 TB
+    * corpus a single pathological chain would otherwise serialize the
+    * whole job. Labels materialize per round (localCheckpoint), so no
+    * lineage blow-up; the seed folds the first edge propagation into
+    * initialization.
     */
   def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // seed = min(node, min neighbor): the first propagation round for free
+    var labels = edges.groupBy(col("dst").as("node"))
+      .agg(least(min(col("src")), col("dst")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "slabel"), "src")
         .groupBy(col("dst").as("node")).agg(min(col("slabel")).as("nlabel"))
-      val updated = labels.join(prop, Seq("node"), "left")
+      val pushed = labels.join(prop, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: adopt the label's own label when smaller (labels
+      // are always node ids, so the lookup side is labels itself)
+      val updated = pushed.as("u")
+        .join(labels.select(col("node").as("label"), col("label").as("plabel")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.as("u")
+      changed = updated
         .join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") < col("old")).count()
       labels = updated
