@@ -276,6 +276,22 @@ private[graft] object QueriesPipeline {
              |FROM s GROUP BY 1, 2
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // sketch surface: HLL++ approximate distinct beside the exact
+    // count. At 100 TB exact countDistinct shuffles every distinct
+    // (group, user) pair; the HLL sketch is fixed-size per group and
+    // merges map-side — the only viable distinct-count at corpus
+    // scale. Rows-only check (HLL estimates are engine-specific);
+    // SketchSpec pins the ≤2% relative error against the exact count.
+    Q("q42_sketch_distinct",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      None),
+
     // bounded top-k per group via the TopKRows TypedImperativeAggregate
     // (graft.functions.TopKRows): identical rows to q11's row_number
     // window, but the shuffle carries at most k rows per group per map
