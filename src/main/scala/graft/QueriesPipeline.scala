@@ -294,10 +294,12 @@ private[graft] object QueriesPipeline {
 
     // bounded top-k per group via the TopKRows TypedImperativeAggregate
     // (graft.functions.TopKRows): identical rows to q11's row_number
-    // window, but the shuffle carries at most k rows per group per map
-    // task instead of every event — the at-scale replacement for
-    // row_number-then-filter. Descending value order is encoded by
-    // negating the field in the ordering struct.
+    // window, computed as an O(n log k) bounded-heap aggregate — no
+    // per-partition sort (the window form sorts every map partition
+    // for its partial WindowGroupLimit), skew-bounded state, and the
+    // group's top rows arrive as an array composable with sibling
+    // aggregates. Descending value order is encoded by negating the
+    // field in the ordering struct.
     Q("q41_grouped_topk",
       (s, dir) => {
         val tk = call_function("topk_rows",

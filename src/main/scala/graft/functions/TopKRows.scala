@@ -13,21 +13,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * structs by the struct's natural (lexicographic) ordering, returned
   * as a sorted array.
   *
-  * This is the scale-correct form of "top-N rows per group". The two
-  * stock Spark spellings both break down at 100 TB:
+  * This is the bounded-state form of "top-N rows per group", vs the
+  * two stock Spark spellings:
   *
-  *   - `row_number().over(partitionBy(key))` shuffles EVERY row to its
-  *     key's partition before discarding all but k — the shuffle is
-  *     O(input), and a hot key concentrates its whole partition on one
-  *     task (SURVEY.md §7.4's `collect_list` memory note).
-  *   - `collect_list` + `slice` caps the output but still buffers every
-  *     row of a group in the aggregation state first.
+  *   - `row_number().over(partitionBy(key))` + `rn <= k`: since Spark
+  *     3.5 the optimizer inserts a partial `WindowGroupLimit`, so the
+  *     shuffle already carries ≤ k rows per group per map task — but
+  *     only after fully SORTING every input partition (O(n log n) per
+  *     partition, twice: map side and reduce side).
+  *   - `collect_list` + `slice` caps the output but buffers every row
+  *     of a group in the aggregation state first (SURVEY.md §7.4's
+  *     memory note) — unbounded state under skew.
   *
-  * A TypedImperativeAggregate instead participates in partial
-  * aggregation: each map task keeps at most k rows per group in a
-  * bounded heap, so the shuffle carries O(groups × k) rows no matter
-  * how skewed the input, and no state ever exceeds k rows. Encode
-  * "descending" orderings by negating the field (see q41).
+  * A TypedImperativeAggregate instead keeps at most k rows per group
+  * in a bounded heap: O(n log k) with no sort of the input at all,
+  * state never exceeds k rows regardless of skew, the shuffle carries
+  * O(groups × k), and — unlike the window form — the result arrives as
+  * a grouped array composable with sibling aggregates (count, sum,
+  * HLL) in the SAME aggregation pass, which is how alert event
+  * sampling (G4) consumes it. Encode "descending" orderings by
+  * negating the field (see q41).
   *
   * Registered as `topk_rows(struct, k)` by [[GraftExtensions]].
   */

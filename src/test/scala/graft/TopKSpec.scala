@@ -36,8 +36,9 @@ class TopKSpec extends AnyFunSuite with SparkSuite {
       .groupBy("user_id").agg(tk.as("top"))
       .queryExecution.executedPlan.toString
     // partial top-k runs map-side (ObjectHashAggregate), so the
-    // exchange carries at most k rows per group per task — the whole
-    // point vs a row_number window, which shuffles every row
+    // exchange carries at most k rows per group per task with no sort
+    // of the input (the window form's partial WindowGroupLimit sorts
+    // every map partition first)
     assert(plan.contains("ObjectHashAggregate"))
     assert(plan.contains("partial_topk_rows"))
   }
