@@ -238,6 +238,40 @@ private[graft] object QueriesAlert {
       },
       Some(RollupSql)),
 
+    // §2.9 surface: pivot (wide per-key counts). The DataFrame pivot
+    // with explicit values compiles to one hash aggregate with
+    // conditional counts — no per-value scans; the oracle states the
+    // same contract with FILTERed counts.
+    Q("q43_pivot",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (WHERE event_type='click') AS click,
+             |  COUNT(*) FILTER (WHERE event_type='error') AS error,
+             |  COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+             |  COUNT(*) FILTER (WHERE event_type='signup') AS signup,
+             |  COUNT(*) FILTER (WHERE event_type='view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // §2.9 surface: full cube over (event_type, month) — all four
+    // grouping sets in one pass.
+    Q("q44_cube",
+      (s, dir) => Tables(s, dir, "events")
+        .where(col("ts").isNotNull)
+        .cube(col("event_type"), month(col("ts")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+          coalesce(col("m"), lit(-1)).cast("int").as("m"), col("cnt"))
+        .orderBy("et", "m"),
+      Some("""SELECT COALESCE(event_type, 'ALL') AS et,
+             |  CAST(COALESCE(MONTH(ts), -1) AS INTEGER) AS m, COUNT(*) AS cnt
+             |FROM events WHERE ts IS NOT NULL
+             |GROUP BY CUBE(event_type, MONTH(ts))
+             |ORDER BY et, m""".stripMargin)),
+
     Q("q18_setops",
       (s, dir) => {
         Tables(s, dir, "events").createOrReplaceTempView("events")

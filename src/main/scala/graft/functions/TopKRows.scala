@@ -30,8 +30,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * state never exceeds k rows regardless of skew, the shuffle carries
   * O(groups × k), and — unlike the window form — the result arrives as
   * a grouped array composable with sibling aggregates (count, sum,
-  * HLL) in the SAME aggregation pass, which is how alert event
-  * sampling (G4) consumes it. Encode "descending" orderings by
+  * HLL) in the SAME aggregation pass — the shape alert event sampling
+  * (G4) needs once a lake stops capping scans at LIMIT 1000. Encode "descending" orderings by
   * negating the field (see q41).
   *
   * Registered as `topk_rows(struct, k)` by [[GraftExtensions]].
