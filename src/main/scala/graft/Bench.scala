@@ -14,11 +14,12 @@ object Bench {
     // JIT + whole-stage-codegen compiler startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     val failed = Seq.newBuilder[String]
-    // best-of-2 per query: single-shot timings on a shared box swing
-    // wildly with co-tenant load; the min is the honest capability
-    // number and both BENCH and BASELINE come from this same harness
+    // best-of-3 per query: single-shot timings on a shared box swing
+    // wildly with co-tenant load (observed 5× on identical plans); the
+    // min is the honest capability number and both BENCH and BASELINE
+    // come from this same harness
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

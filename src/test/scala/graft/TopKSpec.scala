@@ -55,6 +55,30 @@ class TopKSpec extends AnyFunSuite with SparkSuite {
     assert(empty.isEmpty)
   }
 
+  test("randomized differential: topk_rows == window top-k with ties and skew") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // heavy skew (half the rows on one key) and deliberate value ties
+    // to exercise heap eviction and the struct tie-break
+    val rows = (1 to 2000).map { i =>
+      val key = if (rnd.nextBoolean()) 0L else rnd.nextInt(50).toLong
+      (key, rnd.nextInt(20).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id").repartition(8)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("k", "rn", "v", "id").orderBy("k", "rn").collect()
+    val tk = call_function("topk_rows", struct((-col("v")).as("nv"), col("id")), lit(5))
+    val got = df.groupBy("k").agg(tk.as("top"))
+      .select(col("k"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("k"), (col("i") + 1).cast("int").as("rn"),
+        (-col("r.nv")).as("v"), col("r.id").as("id"))
+      .orderBy("k", "rn").collect()
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case (g, r) => assert(g === r) }
+  }
+
   test("topk_rows in SQL text (registered via extensions)") {
     val n = spark.sql(
       s"""SELECT user_id, topk_rows(struct(-value, event_id), 3) AS top
