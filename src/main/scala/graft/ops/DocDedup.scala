@@ -147,17 +147,21 @@ object DocDedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
+    simhashCols(docs, textCol, idCol).orderBy("doc_id")
+
+  private def simhashCols(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     Par.spread(docs).select(col(idCol).as("doc_id"),
-        call_function("simhash64", split(col(textCol), " ")).as("simhash"))
-      .orderBy("doc_id")
+      call_function("simhash64", split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit band join (any equal quarter →
     * candidate), verified by Hamming distance ≤ maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // materialized once: the band self-join consumes both sides
-    val sh = simhash(docs, textCol, idCol).localCheckpoint()
+    // materialized once: the band self-join consumes both sides.
+    // Unsorted form — a global sort behind the checkpoint barrier
+    // would be pure waste here.
+    val sh = simhashCols(docs, textCol, idCol).localCheckpoint()
     // 4 bands of 16 bits, built at the Scala level (shift amounts are
     // plain ints)
     val bandStructs = (0 until 4).map(b => struct(
@@ -172,8 +176,10 @@ object DocDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
+      // cheap per-row hamming filter BEFORE the pair-dedup shuffle:
+      // only true near-dups (rare) reach dropDuplicates
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
       .orderBy("a_id", "b_id")
   }
 
