@@ -276,6 +276,21 @@ private[graft] object QueriesPipeline {
              |FROM s GROUP BY 1, 2
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // int8 scalar quantization of embeddings (4× memory before ANN
+    // indexing): exact integer math after round-half-up, so the whole
+    // quantized vector is oracle-checked element-wise.
+    Q("q45_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(Tables(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+             |SELECT vec_id,
+             |  CAST(floor(scale * 1000000000) AS BIGINT) AS scale_e9,
+             |  CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5))) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(v, x -> abs(floor(x / scale + 0.5)))) AS BIGINT) AS q_l1,
+             |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
     // sketch surface: HLL++ approximate distinct beside the exact
     // count. At 100 TB exact countDistinct shuffles every distinct
     // (group, user) pair; the HLL sketch is fixed-size per group and

@@ -153,6 +153,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.find(_.getAs[Long]("keep_id") == 0L).get.getAs[Long]("dup_count") === 2L)
   }
 
+  test("int8 quantization: values in [-127,127], reconstruction within scale/2") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = graft.ops.Similarity.quantizeInt8(e)
+    val joined = q.join(e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")), "vec_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val scale = r.getAs[Long]("scale_e9").toDouble / 1e9
+      val qs = r.getSeq[Int](r.fieldIndex("q"))
+      val vs = r.getSeq[Double](r.fieldIndex("v"))
+      assert(qs.forall(x => x >= -127 && x <= 127))
+      qs.zip(vs).foreach { case (qi, vi) =>
+        // scale_e9 is floored, so allow one nano-unit of slack
+        assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-6,
+          s"vec_id=${r.get(0)} q=$qi v=$vi scale=$scale")
+      }
+    }
+  }
+
   test("multimodal stub pipeline: deterministic metadata through mapPartitions") {
     val m = Multimodal.pipeline(docs).collect()
     assert(m.length === 5)
