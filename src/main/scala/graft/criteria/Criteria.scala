@@ -26,17 +26,24 @@ object Criteria {
     * must not have its literal rewritten.
     */
   def rewrite(presto: String): String = {
+    // Presto date_diff('unit', t1, t2) → Spark timestampdiff(unit, ...):
+    // Spark's parser special-cases the unit as an unquoted keyword, so
+    // this must run on the whole text (the unit IS a string literal) —
+    // before the literal-preserving pass below. Same t2-t1 direction.
+    val unitFixed = presto.replaceAll(
+      "(?i)\\bdate_diff\\(\\s*'(year|quarter|month|week|day|hour|minute|second|millisecond|microsecond)'\\s*,",
+      "timestampdiff($1,")
     // split into alternating [code, 'literal', code, ...] chunks;
     // '' inside a literal is the SQL escape for a quote
     val literal = "'(?:[^']|'')*'".r
     val sb = new StringBuilder
     var last = 0
-    for (m <- literal.findAllMatchIn(presto)) {
-      sb.append(rewriteCode(presto.substring(last, m.start)))
+    for (m <- literal.findAllMatchIn(unitFixed)) {
+      sb.append(rewriteCode(unitFixed.substring(last, m.start)))
       sb.append(m.matched) // literal untouched
       last = m.end
     }
-    sb.append(rewriteCode(presto.substring(last)))
+    sb.append(rewriteCode(unitFixed.substring(last)))
     sb.toString
   }
 

@@ -41,6 +41,19 @@ object Functions {
         org.apache.spark.sql.catalyst.expressions.Literal(1)),
       "built-in")
 
+    // Presto contains(array, elem) — Catalyst ArrayContains, same
+    // shape. (Presto's contains is array-only; string search is
+    // strpos/position, so shadowing Spark's string contains is the
+    // dialect-correct choice for registered sessions.)
+    // Presto date_diff('unit', ...) can't be registered — Spark's
+    // parser claims the name with unquoted-unit syntax — so it lives
+    // in Criteria.rewrite instead.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "contains",
+      exprs => org.apache.spark.sql.catalyst.expressions.ArrayContains(
+        exprs.head, exprs(1)),
+      "built-in")
+
     spark.udf.register("to_utc", (s: String) =>
       if (s == null) null
       else java.sql.Timestamp.from(Dates.toUTC(s)))

@@ -54,4 +54,17 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("date_diff('unit', ...) rewrites to timestampdiff and evaluates") {
+    val r = Criteria.rewrite("date_diff('hour', t1, t2) > 2")
+    assert(r === "timestampdiff(hour, t1, t2) > 2")
+    // unit match is case-insensitive; other literals stay untouched
+    assert(Criteria.rewrite("DATE_DIFF('DAY', a, b) = 1 AND x = 'date_diff'")
+      === "timestampdiff(DAY, a, b) = 1 AND x = 'date_diff'")
+    val row = spark.sql(
+      """SELECT TIMESTAMP '2024-01-01 00:00:00' AS t1,
+        |       TIMESTAMP '2024-01-01 05:30:00' AS t2""".stripMargin)
+      .where(Criteria.toColumn("date_diff('hour', t1, t2) > 2"))
+    assert(row.count() === 1)   // Presto direction: t2 - t1 = 5 hours
+  }
 }

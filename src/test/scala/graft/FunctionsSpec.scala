@@ -31,6 +31,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getString(1) === """{"b":1}""")
   }
 
+  test("contains registered with Presto array semantics") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT contains(array('a','b'), 'b') AS c1,
+        |  contains(array('a','b'), 'z') AS c2""".stripMargin).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()
