@@ -174,6 +174,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("quantized ANN: search over dequantized int8 vectors keeps high recall") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val exact = graft.ops.Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // dequantize q*scale back to doubles and run the same search
+    val deq = graft.ops.Similarity.quantizeInt8(e)
+      .select(col("vec_id"),
+        transform(col("q"), x => x * (col("scale_e9").cast("double") / 1e9))
+          .as("embedding"))
+    val approx = graft.ops.Similarity.bruteForceTopK(deq, deq.where(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // self-match at rank 1 survives quantization
+    (0L until 5L).foreach(q => assert(approx((q, 1)) === q, s"query $q self-match"))
+    // overlap@3 ≥ 2/3 per query
+    (0L until 5L).foreach { q =>
+      val ex = (1 to 3).map(r => exact((q, r))).toSet
+      val ap = (1 to 3).map(r => approx((q, r))).toSet
+      assert((ex intersect ap).size >= 2, s"query $q: exact=$ex approx=$ap")
+    }
+  }
+
   test("multimodal stub pipeline: deterministic metadata through mapPartitions") {
     val m = Multimodal.pipeline(docs).collect()
     assert(m.length === 5)

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+class SkewSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("salted equi-join equals the plain join on skewed keys") {
+    val rnd = new scala.util.Random(7)
+    // 90% of rows on one hot key
+    val big = (1 to 5000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 1L else rnd.nextInt(100).toLong
+      (k, i.toLong)
+    }.toDF("k", "payload")
+    val small = (0L to 99L).map(k => (k, s"ctx$k")).toDF("k", "ctx")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "ctx").orderBy("k", "payload").collect()
+    val salted = Skew.saltedEquiJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "ctx").orderBy("k", "payload").collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s, p) => assert(s === p) }
+  }
+
+  test("salt spreads a hot key across sub-keys, replication is exact") {
+    val big = Seq.fill(1000)((1L, "x")).toDF("k", "v")
+      .withColumn("v", concat(col("v"), monotonically_increasing_id()))
+    val small = Seq((1L, "ctx")).toDF("k", "ctx")
+    val joined = Skew.saltedEquiJoin(big, small, "k", salts = 8)
+    assert(joined.count() === 1000)
+    // the internal salt must actually distribute: re-derive it the
+    // same way and count distinct sub-keys for the hot key
+    val salts = big.select(
+        pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)).as("s"))
+      .distinct().count()
+    assert(salts >= 6, s"expected the hot key spread over most of 8 salts, got $salts")
+  }
+}
