@@ -276,6 +276,22 @@ private[graft] object QueriesPipeline {
              |FROM s GROUP BY 1, 2
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // batch tumbling-window aggregation: the batch twin of the
+    // streaming threshold window — epoch-aligned 1h buckets via
+    // window(), so batch backfill and the live stream bucket rows
+    // identically. Oracle: DuckDB time_bucket (same epoch origin).
+    Q("q46_tumbling_window",
+      (s, dir) => Tables(s, dir, "events")
+        .where(col("ts").isNotNull)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type, COUNT(*) AS cnt
+             |FROM events WHERE ts IS NOT NULL
+             |GROUP BY 1, 2
+             |ORDER BY ws, event_type""".stripMargin)),
+
     // int8 scalar quantization of embeddings (4× memory before ANN
     // indexing): exact integer math after round-half-up, so the whole
     // quantized vector is oracle-checked element-wise.

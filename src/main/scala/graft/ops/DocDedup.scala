@@ -71,10 +71,11 @@ object DocDedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** MinHash signature: k independent min-hashes of the shingle set
-    * (hash seeded by index via xxhash64(shingle, i)).
+  /** MinHash signature as an interpreted HOF fold — the executable
+    * reference semantics for the native `minhash_state` kernel
+    * (VecExprSpec pins sig equality); not on any hot path.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+  private[graft] def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(1), lit(k)),
       i => array_min(transform(shingleCol, s => xxhash64(s, i))))
 
