@@ -76,4 +76,23 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       Seq((1L, 3L), (2L, 2L)))
     assert(r.count(_.getAs[Long]("key") == 9L) === 1)
   }
+
+  test("sessionize agrees with Spark's built-in session_window") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf(), "events")
+    val ours = graft.ops.Temporal.sessionize(ev, "user_id", "ts", gapUs = 1800000000L)
+      .select(col("key"), col("n_events"), col("start_us"), col("end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val builtin = ev.where(col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // same gap semantics up to the open/closed boundary at an exact-gap
+    // step (absent from the testdata); any diff here means one of the
+    // two implementations drifted
+    assert(ours === builtin)
+  }
 }
