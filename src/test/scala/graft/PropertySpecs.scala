@@ -93,3 +93,50 @@ object TemplateProps extends Properties("Template") {
         Template.render(s"{{d.$k}}", Map("d" -> Map(k -> v)))
     }
 }
+
+/** Pure-JVM properties of the native expression kernels — no Spark
+  * session needed: the kernels operate on ArrayData directly.
+  */
+object VecKernelProps extends Properties("VecKernels") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.VecKernels
+
+  private def arr(xs: Seq[Double]) = new GenericArrayData(xs.toArray)
+  private def sarr(ws: Seq[String]) =
+    new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])
+
+  val vec: Gen[List[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-1000.0, 1000.0))
+  val words: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+
+  property("dot == strict left fold") = forAll(vec, vec) { (a, b) =>
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    VecKernels.dot(arr(a), arr(b)).doubleValue == expected
+  }
+
+  property("dot: length mismatch is null") = forAll(vec) { a =>
+    VecKernels.dot(arr(a), arr(a ++ List(1.0))) == null
+  }
+
+  property("simhash64 is token-order invariant") = forAll(words) { ws =>
+    val shuffled = new scala.util.Random(ws.length).shuffle(ws)
+    VecKernels.simhash64(sarr(ws)) == VecKernels.simhash64(sarr(shuffled))
+  }
+
+  property("simhash64 is duplication invariant (distinct-token votes)") =
+    forAll(words) { ws =>
+      VecKernels.simhash64(sarr(ws)) == VecKernels.simhash64(sarr(ws ++ ws))
+    }
+
+  property("srpBucket stays in [0, 2^planes)") = forAll(vec) { a =>
+    val b = VecKernels.srpBucket(arr(a), 8)
+    b >= 0L && b < 256L
+  }
+
+  property("srpBucket is scale invariant (signs only)") = forAll(vec) { a =>
+    VecKernels.srpBucket(arr(a), 8) ==
+      VecKernels.srpBucket(arr(a.map(_ * 3.0)), 8)
+  }
+}
