@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Formatted-plan dump for headline queries — the `.explain` audit
+  * loop as a repeatable entry point (regenerates repo:PLANS.md).
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q01_pricing_agg", "q02_filter_pushdown", "q03_join_agg",
+      "q05_threshold_trigger", "q07_dedup_antijoin", "q22_dedup_minhash_lsh",
+      "q23_dedup_simhash", "q25_ann_bruteforce_topk", "q41_grouped_topk")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n===== $name =====")
+          println(fn(spark, sfDir).queryExecution
+            .explainString(ExplainMode.fromString("formatted")))
+        case None => System.err.println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}
