@@ -93,21 +93,21 @@ object StreamingAlerts {
     * last-seen + lifespan with no refresh, the deadman fires (once per
     * silence — state resets so a comeback re-arms it).
     */
-  def deadmanStream(events: DataFrame, spec: Doc,
-      tsCol: String = "ts", lifespan: String = "1 hour",
-      watermarkDelay: String = "10 minutes"): Dataset[StreamAlert] = {
+  /** Shared deadman input plumbing: cast then watermark FIRST (a cast
+    * after withWatermark mints an untagged attribute), and before the
+    * criteria filter so the clock advances on any traffic — a deadman
+    * whose monitored events go totally silent must still see the
+    * watermark move. Used by both the flatMapGroupsWithState and the
+    * transformWithState ([[StreamingAlertsTws]]) variants.
+    */
+  private[streaming] def deadmanKeyed(events: DataFrame, spec: Doc,
+      tsCol: String, watermarkDelay: String)
+      : org.apache.spark.sql.KeyValueGroupedDataset[String, (String, Timestamp)] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val name = AlertDoc.str(spec, "alert_name", "unnamed")
-    val lifespanMs = graft.functions.Dates.interval(lifespan).toMillis
     val keyCol = Paths.column(events.schema, AlertDoc.str(spec, "aggregation_key"))
       .cast(StringType)
-
-    // cast then watermark FIRST (a cast after withWatermark mints an
-    // untagged attribute), and before the criteria filter so the clock
-    // advances on any traffic — a deadman whose monitored events go
-    // totally silent must still see the watermark move
-    val keyed = whereAfterWatermark(
+    whereAfterWatermark(
       events
         .withColumn("__ts", col(tsCol).cast("timestamp"))
         .withWatermark("__ts", watermarkDelay)
@@ -116,6 +116,16 @@ object StreamingAlerts {
       .select(col("__value").as("k"), col("__ts").as("ts"))
       .as[(String, Timestamp)]
       .groupByKey(_._1)
+  }
+
+  def deadmanStream(events: DataFrame, spec: Doc,
+      tsCol: String = "ts", lifespan: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): Dataset[StreamAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val name = AlertDoc.str(spec, "alert_name", "unnamed")
+    val lifespanMs = graft.functions.Dates.interval(lifespan).toMillis
+    val keyed = deadmanKeyed(events, spec, tsCol, watermarkDelay)
 
     keyed.flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

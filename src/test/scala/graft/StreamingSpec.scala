@@ -97,6 +97,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState deadman matches the FMGWS variant's behavior") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val spec = Map[String, Any]("alert_name" -> "heartbeat",
+        "criteria" -> "event_type='heartbeat'",
+        "aggregation_key" -> "user_id")
+      val out = graft.streaming.StreamingAlertsTws.deadmanStreamTws(mem.toDF(), spec,
+        lifespan = "30 minutes", watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("dmtws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(Ev(ts(0), 1, "heartbeat"), Ev(ts(1), 2, "heartbeat"))
+        q.processAllAvailable()
+        // user 2 keeps beating; user 1 goes silent past its deadline
+        mem.addData(Ev(tsH(11, 0), 2, "heartbeat"))
+        q.processAllAvailable()
+        mem.addData(Ev(tsH(12, 0), 2, "heartbeat"))
+        q.processAllAvailable()
+        val fired = spark.table("dmtws").collect()
+        assert(fired.map(_.getAs[String]("value")).contains("1"))
+        assert(!fired.map(_.getAs[String]("value")).contains("2"))
+        assert(fired.head.getAs[String]("summary").contains("missing"))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
