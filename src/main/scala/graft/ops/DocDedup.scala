@@ -42,7 +42,7 @@ object DocDedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       blockCol: String = "lang", textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxShingleDocFreq: Long = 0L): DataFrame = {
     // shingles are joined as xxhash64 longs, not strings — the shuffle
     // carries 8 bytes per shingle instead of ~20 chars (collision odds
     // at 64 bits are negligible against any realistic corpus).
@@ -53,7 +53,25 @@ object DocDedup {
     val base = Par.spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
         call_function("shingle_hashes", split(col(textCol), " "), lit(n)).as("hs"))
       .localCheckpoint()
-    val sh = base.select(col("doc_id"), col("block"), explode(col("hs")).as("s"))
+    val shAll = base.select(col("doc_id"), col("block"), explode(col("hs")).as("s"))
+    // df-cut (opt-in, maxShingleDocFreq > 0): drop shingles shared by
+    // more than that many docs BEFORE the self-join. A stopword-run
+    // shingle in f docs contributes f² join rows — the classic skew
+    // blow-up at corpus scale. The hot list comes from a map-side-
+    // combinable groupBy (no skew concentration: partial counts merge)
+    // and is tiny by definition, so it broadcasts into a left_anti —
+    // the shingle stream itself never reshuffles for the cut. Dropping
+    // hot shingles only removes evidence common to huge cohorts
+    // (near-worthless for near-dup decisions): recall turns
+    // approximate, but precision of surviving pairs stays exact — jac
+    // still uses FULL shingle-set sizes.
+    val sh =
+      if (maxShingleDocFreq <= 0) shAll
+      else {
+        val hot = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDocFreq).select("s")
+        shAll.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     val sizes = base.select(col("doc_id"), size(col("hs")).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.block") === col("b.block") &&

@@ -196,6 +196,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("ngram jaccard df-cut prunes hot shingles but keeps true near-dups") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val full = DocDedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cut shingles shared by more than half the corpus — boilerplate
+    // level; genuine near-dup evidence is in rarer shingles
+    val cutoff = docs.count() / 2
+    val cut = DocDedup.ngramJaccard(docs, n = 3, threshold = 0.5,
+        maxShingleDocFreq = cutoff)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate recall: surviving pairs are a subset, and the corpus'
+    // real near-dups (which share many NON-hot shingles) all survive
+    assert(cut.subsetOf(full))
+    assert(cut === full, "no shingle in this corpus is hot enough to change results")
+  }
+
+  test("multimodal batched decode equals the row-at-a-time decode") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val blobs = Multimodal.toBlobs(docs)
+    val rowWise = Multimodal.extractMetadata(blobs).collect().sortBy(_.doc_id)
+    val batched = Multimodal.extractMetadataBatched(blobs, batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    assert(batched.toSeq === rowWise.toSeq)
+  }
+
   test("multimodal stub pipeline: deterministic metadata through mapPartitions") {
     val m = Multimodal.pipeline(docs).collect()
     assert(m.length === 5)
