@@ -86,6 +86,19 @@ private[graft] object QueriesPipeline {
         n = 3, numHashes = 16, bands = 4, threshold = 0.5),
       None),
 
+    // nightly-ingest pattern: dedupe a fresh batch against the
+    // historical corpus (never corpus × corpus). Rows-only (MinHash
+    // bands are engine-native); PipelineOpsSpec pins the exact/near/
+    // survivor semantics.
+    Q("q47_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        DocDedup.incremental(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0))
+      },
+      None),
+
     Q("q23_dedup_simhash",
       (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
       None),

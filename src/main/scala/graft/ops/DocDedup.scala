@@ -202,6 +202,74 @@ object DocDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Incremental (nightly-ingest) dedup: which docs of `fresh` are
+    * exact or near duplicates of the historical `corpus`, without ever
+    * re-pairing the corpus with itself. Exact matches meet through a
+    * content-hash equi-join; near-dup candidates meet through MinHash
+    * band keys (new-side bands join corpus-side bands — cost scales
+    * with band collisions between the two sets, not corpus²) and are
+    * verified with exact Jaccard over the hashed shingle sets.
+    *
+    * At scale the corpus side is the precomputed signature table the
+    * streaming path already persists
+    * ([[graft.streaming.StreamingPipeline.fingerprintStream]]) — text
+    * never re-reads; locally it's derived here from the raw corpus.
+    *
+    * Returns one row per fresh doc: `(doc_id, dup_of, match_kind)`
+    * where `match_kind` ∈ exact | near | null (survivor), `dup_of` is
+    * the lowest matching corpus id.
+    */
+  def incremental(corpus: DataFrame, fresh: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    def prep(df: DataFrame): DataFrame = {
+      val mh = call_function("minhash_state",
+        split(col(textCol), " "), lit(n), lit(numHashes))
+      Par.spread(df).select(col(idCol).as("doc_id"),
+          md5(col(textCol)).as("text_hash"), mh.as("mh"))
+        .select(col("doc_id"), col("text_hash"),
+          col("mh.sh").as("sh"), col("mh.sig").as("sig"))
+        .localCheckpoint()
+    }
+    def banded(df: DataFrame): DataFrame = df.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string"))), b)
+            .as("bh")))).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val c = prep(corpus)
+    val f = prep(fresh)
+    // exact: content-hash equi-join, lowest corpus id wins
+    val exact = f.select(col("doc_id"), col("text_hash"))
+      .join(c.select(col("doc_id").as("c_id"), col("text_hash")), "text_hash")
+      .groupBy("doc_id").agg(min(col("c_id")).as("dup_of"))
+      .withColumn("match_kind", lit("exact"))
+      .select("doc_id", "dup_of", "match_kind")
+    // near: band join fresh × corpus only, verified by exact Jaccard
+    val candidates = banded(f).as("a").join(banded(c).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("c_id"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_id", "c_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .where(col("jac") >= threshold)
+    val near = candidates.groupBy("doc_id").agg(min(col("c_id")).as("dup_of"))
+      .join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("match_kind", lit("near"))
+      .select("doc_id", "dup_of", "match_kind")
+    val matched = exact.union(near)
+    val survivors = f.select(col("doc_id"))
+      .join(matched.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("dup_of", lit(null).cast("long"))
+      .withColumn("match_kind", lit(null).cast("string"))
+    matched.union(survivors).orderBy("doc_id")
+  }
+
   /** Connected components over near-dup pairs — the dedup *decision*
     * step: every doc in a component keeps exactly one representative
     * (the min id). Min-label propagation with pointer jumping: each

@@ -196,6 +196,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("incremental dedup: fresh batch vs corpus finds exact, near, survivors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely unrelated corpus text about distributed query engines and planning"),
+      (3L, "another corpus document with its own unique words entirely different here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (102L, "a genuinely novel document that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DocDedup.incremental(corpus, fresh).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))).toMap
+    assert(out(100L) === (Some(1L), Some("exact")))
+    assert(out(101L) === (Some(1L), Some("near")))
+    assert(out(102L) === (None, None))
+    assert(out.size === 3)
+  }
+
   test("ngram jaccard df-cut prunes hot shingles but keeps true near-dups") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf() + "/documents.parquet")
