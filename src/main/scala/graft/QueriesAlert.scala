@@ -272,6 +272,51 @@ private[graft] object QueriesAlert {
              |GROUP BY CUBE(event_type, MONTH(ts))
              |ORDER BY et, m""".stripMargin)),
 
+    // §2.9 surface: full outer join — customers without orders and
+    // (hypothetical) orphan orders both survive with nulls.
+    Q("q48_outer_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("no_orders"))
+          .orderBy("seg")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'NONE') AS seg, COUNT(*) AS n,
+             |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS no_orders
+             |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // §2.9 surface: window-function suite — lag, running sum (decimal
+    // so accumulation order can't cause float drift: DuckDB evaluates
+    // window sums with a segment tree, Spark incrementally), ntile.
+    // The (ts, event_id) order is total, so every function is
+    // deterministic.
+    Q("q49_window_suite",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            sum(col("value").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("run_sum"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  LAG(value, 1) OVER w AS prev_value,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+             |  NTILE(4) OVER w AS quartile
+             |FROM events WHERE ts IS NOT NULL
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     Q("q18_setops",
       (s, dir) => {
         Tables(s, dir, "events").createOrReplaceTempView("events")
