@@ -30,7 +30,12 @@ object AlertaStreamMain {
     require(args.length >= 3,
       "usage: AlertaStreamMain <eventsDir> <specsGlob> <outDir> [availableNow|continuous]")
     val Array(eventsDir, specsMask, outDir) = args.take(3)
-    val availableNow = args.lift(3).forall(_ == "availableNow")
+    val availableNow = args.lift(3) match {
+      case None | Some("availableNow") => true
+      case Some("continuous") => false
+      case Some(other) => sys.error(
+        s"unknown mode '$other' — expected availableNow or continuous")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,8 +49,13 @@ object AlertaStreamMain {
       spark.readStream.schema(schema).parquet(eventsDir))
     val specs = AlertSpecs.loadAll(specsMask)
 
+    // duplicate alert_names (or several specs defaulting to "unnamed")
+    // must not share a sink/checkpoint — suffix repeats with an index
+    val seen = scala.collection.mutable.Map.empty[String, Int]
     val queries = specs.flatMap { spec =>
-      val name = AlertDoc.str(spec, "alert_name", "unnamed")
+      val base = AlertDoc.str(spec, "alert_name", "unnamed")
+      val dup = seen.updateWith(base)(c => Some(c.getOrElse(0) + 1)).get
+      val name = if (dup == 1) base else base + "-" + dup
       val out = AlertDoc.str(spec, "alert_type") match {
         case "threshold" => Some(StreamingAlerts.thresholdStream(events, spec))
         case "deadman"   => Some(StreamingAlerts.deadmanStream(events, spec))

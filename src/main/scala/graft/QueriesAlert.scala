@@ -247,6 +247,9 @@ private[graft] object QueriesAlert {
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
+        // pivot-count yields NULL for absent (user, type) combos; the
+        // FILTERed-count oracle yields 0 — align
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
              |  COUNT(*) FILTER (WHERE event_type='click') AS click,

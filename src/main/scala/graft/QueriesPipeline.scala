@@ -349,7 +349,9 @@ private[graft] object QueriesPipeline {
         val tk = call_function("topk_rows",
           struct((-col("value")).as("nv"), col("event_id")), lit(3))
         Tables(s, dir, "events")
-          .where(col("value").isNotNull)
+          // NaN ranks greatest in a DESC window but worst in the
+          // negated heap ordering — exclude it from the contract
+          .where(col("value").isNotNull && !isnan(col("value")))
           .groupBy("user_id")
           .agg(tk.as("top"))
           .select(col("user_id"), posexplode(col("top")).as(Seq("i", "r")))
@@ -360,7 +362,7 @@ private[graft] object QueriesPipeline {
       Some("""SELECT user_id, rn, event_id, value FROM (
              |  SELECT user_id, event_id, value,
              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-             |  FROM events WHERE value IS NOT NULL) t
+             |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)) t
              |WHERE rn <= 3
              |ORDER BY user_id, rn""".stripMargin)),
 

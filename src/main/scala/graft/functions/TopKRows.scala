@@ -87,10 +87,13 @@ case class TopKRows(
   override def eval(buf: mutable.PriorityQueue[InternalRow]): Any =
     new GenericArrayData(buf.toArray.sorted(ord).asInstanceOf[Array[Any]])
 
+  // one compiled projection per task-side expression instance, NOT per
+  // serialized group — serialize() runs once per group per flush
+  @transient private lazy val proj: UnsafeProjection = UnsafeProjection.create(rowSchema)
+
   // Buffers ship between partial and final aggregation as
   // length-prefixed UnsafeRow bytes: [n][len row_bytes]*
   override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
-    val proj = UnsafeProjection.create(rowSchema)
     val rows = buf.toArray.map(r => proj(r).copy().getBytes)
     val out = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(out)

@@ -175,7 +175,11 @@ object VecKernels {
           if (vec.isNullAt(d)) bad = true
           else { s += vec.getDouble(d) * c(d); d += 1 }
         }
-        if (!bad && (!any || s > best)) { best = s; bestI = i; any = true }
+        // NaN ranks greatest in Spark orderings (array_max parity):
+        // the first NaN wins and nothing displaces it
+        if (!bad && (!any || s > best || (s.isNaN && !best.isNaN))) {
+          best = s; bestI = i; any = true
+        }
       }
       i += 1
     }

@@ -58,19 +58,20 @@ object DocDedup {
     // more than that many docs BEFORE the self-join. A stopword-run
     // shingle in f docs contributes f² join rows — the classic skew
     // blow-up at corpus scale. The hot list comes from a map-side-
-    // combinable groupBy (no skew concentration: partial counts merge)
-    // and is tiny by definition, so it broadcasts into a left_anti —
-    // the shingle stream itself never reshuffles for the cut. Dropping
-    // hot shingles only removes evidence common to huge cohorts
-    // (near-worthless for near-dup decisions): recall turns
-    // approximate, but precision of surviving pairs stays exact — jac
-    // still uses FULL shingle-set sizes.
+    // combinable groupBy (no skew concentration: partial counts merge).
+    // No broadcast hint: with a high cutoff the hot list is tiny and
+    // AQE broadcasts it at runtime; with a low cutoff it can be huge
+    // and a forced broadcast would OOM the driver — the exact failure
+    // this guard exists to prevent. Dropping hot shingles only removes
+    // evidence common to huge cohorts (near-worthless for near-dup
+    // decisions): recall turns approximate, but precision of surviving
+    // pairs stays exact — jac still uses FULL shingle-set sizes.
     val sh =
       if (maxShingleDocFreq <= 0) shAll
       else {
         val hot = shAll.groupBy("s").agg(count(lit(1)).as("df"))
           .where(col("df") > maxShingleDocFreq).select("s")
-        shAll.join(broadcast(hot), Seq("s"), "left_anti")
+        shAll.join(hot, Seq("s"), "left_anti")
       }
     val sizes = base.select(col("doc_id"), size(col("hs")).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
@@ -169,8 +170,12 @@ object DocDedup {
     simhashCols(docs, textCol, idCol).orderBy("doc_id")
 
   private def simhashCols(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    Par.spread(docs).select(col(idCol).as("doc_id"),
-      call_function("simhash64", split(col(textCol), " ")).as("simhash"))
+    Par.spread(docs)
+      // null-text docs were absent from the old explode+groupBy output
+      // (explode of null emits no rows) — keep that contract
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        call_function("simhash64", split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×16-bit band join (any equal quarter →
     * candidate), verified by Hamming distance ≤ maxHamming.
@@ -232,6 +237,11 @@ object DocDedup {
           col("mh.sh").as("sh"), col("mh.sig").as("sig"))
         .localCheckpoint()
     }
+    // docs shorter than n words carry the empty-set sentinel signature;
+    // banding them would cross-join every short fresh doc with every
+    // short corpus doc. They are dropped from the NEAR side only — the
+    // exact content-hash join above still catches short-doc exact dups.
+    def bandable(df: DataFrame): DataFrame = df.where(size(col("sh")) > 0)
     def banded(df: DataFrame): DataFrame = df.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -249,7 +259,7 @@ object DocDedup {
       .withColumn("match_kind", lit("exact"))
       .select("doc_id", "dup_of", "match_kind")
     // near: band join fresh × corpus only, verified by exact Jaccard
-    val candidates = banded(f).as("a").join(banded(c).as("b"),
+    val candidates = banded(bandable(f)).as("a").join(banded(bandable(c)).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("c_id"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))

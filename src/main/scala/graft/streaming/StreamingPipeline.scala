@@ -39,10 +39,14 @@ object StreamingPipeline {
   def fingerprintStream(docs: DataFrame, textCol: String = "text",
       shingleN: Int = 3, numHashes: Int = 16): DataFrame = {
     val words: Column = split(col(textCol), " ")
+    val mh = call_function("minhash_state", words, lit(shingleN), lit(numHashes))
     docs
       .withColumn("simhash", call_function("simhash64", words))
+      // docs shorter than shingleN words have no signature: persist
+      // NULL, not the empty-set sentinel — a stored sentinel would
+      // band-match every other short doc when batch LSH consumes the
+      // signature table
       .withColumn("minhash_sig",
-        call_function("minhash_state", words, lit(shingleN), lit(numHashes))
-          .getField("sig"))
+        when(size(mh.getField("sh")) > 0, mh.getField("sig")))
   }
 }

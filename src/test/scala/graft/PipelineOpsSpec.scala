@@ -217,6 +217,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.size === 3)
   }
 
+  test("incremental dedup: short docs match exactly but never band-join") {
+    import spark.implicits._
+    val corpus = Seq((1L, "hi"), (2L, "yo"), (3L, "a much longer corpus document right here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((100L, "hi"), (101L, "ok"), (102L, "bye"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DocDedup.incremental(corpus, fresh).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    // exact short dup found via the hash join; the other short docs are
+    // survivors — the empty-signature sentinel must NOT near-match them
+    assert(out(100L) === Some("exact"))
+    assert(out(101L) === None)
+    assert(out(102L) === None)
+  }
+
+  test("simhash drops null-text docs (explode-path contract)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = DocDedup.simhash(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("ngram jaccard df-cut prunes hot shingles but keeps true near-dups") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(sf() + "/documents.parquet")

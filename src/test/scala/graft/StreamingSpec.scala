@@ -231,9 +231,14 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .outputMode(OutputMode.Append).start()
     try {
       val text = "one two three four five six seven"
-      mem.addData(Doc(ts(1), 1, text))
+      mem.addData(Doc(ts(1), 1, text), Doc(ts(2), 2, "too short"))
       q.processAllAvailable()
-      val row = spark.table("fps").collect().head
+      val rows = spark.table("fps").collect()
+      // short docs persist a NULL signature, never the empty-set
+      // sentinel (which would band-match every other short doc)
+      val shortRow = rows.find(_.getAs[Long]("doc_id") == 2L).get
+      assert(shortRow.isNullAt(shortRow.fieldIndex("minhash_sig")))
+      val row = rows.find(_.getAs[Long]("doc_id") == 1L).get
       // batch twins computed through the same registered kernels
       val batch = spark.sql(
         s"""SELECT simhash64(split('$text', ' ')) AS sh,
