@@ -56,8 +56,14 @@ object Criteria {
     * pushes whatever it can into the scan (envelope-column equality
     * predicates reach the parquet reader; JSON extraction evaluates
     * post-scan, exactly as Presto does).
+    *
+    * Blank criteria (the shell default when an author omits it) means
+    * "everything" — the same contract the streaming paths document —
+    * instead of an expr("") ParseException that would silently skip
+    * the spec in batch.
     */
-  def toColumn(presto: String): Column = expr(rewrite(presto))
+  def toColumn(presto: String): Column =
+    if (presto.trim.isEmpty) lit(true) else expr(rewrite(presto))
 
   def apply(df: DataFrame, presto: String): DataFrame = df.where(toColumn(presto))
 

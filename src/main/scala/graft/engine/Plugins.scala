@@ -33,40 +33,65 @@ trait EventPlugin extends Serializable {
 
 object Plugins {
 
-  /** Token match: registration ∩ (keys ∪ tags ∪ category), or "*". */
-  def matches(plugin: EventPlugin, event: Doc): Boolean = {
-    if (plugin.registration.contains("*")) return true
+  /** Token set of an event: keys ∪ tags ∪ category, lowercased. */
+  private def eventTokens(event: Doc): Set[String] = {
     val tags = AlertDoc.seq(event, "tags").map(_.toString)
     val cat = event.get("category").filter(_ != null).map(_.toString).toSeq
-    val tokens = (event.keySet ++ tags ++ cat).map(_.toLowerCase)
-    plugin.registration.exists(r => tokens.contains(r.toLowerCase))
+    (event.keySet ++ tags ++ cat).map(_.toLowerCase)
   }
+
+  /** Token match: registration ∩ (keys ∪ tags ∪ category), or "*". */
+  def matches(plugin: EventPlugin, event: Doc): Boolean =
+    plugin.registration.contains("*") ||
+      plugin.registration.exists(r => eventTokens(event).contains(r.toLowerCase))
+
+  /** A plugin with its match predicate precomputed once per chain —
+    * the registration lowercase and wildcard check are invariant
+    * across the whole ingest, not per (event, plugin) pair.
+    */
+  private final case class Compiled(plugin: EventPlugin,
+      wildcard: Boolean, tokens: Set[String])
+
+  private def compile(plugins: Seq[EventPlugin]): Seq[Compiled] =
+    plugins.sortBy(_.priority).map(p => Compiled(p,
+      p.registration.contains("*"),
+      p.registration.map(_.toLowerCase).toSet))
 
   /** Run the chain over one event, priority order. */
   def sendEventToPlugins(event: Doc, plugins: Seq[EventPlugin]): Option[Doc] =
-    runSorted(event, plugins.sortBy(_.priority))
+    runCompiled(event, compile(plugins))
 
-  /** Chain already priority-sorted — the per-event hot path. */
-  private def runSorted(event: Doc, sorted: Seq[EventPlugin]): Option[Doc] =
-    sorted.foldLeft(Option(event)) { (acc, p) =>
-      acc.flatMap { ev =>
-        if (!matches(p, ev)) Some(ev)
-        else p.message(ev).map { out =>
-          val prov = AlertDoc.seq(out, "plugins").map(_.toString) :+ p.name
-          out + ("plugins" -> prov)
+  /** Per-event hot path: the event token set is computed lazily and
+    * only recomputed after a plugin actually mutated the event — a
+    * chain of non-matching plugins costs one set build, not N.
+    */
+  private def runCompiled(event: Doc, chain: Seq[Compiled]): Option[Doc] = {
+    var ev = event
+    var tokens: Set[String] = null
+    for (c <- chain) {
+      if (tokens == null) tokens = eventTokens(ev)
+      if (c.wildcard || c.tokens.exists(tokens.contains)) {
+        c.plugin.message(ev) match {
+          case None => return None
+          case Some(out) =>
+            val prov = AlertDoc.seq(out, "plugins").map(_.toString) :+ c.plugin.name
+            ev = out + ("plugins" -> prov)
+            tokens = null // keys/tags may have changed
         }
       }
     }
+    Some(ev)
+  }
 
   /** Distributed form over JSON-line events (the lake ingest path). */
   def run(events: Dataset[String], plugins: Seq[EventPlugin]): Dataset[String] = {
     import events.sparkSession.implicits._
-    val chain = plugins.sortBy(_.priority)
+    val chain = compile(plugins)
     events.mapPartitions { it =>
       it.flatMap { line =>
         Json.parse(line) match {
           case Some(m: Map[_, _]) =>
-            runSorted(m.asInstanceOf[Doc], chain).map(Json.write)
+            runCompiled(m.asInstanceOf[Doc], chain).map(Json.write)
           case _ => Some(line) // non-object lines pass through untouched
         }
       }

@@ -83,15 +83,19 @@ class Runner(
 
   /** process_deadman_alert (alerta.py:413-425): NO dedup — a deadman
     * fires every run while the condition holds (SURVEY.md §3.2).
+    * A FAILED query (fetch = None) is log-and-continue like every
+    * other spec — "no rows came back" must never be conflated with
+    * "zero events matched", or a broken criteria would false-fire the
+    * absence alert every run.
     */
   private def processDeadman(params: Doc, fetch: String => Option[DataFrame],
       now: Instant): Int = {
     val shell = Shells.deadman(params, now)
-    val ev = fetch(AlertDoc.str(shell, "criteria"))
-      .getOrElse(spark.range(0).selectExpr("'' as eventid").toDF())
-    val rows = Trigger.deadman(ev, shell, now).collect()
-    rows.foreach(r => alerts.save(shell ++ Rows.toDoc(r)))
-    rows.length
+    fetch(AlertDoc.str(shell, "criteria")).map { ev =>
+      val rows = Trigger.deadman(ev, shell, now).collect()
+      rows.foreach(r => alerts.save(shell ++ Rows.toDoc(r)))
+      rows.length
+    }.getOrElse(0)
   }
 
   /** The 2-hour lookback (S1): partition-column predicates when the

@@ -65,8 +65,10 @@ class SequenceEngine(
         case "deadman" =>
           // deadman slots skip dedup entirely — the Q5 quirk
           // (alerta.py:310-316); an untriggered deadman stays unfilled.
-          val ev = events.getOrElse(emptyEvents)
-          saveSlotAlerts(Trigger.deadman(ev, slot, now))
+          // A FAILED query (None) leaves the slot unfilled too — an
+          // errored criteria must not masquerade as "zero events" and
+          // falsely advance the sequence.
+          events.foreach(ev => saveSlotAlerts(Trigger.deadman(ev, slot, now)))
         case other =>
           log.warn(s"unknown slot alert_type '$other' — skipped")
       }

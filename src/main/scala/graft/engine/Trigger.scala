@@ -73,7 +73,17 @@ object Trigger {
     * Events with no value at the key path don't form groups (the
     * reference's keypaths() only yields existing leaves).
     */
+  private val log = org.apache.log4j.Logger.getLogger(getClass)
+
   private def grouped(events: DataFrame, dottedKey: String): DataFrame = {
+    // a blank or unresolvable key makes every __value NULL — the rule
+    // would silently never fire, indistinguishable from a quiet lake.
+    // Be loud about it (the bad-criteria path already is).
+    if (dottedKey.trim.isEmpty)
+      log.warn("aggregation_key is blank — rule can never fire")
+    else if (Paths.leafType(events.schema, dottedKey).isEmpty)
+      log.warn(s"aggregation_key '$dottedKey' does not resolve against the " +
+        s"event schema — rule can never fire")
     val keyCol = Paths.column(events.schema, dottedKey).cast(StringType)
     val evStruct = struct(events.columns.map(col): _*)
     events
@@ -109,7 +119,10 @@ object Trigger {
         lit(AlertDoc.str(spec, "category")).as("category"),
         (if (tags.isEmpty) array().cast(ArrayType(StringType))
          else array(tags.map(lit): _*)).as("tags"),
-        lit(AlertDoc.int(spec, "threshold", 0)).as("threshold"),
+        // record the same default the evaluation used: threshold
+        // alerts fire at count >= 1 when unspecified, deadman at <= 0
+        lit(AlertDoc.int(spec, "threshold",
+          if (AlertDoc.str(spec, "alert_type") == "threshold") 1 else 0)).as("threshold"),
         lit(AlertDoc.str(spec, "aggregation_key")).as("aggregation_key"),
         lit(AlertDoc.str(spec, "criteria")).as("criteria"),
         lit(snippetTpl).as("event_snippet"),

@@ -34,7 +34,11 @@ object Temporal {
     val l2 = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
       leftStruct.as("__l"), lit(null).cast(rightType).as("__r"))
-    val r2 = right.select(
+    // join semantics on the key: NULL never matches NULL (the window
+    // partition would otherwise lump all null keys together and carry
+    // across them) — null-key right rows can never be picked, null-key
+    // left rows keep flowing with null payload
+    val r2 = right.where(col(keyCol).isNotNull).select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
       lit(null).cast(leftType).as("__l"),
       struct(rightCols.map(col): _*).as("__r"))
@@ -56,14 +60,18 @@ object Temporal {
     * explosion; skew follows key cardinality like any equi-join.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      lTs: String, rTs: String, toleranceUs: Long): DataFrame = {
+      lTs: String, rTs: String, toleranceUs: Long,
+      suffix: String = "_r"): DataFrame = {
     val l = left.select(col("*"), unix_micros(col(lTs)).as("__lus"))
     val r = right.select(col(keyCol).as("__rk"), unix_micros(col(rTs)).as("__rus"))
     l.join(r,
         l(keyCol) === r("__rk") &&
           r("__rus") >= l("__lus") - toleranceUs &&
           r("__rus") <= l("__lus") + toleranceUs)
-      .drop("__rk")
+      // matched right timestamp surfaces as a documented column; the
+      // internal epoch-micros helpers never leak
+      .withColumn(rTs + suffix, timestamp_micros(col("__rus")))
+      .drop("__rk", "__rus", "__lus")
   }
 
   /** Gap-based sessionization: events more than `gapUs` microseconds

@@ -44,16 +44,19 @@ object StreamingAlerts {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val keyCol = Paths.column(events.schema, AlertDoc.str(spec, "aggregation_key"))
       .cast(StringType)
-    // watermark attaches BEFORE the criteria filter: the event-time
-    // clock must advance on ANY lake traffic, or a quiet criteria
-    // would freeze window close-out (and for deadman, starve the very
-    // absence signal it exists to detect)
+    // cast then watermark FIRST (same rule as deadmanKeyed: a cast
+    // after withWatermark mints an untagged attribute), and watermark
+    // BEFORE the criteria filter: the event-time clock must advance on
+    // ANY lake traffic, or a quiet criteria would freeze window
+    // close-out (and for deadman, starve the very absence signal it
+    // exists to detect)
     whereAfterWatermark(
       events
-        .withWatermark(tsCol, watermarkDelay)
+        .withColumn("__ts", col(tsCol).cast("timestamp"))
+        .withWatermark("__ts", watermarkDelay)
         .withColumn("__value", keyCol),
       criteriaColumn(spec) && col("__value").isNotNull)
-      .groupBy(window(col(tsCol), windowDuration), col("__value"))
+      .groupBy(window(col("__ts"), windowDuration), col("__value"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= th)
       .select(
@@ -124,7 +127,10 @@ object StreamingAlerts {
     val spark = events.sparkSession
     import spark.implicits._
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
-    val lifespanMs = graft.functions.Dates.interval(lifespan).toMillis
+    // the spec's lifespan wins (same knob the batch engine reads);
+    // the parameter is only the default for spec-less callers
+    val lifespanMs = graft.functions.Dates.interval(
+      AlertDoc.str(spec, "lifespan", lifespan)).toMillis
     val keyed = deadmanKeyed(events, spec, tsCol, watermarkDelay)
 
     keyed.flatMapGroupsWithState(

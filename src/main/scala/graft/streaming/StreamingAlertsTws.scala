@@ -75,7 +75,8 @@ object StreamingAlertsTws {
     val spark = events.sparkSession
     import spark.implicits._
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
-    val lifespanMs = graft.functions.Dates.interval(lifespan).toMillis
+    val lifespanMs = graft.functions.Dates.interval(
+      AlertDoc.str(spec, "lifespan", lifespan)).toMillis
     val keyed = StreamingAlerts.deadmanKeyed(events, spec, tsCol, watermarkDelay)
     keyed.transformWithState(
       new DeadmanProcessor(name, lifespanMs), TimeMode.EventTime(), OutputMode.Append)

@@ -108,6 +108,24 @@ class RunnerSpec extends AnyFunSuite with SparkSuite {
     assert(runner.inflight.count === created - 1)
   }
 
+  test("deadman with broken criteria skips — never false-fires on query failure") {
+    val runner = mkRunner()
+    val broken = deadmanSpec ++ Map("criteria" -> "THIS IS NOT ((( SQL")
+    val stats = runner.runOnce(Tables(spark, sf(), "events"), Seq(broken), now)
+    // a failed query must read as "unknown", not "zero events matched"
+    assert(stats.alertsSaved === 0)
+    assert(runner.alerts.all().isEmpty)
+  }
+
+  test("blank criteria means everything (batch/streaming contract parity)") {
+    val runner = mkRunner()
+    val noCriteria = thresholdSpec - "criteria"
+    val stats = runner.runOnce(Tables(spark, sf(), "events"), Seq(noCriteria), now)
+    // shells default criteria to "" — the spec evaluates over all
+    // events instead of dying in expr("")
+    assert(stats.alertsSaved > 0)
+  }
+
   test("yaml specs load and dispatch (S6)") {
     val dir = Files.createTempDirectory("graft-specs")
     Files.writeString(dir.resolve("a.yml"),

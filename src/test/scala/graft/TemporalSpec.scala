@@ -22,6 +22,17 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(r.map(_.getAs[String]("tag_r")).toSeq === Seq("a", "b", null))
   }
 
+  test("asof join: NULL keys never match NULL keys (join semantics)") {
+    val left = Seq((1L, Option.empty[Long], ts(10)), (2L, Option(100L), ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((Option.empty[Long], ts(5), "nullside"), (Option(100L), ts(5), "a"))
+      .toDF("user_id", "ts", "tag")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", Seq("tag"))
+      .orderBy("event_id").collect()
+    // the null-key left row must NOT pick up the null-key right row
+    assert(r.map(_.getAs[String]("tag_r")).toSeq === Seq(null, "a"))
+  }
+
   test("asof join: NULL in the matched right row stays NULL (no back-fill)") {
     val left = Seq((1L, 100L, ts(20))).toDF("event_id", "user_id", "ts")
     val right = Seq((100L, ts(5), Option("old")), (100L, ts(10), Option.empty[String]))
