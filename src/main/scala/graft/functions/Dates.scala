@@ -103,7 +103,7 @@ object Dates {
     * reference corpus uses (alerta.py:266, SURVEY.md §2.6 T6).
     */
   def interval(lifespan: String): Duration = {
-    val rx = raw"(?i)\s*(\d+)\s*(week|day|hour|minute|min|second|sec|w|d|h|m|s)s?\s*".r
+    val rx = raw"(?i)\s*(\d+)\s*(week|day|hour|minute|millisecond|milli|ms|min|second|sec|w|d|h|m|s)s?\s*".r
     lifespan.trim match {
       case rx(n, unit) =>
         val v = n.toLong
@@ -113,6 +113,7 @@ object Dates {
           case "hour" | "h"                  => Duration.ofHours(v)
           case "minute" | "min" | "m"        => Duration.ofMinutes(v)
           case "second" | "sec" | "s"        => Duration.ofSeconds(v)
+          case "millisecond" | "milli" | "ms" => Duration.ofMillis(v)
         }
       case other =>
         throw new IllegalArgumentException(s"Unparseable lifespan: '$other'")

@@ -25,7 +25,7 @@ object Json {
 
   def write(v: Any): String = mapper.writeValueAsString(toJava(v))
 
-  private def fromJava(v: Any): Any = v match {
+  private[graft] def fromJava(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
       m.asScala.map { case (k, value) => k.toString -> fromJava(value) }.toMap
     case l: java.util.List[_] => l.asScala.map(fromJava).toSeq

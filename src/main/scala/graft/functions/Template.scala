@@ -113,8 +113,12 @@ object Template {
     * rendering of JSON-parsed integers.
     */
   private def asString(c: Column, dt: DataType): Column = dt match {
-    case DoubleType | FloatType =>
-      when(c.cast(LongType).cast(dt) === c, c.cast(LongType).cast(StringType))
+    // mirror driver-side format exactly: Doubles only, and only below
+    // 1e15 (above it Double.toString goes scientific and the driver
+    // keeps that form); Floats render via toString on both sides
+    case DoubleType =>
+      when(c.cast(LongType).cast(dt) === c && abs(c) < lit(1e15),
+        c.cast(LongType).cast(StringType))
         .otherwise(c.cast(StringType))
     case _ => c.cast(StringType)
   }

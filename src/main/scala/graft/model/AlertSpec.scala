@@ -69,9 +69,13 @@ object AlertDoc {
   def subDict(doc: Doc, keys: Seq[String], default: Any = null): Doc =
     keys.map(k => k -> doc.getOrElse(k, default)).toMap
 
-  /** Does target contain every key/value of query? (dict_match) */
+  /** Does target contain every key/value of query? (dict_match —
+    * utils/dict_helpers.py projects onto the query's TOP-LEVEL keys;
+    * recursive enumKeys would inject nested keys and break any query
+    * holding a nested map)
+    */
   def dictMatch(query: Doc, target: Doc): Boolean =
-    subDict(target, enumKeys(query).toSeq) == query
+    subDict(target, query.keys.toSeq) == query
 
   /** All values of `key` anywhere in a nested structure (find_keys). */
   def findKeys(node: Any, key: String): Iterator[Any] = node match {
@@ -164,7 +168,7 @@ object AlertSpecs {
   import AlertDoc.Doc
 
   def parseYaml(text: String): Doc =
-    fromJava(new Yaml().load[Any](text)) match {
+    graft.functions.Json.fromJava(new Yaml().load[Any](text)) match {
       case m: Map[_, _] => m.asInstanceOf[Doc]
       case _            => Map.empty
     }
@@ -189,12 +193,6 @@ object AlertSpecs {
     }
   }
 
-  private def fromJava(v: Any): Any = v match {
-    case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, value) => k.toString -> fromJava(value) }.toMap
-    case l: java.util.List[_] => l.asScala.map(fromJava).toSeq
-    case other                => other
-  }
 
   def toJson(doc: AlertDoc.Doc): String = Json.write(doc)
 }

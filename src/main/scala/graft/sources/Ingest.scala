@@ -55,7 +55,9 @@ object Ingest {
   /** Parse brace-concatenated blobs straight into a DataFrame. */
   def readJsonBlocks(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.text(path).as[String]
+    // wholetext: the brace-balance splitter needs the full blob — a
+    // line-based read would shred multi-line objects before it runs
+    spark.read.option("wholetext", "true").text(path).as[String]
       .transform(jsonBlocks)
       .transform(ds => spark.read.json(ds))
   }

@@ -111,5 +111,31 @@ class DatesSpec extends AnyFunSuite {
     assert(Dates.interval("7 days").toDays === 7)
     assert(Dates.interval("45 minutes").toMinutes === 45)
     assert(Dates.interval("2 weeks").toDays === 14)
+    // ms is milliseconds (pandas Timedelta), never 500 minutes
+    assert(Dates.interval("500 ms").toMillis === 500)
+    assert(Dates.interval("250 milliseconds").toMillis === 250)
+    assert(Dates.interval("5 m").toMinutes === 5)
+    assert(Dates.interval("5 mins").toMinutes === 5)
+  }
+
+  test("toUTC digit-length quirk is reference parity (utils/dates.py:59)") {
+    // the reference divides DIGIT-STRING epochs by 10^(len % 10): a
+    // 9-digit epoch-seconds value collapses toward 1970 on the digit
+    // path, while the SAME value as a float uses log10 magnitude and
+    // parses correctly. Faithful parity, quirk included — pin both.
+    assert(Dates.toUTC("946684800") ===
+      java.time.Instant.ofEpochSecond(0, 946684800L))
+    assert(Dates.toUTC(946684800.0) ===
+      java.time.Instant.parse("2000-01-01T00:00:00Z"))
+    // 10-digit seconds and 13-digit millis both scale correctly
+    assert(Dates.toUTC("1704067200") === java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(Dates.toUTC("1704067200000") === java.time.Instant.parse("2024-01-01T00:00:00Z"))
+  }
+
+  test("dictMatch projects onto the query's top-level keys (nested maps work)") {
+    val target: graft.model.AlertDoc.Doc =
+      Map("details" -> Map("x" -> 1), "other" -> 2)
+    assert(AlertDoc.dictMatch(Map("details" -> Map("x" -> 1)), target))
+    assert(!AlertDoc.dictMatch(Map("details" -> Map("x" -> 9)), target))
   }
 }
