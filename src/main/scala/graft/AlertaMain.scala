@@ -27,7 +27,7 @@ object AlertaMain {
         }
         (req("events_path"), req("alerts_file_mask"), req("store_dir"),
           Some(graft.model.AlertDoc.str(cfg, "now")).filter(_.nonEmpty))
-      case e :: s :: d :: rest if !e.startsWith("-") =>
+      case e :: s :: d :: rest if !e.startsWith("-") && rest.length <= 1 =>
         (e, s, d, rest.headOption)
       case _ =>
         sys.error("usage: AlertaMain <eventsParquet> <specsGlob> <storeDir> [nowIso] | -c config.yml")

@@ -50,6 +50,12 @@ private[graft] object QueriesAlert {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // one CSV scratch dir per JVM (overwritten per run) — a fresh temp
+  // dir per q39 invocation would leak a full table copy every bench/
+  // verify round
+  private lazy val csvTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft-csv").toString
+
   def registry: Seq[Q] = Seq(
     // G1+G2 (mostCommon + threshold trigger): criteria through the
     // dialect shim, group-count by the aggregation key, fire count>=N.
@@ -119,10 +125,11 @@ private[graft] object QueriesAlert {
           .select("event_id", "user_id")
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, user_id FROM events
-             |WHERE event_type = 'purchase' AND event_id NOT IN (
-             |  SELECT event_id FROM events
-             |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08')
+      Some("""SELECT event_id, user_id FROM events e
+             |WHERE event_type = 'purchase' AND NOT EXISTS (
+             |  SELECT 1 FROM events a
+             |  WHERE a.event_type = 'purchase' AND a.ts < TIMESTAMP '2024-01-08'
+             |    AND a.event_id = e.event_id)
              |ORDER BY event_id""".stripMargin)),
 
     // G1/O1 (mostCommon over a dotted JSON path): group-count by a
@@ -336,22 +343,24 @@ private[graft] object QueriesAlert {
       Some(ExistsSql)),
 
     // S4 surface (CSV source/sink): events round-trip through
-    // headered CSV with schema inference, then aggregate — identity
-    // proven against direct SQL on the parquet table.
+    // headered CSV with schema inference, then aggregate. The compare
+    // covers the aggregated columns plus min/max of the id column, so
+    // inference drift on the round-tripped ids fails the gate too.
     Q("q39_csv_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
         Tables(s, dir, "events").where(col("event_type") === "signup")
           .select("event_id", "user_id", "value")
-          .write.mode("overwrite").option("header", "true").csv(tmp)
-        s.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+          .write.mode("overwrite").option("header", "true").csv(csvTmpDir)
+        s.read.option("header", "true").option("inferSchema", "true").csv(csvTmpDir)
           .groupBy("user_id")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+            min(col("event_id")).as("min_eid"), max(col("event_id")).as("max_eid"))
           .orderBy("user_id")
       },
       Some("""SELECT user_id, COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
              |FROM events WHERE event_type = 'signup'
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
@@ -386,7 +395,8 @@ private[graft] object QueriesAlert {
           val name = "flagger"; val registration = Seq("*")
           override val priority = 10
           def message(e: Doc): Option[Doc] = Some(e + ("flagged" ->
-            (graft.model.AlertDoc.str(e, "value").toDouble > 150)))
+            // to_json drops null fields — an absent value is "" here
+            graft.model.AlertDoc.str(e, "value").toDoubleOption.exists(_ > 150)))
         }
         object DropViews extends EventPlugin {
           val name = "drop_views"; val registration = Seq("*")

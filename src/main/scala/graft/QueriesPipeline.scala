@@ -312,13 +312,20 @@ private[graft] object QueriesPipeline {
       (s, dir) => Similarity.quantizeInt8(Tables(s, dir, "embeddings")),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |s AS (SELECT vec_id, v,
-             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+             |-- zero-scale guard mirrors the Spark side: an all-zero
+             |-- vector quantizes to zeros, never NaN/NULL
+             |qq AS (SELECT vec_id, scale,
+             |        CASE WHEN scale > 0
+             |          THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+             |          ELSE list_transform(v, x -> 0) END AS q
+             |       FROM s)
              |SELECT vec_id,
              |  CAST(floor(scale * 1000000000) AS BIGINT) AS scale_e9,
-             |  CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5))) AS BIGINT) AS q_sum,
-             |  CAST(list_sum(list_transform(v, x -> abs(floor(x / scale + 0.5)))) AS BIGINT) AS q_l1,
-             |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
-             |FROM s ORDER BY vec_id""".stripMargin)),
+             |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(q, x -> abs(CAST(x AS BIGINT)))) AS BIGINT) AS q_l1,
+             |  q
+             |FROM qq ORDER BY vec_id""".stripMargin)),
 
     // sketch surface: HLL++ approximate distinct beside the exact
     // count. At 100 TB exact countDistinct shuffles every distinct

@@ -27,7 +27,14 @@ object SparkEntry {
 
   import SparkEntryRegistry.Q
 
-  private def registry: Seq[Q] = coreQueries ++ QueriesAlert.registry ++ QueriesPipeline.registry
+  private def registry: Seq[Q] = {
+    val all = coreQueries ++ QueriesAlert.registry ++ QueriesPipeline.registry
+    // a duplicate name would silently shadow a query AND its oracle
+    // check — the correctness gate would shrink with no signal
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

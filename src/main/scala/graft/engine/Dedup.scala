@@ -21,7 +21,15 @@ object Dedup {
       idCol: String = "eventid"): DataFrame =
     antiJoin(events, inflightIds, idCol)
 
+  private val log = org.apache.log4j.Logger.getLogger(getClass)
+
   private def antiJoin(events: DataFrame, ids: DataFrame, idCol: String): DataFrame =
-    if (!events.columns.contains(idCol)) events
-    else events.join(broadcast(ids), Seq(idCol), "left_anti")
+    if (!events.columns.contains(idCol)) {
+      // a lake without the id column means dedup can't run — every
+      // alert would re-fire each run. Be loud, like the
+      // bad-aggregation-key path in Trigger.
+      log.warn(s"dedup id column '$idCol' not in the event schema — " +
+        "already-alerted suppression is OFF for this run")
+      events
+    } else events.join(broadcast(ids), Seq(idCol), "left_anti")
 }

@@ -44,10 +44,18 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("q_norm"))
     val c = Par.spread(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
       sqrt(dot(col(vecCol), col(vecCol))).as("c_norm")))
-    val scored = c.crossJoin(broadcast(q))
-      .select(col("q_id"), col("vec_id"),
-        floor(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")) * 1e6)
-          .cast("long").as("cos_e6"))
+    rankTopK(c.crossJoin(broadcast(q)), k)
+  }
+
+  /** Shared ANN tail: micro-cosine score over precomputed norms, then
+    * the rank-k cut per query — ONE definition of the score/tie-break
+    * contract for every ANN surface (brute-force and LSH would drift
+    * apart otherwise).
+    */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.select(col("q_id"), col("vec_id"),
+      floor(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")) * 1e6)
+        .cast("long").as("cos_e6"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -105,15 +113,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       srpBucket(col(vecCol), planes).as("bucket"),
       sqrt(dot(col(vecCol), col(vecCol))).as("q_norm"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .select(col("q_id"), col("vec_id"),
-        floor(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")) * 1e6)
-          .cast("long").as("cos_e6"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos_e6")
-      .orderBy("q_id", "rank")
+    rankTopK(c.join(broadcast(q), Seq("bucket")), k)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column —

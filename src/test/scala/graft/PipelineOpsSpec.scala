@@ -76,6 +76,13 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.length === 1)
     assert((r.head.getAs[Long]("a_id"), r.head.getAs[Long]("b_id")) === (0L, 1L))
     assert(r.head.getAs[Long]("cos_e6") === 1000000L)
+    // the public cosine/cosineMicro column API agrees with the inline
+    // precomputed-norm math the scorers use
+    val api = e.as("a").crossJoin(e.as("b"))
+      .where(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(graft.ops.Similarity.cosineMicro(col("a.embedding"), col("b.embedding")))
+      .collect().head.getLong(0)
+    assert(api === 1000000L)
   }
 
   test("brute-force top-k: query's own vector ranks first") {
