@@ -36,8 +36,8 @@ object Multimodal {
 
   /** Binary ingestion: any table with an id + string payload becomes a
     * blob table (stand-in for reading image/audio bytes); real media
-    * would arrive via `spark.read.format("binaryFile")` with identical
-    * downstream shape.
+    * would arrive via [[readBinaryDir]] with identical downstream
+    * shape.
     */
   def toBlobs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): Dataset[Blob] = {
@@ -45,6 +45,23 @@ object Multimodal {
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload")).as[Blob]
+  }
+
+  /** The production media source: a directory of files via Spark's
+    * `binaryFile` format (path, modificationTime, length, content).
+    * Ids derive deterministically from the file path (xxhash64), so
+    * re-ingest is stable; `pathGlobFilter` limits to the media
+    * extension. Downstream shape is identical to [[toBlobs]] — the
+    * decode pipeline never knows which source fed it.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[Blob] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("doc_id"), col("content").as("payload"))
+      .as[Blob]
   }
 
   /** The decode pipeline: mapPartitions so a real decoder initializes

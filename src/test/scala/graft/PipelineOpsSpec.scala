@@ -264,6 +264,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(cut === full, "no shingle in this corpus is hot enough to change results")
   }
 
+  test("multimodal binaryFile source feeds the same decode pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.img"), Array.fill[Byte](100)(1))
+      java.nio.file.Files.write(dir.resolve("b.img"), Array.fill[Byte](321)(2))
+      java.nio.file.Files.write(dir.resolve("skip.txt"), Array.fill[Byte](9)(3))
+      val blobs = Multimodal.readBinaryDir(spark, dir.toString, glob = "*.img")
+      val metas = Multimodal.extractMetadata(blobs).collect()
+      assert(metas.length === 2) // glob filtered the .txt out
+      assert(metas.map(_.byte_len).sorted.toSeq === Seq(100L, 321L))
+      // ids are deterministic across re-reads (derived from the path)
+      val again = Multimodal.readBinaryDir(spark, dir.toString, glob = "*.img")
+        .collect().map(_.doc_id).sorted.toSeq
+      assert(again === blobs.collect().map(_.doc_id).sorted.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("multimodal batched decode equals the row-at-a-time decode") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val blobs = Multimodal.toBlobs(docs)
