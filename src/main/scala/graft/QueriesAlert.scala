@@ -238,6 +238,27 @@ private[graft] object QueriesAlert {
     // on Spark (temp view + spark.sql) and DuckDB — rollup grouping,
     // set operations, correlated subqueries all come free with the
     // criteria passthrough contract.
+    // the registered Presto dialect end-to-end through spark.sql: a
+    // criteria author's json_extract_scalar / strpos / array contains
+    // run natively (Functions.register), no textual rewrite involved.
+    Q("q50_presto_dialect",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT user_id, COUNT(*) AS cnt
+                |FROM events
+                |WHERE json_extract_scalar(props, '$.k') IS NOT NULL
+                |  AND strpos(event_type, 'c') = 1
+                |  AND contains(array('click', 'purchase'), event_type)
+                |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, COUNT(*) AS cnt
+             |FROM events
+             |WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |  AND strpos(event_type, 'c') = 1
+             |  AND event_type IN ('click', 'purchase')
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("q17_rollup",
       (s, dir) => {
         Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
