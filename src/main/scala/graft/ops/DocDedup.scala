@@ -305,21 +305,22 @@ object DocDedup {
       val prop = edges
         .join(labels.withColumnRenamed("node", "src").withColumnRenamed("label", "slabel"), "src")
         .groupBy(col("dst").as("node")).agg(min(col("slabel")).as("nlabel"))
+      // carry the pre-round label as `old` through both steps: the
+      // convergence check is then a plain scan of the checkpointed
+      // round output instead of a third join against the old labels
       val pushed = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jump: adopt the label's own label when smaller (labels
       // are always node ids, so the lookup side is labels itself)
       val updated = pushed.as("u")
         .join(labels.select(col("node").as("label"), col("label").as("plabel")),
           Seq("label"), "left")
-        .select(col("node"),
+        .select(col("node"), col("old"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") < col("old")).count()
-      labels = updated
+      changed = updated.where(col("label") < col("old")).count()
+      labels = updated.select("node", "label")
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
