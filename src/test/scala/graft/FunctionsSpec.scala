@@ -66,6 +66,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(df.length === 3)
   }
 
+  test("json block tokenizer: malformed tails drop, inter-block noise ignored") {
+    // a truncated trailing object never emits (no partial JSON downstream)
+    assert(Ingest.splitJsonBlocks("""{"a":1}{"b":""") === Seq("""{"a":1}"""))
+    // noise between blocks (newlines, commas, log prefixes) is skipped
+    assert(Ingest.splitJsonBlocks("junk {\"a\":1}\n,,{\"b\":2} trailing")
+      === Seq("""{"a":1}""", """{"b":2}"""))
+    // braces inside strings (incl. escapes) don't fool the balance
+    assert(Ingest.splitJsonBlocks("""{"s":"}{\"{"}""") === Seq("""{"s":"}{\"{"}"""))
+  }
+
   test("dict helpers: sub_dict / dict_match / find_keys / enum_*") {
     val d: Doc = Map("a" -> 1, "b" -> Map("c" -> 2, "d" -> Seq(Map("e" -> 3))))
     assert(AlertDoc.subDict(d, Seq("a", "z")) === Map("a" -> 1, "z" -> null))
