@@ -18,6 +18,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -28,6 +29,11 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v):
+        # mirror the driver: values pass through pandas, so DuckDB
+        # HUGEINT (e.g. SUM over INTEGER) arrives as float64 and must
+        # stringify differently from an int64 — keep that visible here.
+        if isinstance(v, np.generic):
+            v = v.item()
         if v is None:
             return "NULL"
         if isinstance(v, float):
@@ -56,12 +62,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result written")
             failures += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [d[0] for d in con.description]
+        gdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        got = [tuple(r) for r in gdf.itertuples(index=False, name=None)]
+        got_cols = list(gdf.columns)
         try:
-            want = con.execute(oracle[name]).fetchall()
-            want_cols = [d[0] for d in con.description]
+            wdf = con.execute(oracle[name]).df()
+            want = [tuple(r) for r in wdf.itertuples(index=False, name=None)]
+            want_cols = list(wdf.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1

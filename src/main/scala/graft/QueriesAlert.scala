@@ -316,7 +316,7 @@ private[graft] object QueriesAlert {
           .orderBy("seg")
       },
       Some("""SELECT COALESCE(c_mktsegment, 'NONE') AS seg, COUNT(*) AS n,
-             |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS no_orders
+             |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_orders
              |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 

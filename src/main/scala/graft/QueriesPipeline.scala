@@ -282,7 +282,7 @@ private[graft] object QueriesPipeline {
              |       THEN 1 ELSE 0 END AS ns
              |  FROM t),
              |s AS (SELECT user_id, us,
-             |  SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
+             |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM m)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |  min(us) AS start_us, max(us) AS end_us
@@ -308,8 +308,11 @@ private[graft] object QueriesPipeline {
     // int8 scalar quantization of embeddings (4× memory before ANN
     // indexing): exact integer math after round-half-up, so the whole
     // quantized vector is oracle-checked element-wise.
+    // (the raw int8 array is exported as a CSV string: the driver's
+    // pandas-side compare cannot sort/hash ndarray cells)
     Q("q45_quantize_int8",
-      (s, dir) => Similarity.quantizeInt8(Tables(s, dir, "embeddings")),
+      (s, dir) => Similarity.quantizeInt8(Tables(s, dir, "embeddings"))
+        .withColumn("q", array_join(col("q").cast("array<string>"), ",")),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |s AS (SELECT vec_id, v,
              |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
@@ -324,7 +327,7 @@ private[graft] object QueriesPipeline {
              |  CAST(floor(scale * 1000000000) AS BIGINT) AS scale_e9,
              |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
              |  CAST(list_sum(list_transform(q, x -> abs(CAST(x AS BIGINT)))) AS BIGINT) AS q_l1,
-             |  q
+             |  array_to_string(q, ',') AS q
              |FROM qq ORDER BY vec_id""".stripMargin)),
 
     // sketch surface: HLL++ approximate distinct beside the exact
