@@ -18,7 +18,12 @@ object Bench {
     // wildly with co-tenant load (observed 5× on identical plans); the
     // min is the honest capability number and both BENCH and BASELINE
     // come from this same harness
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query-name filter (iteration aid;
+    // the driver passes no args and benches everything)
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()

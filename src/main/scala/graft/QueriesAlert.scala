@@ -428,7 +428,11 @@ private[graft] object QueriesAlert {
         val jsonl = Tables(s, dir, "events")
           .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
           .as[String]
-        s.read.json(Plugins.run(jsonl, Seq(DropViews, Flagger)))
+        // explicit schema: read.json on a Dataset[String] otherwise
+        // runs a whole extra inference pass over every event
+        val outSchema = "event_id LONG, event_type STRING, value DOUBLE, " +
+          "flagged BOOLEAN, plugins ARRAY<STRING>"
+        s.read.schema(outSchema).json(Plugins.run(jsonl, Seq(DropViews, Flagger)))
           .groupBy("event_type", "flagged")
           .agg(count(lit(1)).as("cnt"))
           .orderBy("event_type", "flagged")

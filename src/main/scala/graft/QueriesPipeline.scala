@@ -81,15 +81,37 @@ private[graft] object QueriesPipeline {
 
     // approximate candidate generation — rows-only check; the exact
     // verification inside makes precision exact, recall probabilistic.
+    // Oracle = EXACT all-pairs Jaccard ≥ threshold: on this corpus
+    // every true near-dup pair has jac ≥ 0.9, where a 4×4 band scheme
+    // has ~98.7% per-pair recall and empirically catches all of them —
+    // and verification is exact Jaccard, so precision is exact. The
+    // LSH output therefore equals the exact pair set (verified against
+    // sf0.01; jac is int/int IEEE division on both engines).
     Q("q22_dedup_minhash_lsh",
       (s, dir) => DocDedup.minhashLsh(Tables(s, dir, "documents"),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5),
-      None),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |        FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
+             |        WHERE i+2 <= len(ws)),
+             |sh AS (SELECT DISTINCT doc_id, s FROM tok),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT a_id, b_id, inter*1.0/(sa.n+sb.n-inter) AS jac
+             |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+             |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // nightly-ingest pattern: dedupe a fresh batch against the
-    // historical corpus (never corpus × corpus). Rows-only (MinHash
-    // bands are engine-native); PipelineOpsSpec pins the exact/near/
-    // survivor semantics.
+    // historical corpus (never corpus × corpus). Oracle restates the
+    // NET semantics relationally: exact = content-hash equi-join (min
+    // corpus id), near = exact fresh×corpus Jaccard ≥ threshold minus
+    // exact matches — the MinHash band stage is recall-complete on
+    // this corpus (all true pairs sit at jac ≥ 0.9), and the verify
+    // stage is exact Jaccard, so the band path reduces to the
+    // relational definition. PipelineOpsSpec pins the same three-way
+    // split on adversarial fixtures.
     Q("q47_incremental_dedup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -97,7 +119,35 @@ private[graft] object QueriesPipeline {
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0))
       },
-      None),
+      Some("""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+             |c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+             |ex AS (SELECT f.doc_id, min(c.doc_id) AS dup_of
+             |       FROM f JOIN c ON md5(f.text) = md5(c.text) GROUP BY 1),
+             |wf AS (SELECT doc_id, string_split(text,' ') AS ws FROM f),
+             |wc AS (SELECT doc_id, string_split(text,' ') AS ws FROM c),
+             |tf AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM wf) t
+             |       WHERE i+2 <= len(ws)),
+             |tc AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM wc) t
+             |       WHERE i+2 <= len(ws)),
+             |shf AS (SELECT DISTINCT doc_id, s FROM tf),
+             |shc AS (SELECT DISTINCT doc_id, s FROM tc),
+             |szf AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
+             |szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+             |pr AS (SELECT a.doc_id AS f_id, b.doc_id AS c_id, COUNT(*) AS inter
+             |       FROM shf a JOIN shc b ON a.s = b.s GROUP BY 1, 2),
+             |nr AS (SELECT f_id, min(c_id) AS dup_of
+             |       FROM pr JOIN szf ON szf.doc_id = f_id JOIN szc ON szc.doc_id = c_id
+             |       WHERE inter*1.0/(szf.n+szc.n-inter) >= 0.5
+             |         AND f_id NOT IN (SELECT doc_id FROM ex) GROUP BY 1)
+             |SELECT f.doc_id,
+             |  COALESCE(ex.dup_of, nr.dup_of) AS dup_of,
+             |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+             |       WHEN nr.f_id IS NOT NULL THEN 'near' END AS match_kind
+             |FROM f LEFT JOIN ex ON ex.doc_id = f.doc_id
+             |       LEFT JOIN nr ON nr.f_id = f.doc_id
+             |ORDER BY f.doc_id""".stripMargin)),
 
     Q("q23_dedup_simhash",
       (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
@@ -140,15 +190,27 @@ private[graft] object QueriesPipeline {
       None),
 
     // IVF ANN: coarse k-means cells, nprobe probing, exact rank within
-    // candidates. Deterministic but iterative-float — rows-only check;
-    // recall vs q25 is asserted in PipelineOpsSpec.
+    // candidates. With nprobe=4 the probed cells cover every true
+    // neighbor on this dataset (recall 1.0, also asserted vs q25 in
+    // PipelineOpsSpec), so the brute-force oracle applies verbatim:
+    // within-candidate scoring is the same deterministic fold as q25.
     Q("q36_ann_ivf_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         graft.ops.Ivf.topK(emb, emb.where(col("vec_id") < 5), k = 3,
           cells = 16, nprobe = 4)
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id,
+              |    CAST(floor((${duckCos("q.qv", "e.v")}) * 1000000) AS BIGINT) AS cos_e6
+              |  FROM e, q),
+              |ranked AS (SELECT q_id, vec_id, cos_e6,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     Q("q27_text_quality",
       (s, dir) => TextAnalysis.quality(Tables(s, dir, "documents")),
