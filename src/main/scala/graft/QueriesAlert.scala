@@ -57,6 +57,48 @@ private[graft] object QueriesAlert {
     java.nio.file.Files.createTempDirectory("graft-csv").toString
 
   def registry: Seq[Q] = Seq(
+    // The STREAMING threshold path through the oracle gate: events
+    // replayed as a file stream (AvailableNow), criteria + watermark +
+    // tumbling-window count in StreamingAlerts.thresholdStream, drained
+    // into a memory sink. Complete output mode so trailing windows
+    // (those the final watermark never closes) emit too — the backfill
+    // drain semantic; the oracle is the equivalent batch window SQL.
+    Q("q53_stream_threshold",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        // glob form: FileStreamSource needs a directory base path, and
+        // the one-char class makes the sf dir (not the file) the base
+        val path = s"$dir/events.[p]arquet"
+        // schema as the parquet file stores it (ts = nanos long under
+        // nanosAsLong); normalizeTs then restores the µs timestamp
+        val raw = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(path))
+        val spec: graft.model.AlertDoc.Doc = Map(
+          "alert_name" -> "stream_threshold",
+          "criteria" -> "event_type = 'purchase'",
+          "aggregation_key" -> "user_id",
+          "threshold" -> 2)
+        val alerts = graft.streaming.StreamingAlerts
+          .thresholdStream(stream, spec, windowDuration = "1 hour")
+        val sink = "q53_sink"
+        s.catalog.dropTempView(sink)
+        val q = alerts.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("value", "window_start")
+      },
+      Some("""SELECT 'stream_threshold' AS alert_name,
+             |  CAST(user_id AS VARCHAR) AS value, COUNT(*) AS "count",
+             |  time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             |  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+             |  'stream_threshold: '||CAST(user_id AS VARCHAR)||' x'||COUNT(*) AS summary
+             |FROM events
+             |WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             |GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+             |HAVING COUNT(*) >= 2
+             |ORDER BY value, window_start""".stripMargin)),
+
     // G1+G2 (mostCommon + threshold trigger): criteria through the
     // dialect shim, group-count by the aggregation key, fire count>=N.
     // One hash aggregate with map-side combine; no collect.

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DocDedup, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.ops.{DocDedup, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.sources.Lake
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
@@ -21,6 +22,50 @@ private[graft] object QueriesPipeline {
        |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
 
   def registry: Seq[Q] = Seq(
+    // lake sink round-trip: one day of events written hive-partitioned
+    // by UTC hour (the reference's Athena layout, write side), read
+    // back with partition-equality predicates that prune to ONE
+    // directory at plan time (LakeSpec asserts the scan's partition
+    // count). The oracle restates the hour slice as a ts range.
+    Q("q51_lake_roundtrip",
+      (s, dir) => {
+        val lakeDir = s"/tmp/graft_lake_${new java.io.File(dir).getName}"
+        val day1 = Tables(s, dir, "events")
+          .where(col("ts") < lit("2024-01-02").cast("timestamp"))
+        Lake.write(day1, lakeDir)
+          .where(col("year") === "2024" && col("month") === "01" &&
+            col("day") === "01" && col("hour") === "05")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-01 05:00:00'
+             |  AND ts < TIMESTAMP '2024-01-01 06:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // skew-salted equi-join surfaced as a query: lineitem fans over 8
+    // salt sub-keys, part replicates ×8 in-plan — result provably
+    // equals the plain join (also SkewSpec on 90%-hot data).
+    Q("q52_skew_salted_join",
+      (s, dir) => {
+        val partDim = Tables(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        Skew.saltedEquiJoin(Tables(s, dir, "lineitem"), partDim,
+            "l_partkey", salts = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q20_dedup_exact",
       (s, dir) => DocDedup.exact(Tables(s, dir, "documents")),
       Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS dup_count

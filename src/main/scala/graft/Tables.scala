@@ -41,6 +41,10 @@ object Tables {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // lake partition values stay strings ("month=05"), matching the
+      // reference's Athena DDL and Criteria.partitionWindow's
+      // zero-padded equality predicates
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.criteria.Criteria
+import graft.Tables
+
+/** The write side of the reference's lake layout (alerta.py:136-146
+  * reads `year=/month=/day=/hour=` Athena partitions; startup.sh's
+  * firehose writes them): events land hive-partitioned by UTC hour so
+  * the alert engine's 2-hour window prunes to 2 directories at plan
+  * time no matter how large the lake grows.
+  *
+  * Small-file discipline: a naive `partitionBy` write emits one file
+  * per (task × partition) — at 1000 tasks × 24 hours that is 24k
+  * files/day of KB-scale junk, the classic lake killer. We shuffle by
+  * the partition key first (`repartition(partition cols)`), so each
+  * hour writes exactly one file per shuffle partition that actually
+  * holds that hour. At scale, raise `filesPerHour` to spread one
+  * hour's volume over several writers instead of one.
+  */
+object Lake {
+
+  /** Write `df` hive-partitioned by the UTC hour of `tsCol`. Rows with
+    * a null timestamp are dropped (they have no home partition; the
+    * reference's firehose path would dead-letter them).
+    */
+  def write(df: DataFrame, dir: String, tsCol: String = "ts",
+      filesPerHour: Int = 1): DataFrame = {
+    val cols = Seq("year", "month", "day", "hour")
+    val partitioned = Criteria.withPartitionColumns(
+      df.where(col(tsCol).isNotNull), col(tsCol))
+    val spread =
+      if (filesPerHour <= 1) partitioned.repartition(cols.map(col): _*)
+      // salt the writer shuffle so one hot hour fans over N files
+      else partitioned.repartition((cols.map(col) :+
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerHour))): _*)
+    spread.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(dir)
+    read(df.sparkSession, dir)
+  }
+
+  /** Read a lake directory back. Partition columns arrive as strings
+    * (zero-padded, reference parity); equality predicates on them
+    * prune at planning time (PlanSpec/LakeSpec assert the scan's
+    * partition count).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    // hive partition discovery infers year=2024 as INT unless told
+    // otherwise; the reference's Athena DDL types them as strings
+    val raw = spark.read
+      .option("basePath", dir)
+      .parquet(dir)
+    Tables.normalizeTs(raw)
+  }
+}
