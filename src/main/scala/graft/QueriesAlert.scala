@@ -82,10 +82,19 @@ private[graft] object QueriesAlert {
           .thresholdStream(stream, spec, windowDuration = "1 hour")
         val sink = "q53_sink"
         s.catalog.dropTempView(sink)
-        val q = alerts.writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // a streaming agg materializes one state-store instance per
+        // shuffle partition per microbatch; cap the fan-out at 8 —
+        // never RAISE it above the session's own setting (Verify and
+        // the test suites run at 4)
+        val sp = "spark.sql.shuffle.partitions"
+        val sp0 = s.conf.get(sp)
+        s.conf.set(sp, math.min(sp0.toInt, 8).toString)
+        try {
+          val q = alerts.writeStream.format("memory").queryName(sink)
+            .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set(sp, sp0)
         s.table(sink).orderBy("value", "window_start")
       },
       Some("""SELECT 'stream_threshold' AS alert_name,
@@ -95,6 +104,7 @@ private[graft] object QueriesAlert {
              |  'stream_threshold: '||CAST(user_id AS VARCHAR)||' x'||COUNT(*) AS summary
              |FROM events
              |WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             |  AND ts IS NOT NULL
              |GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
              |HAVING COUNT(*) >= 2
              |ORDER BY value, window_start""".stripMargin)),

@@ -21,6 +21,19 @@ private[graft] object QueriesPipeline {
        |  (sqrt(list_sum(list_transform(list_zip($a,$a), x -> x[1]*x[2]))) *
        |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
 
+  /** DuckDB CTE pair `<p>tok`/`<p>sh`: 3-gram word shingles of `src`
+    * (one distinct-shingle row per doc) — the single source of truth
+    * for the tokenize step every Jaccard oracle shares (q21 inlines an
+    * equivalent dated before this helper; q22/q47 compose it).
+    */
+  private def duckShingles(p: String, src: String): String =
+    s"""${p}w AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src),
+       |${p}tok AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+       |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM ${p}w) t
+       |       WHERE i+2 <= len(ws)),
+       |${p}sh AS (SELECT DISTINCT doc_id, s FROM ${p}tok),
+       |${p}sz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY 1)""".stripMargin
+
   def registry: Seq[Q] = Seq(
     // lake sink round-trip: one day of events written hive-partitioned
     // by UTC hour (the reference's Athena layout, write side), read
@@ -135,18 +148,13 @@ private[graft] object QueriesPipeline {
     Q("q22_dedup_minhash_lsh",
       (s, dir) => DocDedup.minhashLsh(Tables(s, dir, "documents"),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5),
-      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-             |tok AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
-             |        FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
-             |        WHERE i+2 <= len(ws)),
-             |sh AS (SELECT DISTINCT doc_id, s FROM tok),
-             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-             |SELECT a_id, b_id, inter*1.0/(sa.n+sb.n-inter) AS jac
-             |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-             |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5
-             |ORDER BY a_id, b_id""".stripMargin)),
+      Some(s"""WITH ${duckShingles("", "documents")},
+              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT a_id, b_id, inter*1.0/(sa.n+sb.n-inter) AS jac
+              |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+              |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin)),
 
     // nightly-ingest pattern: dedupe a fresh batch against the
     // historical corpus (never corpus × corpus). Oracle restates the
@@ -164,27 +172,17 @@ private[graft] object QueriesPipeline {
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0))
       },
-      Some("""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      Some(s"""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
              |c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
              |ex AS (SELECT f.doc_id, min(c.doc_id) AS dup_of
              |       FROM f JOIN c ON md5(f.text) = md5(c.text) GROUP BY 1),
-             |wf AS (SELECT doc_id, string_split(text,' ') AS ws FROM f),
-             |wc AS (SELECT doc_id, string_split(text,' ') AS ws FROM c),
-             |tf AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
-             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM wf) t
-             |       WHERE i+2 <= len(ws)),
-             |tc AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
-             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM wc) t
-             |       WHERE i+2 <= len(ws)),
-             |shf AS (SELECT DISTINCT doc_id, s FROM tf),
-             |shc AS (SELECT DISTINCT doc_id, s FROM tc),
-             |szf AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1),
-             |szc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+             |${duckShingles("f", "f")},
+             |${duckShingles("c", "c")},
              |pr AS (SELECT a.doc_id AS f_id, b.doc_id AS c_id, COUNT(*) AS inter
-             |       FROM shf a JOIN shc b ON a.s = b.s GROUP BY 1, 2),
+             |       FROM fsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2),
              |nr AS (SELECT f_id, min(c_id) AS dup_of
-             |       FROM pr JOIN szf ON szf.doc_id = f_id JOIN szc ON szc.doc_id = c_id
-             |       WHERE inter*1.0/(szf.n+szc.n-inter) >= 0.5
+             |       FROM pr JOIN fsz ON fsz.doc_id = f_id JOIN csz ON csz.doc_id = c_id
+             |       WHERE inter*1.0/(fsz.n+csz.n-inter) >= 0.5
              |         AND f_id NOT IN (SELECT doc_id FROM ex) GROUP BY 1)
              |SELECT f.doc_id,
              |  COALESCE(ex.dup_of, nr.dup_of) AS dup_of,

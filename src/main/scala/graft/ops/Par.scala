@@ -12,6 +12,11 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // `.rdd` pays a physical-planning pass, but it is the only probe
+    // that sees the ACTUAL scan-task count. File count is not a valid
+    // proxy in either direction: FilePartition bin-packing merges many
+    // small files into few tasks (spread still needed), and one large
+    // splittable file yields many tasks (spread not needed).
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

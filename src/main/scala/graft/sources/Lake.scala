@@ -17,8 +17,12 @@ import graft.Tables
   * files/day of KB-scale junk, the classic lake killer. We shuffle by
   * the partition key first (`repartition(partition cols)`), so each
   * hour writes exactly one file per shuffle partition that actually
-  * holds that hour. At scale, raise `filesPerHour` to spread one
-  * hour's volume over several writers instead of one.
+  * holds that hour. `filesPerHour` salts the shuffle so one hot hour
+  * can spread over several writers — an UPPER BOUND, not a guarantee:
+  * (hour, salt) keys hash into `spark.sql.shuffle.partitions`
+  * reducers, so the realized fan-out is capped by that setting and
+  * thinned by hash collisions; size shuffle partitions ≥ the total
+  * fan-out you want.
   */
 object Lake {
 

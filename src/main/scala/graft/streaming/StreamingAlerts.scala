@@ -55,7 +55,10 @@ object StreamingAlerts {
         .withColumn("__ts", col(tsCol).cast("timestamp"))
         .withWatermark("__ts", watermarkDelay)
         .withColumn("__value", keyCol),
-      criteriaColumn(spec) && col("__value").isNotNull)
+      // null event times are EXPLICITLY out of contract (window()
+      // would silently drop them anyway — make the drop part of the
+      // declared semantics so oracles state it too)
+      criteriaColumn(spec) && col("__value").isNotNull && col("__ts").isNotNull)
       .groupBy(window(col("__ts"), windowDuration), col("__value"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= th)
