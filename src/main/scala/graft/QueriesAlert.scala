@@ -56,7 +56,59 @@ private[graft] object QueriesAlert {
   private lazy val csvTmpDir: String =
     java.nio.file.Files.createTempDirectory("graft-csv").toString
 
+  /** Drain a streaming DataFrame into a memory sink (AvailableNow) and
+    * return the sink table. Streaming aggs materialize one state-store
+    * instance per shuffle partition per microbatch, so the fan-out is
+    * capped at 8 — never raised above a smaller session default.
+    */
+  private def drainToMemory(s: SparkSession, df: DataFrame, sink: String,
+      mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.catalog.dropTempView(sink)
+    val sp = "spark.sql.shuffle.partitions"
+    val sp0 = s.conf.get(sp)
+    s.conf.set(sp, math.min(sp0.toInt, 8).toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set(sp, sp0)
+    s.table(sink)
+  }
+
+  /** Events replayed as a file stream: the glob's one-char class makes
+    * the sf dir (not the file) the FileStreamSource base path; the
+    * schema is read as stored (ts = nanos long under nanosAsLong) and
+    * normalizeTs restores the µs timestamp.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeTs(s.readStream.schema(raw).parquet(s"$dir/events.[p]arquet"))
+  }
+
   def registry: Seq[Q] = Seq(
+    // streaming ingest dedup through the oracle gate: first arrival
+    // per content key passes, duplicates drop within the watermark
+    // horizon. Projected to the key pair, the output is exactly the
+    // DISTINCT set — append mode emits first arrivals immediately, so
+    // an AvailableNow drain is complete (no trailing-window caveat).
+    Q("q54_stream_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val keyed = eventStream(s, dir)
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("ts").isNotNull)
+          .withColumn("text", concat_ws("|", col("user_id"), col("event_type")))
+        val deduped = graft.streaming.StreamingPipeline.dedupStream(keyed)
+          .select(col("user_id"), col("event_type"))
+        drainToMemory(s, deduped, "q54_sink", OutputMode.Append())
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND ts IS NOT NULL
+             |ORDER BY 1, 2""".stripMargin)),
+
     // The STREAMING threshold path through the oracle gate: events
     // replayed as a file stream (AvailableNow), criteria + watermark +
     // tumbling-window count in StreamingAlerts.thresholdStream, drained
@@ -65,37 +117,16 @@ private[graft] object QueriesAlert {
     // drain semantic; the oracle is the equivalent batch window SQL.
     Q("q53_stream_threshold",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-        // glob form: FileStreamSource needs a directory base path, and
-        // the one-char class makes the sf dir (not the file) the base
-        val path = s"$dir/events.[p]arquet"
-        // schema as the parquet file stores it (ts = nanos long under
-        // nanosAsLong); normalizeTs then restores the µs timestamp
-        val raw = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = Tables.normalizeTs(s.readStream.schema(raw).parquet(path))
+        import org.apache.spark.sql.streaming.OutputMode
         val spec: graft.model.AlertDoc.Doc = Map(
           "alert_name" -> "stream_threshold",
           "criteria" -> "event_type = 'purchase'",
           "aggregation_key" -> "user_id",
           "threshold" -> 2)
         val alerts = graft.streaming.StreamingAlerts
-          .thresholdStream(stream, spec, windowDuration = "1 hour")
-        val sink = "q53_sink"
-        s.catalog.dropTempView(sink)
-        // a streaming agg materializes one state-store instance per
-        // shuffle partition per microbatch; cap the fan-out at 8 —
-        // never RAISE it above the session's own setting (Verify and
-        // the test suites run at 4)
-        val sp = "spark.sql.shuffle.partitions"
-        val sp0 = s.conf.get(sp)
-        s.conf.set(sp, math.min(sp0.toInt, 8).toString)
-        try {
-          val q = alerts.writeStream.format("memory").queryName(sink)
-            .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set(sp, sp0)
-        s.table(sink).orderBy("value", "window_start")
+          .thresholdStream(eventStream(s, dir), spec, windowDuration = "1 hour")
+        drainToMemory(s, alerts, "q53_sink", OutputMode.Complete())
+          .orderBy("value", "window_start")
       },
       Some("""SELECT 'stream_threshold' AS alert_name,
              |  CAST(user_id AS VARCHAR) AS value, COUNT(*) AS "count",
