@@ -13,9 +13,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q01_pricing_agg", "q02_filter_pushdown", "q03_join_agg",
-      "q05_threshold_trigger", "q07_dedup_antijoin", "q22_dedup_minhash_lsh",
-      "q23_dedup_simhash", "q25_ann_bruteforce_topk", "q41_grouped_topk",
-      "q51_lake_roundtrip", "q52_skew_salted_join")
+      "q05_threshold_trigger", "q07_dedup_antijoin", "q21_dedup_ngram_jaccard",
+      "q22_dedup_minhash_lsh", "q23_dedup_simhash", "q25_ann_bruteforce_topk",
+      "q41_grouped_topk", "q51_lake_roundtrip", "q52_skew_salted_join",
+      "q55_dedup_cosine_srp_banded")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -8,11 +8,30 @@ import graft.sources.Lake
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
   * operators carry DuckDB oracles (identical float folds, micro-unit
-  * scores); hash-based approximate operators (MinHash/SimHash/SRP) are
-  * rows-only — their hash functions are engine-native by design.
+  * scores). SimHash/SRP operators use engine-PORTABLE hashes (integer
+  * LCG / polynomial folds), so their oracles restate the full
+  * algorithm relationally and verify hashes end to end; only MinHash
+  * (xxhash64-based, q22/q47) relies on a corpus-empirical exact-
+  * Jaccard equivalence instead.
   */
 private[graft] object QueriesPipeline {
   import SparkEntryRegistry.Q
+
+  /** Per-JVM lake scratch root: two concurrent drivers (e.g. Bench and
+    * selfcheck on the same sf dir) must not race on a shared
+    * SaveMode.Overwrite path, so each process writes under its own
+    * temp dir; removed on JVM exit so /tmp doesn't accumulate lakes.
+    */
+  private lazy val lakeRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_").toFile
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(dir)
+    }
+    dir.getAbsolutePath
+  }
 
   // shared cosine text for the DuckDB side (deterministic left fold,
   // same op order as Similarity.dot's aggregate fold)
@@ -20,6 +39,21 @@ private[graft] object QueriesPipeline {
     s"""list_sum(list_transform(list_zip($a,$b), x -> x[1]*x[2])) /
        |  (sqrt(list_sum(list_transform(list_zip($a,$a), x -> x[1]*x[2]))) *
        |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
+
+  /** DuckDB CTE triple `e`/`pb`/`srpbits`: per-(vector, plane) sign
+    * bits of the engine-portable SRP projections — the exact integer
+    * LCG weights and strict left-fold of `VecKernels.srpBucket`
+    * restated relationally, so SRP-bucketed queries (q26, q55) get
+    * full hash verification instead of rows-only.
+    */
+  private def duckSrpBits(planes: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pb AS (SELECT vec_id, p,
+       |         list_sum(list_transform(generate_series(1, len(v)),
+       |           i -> v[i] * ((((p*8192 + i - 1) * 1103515245 + 12345)
+       |                         % 2147483648) % 20001 - 10000) / 10000.0)) AS proj
+       |       FROM e CROSS JOIN (SELECT unnest(range(0, $planes)) AS p) ps),
+       |srpbits AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM pb)""".stripMargin
 
   /** DuckDB CTE pair `<p>tok`/`<p>sh`: 3-gram word shingles of `src`
     * (one distinct-shingle row per doc) — the single source of truth
@@ -42,7 +76,7 @@ private[graft] object QueriesPipeline {
     // count). The oracle restates the hour slice as a ts range.
     Q("q51_lake_roundtrip",
       (s, dir) => {
-        val lakeDir = s"/tmp/graft_lake_${new java.io.File(dir).getName}"
+        val lakeDir = s"$lakeRoot/${new java.io.File(dir).getName}"
         val day1 = Tables(s, dir, "events")
           .where(col("ts") < lit("2024-01-02").cast("timestamp"))
         Lake.write(day1, lakeDir)
@@ -84,8 +118,14 @@ private[graft] object QueriesPipeline {
       Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS dup_count
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
+    // df-cut skew guard explicitly ON (drops shingles shared by >100
+    // docs before the self-join — the f² blow-up protection at corpus
+    // scale). Measured at sf0.01: max shingle df is 7 and true pairs
+    // share df ≤ 6, so the guard cuts nothing here and the exact
+    // oracle below still applies verbatim.
     Q("q21_dedup_ngram_jaccard",
-      (s, dir) => DocDedup.ngramJaccard(Tables(s, dir, "documents"), n = 3, threshold = 0.5),
+      (s, dir) => DocDedup.ngramJaccard(Tables(s, dir, "documents"), n = 3, threshold = 0.5,
+        maxShingleDocFreq = 100L),
       Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
              |tok AS (SELECT doc_id, lang, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
              |        FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1) AS i FROM w) t
@@ -109,7 +149,8 @@ private[graft] object QueriesPipeline {
     // recursive transitive-closure CTE.
     Q("q37_dedup_clusters",
       (s, dir) => DocDedup.clusters(
-        DocDedup.ngramJaccard(Tables(s, dir, "documents"), n = 3, threshold = 0.5)),
+        DocDedup.ngramJaccard(Tables(s, dir, "documents"), n = 3, threshold = 0.5,
+          maxShingleDocFreq = 100L)),
       Some("""WITH RECURSIVE
              |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
              |tok AS (SELECT doc_id, lang, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
@@ -192,10 +233,51 @@ private[graft] object QueriesPipeline {
              |       LEFT JOIN nr ON nr.f_id = f.doc_id
              |ORDER BY f.doc_id""".stripMargin)),
 
+    // SimHash near-dup pairs, hash-verified END TO END: the simhash64
+    // kernel uses engine-portable integer arithmetic (base-31 polyhash
+    // over code points — q38's proven-exact fold — whitened by a
+    // glibc-style LCG, per-bit LCG sign votes), so the oracle below
+    // recomputes the identical 64-bit signatures relationally, then
+    // restates the 4×16-bit band join + hamming ≤ 3 verify. No
+    // rows-only concession, no empirical-recall coupling.
     Q("q23_dedup_simhash",
       (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
-      None),
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents WHERE text IS NOT NULL) u),
+             |th AS (SELECT doc_id,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+             |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+             |       FROM tok),
+             |ty AS (SELECT doc_id, (h * 1103515245 + 12345) % 2147483648 AS y FROM th),
+             |v AS (SELECT doc_id, b,
+             |        SUM(CASE WHEN ((y + b) * 1103515245 + 12345) % 2147483648 >= 1073741824
+             |                 THEN 1 ELSE -1 END) AS vote
+             |      FROM ty CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+             |      GROUP BY 1, 2),
+             |bits AS (SELECT doc_id, b, CASE WHEN vote >= 0 THEN 1 ELSE 0 END AS bit FROM v),
+             |bands AS (SELECT doc_id, b // 16 AS band,
+             |            SUM(bit << CAST(b % 16 AS INTEGER)) AS bh
+             |          FROM bits GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.a_id, c.b_id,
+             |          CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+             |        FROM cand c
+             |        JOIN bits ba ON ba.doc_id = c.a_id
+             |        JOIN bits bb ON bb.doc_id = c.b_id AND bb.b = ba.b
+             |        GROUP BY 1, 2)
+             |SELECT a_id, b_id, hamming FROM ham
+             |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin)),
 
+    // EXACT cosine pair contract (label-blocked all-pairs). Kept exact
+    // deliberately: the qualifying pairs here all measure cos ∈
+    // [0.35, 0.48], where SRP per-plane collision prob ≈ 0.62 — no LSH
+    // blocking preserves this pair set, so a bounded-block rewrite
+    // would silently change the answer. The bounded 100 TB path with
+    // its own fully-verified contract is q55 (embeddingCosineBanded).
     Q("q24_dedup_embedding_cosine",
       (s, dir) => DocDedup.embeddingCosine(Tables(s, dir, "embeddings"),
         thresholdMicro = 350000L),
@@ -204,6 +286,33 @@ private[graft] object QueriesPipeline {
               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               |    CAST(floor((${duckCos("a.v", "b.v")}) * 1000000) AS BIGINT) AS cos_e6
               |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, cos_e6 FROM scored
+              |WHERE cos_e6 >= 350000
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // the bounded-block dedup twin of q24: SRP band signatures (4
+    // bands × 6 planes from ONE srp_bucket kernel call) generate
+    // candidates through a (band, bandHash) equi-join — per-band
+    // bucket width is corpus/2^6, tunable, never data-skewed — then
+    // exact cosine verifies. Hash-verified END TO END: the oracle
+    // recomputes the portable-LCG sign bits, the banding, the
+    // candidate join, and the verify relationally, so the approximate
+    // recall is part of the CHECKED contract, not an empirical claim.
+    Q("q55_dedup_cosine_srp_banded",
+      (s, dir) => DocDedup.embeddingCosineBanded(Tables(s, dir, "embeddings"),
+        thresholdMicro = 350000L, planesPerBand = 6, bands = 4),
+      Some(s"""WITH ${duckSrpBits(24)},
+              |bands AS (SELECT vec_id, p // 6 AS band,
+              |            SUM(bit << CAST(p % 6 AS INTEGER)) AS bh
+              |          FROM srpbits GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
+              |scored AS (
+              |  SELECT c.a_id, c.b_id,
+              |    CAST(floor((${duckCos("ea.v", "eb.v")}) * 1000000) AS BIGINT) AS cos_e6
+              |  FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+              |              JOIN e eb ON eb.vec_id = c.b_id)
               |SELECT a_id, b_id, cos_e6 FROM scored
               |WHERE cos_e6 >= 350000
               |ORDER BY a_id, b_id""".stripMargin)),
@@ -225,12 +334,33 @@ private[graft] object QueriesPipeline {
               |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
               |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // SRP-bucketed ANN, hash-verified END TO END: the portable LCG
+    // plane weights let the oracle recompute every bucket id
+    // relationally, then restate the bucket equi-join + exact rank —
+    // the oracle verifies the ALGORITHM (bucketing included), not an
+    // empirical-recall claim. (Measured here: LSH top-k differs from
+    // brute force on this corpus — neighbors sit at cos 0.3-0.5 where
+    // bucket recall is inherently partial — which is exactly why the
+    // oracle must restate the bucketed contract, not q25's.)
     Q("q26_ann_lsh_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 3, planes = 6)
       },
-      None),
+      Some(s"""WITH ${duckSrpBits(6)},
+              |bk AS (SELECT vec_id, SUM(bit << CAST(p AS INTEGER)) AS bucket
+              |       FROM srpbits GROUP BY 1),
+              |c AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+              |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM c WHERE vec_id < 5),
+              |scored AS (
+              |  SELECT q.q_id, c.vec_id,
+              |    CAST(floor((${duckCos("q.qv", "c.v")}) * 1000000) AS BIGINT) AS cos_e6
+              |  FROM c JOIN q ON c.bucket = q.bucket),
+              |ranked AS (SELECT q_id, vec_id, cos_e6,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     // IVF ANN: coarse k-means cells, nprobe probing, exact rank within
     // candidates. With nprobe=4 the probed cells cover every true
@@ -439,8 +569,11 @@ private[graft] object QueriesPipeline {
     // count. At 100 TB exact countDistinct shuffles every distinct
     // (group, user) pair; the HLL sketch is fixed-size per group and
     // merges map-side — the only viable distinct-count at corpus
-    // scale. Rows-only check (HLL estimates are engine-specific);
-    // SketchSpec pins the ≤2% relative error against the exact count.
+    // scale. The HLL estimate itself is engine-native, so the oracle
+    // checks it as the accuracy CONTRACT (|approx−exact| ≤ 5%·exact,
+    // generous over the rsd=0.02 setting — deterministic for a given
+    // input) beside the fully-checked exact_users/cnt columns;
+    // SketchSpec additionally pins ≤2% observed error.
     Q("q42_sketch_distinct",
       (s, dir) => Tables(s, dir, "events")
         .groupBy("event_type")
@@ -448,8 +581,13 @@ private[graft] object QueriesPipeline {
           approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("exact_users"), col("cnt"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             |  COUNT(*) AS cnt, CAST(1 AS BOOLEAN) AS approx_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // bounded top-k per group via the TopKRows TypedImperativeAggregate
     // (graft.functions.TopKRows): identical rows to q11's row_number

@@ -25,11 +25,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`spark.sql.extensions`, injected by `Tables.configure`), so they
   * are also available to the criteria dialect surface.
   *
-  * Hash parity: every hash here routes through Spark's own
-  * `XxHash64Function` (seed 42, left-to-right fold for multi-arg),
+  * Hash parity: `shingle_hashes`/`minhash_state` route through Spark's
+  * own `XxHash64Function` (seed 42, left-to-right fold for multi-arg),
   * exactly like the `xxhash64(...)` calls in the fold versions.
+  * `simhash64` and `srp_bucket` instead use ENGINE-PORTABLE integer
+  * arithmetic (base-31 polynomial hash mod 2^31-1 + a glibc-style LCG
+  * mod 2^31) so a relational oracle (DuckDB) can restate the full
+  * algorithm exactly — their queries are hash-verified end to end
+  * instead of rows-only.
   */
 object VecKernels {
+
+  /** glibc-style LCG step on a non-negative 63-bit-safe input:
+    * `(1103515245·x + 12345) mod 2^31`. Restatable in any engine with
+    * 64-bit integers: `(1103515245*x + 12345) % 2147483648`.
+    */
+  @inline private def lcg31(x: Long): Long = (1103515245L * x + 12345L) & 0x7FFFFFFFL
+
+  /** Base-31 polynomial hash of a token's code points, mod 2^31-1 —
+    * the same fold as [[graft.ops.TextAnalysis.rollingHash]] (q38),
+    * whose DuckDB restatement (`list_reduce` over `unicode(c)`) is
+    * already proven bit-exact on this corpus.
+    */
+  private def polyHash31(w: UTF8String): Long = {
+    val s = w.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   /** Strict left-fold dot product: Σ a(i)*b(i) in double, index order.
     * Same nulls as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: null when
@@ -49,9 +77,11 @@ object VecKernels {
   }
 
   /** 64-bit SimHash over the distinct tokens of `words`: per-bit signed
-    * vote of `xxhash64(token)`; bit set when the vote is ≥ 0. Equal to
-    * the explode + 64-sum-columns aggregate it replaces, with no
-    * shuffle at all.
+    * vote per token; bit set when the vote is ≥ 0. Token bit-votes are
+    * engine-portable: `h = polyHash31(token)`, `y = lcg31(h)`, and bit
+    * `b` votes +1 iff `lcg31(y + b) ≥ 2^30` — all exact 64-bit integer
+    * arithmetic, so the DuckDB oracle recomputes the identical
+    * signature relationally (q23). Map-only, no shuffle at all.
     */
   def simhash64(words: ArrayData): Long = {
     val n = words.numElements()
@@ -62,10 +92,10 @@ object VecKernels {
       if (!words.isNullAt(i)) {
         val w = words.getUTF8String(i)
         if (seen.add(w)) {
-          val h = XxHash64Function.hash(w, StringType, 42L)
+          val y = lcg31(polyHash31(w))
           var b = 0
           while (b < 64) {
-            votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+            votes(b) += (if (lcg31(y + b) >= 1073741824L) 1 else -1)
             b += 1
           }
         }
@@ -187,26 +217,26 @@ object VecKernels {
   }
 
   /** Sign-random-projection bucket: `planes` sign bits of pseudo-random
-    * hyperplane projections packed into a long. Plane weights derive
-    * from `xxhash64(plane, dim)` exactly like the fold version:
-    * `(pmod(h, 20001) - 10000) / 10000` in double, accumulated in
-    * index order.
+    * hyperplane projections packed into a long. Plane weights are
+    * engine-portable exact integer arithmetic:
+    * `w(p,d) = (lcg31(p·8192 + d) mod 20001 − 10000) / 10000` (dims up
+    * to 8192), projections accumulate as a strict left fold in double —
+    * so the DuckDB oracle computes bit-identical buckets relationally
+    * (q26/q55) via the same `list_sum` fold it uses for cosine parity.
     */
   def srpBucket(vec: ArrayData, planes: Int): Long = {
     val dim = vec.numElements()
     var out = 0L
     var p = 0
     while (p < planes) {
-      val hp = XxHash64Function.hash(p, IntegerType, 42L)
+      val base = p.toLong * 8192L
       var s = 0.0
       var anyNull = false
       var d = 0
       while (d < dim && !anyNull) {
         if (vec.isNullAt(d)) anyNull = true
         else {
-          val h = XxHash64Function.hash(d, IntegerType, hp)
-          var r = h % 20001L
-          if (r < 0) r += 20001L
+          val r = lcg31(base + d) % 20001L
           s += vec.getDouble(d) * ((r.toDouble - 10000.0) / 10000.0)
         }
         d += 1

@@ -42,7 +42,7 @@ object DocDedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       blockCol: String = "lang", textCol: String = "text",
-      idCol: String = "doc_id", maxShingleDocFreq: Long = 0L): DataFrame = {
+      idCol: String = "doc_id", maxShingleDocFreq: Long = 100L): DataFrame = {
     // shingles are joined as xxhash64 longs, not strings — the shuffle
     // carries 8 bytes per shingle instead of ~20 chars (collision odds
     // at 64 bits are negligible against any realistic corpus).
@@ -54,18 +54,21 @@ object DocDedup {
         call_function("shingle_hashes", split(col(textCol), " "), lit(n)).as("hs"))
       .localCheckpoint()
     val shAll = base.select(col("doc_id"), col("block"), explode(col("hs")).as("s"))
-    // df-cut (opt-in, maxShingleDocFreq > 0): drop shingles shared by
-    // more than that many docs BEFORE the self-join. A stopword-run
-    // shingle in f docs contributes f² join rows — the classic skew
-    // blow-up at corpus scale. The hot list comes from a map-side-
-    // combinable groupBy (no skew concentration: partial counts merge).
-    // No broadcast hint: with a high cutoff the hot list is tiny and
-    // AQE broadcasts it at runtime; with a low cutoff it can be huge
-    // and a forced broadcast would OOM the driver — the exact failure
-    // this guard exists to prevent. Dropping hot shingles only removes
-    // evidence common to huge cohorts (near-worthless for near-dup
-    // decisions): recall turns approximate, but precision of surviving
-    // pairs stays exact — jac still uses FULL shingle-set sizes.
+    // df-cut (ON by default, 0 disables): drop shingles shared by
+    // more than maxShingleDocFreq docs BEFORE the self-join. A
+    // stopword-run shingle in f docs contributes f² join rows — the
+    // classic skew blow-up at corpus scale. The hot list comes from a
+    // map-side-combinable groupBy (no skew concentration: partial
+    // counts merge). No broadcast hint: with a high cutoff the hot
+    // list is tiny and AQE broadcasts it at runtime; with a low cutoff
+    // it can be huge and a forced broadcast would OOM the driver — the
+    // exact failure this guard exists to prevent. Cut shingles leave
+    // `inter` (and thus jac, still over FULL set sizes) a lower bound
+    // for any pair that shared one — recall turns approximate, and a
+    // surviving pair's jac undercounts its hot shared shingles. On
+    // this corpus the default 100 cuts nothing (measured max shingle
+    // df at sf0.01 is 7; true pairs share df ≤ 6), so q21/q37 stay
+    // exact with the guard in-plan.
     val sh =
       if (maxShingleDocFreq <= 0) shAll
       else {
@@ -328,9 +331,20 @@ object DocDedup {
   }
 
   /** Exact embedding-cosine near-dup pairs ≥ threshold (micro-cosine
-    * units), blocked on an equality key (`label` here; at scale an SRP
-    * bucket from [[Similarity.srpBucket]]). Candidates meet through
-    * the block equi-join; cosine math is the deterministic fold.
+    * units), blocked on an equality key (`label` here). Candidates
+    * meet through the block equi-join; cosine math is the
+    * deterministic fold.
+    *
+    * Scale note (measured, sf0.01): the q24 threshold's qualifying
+    * pairs ALL sit at cos ∈ [0.35, 0.48] — low-similarity territory
+    * where per-hyperplane SRP collision probability is ≈ 0.62, so no
+    * LSH blocking preserves this pair set (0.62^26 ≈ 2·10⁻⁶ that even
+    * one plane keeps all 26 pairs) and, information-theoretically, no
+    * subquadratic exact method exists at such thresholds. This
+    * operator is therefore the EXACT contract with O(block²) cost —
+    * bound the block key yourself; for the bounded near-dup
+    * (cos ≥ ~0.9) regime use [[embeddingCosineBanded]] (q55), whose
+    * SRP banding is oracle-verified end to end.
     */
   def embeddingCosine(embeddings: DataFrame, thresholdMicro: Long = 950000L,
       blockCol: String = "label", idCol: String = "vec_id",
@@ -346,6 +360,57 @@ object DocDedup {
       .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"),
         floor(Similarity.dot(col("a.vec"), col("b.vec")) /
           (col("a.norm") * col("b.norm")) * 1e6).cast("long").as("cos_e6"))
+      .where(col("cos_e6") >= thresholdMicro)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Bounded-block embedding near-dup pairs — the 100 TB path.
+    * SRP band signatures generate candidates through an equi-join on
+    * `(band, bandHash)` instead of an unbounded data-dependent block:
+    * one [[Similarity.srpBucket]] kernel call yields all
+    * `bands·planesPerBand` sign bits; band b is bit range
+    * [b·ppb, (b+1)·ppb), so the corpus splits into 2^ppb buckets per
+    * band and per-band join width is bounded by bucket size, tunable
+    * via ppb. Candidates (a pair must agree on ALL bits of SOME band —
+    * recall probabilistic, rising with `bands`) are then verified with
+    * the exact deterministic cosine, so precision is exact.
+    *
+    * Every step — LCG plane weights, strict-fold projections, banding,
+    * cosine verify — is engine-portable integer/IEEE arithmetic, so
+    * the DuckDB oracle (q55) restates the FULL algorithm relationally:
+    * the output is hash-verified with no empirical-recall assumption,
+    * unlike corpus-coupled recall claims (q22/q36).
+    */
+  def embeddingCosineBanded(embeddings: DataFrame, thresholdMicro: Long = 950000L,
+      planesPerBand: Int = 6, bands: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = planesPerBand * bands
+    require(planes <= 63, "bands*planesPerBand must fit a long's sign bits")
+    // signature + norm once per vector (map-only); the band self-join
+    // carries only (vid, band, bh) and vectors rejoin after pair dedup
+    // — same narrow-shuffle shape as minhashLsh
+    val e = Par.spread(embeddings.select(
+      col(idCol).as("vid"), col(vecCol).cast("array<double>").as("vec"),
+      Similarity.srpBucket(col(vecCol), planes).as("sig"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("norm")))
+      .localCheckpoint()
+    val mask = (1L << planesPerBand) - 1L
+    val bandStructs = (0 until bands).map(b => struct(
+      lit(b).as("band"),
+      shiftrightunsigned(col("sig"), b * planesPerBand).bitwiseAND(lit(mask)).as("bh")))
+    val banded = e.select(col("vid"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vid"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(e.select(col("vid").as("a_id"), col("vec").as("va"), col("norm").as("na")), "a_id")
+      .join(e.select(col("vid").as("b_id"), col("vec").as("vb"), col("norm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        floor(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("cos_e6"))
       .where(col("cos_e6") >= thresholdMicro)
       .orderBy("a_id", "b_id")
   }

@@ -63,12 +63,17 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Pseudo-random hyperplane weight for (plane, dim): deterministic,
-    * derived from xxhash64 — reproducible across runs and cluster
-    * sizes with zero state to ship.
+  /** Pseudo-random hyperplane weight for (plane, dim): deterministic
+    * and ENGINE-PORTABLE — a glibc-style LCG on `p·8192 + d` in exact
+    * 64-bit integer arithmetic (`(1103515245·i + 12345) mod 2^31`,
+    * then mod 20001, centered to [−1, 1]). Reproducible across runs
+    * and cluster sizes with zero state to ship, and restatable in the
+    * DuckDB oracle so SRP-bucketed queries are hash-verified end to
+    * end (q26/q55) instead of rows-only.
     */
   private def planeWeight(p: Column, d: Column): Column =
-    (pmod(xxhash64(p, d), lit(20001)).cast("double") - 10000.0) / 10000.0
+    ((((p.cast("long") * 8192L + d.cast("long")) * 1103515245L + 12345L)
+      % 2147483648L % 20001L).cast("double") - 10000.0) / 10000.0
 
   /** Sign-random-projection bucket id: `planes` sign bits packed into a
     * long. Vectors in the same bucket are near-duplicate candidates;

@@ -41,12 +41,18 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
 
   test("simhash64 matches the explode + 64-sum-column aggregate") {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
-    // reference fold: the previous implementation, verbatim semantics
+    // reference fold: the portable token-hash semantics restated with
+    // interpreted HOFs — base-31 polyhash over code points (q38's
+    // fold), one LCG whitening step, then per-bit LCG sign votes
     val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", aggregate(
+        transform(split(col("w"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L))
+      .withColumn("y", (col("h") * 1103515245L + 12345L) % 2147483648L)
     val votes = (0 until 64).map(b =>
-      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b"))
+      sum(when(((col("y") + b) * 1103515245L + 12345L) % 2147483648L >= 1073741824L,
+        lit(1)).otherwise(lit(-1))).as(s"v$b"))
     val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val bitsum = (0 until 64).map(b =>
       when(col(s"v$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
