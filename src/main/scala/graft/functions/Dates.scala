@@ -11,8 +11,10 @@ import scala.util.Try
   * (utils/dates.py:38-85): datetimes pass through; non-positive epochs
   * clamp to 1970-01-01; numeric epochs auto-detect seconds /
   * milliseconds / microseconds / nanoseconds by digit magnitude;
-  * strings try numeric first, then ISO-ish parsing. The engine pins
-  * its session timezone to UTC, so the reference's "naive → local tz"
+  * strings try numeric first, then ISO-ish parsing, then the fuzzy
+  * free-text scan (`dateutil.parse(..., fuzzy=True)` at
+  * utils/dates.py:73 — see [[Dates#fuzzyParse]]). The engine pins its
+  * session timezone to UTC, so the reference's "naive → local tz"
   * step degenerates to "naive → UTC".
   */
 object Dates {
@@ -95,8 +97,78 @@ object Dates {
           .orElse(naivePatterns.view.flatMap(p =>
             Try(LocalDateTime.parse(s, p).toInstant(ZoneOffset.UTC)).toOption).headOption)
           .orElse(Try(LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC)).toOption)
+          .orElse(fuzzyParse(s))
           .getOrElse(throw new IllegalArgumentException(s"Unable to convert '$s' to a date"))
     }
+
+  private val monthNames = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+  private val fuzzyIsoDate = raw"\b(\d{4})[-/](\d{1,2})[-/](\d{1,2})\b".r
+  private val fuzzyUsDate = raw"\b(\d{1,2})/(\d{1,2})/(\d{4})\b".r
+  private val fuzzyMonth =
+    raw"\b(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\b".r
+  private val fuzzyTime = raw"\b(\d{1,2}):(\d{2})(?::(\d{2})(\.\d{1,9})?)?\s*(am|pm)?\b".r
+  private val fuzzyOffset = raw"([+-]\d{2}):?(\d{2})\b".r
+
+  /** Fuzzy free-text fallback — the `dateutil.parse(..., fuzzy=True)`
+    * step of the reference ladder (utils/dates.py:73): scan the string
+    * for date evidence, ignoring unknown tokens. Accepted evidence:
+    * an ISO-ish `yyyy-mm-dd` / `yyyy/mm/dd` or US `m/d/yyyy` date, or
+    * a month name with a nearby day and 4-digit year ("Jan 5 2024",
+    * "January 5th, 2024"); plus an optional `hh:mm[:ss[.frac]]` time
+    * with am/pm and an optional explicit `±hh[:]mm` offset (absent or
+    * textual UTC/GMT/Z markers mean UTC — the session pins UTC, so the
+    * reference's "naive → local tz" step degenerates the same way).
+    * Deterministic subset of dateutil: a full year+month+day is
+    * required (dateutil's "default missing fields to today" is
+    * nondeterministic; the corpus' cursed timestamps always carry a
+    * date); missing time means midnight.
+    */
+  private def fuzzyParse(s: String): Option[Instant] = {
+    val lower = s.toLowerCase
+    val datePart: Option[(Int, Int, Int)] =
+      fuzzyIsoDate.findFirstMatchIn(lower)
+        .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
+        .orElse(fuzzyUsDate.findFirstMatchIn(lower)
+          .map(m => (m.group(3).toInt, m.group(1).toInt, m.group(2).toInt)))
+        .orElse {
+          // month-name form: strip the time of day first so its digits
+          // can't be mistaken for a day or year
+          val noTime = fuzzyTime.replaceAllIn(lower, " ")
+          fuzzyMonth.findFirstMatchIn(noTime).flatMap { mm =>
+            val month = monthNames(mm.group(1))
+            val nums = raw"\b(\d{1,4})(?:st|nd|rd|th)?\b".r
+              .findAllMatchIn(noTime).map(_.group(1)).toList
+            val year = nums.find(_.length == 4).map(_.toInt)
+            val day = nums.filter(_.length < 4).map(_.toInt).find(d => d >= 1 && d <= 31)
+            year.zip(day).map { case (y, d) => (y, month, d) }
+          }
+        }
+    datePart.flatMap { case (y, mo, d) =>
+      val (hh, mi, ss, nanos) = fuzzyTime.findFirstMatchIn(lower) match {
+        case Some(t) =>
+          val ampm = Option(t.group(5))
+          val h0 = t.group(1).toInt
+          val h = if (ampm.contains("pm") && h0 != 12) h0 + 12
+                  else if (ampm.contains("am") && h0 == 12) 0
+                  else h0
+          val frac = Option(t.group(4))
+            .map(f => (BigDecimal(f) * 1000000000L).toLong).getOrElse(0L)
+          (h, t.group(2).toInt, Option(t.group(3)).map(_.toInt).getOrElse(0), frac)
+        case None => (0, 0, 0, 0L)
+      }
+      val off = fuzzyOffset.findFirstMatchIn(lower)
+        .flatMap { m =>
+          val hrs = m.group(1).toInt
+          val mins = if (hrs < 0) -m.group(2).toInt else m.group(2).toInt
+          Try(ZoneOffset.ofHoursMinutes(hrs, mins)).toOption
+        }
+        .getOrElse(ZoneOffset.UTC)
+      Try(LocalDateTime.of(y, mo, d, hh, mi, ss, nanos.toInt)
+        .atOffset(off).toInstant).toOption
+    }
+  }
 
   /** Human-interval parser for `lifespan` strings ("3 days", "1 hour",
     * "45 minutes", "2 weeks") — the pandas `Timedelta` subset the

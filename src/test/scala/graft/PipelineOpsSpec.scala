@@ -106,6 +106,43 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert((exact & got).size >= exact.size / 2)
   }
 
+  test("ivf persisted index round-trips: topKIndexed == inline topK") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val queries = e.where(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    graft.ops.Ivf.buildIndex(e, dir, cells = 16)
+    val inline = graft.ops.Ivf.topK(e, queries, k = 3, cells = 16, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val indexed = graft.ops.Ivf.topKIndexed(spark, dir, queries, k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed === inline)
+    // the index layout is one directory per cell (the probe's
+    // partition-pruning key at scale)
+    val cellDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+  }
+
+  test("banded cosine dedup: exact-verified candidates, bands bound the blocks") {
+    // colinear pair (cos 1.0) must land in the same bucket in EVERY
+    // band (identical sign pattern), so banding can never lose it
+    val e = Seq((0L, Array(1.0f, 2.0f, 3.0f), 0), (1L, Array(2.0f, 4.0f, 6.0f), 0),
+      (2L, Array(-3.0f, 1.0f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val r = DocDedup.embeddingCosineBanded(e, thresholdMicro = 999999L,
+      planesPerBand = 6, bands = 4).collect()
+    assert(r.length === 1)
+    assert((r.head.getAs[Long]("a_id"), r.head.getAs[Long]("b_id")) === (0L, 1L))
+    assert(r.head.getAs[Long]("cos_e6") === 1000000L)
+    // output is a subset of the exact all-pairs result (precision exact)
+    val ef = Tables(spark, sf("sf0.01"), "embeddings")
+    val banded = DocDedup.embeddingCosineBanded(ef, thresholdMicro = 350000L)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+    val exactAll = DocDedup.embeddingCosine(
+        ef.withColumn("label", lit(0)), thresholdMicro = 350000L)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+    assert(banded.subsetOf(exactAll))
+  }
+
   test("lsh top-k buckets contain the query itself (same bucket, rank 1)") {
     val e = Tables(spark, sf(), "embeddings")
     val top = Similarity.lshTopK(e, e.where(col("vec_id") === 7), k = 2, planes = 6).collect()

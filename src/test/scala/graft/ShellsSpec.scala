@@ -118,6 +118,29 @@ class DatesSpec extends AnyFunSuite {
     assert(Dates.interval("5 mins").toMinutes === 5)
   }
 
+  test("fuzzy free-text dates parse (utils/dates.py:73, dateutil fuzzy=True)") {
+    // month-name forms, with and without surrounding prose
+    assert(Dates.toUTC("Jan 5 2024 13:00") === Instant.parse("2024-01-05T13:00:00Z"))
+    assert(Dates.toUTC("January 5th, 2024 at 1:00:05 pm UTC") ===
+      Instant.parse("2024-01-05T13:00:05Z"))
+    assert(Dates.toUTC("alert fired on 5 Feb 2024") === Instant.parse("2024-02-05T00:00:00Z"))
+    // embedded ISO-ish date + time + explicit offset inside free text
+    assert(Dates.toUTC("seen 2024-01-05 at 13:00 -05:00 by probe") ===
+      Instant.parse("2024-01-05T18:00:00Z"))
+    // US slash date (dateutil month-first convention)
+    assert(Dates.toUTC("12/25/2023 08:30") === Instant.parse("2023-12-25T08:30:00Z"))
+    // 12 am/pm edge cases
+    assert(Dates.toUTC("Dec 31 2023 12:00 am") === Instant.parse("2023-12-31T00:00:00Z"))
+    assert(Dates.toUTC("Dec 31 2023 12:00 pm") === Instant.parse("2023-12-31T12:00:00Z"))
+    // mixed-precision fraction in fuzzy context
+    assert(Dates.toUTC("Mar 3 2021 04:05:06.123") ===
+      Instant.parse("2021-03-03T04:05:06.123Z"))
+    // trailing/leading whitespace never breaks the exact ladder
+    assert(Dates.toUTC(" 2024-01-05T13:00Z ") === Instant.parse("2024-01-05T13:00:00Z"))
+    // no date evidence still fails loudly
+    intercept[IllegalArgumentException](Dates.toUTC("not a date at all"))
+  }
+
   test("toUTC digit-length quirk is reference parity (utils/dates.py:59)") {
     // the reference divides DIGIT-STRING epochs by 10^(len % 10): a
     // 9-digit epoch-seconds value collapses toward 1970 on the digit
