@@ -66,13 +66,18 @@ private[graft] object QueriesAlert {
     import org.apache.spark.sql.streaming.Trigger
     s.catalog.dropTempView(sink)
     val sp = "spark.sql.shuffle.partitions"
-    val sp0 = s.conf.get(sp)
-    s.conf.set(sp, math.min(sp0.toInt, 8).toString)
+    // cap the drain's state-store fan-out; if the conf isn't a plain
+    // int (e.g. a resolver value) leave it untouched rather than
+    // throw. The set/restore brackets this call — drains run
+    // driver-sequentially in Verify/Bench, never while other work
+    // shares the session.
+    val sp0 = scala.util.Try(s.conf.get(sp).toInt).toOption
+    sp0.foreach(v => s.conf.set(sp, math.min(v, 8).toString))
     try {
       val q = df.writeStream.format("memory").queryName(sink)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set(sp, sp0)
+    } finally sp0.foreach(v => s.conf.set(sp, v.toString))
     s.table(sink)
   }
 
@@ -83,7 +88,13 @@ private[graft] object QueriesAlert {
     */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    Tables.normalizeTs(s.readStream.schema(raw).parquet(s"$dir/events.[p]arquet"))
+    // one microbatch regardless of file count: q54's DISTINCT oracle
+    // equivalence needs the whole replay inside a single batch (across
+    // batches the advancing watermark could drop late keys and expire
+    // dedup state, both diverging from batch DISTINCT)
+    Tables.normalizeTs(s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(s"$dir/events.[p]arquet"))
   }
 
   def registry: Seq[Q] = Seq(

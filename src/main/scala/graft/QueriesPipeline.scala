@@ -186,6 +186,11 @@ private[graft] object QueriesPipeline {
     // and verification is exact Jaccard, so precision is exact. The
     // LSH output therefore equals the exact pair set (verified against
     // sf0.01; jac is int/int IEEE division on both engines).
+    // DATA-COUPLED: this recall-1.0 equivalence (and q47's, q36's) is
+    // a property of the current fixture generation — regenerated or
+    // rescaled corpora must re-verify it before trusting a mismatch
+    // as a product bug (q23/q26/q55 carry algorithm-restating oracles
+    // instead and have no such coupling).
     Q("q22_dedup_minhash_lsh",
       (s, dir) => DocDedup.minhashLsh(Tables(s, dir, "documents"),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5),

@@ -83,6 +83,25 @@ object Plugins {
     Some(ev)
   }
 
+  /** Runtime plugin discovery — the analogue of the reference's
+    * plugin-directory scan (utils/plugins.py:32-61, `registerPlugins`
+    * globbing the plugins dir for .py modules and importing each):
+    * plugins are
+    * discovered from the classpath via `java.util.ServiceLoader`, so
+    * dropping a jar with a
+    * `META-INF/services/graft.engine.EventPlugin` entry onto the
+    * executor classpath registers its plugins with no code change.
+    * Discovery order is irrelevant — the chain sorts by `priority`
+    * exactly like the directory scan did.
+    */
+  def discover(loader: ClassLoader = Thread.currentThread().getContextClassLoader)
+      : Seq[EventPlugin] = {
+    val it = java.util.ServiceLoader.load(classOf[EventPlugin], loader).iterator()
+    val out = Seq.newBuilder[EventPlugin]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
   /** Distributed form over JSON-line events (the lake ingest path). */
   def run(events: Dataset[String], plugins: Seq[EventPlugin]): Dataset[String] = {
     import events.sparkSession.implicits._

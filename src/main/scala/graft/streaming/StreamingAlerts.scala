@@ -161,7 +161,13 @@ object StreamingAlerts {
       })
   }
 
-  case class SlotProgress(next: Int, slotNames: List[String], startedMs: Long)
+  /** `hits` counts matching events toward the CURRENT slot's
+    * threshold; the slot advances when hits reaches it (batch parity:
+    * Trigger.threshold fills a slot once its per-key count meets the
+    * slot threshold).
+    */
+  case class SlotProgress(next: Int, slotNames: List[String], startedMs: Long,
+      hits: Int = 0)
 
   /** Q1-Q2 as a stream, static-criteria form: per correlation key, a
     * slot cursor advances whenever the current slot's (pre-compiled)
@@ -176,14 +182,15 @@ object StreamingAlerts {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.nonEmpty, "sequence spec needs slots")
-    // streaming contract: slots advance on the FIRST matching event —
-    // slot-level thresholds and deadman (absence) slots are batch-only
-    // semantics; reject rather than silently invert them
+    // streaming contract: a slot advances once `threshold` matching
+    // events arrive (default 1). Deadman (absence) slots remain
+    // batch-only semantics — reject rather than silently invert them.
     require(slots.forall(s =>
-      AlertDoc.str(s, "alert_type", "threshold") == "threshold" &&
-        AlertDoc.int(s, "threshold", 1) <= 1),
-      "sequenceStream supports threshold slots with threshold<=1; " +
-        "deadman slots and higher thresholds need the batch SequenceEngine")
+      AlertDoc.str(s, "alert_type", "threshold") == "threshold"),
+      "sequenceStream supports threshold slots; " +
+        "deadman slots need the batch SequenceEngine")
+    val thresholds: IndexedSeq[Int] =
+      slots.map(s => math.max(AlertDoc.int(s, "threshold", 1), 1)).toIndexedSeq
     // lifespan (Q3): a partially-filled sequence expires when the
     // watermark passes its start + lifespan — the streaming analogue
     // of expire_sequence_alerts (alerta.py:240-248)
@@ -226,24 +233,30 @@ object StreamingAlerts {
           // inline expiry: the timeout callback only fires for keys
           // with no traffic — a chatty key crossing its deadline
           // expires here instead
-          if (st.next > 0 && wm > st.startedMs + lifespanMs)
+          if ((st.next > 0 || st.hits > 0) && wm > st.startedMs + lifespanMs)
             st = SlotProgress(0, Nil, 0L)
           val out = List.newBuilder[StreamAlert]
           // event-time order within the batch so slot order is honored
           rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, m) =>
             if (st.next < slots.size && m(st.next)) {
-              val started = if (st.next == 0) ts.getTime else st.startedMs
-              val named = st.slotNames :+
-                AlertDoc.str(slots(st.next), "alert_name", s"slot${st.next}")
-              st = SlotProgress(st.next + 1, named, started)
-              if (st.next == slots.size) {
-                out += StreamAlert(name, key, slots.size.toLong, ts, ts,
-                  s"$name: sequence [${named.mkString(" -> ")}] completed by $key")
-                st = SlotProgress(0, Nil, 0L)
-              }
+              // the sequence clock starts at the FIRST matching event
+              // of slot 0, even before its threshold fills
+              val started =
+                if (st.next == 0 && st.hits == 0) ts.getTime else st.startedMs
+              val hits = st.hits + 1
+              if (hits >= thresholds(st.next)) {
+                val named = st.slotNames :+
+                  AlertDoc.str(slots(st.next), "alert_name", s"slot${st.next}")
+                st = SlotProgress(st.next + 1, named, started)
+                if (st.next == slots.size) {
+                  out += StreamAlert(name, key, slots.size.toLong, ts, ts,
+                    s"$name: sequence [${named.mkString(" -> ")}] completed by $key")
+                  st = SlotProgress(0, Nil, 0L)
+                }
+              } else st = SlotProgress(st.next, st.slotNames, started, hits)
             }
           }
-          if (st.next == 0) {
+          if (st.next == 0 && st.hits == 0) {
             // no in-flight progress: drop the state entry entirely —
             // keeping it would grow the store by one row per distinct
             // key ever seen

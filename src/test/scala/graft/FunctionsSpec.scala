@@ -116,4 +116,14 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(!e2.contains("enriched")) // registration mismatch
     assert(AlertDoc.seq(e2, "plugins") === Seq("dropper"))
   }
+
+  test("ServiceLoader discovery registers classpath plugins (utils/plugins.py:32-61)") {
+    val discovered = Plugins.discover()
+    assert(discovered.exists(_.name == "loader_tag"))
+    // discovered plugins run through the same chain machinery
+    val out = Plugins.sendEventToPlugins(
+      Map("eventid" -> "9"), discovered.filter(_.name == "loader_tag"))
+    assert(out.exists(_("loaded") == true))
+    assert(out.exists(e => AlertDoc.seq(e, "plugins") === Seq("loader_tag")))
+  }
 }

@@ -202,6 +202,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sequenceStream slot with threshold>1 needs that many matches to advance") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val spec = Map[String, Any]("alert_name" -> "two_buys_then_fail",
+      "aggregation_key" -> "user_id",
+      "slots" -> Seq(
+        Map[String, Any]("alert_name" -> "buys", "threshold" -> 2,
+          "criteria" -> "event_type='purchase'"),
+        Map[String, Any]("alert_name" -> "fail", "criteria" -> "event_type='error'")))
+    val out = StreamingAlerts.sequenceStream(mem.toDF(), spec)
+    val q = out.writeStream.format("memory").queryName("thseq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two purchases fill slot 0, the error completes — the
+      // same fill condition batch Trigger.threshold applies (count >=
+      // slot threshold). user 2: ONE purchase then an error — slot 0
+      // stays half-filled, the error must not advance anything.
+      mem.addData(Ev(ts(1), 1, "purchase"), Ev(ts(2), 1, "purchase"),
+        Ev(ts(3), 1, "error"),
+        Ev(ts(1), 2, "purchase"), Ev(ts(2), 2, "error"))
+      q.processAllAvailable()
+      val rows = spark.table("thseq").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("value") === "1")
+      assert(rows.head.getAs[String]("summary").contains("buys -> fail"))
+      // a late second purchase from user 2 fills slot 0; a following
+      // error then completes user 2's sequence too
+      mem.addData(Ev(ts(4), 2, "purchase"), Ev(ts(5), 2, "error"))
+      q.processAllAvailable()
+      val rows2 = spark.table("thseq").collect()
+      assert(rows2.length === 2)
+      assert(rows2.map(_.getAs[String]("value")).sorted === Array("1", "2"))
+    } finally q.stop()
+  }
+
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   test("dedupStream passes first arrival per content hash, drops dups") {
