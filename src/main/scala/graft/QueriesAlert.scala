@@ -339,11 +339,16 @@ private[graft] object QueriesAlert {
       (s, dir) => {
         graft.functions.Functions.register(s)
         Tables(s, dir, "events").createOrReplaceTempView("events")
+        // element_at exercises Presto's NULL-out-of-bounds contract
+        // (ANSI Spark would throw); the lambda inside cardinality
+        // exercises Presto lambda syntax via Spark's native HOF parser
         s.sql("""SELECT user_id, COUNT(*) AS cnt
                 |FROM events
                 |WHERE json_extract_scalar(props, '$.k') IS NOT NULL
                 |  AND strpos(event_type, 'c') = 1
                 |  AND contains(array('click', 'purchase'), event_type)
+                |  AND element_at(split(event_type, 'i'), 2) IS NOT NULL
+                |  AND cardinality(filter(split(event_type, ''), x -> x = 'c')) >= 1
                 |GROUP BY user_id ORDER BY user_id""".stripMargin)
       },
       Some("""SELECT user_id, COUNT(*) AS cnt
@@ -351,6 +356,8 @@ private[graft] object QueriesAlert {
              |WHERE json_extract_string(props, '$.k') IS NOT NULL
              |  AND strpos(event_type, 'c') = 1
              |  AND event_type IN ('click', 'purchase')
+             |  AND string_split(event_type, 'i')[2] IS NOT NULL
+             |  AND len(list_filter(string_split(event_type, ''), x -> x = 'c')) >= 1
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     Q("q17_rollup",

@@ -54,7 +54,31 @@ object Functions {
         exprs.head, exprs(1)),
       "built-in")
 
+    // Presto cardinality(array|map) — Catalyst Size with Presto's
+    // null-in → null-out (never legacy -1)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cardinality",
+      exprs => org.apache.spark.sql.catalyst.expressions.Size(
+        exprs.head, legacySizeOfNull = false),
+      "built-in")
+
+    // Presto element_at(array, index) / element_at(map, key): NULL
+    // when the index is out of bounds or the key is absent — pinned
+    // non-failing regardless of the session's ANSI mode (Spark's own
+    // element_at would throw OOB under ANSI)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "element_at",
+      exprs => org.apache.spark.sql.catalyst.expressions.ElementAt(
+        exprs.head, exprs(1), failOnError = false),
+      "built-in")
+
     spark.udf.register("to_utc", (s: String) =>
+      if (s == null) null
+      else java.sql.Timestamp.from(Dates.toUTC(s)))
+
+    // Presto from_iso8601_timestamp — the same permissive ladder
+    // (offset-aware ISO input lands as the UTC instant)
+    spark.udf.register("from_iso8601_timestamp", (s: String) =>
       if (s == null) null
       else java.sql.Timestamp.from(Dates.toUTC(s)))
 

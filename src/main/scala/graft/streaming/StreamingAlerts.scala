@@ -162,18 +162,35 @@ object StreamingAlerts {
   }
 
   /** `hits` counts matching events toward the CURRENT slot's
-    * threshold; the slot advances when hits reaches it (batch parity:
-    * Trigger.threshold fills a slot once its per-key count meets the
-    * slot threshold).
+    * threshold (batch parity: Trigger.threshold fills a slot once its
+    * per-key count meets the slot threshold). For a deadman slot,
+    * `hits` counts matching events inside the current observation
+    * window and `dmDeadlineMs` is the window's end — the slot fills if
+    * the window closes with hits ≤ threshold (absence), and a
+    * violating burst restarts the window from the violating event.
     */
   case class SlotProgress(next: Int, slotNames: List[String], startedMs: Long,
-      hits: Int = 0)
+      hits: Int = 0, dmDeadlineMs: Long = 0L)
 
   /** Q1-Q2 as a stream, static-criteria form: per correlation key, a
     * slot cursor advances whenever the current slot's (pre-compiled)
-    * predicate matches an event; completing the last slot emits one
-    * alert and resets. Slot predicates are evaluated in the plan (one
-    * boolean array column), so the state function never parses SQL.
+    * predicate accumulates `threshold` matching events; completing the
+    * last slot emits one alert and resets. Slot predicates are
+    * evaluated in the plan (one boolean array column), so the state
+    * function never parses SQL.
+    *
+    * Deadman (absence) slots are supported at positions > 0: when the
+    * preceding slot fills at T, the deadman slot observes
+    * (T, T + slot lifespan]; if at most `threshold` (default 0)
+    * matching events arrive inside the window it fills at the window
+    * end — the streaming analogue of Trigger.deadman's `count ≤
+    * threshold` over the engine-run window. More than `threshold`
+    * matches restart the observation from the violating event (the
+    * batch loop likewise keeps re-querying until a quiet window
+    * appears). Window closure is driven by the event-time watermark —
+    * inline for chatty keys, via the state timeout for silent ones. A
+    * deadman slot at position 0 has no clock origin per key and is
+    * rejected.
     */
   def sequenceStream(events: DataFrame, spec: Doc,
       tsCol: String = "ts", watermarkDelay: String = "10 minutes"): Dataset[StreamAlert] = {
@@ -182,15 +199,20 @@ object StreamingAlerts {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.nonEmpty, "sequence spec needs slots")
-    // streaming contract: a slot advances once `threshold` matching
-    // events arrive (default 1). Deadman (absence) slots remain
-    // batch-only semantics — reject rather than silently invert them.
-    require(slots.forall(s =>
-      AlertDoc.str(s, "alert_type", "threshold") == "threshold"),
-      "sequenceStream supports threshold slots; " +
-        "deadman slots need the batch SequenceEngine")
-    val thresholds: IndexedSeq[Int] =
-      slots.map(s => math.max(AlertDoc.int(s, "threshold", 1), 1)).toIndexedSeq
+    val kinds: IndexedSeq[String] =
+      slots.map(s => AlertDoc.str(s, "alert_type", "threshold")).toIndexedSeq
+    require(kinds.forall(k => k == "threshold" || k == "deadman"),
+      s"unknown slot alert_type in ${kinds.mkString(",")}")
+    require(kinds.head == "threshold",
+      "a deadman slot needs a preceding slot to start its observation window")
+    val thresholds: IndexedSeq[Int] = slots.zip(kinds).map { case (s, k) =>
+      if (k == "deadman") math.max(AlertDoc.int(s, "threshold", 0), 0)
+      else math.max(AlertDoc.int(s, "threshold", 1), 1)
+    }.toIndexedSeq
+    // a deadman slot's observation window = its lifespan (1h default —
+    // the engine-run window analogue)
+    val dmWindowMs: IndexedSeq[Long] = slots.map(s => graft.functions.Dates
+      .interval(AlertDoc.str(s, "lifespan", "1 hour")).toMillis).toIndexedSeq
     // lifespan (Q3): a partially-filled sequence expires when the
     // watermark passes its start + lifespan — the streaming analogue
     // of expire_sequence_alerts (alerta.py:240-248)
@@ -222,53 +244,92 @@ object StreamingAlerts {
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (key: String, rows: Iterator[(String, Timestamp, Seq[Boolean])],
        state: GroupState[SlotProgress]) => {
-        if (state.hasTimedOut) {
-          // lifespan exceeded with slots unfilled → expire silently,
-          // like expire_sequence_alerts (no alert emitted)
-          state.remove()
-          Iterator.empty
-        } else {
-          val wm = state.getCurrentWatermarkMs()
-          var st = state.getOption.getOrElse(SlotProgress(0, Nil, 0L))
-          // inline expiry: the timeout callback only fires for keys
-          // with no traffic — a chatty key crossing its deadline
-          // expires here instead
-          if ((st.next > 0 || st.hits > 0) && wm > st.startedMs + lifespanMs)
-            st = SlotProgress(0, Nil, 0L)
-          val out = List.newBuilder[StreamAlert]
+        val out = List.newBuilder[StreamAlert]
+
+        // fill the CURRENT slot at `atMs`: emit + reset on completion,
+        // else advance — arming the next slot's observation window
+        // when it is a deadman
+        def fill(st: SlotProgress, atMs: Long): SlotProgress = {
+          val named = st.slotNames :+
+            AlertDoc.str(slots(st.next), "alert_name", s"slot${st.next}")
+          if (st.next + 1 == slots.size) {
+            val t = new Timestamp(atMs)
+            out += StreamAlert(name, key, slots.size.toLong, t, t,
+              s"$name: sequence [${named.mkString(" -> ")}] completed by $key")
+            SlotProgress(0, Nil, 0L)
+          } else {
+            val nxt = st.next + 1
+            SlotProgress(nxt, named, st.startedMs, 0,
+              if (kinds(nxt) == "deadman") atMs + dmWindowMs(nxt) else 0L)
+          }
+        }
+
+        // advance every deadman observation window that closed quietly
+        // before `uptoMs` (hits ≤ threshold holds by construction: a
+        // violating burst already restarted the window)
+        def drainDeadman(st0: SlotProgress, uptoMs: Long): SlotProgress = {
+          var st = st0
+          while (st.next > 0 && st.next < slots.size &&
+              kinds(st.next) == "deadman" && uptoMs > st.dmDeadlineMs)
+            st = fill(st, st.dmDeadlineMs)
+          st
+        }
+
+        val wm = state.getCurrentWatermarkMs()
+        var st = state.getOption.getOrElse(SlotProgress(0, Nil, 0L))
+        // watermark-driven progress first (also the whole job of the
+        // timeout callback for silent keys): close due deadman
+        // windows, then expire the sequence if its lifespan passed —
+        // like expire_sequence_alerts, expiry emits nothing
+        st = drainDeadman(st, wm)
+        if ((st.next > 0 || st.hits > 0) && wm > st.startedMs + lifespanMs)
+          st = SlotProgress(0, Nil, 0L)
+        if (!state.hasTimedOut) {
           // event-time order within the batch so slot order is honored
           rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, m) =>
+            // a deadman window that closed before this event fills first
+            st = drainDeadman(st, ts.getTime)
             if (st.next < slots.size && m(st.next)) {
-              // the sequence clock starts at the FIRST matching event
-              // of slot 0, even before its threshold fills
-              val started =
-                if (st.next == 0 && st.hits == 0) ts.getTime else st.startedMs
-              val hits = st.hits + 1
-              if (hits >= thresholds(st.next)) {
-                val named = st.slotNames :+
-                  AlertDoc.str(slots(st.next), "alert_name", s"slot${st.next}")
-                st = SlotProgress(st.next + 1, named, started)
-                if (st.next == slots.size) {
-                  out += StreamAlert(name, key, slots.size.toLong, ts, ts,
-                    s"$name: sequence [${named.mkString(" -> ")}] completed by $key")
-                  st = SlotProgress(0, Nil, 0L)
-                }
-              } else st = SlotProgress(st.next, st.slotNames, started, hits)
+              if (kinds(st.next) == "deadman") {
+                val hits = st.hits + 1
+                st =
+                  if (hits > thresholds(st.next))
+                    // violation: restart the observation window here
+                    st.copy(hits = 0,
+                      dmDeadlineMs = ts.getTime + dmWindowMs(st.next))
+                  else st.copy(hits = hits)
+              } else {
+                // the sequence clock starts at the FIRST matching
+                // event of slot 0, even before its threshold fills
+                val started =
+                  if (st.next == 0 && st.hits == 0) ts.getTime else st.startedMs
+                val hits = st.hits + 1
+                st =
+                  if (hits >= thresholds(st.next))
+                    fill(st.copy(startedMs = started), ts.getTime)
+                  else SlotProgress(st.next, st.slotNames, started, hits)
+              }
             }
           }
-          if (st.next == 0 && st.hits == 0) {
-            // no in-flight progress: drop the state entry entirely —
-            // keeping it would grow the store by one row per distinct
-            // key ever seen
-            if (state.exists) state.remove()
-          } else {
-            state.update(st)
-            // clamp: a timeout at/below the watermark throws and kills
-            // the query
-            state.setTimeoutTimestamp(math.max(st.startedMs + lifespanMs, wm + 1))
-          }
-          out.result().iterator
         }
+        if (st.next == 0 && st.hits == 0) {
+          // no in-flight progress: drop the state entry entirely —
+          // keeping it would grow the store by one row per distinct
+          // key ever seen
+          if (state.exists) state.remove()
+        } else {
+          state.update(st)
+          // next wake-up: the earlier of sequence expiry and the
+          // current deadman window's close; clamp above the watermark
+          // (a timeout at/below it throws and kills the query)
+          val expiryTs = st.startedMs + lifespanMs
+          val timerTs =
+            if (kinds(st.next) == "deadman" && st.dmDeadlineMs > 0)
+              math.min(expiryTs, st.dmDeadlineMs)
+            else expiryTs
+          state.setTimeoutTimestamp(math.max(timerTs, wm + 1))
+        }
+        out.result().iterator
       })
   }
 }

@@ -40,6 +40,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getBoolean(1) === false)
   }
 
+  test("element_at / cardinality / from_iso8601_timestamp: Presto semantics") {
+    graft.functions.Functions.register(spark)
+    val r = spark.sql(
+      """SELECT element_at(array(10, 20), 2) AS a,
+        |       element_at(array(10, 20), 5) AS oob,
+        |       element_at(map('k', 'v'), 'missing') AS nokey,
+        |       cardinality(array(1, 2, 3)) AS n,
+        |       cardinality(CAST(NULL AS ARRAY<INT>)) AS nnull,
+        |       from_iso8601_timestamp('2024-01-01T02:16:06+02:00') AS t
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 20)
+    assert(r.isNullAt(1)) // out of bounds → NULL, never an ANSI error
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) === 3)
+    assert(r.isNullAt(4)) // Presto null-in null-out, not legacy -1
+    assert(r.getTimestamp(5).toInstant ===
+      java.time.Instant.parse("2024-01-01T00:16:06Z"))
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()

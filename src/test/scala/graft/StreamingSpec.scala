@@ -237,6 +237,43 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sequenceStream deadman slot fills on absence, restarts on violation") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // purchase, then 30 quiet minutes WITHOUT a heartbeat → alert
+    val spec = Map[String, Any]("alert_name" -> "buy_then_silence",
+      "aggregation_key" -> "user_id", "lifespan" -> "1 day",
+      "slots" -> Seq(
+        Map[String, Any]("alert_name" -> "buy",
+          "criteria" -> "event_type='purchase'"),
+        Map[String, Any]("alert_name" -> "silence", "alert_type" -> "deadman",
+          "lifespan" -> "30 minutes", "criteria" -> "event_type='heartbeat'")))
+    val out = StreamingAlerts.sequenceStream(mem.toDF(), spec,
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("dmseq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // both users purchase at 10:01; user 2 heartbeats at 10:10
+      // (violation → its window restarts there), user 1 stays silent
+      mem.addData(Ev(ts(1), 1, "purchase"), Ev(ts(1), 2, "purchase"),
+        Ev(ts(10), 2, "heartbeat"))
+      q.processAllAvailable()
+      // watermark to 10:35: user 1's (10:01, 10:31] window closed
+      // quietly; user 2's restarted window (10:10, 10:40] is still open
+      mem.addData(Ev(ts(36), 9, "view"))
+      q.processAllAvailable()
+      val fired = spark.table("dmseq").collect()
+      assert(fired.map(_.getAs[String]("value")).toSeq === Seq("1"))
+      assert(fired.head.getAs[String]("summary").contains("buy -> silence"))
+      // user 2 then stays quiet past 10:40 → its deadman fills too
+      // (watermark-timeout path, no further user-2 traffic)
+      mem.addData(Ev(tsH(11, 0), 9, "view"))
+      q.processAllAvailable()
+      val fired2 = spark.table("dmseq").collect()
+      assert(fired2.map(_.getAs[String]("value")).sorted === Array("1", "2"))
+    } finally q.stop()
+  }
+
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   test("dedupStream passes first arrival per content hash, drops dups") {
