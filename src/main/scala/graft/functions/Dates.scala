@@ -106,8 +106,11 @@ object Dates {
     "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
   private val fuzzyIsoDate = raw"\b(\d{4})[-/](\d{1,2})[-/](\d{1,2})\b".r
   private val fuzzyUsDate = raw"\b(\d{1,2})/(\d{1,2})/(\d{4})\b".r
+  // whole tokens only (dateutil parity): "novel"/"decode"/"marginal"
+  // must NOT read as month evidence — full names first so the
+  // alternation can't stop at a bare prefix
   private val fuzzyMonth =
-    raw"\b(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\b".r
+    raw"\b(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sept|sep|oct|nov|dec)\b".r
   private val fuzzyTime = raw"\b(\d{1,2}):(\d{2})(?::(\d{2})(\.\d{1,9})?)?\s*(am|pm)?\b".r
   private val fuzzyOffset = raw"([+-]\d{2}):?(\d{2})\b".r
 
@@ -127,17 +130,22 @@ object Dates {
     */
   private def fuzzyParse(s: String): Option[Instant] = {
     val lower = s.toLowerCase
+    // an explicit ±hh[:]mm offset is extracted from the raw text, then
+    // STRIPPED before time/day/year harvesting — its digits would
+    // otherwise double as a time of day ("2024-01-05 -05:00" is
+    // midnight at -05:00, not 05:00)
+    val noOff = fuzzyOffset.replaceAllIn(lower, " ")
     val datePart: Option[(Int, Int, Int)] =
-      fuzzyIsoDate.findFirstMatchIn(lower)
+      fuzzyIsoDate.findFirstMatchIn(noOff)
         .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
-        .orElse(fuzzyUsDate.findFirstMatchIn(lower)
+        .orElse(fuzzyUsDate.findFirstMatchIn(noOff)
           .map(m => (m.group(3).toInt, m.group(1).toInt, m.group(2).toInt)))
         .orElse {
           // month-name form: strip the time of day first so its digits
           // can't be mistaken for a day or year
-          val noTime = fuzzyTime.replaceAllIn(lower, " ")
+          val noTime = fuzzyTime.replaceAllIn(noOff, " ")
           fuzzyMonth.findFirstMatchIn(noTime).flatMap { mm =>
-            val month = monthNames(mm.group(1))
+            val month = monthNames(mm.group(1).take(3))
             val nums = raw"\b(\d{1,4})(?:st|nd|rd|th)?\b".r
               .findAllMatchIn(noTime).map(_.group(1)).toList
             val year = nums.find(_.length == 4).map(_.toInt)
@@ -146,7 +154,7 @@ object Dates {
           }
         }
     datePart.flatMap { case (y, mo, d) =>
-      val (hh, mi, ss, nanos) = fuzzyTime.findFirstMatchIn(lower) match {
+      val (hh, mi, ss, nanos) = fuzzyTime.findFirstMatchIn(noOff) match {
         case Some(t) =>
           val ampm = Option(t.group(5))
           val h0 = t.group(1).toInt

@@ -72,15 +72,14 @@ object Functions {
         exprs.head, exprs(1), failOnError = false),
       "built-in")
 
-    spark.udf.register("to_utc", (s: String) =>
+    // one ladder, two dialect names: to_utc (the reference's helper)
+    // and Presto's from_iso8601_timestamp (offset-aware ISO input
+    // lands as the UTC instant)
+    val toUtcUdf = (s: String) =>
       if (s == null) null
-      else java.sql.Timestamp.from(Dates.toUTC(s)))
-
-    // Presto from_iso8601_timestamp — the same permissive ladder
-    // (offset-aware ISO input lands as the UTC instant)
-    spark.udf.register("from_iso8601_timestamp", (s: String) =>
-      if (s == null) null
-      else java.sql.Timestamp.from(Dates.toUTC(s)))
+      else java.sql.Timestamp.from(Dates.toUTC(s))
+    spark.udf.register("to_utc", toUtcUdf)
+    spark.udf.register("from_iso8601_timestamp", toUtcUdf)
 
     spark.udf.register("is_ipv4", (s: String) => s != null && isIPv4(s))
     spark.udf.register("is_ipv6", (s: String) => s != null && isIPv6(s))

@@ -42,7 +42,7 @@ object DocDedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       blockCol: String = "lang", textCol: String = "text",
-      idCol: String = "doc_id", maxShingleDocFreq: Long = 100L): DataFrame = {
+      idCol: String = "doc_id", maxShingleDocFreq: Long = 0L): DataFrame = {
     // shingles are joined as xxhash64 longs, not strings — the shuffle
     // carries 8 bytes per shingle instead of ~20 chars (collision odds
     // at 64 bits are negligible against any realistic corpus).
@@ -54,8 +54,10 @@ object DocDedup {
         call_function("shingle_hashes", split(col(textCol), " "), lit(n)).as("hs"))
       .localCheckpoint()
     val shAll = base.select(col("doc_id"), col("block"), explode(col("hs")).as("s"))
-    // df-cut (ON by default, 0 disables): drop shingles shared by
-    // more than maxShingleDocFreq docs BEFORE the self-join. A
+    // df-cut (0 = off — the default stays EXACT so library callers
+    // never lose recall silently; the registered q21/q37 opt in with
+    // an explicit cutoff): drop shingles shared by more than
+    // maxShingleDocFreq docs BEFORE the self-join. A
     // stopword-run shingle in f docs contributes f² join rows — the
     // classic skew blow-up at corpus scale. The hot list comes from a
     // map-side-combinable groupBy (no skew concentration: partial
@@ -66,9 +68,9 @@ object DocDedup {
     // `inter` (and thus jac, still over FULL set sizes) a lower bound
     // for any pair that shared one — recall turns approximate, and a
     // surviving pair's jac undercounts its hot shared shingles. On
-    // this corpus the default 100 cuts nothing (measured max shingle
-    // df at sf0.01 is 7; true pairs share df ≤ 6), so q21/q37 stay
-    // exact with the guard in-plan.
+    // this corpus q21/q37's cutoff of 100 cuts nothing (measured max
+    // shingle df at sf0.01 is 7; true pairs share df ≤ 6), so those
+    // queries stay exact with the guard in-plan.
     val sh =
       if (maxShingleDocFreq <= 0) shAll
       else {

@@ -266,12 +266,18 @@ object StreamingAlerts {
 
         // advance every deadman observation window that closed quietly
         // before `uptoMs` (hits ≤ threshold holds by construction: a
-        // violating burst already restarted the window)
+        // violating burst already restarted the window). A window
+        // whose close falls PAST the sequence's lifespan expires the
+        // sequence instead of completing it — expire_sequence_alerts
+        // wins over a late fill, whatever order the clocks are read.
         def drainDeadman(st0: SlotProgress, uptoMs: Long): SlotProgress = {
           var st = st0
           while (st.next > 0 && st.next < slots.size &&
               kinds(st.next) == "deadman" && uptoMs > st.dmDeadlineMs)
-            st = fill(st, st.dmDeadlineMs)
+            st =
+              if (st.dmDeadlineMs > st.startedMs + lifespanMs)
+                SlotProgress(0, Nil, 0L)
+              else fill(st, st.dmDeadlineMs)
           st
         }
 

@@ -137,6 +137,15 @@ class DatesSpec extends AnyFunSuite {
       Instant.parse("2021-03-03T04:05:06.123Z"))
     // trailing/leading whitespace never breaks the exact ladder
     assert(Dates.toUTC(" 2024-01-05T13:00Z ") === Instant.parse("2024-01-05T13:00:00Z"))
+    // full month names, including the sept 4-letter abbreviation
+    assert(Dates.toUTC("September 2nd 2024") === Instant.parse("2024-09-02T00:00:00Z"))
+    // explicit offset WITHOUT a time of day: the offset digits must
+    // not double as the time (midnight at -05:00, not 05:00 local)
+    assert(Dates.toUTC("seen 2024-01-05 -05:00 by probe") ===
+      Instant.parse("2024-01-05T05:00:00Z"))
+    // month-name PREFIXES inside ordinary words are not date evidence
+    intercept[IllegalArgumentException](Dates.toUTC("novel 2024 error after 3 retries"))
+    intercept[IllegalArgumentException](Dates.toUTC("decode failed 7 times in 2023"))
     // no date evidence still fails loudly
     intercept[IllegalArgumentException](Dates.toUTC("not a date at all"))
   }

@@ -274,6 +274,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("sequenceStream: lifespan expiry beats a later deadman window close") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // sequence lifespan 30 min but the deadman window is 2 hours: the
+    // sequence expires before the window can close — no alert, ever
+    // (expire_sequence_alerts wins over a late fill)
+    val spec = Map[String, Any]("alert_name" -> "expires_first",
+      "aggregation_key" -> "user_id", "lifespan" -> "30 minutes",
+      "slots" -> Seq(
+        Map[String, Any]("alert_name" -> "buy",
+          "criteria" -> "event_type='purchase'"),
+        Map[String, Any]("alert_name" -> "silence", "alert_type" -> "deadman",
+          "lifespan" -> "2 hours", "criteria" -> "event_type='heartbeat'")))
+    val out = StreamingAlerts.sequenceStream(mem.toDF(), spec,
+      watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("dmexp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(ts(1), 1, "purchase"))
+      q.processAllAvailable()
+      // watermark far past BOTH the expiry (10:31) and the window
+      // close (12:01) — timeout path must expire, not complete
+      mem.addData(Ev(tsH(13, 0), 9, "view"))
+      q.processAllAvailable()
+      // inline path for a chatty key: late user-1 traffic after the
+      // deadline must not resurrect the expired sequence either
+      mem.addData(Ev(tsH(13, 5), 1, "view"))
+      q.processAllAvailable()
+      assert(spark.table("dmexp").isEmpty)
+    } finally q.stop()
+  }
+
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   test("dedupStream passes first arrival per content hash, drops dups") {
