@@ -626,6 +626,54 @@ private[graft] object QueriesPipeline {
              |WHERE rn <= 3
              |ORDER BY user_id, rn""".stripMargin)),
 
+    // winnowing containment search (the MOSS use-case): docs sharing
+    // >= 8 winnow fingerprints (k=16-char grams, w=8 windows —
+    // measured selective on this corpus: 25 pairs, the true near-dup
+    // scale; 8-char grams collide on near-all pairs) are containment
+    // candidates — the
+    // fingerprint is the equi-join key, so cost scales with fingerprint
+    // collisions (real shared content), never docs². Hash-verified END
+    // TO END: k-gram hashes are the portable base-31 fold, so the
+    // oracle recomputes every fingerprint (k-gram hash → window min →
+    // distinct) relationally before restating the pair join.
+    Q("q56_winnow_containment",
+      (s, dir) => {
+        val fp = TextAnalysis.winnow(Tables(s, dir, "documents"), k = 16, w = 8)
+          .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 8)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, greatest(len(text) - 15, 1) AS grams
+             |           FROM documents WHERE text IS NOT NULL),
+             |g AS (SELECT doc_id, grams,
+             |        unnest(range(1, grams + 1)) AS i, text
+             |      FROM d),
+             |h AS (SELECT doc_id, grams, i,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(string_split(substr(text, CAST(i AS INTEGER), 16), ''),
+             |            c -> CAST(unicode(c) AS BIGINT))),
+             |          (a, b) -> (a * 31 + b) % 2147483647) AS kh
+             |      FROM g),
+             |wmin AS (SELECT doc_id, grams, i,
+             |           MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+             |             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+             |         FROM h),
+             |fps AS (SELECT DISTINCT doc_id, fp FROM wmin
+             |        WHERE grams >= 8 AND i <= grams - 7
+             |        UNION
+             |        SELECT doc_id, MIN(kh) AS fp FROM h
+             |        WHERE grams < 8 GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+             |          FROM fps a JOIN fps b
+             |            ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT a_id, b_id, shared FROM pairs
+             |WHERE shared >= 8 ORDER BY a_id, b_id""".stripMargin)),
+
     Q("q31_multimodal_metadata",
       (s, dir) => Multimodal.pipeline(Tables(s, dir, "documents")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,

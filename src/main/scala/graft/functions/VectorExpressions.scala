@@ -216,6 +216,52 @@ object VecKernels {
     bestI
   }
 
+  /** Winnowing fingerprints (the MOSS scheme) with ENGINE-PORTABLE
+    * k-gram hashes: every character k-gram hashes through the base-31
+    * polynomial fold (q38 parity), then each window of `w` consecutive
+    * k-grams keeps its minimum hash; distinct minima in
+    * first-appearance order. Fewer than `w` k-grams → the single
+    * global minimum (the HOF fold's `otherwise` branch). Map-only,
+    * and relationally restatable, so the containment-search query
+    * (q56) is hash-verified end to end.
+    */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val grams = math.max(n - (k - 1), 1)
+    val hs = new Array[Long](grams)
+    var i = 0
+    while (i < grams) {
+      val end = math.min(i + k, n)
+      var h = 0L
+      var j = i
+      while (j < end) { h = (h * 31L + s.charAt(j)) % 2147483647L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (grams >= w) {
+      var j = 0
+      while (j <= grams - w) {
+        var m = Long.MaxValue
+        var t = j
+        while (t < j + w) { if (hs(t) < m) m = hs(t); t += 1 }
+        out.add(m)
+        j += 1
+      }
+    } else {
+      var m = Long.MaxValue
+      var t = 0
+      while (t < grams) { if (hs(t) < m) m = hs(t); t += 1 }
+      out.add(m)
+    }
+    val arr = new Array[Long](out.size)
+    var x = 0
+    val it = out.iterator()
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Sign-random-projection bucket: `planes` sign bits of pseudo-random
     * hyperplane projections packed into a long. Plane weights are
     * engine-portable exact integer arithmetic:
@@ -343,6 +389,27 @@ case class MinHashState(first: Expression, second: Expression, third: Expression
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Winnowing fingerprint set of a text column (see
+  * [[VecKernels.winnowFingerprints]]).
+  */
+case class WinnowFp(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    VecKernels.winnowFingerprints(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) =>
+      s"graft.functions.VecKernels.winnowFingerprints($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** SRP bucket id of a double vector (see [[VecKernels.srpBucket]]). */
 case class SrpBucket(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -415,6 +482,9 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_state"),
       new ExpressionInfo(classOf[MinHashState].getName, "minhash_state"),
       (es: Seq[Expression]) => MinHashState(es(0), es(1), es(2))),
+    (FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (es: Seq[Expression]) => WinnowFp(es(0), es(1), es(2))),
     (FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
       (es: Seq[Expression]) => SrpBucket(es(0), es(1))),

@@ -85,22 +85,36 @@ object TextAnalysis {
   /** Winnowing fingerprints (the MOSS scheme): hash every character
     * k-gram, then keep the minimum hash of each window of w
     * consecutive k-grams — a position-robust fingerprint set whose
-    * overlap survives local edits. Map-only per doc; the fingerprint
-    * set is the join key for plagiarism-style containment search.
+    * overlap survives local edits. Map-only per doc via the native
+    * codegen'd `winnow_fp` kernel
+    * ([[graft.functions.VecKernels.winnowFingerprints]]); k-gram
+    * hashes are the engine-portable base-31 fold (q38 parity), so the
+    * containment-search query (q56) verifies the whole scheme against
+    * a relational oracle. The fingerprint set is the join key for
+    * plagiarism-style containment search.
     */
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val n = length(col(textCol))
-    val kgrams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(col(textCol).substr(i, lit(k))))
-    val windows = when(size(kgrams) >= w,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        call_function("winnow_fp", col(textCol), lit(k), lit(w)).as("fingerprints"))
+      .withColumn("n_fp", size(col("fingerprints")))
+      .orderBy("doc_id")
+
+  /** Interpreted HOF fold with identical semantics to [[winnow]]'s
+    * kernel — the executable spec the native expression is
+    * differential-tested against (VecExprSpec).
+    */
+  private[graft] def winnowFold(textCol: Column, k: Int, w: Int): Column = {
+    val n = length(textCol)
+    val gramHash = (i: Column) => aggregate(
+      transform(split(textCol.substr(i, lit(k)), ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L)
+    val kgrams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))), gramHash)
+    when(size(kgrams) >= w,
       array_distinct(transform(
         sequence(lit(0), size(kgrams) - w),
         j => array_min(slice(kgrams, j + lit(1), lit(w))))))
       .otherwise(array(array_min(kgrams)))
-    docs.select(col(idCol).as("doc_id"), windows.as("fingerprints"))
-      .withColumn("n_fp", size(col("fingerprints")))
-      .orderBy("doc_id")
   }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase

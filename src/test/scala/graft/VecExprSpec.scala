@@ -102,6 +102,22 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
     ref.foreach { case (id, sig) => assert(native(id) === sig, s"doc_id=$id") }
   }
 
+  test("winnow_fp matches the HOF fold fingerprints") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
+    val ref = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.winnowFold(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = docs.select(col("doc_id"),
+        call_function("winnow_fp", col("text"), lit(8), lit(4)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.size === ref.size)
+    ref.foreach { case (id, fp) => assert(native(id) === fp, s"doc_id=$id") }
+    // short-text edge: fewer than w k-grams → the single global min
+    val short = spark.sql(
+      "SELECT winnow_fp('abcdefghij', 8, 4) AS fp").collect()(0).getSeq[Long](0)
+    assert(short.length === 1)
+  }
+
   test("srp_bucket matches the HOF fold bucket") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
