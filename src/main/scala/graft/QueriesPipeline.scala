@@ -8,11 +8,12 @@ import graft.sources.Lake
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
   * operators carry DuckDB oracles (identical float folds, micro-unit
-  * scores). SimHash/SRP operators use engine-PORTABLE hashes (integer
-  * LCG / polynomial folds), so their oracles restate the full
-  * algorithm relationally and verify hashes end to end; only MinHash
-  * (xxhash64-based, q22/q47) relies on a corpus-empirical exact-
-  * Jaccard equivalence instead.
+  * scores). Every hash-based operator (MinHash, SimHash, SRP,
+  * winnowing) uses engine-PORTABLE integer arithmetic (polynomial
+  * folds + a non-linear 31-bit mixer), so its oracle restates the
+  * full algorithm relationally and verifies hashes end to end; only
+  * q47/q36 additionally make corpus-empirical semantic claims (noted
+  * DATA-COUPLED at the query).
   */
 private[graft] object QueriesPipeline {
   import SparkEntryRegistry.Q
@@ -40,6 +41,18 @@ private[graft] object QueriesPipeline {
        |  (sqrt(list_sum(list_transform(list_zip($a,$a), x -> x[1]*x[2]))) *
        |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
 
+  /** DuckDB restatement of `VecKernels.mix31` — the non-linear 31-bit
+    * mixer (xorshift, multiply mod 2^31, xorshift) in exact BIGINT
+    * arithmetic (`//` on non-negative values = the kernel's `>>`).
+    * The input expression must be non-negative.
+    */
+  private def duckMix31(e: String): String = {
+    val x0 = s"(($e) % 2147483648)"
+    val x1 = s"xor($x0, $x0 // 32768)"
+    val x2 = s"(($x1 * 1103515245) % 2147483648)"
+    s"xor($x2, $x2 // 4096)"
+  }
+
   /** DuckDB CTE triple `e`/`pb`/`srpbits`: per-(vector, plane) sign
     * bits of the engine-portable SRP projections — the exact integer
     * LCG weights and strict left-fold of `VecKernels.srpBucket`
@@ -50,8 +63,8 @@ private[graft] object QueriesPipeline {
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |pb AS (SELECT vec_id, p,
        |         list_sum(list_transform(generate_series(1, len(v)),
-       |           i -> v[i] * ((((p*8192 + i - 1) * 1103515245 + 12345)
-       |                         % 2147483648) % 20001 - 10000) / 10000.0)) AS proj
+       |           i -> v[i] * ((${duckMix31("p*8192 + i - 1")} % 20001)
+       |                        - 10000) / 10000.0)) AS proj
        |       FROM e CROSS JOIN (SELECT unnest(range(0, $planes)) AS p) ps),
        |srpbits AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM pb)""".stripMargin
 
@@ -178,25 +191,46 @@ private[graft] object QueriesPipeline {
              |GROUP BY n.node
              |ORDER BY doc_id""".stripMargin)),
 
-    // approximate candidate generation — rows-only check; the exact
-    // verification inside makes precision exact, recall probabilistic.
-    // Oracle = EXACT all-pairs Jaccard ≥ threshold: on this corpus
-    // every true near-dup pair has jac ≥ 0.9, where a 4×4 band scheme
-    // has ~98.7% per-pair recall and empirically catches all of them —
-    // and verification is exact Jaccard, so precision is exact. The
-    // LSH output therefore equals the exact pair set (verified against
-    // sf0.01; jac is int/int IEEE division on both engines).
-    // DATA-COUPLED: this recall-1.0 equivalence (and q47's, q36's) is
-    // a property of the current fixture generation — regenerated or
-    // rescaled corpora must re-verify it before trusting a mismatch
-    // as a product bug (q23/q26/q55 carry algorithm-restating oracles
-    // instead and have no such coupling).
+    // MinHash + LSH banding, hash-verified END TO END: the
+    // minhash_state kernel uses engine-portable integer arithmetic
+    // (62-bit dual polynomial shingle hash, LCG permutation chain,
+    // LCG band fold), so the oracle recomputes signatures, band keys
+    // and the candidate join relationally before the exact-Jaccard
+    // verify — the oracle checks the ALGORITHM (banding included),
+    // not a corpus-empirical recall claim. (PipelineOpsSpec separately
+    // pins that banding recovers the exact pair set on near-dup
+    // fixtures — the semantic claim lives in the spec, the
+    // implementation claim in this oracle.)
     Q("q22_dedup_minhash_lsh",
       (s, dir) => DocDedup.minhashLsh(Tables(s, dir, "documents"),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5),
       Some(s"""WITH ${duckShingles("", "documents")},
-              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |mh AS (SELECT doc_id, s,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 31 + b) % 2147483647) AS h31,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 37 + b) % 2147483647) AS h37
+              |  FROM sh),
+              |yy AS (SELECT doc_id, ${duckMix31("h37")} AS y FROM mh),
+              |sig AS (SELECT doc_id, i,
+              |          MIN(${duckMix31("y + i")}) AS m
+              |        FROM yy CROSS JOIN (SELECT unnest(range(0, 16)) AS i) xs
+              |        GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, i // 4 AS band,
+              |            list_reduce(list_prepend(CAST(i // 4 AS BIGINT),
+              |                list(m ORDER BY i)),
+              |              (a, b) -> (a * 1103515245 + b) % 2147483648) AS bh
+              |          FROM sig GROUP BY doc_id, i // 4),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+              |          FROM cand c
+              |          JOIN sh a ON a.doc_id = c.a_id
+              |          JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+              |          GROUP BY 1, 2)
               |SELECT a_id, b_id, inter*1.0/(sa.n+sb.n-inter) AS jac
               |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
               |WHERE inter*1.0/(sa.n+sb.n-inter) >= 0.5
@@ -210,7 +244,11 @@ private[graft] object QueriesPipeline {
     // this corpus (all true pairs sit at jac ≥ 0.9), and the verify
     // stage is exact Jaccard, so the band path reduces to the
     // relational definition. PipelineOpsSpec pins the same three-way
-    // split on adversarial fixtures.
+    // split on adversarial fixtures. DATA-COUPLED: this recall-1.0
+    // reduction (and q36's) is a property of the current fixture
+    // generation — re-verify before trusting a mismatch on regenerated
+    // corpora as a product bug (q22/q23/q26/q55/q56 restate their
+    // algorithms relationally and carry no such coupling).
     Q("q47_incremental_dedup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -247,7 +285,7 @@ private[graft] object QueriesPipeline {
     // rows-only concession, no empirical-recall coupling.
     Q("q23_dedup_simhash",
       (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
-      Some("""WITH tok AS (SELECT DISTINCT doc_id, w FROM (
+      Some(s"""WITH tok AS (SELECT DISTINCT doc_id, w FROM (
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
              |    FROM documents WHERE text IS NOT NULL) u),
              |th AS (SELECT doc_id,
@@ -255,9 +293,9 @@ private[graft] object QueriesPipeline {
              |           list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
              |           (a, b) -> (a * 31 + b) % 2147483647) AS h
              |       FROM tok),
-             |ty AS (SELECT doc_id, (h * 1103515245 + 12345) % 2147483648 AS y FROM th),
+             |ty AS (SELECT doc_id, ${duckMix31("h")} AS y FROM th),
              |v AS (SELECT doc_id, b,
-             |        SUM(CASE WHEN ((y + b) * 1103515245 + 12345) % 2147483648 >= 1073741824
+             |        SUM(CASE WHEN ${duckMix31("y + b")} >= 1073741824
              |                 THEN 1 ELSE -1 END) AS vote
              |      FROM ty CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
              |      GROUP BY 1, 2),

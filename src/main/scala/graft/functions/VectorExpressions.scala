@@ -42,6 +42,25 @@ object VecKernels {
     */
   @inline private def lcg31(x: Long): Long = (1103515245L * x + 12345L) & 0x7FFFFFFFL
 
+  /** Non-linear 31-bit mixer (xorshift–multiply–xorshift finalizer).
+    * LCG steps compose to AFFINE maps — `lcg(y+i)` is linear in `i`,
+    * which correlates "independent" derived values (a minhash
+    * permutation family collapses to ~2 effective permutations, an
+    * arithmetic fact, not bad luck). The xor-shift steps break
+    * linearity with full avalanche (~15/31 bits flip for adjacent
+    * inputs; differentially verified in the specs) while staying
+    * exactly restatable in any engine with 64-bit integers, xor, and
+    * floor division:
+    * `x0 = v % 2^31; x1 = xor(x0, x0 // 2^15);
+    *  x2 = (x1 * 1103515245) % 2^31; out = xor(x2, x2 // 2^12)`.
+    */
+  @inline private def mix31(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x ^= (x >> 15)
+    x = (x * 1103515245L) & 0x7FFFFFFFL
+    x ^ (x >> 12)
+  }
+
   /** Base-31 polynomial hash of a token's code points, mod 2^31-1 —
     * the same fold as [[graft.ops.TextAnalysis.rollingHash]] (q38),
     * whose DuckDB restatement (`list_reduce` over `unicode(c)`) is
@@ -78,10 +97,11 @@ object VecKernels {
 
   /** 64-bit SimHash over the distinct tokens of `words`: per-bit signed
     * vote per token; bit set when the vote is ≥ 0. Token bit-votes are
-    * engine-portable: `h = polyHash31(token)`, `y = lcg31(h)`, and bit
-    * `b` votes +1 iff `lcg31(y + b) ≥ 2^30` — all exact 64-bit integer
+    * engine-portable: `h = polyHash31(token)`, `y = mix31(h)`, and bit
+    * `b` votes +1 iff `mix31(y + b) ≥ 2^30` — all exact 64-bit integer
     * arithmetic, so the DuckDB oracle recomputes the identical
-    * signature relationally (q23). Map-only, no shuffle at all.
+    * signature relationally (q23); the non-linear mixer keeps the 64
+    * bit votes independent (see [[mix31]]). Map-only, no shuffle.
     */
   def simhash64(words: ArrayData): Long = {
     val n = words.numElements()
@@ -92,10 +112,10 @@ object VecKernels {
       if (!words.isNullAt(i)) {
         val w = words.getUTF8String(i)
         if (seen.add(w)) {
-          val y = lcg31(polyHash31(w))
+          val y = mix31(polyHash31(w))
           var b = 0
           while (b < 64) {
-            votes(b) += (if (lcg31(y + b) >= 1073741824L) 1 else -1)
+            votes(b) += (if (mix31(y + b) >= 1073741824L) 1 else -1)
             b += 1
           }
         }
@@ -152,12 +172,38 @@ object VecKernels {
     new GenericArrayData(arr)
   }
 
+  /** 62-bit ENGINE-PORTABLE shingle hash: two independent base-31/37
+    * polynomial folds over the code points, combined as
+    * `h31 · 2^31 + h37`. Every step is exact 64-bit integer
+    * arithmetic (`(a·base + cp) mod 2^31-1` per char), so DuckDB
+    * recomputes identical values with two `list_reduce` folds; the
+    * 62-bit space keeps within-pair collision odds negligible at
+    * corpus scale (a pair's union is ~tens of shingles against 2^62).
+    */
+  private def polyHash62(s: UTF8String): Long = {
+    val str = s.toString
+    var h31 = 0L
+    var h37 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h31 = (h31 * 31L + cp) % 2147483647L
+      h37 = (h37 * 37L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h31 * 2147483648L + h37
+  }
+
   /** MinHash signature + shingle-hash set in one pass:
-    * `sig(i) = min over shingles s of xxhash64(s, i+1)` (k values) and
-    * `sh` = sorted distinct `xxhash64(s)` — exactly the k min-aggregates
-    * + collect_set the LSH pipeline previously computed through an
-    * explode + groupBy shuffle. Empty shingle set ⇒ empty `sh` (callers
-    * filter, mirroring "doc absent after explode").
+    * `sig(i) = min over shingles s of mix31(mix31(h62(s) mod 2^31) + i)`
+    * (k values; the non-linear [[mix31]] keeps the k permutations
+    * independent) and `sh` = sorted distinct `polyHash62(s)` — exactly
+    * the k min-aggregates + collect_set the LSH pipeline previously
+    * computed through an explode + groupBy shuffle, now in
+    * ENGINE-PORTABLE integer arithmetic so the DuckDB oracle (q22)
+    * recomputes signatures, banding and candidates relationally.
+    * Empty shingle set ⇒ empty `sh` (callers filter, mirroring "doc
+    * absent after explode").
     */
   def minhashState(words: ArrayData, n: Int, k: Int): InternalRow = {
     val sh = shingleSet(words, n)
@@ -166,12 +212,12 @@ object VecKernels {
     val it = sh.iterator()
     while (it.hasNext) {
       val s = it.next()
-      val h0 = XxHash64Function.hash(s, StringType, 42L)
-      hs.add(h0)
+      val h62 = polyHash62(s)
+      hs.add(h62)
+      val y = mix31(h62 % 2147483648L)
       var i = 0
       while (i < k) {
-        // xxhash64(s, i+1) folds left-to-right: seed 42 → hash(s) → hash(int)
-        val hi = XxHash64Function.hash(i + 1, IntegerType, h0)
+        val hi = mix31(y + i)
         if (hi < sig(i)) sig(i) = hi
         i += 1
       }
@@ -265,9 +311,10 @@ object VecKernels {
   /** Sign-random-projection bucket: `planes` sign bits of pseudo-random
     * hyperplane projections packed into a long. Plane weights are
     * engine-portable exact integer arithmetic:
-    * `w(p,d) = (lcg31(p·8192 + d) mod 20001 − 10000) / 10000` (dims up
-    * to 8192), projections accumulate as a strict left fold in double —
-    * so the DuckDB oracle computes bit-identical buckets relationally
+    * `w(p,d) = (mix31(p·8192 + d) mod 20001 − 10000) / 10000` (dims up
+    * to 8192; the non-linear [[mix31]] decorrelates adjacent dims),
+    * projections accumulate as a strict left fold in double — so the
+    * DuckDB oracle computes bit-identical buckets relationally
     * (q26/q55) via the same `list_sum` fold it uses for cosine parity.
     */
   def srpBucket(vec: ArrayData, planes: Int): Long = {
@@ -282,7 +329,7 @@ object VecKernels {
       while (d < dim && !anyNull) {
         if (vec.isNullAt(d)) anyNull = true
         else {
-          val r = lcg31(base + d) % 20001L
+          val r = mix31(base + d) % 20001L
           s += vec.getDouble(d) * ((r.toDouble - 10000.0) / 10000.0)
         }
         d += 1

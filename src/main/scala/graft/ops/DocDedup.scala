@@ -95,13 +95,14 @@ object DocDedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** MinHash signature as an interpreted HOF fold — the executable
-    * reference semantics for the native `minhash_state` kernel
-    * (VecExprSpec pins sig equality); not on any hot path.
+  /** Portable band hash: fold the band's signature slice through the
+    * glibc-style LCG step, seeded by the band index — exact integer
+    * arithmetic (sig values are 31-bit, `acc·1103515245 + v < 2^62`),
+    * so the DuckDB oracle recomputes identical band keys (q22).
     */
-  private[graft] def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(1), lit(k)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+  private def bandHash(sig: Column, band: Int, rows: Int): Column =
+    aggregate(slice(sig, band * rows + 1, rows), lit(band.toLong),
+      (acc, v) => (acc * 1103515245L + v) % 2147483648L)
 
   /** MinHash + LSH banding: signature split into `bands` bands; docs
     * agreeing on any full band become candidates (equi-join on the
@@ -132,11 +133,8 @@ object DocDedup {
     // band join carries only (doc_id, band, bandhash) — the shingle
     // arrays rejoin after pair dedup, so the hot shuffle stays narrow
     val banded = withSig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string"))), b)
-            .as("bh")))).as("bk"))
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -248,11 +246,8 @@ object DocDedup {
     // exact content-hash join above still catches short-doc exact dups.
     def bandable(df: DataFrame): DataFrame = df.where(size(col("sh")) > 0)
     def banded(df: DataFrame): DataFrame = df.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + lit(1), lit(rows)), _.cast("string"))), b)
-            .as("bh")))).as("bk"))
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
     val c = prep(corpus)

@@ -63,17 +63,29 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The engine-portable non-linear 31-bit mixer as a Column program —
+    * the Spark-HOF restatement of `VecKernels.mix31` (xorshift,
+    * multiply mod 2^31, xorshift), shared by every differential fold
+    * that mirrors a mixed kernel.
+    */
+  private[graft] def mix31Col(v: Column): Column = {
+    val x0 = v % 2147483648L
+    val x1 = x0.bitwiseXOR(shiftrightunsigned(x0, 15))
+    val x2 = (x1 * 1103515245L) % 2147483648L
+    x2.bitwiseXOR(shiftrightunsigned(x2, 12))
+  }
+
   /** Pseudo-random hyperplane weight for (plane, dim): deterministic
-    * and ENGINE-PORTABLE — a glibc-style LCG on `p·8192 + d` in exact
-    * 64-bit integer arithmetic (`(1103515245·i + 12345) mod 2^31`,
-    * then mod 20001, centered to [−1, 1]). Reproducible across runs
-    * and cluster sizes with zero state to ship, and restatable in the
-    * DuckDB oracle so SRP-bucketed queries are hash-verified end to
-    * end (q26/q55) instead of rows-only.
+    * and ENGINE-PORTABLE — the non-linear `mix31` of `p·8192 + d` in
+    * exact 64-bit integer arithmetic, then mod 20001, centered to
+    * [−1, 1]. Reproducible across runs and cluster sizes with zero
+    * state to ship, and restatable in the DuckDB oracle so
+    * SRP-bucketed queries are hash-verified end to end (q26/q55)
+    * instead of rows-only.
     */
   private def planeWeight(p: Column, d: Column): Column =
-    ((((p.cast("long") * 8192L + d.cast("long")) * 1103515245L + 12345L)
-      % 2147483648L % 20001L).cast("double") - 10000.0) / 10000.0
+    ((mix31Col(p.cast("long") * 8192L + d.cast("long")) % 20001L)
+      .cast("double") - 10000.0) / 10000.0
 
   /** Sign-random-projection bucket id: `planes` sign bits packed into a
     * long. Vectors in the same bucket are near-duplicate candidates;

@@ -46,9 +46,13 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
   test("minhash LSH recovers the exact-jaccard pairs (recall on dups)") {
     val exact = DocDedup.ngramJaccard(docs, n = 3, threshold = 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val mh = DocDedup.minhashLsh(docs, n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    // bands=8 (rows of 2): this fixture's near-dups sit at jac ≈ 0.75,
+    // where 4×4 banding collides with only ~77% probability per hash
+    // family — 8×2 makes the recall claim parameter-robust (~99.9%)
+    // instead of coupled to hash luck
+    val mh = DocDedup.minhashLsh(docs, n = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(mh)) // banding with 4 bands @ jac>=0.5 → full recall here
+    assert(exact.subsetOf(mh))
   }
 
   test("cluster labels: components collapse to min id, chains included") {
@@ -252,7 +256,11 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       (101L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
       (102L, "a genuinely novel document that matches nothing in the corpus at all"))
       .toDF("doc_id", "text")
-    val out = graft.ops.DocDedup.incremental(corpus, fresh).collect()
+    // bands=8 (rows of 2): the fixture's near-dup sits at jac ≈ 0.83,
+    // where a 4×4 band scheme collides with only ~93% probability per
+    // hash family — 8×2 banding makes the recall deterministic-robust
+    // (≈ 0.9999) instead of coupling the test to hash luck
+    val out = graft.ops.DocDedup.incremental(corpus, fresh, bands = 8).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)),
         Option(r.getString(2)))).toMap
     assert(out(100L) === (Some(1L), Some("exact")))

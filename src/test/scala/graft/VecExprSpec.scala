@@ -43,15 +43,15 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
     // reference fold: the portable token-hash semantics restated with
     // interpreted HOFs — base-31 polyhash over code points (q38's
-    // fold), one LCG whitening step, then per-bit LCG sign votes
+    // fold), one mix31 whitening step, then per-bit mix31 sign votes
     val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", aggregate(
         transform(split(col("w"), ""), c => ascii(c).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L))
-      .withColumn("y", (col("h") * 1103515245L + 12345L) % 2147483648L)
+      .withColumn("y", Similarity.mix31Col(col("h")))
     val votes = (0 until 64).map(b =>
-      sum(when(((col("y") + b) * 1103515245L + 12345L) % 2147483648L >= 1073741824L,
+      sum(when(Similarity.mix31Col(col("y") + b) >= 1073741824L,
         lit(1)).otherwise(lit(-1))).as(s"v$b"))
     val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val bitsum = (0 until 64).map(b =>
@@ -86,12 +86,21 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
   test("minhash_state sig matches the k min-aggregates over explode") {
     val numHashes = 16
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
+    // portable reference: per shingle, base-37 fold → one mix31
+    // whitening step → per-permutation mix31 values, min-aggregated
+    // (h62 mod 2^31 is exactly the base-37 fold, so the whitening
+    // input is h37)
     val shRows = docs.select(col("doc_id"),
-      explode(DocDedup.shingles(col("text"), 3)).as("s"))
-    val mins = (1 to numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+        explode(DocDedup.shingles(col("text"), 3)).as("s"))
+      .withColumn("h37", aggregate(
+        transform(split(col("s"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 37 + c) % 2147483647L))
+      .withColumn("y", Similarity.mix31Col(col("h37")))
+    val mins = (0 until numHashes).map(i =>
+      min(Similarity.mix31Col(col("y") + i)).as(s"m$i"))
     val ref = shRows.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        array((1 to numHashes).map(i => col(s"m$i")): _*).as("sig"))
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val st = call_function("minhash_state", split(col("text"), " "), lit(3), lit(numHashes))
     val native = docs.select(col("doc_id"), st.getField("sig").as("sig"),
