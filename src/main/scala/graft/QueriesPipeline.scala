@@ -205,10 +205,11 @@ private[graft] object QueriesPipeline {
       (s, dir) => DocDedup.minhashLsh(Tables(s, dir, "documents"),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5),
       Some(s"""WITH ${duckShingles("", "documents")},
+              |-- only h37 matters here: the permutation chain whitens
+              |-- h62 mod 2^31 = h37, and the verify join below uses the
+              |-- shingle STRINGS (h31's only role is widening the `sh`
+              |-- set ids inside the kernel, which the oracle never needs)
               |mh AS (SELECT doc_id, s,
-              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-              |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
-              |      (a, b) -> (a * 31 + b) % 2147483647) AS h31,
               |    list_reduce(list_prepend(CAST(0 AS BIGINT),
               |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
               |      (a, b) -> (a * 37 + b) % 2147483647) AS h37
@@ -676,8 +677,11 @@ private[graft] object QueriesPipeline {
     // distinct) relationally before restating the pair join.
     Q("q56_winnow_containment",
       (s, dir) => {
+        // materialized once: the self-join consumes both branches
+        // (sibling pairwise ops all checkpoint the shared intermediate)
         val fp = TextAnalysis.winnow(Tables(s, dir, "documents"), k = 16, w = 8)
           .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+          .localCheckpoint()
         fp.as("a").join(fp.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -112,7 +112,9 @@ object Dates {
   private val fuzzyMonth =
     raw"\b(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sept|sep|oct|nov|dec)\b".r
   private val fuzzyTime = raw"\b(\d{1,2}):(\d{2})(?::(\d{2})(\.\d{1,9})?)?\s*(am|pm)?\b".r
-  private val fuzzyOffset = raw"([+-]\d{2}):?(\d{2})\b".r
+  // sign captured separately: "-00:30"'s hour field parses to 0, so a
+  // sign folded into the hour int would vanish for zero-hour offsets
+  private val fuzzyOffset = raw"([+-])(\d{2}):?(\d{2})\b".r
 
   /** Fuzzy free-text fallback — the `dateutil.parse(..., fuzzy=True)`
     * step of the reference ladder (utils/dates.py:73): scan the string
@@ -168,9 +170,9 @@ object Dates {
       }
       val off = fuzzyOffset.findFirstMatchIn(lower)
         .flatMap { m =>
-          val hrs = m.group(1).toInt
-          val mins = if (hrs < 0) -m.group(2).toInt else m.group(2).toInt
-          Try(ZoneOffset.ofHoursMinutes(hrs, mins)).toOption
+          val sign = if (m.group(1) == "-") -1 else 1
+          Try(ZoneOffset.ofHoursMinutes(sign * m.group(2).toInt,
+            sign * m.group(3).toInt)).toOption
         }
         .getOrElse(ZoneOffset.UTC)
       Try(LocalDateTime.of(y, mo, d, hh, mi, ss, nanos.toInt)

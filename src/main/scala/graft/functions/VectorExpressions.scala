@@ -25,25 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`spark.sql.extensions`, injected by `Tables.configure`), so they
   * are also available to the criteria dialect surface.
   *
-  * Hash parity: `shingle_hashes`/`minhash_state` route through Spark's
-  * own `XxHash64Function` (seed 42, left-to-right fold for multi-arg),
-  * exactly like the `xxhash64(...)` calls in the fold versions.
-  * `simhash64` and `srp_bucket` instead use ENGINE-PORTABLE integer
-  * arithmetic (base-31 polynomial hash mod 2^31-1 + a glibc-style LCG
-  * mod 2^31) so a relational oracle (DuckDB) can restate the full
-  * algorithm exactly — their queries are hash-verified end to end
-  * instead of rows-only.
+  * Hash parity: only `shingle_hashes` still routes through Spark's
+  * own `XxHash64Function` (seed 42) — its query's oracle (q21) works
+  * on shingle STRINGS, so the hash never needs restating. Every other
+  * hash kernel (`simhash64`, `minhash_state`, `srp_bucket`,
+  * `winnow_fp`) uses ENGINE-PORTABLE integer arithmetic — polynomial
+  * folds mod 2^31-1 (and the 62-bit dual fold for minhash shingles)
+  * whitened by the non-linear [[VecKernels.mix31]] — so a relational
+  * oracle (DuckDB) restates the full algorithm exactly and the
+  * queries are hash-verified end to end instead of rows-only.
   */
 object VecKernels {
 
-  /** glibc-style LCG step on a non-negative 63-bit-safe input:
-    * `(1103515245·x + 12345) mod 2^31`. Restatable in any engine with
-    * 64-bit integers: `(1103515245*x + 12345) % 2147483648`.
-    */
-  @inline private def lcg31(x: Long): Long = (1103515245L * x + 12345L) & 0x7FFFFFFFL
-
   /** Non-linear 31-bit mixer (xorshift–multiply–xorshift finalizer).
-    * LCG steps compose to AFFINE maps — `lcg(y+i)` is linear in `i`,
+    * Plain LCG steps compose to AFFINE maps — `lcg(y+i)` is linear in `i`,
     * which correlates "independent" derived values (a minhash
     * permutation family collapses to ~2 effective permutations, an
     * arithmetic fact, not bad luck). The xor-shift steps break
@@ -272,8 +267,12 @@ object VecKernels {
     * (q56) is hash-verified end to end.
     */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    // code POINTS, not UTF-16 units — gram counts and hash inputs must
+    // match the oracle's len/substr/unicode and the HOF fold's
+    // length/substr/ascii, which are all code-point based (surrogate
+    // halves would silently diverge on non-BMP text)
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
     val grams = math.max(n - (k - 1), 1)
     val hs = new Array[Long](grams)
     var i = 0
@@ -281,7 +280,7 @@ object VecKernels {
       val end = math.min(i + k, n)
       var h = 0L
       var j = i
-      while (j < end) { h = (h * 31L + s.charAt(j)) % 2147483647L; j += 1 }
+      while (j < end) { h = (h * 31L + cps(j)) % 2147483647L; j += 1 }
       hs(i) = h
       i += 1
     }

@@ -143,6 +143,9 @@ class DatesSpec extends AnyFunSuite {
     // not double as the time (midnight at -05:00, not 05:00 local)
     assert(Dates.toUTC("seen 2024-01-05 -05:00 by probe") ===
       Instant.parse("2024-01-05T05:00:00Z"))
+    // zero-hour negative offset keeps its sign
+    assert(Dates.toUTC("2024-01-05 08:00 -00:30") ===
+      Instant.parse("2024-01-05T08:30:00Z"))
     // month-name PREFIXES inside ordinary words are not date evidence
     intercept[IllegalArgumentException](Dates.toUTC("novel 2024 error after 3 retries"))
     intercept[IllegalArgumentException](Dates.toUTC("decode failed 7 times in 2023"))
