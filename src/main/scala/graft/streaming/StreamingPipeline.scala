@@ -32,6 +32,35 @@ object StreamingPipeline {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Stream → lake: land events hive-partitioned by UTC hour, the
+    * write side of the reference's firehose→Athena layout
+    * (startup.sh) on the live path. Same directory scheme as
+    * [[graft.sources.Lake.write]], so the batch alert engine's 2-hour
+    * window prunes streamed data identically; rows with a null
+    * timestamp are dropped (no home partition — the firehose would
+    * dead-letter them).
+    *
+    * Small-file note: each microbatch writes one file per in-batch
+    * hour per writing task. Micro-batch cadence — not task fan-out —
+    * is the file-count knob on a stream; size the trigger interval so
+    * a batch holds minutes of data, and run the batch
+    * `Lake`-compaction over cold hours if cadence must be fast.
+    *
+    * Returns the started query; callers own its lifecycle.
+    */
+  def toLake(events: DataFrame, dir: String, checkpointDir: String,
+      tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cols = Seq("year", "month", "day", "hour")
+    graft.criteria.Criteria.withPartitionColumns(
+        events.where(col(tsCol).isNotNull), col(tsCol))
+      .writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(cols: _*)
+      .start()
+  }
+
   /** Stateless in-stream fingerprinting: attach simhash + MinHash
     * signature per document via the native kernels (pure projection —
     * safe in any output mode, no state, no watermark needed).
