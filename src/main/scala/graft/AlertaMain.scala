@@ -40,6 +40,9 @@ object AlertaMain {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dialect functions the textual rewrite doesn't cover (element_at,
+    // cardinality, strpos, …) resolve natively in criteria text
+    graft.functions.Functions.register(spark)
 
     val lakeNorm = Tables.normalizeTs(spark.read.parquet(eventsPath))
     val specs = AlertSpecs.loadAll(specsMask)

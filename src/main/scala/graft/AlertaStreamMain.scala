@@ -43,6 +43,8 @@ object AlertaStreamMain {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dialect functions beyond the textual rewrite resolve in criteria
+    graft.functions.Functions.register(spark)
 
     val schema = spark.read.parquet(eventsDir).schema
     val events = Tables.normalizeTs(
