@@ -26,15 +26,24 @@ import graft.Tables
   */
 object Lake {
 
-  /** Write `df` hive-partitioned by the UTC hour of `tsCol`. Rows with
-    * a null timestamp are dropped (they have no home partition; the
-    * reference's firehose path would dead-letter them).
+  /** The four hive partition columns of the lake layout. */
+  val partitionCols: Seq[String] = Seq("year", "month", "day", "hour")
+
+  /** The ONE definition of the layout prep both the batch writer and
+    * the streaming sink ([[graft.streaming.StreamingPipeline.toLake]])
+    * share: derive the UTC-hour partition columns and drop rows with a
+    * null timestamp (no home partition; the reference's firehose path
+    * would dead-letter them). Keeping this in one place is what makes
+    * batch and streamed directories byte-identical for the pruner.
     */
+  def partitionedByHour(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    Criteria.withPartitionColumns(df.where(col(tsCol).isNotNull), col(tsCol))
+
+  /** Write `df` hive-partitioned by the UTC hour of `tsCol`. */
   def write(df: DataFrame, dir: String, tsCol: String = "ts",
       filesPerHour: Int = 1): DataFrame = {
-    val cols = Seq("year", "month", "day", "hour")
-    val partitioned = Criteria.withPartitionColumns(
-      df.where(col(tsCol).isNotNull), col(tsCol))
+    val cols = partitionCols
+    val partitioned = partitionedByHour(df, tsCol)
     val spread =
       if (filesPerHour <= 1) partitioned.repartition(cols.map(col): _*)
       // salt the writer shuffle so one hot hour fans over N files

@@ -34,31 +34,34 @@ object StreamingPipeline {
 
   /** Stream → lake: land events hive-partitioned by UTC hour, the
     * write side of the reference's firehose→Athena layout
-    * (startup.sh) on the live path. Same directory scheme as
-    * [[graft.sources.Lake.write]], so the batch alert engine's 2-hour
-    * window prunes streamed data identically; rows with a null
-    * timestamp are dropped (no home partition — the firehose would
-    * dead-letter them).
+    * (startup.sh) on the live path. The layout prep is
+    * [[graft.sources.Lake.partitionedByHour]] — the SAME code the
+    * batch writer uses — so the batch alert engine's 2-hour window
+    * prunes streamed data identically and null-ts rows drop the same
+    * way (dead-letter parity).
     *
     * Small-file note: each microbatch writes one file per in-batch
-    * hour per writing task. Micro-batch cadence — not task fan-out —
-    * is the file-count knob on a stream; size the trigger interval so
-    * a batch holds minutes of data, and run the batch
-    * `Lake`-compaction over cold hours if cadence must be fast.
+    * hour per writing task, so micro-batch cadence is the file-count
+    * knob — pass a `Trigger.ProcessingTime` sized so one batch holds
+    * minutes of data (or `Trigger.AvailableNow` for a drain). Do NOT
+    * rewrite this directory with batch `Lake.write`: the streaming
+    * sink's `_spark_metadata` log is the source of truth for readers,
+    * and out-of-band rewrites orphan or hide files; compaction of a
+    * streamed lake means draining it into a NEW directory.
     *
     * Returns the started query; callers own its lifecycle.
     */
   def toLake(events: DataFrame, dir: String, checkpointDir: String,
-      tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery = {
-    val cols = Seq("year", "month", "day", "hour")
-    graft.criteria.Criteria.withPartitionColumns(
-        events.where(col(tsCol).isNotNull), col(tsCol))
+      tsCol: String = "ts",
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = graft.sources.Lake.partitionedByHour(events, tsCol)
       .writeStream
       .format("parquet")
       .option("path", dir)
       .option("checkpointLocation", checkpointDir)
-      .partitionBy(cols: _*)
-      .start()
+      .partitionBy(graft.sources.Lake.partitionCols: _*)
+    trigger.fold(writer)(writer.trigger).start()
   }
 
   /** Stateless in-stream fingerprinting: attach simhash + MinHash

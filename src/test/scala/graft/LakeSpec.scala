@@ -42,14 +42,18 @@ class LakeSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
-    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // timestamps enter as strings and cast through the session zone
+    // (pinned UTC) — Timestamp.valueOf would build them in the JVM
+    // default zone and shift the partition values on non-UTC machines
+    val mem = MemoryStream[(Long, String, String)]
     val dir = s"$tmp/stream"
     val q = graft.streaming.StreamingPipeline.toLake(
-      mem.toDF().toDF("id", "ts", "v"), dir, s"$tmp/stream-ckpt")
+      mem.toDF().toDF("id", "ts", "v")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      dir, s"$tmp/stream-ckpt")
     try {
-      def t(s: String) = java.sql.Timestamp.valueOf(s)
-      mem.addData((1L, t("2024-03-05 10:15:00"), "a"),
-        (2L, t("2024-03-05 11:20:00"), "b"),
+      mem.addData((1L, "2024-03-05 10:15:00", "a"),
+        (2L, "2024-03-05 11:20:00", "b"),
         (3L, null, "d"))
       q.processAllAvailable()
       val back = Lake.read(spark, dir)
@@ -60,7 +64,7 @@ class LakeSpec extends AnyFunSuite with SparkSuite {
         Set("10", "11"))
       assert(new java.io.File(s"$dir/year=2024/month=03/day=05/hour=10").isDirectory)
       // a second microbatch APPENDS (streaming sink semantics)
-      mem.addData((4L, t("2024-03-05 10:45:00"), "e"))
+      mem.addData((4L, "2024-03-05 10:45:00", "e"))
       q.processAllAvailable()
       assert(Lake.read(spark, dir).where(col("hour") === "10").count() === 2)
     } finally q.stop()
