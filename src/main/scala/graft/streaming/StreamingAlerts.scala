@@ -188,9 +188,14 @@ object StreamingAlerts {
     * matches restart the observation from the violating event (the
     * batch loop likewise keeps re-querying until a quiet window
     * appears). Window closure is driven by the event-time watermark —
-    * inline for chatty keys, via the state timeout for silent ones. A
-    * deadman slot at position 0 has no clock origin per key and is
-    * rejected.
+    * inline for chatty keys, via the state timeout for silent ones;
+    * within a batch, an in-order event past the deadline also closes
+    * it (sorted processing makes that sound for the batch's own data,
+    * and a violation arriving LATER than the watermark delay after
+    * the close is dropped state-side anyway — the standard
+    * completeness-for-latency trade every watermarked aggregation
+    * makes). A deadman slot at position 0 has no clock origin per key
+    * and is rejected.
     */
   def sequenceStream(events: DataFrame, spec: Doc,
       tsCol: String = "ts", watermarkDelay: String = "10 minutes"): Dataset[StreamAlert] = {

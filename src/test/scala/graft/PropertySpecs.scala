@@ -139,4 +139,31 @@ object VecKernelProps extends Properties("VecKernels") {
     VecKernels.srpBucket(arr(a), 8) ==
       VecKernels.srpBucket(arr(a.map(_ * 3.0)), 8)
   }
+
+  val text: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("winnow_fp: nonempty, 31-bit values, deterministic") =
+    forAll(text) { t =>
+      val u = UTF8String.fromString(t)
+      val fp = VecKernels.winnowFingerprints(u, 8, 4)
+      val again = VecKernels.winnowFingerprints(u, 8, 4)
+      fp.numElements() > 0 &&
+        (0 until fp.numElements()).forall { i =>
+          val v = fp.getLong(i); v >= 0L && v < 2147483648L
+        } &&
+        fp.toLongArray().toSeq == again.toLongArray().toSeq
+    }
+
+  property("winnow_fp: a shared long run yields shared fingerprints") =
+    forAll(text, text) { (pre, post) =>
+      // both docs embed the same 64-char core: at k=8/w=4 the core
+      // contributes window minima on both sides
+      val core = "the quick brown fox jumps over the lazy dog again and again ok!"
+      val a = VecKernels.winnowFingerprints(
+        UTF8String.fromString(pre + core), 8, 4).toLongArray().toSet
+      val b = VecKernels.winnowFingerprints(
+        UTF8String.fromString(core + post), 8, 4).toLongArray().toSet
+      (a intersect b).nonEmpty
+    }
 }
