@@ -679,9 +679,19 @@ private[graft] object QueriesPipeline {
       (s, dir) => {
         // materialized once: the self-join consumes both branches
         // (sibling pairwise ops all checkpoint the shared intermediate)
-        val fp = TextAnalysis.winnow(Tables(s, dir, "documents"), k = 16, w = 8)
+        val fpAll = TextAnalysis.winnow(Tables(s, dir, "documents"), k = 16, w = 8)
           .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
           .localCheckpoint()
+        // df-cut, the q21 skew guard transplanted: a fingerprint shared
+        // by f docs is f² join rows and near-worthless containment
+        // evidence (boilerplate). The ORACLE applies the identical cut,
+        // so exactness holds by construction at any cutoff — unlike
+        // q21 there is no undercount subtlety, `shared` shrinks the
+        // same way on both sides. (Measured sf0.1: max fp df 292,
+        // p99.9 = 26 — cutoff 20 trims ~0.1% of fingerprints.)
+        val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > 20).select("fp")
+        val fp = fpAll.join(hot, Seq("fp"), "left_anti")
         fp.as("a").join(fp.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -704,11 +714,14 @@ private[graft] object QueriesPipeline {
              |           MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
              |             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
              |         FROM h),
-             |fps AS (SELECT DISTINCT doc_id, fp FROM wmin
+             |fps0 AS (SELECT DISTINCT doc_id, fp FROM wmin
              |        WHERE grams >= 8 AND i <= grams - 7
              |        UNION
              |        SELECT doc_id, MIN(kh) AS fp FROM h
              |        WHERE grams < 8 GROUP BY doc_id),
+             |hot AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > 20),
+             |fps AS (SELECT doc_id, fp FROM fps0
+             |        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = fps0.fp)),
              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
              |          FROM fps a JOIN fps b
              |            ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -95,7 +95,10 @@ object TextAnalysis {
     */
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    // per-char hashing over every k-gram is the compute-dense step —
+    // spread input splits up to cluster slots first (single-file
+    // parquet would otherwise run it on one task)
+    Par.spread(docs).select(col(idCol).as("doc_id"),
         call_function("winnow_fp", col(textCol), lit(k), lit(w)).as("fingerprints"))
       .withColumn("n_fp", size(col("fingerprints")))
       .orderBy("doc_id")
