@@ -284,6 +284,40 @@ private[graft] object QueriesPipeline {
     // recomputes the identical 64-bit signatures relationally, then
     // restates the 4×16-bit band join + hamming ≤ 3 verify. No
     // rows-only concession, no empirical-recall coupling.
+    // the SERVING form of q47: corpus signatures are persisted once
+    // (parquet snapshot of DocDedup.signatures — what the streaming
+    // ingest maintains at scale) and nightly dedup reads them instead
+    // of re-hashing corpus text. Same relational oracle as q47: the
+    // persisted path must be indistinguishable from the text path.
+    Q("q57_incremental_dedup_served",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val sigDir = s"$lakeRoot/sigs_${new java.io.File(dir).getName}"
+        DocDedup.signatures(docs.where(col("doc_id") % 5 =!= 0))
+          .write.mode("overwrite").parquet(sigDir)
+        DocDedup.incrementalFromSignatures(
+          s.read.parquet(sigDir), docs.where(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+             |c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+             |ex AS (SELECT f.doc_id, min(c.doc_id) AS dup_of
+             |       FROM f JOIN c ON md5(f.text) = md5(c.text) GROUP BY 1),
+             |${duckShingles("f", "f")},
+             |${duckShingles("c", "c")},
+             |pr AS (SELECT a.doc_id AS f_id, b.doc_id AS c_id, COUNT(*) AS inter
+             |       FROM fsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2),
+             |nr AS (SELECT f_id, min(c_id) AS dup_of
+             |       FROM pr JOIN fsz ON fsz.doc_id = f_id JOIN csz ON csz.doc_id = c_id
+             |       WHERE inter*1.0/(fsz.n+csz.n-inter) >= 0.5
+             |         AND f_id NOT IN (SELECT doc_id FROM ex) GROUP BY 1)
+             |SELECT f.doc_id,
+             |  COALESCE(ex.dup_of, nr.dup_of) AS dup_of,
+             |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+             |       WHEN nr.f_id IS NOT NULL THEN 'near' END AS match_kind
+             |FROM f LEFT JOIN ex ON ex.doc_id = f.doc_id
+             |       LEFT JOIN nr ON nr.f_id = f.doc_id
+             |ORDER BY f.doc_id""".stripMargin)),
+
     Q("q23_dedup_simhash",
       (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
       Some(s"""WITH tok AS (SELECT DISTINCT doc_id, w FROM (

@@ -227,19 +227,42 @@ object DocDedup {
     * where `match_kind` ∈ exact | near | null (survivor), `dup_of` is
     * the lowest matching corpus id.
     */
+  /** Map-only signature pass: `(doc_id, text_hash, sh, sig)` — the
+    * exact columns [[incrementalFromSignatures]] consumes. Persist
+    * this once per corpus snapshot (plain parquet; long arrays
+    * round-trip) and nightly dedup never re-reads or re-hashes the
+    * historical text — only the fresh batch pays the signature pass.
+    */
+  def signatures(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val mh = call_function("minhash_state",
+      split(col(textCol), " "), lit(n), lit(numHashes))
+    Par.spread(docs).select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("text_hash"), mh.as("mh"))
+      .select(col("doc_id"), col("text_hash"),
+        col("mh.sh").as("sh"), col("mh.sig").as("sig"))
+  }
+
   def incremental(corpus: DataFrame, fresh: DataFrame, n: Int = 3,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalFromSignatures(
+      signatures(corpus, n, numHashes, textCol, idCol), fresh,
+      n, numHashes, bands, threshold, textCol, idCol)
+
+  /** [[incremental]] with the corpus side already signed — the
+    * serving shape: `corpusSigs` is a persisted [[signatures]] table
+    * (columns `doc_id, text_hash, sh, sig`), so corpus text is never
+    * touched; the fresh batch signs inline. Identical output to
+    * [[incremental]] (PipelineOpsSpec pins parity through a parquet
+    * round-trip).
+    */
+  def incrementalFromSignatures(corpusSigs: DataFrame, fresh: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    def prep(df: DataFrame): DataFrame = {
-      val mh = call_function("minhash_state",
-        split(col(textCol), " "), lit(n), lit(numHashes))
-      Par.spread(df).select(col(idCol).as("doc_id"),
-          md5(col(textCol)).as("text_hash"), mh.as("mh"))
-        .select(col("doc_id"), col("text_hash"),
-          col("mh.sh").as("sh"), col("mh.sig").as("sig"))
-        .localCheckpoint()
-    }
+    def prep(df: DataFrame): DataFrame =
+      signatures(df, n, numHashes, textCol, idCol).localCheckpoint()
     // docs shorter than n words carry the empty-set sentinel signature;
     // banding them would cross-join every short fresh doc with every
     // short corpus doc. They are dropped from the NEAR side only — the
@@ -250,7 +273,10 @@ object DocDedup {
           struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
-    val c = prep(corpus)
+    // corpus side is pre-signed; materialize once — the exact join and
+    // the band join both read it
+    val c = corpusSigs.select(col("doc_id"), col("text_hash"), col("sh"), col("sig"))
+      .localCheckpoint()
     val f = prep(fresh)
     // exact: content-hash equi-join, lowest corpus id wins
     val exact = f.select(col("doc_id"), col("text_hash"))

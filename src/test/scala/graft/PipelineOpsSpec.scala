@@ -269,6 +269,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(out.size === 3)
   }
 
+  test("incremental dedup: persisted-signature path equals the text path") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+    // snapshot the corpus signatures to parquet and serve from there —
+    // the nightly pattern where historical text is never re-read
+    graft.ops.DocDedup.signatures(corpus).write.mode("overwrite").parquet(dir)
+    val served = graft.ops.DocDedup.incrementalFromSignatures(
+      spark.read.parquet(dir), fresh).collect().map(_.toSeq).toSeq
+    val direct = graft.ops.DocDedup.incremental(corpus, fresh)
+      .collect().map(_.toSeq).toSeq
+    assert(served === direct)
+  }
+
   test("incremental dedup: short docs match exactly but never band-join") {
     import spark.implicits._
     val corpus = Seq((1L, "hi"), (2L, "yo"), (3L, "a much longer corpus document right here"))
