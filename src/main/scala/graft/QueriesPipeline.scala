@@ -12,8 +12,8 @@ import graft.sources.Lake
   * winnowing) uses engine-PORTABLE integer arithmetic (polynomial
   * folds + a non-linear 31-bit mixer), so its oracle restates the
   * full algorithm relationally and verifies hashes end to end; only
-  * q47/q36 additionally make corpus-empirical semantic claims (noted
-  * DATA-COUPLED at the query).
+  * q47/q57/q36 additionally make corpus-empirical semantic claims
+  * (noted DATA-COUPLED at the query).
   */
 private[graft] object QueriesPipeline {
   import SparkEntryRegistry.Q
@@ -80,6 +80,31 @@ private[graft] object QueriesPipeline {
        |       WHERE i+2 <= len(ws)),
        |${p}sh AS (SELECT DISTINCT doc_id, s FROM ${p}tok),
        |${p}sz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY 1)""".stripMargin
+
+  /** The ONE incremental-dedup oracle q47 (text path) and q57
+    * (persisted-signature path) both verify against — a shared
+    * definition so the two contracts can never drift.
+    */
+  private lazy val duckIncrementalOracle: String =
+    s"""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |ex AS (SELECT f.doc_id, min(c.doc_id) AS dup_of
+       |       FROM f JOIN c ON md5(f.text) = md5(c.text) GROUP BY 1),
+       |${duckShingles("f", "f")},
+       |${duckShingles("c", "c")},
+       |pr AS (SELECT a.doc_id AS f_id, b.doc_id AS c_id, COUNT(*) AS inter
+       |       FROM fsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2),
+       |nr AS (SELECT f_id, min(c_id) AS dup_of
+       |       FROM pr JOIN fsz ON fsz.doc_id = f_id JOIN csz ON csz.doc_id = c_id
+       |       WHERE inter*1.0/(fsz.n+csz.n-inter) >= 0.5
+       |         AND f_id NOT IN (SELECT doc_id FROM ex) GROUP BY 1)
+       |SELECT f.doc_id,
+       |  COALESCE(ex.dup_of, nr.dup_of) AS dup_of,
+       |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+       |       WHEN nr.f_id IS NOT NULL THEN 'near' END AS match_kind
+       |FROM f LEFT JOIN ex ON ex.doc_id = f.doc_id
+       |       LEFT JOIN nr ON nr.f_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
 
   def registry: Seq[Q] = Seq(
     // lake sink round-trip: one day of events written hive-partitioned
@@ -246,10 +271,11 @@ private[graft] object QueriesPipeline {
     // stage is exact Jaccard, so the band path reduces to the
     // relational definition. PipelineOpsSpec pins the same three-way
     // split on adversarial fixtures. DATA-COUPLED: this recall-1.0
-    // reduction (and q36's) is a property of the current fixture
-    // generation — re-verify before trusting a mismatch on regenerated
-    // corpora as a product bug (q22/q23/q26/q55/q56 restate their
-    // algorithms relationally and carry no such coupling).
+    // reduction (inherited by q57, and q36's probe coverage) is a
+    // property of the current fixture generation — re-verify before
+    // trusting a mismatch on regenerated corpora as a product bug
+    // (q22/q23/q26/q55/q56 restate their algorithms relationally and
+    // carry no such coupling).
     Q("q47_incremental_dedup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -257,38 +283,15 @@ private[graft] object QueriesPipeline {
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0))
       },
-      Some(s"""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-             |c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-             |ex AS (SELECT f.doc_id, min(c.doc_id) AS dup_of
-             |       FROM f JOIN c ON md5(f.text) = md5(c.text) GROUP BY 1),
-             |${duckShingles("f", "f")},
-             |${duckShingles("c", "c")},
-             |pr AS (SELECT a.doc_id AS f_id, b.doc_id AS c_id, COUNT(*) AS inter
-             |       FROM fsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2),
-             |nr AS (SELECT f_id, min(c_id) AS dup_of
-             |       FROM pr JOIN fsz ON fsz.doc_id = f_id JOIN csz ON csz.doc_id = c_id
-             |       WHERE inter*1.0/(fsz.n+csz.n-inter) >= 0.5
-             |         AND f_id NOT IN (SELECT doc_id FROM ex) GROUP BY 1)
-             |SELECT f.doc_id,
-             |  COALESCE(ex.dup_of, nr.dup_of) AS dup_of,
-             |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
-             |       WHEN nr.f_id IS NOT NULL THEN 'near' END AS match_kind
-             |FROM f LEFT JOIN ex ON ex.doc_id = f.doc_id
-             |       LEFT JOIN nr ON nr.f_id = f.doc_id
-             |ORDER BY f.doc_id""".stripMargin)),
+      Some(duckIncrementalOracle)),
 
-    // SimHash near-dup pairs, hash-verified END TO END: the simhash64
-    // kernel uses engine-portable integer arithmetic (base-31 polyhash
-    // over code points — q38's proven-exact fold — whitened by a
-    // glibc-style LCG, per-bit LCG sign votes), so the oracle below
-    // recomputes the identical 64-bit signatures relationally, then
-    // restates the 4×16-bit band join + hamming ≤ 3 verify. No
-    // rows-only concession, no empirical-recall coupling.
     // the SERVING form of q47: corpus signatures are persisted once
     // (parquet snapshot of DocDedup.signatures — what the streaming
     // ingest maintains at scale) and nightly dedup reads them instead
-    // of re-hashing corpus text. Same relational oracle as q47: the
-    // persisted path must be indistinguishable from the text path.
+    // of re-hashing corpus text. Shares q47's oracle BY REFERENCE (one
+    // definition — the two contracts must never drift), and therefore
+    // also q47's DATA-COUPLED caveat above: the near stage relies on
+    // band recall being complete on this corpus.
     Q("q57_incremental_dedup_served",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -298,26 +301,15 @@ private[graft] object QueriesPipeline {
         DocDedup.incrementalFromSignatures(
           s.read.parquet(sigDir), docs.where(col("doc_id") % 5 === 0))
       },
-      Some(s"""WITH f AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-             |c AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-             |ex AS (SELECT f.doc_id, min(c.doc_id) AS dup_of
-             |       FROM f JOIN c ON md5(f.text) = md5(c.text) GROUP BY 1),
-             |${duckShingles("f", "f")},
-             |${duckShingles("c", "c")},
-             |pr AS (SELECT a.doc_id AS f_id, b.doc_id AS c_id, COUNT(*) AS inter
-             |       FROM fsh a JOIN csh b ON a.s = b.s GROUP BY 1, 2),
-             |nr AS (SELECT f_id, min(c_id) AS dup_of
-             |       FROM pr JOIN fsz ON fsz.doc_id = f_id JOIN csz ON csz.doc_id = c_id
-             |       WHERE inter*1.0/(fsz.n+csz.n-inter) >= 0.5
-             |         AND f_id NOT IN (SELECT doc_id FROM ex) GROUP BY 1)
-             |SELECT f.doc_id,
-             |  COALESCE(ex.dup_of, nr.dup_of) AS dup_of,
-             |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
-             |       WHEN nr.f_id IS NOT NULL THEN 'near' END AS match_kind
-             |FROM f LEFT JOIN ex ON ex.doc_id = f.doc_id
-             |       LEFT JOIN nr ON nr.f_id = f.doc_id
-             |ORDER BY f.doc_id""".stripMargin)),
+      Some(duckIncrementalOracle)),
 
+    // SimHash near-dup pairs, hash-verified END TO END: the simhash64
+    // kernel uses engine-portable integer arithmetic (base-31 polyhash
+    // over code points — q38's proven-exact fold — whitened by the
+    // non-linear mix31, per-bit mix31 sign votes), so the oracle below
+    // recomputes the identical 64-bit signatures relationally, then
+    // restates the 4×16-bit band join + hamming ≤ 3 verify. No
+    // rows-only concession, no empirical-recall coupling.
     Q("q23_dedup_simhash",
       (s, dir) => DocDedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3),
       Some(s"""WITH tok AS (SELECT DISTINCT doc_id, w FROM (

@@ -256,11 +256,26 @@ object DocDedup {
     * touched; the fresh batch signs inline. Identical output to
     * [[incremental]] (PipelineOpsSpec pins parity through a parquet
     * round-trip).
+    *
+    * The snapshot MUST have been built with the same `n` and
+    * `numHashes` as this call — mismatched parameters put the two
+    * sides in different shingle/permutation spaces and near-dup
+    * results go silently wrong. `numHashes` is checked against the
+    * stored signature width (one tiny first-row job); `n` is not
+    * recoverable from the data, so it rides on the caller's
+    * configuration discipline.
     */
   def incrementalFromSignatures(corpusSigs: DataFrame, fresh: DataFrame,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
+    corpusSigs.select(size(col("sig")).as("k")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == numHashes,
+          s"corpus signature table carries ${r.getInt(0)}-hash signatures; " +
+            s"this serving call expects numHashes=$numHashes — rebuild the " +
+            "snapshot or match the parameters")
+      }
     def prep(df: DataFrame): DataFrame =
       signatures(df, n, numHashes, textCol, idCol).localCheckpoint()
     // docs shorter than n words carry the empty-set sentinel signature;

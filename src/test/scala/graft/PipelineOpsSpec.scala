@@ -274,14 +274,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val fresh = docs.where(col("doc_id") % 5 === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
-    // snapshot the corpus signatures to parquet and serve from there —
-    // the nightly pattern where historical text is never re-read
-    graft.ops.DocDedup.signatures(corpus).write.mode("overwrite").parquet(dir)
-    val served = graft.ops.DocDedup.incrementalFromSignatures(
-      spark.read.parquet(dir), fresh).collect().map(_.toSeq).toSeq
-    val direct = graft.ops.DocDedup.incremental(corpus, fresh)
-      .collect().map(_.toSeq).toSeq
-    assert(served === direct)
+    try {
+      // snapshot the corpus signatures to parquet and serve from there —
+      // the nightly pattern where historical text is never re-read
+      graft.ops.DocDedup.signatures(corpus).write.mode("overwrite").parquet(dir)
+      val served = graft.ops.DocDedup.incrementalFromSignatures(
+        spark.read.parquet(dir), fresh).collect().map(_.toSeq).toSeq
+      val direct = graft.ops.DocDedup.incremental(corpus, fresh)
+        .collect().map(_.toSeq).toSeq
+      assert(served === direct)
+      // a snapshot built with a different permutation count is refused
+      // rather than silently served against
+      intercept[IllegalArgumentException] {
+        graft.ops.DocDedup.incrementalFromSignatures(
+          spark.read.parquet(dir), fresh, numHashes = 32)
+      }
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(dir))
+    }
   }
 
   test("incremental dedup: short docs match exactly but never band-join") {
