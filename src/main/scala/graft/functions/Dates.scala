@@ -113,8 +113,14 @@ object Dates {
     raw"\b(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sept|sep|oct|nov|dec)\b".r
   private val fuzzyTime = raw"\b(\d{1,2}):(\d{2})(?::(\d{2})(\.\d{1,9})?)?\s*(am|pm)?\b".r
   // sign captured separately: "-00:30"'s hour field parses to 0, so a
-  // sign folded into the hour int would vanish for zero-hour offsets
-  private val fuzzyOffset = raw"([+-])(\d{2}):?(\d{2})\b".r
+  // sign folded into the hour int would vanish for zero-hour offsets.
+  // The colon form is timezone evidence anywhere; the colon-less form
+  // only directly after a time of day or a zulu/UTC marker — otherwise
+  // a hyphenated digit run in free text ("ref 555-1234") would read as
+  // a -12:34 offset and silently shift the instant by hours
+  private val fuzzyOffsetColon = raw"([+-])(\d{2}):(\d{2})\b".r
+  private val fuzzyOffsetBare =
+    raw"((?:\d{1,2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?|\b(?:z|utc|gmt))\s*)([+-])(\d{2})(\d{2})\b".r
 
   /** Fuzzy free-text fallback — the `dateutil.parse(..., fuzzy=True)`
     * step of the reference ladder (utils/dates.py:73): scan the string
@@ -122,7 +128,9 @@ object Dates {
     * an ISO-ish `yyyy-mm-dd` / `yyyy/mm/dd` or US `m/d/yyyy` date, or
     * a month name with a nearby day and 4-digit year ("Jan 5 2024",
     * "January 5th, 2024"); plus an optional `hh:mm[:ss[.frac]]` time
-    * with am/pm and an optional explicit `±hh[:]mm` offset (absent or
+    * with am/pm and an optional explicit `±hh:mm` offset (`±hhmm`
+    * accepted only directly after the time or a Z/UTC/GMT marker;
+    * absent or
     * textual UTC/GMT/Z markers mean UTC — the session pins UTC, so the
     * reference's "naive → local tz" step degenerates the same way).
     * Deterministic subset of dateutil: a full year+month+day is
@@ -136,7 +144,8 @@ object Dates {
     // STRIPPED before time/day/year harvesting — its digits would
     // otherwise double as a time of day ("2024-01-05 -05:00" is
     // midnight at -05:00, not 05:00)
-    val noOff = fuzzyOffset.replaceAllIn(lower, " ")
+    val noOff = fuzzyOffsetBare.replaceAllIn(
+      fuzzyOffsetColon.replaceAllIn(lower, " "), "$1 ")
     val datePart: Option[(Int, Int, Int)] =
       fuzzyIsoDate.findFirstMatchIn(noOff)
         .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt))
@@ -168,11 +177,13 @@ object Dates {
           (h, t.group(2).toInt, Option(t.group(3)).map(_.toInt).getOrElse(0), frac)
         case None => (0, 0, 0, 0L)
       }
-      val off = fuzzyOffset.findFirstMatchIn(lower)
-        .flatMap { m =>
-          val sign = if (m.group(1) == "-") -1 else 1
-          Try(ZoneOffset.ofHoursMinutes(sign * m.group(2).toInt,
-            sign * m.group(3).toInt)).toOption
+      val off = fuzzyOffsetColon.findFirstMatchIn(lower)
+        .map(m => (m.group(1), m.group(2), m.group(3)))
+        .orElse(fuzzyOffsetBare.findFirstMatchIn(lower)
+          .map(m => (m.group(2), m.group(3), m.group(4))))
+        .flatMap { case (sg, oh, om) =>
+          val sign = if (sg == "-") -1 else 1
+          Try(ZoneOffset.ofHoursMinutes(sign * oh.toInt, sign * om.toInt)).toOption
         }
         .getOrElse(ZoneOffset.UTC)
       Try(LocalDateTime.of(y, mo, d, hh, mi, ss, nanos.toInt)

@@ -318,6 +318,10 @@ object VecKernels {
     */
   def srpBucket(vec: ArrayData, planes: Int): Long = {
     val dim = vec.numElements()
+    // stride guard: w(p,d) keys off p*8192+d, so dim > 8192 would reuse
+    // weights across planes (correlated planes silently degrade SRP)
+    require(dim <= 8192,
+      s"srp_bucket: dim $dim > 8192 would alias plane weights (stride 8192)")
     var out = 0L
     var p = 0
     while (p < planes) {

@@ -69,7 +69,10 @@ object Similarity {
     * that mirrors a mixed kernel.
     */
   private[graft] def mix31Col(v: Column): Column = {
-    val x0 = v % 2147483648L
+    // pmod, not %: VecKernels.mix31 masks with & 0x7FFFFFFF, which is
+    // the NON-NEGATIVE residue mod 2^31 even for negative inputs —
+    // Column % would go negative there and silently diverge
+    val x0 = pmod(v, lit(2147483648L))
     val x1 = x0.bitwiseXOR(shiftrightunsigned(x0, 15))
     val x2 = (x1 * 1103515245L) % 2147483648L
     x2.bitwiseXOR(shiftrightunsigned(x2, 12))
@@ -78,10 +81,14 @@ object Similarity {
   /** Pseudo-random hyperplane weight for (plane, dim): deterministic
     * and ENGINE-PORTABLE — the non-linear `mix31` of `p·8192 + d` in
     * exact 64-bit integer arithmetic, then mod 20001, centered to
-    * [−1, 1]. Reproducible across runs and cluster sizes with zero
-    * state to ship, and restatable in the DuckDB oracle so
-    * SRP-bucketed queries are hash-verified end to end (q26/q55)
-    * instead of rows-only.
+    * [−1, 1]. PRECONDITION d < 8192 — beyond the stride, weights alias
+    * across planes; the native kernel ([[graft.functions.VecKernels
+    * .srpBucket]]) enforces it with a `require`, and this Column twin
+    * shares that contract (d here is a per-element index the plan
+    * can't bound statically). Reproducible across runs and cluster
+    * sizes with zero state to ship, and restatable in the DuckDB
+    * oracle so SRP-bucketed queries are hash-verified end to end
+    * (q26/q55) instead of rows-only.
     */
   private def planeWeight(p: Column, d: Column): Column =
     ((mix31Col(p.cast("long") * 8192L + d.cast("long")) % 20001L)

@@ -168,6 +168,12 @@ object StreamingAlerts {
     * window and `dmDeadlineMs` is the window's end — the slot fills if
     * the window closes with hits ≤ threshold (absence), and a
     * violating burst restarts the window from the violating event.
+    *
+    * CHECKPOINT COMPATIBILITY: `hits` and `dmDeadlineMs` were added
+    * when deadman slots landed — the state encoder schema changed, so
+    * a sequenceStream checkpoint written by the earlier two-field
+    * SlotProgress cannot be resumed; start deadman-enabled queries
+    * from a fresh checkpoint dir.
     */
   case class SlotProgress(next: Int, slotNames: List[String], startedMs: Long,
       hits: Int = 0, dmDeadlineMs: Long = 0L)

@@ -146,6 +146,15 @@ class DatesSpec extends AnyFunSuite {
     // zero-hour negative offset keeps its sign
     assert(Dates.toUTC("2024-01-05 08:00 -00:30") ===
       Instant.parse("2024-01-05T08:30:00Z"))
+    // colon-less offset only counts directly after a time of day or a
+    // zulu/UTC marker: a hyphenated digit run in prose is NOT an offset
+    // (this used to read "-1234" as -12:34 and shift the instant)
+    assert(Dates.toUTC("Jan 5 2024 13:00 ref 555-1234") ===
+      Instant.parse("2024-01-05T13:00:00Z"))
+    assert(Dates.toUTC("2024-01-05 13:00-0500") ===
+      Instant.parse("2024-01-05T18:00:00Z"))
+    assert(Dates.toUTC("Jan 5 2024 13:00 utc +0200 case 555-1234") ===
+      Instant.parse("2024-01-05T11:00:00Z"))
     // month-name PREFIXES inside ordinary words are not date evidence
     intercept[IllegalArgumentException](Dates.toUTC("novel 2024 error after 3 retries"))
     intercept[IllegalArgumentException](Dates.toUTC("decode failed 7 times in 2023"))
