@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DocDedup, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{Curation, DocDedup, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.Lake
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -765,5 +765,108 @@ private[graft] object QueriesPipeline {
              |    * (240 + octet_length(encode(text)) % 240)
              |    * (1 + octet_length(encode(text)) % 8) AS total_px
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: corpus docs sharing any word 3-gram
+    // with the "eval" slice (doc_id % 50 = 0 stands in for a held-out
+    // benchmark). Eval shingles broadcast; corpus streams through
+    // map-side. The oracle joins textual shingles where the plan joins
+    // their 8-byte hashes — identical counts absent 64-bit collisions
+    // (the q21/q22 contract).
+    Q("q58_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation.decontaminate(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0))
+      },
+      Some(s"""WITH ev AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+              |co AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+              |${duckShingles("ev", "ev")},
+              |${duckShingles("co", "co")}
+              |SELECT a.doc_id, COUNT(DISTINCT a.s) AS hit_shingles,
+              |  MIN(b.doc_id) AS eval_hit
+              |FROM cosh a JOIN evsh b ON a.s = b.s
+              |GROUP BY 1 ORDER BY a.doc_id""".stripMargin)),
+
+    // Gopher-style repetition quality: top word-2-gram character
+    // fraction + duplicate word-5-gram position fraction, micro-unit
+    // floors, keep-flag thresholds 20% / 30%.
+    Q("q59_repetition_quality",
+      (s, dir) => Curation.repetition(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, length(text) AS nc,
+             |            string_split(text,' ') AS ws FROM documents),
+             |g2 AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS g
+             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
+             |       WHERE i+1 <= len(ws)),
+             |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1,2),
+             |t2 AS (SELECT doc_id, g, cnt,
+             |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+             |       FROM c2),
+             |top2 AS (SELECT doc_id, g AS top_gram, cnt*length(g) AS top_chars
+             |         FROM t2 WHERE rn = 1),
+             |g5 AS (SELECT doc_id,
+             |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
+             |       WHERE i+4 <= len(ws)),
+             |c5 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY 1,2),
+             |d5 AS (SELECT doc_id,
+             |         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_pos,
+             |         SUM(cnt) AS tot_pos FROM c5 GROUP BY 1)
+             |SELECT w.doc_id, top2.top_gram,
+             |  CAST(COALESCE((top2.top_chars*1000000)//w.nc, 0) AS BIGINT) AS top2_ppm,
+             |  CAST(COALESCE((d5.dup_pos*1000000)//d5.tot_pos, 0) AS BIGINT) AS dup5_ppm,
+             |  CAST(COALESCE((top2.top_chars*1000000)//w.nc, 0) AS BIGINT) < 200000
+             |    AND CAST(COALESCE((d5.dup_pos*1000000)//d5.tot_pos, 0) AS BIGINT) < 300000
+             |    AS keep
+             |FROM w LEFT JOIN top2 ON top2.doc_id = w.doc_id
+             |       LEFT JOIN d5 ON d5.doc_id = w.doc_id
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // deterministic stratified sample: mix31(doc_id) mod 1000 under a
+    // per-source rate — reproducible across engines (the oracle
+    // recomputes the same hash), map-only, no RNG state.
+    Q("q60_stratified_sample",
+      (s, dir) => Curation.stratifiedSample(Tables(s, dir, "documents"),
+        Map("src1" -> 900, "src5" -> 700, "src9" -> 400), defaultPpk = 250),
+      Some(s"""WITH h AS (SELECT doc_id, source AS label,
+              |            (${duckMix31("doc_id")}) % 1000 AS h_ppk FROM documents)
+              |SELECT doc_id, label, h_ppk FROM h
+              |WHERE h_ppk < CASE label WHEN 'src1' THEN 900 WHEN 'src5' THEN 700
+              |                         WHEN 'src9' THEN 400 ELSE 250 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF-style top terms: rational score floor(tf·1e6/df) instead
+    // of a transcendental idf, so scores verify bit-for-bit.
+    Q("q61_tfidf_topk",
+      (s, dir) => Curation.tfidfTopK(Tables(s, dir, "documents")),
+      Some("""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |             FROM documents) t
+             |       GROUP BY 1,2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |         CAST((tf.tf*1000000)//df.df AS BIGINT) AS score_ppm
+             |       FROM tf JOIN df USING (term)),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |        ORDER BY score_ppm DESC, term) AS rank FROM sc)
+             |SELECT doc_id, rank, term, tf, df, score_ppm FROM r
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // token-budget sequence packing: per-shard sequential fill, bin =
+    // floor(tokens-before / 512). The window is partitioned by shard —
+    // the global-sort variant would serialize the corpus through one
+    // task at scale.
+    Q("q62_pack_sequences",
+      (s, dir) => Curation.packSequences(Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, source AS shard,
+             |            CAST(len(string_split(text,' ')) AS BIGINT) AS tokens
+             |          FROM documents),
+             |c AS (SELECT doc_id, shard, tokens,
+             |        COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |      FROM t)
+             |SELECT doc_id, shard, tokens,
+             |  CAST(cum_before // 512 AS BIGINT) AS bin
+             |FROM c ORDER BY doc_id""".stripMargin)),
   )
 }

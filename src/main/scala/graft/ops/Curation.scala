@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines, beyond
+  * the dedup/similarity ladder in [[DocDedup]]/[[Similarity]]:
+  * benchmark decontamination, repetition-based quality filtering (the
+  * Gopher-rule shape), deterministic stratified sampling, TF-IDF term
+  * scoring, and token-budget sequence packing.
+  *
+  * Design rules shared by every op here:
+  *   - all scoring is exact integer arithmetic (counts, micro-unit
+  *     floors) so each op carries a full DuckDB oracle — no float
+  *     drift, no rows-only checks;
+  *   - every per-doc stage is map-side combinable (explode → groupBy
+  *     with partial aggregation), and every cross-doc stage keys its
+  *     shuffle by something bounded (shingle hash, term, shard), never
+  *     by "the whole corpus".
+  */
+object Curation {
+
+  /** `floor(num·10⁶ / den)` as a long — micro-unit export of a ratio
+    * of counts. Exact despite the double division: for integer
+    * `a = num·10⁶ ≤ 2⁵³` and small integer `den`, `a/den` sits at
+    * least `1/den ≫ ulp` away from the next integer, so the floor
+    * can't misround; DuckDB's integer `//` matches it bit for bit.
+    */
+  private def ppmFloor(num: Column, den: Column): Column =
+    floor((num * 1000000L).cast("double") / den.cast("double")).cast("long")
+
+  /** Benchmark decontamination: flag corpus documents that share at
+    * least `minHits` distinct word `n`-gram shingles with ANY document
+    * of the evaluation set — the standard "remove test-set overlap
+    * before training" sweep. Returns flagged docs with the number of
+    * distinct contaminating shingles and the smallest eval doc id hit.
+    *
+    * Scale shape: the eval side is benchmark-sized by contract
+    * (thousands of docs, not the corpus), so its exploded shingle set
+    * is broadcast — the 100 TB corpus streams map-side through a
+    * broadcast-hash join and the only shuffle is the per-doc count
+    * aggregation (map-side combinable). Shingles travel as the
+    * codegen'd 8-byte `shingle_hashes` longs, not strings; the oracle
+    * joins the textual shingles (identical counts absent 64-bit
+    * collisions, the same contract q21/q22 pin).
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
+      minHits: Long = 1L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(call_function("shingle_hashes", split(col(textCol), " "), lit(n))).as("s"))
+    val evS = sh(evalSet, "eval_id")
+    val coS = sh(Par.spread(corpus), "doc_id")
+    coS.join(broadcast(evS), Seq("s"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("hit_shingles"), min(col("eval_id")).as("eval_hit"))
+      .where(col("hit_shingles") >= minHits)
+      .orderBy("doc_id")
+  }
+
+  /** Repetition quality metrics per document (the Gopher repetition
+    * rules, word-n-gram form — this corpus has no line structure):
+    *   - `top2_ppm`: fraction (micro-units) of the document's
+    *     characters covered by its most frequent word 2-gram
+    *     (count × gram length / doc chars); ties break to the
+    *     lexicographically smallest gram;
+    *   - `dup5_ppm`: fraction (micro-units) of word 5-gram POSITIONS
+    *     whose gram occurs more than once in the doc;
+    *   - `keep`: both fractions under their thresholds.
+    * Documents too short for a gram size score 0 for that metric
+    * (nothing repeats). Map-only per doc up to the (doc, gram)
+    * count — the groupBy is map-side combinable and keyed by
+    * (doc, gram), so corpus growth adds tasks, not skew.
+    */
+  def repetition(docs: DataFrame, topFracPpm: Long = 200000L,
+      dupFracPpm: Long = 300000L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // grams as a guarded transform: sequence(1, n-1) would DESCEND for
+    // a 1-word doc (Spark sequences run backwards when from > to) and
+    // fabricate grams — gate on word count first
+    def grams(ws: Column, n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    // three consumers (2-gram branch, 5-gram branch, final join) —
+    // materialize once instead of re-splitting the text three times
+    val base = Par.spread(docs).select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("n_chars"), split(col(textCol), " ").as("ws"))
+      .localCheckpoint()
+    val c2 = base.select(col("doc_id"), explode(grams(col("ws"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))
+    val top2 = c2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_gram"),
+        (col("cnt") * length(col("g"))).as("top_chars"))
+    val d5 = base.select(col("doc_id"), explode(grams(col("ws"), 5)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_pos"),
+        sum(col("cnt")).as("tot_pos"))
+    base.select("doc_id", "n_chars")
+      .join(top2, Seq("doc_id"), "left")
+      .join(d5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_gram"),
+        coalesce(ppmFloor(col("top_chars"), col("n_chars")), lit(0L)).as("top2_ppm"),
+        coalesce(ppmFloor(col("dup_pos"), col("tot_pos")), lit(0L)).as("dup5_ppm"))
+      .withColumn("keep", col("top2_ppm") < topFracPpm && col("dup5_ppm") < dupFracPpm)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: keep a document iff
+    * `mix31(doc_id) mod 1000 < rate‰(label)` — the hash-threshold
+    * sample every curation pipeline needs when "10% of src1, 2% of
+    * the rest" must be reproducible across runs, retries, and engines
+    * (no RNG state, no seed plumbing; the decision is a pure function
+    * of the row). Map-only: no shuffle at all, filters push to the
+    * scan. Returns the kept rows with the hash residue that admitted
+    * them.
+    */
+  def stratifiedSample(docs: DataFrame, ratesPpk: Map[String, Int],
+      defaultPpk: Int, labelCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    // deterministic CASE ladder: sorted keys so the plan (and the
+    // oracle restatement) never depends on map iteration order
+    val rate = ratesPpk.toSeq.sortBy(_._1).foldRight(lit(defaultPpk)) {
+      case ((k, v), acc) => when(col("label") === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        pmod(Similarity.mix31Col(col(idCol)), lit(1000L)).as("h_ppk"))
+      .where(col("h_ppk") < rate)
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF-style top-`k` terms per document with a rational score:
+    * `score_ppm = floor(tf·10⁶ / df)` (term frequency over document
+    * frequency — same ordering intent as tf·idf, but exact integer
+    * arithmetic instead of a transcendental log, so the oracle
+    * verifies scores bit-for-bit). Rank ties break to the
+    * lexicographically smallest term.
+    *
+    * Scale shape: tf is one map-side-combinable groupBy keyed by
+    * (doc, term); df folds tf by term (the term dictionary is orders
+    * of magnitude smaller than the corpus — AQE broadcasts it back);
+    * the top-k window shuffles by doc_id once. tf feeds two branches
+    * (df and the join), so it's materialized, not recomputed.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = Par.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_ppm", ppmFloor(col("tf"), col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Token-budget sequence packing (training-batch assembly):
+    * documents are packed into bins of `budgetTokens` whitespace
+    * tokens by sequential fill — within each shard, docs in doc_id
+    * order land in bin `floor(tokens-before-this-doc / budget)`. A doc
+    * may straddle its bin boundary (the packer that truncates or
+    * splits sits downstream); what this op fixes is the deterministic
+    * doc → bin assignment.
+    *
+    * Scale shape: the running sum is windowed PER SHARD, never
+    * globally — a global ordering would serialize 100 TB through one
+    * task, while shards (source, date, path prefix...) bound each
+    * window partition and pack in parallel. Bin ids are (shard, bin).
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long = 512L,
+      shardCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("tokens"))
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      // exact: cum_before ≤ 2^53 and budget is a small integer, so the
+      // double division floors identically to DuckDB's integer //
+      .withColumn("bin", floor(col("cum_before").cast("double") / budgetTokens).cast("long"))
+      .select("doc_id", "shard", "tokens", "bin")
+      .orderBy("doc_id")
+  }
+}
