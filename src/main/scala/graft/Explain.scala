@@ -16,7 +16,8 @@ object Explain {
       "q05_threshold_trigger", "q07_dedup_antijoin", "q21_dedup_ngram_jaccard",
       "q22_dedup_minhash_lsh", "q23_dedup_simhash", "q25_ann_bruteforce_topk",
       "q41_grouped_topk", "q51_lake_roundtrip", "q52_skew_salted_join",
-      "q55_dedup_cosine_srp_banded", "q56_winnow_containment")
+      "q55_dedup_cosine_srp_banded", "q56_winnow_containment",
+      "q58_decontaminate", "q61_tfidf_topk", "q62_pack_sequences")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
