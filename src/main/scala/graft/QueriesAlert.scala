@@ -570,5 +570,65 @@ private[graft] object QueriesAlert {
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS utcepoch
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // bucketed co-located join: both sides written bucketed by the
+    // join key (same bucket count), so the orders⋈lineitem sort-merge
+    // runs with NO Exchange on either side — the recurring-join layout
+    // a 100 TB lake amortizes across every nightly run. The oracle is
+    // the plain join (bucketing must not change a single row); cents
+    // are per-row floors so the SUM is exact integer math.
+    Q("q67_bucketed_join",
+      (s, dir) => {
+        graft.sources.Bucketing.writeBucketed(
+          Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "g_orders_b", "o_orderkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+          "g_lineitem_b", "l_orderkey", 8)
+        graft.sources.Bucketing.colocatedJoin(
+            s.table("g_orders_b"), s.table("g_lineitem_b"),
+            "o_orderkey", "l_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Presto lambda breadth beyond q50's filter(): 4-arg reduce
+    // (input + output lambdas, the Presto signature), transform,
+    // codepoint, split_part, array_join, regexp_like — all through the
+    // registered-session dialect surface. Grouping by event_type makes
+    // every lambda result a per-group constant the oracle restates
+    // with DuckDB's list_* equivalents.
+    Q("q68_presto_lambdas",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT event_type,
+                |  reduce(transform(split(event_type, ''), c -> codepoint(c)),
+                |         0, (acc, x) -> acc + x, acc -> acc) AS char_sum,
+                |  split_part(event_type, 'r', 1) AS pre_r,
+                |  array_join(transform(slice(split(event_type, ''), 1, 3),
+                |                       c -> upper(c)), '.') AS first3,
+                |  COUNT(*) AS cnt
+                |FROM events
+                |WHERE regexp_like(event_type, '^[a-z_]+$')
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  list_reduce(list_prepend(0,
+             |    list_transform(string_split(event_type, ''),
+             |      c -> unicode(c))), (acc, x) -> acc + x) AS char_sum,
+             |  split_part(event_type, 'r', 1) AS pre_r,
+             |  array_to_string(list_transform(string_split(event_type, '')[1:3],
+             |    c -> upper(c)), '.') AS first3,
+             |  COUNT(*) AS cnt
+             |FROM events
+             |WHERE regexp_matches(event_type, '^[a-z_]+$')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

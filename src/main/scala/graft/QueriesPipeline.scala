@@ -868,5 +868,89 @@ private[graft] object QueriesPipeline {
              |SELECT doc_id, shard, tokens,
              |  CAST(cum_before // 512 AS BIGINT) AS bin
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub: the corpus itself is PII-free synthetic prose, so the
+    // query plants deterministic email/IP tokens (a pure function of
+    // doc_id/source, restated identically in the oracle) on every
+    // third doc, then counts and redacts them. Both engines run the
+    // same Java/RE2-common-subset regexes; redaction order
+    // (emails, then IPs) is part of the contract.
+    Q("q63_pii_scrub",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val aug = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@"), col("source"), lit(".org via 10."),
+              pmod(col("doc_id"), lit(200L)) + 1, lit("."),
+              pmod(col("doc_id") * 7, lit(250L)), lit(".25")))
+            .otherwise(col("text")).as("text"))
+        Curation.scrubPii(aug)
+      },
+      Some(s"""WITH aug AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 3 = 0 THEN
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+              |      || '@' || source || '.org via 10.'
+              |      || CAST(doc_id % 200 + 1 AS VARCHAR) || '.'
+              |      || CAST((doc_id*7) % 250 AS VARCHAR) || '.25'
+              |  ELSE text END AS text FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text,
+              |    '${Curation.EmailRe}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text,
+              |    '${Curation.Ipv4Re}')) AS BIGINT) AS n_ips,
+              |  regexp_replace(regexp_replace(text,
+              |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+              |    '${Curation.Ipv4Re}', '<IP>', 'g') AS clean
+              |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // lexical diversity: type/token, hapax and mean-word-length ppm
+    // floors — the counting complement of q59's repetition rules.
+    Q("q64_lexical_diversity",
+      (s, dir) => Curation.lexicalDiversity(Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |          FROM documents),
+             |c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM t GROUP BY 1,2)
+             |SELECT doc_id,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS n_types,
+             |  CAST((COUNT(*)*1000000)//SUM(cnt) AS BIGINT) AS ttr_ppm,
+             |  CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)*1000000)
+             |    //COUNT(*) AS BIGINT) AS hapax_ppm,
+             |  CAST((SUM(length(w)*cnt)*1000000)//SUM(cnt) AS BIGINT) AS mwl_ppm
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // deterministic train/val/test split: mix31(doc_id) mod 1000 →
+    // 80/10/10, aggregated to the per-(split, source) shard-sizing
+    // table. Same portable hash as q60 — same doc, same split, in
+    // every engine and on every retry.
+    Q("q65_split_assign",
+      (s, dir) => Curation.splitAssign(Tables(s, dir, "documents")),
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |            CAST(len(string_split(text,' ')) AS BIGINT) AS toks,
+              |            (${duckMix31("doc_id")}) % 1000 AS hp FROM documents),
+              |a AS (SELECT CASE WHEN hp < 800 THEN 'train'
+              |              WHEN hp < 900 THEN 'val'
+              |              ELSE 'test' END AS split, source, toks FROM h)
+              |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+              |FROM a GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // per-label embedding centroids in exact micro-units: floor each
+    // element to long BEFORE summing, so the sum commutes (row order /
+    // partitioning independent) and the oracle matches bit for bit.
+    Q("q66_label_centroids",
+      (s, dir) => Similarity.labelCentroidsMicro(Tables(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT label,
+             |            generate_subscripts(embedding,1) - 1 AS idx,
+             |            CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000000)
+             |              AS BIGINT) AS micro
+             |          FROM embeddings)
+             |SELECT label, CAST(idx AS INTEGER) AS idx,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(micro) AS BIGINT) AS sum_micro,
+             |  CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             |    AS mean_micro
+             |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
   )
 }

@@ -72,6 +72,14 @@ object Functions {
         exprs.head, exprs(1), failOnError = false),
       "built-in")
 
+    // Presto codepoint(varchar(1)) → Catalyst Ascii (first-char code
+    // point — identical for the single-character inputs the Presto
+    // signature admits)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "codepoint",
+      exprs => org.apache.spark.sql.catalyst.expressions.Ascii(exprs.head),
+      "built-in")
+
     // one ladder, two dialect names: to_utc (the reference's helper)
     // and Presto's from_iso8601_timestamp (offset-aware ISO input
     // lands as the UTC instant)

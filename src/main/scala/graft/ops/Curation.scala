@@ -25,7 +25,10 @@ object Curation {
     * of counts. Exact despite the double division: for integer
     * `a = num·10⁶ ≤ 2⁵³` and small integer `den`, `a/den` sits at
     * least `1/den ≫ ulp` away from the next integer, so the floor
-    * can't misround; DuckDB's integer `//` matches it bit for bit.
+    * can't misround. DuckDB's integer `//` matches it bit for bit for
+    * the NON-NEGATIVE numerators every caller here has — for negative
+    * values `//` truncates toward zero while floor() floors, so a
+    * signed oracle must spell out floor() (q66 does).
     */
   private def ppmFloor(num: Column, den: Column): Column =
     floor((num * 1000000L).cast("double") / den.cast("double")).cast("long")
@@ -160,6 +163,94 @@ object Curation {
       .where(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "df", "score_ppm")
       .orderBy("doc_id", "rank")
+  }
+
+  /** Email-address regex, kept to the Java/RE2 common subset so the
+    * plan (Java `regexp_replace`) and the DuckDB oracle (RE2) match
+    * byte for byte: plain character classes and `{2,}`, no lookaround,
+    * no backreferences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad shape (word-bounded). Deliberately shape-only — the
+    * 0-255 octet range check is [[graft.functions.Functions.isIPv4]]'s
+    * job; a scrubber must also catch invalid-but-intended addresses.
+    */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count and redact email addresses and IPv4 literals per
+    * document. Counts are taken on the ORIGINAL text (so an address
+    * swallowed by the email redaction is still counted as an IP hit in
+    * both engines); redaction applies emails first, then IPs — the
+    * order is part of the contract because an email's host part can
+    * look like a dotted quad.
+    *
+    * Scale shape: map-only — two regex counts and two global
+    * replaces per row, no shuffle, filters/projection push to the
+    * scan. Regexes compile once per task inside codegen'd
+    * `RegExpReplace`/`RegExpCount`; no UDF.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>").as("clean"))
+      .orderBy("doc_id")
+
+  /** Lexical-diversity quality metrics per document, the counting
+    * complement of the repetition rules above:
+    *   - `ttr_ppm`: type/token ratio (distinct words over words);
+    *   - `hapax_ppm`: fraction of DISTINCT words occurring exactly
+    *     once (hapax legomena over vocabulary size);
+    *   - `mwl_ppm`: mean word length in micro-chars.
+    * All micro-unit floors of integer count ratios — bit-exact in any
+    * engine. Shape: one explode → (doc, word) groupBy (map-side
+    * combinable: a word repeated k times in one partition arrives at
+    * the shuffle as one row) → per-doc fold. No joins, one shuffle
+    * keyed by (doc, word), a second tiny one keyed by doc.
+    */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    Par.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(length(col("w")) * col("cnt")).as("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        ppmFloor(col("n_types"), col("n_tokens")).as("ttr_ppm"),
+        ppmFloor(col("n_hapax"), col("n_types")).as("hapax_ppm"),
+        ppmFloor(col("n_chars"), col("n_tokens")).as("mwl_ppm"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test assignment: `mix31(doc_id) mod 1000`
+    * lands in [0, trainPpk) → train, [trainPpk, trainPpk+valPpk) →
+    * val, else test — the split analogue of [[stratifiedSample]]
+    * (same portable hash, so the SAME document lands in the SAME split
+    * in every engine, on every retry, at every scale; no RNG, no seed
+    * file). Returns per-(split, source) document and whitespace-token
+    * totals — the table a training job reads to size its shards.
+    *
+    * Shape: map-only assignment, then ONE map-side-combinable groupBy
+    * whose key space is |splits|×|sources| — bounded, tiny, skew-free
+    * regardless of corpus size.
+    */
+  def splitAssign(docs: DataFrame, trainPpk: Int = 800, valPpk: Int = 100,
+      textCol: String = "text", labelCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(Similarity.mix31Col(col(idCol)), lit(1000L))
+    docs.select(
+        when(h < trainPpk, "train").when(h < trainPpk + valPpk, "val")
+          .otherwise("test").as("split"),
+        col(labelCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("toks"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy("split", "source")
   }
 
   /** Token-budget sequence packing (training-batch assembly):

@@ -140,6 +140,32 @@ object Similarity {
     rankTopK(c.join(broadcast(q), Seq("bucket")), k)
   }
 
+  /** Per-label embedding centroids in exact micro-units: each element
+    * floors to `long` micro-units FIRST, then sums — integer addition
+    * commutes, so the result is independent of row order and partition
+    * count (a raw double sum would drift between engines and between
+    * runs on different partitionings). `mean_micro` is the floored
+    * integer mean. This is the class-prototype computation behind
+    * centroid-based dedup/clustering and label-quality audits.
+    *
+    * Shape: posexplode (dim fan-out, map-only) → ONE groupBy keyed by
+    * (label, dim) — map-side combinable, key space |labels|×dim, so
+    * the shuffle carries at most tasks×|labels|×dim combiner rows no
+    * matter how many vectors stream through.
+    */
+  def labelCentroidsMicro(embeddings: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    Par.spread(embeddings)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "x")))
+      .select(col("label"), col("idx"),
+        floor(col("x") * 1e6).cast("long").as("micro"))
+      .groupBy("label", "idx")
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"))
+      .withColumn("mean_micro",
+        floor(col("sum_micro").cast("double") / col("n")).cast("long"))
+      .orderBy("label", "idx")
+
   /** Symmetric int8 scalar quantization of an embedding column —
     * the standard 4× memory/IO reduction before ANN indexing at
     * corpus scale. Per-vector scale = max|x|/127; elements quantize

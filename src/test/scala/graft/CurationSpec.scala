@@ -112,4 +112,46 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq === Seq(
       (1L, "A", 0L), (2L, "A", 0L), (3L, "A", 1L), (4L, "A", 1L), (10L, "B", 0L)))
   }
+
+  test("scrubPii counts on original text and redacts emails before IPs") {
+    val d = docs(
+      (1L, "mail bob@example.com and 10.1.2.3 end", "s"),
+      (2L, "no pii here", "s"),
+      (3L, "a@b.co x 999.999.999.999", "s"))
+    val out = Curation.scrubPii(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 1L, 1L, "mail <EMAIL> and <IP> end")))
+    assert(out(1) === ((2L, 0L, 0L, "no pii here")))
+    // the IP check is shape-only by design — 999.x still redacts
+    assert(out(2) === ((3L, 1L, 1L, "<EMAIL> x <IP>")))
+  }
+
+  test("scrubPii: dotted-quad email host is not an email (no alpha TLD) but is an IP") {
+    val out = Curation.scrubPii(docs((1L, "u@1.2.3.44 tail", "s"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 0L, 1L, "u@<IP> tail")))
+  }
+
+  test("lexicalDiversity: ttr, hapax and mean word length are exact floors") {
+    // tokens 4; types 3 (aa,bb,cc); hapax 2 of 3 types; chars 8
+    val out = Curation.lexicalDiversity(docs((1L, "aa bb aa cc", "s"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out(0) === ((1L, 4L, 3L, 750000L, 666666L, 2000000L)))
+  }
+
+  test("splitAssign: exhaustive, deterministic, roughly 80/10/10") {
+    val d = (0L until 1000L).map(i =>
+      (i, "w x y z", if (i % 2 == 0) "a" else "b")).toDF("doc_id", "text", "source")
+    val out = Curation.splitAssign(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sum === 1000L)                    // every doc lands somewhere
+    out.foreach { case (_, _, nd, nt) => assert(nt === nd * 4) }
+    val train = out.filter(_._1 == "train").map(_._3).sum
+    assert(train > 700 && train < 900, s"train kept $train of 1000")
+    // re-running is bit-identical — the split is a pure hash function
+    val again = Curation.splitAssign(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq)
+  }
 }

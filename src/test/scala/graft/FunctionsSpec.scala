@@ -59,6 +59,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       java.time.Instant.parse("2024-01-01T00:16:06Z"))
   }
 
+  test("codepoint and Presto 4-arg reduce lambda parse through the registry") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT codepoint('a') AS cp,
+        |       reduce(transform(split('abc', ''), c -> codepoint(c)),
+        |              0, (acc, x) -> acc + x, acc -> acc) AS folded,
+        |       split_part('error', 'r', 1) AS pre_r,
+        |       array_join(transform(slice(split('abc', ''), 1, 2),
+        |                            c -> upper(c)), '.') AS first2
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) === 97)
+    assert(r.getInt(1) === 97 + 98 + 99)
+    assert(r.getString(2) === "e")
+    assert(r.getString(3) === "A.B")
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()

@@ -367,6 +367,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(batched.toSeq === rowWise.toSeq)
   }
 
+  test("label centroids: micro-floor before sum — exact and partitioning-independent") {
+    val e = Seq(
+      (1L, Array(0.5f, -0.25f), "x"),
+      (2L, Array(1.5f, 0.75f), "x"),
+      (3L, Array(2.0f, 1.0f), "y")).toDF("vec_id", "embedding", "label")
+    def run(df: DataFrame) = Similarity.labelCentroidsMicro(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val out = run(e)
+    assert(out.toSeq === Seq(
+      ("x", 0, 2L, 2000000L, 1000000L),
+      ("x", 1, 2L, 500000L, 250000L),
+      ("y", 0, 1L, 2000000L, 2000000L),
+      ("y", 1, 1L, 1000000L, 1000000L)))
+    // integer sums commute: any partitioning yields the same rows
+    assert(run(e.repartition(7)).toSeq === out.toSeq)
+  }
+
   test("multimodal stub pipeline: deterministic metadata through mapPartitions") {
     val m = Multimodal.pipeline(docs).collect()
     assert(m.length === 5)
