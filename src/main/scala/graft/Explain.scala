@@ -17,7 +17,9 @@ object Explain {
       "q22_dedup_minhash_lsh", "q23_dedup_simhash", "q25_ann_bruteforce_topk",
       "q41_grouped_topk", "q51_lake_roundtrip", "q52_skew_salted_join",
       "q55_dedup_cosine_srp_banded", "q56_winnow_containment",
-      "q58_decontaminate", "q61_tfidf_topk", "q62_pack_sequences")
+      "q58_decontaminate", "q61_tfidf_topk", "q62_pack_sequences",
+      "q63_pii_scrub", "q65_split_assign", "q66_label_centroids",
+      "q67_bucketed_join", "q71_vocab_topk", "q73_stratified_fixed_k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

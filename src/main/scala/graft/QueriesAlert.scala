@@ -61,7 +61,7 @@ private[graft] object QueriesAlert {
     * instance per shuffle partition per microbatch, so the fan-out is
     * capped at 8 — never raised above a smaller session default.
     */
-  private def drainToMemory(s: SparkSession, df: DataFrame, sink: String,
+  private[graft] def drainToMemory(s: SparkSession, df: DataFrame, sink: String,
       mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     s.catalog.dropTempView(sink)

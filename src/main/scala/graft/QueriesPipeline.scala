@@ -106,6 +106,18 @@ private[graft] object QueriesPipeline {
        |       LEFT JOIN nr ON nr.f_id = f.doc_id
        |ORDER BY f.doc_id""".stripMargin
 
+  /** Documents replayed as a file stream — the q54 glob trick (the
+    * one-char class makes the sf dir the FileStreamSource base path),
+    * one micro-batch so stream-static join output is batch-complete.
+    */
+  private def docStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(raw)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(s"$dir/documents.[p]arquet")
+  }
+
   def registry: Seq[Q] = Seq(
     // lake sink round-trip: one day of events written hive-partitioned
     // by UTC hour (the reference's Athena layout, write side), read
@@ -952,5 +964,146 @@ private[graft] object QueriesPipeline {
              |  CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
              |    AS mean_micro
              |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // fixed-size per-stratum sample: exactly 5 docs per source, the k
+    // smallest mix31(doc_id) — bounded-heap aggregate caps the shuffle
+    // at k rows/label/task; the oracle is the full-shuffle window form.
+    Q("q73_stratified_fixed_k",
+      (s, dir) => Curation.stratifiedFixedK(Tables(s, dir, "documents")),
+      Some(s"""WITH h AS (SELECT source AS label, doc_id,
+              |            (${duckMix31("doc_id")}) AS h FROM documents),
+              |r AS (SELECT label, doc_id, h,
+              |        ROW_NUMBER() OVER (PARTITION BY label
+              |          ORDER BY h, doc_id) AS rn FROM h)
+              |SELECT label, CAST(rn AS INTEGER) AS rn, doc_id, h
+              |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin)),
+
+    // tokenizer vocabulary head: top-k terms with rank and cumulative
+    // corpus-coverage ppm. TakeOrdered(k) global cut — never a global
+    // sort; the running sum runs over the k survivors only.
+    Q("q71_vocab_topk",
+      (s, dir) => Curation.vocabTopK(Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT unnest(string_split(text,' ')) AS term
+             |          FROM documents),
+             |c AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY 1),
+             |tot AS (SELECT SUM(freq) AS tot FROM c),
+             |r AS (SELECT term, freq,
+             |        ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+             |      FROM c),
+             |top AS (SELECT * FROM r WHERE rank <= 100),
+             |cum AS (SELECT rank, term, freq,
+             |          SUM(freq) OVER (ORDER BY rank) AS cum_freq FROM top)
+             |SELECT CAST(rank AS INTEGER) AS rank, term,
+             |  CAST(freq AS BIGINT) AS freq,
+             |  CAST((cum_freq*1000000)//tot AS BIGINT) AS cum_ppm
+             |FROM cum, tot ORDER BY rank""".stripMargin)),
+
+    // fixed-width token chunking: 32-token windows per doc, tail keeps
+    // its remainder — map-only in-plan fan-out (transform + posexplode).
+    Q("q72_chunk_tokens",
+      (s, dir) => Curation.chunkTokens(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+             |          FROM documents),
+             |x AS (SELECT doc_id, ws,
+             |        unnest(range(0, CAST(ceil(len(ws)/32.0) AS BIGINT))) AS ci
+             |      FROM w)
+             |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+             |  CAST(len(ws[CAST(ci*32+1 AS INTEGER):CAST(ci*32+32 AS INTEGER)])
+             |    AS BIGINT) AS n_tokens,
+             |  array_to_string(ws[CAST(ci*32+1 AS INTEGER):CAST(ci*32+32 AS INTEGER)],
+             |    ' ') AS chunk
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // STREAMING corpus filter through the oracle gate: fresh docs
+    // (doc_id % 5 = 0, the q47 split) replayed as a file stream,
+    // anti-joined per micro-batch against the static corpus signature
+    // snapshot — only content the corpus has never seen lands. The
+    // oracle is the NOT EXISTS restatement of the md5 anti-join.
+    Q("q69_stream_corpus_filter",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val corpus = Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0)
+        val sigs = DocDedup.signatures(corpus).localCheckpoint()
+        val fresh = docStream(s, dir).where(col("doc_id") % 5 === 0)
+        val out = graft.streaming.StreamingPipeline
+          .corpusFilterStream(fresh, sigs).select("doc_id")
+        QueriesAlert.drainToMemory(s, out, "q69_sink", OutputMode.Append())
+          .orderBy("doc_id")
+      },
+      Some("""SELECT f.doc_id FROM documents f
+             |WHERE f.doc_id % 5 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM documents c
+             |  WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(f.text))
+             |ORDER BY f.doc_id""".stripMargin)),
+
+    // STREAMING near-dup alarm: the stream band-joins the persisted
+    // corpus signatures and verifies candidates in-stream by exact
+    // Jaccard — one row per matching band (a pair agreeing on two
+    // bands fires twice; distinct-ing would cost a state store for no
+    // serving value). The oracle restates BOTH sides' engine-portable
+    // MinHash signatures, the band fold, the band join, and the
+    // micro-unit Jaccard verify relationally — full hash verification,
+    // band multiplicity included.
+    Q("q70_stream_neardup_alarm",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val corpus = Tables(s, dir, "documents").where(col("doc_id") % 5 =!= 0)
+        val sigs = DocDedup.signatures(corpus).localCheckpoint()
+        val fresh = docStream(s, dir).where(col("doc_id") % 5 === 0)
+        val out = graft.streaming.StreamingPipeline
+          .nearDupAlarmStream(fresh, sigs)
+        QueriesAlert.drainToMemory(s, out, "q70_sink", OutputMode.Append())
+          .orderBy("doc_id", "c_id", "band")
+      },
+      Some(s"""WITH fr AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+              |co AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+              |${duckShingles("f", "fr")},
+              |${duckShingles("c", "co")},
+              |fmh AS (SELECT doc_id, s,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 37 + b) % 2147483647) AS h37
+              |  FROM fsh),
+              |cmh AS (SELECT doc_id, s,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 37 + b) % 2147483647) AS h37
+              |  FROM csh),
+              |fyy AS (SELECT doc_id, ${duckMix31("h37")} AS y FROM fmh),
+              |cyy AS (SELECT doc_id, ${duckMix31("h37")} AS y FROM cmh),
+              |fsig AS (SELECT doc_id, i, MIN(${duckMix31("y + i")}) AS m
+              |         FROM fyy CROSS JOIN (SELECT unnest(range(0, 16)) AS i) xs
+              |         GROUP BY 1, 2),
+              |csig AS (SELECT doc_id, i, MIN(${duckMix31("y + i")}) AS m
+              |         FROM cyy CROSS JOIN (SELECT unnest(range(0, 16)) AS i) xs
+              |         GROUP BY 1, 2),
+              |fbands AS (SELECT doc_id, i // 4 AS band,
+              |             list_reduce(list_prepend(CAST(i // 4 AS BIGINT),
+              |                 list(m ORDER BY i)),
+              |               (a, b) -> (a * 1103515245 + b) % 2147483648) AS bh
+              |           FROM fsig GROUP BY doc_id, i // 4),
+              |cbands AS (SELECT doc_id, i // 4 AS band,
+              |             list_reduce(list_prepend(CAST(i // 4 AS BIGINT),
+              |                 list(m ORDER BY i)),
+              |               (a, b) -> (a * 1103515245 + b) % 2147483648) AS bh
+              |           FROM csig GROUP BY doc_id, i // 4),
+              |hits AS (SELECT a.doc_id AS doc_id, b.doc_id AS c_id, a.band
+              |         FROM fbands a JOIN cbands b
+              |           ON a.band = b.band AND a.bh = b.bh),
+              |pi AS (SELECT DISTINCT doc_id, c_id FROM hits),
+              |iv AS (SELECT p.doc_id, p.c_id, COUNT(*) AS inter
+              |       FROM pi p JOIN fsh a ON a.doc_id = p.doc_id
+              |                 JOIN csh b ON b.doc_id = p.c_id AND b.s = a.s
+              |       GROUP BY 1, 2),
+              |jm AS (SELECT i.doc_id, i.c_id,
+              |         CAST((i.inter*1000000)//(fa.n + cb.n - i.inter) AS BIGINT)
+              |           AS jac_micro
+              |       FROM iv i JOIN fsz fa ON fa.doc_id = i.doc_id
+              |                 JOIN csz cb ON cb.doc_id = i.c_id)
+              |SELECT h.doc_id, h.c_id, CAST(h.band AS INTEGER) AS band,
+              |  jm.jac_micro
+              |FROM hits h JOIN jm ON jm.doc_id = h.doc_id AND jm.c_id = h.c_id
+              |WHERE jm.jac_micro >= 500000
+              |ORDER BY h.doc_id, h.c_id, h.band""".stripMargin)),
   )
 }

@@ -253,6 +253,89 @@ object Curation {
       .orderBy("split", "source")
   }
 
+  /** Fixed-SIZE per-stratum sample: exactly `k` documents per label
+    * (fewer if the stratum is smaller), chosen as the k smallest
+    * `mix31(doc_id)` values — a deterministic
+    * uniform-without-replacement draw (mix31 is a bijection on 31-bit
+    * ids: multiply-by-odd mod 2^31 and both xorshifts are invertible,
+    * so there are no hash ties and the sample is a pure function of
+    * the ids). The rate-based [[stratifiedSample]] answers "keep
+    * 10% of src1"; this answers "exactly 5 exemplars per source".
+    *
+    * Scale shape: the bounded-heap `topk_rows` aggregate — partial
+    * aggregation caps the shuffle at k rows per label per task, so
+    * a billion-doc stratum ships k×tasks rows, never the stratum.
+    * (The row_number window form the oracle uses would shuffle and
+    * sort every row of every stratum.)
+    */
+  def stratifiedFixedK(docs: DataFrame, k: Int = 5,
+      labelCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(labelCol).as("label"), col(idCol).as("doc_id"),
+        Similarity.mix31Col(col(idCol)).as("h"))
+      .groupBy("label")
+      .agg(call_function("topk_rows",
+        struct(col("h"), col("doc_id")), lit(k)).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("label"), (col("i") + 1).cast("int").as("rn"),
+        col("r.doc_id").as("doc_id"), col("r.h").as("h"))
+      .orderBy("label", "rn")
+
+  /** Corpus vocabulary head: the `k` most frequent terms with rank
+    * and CUMULATIVE corpus-coverage ppm — the table a tokenizer
+    * trainer reads first ("how many terms cover 95% of tokens").
+    * Rank ties break lexicographically; cumulative coverage floors to
+    * micro-units AFTER the exact integer running sum, so every row is
+    * bit-exact.
+    *
+    * Scale shape: one map-side-combinable (term) count, then the
+    * top-k cut. The ORDER BY + LIMIT k is the safe global form: Spark
+    * runs it as per-partition TakeOrdered(k) → single-k merge — no
+    * global sort of the dictionary, no single-task window. Only the k
+    * survivors (k ≪ dictionary) see the final window for rank +
+    * running sum.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = Par.spread(docs)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // two consumers: total + top-k
+    val total = counts.agg(sum(col("freq"))).collect()(0).getLong(0)
+    val top = counts.orderBy(col("freq").desc, col("term")).limit(k)
+    // k rows from here on — the unpartitioned window is k-bounded
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum_freq", sum(col("freq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("term"), col("freq"),
+        ppmFloor(col("cum_freq"), lit(total)).as("cum_ppm"))
+      .orderBy("rank")
+  }
+
+  /** Fixed-width token chunking (the pretraining chunker): split each
+    * document into consecutive `width`-token chunks (the tail keeps
+    * its remainder), emitting `(doc_id, chunk_idx, n_tokens, chunk)`.
+    * Pairs with [[packSequences]]: chunk first to bound sequence
+    * length, then pack chunks into budgeted bins.
+    *
+    * Map-only — the fan-out is an in-plan transform+explode (no
+    * shuffle, no state); chunk text is rebuilt with single spaces, the
+    * same normalization the whitespace tokenizer applied.
+    */
+  def chunkTokens(docs: DataFrame, width: Int = 32, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nChunks = ceil(size(ws).cast("double") / width).cast("int")
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("ws"), i * width + 1, lit(width)))).as(Seq("chunk_idx", "cw")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("cw")).as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Token-budget sequence packing (training-batch assembly):
     * documents are packed into bins of `budgetTokens` whitespace
     * tokens by sequential fill — within each shard, docs in doc_id

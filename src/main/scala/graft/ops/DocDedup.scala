@@ -104,6 +104,16 @@ object DocDedup {
     aggregate(slice(sig, band * rows + 1, rows), lit(band.toLong),
       (acc, v) => (acc * 1103515245L + v) % 2147483648L)
 
+  /** All band keys of a signature as an array of (band, bh) structs —
+    * the ONE definition of the banding layout, shared by the batch
+    * LSH paths here and the streaming alarm
+    * ([[graft.streaming.StreamingPipeline.nearDupAlarmStream]]); a
+    * drifted copy would silently empty the stream-static band join.
+    */
+  private[graft] def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bandHash(sig, b, rows).as("bh"))): _*)
+
   /** MinHash + LSH banding: signature split into `bands` bands; docs
     * agreeing on any full band become candidates (equi-join on the
     * band hash — the scale path where exact Jaccard's shingle join
@@ -133,8 +143,7 @@ object DocDedup {
     // band join carries only (doc_id, band, bandhash) — the shingle
     // arrays rejoin after pair dedup, so the hot shuffle stays narrow
     val banded = withSig.select(col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))): _*)).as("bk"))
+        explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -284,8 +293,7 @@ object DocDedup {
     // exact content-hash join above still catches short-doc exact dups.
     def bandable(df: DataFrame): DataFrame = df.where(size(col("sh")) > 0)
     def banded(df: DataFrame): DataFrame = df.select(col("doc_id"), col("sh"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandHash(col("sig"), b, rows).as("bh"))): _*)).as("bk"))
+        explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bh").as("bh"))
 
     // corpus side is pre-signed; materialize once — the exact join and

@@ -40,7 +40,14 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
+    // dropping an EXTERNAL table leaves its files; wipe the data dir
+    // too or the re-create hits the non-empty-location CTAS guard
+    // (bench runs every query three times)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(new java.io.File(s"$root/$table"))
     df.repartition(buckets, col(bucketCol))
       .write.format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)

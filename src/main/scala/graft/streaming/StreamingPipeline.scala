@@ -64,6 +64,70 @@ object StreamingPipeline {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** Stream-static corpus filter (exact): drop stream documents whose
+    * content hash already exists in a persisted
+    * [[graft.ops.DocDedup.signatures]] snapshot — the live front gate
+    * of the incremental-dedup serving path (q47/q57): the firehose
+    * never lands a byte-identical copy of corpus content. Stateless
+    * (each micro-batch anti-joins the static side) — no watermark, no
+    * state store, and the stream side ships only (row, 16-byte hash)
+    * through the join.
+    */
+  def corpusFilterStream(docs: DataFrame, corpusSigs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("text_hash", md5(col(textCol)))
+      .join(corpusSigs.select(col("text_hash")).dropDuplicates("text_hash"),
+        Seq("text_hash"), "left_anti")
+
+  /** Stream-static near-dup alarm: MinHash band join of the live
+    * stream against the persisted corpus signature snapshot, verified
+    * IN-STREAM by exact Jaccard over the shingle-hash sets both sides
+    * already carry. Emits one row per matching band —
+    * `(doc_id, c_id, band, jac_micro ≥ threshold·10⁶)` — alarm
+    * events, not a deduped pair list: distinct-ing across bands would
+    * cost a streaming aggregation (state store + watermark) for no
+    * serving value, so a pair agreeing on two bands fires twice.
+    *
+    * Scale shape: the stream side is map-only (one `minhash_state`
+    * kernel call per row) up to ONE stream-static equi-join keyed by
+    * `(band, bandhash)`; short docs (empty shingle set) drop on both
+    * sides — the stored-sentinel cross-join hazard
+    * [[fingerprintStream]] documents. Banding layout is
+    * [[graft.ops.DocDedup.bandKeys]], the same definition the batch
+    * LSH uses — snapshot and stream MUST share `n`/`numHashes`/`bands`
+    * (the [[graft.ops.DocDedup.incrementalFromSignatures]] contract).
+    */
+  def nearDupAlarmStream(docs: DataFrame, corpusSigs: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val mh = call_function("minhash_state",
+      split(col(textCol), " "), lit(n), lit(numHashes))
+    val f = docs.select(col(idCol).as("doc_id"), mh.as("mh"))
+      .select(col("doc_id"), col("mh.sh").as("sh"), col("mh.sig").as("sig"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        explode(graft.ops.DocDedup.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val c = corpusSigs.where(size(col("sh")) > 0)
+      .select(col("doc_id").as("c_id"), col("sh").as("c_sh"),
+        explode(graft.ops.DocDedup.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("c_id"), col("c_sh"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val inter = size(array_intersect(col("sh"), col("c_sh")))
+    val uni = size(col("sh")) + size(col("c_sh")) - inter
+    // floor(inter·10⁶/uni) ≥ thr·10⁶ ⟺ inter/uni ≥ thr exactly (both
+    // rationals over the same small denominator) — the stream applies
+    // the IDENTICAL threshold contract as the batch verify
+    f.join(c, Seq("band", "bh"))
+      .withColumn("jac_micro",
+        floor(inter.cast("double") * 1e6 / uni).cast("long"))
+      .where(col("jac_micro") >= math.floor(threshold * 1e6).toLong)
+      .select("doc_id", "c_id", "band", "jac_micro")
+  }
+
   /** Stateless in-stream fingerprinting: attach simhash + MinHash
     * signature per document via the native kernels (pure projection —
     * safe in any output mode, no state, no watermark needed).

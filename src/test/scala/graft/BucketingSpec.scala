@@ -38,6 +38,15 @@ class BucketingSpec extends AnyFunSuite with SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("writeBucketed is re-runnable: same table name overwrites cleanly") {
+    val o = Tables(spark, sf(), "orders").select("o_orderkey", "o_orderpriority")
+    Bucketing.writeBucketed(o, "t_orders_rw", "o_orderkey", 2)
+    // the bench path: external-table drop leaves files; a second write
+    // must not trip the non-empty-location CTAS guard
+    Bucketing.writeBucketed(o, "t_orders_rw", "o_orderkey", 2)
+    assert(spark.table("t_orders_rw").count() === o.count())
+  }
+
   test("writeBucketed lands one file per bucket (no small-file fan-out)") {
     val o = Tables(spark, sf(), "orders").select("o_orderkey", "o_orderpriority")
     Bucketing.writeBucketed(o, "t_orders_files", "o_orderkey", 4)

@@ -113,6 +113,39 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       (1L, "A", 0L), (2L, "A", 0L), (3L, "A", 1L), (4L, "A", 1L), (10L, "B", 0L)))
   }
 
+  test("stratifiedFixedK: exactly k per stratum, short strata keep all") {
+    val d = (0L until 40L).map(i => (i, "t", if (i < 30) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.stratifiedFixedK(d, k = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.count(_._1 == "big") === 4)
+    assert(out.count(_._1 == "small") === 4)
+    val tiny = Curation.stratifiedFixedK(d.where($"doc_id" >= 38), k = 4).collect()
+    assert(tiny.length === 2)                       // stratum smaller than k
+    // deterministic: same ids on re-run
+    val again = Curation.stratifiedFixedK(d, k = 4).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("vocabTopK: rank by freq desc then term; cumulative coverage is exact") {
+    val d = docs((1L, "b a b c b a", "s"))  // b:3 a:2 c:1, total 6
+    val out = Curation.vocabTopK(d, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, "b", 3L, 500000L),          // 3/6
+      (2, "a", 2L, 833333L)))         // 5/6
+  }
+
+  test("chunkTokens: fixed windows, remainder tail, single-space rebuild") {
+    val d = docs((1L, "a b c d e", "s"), (2L, "x y", "s"))
+    val out = Curation.chunkTokens(d, width = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0, 2L, "a b"), (1L, 1, 2L, "c d"), (1L, 2, 1L, "e"),
+      (2L, 0, 2L, "x y")))
+  }
+
   test("scrubPii counts on original text and redacts emails before IPs") {
     val d = docs(
       (1L, "mail bob@example.com and 10.1.2.3 end", "s"),

@@ -327,6 +327,62 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("corpusFilterStream drops exact corpus content, passes novel docs") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq((100L, "the quick brown fox jumps over dogs"),
+      (101L, "some other corpus document body here")).toDF("doc_id", "text")
+    val sigs = graft.ops.DocDedup.signatures(corpus)
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline.corpusFilterStream(mem.toDF(), sigs)
+    val q = out.writeStream.format("memory").queryName("cfs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Doc(ts(1), 1, "the quick brown fox jumps over dogs"), // exact dup → drop
+        Doc(ts(2), 2, "a completely new document arrives"))   // novel → pass
+      q.processAllAvailable()
+      val ids = spark.table("cfs").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids === Array(2L))
+    } finally q.stop()
+  }
+
+  test("nearDupAlarmStream fires verified band hits against the corpus snapshot") {
+    implicit val sc = spark.sqlContext
+    val near = "the quick brown fox jumps over the lazy dog today"
+    val corpus = Seq(
+      (100L, near),                                            // near-dup target
+      (101L, "entirely unrelated corpus content words here")).toDF("doc_id", "text")
+    val sigs = graft.ops.DocDedup.signatures(corpus)
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline.nearDupAlarmStream(mem.toDF(), sigs)
+    val q = out.writeStream.format("memory").queryName("nda")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Doc(ts(1), 1, near),                                   // identical → all bands fire
+        Doc(ts(2), 2, "nothing in common with anything"),      // no alarm
+        Doc(ts(3), 3, "xz " + near))                           // shifted near-dup
+      q.processAllAvailable()
+      val rows = spark.table("nda").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("c_id"),
+          r.getAs[Long]("jac_micro")))
+      // doc 1 is byte-identical to corpus 100: every band collides and
+      // jaccard is exactly 1 — four alarm rows, one per band
+      assert(rows.count(t => t._1 == 1L && t._2 == 100L && t._3 == 1000000L) === 4)
+      assert(!rows.exists(_._1 == 2L))
+      // doc 3 = "xz" + the corpus text: 9 shingles, 8 shared →
+      // jac = 8/9 ≥ 0.5 — at least one band must collide, all verified
+      val d3 = rows.filter(_._1 == 3L)
+      assert(d3.nonEmpty && d3.forall(t => t._2 == 100L && t._3 == 888888L))
+
+      // parity: the batch serving path agrees a near-dup exists for 1 and 3
+      val fresh = Seq((1L, near), (3L, "xz " + near)).toDF("doc_id", "text")
+      val batch = graft.ops.DocDedup.incrementalFromSignatures(sigs, fresh)
+        .collect().map(r => (r.getLong(0), r.get(1))).toMap
+      assert(batch(1L) === 100L && batch(3L) === 100L)
+    } finally q.stop()
+  }
+
   test("fingerprintStream tags documents statelessly, matching batch values") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Doc]
