@@ -81,6 +81,32 @@ private[graft] object QueriesPipeline {
        |${p}sh AS (SELECT DISTINCT doc_id, s FROM ${p}tok),
        |${p}sz AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY 1)""".stripMargin
 
+  /** DuckDB CTE block `w`/`g2`/`c2`/`t2`/`top2`/`g5`/`c5`/`d5`: the
+    * per-doc repetition-quality metrics of `Curation.repetition` —
+    * shared by q59 (the metric surface) and q74 (the composite
+    * pipeline's quality gate) so the restatements can't drift.
+    */
+  private lazy val duckRepetitionCtes: String =
+    """w AS (SELECT doc_id, length(text) AS nc,
+      |            string_split(text,' ') AS ws FROM documents),
+      |g2 AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS g
+      |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
+      |       WHERE i+1 <= len(ws)),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1,2),
+      |t2 AS (SELECT doc_id, g, cnt,
+      |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+      |       FROM c2),
+      |top2 AS (SELECT doc_id, g AS top_gram, cnt*length(g) AS top_chars
+      |         FROM t2 WHERE rn = 1),
+      |g5 AS (SELECT doc_id,
+      |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+      |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
+      |       WHERE i+4 <= len(ws)),
+      |c5 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY 1,2),
+      |d5 AS (SELECT doc_id,
+      |         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_pos,
+      |         SUM(cnt) AS tot_pos FROM c5 GROUP BY 1)""".stripMargin
+
   /** The ONE incremental-dedup oracle q47 (text path) and q57
     * (persisted-signature path) both verify against — a shared
     * definition so the two contracts can never drift.
@@ -802,28 +828,12 @@ private[graft] object QueriesPipeline {
 
     // Gopher-style repetition quality: top word-2-gram character
     // fraction + duplicate word-5-gram position fraction, micro-unit
-    // floors, keep-flag thresholds 20% / 30%.
+    // floors, keep-flag thresholds 20% / 30%. The CTE block is shared
+    // with q74's composite pipeline so the two restatements can't
+    // drift.
     Q("q59_repetition_quality",
       (s, dir) => Curation.repetition(Tables(s, dir, "documents")),
-      Some("""WITH w AS (SELECT doc_id, length(text) AS nc,
-             |            string_split(text,' ') AS ws FROM documents),
-             |g2 AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS g
-             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
-             |       WHERE i+1 <= len(ws)),
-             |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1,2),
-             |t2 AS (SELECT doc_id, g, cnt,
-             |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
-             |       FROM c2),
-             |top2 AS (SELECT doc_id, g AS top_gram, cnt*length(g) AS top_chars
-             |         FROM t2 WHERE rn = 1),
-             |g5 AS (SELECT doc_id,
-             |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
-             |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM w) t
-             |       WHERE i+4 <= len(ws)),
-             |c5 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g5 GROUP BY 1,2),
-             |d5 AS (SELECT doc_id,
-             |         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_pos,
-             |         SUM(cnt) AS tot_pos FROM c5 GROUP BY 1)
+      Some(s"""WITH $duckRepetitionCtes
              |SELECT w.doc_id, top2.top_gram,
              |  CAST(COALESCE((top2.top_chars*1000000)//w.nc, 0) AS BIGINT) AS top2_ppm,
              |  CAST(COALESCE((d5.dup_pos*1000000)//d5.tot_pos, 0) AS BIGINT) AS dup5_ppm,
@@ -964,6 +974,51 @@ private[graft] object QueriesPipeline {
              |  CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
              |    AS mean_micro
              |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // the composite curation pipeline in ONE plan — quality gate
+    // (q59's repetition keep) → exact-dedup representatives (min id
+    // per content hash) → deterministic 50% sample (q60's hash
+    // threshold) → token-budget packing (q62). Every stage is an
+    // operator this registry already verifies in isolation; this entry
+    // verifies their COMPOSITION (Catalyst fuses the whole chain —
+    // the stages share scans and reuse shuffles instead of
+    // materializing four intermediate corpora).
+    Q("q74_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keepIds = Curation.repetition(docs).where(col("keep"))
+          .select("doc_id")
+        val qual = docs.join(keepIds, Seq("doc_id"))
+        val reps = DocDedup.exact(qual).select(col("keep_id").as("doc_id"))
+        val ded = qual.join(reps, Seq("doc_id"))
+        val sampleIds = Curation.stratifiedSample(ded, Map.empty,
+          defaultPpk = 500).select("doc_id")
+        Curation.packSequences(ded.join(sampleIds, Seq("doc_id")))
+      },
+      Some(s"""WITH $duckRepetitionCtes,
+              |qual AS (SELECT w.doc_id FROM w
+              |         LEFT JOIN top2 ON top2.doc_id = w.doc_id
+              |         LEFT JOIN d5 ON d5.doc_id = w.doc_id
+              |         WHERE CAST(COALESCE((top2.top_chars*1000000)//w.nc, 0)
+              |                 AS BIGINT) < 200000
+              |           AND CAST(COALESCE((d5.dup_pos*1000000)//d5.tot_pos, 0)
+              |                 AS BIGINT) < 300000),
+              |kept AS (SELECT d.* FROM documents d JOIN qual USING (doc_id)),
+              |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+              |ded AS (SELECT k.* FROM kept k JOIN reps USING (doc_id)),
+              |samp AS (SELECT * FROM ded
+              |         WHERE (${duckMix31("doc_id")}) % 1000 < 500),
+              |t AS (SELECT doc_id, source AS shard,
+              |        CAST(len(string_split(text,' ')) AS BIGINT) AS tokens
+              |      FROM samp),
+              |c AS (SELECT doc_id, shard, tokens,
+              |        COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |          AS cum_before
+              |      FROM t)
+              |SELECT doc_id, shard, tokens,
+              |  CAST(cum_before // 512 AS BIGINT) AS bin
+              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // fixed-size per-stratum sample: exactly 5 docs per source, the k
     // smallest mix31(doc_id) — bounded-heap aggregate caps the shuffle
