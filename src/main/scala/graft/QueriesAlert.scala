@@ -55,6 +55,10 @@ private[graft] object QueriesAlert {
   // verify round
   private lazy val csvTmpDir: String =
     java.nio.file.Files.createTempDirectory("graft-csv").toString
+  private lazy val jsonlTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+  private lazy val orcTmpDir: String =
+    java.nio.file.Files.createTempDirectory("graft-orc").toString
 
   /** Drain a streaming DataFrame into a memory sink (AvailableNow) and
     * return the sink table. Streaming aggs materialize one state-store
@@ -484,6 +488,50 @@ private[graft] object QueriesAlert {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              |  MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
              |FROM events WHERE event_type = 'signup'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // JSON-lines sink/source round-trip: the interchange format every
+    // curation pipeline meets (the reference's own stores are JSONL).
+    // Timestamps survive as ISO strings; the schema-on-read side
+    // re-derives the aggregate the oracle computes from the parquet
+    // original — identity through the sink proves lossless transport.
+    Q("q75_jsonl_roundtrip",
+      (s, dir) => {
+        Tables(s, dir, "events").where(col("event_type") === "error")
+          .select("event_id", "user_id", "props")
+          .write.mode("overwrite").json(jsonlTmpDir)
+        s.read.json(jsonlTmpDir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            min(col("event_id")).as("min_eid"),
+            countDistinct(get_json_object(col("props"), "$.k")).as("n_keys"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS cnt, MIN(event_id) AS min_eid,
+             |  COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_keys
+             |FROM events WHERE event_type = 'error'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ORC sink/source round-trip: the other columnar lake format the
+    // library must speak. Typed columns (long/double/timestamp)
+    // survive natively — the read-back aggregate matches the oracle
+    // computed from the parquet original.
+    Q("q76_orc_roundtrip",
+      (s, dir) => {
+        Tables(s, dir, "events").where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+          .write.mode("overwrite").orc(orcTmpDir)
+        s.read.orc(orcTmpDir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+            min(unix_timestamp(col("ts"))).as("min_epoch"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS min_epoch
+             |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // exact interpolated percentiles per group (quality-threshold
