@@ -656,16 +656,21 @@ private[graft] object QueriesAlert {
       (s, dir) => {
         graft.functions.Functions.register(s)
         Tables(s, dir, "events").createOrReplaceTempView("events")
-        s.sql("""SELECT event_type,
-                |  reduce(transform(split(event_type, ''), c -> codepoint(c)),
+        // chars(x): Spark's split('', -1) appends a trailing empty
+        // string DuckDB's string_split does not — filter it out so the
+        // slice/join surface agrees for event types of ANY length (the
+        // fixture's are all ≥4 chars, which would mask the divergence)
+        s.sql("""WITH t AS (SELECT event_type,
+                |  reduce(transform(filter(split(event_type, ''), c -> c <> ''),
+                |                   c -> codepoint(c)),
                 |         0, (acc, x) -> acc + x, acc -> acc) AS char_sum,
                 |  split_part(event_type, 'r', 1) AS pre_r,
-                |  array_join(transform(slice(split(event_type, ''), 1, 3),
-                |                       c -> upper(c)), '.') AS first3,
-                |  COUNT(*) AS cnt
-                |FROM events
-                |WHERE regexp_like(event_type, '^[a-z_]+$')
-                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+                |  array_join(transform(slice(filter(split(event_type, ''),
+                |                                    c -> c <> ''), 1, 3),
+                |                       c -> upper(c)), '.') AS first3
+                |  FROM events WHERE regexp_like(event_type, '^[a-z_]+$'))
+                |SELECT event_type, char_sum, pre_r, first3, COUNT(*) AS cnt
+                |FROM t GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin)
       },
       Some("""SELECT event_type,
              |  list_reduce(list_prepend(0,

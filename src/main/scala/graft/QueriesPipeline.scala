@@ -980,9 +980,10 @@ private[graft] object QueriesPipeline {
     // per content hash) → deterministic 50% sample (q60's hash
     // threshold) → token-budget packing (q62). Every stage is an
     // operator this registry already verifies in isolation; this entry
-    // verifies their COMPOSITION (Catalyst fuses the whole chain —
-    // the stages share scans and reuse shuffles instead of
-    // materializing four intermediate corpora).
+    // verifies their COMPOSITION as one Catalyst plan. (One stage
+    // inside repetition() localCheckpoints its tokenized base — the
+    // chain materializes that ONE shared intermediate, not four
+    // per-stage corpora.)
     Q("q74_curation_pipeline",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")

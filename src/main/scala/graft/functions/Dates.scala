@@ -119,8 +119,12 @@ object Dates {
   // a hyphenated digit run in free text ("ref 555-1234") would read as
   // a -12:34 offset and silently shift the instant by hours
   private val fuzzyOffsetColon = raw"([+-])(\d{2}):(\d{2})\b".r
+  // the time alternative admits an optional am/pm marker: "1:30 pm
+  // -0500" is as explicit a time-then-offset as "13:30 -0500", and
+  // without it the offset is silently dropped (worse, its digits can
+  // be harvested as a 4-digit year once the time is consumed)
   private val fuzzyOffsetBare =
-    raw"((?:\d{1,2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?|\b(?:z|utc|gmt))\s*)([+-])(\d{2})(\d{2})\b".r
+    raw"((?:\d{1,2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?(?:\s*(?:am|pm))?|\b(?:z|utc|gmt))\s*)([+-])(\d{2})(\d{2})\b".r
 
   /** Fuzzy free-text fallback — the `dateutil.parse(..., fuzzy=True)`
     * step of the reference ladder (utils/dates.py:73): scan the string

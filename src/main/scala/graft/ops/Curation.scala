@@ -118,9 +118,10 @@ object Curation {
     * sample every curation pipeline needs when "10% of src1, 2% of
     * the rest" must be reproducible across runs, retries, and engines
     * (no RNG state, no seed plumbing; the decision is a pure function
-    * of the row). Map-only: no shuffle at all, filters push to the
-    * scan. Returns the kept rows with the hash residue that admitted
-    * them.
+    * of the row). The sampling itself is map-only — the filter pushes
+    * to the scan; the trailing orderBy is presentation for the oracle
+    * gate (drop it in a pipeline and nothing shuffles). Returns the
+    * kept rows with the hash residue that admitted them.
     */
   def stratifiedSample(docs: DataFrame, ratesPpk: Map[String, Int],
       defaultPpk: Int, labelCol: String = "source",
@@ -185,10 +186,11 @@ object Curation {
     * order is part of the contract because an email's host part can
     * look like a dotted quad.
     *
-    * Scale shape: map-only — two regex counts and two global
-    * replaces per row, no shuffle, filters/projection push to the
-    * scan. Regexes compile once per task inside codegen'd
-    * `RegExpReplace`/`RegExpCount`; no UDF.
+    * Scale shape: the scrub is map-only — two regex counts and two
+    * global replaces per row, projection pushes to the scan; the
+    * trailing orderBy is presentation for the oracle gate (drop it in
+    * a pipeline and nothing shuffles). Regexes compile once per task
+    * inside codegen'd `RegExpReplace`/`RegExpCount`; no UDF.
     */
   def scrubPii(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
@@ -300,7 +302,12 @@ object Curation {
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .localCheckpoint() // two consumers: total + top-k
-    val total = counts.agg(sum(col("freq"))).collect()(0).getLong(0)
+    // sum over zero rows is NULL — clamp to 1 so an empty corpus
+    // returns zero rows instead of NPE-ing at plan-build (top is empty
+    // either way, the denominator never divides a real row)
+    val total = math.max(1L,
+      Option(counts.agg(sum(col("freq"))).collect()(0).get(0))
+        .fold(0L)(_.asInstanceOf[Long]))
     val top = counts.orderBy(col("freq").desc, col("term")).limit(k)
     // k rows from here on — the unpartitioned window is k-bounded
     val w = Window.orderBy(col("freq").desc, col("term"))

@@ -20,14 +20,13 @@ object Bucketing {
   /** Per-JVM scratch root for bucketed table data: concurrent drivers
     * (Bench + selfcheck) must not race on one path; removed on exit.
     */
+  private def del(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+  }
+
   private lazy val root: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets_").toFile
-    sys.addShutdownHook {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-      }
-      del(dir)
-    }
+    sys.addShutdownHook { del(dir) }
     dir.getAbsolutePath
   }
 
@@ -44,9 +43,6 @@ object Bucketing {
     // too or the re-create hits the non-empty-location CTAS guard
     // (bench runs every query three times)
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
-    }
     del(new java.io.File(s"$root/$table"))
     df.repartition(buckets, col(bucketCol))
       .write.format("parquet")

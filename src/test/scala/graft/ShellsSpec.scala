@@ -155,6 +155,13 @@ class DatesSpec extends AnyFunSuite {
       Instant.parse("2024-01-05T18:00:00Z"))
     assert(Dates.toUTC("Jan 5 2024 13:00 utc +0200 case 555-1234") ===
       Instant.parse("2024-01-05T11:00:00Z"))
+    // bare offset after a 12-hour time: the am/pm marker is part of
+    // the time, so "-0500" is still a directly-following offset (and
+    // its digits must never be harvested as a 4-digit year)
+    assert(Dates.toUTC("Jan 5 2024 1:30 pm -0500") ===
+      Instant.parse("2024-01-05T18:30:00Z"))
+    assert(Dates.toUTC("1:30 pm -0500 Jan 5 2024") ===
+      Instant.parse("2024-01-05T18:30:00Z"))
     // month-name PREFIXES inside ordinary words are not date evidence
     intercept[IllegalArgumentException](Dates.toUTC("novel 2024 error after 3 retries"))
     intercept[IllegalArgumentException](Dates.toUTC("decode failed 7 times in 2023"))

@@ -383,6 +383,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("nearDupAlarmStream rejects a snapshot with mismatched signature width") {
+    implicit val sc = spark.sqlContext
+    val sigs = graft.ops.DocDedup.signatures(
+      Seq((100L, "one two three four five")).toDF("doc_id", "text"),
+      numHashes = 32)
+    val mem = MemoryStream[Doc]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingPipeline.nearDupAlarmStream(mem.toDF(), sigs)
+    }
+    assert(e.getMessage.contains("32-hash"))
+  }
+
   test("fingerprintStream tags documents statelessly, matching batch values") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Doc]
