@@ -490,6 +490,21 @@ private[graft] object QueriesAlert {
              |FROM events WHERE event_type = 'signup'
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // latest-version compaction (CDC/upsert read view): newest event
+    // per (user_id, event_type), ts ties broken by event_id — one
+    // key shuffle, per-key-bounded window sort.
+    Q("q77_latest_by_key",
+      (s, dir) => graft.ops.Temporal.latestByKey(
+          Tables(s, dir, "events").where(col("user_id").isNotNull),
+          Seq("user_id", "event_type"))
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id, ts, value FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE user_id IS NOT NULL) t
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
     // JSON-lines sink/source round-trip: the interchange format every
     // curation pipeline meets (the reference's own stores are JSONL).
     // Timestamps survive as ISO strings; the schema-on-read side

@@ -12,6 +12,26 @@ import org.apache.spark.sql.types.StructType
   */
 object Temporal {
 
+  /** Latest-version compaction (the CDC/upsert read view): keep each
+    * key's newest row by event time, ties broken by the id column —
+    * the "current state" materialization every mutable-source mirror
+    * (user profiles, device inventory, doc revisions) compacts to
+    * before analytics run.
+    *
+    * ONE shuffle keyed by the key columns; the max_by-shaped window
+    * never sorts more than a key's own rows. At lake scale this is the
+    * nightly compaction job — pair with [[graft.sources.Lake]] to
+    * rewrite the view hive-partitioned.
+    */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** As-of join: each left row picks the latest right row with the
     * same key and right ts <= left ts (point-in-time enrichment — the
     * lookup that makes training-data features leak-free).

@@ -76,6 +76,22 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("latestByKey keeps the newest row per key, id-tie-broken") {
+    val d = Seq(
+      (1L, 100L, "click", ts(10)),
+      (2L, 100L, "click", ts(30)),   // newest for (100, click)
+      (3L, 100L, "click", ts(30)),   // same ts — higher id wins
+      (4L, 100L, "error", ts(5)),
+      (5L, 200L, "click", ts(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Temporal.latestByKey(d, Seq("user_id", "event_type"))
+      .orderBy("user_id", "event_type").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type"),
+        x.getAs[Long]("event_id")))
+    assert(r.toSeq === Seq((100L, "click", 3L), (100L, "error", 4L),
+      (200L, "click", 5L)))
+  }
+
   test("sessionize splits on gaps and counts events") {
     val ev = Seq((7L, ts(0)), (7L, ts(10)), (7L, ts(12)),
       (7L, ts(50)), (7L, ts(55)), (9L, ts(0)))
