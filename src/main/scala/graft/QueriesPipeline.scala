@@ -509,6 +509,29 @@ private[graft] object QueriesPipeline {
               |    / len(string_split(text,' ')) AS stop_ratio
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // linear quality classifier at serving shape: integer-weight dot
+    // product over exact ppm features + threshold — bit-reproducible,
+    // so even the keep decision is oracle-checked.
+    Q("q78_quality_classifier",
+      (s, dir) => TextAnalysis.qualityScore(Tables(s, dir, "documents")),
+      Some("""WITH f AS (SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+             |    AS stop_cnt
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |  CAST((n_uniq*1000000)//n_words AS BIGINT) AS ttr_ppm,
+             |  CAST((stop_cnt*1000000)//n_words AS BIGINT) AS stop_ppm,
+             |  least(n_words, 100) * 10000 AS len_term
+             |  FROM f)
+             |SELECT doc_id, ttr_ppm, stop_ppm,
+             |  CAST(len_term AS BIGINT) AS len_term,
+             |  CAST(ttr_ppm*3 + stop_ppm*2 + len_term*1 AS BIGINT) AS score_micro,
+             |  ttr_ppm*3 + stop_ppm*2 + len_term*1 >= 2400000 AS keep
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     Q("q28_lang_id",
       (s, dir) => TextAnalysis.langId(Tables(s, dir, "documents")),
       Some("""WITH sc AS (SELECT doc_id,

@@ -34,6 +34,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Linear quality classifier at SERVING shape: a fixed
+    * integer-weight dot product over exact count features —
+    * `score_micro = wTtr·ttr_ppm + wStop·stop_ppm + wLen·len_term`
+    * with `len_term = min(n_words, 100)·10⁴` (length evidence
+    * saturating at 100 words) — and a keep threshold. This is the
+    * form a trained quality model (fastText/logreg distilled to a
+    * linear head) takes in a pipeline: the WEIGHTS are data, the
+    * operator is the codegen'd dot product + threshold, and because
+    * every term is exact integer arithmetic the classifier is
+    * bit-reproducible in any engine (no sigmoid — monotone, so the
+    * threshold moves instead).
+    *
+    * Map-only; the projection pushes to the scan. The default weights
+    * are hand-calibrated for the fixture corpus's range, not learned.
+    */
+  def qualityScore(docs: DataFrame, wTtr: Int = 3, wStop: Int = 2,
+      wLen: Int = 1, thresholdMicro: Long = 2400000L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    def ppm(num: Column, den: Column): Column =
+      floor((num * 1000000L).cast("double") / den.cast("double")).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_uniq"),
+        stopHits(words, EnStop).cast("long").as("stop_cnt"))
+      .withColumn("ttr_ppm", ppm(col("n_uniq"), col("n_words")))
+      .withColumn("stop_ppm", ppm(col("stop_cnt"), col("n_words")))
+      .withColumn("len_term", least(col("n_words"), lit(100L)) * 10000L)
+      .withColumn("score_micro", col("ttr_ppm") * wTtr +
+        col("stop_ppm") * wStop + col("len_term") * wLen)
+      .withColumn("keep", col("score_micro") >= thresholdMicro)
+      .select("doc_id", "ttr_ppm", "stop_ppm", "len_term", "score_micro", "keep")
+      .orderBy("doc_id")
+  }
+
   /** N-gram-free language ID heuristic: stopword-list voting with a
     * deterministic argmax (ties broken by list order en > es > fr,
     * 'und' when no list scores). A real model slots in behind the same

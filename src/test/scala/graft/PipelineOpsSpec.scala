@@ -367,6 +367,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(batched.toSeq === rowWise.toSeq)
   }
 
+  test("qualityScore: integer linear head, exact score and keep decision") {
+    val d = Seq((1L, "aa bb aa the", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.qualityScore(d).collect()(0)
+    // n_words 4, n_uniq 3, stop 1 → ttr 750000, stop 250000, len 40000
+    assert(r.getLong(1) === 750000L && r.getLong(2) === 250000L)
+    assert(r.getLong(3) === 40000L)
+    assert(r.getLong(4) === 3L * 750000 + 2L * 250000 + 40000)  // 2790000
+    assert(r.getBoolean(5))
+  }
+
   test("label centroids: micro-floor before sum — exact and partitioning-independent") {
     val e = Seq(
       (1L, Array(0.5f, -0.25f), "x"),
