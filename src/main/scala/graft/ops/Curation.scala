@@ -30,7 +30,7 @@ object Curation {
     * values `//` truncates toward zero while floor() floors, so a
     * signed oracle must spell out floor() (q66 does).
     */
-  private def ppmFloor(num: Column, den: Column): Column =
+  private[ops] def ppmFloor(num: Column, den: Column): Column =
     floor((num * 1000000L).cast("double") / den.cast("double")).cast("long")
 
   /** Benchmark decontamination: flag corpus documents that share at
@@ -302,12 +302,11 @@ object Curation {
       .select(explode(split(col(textCol), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .localCheckpoint() // two consumers: total + top-k
-    // sum over zero rows is NULL — clamp to 1 so an empty corpus
+    // sum over zero rows is NULL — treat as 1 so an empty corpus
     // returns zero rows instead of NPE-ing at plan-build (top is empty
     // either way, the denominator never divides a real row)
-    val total = math.max(1L,
-      Option(counts.agg(sum(col("freq"))).collect()(0).get(0))
-        .fold(0L)(_.asInstanceOf[Long]))
+    val totalRow = counts.agg(sum(col("freq"))).collect()(0)
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     val top = counts.orderBy(col("freq").desc, col("term")).limit(k)
     // k rows from here on — the unpartitioned window is k-bounded
     val w = Window.orderBy(col("freq").desc, col("term"))

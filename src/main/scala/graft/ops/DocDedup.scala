@@ -274,17 +274,27 @@ object DocDedup {
     * recoverable from the data, so it rides on the caller's
     * configuration discipline.
     */
-  def incrementalFromSignatures(corpusSigs: DataFrame, fresh: DataFrame,
-      n: Int = 3, numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val rows = numHashes / bands
+  /** One-row startup probe shared by every serving path that consumes
+    * a persisted [[signatures]] snapshot (batch incremental and the
+    * streaming alarm): a snapshot persisted with a different
+    * `numHashes` would band over the wrong permutations and the join
+    * would silently miss near-dups.
+    */
+  private[graft] def requireSignatureWidth(corpusSigs: DataFrame,
+      numHashes: Int, context: String): Unit =
     corpusSigs.select(size(col("sig")).as("k")).limit(1).collect()
       .headOption.foreach { r =>
         require(r.getInt(0) == numHashes,
           s"corpus signature table carries ${r.getInt(0)}-hash signatures; " +
-            s"this serving call expects numHashes=$numHashes — rebuild the " +
+            s"$context expects numHashes=$numHashes — rebuild the " +
             "snapshot or match the parameters")
       }
+
+  def incrementalFromSignatures(corpusSigs: DataFrame, fresh: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    requireSignatureWidth(corpusSigs, numHashes, "this serving call")
     def prep(df: DataFrame): DataFrame =
       signatures(df, n, numHashes, textCol, idCol).localCheckpoint()
     // docs shorter than n words carry the empty-set sentinel signature;

@@ -27,9 +27,14 @@ object Temporal {
       tieCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).desc, col(tieCol).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    // rank column name chosen to not collide with any input column —
+    // a fixed "__rn" would silently clobber (then drop) a caller's
+    // same-named data column
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1)
+      .drop(rn)
   }
 
   /** As-of join: each left row picks the latest right row with the

@@ -46,15 +46,18 @@ object TextAnalysis {
     * bit-reproducible in any engine (no sigmoid — monotone, so the
     * threshold moves instead).
     *
-    * Map-only; the projection pushes to the scan. The default weights
-    * are hand-calibrated for the fixture corpus's range, not learned.
+    * The scoring is map-only (projection pushes to the scan); the
+    * trailing orderBy is presentation for the oracle gate — drop it
+    * in a pipeline and nothing shuffles. The default weights are
+    * hand-calibrated for the fixture corpus's range, not learned.
     */
   def qualityScore(docs: DataFrame, wTtr: Int = 3, wStop: Int = 2,
       wLen: Int = 1, thresholdMicro: Long = 2400000L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(col(textCol), " ")
-    def ppm(num: Column, den: Column): Column =
-      floor((num * 1000000L).cast("double") / den.cast("double")).cast("long")
+    // Curation.ppmFloor carries the exactness proof (and the
+    // negative-numerator caveat) — one definition, not a drifted copy
+    def ppm(num: Column, den: Column): Column = Curation.ppmFloor(num, den)
     docs.select(col(idCol).as("doc_id"),
         size(words).cast("long").as("n_words"),
         size(array_distinct(words)).cast("long").as("n_uniq"),

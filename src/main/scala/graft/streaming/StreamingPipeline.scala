@@ -102,18 +102,10 @@ object StreamingPipeline {
       threshold: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    // same startup guard as the batch serving path
-    // (DocDedup.incrementalFromSignatures): a snapshot persisted with a
-    // different numHashes would band over the wrong permutations and
-    // the join would silently miss real near-dups. The static side is
-    // a batch DataFrame, so the one-row probe is legal here too.
-    corpusSigs.select(size(col("sig")).as("k")).limit(1).collect()
-      .headOption.foreach { r =>
-        require(r.getInt(0) == numHashes,
-          s"corpus signature table carries ${r.getInt(0)}-hash signatures; " +
-            s"this stream expects numHashes=$numHashes — rebuild the " +
-            "snapshot or match the parameters")
-      }
+    // same startup guard as the batch serving path — the static side
+    // is a batch DataFrame, so the one-row probe is legal here too
+    graft.ops.DocDedup.requireSignatureWidth(corpusSigs, numHashes,
+      "this stream")
     val mh = call_function("minhash_state",
       split(col(textCol), " "), lit(n), lit(numHashes))
     val f = docs.select(col(idCol).as("doc_id"), mh.as("mh"))
