@@ -146,6 +146,48 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       (2L, 0, 2L, "x y")))
   }
 
+  test("chunkTokens property: chunks reassemble to the original text at any width") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 30).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(50)).mkString(" "), "s")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    for (width <- Seq(1, 7, 32)) {
+      val chunks = Curation.chunkTokens(d, width).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      val reassembled = chunks.groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._4).mkString(" ")
+      }
+      rows.foreach { case (id, text, _) =>
+        assert(reassembled(id) === text, s"width=$width doc=$id")
+      }
+      // token counts partition the doc: every chunk but the tail is full
+      chunks.groupBy(_._1).foreach { case (id, cs) =>
+        val sorted = cs.sortBy(_._2)
+        assert(sorted.init.forall(_._3 == width.toLong))
+        assert(sorted.map(_._3).sum === rows(id.toInt)._2.split(" ").length.toLong)
+      }
+    }
+  }
+
+  test("scrubPii is idempotent: scrubbing clean text changes nothing") {
+    val d = docs((1L, "mail bob@example.com and 10.1.2.3 end", "s"))
+    val once = Curation.scrubPii(d).select($"doc_id", $"clean".as("text"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val twice = Curation.scrubPii(once).collect()(0)
+    assert(twice.getLong(1) === 0L && twice.getLong(2) === 0L)
+    assert(twice.getString(3) === "mail <EMAIL> and <IP> end")
+  }
+
+  test("vocabTopK: cumulative coverage is nondecreasing and caps at 1e6") {
+    val d = docs((1L, "a b c a b a", "s"), (2L, "b d d e", "s"))
+    val out = Curation.vocabTopK(d, k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(3)))
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._2))
+    assert(out.last._2 === 1000000L)   // k >= vocab: full coverage
+  }
+
   test("scrubPii counts on original text and redacts emails before IPs") {
     val d = docs(
       (1L, "mail bob@example.com and 10.1.2.3 end", "s"),
