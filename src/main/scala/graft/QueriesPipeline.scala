@@ -1184,5 +1184,56 @@ private[graft] object QueriesPipeline {
               |FROM hits h JOIN jm ON jm.doc_id = h.doc_id AND jm.c_id = h.c_id
               |WHERE jm.jac_micro >= 500000
               |ORDER BY h.doc_id, h.c_id, h.band""".stripMargin)),
+
+    // integer-exact decayed feature state: per-user fold of the event
+    // history in (ts, event_id) order, e := (e>>1) + value_micro. The
+    // oracle restates the identical fold with list_reduce — same
+    // order, same floor halving, bit-for-bit.
+    Q("q80_ewma_decay",
+      (s, dir) => Temporal.ewmaMicro(Tables(s, dir, "events"))
+        .withColumnRenamed("key", "user_id"),
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |            CAST(floor(value*1000000) AS BIGINT) AS vm
+             |          FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |            AND value IS NOT NULL),
+             |l AS (SELECT user_id, list(vm ORDER BY us, event_id) AS vs
+             |      FROM t GROUP BY 1)
+             |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+             |  CAST(list_reduce(vs, (a, b) -> a // 2 + b) AS BIGINT)
+             |    AS ewma_micro
+             |FROM l ORDER BY user_id""".stripMargin)),
+
+    // gap-fill LOCF resample: hourly grid per user across the observed
+    // span, carrying each bucket's close (latest observation) through
+    // empty buckets. Bucket math is integer epoch-micros; carried
+    // values are copied, not computed — the compare is exact.
+    Q("q81_gap_fill_locf",
+      (s, dir) => Temporal.gapFill(Tables(s, dir, "events"))
+        .withColumnRenamed("key", "user_id"),
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             |            epoch_us(ts) // 3600000000 AS b
+             |          FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |            AND value IS NOT NULL),
+             |obs AS (SELECT user_id, b, value FROM
+             |          (SELECT user_id, b, value, ROW_NUMBER() OVER (
+             |             PARTITION BY user_id, b
+             |             ORDER BY us DESC, event_id DESC) AS rn FROM t)
+             |        WHERE rn = 1),
+             |span AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+             |         FROM t GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM span),
+             |j AS (SELECT g.user_id, g.b, o.value FROM grid g
+             |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+             |f AS (SELECT user_id, b,
+             |        last_value(value IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY b) AS fv,
+             |        value FROM j)
+             |SELECT user_id, make_timestamp(b*3600000000) AS bucket_ts,
+             |  fv AS value,
+             |  CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             |    AS filled
+             |FROM f ORDER BY user_id, b""".stripMargin)),
   )
 }

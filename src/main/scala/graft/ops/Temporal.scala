@@ -99,6 +99,82 @@ object Temporal {
       .drop("__rk", "__rus", "__lus")
   }
 
+  /** Integer-exact exponentially-decayed feature state per key: fold
+    * the key's history in event order with `e := (e >> 1) + v_micro` —
+    * each observation halves everything before it (a per-observation
+    * half-life). The shift is floor division on a non-negative
+    * accumulator, so the fold is pure integer arithmetic and
+    * reproducible bit-for-bit in any engine — the property that lets
+    * a feature store recompute the state during backfill and get the
+    * EXACT serving value, not a float-close one.
+    *
+    * ONE shuffle on the key; the per-key array is bounded by the key's
+    * own history (at lake scale, pre-filter to the feature window —
+    * the fold's decay makes old events irrelevant anyway: after 40
+    * halvings any bounded value is gone).
+    */
+  def ewmaMicro(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val obs = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        struct(unix_micros(col(tsCol)).as("us"), col(tieCol).as("tie"),
+          floor(col(valCol) * 1e6).cast("long").as("vm")).as("o"))
+    obs.groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        // sort AFTER collect: the fold's order contract is (ts, tie),
+        // independent of arrival / partition order
+        aggregate(array_sort(collect_list(col("o"))), lit(0L),
+          (acc, x) => shiftright(acc, 1) + x.getField("vm")).as("ewma_micro"))
+      .orderBy("key")
+  }
+
+  /** Gap-fill resample with last-observation-carried-forward: one row
+    * per key per `stepUs` bucket between the key's first and last
+    * observation, carrying the latest observed value through empty
+    * buckets (`filled` = 1 where the bucket had its own observation).
+    * The regular-grid + LOCF shape every training-feature join needs
+    * before time-aligned models see the data.
+    *
+    * All bucket arithmetic is integer epoch-micros. The per-bucket
+    * representative is the bucket's latest observation by (ts, tie).
+    * Everything shuffles on the key once (bucket window + span agg
+    * reuse it); the grid explode is bounded by the key's own span —
+    * at lake scale, clamp the span (or pre-slice the time range) the
+    * same way the scan window does.
+    */
+  def gapFill(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      stepUs: Long = 3600000000L, tieCol: String = "event_id"): DataFrame = {
+    val t = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__us"),
+        col(tieCol).as("__tie"), col(valCol).as("__v"))
+      // integral `div`, not floor(double /): epoch-micros sit near the
+      // 2^53 mantissa edge where a rounded quotient could cross a
+      // bucket boundary — the oracle's BIGINT `//` is exact, so be too
+      .withColumn("bucket", expr(s"__us div ${stepUs}L"))
+    // latest observation inside each bucket (the bucket "close")
+    val wObs = Window.partitionBy("key", "bucket")
+      .orderBy(col("__us").desc, col("__tie").desc)
+    val obs = t.withColumn("__rn", row_number().over(wObs))
+      .where(col("__rn") === 1).select("key", "bucket", "__v")
+    // dense bucket grid across each key's observed span
+    val grid = t.groupBy("key")
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col("key"), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val wCarry = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        last(col("__v"), ignoreNulls = true).over(wCarry).as("value"),
+        when(col("__v").isNotNull, 1).otherwise(0).cast("int").as("filled"))
+      .withColumn("bucket_ts", timestamp_micros(col("bucket") * stepUs))
+      .select("key", "bucket_ts", "value", "filled")
+      .orderBy("key", "bucket_ts")
+  }
+
   /** Gap-based sessionization: events more than `gapUs` microseconds
     * apart start a new session per key. Two window passes over one
     * key-shuffle, then the per-session aggregate. Timestamps compare

@@ -104,6 +104,65 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(r.count(_.getAs[Long]("key") == 9L) === 1)
   }
 
+  test("ewmaMicro folds history in (ts, tie) order with integer halving") {
+    val ev = Seq(
+      (2L, 7L, ts(10), 3.0),   // second: (1_000_000 >> 1) + 3_000_000
+      (1L, 7L, ts(5), 1.0),    // first (earlier ts despite higher row pos)
+      (3L, 7L, ts(10), 2.0),   // same ts as id 2 — tie-break on event_id
+      (4L, 9L, ts(1), 0.5))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Temporal.ewmaMicro(ev).collect()
+      .map(x => x.getAs[Long]("key") -> x.getAs[Long]("ewma_micro")).toMap
+    // user 7: 0>>1+1e6 = 1e6; >>1 + 3e6 = 3.5e6; >>1 + 2e6 = 3.75e6
+    assert(r(7L) === 3750000L)
+    assert(r(9L) === 500000L)
+  }
+
+  test("ewmaMicro is insensitive to input partitioning/order") {
+    val ev = Tables(spark, sf(), "events").limit(2000)
+    val a = Temporal.ewmaMicro(ev).collect().map(_.toSeq).toSeq
+    val b = Temporal.ewmaMicro(ev.repartition(7).sortWithinPartitions("value"))
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("gapFill emits a dense hourly grid with LOCF values") {
+    def hts(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, 7L, hts(1, 30), 10.0),
+      (2L, 7L, hts(1, 45), 11.0),  // bucket close for hour 1
+      (3L, 7L, hts(4, 0), 40.0),   // hours 2,3 empty → carry 11.0
+      (4L, 9L, hts(2, 0), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Temporal.gapFill(ev).collect()
+    val u7 = r.filter(_.getAs[Long]("key") == 7L)
+      .map(x => (x.getAs[Timestamp]("bucket_ts").toString,
+        x.getAs[Double]("value"), x.getAs[Int]("filled")))
+    assert(u7.toSeq === Seq(
+      ("2026-01-01 01:00:00.0", 11.0, 1),
+      ("2026-01-01 02:00:00.0", 11.0, 0),
+      ("2026-01-01 03:00:00.0", 11.0, 0),
+      ("2026-01-01 04:00:00.0", 40.0, 1)))
+    assert(r.count(_.getAs[Long]("key") == 9L) === 1)
+  }
+
+  test("gapFill: grid rows = span buckets; no value is ever null") {
+    val ev = Tables(spark, sf(), "events")
+    val r = Temporal.gapFill(ev)
+    assert(r.where(org.apache.spark.sql.functions.col("value").isNull).count() === 0)
+    // every key's row count equals its bucket span (dense grid)
+    import org.apache.spark.sql.functions._
+    val spans = ev.where(col("ts").isNotNull && col("value").isNotNull &&
+        col("user_id").isNotNull)
+      .groupBy(col("user_id").as("key"))
+      .agg((max(expr("unix_micros(ts) div 3600000000")) -
+        min(expr("unix_micros(ts) div 3600000000")) + 1).as("want"))
+    val got = r.groupBy("key").count()
+    val joined = spans.join(got, "key")
+      .where(col("want") =!= col("count")).count()
+    assert(joined === 0)
+  }
+
   test("sessionize agrees with Spark's built-in session_window") {
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, sf(), "events")
