@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, DocDedup, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.Lake
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1235,5 +1235,22 @@ private[graft] object QueriesPipeline {
              |  CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
              |    AS filled
              |FROM f ORDER BY user_id, b""".stripMargin)),
+
+    // blocked fuzzy entity-resolution join: distinct part names,
+    // blocked on the head noun (last token), length-pre-cut, verified
+    // by levenshtein <= 2. Both engines implement classic Levenshtein
+    // — the oracle restates blocking, pre-cut, and verify identically,
+    // so the compare is exact (no similarity heuristics involved).
+    Q("q82_fuzzy_er_join",
+      (s, dir) => Entity.fuzzySelfJoin(Tables(s, dir, "part"), "p_name"),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part
+             |          WHERE p_name IS NOT NULL),
+             |b AS (SELECT name, string_split(name, ' ')[-1] AS block FROM n)
+             |SELECT a.name AS name_a, c.name AS name_b,
+             |  CAST(levenshtein(a.name, c.name) AS INTEGER) AS dist
+             |FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+             |WHERE abs(length(a.name) - length(c.name)) <= 2
+             |  AND levenshtein(a.name, c.name) <= 2
+             |ORDER BY 1, 2""".stripMargin)),
   )
 }
