@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{Bloom, Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.Lake
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1252,5 +1252,30 @@ private[graft] object QueriesPipeline {
              |WHERE abs(length(a.name) - length(c.name)) <= 2
              |  AND levenshtein(a.name, c.name) <= 2
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Bloom-prefiltered shuffle join: the dim's key set ships as a
+    // 16 KB bitmap; the fact side drops non-joining rows BEFORE its
+    // shuffle (shuffle_hash hint forces the shuffle the pattern
+    // guards — broadcast would hide it at this SF). False positives
+    // die in the exact join, so the oracle is the PLAIN join — no
+    // bloom restatement needed.
+    Q("q83_bloom_prefilter_join",
+      (s, dir) => {
+        val dim = Tables(s, dir, "orders").where(col("o_totalprice") > 450000)
+        val words = Bloom.build(dim.select(col("o_orderkey")), "o_orderkey")
+        Tables(s, dir, "lineitem")
+          .where(Bloom.mightContain(words, col("l_orderkey")))
+          .hint("shuffle_hash")
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 450000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
