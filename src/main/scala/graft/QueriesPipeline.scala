@@ -1277,5 +1277,64 @@ private[graft] object QueriesPipeline {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_totalprice > 450000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // domain-mixture planner: the 4:3:2:1 target mixture over four
+    // sources — budget = the binding source's avail·10⁶ // weight,
+    // then per-source quota, realized hash-sample rate, and what that
+    // rate actually samples. Pure integer floor arithmetic end to end.
+    Q("q84_mixture_plan",
+      (s, dir) => Curation.mixturePlan(Tables(s, dir, "documents"),
+        Map("src0" -> 400000L, "src1" -> 300000L,
+          "src2" -> 200000L, "src3" -> 100000L)),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |            CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+              |            (${duckMix31("doc_id")}) % 1000 AS h_ppk,
+              |            CAST(CASE source WHEN 'src0' THEN 400000
+              |                 WHEN 'src1' THEN 300000 WHEN 'src2' THEN 200000
+              |                 WHEN 'src3' THEN 100000 END AS BIGINT) AS w_ppm
+              |          FROM documents
+              |          WHERE source IN ('src0','src1','src2','src3')
+              |            AND text IS NOT NULL),
+              |avail AS (SELECT source, w_ppm, SUM(toks) AS avail_tokens
+              |          FROM t GROUP BY 1, 2),
+              |b AS (SELECT MIN((avail_tokens*1000000)//w_ppm) AS budget
+              |      FROM avail),
+              |plan AS (SELECT source, w_ppm, avail_tokens,
+              |           (b.budget*w_ppm)//1000000 AS quota_tokens,
+              |           ((((b.budget*w_ppm)//1000000))*1000)//avail_tokens
+              |             AS rate_ppk
+              |         FROM avail, b),
+              |sm AS (SELECT t.source, COUNT(*) AS sampled_docs,
+              |         SUM(toks) AS sampled_tokens
+              |       FROM t JOIN plan ON t.source = plan.source
+              |         AND t.h_ppk < plan.rate_ppk
+              |       GROUP BY 1)
+              |SELECT p.source, p.w_ppm,
+              |  CAST(p.avail_tokens AS BIGINT) AS avail_tokens,
+              |  CAST(p.quota_tokens AS BIGINT) AS quota_tokens,
+              |  CAST(p.rate_ppk AS BIGINT) AS rate_ppk,
+              |  CAST(COALESCE(sm.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+              |  CAST(COALESCE(sm.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+              |FROM plan p LEFT JOIN sm ON sm.source = p.source
+              |ORDER BY p.source""".stripMargin)),
+
+    // population z-score outliers with zero float moments: the flag
+    // inequality (n·vm − S)² > k²(n·Q − S²) is integer-exact on both
+    // engines (decimal38 sums here, HUGEINT there), so an outlier
+    // list — normally float-fuzzy — hash-matches bit for bit.
+    Q("q85_zscore_outliers",
+      (s, dir) => graft.ops.Stats.zscoreOutliers(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT event_id, event_type,
+             |            CAST(floor(value*1000000) AS BIGINT) AS vm
+             |          FROM events
+             |          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |st AS (SELECT event_type, COUNT(*) AS n,
+             |         SUM(CAST(vm AS HUGEINT)) AS s,
+             |         SUM(CAST(vm AS HUGEINT)*vm) AS q
+             |       FROM t GROUP BY 1)
+             |SELECT t.event_id, t.event_type, t.vm
+             |FROM t JOIN st USING (event_type)
+             |WHERE (n*vm - s)*(n*vm - s) > 9*(n*q - s*s)
+             |ORDER BY event_id""".stripMargin)),
   )
 }

@@ -137,6 +137,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Domain-mixture planner: given target mixture weights (ppm per
+    * source), compute the largest total token budget the corpus can
+    * serve while preserving the mixture — `T = min_s(avail_s·10⁶ //
+    * w_s)` (the binding source caps everyone) — then each source's
+    * token quota, the deterministic hash-sampling rate (ppk) that
+    * realizes it, and what that rate actually samples. The one-page
+    * plan a data-mixing job (fixed-mixture or DoReMi-style reweighting
+    * output) executes before training.
+    *
+    * All arithmetic is integer floor division, exact in any engine.
+    * Long intermediates hold to ~9·10¹² available tokens per source
+    * (avail·10⁶ must fit int64) — beyond that, widen to decimal;
+    * kept long here so the oracle's BIGINT path is bit-identical.
+    *
+    * Shape: one map-side-combinable groupBy keyed by source (bounded
+    * key space), one single-row global min broadcast back, one
+    * map-only sample filter — nothing shuffles more than the per-
+    * source stats.
+    */
+  def mixturePlan(docs: DataFrame, weightsPpm: Map[String, Long],
+      labelCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = typedLit(weightsPpm)
+    val t = docs
+      .where(col(labelCol).isNotNull && col(textCol).isNotNull &&
+        element_at(w, col(labelCol)).isNotNull)
+      .select(col(idCol).as("doc_id"), col(labelCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("toks"),
+        element_at(w, col(labelCol)).as("w_ppm"),
+        pmod(Similarity.mix31Col(col(idCol)), lit(1000L)).as("h_ppk"))
+    val avail = t.groupBy("source", "w_ppm")
+      .agg(sum("toks").as("avail_tokens"))
+    // the binding source: smallest avail/weight ratio caps the total
+    val budget = avail
+      .agg(min(expr("(avail_tokens * 1000000) div w_ppm")).as("budget_tokens"))
+    val plan = avail.crossJoin(broadcast(budget))
+      .withColumn("quota_tokens", expr("(budget_tokens * w_ppm) div 1000000"))
+      .withColumn("rate_ppk", expr("(quota_tokens * 1000) div avail_tokens"))
+    val sampled = t.join(
+        plan.select(col("source"), col("rate_ppk")), Seq("source"))
+      .where(col("h_ppk") < col("rate_ppk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("sampled_docs"), sum("toks").as("sampled_tokens"))
+    plan.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("w_ppm"), col("avail_tokens"),
+        col("quota_tokens"), col("rate_ppk"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+      .orderBy("source")
+  }
+
   /** TF-IDF-style top-`k` terms per document with a rational score:
     * `score_ppm = floor(tf·10⁶ / df)` (term frequency over document
     * frequency — same ordering intent as tf·idf, but exact integer

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curation, Stats}
+
+class StatsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("zscoreOutliers flags exactly the >k-sigma rows") {
+    // group "a": 20 values at 10.0 and one at 1000.0 — the spike is
+    // far beyond 3 population sigmas; the 10.0s are well inside
+    val rows = (1L to 20L).map(i => (i, "a", 10.0)) :+ ((21L, "a", 1000.0))
+    val d = rows.toDF("event_id", "event_type", "value")
+    val r = Stats.zscoreOutliers(d).collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSeq === Seq(21L))
+    assert(r.head.getAs[Long]("vm") === 1000000000L)
+  }
+
+  test("zscoreOutliers flags nothing in a uniform group") {
+    val d = (1L to 50L).map(i => (i, "u", 5.0)).toDF("event_id", "event_type", "value")
+    assert(Stats.zscoreOutliers(d).count() === 0)
+  }
+
+  test("zscoreOutliers matches a double-arithmetic reference on testdata") {
+    val ev = Tables(spark, sf(), "events")
+    val got = Stats.zscoreOutliers(ev).collect().map(_.getAs[Long]("event_id")).toSet
+    // reference: plain double mean/std per group (population variance)
+    val stats = ev.where(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        (floor(col("value") * 1e6).cast("long") / 1e6).as("v"))
+      .groupBy("event_type")
+      .agg(collect_list(struct(col("event_id"), col("v"))).as("xs"))
+      .collect()
+    val want = stats.flatMap { r =>
+      val xs = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => x.getLong(0) -> x.getDouble(1))
+      val n = xs.size
+      val mean = xs.map(_._2).sum / n
+      val sd = math.sqrt(xs.map(x => (x._2 - mean) * (x._2 - mean)).sum / n)
+      xs.filter(x => math.abs(x._2 - mean) > 3 * sd).map(_._1)
+    }.toSet
+    // integer and double forms may disagree only within float noise of
+    // the exact 3-sigma boundary; on this data they should be identical
+    assert(got === want)
+  }
+
+  test("mixturePlan preserves the target mixture and its sample realizes it") {
+    val docs = Tables(spark, sf(), "documents")
+    val weights = Map("src0" -> 400000L, "src1" -> 300000L,
+      "src2" -> 200000L, "src3" -> 100000L)
+    val plan = Curation.mixturePlan(docs, weights).collect()
+    assert(plan.map(_.getAs[String]("source")).toSeq ===
+      Seq("src0", "src1", "src2", "src3"))
+    val bySrc = plan.map(r => r.getAs[String]("source") -> r).toMap
+    // quotas follow the 4:3:2:1 weights (within floor rounding)
+    val q0 = bySrc("src0").getAs[Long]("quota_tokens")
+    val q3 = bySrc("src3").getAs[Long]("quota_tokens")
+    assert(math.abs(q0 - 4 * q3) <= 4, s"q0=$q0 q3=$q3")
+    plan.foreach { r =>
+      val avail = r.getAs[Long]("avail_tokens")
+      val quota = r.getAs[Long]("quota_tokens")
+      val rate = r.getAs[Long]("rate_ppk")
+      assert(quota <= avail)
+      assert(rate >= 0 && rate <= 1000)
+      // the binding source (largest weight over equal-sized sources)
+      // must be sampled at ~full rate
+      if (r.getAs[String]("source") == "src0") assert(rate >= 999)
+      // sampled tokens land within hash-sampling noise of the quota
+      val sampled = r.getAs[Long]("sampled_tokens")
+      assert(sampled <= avail)
+    }
+  }
+
+  test("mixturePlan ignores sources outside the weight map") {
+    val docs = Tables(spark, sf(), "documents")
+    val plan = Curation.mixturePlan(docs, Map("src0" -> 1000000L)).collect()
+    assert(plan.map(_.getAs[String]("source")).toSeq === Seq("src0"))
+    // single source at weight 1.0: budget = avail → full-rate sample
+    assert(plan.head.getAs[Long]("rate_ppk") === 1000L)
+    assert(plan.head.getAs[Long]("sampled_tokens") ===
+      plan.head.getAs[Long]("avail_tokens"))
+  }
+}
