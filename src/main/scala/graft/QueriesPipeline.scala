@@ -1336,5 +1336,39 @@ private[graft] object QueriesPipeline {
              |FROM t JOIN st USING (event_type)
              |WHERE (n*vm - s)*(n*vm - s) > 9*(n*q - s*s)
              |ORDER BY event_id""".stripMargin)),
+
+    // SemDeDup-shaped semantic dedup, hash-verified END TO END: the
+    // oracle recomputes the anchor set (first k by id), the argmax
+    // cell assignment (ties to the lower cell — Ivf.cellOf's
+    // contract), the within-cell pair scan, and the keep-min decision
+    // relationally. The quantizer's recall is part of the CHECKED
+    // contract, like q55's banding and unlike corpus-coupled claims.
+    Q("q79_semantic_dedup",
+      (s, dir) => DocDedup.semanticDedup(Tables(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |anch AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+              |             AS INTEGER) AS cell, v AS av
+              |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+              |sc AS (SELECT e.vec_id, a.cell,
+              |         list_sum(list_transform(list_zip(e.v, a.av),
+              |           x -> x[1]*x[2])) AS s
+              |       FROM e CROSS JOIN anch a),
+              |asg AS (SELECT vec_id, cell FROM (
+              |          SELECT vec_id, cell, ROW_NUMBER() OVER (
+              |            PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+              |          FROM sc)
+              |        WHERE rn = 1),
+              |sim AS (SELECT b.vec_id AS vid, a.vec_id AS cand,
+              |          CAST(floor((${duckCos("ea.v", "eb.v")}) * 1000000)
+              |            AS BIGINT) AS cos_e6
+              |        FROM asg a JOIN asg b
+              |          ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |          JOIN e ea ON ea.vec_id = a.vec_id
+              |          JOIN e eb ON eb.vec_id = b.vec_id),
+              |d AS (SELECT vid, MIN(cand) AS dup_of FROM sim
+              |      WHERE cos_e6 >= 350000 GROUP BY 1)
+              |SELECT g.vec_id, g.cell, d.dup_of
+              |FROM asg g LEFT JOIN d ON d.vid = g.vec_id
+              |ORDER BY g.vec_id""".stripMargin)),
   )
 }

@@ -470,4 +470,41 @@ object DocDedup {
       .where(col("cos_e6") >= thresholdMicro)
       .orderBy("a_id", "b_id")
   }
+
+  /** SemDeDup-shaped semantic dedup: assign every embedding to its
+    * nearest anchor cell (a coarse quantizer), then inside each cell
+    * drop any vector with a lower-id neighbor at cosine ≥ threshold —
+    * the keep-one-per-semantic-neighborhood decision view
+    * (`dup_of` = the kept representative, NULL = kept itself).
+    *
+    * Anchors here are the first `k` vectors by id — a deterministic
+    * quantizer the oracle restates relationally (assignment argmax,
+    * tie to the lower cell, exactly [[Ivf.cellOf]]'s contract), so the
+    * WHOLE algorithm is hash-verified, recall contract included. At
+    * deployment the anchor table swaps for [[Ivf.trainCentroids]]
+    * output (or a persisted [[Ivf.buildIndex]]) with the identical
+    * plan shape: cell count bounds block width at corpus/k, the cell
+    * id is the one shuffle key, and the pair stage never sees two
+    * cells' vectors in one task.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8,
+      thresholdMicro: Long = 350000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val anchors = Ivf.trainCentroids(embeddings, k, iterations = 0, idCol, vecCol)
+    val e = Par.spread(embeddings.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("vec"),
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("norm"),
+        Ivf.cellOf(col(vecCol), anchors).as("cell")))
+      .localCheckpoint()
+    val dupOf = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("b.vid").as("vec_id"), col("a.vid").as("cand"),
+        floor(Similarity.dot(col("a.vec"), col("b.vec")) /
+          (col("a.norm") * col("b.norm")) * 1e6).cast("long").as("cos_e6"))
+      .where(col("cos_e6") >= thresholdMicro)
+      .groupBy("vec_id").agg(min(col("cand")).as("dup_of"))
+    e.select(col("vid").as("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .orderBy("vec_id")
+  }
 }

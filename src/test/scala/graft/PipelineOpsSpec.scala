@@ -147,6 +147,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(banded.subsetOf(exactAll))
   }
 
+  test("semanticDedup: dup_of is the min same-cell neighbor over threshold") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val r = DocDedup.semanticDedup(e).collect()
+    assert(r.length === e.count())
+    val cell = r.map(x => x.getAs[Long]("vec_id") -> x.getAs[Int]("cell")).toMap
+    val dup = r.flatMap(x => Option(x.getAs[java.lang.Long]("dup_of"))
+      .map(d => x.getAs[Long]("vec_id") -> d.toLong)).toMap
+    // representatives are lower-id and in the same cell
+    dup.foreach { case (v, d) =>
+      assert(d < v); assert(cell(d) === cell(v))
+    }
+    // cross-check against the exact within-cell pair scan: a doc is
+    // dropped iff it has a lower-id within-cell partner >= threshold
+    val cellDf = r.map(x => (x.getAs[Long]("vec_id"), x.getAs[Int]("cell"))).toSeq
+      .toDF("vec_id", "label")
+    val pairs = DocDedup.embeddingCosine(
+        e.drop("label").join(cellDf, "vec_id"), thresholdMicro = 350000L)
+      .collect()
+    val wantDup = pairs.groupBy(_.getAs[Long]("b_id"))
+      .map { case (b, ps) => b -> ps.map(_.getAs[Long]("a_id")).min }
+    assert(dup === wantDup)
+  }
+
   test("lsh top-k buckets contain the query itself (same bucket, rank 1)") {
     val e = Tables(spark, sf(), "embeddings")
     val top = Similarity.lshTopK(e, e.where(col("vec_id") === 7), k = 2, planes = 6).collect()
