@@ -1370,5 +1370,48 @@ private[graft] object QueriesPipeline {
               |SELECT g.vec_id, g.cell, d.dup_of
               |FROM asg g LEFT JOIN d ON d.vid = g.vec_id
               |ORDER BY g.vec_id""".stripMargin)),
+
+    // fixed-iteration integer PageRank over the co-purchase part graph
+    // (parts sharing an order link both ways). Every rank is floor
+    // fixed-point arithmetic, so the oracle unrolls the three power
+    // iterations relationally and matches bit for bit — an iterative
+    // float algorithm made hash-checkable.
+    Q("q86_pagerank_copurchase",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.ops.Graph.pageRank(e)
+          .withColumnRenamed("node", "part_id")
+          .withColumnRenamed("rank", "rank_p12")
+      },
+      Some {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (SELECT n.node,
+             |    MAX(base.b) + COALESCE(SUM(
+             |      (($prev.rank * 850000) // 1000000) // deg.d), 0) AS rank
+             |  FROM n CROSS JOIN base
+             |  LEFT JOIN e ON e.dst = n.node
+             |  LEFT JOIN $prev ON $prev.node = e.src
+             |  LEFT JOIN deg ON deg.src = e.src
+             |  GROUP BY n.node)""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           |      FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+           |n AS (SELECT DISTINCT node FROM
+           |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM n),
+           |base AS (SELECT ((1000000000000 // cnt) * 150000) // 1000000 AS b,
+           |           (1000000000000 // cnt) AS r0 FROM nn),
+           |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+           |rk0 AS (SELECT node, (SELECT r0 FROM base) AS rank FROM n),
+           |${iter("rk0", "rk1")},
+           |${iter("rk1", "rk2")},
+           |${iter("rk2", "rk3")}
+           |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank_p12
+           |FROM rk3 ORDER BY rank DESC, part_id""".stripMargin
+      }),
   )
 }
