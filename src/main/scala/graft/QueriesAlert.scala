@@ -90,7 +90,7 @@ private[graft] object QueriesAlert {
     * schema is read as stored (ts = nanos long under nanosAsLong) and
     * normalizeTs restores the µs timestamp.
     */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     // one microbatch regardless of file count: q54's DISTINCT oracle
     // equivalence needs the whole replay inside a single batch (across

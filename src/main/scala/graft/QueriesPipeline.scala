@@ -1413,5 +1413,42 @@ private[graft] object QueriesPipeline {
            |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank_p12
            |FROM rk3 ORDER BY rank DESC, part_id""".stripMargin
       }),
+
+    // STREAMING sessionization through the oracle gate: Spark's
+    // merging session_window state over the event replay, drained
+    // complete so every session (including each key's trailing one)
+    // emits. The oracle is q33's lag/cumsum gap restatement — batch
+    // and stream agree everywhere except an exact-gap boundary step
+    // (session_window splits, the lag form merges), absent from
+    // microsecond event data.
+    Q("q87_stream_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val agg = QueriesAlert.eventStream(s, dir)
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"))
+          .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        QueriesAlert.drainToMemory(s, agg, "q87_sink", OutputMode.Complete())
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |m AS (SELECT user_id, us,
+             |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+             |           > 1800000000
+             |       THEN 1 ELSE 0 END AS ns
+             |  FROM t),
+             |sx AS (SELECT user_id, us,
+             |  SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  MIN(us) AS start_us, MAX(us) AS end_us
+             |FROM sx GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin)),
   )
 }

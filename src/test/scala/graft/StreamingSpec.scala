@@ -421,4 +421,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         batch.getSeq[Long](batch.fieldIndex("sig")))
     } finally q.stop()
   }
+
+  test("streaming session_window agrees with batch sessionize on testdata") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q87_stream_sessionize")(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+    val want = graft.ops.Temporal
+      .sessionize(Tables(spark, sf(), "events"), "user_id", "ts", 1800000000L)
+      .select(col("key"), col("n_events"), col("start_us"), col("end_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
 }
