@@ -1450,5 +1450,91 @@ private[graft] object QueriesPipeline {
              |  MIN(us) AS start_us, MAX(us) AS end_us
              |FROM sx GROUP BY user_id, sid
              |ORDER BY user_id, start_us""".stripMargin)),
+
+    // product-quantization encode, hash-verified END TO END: the
+    // oracle rebuilds the deterministic per-subspace codebooks (first
+    // 16 vectors' subvectors), the L2 distance fold, and the argmin
+    // (ties to the lower code) relationally — the PQ codes and the
+    // micro-unit quantization errors match bit for bit.
+    Q("q88_pq_encode",
+      (s, dir) => Similarity.pqEncode(Tables(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+             |           AS INTEGER) AS code, v
+             |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+             |ss AS (SELECT unnest(range(0, 8)) AS s),
+             |subs AS (SELECT vec_id, s,
+             |           v[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS sv
+             |         FROM e CROSS JOIN ss),
+             |csubs AS (SELECT code, s,
+             |            v[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS cv
+             |          FROM cb CROSS JOIN ss),
+             |d AS (SELECT vec_id, subs.s, code,
+             |        list_sum(list_transform(list_zip(sv, cv),
+             |          x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+             |      FROM subs JOIN csubs ON subs.s = csubs.s),
+             |r AS (SELECT vec_id, s, code, dist, ROW_NUMBER() OVER (
+             |        PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+             |      FROM d)
+             |SELECT vec_id, CAST(s AS INTEGER) AS sub, code,
+             |  CAST(floor(dist*1000000) AS BIGINT) AS dist_e6
+             |FROM r WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin)),
+
+    // deterministic weighted bottom-k sample: rank = mix31(id) //
+    // token-weight, 50 smallest win — PPSWOR-shaped preference for
+    // longer documents with zero RNG. TakeOrdered plan (per-partition
+    // top-k, k-row merge), never a global sort.
+    Q("q89_weighted_sample",
+      (s, dir) => Curation.weightedPrioritySample(Tables(s, dir, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |            CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+              |            (${duckMix31("doc_id")}) AS h
+              |          FROM documents WHERE text IS NOT NULL),
+              |r AS (SELECT doc_id, weight, h, h // weight AS rank_key
+              |      FROM t WHERE weight > 0),
+              |k AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rank_key, doc_id)
+              |        AS rn FROM r)
+              |SELECT doc_id, weight, h, rank_key FROM k WHERE rn <= 50
+              |ORDER BY rank_key, doc_id""".stripMargin)),
+
+    // bigram-LM quality score: corpus-trained transition counts score
+    // each doc's mean transition probability in ppm — the rational
+    // stand-in for a perplexity filter, integer floor arithmetic end
+    // to end so the oracle verifies every score.
+    Q("q90_bigram_lm_score",
+      (s, dir) => TextAnalysis.bigramLmScore(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents WHERE text IS NOT NULL),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |           i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+             |       FROM w WHERE len(ws) >= 2),
+             |o AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+             |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM o GROUP BY 1, 2),
+             |cp AS (SELECT w1, COUNT(*) AS cp FROM o GROUP BY 1),
+             |sc AS (SELECT o.doc_id, (cb.cb*1000000)//cp.cp AS ppm
+             |       FROM o JOIN cb USING (w1, w2) JOIN cp USING (w1))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(ppm)//COUNT(*) AS BIGINT) AS lm_ppm
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // per-label percentile gate: keep each source's top 30% by score
+    // via exact integer rank arithmetic — no float percentiles. Score
+    // here = token count (pluggable: any integer signal slots in).
+    Q("q91_percentile_gate",
+      (s, dir) => Curation.percentileGate(
+        Tables(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("score")),
+        "score"),
+      Some("""WITH t AS (SELECT source, doc_id,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+             |          FROM documents),
+             |r AS (SELECT source, doc_id, score,
+             |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |          ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+             |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             |      FROM t)
+             |SELECT source, doc_id, score, rank, n FROM r
+             |WHERE ((rank - 1) * 1000)//n < 300
+             |ORDER BY source, doc_id""".stripMargin)),
   )
 }

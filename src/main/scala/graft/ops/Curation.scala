@@ -188,6 +188,53 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Deterministic weighted priority sample (weighted bottom-k): each
+    * row draws rank `mix31(id) // weight` — heavier rows divide their
+    * hash by more, landing proportionally lower — and the k smallest
+    * ranks win (ties to the lower id). The PPSWOR-shaped sample a
+    * mixing job wants when "prefer longer documents, but
+    * reproducibly": no RNG, the winner set is a pure function of ids
+    * and weights, identical on every engine and retry.
+    *
+    * Scale shape: rank is map-only; the global k-smallest cut is
+    * TakeOrdered (per-partition top-k then a k-row driver merge) —
+    * never a global sort.
+    */
+  def weightedPrioritySample(docs: DataFrame, k: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("weight"),
+        Similarity.mix31Col(col(idCol)).as("h"))
+      .where(col("weight") > 0)
+      .withColumn("rank_key", expr("h div weight"))
+      .orderBy("rank_key", "doc_id")
+      .limit(k)
+  }
+
+  /** Per-label percentile gate: keep each label's top share of rows by
+    * a score, decided by exact integer rank arithmetic —
+    * `(rank-1)·1000 // n < keepTopPpk` with rank ordered (score desc,
+    * id) — so "top 30% per domain" admits the same rows in every
+    * engine, no float percentiles anywhere. The score is pluggable;
+    * any integer quality signal ([[lexicalDiversity]]'s ttr,
+    * [[TextAnalysis.qualityScore]], a model score in micro-units)
+    * slots in. ONE shuffle on the label key for both windows.
+    */
+  def percentileGate(scored: DataFrame, scoreCol: String,
+      labelCol: String = "source", idCol: String = "doc_id",
+      keepTopPpk: Int = 300): DataFrame = {
+    val w = Window.partitionBy(labelCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wAll = Window.partitionBy(labelCol)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(expr(s"((rank - 1) * 1000) div n") < keepTopPpk)
+      .select(col(labelCol), col(idCol), col(scoreCol), col("rank"), col("n"))
+      .orderBy(labelCol, idCol)
+  }
+
   /** TF-IDF-style top-`k` terms per document with a rational score:
     * `score_ppm = floor(tf·10⁶ / df)` (term frequency over document
     * frequency — same ordering intent as tf·idf, but exact integer

@@ -190,4 +190,53 @@ object Similarity {
         col("q"))
       .orderBy("vec_id")
   }
+
+  /** Product-quantization encoding — the memory-bound ANN serving
+    * format: the vector splits into `m` contiguous subvectors, each
+    * assigned to its nearest codeword (argmin L2, ties to the lower
+    * code) in a per-subspace codebook, so a d-dim float vector
+    * compresses to m bytes + a shared codebook. Emits one row per
+    * (vector, subspace) with the code and the subspace quantization
+    * error in micro units.
+    *
+    * The codebook here is deterministic — subvectors of the first
+    * `k` vectors by id — so the oracle restates codebook, distance
+    * fold, and argmin relationally (same contract style as the q79
+    * anchor quantizer; swap in k-means codebooks at deployment with
+    * the identical plan shape). Encoding is map-only against the
+    * driver-held codebook: nothing shuffles at any corpus size.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val first = embeddings.orderBy(idCol).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(first.nonEmpty, "pqEncode needs a non-empty corpus")
+    val dim = first.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val w = dim / m
+    // codebooks(s)(c) = codeword c of subspace s (driver-tiny: m·k·w)
+    val codebooks = (0 until m).map(s => first.map(_.slice(s * w, (s + 1) * w)))
+    val subCols = (0 until m).map { s =>
+      val sv = slice(col("v"), s * w + 1, w)
+      val scored = codebooks(s).zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(sv, lit(c), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist"),
+          lit(i).as("code"))
+      }
+      // lexicographic struct min = (min dist, then min code)
+      array_min(array(scored: _*)).as(s"best$s")
+    }
+    embeddings.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id") +: subCols: _*)
+      .select(col("vec_id"), posexplode(array((0 until m).map(s =>
+        struct(col(s"best$s.code").cast("int").as("code"),
+          floor(col(s"best$s.dist") * 1e6).cast("long").as("dist_e6"))): _*))
+        .as(Seq("sub", "bc")))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("bc.code").as("code"), col("bc.dist_e6").as("dist_e6"))
+      .orderBy("vec_id", "sub")
+  }
 }

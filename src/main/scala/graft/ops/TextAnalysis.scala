@@ -169,4 +169,42 @@ object TextAnalysis {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("keep_id")
+
+  /** Corpus-statistical language-model quality score: train bigram
+    * transition counts on the corpus itself, then score each document
+    * by its mean transition probability in ppm —
+    * `avg_b(count(b)·10⁶ // count(prefix(b)))` over the document's
+    * bigram occurrences, all integer floor arithmetic (the rational
+    * stand-in for mean log-likelihood: same ordering intent, no
+    * transcendental, so the oracle verifies scores bit for bit).
+    * Low scores = improbable word transitions = the boilerplate/
+    * garbage a perplexity filter would cut.
+    *
+    * Scale shape: bigram and prefix counts are map-side-combinable
+    * aggregates keyed by terms (the bigram dictionary ≪ corpus; AQE
+    * broadcasts it back onto occurrences); the per-doc fold is one
+    * doc-keyed aggregate. Documents under 2 tokens have no bigrams
+    * and drop out — gate them with [[quality]]'s length rules.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val occ = Par.spread(docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .localCheckpoint() // occurrences feed three branches: materialize once
+    val cb = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cp = occ.groupBy("w1").agg(count(lit(1)).as("cp"))
+    occ.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .select(col("doc_id"), expr("(cb * 1000000) div cp").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").as("lm_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -229,4 +229,36 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("weightedPrioritySample picks the k smallest hash-over-weight ranks") {
+    val docs = Tables(spark, sf(), "documents")
+    val got = Curation.weightedPrioritySample(docs, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_key")))
+    // brute-force reference from the same hash column
+    val all = Curation.weightedPrioritySample(docs, k = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("rank_key"), r.getAs[Long]("doc_id")))
+    assert(got.map(x => (x._2, x._1)).toSeq === all.sorted.take(10).toSeq)
+    // heavier docs are favored in expectation: winners' mean weight
+    // exceeds the corpus mean (sanity, not a distributional proof)
+    val winW = Curation.weightedPrioritySample(docs, k = 50).collect()
+      .map(_.getAs[Long]("weight"))
+    val allW = Curation.weightedPrioritySample(docs, k = Int.MaxValue).collect()
+      .map(_.getAs[Long]("weight"))
+    assert(winW.sum.toDouble / winW.length > allW.sum.toDouble / allW.length)
+  }
+
+  test("percentileGate keeps exactly the top keepTopPpk share per label") {
+    val d = (1L to 20L).map(i => (s"s${i % 2}", i, i)).toDF("source", "doc_id", "score")
+    val r = Curation.percentileGate(d, "score").collect()
+    // 10 rows per label, top 30% → ranks 1..3 → 3 rows each
+    assert(r.length === 6)
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rows) =>
+      assert(rows.length === 3)
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // kept scores dominate: the highest scores in each label win
+    assert(r.filter(_.getAs[String]("source") == "s0")
+      .map(_.getAs[Long]("score")).sorted.toSeq === Seq(16L, 18L, 20L))
+  }
 }

@@ -147,6 +147,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(banded.subsetOf(exactAll))
   }
 
+  test("pqEncode: codebook members encode to themselves at zero error") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val r = Similarity.pqEncode(e).collect()
+    assert(r.length === e.count() * 8)
+    // vector 3 is codeword 3 in every subspace → code 3, dist 0
+    val v3 = r.filter(_.getAs[Long]("vec_id") == 3L)
+    assert(v3.length === 8)
+    v3.foreach { x =>
+      assert(x.getAs[Int]("code") === 3)
+      assert(x.getAs[Long]("dist_e6") === 0L)
+    }
+    assert(r.forall(_.getAs[Long]("dist_e6") >= 0L))
+    assert(r.forall(x => x.getAs[Int]("code") >= 0 && x.getAs[Int]("code") < 16))
+  }
+
+  test("bigramLmScore: corpus-wide transition counts, per-doc mean ppm") {
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("lm_ppm")))).toMap
+    // cp(a)=3 corpus-wide: (a,b) → 666666 ppm, (b,a) → 1e6, (a,c) → 333333
+    assert(r(1L) === ((3L, (666666L + 1000000L + 666666L) / 3)))
+    assert(r(2L) === ((1L, 333333L)))
+  }
+
   test("semanticDedup: dup_of is the min same-cell neighbor over threshold") {
     val e = Tables(spark, sf("sf0.01"), "embeddings")
     val r = DocDedup.semanticDedup(e).collect()
