@@ -1536,5 +1536,30 @@ private[graft] object QueriesPipeline {
              |SELECT source, doc_id, score, rank, n FROM r
              |WHERE ((rank - 1) * 1000)//n < 300
              |ORDER BY source, doc_id""".stripMargin)),
+
+    // STREAMING EWMA feature state through the oracle gate: the
+    // integer halving fold runs live in flatMapGroupsWithState over
+    // the one-batch replay; because it is the SAME arithmetic as the
+    // batch fold, the serving state equals q80's backfill bit for bit
+    // — the oracle is literally q80's.
+    Q("q92_stream_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline
+          .ewmaStream(QueriesAlert.eventStream(s, dir)).toDF()
+        QueriesAlert.drainToMemory(s, out, "q92_sink", OutputMode.Update())
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |            CAST(floor(value*1000000) AS BIGINT) AS vm
+             |          FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |            AND value IS NOT NULL),
+             |l AS (SELECT user_id, list(vm ORDER BY us, event_id) AS vs
+             |      FROM t GROUP BY 1)
+             |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+             |  CAST(list_reduce(vs, (a, b) -> a // 2 + b) AS BIGINT)
+             |    AS ewma_micro
+             |FROM l ORDER BY user_id""".stripMargin)),
   )
 }

@@ -149,4 +149,50 @@ object StreamingPipeline {
       .withColumn("minhash_sig",
         when(size(mh.getField("sh")) > 0, mh.getField("sig")))
   }
+
+  /** Per-key integer EWMA state (`acc := (acc >> 1) + value_micro`)
+    * carried by `EwmaState`. */
+  case class EwmaState(n: Long, acc: Long)
+  case class EwmaRow(user_id: Long, n_events: Long, ewma_micro: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.ewmaMicro]]: the decayed
+    * feature state folds live in `flatMapGroupsWithState`, emitting
+    * each key's updated `(n, ewma)` per micro-batch — the serving
+    * counterpart of the batch backfill, and because the fold is the
+    * SAME integer arithmetic, serving state == backfill state bit for
+    * bit.
+    *
+    * Ordering contract: events sort by (ts, tie) WITHIN a micro-batch
+    * before folding; cross-batch order is arrival order. Exact batch
+    * parity therefore holds when each key's history arrives in one
+    * batch (the replay/drain case, like q54's DISTINCT equivalence)
+    * or when batches are event-time aligned — the usual property of a
+    * replayed log. State is two longs per key, forever-lived
+    * (NoTimeout): bound it with a watermark timeout when keys churn.
+    */
+  def ewmaStream(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      tieCol: String = "event_id")
+      : org.apache.spark.sql.Dataset[EwmaRow] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"), unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        floor(col(valCol) * 1e6).cast("long").as("vm"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[EwmaState]) => {
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+          val st = sorted.foldLeft(state.getOption.getOrElse(EwmaState(0L, 0L))) {
+            case (s, (_, _, _, vm)) => EwmaState(s.n + 1, (s.acc >> 1) + vm)
+          }
+          state.update(st)
+          Iterator.single(EwmaRow(key, st.n, st.acc))
+        })
+  }
 }

@@ -422,6 +422,33 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("ewmaStream accumulates state across batches, matching the batch fold") {
+    implicit val sc = spark.sqlContext
+    case class VEv(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
+    val mem = MemoryStream[(Timestamp, Long, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_id", "value")
+    val out = graft.streaming.StreamingPipeline.ewmaStream(df).toDF()
+    val q = out.writeStream.format("memory").queryName("ewm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: out-of-order arrival inside the batch (sorted by ts)
+      mem.addData((ts(10), 7L, 2L, 3.0), (ts(5), 7L, 1L, 1.0))
+      q.processAllAvailable()
+      // batch 2: one more event — state carries across batches
+      mem.addData((ts(20), 7L, 3L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ewm").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .sortBy(_.getAs[Long]("n_events"))
+      // after batch 1: ((0>>1)+1e6)>>1 + 3e6 = 3.5e6
+      assert(rows.head.getAs[Long]("ewma_micro") === 3500000L)
+      // after batch 2: (3.5e6>>1) + 2e6 = 3.75e6 — same as one batch
+      // of all three events (q80's fold)
+      assert(rows.last.getAs[Long]("ewma_micro") === 3750000L)
+      assert(rows.last.getAs[Long]("n_events") === 3L)
+    } finally q.stop()
+  }
+
   test("streaming session_window agrees with batch sessionize on testdata") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q87_stream_sessionize")(spark, sf())
