@@ -19,7 +19,13 @@ object Explain {
       "q55_dedup_cosine_srp_banded", "q56_winnow_containment",
       "q58_decontaminate", "q61_tfidf_topk", "q62_pack_sequences",
       "q63_pii_scrub", "q65_split_assign", "q66_label_centroids",
-      "q67_bucketed_join", "q71_vocab_topk", "q73_stratified_fixed_k")
+      "q67_bucketed_join", "q71_vocab_topk", "q73_stratified_fixed_k",
+      // q83 is audited by hand: its driver-held bitmap literal makes
+      // the formatted dump unreadable (2048-long array printed twice)
+      "q79_semantic_dedup", "q80_ewma_decay", "q81_gap_fill_locf",
+      "q82_fuzzy_er_join", "q85_zscore_outliers",
+      "q86_pagerank_copurchase", "q88_pq_encode", "q90_bigram_lm_score",
+      "q91_percentile_gate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
