@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bloom, Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Stats, Temporal, TextAnalysis}
 import graft.sources.Lake
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1323,7 +1323,7 @@ private[graft] object QueriesPipeline {
     // engines (decimal38 sums here, HUGEINT there), so an outlier
     // list — normally float-fuzzy — hash-matches bit for bit.
     Q("q85_zscore_outliers",
-      (s, dir) => graft.ops.Stats.zscoreOutliers(Tables(s, dir, "events")),
+      (s, dir) => Stats.zscoreOutliers(Tables(s, dir, "events")),
       Some("""WITH t AS (SELECT event_id, event_type,
              |            CAST(floor(value*1000000) AS BIGINT) AS vm
              |          FROM events
@@ -1561,5 +1561,144 @@ private[graft] object QueriesPipeline {
              |  CAST(list_reduce(vs, (a, b) -> a // 2 + b) AS BIGINT)
              |    AS ewma_micro
              |FROM l ORDER BY user_id""".stripMargin)),
+
+    // per-group equi-depth histogram: exact ntile binning over the
+    // deterministic (value, id) order — the feature-bucketization
+    // table where approx_percentile would be the sketch.
+    Q("q93_equidepth_histogram",
+      (s, dir) => Stats.equiDepthHistogram(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT event_type, event_id,
+             |            CAST(floor(value*1000000) AS BIGINT) AS vm
+             |          FROM events
+             |          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |b AS (SELECT event_type, vm, NTILE(10) OVER (
+             |        PARTITION BY event_type ORDER BY vm, event_id) AS bin
+             |      FROM t)
+             |SELECT event_type, CAST(bin AS INTEGER) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(vm) AS lo_micro, MAX(vm) AS hi_micro
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // per-group min-max feature scaling in exact ppm-of-range units —
+    // bounded group aggregate broadcast back, map-only rescale.
+    Q("q94_minmax_normalize",
+      (s, dir) => Stats.minMaxNormalize(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT event_id, event_type,
+             |            CAST(floor(value*1000000) AS BIGINT) AS vm
+             |          FROM events
+             |          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |r AS (SELECT event_type, MIN(vm) AS lo, MAX(vm) AS hi
+             |      FROM t GROUP BY 1)
+             |SELECT t.event_id, t.event_type,
+             |  CAST(CASE WHEN hi = lo THEN 0
+             |       ELSE ((vm - lo)*1000000)//(hi - lo) END AS BIGINT)
+             |    AS norm_ppm
+             |FROM t JOIN r USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // collocation mining by integer lift (the rational PMI): bigrams
+    // with support >= 5, top-100 by how far co-occurrence exceeds the
+    // parts' positional frequencies. The phrase table a tokenizer's
+    // merge step reads.
+    Q("q95_collocations",
+      (s, dir) => TextAnalysis.collocations(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents WHERE text IS NOT NULL),
+             |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+             |           i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+             |       FROM w WHERE len(ws) >= 2),
+             |o AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
+             |cc AS (SELECT w1, w2, COUNT(*) AS c12 FROM o GROUP BY 1, 2
+             |       HAVING COUNT(*) >= 5),
+             |c1 AS (SELECT w1, COUNT(*) AS c1 FROM o GROUP BY 1),
+             |c2 AS (SELECT w2, COUNT(*) AS c2 FROM o GROUP BY 1),
+             |tt AS (SELECT COUNT(*) AS t FROM o),
+             |l AS (SELECT w1, w2, c12,
+             |        (tt.t * c12 * 1000000)//(c1.c1 * c2.c2) AS lift_ppm
+             |      FROM cc JOIN c1 USING (w1) JOIN c2 USING (w2)
+             |      CROSS JOIN tt),
+             |r AS (SELECT *, ROW_NUMBER() OVER (
+             |        ORDER BY lift_ppm DESC, w1, w2) AS rn FROM l)
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+             |  CAST(lift_ppm AS BIGINT) AS lift_ppm
+             |FROM r WHERE rn <= 100
+             |ORDER BY lift_ppm DESC, w1, w2""".stripMargin)),
+
+    // single-pass data-contract validation: every rule is one
+    // conditional sum in ONE scan; adding a rule adds a column, not a
+    // pass. Mixed firing/zero rules prove both directions.
+    Q("q96_contract_validation",
+      (s, dir) => Audit.contractViolations(Tables(s, dir, "events"), Seq(
+        Audit.Rule("null_ts", col("ts").isNull),
+        Audit.Rule("null_user_id", col("user_id").isNull),
+        Audit.Rule("props_missing_k",
+          get_json_object(col("props"), "$.k").isNull),
+        Audit.Rule("unknown_event_type", !col("event_type")
+          .isin("click", "signup", "error", "view", "purchase")),
+        Audit.Rule("value_out_of_range",
+          col("value").isNull || col("value") < 0 || col("value") > 400))),
+      Some("""WITH s AS (SELECT
+             |  SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+             |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+             |  SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+             |      THEN 1 ELSE 0 END) AS props_missing_k,
+             |  SUM(CASE WHEN NOT event_type IN
+             |        ('click','signup','error','view','purchase')
+             |      THEN 1 ELSE 0 END) AS unknown_event_type,
+             |  SUM(CASE WHEN value IS NULL OR value < 0 OR value > 400
+             |      THEN 1 ELSE 0 END) AS value_out_of_range
+             |  FROM events)
+             |SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+             |  SELECT 'null_ts' AS rule, null_ts AS violations FROM s
+             |  UNION ALL SELECT 'null_user_id', null_user_id FROM s
+             |  UNION ALL SELECT 'props_missing_k', props_missing_k FROM s
+             |  UNION ALL SELECT 'unknown_event_type', unknown_event_type FROM s
+             |  UNION ALL SELECT 'value_out_of_range', value_out_of_range FROM s)
+             |ORDER BY rule""".stripMargin)),
+
+    // snapshot diff by content hash: two deterministic corpus
+    // versions (drops, additions, text rewrites carved from doc_id
+    // residues), full-outer-joined on the id — the delta a dataset-
+    // versioning layer stores.
+    Q("q97_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val old = docs.where(col("doc_id") % 11 =!= 3)
+        val cur = docs.where(col("doc_id") % 13 =!= 5)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Audit.snapshotDiff(old, cur)
+      },
+      Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS oh FROM documents
+             |          WHERE doc_id % 11 <> 3),
+             |n AS (SELECT doc_id AS id,
+             |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |            ELSE text END) AS nh
+             |      FROM documents WHERE doc_id % 13 <> 5),
+             |j AS (SELECT COALESCE(o.id, n.id) AS doc_id,
+             |        CASE WHEN o.oh IS NULL THEN 'added'
+             |             WHEN n.nh IS NULL THEN 'removed'
+             |             WHEN o.oh <> n.nh THEN 'changed' END AS status
+             |      FROM o FULL OUTER JOIN n ON o.id = n.id)
+             |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+             |ORDER BY doc_id""".stripMargin)),
+
+    // join-key skew report: the 10 hottest keys with exact ppm shares
+    // and running concentration — the pre-join answer to "salt or
+    // broadcast". TakeOrdered hot cut; shares over the survivors only.
+    Q("q98_skew_report",
+      (s, dir) => Audit.skewReport(Tables(s, dir, "events"), "user_id"),
+      Some("""WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events
+             |          WHERE user_id IS NOT NULL GROUP BY 1),
+             |t AS (SELECT SUM(cnt) AS t FROM c),
+             |r AS (SELECT key, cnt, ROW_NUMBER() OVER (
+             |        ORDER BY cnt DESC, key) AS rank FROM c),
+             |top AS (SELECT * FROM r WHERE rank <= 10)
+             |SELECT CAST(rank AS BIGINT) AS rank, key,
+             |  CAST(cnt AS BIGINT) AS cnt,
+             |  CAST((cnt*1000000)//t.t AS BIGINT) AS share_ppm,
+             |  CAST((SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             |    *1000000)//t.t AS BIGINT) AS cum_ppm
+             |FROM top, t ORDER BY rank""".stripMargin)),
   )
 }

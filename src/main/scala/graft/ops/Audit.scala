@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audits a pipeline runs before it trusts a table:
+  * contract validation (column rules + referential integrity),
+  * snapshot diffing (what changed between two corpus versions), and
+  * skew diagnosis (know your hot keys before the join). All counting
+  * — exact, cheap, oracle-checkable.
+  */
+object Audit {
+
+  /** One declared column rule: name + a violation predicate. */
+  case class Rule(name: String, violated: Column)
+
+  /** Single-pass contract validation: every rule folds to
+    * `sum(case when violated)` in ONE scan of the table — adding a
+    * rule adds a column to the aggregate, not a pass over 100 TB.
+    * Returns one row per rule (rule, violations), rule-ordered.
+    */
+  def contractViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules declared")
+    val sums = rules.map(r =>
+      sum(when(r.violated, 1L).otherwise(0L)).as(r.name))
+    val wide = df.agg(sums.head, sums.tail: _*)
+    // unpivot the 1×|rules| row to (rule, violations) — stack is
+    // in-plan, the wide row is a single driver-sized struct
+    val stackArgs = rules.map(r => s"'${r.name}', ${r.name}").mkString(", ")
+    wide.select(expr(
+        s"stack(${rules.size}, $stackArgs) as (rule, violations)"))
+      .orderBy("rule")
+  }
+
+  /** Referential-integrity count: child rows whose `childKey` has no
+    * match in `parent.parentKey` (a left_anti fold — the orphan
+    * count a foreign-key contract asserts is zero).
+    */
+  def orphanCount(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String): Long =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti").count()
+
+  /** Snapshot diff by content hash: full outer join of two corpus
+    * versions on the id, rows classified added / removed / changed
+    * (same id, different content). Unchanged rows drop — the diff is
+    * the delta a dataset-versioning layer stores, orders of
+    * magnitude smaller than either snapshot. ONE id-keyed shuffle;
+    * hashes (16 bytes) travel, never the documents.
+    */
+  def snapshotDiff(old: DataFrame, current: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = old.select(col(idCol).as("id"), md5(col(textCol)).as("oh"))
+    val n = current.select(col(idCol).as("id"), md5(col(textCol)).as("nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Join-key skew report: the `k` hottest keys with their share of
+    * the table in ppm and the running (cumulative) share — the
+    * one-page answer to "will this key salt or broadcast". Count
+    * aggregate is map-side combinable; the hot cut is
+    * TakeOrdered(k); shares and the running sum compute over the k
+    * survivors only.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("t"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+    val ord = Window.orderBy(col("cnt").desc, col("key"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div t"))
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("cum_ppm", expr("(__cum * 1000000) div t"))
+      .select("rank", "key", "cnt", "share_ppm", "cum_ppm")
+      .orderBy("rank")
+  }
+}

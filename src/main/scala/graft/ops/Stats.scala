@@ -42,4 +42,49 @@ object Stats {
       .select(col(idCol), col(groupCol), col("vm"))
       .orderBy(idCol)
   }
+
+  /** Per-group equi-depth histogram: `buckets` equal-count bins via
+    * ntile over the deterministic (value, id) order, folded to one
+    * row per (group, bin) with count and micro-unit bounds — the
+    * feature-bucketization table (and the input to equi-depth
+    * binning of a model feature) computed exactly, where
+    * approx_percentile would be the sketch. Sorting is bounded per
+    * GROUP partition (one key shuffle), never global.
+    */
+  def equiDepthHistogram(events: DataFrame, buckets: Int = 10,
+      groupCol: String = "event_type", valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("vm"), col(idCol))
+    events
+      .where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+        floor(col(valCol) * 1e6).cast("long").as("vm"))
+      .withColumn("bin", ntile(buckets).over(w))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("n"),
+        min("vm").as("lo_micro"), max("vm").as("hi_micro"))
+      .orderBy(groupCol, "bin")
+  }
+
+  /** Per-group min-max normalization to ppm of the group's range —
+    * `(vm − min)·10⁶ // (max − min)`, constant groups pin to 0. The
+    * feature-scaling map as exact integer arithmetic: one bounded
+    * group aggregate broadcast back, then a map-only rescale.
+    */
+  def minMaxNormalize(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val base = events
+      .where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        floor(col(valCol) * 1e6).cast("long").as("vm"))
+    val ranges = base.groupBy(groupCol)
+      .agg(min("vm").as("lo"), max("vm").as("hi"))
+    base.join(broadcast(ranges), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(expr("((vm - lo) * 1000000) div (hi - lo)"))
+          .as("norm_ppm"))
+      .orderBy(idCol)
+  }
 }

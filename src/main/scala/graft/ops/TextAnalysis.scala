@@ -207,4 +207,40 @@ object TextAnalysis {
         expr("sum(ppm) div count(1)").as("lm_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Collocation extraction by integer lift: for each bigram with
+    * support ≥ `minSupport`, `lift_ppm = T·c(w1,w2)·10⁶ //
+    * (c1(w1)·c2(w2))` — how much more often the pair co-occurs than
+    * its parts' positional frequencies predict (the rational PMI:
+    * same ordering as pointwise mutual information without the log).
+    * Top `k` by (lift desc, w1, w2). The phrase-mining table a
+    * tokenizer-vocab builder reads to decide merges.
+    *
+    * Scale shape: three term-keyed map-side-combinable aggregates off
+    * one materialized occurrence set; the final cut is TakeOrdered(k).
+    */
+  def collocations(docs: DataFrame, k: Int = 100, minSupport: Long = 5L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val occ = Par.spread(docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .localCheckpoint()
+    val c12 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minSupport)
+    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = occ.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = occ.agg(count(lit(1)).as("t"))
+    c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(t * c12 * 1000000) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Audit
+
+class AuditSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("contractViolations counts each rule in one pass") {
+    val d = Seq(
+      (Option(1L), Option(10.0)),
+      (Option.empty[Long], Option(20.0)),
+      (Option(3L), Option.empty[Double]),
+      (Option(4L), Option(-5.0)))
+      .toDF("user_id", "value")
+    val r = Audit.contractViolations(d, Seq(
+      Audit.Rule("null_user", col("user_id").isNull),
+      Audit.Rule("bad_value", col("value").isNull || col("value") < 0)))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("null_user" -> 1L, "bad_value" -> 2L))
+  }
+
+  test("orphanCount: testdata lineitem has no dangling orderkeys; planted orphan counts") {
+    val li = Tables(spark, sf(), "lineitem")
+    val o = Tables(spark, sf(), "orders")
+    assert(Audit.orphanCount(li, "l_orderkey", o, "o_orderkey") === 0L)
+    val planted = li.limit(5).withColumn("l_orderkey", lit(-1L))
+    assert(Audit.orphanCount(planted, "l_orderkey", o, "o_orderkey") === 5L)
+  }
+
+  test("snapshotDiff classifies added / removed / changed; unchanged drops") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val r = Audit.snapshotDiff(old, cur).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status")).toMap
+    assert(r === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("skewReport ranks hot keys with exact shares") {
+    val d = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ Seq.fill(10)(9L))
+      .toDF("k")
+    val r = Audit.skewReport(d, "k", k = 2).collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[Long]("key") === 7L)
+    assert(r(0).getAs[Long]("share_ppm") === 600000L)
+    assert(r(1).getAs[Long]("key") === 8L)
+    assert(r(1).getAs[Long]("cum_ppm") === 900000L)
+  }
+}

@@ -162,6 +162,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.forall(x => x.getAs[Int]("code") >= 0 && x.getAs[Int]("code") < 16))
   }
 
+  test("collocations: lift ppm from corpus-wide counts, support cutoff") {
+    val d = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(d, k = 10, minSupport = 2).collect()
+    // bigrams: (x,y)×3, (y,x)×1 — only (x,y) passes support 2
+    assert(r.length === 1)
+    assert((r.head.getString(0), r.head.getString(1)) === (("x", "y")))
+    // lift = T·c12·1e6 // (c1·c2) = 4·3·1e6 // (3·3)
+    assert(r.head.getAs[Long]("lift_ppm") === 1333333L)
+  }
+
   test("bigramLmScore: corpus-wide transition counts, per-doc mean ppm") {
     val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val r = TextAnalysis.bigramLmScore(d).collect()

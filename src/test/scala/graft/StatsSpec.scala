@@ -46,6 +46,32 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("equiDepthHistogram: balanced bins with ordered, tight bounds") {
+    val r = Stats.equiDepthHistogram(Tables(spark, sf(), "events")).collect()
+    r.groupBy(_.getAs[String]("event_type")).foreach { case (_, bins) =>
+      val ns = bins.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1) // ntile balance
+      val ordered = bins.sortBy(_.getAs[Int]("bin"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi_micro") <= b.getAs[Long]("lo_micro"))
+        case _ =>
+      }
+    }
+  }
+
+  test("minMaxNormalize maps group min to 0 and group max to 1e6") {
+    val d = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 15.0),
+      (4L, "b", 5.0), (5L, "b", 5.0)).toDF("event_id", "event_type", "value")
+    val r = Stats.minMaxNormalize(d).collect()
+      .map(x => x.getAs[Long]("event_id") -> x.getAs[Long]("norm_ppm")).toMap
+    assert(r(1L) === 0L)
+    assert(r(2L) === 1000000L)
+    assert(r(3L) === 500000L)
+    assert(r(4L) === 0L) // constant group pins to 0
+    assert(r(5L) === 0L)
+  }
+
   test("mixturePlan preserves the target mixture and its sample realizes it") {
     val docs = Tables(spark, sf(), "documents")
     val weights = Map("src0" -> 400000L, "src1" -> 300000L,
