@@ -1700,5 +1700,73 @@ private[graft] object QueriesPipeline {
              |  CAST((SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
              |    *1000000)//t.t AS BIGINT) AS cum_ppm
              |FROM top, t ORDER BY rank""".stripMargin)),
+
+    // the six-table star join (TPC-H Q5 shape): local-supplier
+    // revenue per nation inside one region-year. Region/nation/
+    // customer/supplier broadcast; lineitem⋈orders is the ONE fact
+    // shuffle — the plan shape that decides whether a 100 TB star
+    // schema is joinable at all. Decimal-exact revenue like q01.
+    Q("q99_star_join",
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders")
+              .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region"))
+              .where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // rolling 24h range-frame count per user: the sliding-window
+    // feature (events-in-last-day) as an exact RANGE window over
+    // integer epoch-micros — rows-frames can't express it, and both
+    // engines agree on the closed [t-24h, t] bound.
+    Q("q100_rolling_window",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-86400000000L, 0L)
+        Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("n_24h", count(lit(1)).over(w))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS n_24h
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
   )
 }

@@ -34,6 +34,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
   }
 
+  test("q99: every dimension broadcasts; no dim ever sort-merge joins") {
+    val plan = planOf("q99_star_join")
+    // 4+ broadcast joins (customer, supplier, nation, region); the
+    // only permissible shuffle join is lineitem⋈orders (fact side)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(600))
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("SortMergeJoin") == plan.lastIndexOf("SortMergeJoin"))
+    // region filter evaluated before the broadcast, not on the fact
+    assert(plan.contains("isnotnull(r_regionkey") || plan.contains("ASIA"))
+  }
+
+  test("q83: the bloom probe filters the fact below its exchange") {
+    val df = SparkEntry.queries("q83_bloom_prefilter_join")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe (element_at over the bitmap literal) must appear in a
+    // Filter; the join stays a shuffle join (hinted), so the filter
+    // demonstrably guards an exchange
+    assert(plan.contains("element_at"))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("q01: aggregation runs inside whole-stage codegen with partial agg") {
     val df = SparkEntry.queries("q01_pricing_agg")(spark, sf())
     df.collect() // AQE finalizes the plan (codegen spans appear post-execution)
