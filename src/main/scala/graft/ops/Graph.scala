@@ -24,13 +24,26 @@ object Graph {
     * sum formulation. Fixed `iterations`, not convergence-tested:
     * ranking stabilizes in a few rounds and a fixed plan depth is
     * what a relational pipeline wants.
+    *
+    * Shuffle shape: the edge set shuffles ONCE (pre-partitioned by
+    * dst, the per-round aggregate key); rank and degree tables are
+    * node-sized and broadcast, so each round is broadcast-join +
+    * exchange-free aggregate. That explicit broadcast is the
+    * nodes ≪ edges regime (every co-occurrence/citation graph);
+    * for a graph whose node table outgrows broadcast, drop the hint
+    * and pre-partition edges by src instead — rounds then pay one
+    * node-keyed shuffle each, never an edge shuffle.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, dampPpm: Long = 850000L,
       scale: Long = 1000000000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // pre-partition the edge set by dst — the inflow aggregate's key —
+    // so each round's groupBy(dst) reuses the materialized partitioning
+    // (zero per-round edge shuffles; ranks/degrees are node-sized and
+    // broadcast). The one edge shuffle happens here, once.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
@@ -42,8 +55,8 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
     var r = nodes.withColumn("rank", lit(r0))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+      val contrib = e.join(broadcast(r.withColumnRenamed("node", "src")), "src")
+        .join(broadcast(deg), "src")
         .select(col("dst").as("node"),
           expr(s"((rank * ${dampPpm}L) div 1000000L) div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
