@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Stats, Temporal, TextAnalysis}
+import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Stats, Temporal, TextAnalysis}
 import graft.sources.Lake
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -1768,5 +1768,68 @@ private[graft] object QueriesPipeline {
              |FROM events
              |WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
+
+    // incremental materialized-view maintenance: yesterday's state +
+    // today's delta, merged by key — and the ORACLE is the full
+    // rescan aggregate, so the refresh-equals-rebuild invariant is
+    // the thing the gate checks. State shuffles |keys| rows, never
+    // history.
+    Q("q101_incremental_view",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        val state = Analytics.countSumState(ev.where(col("day") < 19743))
+        val delta = Analytics.countSumState(ev.where(col("day") >= 19743))
+        Analytics.mergeCountSum(state, delta)
+          .withColumnRenamed("key", "user_id").orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(value*1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_micro
+             |FROM events
+             |WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |  AND ts IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // two-step funnel (view → purchase within 1h): first-step min and
+    // the second-step candidate fold in ONE groupBy pass — no
+    // self-join; the at-or-after constraint resolves after the fold.
+    Q("q102_funnel",
+      (s, dir) => Analytics.funnel(Tables(s, dir, "events"),
+          "view", "purchase")
+        .withColumnRenamed("key", "user_id"),
+      Some("""WITH b AS (SELECT user_id AS key, event_type AS t,
+             |            epoch_us(ts) AS us FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |            AND event_type IN ('view', 'purchase')),
+             |f AS (SELECT key,
+             |        MIN(CASE WHEN t = 'view' THEN us END) AS first_us,
+             |        list(CASE WHEN t = 'purchase' THEN us END) AS seconds
+             |      FROM b GROUP BY 1),
+             |g AS (SELECT key, first_us,
+             |        list_min(list_filter(seconds, s -> s >= first_us))
+             |          AS second_us
+             |      FROM f WHERE first_us IS NOT NULL)
+             |SELECT key AS user_id, first_us, second_us,
+             |  CAST(CASE WHEN second_us IS NOT NULL
+             |       AND second_us - first_us <= 3600000000
+             |       THEN 1 ELSE 0 END AS INTEGER) AS converted
+             |FROM g ORDER BY key""".stripMargin)),
+
+    // retention triangle on integer epoch-days: cohort = first active
+    // day; one row per (cohort, offset) counting users active that
+    // many days later.
+    Q("q103_retention",
+      (s, dir) => Analytics.retention(Tables(s, dir, "events")),
+      Some("""WITH d AS (SELECT DISTINCT user_id AS key,
+             |            epoch_us(ts)//86400000000 AS day
+             |          FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |c AS (SELECT key, MIN(day) AS cohort_day FROM d GROUP BY 1)
+             |SELECT cohort_day, d.day - c.cohort_day AS day_offset,
+             |  CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM d JOIN c USING (key)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product/warehouse analytics over the event stream: incremental
+  * aggregate-view maintenance, funnel conversion, retention cohorts.
+  * All integer arithmetic (epoch-micro days, micro-unit values,
+  * counts) — exact in any engine.
+  */
+object Analytics {
+
+  /** Count/sum aggregate state per key — the mergeable materialized-
+    * view row. `vm` is the value in micro units so sums stay integer.
+    */
+  def countSumState(events: DataFrame, keyCol: String = "user_id",
+      valCol: String = "value"): DataFrame =
+    events.where(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        floor(col(valCol) * 1e6).cast("long").as("vm"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("vm").as("sum_micro"))
+
+  /** Merge two aggregate states (the incremental-view refresh step:
+    * yesterday's materialized state + today's delta = today's view,
+    * without rescanning history). Full-outer on the key; counts and
+    * sums add. ONE key shuffle over state rows — state is |keys|,
+    * not |events|, which is the whole point at 100 TB.
+    */
+  def mergeCountSum(state: DataFrame, delta: DataFrame): DataFrame =
+    state.select(col("key"), col("n").as("an"), col("sum_micro").as("asum"))
+      .join(delta.select(col("key"), col("n").as("bn"),
+        col("sum_micro").as("bsum")), Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n"),
+        (coalesce(col("asum"), lit(0L)) + coalesce(col("bsum"), lit(0L)))
+          .as("sum_micro"))
+
+  /** Two-step funnel with a conversion deadline: for each user with a
+    * `first` event, the earliest `second` event at-or-after it;
+    * converted iff it lands within `windowUs`. One key shuffle (both
+    * min-aggregates and the conditional min fold in a single groupBy
+    * pass — no self-join, no per-step scan).
+    */
+  def funnel(events: DataFrame, firstType: String, secondType: String,
+      windowUs: Long = 3600000000L, keyCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val base = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(firstType, secondType))
+      .select(col(keyCol).as("key"), col(typeCol).as("t"),
+        unix_micros(col(tsCol)).as("us"))
+    // one pass: the first-step min and the second-step candidate set
+    // (bounded by the key's own history, like ewmaMicro's fold) — the
+    // at-or-after constraint resolves after the fold, no self-join
+    base.groupBy("key")
+      .agg(min(when(col("t") === firstType, col("us"))).as("first_us"),
+        collect_list(when(col("t") === secondType, col("us"))).as("seconds"))
+      .where(col("first_us").isNotNull)
+      .select(col("key"), col("first_us"),
+        array_min(filter(col("seconds"), s => s >= col("first_us")))
+          .as("second_us"))
+      .withColumn("converted",
+        when(col("second_us").isNotNull &&
+          col("second_us") - col("first_us") <= windowUs, 1).otherwise(0)
+          .cast("int"))
+      .select("key", "first_us", "second_us", "converted")
+      .orderBy("key")
+  }
+
+  /** Retention cohorts on integer epoch-days: cohort = the user's
+    * first active day, one row per (cohort_day, day_offset) with the
+    * distinct users active that many days later. Two key shuffles
+    * (per-user cohort fold, then the bounded cohort×offset count) —
+    * the classic triangle table.
+    */
+  def retention(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("key").agg(min("day").as("cohort_day"))
+    days.join(cohorts, Seq("key"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+}
