@@ -1831,5 +1831,37 @@ private[graft] object QueriesPipeline {
              |  CAST(COUNT(*) AS BIGINT) AS n_users
              |FROM d JOIN c USING (key)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // STREAM-STREAM interval join through the oracle gate: views join
+    // purchases of the same user within the following hour, both
+    // sides watermarked (the state-eviction contract a real deploy
+    // needs); the replay drains in one batch so append-mode emission
+    // is complete. The oracle is the equivalent batch range join.
+    Q("q104_stream_stream_join",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        def side(t: String, alias: String) =
+          QueriesAlert.eventStream(s, dir)
+            .where(col("event_type") === t &&
+              col("user_id").isNotNull && col("ts").isNotNull)
+            .withWatermark("ts", "1 hour").alias(alias)
+        val joined = side("view", "v").join(side("purchase", "p"),
+            expr("v.user_id = p.user_id AND " +
+              "p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"))
+          .select(col("v.event_id").as("view_id"),
+            col("p.event_id").as("purchase_id"),
+            col("v.user_id").as("user_id"))
+        QueriesAlert.drainToMemory(s, joined, "q104_sink", OutputMode.Append())
+          .orderBy("view_id", "purchase_id")
+      },
+      Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+             |  v.user_id
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+             |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+             |  AND v.user_id IS NOT NULL AND v.ts IS NOT NULL
+             |  AND p.ts IS NOT NULL
+             |ORDER BY view_id, purchase_id""".stripMargin)),
   )
 }

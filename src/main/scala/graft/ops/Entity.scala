@@ -47,8 +47,12 @@ object Entity {
     a.join(b, Seq("block"))
       .where(col("name_a") < col("name_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      // threshold form early-exits the DP once a row of the distance
+      // matrix exceeds maxDist (returns -1) — the verify is O(n·k)
+      // per candidate instead of O(n·m); within-threshold distances
+      // are identical to the unbounded form, so the oracle is unchanged
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") >= 0)
       .select("name_a", "name_b", "dist")
       .orderBy("name_a", "name_b")
   }
@@ -66,8 +70,8 @@ object Entity {
       .distinct().withColumn("block", block(col("canon")))
     val cand = l.join(r, Seq("block"))
       .where(abs(length(col("name")) - length(col("canon"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name"), col("canon")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("name"), col("canon"), maxDist))
+      .where(col("dist") >= 0)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("name").orderBy(col("dist"), col("canon"))
     cand.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
