@@ -1863,5 +1863,213 @@ private[graft] object QueriesPipeline {
              |  AND v.user_id IS NOT NULL AND v.ts IS NOT NULL
              |  AND p.ts IS NOT NULL
              |ORDER BY view_id, purchase_id""".stripMargin)),
+
+    // PPJoin-style prefix-filtered set-similarity self-join: tokens
+    // sort by global df (rarest first), only the |s|−⌈t|s|⌉+1 prefix
+    // joins, size-compatibility cuts the rest. LOSSLESS by the
+    // prefix-filtering lemma, so the oracle is the plain exact-Jaccard
+    // pair set (q21's, unblocked) — candidate generation must
+    // reconstruct it perfectly. Hot shingles land at every list's
+    // TAIL and never join: the f² blow-up q21 guards with a df-cut
+    // disappears by construction, with zero recall loss.
+    Q("q105_prefix_filter_jaccard",
+      (s, dir) => DocDedup.prefixFilterJaccard(Tables(s, dir, "documents"),
+        n = 3, threshold = 0.5),
+      Some(s"""WITH ${duckShingles("x", "documents")},
+              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |            COUNT(*) AS inter
+              |          FROM xsh a JOIN xsh b
+              |            ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT p.a_id, p.b_id, p.inter,
+              |  CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) AS jac
+              |FROM pairs p
+              |JOIN xsz sa ON p.a_id = sa.doc_id
+              |JOIN xsz sb ON p.b_id = sb.doc_id
+              |WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // PQ asymmetric-distance top-k: the corpus is its 8-byte PQ code
+    // rows (q88), each query a 128-entry integer LUT — approximate
+    // distance is the SUM of m lookups, never a float op on the
+    // corpus side. The oracle chains q88's code CTEs with the same
+    // LUT join and rank, so codes, table entries and the final
+    // ranking all verify bit for bit.
+    Q("q106_pq_adc_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.pqAdcTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+             |           AS INTEGER) AS code, v
+             |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+             |ss AS (SELECT unnest(range(0, 8)) AS s),
+             |subs AS (SELECT vec_id, s,
+             |           v[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS sv
+             |         FROM e CROSS JOIN ss),
+             |csubs AS (SELECT code, s,
+             |            v[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS cv
+             |          FROM cb CROSS JOIN ss),
+             |d AS (SELECT vec_id, subs.s, code,
+             |        list_sum(list_transform(list_zip(sv, cv),
+             |          x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+             |      FROM subs JOIN csubs ON subs.s = csubs.s),
+             |r AS (SELECT vec_id, s, code, dist, ROW_NUMBER() OVER (
+             |        PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+             |      FROM d),
+             |codes AS (SELECT vec_id, s, code FROM r WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+             |qsubs AS (SELECT q_id, s,
+             |            qv[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS sv
+             |          FROM q CROSS JOIN ss),
+             |lut AS (SELECT q_id, qsubs.s, code,
+             |          CAST(floor(list_sum(list_transform(list_zip(sv, cv),
+             |            x -> (x[1]-x[2])*(x[1]-x[2])))*1000000) AS BIGINT)
+             |            AS lut_e6
+             |        FROM qsubs JOIN csubs ON qsubs.s = csubs.s),
+             |a AS (SELECT q_id, vec_id,
+             |        CAST(SUM(lut_e6) AS BIGINT) AS adist_e6
+             |      FROM codes JOIN lut
+             |        ON codes.s = lut.s AND codes.code = lut.code
+             |      GROUP BY 1, 2),
+             |rk AS (SELECT q_id, vec_id, adist_e6, ROW_NUMBER() OVER (
+             |        PARTITION BY q_id ORDER BY adist_e6, vec_id) AS rank
+             |      FROM a)
+             |SELECT q_id, rank, vec_id, adist_e6 FROM rk
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // one-scan column profiler: nulls, exact distincts, min/max for
+    // four columns in a single pass (multi-distinct → one Expand
+    // shuffle, never a second scan). Doubles pre-project to micro
+    // longs — float→string rendering is the one thing engines
+    // disagree on.
+    Q("q107_column_profile",
+      (s, dir) => Audit.profile(
+        Tables(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("value_micro")),
+        Seq("event_id", "user_id", "event_type", "value_micro")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_s,
+             |  CAST(MAX($c) AS VARCHAR) AS max_s
+             |FROM t""".stripMargin
+        s"""WITH t AS (SELECT event_id, user_id, event_type,
+           |  CAST(floor(value*1000000) AS BIGINT) AS value_micro FROM events)
+           |${Seq("event_id", "user_id", "event_type", "value_micro")
+                .map(one).mkString("\nUNION ALL\n")}
+           |ORDER BY col_name""".stripMargin
+      }),
+
+    // small-file compaction: a salted 4-way fan-out lake collapses
+    // back to one file per hour partition; content is provably
+    // untouched (the oracle aggregates the source rows directly).
+    // LakeSpec pins the file-count mechanics; here the gate checks
+    // the data contract.
+    Q("q108_lake_compact",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val srcDir = s"$lakeRoot/compact_src_$tag"
+        val outDir = s"$lakeRoot/compact_out_$tag"
+        val day1 = Tables(s, dir, "events")
+          .where(col("ts") < lit("2024-01-02").cast("timestamp"))
+        Lake.write(day1, srcDir, filesPerHour = 4)
+        Lake.compact(s, srcDir, outDir)
+          .groupBy("hour")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("hour")
+      },
+      Some("""SELECT lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0')
+             |    AS hour,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-02'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // dynamic partition pruning: the fact side is the hour-partitioned
+    // lake, the dim side is "hot hours" — hours holding more than an
+    // even 1/24 share — derived by aggregate+filter, so NO static
+    // predicate exists on the partition column; the pruning filter
+    // must come from the dim at RUNTIME (PlanSpec asserts the
+    // dynamicpruning expression in the scan). At 100 TB this is the
+    // difference between scanning 11/24ths of the lake and all of it.
+    Q("q109_dpp_join",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val lakeDir = s"$lakeRoot/dpp_$tag"
+        val ev = Tables(s, dir, "events").where(col("ts").isNotNull)
+        val fact = Lake.write(ev, lakeDir)
+        val byHour = ev.groupBy(date_format(col("ts"), "HH").as("hour"))
+          .agg(count(lit(1)).as("hcnt"))
+        // the total via an empty-frame window, NOT a crossJoin with a
+        // scalar aggregate: the optimizer folds a cross-join filter
+        // into a join CONDITION, and DPP's selectivity probe only
+        // recognizes Filter nodes — the window keeps the predicate a
+        // Filter and the pruning subquery materializes. The window is
+        // a single partition of ≤24 rows (one per hour-of-day), not a
+        // data-sized sort.
+        import org.apache.spark.sql.expressions.Window
+        val hot = byHour
+          .withColumn("t", sum(col("hcnt")).over(Window.partitionBy()))
+          .where(col("hcnt") * 24 > col("t")).select("hour")
+        // broadcast the dim EXPLICITLY: DPP (reuseBroadcastOnly, the
+        // default) only injects the runtime pruning subquery when the
+        // dim side's broadcast exchange already exists to reuse —
+        // without the hint the size estimate of an aggregate is
+        // unknown and the planner picks SMJ, silently dropping the
+        // pruning opportunity
+        fact.join(broadcast(hot), Seq("hour"))
+          .groupBy("hour")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("hour")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+             |h AS (SELECT lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR),
+             |          2, '0') AS hour, COUNT(*) AS hcnt
+             |      FROM e GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS t FROM e),
+             |hot AS (SELECT hour FROM h, t WHERE h.hcnt*24 > t.t)
+             |SELECT hour, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM e JOIN hot
+             |  ON lpad(CAST(EXTRACT(hour FROM e.ts) AS VARCHAR), 2, '0')
+             |     = hot.hour
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // grouping sets — the generalized rollup/cube surface (q17/q44
+    // cover the fixed shapes): per (type, user-decile), per type, and
+    // grand total in ONE pass, grouping_id disambiguating aggregate
+    // nulls from data nulls.
+    Q("q110_grouping_sets",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .select(col("event_type"), (col("user_id") % 10).as("user_mod"),
+            floor(col("value") * 1e6).cast("long").as("vm"))
+        ev.groupingSets(
+            Seq(Seq(col("event_type"), col("user_mod")),
+              Seq(col("event_type")), Seq()),
+            col("event_type"), col("user_mod"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+            sum(col("vm")).as("sum_micro"))
+          .orderBy("gid", "event_type", "user_mod")
+      },
+      Some("""SELECT event_type, user_id % 10 AS user_mod,
+             |  CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid,
+             |  COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(floor(value*1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_micro
+             |FROM events WHERE user_id IS NOT NULL
+             |GROUP BY GROUPING SETS ((event_type, user_id % 10),
+             |  (event_type), ())
+             |ORDER BY gid, event_type, user_mod""".stripMargin)),
   )
 }

@@ -62,6 +62,36 @@ object Audit {
       .orderBy("doc_id")
   }
 
+  /** One-scan column profiler: per profiled column — null count,
+    * exact distinct count, min and max (stringified AFTER the typed
+    * aggregate, so numeric order is preserved) — all columns fold in
+    * ONE pass over the table. Adding a column adds aggregate
+    * expressions, never a scan; the multi-distinct rewrites through
+    * Spark's Expand (one shuffle carrying (col-tag, value) pairs),
+    * which is the right trade at 100 TB: a second full scan costs
+    * more than the expand's wider shuffle. Callers pre-project
+    * doubles to micro-unit longs — float→string rendering is the one
+    * thing engines disagree on.
+    *
+    * Output long-form: one row per column
+    * `(col_name, n_nulls, n_distinct, min_s, max_s)`.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")) }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) " +
+        "as (col_name, n_nulls, n_distinct, min_s, max_s)"))
+      .orderBy("col_name")
+  }
+
   /** Join-key skew report: the `k` hottest keys with their share of
     * the table in ppm and the running (cumulative) share — the
     * one-page answer to "will this key salt or broadcast". Count

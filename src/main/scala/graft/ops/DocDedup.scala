@@ -95,6 +95,79 @@ object DocDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** PPJoin-style prefix-filtered set-similarity self-join — the
+    * candidate generator that replaces [[ngramJaccard]]'s full shingle
+    * self-join at corpus scale. Tokens are the same distinct 3-gram
+    * shingle hashes; each document's token list is sorted by a GLOBAL
+    * order (document frequency ascending, hash tie-break — rarest
+    * first), and only the first `|s| − ⌈t·|s|⌉ + 1` tokens (the
+    * prefix) enter the self-join. The prefix-filtering lemma
+    * (Chaudhuri et al. SSJoin / Bayardo et al. WWW'07 / Xiao et al.
+    * PPJoin): with the size-compatibility cut `t·|a| ≤ |b| ≤ |a|/t`,
+    * any pair with Jaccard ≥ t MUST share a prefix token under ANY
+    * global total order — so candidate generation is LOSSLESS and the
+    * result equals the exact-Jaccard pair set, while the join touches
+    * only the rare end of each token list. A stopword-run shingle in
+    * f docs lands at the TAIL of every list (df descending = last)
+    * and never joins — the f² blow-up [[ngramJaccard]] needs its
+    * df-cut guard for disappears by construction, with zero recall
+    * loss.
+    *
+    * Scale shape: df counts are one map-side-combinable groupBy; the
+    * per-doc sort is over that doc's tokens only (array sort inside a
+    * row, no global sort); the self-join carries prefix tokens only
+    * (≤ half the tokens at t=0.5); verification re-joins full token
+    * sets for the (rare) candidates. The global order makes hot
+    * tokens structurally un-joinable instead of merely guarded.
+    */
+  def prefixFilterJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct shingle hashes per doc, one map-side kernel pass
+    // (materialized once: df-count, prefix join and both verify
+    // branches all read it)
+    val base = Par.spread(docs).select(col(idCol).as("doc_id"),
+        call_function("shingle_hashes", split(col(textCol), " "), lit(n)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .localCheckpoint()
+    val toks = base.select(col("doc_id"), explode(col("hs")).as("s"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = base.select(col("doc_id"), size(col("hs")).as("nt"))
+    // rank tokens inside each doc by the global (df, hash) order; the
+    // window partition is the doc — bounded work per row, never global
+    val rn = row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("df"), col("s")))
+    // prefix length |s| − ⌈t·|s|⌉ + 1; ε guards the ceil against the
+    // product landing a hair HIGH in binary (a short prefix could drop
+    // a true pair — longer is always safe, shorter never is)
+    val prefixLen = col("nt") - ceil(col("nt") * threshold - lit(1e-9)) + 1
+    val pref = toks.join(dfreq, "s").join(sizes, "doc_id")
+      .withColumn("rn", rn)
+      .where(col("rn") <= prefixLen)
+      .select("doc_id", "s", "nt")
+    // candidates: share a prefix token + size-compatible (ε-slack on
+    // the conservative side — extra candidates die in the exact
+    // verify, missing ones are unrecoverable)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.nt") >= col("b.nt") * threshold - lit(1e-9) &&
+          col("b.nt") >= col("a.nt") * threshold - lit(1e-9))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.nt").as("na"), col("b.nt").as("nb"))
+      .dropDuplicates("a_id", "b_id")
+    // exact verify over full token sets — candidates only
+    cand
+      .join(toks.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "inter", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Portable band hash: fold the band's signature slice through the
     * glibc-style LCG step, seeded by the band index — exact integer
     * arithmetic (sig values are 31-bit, `acc·1103515245 + v < 2^62`),

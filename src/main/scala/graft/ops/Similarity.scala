@@ -239,4 +239,60 @@ object Similarity {
         col("bc.code").as("code"), col("bc.dist_e6").as("dist_e6"))
       .orderBy("vec_id", "sub")
   }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes — the
+    * memory-compressed serving scan for billion-vector ANN (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search"). The
+    * corpus is represented by its [[pqEncode]] codes (m bytes per
+    * vector instead of dim floats); each query builds a small lookup
+    * table (m·k floor-e6 squared-L2 distances from its subvectors to
+    * every codeword) and a vector's approximate distance is the SUM
+    * of m integer table lookups — no float math ever touches the
+    * corpus side, so the 100 TB scan reads 8 bytes/vector and stays
+    * map-side (codes ⋈ broadcast LUT). Integer-exact end to end: the
+    * oracle recomputes codes, LUTs and ranks relationally.
+    */
+  def pqAdcTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 3,
+      m: Int = 8, kcode: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = pqEncode(embeddings, m, kcode, idCol, vecCol)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // same deterministic codebook derivation as pqEncode (driver-tiny:
+    // the first kcode vectors by id, m·k·w doubles)
+    val first = embeddings.orderBy(idCol).limit(kcode)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(first.nonEmpty, "pqAdcTopK needs a non-empty corpus")
+    val dim = first.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val w = dim / m
+    val codebooks = (0 until m).map(s => first.map(_.slice(s * w, (s + 1) * w)))
+    // per-query LUT: m·k rows, each the floor-e6 squared distance from
+    // the query's subvector to one codeword — the same fold and the
+    // same quantization as pqEncode's dist_e6, so both engines agree
+    val lutStructs = for { s <- 0 until m; c <- 0 until kcode } yield {
+      val sv = slice(col("qv"), s * w + 1, w)
+      struct(lit(s).as("sub"), lit(c).as("code"),
+        floor(aggregate(
+          zip_with(sv, lit(codebooks(s)(c)), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x) * 1e6).cast("long").as("lut_e6"))
+    }
+    val lut = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("q_id"), explode(array(lutStructs: _*)).as("l"))
+      .select(col("q_id"), col("l.sub").cast("int").as("sub"),
+        col("l.code").cast("int").as("code"), col("l.lut_e6").as("lut_e6"))
+    // ADC distance = Σ_sub lut[sub][code(vec, sub)] — integer sum of m
+    // lookups; the LUT (queries × m × k rows) broadcasts, the code
+    // table never shuffles
+    val adist = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("lut_e6").as("adist_e6"))
+    val rnw = Window.partitionBy("q_id").orderBy(col("adist_e6"), col("vec_id"))
+    adist.withColumn("rank", row_number().over(rnw))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adist_e6")
+      .orderBy("q_id", "rank")
+  }
 }

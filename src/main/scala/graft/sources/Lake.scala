@@ -53,6 +53,32 @@ object Lake {
     read(df.sparkSession, dir)
   }
 
+  /** Compact a lake directory in place of its small files: read
+    * `dir`, shuffle back to ONE file per hive partition (the inverse
+    * of [[write]]'s salted fan-out), and rewrite to `outDir`. The
+    * nightly job that undoes streaming's per-batch file spray —
+    * at 1000 executors a day of micro-batches leaves O(100k) KB-scale
+    * files per table, and scan cost at 100 TB is dominated by file
+    * OPEN overhead, not bytes. Row content is untouched (LakeSpec
+    * pins parity); only layout changes.
+    *
+    * `filesPerPartition > 1` keeps a bounded fan-out for partitions
+    * that outgrow one writer — same salting discipline as [[write]].
+    */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      filesPerPartition: Int = 1): DataFrame = {
+    val df = spark.read.option("basePath", dir).parquet(dir)
+    val keys = partitionCols.map(col)
+    val spread =
+      if (filesPerPartition <= 1) df.repartition(keys: _*)
+      else df.repartition((keys :+
+        pmod(xxhash64(struct(df.columns.map(col): _*)),
+          lit(filesPerPartition))): _*)
+    spread.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(outDir)
+    read(spark, outDir)
+  }
+
   /** Read a lake directory back. Partition columns arrive as strings
     * (zero-padded, reference parity); equality predicates on them
     * prune at planning time (PlanSpec/LakeSpec assert the scan's

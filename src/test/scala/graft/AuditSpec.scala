@@ -22,6 +22,25 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r === Map("null_user" -> 1L, "bad_value" -> 2L))
   }
 
+  test("profile: nulls, exact distincts, typed min/max in one pass") {
+    val d = Seq(
+      (Option(3L), Option("b")),
+      (Option(10L), Option("a")),   // numeric min/max must NOT be lexicographic
+      (Option(3L), Option.empty[String]),
+      (Option.empty[Long], Option("a")))
+      .toDF("k", "s")
+    val r = Audit.profile(d, Seq("k", "s")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getString(3), x.getString(4))).toMap
+    assert(r("k") === ((1L, 2L, "3", "10"))) // min 3, max 10 (not "10" < "3")
+    assert(r("s") === ((1L, 2L, "a", "b")))
+    // one scan: the plan reads the table once (Expand handles the
+    // multi-distinct), never unions per-column passes
+    val plan = Audit.profile(d, Seq("k", "s")).queryExecution
+      .optimizedPlan.toString
+    assert(plan.contains("Expand") || plan.split("LocalRelation").length <= 3)
+  }
+
   test("orphanCount: testdata lineitem has no dangling orderkeys; planted orphan counts") {
     val li = Tables(spark, sf(), "lineitem")
     val o = Tables(spark, sf(), "orders")

@@ -91,6 +91,30 @@ class LakeSpec extends AnyFunSuite with SparkSuite {
     assert(pruned.count() == 1)
   }
 
+  test("compact collapses a fanned-out hour back to one file, rows intact") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, "2024-03-05 10:00:30", s"v$i"))
+      .toDF("id", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val src = s"$tmp/compact_src"
+    val out = s"$tmp/compact_out"
+    val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val minP = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val (adv0, minP0) = (spark.conf.get(adv, "64MB"), spark.conf.get(minP, "1MB"))
+    spark.conf.set(adv, "1b"); spark.conf.set(minP, "1b")
+    try Lake.write(df, src, filesPerHour = 4)
+    finally { spark.conf.set(adv, adv0); spark.conf.set(minP, minP0) }
+    def files(root: String) = new java.io.File(
+      s"$root/year=2024/month=03/day=05/hour=10")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(src) > 1) // the spray compact exists to undo
+    val back = Lake.compact(spark, src, out)
+    assert(files(out) == 1)
+    // content parity: same ids, same payloads
+    assert(back.select("id", "v").orderBy("id").collect().toSeq ===
+      df.select("id", "v").orderBy("id").collect().toSeq)
+  }
+
   test("filesPerHour spreads one hot hour over several files") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, "2024-03-05 10:00:30", s"v$i"))

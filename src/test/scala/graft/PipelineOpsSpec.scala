@@ -127,6 +127,60 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(cellDirs.nonEmpty && cellDirs.length <= 16)
   }
 
+  test("prefix-filter jaccard is lossless: equals brute-force pair set") {
+    // the prefix-filtering lemma's claim is exactness — verify the
+    // candidate generator against an in-memory brute force over the
+    // full sf0.01 corpus (500 docs, every pair checked)
+    val d = Tables(spark, sf("sf0.01"), "documents")
+    val sets = d.select(col("doc_id"), DocDedup.shingles(col("text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ia, sa) = sets(i); (ib, sb) = sets(j)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.5
+    } yield (ia, ib, inter.toLong, jac)).toSet
+    val got = DocDedup.prefixFilterJaccard(d, n = 3, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("inter"), r.getAs[Double]("jac"))).toSet
+    assert(got === expected)
+  }
+
+  test("pq adc top-k matches an in-memory reference implementation") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val (m, kcode) = (8, 16)
+    val dim = vecs.head._2.length
+    val w = dim / m
+    val codebooks = (0 until m).map(s =>
+      vecs.take(kcode).map(_._2.slice(s * w, (s + 1) * w)))
+    // left-to-right fold, floor-e6 — the exact arithmetic of the plan
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    def code(v: Array[Double], s: Int): Int =
+      codebooks(s).zipWithIndex
+        .map { case (c, i) => (sq(v.slice(s * w, (s + 1) * w), c), i) }
+        .min._2
+    val queries = vecs.filter(_._1 < 5)
+    val expected = (for { (qid, qv) <- queries } yield {
+      val lut = (0 until m).map(s => (0 until kcode).map(c =>
+        math.floor(sq(qv.slice(s * w, (s + 1) * w), codebooks(s)(c)) * 1e6).toLong))
+      vecs.map { case (vid, v) =>
+        (vid, (0 until m).map(s => lut(s)(code(v, s))).sum)
+      }.sortBy { case (vid, ad) => (ad, vid) }.take(3).zipWithIndex
+        .map { case ((vid, ad), i) => (qid, i + 1, vid, ad) }
+    }).flatten.toSet
+    val got = Similarity.pqAdcTopK(e, e.where(col("vec_id") < 5), k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("adist_e6"))).toSet
+    assert(got === expected)
+  }
+
   test("banded cosine dedup: exact-verified candidates, bands bound the blocks") {
     // colinear pair (cos 1.0) must land in the same bucket in EVERY
     // band (identical sign pattern), so banding can never lose it

@@ -93,6 +93,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(filtered.count() > 0)
   }
 
+  test("q109: lake scan carries a dynamicpruning partition filter") {
+    // no static predicate exists on the partition column — the hot
+    // set is derived at runtime from the dim aggregate, so the prune
+    // MUST be dynamic; a regression here silently reverts to a full
+    // lake scan at 100 TB
+    val plan = SparkEntry.queries("q109_dpp_join")(spark, sf())
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("dynamicpruning"))
+  }
+
   test("bucketed tables co-locate joins: no Exchange on either side") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
