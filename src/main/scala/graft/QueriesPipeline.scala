@@ -2071,5 +2071,117 @@ private[graft] object QueriesPipeline {
              |GROUP BY GROUPING SETS ((event_type, user_id % 10),
              |  (event_type), ())
              |ORDER BY gid, event_type, user_mod""".stripMargin)),
+
+    // robust outliers: median/MAD rank statistics instead of moments —
+    // the z-gate's σ is inflated by the very outliers it hunts; ranks
+    // aren't. Lower-median convention keeps everything BIGINT (no
+    // even/odd interpolation for engines to disagree on).
+    Q("q111_mad_outliers",
+      (s, dir) => Stats.madOutliers(Tables(s, dir, "events")),
+      Some("""WITH b AS (SELECT event_id, event_type,
+             |            CAST(floor(value*1000000) AS BIGINT) AS vm
+             |          FROM events
+             |          WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |          ORDER BY vm, event_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM b),
+             |med AS (SELECT event_type, vm AS med FROM r WHERE rn = (cnt+1)//2),
+             |d AS (SELECT b.event_id, b.event_type, b.vm, med.med,
+             |        ABS(b.vm - med.med) AS ad
+             |      FROM b JOIN med USING (event_type)),
+             |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |          ORDER BY ad, event_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+             |mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rn = (cnt+1)//2)
+             |SELECT d.event_id, d.event_type, d.vm, d.med, m.mad
+             |FROM d JOIN mad m USING (event_type)
+             |WHERE d.ad > 5*m.mad
+             |ORDER BY d.event_id""".stripMargin)),
+
+    // triangle counting over the co-purchase graph by degree-ordered
+    // orientation — out-degree bounded O(√m) under the order, so the
+    // wedge join survives power-law hubs. Each triangle is owned by
+    // its minimum-order vertex and credited to all three.
+    Q("q112_triangle_count",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.ops.Graph.triangleCount(e)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |            FROM lineitem),
+             |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
+             |          GREATEST(a.p, b.p) AS v
+             |        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |        FROM und e1 JOIN und e2 ON e2.u = e1.v
+             |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |nodes AS (SELECT a AS node FROM tri
+             |          UNION ALL SELECT b FROM tri
+             |          UNION ALL SELECT c FROM tri)
+             |SELECT node, COUNT(*) AS triangles FROM nodes
+             |GROUP BY 1 ORDER BY triangles DESC, node LIMIT 100""".stripMargin)),
+
+    // SCD2 dimension build: collapse the event stream to validity
+    // intervals (one row per state change, [eff_from, eff_to) in
+    // epoch-µs, open current interval). The inverse of q77's
+    // latest-version compaction — and what turns "state at time t"
+    // into a plain interval join.
+    Q("q113_scd2_build",
+      (s, dir) => Temporal.scd2Build(Tables(s, dir, "events")),
+      Some("""WITH b AS (SELECT user_id, event_type,
+             |            epoch_us(ts) AS eff_from, event_id
+             |          FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |            AND event_type IS NOT NULL),
+             |c AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY eff_from, event_id) AS prev FROM b),
+             |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS state, eff_from,
+             |  LEAD(eff_from) OVER (PARTITION BY user_id
+             |    ORDER BY eff_from, event_id) AS eff_to,
+             |  (LEAD(eff_from) OVER (PARTITION BY user_id
+             |    ORDER BY eff_from, event_id) IS NULL) AS is_current
+             |FROM ch ORDER BY user_id, eff_from""".stripMargin)),
+
+    // HLL sketch persistence: per-(type, day) DataSketches HLL states
+    // land in parquet and are UNIONED on read-back — the incremental-
+    // analytics contract (yesterday's sketch never recomputes) that
+    // q42's transient estimate can't give. exact_users/sketch_days
+    // hash-check; the estimate is a 5% accuracy contract like q42's.
+    Q("q114_hll_persist_union",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val skDir = s"$lakeRoot/hll_$tag"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        ev.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+          .write.mode("overwrite").parquet(skDir)
+        val merged = s.read.parquet(skDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("sketch_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(merged, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"), col("sketch_days"),
+            (abs(col("est") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("est_ok"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |            epoch_us(ts) // 86400000000 AS day, user_id
+             |          FROM events
+             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+             |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             |  COUNT(DISTINCT day) AS sketch_days,
+             |  CAST(1 AS BOOLEAN) AS est_ok
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

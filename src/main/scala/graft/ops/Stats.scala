@@ -67,6 +67,52 @@ object Stats {
       .orderBy(groupCol, "bin")
   }
 
+  /** Robust (median/MAD) outlier flags, integer-exact: with
+    * `vm = floor(value·10⁶)`, the group median is the LOWER median —
+    * the value at row_number `(n+1) div 2` in `(vm, id)` order — and
+    * MAD is the same rank statistic over `|vm − med|`. A row is
+    * flagged when `|vm − med| > k·MAD` (strict, so a zero-MAD group —
+    * more than half one value — flags only rows off the median). The
+    * z-score gate ([[zscoreOutliers]]) breaks under the outliers it
+    * hunts (they inflate σ); rank statistics don't, which is why
+    * data-quality gates on crawled corpora want MAD.
+    *
+    * Every statistic is a value AT a rank, never an average of two —
+    * the lower-median convention keeps the whole op in BIGINT and
+    * engine-portable (no even/odd interpolation to disagree on).
+    *
+    * Shape: two per-GROUP sort windows (rank within group — bounded
+    * by the group's partition, never a global sort) with the
+    * group-sized median tables broadcast back; the flag itself is a
+    * map-only predicate. Same 100 TB contract as
+    * [[equiDepthHistogram]]: one key shuffle per ranking pass.
+    */
+  def madOutliers(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value", idCol: String = "event_id",
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        floor(col(valCol) * 1e6).cast("long").as("vm"))
+    def medianAtRank(df: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy(col(c), col(idCol))
+      val n = Window.partitionBy(groupCol)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col(groupCol), col(c).as(out))
+    }
+    val med = medianAtRank(base, "vm", "med")
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("ad", abs(col("vm") - col("med")))
+    val mad = medianAtRank(dev, "ad", "mad")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .where(col("ad") > lit(k.toLong) * col("mad"))
+      .select(col(idCol), col(groupCol), col("vm"), col("med"), col("mad"))
+      .orderBy(idCol)
+  }
+
   /** Per-group min-max normalization to ppm of the group's range —
     * `(vm − min)·10⁶ // (max − min)`, constant groups pin to 0. The
     * feature-scaling map as exact integer arithmetic: one bounded

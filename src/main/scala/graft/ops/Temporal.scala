@@ -37,6 +37,42 @@ object Temporal {
       .drop(rn)
   }
 
+  /** Slowly-changing-dimension type-2 build: collapse a per-key event
+    * stream into validity intervals — one row per STATE CHANGE,
+    * carrying `[eff_from, eff_to)` epoch-micros bounds (open current
+    * interval → null `eff_to`, `is_current` true). The dimension-table
+    * construction every warehouse does to make "what was this user's
+    * state at time t" a plain [[intervalJoin]]/[[asofJoin]] instead of
+    * a scan-back — and the inverse of [[latestByKey]], which keeps
+    * only the last interval.
+    *
+    * Change detection is `state ≠ lag(state)` over the deterministic
+    * `(ts, id)` order (ties broken by id, so duplicate-timestamp
+    * events produce a stable interval chain); `eff_to` is the NEXT
+    * change's `eff_from` via lead over the surviving rows. Two window
+    * passes over ONE key shuffle — the partitioning from the lag pass
+    * is reused by the lead pass (same key), nothing global.
+    */
+  def scd2Build(events: DataFrame, keyCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val changes = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(keyCol), col(stateCol),
+        unix_micros(col(tsCol)).as("eff_from"), col(idCol))
+      .withColumn("prev", lag(col(stateCol), 1).over(
+        Window.partitionBy(keyCol).orderBy(col("eff_from"), col(idCol))))
+      .where(col("prev").isNull || col("prev") =!= col(stateCol))
+    val w2 = Window.partitionBy(keyCol).orderBy(col("eff_from"), col(idCol))
+    changes
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(w2))
+      .select(col(keyCol), col(stateCol).as("state"),
+        col("eff_from"), col("eff_to"),
+        col("eff_to").isNull.as("is_current"))
+      .orderBy(keyCol, "eff_from")
+  }
+
   /** As-of join: each left row picks the latest right row with the
     * same key and right ts <= left ts (point-in-time enrichment — the
     * lookup that makes training-data features leak-free).

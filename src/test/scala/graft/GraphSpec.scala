@@ -27,6 +27,46 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(ranks(2L) === ranks(3L)) // symmetric leaves tie exactly
   }
 
+  test("triangleCount: K4 has four triangles, every vertex in three") {
+    // complete graph on 4 nodes, fed as DIRECTED duplicates (both
+    // directions) to prove the undirected dedup
+    val und = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
+    val r = Graph.triangleCount(und.toDF("src", "dst")).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("triangles")).toMap
+    assert(r === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCount: a hub star has no triangles; closing one edge makes one") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+    assert(Graph.triangleCount(star.toDF("src", "dst")).collect().isEmpty)
+    val closed = star :+ ((4L, 5L))
+    val r = Graph.triangleCount(closed.toDF("src", "dst")).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("triangles")).toMap
+    assert(r === Map(0L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("triangleCount matches a brute-force reference on a random graph") {
+    // deterministic pseudo-random sparse graph, heavy hub included so
+    // the degree-orientation path is exercised on skew
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) ++
+      (0 until 25).map(i => (99L, i.toLong)) // hub
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triangles = for {
+      (a, b) <- und.toSeq; c <- adj.getOrElse(b, Set.empty)
+      if und.contains((a, c))
+    } yield (a, b, c)
+    val expected = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val got = Graph.triangleCount(edges.toDF("src", "dst"), topN = 1000)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("triangles"))
+      .toMap
+    assert(got === expected)
+  }
+
   test("pageRank is exactly reproducible across partitionings") {
     val li = Tables(spark, sf(), "lineitem")
       .select(org.apache.spark.sql.functions.col("l_orderkey").as("o"),

@@ -68,6 +68,26 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("DataSketches HLL state round-trips parquet and unions losslessly") {
+    import spark.implicits._
+    // sketch built in two halves, persisted, unioned on read-back ==
+    // sketch built in one pass over everything — merge associativity
+    // is what makes yesterday's sketch reusable tomorrow
+    val d = (1L to 3000L).map(i => (i % 2, i % 701)).toDF("half", "v")
+    val dir = java.nio.file.Files.createTempDirectory("hll_rt_").toString
+    d.groupBy("half").agg(hll_sketch_agg(col("v"), lit(12)).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val onePass = d.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("est"))
+      .head().getLong(0)
+    assert(merged === onePass)
+    // and the estimate is exact-adjacent at this cardinality (701 « 2^12)
+    assert(math.abs(merged - 701L) <= 701L / 20)
+  }
+
   test("HLL partial aggregation: the distinct shuffle carries sketches, not values") {
     val plan = Tables(spark, sf(), "events")
       .groupBy("event_type")

@@ -46,6 +46,39 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
+  test("madOutliers: robust to the outlier that breaks the z-gate") {
+    // 20 values at 10.0 plus one 1000.0 spike: median 10, MAD 0 —
+    // the spike flags (ad 990M > 5·0) and NOTHING else does, however
+    // extreme the spike (σ would have been inflated by it)
+    val rows = (1L to 20L).map(i => (i, "a", 10.0)) :+ ((21L, "a", 1000.0))
+    val r = Stats.madOutliers(rows.toDF("event_id", "event_type", "value"))
+      .collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSeq === Seq(21L))
+    assert(r.head.getAs[Long]("med") === 10000000L)
+    assert(r.head.getAs[Long]("mad") === 0L)
+  }
+
+  test("madOutliers matches a rank-arithmetic reference on testdata") {
+    val ev = Tables(spark, sf(), "events")
+      .where(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1e6).cast("long").as("vm"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("vm")))
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      def lowerMedian(xs: Seq[Long]): Long = {
+        val s = xs.sorted; s((s.size + 1) / 2 - 1)
+      }
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val mad = lowerMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.filter(r => math.abs(r._3 - med) > 5L * mad).map(_._1).toSeq
+    }.toSet
+    val got = Stats.madOutliers(Tables(spark, sf(), "events"))
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === expected)
+  }
+
   test("equiDepthHistogram: balanced bins with ordered, tight bounds") {
     val r = Stats.equiDepthHistogram(Tables(spark, sf(), "events")).collect()
     r.groupBy(_.getAs[String]("event_type")).foreach { case (_, bins) =>

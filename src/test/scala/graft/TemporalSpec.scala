@@ -92,6 +92,36 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
       (200L, "click", 5L)))
   }
 
+  test("scd2Build collapses runs, chains intervals, marks the open one") {
+    val d = Seq(
+      (1L, 7L, "free", ts(0)),
+      (2L, 7L, "free", ts(5)),   // duplicate state → collapses into run
+      (3L, 7L, "pro", ts(10)),
+      (4L, 7L, "free", ts(20)),  // back to free = a NEW interval
+      (5L, 8L, "pro", ts(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Temporal.scd2Build(d).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("state"),
+        x.getAs[Long]("eff_from"),
+        Option(x.getAs[java.lang.Long]("eff_to")).map(_.toLong),
+        x.getAs[Boolean]("is_current")))
+    def us(m: Int): Long = ts(m).getTime * 1000L
+    assert(r.toSeq === Seq(
+      (7L, "free", us(0), Some(us(10)), false),
+      (7L, "pro", us(10), Some(us(20)), false),
+      (7L, "free", us(20), None, true),
+      (8L, "pro", us(1), None, true)))
+  }
+
+  test("scd2Build: equal timestamps order by id (stable interval chain)") {
+    val d = Seq(
+      (2L, 7L, "b", ts(0)),  // same ts — id 1 then 2
+      (1L, 7L, "a", ts(0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Temporal.scd2Build(d).collect().map(_.getAs[String]("state"))
+    assert(r.toSeq === Seq("a", "b"))
+  }
+
   test("sessionize splits on gaps and counts events") {
     val ev = Seq((7L, ts(0)), (7L, ts(10)), (7L, ts(12)),
       (7L, ts(50)), (7L, ts(55)), (9L, ts(0)))
