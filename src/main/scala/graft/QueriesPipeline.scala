@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Similarity, Skew, Stats, Temporal, TextAnalysis}
-import graft.sources.Lake
+import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
+import graft.sources.{Lake, ZOrder}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
@@ -2183,5 +2183,128 @@ private[graft] object QueriesPipeline {
              |  COUNT(DISTINCT day) AS sketch_days,
              |  CAST(1 AS BOOLEAN) AS est_ok
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // z-order (Morton) values: both dimensions floor-scaled onto 16
+    // bits, bits interleaved by shift/mask column arithmetic — the
+    // multi-dim clustering key behind OPTIMIZE ZORDER BY, exact
+    // integer end to end (the LAYOUT effect — tight per-file min/max
+    // on both dims — is pinned by ZOrderSpec; the z math is what an
+    // oracle can check).
+    Q("q115_zorder_values",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 1e6).cast("long").as("vm"))
+        ZOrder.withZValue(ev, "user_id", "vm")
+          .select("event_id", "zx", "zy", "z")
+          .orderBy("event_id")
+      },
+      Some {
+        val interleave = (0 until 16).map(i =>
+          s"((zx // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+            s"((zy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT event_id, user_id,
+           |            CAST(floor(value*1000000) AS BIGINT) AS vm
+           |          FROM events
+           |          WHERE user_id IS NOT NULL AND value IS NOT NULL),
+           |r AS (SELECT MIN(user_id) AS xlo, MAX(user_id) AS xhi,
+           |        MIN(vm) AS ylo, MAX(vm) AS yhi FROM b),
+           |sc AS (SELECT event_id,
+           |        CASE WHEN xhi = xlo THEN 0
+           |          ELSE ((user_id - xlo) * 65535) // (xhi - xlo) END AS zx,
+           |        CASE WHEN yhi = ylo THEN 0
+           |          ELSE ((vm - ylo) * 65535) // (yhi - ylo) END AS zy
+           |       FROM b, r)
+           |SELECT event_id, zx, zy, $interleave AS z
+           |FROM sc ORDER BY event_id""".stripMargin
+      }),
+
+    // dense global row numbering WITHOUT the single-task global
+    // window: range shuffle on the order key, per-partition counts to
+    // the driver, prefix-sum offsets broadcast back. The oracle is
+    // the plan that does NOT scale — row_number() over a global
+    // ORDER BY — which is exactly the point.
+    Q("q116_global_rownum",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("ts").isNotNull && col("event_id").isNotNull)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        Par.globalRowNumber(ev, Seq("us", "event_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS us,
+             |  ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rownum
+             |FROM events
+             |WHERE ts IS NOT NULL AND event_id IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // BPE merge training, 5 fixed rounds: corpus-wide adjacent-pair
+    // counts → deterministic argmax → leftmost non-overlapping
+    // rewrite, as literal string ops both engines implement
+    // identically. The oracle replays all five rounds through chained
+    // CTEs — counts, tie-breaks and rewrites verify end to end.
+    Q("q117_bpe_merges",
+      (s, dir) => Curation.bpeMerges(Tables(s, dir, "documents"), rounds = 5),
+      Some {
+        val rounds = 5
+        def roundCte(r: Int): String = {
+          val prev = s"s${r - 1}"
+          s"""p$r AS (SELECT pair, COUNT(*) AS cnt FROM (
+             |    SELECT unnest(list_transform(range(1, len(t)),
+             |      i -> t[i] || ' ' || t[i+1])) AS pair
+             |    FROM (SELECT string_split(trim(s), ' ') AS t FROM $prev)
+             |    WHERE len(t) >= 2)
+             |  GROUP BY 1),
+             |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+             |s$r AS (SELECT replace(s, ' ' || (SELECT pair FROM m$r) || ' ',
+             |    ' ' || replace((SELECT pair FROM m$r), ' ', '_') || ' ') AS s
+             |  FROM $prev)""".stripMargin
+        }
+        val unions = (1 to rounds).map(r =>
+          s"""SELECT $r AS round, split_part(pair, ' ', 1) AS lhs,
+             |  split_part(pair, ' ', 2) AS rhs, cnt FROM m$r""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH s0 AS (SELECT ' ' || n || ' ' AS s FROM (
+           |    SELECT trim(regexp_replace(regexp_replace(lower(text),
+           |      '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS n FROM documents)
+           |  WHERE n <> ''),
+           |${(1 to rounds).map(roundCte).mkString(",\n")}
+           |$unions
+           |ORDER BY round""".stripMargin
+      }),
+
+    // Presto dialect breadth, part 2: URL extractors, split_to_map,
+    // to_unixtime, to_iso8601 — the URL/map/time surface of the
+    // reference's Athena dialect. The URLs are CONSTRUCTED from row
+    // values, so the oracle re-derives every extraction from the
+    // parts without needing URL functions of its own.
+    Q("q118_presto_url_time",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""WITH t AS (SELECT event_id, event_type, user_id, ts,
+                |    'https://ex.com/t/' || event_type || '?u=' ||
+                |      cast(user_id AS string) || '&x=1' AS url,
+                |    'a=1,b=' || cast(user_id % 10 AS string) AS kv
+                |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+                |SELECT event_id,
+                |  url_extract_host(url) AS host,
+                |  url_extract_path(url) AS path,
+                |  url_extract_parameter(url, 'u') AS pu,
+                |  element_at(split_to_map(kv, ',', '='), 'b') AS pb,
+                |  to_unixtime(ts) AS unix_s,
+                |  to_iso8601(ts) AS iso
+                |FROM t ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, 'ex.com' AS host,
+             |  '/t/' || event_type AS path,
+             |  CAST(user_id AS VARCHAR) AS pu,
+             |  CAST(user_id % 10 AS VARCHAR) AS pb,
+             |  epoch_us(ts) / 1000000.0 AS unix_s,
+             |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso
+             |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
   )
 }

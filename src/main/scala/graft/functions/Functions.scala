@@ -92,6 +92,50 @@ object Functions {
     spark.udf.register("is_ipv4", (s: String) => s != null && isIPv4(s))
     spark.udf.register("is_ipv6", (s: String) => s != null && isIPv6(s))
     spark.udf.register("is_ip", (s: String) => s != null && isIp(s))
+
+    // Presto split_to_map(s, entryDelim, kvDelim) = Catalyst
+    // StringToMap with the same argument order
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "split_to_map",
+      exprs => org.apache.spark.sql.catalyst.expressions.StringToMap(
+        exprs.head, exprs(1), exprs(2)),
+      "built-in")
+
+    // Presto to_unixtime(timestamp) → DOUBLE seconds (fractional µs
+    // kept). Exact-integer µs divided by 1e6 in IEEE double — the
+    // same two operands in any engine, so bit-identical output.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "to_unixtime",
+      exprs => org.apache.spark.sql.catalyst.expressions.Divide(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.UnixMicros(exprs.head),
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Literal(1e6)),
+      "built-in")
+
+    // Presto to_iso8601(timestamp) → "yyyy-MM-ddTHH:mm:ss.SSS" (the
+    // no-zone form Presto renders for TIMESTAMP)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "to_iso8601",
+      exprs => org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+        exprs.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          "yyyy-MM-dd'T'HH:mm:ss.SSS")),
+      "built-in")
+
+    // Presto URL extractors via the JDK parser (null on malformed —
+    // Presto's contract). url_extract_parameter returns the FIRST
+    // value of the named query parameter.
+    def uri(s: String): Option[java.net.URI] =
+      if (s == null) None else scala.util.Try(new java.net.URI(s)).toOption
+    spark.udf.register("url_extract_host",
+      (s: String) => uri(s).map(_.getHost).orNull)
+    spark.udf.register("url_extract_path",
+      (s: String) => uri(s).map(_.getRawPath).orNull)
+    spark.udf.register("url_extract_parameter", (s: String, p: String) =>
+      uri(s).flatMap(u => Option(u.getRawQuery)).flatMap(q =>
+        q.split("&").iterator.map(_.split("=", 2))
+          .collectFirst { case Array(k, v) if k == p => v }).orNull)
   }
 
   /** IPv4 dotted-quad (optionally with /cidr). */

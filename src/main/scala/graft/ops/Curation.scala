@@ -467,4 +467,66 @@ object Curation {
       .select("doc_id", "shard", "tokens", "bin")
       .orderBy("doc_id")
   }
+
+  /** Byte-pair-encoding merge training, fixed `rounds`: each round
+    * counts adjacent token pairs across the corpus, takes the global
+    * argmax (ties broken by pair text — deterministic), and rewrites
+    * every occurrence into the merged token. Returns the merge table
+    * `(round, left, right, cnt)` — the actual artifact a tokenizer
+    * trainer ships. Counting is over ALL adjacent positions; the
+    * rewrite is leftmost non-overlapping (both are the conventional
+    * BPE choices, and both engines implement `replace` with the same
+    * continue-after-replacement scan, which the oracle pins).
+    *
+    * Corpus representation: each doc is a space-joined token string
+    * with sentinel spaces at both ends, so a pair occurrence is
+    * EXACTLY the substring `" l r "` and the merge is one literal
+    * `replace(s, " l r ", " l_r ")` — map-only over docs. Tokens are
+    * normalized to `[a-z]` words, so the `_` glue can never collide
+    * with input text.
+    *
+    * Scale shape per round: pair counting is explode → map-side-
+    * combinable groupBy (shuffle rows = distinct pairs); the argmax is
+    * a 1-row TakeOrdered to the driver; the rewrite is map-only. Each
+    * round materializes (localCheckpoint) so round r never replays
+    * rounds 1..r−1's rewrites.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z ]", ""), " +", " "))
+    var s = docs.select(norm.as("n"))
+      .where(col("n") =!= "")
+      .select(concat(lit(" "), col("n"), lit(" ")).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = s.select(split(trim(col("s")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getAs[String]("pair")
+        val cnt = top.head.getAs[Long]("cnt")
+        val Array(l, rr) = pair.split(" ", 2)
+        merges += ((r, l, rr, cnt))
+        s = s.select(expr(s"replace(s, ' $l $rr ', ' ${l}_$rr ') AS s"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    // lhs/rhs, not left/right — the merge table must survive an
+    // unquoted ANSI SQL restatement (oracle parity)
+    merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
+      .orderBy("round")
+  }
 }

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Parallelism guard for compute-heavy per-row stages. Local test
   * files arrive as a single parquet row group = one scan task; a 100
@@ -18,5 +20,50 @@ object Par {
     // small files into few tasks (spread still needed), and one large
     // splittable file yields many tasks (spread not needed).
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Dense global row numbering in total `orderCols` order WITHOUT a
+    * single-partition sort: `row_number() OVER (ORDER BY …)` — the
+    * obvious spelling — funnels the whole table through one task,
+    * which is exactly the plan that dies at 100 TB (Spark even warns
+    * "No Partition Defined for Window"). Instead:
+    *
+    *  1. range-shuffle on the order columns (sampled boundaries —
+    *     partition p holds strictly smaller keys than p+1), frozen
+    *     with a localCheckpoint so the boundary sampling can't
+    *     re-draw between the two passes;
+    *  2. count rows per partition — P longs to the driver;
+    *  3. prefix-sum the counts into per-partition offsets (driver
+    *     arithmetic on P values), broadcast back;
+    *  4. number within each partition (bounded sort) and add the
+    *     offset.
+    *
+    * `orderCols` must be a TOTAL order (include a tiebreaker id) —
+    * that is what makes the numbering deterministic, and it's
+    * enforceable only by contract here.
+    *
+    * Returns the input columns plus `rownum` (1-based).
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+      parts: Int = 0): DataFrame = {
+    val n = if (parts > 0) parts
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("c"))
+      .sortBy(_._1)
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, c0), (pid, c)) =>
+        (pid, acc + c0, c)
+      }.drop(1).map { case (pid, off, _) => (pid, off) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid")
+      .orderBy(orderCols.map(col): _*)
+    ranged.join(broadcast(offDf), "__pid")
+      .withColumn("rownum", row_number().over(w) + col("__off"))
+      .drop("__pid", "__off")
   }
 }

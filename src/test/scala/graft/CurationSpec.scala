@@ -261,4 +261,34 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r.filter(_.getAs[String]("source") == "s0")
       .map(_.getAs[Long]("score")).sorted.toSeq === Seq(16L, 18L, 20L))
   }
+
+  test("bpeMerges: argmax, tie-break and leftmost rewrite on a fixture") {
+    // "a b" appears 3×, everything else less — round 1 merges (a, b).
+    // Round 2: after rewrites the corpus is "a_b c" ×2, "a_b d", "x y":
+    // (a_b, c) has 2, the rest 1 → merges (a_b, c).
+    val docs = Seq("a b c", "a b c", "a b d", "x y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = Curation.bpeMerges(docs, rounds = 2).collect()
+      .map(x => (x.getAs[Int]("round"), x.getAs[String]("lhs"),
+        x.getAs[String]("rhs"), x.getAs[Long]("cnt")))
+    assert(r.toSeq === Seq((1, "a", "b", 3L), (2, "a_b", "c", 2L)))
+  }
+
+  test("bpeMerges counts overlapping pairs but rewrites non-overlapping") {
+    // "a a a a": counting sees 3 adjacent (a, a) pairs. The rewrite is
+    // leftmost non-overlapping on the SPACE-DELIMITED form — the match
+    // " a a " consumes its trailing space, so only ONE merge lands:
+    // "a_a a a". Round 2's pairs are then (a_a, a) and (a, a), tied at
+    // 1 — "a a" < "a_a a" textually, so (a, a) merges again.
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val r = Curation.bpeMerges(docs, rounds = 2).collect()
+      .map(x => (x.getAs[Int]("round"), x.getAs[String]("lhs"),
+        x.getAs[String]("rhs"), x.getAs[Long]("cnt")))
+    assert(r.toSeq === Seq((1, "a", "a", 3L), (2, "a", "a", 1L)))
+  }
+
+  test("bpeMerges stops early when no pair remains") {
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(Curation.bpeMerges(docs, rounds = 3).collect().isEmpty)
+  }
 }

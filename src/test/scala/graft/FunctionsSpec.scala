@@ -75,6 +75,27 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getString(3) === "A.B")
   }
 
+  test("Presto URL/map/time surface: extractors, split_to_map, unixtime") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT url_extract_host('https://ex.com:8080/a/b?u=7&x=1') AS h,
+        |       url_extract_path('https://ex.com/a/b?u=7') AS p,
+        |       url_extract_parameter('https://ex.com/a?u=7&u=8&x=1', 'u') AS u,
+        |       url_extract_parameter('https://ex.com/a?x=1', 'u') AS missing,
+        |       url_extract_host('%%% not a url') AS bad,
+        |       element_at(split_to_map('a=1,b=2', ',', '='), 'b') AS b,
+        |       to_unixtime(timestamp'2024-01-05 13:00:00.123456') AS s,
+        |       to_iso8601(timestamp'2024-01-05 13:00:00.1234') AS iso
+        |""".stripMargin).head()
+    assert(r.getString(0) === "ex.com")
+    assert(r.getString(1) === "/a/b")
+    assert(r.getString(2) === "7") // FIRST value wins, Presto contract
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    assert(r.getString(5) === "2")
+    assert(r.getDouble(6) === 1704459600.123456)
+    assert(r.getString(7) === "2024-01-05T13:00:00.123")
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()
