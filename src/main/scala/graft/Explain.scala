@@ -25,7 +25,9 @@ object Explain {
       "q79_semantic_dedup", "q80_ewma_decay", "q81_gap_fill_locf",
       "q82_fuzzy_er_join", "q85_zscore_outliers",
       "q86_pagerank_copurchase", "q88_pq_encode", "q90_bigram_lm_score",
-      "q91_percentile_gate")
+      "q91_percentile_gate", "q105_prefix_filter_jaccard",
+      "q106_pq_adc_topk", "q109_dpp_join", "q111_mad_outliers",
+      "q112_triangle_count", "q116_global_rownum")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

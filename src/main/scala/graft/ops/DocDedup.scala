@@ -141,10 +141,14 @@ object DocDedup {
     // product landing a hair HIGH in binary (a short prefix could drop
     // a true pair — longer is always safe, shorter never is)
     val prefixLen = col("nt") - ceil(col("nt") * threshold - lit(1e-9)) + 1
+    // materialize the prefix table: BOTH sides of the candidate
+    // self-join (and nothing else) read it — without the checkpoint
+    // the df-count aggregate + per-doc ranking window execute twice
     val pref = toks.join(dfreq, "s").join(sizes, "doc_id")
       .withColumn("rn", rn)
       .where(col("rn") <= prefixLen)
       .select("doc_id", "s", "nt")
+      .localCheckpoint()
     // candidates: share a prefix token + size-compatible (ε-slack on
     // the conservative side — extra candidates die in the exact
     // verify, missing ones are unrecoverable)
