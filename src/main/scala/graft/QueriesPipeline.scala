@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
-import graft.sources.{Lake, ZOrder}
+import graft.sources.{KeyedTable, Lake, ZOrder}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
@@ -2306,5 +2306,95 @@ private[graft] object QueriesPipeline {
              |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso
              |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
+
+    // hash-bucketed copy-on-write MERGE: two batches upsert into the
+    // keyed table (clicks as tombstones), rewriting only touched
+    // bucket directories; last-writer-wins by (ts, id) makes the
+    // final state equal ONE global latest-row-per-key statement —
+    // which is the oracle.
+    Q("q119_keyed_merge",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val tdir = s"$lakeRoot/keyed_$tag"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), floor(col("value") * 1e6).cast("long").as("vm"))
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("deleted", col("event_type") === "click")
+        KeyedTable.merge(s, tdir, ev.where(col("day") < 19743).drop("day"),
+          "user_id")
+        KeyedTable.merge(s, tdir, ev.where(col("day") >= 19743).drop("day"),
+          "user_id")
+          .select("user_id", "event_id", "event_type", "vm")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm,
+             |        epoch_us(ts) AS us,
+             |        (event_type = 'click') AS deleted
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+             |SELECT user_id, event_id, event_type, vm FROM r
+             |WHERE rn = 1 AND NOT deleted ORDER BY user_id""".stripMargin)),
+
+    // the same MERGE as a streaming sink: foreachBatch upserts every
+    // micro-batch into the keyed table. LWW associativity is the
+    // whole point — ANY batching of the stream converges to the same
+    // table, so the single global-latest oracle stays valid no matter
+    // how the drain splits.
+    Q("q120_stream_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val tag = new java.io.File(dir).getName
+        val tdir = s"$lakeRoot/upsert_$tag"
+        val ckpt = s"$lakeRoot/upsert_ckpt_$tag"
+        val src = QueriesAlert.eventStream(s, dir)
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), floor(col("value") * 1e6).cast("long").as("vm"))
+          .withColumn("deleted", col("event_type") === "click")
+        val upsert: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, _) => { KeyedTable.merge(s, tdir, b, "user_id"); () }
+        val q = src.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(upsert)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        KeyedTable.read(s, tdir)
+          .select("user_id", "event_id", "event_type", "vm")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm,
+             |        epoch_us(ts) AS us,
+             |        (event_type = 'click') AS deleted
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+             |SELECT user_id, event_id, event_type, vm FROM r
+             |WHERE rn = 1 AND NOT deleted ORDER BY user_id""".stripMargin)),
+
+    // feature-hashing vectorizer: token → mix31(polyhash37) mod 256
+    // bucket, sparse counts per (doc, bucket) — fixed-dim features
+    // with no vocabulary to build or ship; the hash is the q22
+    // portable fold, so every bucket id verifies relationally.
+    Q("q121_feature_hashing",
+      (s, dir) => TextAnalysis.hashFeatures(Tables(s, dir, "documents"),
+        dim = 256),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              |            FROM documents),
+              |t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+              |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |        list_transform(string_split(w, ''),
+              |          c -> CAST(unicode(c) AS BIGINT))),
+              |        (a, b) -> (a * 37 + b) % 2147483647) AS h37
+              |      FROM t2),
+              |b AS (SELECT doc_id, ${duckMix31("h37")} % 256 AS bucket FROM h)
+              |SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

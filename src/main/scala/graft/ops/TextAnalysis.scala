@@ -243,4 +243,29 @@ object TextAnalysis {
       .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Feature-hashing vectorizer (the hashing trick): each token maps
+    * to a bucket in `[0, dim)` via the engine-portable base-37
+    * polyhash whitened by mix31, and the sparse vector is the count
+    * per (doc, bucket) — fixed dimensionality with NO vocabulary
+    * table to build, broadcast, or keep consistent across runs, which
+    * is the reason serving stacks hash instead of indexing. Map-only
+    * until the one (doc, bucket)-keyed count aggregate; the hash is
+    * exact integer arithmetic, so the whole vector is oracle-checkable
+    * (same fold as q22's shingle hash).
+    */
+  def hashFeatures(docs: DataFrame, dim: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = Par.spread(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    // base-37 polyhash over code points mod 2^31−1 — the q22 portable
+    // string hash; then the non-linear mixer decorrelates buckets
+    val h37 = expr(
+      "aggregate(filter(split(w, ''), c -> c <> ''), 0L, " +
+        "(a, c) -> (a * 37 + ascii(c)) % 2147483647)")
+    tok.withColumn("bucket", pmod(Similarity.mix31Col(h37), lit(dim.toLong)))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+/** Hash-bucketed copy-on-write upsert table — the MERGE INTO /
+  * Delta-style mutable-view primitive, built so the rewrite cost
+  * scales with the DELTA, not the table:
+  *
+  *   - rows live under `bucket=N/` hive partitions,
+  *     `N = pmod(xxhash64(key), buckets)` — a key's row can only ever
+  *     be in ONE directory;
+  *   - a merge buckets the incoming batch, reads ONLY the touched
+  *     buckets (partition-pruned scan), resolves each key
+  *     last-writer-wins by `(ts, tie)`, and rewrites ONLY those
+  *     directories (dynamic partition overwrite);
+  *   - deletes are tombstone rows (`deleted = true`) that KEEP their
+  *     `(ts, tie)` — so a late-arriving stale update loses to the
+  *     tombstone instead of resurrecting the row. [[read]] filters
+  *     tombstones; storage retains them.
+  *
+  * LWW by `(ts, tie)` makes merge ASSOCIATIVE and COMMUTATIVE across
+  * batches: any partition of the update stream into merges — and any
+  * arrival order — converges to the same table. That is what makes
+  * the streaming upsert (foreachBatch over micro-batches of unknown
+  * split) oracle-checkable against one global latest-row-per-key
+  * statement.
+  *
+  * At 100 TB: `buckets` sizes the rewrite quantum (table/buckets
+  * bytes per touched bucket); a wide update batch touches all
+  * buckets and degrades to a full rewrite — the same worst case as
+  * any COW table. The touched-bucket list is `≤ buckets` longs on
+  * the driver, never data-sized.
+  */
+object KeyedTable {
+
+  def bucketOf(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets.toLong))
+
+  /** Read the current state: tombstones filtered, scratch bucket
+    * column dropped. Key equality predicates placed on top still
+    * prune to one bucket directory (the bucket column is a partition
+    * column underneath).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(dir)
+      .where(!col("deleted")).drop("bucket")
+
+  /** Merge `source` into the table at `dir` (creating it if absent).
+    * `source` must carry the key, `tsCol`, `tieCol`, and may carry a
+    * boolean `deleted` column (absent = all upserts). Returns the
+    * post-merge read view.
+    */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, tsCol: String = "ts", tieCol: String = "event_id",
+      buckets: Int = 16): DataFrame = {
+    val withDel =
+      if (source.columns.contains("deleted")) source
+      else source.withColumn("deleted", lit(false))
+    val src = withDel.withColumn("bucket", bucketOf(col(keyCol), buckets))
+    val exists = new java.io.File(dir).exists()
+    val merged = if (!exists) {
+      Temporal.latestByKey(src, Seq(keyCol), tsCol, tieCol)
+    } else {
+      val touched = src.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val tgt = spark.read.option("basePath", dir).parquet(dir)
+        .where(col("bucket").isin(touched: _*)) // partition-pruned
+      Temporal.latestByKey(tgt.unionByName(src), Seq(keyCol), tsCol, tieCol)
+    }
+    // materialize BEFORE overwriting the directories being read, and
+    // scope dynamic partition overwrite so untouched buckets survive
+    val frozen = merged.localCheckpoint()
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(mode, "STATIC")
+    spark.conf.set(mode, "dynamic")
+    try frozen.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(dir)
+    finally spark.conf.set(mode, prev)
+    read(spark, dir)
+  }
+}
