@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
-import graft.sources.{KeyedTable, Lake, ZOrder}
+import graft.sources.{KeyedTable, Lake, Skipping, ZOrder}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
@@ -2396,5 +2396,74 @@ private[graft] object QueriesPipeline {
               |b AS (SELECT doc_id, ${duckMix31("h37")} % 256 AS bucket FROM h)
               |SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // data skipping through a file-stats manifest over a z-ordered
+    // lake: the range query lists the manifest, scans only
+    // overlapping files, and the residual predicate keeps semantics
+    // exact — so the oracle is the plain full-scan filter.
+    // SkippingSpec pins that the prune actually drops files.
+    Q("q122_file_skipping",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val zdir = s"$lakeRoot/skip_$tag"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            floor(col("value") * 1e6).cast("long").as("vm"))
+        ZOrder.write(ev, zdir, "user_id", "vm", files = 16)
+        Skipping.buildManifest(s, zdir, Seq("user_id", "vm"))
+        Skipping.readRange(s, zdir, "user_id", 100L, 300L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("vm")).as("sum_micro"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(floor(value*1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_micro
+             |FROM events
+             |WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |  AND user_id BETWEEN 100 AND 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // heavy hitters without the distinct-cardinality wall: bounded
+    // Misra-Gries sketch per task (provably can't miss an item above
+    // the threshold), exact count over candidates only. The EXACT
+    // threshold filter makes the output order-independent — so it
+    // oracle-checks even though sketch internals don't.
+    Q("q123_heavy_hitters",
+      (s, dir) => graft.ops.HeavyHitters.topByCount(
+        Tables(s, dir, "events"), "user_id", minCount = 20L),
+      Some("""SELECT user_id, COUNT(*) AS cnt FROM events
+             |WHERE user_id IS NOT NULL
+             |GROUP BY 1 HAVING COUNT(*) >= 20
+             |ORDER BY cnt DESC, user_id""".stripMargin)),
+
+    // Presto datetime breadth: ISO day_of_week, day_of_year,
+    // week_of_year via the registry; 3-arg date_add through
+    // Criteria.rewrite (Spark's parser claims the name with
+    // unquoted-unit syntax, exactly like date_diff). DuckDB
+    // re-derives everything natively.
+    Q("q124_presto_datetime",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT event_id,
+            |  day_of_week(ts) AS dow,
+            |  day_of_year(ts) AS doy,
+            |  week_of_year(ts) AS woy,
+            |  unix_micros(date_add('hour', 2, ts)) AS plus2h_us,
+            |  unix_micros(date_add('minute', -90, ts)) AS minus90m_us
+            |FROM events WHERE ts IS NOT NULL
+            |ORDER BY event_id""".stripMargin))
+      },
+      Some("""SELECT event_id,
+             |  CAST(isodow(ts) AS INT) AS dow,
+             |  CAST(dayofyear(ts) AS INT) AS doy,
+             |  CAST(weekofyear(ts) AS INT) AS woy,
+             |  epoch_us(ts + INTERVAL 2 HOUR) AS plus2h_us,
+             |  epoch_us(ts - INTERVAL 90 MINUTE) AS minus90m_us
+             |FROM events WHERE ts IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
   )
 }

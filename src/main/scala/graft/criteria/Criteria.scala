@@ -30,9 +30,14 @@ object Criteria {
     // Spark's parser special-cases the unit as an unquoted keyword, so
     // this must run on the whole text (the unit IS a string literal) —
     // before the literal-preserving pass below. Same t2-t1 direction.
-    val unitFixed = presto.replaceAll(
-      "(?i)\\bdate_diff\\(\\s*'(year|quarter|month|week|day|hour|minute|second|millisecond|microsecond)'\\s*,",
-      "timestampdiff($1,")
+    val units =
+      "year|quarter|month|week|day|hour|minute|second|millisecond|microsecond"
+    val unitFixed = presto
+      .replaceAll(s"(?i)\\bdate_diff\\(\\s*'($units)'\\s*,",
+        "timestampdiff($1,")
+      // Presto date_add('unit', n, ts) — same parser-claimed shape
+      .replaceAll(s"(?i)\\bdate_add\\(\\s*'($units)'\\s*,",
+        "timestampadd($1,")
     // split into alternating [code, 'literal', code, ...] chunks;
     // '' inside a literal is the SQL escape for a quote
     val literal = "'(?:[^']|'')*'".r

@@ -136,6 +136,27 @@ object Functions {
       uri(s).flatMap(u => Option(u.getRawQuery)).flatMap(q =>
         q.split("&").iterator.map(_.split("=", 2))
           .collectFirst { case Array(k, v) if k == p => v }).orNull)
+
+    // Presto datetime breadth. day_of_week is ISO (1 = Monday);
+    // Spark's DayOfWeek is 1 = Sunday, so shift: ((dow + 5) % 7) + 1.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types.IntegerType
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("day_of_week",
+        exprs => Add(
+          Pmod(Add(DayOfWeek(exprs.head), Literal(5)), Literal(7)),
+          Literal(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction("day_of_year",
+        exprs => DayOfYear(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("week_of_year",
+        exprs => WeekOfYear(exprs.head), "built-in")
+      // NOTE: Presto date_add('unit', n, ts) is NOT registrable —
+      // Spark's parser claims dateadd/date_add with unquoted-unit
+      // syntax before registry lookup (same as date_diff), so it
+      // lives in Criteria.rewrite.
+    }
   }
 
   /** IPv4 dotted-quad (optionally with /cidr). */

@@ -67,4 +67,17 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       .where(Criteria.toColumn("date_diff('hour', t1, t2) > 2"))
     assert(row.count() === 1)   // Presto direction: t2 - t1 = 5 hours
   }
+
+  test("date_add('unit', n, ts) rewrites to timestampadd and evaluates") {
+    assert(Criteria.rewrite("date_add('hour', 2, ts)")
+      === "timestampadd(hour, 2, ts)")
+    // negative amounts, literal preservation
+    assert(Criteria.rewrite("date_add('minute', -90, ts) = 'date_add'")
+      === "timestampadd(minute, -90, ts) = 'date_add'")
+    val shifted = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts")
+      .selectExpr(Criteria.rewrite("date_add('hour', 2, ts)") + " AS t")
+      .head().getTimestamp(0)
+    assert(shifted.toInstant ===
+      java.time.Instant.parse("2024-01-01T02:00:00Z"))
+  }
 }

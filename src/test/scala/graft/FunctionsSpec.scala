@@ -96,6 +96,19 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getString(7) === "2024-01-05T13:00:00.123")
   }
 
+  test("Presto day_of_week is ISO: Monday=1, Sunday=7") {
+    Functions.register(spark)
+    // 2024-01-01 is a Monday; 2024-01-07 a Sunday
+    val r = spark.sql(
+      """SELECT day_of_week(date'2024-01-01') AS mon,
+        |       day_of_week(date'2024-01-07') AS sun,
+        |       day_of_year(date'2024-02-01') AS doy,
+        |       week_of_year(date'2024-01-04') AS woy""".stripMargin).head()
+    assert(r.getInt(0) === 1 && r.getInt(1) === 7)
+    assert(r.getInt(2) === 32)
+    assert(r.getInt(3) === 1)
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()
