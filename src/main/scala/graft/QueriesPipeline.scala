@@ -2431,11 +2431,22 @@ private[graft] object QueriesPipeline {
     // threshold filter makes the output order-independent — so it
     // oracle-checks even though sketch internals don't.
     Q("q123_heavy_hitters",
-      (s, dir) => graft.ops.HeavyHitters.topByCount(
-        Tables(s, dir, "events"), "user_id", minCount = 20L),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        // scale-adaptive threshold: ceil(N/4000) keeps the k=4096
+        // sketch guarantee valid at ANY corpus size (threshold >
+        // N/(k+1) by construction); the floor of 20 keeps the sf0.01
+        // semantics. The oracle computes the same expression.
+        val n = ev.where(col("user_id").isNotNull).count()
+        val minCount = math.max(20L, (n + 3999L) / 4000L)
+        graft.ops.HeavyHitters.topByCount(ev, "user_id", minCount)
+      },
       Some("""SELECT user_id, COUNT(*) AS cnt FROM events
              |WHERE user_id IS NOT NULL
-             |GROUP BY 1 HAVING COUNT(*) >= 20
+             |GROUP BY 1
+             |HAVING COUNT(*) >= GREATEST(20,
+             |  (SELECT (COUNT(*) + 3999) // 4000 FROM events
+             |   WHERE user_id IS NOT NULL))
              |ORDER BY cnt DESC, user_id""".stripMargin)),
 
     // Presto datetime breadth: ISO day_of_week, day_of_year,
