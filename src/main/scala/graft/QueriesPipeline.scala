@@ -41,6 +41,34 @@ private[graft] object QueriesPipeline {
        |  (sqrt(list_sum(list_transform(list_zip($a,$a), x -> x[1]*x[2]))) *
        |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
 
+  /** DuckDB CTE chain `s0`…`s<rounds>` + `p_r`/`m_r`: the full BPE
+    * merge replay of `Curation.bpeMerges` — normalization, corpus
+    * pair counts, deterministic argmax, and the leftmost
+    * non-overlapping rewrite — carrying `doc_id` through every round
+    * so both the merge table (q117) and the encoded corpus (q125)
+    * verify off the SAME restatement.
+    */
+  private def duckBpeCtes(rounds: Int): String = {
+    def roundCte(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT pair, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1])) AS pair
+         |    FROM (SELECT string_split(trim(s), ' ') AS t FROM $prev)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY 1),
+         |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (SELECT doc_id, replace(s, ' ' || (SELECT pair FROM m$r) || ' ',
+         |    ' ' || replace((SELECT pair FROM m$r), ' ', '_') || ' ') AS s
+         |  FROM $prev)""".stripMargin
+    }
+    s"""s0 AS (SELECT doc_id, ' ' || n || ' ' AS s FROM (
+       |    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS n FROM documents)
+       |  WHERE n <> ''),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
   /** DuckDB restatement of `VecKernels.mix31` — the non-linear 31-bit
     * mixer (xorshift, multiply mod 2^31, xorshift) in exact BIGINT
     * arithmetic (`//` on non-negative values = the kernel's `>>`).
@@ -2248,29 +2276,11 @@ private[graft] object QueriesPipeline {
     Q("q117_bpe_merges",
       (s, dir) => Curation.bpeMerges(Tables(s, dir, "documents"), rounds = 5),
       Some {
-        val rounds = 5
-        def roundCte(r: Int): String = {
-          val prev = s"s${r - 1}"
-          s"""p$r AS (SELECT pair, COUNT(*) AS cnt FROM (
-             |    SELECT unnest(list_transform(range(1, len(t)),
-             |      i -> t[i] || ' ' || t[i+1])) AS pair
-             |    FROM (SELECT string_split(trim(s), ' ') AS t FROM $prev)
-             |    WHERE len(t) >= 2)
-             |  GROUP BY 1),
-             |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-             |s$r AS (SELECT replace(s, ' ' || (SELECT pair FROM m$r) || ' ',
-             |    ' ' || replace((SELECT pair FROM m$r), ' ', '_') || ' ') AS s
-             |  FROM $prev)""".stripMargin
-        }
-        val unions = (1 to rounds).map(r =>
+        val unions = (1 to 5).map(r =>
           s"""SELECT $r AS round, split_part(pair, ' ', 1) AS lhs,
              |  split_part(pair, ' ', 2) AS rhs, cnt FROM m$r""".stripMargin)
           .mkString("\nUNION ALL\n")
-        s"""WITH s0 AS (SELECT ' ' || n || ' ' AS s FROM (
-           |    SELECT trim(regexp_replace(regexp_replace(lower(text),
-           |      '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS n FROM documents)
-           |  WHERE n <> ''),
-           |${(1 to rounds).map(roundCte).mkString(",\n")}
+        s"""WITH ${duckBpeCtes(5)}
            |$unions
            |ORDER BY round""".stripMargin
       }),
@@ -2475,6 +2485,106 @@ private[graft] object QueriesPipeline {
              |  epoch_us(ts + INTERVAL 2 HOUR) AS plus2h_us,
              |  epoch_us(ts - INTERVAL 90 MINUTE) AS minus90m_us
              |FROM events WHERE ts IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // BPE ENCODE: apply q117's trained merges to the corpus — train
+    // and encode in one plan, per-doc raw/encoded token counts and
+    // the floor-ppm savings. The oracle replays the same five rounds
+    // off the SHARED CTE chain and counts s5's tokens.
+    Q("q125_bpe_encode",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = Curation.bpeMerges(docs, rounds = 5).collect()
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+        Curation.bpeApply(docs, merges)
+      },
+      Some(s"""WITH ${duckBpeCtes(5)}
+              |SELECT s0.doc_id,
+              |  CAST(len(string_split(trim(s0.s), ' ')) AS BIGINT) AS n_raw,
+              |  CAST(len(string_split(trim(s5.s), ' ')) AS BIGINT) AS n_tokens,
+              |  ((CAST(len(string_split(trim(s0.s), ' ')) AS BIGINT)
+              |    - len(string_split(trim(s5.s), ' '))) * 1000000)
+              |    // len(string_split(trim(s0.s), ' ')) AS saved_ppm
+              |FROM s0 JOIN s5 ON s0.doc_id = s5.doc_id
+              |ORDER BY s0.doc_id""".stripMargin)),
+
+    // ingest quarantine: a JSONL feed with planted corrupt lines
+    // (every doc_id % 50 == 0 is truncated mid-object) reads under
+    // PERMISSIVE with a _corrupt_record column; clean rows aggregate,
+    // corrupt rows route to a quarantine tally instead of failing the
+    // job or silently vanishing. The oracle re-derives both sides
+    // from the documents table and the same % 50 rule.
+    Q("q126_corrupt_quarantine",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val jdir = s"$lakeRoot/jsonl_corrupt_$tag"
+        Tables(s, dir, "documents")
+          .select(when(col("doc_id") % 50 === 0,
+              concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"source\":\"")))
+            .otherwise(to_json(struct(col("doc_id"), col("source"),
+              col("text")))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(jdir)
+        val read = s.read
+          .schema("doc_id LONG, source STRING, text STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(jdir)
+        // ONE pass routes rows: corrupt lines fold into a quarantine
+        // group (their data columns are null, so sum_chars lands NULL
+        // by aggregation semantics, not special-casing). Spark also
+        // refuses corrupt-column-only projections — the single
+        // aggregate referencing the data columns sidesteps that.
+        read.groupBy(when(col("_corrupt_record").isNotNull, "__quarantine__")
+            .otherwise(col("source")).as("source"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(length(col("text"))).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS cnt,
+             |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+             |FROM documents WHERE doc_id % 50 <> 0
+             |GROUP BY 1
+             |UNION ALL
+             |SELECT '__quarantine__', COUNT(*), NULL
+             |FROM documents WHERE doc_id % 50 = 0
+             |ORDER BY source""".stripMargin)),
+
+    // window-function breadth beyond q49: rank-family percent_rank /
+    // cume_dist (frameless), nth_value and last_value under an
+    // EXPLICIT full frame (default frames differ across engines — the
+    // explicit frame is the portable spelling), lead with IGNORE
+    // NULLS skipping null payloads.
+    Q("q127_window_breadth",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT event_id,
+                |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+                |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm,
+                |  nth_value(event_id, 2) OVER wf AS second_id,
+                |  last_value(event_id) OVER wf AS last_id,
+                |  lead(nullif(event_type, 'click'), 1) IGNORE NULLS
+                |    OVER w AS next_nonclick
+                |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                |WINDOW
+                |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                |         ROWS BETWEEN UNBOUNDED PRECEDING
+                |           AND UNBOUNDED FOLLOWING)
+                |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+             |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm,
+             |  nth_value(event_id, 2) OVER wf AS second_id,
+             |  last_value(event_id) OVER wf AS last_id,
+             |  lead(nullif(event_type, 'click'), 1 IGNORE NULLS)
+             |    OVER w AS next_nonclick
+             |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |WINDOW
+             |  w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING
+             |           AND UNBOUNDED FOLLOWING)
              |ORDER BY event_id""".stripMargin)),
   )
 }

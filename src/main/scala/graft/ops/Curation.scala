@@ -529,4 +529,31 @@ object Curation {
     merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
       .orderBy("round")
   }
+
+  /** Apply a trained [[bpeMerges]] table to the corpus — the ENCODE
+    * side of the tokenizer: the same normalization, then the merges
+    * as ordered literal rewrites (training order matters: later
+    * merges reference earlier merged tokens). Map-only — the whole
+    * merge chain is one projection of nested `replace` calls, no
+    * shuffle, no state; per-doc output is the raw and encoded token
+    * counts plus the floor-ppm compression the merges bought.
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z ]", ""), " +", " "))
+    val base = docs.select(col(idCol).as("doc_id"), norm.as("n"))
+      .where(col("n") =!= "")
+      .select(col("doc_id"),
+        size(split(col("n"), " ")).cast("long").as("n_raw"),
+        concat(lit(" "), col("n"), lit(" ")).as("s"))
+    val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("s", expr(s"replace(s, ' $l $r ', ' ${l}_$r ')"))
+    }
+    encoded.select(col("doc_id"), col("n_raw"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_tokens"))
+      .withColumn("saved_ppm",
+        expr("((n_raw - n_tokens) * 1000000) div n_raw"))
+      .orderBy("doc_id")
+  }
 }

@@ -291,4 +291,20 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val docs = Seq((1L, "solo")).toDF("doc_id", "text")
     assert(Curation.bpeMerges(docs, rounds = 3).collect().isEmpty)
   }
+
+  test("bpeApply encodes with trained merges in order; savings are exact") {
+    val docs = Seq("a b c", "a b c", "a b d", "x y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Curation.bpeMerges(docs, rounds = 2).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    assert(merges === Seq(("a", "b"), ("a_b", "c")))
+    val r = Curation.bpeApply(docs, merges).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_raw"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("saved_ppm")))
+    assert(r.toSeq === Seq(
+      (0L, 3L, 1L, 666666L), // "a b c" → "a_b_c"
+      (1L, 3L, 1L, 666666L),
+      (2L, 3L, 2L, 333333L), // "a b d" → "a_b d"
+      (3L, 2L, 2L, 0L)))     // untouched
+  }
 }
