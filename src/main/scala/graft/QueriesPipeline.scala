@@ -2134,8 +2134,12 @@ private[graft] object QueriesPipeline {
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        // co-purchase edges generated directly as u < v: halves the
+        // self-join output vs <>, and the dedup inside triangleCount
+        // then has nothing to flip — same undirected edge set
         val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("src"), col("b.p").as("dst"))
         graft.ops.Graph.triangleCount(e)
       },
