@@ -41,6 +41,34 @@ private[graft] object QueriesPipeline {
        |  (sqrt(list_sum(list_transform(list_zip($a,$a), x -> x[1]*x[2]))) *
        |   sqrt(list_sum(list_transform(list_zip($b,$b), x -> x[1]*x[2]))))""".stripMargin
 
+  // same-text SQL surfaces (run verbatim on Spark AND DuckDB)
+  private val LateralSql =
+    """SELECT t.event_type, l.user_id, l.cnt
+      |FROM (SELECT DISTINCT event_type FROM events
+      |      WHERE event_type IS NOT NULL) t,
+      |LATERAL (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events e
+      |  WHERE e.event_type = t.event_type AND e.user_id IS NOT NULL
+      |  GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 2
+      |) l
+      |ORDER BY t.event_type, l.cnt DESC, l.user_id""".stripMargin
+
+  private val UnpivotSql =
+    """SELECT event_id, metric, val FROM (
+      |  SELECT event_id,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS value_micro,
+      |    CAST(user_id AS BIGINT) AS user_id_n,
+      |    CAST(length(event_type) AS BIGINT) AS type_len
+      |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)
+      |UNPIVOT (val FOR metric IN (value_micro, user_id_n, type_len))
+      |ORDER BY event_id, metric""".stripMargin
+
+  private val SetOpsAllSql =
+    """(SELECT user_id FROM events WHERE event_type = 'click'
+      | INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'view')
+      |EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** DuckDB CTE chain `s0`…`s<rounds>` + `p_r`/`m_r`: the full BPE
     * merge replay of `Curation.bpeMerges` — normalization, corpus
     * pair counts, deterministic argmax, and the leftmost
@@ -2590,5 +2618,69 @@ private[graft] object QueriesPipeline {
              |         ROWS BETWEEN UNBOUNDED PRECEDING
              |           AND UNBOUNDED FOLLOWING)
              |ORDER BY event_id""".stripMargin)),
+
+    // LATERAL correlated subquery: per-group top-2 as a correlated
+    // inner query with its own ORDER BY + LIMIT — the SQL surface a
+    // dependent-join plan serves. Same text on both engines.
+    Q("q128_lateral_topk",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(LateralSql)
+      },
+      Some(LateralSql)),
+
+    // native UNPIVOT (wide metrics → long form) — the melt that q107's
+    // stack() does as an expression, as first-class SQL. Same text.
+    Q("q129_unpivot_melt",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(UnpivotSql)
+      },
+      Some(UnpivotSql)),
+
+    // multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicity
+    // (q18 covers the DISTINCT forms) — bag semantics are what event
+    // streams actually need. Same text.
+    Q("q130_setops_all",
+      (s, dir) => {
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(SetOpsAllSql)
+      },
+      Some(SetOpsAllSql)),
+
+    // Matryoshka two-stage ANN: coarse rank on the 16-dim prefix,
+    // full-dim re-rank of the 10 survivors — both stages restated
+    // relationally (slice = list slice), so candidate generation AND
+    // re-rank verify, not just the final ids.
+    Q("q131_mrl_rerank",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.mrlTopK(emb, emb.where(col("vec_id") < 5),
+          k = 3, dTrunc = 16, kCand = 10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |          FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+              |coarse AS (SELECT q.q_id, e.vec_id,
+              |    CAST(floor((${duckCos("qv[1:16]", "v[1:16]")}) * 1000000)
+              |      AS BIGINT) AS coarse_e6
+              |  FROM e, q),
+              |cand AS (SELECT q_id, vec_id FROM (
+              |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+              |        ORDER BY coarse_e6 DESC, vec_id) AS crank
+              |    FROM coarse)
+              |  WHERE crank <= 10),
+              |rer AS (SELECT c.q_id, c.vec_id,
+              |    CAST(floor((${duckCos("qv", "v")}) * 1000000) AS BIGINT)
+              |      AS cos_e6
+              |  FROM cand c
+              |  JOIN e ON e.vec_id = c.vec_id
+              |  JOIN q ON q.q_id = c.q_id),
+              |ranked AS (SELECT q_id, vec_id, cos_e6,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM rer)
+              |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
   )
 }

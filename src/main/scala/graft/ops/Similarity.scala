@@ -240,6 +240,52 @@ object Similarity {
       .orderBy("vec_id", "sub")
   }
 
+  /** Matryoshka (MRL) two-stage top-k: stage 1 ranks by cosine over
+    * the vectors' FIRST `dTrunc` dims — the matryoshka property is
+    * that a prefix of a trained embedding is itself a usable
+    * embedding — keeping `kCand` candidates per query; stage 2
+    * re-ranks only those candidates at full dimension. At serving
+    * scale the win is bandwidth: the coarse pass reads `dTrunc/dim`
+    * of the vector bytes (store the prefix as its own column and the
+    * scan prunes to it), and full vectors are touched for `kCand`
+    * rows per query instead of the corpus.
+    *
+    * Same floor-micro cosine + `(cos desc, id)` tie contract as every
+    * ANN surface here, both stages — candidate generation AND re-rank
+    * verify relationally.
+    */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      dTrunc: Int = 16, kCand: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_full"))
+      .withColumn("q_vec", slice(col("q_full"), 1, dTrunc))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val c = Par.spread(corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("c_full")))
+      .withColumn("c_vec", slice(col("c_full"), 1, dTrunc))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+    val coarse = c.crossJoin(broadcast(q))
+    val coarseScore = floor(dot(col("q_vec"), col("c_vec")) /
+      (col("q_norm") * col("c_norm")) * 1e6).cast("long")
+    val wc = Window.partitionBy("q_id")
+      .orderBy(col("coarse_e6").desc, col("vec_id"))
+    val cand = coarse.withColumn("coarse_e6", coarseScore)
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= kCand)
+    // full-dim re-rank over candidates only
+    val fullScore = floor(dot(col("q_full"), col("c_full")) /
+      (sqrt(dot(col("q_full"), col("q_full"))) *
+        sqrt(dot(col("c_full"), col("c_full")))) * 1e6).cast("long")
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    cand.withColumn("cos_e6", fullScore)
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos_e6")
+      .orderBy("q_id", "rank")
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes — the
     * memory-compressed serving scan for billion-vector ANN (Jégou et
     * al., "Product Quantization for Nearest Neighbor Search"). The

@@ -181,6 +181,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got === expected)
   }
 
+  test("mrl rerank: full-dim scores are exact; wide kCand recovers brute force") {
+    val e = Tables(spark, sf("sf0.01"), "embeddings")
+    val q = e.where(col("vec_id") < 5)
+    // with kCand = corpus size the coarse stage prunes nothing, so the
+    // result MUST equal brute force (same score fold, same ties)
+    val wide = Similarity.mrlTopK(e, q, k = 3, dTrunc = 16, kCand = 500)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val brute = Similarity.bruteForceTopK(e, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(wide.toSeq === brute.toSeq)
+    // at serving width the guarantee is structural, not recall (these
+    // synthetic embeddings are random — an UNtrained prefix carries no
+    // signal, unlike real MRL embeddings): a vector's coarse cosine
+    // with itself is 1.0 under ANY prefix, so rank-1 is always self
+    val narrow = Similarity.mrlTopK(e, q, k = 3, dTrunc = 16, kCand = 10)
+      .collect().filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(narrow === (0L until 5L).map(i => i -> i).toMap)
+  }
+
   test("banded cosine dedup: exact-verified candidates, bands bound the blocks") {
     // colinear pair (cos 1.0) must land in the same bucket in EVERY
     // band (identical sign pattern), so banding can never lose it
