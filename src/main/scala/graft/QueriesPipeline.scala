@@ -69,6 +69,40 @@ private[graft] object QueriesPipeline {
       |EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
+  private val TpchQ18Sql =
+    """SELECT c.c_name, o.o_orderkey,
+      |  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS total_qty
+      |FROM orders o
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o_totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
+  private val TpchQ7Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(28,4)) AS revenue
+      |FROM supplier s
+      |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      |GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** DuckDB CTE chain `s0`…`s<rounds>` + `p_r`/`m_r`: the full BPE
     * merge replay of `Curation.bpeMerges` — normalization, corpus
     * pair counts, deterministic argmax, and the leftmost
@@ -2682,5 +2716,67 @@ private[graft] object QueriesPipeline {
               |  FROM rer)
               |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
               |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    // aggregate drives a semi-join back onto the fact — the aggregate
+    // produces a tiny key set that AQE broadcasts, so the big tables
+    // pay one shuffle each, decimal-exact money.
+    Q("q132_tpch_q18",
+      (s, dir) => {
+        Seq("orders", "customer", "lineitem")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ18Sql)
+      },
+      Some(TpchQ18Sql)),
+
+    // TPC-H Q7 shape (volume shipping between two nation pairs):
+    // fact → supplier/customer bridges → nation dims, with the
+    // cross-pair predicate AFTER both dim joins; dims broadcast, the
+    // fact shuffles once per bridge key. Decimal-exact revenue.
+    Q("q133_tpch_q7",
+      (s, dir) => {
+        Seq("supplier", "customer", "orders", "lineitem", "nation")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ7Sql)
+      },
+      Some(TpchQ7Sql)),
+
+    // lake schema evolution: v1 files lack a column later versions
+    // carry; mergeSchema reads the union schema and null-fills v1 —
+    // adding a column must never mean rewriting 100 TB of history.
+    // The oracle re-derives both epochs from the same split rule.
+    Q("q134_schema_evolution",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val root = s"$lakeRoot/evo_$tag"
+        val ev = Tables(s, dir, "events")
+          .where(col("event_id").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1e6).cast("long").as("vm"))
+        ev.where(col("event_id") % 2 === 0)
+          .select("event_id", "event_type")
+          .write.mode("overwrite").parquet(s"$root/epoch=1")
+        ev.where(col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$root/epoch=2")
+        s.read.option("mergeSchema", "true")
+          .option("basePath", root).parquet(root)
+          .groupBy("event_type", "epoch")
+          .agg(count(lit(1)).as("cnt"),
+            count(col("vm")).as("vm_present"),
+            coalesce(sum(col("vm")), lit(0L)).as("sum_micro"))
+          .orderBy("event_type", "epoch")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm
+             |      FROM events
+             |      WHERE event_id IS NOT NULL AND value IS NOT NULL)
+             |SELECT event_type, CAST(1 AS INT) AS epoch, COUNT(*) AS cnt,
+             |  CAST(0 AS BIGINT) AS vm_present, CAST(0 AS BIGINT) AS sum_micro
+             |FROM e WHERE event_id % 2 = 0 GROUP BY 1
+             |UNION ALL
+             |SELECT event_type, 2, COUNT(*),
+             |  COUNT(*), CAST(SUM(vm) AS BIGINT)
+             |FROM e WHERE event_id % 2 = 1 GROUP BY 1
+             |ORDER BY event_type, epoch""".stripMargin)),
   )
 }
