@@ -2778,5 +2778,47 @@ private[graft] object QueriesPipeline {
              |  COUNT(*), CAST(SUM(vm) AS BIGINT)
              |FROM e WHERE event_id % 2 = 1 GROUP BY 1
              |ORDER BY event_type, epoch""".stripMargin)),
+
+    // time travel: three day-batches commit as versions 1-3 of the
+    // versioned keyed table; the query reads VERSION 2 — the state
+    // the table had before batch 3 existed. LWW associativity makes
+    // that exactly "latest row per key over batches 1-2", which is
+    // the oracle; VersionedTableSpec pins the manifest mechanics
+    // (untouched buckets share files across versions).
+    Q("q135_time_travel",
+      (s, dir) => {
+        // versions are append-only, so reruns in one JVM must not
+        // stack onto an existing table — fresh dir per invocation
+        val tdir = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get(lakeRoot), "vt_")
+          .toString + "/t"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), floor(col("value") * 1e6).cast("long").as("vm"))
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("deleted", col("event_type") === "click")
+        graft.sources.VersionedTable.merge(s, tdir,
+          ev.where(col("day") < 19741).drop("day"), "user_id")
+        graft.sources.VersionedTable.merge(s, tdir,
+          ev.where(col("day") >= 19741 && col("day") < 19743).drop("day"),
+          "user_id")
+        graft.sources.VersionedTable.merge(s, tdir,
+          ev.where(col("day") >= 19743).drop("day"), "user_id")
+        graft.sources.VersionedTable.read(s, tdir, version = 2)
+          .select("user_id", "event_id", "event_type", "vm")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm,
+             |        epoch_us(ts) AS us,
+             |        (event_type = 'click') AS deleted
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |        AND epoch_us(ts) // 86400000000 < 19743),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+             |SELECT user_id, event_id, event_type, vm FROM r
+             |WHERE rn = 1 AND NOT deleted ORDER BY user_id""".stripMargin)),
   )
 }
