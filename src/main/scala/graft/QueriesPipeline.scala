@@ -2820,5 +2820,93 @@ private[graft] object QueriesPipeline {
              |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
              |SELECT user_id, event_id, event_type, vm FROM r
              |WHERE rn = 1 AND NOT deleted ORDER BY user_id""".stripMargin)),
+
+    // CDC between table versions: what did batch 3 change? Diff the
+    // v2 and v3 snapshots of the versioned table (added / removed /
+    // changed keys) — time travel making change capture a plain
+    // full-outer join instead of a log subscription.
+    Q("q136_version_diff",
+      (s, dir) => {
+        val tdir = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get(lakeRoot), "vd_")
+          .toString + "/t"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+          .withColumn("deleted", col("event_type") === "click")
+        graft.sources.VersionedTable.merge(s, tdir,
+          ev.where(col("day") < 19743).drop("day"), "user_id")
+        graft.sources.VersionedTable.merge(s, tdir,
+          ev.where(col("day") >= 19743).drop("day"), "user_id")
+        val v1 = graft.sources.VersionedTable.read(s, tdir, 1)
+          .select(col("user_id"), col("event_id").as("old_id"))
+        val v2 = graft.sources.VersionedTable.read(s, tdir, 2)
+          .select(col("user_id"), col("event_id").as("new_id"))
+        v1.join(v2, Seq("user_id"), "full_outer")
+          .withColumn("status",
+            when(col("old_id").isNull, "added")
+              .when(col("new_id").isNull, "removed")
+              .when(col("old_id") =!= col("new_id"), "changed"))
+          .where(col("status").isNotNull)
+          .select("user_id", "status")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |        epoch_us(ts) AS us,
+             |        epoch_us(ts) // 86400000000 AS day,
+             |        (event_type = 'click') AS deleted
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |v1 AS (SELECT user_id, event_id AS old_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn
+             |    FROM e WHERE day < 19743)
+             |  WHERE rn = 1 AND NOT deleted),
+             |v2 AS (SELECT user_id, event_id AS new_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+             |  WHERE rn = 1 AND NOT deleted),
+             |j AS (SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+             |        CASE WHEN old_id IS NULL THEN 'added'
+             |             WHEN new_id IS NULL THEN 'removed'
+             |             WHEN old_id <> new_id THEN 'changed' END AS status
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id)
+             |SELECT user_id, status FROM j WHERE status IS NOT NULL
+             |ORDER BY user_id""".stripMargin)),
+
+    // hard purge (erasure request): keys 0-49 are physically removed
+    // from the keyed table's storage — tombstones included — by
+    // rewriting only the buckets they hash to. The read view then
+    // equals "global latest, not deleted, key not purged".
+    Q("q137_keyed_purge",
+      (s, dir) => {
+        val tdir = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get(lakeRoot), "purge_")
+          .toString + "/t"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"), floor(col("value") * 1e6).cast("long").as("vm"))
+          .withColumn("deleted", col("event_type") === "click")
+        KeyedTable.merge(s, tdir, ev, "user_id")
+        import s.implicits._
+        KeyedTable.purge(s, tdir,
+          (0L until 50L).toDF("user_id"), "user_id")
+          .select("user_id", "event_id", "event_type", "vm")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm,
+             |        epoch_us(ts) AS us,
+             |        (event_type = 'click') AS deleted
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY us DESC, event_id DESC) AS rn FROM e)
+             |SELECT user_id, event_id, event_type, vm FROM r
+             |WHERE rn = 1 AND NOT deleted AND user_id >= 50
+             |ORDER BY user_id""".stripMargin)),
   )
 }

@@ -81,4 +81,45 @@ object KeyedTable {
     finally spark.conf.set(mode, prev)
     read(spark, dir)
   }
+
+  /** HARD delete: physically remove every row whose key is in `keys`
+    * from storage — tombstones included — by rewriting only the
+    * buckets those keys hash to. A tombstone says "this key reads as
+    * absent (and stale updates stay dead)"; purge says "this key was
+    * never here" — the erasure-request compliance op a logical delete
+    * cannot satisfy. The touched bucket directories are dropped
+    * before the rewrite (dynamic overwrite can't, because a bucket
+    * whose every row is purged has no rows left to carry the
+    * partition), so a fully-purged bucket ends empty, not stale.
+    */
+  def purge(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, buckets: Int = 16): DataFrame = {
+    val k = keys.select(col(keyCol)).distinct()
+      .withColumn("bucket", bucketOf(col(keyCol), buckets))
+      .localCheckpoint()
+    val touched = k.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val all = spark.read.option("basePath", dir).parquet(dir)
+    if (touched.nonEmpty) {
+      val tgt = all.where(col("bucket").isin(touched: _*))
+      val kept = tgt.join(k.select(keyCol), Seq(keyCol), "left_anti")
+        .localCheckpoint() // materialize BEFORE deleting source dirs
+      touched.foreach { b =>
+        val d = new java.io.File(dir, s"bucket=$b")
+        Option(d.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+        d.delete(): Unit
+      }
+      kept.write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
+    }
+    // a purge can empty the table entirely — no files left to infer a
+    // schema from, so the read view falls back to the schema captured
+    // before the rewrite
+    val anyLeft = Option(new java.io.File(dir).listFiles())
+      .exists(_.exists(_.getName.startsWith("bucket=")))
+    if (anyLeft) read(spark, dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        all.schema.filterNot(_.name == "bucket")))
+  }
 }

@@ -69,6 +69,27 @@ class KeyedTableSpec extends AnyFunSuite with SparkSuite {
     assert(state(dir).size === 64)
   }
 
+  test("purge removes keys from STORAGE, tombstones included; empty buckets die") {
+    val dir = tmp()
+    KeyedTable.merge(spark, dir, toDf(Seq(
+      row(1, 10, 1, "a"), row(2, 11, 1, "b"),
+      row(3, 12, 1, "c", del = true))), "k", tieCol = "event_id")
+    KeyedTable.purge(spark, dir, Seq(1L, 3L).toDF("k"), "k")
+    // the read view keeps only k=2
+    assert(state(dir) === Map(2L -> (11L, "b")))
+    // storage-level: a raw scan (tombstones visible) holds NO trace of
+    // the purged keys — that's the difference from a logical delete
+    val raw = spark.read.option("basePath", dir).parquet(dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(raw === Set(2L))
+    // purging the last key leaves no stale files — the returned view
+    // (which survives even a fully-emptied table) reads zero rows
+    val emptied = KeyedTable.purge(spark, dir, Seq(2L).toDF("k"), "k")
+    assert(emptied.count() === 0)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+  }
+
   test("merge is associative: any batching converges to the same table") {
     val rows = (0 until 40).map { i =>
       row(i % 7, 100L + i, (i * 3) % 30, s"v$i", del = i % 11 == 0)
