@@ -149,6 +149,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got === expected)
   }
 
+  test("prefix-filter jaccard stays lossless on adversarial random corpora") {
+    // seeded random corpora from a TINY vocab: hot tokens everywhere,
+    // heavy ties in the (df, hash) order, sizes around the
+    // compatibility boundary — the regime where a buggy prefix length
+    // or a misplaced ε actually drops pairs
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs = (0 until 40).map { i =>
+        val n = 3 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sets = docs.select(col("doc_id"), DocDedup.shingles(col("text"), 3).as("sh"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+        .filter(_._2.nonEmpty).sortBy(_._1)
+      val expected = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        (ia, sa) = sets(i); (ib, sb) = sets(j)
+        inter = (sa & sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= 0.5
+      } yield (ia, ib)).toSet
+      val got = DocDedup.prefixFilterJaccard(docs, n = 3, threshold = 0.5)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(got === expected, s"trial $trial diverged")
+    }
+  }
+
   test("pq adc top-k matches an in-memory reference implementation") {
     val e = Tables(spark, sf("sf0.01"), "embeddings")
     val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))

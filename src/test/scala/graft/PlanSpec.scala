@@ -110,6 +110,17 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(Audit.shuffledRows(d.join(broadcast(dim), "k")) === 0L)
   }
 
+  test("q133: both nation dims broadcast; lineitem never builds a hash side") {
+    val plan = SparkEntry.queries("q133_tpch_q7")(spark, sf())
+      .queryExecution.sparkPlan.toString
+    // two nation broadcasts (supplier-side and customer-side)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(500))
+    // the fact table must STREAM through joins — if it ever appears
+    // as a broadcast build side the planner mis-sized it
+    assert(!plan.contains("BroadcastExchange") ||
+      !plan.split("BroadcastExchange").drop(1).exists(_.take(400).contains("lineitem.parquet")))
+  }
+
   test("q109: lake scan carries a dynamicpruning partition filter") {
     // no static predicate exists on the partition column — the hot
     // set is derived at runtime from the dim aggregate, so the prune
