@@ -2908,5 +2908,75 @@ private[graft] object QueriesPipeline {
              |SELECT user_id, event_id, event_type, vm FROM r
              |WHERE rn = 1 AND NOT deleted AND user_id >= 50
              |ORDER BY user_id""".stripMargin)),
+
+    // nested-array analytics: per user, the sorted event history as
+    // an array of structs, then pure HOF folds over it — largest
+    // consecutive jump, count of rising steps, last-minus-first — no
+    // second shuffle, no re-explode. The array-of-structs + lambda
+    // surface DuckDB restates with list lambdas.
+    Q("q138_array_analytics",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), floor(col("value") * 1e6).cast("long").as("vm"))
+        ev.groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("vm")))).as("h"))
+          .select(col("user_id"), size(col("h")).cast("long").as("n"),
+            expr("""aggregate(sequence(1, size(h)-1), 0L,
+                   |  (acc, i) -> greatest(acc,
+                   |    abs(h[i].vm - h[i-1].vm)))""".stripMargin)
+              .as("max_jump"),
+            expr("""aggregate(sequence(1, size(h)-1), 0L,
+                   |  (acc, i) -> acc +
+                   |    CASE WHEN h[i].vm > h[i-1].vm THEN 1L ELSE 0L END)"""
+              .stripMargin).as("rising"),
+            expr("h[size(h)-1].vm - h[0].vm").as("net"))
+          .where(col("n") >= 2)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |        AND value IS NOT NULL),
+             |g AS (SELECT user_id,
+             |        list(vm ORDER BY us, event_id, vm) AS v
+             |      FROM e GROUP BY 1)
+             |SELECT user_id, CAST(len(v) AS BIGINT) AS n,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(2, len(v)+1),
+             |      i -> abs(v[i] - v[i-1]))),
+             |    (a, b) -> greatest(a, b)) AS BIGINT) AS max_jump,
+             |  CAST(list_sum(list_transform(range(2, len(v)+1),
+             |    i -> CASE WHEN v[i] > v[i-1] THEN 1 ELSE 0 END))
+             |    AS BIGINT) AS rising,
+             |  v[len(v)] - v[1] AS net
+             |FROM g WHERE len(v) >= 2
+             |ORDER BY user_id""".stripMargin)),
+
+    // regexp extraction breadth: regexp_extract_all pulls every token
+    // matching a pattern out of free text (the log-mining workhorse),
+    // explodes, and aggregates — counts and integer sums only, so the
+    // restatement is exact.
+    Q("q139_regexp_extract_all",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        docs.select(col("doc_id"),
+            expr("regexp_extract_all(text, '[a-z]*a[rst][a-z]*', 0)").as("hits"))
+          .select(col("doc_id"), explode(col("hits")).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("doc_id")).as("docs"))
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |        unnest(regexp_extract_all(text, '[a-z]*a[rst][a-z]*'))
+             |          AS w
+             |      FROM documents)
+             |SELECT w, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS docs
+             |FROM m GROUP BY 1 ORDER BY cnt DESC, w""".stripMargin)),
   )
 }
