@@ -511,8 +511,13 @@ case class NearestCell(left: Expression, right: Expression) extends BinaryExpres
   * raw SQL/criteria text.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // ladder step (c): the top-k window → bounded-heap aggregate
+    // rewrite (graft.plans.WindowTopKRewrite) joins the operator-
+    // optimization batch
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+  }
 }
 
 object GraftExtensions {
