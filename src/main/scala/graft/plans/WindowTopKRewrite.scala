@@ -26,9 +26,14 @@ import graft.functions.TopKRows
   * semantics-preserving, so it requires ALL of:
   *   - exactly one window expression, and it is `row_number()`;
   *   - non-empty partition spec of plain attributes;
-  *   - every sort order Ascending + NullsFirst (the interpreted
-  *     struct ordering [[TopKRows]] uses is ascending-nulls-first;
-  *     descending specs would need type-dependent negation);
+  *   - every sort order either Ascending + NullsFirst (the
+  *     interpreted struct ordering [[TopKRows]] uses is
+  *     ascending-nulls-first) or Descending + NullsLast over an
+  *     INTEGRAL attribute the child's constraints prove non-null —
+  *     reversed losslessly as `-1 − x`, the two's-complement
+  *     order-reversing bijection with no `Long.MinValue` overflow
+  *     (floats are excluded: NaN sorts greatest under either sign,
+  *     so negation cannot reverse it);
   *   - the filter is `rn <= lit` / `rn < lit` / `rn = 1` over the
   *     window's own rank attribute, with nothing else conjoined.
   *
@@ -50,6 +55,30 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The heap-order key for one sort spec, or None if this spec can't
+    * be expressed in the ascending-nulls-first struct ordering.
+    */
+  private def heapKey(o: SortOrder, child: LogicalPlan): Option[Expression] =
+    (o.direction, o.nullOrdering) match {
+      case (Ascending, NullsFirst) => Some(o.child)
+      case (Descending, NullsLast) => o.child match {
+        case a: AttributeReference
+          if Seq(org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType).contains(a.dataType) &&
+            child.constraints.exists {
+              case IsNotNull(x: Attribute) => x.exprId == a.exprId
+              case _ => false
+            } =>
+          // -1 - x: order-reversing bijection on two's complement,
+          // no overflow at Long.MinValue (unlike unary minus)
+          Some(Subtract(Cast(Literal(-1L), a.dataType), a))
+        case _ => None
+      }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!SQLConf.get.getConfString("spark.graft.topkRewrite", "true").toBoolean)
       return plan
@@ -61,8 +90,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           if partSpec.nonEmpty &&
             partSpec.forall(_.isInstanceOf[AttributeReference]) &&
             orderSpec.nonEmpty &&
-            orderSpec.forall(o => o.direction == Ascending &&
-              o.nullOrdering == NullsFirst) &&
+            orderSpec.forall(o => heapKey(o, winChild).isDefined) &&
             limitOf(cond, alias.toAttribute).isDefined => {
         val k = limitOf(cond, alias.toAttribute).get
         // Spark's InferWindowGroupLimit may already have slid its
@@ -77,7 +105,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         // the full row nested last (deterministic tie-break + payload)
         val packed = CreateNamedStruct(
           orderSpec.zipWithIndex.flatMap { case (o, i) =>
-            Seq(Literal(s"__o$i"), o.child)
+            Seq(Literal(s"__o$i"), heapKey(o, winChild).get)
           } ++ Seq(Literal("__row"),
             CreateNamedStruct(child.output.flatMap(a =>
               Seq(Literal(a.name), a)))))

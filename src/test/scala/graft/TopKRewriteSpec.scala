@@ -67,11 +67,53 @@ class TopKRewriteSpec extends AnyFunSuite with SparkSuite {
     assert(got === want)
   }
 
-  test("non-eligible shapes keep their Window: desc order, rank(), no filter") {
+  test("desc over not-null-proven integrals rewrites via the -1-x reversal") {
     flag(true)
     val wDesc = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
-    assert(data.withColumn("rn", row_number().over(wDesc))
+    // the filter's IsNotNull constraint is what licenses the reversal
+    val src = data.where(col("v").isNotNull)
+    val q = src.withColumn("rn", row_number().over(wDesc)).where(col("rn") <= 2)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Window"))
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    flag(false)
+    val want = try src.withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") <= 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    finally flag(true)
+    assert(got === want && got.size === 13 * 2)
+  }
+
+  test("Long.MinValue survives the desc reversal (no negation overflow)") {
+    flag(true)
+    val d = Seq((1L, 0L, Long.MinValue), (2L, 0L, 0L), (3L, 0L, Long.MaxValue))
+      .toDF("id", "k", "v").where(col("v").isNotNull)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val q = d.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Window"))
+    val r = q.orderBy("rn").collect().map(x => x.getLong(0) -> x.getInt(3))
+    assert(r.toSeq === Seq(3L -> 1, 2L -> 2, 1L -> 3)) // max first, min last
+  }
+
+  test("non-eligible shapes keep their Window: nullable desc, rank(), no filter") {
+    flag(true)
+    // desc WITHOUT a not-null proof must not rewrite (null ordering
+    // would flip under negation) — needs a GENUINELY nullable column:
+    // toDF over Long tuples is non-nullable, which licenses the
+    // reversal via the trivial IsNotNull constraint
+    val nullable = (1L to 100L)
+      .map(i => (i, i % 5, if (i % 9 == 0) None else Some(i % 17)))
+      .toDF("id", "k", "v")
+    val wDesc = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    assert(nullable.withColumn("rn", row_number().over(wDesc))
       .where(col("rn") <= 3)
+      .queryExecution.optimizedPlan.toString.contains("Window"))
+    // desc over DOUBLE never rewrites, proof or not (NaN breaks the
+    // negation reversal)
+    val dd = data.withColumn("x", col("v").cast("double") / 7)
+      .where(col("x").isNotNull)
+    val wD = Window.partitionBy("k").orderBy(col("x").desc, col("id"))
+    assert(dd.withColumn("rn", row_number().over(wD)).where(col("rn") <= 3)
       .queryExecution.optimizedPlan.toString.contains("Window"))
     val wAsc = Window.partitionBy("k").orderBy("v", "id")
     assert(data.withColumn("rn", rank().over(wAsc)).where(col("rn") <= 3)
