@@ -2978,5 +2978,147 @@ private[graft] object QueriesPipeline {
              |      FROM documents)
              |SELECT w, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS docs
              |FROM m GROUP BY 1 ORDER BY cnt DESC, w""".stripMargin)),
+
+    // nearest-event join: each purchase aligns to its CLOSEST click in
+    // either direction (ties to the past), one key shuffle + two
+    // window passes — the measurement-alignment join where as-of's
+    // backward-only contract loses the "just after" match. The oracle
+    // takes the quadratic per-key form with the same deterministic
+    // tie ladder (distance, past-first, id).
+    Q("q140_nearest_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            floor(col("value") * 1e6).cast("long").as("click_vm"))
+        Temporal.nearestJoin(purchases, clicks, "user_id", "ts",
+            Seq("click_id", "click_vm"), rTieCol = "click_id")
+          .select(col("event_id"), col("user_id"),
+            col("click_id_n").as("click_id"), col("click_vm_n").as("click_vm"),
+            col("nearest_dt_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+             |      FROM events WHERE event_type = 'purchase'
+             |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus,
+             |        CAST(floor(value*1000000) AS BIGINT) AS click_vm
+             |      FROM events WHERE event_type = 'click'
+             |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_vm,
+             |        c.cus - p.us AS dt,
+             |        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+             |          abs(c.cus - p.us),
+             |          CASE WHEN c.cus - p.us <= 0 THEN 0 ELSE 1 END,
+             |          CASE WHEN c.cus - p.us <= 0 THEN -c.click_id
+             |               ELSE c.click_id END) AS rn
+             |      FROM p LEFT JOIN c ON p.user_id = c.user_id)
+             |SELECT event_id, user_id, click_id, click_vm,
+             |  dt AS nearest_dt_us
+             |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // dedup survivorship: the cluster keeps its BEST document (most
+    // distinct words, ties to the smallest id), not an arbitrary
+    // representative — the policy that makes near-dedup quality-aware
+    // instead of quality-blind. Composes q37's clustering with an
+    // argmax; the oracle replays the recursive-CTE clustering and the
+    // same argmax.
+    Q("q141_dedup_survivorship",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val clusters = DocDedup.clusters(
+          DocDedup.ngramJaccard(docs, n = 3, threshold = 0.5,
+            maxShingleDocFreq = 100L))
+        val nu = docs.select(col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("nu"))
+        clusters.join(nu, "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("nu"), (-col("doc_id")).as("neg_id"))).as("best"))
+          .select(col("cluster_id"), col("n_docs"),
+            (-col("best.neg_id")).as("survivor_id"),
+            col("best.nu").as("survivor_nu"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, lang, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |        FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1) AS i FROM w) t
+             |        WHERE i+2 <= len(ws)),
+             |sh AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT p.a_id, p.b_id FROM (
+             |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+             |    FROM sh a JOIN sh b ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+             |    GROUP BY 1,2) p
+             |  JOIN sizes sa ON p.a_id=sa.doc_id
+             |  JOIN sizes sb ON p.b_id=sb.doc_id
+             |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5),
+             |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+             |nodes AS (SELECT DISTINCT s AS node FROM edges),
+             |cl AS (SELECT n.node AS doc_id,
+             |    LEAST(n.node, COALESCE(MIN(r.d), n.node)) AS cluster_id
+             |  FROM nodes n LEFT JOIN reach r ON r.s = n.node
+             |  GROUP BY n.node),
+             |nu AS (SELECT doc_id,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS nu
+             |  FROM documents),
+             |rk AS (SELECT cl.cluster_id, cl.doc_id, nu.nu,
+             |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+             |      ORDER BY nu.nu DESC, cl.doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+             |  FROM cl JOIN nu ON nu.doc_id = cl.doc_id)
+             |SELECT cluster_id, n_docs, doc_id AS survivor_id,
+             |  nu AS survivor_nu
+             |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // winsorization: clip each value to its group's exact rank-based
+    // [p05, p95] — the outlier-taming transform that keeps rows (vs
+    // q111's flagging). Bound values are values AT ranks, so the whole
+    // op stays BIGINT and engine-exact.
+    Q("q142_winsorize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val base = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1e6).cast("long").as("vm"))
+        val w = W.partitionBy("event_type").orderBy(col("vm"), col("event_id"))
+        val n = W.partitionBy("event_type")
+        val ranked = base.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(n))
+        val lo = ranked.where(col("rn") === expr("greatest(1L, (cnt*5+99) div 100)"))
+          .select(col("event_type"), col("vm").as("lo"))
+        val hi = ranked.where(col("rn") === expr("(cnt*95+99) div 100"))
+          .select(col("event_type"), col("vm").as("hi"))
+        base.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+          .select(col("event_id"), col("event_type"), col("vm"),
+            least(greatest(col("vm"), col("lo")), col("hi")).as("clipped"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (SELECT event_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm
+             |      FROM events
+             |      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |        ORDER BY vm, event_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM b),
+             |lo AS (SELECT event_type, vm AS lo FROM r
+             |       WHERE rn = GREATEST(1, (cnt*5+99)//100)),
+             |hi AS (SELECT event_type, vm AS hi FROM r
+             |       WHERE rn = (cnt*95+99)//100)
+             |SELECT b.event_id, b.event_type, b.vm,
+             |  LEAST(GREATEST(b.vm, lo.lo), hi.hi) AS clipped
+             |FROM b JOIN lo USING (event_type) JOIN hi USING (event_type)
+             |ORDER BY b.event_id""".stripMargin)),
   )
 }

@@ -115,6 +115,68 @@ object Temporal {
       .select(col("__l.*") +: rightCols.map(c => col(s"__rc.$c").as(c + suffix)): _*)
   }
 
+  /** Nearest-event join: each left row picks the single right row of
+    * the same key CLOSEST in event time — either direction, ties
+    * toward the past ([[asofJoin]] is the leak-free training-feature
+    * lookup; this is the measurement-alignment join sensor and
+    * attribution pipelines need, where "just after" is as good as
+    * "just before").
+    *
+    * One key shuffle, two window passes over the same partitioning:
+    * a backward carry (last right at-or-before, equal timestamps
+    * count as past) and a forward probe (first right strictly after),
+    * then an arithmetic pick of the closer. Tie-break within equal
+    * right timestamps is by `rTieCol` — largest wins backward,
+    * smallest forward — making the join deterministic even on
+    * duplicate-timestamp feeds.
+    *
+    * Output: left columns + `rightCols` suffixed + `nearest_dt_us`
+    * (right minus left, negative = past; null = keyless left row or
+    * no right rows for the key).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String], rTieCol: String = "event_id",
+      suffix: String = "_n"): DataFrame = {
+    val leftType = StructType(left.schema.fields)
+    val rightType = StructType(
+      org.apache.spark.sql.types.StructField("us",
+        org.apache.spark.sql.types.LongType) +:
+        rightCols.map(c => right.schema(c)))
+    val l2 = left.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"), lit(1).as("__side"),
+      lit(Long.MaxValue).as("__tie"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rightType).as("__r"))
+    val r2 = right.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__us"),
+        lit(0).as("__side"), col(rTieCol).cast("long").as("__tie"),
+        lit(null).cast(leftType).as("__l"),
+        struct((unix_micros(col(tsCol)).as("us") +:
+          rightCols.map(col)): _*).as("__r"))
+    val ord = Seq(col("__us"), col("__side"), col("__tie"))
+    val wb = Window.partitionBy("__k").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("__k").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val picked = l2.unionByName(r2)
+      .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__rf", first(col("__r"), ignoreNulls = true).over(wf))
+      .where(col("__side") === 1)
+      // equal-ts right rows sort BEFORE the left row, so they land in
+      // the backward carry and the forward probe is strictly-after —
+      // the `<=` pick then means ties go to the past
+      .withColumn("__rn",
+        when(col("__rb").isNull, col("__rf"))
+          .when(col("__rf").isNull, col("__rb"))
+          .when(col("__us") - col("__rb.us") <= col("__rf.us") - col("__us"),
+            col("__rb"))
+          .otherwise(col("__rf")))
+    picked.select(
+      (col("__l.*") +:
+        rightCols.map(c => col(s"__rn.$c").as(c + suffix))) :+
+        (col("__rn.us") - col("__us")).as("nearest_dt_us"): _*)
+  }
+
   /** Interval (range) join: for each left row, right rows of the same
     * key within ±tolerance of its timestamp. The key equality makes
     * this a hash join with a residual range predicate — no nested-loop

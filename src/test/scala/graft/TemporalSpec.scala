@@ -76,6 +76,36 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("nearestJoin picks the closer side, ties to the past, null on no match") {
+    val left = Seq((1L, 7L, ts(10)), (2L, 7L, ts(20)), (3L, 8L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 7L, ts(7), "past3"),    // 3 before left 1
+      (101L, 7L, ts(12), "fut2"),    // 2 after  left 1 → closer
+      (102L, 7L, ts(17), "past3b"),  // 3 before left 2
+      (103L, 7L, ts(23), "fut3"))    // 3 after  left 2 → TIE → past wins
+      .toDF("click_id", "user_id", "ts", "tag")
+    val r = graft.ops.Temporal.nearestJoin(left, right, "user_id", "ts",
+        Seq("click_id", "tag"), rTieCol = "click_id")
+      .orderBy("event_id").collect()
+      .map(x => (x.getAs[Long]("event_id"), x.getAs[String]("tag_n"),
+        Option(x.getAs[java.lang.Long]("nearest_dt_us")).map(_.toLong)))
+    assert(r.toSeq === Seq(
+      (1L, "fut2", Some(2L * 60 * 1000000)),
+      (2L, "past3b", Some(-3L * 60 * 1000000)),
+      (3L, null, None))) // user 8 has no clicks at all
+  }
+
+  test("nearestJoin: duplicate-timestamp rights break ties deterministically") {
+    val left = Seq((1L, 7L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 7L, ts(8), "a"), (101L, 7L, ts(8), "b"))
+      .toDF("click_id", "user_id", "ts", "tag")
+    val r = graft.ops.Temporal.nearestJoin(left, right, "user_id", "ts",
+        Seq("click_id", "tag"), rTieCol = "click_id").head()
+    // backward carry: LARGEST id among equal timestamps wins
+    assert(r.getAs[Long]("click_id_n") === 101L)
+  }
+
   test("latestByKey keeps the newest row per key, id-tie-broken") {
     val d = Seq(
       (1L, 100L, "click", ts(10)),
