@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
-import graft.sources.{KeyedTable, Lake, Skipping, ZOrder}
+import graft.sources.{BloomSkipping, KeyedTable, Lake, Skipping, ZOrder}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) over `documents` / `embeddings`. Exact
@@ -3120,5 +3120,101 @@ private[graft] object QueriesPipeline {
              |  LEAST(GREATEST(b.vm, lo.lo), hi.hi) AS clipped
              |FROM b JOIN lo USING (event_type) JOIN hi USING (event_type)
              |ORDER BY b.event_id""".stripMargin)),
+
+    // per-file bloom index: point lookups on a high-cardinality
+    // column ORTHOGONAL to the file layout (logs laid out by time,
+    // looked up by user — the GDPR subject-access shape q122's
+    // min/max manifest cannot prune). Pruning is a pure optimization
+    // — false negatives are impossible — so the oracle is the plain
+    // full-scan filter with zero bloom restatement; BloomSkippingSpec
+    // pins the pruning itself on a clustered fixture.
+    Q("q143_bloom_point_lookup",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName
+        val bdir = s"$lakeRoot/bloomskip_$tag"
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("value").isNotNull &&
+            col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), floor(col("value") * 1e6).cast("long").as("vm"))
+        // time-layout write: range-partition by ts, the layout a log
+        // naturally arrives in — user_id is scattered across files
+        ev.repartitionByRange(16, col("ts"))
+          .write.mode("overwrite").parquet(bdir)
+        BloomSkipping.buildIndex(s, bdir, "user_id")
+        // deterministic lookup set: the three smallest active users
+        val keys = ev.select(col("user_id")).distinct()
+          .orderBy("user_id").limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        BloomSkipping.readKeys(s, bdir, "user_id", keys)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("vm")).as("sum_micro"),
+            countDistinct(col("event_type")).as("n_types"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, event_type,
+             |        CAST(floor(value*1000000) AS BIGINT) AS vm
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND value IS NOT NULL
+             |        AND ts IS NOT NULL),
+             |k AS (SELECT DISTINCT user_id FROM b
+             |      ORDER BY user_id LIMIT 3)
+             |SELECT user_id, COUNT(*) AS cnt,
+             |  CAST(SUM(vm) AS BIGINT) AS sum_micro,
+             |  COUNT(DISTINCT event_type) AS n_types
+             |FROM b WHERE user_id IN (SELECT user_id FROM k)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // rolling 7-day distinct users per event_type via DAILY HLL
+    // sketches: each day's sketch is built once and unioned into the
+    // ≤7 windows it serves, so only sketch bytes (not raw ids) cross
+    // the window shuffle — at 100 TB the raw-id restatement shuffles
+    // every id 7×, this ships O(days × 1.5 KiB). Exact columns carry
+    // the oracle (q114's contract); the estimate is pinned by the
+    // est_ok tolerance — DataSketches HLL is exact in sparse mode at
+    // these cardinalities, the 5%/±2 band covers dense-mode drift.
+    Q("q144_rolling_distinct_sketch",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        // report windows ENDING on a day that has data for the type
+        val ends = daily.select(col("event_type"), col("day").as("win_day"))
+        val contrib = daily.select(col("event_type"),
+          explode(sequence(col("day"), col("day") + 6)).as("win_day"), col("sk"))
+        val est = contrib.join(ends, Seq("event_type", "win_day"))
+          .groupBy("event_type", "win_day")
+          .agg(count(lit(1)).as("days_in_win"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.as("e").join(broadcast(ends.as("d")),
+            col("e.event_type") === col("d.event_type") &&
+              col("e.day").between(col("d.win_day") - 6, col("d.win_day")))
+          .groupBy(col("d.event_type"), col("d.win_day"))
+          .agg(countDistinct(col("e.user_id")).as("exact_7d"))
+        exact.join(est, Seq("event_type", "win_day"))
+          .select(col("event_type"), col("win_day"), col("days_in_win"),
+            col("exact_7d"),
+            (abs(col("est") - col("exact_7d")) <=
+              greatest(lit(2.0), col("exact_7d") * 0.05)).as("est_ok"))
+          .orderBy("event_type", "win_day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |        epoch_us(ts) // 86400000000 AS day, user_id
+             |      FROM events
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |        AND event_type IS NOT NULL),
+             |d AS (SELECT DISTINCT event_type, day AS win_day FROM e)
+             |SELECT d.event_type, d.win_day,
+             |  COUNT(DISTINCT e.day) AS days_in_win,
+             |  COUNT(DISTINCT e.user_id) AS exact_7d,
+             |  CAST(1 AS BOOLEAN) AS est_ok
+             |FROM d JOIN e ON e.event_type = d.event_type
+             |  AND e.day BETWEEN d.win_day - 6 AND d.win_day
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

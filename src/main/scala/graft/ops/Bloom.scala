@@ -26,10 +26,24 @@ object Bloom {
   /** Second-probe salt: any odd constant; fixed so persisted bitmaps
     * stay valid across versions.
     */
-  private val Salt = 1000003L
+  private[graft] val Salt = 1000003L
 
-  private def pos(key: Column, salt: Long, mBits: Int): Column =
+  private[graft] def pos(key: Column, salt: Long, mBits: Int): Column =
     pmod(Similarity.mix31Col(pmod(key + salt, lit(2147483648L))), lit(mBits.toLong))
+
+  /** Driver-side twin of [[pos]] — same xorshift/multiply mix31, same
+    * residues — so a driver that holds a literal key can compute the
+    * probe bits WITHOUT a Spark job (used by the per-file bloom index
+    * to prune the file manifest before any scan). Bit parity with the
+    * Column path is pinned by BloomSkippingSpec's differential test.
+    */
+  private[graft] def posLong(key: Long, salt: Long, mBits: Int): Long = {
+    var x = java.lang.Math.floorMod(key + salt, 2147483648L)
+    x ^= (x >>> 15)
+    x = (x * 1103515245L) & 0x7FFFFFFFL
+    x ^= (x >>> 12)
+    java.lang.Math.floorMod(x, mBits.toLong)
+  }
 
   /** Build the bitmap: each key sets two probe bits; words aggregate
     * distributed (bit_or partial-aggregates map-side), only the final
