@@ -3216,5 +3216,49 @@ private[graft] object QueriesPipeline {
              |FROM d JOIN e ON e.event_type = d.event_type
              |  AND e.day BETWEEN d.win_day - 6 AND d.win_day
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // perceptual-hash near-dup — the IMAGE twin of q23's SimHash:
+    // stub decode → 8×8 grid (mapPartitions; deterministic portable
+    // fake, real codec drops in), average-hash bits packed into 4×16
+    // bands in-plan, band equi-join candidates, exact Hamming ≤ 3
+    // filter (lossless by pigeonhole at 4 bands). The oracle replays
+    // decode, hash, banding AND the pair join relationally — the
+    // algorithm end to end, not an empirical-recall claim.
+    Q("q145_phash_neardup",
+      (s, dir) => Multimodal.phashNearDup(Tables(s, dir, "documents")),
+      Some("""WITH js AS (SELECT doc_id, text,
+             |        CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS j
+             |      FROM documents),
+             |ch AS (SELECT doc_id, j - 1 AS j0,
+             |        unicode(substring(text, j, 1)) AS cp
+             |      FROM js),
+             |pxr AS (SELECT doc_id, j0 % 64 AS i,
+             |        CAST(SUM(cp * (j0 // 64 + 1)) % 256 AS BIGINT) AS p
+             |      FROM ch GROUP BY 1, 2),
+             |grid AS (SELECT d.doc_id, s.i, COALESCE(pxr.p, 0) AS p
+             |      FROM (SELECT doc_id FROM documents) d
+             |      CROSS JOIN generate_series(0, 63) AS s(i)
+             |      LEFT JOIN pxr ON pxr.doc_id = d.doc_id AND pxr.i = s.i),
+             |m AS (SELECT doc_id, CAST(SUM(p) // 64 AS BIGINT) AS mean_px
+             |      FROM grid GROUP BY 1),
+             |bands AS (SELECT g.doc_id,
+             |    CAST(SUM(CASE WHEN g.i // 16 = 0 AND g.p > m.mean_px
+             |      THEN (CAST(1 AS BIGINT) << (g.i % 16)) ELSE 0 END) AS BIGINT) AS b0,
+             |    CAST(SUM(CASE WHEN g.i // 16 = 1 AND g.p > m.mean_px
+             |      THEN (CAST(1 AS BIGINT) << (g.i % 16)) ELSE 0 END) AS BIGINT) AS b1,
+             |    CAST(SUM(CASE WHEN g.i // 16 = 2 AND g.p > m.mean_px
+             |      THEN (CAST(1 AS BIGINT) << (g.i % 16)) ELSE 0 END) AS BIGINT) AS b2,
+             |    CAST(SUM(CASE WHEN g.i // 16 = 3 AND g.p > m.mean_px
+             |      THEN (CAST(1 AS BIGINT) << (g.i % 16)) ELSE 0 END) AS BIGINT) AS b3
+             |  FROM grid g JOIN m ON m.doc_id = g.doc_id GROUP BY 1)
+             |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             |  bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             |    AS hamming
+             |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+             |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+             |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             |  bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin)),
   )
 }

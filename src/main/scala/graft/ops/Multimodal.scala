@@ -125,4 +125,90 @@ object Multimodal {
   def framePipeline(docs: DataFrame): DataFrame =
     sampleFrames(extractMetadata(toBlobs(docs))).toDF()
       .orderBy("doc_id", "frame_idx")
+
+  // --------------------------------------------------------------------
+  // Perceptual-hash near-dup: the IMAGE twin of text SimHash (q23) —
+  // decode to a tiny grayscale grid, hash the grid's shape, band-join
+  // candidates, exact Hamming filter. Only the decode is a stub.
+  // --------------------------------------------------------------------
+
+  case class PixelGrid(doc_id: Long, px: Array[Int])
+
+  /** STUB "decode to 8×8 grayscale": deterministic fake — pixel `i`
+    * folds the payload's codepoints with stride 64
+    * (`px(i) = Σ_{j≡i (64)} cp_j·(j/64+1) mod 256`), engine-portable
+    * integer arithmetic so the whole downstream pHash verifies
+    * relationally. A real impl replaces this body with decode +
+    * resize-to-8×8 + luma; everything after consumes only the 64
+    * ints, so the swap touches nothing else.
+    */
+  def decodePixelsStub(b: Blob): PixelGrid = {
+    val cps = new String(b.payload, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    val acc = new Array[Long](64)
+    var j = 0
+    while (j < cps.length) {
+      acc(j % 64) += cps(j).toLong * (j / 64 + 1)
+      j += 1
+    }
+    PixelGrid(b.doc_id, acc.map(v => (v % 256).toInt))
+  }
+
+  /** Decode pipeline for the grid: mapPartitions, same per-partition
+    * decoder-init shape as [[extractMetadata]].
+    */
+  def pixelGrids(blobs: Dataset[Blob]): Dataset[PixelGrid] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map(decodePixelsStub)
+    }
+  }
+
+  /** Average-hash over the grid, split into 4×16-bit bands IN-PLAN:
+    * bit i = pixel i above the integer mean, band b packs bits
+    * [16b, 16b+16). Bands (not one 64-bit value) so the candidate
+    * join is four narrow equi-joins — and no sign games at bit 63.
+    */
+  def phashBands(grids: DataFrame): DataFrame = {
+    val band = (b: Int) => expr(
+      s"aggregate(sequence(0, 15), 0L, (a, i) -> " +
+        s"a + if(element_at(px, $b * 16 + i + 1) > mean_px, shiftleft(1L, i), 0L))")
+    grids
+      .withColumn("mean_px", expr("aggregate(px, 0L, (a, x) -> a + x) div 64"))
+      .select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3"))
+  }
+
+  /** Image near-dup: docs whose pHashes agree on ≥1 band AND sit
+    * within `maxHamming` bits overall. With 4 bands the band join is
+    * LOSSLESS for maxHamming ≤ 3 (pigeonhole: 3 differing bits can't
+    * touch all 4 bands), so candidates-then-exact-filter equals the
+    * all-pairs scan — at a band equi-join's cost, never N². Bands are
+    * ~uniform 16-bit values, so collision fan-in stays O(n²/2^16) per
+    * band — the same narrow-shuffle story as SimHash banding.
+    */
+  def phashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4-band pigeonhole guarantee")
+    val bands = phashBands(pixelGrids(toBlobs(docs)).toDF())
+    val ex = bands.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+      col("b3"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bi"), col(s"b$b").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("e.bi").as("bi"), col("e.bv").as("bv"))
+    val hamming = (0 until 4).map(b =>
+      call_function("bit_count",
+        col(s"a.b$b").bitwiseXOR(col(s"bb.b$b"))).cast("long"))
+      .reduce(_ + _)
+    ex.as("a").join(ex.as("bb"),
+        col("a.bi") === col("bb.bi") && col("a.bv") === col("bb.bv") &&
+          col("a.doc_id") < col("bb.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("bb.doc_id").as("b_id"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
 }

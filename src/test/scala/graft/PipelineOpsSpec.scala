@@ -565,4 +565,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r0.getAs[Long]("total_px") ===
       (320 + len % 320).toLong * (240 + len % 240) * (1 + len % 8))
   }
+
+  test("phashNearDup: band join is lossless vs the all-pairs Hamming scan") {
+    // exact dup (1,2), 1-char edit (3), unrelated (4, 5): the banded
+    // candidate set filtered at hamming<=3 must equal brute force —
+    // the pigeonhole contract phashNearDup claims
+    val docs = Seq(
+      (1L, "the cat sat on the mat and looked at the open door for a while"),
+      (2L, "the cat sat on the mat and looked at the open door for a while"),
+      (3L, "the cat sat on the mat and looked at the open door for a whilx"),
+      (4L, "completely different content about spark physical planning"),
+      (5L, "yet another unrelated string with its own pixel histogram"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashNearDup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val bands = Multimodal.phashBands(
+      Multimodal.pixelGrids(Multimodal.toBlobs(docs)).toDF())
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = (for {
+      a <- bands.keys.toSeq; b <- bands.keys.toSeq if a < b
+      h = bands(a).zip(bands(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+      if h <= 3
+    } yield (a, b, h)).sorted
+    assert(got === want)
+    // the exact-dup pair is present at hamming 0
+    assert(got.contains((1L, 2L, 0L)))
+  }
 }
