@@ -3260,5 +3260,104 @@ private[graft] object QueriesPipeline {
              |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
              |  bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // CCNet-shaped boilerplate removal: 8-word segments, corpus doc
+    // frequency, drop df>2, reassemble in order (Curation scaladoc has
+    // the 100 TB shape: combinable df agg + tiny-set broadcast anti)
+    Q("q146_boilerplate_removal",
+      (s, dir) => Curation.boilerplateRemove(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |s0 AS (SELECT doc_id, t,
+             |    CAST(unnest(range((len(t)+7)//8)) AS INTEGER) AS si
+             |  FROM toks),
+             |seg AS (SELECT doc_id, si,
+             |    array_to_string(
+             |      t[si*8+1 : CAST(LEAST(len(t), (si+1)*8) AS INTEGER)],
+             |      ' ') AS seg
+             |  FROM s0),
+             |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df
+             |  FROM seg GROUP BY 1),
+             |kept AS (SELECT s.doc_id, s.si, s.seg
+             |  FROM seg s JOIN freq f USING (seg) WHERE f.df <= 2),
+             |re AS (SELECT doc_id,
+             |    string_agg(seg, ' ' ORDER BY si) AS clean_text,
+             |    COUNT(*) AS kept_segments
+             |  FROM kept GROUP BY 1),
+             |tot AS (SELECT doc_id, (len(t)+7)//8 AS nseg FROM toks)
+             |SELECT t.doc_id AS doc_id,
+             |  COALESCE(re.clean_text, '') AS clean_text,
+             |  CAST(COALESCE(re.kept_segments, 0) AS BIGINT)
+             |    AS kept_segments,
+             |  CAST(t.nseg - COALESCE(re.kept_segments, 0) AS BIGINT)
+             |    AS dropped_segments
+             |FROM tot t LEFT JOIN re ON re.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Lee-et-al-shaped duplicated-span diagnostic: per 8-gram position,
+    // shared-with-another-doc flag; per-doc permille fraction
+    Q("q147_dup_span_stats",
+      (s, dir) => Curation.dupSpanStats(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |g0 AS (SELECT doc_id, t,
+             |    CAST(unnest(range(len(t)-7)) AS INTEGER) AS p
+             |  FROM toks WHERE len(t) >= 8),
+             |g AS (SELECT doc_id, array_to_string(t[p+1:p+8], ' ') AS gram
+             |  FROM g0),
+             |df AS (SELECT gram FROM (
+             |    SELECT gram, COUNT(DISTINCT doc_id) AS c
+             |    FROM g GROUP BY 1) WHERE c >= 2),
+             |fl AS (SELECT g.doc_id,
+             |    CASE WHEN df.gram IS NULL THEN 0 ELSE 1 END AS dup
+             |  FROM g LEFT JOIN df USING (gram))
+             |SELECT doc_id, COUNT(*) AS n_positions,
+             |  CAST(SUM(dup) AS BIGINT) AS dup_positions,
+             |  (CAST(SUM(dup) AS BIGINT) * 1000) // COUNT(*)
+             |    AS dup_permille
+             |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-shaped importance scoring: integer likelihood-ratio weights
+    // over word bigrams vs the src0 target domain; top-100 non-target
+    Q("q148_dsir_importance",
+      (s, dir) => Curation.dsirTopK(Tables(s, dir, "documents")),
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    string_split(text, ' ') AS t
+             |  FROM documents),
+             |g0 AS (SELECT doc_id, source, t,
+             |    CAST(unnest(range(len(t)-1)) AS INTEGER) AS p
+             |  FROM toks WHERE len(t) >= 2),
+             |g AS (SELECT doc_id, source, t[p+1] || ' ' || t[p+2] AS f
+             |  FROM g0),
+             |w AS (SELECT f,
+             |    (CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             |      AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS w
+             |  FROM g GROUP BY 1)
+             |SELECT g.doc_id AS doc_id, MIN(g.source) AS source,
+             |  CAST(SUM(w.w) AS BIGINT) AS score
+             |FROM g JOIN w USING (f) WHERE g.source <> 'src0'
+             |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // energy-threshold VAD over stubbed PCM: 16-byte frames, energy
+    // >= 157000 active, consecutive actives merge (gaps-and-islands)
+    Q("q149_audio_vad",
+      (s, dir) => Multimodal.vadSegments(Tables(s, dir, "documents")),
+      Some("""WITH ch AS (SELECT doc_id,
+             |    CAST(unnest(range(1, length(text)+1)) AS INTEGER) AS j,
+             |    text
+             |  FROM documents),
+             |cp AS (SELECT doc_id, (j-1) // 16 AS f,
+             |    unicode(substring(text, j, 1)) AS c
+             |  FROM ch WHERE (j-1) // 16 < length(text) // 16),
+             |fe AS (SELECT doc_id, f, CAST(SUM(c*c) AS BIGINT) AS energy
+             |  FROM cp GROUP BY 1, 2),
+             |v AS (SELECT doc_id, f, energy,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+             |  FROM fe WHERE energy >= 157000)
+             |SELECT doc_id, CAST(MIN(f) AS BIGINT) AS seg_start,
+             |  CAST(MAX(f) AS BIGINT) AS seg_end,
+             |  COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS sum_energy
+             |FROM v GROUP BY doc_id, f - rn
+             |ORDER BY doc_id, seg_start""".stripMargin)),
   )
 }

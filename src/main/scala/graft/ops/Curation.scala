@@ -556,4 +556,135 @@ object Curation {
         expr("((n_raw - n_tokens) * 1000000) div n_raw"))
       .orderBy("doc_id")
   }
+
+  /** CCNet-shaped boilerplate removal: chop each document into
+    * consecutive `segWords`-word segments, count each segment's
+    * corpus-wide document frequency, drop segments shared by more than
+    * `maxDf` documents (nav bars, license headers, cookie banners in
+    * real crawls), and reassemble the surviving segments in order.
+    * Mirrors the per-paragraph hash dedup of CCNet (Wenzek et al.
+    * 2020) with word windows standing in for paragraphs (this corpus
+    * has no line structure).
+    *
+    * Scale shape: segments explode map-side; document frequency is one
+    * map-side-combinable aggregation keyed by segment; the drop is a
+    * left_anti against only the OVER-threshold segments — by Zipf that
+    * set is tiny relative to the corpus (boilerplate is, by
+    * definition, few distinct strings repeated massively), so AQE
+    * turns it into a broadcast anti-join; reassembly is one per-doc
+    * aggregation. At 100 TB the segment key travels as xxhash64, not
+    * the string (the oracle joins text; same result absent 64-bit
+    * collisions — the q21/q22 contract).
+    */
+  def boilerplateRemove(docs: DataFrame, segWords: Int = 8, maxDf: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // split("", " ") = [""] so nseg >= 1 always — sequence() never sees
+    // a negative upper bound
+    val nseg = (size(toks) + segWords - 1).divide(segWords).cast("int")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("t"), nseg.as("nseg"))
+    val segs = base.select(col("doc_id"), col("nseg"),
+      posexplode(transform(sequence(lit(0), col("nseg") - 1),
+        i => array_join(slice(col("t"), i * segWords + 1, lit(segWords)), " "))))
+      .withColumnRenamed("pos", "si").withColumnRenamed("col", "seg")
+    val frequent = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxDf)
+      .select("seg")
+    val kept = segs.join(frequent, Seq("seg"), "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("si"),
+        col("seg")))), s => s.getField("seg")), " ").as("clean_text"),
+      count(lit(1)).as("kept_segments"))
+    base.select(col("doc_id"), col("nseg"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        (col("nseg").cast("long") - coalesce(col("kept_segments"), lit(0L)))
+          .as("dropped_segments"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-span statistics, the diagnostic behind exact-substring
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): for every word `n`-gram
+    * POSITION in every document, is that n-gram's text shared with at
+    * least one OTHER document? Reports per-doc position counts and the
+    * duplicated fraction in exact permille — the score a curation
+    * pipeline thresholds to route docs to span-trimming.
+    *
+    * Scale shape: positions explode map-side (n_words − n + 1 per
+    * doc); document frequency per gram is one combinable aggregation;
+    * the per-position flag is an equi-join back on the gram key — the
+    * same key the frequency shuffle already hashed, so the exchange is
+    * reused, not repeated. At 100 TB grams travel hashed (xxhash64),
+    * and the df table needs only `df >= 2` rows (a semi-join set).
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= n)
+    val grams = base.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("t")) - n),
+        p => array_join(slice(col("t"), p + 1, lit(n)), " "))).as("gram"))
+    val shared = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select("gram")
+    val flagged = grams.join(shared.withColumn("dup", lit(1L)),
+      Seq("gram"), "left")
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_positions"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_positions"))
+      .withColumn("dup_permille",
+        expr("(dup_positions * 1000) div n_positions"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), integer-exact:
+    * featurize every document as its word-bigram occurrences, estimate
+    * the target domain's per-feature weight as
+    * `floor(count_target(f)·10⁶ / count_all(f))` (the hashed-ngram
+    * likelihood ratio with the common denominator absorbed), score
+    * each non-target document by the sum of its bigram weights, and
+    * keep the top `k` — the docs that look most like the target
+    * domain. All-integer so the DuckDB oracle reproduces scores bit
+    * for bit.
+    *
+    * Scale shape: bigrams explode map-side; both frequency tables are
+    * one combinable aggregation keyed by the bigram; the weight join
+    * is bigram-keyed on the same partitioning; the final score is a
+    * per-doc combinable sum, and top-k is a TakeOrdered (no global
+    * sort materialization). At 100 TB features travel as xxhash64
+    * buckets (DSIR's own hashing trick) rather than strings.
+    */
+  def dsirTopK(docs: DataFrame, targetSource: String = "src0", k: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id",
+      domainCol: String = "source"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(domainCol).as("dom"), toks.as("t"))
+      .where(size(col("t")) >= 2)
+    val grams = base.select(col("doc_id"), col("dom"),
+      explode(transform(sequence(lit(0), size(col("t")) - 2),
+        p => concat_ws(" ", col("t").getItem(p), col("t")(p + 1)))).as("f"))
+    val weights = grams.groupBy("f").agg(
+        count(lit(1)).as("cnt_all"),
+        sum(when(col("dom") === targetSource, 1L).otherwise(0L))
+          .as("cnt_target"))
+      .select(col("f"),
+        expr("(cnt_target * 1000000) div cnt_all").as("w"))
+    grams.where(col("dom") =!= targetSource)
+      .join(weights, Seq("f"))
+      .groupBy("doc_id").agg(sum(col("w")).as("score"),
+        min(col("dom")).as("source"))
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

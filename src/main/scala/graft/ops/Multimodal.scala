@@ -211,4 +211,68 @@ object Multimodal {
       .distinct()
       .orderBy("a_id", "b_id")
   }
+
+  // --------------------------------------------------------------------
+  // Audio plumbing: stubbed PCM decode → per-frame energy → VAD
+  // segmentation (energy-threshold voice-activity detection, the
+  // classic pre-ASR segmenter). Only the byte→sample decode is a stub.
+  // --------------------------------------------------------------------
+
+  case class FrameEnergy(doc_id: Long, frame: Int, energy: Long)
+
+  /** STUB "decode PCM + frame energy": treats each payload byte as an
+    * unsigned 8-bit sample, frames of `frameBytes` samples (trailing
+    * partial frame dropped, as a real framer does), energy = Σ s².
+    * Integer-exact so the downstream segmentation verifies
+    * relationally. A real impl swaps the inner loop for a codec
+    * (ffmpeg/JNI) emitting the same (frame, energy) rows; per-partition
+    * init amortizes across the batch like [[extractMetadata]].
+    */
+  def frameEnergies(blobs: Dataset[Blob], frameBytes: Int = 16): Dataset[FrameEnergy] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.flatMap { b =>
+        val nFrames = b.payload.length / frameBytes
+        (0 until nFrames).iterator.map { f =>
+          var e = 0L
+          var i = f * frameBytes
+          while (i < (f + 1) * frameBytes) {
+            val v = (b.payload(i) & 0xff).toLong
+            e += v * v
+            i += 1
+          }
+          FrameEnergy(b.doc_id, f, e)
+        }
+      }
+    }
+  }
+
+  /** Energy-threshold VAD: frames with energy ≥ `threshold` are
+    * "active"; consecutive active frames merge into segments
+    * (gaps-and-islands via `frame − row_number`, the standard
+    * relational islands trick). Output is one row per segment with its
+    * frame span, length, and total energy.
+    *
+    * Scale shape: decode + energy are map-only; the only shuffle keys
+    * by doc_id for the per-doc window and the segment aggregation
+    * reuses that partitioning. Frames per doc are bounded by media
+    * duration, so window state stays small regardless of corpus size.
+    */
+  def vadSegments(docs: DataFrame, frameBytes: Int = 16,
+      threshold: Long = 157000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fe = frameEnergies(toBlobs(docs), frameBytes).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame")
+    fe.where(col("energy") >= threshold)
+      .withColumn("isl", col("frame") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("frame")).cast("long").as("seg_start"),
+        max(col("frame")).cast("long").as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("sum_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "sum_energy")
+      .orderBy("doc_id", "seg_start")
+  }
 }

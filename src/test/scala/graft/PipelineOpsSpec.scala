@@ -594,4 +594,65 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     // the exact-dup pair is present at hamming 0
     assert(got.contains((1L, 2L, 0L)))
   }
+
+  test("boilerplateRemove drops only over-threshold segments, keeps order") {
+    // "a b c d e f g h" appears in 3 docs (> maxDf=2) → boilerplate;
+    // each doc's unique tail survives, in original order
+    val d = Seq(
+      (1L, "a b c d e f g h uniq1 tail1"),
+      (2L, "a b c d e f g h uniq2 tail2"),
+      (3L, "a b c d e f g h uniq3 tail3"),
+      (4L, "solo document with no shared segments at all"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Curation.boilerplateRemove(d).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) === (("uniq1 tail1", 1L, 1L)))
+    assert(r(2L) === (("uniq2 tail2", 1L, 1L)))
+    assert(r(4L) === (("solo document with no shared segments at all", 1L, 0L)))
+  }
+
+  test("dupSpanStats: full dup doc scores 1000 permille, unique doc 0") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  // shared with doc 2 entirely
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")) // unique
+      .toDF("doc_id", "text")
+    val r = graft.ops.Curation.dupSpanStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) === ((2L, 2L, 1000L))) // 9 words → 2 8-gram positions
+    assert(r(3L) === ((2L, 0L, 0L)))
+  }
+
+  test("dsirTopK scores target-like docs above target-unlike docs") {
+    // doc 10 repeats the target domain's bigrams; doc 11 shares none
+    val d = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "src0"),
+      (2L, "alpha beta gamma delta alpha beta", "src0"),
+      (10L, "alpha beta alpha beta epsilon", "srcX"),
+      (11L, "zeta eta theta iota kappa", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.Curation.dsirTopK(d, k = 10).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(10L) > 0L)
+    // doc 11's bigrams never occur in src0 → weight 0 everywhere
+    assert(r.getOrElse(11L, 0L) === 0L)
+  }
+
+  test("vadSegments merges consecutive active frames (islands)") {
+    // 64 chars = 4 frames; 'z'*16 frames are active (16*122^2=238k),
+    // ' '*16 frames are not (16*1024=16k) → two 1-frame segments
+    val txt = ("z" * 16) + (" " * 16) + ("z" * 16) + (" " * 16)
+    val d = Seq((7L, txt)).toDF("doc_id", "text")
+    val segs = graft.ops.Multimodal.vadSegments(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(segs.toSeq === Seq((7L, 0L, 0L, 1L), (7L, 2L, 2L, 1L)))
+    // adjacent active frames merge into one segment
+    val txt2 = ("z" * 32) + (" " * 32)
+    val d2 = Seq((8L, txt2)).toDF("doc_id", "text")
+    val segs2 = graft.ops.Multimodal.vadSegments(d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(segs2.toSeq === Seq((8L, 0L, 1L, 2L)))
+  }
 }
