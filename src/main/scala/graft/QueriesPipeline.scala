@@ -3359,5 +3359,78 @@ private[graft] object QueriesPipeline {
              |  COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS sum_energy
              |FROM v GROUP BY doc_id, f - rn
              |ORDER BY doc_id, seg_start""".stripMargin)),
+
+    // STREAMING Misra-Gries heavy hitters through the oracle gate:
+    // bounded per-bucket sketch state in mapGroupsWithState emits
+    // candidates (superset of all true heavy hitters by the N/(k+1)
+    // guarantee); the exact-verify join + threshold makes the final
+    // answer order-independent — same oracle as batch q123.
+    Q("q150_stream_heavy_hitters",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val sk = graft.streaming.StreamingPipeline
+          .heavyHittersStream(QueriesAlert.eventStream(s, dir)).toDF()
+        val cand = QueriesAlert
+          .drainToMemory(s, sk, "q150_sink", OutputMode.Update())
+          .select(col("item")).distinct()
+        val ev = Tables(s, dir, "events")
+        val n = ev.where(col("user_id").isNotNull).count()
+        val minCount = math.max(20L, (n + 3999L) / 4000L)
+        ev.join(broadcast(cand),
+            ev("user_id").cast("long") === cand("item"), "left_semi")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= minCount)
+          .orderBy(col("cnt").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS cnt FROM events
+             |WHERE user_id IS NOT NULL
+             |GROUP BY 1
+             |HAVING COUNT(*) >= GREATEST(20,
+             |  (SELECT (COUNT(*) + 3999) // 4000 FROM events
+             |   WHERE user_id IS NOT NULL))
+             |ORDER BY cnt DESC, user_id""".stripMargin)),
+
+    // leave-one-out target encoding: per-row group mean excluding the
+    // row, exact micro-units; singleton groups excluded (LOO undefined)
+    Q("q151_target_encoding",
+      (s, dir) => Stats.looTargetEncode(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT event_id, event_type AS grp,
+             |    CAST(floor(value*1000000) AS BIGINT) AS vm
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |a AS (SELECT grp, CAST(SUM(vm) AS BIGINT) AS s,
+             |    COUNT(*) AS c
+             |  FROM t GROUP BY 1)
+             |SELECT t.event_id AS event_id, t.grp AS grp,
+             |  (a.s - t.vm) // (a.c - 1) AS loo_micro
+             |FROM t JOIN a USING (grp) WHERE a.c >= 2
+             |ORDER BY event_id""".stripMargin)),
+
+    // BM25-shaped retrieval: rational idf + per-mille length norm,
+    // exact integer cross-multiplied saturation (TextAnalysis scaladoc
+    // derives the 88000/40000/12000/36 constants from k1=1.2, b=0.75)
+    Q("q152_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(Tables(s, dir, "documents"),
+        Seq("spark", "join", "window")),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot
+             |  FROM base),
+             |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, dl, unnest(t) AS w FROM base)
+             |  WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+             |dfT AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+             |  FROM tf GROUP BY 1)
+             |SELECT tf.doc_id AS doc_id,
+             |  CAST(SUM(
+             |    (((st.n - dfT.df + 1) * 1000000) // (dfT.df + 1))
+             |      * 88000 * tf.tf
+             |    // (40000 * tf.tf + 12000
+             |        + 36 * ((1000 * tf.dl * st.n) // st.tot))
+             |  ) AS BIGINT) AS score,
+             |  COUNT(*) AS n_terms
+             |FROM tf CROSS JOIN st JOIN dfT USING (w)
+             |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

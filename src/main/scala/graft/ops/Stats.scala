@@ -133,4 +133,35 @@ object Stats {
           .as("norm_ppm"))
       .orderBy(idCol)
   }
+
+  /** Leave-one-out target encoding — the standard anti-leakage
+    * categorical encoder for gradient-boosting / linear features:
+    * each row's encoding is its group's target mean COMPUTED WITHOUT
+    * THE ROW ITSELF, `floor((Σ_grp vm − vm) / (cnt − 1))` in
+    * micro-units. Exact integer arithmetic end to end (values here
+    * are non-negative so `div` == floor; a signed corpus would spell
+    * out floor(), the q66 rule). Singleton groups are excluded — LOO
+    * is undefined there (a production pipeline substitutes the global
+    * prior; that row set is exactly the `c = 1` complement).
+    *
+    * Scale shape: one map-side-combinable aggregate over the group
+    * key, broadcast back (group cardinality is bounded — event types,
+    * categories), map-only encode. No window over the group: a
+    * whole-partition window would shuffle every row into as many
+    * partitions as there are groups — the classic skew trap for
+    * low-cardinality keys.
+    */
+  def looTargetEncode(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val t = events.where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(idCol).as("event_id"), col(groupCol).as("grp"),
+        floor(col(valCol) * 1e6).cast("long").as("vm"))
+    val agg = t.groupBy("grp")
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("c"))
+    t.join(broadcast(agg), Seq("grp"))
+      .where(col("c") >= 2)
+      .select(col("event_id"), col("grp"),
+        expr("(s - vm) div (c - 1)").as("loo_micro"))
+      .orderBy("event_id")
+  }
 }

@@ -268,4 +268,52 @@ object TextAnalysis {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "bucket")
   }
+
+  /** BM25-shaped lexical retrieval, integer-exact: score every
+    * document against a fixed term set and keep the top `k`. Two
+    * principled substitutions make the classic formula engine-exact
+    * (bit-identical on Spark and the relational oracle) while
+    * preserving its shape:
+    *   - the log idf becomes the RATIONAL idf
+    *     `floor((N − df + 1)·10⁶ / (df + 1))` — same monotonicity in
+    *     df (rarer term ⇒ larger weight), no libm;
+    *   - the length norm `dl/avgdl` is quantized to per-mille:
+    *     `dlr = floor(1000·dl·N / Σdl)` (≈1000 for an average-length
+    *     doc), folded into the k1=1.2 / b=0.75 saturation by exact
+    *     cross-multiplication:
+    *     `tfpart = 88000·tf / (40000·tf + 12000 + 36·dlr)`.
+    * Per-term contribution `floor(idf · 88000 · tf / (40000·tf +
+    * 12000 + 36·dlr))`, doc score the sum.
+    *
+    * Scale shape: corpus totals (N, Σdl) are two scalars; term match
+    * filters DURING the explode so only query-term postings survive
+    * (the inverted-index slice, not the corpus); df is a combinable
+    * aggregate over ≤ |terms| keys, broadcast back; top-k is a
+    * TakeOrdered. Overflow headroom: idf·88000·tf needs
+    * idf·tf < 10¹⁴ — at web scale cap df-1 terms (idf ≤ N·10⁶) or
+    * drop idf to milli-units.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("t"), size(toks).cast("long").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val nDocs = stats.getLong(0)
+    val tot = stats.getLong(1)
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfT), Seq("w"))
+      .withColumn("idf_micro",
+        expr(s"((${nDocs}L - df + 1L) * 1000000L) div (df + 1L)"))
+      .withColumn("dlr", expr(s"(1000L * dl * ${nDocs}L) div ${tot}L"))
+      .withColumn("contrib",
+        expr("(idf_micro * 88000L * tf) div (40000L * tf + 12000L + 36L * dlr)"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

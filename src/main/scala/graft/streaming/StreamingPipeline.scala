@@ -195,4 +195,65 @@ object StreamingPipeline {
           Iterator.single(EwmaRow(key, st.n, st.acc))
         })
   }
+
+  /** Per-bucket Misra-Gries sketch state. `counts` is the bounded
+    * counter map (≤ k entries), `processed` the bucket's total row
+    * count — the guarantee check needs N = Σ processed.
+    */
+  case class MgState(counts: Map[Long, Long], processed: Long)
+
+  case class MgRow(bucket: Int, item: Long, est: Long, processed: Long)
+
+  /** Streaming Misra-Gries heavy-hitter CANDIDATES: the ingest-time
+    * twin of [[graft.ops.HeavyHitters.topByCount]]'s sketch pass.
+    * Keys hash into `buckets` state groups; each group folds its
+    * arrivals into a capacity-`k` Misra-Gries counter map held in
+    * `mapGroupsWithState`. Per-bucket undercount is ≤ n_bucket/(k+1)
+    * and the errors ADD across buckets, so any item with total stream
+    * count > N/(k+1) is guaranteed present in the union of bucket
+    * sketches — arrival order changes the estimates, never that
+    * guarantee. Downstream, an exact-verify join (batch or a second
+    * scan) makes the final answer deterministic, exactly like the
+    * batch op; q150 runs that join through the oracle gate.
+    *
+    * State is ≤ k longs per bucket FOREVER (NoTimeout) — bounded by
+    * construction, no watermark needed: that is the whole point of
+    * the sketch. Emits each bucket's full sketch every micro-batch
+    * (Update mode): the latest emission per bucket is the current
+    * candidate set.
+    */
+  def heavyHittersStream(events: DataFrame, keyCol: String = "user_id",
+      k: Int = 4096, buckets: Int = 32): org.apache.spark.sql.Dataset[MgRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col(keyCol).isNotNull)
+      .select(pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int").as("b"),
+        col(keyCol).cast("long").as("v"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (bucket: Int, rows: Iterator[(Int, Long)],
+         state: GroupState[MgState]) => {
+          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          prev.counts.foreach { case (i, c) => m(i) = c }
+          var processed = prev.processed
+          rows.foreach { case (_, v) =>
+            processed += 1
+            if (m.contains(v)) m(v) += 1
+            else if (m.size < k) m(v) = 1
+            else {
+              val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+              m.foreachEntry { (key, c) =>
+                if (c == 1L) dead += key else m(key) = c - 1
+              }
+              dead.foreach(m.remove)
+            }
+          }
+          state.update(MgState(m.toMap, processed))
+          val p = processed
+          m.iterator.map { case (item, est) => MgRow(bucket, item, est, p) }
+        })
+  }
 }

@@ -141,4 +141,37 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(plan.head.getAs[Long]("sampled_tokens") ===
       plan.head.getAs[Long]("avail_tokens"))
   }
+
+  test("looTargetEncode: each row sees the group mean without itself") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), // group mean 2.0
+      (4L, "b", 5.0), (5L, "b", 7.0),
+      (6L, "c", 9.0)) // singleton → excluded
+      .toDF("event_id", "event_type", "value")
+    val r = graft.ops.Stats.looTargetEncode(ev).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) === 2500000L) // (2+3)/2
+    assert(r(2L) === 2000000L) // (1+3)/2
+    assert(r(4L) === 7000000L) // the other row's value
+    assert(!r.contains(6L))
+  }
+
+  test("bm25TopK: rare term outweighs common term; repetition saturates") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "rare common pad1 pad2 pad3 pad4"),
+      (2L, "common pad1 pad2 pad3 pad4 pad5"),
+      (3L, "common common common common pad pad"),
+      (4L, "unrelated words only here now today"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val score = r.map(x => x._1 -> x._2).toMap
+    // doc 1 has the df=1 term → highest score
+    assert(r.head._1 === 1L)
+    // tf saturation: 4x common beats 1x common but far below 4x linear
+    assert(score(3L) > score(2L) && score(3L) < 3L * score(2L))
+    assert(!score.contains(4L))
+  }
 }

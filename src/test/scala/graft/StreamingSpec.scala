@@ -462,4 +462,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === want)
   }
+
+  test("heavyHittersStream: bounded state still surfaces the heavy key across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // k=2 with 1 bucket forces constant evictions; user 7 is 40% of a
+    // stream with 6 distinct light keys — the MG guarantee (count >
+    // N/(k+1) = N/3) says 7 must survive in state no matter the order
+    val out = graft.streaming.StreamingPipeline
+      .heavyHittersStream(mem.toDF(), k = 2, buckets = 1).toDF()
+    val q = out.writeStream.format("memory").queryName("mg")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: heavy key 7 interleaved with singletons 1..3
+      mem.addData(Ev(ts(1), 7, "e"), Ev(ts(1), 1, "e"), Ev(ts(1), 7, "e"),
+        Ev(ts(1), 2, "e"), Ev(ts(1), 7, "e"), Ev(ts(1), 3, "e"))
+      q.processAllAvailable()
+      // batch 2: state carries over; more singletons can't evict 7
+      mem.addData(Ev(ts(2), 7, "e"), Ev(ts(2), 4, "e"), Ev(ts(2), 7, "e"),
+        Ev(ts(2), 5, "e"), Ev(ts(2), 7, "e"), Ev(ts(2), 6, "e"))
+      q.processAllAvailable()
+      val rows = spark.table("mg").collect()
+      // the LAST emission (processed = 12) must contain key 7
+      val last = rows.filter(_.getAs[Long]("processed") === 12L)
+      assert(last.nonEmpty && last.exists(_.getAs[Long]("item") === 7L))
+      // state stayed within capacity in every emission
+      rows.groupBy(_.getAs[Long]("processed")).foreach { case (_, rs) =>
+        assert(rs.length <= 2)
+      }
+    } finally q.stop()
+  }
 }
