@@ -3432,5 +3432,56 @@ private[graft] object QueriesPipeline {
              |  COUNT(*) AS n_terms
              |FROM tf CROSS JOIN st JOIN dfT USING (w)
              |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // content-defined chunking + chunk dedup ratio: boundaries where
+    // the 16-char base-31 rolling window (q38's fold) ≡ 0 mod 64, so
+    // chunk edges track content, not offsets; corpus chunk-frequency
+    // join reports per-doc dedup savings
+    Q("q153_cdc_chunk_dedup",
+      (s, dir) => TextAnalysis.cdcChunkStats(Tables(s, dir, "documents")),
+      Some("""WITH cs AS (SELECT doc_id, text, length(text) AS n,
+             |    list_transform(string_split(text, ''),
+             |      c -> CAST(unicode(c) AS BIGINT)) AS cp
+             |  FROM documents),
+             |b AS (SELECT doc_id, text, n,
+             |    list_filter(range(16, n + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i-15:i]),
+             |        (a, c) -> (a * 31 + c) % 2147483647) % 64 = 0) AS bnds
+             |  FROM cs),
+             |ch AS (SELECT doc_id,
+             |    list_filter(
+             |      list_transform(range(1, len(bl)), j ->
+             |        substring(text, CAST(bl[j] + 1 AS INTEGER),
+             |          CAST(bl[j+1] - bl[j] AS INTEGER))),
+             |      c -> c <> '') AS chunks
+             |  FROM (SELECT doc_id, text, list_sort(list_distinct(
+             |          list_concat(list_concat([CAST(0 AS BIGINT)], bnds),
+             |            [CAST(n AS BIGINT)]))) AS bl
+             |        FROM b)),
+             |e AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch),
+             |f AS (SELECT chunk, COUNT(*) AS occ FROM e GROUP BY 1)
+             |SELECT e.doc_id AS doc_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dup_chunks,
+             |  (CAST(SUM(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 1000000) // COUNT(*) AS dup_ppm
+             |FROM e JOIN f USING (chunk)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // EXACT per-group median without a global sort: multi-round
+    // histogram narrowing (distributed k-th smallest); the oracle is
+    // the direct rank definition the narrowing must reproduce
+    Q("q154_exact_median",
+      (s, dir) => Stats.exactMedianNarrowing(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT event_type AS grp,
+             |    CAST(floor(value*1000000) AS BIGINT) AS vm
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |r AS (SELECT grp, vm,
+             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY vm) AS rn,
+             |    COUNT(*) OVER (PARTITION BY grp) AS n
+             |  FROM t)
+             |SELECT grp, n, vm AS median_micro FROM r
+             |WHERE rn = (n + 1) // 2 ORDER BY grp""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributional statistics over metric columns, built integer-exact
@@ -151,6 +152,99 @@ object Stats {
     * partitions as there are groups — the classic skew trap for
     * low-cardinality keys.
     */
+  /** EXACT per-group median at any scale, without a global sort: the
+    * classic multi-round histogram-narrowing selection (the
+    * distributed k-th-smallest algorithm). Each round builds a
+    * `buckets`-bin histogram of the still-active value range per
+    * group (one map-side-combinable aggregate), the driver walks the
+    * prefix sums to find the bin holding rank `k = (n+1)/2`, and the
+    * next round recurses INTO that bin — its true min/max come back
+    * with the histogram, so the range tightens to actual data, not
+    * arithmetic bounds. When a group's active bin is small (≤
+    * `finalLimit` rows) or single-valued, a last row_number pass over
+    * the tiny filtered set reads off the exact rank.
+    *
+    * Contrast with the naive `row_number over (partition by grp order
+    * by vm)` at 100 TB: that shuffles and SORTS every row of every
+    * group; this shuffles only histogram keys (groups × buckets per
+    * round, with partial aggregation) and converges in
+    * log_buckets(range) rounds — 2 rounds cover a 10⁶-wide micro
+    * range at buckets=1024. Driver state is G×B counters per round
+    * (index-scale metadata, same contract as IVF centroids); the data
+    * never leaves the executors until the final ≤`finalLimit`-row
+    * selection.
+    */
+  def exactMedianNarrowing(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value", buckets: Int = 1024,
+      finalLimit: Long = 4096L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val t = events.where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("grp"), floor(col(valCol) * 1e6).cast("long").as("vm"))
+      .localCheckpoint() // several passes over the same projection
+    // (grp, n, k = target rank in active range, lo, hi, active rows)
+    var st = t.groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("vm").as("lo"), max("vm").as("hi"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getString(0), n, (n + 1) / 2, r.getLong(2), r.getLong(3), n)
+      }.toSeq
+    var guard = 0
+    while (st.exists(s => s._6 > finalLimit && s._4 < s._5) && guard < 12) {
+      guard += 1
+      val active = st.filter(s => s._6 > finalLimit && s._4 < s._5)
+      val ranges = active.map(s => (s._1, s._4, s._5))
+        .toDF("grp", "alo", "ahi")
+      val hist = t.join(broadcast(ranges), Seq("grp"))
+        .where(col("vm") >= col("alo") && col("vm") <= col("ahi"))
+        .withColumn("b",
+          expr(s"((vm - alo) * $buckets) div (ahi - alo + 1)"))
+        .groupBy("grp", "b")
+        .agg(count(lit(1)).as("c"), min("vm").as("bmin"), max("vm").as("bmax"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1)
+      st = st.map { s =>
+        if (!(s._6 > finalLimit && s._4 < s._5)) s
+        else {
+          val bins = hist(s._1).sortBy(_._2)
+          var cum = 0L
+          var out = s
+          var i = 0
+          var done = false
+          while (i < bins.length && !done) {
+            val (_, _, c, bmin, bmax) = bins(i)
+            if (cum + c >= s._3) {
+              out = (s._1, s._2, s._3 - cum, bmin, bmax, c)
+              done = true
+            } else cum += c
+            i += 1
+          }
+          out
+        }
+      }
+    }
+    // single-valued ranges are already decided; the rest get an exact
+    // row_number selection over their ≤finalLimit-row active slice
+    val decided = st.filter(s => s._4 == s._5)
+      .map(s => (s._1, s._2, s._4)).toDF("grp", "n", "median_micro")
+    val open = st.filter(s => s._4 < s._5)
+    val fin = if (open.isEmpty) decided
+    else {
+      val ranges = open.map(s => (s._1, s._2, s._3, s._4, s._5))
+        .toDF("grp", "n", "k", "alo", "ahi")
+      val w = Window.partitionBy("grp").orderBy("vm")
+      t.join(broadcast(ranges), Seq("grp"))
+        .where(col("vm") >= col("alo") && col("vm") <= col("ahi"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === col("k"))
+        .select(col("grp"), col("n"), col("vm").as("median_micro"))
+        .unionByName(decided)
+    }
+    fin.orderBy("grp")
+  }
+
   def looTargetEncode(events: DataFrame, groupCol: String = "event_type",
       valCol: String = "value", idCol: String = "event_id"): DataFrame = {
     val t = events.where(col(groupCol).isNotNull && col(valCol).isNotNull)

@@ -269,6 +269,57 @@ object TextAnalysis {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Content-defined chunking (the LBFS/rsync/storage-dedup scheme)
+    * plus chunk-level dedup statistics: a boundary falls after any
+    * position whose trailing `w`-char rolling hash (the q38 base-31
+    * fold, engine-portable) is ≡ 0 mod `divisor` — so boundaries
+    * depend on CONTENT, not offsets, and an insertion early in a
+    * document re-aligns within one chunk instead of shifting every
+    * fixed-width block. Each doc's chunks are then counted against the
+    * corpus-wide chunk-content frequency; output is per-doc chunk
+    * count, duplicated-chunk count (content seen ≥ 2 times anywhere),
+    * and the dedup ratio in ppm — the "how much would CDC dedup save"
+    * report.
+    *
+    * Scale shape: chunking is map-only (per-doc HOFs, no shuffle);
+    * the frequency count is one combinable aggregation keyed by chunk
+    * content (at 100 TB: by xxhash64 of the chunk, and the join-back
+    * carries only occ ≥ 2 contents — the boilerplate-removal shape).
+    * Expected chunk length is `divisor` chars, so row fan-out is
+    * n_chars/divisor per doc, independent of corpus size.
+    */
+  def cdcChunkStats(docs: DataFrame, w: Int = 16, divisor: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"), length(col(textCol)).cast("long").as("n"),
+      expr(s"transform(split($textCol, ''), c -> cast(ascii(c) as bigint))")
+        .as("cp"))
+    // guard: sequence() runs BACKWARDS when from > to, so short docs
+    // (n < w) get no content boundaries rather than a phantom range
+    val bnds = when(col("n") >= w, expr(
+      s"""filter(sequence(${w}L, n), i ->
+         |  aggregate(slice(cp, cast(i - ${w - 1} as int), $w), 0L,
+         |    (a, c) -> (a * 31 + c) % 2147483647L) % $divisor = 0)"""
+        .stripMargin)).otherwise(array().cast("array<long>"))
+    val chunks = base.withColumn("bl",
+        array_sort(array_distinct(concat(array(lit(0L)), bnds,
+          array(col("n"))))))
+      .withColumn("chunks", when(size(col("bl")) >= 2, expr(
+        """filter(transform(sequence(0, size(bl) - 2), j ->
+          |  substring(text, cast(element_at(bl, j + 1) + 1 as int),
+          |    cast(element_at(bl, j + 2) - element_at(bl, j + 1) as int))),
+          |  c -> c <> '')""".stripMargin))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("occ"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_ppm", expr("(dup_chunks * 1000000) div n_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** BM25-shaped lexical retrieval, integer-exact: score every
     * document against a fixed term set and keep the top `k`. Two
     * principled substitutions make the classic formula engine-exact

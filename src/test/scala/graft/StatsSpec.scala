@@ -157,6 +157,61 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(!r.contains(6L))
   }
 
+  test("exactMedianNarrowing == direct rank definition, forced multi-round") {
+    import spark.implicits._
+    // deterministic pseudo-random values; tiny buckets + finalLimit
+    // force several narrowing rounds before the final selection
+    val ev = (1 to 500).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      (i.toLong, g, ((i * 7919) % 1000) / 10.0 + 0.001)
+    }.toDF("event_id", "event_type", "value")
+    val got = graft.ops.Stats
+      .exactMedianNarrowing(ev, buckets = 4, finalLimit = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("vm")
+    val want = ev.select(col("event_type").as("grp"),
+        floor(col("value") * 1e6).cast("long").as("vm"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select("grp", "n", "vm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("exactMedianNarrowing: constant group short-circuits, singleton exact") {
+    import spark.implicits._
+    val ev = Seq((1L, "k", 5.0), (2L, "k", 5.0), (3L, "k", 5.0),
+      (4L, "s", 9.25)).toDF("event_id", "event_type", "value")
+    val r = graft.ops.Stats.exactMedianNarrowing(ev)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("k") === ((3L, 5000000L)))
+    assert(r("s") === ((1L, 9250000L)))
+  }
+
+  test("cdcChunkStats: boundaries are content-defined — a prefix edit leaves the tail chunks intact") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill and the birds sing in the garden " +
+      "under a bright blue sky full of drifting clouds"
+    def chunksOf(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ops.TextAnalysis.cdcChunkStats(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two docs: original and prefix-shifted; the shared suffix should
+    // still produce duplicate chunks (offset-robust), which fixed-width
+    // blocking would never find
+    val d = Seq((1L, body), (2L, "PREFIX-EDIT " + body)).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.cdcChunkStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._2 > 0L, s"expected shared tail chunks, got $r")
+    assert(r(2L)._2 > 0L)
+    // chunks cover the doc: single doc, no dups, chunk count >= 1
+    val solo = chunksOf(Seq((9L, body)).toDF("doc_id", "text"))
+    assert(solo(9L) >= 1L)
+  }
+
   test("bm25TopK: rare term outweighs common term; repetition saturates") {
     import spark.implicits._
     val d = Seq(
