@@ -3483,5 +3483,71 @@ private[graft] object QueriesPipeline {
              |  FROM t)
              |SELECT grp, n, vm AS median_micro FROM r
              |WHERE rn = (n + 1) // 2 ORDER BY grp""".stripMargin)),
+
+    // local clustering coefficient over the co-purchase graph: exact
+    // ppm cohesion per node (q112's degree-oriented wedge join + a
+    // degree join); deg<2 nodes excluded
+    Q("q155_clustering_coefficient",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.ops.Graph.clusteringCoefficient(e)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |            FROM lineitem),
+             |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
+             |          GREATEST(a.p, b.p) AS v
+             |        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+             |deg AS (SELECT node, COUNT(*) AS d FROM (
+             |          SELECT u AS node FROM und
+             |          UNION ALL SELECT v FROM und) GROUP BY 1),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |        FROM und e1 JOIN und e2 ON e2.u = e1.v
+             |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |tcnt AS (SELECT node, COUNT(*) AS triangles FROM (
+             |          SELECT a AS node FROM tri
+             |          UNION ALL SELECT b FROM tri
+             |          UNION ALL SELECT c FROM tri) GROUP BY 1)
+             |SELECT deg.node AS node, CAST(deg.d AS BIGINT) AS d,
+             |  CAST(COALESCE(tcnt.triangles, 0) AS BIGINT) AS triangles,
+             |  (CAST(COALESCE(tcnt.triangles, 0) AS BIGINT) * 2000000)
+             |    // (deg.d * (deg.d - 1)) AS cc_ppm
+             |FROM deg LEFT JOIN tcnt USING (node) WHERE deg.d >= 2
+             |ORDER BY cc_ppm DESC, node LIMIT 100""".stripMargin)),
+
+    // shot-boundary detection over stubbed per-frame signatures:
+    // histogram-difference cut detector (|Δsig| > 5000), running
+    // boundary count → shot spans
+    Q("q156_shot_boundaries",
+      (s, dir) => Multimodal.shotSegments(Tables(s, dir, "documents")),
+      Some("""WITH m AS (SELECT doc_id, text,
+             |    octet_length(encode(text)) AS len FROM documents),
+             |fr AS (SELECT doc_id, text,
+             |    CAST(unnest(range(0, 1 + len % 8)) AS INTEGER) AS f
+             |  FROM m),
+             |ch AS (SELECT doc_id, f, text,
+             |    CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS j
+             |  FROM fr),
+             |sig AS (SELECT doc_id, f,
+             |    CAST(SUM(unicode(substring(text, j, 1))
+             |      * ((j - 1 + f) % 7 + 1)) % 10000 AS BIGINT) AS s
+             |  FROM ch GROUP BY 1, 2),
+             |d AS (SELECT doc_id, f, s,
+             |    LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |  FROM sig),
+             |b AS (SELECT doc_id, f,
+             |    CASE WHEN prev IS NOT NULL AND ABS(s - prev) > 5000
+             |      THEN 1 ELSE 0 END AS bd
+             |  FROM d),
+             |sh AS (SELECT doc_id, f, CAST(SUM(bd) OVER (
+             |      PARTITION BY doc_id ORDER BY f) AS BIGINT) AS shot
+             |  FROM b)
+             |SELECT doc_id, shot, CAST(MIN(f) AS BIGINT) AS start_frame,
+             |  CAST(MAX(f) AS BIGINT) AS end_frame, COUNT(*) AS n_frames
+             |FROM sh GROUP BY 1, 2 ORDER BY doc_id, shot""".stripMargin)),
   )
 }

@@ -97,6 +97,61 @@ object Graph {
       .limit(topN)
   }
 
+  /** Local clustering coefficient per node, exact ppm:
+    * `cc = 2·T_v·10⁶ / (d_v·(d_v−1))` — how close each node's
+    * neighborhood is to a clique, THE per-node cohesion feature for
+    * community/fraud pipelines. Triangles come from the same
+    * degree-oriented wedge join as [[triangleCount]] (each triangle
+    * counted once per member node); degrees from one combinable
+    * aggregate; nodes with d < 2 are excluded (coefficient
+    * undefined). Integer ppm floor keeps it oracle-exact.
+    *
+    * Scale shape: identical to triangleCount (the wedge join is the
+    * dominant cost, bounded by the degree orientation's
+    * O(m^{3/2}) wedge bound); the final join is node-keyed.
+    */
+  def clusteringCoefficient(edges: DataFrame, topN: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // degree agg + orientation + closing join reuse it
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ord = und
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("dd"))
+      .localCheckpoint()
+    val wedges = ord.as("a").join(ord.as("b"),
+        col("a.src") === col("b.src") &&
+          (col("a.dd") < col("b.dd") ||
+           (col("a.dd") === col("b.dd") && col("a.dst") < col("b.dst"))))
+      .select(col("a.src").as("apex"), col("a.dst").as("t1"),
+        col("b.dst").as("t2"))
+    val tri = wedges.join(ord.select(col("src").as("t1"), col("dst").as("t2")),
+        Seq("t1", "t2"))
+      .select(explode(array(col("apex"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.where(col("d") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_ppm",
+        expr("(triangles * 2000000) div (d * (d - 1))"))
+      .orderBy(col("cc_ppm").desc, col("node"))
+      .limit(topN)
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 3, dampPpm: Long = 850000L,
       scale: Long = 1000000000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {

@@ -249,6 +249,67 @@ object Multimodal {
     }
   }
 
+  case class FrameSig(doc_id: Long, frame: Int, sig: Long)
+
+  /** STUB "per-frame content signature" for shot detection: frame `f`
+    * of a payload folds every codepoint with a frame-dependent weight
+    * (`Σ cp_j·((j+f) mod 7 + 1) mod 10⁴`) — a deterministic stand-in
+    * for a per-frame color histogram, integer-exact so the detector
+    * verifies relationally. Frame count is the [[decodeStub]] fan-out
+    * (1 + len mod 8). A real impl replaces the fold with decode +
+    * histogram; everything downstream consumes only (frame, sig).
+    */
+  def frameSignatures(blobs: Dataset[Blob]): Dataset[FrameSig] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.flatMap { b =>
+        val cps = new String(b.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().toArray
+        val nFrames = (1 + b.payload.length % 8).toInt
+        (0 until nFrames).iterator.map { f =>
+          var s = 0L
+          var j = 0
+          while (j < cps.length) {
+            s += cps(j).toLong * ((j + f) % 7 + 1)
+            j += 1
+          }
+          FrameSig(b.doc_id, f, s % 10000L)
+        }
+      }
+    }
+  }
+
+  /** Shot-boundary detection: a new shot starts where consecutive
+    * frame signatures differ by more than `threshold` (the classic
+    * histogram-difference cut detector). Boundaries via a lag window,
+    * shot ids via a running boundary count, one row per shot with its
+    * frame span.
+    *
+    * Scale shape: signature extraction is map-only; the lag and the
+    * running sum are one per-doc window (frames per doc bounded by
+    * duration); the shot aggregation reuses the same doc_id
+    * partitioning.
+    */
+  def shotSegments(docs: DataFrame, threshold: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = frameSignatures(toBlobs(docs)).toDF()
+    val byFrame = Window.partitionBy("doc_id").orderBy("frame")
+    sig.withColumn("prev", lag(col("sig"), 1).over(byFrame))
+      .withColumn("bd",
+        when(col("prev").isNotNull &&
+          abs(col("sig") - col("prev")) > threshold, 1L).otherwise(0L))
+      .withColumn("shot", sum(col("bd")).over(
+        byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(min(col("frame")).cast("long").as("start_frame"),
+        max(col("frame")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .select("doc_id", "shot", "start_frame", "end_frame", "n_frames")
+      .orderBy("doc_id", "shot")
+  }
+
   /** Energy-threshold VAD: frames with energy ≥ `threshold` are
     * "active"; consecutive active frames merge into segments
     * (gaps-and-islands via `frame − row_number`, the standard

@@ -80,4 +80,20 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(x === y)
   }
+
+  test("clusteringCoefficient: clique scores 1e6, pendant bridge dilutes") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4 attached to 1:
+    //   2,3: d=2, T=1 → cc = 1e6 ; 1: d=3, T=1 → 2e6/6 = 333333
+    //   4: d=1 → excluded
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (3L, 2L))
+      .toDF("src", "dst") // one duplicate reversed edge — must dedup
+    val r = Graph.clusteringCoefficient(e).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(2L) === ((2L, 1L, 1000000L)))
+    assert(r(3L) === ((2L, 1L, 1000000L)))
+    assert(r(1L) === ((3L, 1L, 333333L)))
+    assert(!r.contains(4L))
+  }
 }

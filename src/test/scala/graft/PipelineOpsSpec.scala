@@ -640,6 +640,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getOrElse(11L, 0L) === 0L)
   }
 
+  test("shotSegments: shots split exactly at |Δsig| > threshold") {
+    // recompute the stub signatures directly and diff against the op
+    val d = docs.select(col("doc_id"), col("text"))
+    val sigs = graft.ops.Multimodal
+      .frameSignatures(graft.ops.Multimodal.toBlobs(d))
+      .collect().groupBy(_.doc_id)
+      .map { case (id, fs) => id -> fs.sortBy(_.frame).map(_.sig).toSeq }
+    val want = sigs.flatMap { case (id, ss) =>
+      val shots = ss.indices.foldLeft(Seq.empty[Seq[Int]]) { (acc, f) =>
+        if (f == 0 || math.abs(ss(f) - ss(f - 1)) > 5000L)
+          acc :+ Seq(f)
+        else acc.init :+ (acc.last :+ f)
+      }
+      shots.zipWithIndex.map { case (fr, si) =>
+        (id, si.toLong, fr.head.toLong, fr.last.toLong, fr.length.toLong)
+      }
+    }.toSet
+    val got = graft.ops.Multimodal.shotSegments(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+  }
+
   test("vadSegments merges consecutive active frames (islands)") {
     // 64 chars = 4 frames; 'z'*16 frames are active (16*122^2=238k),
     // ' '*16 frames are not (16*1024=16k) → two 1-frame segments
