@@ -3549,5 +3549,47 @@ private[graft] object QueriesPipeline {
              |SELECT doc_id, shot, CAST(MIN(f) AS BIGINT) AS start_frame,
              |  CAST(MAX(f) AS BIGINT) AS end_frame, COUNT(*) AS n_frames
              |FROM sh GROUP BY 1, 2 ORDER BY doc_id, shot""".stripMargin)),
+
+    // peak concurrency (sweep-line max): 1h half-open intervals per
+    // event; net deltas per instant kill running-sum ties; the scan is
+    // the two-pass partial-sum + prefix-offset shape, never a
+    // one-partition-per-group window
+    Q("q157_peak_concurrency",
+      (s, dir) => Temporal.peakConcurrency(Tables(s, dir, "events")),
+      Some("""WITH iv AS (SELECT event_type AS grp, epoch_us(ts) AS st
+             |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+             |d AS (SELECT grp, st AS t, 1 AS delta FROM iv
+             |  UNION ALL SELECT grp, st + 3600000000, -1 FROM iv),
+             |nt AS (SELECT grp, t, CAST(SUM(delta) AS BIGINT) AS net
+             |  FROM d GROUP BY 1, 2),
+             |c AS (SELECT grp, t, CAST(SUM(net) OVER (
+             |    PARTITION BY grp ORDER BY t) AS BIGINT) AS cum FROM nt),
+             |p AS (SELECT grp, MAX(cum) AS peak FROM c GROUP BY 1)
+             |SELECT c.grp AS grp, p.peak AS peak, MIN(c.t) AS peak_at_us
+             |FROM c JOIN p ON p.grp = c.grp AND c.cum = p.peak
+             |GROUP BY 1, 2 ORDER BY grp""".stripMargin)),
+
+    // rate-spike monitor: hourly counts vs 2x the trailing-24h mean,
+    // integer cross-multiplied; window runs over pre-aggregated rows
+    Q("q158_rate_spikes",
+      (s, dir) => Analytics.rateSpikes(Tables(s, dir, "events")),
+      Some("""WITH h AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |w AS (SELECT grp, hour, cnt, CAST(SUM(cnt) OVER (
+             |    PARTITION BY grp ORDER BY hour
+             |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             |      AS sum24,
+             |    CAST(COUNT(*) OVER (PARTITION BY grp ORDER BY hour
+             |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             |      AS n24
+             |  FROM h)
+             |SELECT grp, hour * 3600000000 AS hour_us,
+             |  CAST(cnt AS BIGINT) AS cnt, sum24, n24
+             |FROM w WHERE sum24 IS NOT NULL
+             |  AND cnt * n24 * 1000000 > 2000000 * sum24
+             |ORDER BY grp, hour_us""".stripMargin)),
   )
 }

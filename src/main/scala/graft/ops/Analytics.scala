@@ -87,4 +87,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Rate-spike detection against a trailing baseline — the SOC
+    * "traffic is N× its recent normal" monitor: hourly counts per
+    * group, compared to the preceding 24 h MEAN via an integer
+    * cross-multiplication (`cnt·n24·10⁶ > factorPpm·sum24` ⇔
+    * cnt > factor × trailing mean), no division anywhere. The mean
+    * divides by the trailing hours actually PRESENT in the frame
+    * (n24), so a stream's warm-up hours are judged against their own
+    * short baseline instead of spiking vacuously against a
+    * zero-padded constant; hours with no trailing data at all can't
+    * alert. Returns the spiking hours with their evidence.
+    *
+    * Scale shape: the raw-event aggregation is map-side combinable
+    * and keys by (group, hour); the trailing window runs over the
+    * ALREADY-AGGREGATED hourly rows — G×hours rows total, thousands
+    * per year per group, so the per-group window partition is small
+    * by construction no matter how many raw events fed it (the
+    * pre-aggregate-before-window rule).
+    */
+  def rateSpikes(events: DataFrame, factorPpm: Long = 2000000L,
+      trailingHours: Int = 24, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("hour"))
+      .groupBy("grp", "hour").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("hour")
+      .rangeBetween(-trailingHours, -1)
+    hourly.withColumn("sum24", sum(col("cnt")).over(w))
+      .withColumn("n24", count(lit(1)).over(w))
+      .where(col("sum24").isNotNull &&
+        col("cnt") * col("n24") * 1000000L > lit(factorPpm) * col("sum24"))
+      .select(col("grp"), (col("hour") * 3600000000L).as("hour_us"),
+        col("cnt"), col("sum24"), col("n24"))
+      .orderBy("grp", "hour_us")
+  }
 }

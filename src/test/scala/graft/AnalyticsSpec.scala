@@ -71,4 +71,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       (d1, 0L) -> 2L, (d1, 1L) -> 1L, (d1, 2L) -> 1L,
       (d1 + 1, 0L) -> 1L))
   }
+
+  test("peakConcurrency: half-open boundaries and first-peak instant") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // 1h intervals: starts at :00 :10 :20 overlap → peak 3 at :20;
+    // a start EXACTLY at 11:00 (= :00's half-open end) must not push
+    // the peak to 4 — the close nets against the open
+    val ev = Seq((1L, t(0), "a"), (2L, t(10), "a"), (3L, t(20), "a"),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 11:00:00"), "a"),
+      (9L, t(30), "b"))
+      .toDF("event_id", "ts", "event_type")
+    val r = graft.ops.Temporal.peakConcurrency(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val us2020 = java.time.Instant.parse("2026-01-01T10:20:00Z")
+    assert(r("a")._1 === 3L)
+    assert(r("b") === ((1L,
+      java.time.Instant.parse("2026-01-01T10:30:00Z").toEpochMilli * 1000L)))
+    assert(r("a")._2 === us2020.toEpochMilli * 1000L)
+    // partitioning invariance: the two-pass prefix scan must not
+    // depend on input layout
+    val r13 = graft.ops.Temporal.peakConcurrency(ev.repartition(13))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r13 === r)
+  }
+
+  test("rateSpikes: flags only the hour that doubles its trailing mean") {
+    import spark.implicits._
+    // 25 hours of 4 events/hour, then one hour with 9 (> 2x mean 4)
+    val rows = (0 until 25).flatMap { h =>
+      (0 until 4).map(i => (h.toLong * 100 + i,
+        new java.sql.Timestamp(1767225600000L + h * 3600000L + i * 1000L), "a"))
+    } ++ (0 until 9).map(i => (9900L + i,
+      new java.sql.Timestamp(1767225600000L + 25 * 3600000L + i * 1000L), "a"))
+    val ev = rows.toDF("event_id", "ts", "event_type")
+    val r = graft.ops.Analytics.rateSpikes(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length === 1)
+    assert(r.head._3 === 9L && r.head._4 === 96L) // 24h x 4 events
+  }
 }
