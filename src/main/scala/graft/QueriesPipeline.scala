@@ -3591,5 +3591,74 @@ private[graft] object QueriesPipeline {
              |FROM w WHERE sum24 IS NOT NULL
              |  AND cnt * n24 * 1000000 > 2000000 * sum24
              |ORDER BY grp, hour_us""".stripMargin)),
+
+    // IVF-PQ composed ANN (FAISS architecture): anchor-cell coarse
+    // quantizer (q79's restatable choice) prunes to nprobe cells, PQ
+    // ADC (q106's integer LUT scan) ranks the survivors — the oracle
+    // composes both restatements end to end
+    Q("q159_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |anch AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+             |             AS INTEGER) AS cell, v AS av
+             |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+             |sc AS (SELECT e.vec_id, a.cell,
+             |         list_sum(list_transform(list_zip(e.v, a.av),
+             |           x -> x[1]*x[2])) AS s
+             |       FROM e CROSS JOIN anch a),
+             |asg AS (SELECT vec_id, cell FROM (
+             |          SELECT vec_id, cell, ROW_NUMBER() OVER (
+             |            PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |          FROM sc)
+             |        WHERE rn = 1),
+             |cb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+             |           AS INTEGER) AS code, v
+             |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+             |ss AS (SELECT unnest(range(0, 8)) AS s),
+             |subs AS (SELECT vec_id, s,
+             |           v[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS sv
+             |         FROM e CROSS JOIN ss),
+             |csubs AS (SELECT code, s,
+             |            v[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS cv
+             |          FROM cb CROSS JOIN ss),
+             |d AS (SELECT vec_id, subs.s, code,
+             |        list_sum(list_transform(list_zip(sv, cv),
+             |          x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+             |      FROM subs JOIN csubs ON subs.s = csubs.s),
+             |codes AS (SELECT vec_id, s, code FROM (
+             |        SELECT vec_id, s, code, dist, ROW_NUMBER() OVER (
+             |          PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+             |        FROM d) WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+             |qprobe AS (SELECT q_id, cell FROM (
+             |    SELECT q.q_id, a.cell, ROW_NUMBER() OVER (
+             |      PARTITION BY q.q_id ORDER BY
+             |        list_sum(list_transform(list_zip(q.qv, a.av),
+             |          x -> x[1]*x[2])) DESC, a.cell) AS rn
+             |    FROM q CROSS JOIN anch a) WHERE rn <= 2),
+             |qsubs AS (SELECT q_id, s,
+             |            qv[CAST(s*8+1 AS INTEGER):CAST(s*8+8 AS INTEGER)] AS sv
+             |          FROM q CROSS JOIN ss),
+             |lut AS (SELECT q_id, qsubs.s, code,
+             |          CAST(floor(list_sum(list_transform(list_zip(sv, cv),
+             |            x -> (x[1]-x[2])*(x[1]-x[2])))*1000000) AS BIGINT)
+             |            AS lut_e6
+             |        FROM qsubs JOIN csubs ON qsubs.s = csubs.s),
+             |cand AS (SELECT p.q_id, g.vec_id
+             |         FROM qprobe p JOIN asg g ON g.cell = p.cell),
+             |a2 AS (SELECT c.q_id, c.vec_id,
+             |         CAST(SUM(l.lut_e6) AS BIGINT) AS adist_e6
+             |       FROM cand c JOIN codes k2 ON k2.vec_id = c.vec_id
+             |       JOIN lut l ON l.q_id = c.q_id AND l.s = k2.s
+             |         AND l.code = k2.code
+             |       GROUP BY 1, 2),
+             |rk AS (SELECT q_id, vec_id, adist_e6, ROW_NUMBER() OVER (
+             |        PARTITION BY q_id ORDER BY adist_e6, vec_id) AS rank
+             |      FROM a2)
+             |SELECT q_id, rank, vec_id, adist_e6 FROM rk
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -341,4 +341,73 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "adist_e6")
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-PQ: the composed billion-vector ANN architecture (FAISS's
+    * IVFPQ) — a coarse inverted-file quantizer prunes the corpus to
+    * `nprobe` cells, then the compressed ADC scan of [[pqAdcTopK]]
+    * ranks only the surviving cells' codes. The coarse quantizer here
+    * is the deterministic anchor-cell table
+    * ([[Ivf.trainCentroids]] at 0 iterations = the first `cells`
+    * corpus vectors, the same restatable choice q79's SemDeDup uses);
+    * a production build swaps in trained centroids via
+    * [[Ivf.buildIndex]] without touching the shape.
+    *
+    * Scale shape: the corpus never holds floats at scan time — codes
+    * (m bytes/vector) + one cell int; the probe set and the
+    * query LUTs broadcast (queries × m × kcode ints); the scan reads
+    * ~nprobe/cells of the code table (cell is the storage partition
+    * key in a persisted index, so file pruning applies) and
+    * aggregates m-lookup integer sums. The cell assignment and code
+    * assignment join once per index build, not per query.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      cells: Int = 8, nprobe: Int = 2, m: Int = 8, kcode: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = Ivf.trainCentroids(corpus, cells, iterations = 0, idCol, vecCol)
+    // corpus index side: PQ codes ⋈ coarse cell (one build-time join —
+    // a persisted index stores this partitioned by cell)
+    val codes = pqEncode(corpus, m, kcode, idCol, vecCol)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val cellAsg = Par.spread(corpus.select(col(idCol).as("vec_id"),
+      Ivf.cellOf(col(vecCol), anchors).as("cell")))
+    val coded = codes.join(cellAsg, Seq("vec_id"))
+    // query side: nprobe best anchor cells (dot desc, cell asc) ...
+    val probeSort = transform(
+      array_sort(array(anchors.zipWithIndex.map { case (c, i) =>
+        struct((-dot(col("qv"), lit(c))).as("negS"), lit(i).as("cell"))
+      }: _*)), s => s.getField("cell"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probes = q.select(col("q_id"),
+      explode(slice(probeSort, 1, nprobe)).as("cell"))
+    // ... and the ADC lookup table (same codebook derivation as
+    // pqEncode: the first kcode vectors' subvectors)
+    val first = corpus.orderBy(idCol).limit(kcode)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = first.head.length
+    val w = dim / m
+    val codebooks = (0 until m).map(s => first.map(_.slice(s * w, (s + 1) * w)))
+    val lutStructs = for (s <- 0 until m; c <- 0 until kcode) yield {
+      val sv = slice(col("qv"), s * w + 1, w)
+      struct(lit(s).as("sub"), lit(c).as("code"),
+        floor(aggregate(
+          zip_with(sv, lit(codebooks(s)(c)), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x) * 1e6).cast("long").as("lut_e6"))
+    }
+    val lut = q.select(col("q_id"), explode(array(lutStructs: _*)).as("l"))
+      .select(col("q_id"), col("l.sub").cast("int").as("sub"),
+        col("l.code").cast("int").as("code"), col("l.lut_e6").as("lut_e6"))
+    // probed candidates only: cell join prunes, then m integer lookups
+    val adist = coded.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("lut_e6")).as("adist_e6"))
+    val rnw2 = Window.partitionBy("q_id").orderBy(col("adist_e6"), col("vec_id"))
+    adist.withColumn("rank", row_number().over(rnw2))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adist_e6")
+      .orderBy("q_id", "rank")
+  }
 }

@@ -640,6 +640,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getOrElse(11L, 0L) === 0L)
   }
 
+  test("ivfPqTopK with nprobe=cells equals the unpruned ADC scan") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val q = emb.where(col("vec_id") < 3)
+    val full = Similarity.pqAdcTopK(emb, q, k = 3)
+      .collect().map(_.toSeq).toSeq
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 3, cells = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(ivfpq === full)
+    // pruned probe returns a subset ranking: every hit it does return
+    // carries the same ADC distance the full scan assigned
+    val pruned = Similarity.ivfPqTopK(emb, q, k = 3, cells = 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val fullD = Similarity.pqAdcTopK(emb, q, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    pruned.foreach { case (key, d) => assert(fullD(key) === d) }
+  }
+
   test("shotSegments: shots split exactly at |Δsig| > threshold") {
     // recompute the stub signatures directly and diff against the op
     val d = docs.select(col("doc_id"), col("text"))
