@@ -3660,5 +3660,53 @@ private[graft] object QueriesPipeline {
              |      FROM a2)
              |SELECT q_id, rank, vec_id, adist_e6 FROM rk
              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Spark Observation API through the gate: zero-extra-pass pipeline
+    // health metrics (row counts, null tallies, integer value sums)
+    // collected DURING another action's scan — the instrumentation
+    // every production pipeline bolts onto its ingest read
+    Q("q160_observe_metrics",
+      (s, dir) => {
+        val obs = org.apache.spark.sql.Observation("q160")
+        val ev = Tables(s, dir, "events")
+          .observe(obs, count(lit(1)).as("rows_in"),
+            sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_users"),
+            sum(floor(col("value") * 1e6).cast("long")).as("value_sum_micro"))
+        // the metrics ride along this action's single pass
+        val purchases = ev.where(col("event_type") === "purchase").count()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("rows_in").asInstanceOf[Long],
+          m("null_users").asInstanceOf[Long],
+          m("value_sum_micro").asInstanceOf[Long], purchases))
+          .toDF("rows_in", "null_users", "value_sum_micro", "purchases")
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM events) AS rows_in,
+             |  (SELECT COUNT(*) FROM events WHERE user_id IS NULL)
+             |    AS null_users,
+             |  (SELECT CAST(SUM(CAST(floor(value*1000000) AS BIGINT))
+             |     AS BIGINT) FROM events) AS value_sum_micro,
+             |  (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
+             |    AS purchases""".stripMargin)),
+
+    // interval-union coverage per group (two-pass prefix-max sweep):
+    // union length + merged-island count from per-row clipped
+    // contributions — no island ids, no per-group window
+    Q("q161_interval_coverage",
+      (s, dir) => Temporal.intervalCoverage(Tables(s, dir, "events")),
+      Some("""WITH iv AS (SELECT event_type AS grp, epoch_us(ts) AS s,
+             |    epoch_us(ts) + 3600000000 AS e
+             |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+             |o AS (SELECT grp, s, e, MAX(e) OVER (
+             |    PARTITION BY grp ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM iv)
+             |SELECT grp,
+             |  CAST(SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_islands,
+             |  CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pm, s))))
+             |    AS BIGINT) AS covered_us
+             |FROM o GROUP BY 1 ORDER BY grp""".stripMargin)),
   )
 }

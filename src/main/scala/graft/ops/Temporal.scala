@@ -349,4 +349,61 @@ object Temporal {
       .select(col("grp"), col("peak"), col("peak_at_us"))
       .orderBy("grp")
   }
+
+  /** Interval coverage per group — total union length of (possibly
+    * overlapping) intervals plus the merged-island count: "how much
+    * wall-clock was at least one session open". Per sorted interval,
+    * the contribution is `max(0, e − max(s, prevMaxEnd))` (the part
+    * not already covered) and a new island starts when
+    * `s > prevMaxEnd`; both are plain aggregates of per-row values,
+    * so no island ids are materialized.
+    *
+    * Scale shape: `prevMaxEnd` is a running MAX, computed with the
+    * same two-pass trick as [[peakConcurrency]]'s running sum —
+    * range-shuffle on (group, start), per-partition max-end to the
+    * driver (P×G longs), exclusive prefix-max offsets broadcast back,
+    * bounded within-partition window. Never one partition per group.
+    */
+  def intervalCoverage(events: DataFrame, durationUs: Long = 3600000000L,
+      groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    val iv = events.where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol).as("grp"), unix_micros(col(tsCol)).as("s"))
+      .withColumn("e", col("s") + durationUs)
+    val n = spark.sparkContext.defaultParallelism
+    val ranged = iv.repartitionByRange(n, col("grp"), col("s"), col("e"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = ranged.groupBy("__pid", "grp").agg(max(col("e")).as("me"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // exclusive prefix max per group in pid order; only pids with a
+    // predecessor get a row (others join to null)
+    val offsets = parts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.zipWithIndex.drop(1).map { case ((pid, _, _), i) =>
+        (pid, g, sorted.take(i).map(_._3).max)
+      }
+    }
+    val cov = if (offsets.isEmpty) {
+      ranged.withColumn("__off", lit(null).cast("long"))
+    } else {
+      ranged.join(broadcast(spark.createDataFrame(offsets)
+        .toDF("__pid", "grp", "__off")), Seq("__pid", "grp"), "left")
+    }
+    val w = Window.partitionBy("__pid", "grp").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cov.withColumn("pmLocal", max(col("e")).over(w))
+      .withColumn("pm",
+        when(col("pmLocal").isNull && col("__off").isNull, lit(null))
+          .otherwise(greatest(coalesce(col("pmLocal"), col("__off")),
+            coalesce(col("__off"), col("pmLocal")))))
+      .groupBy("grp")
+      .agg(
+        sum(when(col("pm").isNull || col("s") > col("pm"), 1L).otherwise(0L))
+          .as("n_islands"),
+        sum(greatest(lit(0L),
+          col("e") - greatest(col("s"), coalesce(col("pm"), col("s")))))
+          .as("covered_us"))
+      .orderBy("grp")
+  }
 }

@@ -96,6 +96,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r13 === r)
   }
 
+  test("intervalCoverage: overlaps merge, gaps split, exact union length") {
+    import spark.implicits._
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // a: [10:00,11:00)+[10:30,11:30) merge → 1.5h; [13:00,14:00) is a
+    // second island → total 2.5h, 2 islands. b: single interval.
+    val ev = Seq((1L, t(10, 0), "a"), (2L, t(10, 30), "a"), (3L, t(13, 0), "a"),
+      (9L, t(8, 0), "b")).toDF("event_id", "ts", "event_type")
+    val r = graft.ops.Temporal.intervalCoverage(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") === ((2L, 9000000000L))) // 2.5h in us
+    assert(r("b") === ((1L, 3600000000L)))
+    val r13 = graft.ops.Temporal.intervalCoverage(ev.repartition(7)).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r13 === r)
+  }
+
   test("rateSpikes: flags only the hour that doubles its trailing mean") {
     import spark.implicits._
     // 25 hours of 4 events/hour, then one hour with 9 (> 2x mean 4)
