@@ -3708,5 +3708,47 @@ private[graft] object QueriesPipeline {
              |  CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pm, s))))
              |    AS BIGINT) AS covered_us
              |FROM o GROUP BY 1 ORDER BY grp""".stripMargin)),
+
+    // multi-probe SRP LSH: probe own bucket + the flips lowest-margin
+    // bit-flips — near more-tables recall at one table's memory; the
+    // oracle re-derives margins, flip order, probe set, and ranks
+    Q("q162_multiprobe_lsh",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.multiProbeLshTopK(emb, emb.where(col("vec_id") < 5),
+          k = 3, planes = 6, flips = 2)
+      },
+      Some(s"""WITH ${duckSrpBits(6)},
+              |bk AS (SELECT vec_id,
+              |         CAST(SUM(bit << CAST(p AS INTEGER)) AS BIGINT)
+              |           AS bucket
+              |       FROM srpbits GROUP BY 1),
+              |c AS (SELECT e.vec_id, e.v, bk.bucket
+              |      FROM e JOIN bk USING (vec_id)),
+              |qm AS (SELECT pb.vec_id AS q_id, pb.p, abs(pb.proj) AS m
+              |       FROM pb WHERE pb.vec_id < 5),
+              |fl AS (SELECT q_id, p FROM (
+              |         SELECT q_id, p, ROW_NUMBER() OVER (
+              |           PARTITION BY q_id ORDER BY m, p) AS rn FROM qm)
+              |       WHERE rn <= 2),
+              |qb AS (SELECT e.vec_id AS q_id, e.v AS qv,
+              |         bk.bucket AS base
+              |       FROM e JOIN bk USING (vec_id) WHERE e.vec_id < 5),
+              |probes AS (SELECT q_id, qv, base AS bucket FROM qb
+              |  UNION ALL
+              |  SELECT qb.q_id, qb.qv,
+              |    xor(qb.base, CAST(1 AS BIGINT) << CAST(fl.p AS INTEGER))
+              |  FROM qb JOIN fl USING (q_id)),
+              |scored AS (
+              |  SELECT p2.q_id, c.vec_id,
+              |    CAST(floor((${duckCos("p2.qv", "c.v")}) * 1000000)
+              |      AS BIGINT) AS cos_e6
+              |  FROM c JOIN probes p2 ON c.bucket = p2.bucket),
+              |ranked AS (SELECT q_id, vec_id, cos_e6,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
   )
 }

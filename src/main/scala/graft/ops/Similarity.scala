@@ -140,6 +140,52 @@ object Similarity {
     rankTopK(c.join(broadcast(q), Seq("bucket")), k)
   }
 
+  /** Multi-probe SRP LSH (Lv et al. 2007, "Multi-Probe LSH"): each
+    * query searches its own SRP bucket PLUS the buckets reached by
+    * flipping its `flips` lowest-|margin| sign bits — the planes where
+    * the projection landed nearest zero are exactly the bits a true
+    * neighbor most plausibly disagrees on. Recall approaches
+    * more-tables LSH at the memory cost of ONE table: the corpus is
+    * bucketed once; only the query side fans out (flips+1 probe rows
+    * per query).
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus never
+    * replicates, the probe set broadcasts, candidates come from a
+    * bucket equi-join; the margin computation is a map-only HOF fold
+    * with the same plane weights as the codegen'd kernel, so the
+    * whole probe derivation restates relationally (q162's oracle).
+    */
+  def multiProbeLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 6, flips: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(flips < planes, s"flips $flips must stay below planes $planes")
+    val c = Par.spread(corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("c_vec"),
+      srpBucket(col(vecCol), planes).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("c_norm")))
+    val projArr = transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(zip_with(col("q_vec").cast("array<double>"),
+        sequence(lit(0), size(col("q_vec")) - 1).cast("array<double>"),
+        (x, d) => x * planeWeight(p, d.cast("int"))),
+        lit(0.0), (acc, v) => acc + v))
+    // planes ordered by |margin| asc (ties to the lower plane): the
+    // flip candidates, most-uncertain first
+    val flipOrder = transform(array_sort(zip_with(projArr,
+        sequence(lit(0), lit(planes - 1)),
+        (pr, i) => struct(abs(pr).as("m"), i.as("p")))),
+      s => s.getField("p"))
+    val probeBuckets = concat(array(col("base")),
+      transform(slice(flipOrder, 1, flips),
+        f => col("base").bitwiseXOR(
+          pow(lit(2.0), f.cast("int")).cast("long"))))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        srpBucket(col(vecCol), planes).as("base"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("q_norm"))
+      .withColumn("bucket", explode(probeBuckets))
+      .drop("base")
+    rankTopK(c.join(broadcast(q), Seq("bucket")), k)
+  }
+
   /** Per-label embedding centroids in exact micro-units: each element
     * floors to `long` micro-units FIRST, then sums — integer addition
     * commutes, so the result is independent of row order and partition

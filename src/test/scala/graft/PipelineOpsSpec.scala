@@ -640,6 +640,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getOrElse(11L, 0L) === 0L)
   }
 
+  test("multiProbeLshTopK: flips=0 equals single-bucket LSH; probing only improves") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    val single = Similarity.lshTopK(emb, q, k = 3, planes = 6)
+      .collect().map(_.toSeq).toSeq
+    val zero = Similarity.multiProbeLshTopK(emb, q, k = 3, planes = 6, flips = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(zero === single)
+    // multi-probe candidates are a superset → best cosine per query
+    // can only improve (or stay)
+    def best(rows: Seq[Seq[Any]]): Map[Long, Long] = rows
+      .filter(_(1) == 1).map(r => (r(0).asInstanceOf[Long],
+        r(3).asInstanceOf[Long])).toMap
+    val multi = Similarity.multiProbeLshTopK(emb, q, k = 3, planes = 6, flips = 2)
+      .collect().map(_.toSeq).toSeq
+    val bs = best(single); val bm = best(multi)
+    bs.foreach { case (qid, cos) => assert(bm(qid) >= cos) }
+  }
+
   test("ivfPqTopK with nprobe=cells equals the unpruned ADC scan") {
     val emb = Tables(spark, sf(), "embeddings")
     val q = emb.where(col("vec_id") < 3)
