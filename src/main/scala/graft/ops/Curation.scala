@@ -582,8 +582,8 @@ object Curation {
     // split("", " ") = [""] so nseg >= 1 always — sequence() never sees
     // a negative upper bound
     val nseg = (size(toks) + segWords - 1).divide(segWords).cast("int")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      toks.as("t"), nseg.as("nseg"))
+    val base = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("t"), nseg.as("nseg")))
     val segs = base.select(col("doc_id"), col("nseg"),
       posexplode(transform(sequence(lit(0), col("nseg") - 1),
         i => array_join(slice(col("t"), i * segWords + 1, lit(segWords)), " "))))
@@ -625,9 +625,9 @@ object Curation {
   def dupSpanStats(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(col(textCol), " ")
-    val base = docs
+    val base = Par.spread(docs
       .select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
-      .where(size(col("t")) >= n)
+      .where(size(col("t")) >= n))
     val grams = base.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("t")) - n),
         p => array_join(slice(col("t"), p + 1, lit(n)), " "))).as("gram"))
@@ -667,9 +667,9 @@ object Curation {
       textCol: String = "text", idCol: String = "doc_id",
       domainCol: String = "source"): DataFrame = {
     val toks = split(col(textCol), " ")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    val base = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
         col(domainCol).as("dom"), toks.as("t"))
-      .where(size(col("t")) >= 2)
+      .where(size(col("t")) >= 2))
     val grams = base.select(col("doc_id"), col("dom"),
       explode(transform(sequence(lit(0), size(col("t")) - 2),
         p => concat_ws(" ", col("t").getItem(p), col("t")(p + 1)))).as("f"))

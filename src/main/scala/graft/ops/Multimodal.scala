@@ -43,8 +43,8 @@ object Multimodal {
       idCol: String = "doc_id"): Dataset[Blob] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      encode(col(textCol), "UTF-8").as("payload")).as[Blob]
+    Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"))).as[Blob]
   }
 
   /** The production media source: a directory of files via Spark's

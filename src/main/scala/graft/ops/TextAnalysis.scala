@@ -290,27 +290,40 @@ object TextAnalysis {
     */
   def cdcChunkStats(docs: DataFrame, w: Int = 16, divisor: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"), length(col(textCol)).cast("long").as("n"),
-      expr(s"transform(split($textCol, ''), c -> cast(ascii(c) as bigint))")
-        .as("cp"))
-    // guard: sequence() runs BACKWARDS when from > to, so short docs
-    // (n < w) get no content boundaries rather than a phantom range
-    val bnds = when(col("n") >= w, expr(
-      s"""filter(sequence(${w}L, n), i ->
-         |  aggregate(slice(cp, cast(i - ${w - 1} as int), $w), 0L,
-         |    (a, c) -> (a * 31 + c) % 2147483647L) % $divisor = 0)"""
-        .stripMargin)).otherwise(array().cast("array<long>"))
-    val chunks = base.withColumn("bl",
-        array_sort(array_distinct(concat(array(lit(0L)), bnds,
-          array(col("n"))))))
-      .withColumn("chunks", when(size(col("bl")) >= 2, expr(
-        """filter(transform(sequence(0, size(bl) - 2), j ->
-          |  substring(text, cast(element_at(bl, j + 1) + 1 as int),
-          |    cast(element_at(bl, j + 2) - element_at(bl, j + 1) as int))),
-          |  c -> c <> '')""".stripMargin))
-        .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val P = 2147483647L
+    // 31^(w-1) mod P — the outgoing char's coefficient in the window
+    val pw = (1 until w).foldLeft(1L)((x, _) => x * 31 % P)
+    // O(n) per-partition rolling-window kernel: the incremental form
+    // h ← ((h − c_out·31^{w−1})·31 + c_in) mod P of the same base-31
+    // window fold the oracle restates (a nested re-fold per position
+    // would be O(n·w) interpreted HOF evals — measured minutes per
+    // task at sf0.1). Same imperative-kernel contract as the
+    // Multimodal decoders: byte-level rolling state is the one place
+    // mapPartitions beats the HOF spelling.
+    val chunks = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val n = text.length
+          val bnds = scala.collection.mutable.ArrayBuffer(0)
+          var h = 0L
+          var i = 0
+          while (i < n) {
+            if (i >= w) h = ((h - text.charAt(i - w) * pw) % P + P) % P
+            h = (h * 31 + text.charAt(i)) % P
+            if (i + 1 >= w && h % divisor == 0) bnds += (i + 1)
+            i += 1
+          }
+          if (bnds.last != n) bnds += n
+          bnds.iterator.sliding(2).withPartial(false)
+            .map { s => text.substring(s.head, s(1)) }
+            .filter(_.nonEmpty)
+            .map(c => (id, c))
+        }
+      }.toDF("doc_id", "chunk")
     val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("occ"))
     chunks.join(freq, Seq("chunk"))
       .groupBy("doc_id")
@@ -347,8 +360,8 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(col(textCol), " ")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      toks.as("t"), size(toks).cast("long").as("dl"))
+    val base = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
+      toks.as("t"), size(toks).cast("long").as("dl")))
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val nDocs = stats.getLong(0)
     val tot = stats.getLong(1)
