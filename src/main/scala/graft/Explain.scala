@@ -27,7 +27,11 @@ object Explain {
       "q86_pagerank_copurchase", "q88_pq_encode", "q90_bigram_lm_score",
       "q91_percentile_gate", "q105_prefix_filter_jaccard",
       "q106_pq_adc_topk", "q109_dpp_join", "q111_mad_outliers",
-      "q112_triangle_count", "q116_global_rownum")
+      "q112_triangle_count", "q116_global_rownum",
+      "q146_boilerplate_removal", "q147_dup_span_stats",
+      "q148_dsir_importance", "q152_bm25_topk", "q153_cdc_chunk_dedup",
+      "q155_clustering_coefficient", "q157_peak_concurrency",
+      "q159_ivfpq_topk", "q161_interval_coverage", "q162_multiprobe_lsh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
