@@ -3750,5 +3750,115 @@ private[graft] object QueriesPipeline {
               |  FROM scored)
               |SELECT q_id, rank, vec_id, cos_e6 FROM ranked
               |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // cross-source vocabulary similarity matrix: q22's MinHash chain
+    // per source (est_ppm, oracle-exact) beside the exact Jaccard —
+    // the estimate's standing accuracy report
+    Q("q163_source_similarity",
+      (s, dir) => DocDedup.sourceSimilarity(Tables(s, dir, "documents")),
+      Some(s"""WITH v AS (SELECT DISTINCT source AS src, w FROM (
+              |    SELECT source, unnest(string_split(text, ' ')) AS w
+              |    FROM documents) u WHERE w <> ''),
+              |h AS (SELECT src, list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(w, ''),
+              |        c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 37 + b) % 2147483647) AS h37 FROM v),
+              |y AS (SELECT src, ${duckMix31("h37")} AS y FROM h),
+              |sig AS (SELECT src, i, MIN(${duckMix31("y + i")}) AS m
+              |        FROM y CROSS JOIN (SELECT unnest(range(0, 32)) AS i) xs
+              |        GROUP BY 1, 2),
+              |est AS (SELECT a.src AS src_a, b.src AS src_b,
+              |          CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS matches
+              |        FROM sig a JOIN sig b ON a.i = b.i AND a.src < b.src
+              |        GROUP BY 1, 2),
+              |sz AS (SELECT src, COUNT(*) AS n FROM v GROUP BY 1),
+              |inter AS (SELECT a.src AS src_a, b.src AS src_b,
+              |            COUNT(*) AS inter
+              |          FROM v a JOIN v b ON a.w = b.w AND a.src < b.src
+              |          GROUP BY 1, 2)
+              |SELECT e.src_a AS src_a, e.src_b AS src_b,
+              |  e.matches AS matches,
+              |  (e.matches * 1000000) // 32 AS est_ppm,
+              |  (CAST(COALESCE(i.inter, 0) AS BIGINT) * 1000000)
+              |    // (sa.n + sb.n - COALESCE(i.inter, 0)) AS jac_ppm
+              |FROM est e LEFT JOIN inter i
+              |  ON i.src_a = e.src_a AND i.src_b = e.src_b
+              |JOIN sz sa ON sa.src = e.src_a
+              |JOIN sz sb ON sb.src = e.src_b
+              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // STREAMING SCD2 enrichment: each purchase event on the stream
+    // picks the dimension state whose validity interval contains its
+    // event time (stream-static interval join — stateless, static
+    // side is the q113 SCD2 build). The leak-free "state as of the
+    // event" lookup, at serving time.
+    Q("q164_stream_scd_enrich",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val dim = Temporal.scd2Build(Tables(s, dir, "events"))
+          .select(col("user_id").as("d_user"), col("state"),
+            col("eff_from"), col("eff_to"))
+        val stream = QueriesAlert.eventStream(s, dir)
+          .where(col("event_type") === "purchase" &&
+            col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+        val joined = stream.join(dim,
+            stream("user_id") === col("d_user") &&
+              col("us") >= col("eff_from") &&
+              (col("eff_to").isNull || col("us") < col("eff_to")))
+          .select(col("event_id"), col("user_id"), col("state"),
+            col("eff_from"))
+        QueriesAlert.drainToMemory(s, joined, "q164_sink",
+            OutputMode.Append())
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (SELECT user_id, event_type,
+             |    epoch_us(ts) AS eff_from, event_id
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |c AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY eff_from, event_id) AS prev FROM b),
+             |ch AS (SELECT * FROM c WHERE prev IS NULL
+             |  OR prev <> event_type),
+             |d AS (SELECT user_id, event_type AS state, eff_from,
+             |    LEAD(eff_from) OVER (PARTITION BY user_id
+             |      ORDER BY eff_from, event_id) AS eff_to FROM ch),
+             |p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+             |  FROM events WHERE event_type = 'purchase'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+             |SELECT p.event_id AS event_id, p.user_id AS user_id,
+             |  d.state AS state, d.eff_from AS eff_from
+             |FROM p JOIN d ON d.user_id = p.user_id
+             |  AND p.us >= d.eff_from
+             |  AND (d.eff_to IS NULL OR p.us < d.eff_to)
+             |ORDER BY event_id""".stripMargin)),
+
+    // linear multi-touch attribution: each purchase splits exactly
+    // 1e6 ppm across the user's prior-24h clicks, remainder to the
+    // earliest touch; per-click rollup
+    Q("q165_attribution",
+      (s, dir) => Analytics.linearAttribution(Tables(s, dir, "events")),
+      Some("""WITH p AS (SELECT user_id, event_id AS p_id,
+             |    epoch_us(ts) AS p_us
+             |  FROM events WHERE event_type = 'purchase'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+             |  FROM events WHERE event_type = 'click'
+             |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+             |t AS (SELECT p.user_id, p.p_id, c.c_id, c.c_us
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND c.c_us < p.p_us AND c.c_us >= p.p_us - 86400000000),
+             |wgt AS (SELECT user_id, p_id, c_id,
+             |    COUNT(*) OVER (PARTITION BY p_id) AS n,
+             |    ROW_NUMBER() OVER (PARTITION BY p_id
+             |      ORDER BY c_us, c_id) AS rn
+             |  FROM t)
+             |SELECT c_id AS click_id, user_id,
+             |  COUNT(*) AS n_purchases,
+             |  CAST(SUM(1000000 // n + CASE WHEN rn = 1
+             |    THEN 1000000 % n ELSE 0 END) AS BIGINT) AS total_ppm
+             |FROM wgt GROUP BY 1, 2 ORDER BY click_id""".stripMargin)),
   )
 }

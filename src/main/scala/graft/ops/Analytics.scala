@@ -106,6 +106,47 @@ object Analytics {
     * by construction no matter how many raw events fed it (the
     * pre-aggregate-before-window rule).
     */
+  /** Linear multi-touch attribution, integer-exact: every purchase
+    * splits 10⁶ ppm of credit equally across the SAME user's clicks
+    * in the preceding `windowUs`; the integer remainder
+    * (10⁶ mod n) goes to the EARLIEST touch, so credit sums to
+    * exactly 10⁶ per attributed purchase and the split is
+    * deterministic. Output is per click: how many purchases it
+    * touched and its total credit.
+    *
+    * Scale shape: the touch join is the q40 interval shape — user-key
+    * equi-join with a residual time-range predicate, never a time
+    * cross join; the per-purchase rank window is bounded by clicks
+    * per user per day; the final per-click rollup is map-side
+    * combinable.
+    */
+  def linearAttribution(events: DataFrame, windowUs: Long = 86400000000L,
+      convType: String = "purchase", touchType: String = "click")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(t: String, idAs: String, usAs: String) = events
+      .where(col("event_type") === t && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id"), col("event_id").as(idAs),
+        unix_micros(col("ts")).as(usAs))
+    val p = side(convType, "p_id", "p_us")
+    val c = side(touchType, "c_id", "c_us")
+    val touch = p.join(c, Seq("user_id"))
+      .where(col("c_us") < col("p_us") &&
+        col("c_us") >= col("p_us") - windowUs)
+    val wN = Window.partitionBy("p_id")
+    val wR = Window.partitionBy("p_id").orderBy("c_us", "c_id")
+    touch
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("w_ppm",
+        expr("1000000 div n") +
+          when(col("rn") === 1, expr("1000000 % n")).otherwise(0L))
+      .groupBy(col("c_id").as("click_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("w_ppm")).as("total_ppm"))
+      .orderBy("click_id")
+  }
+
   def rateSpikes(events: DataFrame, factorPpm: Long = 2000000L,
       trailingHours: Int = 24, groupCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {

@@ -584,4 +584,57 @@ object DocDedup {
       .join(dupOf, Seq("vec_id"), "left")
       .orderBy("vec_id")
   }
+
+  /** Cross-source similarity matrix: for every pair of corpus
+    * sources, the MinHash ESTIMATE of their vocabulary Jaccard next
+    * to the exact value — the "which crawls duplicate each other"
+    * audit that decides dedup order and mixture weights. Signatures
+    * use the q22 permutation chain (`sig_i = min over words of
+    * mix31(mix31(h37(w)) + i)`), engine-portable integers, so the
+    * ESTIMATE itself is oracle-exact, and the matrix doubles as a
+    * standing accuracy report for the MinHash machinery
+    * (est_ppm vs jac_ppm per pair).
+    *
+    * Scale shape: the signature path is the 100 TB one — per-source
+    * state is `numHashes` longs regardless of corpus size, built by
+    * one combinable min-aggregate; the pair join touches S²·numHashes
+    * signature rows (sources are dozens, not millions). The exact
+    * column joins distinct VOCABULARIES (vocab ≪ corpus by Heaps'
+    * law); drop it at petabyte scale and the estimate stands alone.
+    */
+  def sourceSimilarity(docs: DataFrame, numHashes: Int = 32,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val vocab = Par.spread(docs)
+      .select(col(srcCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+      .localCheckpoint() // sig build + size + intersection reuse it
+    val h37 = expr("aggregate(filter(split(w, ''), c -> c <> ''), 0L, " +
+      "(a, c) -> (a * 37 + ascii(c)) % 2147483647)")
+    val sigs = vocab.withColumn("y", Similarity.mix31Col(h37))
+      .select(col("src"), col("y"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .groupBy("src", "i")
+      .agg(min(Similarity.mix31Col(col("y") + col("i"))).as("m"))
+    val est = sigs.as("a").join(sigs.as("b"),
+        col("a.i") === col("b.i") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L))
+        .as("matches"))
+      .withColumn("est_ppm", expr(s"(matches * 1000000) div $numHashes"))
+    val sz = vocab.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(sz.select(col("src").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(sz.select(col("src").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("matches"), col("est_ppm"),
+        expr("(coalesce(inter, 0) * 1000000) div (na + nb - coalesce(inter, 0))")
+          .as("jac_ppm"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -96,6 +96,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r13 === r)
   }
 
+  test("linearAttribution: credit sums to exactly 1e6, remainder to earliest") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 7L, "click"), (2L, t(5), 7L, "click"), (3L, t(10), 7L, "click"),
+      (4L, t(30), 7L, "purchase"),
+      (5L, t(1), 8L, "click"), (6L, t(2), 8L, "view")) // no purchase for 8
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = graft.ops.Analytics.linearAttribution(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    // 3 clicks share 1e6: 333333 each, remainder 1 to the earliest
+    assert(r(1L) === ((1L, 333334L)))
+    assert(r(2L) === ((1L, 333333L)))
+    assert(r(3L) === ((1L, 333333L)))
+    assert(!r.contains(5L))
+    assert(r.values.map(_._2).sum === 1000000L)
+  }
+
+  test("sourceSimilarity: identical sources read 1e6 ppm, disjoint read 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma", "sA"), (2L, "alpha beta gamma", "sB"),
+      (3L, "delta epsilon zeta", "sC"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.DocDedup.sourceSimilarity(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(3), x.getLong(4))).toMap
+    assert(r(("sA", "sB")) === ((1000000L, 1000000L)))
+    assert(r(("sA", "sC")) === ((0L, 0L)))
+    assert(r(("sB", "sC")) === ((0L, 0L)))
+  }
+
   test("intervalCoverage: overlaps merge, gaps split, exact union length") {
     import spark.implicits._
     def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
