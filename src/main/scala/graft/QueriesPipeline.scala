@@ -3860,5 +3860,59 @@ private[graft] object QueriesPipeline {
              |  CAST(SUM(1000000 // n + CASE WHEN rn = 1
              |    THEN 1000000 % n ELSE 0 END) AS BIGINT) AS total_ppm
              |FROM wgt GROUP BY 1, 2 ORDER BY click_id""".stripMargin)),
+
+    // leakage-free train/test split: every near-dup cluster (q37's
+    // connected components) hashes ON ITS REPRESENTATIVE, so
+    // near-duplicates can never straddle the split — the eval-set
+    // contamination fix for random splits
+    Q("q166_leakfree_split",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cl = DocDedup.clusters(DocDedup.ngramJaccard(docs, n = 3,
+          threshold = 0.5, maxShingleDocFreq = 100L))
+        docs.select(col("doc_id"))
+          .join(cl, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split",
+            when(pmod(graft.ops.Similarity.mix31Col(col("rep")),
+              lit(1000L)) < 800, "train").otherwise("test"))
+          .select("doc_id", "rep", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws
+              |      FROM documents),
+              |tok AS (SELECT doc_id, lang, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+              |        FROM (SELECT doc_id, lang, ws,
+              |                generate_subscripts(ws,1) AS i FROM w) t
+              |        WHERE i+2 <= len(ws)),
+              |sh AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (SELECT p.a_id, p.b_id FROM (
+              |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+              |    FROM sh a JOIN sh b
+              |      ON a.s=b.s AND a.lang=b.lang AND a.doc_id<b.doc_id
+              |    GROUP BY 1,2) p
+              |  JOIN sizes sa ON p.a_id=sa.doc_id
+              |  JOIN sizes sb ON p.b_id=sb.doc_id
+              |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5),
+              |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+              |          UNION SELECT b_id, a_id FROM pairs),
+              |reach(s, d) AS (
+              |  SELECT s, d FROM edges
+              |  UNION
+              |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+              |nodes AS (SELECT DISTINCT s AS node FROM edges),
+              |cc AS (SELECT n.node AS doc_id,
+              |    LEAST(n.node, COALESCE(MIN(r.d), n.node)) AS cluster_id
+              |  FROM nodes n LEFT JOIN reach r ON r.s = n.node
+              |  GROUP BY n.node),
+              |rep AS (SELECT d.doc_id AS doc_id,
+              |    COALESCE(cc.cluster_id, d.doc_id) AS rep
+              |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+              |SELECT doc_id, rep,
+              |  CASE WHEN ${duckMix31("rep")} % 1000 < 800
+              |    THEN 'train' ELSE 'test' END AS split
+              |FROM rep ORDER BY doc_id""".stripMargin)),
   )
 }

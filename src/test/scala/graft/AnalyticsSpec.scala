@@ -114,6 +114,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r.values.map(_._2).sum === 1000000L)
   }
 
+  test("leak-free split keeps every near-dup cluster on one side") {
+    import spark.implicits._
+    // near-identical pair (0, 1) must land together regardless of
+    // which side the representative hashes to
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "en"),
+      (2L, "completely different content with no overlap at all", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cl = graft.ops.DocDedup.clusters(
+      graft.ops.DocDedup.ngramJaccard(d, n = 3, threshold = 0.5))
+    val split = d.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("side",
+        when(pmod(graft.ops.Similarity.mix31Col(col("rep")), lit(1000L)) < 800,
+          "train").otherwise("test"))
+      .select("doc_id", "side")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(0L) === split(1L))
+    assert(split.size === 3)
+  }
+
   test("sourceSimilarity: identical sources read 1e6 ppm, disjoint read 0") {
     import spark.implicits._
     val d = Seq(
