@@ -288,40 +288,45 @@ object TextAnalysis {
     * Expected chunk length is `divisor` chars, so row fan-out is
     * n_chars/divisor per doc, independent of corpus size.
     */
+  /** The pure chunking kernel behind [[cdcChunkStats]]: O(n)
+    * incremental rolling-window form
+    * `h ← ((h − c_out·31^{w−1})·31 + c_in) mod P` of the same base-31
+    * window fold the oracle restates per position (a nested re-fold
+    * per position would be O(n·w) interpreted HOF evals — measured
+    * MINUTES per scan task at sf0.1). Property-tested equal to the
+    * direct per-window re-fold (PropertySpecs), same
+    * imperative-kernel contract as the Multimodal decoders.
+    */
+  private[graft] def cdcChunks(text: String, w: Int, divisor: Int): Seq[String] = {
+    val P = 2147483647L
+    val pw = (1 until w).foldLeft(1L)((x, _) => x * 31 % P)
+    val n = text.length
+    val bnds = scala.collection.mutable.ArrayBuffer(0)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (i >= w) h = ((h - text.charAt(i - w) * pw) % P + P) % P
+      h = (h * 31 + text.charAt(i)) % P
+      if (i + 1 >= w && h % divisor == 0) bnds += (i + 1)
+      i += 1
+    }
+    if (bnds.last != n) bnds += n
+    bnds.iterator.sliding(2).withPartial(false)
+      .map { s => text.substring(s.head, s(1)) }
+      .filter(_.nonEmpty)
+      .toSeq
+  }
+
   def cdcChunkStats(docs: DataFrame, w: Int = 16, divisor: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val P = 2147483647L
-    // 31^(w-1) mod P — the outgoing char's coefficient in the window
-    val pw = (1 until w).foldLeft(1L)((x, _) => x * 31 % P)
-    // O(n) per-partition rolling-window kernel: the incremental form
-    // h ← ((h − c_out·31^{w−1})·31 + c_in) mod P of the same base-31
-    // window fold the oracle restates (a nested re-fold per position
-    // would be O(n·w) interpreted HOF evals — measured minutes per
-    // task at sf0.1). Same imperative-kernel contract as the
-    // Multimodal decoders: byte-level rolling state is the one place
-    // mapPartitions beats the HOF spelling.
     val chunks = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val n = text.length
-          val bnds = scala.collection.mutable.ArrayBuffer(0)
-          var h = 0L
-          var i = 0
-          while (i < n) {
-            if (i >= w) h = ((h - text.charAt(i - w) * pw) % P + P) % P
-            h = (h * 31 + text.charAt(i)) % P
-            if (i + 1 >= w && h % divisor == 0) bnds += (i + 1)
-            i += 1
-          }
-          if (bnds.last != n) bnds += n
-          bnds.iterator.sliding(2).withPartial(false)
-            .map { s => text.substring(s.head, s(1)) }
-            .filter(_.nonEmpty)
-            .map(c => (id, c))
+          cdcChunks(text, w, divisor).map(c => (id, c))
         }
       }.toDF("doc_id", "chunk")
     val freq = chunks.groupBy("chunk").agg(count(lit(1)).as("occ"))

@@ -167,3 +167,39 @@ object VecKernelProps extends Properties("VecKernels") {
       (a intersect b).nonEmpty
     }
 }
+
+/** Differential property for the O(n) incremental CDC chunker against
+  * the direct per-window re-fold it replaced (the performance rewrite
+  * must not move a single boundary).
+  */
+object CdcProps extends Properties("TextAnalysis.cdcChunks") {
+  import graft.ops.TextAnalysis
+
+  private val P = 2147483647L
+  val asciiText: Gen[String] =
+    Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
+
+  /** Reference: boundaries by re-folding each w-window from scratch. */
+  private def refChunks(text: String, w: Int, divisor: Int): Seq[String] = {
+    val n = text.length
+    val bnds = Seq(0) ++ (w to n).filter { i =>
+      val h = (i - w until i).foldLeft(0L)((a, j) =>
+        (a * 31 + text.charAt(j)) % P)
+      h % divisor == 0
+    } ++ Seq(n)
+    bnds.distinct.sorted.iterator.sliding(2).withPartial(false)
+      .map { s => text.substring(s.head, s(1)) }
+      .filter(_.nonEmpty).toSeq
+  }
+
+  property("incremental == direct re-fold, all window widths") =
+    forAll(asciiText, Gen.oneOf(4, 8, 16), Gen.oneOf(16, 64)) { (t, w, d) =>
+      TextAnalysis.cdcChunks(t, w, d) == refChunks(t, w, d)
+    }
+
+  property("chunks reassemble to the document") =
+    forAll(asciiText) { t =>
+      TextAnalysis.cdcChunks(t, 16, 64).mkString == t
+    }
+}
