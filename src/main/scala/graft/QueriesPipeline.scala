@@ -3914,5 +3914,34 @@ private[graft] object QueriesPipeline {
               |  CASE WHEN ${duckMix31("rep")} % 1000 < 800
               |    THEN 'train' ELSE 'test' END AS split
               |FROM rep ORDER BY doc_id""".stripMargin)),
+
+    // embedding-quality gate: exact micro norms, zero counts, dim and
+    // degeneracy flags — the audit before any ANN indexing
+    Q("q167_embedding_audit",
+      (s, dir) => Audit.embeddingAudit(Tables(s, dir, "embeddings")),
+      Some("""SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+             |  CAST(floor(list_sum(list_transform(list_zip(v, v),
+             |    x -> x[1]*x[2])) * 1000000) AS BIGINT) AS norm2_micro,
+             |  CAST(len(list_filter(v, x -> x = 0)) AS BIGINT) AS n_zero,
+             |  len(v) = 64 AS dim_ok,
+             |  len(list_filter(v, x -> x = 0)) = len(v) AS degenerate
+             |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // k-anonymity audit: equivalence classes of the quasi-identifier
+    // tuple smaller than k — the re-identification risk report
+    Q("q168_k_anonymity",
+      (s, dir) => Audit.kAnonymity(
+        Tables(s, dir, "events").where(col("user_id").isNotNull &&
+            col("event_type").isNotNull && col("ts").isNotNull)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000")),
+        Seq("user_id", "event_type", "day"), k = 3L),
+      Some("""SELECT user_id, event_type,
+             |  epoch_us(ts) // 86400000000 AS day, COUNT(*) AS class_size
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND ts IS NOT NULL
+             |GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
+             |ORDER BY user_id, event_type, day, class_size""".stripMargin)),
   )
 }

@@ -150,4 +150,40 @@ object Audit {
     }
     walk(qe.executedPlan)
   }
+
+  /** Embedding-quality audit — the vector-table gate an ANN pipeline
+    * runs before indexing: per vector, exact micro-unit squared norm
+    * (the same left-fold dot every ANN surface uses), zero-element
+    * count, and flags for the two killers (all-zero vectors break
+    * cosine; wrong dimensionality breaks every kernel). Integer
+    * outputs only — norms floor to micro so the report is
+    * oracle-exact. Map-only; the trailing orderBy is the gate's
+    * presentation.
+    */
+  def embeddingAudit(embeddings: DataFrame, expectDim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    Par.spread(embeddings)
+      .select(col(idCol).as("vec_id"),
+        size(v).as("dim"),
+        floor(Similarity.dot(v, v) * 1e6).cast("long").as("norm2_micro"),
+        size(filter(v, x => x === 0.0)).cast("long").as("n_zero"))
+      .withColumn("dim_ok", col("dim") === expectDim)
+      .withColumn("degenerate", col("n_zero").cast("int") === col("dim"))
+      .orderBy("vec_id")
+  }
+
+  /** k-anonymity audit: group the table by its quasi-identifier
+    * columns and report every equivalence class smaller than `k` —
+    * the re-identification risk set a privacy review asks for before
+    * a dataset ships. One combinable aggregate keyed by the
+    * quasi-identifier tuple; the violating classes are by definition
+    * the SMALL groups, so the report is tiny even when the table is
+    * not.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long = 5L): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+      .orderBy(quasiIds.map(col) :+ col("class_size"): _*)
 }
