@@ -86,6 +86,22 @@ private[graft] object QueriesPipeline {
       |ORDER BY o_totalprice DESC, o.o_orderkey
       |LIMIT 100""".stripMargin
 
+  private val TpchQ21Sql =
+    """SELECT s.s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   private val TpchQ7Sql =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
@@ -3943,5 +3959,17 @@ private[graft] object QueriesPipeline {
              |  AND ts IS NOT NULL
              |GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
              |ORDER BY user_id, event_type, day, class_size""".stripMargin)),
+
+    // TPC-H Q21 shape (the semi/anti-join gauntlet): multi-supplier
+    // orders where this supplier was the ONLY late one — correlated
+    // EXISTS + NOT EXISTS both planned as one-pass semi/anti joins
+    // on the orderkey; same text runs on both engines
+    Q("q169_tpch_q21",
+      (s, dir) => {
+        Seq("supplier", "lineitem", "orders")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ21Sql)
+      },
+      Some(TpchQ21Sql)),
   )
 }
