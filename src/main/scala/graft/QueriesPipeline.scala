@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
+import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Graph, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
 import graft.sources.{BloomSkipping, KeyedTable, Lake, Skipping, ZOrder}
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -101,6 +101,35 @@ private[graft] object QueriesPipeline {
       |      AND l3.l_suppkey <> l1.l_suppkey
       |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (no phone prefixes in this schema — market
+    * segment stands in for the country code, and since this synthetic
+    * corpus gives EVERY customer orders, "no orders at all" becomes
+    * "no urgent-priority order" to keep the anti-join non-vacuous):
+    * rich customers who never placed an urgent order, vs the
+    * positive-balance average of their segment group. Balances as
+    * exact cents; the one float step (the average) is a single double
+    * division floored identically by both engines. Plan shape:
+    * scalar-subquery broadcast + anti hash join on custkey — no
+    * per-row re-execution.
+    */
+  private val TpchQ22Sql =
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')),
+      |a AS (SELECT CAST(floor(
+      |      SUM(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) * 1.0 /
+      |      SUM(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS ab
+      |  FROM c)
+      |SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+      |  CAST(SUM(bal_c) AS BIGINT) AS totbal
+      |FROM c, a
+      |WHERE bal_c > ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
 
   private val TpchQ7Sql =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -3971,5 +4000,127 @@ private[graft] object QueriesPipeline {
         s.sql(TpchQ21Sql)
       },
       Some(TpchQ21Sql)),
+
+    // k-hop BFS over the customer–supplier bipartite graph (who is
+    // within 3 hops of the seed customers): iterative frontier
+    // expansion vs the recursive-CTE min-hop oracle
+    Q("q170_khop_bfs",
+      (s, dir) => {
+        val ol = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+            Seq("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .distinct()
+        val edges = ol.select(col("c").as("src"), col("sn").as("dst"))
+          .union(ol.select(col("sn").as("src"), col("c").as("dst")))
+        val seeds = Tables(s, dir, "customer")
+          .where(col("c_custkey") % 500 === 0)
+          .select((col("c_custkey") * 2).as("node"))
+        Graph.bfsHops(edges, seeds, maxHops = 3)
+      },
+      Some("""WITH RECURSIVE ol AS (
+             |  SELECT DISTINCT o.o_custkey * 2 AS c,
+             |    l.l_suppkey * 2 + 1 AS sn
+             |  FROM orders o JOIN lineitem l
+             |    ON o.o_orderkey = l.l_orderkey),
+             |e AS (SELECT c AS src, sn AS dst FROM ol
+             |      UNION ALL SELECT sn, c FROM ol),
+             |seeds AS (SELECT c_custkey * 2 AS node FROM customer
+             |          WHERE c_custkey % 500 = 0),
+             |walk(node, hop) AS (
+             |  SELECT node, 0 FROM seeds
+             |  UNION
+             |  SELECT e.dst, w.hop + 1 FROM walk w
+             |  JOIN e ON e.src = w.node WHERE w.hop < 3)
+             |SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+             |FROM walk GROUP BY node ORDER BY node""".stripMargin)),
+
+    // 2-D Pareto skyline of parts (max size, min price-cents): the
+    // per-cost agg + strict-prefix-max plan vs the NOT-EXISTS
+    // dominance oracle
+    Q("q171_pareto_skyline",
+      (s, dir) => Stats.paretoSkyline(
+        Tables(s, dir, "part")
+          .withColumn("benefit", col("p_size").cast("long"))
+          .withColumn("cost",
+            round(col("p_retailprice") * 100).cast("long")),
+        "p_partkey", "benefit", "cost"),
+      Some("""WITH p AS (SELECT p_partkey,
+             |    CAST(p_size AS BIGINT) AS benefit,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS cost
+             |  FROM part)
+             |SELECT p_partkey AS id, benefit, cost FROM p a
+             |WHERE NOT EXISTS (SELECT 1 FROM p b
+             |  WHERE b.cost <= a.cost AND b.benefit >= a.benefit
+             |    AND (b.cost < a.cost OR b.benefit > a.benefit))
+             |ORDER BY cost, benefit, id""".stripMargin)),
+
+    // corpus-mix drift report: per-category ppm rates across the
+    // even/odd day-of-epoch split, integer χ²-style score
+    Q("q172_category_drift",
+      (s, dir) => Stats.categoryDrift(Tables(s, dir, "events")),
+      Some("""WITH d AS (SELECT event_type AS cat,
+             |    (epoch_us(ts) // 86400000000) % 2 AS b
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+             |c AS (SELECT cat,
+             |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_even,
+             |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_odd
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_even) AS BIGINT) AS te,
+             |    CAST(SUM(n_odd) AS BIGINT) AS tod FROM c),
+             |r AS (SELECT cat, n_even, n_odd,
+             |    n_even * 1000000 // te AS rate_even_ppm,
+             |    n_odd * 1000000 // tod AS rate_odd_ppm
+             |  FROM c CROSS JOIN t)
+             |SELECT cat, n_even, n_odd, rate_even_ppm, rate_odd_ppm,
+             |  abs(rate_even_ppm - rate_odd_ppm) AS drift_ppm,
+             |  (abs(rate_even_ppm - rate_odd_ppm) *
+             |   abs(rate_even_ppm - rate_odd_ppm))
+             |    // (rate_even_ppm + rate_odd_ppm + 1) AS score
+             |FROM r ORDER BY score DESC, cat""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar subquery + anti join; same text on
+    // both engines
+    Q("q173_tpch_q22",
+      (s, dir) => {
+        Seq("customer", "orders")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ22Sql)
+      },
+      Some(TpchQ22Sql)),
+
+    // most-correlated embedding dimension pairs via the map-side
+    // Gram kernel; exact integer covariance numerators
+    Q("q174_gram_top_pairs",
+      (s, dir) => Stats.gramTopPairs(Tables(s, dir, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+             |  FROM embeddings
+             |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+             |x AS (SELECT vec_id, i, q[i] AS xi
+             |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM v)),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+             |s AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS sx
+             |  FROM x GROUP BY 1),
+             |p AS (SELECT a.i AS di, b.i AS dj,
+             |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+             |  GROUP BY 1, 2)
+             |SELECT CAST(p.di AS INTEGER) AS dim_i,
+             |  CAST(p.dj AS INTEGER) AS dim_j,
+             |  n.n AS n, p.sxy AS sxy, sa.sx AS sx_i, sb.sx AS sx_j,
+             |  CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+             |FROM p CROSS JOIN n
+             |JOIN s sa ON sa.i = p.di JOIN s sb ON sb.i = p.dj
+             |ORDER BY abs(CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT))
+             |  DESC, dim_i, dim_j
+             |LIMIT 20""".stripMargin)),
   )
 }

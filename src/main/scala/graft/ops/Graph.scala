@@ -152,6 +152,47 @@ object Graph {
       .limit(topN)
   }
 
+  /** Minimum-hop BFS from a seed set, bounded depth — k-hop
+    * reachability (blast-radius / influence-neighborhood queries)
+    * as iterated relational rounds. Each round expands the frontier
+    * through `edges` (directed rows; callers union both directions
+    * for an undirected graph), then anti-joins the visited set so a
+    * node keeps the FIRST hop it was reached at — exactly
+    * `MIN(hop)` over all ≤`maxHops` walks, which is what the
+    * recursive-CTE oracle restates.
+    *
+    * Shuffle shape: the edge set shuffles ONCE (pre-partitioned by
+    * `src`, the per-round probe key) and is reused every round; the
+    * frontier and visited sets are node-sized and broadcast, so a
+    * round is broadcast-probe + distinct on the (small) frontier.
+    * For a graph whose frontier outgrows broadcast (billions of
+    * nodes), drop the hints — rounds then pay one node-keyed
+    * shuffle each against the already-partitioned edges, never an
+    * edge re-shuffle. Rounds are fixed (`maxHops`), so plan depth is
+    * static; each round materializes (localCheckpoint) to keep
+    * lineage flat.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().repartition(col("src")).localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = e.join(broadcast(frontier.withColumnRenamed("node", "src")),
+          "src")
+        .select(col("dst").as("node")).distinct()
+        .join(broadcast(dist.select("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    dist.orderBy("node")
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 3, dampPpm: Long = 850000L,
       scale: Long = 1000000000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {

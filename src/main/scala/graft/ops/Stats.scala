@@ -258,4 +258,144 @@ object Stats {
         expr("(s - vm) div (c - 1)").as("loo_micro"))
       .orderBy("event_id")
   }
+
+  /** 2-D Pareto skyline (maximize `benefitCol`, minimize `costCol`):
+    * rows not dominated by any other — the quality-vs-cost frontier a
+    * curation pipeline keeps when trading document quality against
+    * length, or price against size. Dominance is the standard one:
+    * `b` dominates `a` iff `b.cost ≤ a.cost ∧ b.benefit ≥ a.benefit`
+    * and at least one is strict; ties on BOTH axes survive together.
+    *
+    * Shape — the O(n²) dominance join never happens: one combinable
+    * per-cost max-benefit aggregate (a 100 TB scan folds to
+    * |distinct costs| rows), a running strict-prefix max over the
+    * AGGREGATED table in cost order (its input is bounded by distinct
+    * costs, not rows; were that itself huge, the two-pass
+    * range-partitioned prefix scan of [[Par.globalRowNumber]]
+    * replaces the single window), and a broadcast semi-join back to
+    * recover every tying row. Equivalence to the NOT-EXISTS dominance
+    * definition: a row survives iff its benefit is the max at its
+    * cost AND strictly above every cheaper cost's max.
+    */
+  def paretoSkyline(df: DataFrame, idCol: String, benefitCol: String,
+      costCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(benefitCol).as("benefit"),
+        col(costCol).as("cost"))
+      .where(col("benefit").isNotNull && col("cost").isNotNull)
+    val agg = t.groupBy("cost").agg(max(col("benefit")).as("mb"))
+    val w = Window.orderBy("cost")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = agg.withColumn("pmax", max(col("mb")).over(w))
+      .where(col("pmax").isNull || col("mb") > col("pmax"))
+      .select(col("cost"), col("mb").as("benefit"))
+    t.join(broadcast(sky), Seq("cost", "benefit"))
+      .select(col("id"), col("benefit"), col("cost"))
+      .orderBy("cost", "benefit", "id")
+  }
+
+  /** Per-category distribution drift between two event populations
+    * (even vs odd day-of-epoch here — any disjoint split works):
+    * rate-per-million in each half, absolute drift, and a
+    * χ²-flavoured score `drift² / (rateA + rateB + 1)` that rewards
+    * large shifts on well-supported categories. Everything is
+    * integer ppm (floor), so the report is oracle-exact — the
+    * monitoring primitive behind "did yesterday's crawl change the
+    * corpus mix".
+    *
+    * Shape: one combinable two-counter aggregate per category, a
+    * 1-row total broadcast back, then map-only arithmetic — a
+    * 100 TB scan folds to |categories| rows before anything joins.
+    */
+  def categoryDrift(events: DataFrame, catCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val d = events
+      .where(col(catCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(catCol).as("cat"),
+        expr(s"(unix_micros($tsCol) div 86400000000) % 2").as("b"))
+    val cnt = d.groupBy("cat").agg(
+      sum(when(col("b") === 0, 1L).otherwise(0L)).as("n_even"),
+      sum(when(col("b") === 1, 1L).otherwise(0L)).as("n_odd"))
+    val tot = cnt.agg(sum(col("n_even")).as("te"), sum(col("n_odd")).as("tod"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n_even"), col("n_odd"),
+        expr("n_even * 1000000 div te").as("rate_even_ppm"),
+        expr("n_odd * 1000000 div tod").as("rate_odd_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("rate_even_ppm") - col("rate_odd_ppm")))
+      .withColumn("score",
+        expr("(drift_ppm * drift_ppm) div (rate_even_ppm + rate_odd_ppm + 1)"))
+      .orderBy(col("score").desc, col("cat"))
+  }
+
+  /** Exact covariance numerators of the most-correlated embedding
+    * dimension pairs — the whitening / redundant-dimension audit
+    * before PCA or product quantization. Values quantize to
+    * `floor(x·quant)` longs so sums are order-independent;
+    * `cov_num(i,j) = n·Σxy − Σx·Σy` is n² times the covariance,
+    * sign and ranking preserved, integer-exact.
+    *
+    * Shape — this is the map-side Gram accumulation, NOT a pair
+    * explosion: each partition folds its rows into one d-vector of
+    * sums and one upper-triangular d×d cross-product array
+    * (O(d²) memory, O(n·d²) work, zero shuffle), emits the triangle
+    * as (i,j,partial) rows, and one combinable aggregate of
+    * |partitions|·d²/2 tiny rows finishes. A 100 TB corpus shuffles
+    * kilobytes. Long sums hold to ~10¹² rows at quant=10³; past
+    * that, switch the accumulators to mean-centered decimal.
+    */
+  def gramTopPairs(embeddings: DataFrame, dim: Int = 64, quant: Long = 1000L,
+      topN: Int = 20, vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(expr(s"transform($vecCol, " +
+        s"x -> CAST(floor(CAST(x AS DOUBLE) * $quant) AS BIGINT))").as("qv"))
+      .as[Seq[Long]]
+    val d = dim
+    val raw = q.mapPartitions { it =>
+      val s = new Array[Long](d)
+      val xy = new Array[Long](d * d) // i<j cells used; flat for locality
+      var n = 0L
+      while (it.hasNext) {
+        val arr = it.next().toArray
+        var i = 0
+        while (i < d) {
+          val xi = arr(i)
+          s(i) += xi
+          var j = i + 1
+          while (j < d) { xy(i * d + j) += xi * arr(j); j += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else {
+        val out = Array.newBuilder[(Int, Int, Long)]
+        out += ((-1, -1, n))
+        var i = 0
+        while (i < d) {
+          out += ((i + 1, -1, s(i)))
+          var j = i + 1
+          while (j < d) { out += ((i + 1, j + 1, xy(i * d + j))); j += 1 }
+          i += 1
+        }
+        out.result().iterator
+      }
+    }.toDF("i", "j", "v")
+    val agg = raw.groupBy("i", "j").agg(sum(col("v")).as("v"))
+      .localCheckpoint() // three branches below; don't re-run the kernel
+    val nDf = agg.where(col("i") === -1 && col("j") === -1)
+      .select(col("v").as("n"))
+    val sums = agg.where(col("j") === -1 && col("i") >= 1)
+    val pairs = agg.where(col("i") >= 1 && col("j") >= 1)
+    pairs.crossJoin(broadcast(nDf))
+      .join(broadcast(sums.select(col("i"), col("v").as("sx_i"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("v").as("sx_j"))), "j")
+      .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+        col("v").as("sxy"), col("sx_i"), col("sx_j"),
+        (col("n") * col("v") - col("sx_i") * col("sx_j")).as("cov_num"))
+      .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
+      .limit(topN)
+  }
 }

@@ -96,4 +96,54 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(r(1L) === ((3L, 1L, 333333L)))
     assert(!r.contains(4L))
   }
+
+  test("bfsHops: path graph hops out to maxHops and stops") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.bfsHops(e, seeds, maxHops = 3).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Int]("hop")).toMap
+    assert(r === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 is hop 4: cut
+  }
+
+  test("bfsHops keeps the MINIMUM hop on multi-path reachability") {
+    // diamond with a shortcut: 1→2→4 and 1→4 — node 4 is hop 1, and
+    // the 2-cycle 1↔2 must not re-enqueue visited nodes
+    val e = Seq((1L, 2L), (2L, 4L), (1L, 4L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 3).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Int]("hop")).toMap
+    assert(r === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
+
+  test("bfsHops: isolated seed stays at hop 0; multi-seed takes nearest") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.bfsHops(e, Seq(1L, 3L, 99L).toDF("node"), maxHops = 2)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Int]("hop")).toMap
+    // 3 is itself a seed → 0, not hop 2 from seed 1; 99 has no edges
+    assert(r === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 99L -> 0))
+  }
+
+  test("bfsHops matches a driver-side BFS on a pseudo-random graph") {
+    val n = 60
+    val edges = (for (i <- 0 until 300) yield {
+      val a = (i * 2654435761L) % n
+      val b = (i * 40503L + 7) % n
+      (a, b)
+    }).filter { case (a, b) => a != b }
+    val seeds = Seq(0L, 17L)
+    val got = Graph.bfsHops(edges.toDF("src", "dst"), seeds.toDF("node"),
+        maxHops = 4).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Int]("hop")).toMap
+    // reference BFS
+    val adj = edges.distinct.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet }
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    assert(got === dist)
+  }
 }

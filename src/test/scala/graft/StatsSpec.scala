@@ -229,4 +229,77 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(score(3L) > score(2L) && score(3L) < 3L * score(2L))
     assert(!score.contains(4L))
   }
+
+  test("paretoSkyline keeps the frontier, drops dominated, keeps ties") {
+    val d = Seq(
+      (1L, 5L, 10L),  // frontier
+      (2L, 5L, 10L),  // exact tie of 1 — both survive
+      (3L, 3L, 1L),   // frontier (cheapest)
+      (4L, 5L, 20L),  // dominated by 1 (same benefit, dearer)
+      (5L, 7L, 30L),  // frontier (best benefit)
+      (6L, 2L, 2L),   // dominated by 3 (cheaper AND better)
+      (7L, 3L, 4L))   // dominated by 3 (same benefit, dearer)
+      .toDF("id", "benefit", "cost")
+    val r = Stats.paretoSkyline(d, "id", "benefit", "cost").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((3L, 3L, 1L), (1L, 5L, 10L), (2L, 5L, 10L),
+      (5L, 7L, 30L)))
+  }
+
+  test("paretoSkyline matches the NOT-EXISTS dominance reference") {
+    val rows = (0 until 200).map { i =>
+      val b = (i * 2654435761L) % 40
+      val c = (i * 40503L + 11) % 97
+      (i.toLong, b, c)
+    }
+    val got = Stats.paretoSkyline(rows.toDF("id", "benefit", "cost"),
+      "id", "benefit", "cost").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val want = rows.filter { a =>
+      !rows.exists(b => b._3 <= a._3 && b._2 >= a._2 &&
+        (b._3 < a._3 || b._2 > a._2))
+    }.map { case (id, b, c) => (id, b, c) }.toSet
+    assert(got === want)
+  }
+
+  test("categoryDrift: integer ppm rates and score on a known split") {
+    // day 0 (even): 3×a, 1×b ; day 1 (odd): 1×a, 3×b
+    def ts(day: Int, k: Int) = // distinct instants within the day
+      new java.sql.Timestamp(day * 86400000L + k * 1000L)
+    val d = (Seq.fill(3)(0).zipWithIndex.map { case (_, k) => ("a", ts(0, k)) } ++
+      Seq(("b", ts(0, 9))) ++ Seq(("a", ts(1, 0))) ++
+      Seq.fill(3)(0).zipWithIndex.map { case (_, k) => ("b", ts(1, k + 1)) })
+      .toDF("event_type", "ts")
+    val r = Stats.categoryDrift(d).collect()
+      .map(x => x.getAs[String]("cat") ->
+        (x.getAs[Long]("n_even"), x.getAs[Long]("n_odd"),
+         x.getAs[Long]("rate_even_ppm"), x.getAs[Long]("rate_odd_ppm"),
+         x.getAs[Long]("drift_ppm"), x.getAs[Long]("score"))).toMap
+    // a: 3/4 even = 750000 ppm, 1/4 odd = 250000 ppm → drift 500000
+    // score = 500000² div (750000+250000+1) = 249999
+    assert(r("a") === ((3L, 1L, 750000L, 250000L, 500000L, 249999L)))
+    assert(r("b") === ((1L, 3L, 250000L, 750000L, 500000L, 249999L)))
+  }
+
+  test("gramTopPairs matches a driver-side exact reference, any partitioning") {
+    val dim = 6
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until dim).map { j =>
+        (((i * 31 + j * 17) % 23) - 11) / 7.0f }.toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(7)
+    val got = Stats.gramTopPairs(df, dim = dim, topN = 10).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    // reference: quantize, exact integer sums, rank by |cov| desc
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1000).toLong))
+    val n = q.size.toLong
+    val sums = (0 until dim).map(j => q.map(_(j)).sum)
+    val want = (for { i <- 0 until dim; j <- i + 1 until dim } yield {
+      val sxy = q.map(v => v(i) * v(j)).sum
+      val cov = n * sxy - sums(i) * sums(j)
+      (i + 1, j + 1, n, sxy, sums(i), sums(j), cov)
+    }).sortBy(t => (-math.abs(t._7), t._1, t._2)).take(10)
+    assert(got.toSeq === want)
+  }
 }
