@@ -4122,5 +4122,84 @@ private[graft] object QueriesPipeline {
              |ORDER BY abs(CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT))
              |  DESC, dim_i, dim_j
              |LIMIT 20""".stripMargin)),
+
+    // sorted-neighborhood ER dedup: rank-banded neighbor join over
+    // the normalized sort order, threshold-levenshtein verify
+    Q("q175_sorted_neighborhood",
+      (s, dir) => Entity.sortedNeighborhood(Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id AS id,
+             |    lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+             |      AS norm
+             |  FROM documents WHERE text IS NOT NULL),
+             |t2 AS (SELECT id, substr(norm, 1, 16) AS sortkey,
+             |    substr(norm, 1, 40) AS probe
+             |  FROM t WHERE len(norm) > 0),
+             |r AS (SELECT id, probe,
+             |    row_number() OVER (ORDER BY sortkey, id) AS rn
+             |  FROM t2)
+             |SELECT a.id AS a_id, b.id AS b_id,
+             |  CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS dist
+             |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+             |WHERE levenshtein(a.probe, b.probe) <= 10
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // source-language concentration: exact ppm HHI / Gini impurity
+    // per source — the log-free entropy profiling substitute
+    Q("q176_hhi_concentration",
+      (s, dir) => Stats.hhiConcentration(
+        Tables(s, dir, "documents"), "source", "lang"),
+      Some("""WITH c AS (SELECT source AS grp, lang AS cat,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL
+             |  GROUP BY 1, 2),
+             |g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS n_cats,
+             |    CAST(SUM(c * c) AS BIGINT) AS ss
+             |  FROM c GROUP BY 1)
+             |SELECT grp, n, n_cats,
+             |  (ss * 1000000) // (n * n) AS hhi_ppm,
+             |  ((n * n - ss) * 1000000) // (n * n) AS gini_ppm
+             |FROM g ORDER BY hhi_ppm DESC, grp""".stripMargin)),
+
+    // per-category daily-activity trend: exact rational least-squares
+    // slope kept as numerator/denominator, never divided
+    Q("q177_group_trend",
+      (s, dir) => Stats.groupTrend(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS x,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM daily GROUP BY 1)
+             |SELECT grp, n, n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+             |       WHEN n * sxy - sx * sy < 0 THEN 'down'
+             |       ELSE 'flat' END AS trend
+             |FROM s ORDER BY grp""".stripMargin)),
+
+    // l-diversity audit: hour-grained quasi-id classes whose members
+    // share too few distinct users — the leak k-anonymity misses
+    Q("q178_l_diversity",
+      (s, dir) => Audit.lDiversity(
+        Tables(s, dir, "events").where(col("user_id").isNotNull &&
+            col("event_type").isNotNull && col("ts").isNotNull)
+          .withColumn("hour", expr("unix_micros(ts) div 3600000000")),
+        Seq("event_type", "hour"), "user_id", l = 3L),
+      Some("""SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+             |  COUNT(*) AS class_size
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND ts IS NOT NULL
+             |GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) < 3
+             |ORDER BY event_type, hour, n_sensitive""".stripMargin)),
   )
 }

@@ -186,4 +186,24 @@ object Audit {
       .agg(count(lit(1)).as("class_size"))
       .where(col("class_size") < k)
       .orderBy(quasiIds.map(col) :+ col("class_size"): _*)
+
+  /** l-diversity audit, the companion to [[kAnonymity]]: a class can
+    * be large (k-anonymous) yet still leak if everyone in it shares
+    * the sensitive value — report quasi-identifier classes with fewer
+    * than `l` DISTINCT sensitive values. Same output discipline: only
+    * the violating (small-diversity) classes come back, so the report
+    * stays tiny at any input scale. One exact-distinct aggregate
+    * shuffled on the quasi-id key (the sensitive column rides along
+    * as a two-level agg: distinct within class, then counts).
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String],
+      sensitiveCol: String, l: Long = 3L): DataFrame = {
+    val qi = quasiIds.map(col)
+    df.select(quasiIds.map(col) :+ col(sensitiveCol).as("__s"): _*)
+      .groupBy(qi :+ col("__s"): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(qi: _*)
+      .agg(count(lit(1)).as("n_sensitive"), sum(col("__c")).as("class_size"))
+      .where(col("n_sensitive") < l)
+      .orderBy(qi :+ col("n_sensitive"): _*)
+  }
 }

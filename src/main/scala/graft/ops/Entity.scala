@@ -78,4 +78,46 @@ object Entity {
       .select("name", "canon", "dist")
       .orderBy("name")
   }
+
+  /** Sorted-neighborhood dedup (Hernández–Stolfo): sort the corpus by
+    * a normalized key, compare each record only with its `window`
+    * successors in that order, verify candidates by edit distance on
+    * a normalized prefix. The classic ER alternative to hash blocking
+    * — catches near-dups whose block keys disagree but whose sort
+    * keys collate adjacently. Declared recall contract: records that
+    * diverge in the first `keyLen` normalized chars can sort far
+    * apart and are out of contract (multi-pass with rotated keys is
+    * the standard recall amplifier).
+    *
+    * Scale shape: the global order comes from the two-pass
+    * range-partitioned prefix-offset scan ([[Par.globalRowNumber]] —
+    * no single-partition window), and the neighbor step is an
+    * equi-join on `rank div window` (each left row probes its own and
+    * the next bucket), so pair count is exactly n·window — linear,
+    * never quadratic. The levenshtein verify is threshold-bounded
+    * (O(len·maxDist) per pair, early-exit).
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 3, keyLen: Int = 16,
+      prefixLen: Int = 40, maxDist: Int = 10): DataFrame = {
+    val t = docs.select(col(idCol).as("id"),
+        lower(regexp_replace(col(textCol), "[^a-zA-Z0-9]", "")).as("norm"))
+      .where(col("norm").isNotNull && length(col("norm")) > 0)
+      .select(col("id"), substring(col("norm"), 1, keyLen).as("sortkey"),
+        substring(col("norm"), 1, prefixLen).as("probe"))
+    val ranked = Par.globalRowNumber(t, Seq("sortkey", "id"))
+    val left = ranked.select(col("id").as("a_id"),
+        col("probe").as("a_probe"), col("rownum").as("ra"))
+      .withColumn("bkt", explode(array(
+        expr(s"ra div $window"), expr(s"ra div $window + 1"))))
+    val right = ranked.select(col("id").as("b_id"),
+        col("probe").as("b_probe"), col("rownum").as("rb"))
+      .withColumn("bkt", expr(s"rb div $window"))
+    left.join(right, Seq("bkt"))
+      .where(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+      .withColumn("dist", levenshtein(col("a_probe"), col("b_probe"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -327,6 +327,64 @@ object Stats {
       .orderBy(col("score").desc, col("cat"))
   }
 
+  /** Category-concentration audit per group: Herfindahl–Hirschman
+    * index and Gini impurity in exact ppm — is a source dominated by
+    * one language, a partition by one key? With per-category counts
+    * `c_i` and group total `n`: `hhi = Σc_i²·10⁶ div n²` (10⁶ = one
+    * category owns everything) and `gini = (n²−Σc_i²)·10⁶ div n²`
+    * (0 = pure). Both floored independently, so each is oracle-exact
+    * on its own. The log-free substitute for entropy profiling —
+    * same ranking, integer arithmetic.
+    *
+    * Shape: two stacked combinable aggregates (category counts, then
+    * group sums) — a 100 TB scan folds to |group×category| then
+    * |group| rows; everything after is map-only.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame =
+    df.where(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_cats"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("grp"), col("n"), col("n_cats"),
+        expr("(ss * 1000000) div (n * n)").as("hhi_ppm"),
+        expr("((n * n - ss) * 1000000) div (n * n)").as("gini_ppm"))
+      .orderBy(col("hhi_ppm").desc, col("grp"))
+
+  /** Per-group linear trend of daily activity, exact rational: least
+    * squares over (day, count) points kept as the integer numerator /
+    * denominator pair `slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` —
+    * never divided, so no float and no negative-floor-division hazard
+    * — plus the sign as an up/down/flat label. The "is this event
+    * type growing" monitor.
+    *
+    * Shape: two stacked combinable aggregates (daily counts, then
+    * per-group moment sums); map-only arithmetic after. Day indices
+    * ~2·10⁴ keep every moment far inside long range for
+    * million-day×group workloads.
+    */
+  def groupTrend(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      .select(col("grp"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("trend",
+        when(col("slope_num") > 0, "up")
+          .when(col("slope_num") < 0, "down").otherwise("flat"))
+      .orderBy("grp")
+  }
+
   /** Exact covariance numerators of the most-correlated embedding
     * dimension pairs — the whitening / redundant-dimension audit
     * before PCA or product quantization. Values quantize to

@@ -67,4 +67,18 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r(1).getAs[Long]("key") === 8L)
     assert(r(1).getAs[Long]("cum_ppm") === 900000L)
   }
+
+  test("lDiversity flags low-diversity classes k-anonymity would pass") {
+    import spark.implicits._
+    // class (a,1): 4 rows but a single user — k-anonymous at k=3,
+    // yet l-diversity(3) must flag it; class (b,1): 3 distinct users → ok
+    val d = (Seq.fill(4)(("a", 1L, 100L)) ++
+      Seq(("b", 1L, 1L), ("b", 1L, 2L), ("b", 1L, 3L)) ++
+      Seq(("c", 2L, 5L), ("c", 2L, 6L))) // 2 distinct → flagged
+      .toDF("event_type", "hour", "user_id")
+    val r = graft.ops.Audit.lDiversity(d, Seq("event_type", "hour"),
+      "user_id", l = 3L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(("a", 1L, 1L, 4L), ("c", 2L, 2L, 2L)))
+  }
 }

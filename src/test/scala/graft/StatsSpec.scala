@@ -281,6 +281,37 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r("b") === ((1L, 3L, 250000L, 750000L, 500000L, 249999L)))
   }
 
+  test("hhiConcentration: pure group scores 1e6 HHI, uniform splits evenly") {
+    val d = (Seq.fill(5)(("pure", "en")) ++
+      Seq(("even", "en"), ("even", "de"), ("even", "fr"), ("even", "es")))
+      .toDF("source", "lang")
+    val r = Stats.hhiConcentration(d, "source", "lang").collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("pure") === ((5L, 1L, 1000000L, 0L)))
+    // 4 categories × 1: hhi = 4·1e6/16 = 250000, gini = 750000
+    assert(r("even") === ((4L, 4L, 250000L, 750000L)))
+  }
+
+  test("groupTrend: exact rational slope and sign labels") {
+    def ts(day: Int, k: Int) =
+      new java.sql.Timestamp(day * 86400000L + k * 1000L)
+    // "up": counts 1,2,3 on days 0,1,2; "flat": 2,2 on days 0,1
+    val d = ((0 to 0).map(k => ("up", ts(0, k))) ++
+      (0 to 1).map(k => ("up", ts(1, k))) ++
+      (0 to 2).map(k => ("up", ts(2, k))) ++
+      (0 to 1).map(k => ("flat", ts(0, k))) ++
+      (0 to 1).map(k => ("flat", ts(1, k))))
+      .toDF("event_type", "ts")
+    val r = Stats.groupTrend(d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    // up: n=3 Σx=3 Σy=6 Σxy=8 Σxx=5 → num = 24-18 = 6, den = 15-9 = 6
+    assert(r("up") === ((3L, 6L, 6L, "up")))
+    // flat: n=2 Σx=1 Σy=4 Σxy=2 Σxx=1 → num = 4-4 = 0, den = 2-1 = 1
+    assert(r("flat") === ((2L, 0L, 1L, "flat")))
+  }
+
   test("gramTopPairs matches a driver-side exact reference, any partitioning") {
     val dim = 6
     val vecs = (0 until 40).map { i =>
