@@ -4201,5 +4201,91 @@ private[graft] object QueriesPipeline {
              |  AND ts IS NOT NULL
              |GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) < 3
              |ORDER BY event_type, hour, n_sensitive""".stripMargin)),
+
+    // hybrid retrieval: RRF fusion of a lexical (term-frequency) and
+    // a semantic (exact integer dot vs probe vec 0) ranking, both
+    // ranked by the two-pass global rownum, capped at 100
+    Q("q179_rrf_hybrid",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val lex = docs.where(col("text").isNotNull)
+          .select(col("doc_id").as("id"),
+            regexp_count(lower(col("text")), lit("data")).cast("long")
+              .as("tf"))
+          .withColumn("ntf", -col("tf"))
+        val lexRank = Par.globalRowNumber(lex, Seq("ntf", "id"))
+          .where(col("rownum") <= 100)
+          .select(col("id"), col("rownum").as("rnk"))
+        val q = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("id"),
+            expr("transform(embedding, " +
+              "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+              .as("qv"))
+        val probe = q.where(col("id") === 0)
+          .select(col("qv").as("pv"))
+        val sem = q.crossJoin(broadcast(probe))
+          .select(col("id"),
+            expr("aggregate(zip_with(qv, pv, (a, b) -> a * b), " +
+              "0L, (acc, x) -> acc + x)").as("dot"))
+          .withColumn("ndot", -col("dot"))
+        val semRank = Par.globalRowNumber(sem, Seq("ndot", "id"))
+          .where(col("rownum") <= 100)
+          .select(col("id"), col("rownum").as("rnk"))
+        Similarity.rrfFuse(Seq(lexRank, semRank))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id AS id,
+             |    CAST(len(regexp_extract_all(lower(text), 'data'))
+             |      AS BIGINT) AS tf
+             |  FROM documents WHERE text IS NOT NULL),
+             |ra AS (SELECT id,
+             |    row_number() OVER (ORDER BY tf DESC, id) AS rnk
+             |  FROM a),
+             |ra100 AS (SELECT id, rnk FROM ra WHERE rnk <= 100),
+             |q AS (SELECT vec_id AS id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |probe AS (SELECT qv AS pv FROM q WHERE id = 0),
+             |d AS (SELECT id, CAST(list_sum(list_transform(
+             |    list_zip(qv, pv), z -> z[1] * z[2])) AS BIGINT) AS dot
+             |  FROM q CROSS JOIN probe),
+             |rb AS (SELECT id,
+             |    row_number() OVER (ORDER BY dot DESC, id) AS rnk
+             |  FROM d),
+             |rb100 AS (SELECT id, rnk FROM rb WHERE rnk <= 100),
+             |u AS (SELECT id, rnk FROM ra100
+             |      UNION ALL SELECT id, rnk FROM rb100)
+             |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             |  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf
+             |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id
+             |LIMIT 20""".stripMargin)),
+
+    // market-basket association rules: co-purchased part pairs with
+    // support/confidence/lift in exact ppm; pair join keyed by order
+    Q("q180_association_rules",
+      (s, dir) => Analytics.frequentPairs(Tables(s, dir, "lineitem")),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o,
+             |    l_partkey AS p
+             |  FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT)
+             |    AS n_baskets FROM op),
+             |items AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM op GROUP BY 1),
+             |pairs AS (SELECT a.p AS pa, b.p AS pb,
+             |    CAST(COUNT(*) AS BIGINT) AS cab
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT pa, pb, cab, ia.c AS ca, ib.c AS cb,
+             |  cab * 1000000 // ia.c AS conf_ab_ppm,
+             |  cab * 1000000 // ib.c AS conf_ba_ppm,
+             |  (cab * n.n_baskets * 1000000) // (ia.c * ib.c)
+             |    AS lift_ppm
+             |FROM pairs
+             |JOIN items ia ON ia.p = pairs.pa
+             |JOIN items ib ON ib.p = pairs.pb
+             |CROSS JOIN n
+             |ORDER BY lift_ppm DESC, pa, pb""".stripMargin)),
   )
 }

@@ -166,4 +166,45 @@ object Analytics {
         col("cnt"), col("sum24"), col("n24"))
       .orderBy("grp", "hour_us")
   }
+
+  /** Association-rule mining over basket data: item pairs with
+    * support ≥ `minSup`, both directed confidences and the
+    * symmetric lift, all integer ppm (floor). With `c(x)` = baskets
+    * containing x and `N` baskets: `conf(a→b) = c(ab)·10⁶ div c(a)`,
+    * `lift = c(ab)·N·10⁶ div (c(a)·c(b))` (lift > 10⁶ ⟺ positive
+    * association). The market-basket / co-occurrence primitive.
+    *
+    * Scale shape: the pair join is keyed by BASKET (`a.o = b.o`,
+    * `a.p < b.p`), so candidates are Σ|basket|² — linear in rows for
+    * bounded basket sizes — never item². Item counts and the basket
+    * total are combinable aggregates broadcast back onto the
+    * (support-filtered, therefore small) pair table. Long ppm
+    * arithmetic holds to ~10⁹ baskets; past that switch the lift
+    * numerator to decimal.
+    */
+  def frequentPairs(baskets: DataFrame, basketCol: String = "l_orderkey",
+      itemCol: String = "l_partkey", minSup: Long = 3L): DataFrame = {
+    val op = baskets
+      .select(col(basketCol).as("o"), col(itemCol).as("p"))
+      .where(col("o").isNotNull && col("p").isNotNull)
+      .distinct().localCheckpoint() // reused by counts and the pair join
+    val nOrders = op.agg(countDistinct(col("o")).as("n_baskets"))
+    val items = op.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minSup)
+    pairs
+      .join(broadcast(items.select(col("p").as("pa"), col("c").as("ca"))),
+        "pa")
+      .join(broadcast(items.select(col("p").as("pb"), col("c").as("cb"))),
+        "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+        expr("cab * 1000000 div ca").as("conf_ab_ppm"),
+        expr("cab * 1000000 div cb").as("conf_ba_ppm"),
+        expr("(cab * n_baskets * 1000000) div (ca * cb)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+  }
 }

@@ -456,4 +456,30 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "adist_e6")
       .orderBy("q_id", "rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) — THE standard hybrid
+    * retrieval combiner: each input ranking contributes
+    * `1/(k + rank)` per document, summed across rankings; documents
+    * high in ANY list surface without score calibration between
+    * lists (BM25 scores and cosine distances never share a scale —
+    * ranks do). Weights are integer nano-units (`10⁹ div (k+rank)`,
+    * floored), so the fusion is oracle-exact.
+    *
+    * Inputs carry `(id, rnk)` — rank them upstream with the two-pass
+    * [[Par.globalRowNumber]] over a TOTAL order (score desc, id) and
+    * cap each list (top-N candidates), which is also the scale
+    * contract: fusion cost is Σ|lists|, never corpus-sized. One
+    * combinable groupBy(id) finishes.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Long = 60L,
+      topN: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings.map(_.select(col("id"), col("rnk")))
+      .reduce(_ unionByName _)
+    u.groupBy("id")
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr(s"1000000000 div (${k}L + rnk)")).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topN)
+  }
 }

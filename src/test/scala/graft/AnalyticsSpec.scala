@@ -181,4 +181,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r.length === 1)
     assert(r.head._3 === 9L && r.head._4 === 96L) // 24h x 4 events
   }
+
+  test("frequentPairs: exact support/confidence/lift, dup rows collapse") {
+    // baskets: o1{1,2,3} o2{1,2} o3{1,2} o4{3}; o2 lists item 1 twice —
+    // basket membership must dedup before counting
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L),
+      (2L, 2L), (3L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = graft.ops.Analytics.frequentPairs(rows, minSup = 2L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+    // only (1,2) reaches support 2: cab=3 ca=3 cb=3 N=4
+    // conf both = 1e6; lift = 3·4·1e6 div 9 = 1333333
+    assert(r.toSeq === Seq((1L, 2L, 3L, 3L, 3L, 1000000L, 1000000L,
+      1333333L)))
+  }
+
+  test("rrfFuse sums reciprocal-rank weights across lists") {
+    val la = Seq((1L, 1L), (2L, 2L)).toDF("id", "rnk")
+    val lb = Seq((2L, 1L), (3L, 2L)).toDF("id", "rnk")
+    val r = graft.ops.Similarity.rrfFuse(Seq(la, lb)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val w1 = 1000000000L / 61L // rank 1
+    val w2 = 1000000000L / 62L // rank 2
+    assert(r.toSeq === Seq((2L, 2L, w1 + w2), (1L, 1L, w1), (3L, 1L, w2)))
+  }
+
+  test("rrfFuse topN caps the fused list") {
+    val l = (1L to 50L).map(i => (i, i)).toDF("id", "rnk")
+    assert(graft.ops.Similarity.rrfFuse(Seq(l), topN = 5).count() === 5)
+  }
 }
