@@ -4287,5 +4287,96 @@ private[graft] object QueriesPipeline {
              |JOIN items ib ON ib.p = pairs.pb
              |CROSS JOIN n
              |ORDER BY lift_ppm DESC, pa, pb""".stripMargin)),
+
+    // quantity-weighted median price per return flag: the (group,
+    // value) pre-aggregate folds rows to distinct values before any
+    // window runs
+    Q("q181_weighted_median",
+      (s, dir) => Stats.weightedMedian(
+        Tables(s, dir, "lineitem")
+          .where(col("l_extendedprice").isNotNull)
+          .withColumn("cents",
+            round(col("l_extendedprice") * 100).cast("long")),
+        "l_returnflag", "cents", "l_quantity"),
+      Some("""WITH t AS (SELECT l_returnflag AS grp,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL AND l_quantity > 0),
+             |a AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS w
+             |  FROM t GROUP BY 1, 2),
+             |c AS (SELECT grp, v,
+             |    SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cum,
+             |    SUM(w) OVER (PARTITION BY grp) AS tot
+             |  FROM a)
+             |SELECT grp, MIN(v) AS wmedian,
+             |  CAST(MAX(tot) AS BIGINT) AS w_total
+             |FROM c WHERE cum * 2 >= tot
+             |GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // bounded-hop weighted shortest path (min-plus rounds) over the
+    // customer-supplier graph, edge weight inverse to link strength
+    Q("q182_shortest_path",
+      (s, dir) => {
+        val ol = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+            Seq("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .agg(countDistinct(col("o_orderkey")).as("cnt"))
+          .withColumn("w", expr("1000 div cnt"))
+        val edges = ol.select(col("c").as("src"), col("sn").as("dst"),
+            col("w"))
+          .union(ol.select(col("sn").as("src"), col("c").as("dst"),
+            col("w")))
+        val seeds = Tables(s, dir, "customer")
+          .where(col("c_custkey") % 700 === 0)
+          .select((col("c_custkey") * 2).as("node"))
+        Graph.boundedShortestPath(edges, seeds, maxHops = 3)
+      },
+      Some("""WITH RECURSIVE ol AS (SELECT o.o_custkey * 2 AS c,
+             |    l.l_suppkey * 2 + 1 AS sn,
+             |    COUNT(DISTINCT o.o_orderkey) AS cnt
+             |  FROM orders o JOIN lineitem l
+             |    ON o.o_orderkey = l.l_orderkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT c AS src, sn AS dst, 1000 // cnt AS w FROM ol
+             |      UNION ALL SELECT sn, c, 1000 // cnt FROM ol),
+             |seeds AS (SELECT c_custkey * 2 AS node FROM customer
+             |          WHERE c_custkey % 700 = 0),
+             |walk(node, d, hop) AS (
+             |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+             |  UNION
+             |  SELECT e.dst, w.d + e.w, w.hop + 1 FROM walk w
+             |  JOIN e ON e.src = w.node WHERE w.hop < 3)
+             |SELECT node, CAST(MIN(d) AS BIGINT) AS d
+             |FROM walk GROUP BY node ORDER BY node""".stripMargin)),
+
+    // first-order Markov transition matrix over per-user event
+    // streams, exact ppm row-normalization, total-order lead
+    Q("q183_transition_matrix",
+      (s, dir) => Analytics.transitionMatrix(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT user_id AS u, event_type AS et, ts,
+             |    event_id AS id
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |p AS (SELECT et AS from_type,
+             |    lead(et, 1) OVER (PARTITION BY u ORDER BY ts, id)
+             |      AS to_type
+             |  FROM t),
+             |c AS (SELECT from_type, to_type,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT)
+             |    AS row_total
+             |  FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.cnt, tot.row_total,
+             |  c.cnt * 1000000 // tot.row_total AS p_ppm
+             |FROM c JOIN tot ON tot.from_type = c.from_type
+             |ORDER BY c.from_type, c.to_type""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product/warehouse analytics over the event stream: incremental
@@ -165,6 +166,39 @@ object Analytics {
       .select(col("grp"), (col("hour") * 3600000000L).as("hour_us"),
         col("cnt"), col("sum24"), col("n24"))
       .orderBy("grp", "hour_us")
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * streams: for each ordered (event → next event) adjacency within
+    * a user's timeline, the count and the row-normalized transition
+    * probability in exact ppm — "after a click, what happens next".
+    * The ordering key is TOTAL (`ts, id`) so lead() is deterministic
+    * under timestamp ties.
+    *
+    * Shape: one per-user window (state bounded by a user's events,
+    * the natural partition key), then a combinable pair-count
+    * aggregate and a broadcast of per-source totals — |types|²
+    * output regardless of input scale.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("ts", "id")
+    val t = events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("ts"), col(idCol).as("id"))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .where(col("nt").isNotNull)
+    val cnt = t.groupBy(col("t").as("from_type"), col("nt").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("from_type").agg(sum(col("cnt")).as("row_total"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        col("row_total"),
+        expr("cnt * 1000000 div row_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
   }
 
   /** Association-rule mining over basket data: item pairs with

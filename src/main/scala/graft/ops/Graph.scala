@@ -193,6 +193,41 @@ object Graph {
     dist.orderBy("node")
   }
 
+  /** Bounded-hop weighted shortest paths from a seed set — the
+    * min-plus (tropical semiring) counterpart of [[bfsHops]]:
+    * Bellman-Ford rounds as join + min-aggregate, `d(v) =
+    * min(d(v), min over in-edges (d(u) + w))`, exactly the minimum
+    * total weight over walks of ≤ `maxHops` edges. Integer weights
+    * keep every distance oracle-exact.
+    *
+    * Shuffle shape: edges shuffle ONCE (pre-partitioned by src); the
+    * distance table is node-sized, broadcast into each round's
+    * probe, and re-folded by one combinable min aggregate per round.
+    * Fixed rounds → static plan depth; localCheckpoint per round
+    * keeps lineage flat. Same broadcast-vs-shuffle tradeoff as
+    * bfsHops for billion-node frontiers.
+    */
+  def boundedShortestPath(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 3, srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "w", seedCol: String = "node"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .repartition(col("src")).localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(broadcast(dist.withColumnRenamed("node", "src")),
+          "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 3, dampPpm: Long = 850000L,
       scale: Long = 1000000000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {

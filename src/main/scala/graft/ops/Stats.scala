@@ -327,6 +327,36 @@ object Stats {
       .orderBy(col("score").desc, col("cat"))
   }
 
+  /** Per-group lower weighted median: the smallest value `v` whose
+    * cumulative weight reaches half the group total (`2·cum ≥ W`) —
+    * the robust center for weighted populations (price weighted by
+    * quantity, latency weighted by calls). Deterministic and
+    * integer-exact by definition, no interpolation.
+    *
+    * Shape: the row-level scan folds FIRST through a combinable
+    * (group, value) weight aggregate — the windowed prefix sum then
+    * runs over distinct values per group, not rows (prices, codes
+    * and buckets repeat heavily at scale). A group whose distinct
+    * values still overflow a partition takes the multi-round
+    * narrowing of [[exactMedianNarrowing]] instead; this is the
+    * one-shuffle fast path.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    val t = df.select(col(groupCol).as("grp"), col(valCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("grp").isNotNull && col("v").isNotNull && col("w") > 0)
+      .groupBy("grp", "v").agg(sum(col("w")).as("w"))
+    val run = Window.partitionBy("grp").orderBy("v")
+    val all = Window.partitionBy("grp")
+    t.withColumn("cum", sum(col("w")).over(run))
+      .withColumn("tot", sum(col("w")).over(all))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy("grp")
+      .agg(min(col("v")).as("wmedian"), max(col("tot")).as("w_total"))
+      .orderBy("grp")
+  }
+
   /** Category-concentration audit per group: Herfindahl–Hirschman
     * index and Gini impurity in exact ppm — is a source dominated by
     * one language, a partition by one key? With per-category counts

@@ -197,6 +197,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       1333333L)))
   }
 
+  test("transitionMatrix: per-user adjacency, ppm rows, tie-broken by id") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: a→b→a ; user 2: a→b ; the (a,b) count is 3 of 3 a-exits? no:
+    // user1 transitions: (a,b), (b,a); user2: (a,b) → from a: 2×b;
+    // from b: 1×a. Tie case: user 3 has two rows at the SAME ts —
+    // order falls back to event_id: (c id=1) → (d id=2)
+    val d = Seq(
+      (1L, 1L, "a", ts(1000)), (2L, 1L, "b", ts(2000)),
+      (3L, 1L, "a", ts(3000)),
+      (4L, 2L, "a", ts(1000)), (5L, 2L, "b", ts(2000)),
+      (6L, 3L, "c", ts(5000)), (7L, 3L, "d", ts(5000)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.ops.Analytics.transitionMatrix(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(("a", "b")) === ((2L, 2L, 1000000L)))
+    assert(r(("b", "a")) === ((1L, 1L, 1000000L)))
+    assert(r(("c", "d")) === ((1L, 1L, 1000000L)))
+    assert(!r.contains(("d", "c")))
+  }
+
   test("rrfFuse sums reciprocal-rank weights across lists") {
     val la = Seq((1L, 1L), (2L, 2L)).toDF("id", "rnk")
     val lb = Seq((2L, 1L), (3L, 2L)).toDF("id", "rnk")

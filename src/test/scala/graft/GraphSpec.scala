@@ -122,6 +122,36 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(r === Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 99L -> 0))
   }
 
+  test("boundedShortestPath: cheap multi-hop beats the direct edge") {
+    // 1→3 direct costs 10; 1→2→3 costs 2 — min-plus must take it
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.boundedShortestPath(e, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("d")).toMap
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("boundedShortestPath respects the hop bound") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.boundedShortestPath(e, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("d")).toMap
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4,5 beyond 2 hops
+  }
+
+  test("boundedShortestPath: a longer-hop cheaper path found within bound") {
+    // 1→4 direct 100; 1→2→3→4 = 3 within maxHops=3
+    val e = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.boundedShortestPath(e, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("d")).toMap
+    assert(r(4L) === 3L)
+    // with maxHops=2 the direct edge is the best reachable
+    val r2 = Graph.boundedShortestPath(e, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("d")).toMap
+    assert(r2(4L) === 100L)
+  }
+
   test("bfsHops matches a driver-side BFS on a pseudo-random graph") {
     val n = 60
     val edges = (for (i <- 0 until 300) yield {

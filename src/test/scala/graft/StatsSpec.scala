@@ -281,6 +281,19 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r("b") === ((1L, 3L, 250000L, 750000L, 500000L, 249999L)))
   }
 
+  test("weightedMedian: weight mass, not row count, picks the center") {
+    val d = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 100L, 2L), // W=4, cum(2)=2 → 2
+      ("b", 5L, 10L), ("b", 1L, 1L),                 // heavy value wins
+      ("c", 3L, 1L), ("c", 3L, 1L), ("c", 4L, 1L))   // dup values merge
+      .toDF("grp", "v", "w")
+    val r = Stats.weightedMedian(d, "grp", "v", "w").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") === ((2L, 4L)))
+    assert(r("b") === ((5L, 11L)))
+    assert(r("c") === ((3L, 3L)))
+  }
+
   test("hhiConcentration: pure group scores 1e6 HHI, uniform splits evenly") {
     val d = (Seq.fill(5)(("pure", "en")) ++
       Seq(("even", "en"), ("even", "de"), ("even", "fr"), ("even", "es")))
