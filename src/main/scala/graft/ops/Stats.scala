@@ -331,27 +331,47 @@ object Stats {
     * cumulative weight reaches half the group total (`2·cum ≥ W`) —
     * the robust center for weighted populations (price weighted by
     * quantity, latency weighted by calls). Deterministic and
-    * integer-exact by definition, no interpolation.
+    * integer-exact by definition, no interpolation. Values must be
+    * non-negative (shift upstream if needed — `div` bucketing).
     *
-    * Shape: the row-level scan folds FIRST through a combinable
-    * (group, value) weight aggregate — the windowed prefix sum then
-    * runs over distinct values per group, not rows (prices, codes
-    * and buckets repeat heavily at scale). A group whose distinct
-    * values still overflow a partition takes the multi-round
-    * narrowing of [[exactMedianNarrowing]] instead; this is the
-    * one-shuffle fast path.
+    * Shape — two-level narrowing, no group-wide sort: the scan folds
+    * through a combinable (group, value) weight aggregate, values
+    * fold again into `bucketWidth`-wide buckets, a prefix window
+    * over the BUCKET table (≤ maxValue/bucketWidth rows per group)
+    * locates the median bucket, and the final prefix window runs
+    * only over the distinct values INSIDE that one bucket. A
+    * million-distinct-value group never sorts more than one bucket
+    * plus the bucket directory — the windowed q154 idea done in one
+    * extra round instead of log rounds. The (group, value) table is
+    * localCheckpointed because both the bucket directory and the
+    * final in-bucket scan read it.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String, bucketWidth: Long = 4096L): DataFrame = {
     val t = df.select(col(groupCol).as("grp"), col(valCol).as("v"),
         col(weightCol).cast("long").as("w"))
       .where(col("grp").isNotNull && col("v").isNotNull && col("w") > 0)
       .groupBy("grp", "v").agg(sum(col("w")).as("w"))
-    val run = Window.partitionBy("grp").orderBy("v")
-    val all = Window.partitionBy("grp")
-    t.withColumn("cum", sum(col("w")).over(run))
-      .withColumn("tot", sum(col("w")).over(all))
+      .withColumn("b", expr(s"v div $bucketWidth"))
+      .localCheckpoint()
+    val buck = t.groupBy("grp", "b").agg(sum(col("w")).as("bw"))
+    val wb = Window.partitionBy("grp").orderBy("b")
+    val wtot = Window.partitionBy("grp")
+    val bstar = buck
+      .withColumn("cum", sum(col("bw")).over(wb))
+      .withColumn("tot", sum(col("bw")).over(wtot))
       .where(col("cum") * 2 >= col("tot"))
+      .groupBy("grp").agg(min(col("b")).as("bstar"), max(col("tot")).as("tot"))
+    val before = buck.join(broadcast(bstar), Seq("grp"))
+      .where(col("b") < col("bstar"))
+      .groupBy("grp").agg(sum(col("bw")).as("cum_before"))
+    val wv = Window.partitionBy("grp").orderBy("v")
+    t.join(broadcast(bstar), Seq("grp"))
+      .where(col("b") === col("bstar"))
+      .join(broadcast(before), Seq("grp"), "left")
+      .withColumn("cb", coalesce(col("cum_before"), lit(0L)))
+      .withColumn("run", sum(col("w")).over(wv))
+      .where((col("cb") + col("run")) * 2 >= col("tot"))
       .groupBy("grp")
       .agg(min(col("v")).as("wmedian"), max(col("tot")).as("w_total"))
       .orderBy("grp")
