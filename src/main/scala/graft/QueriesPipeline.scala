@@ -4378,5 +4378,35 @@ private[graft] object QueriesPipeline {
              |  c.cnt * 1000000 // tot.row_total AS p_ppm
              |FROM c JOIN tot ON tot.from_type = c.from_type
              |ORDER BY c.from_type, c.to_type""".stripMargin)),
+
+    // 3-step ordered funnel (view → click → purchase, 7-day step
+    // windows): greedy-earliest chain recurrence as k min-fold joins
+    Q("q184_funnel_k",
+      (s, dir) => Analytics.funnelK(Tables(s, dir, "events"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id AS u, event_type AS et,
+             |    epoch_us(ts) AS tsv
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |s1 AS (SELECT u, MIN(tsv) AS t FROM e
+             |  WHERE et = 'view' GROUP BY u),
+             |s2 AS (SELECT e.u, MIN(e.tsv) AS t
+             |  FROM e JOIN s1 ON e.u = s1.u
+             |  WHERE e.et = 'click' AND e.tsv > s1.t
+             |    AND e.tsv <= s1.t + 604800000000
+             |  GROUP BY e.u),
+             |s3 AS (SELECT e.u, MIN(e.tsv) AS t
+             |  FROM e JOIN s2 ON e.u = s2.u
+             |  WHERE e.et = 'purchase' AND e.tsv > s2.t
+             |    AND e.tsv <= s2.t + 604800000000
+             |  GROUP BY e.u)
+             |SELECT 1 AS step_idx, 'view' AS step,
+             |  CAST(COUNT(*) AS BIGINT) AS users FROM s1
+             |UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT)
+             |  FROM s2
+             |UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT)
+             |  FROM s3
+             |ORDER BY step_idx""".stripMargin)),
   )
 }

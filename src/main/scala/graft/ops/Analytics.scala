@@ -168,6 +168,48 @@ object Analytics {
       .orderBy("grp", "hour_us")
   }
 
+  /** k-step funnel: users completing `steps` IN ORDER, each step
+    * within `stepWindowUs` of the previous one, reported as per-step
+    * survivor counts. Existence of an ordered chain is decided by the
+    * greedy-earliest recurrence — `t₁ = min ts(step₁)`, `tᵢ₊₁ =
+    * min ts(stepᵢ₊₁) in (tᵢ, tᵢ + window]` — which is exact: taking
+    * the earliest feasible occurrence can only widen later options,
+    * so greedy succeeds iff any chain exists.
+    *
+    * Shape: k fixed rounds, each one equi-join keyed by user between
+    * the (pre-filtered, step-only) event slice and the user-sized
+    * survivor table, folded by a combinable min — never a per-user
+    * sort or collect; plan depth is static in k.
+    */
+  def funnelK(events: DataFrame, steps: Seq[String],
+      stepWindowUs: Long = 7L * 86400000000L,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnelK needs at least one step")
+    val base = events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        expr(s"unix_micros($tsCol)").as("tsv"))
+    var cur = base.where(col("et") === steps.head)
+      .groupBy("u").agg(min(col("tsv")).as("t"))
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += cur
+    for (s <- steps.tail) {
+      cur = base.where(col("et") === s)
+        .join(cur.withColumnRenamed("t", "pt"), Seq("u"))
+        .where(col("tsv") > col("pt") &&
+          col("tsv") <= col("pt") + stepWindowUs)
+        .groupBy("u").agg(min(col("tsv")).as("t"))
+      rounds += cur
+    }
+    rounds.result().zipWithIndex.map { case (d, i) =>
+      d.select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"))
+    }.reduce(_ unionByName _)
+      .groupBy("step_idx", "step").agg(count(lit(1)).as("users"))
+      .orderBy("step_idx")
+  }
+
   /** First-order Markov transition matrix over per-user event
     * streams: for each ordered (event → next event) adjacency within
     * a user's timeline, the count and the row-normalized transition

@@ -197,6 +197,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       1333333L)))
   }
 
+  test("funnelK: ordered chains with per-step windows, greedy-earliest") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val W = 100L * 1000000L // 100 s step window
+    val d = Seq(
+      // u1 completes: a@0 → b@50 → c@120 (each gap ≤ 100 s)
+      (1L, "a", ts(0)), (1L, "b", ts(50)), (1L, "c", ts(120)),
+      // u2 stalls at b: c arrives 200 s after b — outside the window
+      (2L, "a", ts(0)), (2L, "b", ts(50)), (2L, "c", ts(260)),
+      // u3: b precedes every a — no ordered chain past step 1
+      (3L, "b", ts(0)), (3L, "a", ts(10)),
+      // u4: two a's; greedy takes a@0 and still finds b@90
+      (4L, "a", ts(0)), (4L, "a", ts(80)), (4L, "b", ts(90)))
+      .toDF("user_id", "event_type", "ts")
+    val r = graft.ops.Analytics.funnelK(d, Seq("a", "b", "c"),
+        stepWindowUs = W).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    // step 1 = every user with an 'a' (u3's late 'a' counts there too)
+    assert(r.toSeq === Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 1L)))
+  }
+
   test("transitionMatrix: per-user adjacency, ppm rows, tie-broken by id") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     // user 1: a→b→a ; user 2: a→b ; the (a,b) count is 3 of 3 a-exits? no:
