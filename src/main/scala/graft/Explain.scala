@@ -31,7 +31,10 @@ object Explain {
       "q146_boilerplate_removal", "q147_dup_span_stats",
       "q148_dsir_importance", "q152_bm25_topk", "q153_cdc_chunk_dedup",
       "q155_clustering_coefficient", "q157_peak_concurrency",
-      "q159_ivfpq_topk", "q161_interval_coverage", "q162_multiprobe_lsh")
+      "q159_ivfpq_topk", "q161_interval_coverage", "q162_multiprobe_lsh",
+      "q170_khop_bfs", "q171_pareto_skyline", "q174_gram_top_pairs",
+      "q175_sorted_neighborhood", "q180_association_rules",
+      "q182_shortest_path", "q184_funnel_k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
