@@ -131,6 +131,29 @@ private[graft] object QueriesPipeline {
       |      AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
 
+  /** TPC-H Q5 shape (local-supplier revenue by nation): the 6-way
+    * join gauntlet — region filter prunes nation, dims broadcast down
+    * the chain, the fact shuffles once per join key; revenue in exact
+    * DECIMAL (cast each factor BEFORE multiplying — Spark rounds
+    * half-up, DuckDB half-even on a double→decimal cast of the
+    * product). Same text on both engines.
+    */
+  private val TpchQ5Sql =
+    """SELECT n.n_name AS n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(28,4)) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   private val TpchQ7Sql =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
@@ -4408,5 +4431,43 @@ private[graft] object QueriesPipeline {
              |UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT)
              |  FROM s3
              |ORDER BY step_idx""".stripMargin)),
+
+    // exact-budget proportional stratified sample: largest-remainder
+    // allocation + bounded-heap per-stratum selection
+    Q("q185_proportional_sample",
+      (s, dir) => Curation.proportionalSample(Tables(s, dir, "documents")),
+      Some(s"""WITH h AS (SELECT source AS label, doc_id,
+              |    (${duckMix31("doc_id")}) AS h FROM documents),
+              |c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM h GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+              |a AS (SELECT label, n, (n * 100) // nn AS base,
+              |    (n * 100) % nn AS rem
+              |  FROM c CROSS JOIN t),
+              |rk AS (SELECT label, n, base,
+              |    row_number() OVER (ORDER BY rem DESC, label) AS rk,
+              |    CAST((SELECT SUM(base) FROM a) AS BIGINT) AS sb
+              |  FROM a),
+              |al AS (SELECT label, n, base +
+              |    CASE WHEN rk <= 100 - sb THEN 1 ELSE 0 END AS k
+              |  FROM rk),
+              |r AS (SELECT label, doc_id, h, ROW_NUMBER() OVER (
+              |    PARTITION BY label ORDER BY h, doc_id) AS rn FROM h)
+              |SELECT r.label, CAST(r.rn AS INTEGER) AS rn, r.doc_id,
+              |  r.h, al.n, CAST(al.k AS BIGINT) AS k
+              |FROM r JOIN al ON al.label = r.label
+              |WHERE r.rn <= al.k
+              |ORDER BY r.label, r.rn""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way join with region pruning; same text on
+    // both engines
+    Q("q186_tpch_q5",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation",
+          "region")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ5Sql)
+      },
+      Some(TpchQ5Sql)),
   )
 }

@@ -380,6 +380,53 @@ object Curation {
         col("r.doc_id").as("doc_id"), col("r.h").as("h"))
       .orderBy("label", "rn")
 
+  /** Proportional stratified sample with an EXACT total budget via
+    * the largest-remainder (Hamilton) allocation: each stratum gets
+    * `floor(n·budget/N)` slots, the `budget − Σfloor` leftover goes
+    * to the largest fractional remainders (ties to the
+    * lexicographically first label), and slot winners inside a
+    * stratum are the smallest `mix31(id)` — all deterministic, all
+    * integer, so the realized sample size is exactly `budget` (for
+    * `budget ≤ N`) AND every engine picks the same rows. The eval-set
+    * builder's op: downsample a skewed corpus without disturbing the
+    * mixture.
+    *
+    * Scale shape: stratum counts are one combinable aggregate; the
+    * allocation window runs over |labels| rows; selection reuses the
+    * bounded-heap `topk_rows` aggregate (heap ≤ budget per label,
+    * partial-agg capped shuffle) with the per-label cut applied from
+    * the broadcast allocation — never a per-stratum global sort.
+    */
+  def proportionalSample(docs: DataFrame, budget: Long = 100L,
+      labelCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(labelCol).as("label"), col(idCol).as("doc_id"),
+      Similarity.mix31Col(col(idCol)).as("h"))
+    val counts = t.groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    val wr = Window.orderBy(col("rem").desc, col("label"))
+    val wall = Window.partitionBy()
+    val alloc = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n * ${budget}L) div nn"))
+      .withColumn("rem", expr(s"(n * ${budget}L) % nn"))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("sb", sum(col("base")).over(wall))
+      .withColumn("k",
+        col("base") + when(col("rk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L))
+      .select("label", "n", "k")
+    t.groupBy("label")
+      .agg(call_function("topk_rows",
+        struct(col("h"), col("doc_id")), lit(budget.toInt)).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("label"), (col("i") + 1).cast("long").as("rn"),
+        col("r.doc_id").as("doc_id"), col("r.h").as("h"))
+      .join(broadcast(alloc), "label")
+      .where(col("rn") <= col("k"))
+      .select(col("label"), col("rn").cast("int").as("rn"),
+        col("doc_id"), col("h"), col("n"), col("k"))
+      .orderBy("label", "rn")
+  }
+
   /** Corpus vocabulary head: the `k` most frequent terms with rank
     * and CUMULATIVE corpus-coverage ppm — the table a tokenizer
     * trainer reads first ("how many terms cover 95% of tokens").

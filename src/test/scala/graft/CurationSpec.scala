@@ -307,4 +307,28 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       (2L, 3L, 2L, 333333L), // "a b d" → "a_b d"
       (3L, 2L, 2L, 0L)))     // untouched
   }
+
+  test("proportionalSample: largest-remainder allocation hits the budget") {
+    // strata sizes 6/3/1, budget 5: bases 3/1/0 (sum 4), remainders
+    // 0/5/5 — the one leftover slot goes to 'b' (tie with 'c' broken
+    // by label order). Realized sizes 3/2/0, total exactly 5.
+    val docs = ((0 until 6).map(i => ("a", i.toLong)) ++
+      (0 until 3).map(i => ("b", 100L + i)) ++
+      Seq(("c", 200L))).toDF("source", "doc_id")
+    val r = graft.ops.Curation.proportionalSample(docs, budget = 5L)
+      .collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getLong(5)))
+    assert(r.length === 5)
+    assert(r.count(_._1 == "a") === 3 && r.count(_._1 == "b") === 2)
+    assert(r.forall(_._4 > 0)) // k column reflects the allocation
+    // winners are the smallest mix31(doc_id) per stratum
+    def mix31(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      x ^= (x >> 15)
+      x = (x * 1103515245L) & 0x7FFFFFFFL
+      x ^ (x >> 12)
+    }
+    val wantA = (0 until 6).map(_.toLong).sortBy(i => (mix31(i), i)).take(3)
+    assert(r.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq === wantA)
+  }
 }
