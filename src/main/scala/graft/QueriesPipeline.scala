@@ -4469,5 +4469,76 @@ private[graft] object QueriesPipeline {
         s.sql(TpchQ5Sql)
       },
       Some(TpchQ5Sql)),
+
+    // Cohen's kappa between the declared lang and the q28 heuristic
+    // lang-id — chance-corrected labeler agreement, exact rational
+    Q("q187_annotator_agreement",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pred = TextAnalysis.langId(docs)
+          .select(col("doc_id"), col("lang_pred"))
+        Audit.annotatorAgreement(
+          docs.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
+          "lang", "lang_pred")
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+             |  len(list_filter(string_split(text,' '),
+             |      t -> t IN ('el','la','de','los','y','en','es'))) AS s_es,
+             |  len(list_filter(string_split(text,' '),
+             |      t -> t IN ('le','la','de','les','et','en','est'))) AS s_fr
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |  CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+             |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |       WHEN s_es >= s_fr THEN 'es'
+             |       ELSE 'fr' END AS b
+             |  FROM sc),
+             |t AS (SELECT d.lang AS a, p.b
+             |  FROM documents d JOIN p ON p.doc_id = d.doc_id
+             |  WHERE d.lang IS NOT NULL AND p.b IS NOT NULL),
+             |ct AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM t GROUP BY 1, 2),
+             |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
+             |ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS agree
+             |  FROM ct WHERE a = b),
+             |ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r
+             |  FROM ct GROUP BY 1),
+             |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc
+             |  FROM ct GROUP BY 1),
+             |s AS (SELECT CAST(COALESCE(SUM(r * cc), 0) AS BIGINT) AS s
+             |  FROM ra JOIN cb ON cb.b = ra.a)
+             |SELECT n.n, ag.agree, s.s,
+             |  ag.agree * 1000000 // n.n AS po_ppm,
+             |  (s.s * 1000000) // (n.n * n.n) AS pe_ppm,
+             |  ag.agree * n.n - s.s AS kappa_num,
+             |  n.n * n.n - s.s AS kappa_den
+             |FROM n CROSS JOIN ag CROSS JOIN s""".stripMargin)),
+
+    // Benford first-digit audit over order totals: integer cents →
+    // decimal-string first digit, ppm deviation vs the Benford table
+    Q("q188_benford_audit",
+      (s, dir) => Audit.benford(Tables(s, dir, "orders"),
+        "o_totalprice"),
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100)
+             |    AS BIGINT) AS c
+             |  FROM orders WHERE o_totalprice > 0),
+             |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1)
+             |    AS INTEGER) AS digit FROM c),
+             |cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM d GROUP BY 1),
+             |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnt),
+             |e AS (SELECT * FROM (VALUES
+             |    (1, CAST(301030 AS BIGINT)), (2, CAST(176091 AS BIGINT)),
+             |    (3, CAST(124939 AS BIGINT)), (4, CAST(96910 AS BIGINT)),
+             |    (5, CAST(79181 AS BIGINT)), (6, CAST(66947 AS BIGINT)),
+             |    (7, CAST(58503 AS BIGINT)), (8, CAST(51153 AS BIGINT)),
+             |    (9, CAST(45757 AS BIGINT))) AS v(digit, exp_ppm))
+             |SELECT cnt.digit, cnt.cnt,
+             |  cnt.cnt * 1000000 // n.n AS obs_ppm, e.exp_ppm,
+             |  abs(cnt.cnt * 1000000 // n.n - e.exp_ppm) AS dev_ppm
+             |FROM cnt JOIN e ON e.digit = cnt.digit CROSS JOIN n
+             |ORDER BY cnt.digit""".stripMargin)),
   )
 }

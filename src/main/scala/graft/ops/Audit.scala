@@ -187,6 +187,73 @@ object Audit {
       .where(col("class_size") < k)
       .orderBy(quasiIds.map(col) :+ col("class_size"): _*)
 
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement, THE metric for "does the heuristic labeler agree
+    * with the declared label" (or any two annotators). Everything
+    * derives from the CONTINGENCY TABLE, kept exact: with cell
+    * counts `c(a,b)`, `n = Σc`, `A = Σ c(x,x)`, and `S = Σ_k
+    * rowMarg(k)·colMarg(k)`, kappa is the rational
+    * `(A·n − S) / (n² − S)` — emitted as numerator/denominator
+    * (kappa may be negative; no floor-division hazard), alongside
+    * floor-ppm observed/expected agreement.
+    *
+    * Shape: ONE combinable (a,b) count folds the scan to
+    * |labels|² cells; margins, the diagonal and S are arithmetic
+    * over that tiny table. Long arithmetic holds to ~10⁹ rows
+    * (n² in the denominator); past that, decimal.
+    */
+  def annotatorAgreement(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val ct = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // four derivations below share it
+    val n = ct.agg(sum(col("c")).as("n"))
+    val agree = ct.where(col("a") === col("b"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+    val s = ct.groupBy("a").agg(sum(col("c")).as("r"))
+      .join(ct.groupBy("b").agg(sum(col("c")).as("cc")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(expr("r * cc")), lit(0L)).as("s"))
+    n.crossJoin(agree).crossJoin(s)
+      .select(col("n"), col("agree"), col("s"),
+        expr("agree * 1000000 div n").as("po_ppm"),
+        expr("(s * 1000000) div (n * n)").as("pe_ppm"),
+        (col("agree") * col("n") - col("s")).as("kappa_num"),
+        (col("n") * col("n") - col("s")).as("kappa_den"))
+  }
+
+  /** Benford first-significant-digit audit: observed digit shares of
+    * a positive money column vs the Benford expectation, deviation
+    * in ppm — the classic fabricated-data / broken-feed smell test.
+    * The first digit comes from the CENTS integer's decimal string
+    * (no float log10 near power-of-ten boundaries); the Benford
+    * expectations are integer ppm constants, so the whole report is
+    * oracle-exact.
+    *
+    * Shape: map-only digit extraction, one 9-row combinable count,
+    * a 1-row total broadcast — nothing scales with input.
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 58503L,
+      8 -> 51153L, 9 -> 45757L).toDF("digit", "exp_ppm")
+    val cnt = df.select(round(col(valCol) * 100).cast("long").as("c"))
+      .where(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("n"))
+    cnt.join(broadcast(expected), Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"),
+        expr("cnt * 1000000 div n").as("obs_ppm"), col("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .orderBy("digit")
+  }
+
   /** l-diversity audit, the companion to [[kAnonymity]]: a class can
     * be large (k-anonymous) yet still leak if everyone in it shares
     * the sensitive value — report quasi-identifier classes with fewer

@@ -68,6 +68,39 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r(1).getAs[Long]("cum_ppm") === 900000L)
   }
 
+  test("annotatorAgreement: hand-computed kappa on a known table") {
+    import spark.implicits._
+    // contingency: (x,x)=3 (y,y)=1 (x,y)=1 → n=5, A=4
+    // rowMarg: x=4, y=1 ; colMarg: x=3, y=2 → S = 4·3 + 1·2 = 14
+    // kappa = (4·5 − 14)/(25 − 14) = 6/11
+    val d = (Seq.fill(3)(("x", "x")) ++ Seq(("y", "y"), ("x", "y")))
+      .toDF("a", "b")
+    val r = graft.ops.Audit.annotatorAgreement(d, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 4L, 14L)))
+    assert(r.getAs[Long]("po_ppm") === 800000L)
+    assert(r.getAs[Long]("pe_ppm") === 560000L)
+    assert(r.getAs[Long]("kappa_num") === 6L)
+    assert(r.getAs[Long]("kappa_den") === 11L)
+  }
+
+  test("annotatorAgreement: perfect agreement gives kappa_num == kappa_den") {
+    import spark.implicits._
+    val d = Seq(("p", "p"), ("q", "q"), ("p", "p")).toDF("a", "b")
+    val r = graft.ops.Audit.annotatorAgreement(d, "a", "b").collect().head
+    assert(r.getAs[Long]("kappa_num") === r.getAs[Long]("kappa_den"))
+    assert(r.getAs[Long]("po_ppm") === 1000000L)
+  }
+
+  test("benford: digit extraction is exact at power-of-ten boundaries") {
+    import spark.implicits._
+    // 9.99 → 999 cents → digit 9 ; 10.00 → 1000 → 1 ; 0.01 → 1 → 1 ;
+    // 99.995 rounds to 10000 cents → 1 ; zero/negative rows drop
+    val d = Seq(9.99, 10.00, 0.01, 99.995, 0.0, -5.0).toDF("v")
+    val r = graft.ops.Audit.benford(d, "v").collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r === Map(1 -> 3L, 9 -> 1L))
+  }
+
   test("lDiversity flags low-diversity classes k-anonymity would pass") {
     import spark.implicits._
     // class (a,1): 4 rows but a single user — k-anonymous at k=3,
