@@ -4540,5 +4540,37 @@ private[graft] object QueriesPipeline {
              |  abs(cnt.cnt * 1000000 // n.n - e.exp_ppm) AS dev_ppm
              |FROM cnt JOIN e ON e.digit = cnt.digit CROSS JOIN n
              |ORDER BY cnt.digit""".stripMargin)),
+
+    // rank-based AUC: does `value` separate purchases from the rest —
+    // exact Mann-Whitney with midrank ties, two-pass prefix ranks
+    Q("q189_rank_auc",
+      (s, dir) => Stats.rankAuc(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .withColumn("pos", col("event_type") === "purchase"),
+        "value", "pos"),
+      Some("""WITH t AS (SELECT
+             |    CAST(floor(value * 1000000) AS BIGINT) AS vm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS pos
+             |  FROM events
+             |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |v AS (SELECT vm, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(pos) AS BIGINT) AS pc
+             |  FROM t GROUP BY 1),
+             |c AS (SELECT vm, cnt, pc,
+             |    CAST(SUM(cnt) OVER (ORDER BY vm) AS BIGINT) AS cum
+             |  FROM v),
+             |agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             |    CAST(SUM(pc) AS BIGINT) AS n_pos,
+             |    CAST(SUM(pc * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+             |      AS r2
+             |  FROM c)
+             |SELECT n_pos, n - n_pos AS n_neg, r2,
+             |  r2 - n_pos * (n_pos + 1) AS auc_num,
+             |  2 * n_pos * (n - n_pos) AS auc_den,
+             |  ((r2 - n_pos * (n_pos + 1)) * 1000000)
+             |    // (2 * n_pos * (n - n_pos)) AS auc_ppm
+             |FROM agg""".stripMargin)),
   )
 }

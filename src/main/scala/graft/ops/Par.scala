@@ -66,4 +66,56 @@ object Par {
       .withColumn("rownum", row_number().over(w) + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** Grouped INCLUSIVE running sum of `valueCol` in `orderCols` order
+    * — the two-pass prefix-offset scan as a reusable primitive (the
+    * q157/q161 shape): range-shuffle on (group, order) with the
+    * boundary sampling frozen by localCheckpoint, per-(partition,
+    * group) partial sums to the driver (P×G longs — driver-safe by
+    * construction), prefix offsets broadcast back, bounded
+    * within-partition windows. Never a single-partition window, never
+    * a per-group sort of the whole table.
+    *
+    * `groupCols` may be empty (global prefix sum). `orderCols` must
+    * be a total order within each group — same contract as
+    * [[globalRowNumber]]. Returns the input columns plus `outCol`.
+    */
+  def prefixSum(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], valueCol: String,
+      outCol: String = "cum"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val ranged = df
+      .repartitionByRange(n, (groupCols ++ orderCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = ranged
+      .groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(sum(col(valueCol)).as("__ps"))
+      .collect()
+      .map(r => (r.getInt(0), groupCols.indices.map(i => r.get(i + 1)),
+        r.getAs[Long]("__ps")))
+    val offsets = parts.groupBy(_._2).toSeq.flatMap { case (key, rows) =>
+      rows.sortBy(_._1)
+        .scanLeft((0, 0L, 0L)) { case ((_, acc, c0), (pid, _, c)) =>
+          (pid, acc + c0, c)
+        }.drop(1).map { case (pid, off, _) => (pid, key, off) }
+    }
+    val schema = StructType(
+      StructField("__pid", IntegerType, nullable = false) +:
+        groupCols.map(c => ranged.schema(c)) :+
+        StructField("__off", LongType, nullable = false))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.map { case (pid, key, off) => Row.fromSeq(pid +: key :+ off) }),
+      schema)
+    val w = Window.partitionBy((col("__pid") +: groupCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "__pid" +: groupCols)
+      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__pid", "__off")
+  }
 }

@@ -377,6 +377,38 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Rank-based AUC (Mann-Whitney U) of a score against a binary
+    * outcome — THE threshold-free evaluation of a quality classifier
+    * or retrieval score. Exact: with per-value counts and midranks,
+    * `2·R₊ = Σ₊ (2·cumBefore + cnt + 1)` is integer (the ×2 absorbs
+    * tie midranks of .5), `AUC = (2R₊ − n₊(n₊+1)) / (2·n₊·n₋)` —
+    * emitted as numerator/denominator plus a floored ppm (the
+    * numerator is ≥ 0 by construction).
+    *
+    * Shape: the scan folds through a combinable per-value (cnt,
+    * pos) aggregate; the cumulative rank base comes from
+    * [[Par.prefixSum]] (two-pass, no single-partition window); one
+    * final combinable fold emits a single row.
+    */
+  def rankAuc(df: DataFrame, scoreCol: String,
+      posCol: String): DataFrame = {
+    val byV = df
+      .where(col(scoreCol).isNotNull && col(posCol).isNotNull)
+      .select(floor(col(scoreCol) * 1e6).cast("long").as("vm"),
+        when(col(posCol), 1L).otherwise(0L).as("pos"))
+      .groupBy("vm")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pc"))
+    val cum = Par.prefixSum(byV, Seq.empty, Seq("vm"), "cnt")
+    cum.agg(sum(col("cnt")).as("n"), sum(col("pc")).as("n_pos"),
+        sum(expr("pc * (2 * (cum - cnt) + cnt + 1)")).as("r2"))
+      .select(col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        col("r2"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
+        (lit(2L) * col("n_pos") * (col("n") - col("n_pos")))
+          .as("auc_den"))
+      .withColumn("auc_ppm", expr("(auc_num * 1000000) div auc_den"))
+  }
+
   /** Category-concentration audit per group: Herfindahl–Hirschman
     * index and Gini impurity in exact ppm — is a source dominated by
     * one language, a partition by one key? With per-category counts

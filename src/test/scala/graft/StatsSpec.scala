@@ -281,6 +281,27 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r("b") === ((1L, 3L, 250000L, 750000L, 500000L, 249999L)))
   }
 
+  test("rankAuc: perfect separation, ties, and the exact midrank math") {
+    // perfect: positives hold the two largest scores → AUC 1
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("value", "pos")
+    val p = Stats.rankAuc(perfect, "value", "pos").collect().head
+    assert(p.getAs[Long]("auc_num") === p.getAs[Long]("auc_den"))
+    assert(p.getAs[Long]("auc_ppm") === 1000000L)
+    // all-tied: every score equal → AUC exactly 1/2
+    val tied = Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false))
+      .toDF("value", "pos")
+    val t = Stats.rankAuc(tied, "value", "pos").collect().head
+    assert(t.getAs[Long]("auc_num") * 2 === t.getAs[Long]("auc_den"))
+    // hand case: pos {3}, neg {1, 3} — midrank of the tied 3s is 2.5,
+    // 2R+ = 5, U = (5 − 2)/2 = 1.5 → AUC = 1.5/2 → 750000 ppm
+    val hand = Seq((3.0, true), (1.0, false), (3.0, false))
+      .toDF("value", "pos")
+    val h = Stats.rankAuc(hand, "value", "pos").collect().head
+    assert((h.getAs[Long]("auc_num"), h.getAs[Long]("auc_den")) === ((3L, 4L)))
+    assert(h.getAs[Long]("auc_ppm") === 750000L)
+  }
+
   test("weightedMedian: weight mass, not row count, picks the center") {
     val d = Seq(
       ("a", 1L, 1L), ("a", 2L, 1L), ("a", 100L, 2L), // W=4, cum(2)=2 → 2
