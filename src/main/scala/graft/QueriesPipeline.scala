@@ -4572,5 +4572,38 @@ private[graft] object QueriesPipeline {
              |  ((r2 - n_pos * (n_pos + 1)) * 1000000)
              |    // (2 * n_pos * (n - n_pos)) AS auc_ppm
              |FROM agg""".stripMargin)),
+
+    // greedy max-coverage selection: 3 rounds of "pick the doc adding
+    // the most uncovered 3-gram shingles"; oracle unrolls the rounds
+    Q("q190_greedy_cover",
+      (s, dir) => Curation.greedyCoverage(Tables(s, dir, "documents")),
+      Some("""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE text IS NOT NULL),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+             |        FROM ws WHERE len(w) >= 3) t),
+             |g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+             |  FROM sh GROUP BY 1),
+             |p1 AS (SELECT 1 AS round, doc_id, gain FROM g1
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c1 AS (SELECT DISTINCT s FROM sh
+             |  JOIN p1 ON p1.doc_id = sh.doc_id),
+             |g2 AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+             |  FROM sh LEFT JOIN c1 ON c1.s = sh.s
+             |  WHERE c1.s IS NULL GROUP BY 1),
+             |p2 AS (SELECT 2 AS round, doc_id, gain FROM g2
+             |  ORDER BY gain DESC, doc_id LIMIT 1),
+             |c2 AS (SELECT s FROM c1 UNION
+             |  SELECT s FROM sh JOIN p2 ON p2.doc_id = sh.doc_id),
+             |g3 AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+             |  FROM sh LEFT JOIN c2 ON c2.s = sh.s
+             |  WHERE c2.s IS NULL GROUP BY 1),
+             |p3 AS (SELECT 3 AS round, doc_id, gain FROM g3
+             |  ORDER BY gain DESC, doc_id LIMIT 1)
+             |SELECT round, doc_id, gain FROM p1
+             |UNION ALL SELECT round, doc_id, gain FROM p2
+             |UNION ALL SELECT round, doc_id, gain FROM p3
+             |ORDER BY round""".stripMargin)),
   )
 }

@@ -427,6 +427,47 @@ object Curation {
       .orderBy("label", "rn")
   }
 
+  /** Greedy max-coverage corpus selection (the facility-location
+    * greedy with the classic (1−1/e) guarantee): pick `k` documents
+    * one at a time, each maximizing the count of word 3-gram
+    * shingles NOT yet covered by earlier picks (ties to the lowest
+    * doc_id) — the "which k docs best span the corpus vocabulary"
+    * subset-selection primitive behind diverse-sample curation.
+    * Fully deterministic → every round is oracle-exact (the DuckDB
+    * restatement unrolls the rounds as CTEs, q117-BPE style).
+    *
+    * Shape: k fixed rounds; each is one anti-join against the
+    * covered-shingle set (equi-key on the shingle), a combinable
+    * per-doc gain count, and a TakeOrdered(1) pick that feeds the
+    * next round via broadcast — no driver collect, no growing
+    * lineage (covered set re-materializes per round).
+    */
+  def greedyCoverage(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.where(col(textCol).isNotNull)
+      .withColumn("ws", split(col(textCol), " "))
+      .where(size(col("ws")) >= 3)
+      .select(col(idCol).as("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
+      .distinct().localCheckpoint() // probed every round
+    var covered = sh.select("s").where(lit(false)).localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val gains = sh.join(covered, Seq("s"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      val pick = gains.orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .select(lit(r).as("round"), col("doc_id"), col("gain"))
+        .localCheckpoint()
+      covered = covered
+        .union(sh.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
+          .select("s"))
+        .distinct().localCheckpoint()
+      out = if (out == null) pick else out.unionByName(pick)
+    }
+    out.orderBy("round")
+  }
+
   /** Corpus vocabulary head: the `k` most frequent terms with rank
     * and CUMULATIVE corpus-coverage ppm — the table a tokenizer
     * trainer reads first ("how many terms cover 95% of tokens").

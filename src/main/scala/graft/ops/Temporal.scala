@@ -315,32 +315,16 @@ object Temporal {
     */
   def peakConcurrency(events: DataFrame, durationUs: Long = 3600000000L,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
-    val spark = events.sparkSession
     val iv = events.where(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol).as("grp"), unix_micros(col(tsCol)).as("s"))
     val deltas = iv.select(col("grp"), col("s").as("t"), lit(1L).as("d"))
       .unionByName(iv.select(col("grp"), (col("s") + durationUs).as("t"),
         lit(-1L).as("d")))
       .groupBy("grp", "t").agg(sum(col("d")).as("net"))
-    val n = spark.sparkContext.defaultParallelism
-    val ranged = deltas.repartitionByRange(n, col("grp"), col("t"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // freeze boundary sampling across the passes
-    val parts = ranged.groupBy("__pid", "grp").agg(sum(col("net")).as("ps"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    val offsets = parts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
-      rows.sortBy(_._1)
-        .scanLeft((0, 0L, 0L)) { case ((_, acc, c0), (pid, _, c)) =>
-          (pid, acc + c0, c)
-        }.drop(1).map { case (pid, off, _) => (pid, g, off) }
-    }
-    val offDf = spark.createDataFrame(offsets).toDF("__pid", "grp", "__off")
-    // (grp, t) is unique after the net aggregation, so a rows frame is
-    // deterministic here
-    val w = Window.partitionBy("__pid", "grp").orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = ranged.join(broadcast(offDf), Seq("__pid", "grp"))
-      .withColumn("cum", sum(col("net")).over(w) + col("__off"))
+    // (grp, t) is unique after the net aggregation, so the prefix
+    // scan's rows frame is deterministic; the two-pass shape now
+    // lives in Par.prefixSum (this was its template)
+    val cum = Par.prefixSum(deltas, Seq("grp"), Seq("t"), "net")
       .localCheckpoint()
     val peaks = cum.groupBy("grp").agg(max(col("cum")).as("peak"))
     cum.join(broadcast(peaks), Seq("grp"))

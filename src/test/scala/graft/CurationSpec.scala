@@ -308,6 +308,18 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       (3L, 2L, 2L, 0L)))     // untouched
   }
 
+  test("greedyCoverage: marginal-gain picks, ties to lowest id, dry rounds vanish") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — gain 2
+      (2L, "a b c"),     // {a b c} — fully covered after pick 1
+      (3L, "x y z w"))   // {x y z, y z w} — gain 2, loses the tie to 1
+      .toDF("doc_id", "text")
+    val r = graft.ops.Curation.greedyCoverage(docs, k = 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    // round 3 has no doc with uncovered shingles left → only 2 rows
+    assert(r.toSeq === Seq((1, 1L, 2L), (2, 3L, 2L)))
+  }
+
   test("proportionalSample: largest-remainder allocation hits the budget") {
     // strata sizes 6/3/1, budget 5: bases 3/1/0 (sum 4), remainders
     // 0/5/5 — the one leftover slot goes to 'b' (tie with 'c' broken
