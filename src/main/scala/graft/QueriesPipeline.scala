@@ -4605,5 +4605,172 @@ private[graft] object QueriesPipeline {
              |UNION ALL SELECT round, doc_id, gain FROM p2
              |UNION ALL SELECT round, doc_id, gain FROM p3
              |ORDER BY round""".stripMargin)),
+
+    // CUSUM changepoints: the max(0, ·) recurrence in closed form
+    // (prefix sum minus running min); integer-exact via cross-
+    // multiplied drift, alarm at 25% of a mean day's volume
+    Q("q191_cusum_changepoint",
+      (s, dir) => Stats.cusumChangepoints(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |t AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(x) AS BIGINT) AS tot FROM daily GROUP BY 1),
+             |p AS (SELECT d.grp, d.day, d.x, t.tot,
+             |    SUM(t.cnt * d.x - t.tot) OVER (PARTITION BY d.grp
+             |      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS p
+             |  FROM daily d JOIN t ON t.grp = d.grp),
+             |s AS (SELECT grp, day, x, tot,
+             |    p - LEAST(0, MIN(p) OVER (PARTITION BY grp
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW)) AS cusum
+             |  FROM p)
+             |SELECT grp, day, x, CAST(cusum AS BIGINT) AS cusum,
+             |  cusum * 1000000 >= 250000 * tot AS alarm
+             |FROM s ORDER BY grp, day""".stripMargin)),
+
+    // chi-square independence: event type × 6h time-of-day band,
+    // dense grid with zero cells, per-cell contribution in milli
+    Q("q192_chi_square",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("ts").isNotNull)
+          .select(col("event_type").as("a"),
+            expr("(unix_micros(ts) div 3600000000) % 24 div 6").as("b"))
+        Stats.chiSquareIndependence(e, "a", "b")
+      },
+      Some("""WITH d AS (SELECT event_type AS a,
+             |    (epoch_us(ts) // 3600000000) % 24 // 6 AS b
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+             |ct AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM d GROUP BY 1, 2),
+             |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt
+             |  FROM ct GROUP BY 1),
+             |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ctot
+             |  FROM ct GROUP BY 1),
+             |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct),
+             |grid AS (SELECT ra.a, cb.b, COALESCE(ct.o, 0) AS o,
+             |    ra.rt * cb.ctot * 1000 // n.n AS e_milli
+             |  FROM ra CROSS JOIN cb CROSS JOIN n
+             |  LEFT JOIN ct ON ct.a = ra.a AND ct.b = cb.b)
+             |SELECT a, b, o, e_milli,
+             |  CASE WHEN e_milli > 0
+             |    THEN (o * 1000 - e_milli) * (o * 1000 - e_milli)
+             |      // (e_milli * 1000)
+             |    ELSE 0 END AS contrib_milli
+             |FROM grid ORDER BY a, b""".stripMargin)),
+
+    // t-closeness: per-source EMD of the length-band distribution
+    // vs the global one (ordered-attribute privacy audit)
+    Q("q193_t_closeness",
+      (s, dir) => Audit.tCloseness(
+        Tables(s, dir, "documents").withColumn("band",
+          expr("n_chars div 200")),
+        Seq("source"), "band", tPpm = 100000L),
+      Some("""WITH base AS (SELECT source, n_chars // 200 AS band
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+             |cells AS (SELECT source, band,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+             |bands AS (SELECT band, CAST(SUM(c) AS BIGINT) AS gc
+             |  FROM cells GROUP BY 1),
+             |bx AS (SELECT band, SUM(gc) OVER (ORDER BY band
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS gcum,
+             |    ROW_NUMBER() OVER (ORDER BY band) AS bidx FROM bands),
+             |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT band) AS BIGINT) AS r FROM cells),
+             |cls AS (SELECT source, CAST(SUM(c) AS BIGINT) AS gn
+             |  FROM cells GROUP BY 1),
+             |grid AS (SELECT cls.source, cls.gn, b.band, b.gcum,
+             |    b.bidx, nt.n, nt.r, COALESCE(cells.c, 0) AS c
+             |  FROM cls CROSS JOIN bx b CROSS JOIN nt
+             |  LEFT JOIN cells ON cells.source = cls.source
+             |    AND cells.band = b.band),
+             |cum AS (SELECT source, gn, bidx, r,
+             |    SUM(c) OVER (PARTITION BY source ORDER BY band
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS ccum,
+             |    gcum, n FROM grid),
+             |gaps AS (SELECT source, gn, r,
+             |    abs(ccum * 1000000 // gn - gcum * 1000000 // n)
+             |      AS gap_ppm
+             |  FROM cum WHERE bidx < r OR r = 1)
+             |SELECT source, gn,
+             |  CAST(CASE WHEN r > 1 THEN SUM(gap_ppm) // (r - 1)
+             |    ELSE 0 END AS BIGINT) AS emd_ppm,
+             |  (CASE WHEN r > 1 THEN SUM(gap_ppm) // (r - 1)
+             |    ELSE 0 END) > 100000 AS violates
+             |FROM gaps GROUP BY source, gn, r
+             |ORDER BY source""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // avg-per-part subquery decorrelated into a per-part aggregate
+    // broadcast back; the 0.2·avg comparison cross-multiplied exact
+    // (qty·5·cnt < Σqty), money in cents, /7.0 as a cents floor
+    Q("q194_tpch_q17",
+      (s, dir) => {
+        val pk = Tables(s, dir, "part")
+          .where(col("p_brand") === "Brand#1")
+          .select(col("p_partkey").as("l_partkey"))
+        val mine = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), "l_partkey")
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("price_c"))
+          .localCheckpoint() // per-part stats + the probe share it
+        val pa = mine.groupBy("l_partkey")
+          .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+        mine.join(broadcast(pa), "l_partkey")
+          .where(col("qty") * 5 * col("cq") < col("sq"))
+          .agg(expr("sum(price_c) div 7").as("avg_yearly_c"))
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part
+             |  WHERE p_brand = 'Brand#1'),
+             |mine AS (SELECT l.l_partkey,
+             |    CAST(l.l_quantity AS BIGINT) AS qty,
+             |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             |      AS price_c
+             |  FROM lineitem l JOIN pk ON pk.p_partkey = l.l_partkey),
+             |pa AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq,
+             |    CAST(COUNT(*) AS BIGINT) AS cq FROM mine GROUP BY 1)
+             |SELECT CAST(SUM(price_c) AS BIGINT) // 7 AS avg_yearly_c
+             |FROM mine JOIN pa ON pa.l_partkey = mine.l_partkey
+             |WHERE mine.qty * 5 * pa.cq < pa.sq""".stripMargin)),
+
+    // exact two-sample KS distance: en vs zh document lengths,
+    // sup ECDF gap cross-multiplied integer-exact
+    Q("q195_ks_two_sample",
+      (s, dir) => Stats.ksTwoSample(Tables(s, dir, "documents"),
+        "lang", "n_chars", "en", "zh"),
+      Some("""WITH per AS (SELECT n_chars AS v,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM documents
+             |  WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |cum AS (SELECT v,
+             |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cuma,
+             |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cumb
+             |  FROM per),
+             |t AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum),
+             |d AS (SELECT v, na, nb,
+             |    abs(cuma * nb - cumb * na) AS d
+             |  FROM cum CROSS JOIN t)
+             |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             |  CAST(d AS BIGINT) AS d_num,
+             |  CAST(d * 1000000 // (na * nb) AS BIGINT) AS ks_ppm,
+             |  v AS at_value
+             |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality audits a pipeline runs before it trusts a table:
@@ -272,5 +273,60 @@ object Audit {
       .agg(count(lit(1)).as("n_sensitive"), sum(col("__c")).as("class_size"))
       .where(col("n_sensitive") < l)
       .orderBy(qi :+ col("n_sensitive"): _*)
+  }
+
+  /** t-closeness audit for an ORDERED sensitive attribute: per
+    * quasi-id class, the earth-mover's distance between the class's
+    * band distribution and the global one — the privacy check that
+    * catches what k-anonymity and l-diversity miss (a class can be
+    * large and diverse yet still skew revealingly). For r ordered
+    * bands EMD is the mean absolute ECDF gap,
+    * `t = (Σ_{i<r} |cumClass/gn − cumGlobal/n|) / (r−1)`, computed
+    * in floor-ppm on BOTH cumulative ratios so any engine lands on
+    * the same integer. Emits every class with its `emd_ppm` and the
+    * `violates` flag (`emd_ppm > tPpm`).
+    *
+    * Shape: one (class, band) combinable count folds the scan; the
+    * band axis is DENSE per class (a broadcast cross of class totals
+    * × the global band table, observed counts left-joined) because a
+    * missing band is distribution mass at cum-gap time. Windows run
+    * per class over ≤ r band rows; the global distribution is a
+    * broadcast of r rows. Nothing scales past |classes|·r.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], bandCol: String,
+      tPpm: Long = 200000L): DataFrame = {
+    val qi = quasiIds.map(col)
+    val base = df
+      .where(quasiIds.map(col(_).isNotNull).reduce(_ && _) &&
+        col(bandCol).isNotNull)
+      .select(quasiIds.map(col) :+ col(bandCol).as("band"): _*)
+    val cells = base.groupBy(qi :+ col("band"): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // band table, class totals and grid share it
+    val wb = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bands = cells.groupBy("band").agg(sum(col("c")).as("gc"))
+      .withColumn("gcum", sum(col("gc")).over(wb))
+      .withColumn("bidx", row_number().over(Window.orderBy("band")))
+    val n = cells.agg(sum(col("c")).as("n"), countDistinct(col("band")).as("r"))
+    val classes = cells.groupBy(qi: _*).agg(sum(col("c")).as("gn"))
+    val wg = Window.partitionBy(qi: _*).orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(bands)).crossJoin(broadcast(n))
+      .join(cells, quasiIds :+ "band", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("ccum", sum(col("c")).over(wg))
+      // the r-th gap is 0 by construction; keep the single-band case
+      // (r = 1) alive so every class still emits its zero row
+      .where(col("bidx") < col("r") || col("r") === 1)
+      .withColumn("gap_ppm",
+        abs(expr("ccum * 1000000 div gn - gcum * 1000000 div n")))
+      .groupBy(qi :+ col("gn") :+ col("r"): _*)
+      .agg(sum(col("gap_ppm")).as("gap_sum"))
+      .select(qi :+ col("gn") :+
+        when(col("r") > 1, expr("gap_sum div (r - 1)"))
+          .otherwise(lit(0L)).as("emd_ppm"): _*)
+      .withColumn("violates", col("emd_ppm") > tPpm)
+      .orderBy(qi: _*)
   }
 }

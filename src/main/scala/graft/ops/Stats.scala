@@ -538,4 +538,121 @@ object Stats {
       .orderBy(abs(col("cov_num")).desc, col("dim_i"), col("dim_j"))
       .limit(topN)
   }
+
+  /** CUSUM change detection over per-group daily counts, in closed
+    * form: the textbook recurrence `S_i = max(0, S_{i-1} + (x_i − m))`
+    * is not window-expressible, but it EQUALS
+    * `P_i − min(0, min_{j≤i} P_j)` for the drift-corrected prefix
+    * `P_i = Σ_{j≤i}(x_j − m)` — a cumulative sum and a running min,
+    * both plain prefix windows. Everything stays integer-exact by
+    * cross-multiplying the group mean away: with per-group day count
+    * `cnt` and total `tot`, the corrected step is
+    * `D_i = cnt·x_i − tot` (so Σ D = 0 by construction) and the
+    * statistic is in `cnt·events` units; the alarm threshold `h` is
+    * `hPpm` millionths of one mean day's volume, i.e.
+    * `S_i·10⁶ ≥ hPpm·tot` — "cumulative excess reached X% of a
+    * typical day". Emits every (group, day) with the statistic and
+    * its alarm flag; ties and floors are engine-portable.
+    *
+    * Shape: one combinable (group, day) count folds the raw scan to
+    * |groups|·|days| rows; the two prefix windows run per group over
+    * the DAY axis, whose width is the calendar span, not the data
+    * size — a 100 TB year is 366 rows per group. Nothing else
+    * shuffles.
+    */
+  def cusumChangepoints(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts", hPpm: Long = 250000L): DataFrame = {
+    val daily = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("tot"))
+    val wp = Window.partitionBy("grp").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(totals), Seq("grp"))
+      .withColumn("p", sum(col("cnt") * col("x") - col("tot")).over(wp))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wp)))
+      .select(col("grp"), col("day"), col("x"), col("s").as("cusum"),
+        (col("s") * 1000000L >= lit(hPpm) * col("tot")).as("alarm"))
+      .orderBy("grp", "day")
+  }
+
+  /** Pearson chi-square independence audit between two categorical
+    * columns: the full DENSE contingency grid (zero cells included —
+    * an expected-but-absent combination is exactly the signal) with
+    * observed count, expected count in milli-units
+    * `e_milli = (rowTot·colTot·10³) div n`, and the per-cell
+    * statistic `contrib_milli = (o·10³ − e_milli)² div (e_milli·10³)`
+    * — floor divisions on non-negative integers, identical in any
+    * engine, summable by the reader into the chi-square total. The
+    * "is label distribution independent of source / time slice"
+    * gate a mixture pipeline runs before trusting a stratification.
+    *
+    * Shape: one combinable (a,b) count collapses the scan; margins
+    * are two folds of that tiny table, the dense grid is a
+    * broadcast cross of the two margin vectors (|A|·|B| rows) with
+    * observed cells left-joined on. Long arithmetic holds while
+    * `o·10³` stays under ~3·10⁹ — i.e. groups to ~10⁶ rows per cell
+    * at milli scale; widen to decimal past that.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val ct = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // margins + grid probe it thrice
+    val ra = ct.groupBy("a").agg(sum(col("o")).as("rt"))
+    val cb = ct.groupBy("b").agg(sum(col("o")).as("ct"))
+    val n = ct.agg(sum(col("o")).as("n"))
+    ra.crossJoin(broadcast(cb)).crossJoin(broadcast(n))
+      .join(ct, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e_milli", expr("rt * ct * 1000 div n"))
+      .withColumn("contrib_milli", expr(
+        "CASE WHEN e_milli > 0 THEN (o * 1000 - e_milli) * (o * 1000 - e_milli) div (e_milli * 1000) ELSE 0 END"))
+      .select("a", "b", "o", "e_milli", "contrib_milli")
+      .orderBy("a", "b")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of two groups — "did this source's length/score
+    * distribution drift from that one's" with no binning error. The
+    * sup-gap is computed integer-exactly by cross-multiplying the
+    * ECDFs: at each distinct value, `d = |cumA·nB − cumB·nA|`; the
+    * statistic is `max d` (reported with `ks_ppm = d·10⁶ div
+    * (nA·nB)`) and `at_value` is the smallest value attaining it.
+    *
+    * Shape: one combinable (value → per-side count) aggregate folds
+    * the scan to the DISTINCT-VALUE axis; the prefix window and the
+    * argmax run over that axis only. For integer-ish metrics
+    * (lengths, counts, micro-quantized scores) the axis is bounded
+    * by the value range, not the row count — quantize continuous
+    * values upstream. nA·nB bounds long exactness at ~3·10⁹ rows
+    * per side.
+    */
+  def ksTwoSample(df: DataFrame, groupCol: String, valCol: String,
+      sideA: String, sideB: String): DataFrame = {
+    val per = df
+      .where(col(groupCol).isin(sideA, sideB) && col(valCol).isNotNull)
+      .groupBy(col(valCol).as("v"))
+      .agg(
+        sum(when(col(groupCol) === sideA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === sideB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .localCheckpoint() // totals + argmax probe it
+    val tot = cum.agg(max(col("cuma")).as("na"), max(col("cumb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("d", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("na"), col("nb"), col("d").as("d_num"),
+        expr("d * 1000000 div (na * nb)").as("ks_ppm"),
+        col("v").as("at_value"))
+  }
 }

@@ -114,4 +114,24 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(r.toSeq === Seq(("a", 1L, 1L, 4L), ("c", 2L, 2L, 2L)))
   }
+
+  test("tCloseness: EMD gaps against the global band distribution") {
+    // global band0=3 band1=3 (cum ppm 500000 at band0, r=2):
+    // u all-band0 → gap 500000; w all-band1 → 500000; v matches the
+    // global split exactly → 0
+    val d = Seq(("u", 0L), ("u", 0L), ("w", 1L), ("w", 1L),
+      ("v", 0L), ("v", 1L)).toDF("source", "band")
+    val r = Audit.tCloseness(d, Seq("source"), "band", tPpm = 200000L)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq === Seq(("u", 2L, 500000L, true),
+      ("v", 2L, 0L, false), ("w", 2L, 500000L, true)))
+  }
+
+  test("tCloseness: single global band still emits zero-EMD rows") {
+    val d = Seq(("u", 0L), ("u", 0L), ("v", 0L)).toDF("source", "band")
+    val r = Audit.tCloseness(d, Seq("source"), "band").collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getBoolean(3)))
+    assert(r.toSeq === Seq(("u", 0L, false), ("v", 0L, false)))
+  }
 }

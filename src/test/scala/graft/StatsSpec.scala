@@ -367,4 +367,43 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     }).sortBy(t => (-math.abs(t._7), t._1, t._2)).take(10)
     assert(got.toSeq === want)
   }
+
+  test("cusumChangepoints: closed form equals the max(0,·) recurrence") {
+    // one group, daily counts 10,10,10,10,22,22: cnt=6 tot=84,
+    // D = 6x-84 = -24×4, +48×2; P = -24,-48,-72,-96,-48,0;
+    // S = P - min(0, runmin P) = 0,0,0,0,48,96; h = 25% of a mean
+    // day = 21 (in cnt·events units 84·0.25) → alarms on days 4,5
+    val rows = Seq(0 -> 10, 1 -> 10, 2 -> 10, 3 -> 10, 4 -> 22, 5 -> 22)
+      .flatMap { case (d, c) => Seq.fill(c)(("g", d.toLong)) }
+    val df = rows.toDF("event_type", "d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+    val r = Stats.cusumChangepoints(df).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq === Seq(
+      (0L, 10L, 0L, false), (1L, 10L, 0L, false), (2L, 10L, 0L, false),
+      (3L, 10L, 0L, false), (4L, 22L, 48L, true), (5L, 22L, 96L, true)))
+  }
+
+  test("chiSquareIndependence: dense grid with hand-computed cells") {
+    // 3×2 grid incl. a zero cell (r,1); n=100
+    val d = (Seq.fill(30)(("p", 0L)) ++ Seq.fill(10)(("p", 1L)) ++
+      Seq.fill(10)(("q", 0L)) ++ Seq.fill(30)(("q", 1L)) ++
+      Seq.fill(20)(("r", 0L))).toDF("a", "b")
+    val r = Stats.chiSquareIndependence(d, "a", "b").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq === Seq(
+      ("p", 0L, 30L, 24000L, 1L), ("p", 1L, 10L, 16000L, 2L),
+      ("q", 0L, 10L, 24000L, 8L), ("q", 1L, 30L, 16000L, 12L),
+      ("r", 0L, 20L, 12000L, 5L), ("r", 1L, 0L, 8000L, 8L)))
+  }
+
+  test("ksTwoSample: sup gap, cross-multiplied, smallest argmax value") {
+    val d = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _)))
+      .toDF("side", "v")
+    val r = Stats.ksTwoSample(d, "side", "v", "A", "B").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4))).toSeq ===
+      Seq((3L, 2L, 4L, 666666L, 2L)))
+  }
 }
