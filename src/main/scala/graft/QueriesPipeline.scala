@@ -4772,5 +4772,49 @@ private[graft] object QueriesPipeline {
              |  CAST(d * 1000000 // (na * nb) AS BIGINT) AS ks_ppm,
              |  v AS at_value
              |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin)),
+
+    // decision stump: best Gini split of `value` against the
+    // is-error label — the weak learner as a relational program
+    Q("q196_decision_stump",
+      (s, dir) => Stats.decisionStump(
+        Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .withColumn("is_err", (col("event_type") === "error").cast("int")),
+        "value", "is_err"),
+      Some("""WITH base AS (SELECT
+             |    CAST(floor(value) AS BIGINT) AS t,
+             |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |per AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c,
+             |    CAST(SUM(y) AS BIGINT) AS p FROM base GROUP BY 1),
+             |cum AS (SELECT t,
+             |    SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS n_l,
+             |    SUM(p) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS pos_l
+             |  FROM per),
+             |tot AS (SELECT MAX(n_l) AS n, MAX(pos_l) AS pos FROM cum),
+             |cand AS (SELECT t, n_l, pos_l, n - n_l AS n_r,
+             |    pos - pos_l AS pos_r, n
+             |  FROM cum CROSS JOIN tot WHERE n_l < n)
+             |SELECT t AS threshold, CAST(n_l AS BIGINT) AS n_l,
+             |  CAST(pos_l AS BIGINT) AS pos_l,
+             |  CAST(n_r AS BIGINT) AS n_r,
+             |  CAST(pos_r AS BIGINT) AS pos_r,
+             |  CAST((n_l * n_l - pos_l * pos_l -
+             |        (n_l - pos_l) * (n_l - pos_l)) * 1000000
+             |      // (n_l * n) +
+             |      (n_r * n_r - pos_r * pos_r -
+             |        (n_r - pos_r) * (n_r - pos_r)) * 1000000
+             |      // (n_r * n) AS BIGINT) AS gini_ppm
+             |FROM cand
+             |ORDER BY (n_l * n_l - pos_l * pos_l -
+             |        (n_l - pos_l) * (n_l - pos_l)) * 1000000
+             |      // (n_l * n) +
+             |      (n_r * n_r - pos_r * pos_r -
+             |        (n_r - pos_r) * (n_r - pos_r)) * 1000000
+             |      // (n_r * n), t
+             |LIMIT 1""".stripMargin)),
   )
 }

@@ -655,4 +655,53 @@ object Stats {
         expr("d * 1000000 div (na * nb)").as("ks_ppm"),
         col("v").as("at_value"))
   }
+
+  /** Train a decision stump in-engine: the split threshold of a
+    * numeric feature minimizing weighted Gini impurity against a
+    * binary label — the weak learner under boosting, and the
+    * single-feature baseline every model comparison starts from.
+    * Candidate thresholds are `bucketWidth`-wide value buckets
+    * ("x ≤ t" sends a row left); the weighted impurity
+    * `Σ_side (n_s² − pos_s² − neg_s²)·10⁶ div (n_s·n)` is a sum of
+    * two floor-ppm terms, engine-portable, minimized with ties to
+    * the smallest threshold. Returns the ONE winning row with its
+    * side counts.
+    *
+    * Shape: one combinable (bucket → count, positives) aggregate
+    * folds the scan to the bucket axis; a prefix window over that
+    * bounded axis yields every candidate's left-side counts in one
+    * pass (right side = broadcast totals minus left). Long-exact
+    * while `n_l²·10⁶` fits — ~3·10⁶ rows; decimal past that.
+    * `bucketWidth > 1` assumes non-negative bucket ids (Spark `div`
+    * truncates toward zero, floor-division engines floor — they
+    * only agree above zero).
+    */
+  def decisionStump(df: DataFrame, featureCol: String, labelCol: String,
+      bucketWidth: Long = 1L): DataFrame = {
+    val base = df
+      .where(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        expr(s"CAST(floor($featureCol) AS BIGINT) div $bucketWidth").as("t"),
+        col(labelCol).cast("long").as("y"))
+    val per = base.groupBy("t")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("n_l", sum(col("c")).over(w))
+      .withColumn("pos_l", sum(col("p")).over(w))
+      .localCheckpoint() // totals + candidate scan share it
+    val tot = cum.agg(max(col("n_l")).as("n"), max(col("pos_l")).as("pos"))
+    cum.crossJoin(broadcast(tot))
+      .where(col("n_l") < col("n")) // the last bucket has no right side
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("pos_r", col("pos") - col("pos_l"))
+      .withColumn("gini_ppm", expr(
+        "(n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l)) * 1000000 div (n_l * n) + " +
+        "(n_r * n_r - pos_r * pos_r - (n_r - pos_r) * (n_r - pos_r)) * 1000000 div (n_r * n)"))
+      .orderBy(col("gini_ppm"), col("t"))
+      .limit(1)
+      .select(col("t").as("threshold"), col("n_l"), col("pos_l"),
+        col("n_r"), col("pos_r"), col("gini_ppm"))
+  }
 }

@@ -398,6 +398,23 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       ("r", 0L, 20L, 12000L, 5L), ("r", 1L, 0L, 8000L, 8L)))
   }
 
+  test("decisionStump: finds the perfect split, ties to smallest threshold") {
+    val d = Seq((1.2, 1), (1.7, 1), (2.1, 0), (2.9, 0))
+      .toDF("value", "y")
+    val r = Stats.decisionStump(d, "value", "y").collect()
+    // split at t=1: left (2 rows, 2 pos) pure, right (2 rows, 0 pos)
+    // pure → weighted gini 0
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4), x.getLong(5))).toSeq ===
+      Seq((1L, 2L, 2L, 2L, 0L, 0L)))
+  }
+
+  test("decisionStump: uniform labels tie at zero, smallest threshold wins") {
+    val d = Seq((1.0, 1), (2.0, 1), (3.0, 1)).toDF("value", "y")
+    val r = Stats.decisionStump(d, "value", "y").collect()
+    assert(r.head.getLong(0) === 1L && r.head.getLong(5) === 0L)
+  }
+
   test("ksTwoSample: sup gap, cross-multiplied, smallest argmax value") {
     val d = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _)))
       .toDF("side", "v")
