@@ -4816,5 +4816,56 @@ private[graft] object QueriesPipeline {
              |        (n_r - pos_r) * (n_r - pos_r)) * 1000000
              |      // (n_r * n), t
              |LIMIT 1""".stripMargin)),
+
+    // Naive Bayes training as a count fold: Laplace-smoothed
+    // (lang, token) likelihood head, top-20 tokens per class
+    Q("q197_naive_bayes",
+      (s, dir) => TextAnalysis.naiveBayesCounts(
+        Tables(s, dir, "documents")),
+      Some("""WITH tok AS (SELECT lang AS cls,
+             |    unnest(string_split(text, ' ')) AS tok
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+             |tk AS (SELECT cls, tok FROM tok WHERE len(tok) > 0),
+             |ct AS (SELECT cls, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM tk GROUP BY 1, 2),
+             |tot AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS ct_total
+             |  FROM ct GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+             |  FROM ct),
+             |rk AS (SELECT ct.cls, ct.tok, ct.cnt,
+             |    (ct.cnt + 1) * 1000000 // (tot.ct_total + v.v)
+             |      AS lik_ppm,
+             |    ROW_NUMBER() OVER (PARTITION BY ct.cls
+             |      ORDER BY ct.cnt DESC, ct.tok) AS rn
+             |  FROM ct JOIN tot ON tot.cls = ct.cls CROSS JOIN v)
+             |SELECT cls, CAST(rn AS INT) AS rn, tok, cnt,
+             |  CAST(lik_ppm AS BIGINT) AS lik_ppm
+             |FROM rk WHERE rn <= 20 ORDER BY cls, rn""".stripMargin)),
+
+    // quantile normalization: per-source length quantiles mapped
+    // onto the global order statistics (rank arithmetic only)
+    Q("q198_quantile_normalize",
+      (s, dir) => Stats.quantileNormalize(
+        Tables(s, dir, "documents"), "source", "n_chars", "doc_id"),
+      Some("""WITH base AS (SELECT doc_id AS id, source AS grp,
+             |    n_chars AS v
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             |    AND doc_id IS NOT NULL),
+             |rk AS (SELECT id, grp, v,
+             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id)
+             |      AS r
+             |  FROM base),
+             |gn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS gn
+             |  FROM base GROUP BY 1),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+             |ax AS (SELECT v AS norm_v,
+             |    ROW_NUMBER() OVER (ORDER BY v, id) AS k FROM base)
+             |SELECT rk.id AS id, rk.grp AS grp, rk.v AS v,
+             |  ax.norm_v AS norm_v
+             |FROM rk JOIN gn ON gn.grp = rk.grp CROSS JOIN t
+             |JOIN ax ON ax.k = rk.r * t.n // gn.gn
+             |ORDER BY id""".stripMargin)),
   )
 }

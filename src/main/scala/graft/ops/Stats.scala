@@ -704,4 +704,41 @@ object Stats {
       .select(col("t").as("threshold"), col("n_l"), col("pos_l"),
         col("n_r"), col("pos_r"), col("gini_ppm"))
   }
+
+  /** Group-wise quantile normalization: replace each value by the
+    * GLOBAL value at its within-group quantile position — the
+    * batch-effect correction that makes per-source quality scores
+    * comparable before a global percentile gate (source A's "top
+    * 10%" and source B's "top 10%" map to the same scale). With
+    * within-group rank `r` of `gn`, the normalized value is the
+    * global order statistic at index `(r·n) div gn` under the total
+    * order (value, id) — rank arithmetic only, no interpolation, so
+    * any engine lands on the same row.
+    *
+    * Shape: within-group ranks are per-group windows (parallel
+    * across groups; skewed giant groups pay their own width);
+    * the global axis is [[Par.globalRowNumber]] — two-pass prefix
+    * offsets, never a single-partition window; the final lookup is
+    * one equi-join on the computed index. Group sizes broadcast.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    val base = df
+      .where(col(groupCol).isNotNull && col(valCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        col(valCol).as("v"))
+      .localCheckpoint() // ranks, sizes and the global axis share it
+    val wg = Window.partitionBy("grp").orderBy("v", "id")
+    val ranked = base.withColumn("r", row_number().over(wg))
+    val gn = base.groupBy("grp").agg(count(lit(1)).as("gn"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val axis = Par.globalRowNumber(base.select("v", "id"), Seq("v", "id"))
+      .select(col("rownum").as("k"), col("v").as("norm_v"))
+    ranked.join(broadcast(gn), "grp").crossJoin(broadcast(tot))
+      .withColumn("k", expr("r * n div gn"))
+      .join(axis, "k")
+      .select(col("id"), col("grp"), col("v"), col("norm_v"))
+      .orderBy("id")
+  }
 }

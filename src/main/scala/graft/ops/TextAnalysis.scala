@@ -385,4 +385,40 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Train a multinomial Naive Bayes text model IN the engine: the
+    * "model" is the (class, token) count table with Laplace-smoothed
+    * likelihoods `(cnt+1)·10⁶ div (classTokens + |V|)` in floor-ppm
+    * — counts and one division, nothing a SQL engine can't restate,
+    * so training is oracle-exact end to end. Emits the top `k`
+    * tokens per class (count-desc, token tie-break) — the model head
+    * a scorer would broadcast.
+    *
+    * Shape: one combinable (class, token) count folds the corpus;
+    * class totals and |V| are folds of that table; the per-class
+    * top-k is the row_number ≤ k window that [[graft.plans.WindowTopKRewrite]]
+    * turns into the bounded-heap aggregate — no per-class sort of
+    * the vocabulary at scale.
+    */
+  def naiveBayesCounts(docs: DataFrame, classCol: String = "lang",
+      textCol: String = "text", k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .where(col(classCol).isNotNull && col(textCol).isNotNull)
+      .select(col(classCol).as("cls"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val ct = tok.groupBy("cls", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // totals, vocab and the head share it
+    val clsTot = ct.groupBy("cls").agg(sum(col("cnt")).as("ct_total"))
+    val vocab = ct.agg(countDistinct(col("tok")).as("v"))
+    ct.join(broadcast(clsTot), "cls").crossJoin(broadcast(vocab))
+      .withColumn("lik_ppm",
+        expr("(cnt + 1) * 1000000 div (ct_total + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cls").orderBy(col("cnt").desc, col("tok"))))
+      .where(col("rn") <= k)
+      .select("cls", "rn", "tok", "cnt", "lik_ppm")
+      .orderBy("cls", "rn")
+  }
 }

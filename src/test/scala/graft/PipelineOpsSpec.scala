@@ -714,4 +714,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(segs2.toSeq === Seq((8L, 0L, 1L, 2L)))
   }
+
+  test("naiveBayesCounts: Laplace-smoothed likelihood head, hand-checked") {
+    // en: a=3 b=1 c=1 (5 tokens), fr: x=1 y=1 (2 tokens), |V|=5
+    val d = Seq(("en", "a b a"), ("en", "a c"), ("fr", "x y"))
+      .toDF("lang", "text")
+    val r = TextAnalysis.naiveBayesCounts(d).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq === Seq(
+      ("en", 1, "a", 3L, 400000L), ("en", 2, "b", 1L, 200000L),
+      ("en", 3, "c", 1L, 200000L),
+      ("fr", 1, "x", 1L, 285714L), ("fr", 2, "y", 1L, 285714L)))
+  }
 }

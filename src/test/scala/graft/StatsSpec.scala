@@ -415,6 +415,18 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.head.getLong(0) === 1L && r.head.getLong(5) === 0L)
   }
 
+  test("quantileNormalize maps group ranks onto global order statistics") {
+    val d = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L),
+      (4L, "g2", 40L), (5L, "g2", 50L), (6L, "g2", 60L))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Stats.quantileNormalize(d, "source", "n_chars", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(3)))
+    // n=6; g1 (gn=2): ranks 1,2 → global idx 3,6 → 30,60;
+    // g2 (gn=4): ranks 1..4 → idx 1,3,4,6 → 10,30,40,60
+    assert(r.toSeq === Seq((1L, 30L), (2L, 60L), (3L, 10L),
+      (4L, 30L), (5L, 40L), (6L, 60L)))
+  }
+
   test("ksTwoSample: sup gap, cross-multiplied, smallest argmax value") {
     val d = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _)))
       .toDF("side", "v")
