@@ -34,7 +34,10 @@ object Explain {
       "q159_ivfpq_topk", "q161_interval_coverage", "q162_multiprobe_lsh",
       "q170_khop_bfs", "q171_pareto_skyline", "q174_gram_top_pairs",
       "q175_sorted_neighborhood", "q180_association_rules",
-      "q182_shortest_path", "q184_funnel_k")
+      "q182_shortest_path", "q184_funnel_k", "q190_greedy_cover",
+      "q191_cusum_changepoint", "q192_chi_square", "q194_tpch_q17",
+      "q196_decision_stump", "q197_naive_bayes",
+      "q198_quantile_normalize")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
