@@ -171,6 +171,31 @@ private[graft] object QueriesPipeline {
       |GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q3 shape (shipping-priority top-10): the segment filter
+    * prunes customer BEFORE either join, both dims broadcast into the
+    * lineitem scan, and the top-10 is a TakeOrdered over the grouped
+    * revenue — totally ordered by (revenue desc, date, key) so LIMIT
+    * is deterministic. `o_orderpriority` stands in for the reference
+    * schema's `o_shippriority` (not in the synthetic table). Decimal
+    * factor-by-factor cast as in Q5 (half-even parity with DuckDB).
+    */
+  private val TpchQ3Sql =
+    """SELECT l.l_orderkey AS l_orderkey,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+      |    AS DECIMAL(28,4)) AS revenue,
+      |  o.o_orderdate AS o_orderdate,
+      |  o.o_orderpriority AS o_orderpriority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      |  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** DuckDB CTE chain `s0`…`s<rounds>` + `p_r`/`m_r`: the full BPE
     * merge replay of `Curation.bpeMerges` — normalization, corpus
     * pair counts, deterministic argmax, and the leftmost
@@ -4867,5 +4892,44 @@ private[graft] object QueriesPipeline {
              |FROM rk JOIN gn ON gn.grp = rk.grp CROSS JOIN t
              |JOIN ax ON ax.k = rk.r * t.n // gn.gn
              |ORDER BY id""".stripMargin)),
+
+    // TPC-H Q6 shape (forecasting revenue change): pure scan-side
+    // query — the date range and quantity predicates push into the
+    // parquet scan (PushedFilters), the discount band filters the
+    // two integer factors, and the whole query is one combinable
+    // sum with NO join and NO wide shuffle. Revenue kept exact as
+    // cents×pct (price_c · disc_pct), never a float product.
+    Q("q199_tpch_q6",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_quantity") < 24)
+        .select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("price_c"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)")
+            .as("disc_pct"))
+        .where(col("disc_pct").between(5, 7))
+        .agg(coalesce(sum(col("price_c") * col("disc_pct")), lit(0L))
+          .as("revenue_c_pct")),
+      Some("""SELECT COALESCE(CAST(SUM(
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |    CAST(round(l_discount * 100) AS BIGINT))
+             |  AS BIGINT), 0) AS revenue_c_pct
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_quantity < 24
+             |  AND CAST(round(l_discount * 100) AS BIGINT)
+             |    BETWEEN 5 AND 7""".stripMargin)),
+
+    // TPC-H Q3 (same-text oracle like Q5/Q7/Q22): see TpchQ3Sql
+    Q("q200_tpch_q3",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ3Sql)
+      },
+      Some(TpchQ3Sql)),
   )
 }
