@@ -4931,5 +4931,61 @@ private[graft] object QueriesPipeline {
         s.sql(TpchQ3Sql)
       },
       Some(TpchQ3Sql)),
+
+    // Day-of-week seasonal baseline: per-(type,dow) exact lower
+    // median of daily counts, days flagged vs 1.5×/0.5× bands —
+    // the seasonal lens q158/q191 miss. Calendar-axis windows only.
+    Q("q201_seasonal_baseline",
+      (s, dir) => Stats.seasonalBaseline(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |d2 AS (SELECT grp, day, cnt, day % 7 AS dow FROM daily),
+             |rk AS (SELECT grp, dow, day, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY grp, dow
+             |      ORDER BY cnt, day) AS rn,
+             |    COUNT(*) OVER (PARTITION BY grp, dow) AS n
+             |  FROM d2),
+             |med AS (SELECT grp, dow, cnt AS med FROM rk
+             |  WHERE rn = (n + 1) // 2)
+             |SELECT d2.grp AS grp, d2.day AS day, d2.dow AS dow,
+             |  d2.cnt AS cnt, med.med AS med,
+             |  d2.cnt * 2 > med.med * 3 AS high,
+             |  d2.cnt * 2 < med.med AS low
+             |FROM d2 JOIN med ON med.grp = d2.grp AND med.dow = d2.dow
+             |ORDER BY grp, day""".stripMargin)),
+
+    // Vocabulary coverage curve: types (most-frequent-first) needed
+    // to cover 50/90/99% of corpus token mass — cumulative mass over
+    // the ranked vocab axis via the Par.prefixSum two-pass scan, the
+    // covering rank recovered as 1 + count(short types) (no global
+    // row_number), totals and targets broadcast.
+    Q("q202_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(Tables(s, dir, "documents")),
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM tk WHERE tok <> '' GROUP BY 1),
+             |cum AS (SELECT tok, cnt,
+             |    SUM(cnt) OVER (ORDER BY cnt DESC, tok
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum
+             |  FROM c),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             |    CAST(COUNT(*) AS BIGINT) AS vocab_size FROM c),
+             |p AS (SELECT unnest([50, 90, 99]) AS pct)
+             |SELECT p.pct AS pct,
+             |  CAST(SUM(CASE WHEN cum.cum * 100 < p.pct * t.total_tokens
+             |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS types_needed,
+             |  CAST(MIN(CASE WHEN cum.cum * 100 >= p.pct * t.total_tokens
+             |    THEN cum.cum END) AS BIGINT) AS covered_tokens,
+             |  t.total_tokens AS total_tokens,
+             |  t.vocab_size AS vocab_size
+             |FROM cum CROSS JOIN t CROSS JOIN p
+             |GROUP BY p.pct, t.total_tokens, t.vocab_size
+             |ORDER BY pct""".stripMargin)),
   )
 }

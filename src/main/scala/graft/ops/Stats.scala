@@ -741,4 +741,40 @@ object Stats {
       .select(col("id"), col("grp"), col("v"), col("norm_v"))
       .orderBy("id")
   }
+
+  /** Seasonal (day-of-week) traffic baseline: each (group, day)'s
+    * count against the exact lower median of its group's SAME-weekday
+    * counts, flagging days above 1.5× or below 0.5× the baseline —
+    * the seasonal lens the trailing-window spike monitor (q158) and
+    * CUSUM (q191) both miss (a quiet Sunday is not an incident; a
+    * Sunday with Monday traffic is).
+    *
+    * Scale shape: the raw scan folds ONCE to the bounded
+    * (group × calendar-day) axis via a combinable count; the median
+    * rank window partitions by (group, weekday) over ≤ |days|/7 rows
+    * per partition — never over raw events; the baseline table is
+    * |groups|×7 rows and broadcasts back onto the axis. Thresholds
+    * are cross-multiplied integers (cnt·2 vs med·3), no division.
+    */
+  def seasonalBaseline(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint() // median derivation + final probe share it
+    val byDow = Window.partitionBy("grp", "dow")
+    val med = daily
+      .withColumn("rn", row_number().over(byDow.orderBy("cnt", "day")))
+      .withColumn("n", count(lit(1)).over(byDow))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("grp"), col("dow"), col("cnt").as("med"))
+    daily.join(broadcast(med), Seq("grp", "dow"))
+      .select(col("grp"), col("day"), col("dow"), col("cnt"), col("med"),
+        (col("cnt") * 2 > col("med") * 3).as("high"),
+        (col("cnt") * 2 < col("med")).as("low"))
+      .orderBy("grp", "day")
+  }
 }

@@ -421,4 +421,44 @@ object TextAnalysis {
       .select("cls", "rn", "tok", "cnt", "lik_ppm")
       .orderBy("cls", "rn")
   }
+
+  /** Vocabulary coverage curve (the Zipf audit a tokenizer budget is
+    * sized from): for each target percentage, how many distinct
+    * types — taken most-frequent-first — cover that share of the
+    * corpus token mass. Shapes for scale: ONE (token) count fold with
+    * map-side combine, the cumulative mass over the frequency-ranked
+    * vocab axis via [[Par.prefixSum]]'s two-pass scan (never a
+    * single-partition window over millions of types), targets and the
+    * corpus total broadcast, and a 3-row final aggregate. The rank of
+    * the covering type is recovered WITHOUT a row_number: it is
+    * 1 + count(types whose cumulative mass falls short), so no second
+    * global scan is needed.
+    */
+  def vocabCoverage(docs: DataFrame, targetsPct: Seq[Int] = Seq(50, 90, 99),
+      textCol: String = "text"): DataFrame = {
+    require(targetsPct.nonEmpty && targetsPct.forall(p => p >= 1 && p <= 100),
+      s"targets must be percentages in [1,100], got $targetsPct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("neg", -col("cnt"))
+    val cum = Par.prefixSum(counts, Seq.empty, Seq("neg", "tok"),
+      "cnt", "cum")
+    val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val targets = targetsPct.sorted.toDF("pct")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(targets))
+      .groupBy("pct", "total_tokens", "vocab_size")
+      .agg(
+        (sum(when(col("cum") * 100 < col("pct") * col("total_tokens"),
+          1L).otherwise(0L)) + 1L).as("types_needed"),
+        min(when(col("cum") * 100 >= col("pct") * col("total_tokens"),
+          col("cum"))).as("covered_tokens"))
+      .select("pct", "types_needed", "covered_tokens", "total_tokens",
+        "vocab_size")
+      .orderBy("pct")
+  }
 }

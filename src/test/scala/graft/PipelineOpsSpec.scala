@@ -727,4 +727,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       ("en", 3, "c", 1L, 200000L),
       ("fr", 1, "x", 1L, 285714L), ("fr", 2, "y", 1L, 285714L)))
   }
+
+  test("vocabCoverage: covering ranks over the frequency-sorted axis") {
+    // counts a=4 b=2 c=1 d=1, total 8, cum 4,6,7,8:
+    // 50% of 8 = cum 4 → 1 type; 90%/99% need the full tail (cum 8)
+    val d = Seq((0L, "a a a a b b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(d).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq === Seq(
+      (50, 1L, 4L, 8L, 4L), (90, 4L, 8L, 8L, 4L), (99, 4L, 8L, 8L, 4L)))
+  }
+
+  test("vocabCoverage: frequency ties break by token text") {
+    // x=2 y=2 z=1, total 5; 50% → 2.5: cum(x)=2 short, cum(y)=4
+    // covers → 2 types; 99% → 4.95: needs z → 3 types
+    val d = Seq((0L, "x x y y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(d, targetsPct = Seq(50, 99)).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((50, 2L, 4L), (99, 3L, 5L)))
+  }
 }

@@ -435,4 +435,42 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       x.getLong(3), x.getLong(4))).toSeq ===
       Seq((3L, 2L, 4L, 666666L, 2L)))
   }
+
+  test("seasonalBaseline: same-weekday median, 1.5x/0.5x flags") {
+    // group "a", two weeks of days 0..13; weekday 0 (days 0 and 7)
+    // has counts 10 and 40 — lower median 10, so day 7 is high
+    // (40*2 > 10*3) and day 0 is neither; weekday 1 (days 1 and 8)
+    // has 10 and 4 — median 4, day 1 high (20 > 12), day 8 not low
+    val counts = Map(0L -> 10, 7L -> 40, 1L -> 10, 8L -> 4)
+    val rows = for {
+      (day, k) <- counts.toSeq
+      i <- 1 to k
+    } yield ("a", day * 86400L + i)
+    val d = rows.toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val r = Stats.seasonalBaseline(d).collect()
+      .map(x => (x.getAs[Long]("day"),
+        x.getAs[Long]("med"), x.getAs[Boolean]("high"),
+        x.getAs[Boolean]("low"))).toSeq
+    assert(r === Seq((0L, 10L, false, false), (1L, 4L, true, false),
+      (7L, 10L, true, false), (8L, 4L, false, false)))
+  }
+
+  test("seasonalBaseline: odd week count takes the exact lower median") {
+    // weekday 0 across three weeks: counts 1, 9, 5 → sorted 1,5,9,
+    // rank (3+1) div 2 = 2 → median 5; 9*2 > 5*3 high, 1*2 < 5 low
+    val counts = Map(0L -> 1, 7L -> 9, 14L -> 5)
+    val rows = for {
+      (day, k) <- counts.toSeq
+      i <- 1 to k
+    } yield ("g", day * 86400L + i)
+    val d = rows.toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val r = Stats.seasonalBaseline(d).collect()
+      .map(x => (x.getAs[Long]("day"), x.getAs[Long]("med"),
+        x.getAs[Boolean]("high"), x.getAs[Boolean]("low"))).toSeq
+    assert(r === Seq((0L, 5L, false, true), (7L, 5L, true, false),
+      (14L, 5L, false, false)))
+    assert(r.map(_._1) === Seq(0L, 7L, 14L))
+  }
 }
