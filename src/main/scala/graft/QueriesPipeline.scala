@@ -4987,5 +4987,64 @@ private[graft] object QueriesPipeline {
              |FROM cum CROSS JOIN t CROSS JOIN p
              |GROUP BY p.pct, t.total_tokens, t.vocab_size
              |ORDER BY pct""".stripMargin)),
+
+    // Inverted index with bounded postings head: df/tf per token plus
+    // the first 10 posting doc_ids through the WindowTopKRewrite
+    // bounded heap — hot tokens cost O(k) map-side state, not O(df).
+    Q("q203_inverted_index",
+      (s, dir) => TextAnalysis.invertedIndex(Tables(s, dir, "documents")),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |post AS (SELECT tok, doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+             |stats AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             |    CAST(SUM(tf) AS BIGINT) AS tf_total
+             |  FROM post GROUP BY 1),
+             |hk AS (SELECT tok, doc_id, ROW_NUMBER() OVER
+             |    (PARTITION BY tok ORDER BY doc_id) AS rn
+             |  FROM post),
+             |pl AS (SELECT tok, list_sort(list(doc_id)) AS postings
+             |  FROM hk WHERE rn <= 10 GROUP BY 1)
+             |SELECT s.tok AS tok, s.df AS df, s.tf_total AS tf_total,
+             |  pl.postings AS postings
+             |FROM stats s JOIN pl ON pl.tok = s.tok
+             |ORDER BY tok""".stripMargin)),
+
+    // Deterministic 2-round majority-vote label propagation over the
+    // co-purchase graph — community detection on top of the q112/q155
+    // edge derivation; ties to the smallest label, sizes folded last.
+    Q("q204_label_propagation",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        // both orientations on purpose: a row (u,v) = "u hears v"
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.ops.Graph.labelPropagation(e)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o,
+             |    l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+             |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+             |v1 AS (SELECT e.u, l.label, COUNT(*) AS cnt
+             |  FROM e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+             |r1 AS (SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+             |    ORDER BY cnt DESC, label) AS rn FROM v1),
+             |l1 AS (SELECT u AS node, label FROM r1 WHERE rn = 1),
+             |v2 AS (SELECT e.u, l.label, COUNT(*) AS cnt
+             |  FROM e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+             |r2 AS (SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+             |    ORDER BY cnt DESC, label) AS rn FROM v2),
+             |l2 AS (SELECT u AS node, label FROM r2 WHERE rn = 1),
+             |cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+             |  FROM l2 GROUP BY 1)
+             |SELECT l2.node AS node, l2.label AS label, cs.csize AS csize
+             |FROM l2 JOIN cs ON cs.label = l2.label
+             |ORDER BY node""".stripMargin)),
   )
 }

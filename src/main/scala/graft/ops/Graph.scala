@@ -261,4 +261,48 @@ object Graph {
     }
     r.orderBy(col("rank").desc, col("node"))
   }
+
+  /** Synchronous majority-vote label propagation (community
+    * detection): every node starts labelled with itself; each round
+    * it adopts the most frequent label among its neighbours, ties
+    * broken to the SMALLEST label — fully deterministic, unlike the
+    * textbook randomised LPA. A fixed round count (the usual 2-5
+    * converges on power-law graphs) keeps the plan finite.
+    * [[DocDedup.clusters]]' min-label propagation finds connected
+    * components; the majority vote finds dense communities WITHIN one.
+    *
+    * Contract: `edges` carries each undirected edge in BOTH
+    * orientations (u,v)+(v,u) — a row (u,v) means "u hears v's label".
+    *
+    * Scale shape: per round ONE join of the (pre-partitioned,
+    * materialized) edge set against the node-sized label table and
+    * one combinable (node,label) vote count; the argmax is
+    * `max(struct(cnt, -label))` — no window, no per-node sort.
+    * Community sizes fold over the final node-sized table only.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    // shuffle the edge set once by the vote-listener key; every
+    // round's join + vote fold reuses that partitioning
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().repartition(col("u")).localCheckpoint()
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(broadcast(labels.select(col("node").as("v"), col("label"))),
+          "v")
+        .groupBy("u", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("u")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("u").as("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label"), col("csize"))
+      .orderBy("node")
+  }
 }

@@ -422,6 +422,37 @@ object TextAnalysis {
       .orderBy("cls", "rn")
   }
 
+  /** Inverted-index build: token → (document frequency, total term
+    * frequency, the first `k` posting doc_ids). The postings head is
+    * a row_number-over-(tok, doc_id) window that the engine's
+    * WindowTopKRewrite turns into the bounded-heap partial aggregate
+    * (`partial_topk_rows` in-plan) — per-token state is O(k) on the
+    * map side, so a stopword with 10⁹ postings costs the same buffer
+    * as a rare term; the full postings list is never materialized.
+    * One (tok, doc_id) shuffle builds the postings table; stats and
+    * the head share it via localCheckpoint.
+    */
+  def invertedIndex(docs: DataFrame, k: Int = 10, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"postings head must be positive, got $k")
+    val post = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // stats + postings head share it
+    val stats = post.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val head = post
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tok").orderBy("doc_id")))
+      .where(col("rn") <= k)
+      .groupBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(head, "tok").orderBy("tok")
+  }
+
   /** Vocabulary coverage curve (the Zipf audit a tokenizer budget is
     * sized from): for each target percentage, how many distinct
     * types — taken most-frequent-first — cover that share of the

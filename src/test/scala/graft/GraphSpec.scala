@@ -176,4 +176,31 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got === dist)
   }
+
+  test("labelPropagation: a clique absorbs its pendant, ties go low") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4-1; both orientations supplied
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.labelPropagation(e, rounds = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // round 1: 1→min(2,3,4)=2? no — majority: each neighbor label
+    // appears once, tie → smallest: 1→2, 2→1, 3→1, 4→1
+    // round 2: 1 hears {1,1,1}→1; 2 hears {2,1}→tie→1; 3 hears
+    // {2,1}→1; 4 hears {2}→2
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("labelPropagation: community sizes fold over the final labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two disjoint triangles — each converges to its own min label
+    val t1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val t2 = Seq((10L, 20L), (10L, 30L), (20L, 30L))
+    val und = t1 ++ t2
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.labelPropagation(e, rounds = 2)
+    assert(r.where(col("csize") =!= 3L).count() === 0)
+    assert(r.select("label").distinct().count() === 2)
+  }
 }

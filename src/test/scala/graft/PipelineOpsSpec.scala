@@ -728,6 +728,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       ("fr", 1, "x", 1L, 285714L), ("fr", 2, "y", 1L, 285714L)))
   }
 
+  test("invertedIndex: df/tf exact, postings capped at k smallest ids") {
+    val d = Seq(
+      (1L, "w w x"), (2L, "w y"), (3L, "w"), (4L, "w z z"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.invertedIndex(d, k = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getSeq[Long](3))).toSeq
+    assert(r === Seq(
+      ("w", 4L, 5L, Seq(1L, 2L, 3L)), // df 4 but postings cut at k=3
+      ("x", 1L, 1L, Seq(1L)),
+      ("y", 1L, 1L, Seq(2L)),
+      ("z", 1L, 2L, Seq(4L))))
+  }
+
+  test("invertedIndex: the postings head goes through the bounded heap") {
+    val d = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.invertedIndex(d, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_rows"),
+      s"WindowTopKRewrite did not fire:\n$plan")
+  }
+
   test("vocabCoverage: covering ranks over the frequency-sorted axis") {
     // counts a=4 b=2 c=1 d=1, total 8, cum 4,6,7,8:
     // 50% of 8 = cum 4 → 1 type; 90%/99% need the full tail (cum 8)
