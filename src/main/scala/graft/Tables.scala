@@ -9,12 +9,18 @@ import org.apache.spark.sql.types.LongType
   * production scale the same names would resolve to partitioned
   * catalog tables — only this object changes.
   *
-  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark
-  * 4 only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (surfacing it as a nanosecond Long). We normalize it back to a
-  * microsecond TimestampType here — integer `div 1000` truncates
-  * toward zero exactly like DuckDB's ns→µs coercion, so oracle
-  * comparisons agree.
+  * The driver's generator has emitted two parquet timestamp shapes
+  * across rounds, and both must read as a plain microsecond
+  * `TimestampType`:
+  *   - INT64 TIMESTAMP(NANOS): Spark 4 only reads it with
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (a nanosecond
+  *     Long), normalized back in [[normalizeTs]] — integer `div 1000`
+  *     truncates toward zero exactly like DuckDB's ns→µs coercion.
+  *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+  *     TIMESTAMP_NTZ by default, which poisons every `unix_micros`/
+  *     window call site; `spark.sql.parquet.inferTimestampNTZ.enabled=
+  *     false` restores the session-UTC TimestampType read (identical
+  *     instants — the session timezone is pinned to UTC below).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -41,6 +47,7 @@ object Tables {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // lake partition values stay strings ("month=05"), matching the
       // reference's Athena DDL and Criteria.partitionWindow's
       // zero-padded equality predicates
