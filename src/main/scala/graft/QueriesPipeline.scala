@@ -196,6 +196,55 @@ private[graft] object QueriesPipeline {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q13 shape (customer order-count distribution): the LEFT
+    * JOIN keeps zero-order customers, the filter lives in the JOIN
+    * CONDITION (a WHERE would silently drop them — the classic Q13
+    * trap), and the outer aggregate histograms the per-customer
+    * counts. `o_orderpriority <> '1-URGENT'` stands in for the
+    * reference schema's `o_comment NOT LIKE` (no comment column in
+    * the synthetic table). Scale: both aggregates are
+    * map-side-combinable; the join shuffles on `custkey` once, and
+    * the second aggregate's domain is ≤ max-orders-per-customer.
+    * Output is exactly the two grouping axes, so the two-key ORDER BY
+    * is total — deterministic without a tiebreaker column.
+    */
+  private val TpchQ13Sql =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey AS c_custkey,
+      |    COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q19 shape (disjunctive promo revenue): three brand ×
+    * size × quantity conjunct arms OR'd together — the canonical
+    * test that an optimizer pushes a DISJUNCTION of conjunctions
+    * down to the scans (each arm's part predicate prunes `part`
+    * before the join; the join itself stays a plain equi-join with
+    * the OR as a post-join residual). Revenue kept exact as
+    * cents × (100 − disc_pct); `p_size`/`l_quantity` arms replace
+    * the reference schema's shipmode/container conjuncts (columns
+    * not in the synthetic tables). COALESCE keeps the empty-match
+    * case a 0 row, identically in both engines.
+    */
+  private val TpchQ19Sql =
+    """SELECT COALESCE(CAST(SUM(
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |  AS BIGINT), 0) AS revenue_c_pct
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** DuckDB CTE chain `s0`…`s<rounds>` + `p_r`/`m_r`: the full BPE
     * merge replay of `Curation.bpeMerges` — normalization, corpus
     * pair counts, deterministic argmax, and the leftmost
@@ -235,6 +284,17 @@ private[graft] object QueriesPipeline {
     val x2 = s"(($x1 * 1103515245) % 2147483648)"
     s"xor($x2, $x2 // 4096)"
   }
+
+  /** DuckDB restatement of the engine-portable base-31 code-point
+    * fold (`VecKernels.polyHash31` / `TextAnalysis.rollingHash`,
+    * proven bit-exact by q38) applied to string expression `e`.
+    */
+  private def duckPoly31(e: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($e, ''),
+       |      c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 2147483647)""".stripMargin
 
   /** DuckDB CTE triple `e`/`pb`/`srpbits`: per-(vector, plane) sign
     * bits of the engine-portable SRP projections — the exact integer
@@ -5046,5 +5106,106 @@ private[graft] object QueriesPipeline {
              |SELECT l2.node AS node, l2.label AS label, cs.csize AS csize
              |FROM l2 JOIN cs ON cs.label = l2.label
              |ORDER BY node""".stripMargin)),
+
+    // TPC-H Q13 shape (same-text oracle): see TpchQ13Sql
+    Q("q205_tpch_q13",
+      (s, dir) => {
+        Seq("customer", "orders")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ13Sql)
+      },
+      Some(TpchQ13Sql)),
+
+    // TPC-H Q19 shape (same-text oracle): see TpchQ19Sql
+    Q("q206_tpch_q19",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ19Sql)
+      },
+      Some(TpchQ19Sql)),
+
+    // Count-min sketch token frequencies beside exact counts — the
+    // point-query sketch complementing q123's Misra-Gries top-k; the
+    // overshoot column is the standing collision-accuracy report.
+    // Hashes engine-portable (poly31 → row-salted mix31), oracle
+    // replays cells and estimates bit for bit.
+    Q("q207_countmin_sketch",
+      (s, dir) => graft.ops.HeavyHitters.countMin(Tables(s, dir, "documents")),
+      Some(s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact
+              |  FROM tk WHERE tok <> '' GROUP BY 1),
+              |th AS (SELECT tok, exact, ${duckPoly31("tok")} AS h
+              |  FROM ex),
+              |bk AS (SELECT tok, exact, r.r,
+              |    (${duckMix31("h + r.r * 1000003")}) % 1024 AS bucket
+              |  FROM th CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r),
+              |cells AS (SELECT r, bucket, CAST(SUM(exact) AS BIGINT) AS cell
+              |  FROM bk GROUP BY 1, 2),
+              |est AS (SELECT bk.tok, MIN(c.cell) AS est
+              |  FROM bk JOIN cells c ON c.r = bk.r AND c.bucket = bk.bucket
+              |  GROUP BY 1)
+              |SELECT ex.tok AS tok, ex.exact AS exact, est.est AS est,
+              |  est.est - ex.exact AS overshoot
+              |FROM ex JOIN est ON est.tok = ex.tok
+              |WHERE ex.exact >= 10
+              |ORDER BY tok""".stripMargin)),
+
+    // Seeded-noise private count release: k-suppression + bounded
+    // deterministic perturbation over (event_type, day) cells — the
+    // disclosure-avoidance release shape, reproducible by seed so
+    // every released cell is oracle-verified. Composes with the
+    // k-anonymity / l-diversity / t-closeness audit trio.
+    Q("q208_private_release",
+      (s, dir) => Audit.privateRelease(Tables(s, dir, "events")),
+      Some(s"""WITH cells AS (SELECT event_type AS grp,
+              |    epoch_us(ts) // 86400000000 AS day,
+              |    CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM events
+              |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              |  GROUP BY 1, 2),
+              |h AS (SELECT grp, day, cnt,
+              |    ${duckPoly31("grp")} + day AS ch
+              |  FROM cells WHERE cnt >= 20)
+              |SELECT grp, day,
+              |  cnt + ((${duckMix31("ch")}) % 11) - 5 AS released
+              |FROM h ORDER BY grp, day""".stripMargin)),
+
+    // Poisson-bootstrap CI for per-group means: B=32 seeded
+    // Poisson(1) weight replicates (fixed integer CDF table), one
+    // combinable (grp, r) aggregate, [2nd, 31st] of the sorted
+    // replicate means as the p05/p95 band — distributed uncertainty
+    // quantification with every weight replayed by the oracle.
+    Q("q209_bootstrap_ci",
+      (s, dir) => Stats.bootstrapCi(Tables(s, dir, "events")),
+      Some(s"""WITH r0 AS (SELECT event_type AS grp,
+              |    CAST(floor(value * 1000000) AS BIGINT) AS x,
+              |    (${duckMix31("event_id")}) AS h
+              |  FROM events
+              |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+              |    AND event_id IS NOT NULL),
+              |u0 AS (SELECT grp, x, r.r,
+              |    (${duckMix31("h + r.r * 1000003")}) % 10000 AS u
+              |  FROM r0 CROSS JOIN (SELECT unnest(range(0, 32)) AS r) r),
+              |w0 AS (SELECT grp, x, r,
+              |    CAST(CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+              |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+              |      WHEN u < 9963 THEN 4 ELSE 5 END AS BIGINT) AS w
+              |  FROM u0),
+              |reps AS (SELECT grp, r,
+              |    CAST(SUM(w * x) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+              |      AS mean_r
+              |  FROM w0 GROUP BY 1, 2 HAVING SUM(w) > 0),
+              |band AS (SELECT grp, ms[2] AS lo_micro, ms[31] AS hi_micro
+              |  FROM (SELECT grp, list_sort(list(mean_r)) AS ms
+              |        FROM reps GROUP BY 1)),
+              |pt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(x) AS BIGINT) // COUNT(*) AS mean_micro
+              |  FROM r0 GROUP BY 1)
+              |SELECT pt.grp AS grp, pt.n AS n, pt.mean_micro AS mean_micro,
+              |  band.lo_micro AS lo_micro, band.hi_micro AS hi_micro
+              |FROM pt JOIN band ON band.grp = pt.grp
+              |ORDER BY grp""".stripMargin)),
   )
 }

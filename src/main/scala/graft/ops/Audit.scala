@@ -329,4 +329,40 @@ object Audit {
       .withColumn("violates", col("emd_ppm") > tPpm)
       .orderBy(qi: _*)
   }
+
+  /** Seeded-noise private count release: per-(group, day) event
+    * counts, suppressed below `k` and perturbed by bounded
+    * deterministic noise — the publishable-statistics shape
+    * (suppress-then-perturb, as census-style disclosure-avoidance
+    * pipelines do) with a SEEDED noise source so reruns release
+    * identical tables and the oracle verifies every cell.
+    *
+    * The noise is uniform on `[-b, b]`, keyed off the cell identity
+    * through the engine-portable base-31 fold + `mix31` — stable
+    * across engines and runs, NOT cryptographic randomness: this
+    * gives release reproducibility and small-count masking, not a
+    * formal ε-DP guarantee (real DP needs fresh randomness drawn
+    * once; a seeded release replayed is still one draw, which is
+    * exactly what a deterministic pipeline wants and what a formal
+    * DP deployment must avoid).
+    *
+    * One map-side-combinable aggregate; nothing scales past the
+    * released-cell count. Composes with [[kAnonymity]] /
+    * [[lDiversity]]: those audit the raw table, this gates what
+    * leaves it.
+    */
+  def privateRelease(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts", k: Long = 20L, b: Int = 5): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    val cells = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cellHash = TextAnalysis.rollingHash(col("grp")) + col("day")
+    cells.where(col("cnt") >= k)
+      .withColumn("noise", mix31Col(cellHash) % (2 * b + 1) - b)
+      .select(col("grp"), col("day"), (col("cnt") + col("noise")).as("released"))
+      .orderBy("grp", "day")
+  }
 }

@@ -77,4 +77,53 @@ object HeavyHitters {
       .where(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col(keyCol))
   }
+
+  /** Count-min sketch frequency estimation over an open token
+    * vocabulary, with the exact counts joined back as a standing
+    * accuracy report (`est ≥ exact` always — CMS never
+    * underestimates; the report shows by how much collisions
+    * overshoot at this `w`).
+    *
+    * Where Misra-Gries ([[topByCount]]) answers "which keys are
+    * heavy", CMS answers point frequency queries for ANY key in
+    * `d·w` counters: cell `(r, bucket_r(tok))` accumulates every
+    * occurrence whose row-`r` hash lands there, and the estimate is
+    * the minimum over the `d` rows. At 100 TB the sketch build is one
+    * map-side-combinable aggregate into at most `d·w` cells (the
+    * shuffle carries `≤ tasks·d·w` partial cells, independent of
+    * vocabulary size), and the finished sketch is small enough to
+    * broadcast to every probe site.
+    *
+    * Hashing is engine-portable end to end: token → base-31
+    * code-point fold (q38's `rollingHash`), row-salted through
+    * `mix31` — so the DuckDB oracle replays signatures, cells, and
+    * estimates bit for bit.
+    *
+    * `minExact` bounds the REPORT (only tokens with exact count ≥
+    * `minExact` are listed); every occurrence still feeds the sketch.
+    */
+  def countMin(docs: DataFrame, textCol: String = "text", w: Int = 1024,
+      d: Int = 4, minExact: Long = 10L): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    val toks = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    // exact per-token counts once; the sketch inserts per OCCURRENCE,
+    // which is the same as adding each token's exact count to its cells
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .withColumn("h", TextAnalysis.rollingHash(col("tok")))
+      .localCheckpoint() // shared by the build and the probe side
+    val salted = exact.select(col("tok"), col("exact"), col("h"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket", mix31Col(col("h") + col("r") * 1000003L) % w)
+    val cells = salted.groupBy("r", "bucket")
+      .agg(sum(col("exact")).as("cell"))
+    val est = salted.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("tok").agg(min(col("cell")).as("est"))
+    exact.where(col("exact") >= minExact)
+      .join(est, Seq("tok"))
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overshoot"))
+      .orderBy("tok")
+  }
 }

@@ -777,4 +777,77 @@ object Stats {
         (col("cnt") * 2 < col("med")).as("low"))
       .orderBy("grp", "day")
   }
+
+  /** Integer CDF of Poisson(1) scaled to 1e4: P(X ≤ k) for k = 0..4,
+    * then everything else. Fixed constants (⌊1e4·Σ e⁻¹/i!⌋), shared
+    * with the DuckDB oracle restatement verbatim.
+    */
+  private[graft] val Pois1Cdf1e4: Seq[Int] = Seq(3679, 7358, 9197, 9810, 9963)
+
+  /** Poisson-bootstrap confidence intervals for per-group means — the
+    * uncertainty quantification a metrics pipeline publishes next to
+    * the point estimate. The classic bootstrap (resample N rows with
+    * replacement, B times) is driver-hostile at scale; the Poisson
+    * bootstrap replaces per-replicate sampling with an independent
+    * Poisson(1) weight per (row, replicate), which needs only a
+    * per-row hash — embarrassingly parallel, one pass, no global
+    * coordination (the standard trick for bootstrapping on MapReduce-
+    * shaped systems).
+    *
+    * Weights are SEEDED (row id → `mix31`, replicate-salted) so the
+    * release is reproducible and the oracle replays every weight; the
+    * Poisson(1) draw is the fixed integer CDF table [[Pois1Cdf1e4]]
+    * probed with a hash-uniform in [0, 1e4).
+    *
+    * Per group: `n`, the point mean, and the [p05, p95] band of the
+    * `B` replicate means (ranks ⌈0.05·B⌉ and ⌈0.95·B⌉ of the sorted
+    * replicate means — for B = 32, the 2nd and 31st). Means are
+    * micro-unit floors, exact end to end.
+    *
+    * Scale: the (group, replicate) aggregate is one map-side-
+    * combinable shuffle of ≤ B rows per group per task (the explode
+    * happens AFTER the row is read, inside the same stage); the final
+    * per-group fold sorts a bounded B-element list. A replicate whose
+    * weights all drew 0 yields a null mean and is dropped from the
+    * band (possible only for tiny groups; guarded, not silent).
+    */
+  def bootstrapCi(events: DataFrame, grpCol: String = "event_type",
+      valCol: String = "value", idCol: String = "event_id",
+      b: Int = 32): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    require(b >= 20, s"bootstrapCi: B=$b too small for a p05/p95 band")
+    val loRank = (b * 5 + 99) / 100 // ⌈0.05·B⌉
+    val hiRank = (b * 95 + 99) / 100 // ⌈0.95·B⌉
+    val rows = events
+      .where(col(grpCol).isNotNull && col(valCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        expr(s"CAST(floor($valCol * 1000000) AS BIGINT)").as("x"),
+        mix31Col(col(idCol).cast("long")).as("h"))
+    val cdf = Pois1Cdf1e4
+    val weighted = rows
+      .select(col("grp"), col("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"),
+        col("h"))
+      .withColumn("u", mix31Col(col("h") + col("r") * 1000003L) % 10000)
+      .withColumn("w",
+        when(col("u") < cdf(0), 0).when(col("u") < cdf(1), 1)
+          .when(col("u") < cdf(2), 2).when(col("u") < cdf(3), 3)
+          .when(col("u") < cdf(4), 4).otherwise(5).cast("long"))
+    val reps = weighted.groupBy("grp", "r")
+      .agg(sum(col("w") * col("x")).as("wx"), sum(col("w")).as("wn"))
+      .where(col("wn") > 0)
+      .select(col("grp"), expr("wx div wn").as("mean_r"))
+    val point = rows.groupBy("grp")
+      .agg(count(lit(1)).as("n"), expr("sum(x) div count(1)").as("mean_micro"))
+    val band = reps.groupBy("grp")
+      .agg(sort_array(collect_list(col("mean_r"))).as("ms"))
+      .select(col("grp"),
+        element_at(col("ms"), loRank).as("lo_micro"),
+        element_at(col("ms"), hiRank).as("hi_micro"))
+    point.join(band, Seq("grp"))
+      .select(col("grp"), col("n"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
+      .orderBy("grp")
+  }
 }

@@ -134,4 +134,22 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.getString(0), x.getLong(2), x.getBoolean(3)))
     assert(r.toSeq === Seq(("u", 0L, false), ("v", 0L, false)))
   }
+
+  test("privateRelease: suppresses below k, noise bounded and seed-stable") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // group "big": 25 rows on day 0 (released); "small": 3 rows (suppressed)
+    val rows = (1 to 25).map(i => ("big", i.toLong)) ++
+      (1 to 3).map(i => ("small", i.toLong))
+    val d = rows.toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val r1 = Audit.privateRelease(d, k = 20L, b = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r1.map(_._1).toSeq === Seq("big"))
+    val (_, _, released) = r1.head
+    assert(math.abs(released - 25L) <= 5L)
+    // seeded: a second run releases the identical table
+    val r2 = Audit.privateRelease(d, k = 20L, b = 5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r1.toSeq === r2.toSeq)
+  }
 }

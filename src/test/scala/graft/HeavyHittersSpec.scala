@@ -40,4 +40,29 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
     }
     assert(e.getMessage.contains("guarantee"))
   }
+
+  test("count-min never underestimates; tiny width forces visible overshoot") {
+    // 40 distinct tokens into w=4 buckets per row guarantees
+    // collisions — every estimate must still dominate its exact count
+    val docs = (0 until 40)
+      .map(i => (i.toLong, Seq.fill(i % 7 + 1)(s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = HeavyHitters.countMin(docs, w = 4, d = 2, minExact = 1L)
+      .collect()
+    assert(r.length === 40)
+    assert(r.forall(_.getAs[Long]("overshoot") >= 0L))
+    assert(r.exists(_.getAs[Long]("overshoot") > 0L))
+    r.foreach { x =>
+      assert(x.getAs[Long]("est") ===
+        x.getAs[Long]("exact") + x.getAs[Long]("overshoot"))
+    }
+  }
+
+  test("count-min with ample width is exact on well-spread tokens") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val r = HeavyHitters.countMin(docs, w = 1024, d = 4, minExact = 1L)
+      .collect().map(x => x.getAs[String]("tok") -> x.getAs[Long]("est"))
+      .toMap
+    assert(r === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
 }

@@ -473,4 +473,40 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       (14L, 5L, false, false)))
     assert(r.map(_._1) === Seq(0L, 7L, 14L))
   }
+
+  test("bootstrapCi: constant-value group collapses the band onto the mean") {
+    // every resample of a constant is the constant: lo = hi = mean
+    val d = (1L to 200L).map(i => ("g", 7.5, i))
+      .toDF("event_type", "value", "event_id")
+    val r = Stats.bootstrapCi(d).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n") === 200L)
+    assert(x.getAs[Long]("mean_micro") === 7500000L)
+    assert(x.getAs[Long]("lo_micro") === 7500000L)
+    assert(x.getAs[Long]("hi_micro") === 7500000L)
+  }
+
+  test("bootstrapCi: band is ordered and brackets a mixed group's spread") {
+    val d = (1L to 400L).map(i => ("g", if (i % 2 == 0) 10.0 else 20.0, i))
+      .toDF("event_type", "value", "event_id")
+    val x = Stats.bootstrapCi(d).collect().head
+    val (lo, hi, mean) = (x.getAs[Long]("lo_micro"),
+      x.getAs[Long]("hi_micro"), x.getAs[Long]("mean_micro"))
+    assert(lo <= hi)
+    // replicate means live strictly inside the value range
+    assert(lo >= 10000000L && hi <= 20000000L)
+    assert(mean === 15000000L)
+    // the band is a real interval, not a point, for a mixed group
+    assert(lo < hi)
+  }
+
+  test("bootstrapCi: partitioning-invariant (seeded weights, combinable aggs)") {
+    val rows = (1L to 300L).map(i => ("g", (i % 13).toDouble, i))
+    val a = Stats.bootstrapCi(rows.toDF("event_type", "value", "event_id")
+      .repartition(1)).collect().head
+    val b = Stats.bootstrapCi(rows.toDF("event_type", "value", "event_id")
+      .repartition(7)).collect().head
+    assert(a.toSeq === b.toSeq)
+  }
 }
