@@ -5207,5 +5207,123 @@ private[graft] object QueriesPipeline {
               |  band.lo_micro AS lo_micro, band.hi_micro AS hi_micro
               |FROM pt JOIN band ON band.grp = pt.grp
               |ORDER BY grp""".stripMargin)),
+
+    // Classifier reliability table: quality score_micro binned
+    // fixed-width vs the ground-truth lang='en' positive rate — the
+    // calibration artifact published before trusting a threshold.
+    Q("q210_calibration_table",
+      (s, dir) => TextAnalysis.calibrationTable(Tables(s, dir, "documents")),
+      Some("""WITH f AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+             |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+             |      AS n_uniq,
+             |    CAST(len(list_filter(string_split(text,' '),
+             |        t -> t IN ('the','a','of','and','to','in','is')))
+             |      AS BIGINT) AS stop_cnt
+             |  FROM documents),
+             |p AS (SELECT lang,
+             |    CAST((n_uniq*1000000)//n_words AS BIGINT) AS ttr_ppm,
+             |    CAST((stop_cnt*1000000)//n_words AS BIGINT) AS stop_ppm,
+             |    least(n_words, 100) * 10000 AS len_term
+             |  FROM f),
+             |sc AS (SELECT
+             |    least((ttr_ppm*3 + stop_ppm*2 + len_term*1) // 600000, 9)
+             |      AS bin,
+             |    ttr_ppm*3 + stop_ppm*2 + len_term*1 AS score_micro,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+             |  FROM p)
+             |SELECT CAST(bin AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(CAST(SUM(score_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+             |    AS mean_score_micro,
+             |  CAST(SUM(pos) AS BIGINT) AS pos,
+             |  CAST(CAST(SUM(pos) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT)
+             |    AS pos_rate_ppm
+             |FROM sc GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // Bounded-round k-core peeling of the co-purchase graph (k=70
+    // stabilizes in 3 rounds on this corpus — the stable flag is
+    // part of the contract and the oracle recomputes it).
+    Q("q211_kcore",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        Graph.kCore(e, k = 70L, rounds = 3)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o,
+             |    l_partkey AS p FROM lineitem),
+             |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+             |d1 AS (SELECT u, COUNT(*) AS deg FROM e0 GROUP BY 1),
+             |a1 AS (SELECT u FROM d1 WHERE deg >= 70),
+             |e1 AS (SELECT e.u, e.v FROM e0 e
+             |  JOIN a1 x ON x.u = e.u JOIN a1 y ON y.u = e.v),
+             |d2 AS (SELECT u, COUNT(*) AS deg FROM e1 GROUP BY 1),
+             |a2 AS (SELECT u FROM d2 WHERE deg >= 70),
+             |e2 AS (SELECT e.u, e.v FROM e1 e
+             |  JOIN a2 x ON x.u = e.u JOIN a2 y ON y.u = e.v),
+             |d3 AS (SELECT u, COUNT(*) AS deg FROM e2 GROUP BY 1),
+             |a3 AS (SELECT u FROM d3 WHERE deg >= 70),
+             |e3 AS (SELECT e.u, e.v FROM e2 e
+             |  JOIN a3 x ON x.u = e.u JOIN a3 y ON y.u = e.v)
+             |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+             |  (SELECT COUNT(*) FROM a2) = (SELECT COUNT(*) FROM a3)
+             |    AS stable
+             |FROM e3 GROUP BY u ORDER BY node""".stripMargin)),
+
+    // k-NN label-noise audit: deterministic 1-in-20 sample, exact
+    // 5-NN by the q25 micro-cosine contract (self excluded before
+    // ranking), neighbor-majority vote vs own label.
+    Q("q212_knn_label_audit",
+      (s, dir) => Similarity.knnLabelAudit(Tables(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |    embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+              |  FROM e WHERE vec_id % 20 = 0),
+              |scored AS (SELECT q.q_id, q.q_label,
+              |    e.vec_id, e.label AS n_label,
+              |    CAST(floor((${duckCos("q.qv", "e.v")}) * 1000000)
+              |      AS BIGINT) AS cos_e6
+              |  FROM e, q WHERE e.vec_id <> q.q_id),
+              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY cos_e6 DESC, vec_id) AS rank FROM scored),
+              |votes AS (SELECT q_id, q_label, n_label,
+              |    CAST(COUNT(*) AS BIGINT) AS votes
+              |  FROM rk WHERE rank <= 5 GROUP BY 1, 2, 3),
+              |mj AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY votes DESC, n_label) AS rn FROM votes)
+              |SELECT q_id AS vec_id, q_label AS own_label,
+              |  n_label AS maj_label, votes,
+              |  n_label <> q_label AS suspect
+              |FROM mj WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Grid-density outliers: 3x3 neighborhood occupancy over a
+    // (value-band x hour) grid, events in cells with density <= 10
+    // flagged — local sparsity the global z-score/MAD gates miss.
+    Q("q213_grid_density_outliers",
+      (s, dir) => Stats.gridDensityOutliers(Tables(s, dir, "events")),
+      Some("""WITH pts AS (SELECT event_id,
+             |    CAST(floor(value / 20.0) AS BIGINT) AS gx,
+             |    CAST(hour(ts) AS BIGINT) AS gy
+             |  FROM events
+             |  WHERE value IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |cells AS (SELECT gx, gy, COUNT(*) AS cnt
+             |  FROM pts GROUP BY 1, 2),
+             |f AS (SELECT gx + dx.x AS gx, gy + dy.y AS gy, cnt
+             |  FROM cells
+             |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS x) dx
+             |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS y) dy),
+             |dens AS (SELECT gx, gy, CAST(SUM(cnt) AS BIGINT) AS density
+             |  FROM f GROUP BY 1, 2)
+             |SELECT p.event_id AS event_id, p.gx AS gx, p.gy AS gy,
+             |  d.density AS density
+             |FROM pts p JOIN dens d ON d.gx = p.gx AND d.gy = p.gy
+             |WHERE d.density <= 10
+             |ORDER BY event_id""".stripMargin)),
   )
 }

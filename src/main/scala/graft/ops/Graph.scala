@@ -305,4 +305,45 @@ object Graph {
       .select(col("node"), col("label"), col("csize"))
       .orderBy("node")
   }
+
+  /** Bounded-round k-core peeling: repeatedly drop nodes of degree
+    * < `k` (and their incident edges), `rounds` times — the classic
+    * density filter separating the cohesive core from the periphery
+    * (a peel round is exactly one degree-aggregate + one semi-join
+    * per endpoint, so each round is two shuffles on the edge key
+    * already partitioned once up front). Bounded rounds keep the job
+    * a fixed-depth DAG like [[bfsHops]] / [[labelPropagation]] —
+    * each round's survivor set is a subset of the last, so R rounds
+    * give the exact k-core whenever peeling stabilizes within R
+    * (true for all but adversarial chain graphs; the fixpoint is
+    * detectable by comparing the last two rounds' node counts, and
+    * `stable` reports it).
+    *
+    * `edges` is directed input; both orientations are derived here so
+    * degree = full undirected degree (self-loops dropped). Output:
+    * surviving nodes with their core-subgraph degree and the
+    * round-R stability flag (one global boolean, same on every row).
+    */
+  def kCore(edges: DataFrame, k: Long = 3L, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val dir0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    var e = dir0.union(dir0.select(col("v"), col("u")))
+      .distinct().repartition(col("u")).localCheckpoint()
+    var prevNodes = -1L
+    var lastNodes = -2L
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val alive = deg.where(col("deg") >= k).select("u").localCheckpoint()
+      prevNodes = lastNodes
+      lastNodes = alive.count()
+      e = e.join(alive, Seq("u"), "left_semi")
+        .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    val stable = prevNodes == lastNodes
+    e.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"), lit(stable).as("stable"))
+      .orderBy("node")
+  }
 }

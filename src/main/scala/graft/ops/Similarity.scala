@@ -482,4 +482,52 @@ object Similarity {
       .orderBy(col("rrf").desc, col("id"))
       .limit(topN)
   }
+
+  /** k-NN label-noise audit (Confident-Learning-shaped): for a
+    * deterministic sample of labeled vectors, find the `k` nearest
+    * corpus neighbors (same micro-cosine + tie contract as
+    * [[bruteForceTopK]], self excluded BEFORE ranking) and flag
+    * points whose neighbor-majority label disagrees with their own —
+    * the standing mislabeled-example report a labeled training set
+    * runs before fitting anything to it.
+    *
+    * Majority ties break to the smallest label (deterministic).
+    * Scale: the audited sample is broadcast against the corpus (the
+    * corpus never shuffles, exactly q25's by-design baseline path);
+    * sampling is `id % sampleMod` so reruns audit the same points.
+    * At 100 TB the same report runs with the ANN paths
+    * ([[lshTopK]] / [[Ivf.topK]]) as the neighbor source; brute
+    * force here keeps the oracle exact.
+    */
+  def knnLabelAudit(emb: DataFrame, k: Int = 5, sampleMod: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = emb.where(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).as("q_id"), col(labelCol).as("q_label"),
+        col(vecCol).as("q_vec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("q_norm"))
+    val c = Par.spread(emb.select(col(idCol).as("vec_id"),
+      col(labelCol).as("n_label"), col(vecCol).as("c_vec"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("c_norm")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("n_label"),
+        floor(dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")) * 1e6).cast("long").as("cos_e6"),
+        col("vec_id"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy("q_id", "q_label", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(wv))
+      .where(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("q_label").as("own_label"),
+        col("n_label").as("maj_label"), col("votes"),
+        (col("n_label") =!= col("q_label")).as("suspect"))
+      .orderBy("vec_id")
+  }
 }

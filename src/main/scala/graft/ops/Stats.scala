@@ -778,6 +778,46 @@ object Stats {
       .orderBy("grp", "day")
   }
 
+  /** Grid-density outlier detection (the DBSCAN-core counting step,
+    * relationally): bucket events onto a bounded 2-D grid
+    * (value-band × hour-of-day), sum each cell's 3×3 neighborhood
+    * occupancy, and flag events whose neighborhood density is ≤
+    * `dmin` — a LOCAL sparsity test that catches points global
+    * z-score/MAD filters ([[zscoreOutliers]]-shaped ops) miss
+    * because they sit near the global mean but in an empty region.
+    *
+    * The neighborhood sum is cell-count fan-out (each cell emits 9
+    * offset contributions, then one combinable aggregate) — never a
+    * point-to-point distance join, so cost scales with DISTINCT
+    * CELLS (bounded by the fixed grid), not points². Hour edges
+    * don't wrap (hour 0 and 23 are not neighbors) — documented
+    * boundary, matching the oracle. The flagged-event join is a
+    * broadcast of sparse cells only.
+    */
+  def gridDensityOutliers(events: DataFrame, dmin: Long = 10L,
+      valBand: Double = 20.0, tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val pts = events
+      .where(col(valCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("event_id"),
+        floor(col(valCol) / valBand).cast("long").as("gx"),
+        hour(col(tsCol)).cast("long").as("gy"))
+    val cells = pts.groupBy("gx", "gy").agg(count(lit(1)).as("cnt"))
+    val offsets = Seq(-1L, 0L, 1L)
+    val fanned = cells.select(col("gx"), col("gy"), col("cnt"),
+      explode(typedLit(for { dx <- offsets; dy <- offsets }
+        yield (dx, dy))).as("o"))
+    val density = fanned
+      .groupBy((col("gx") + col("o._1")).as("gx"),
+        (col("gy") + col("o._2")).as("gy"))
+      .agg(sum(col("cnt")).as("density"))
+    val sparse = density.where(col("density") <= dmin)
+    pts.join(broadcast(sparse), Seq("gx", "gy"))
+      .select(col("event_id"), col("gx"), col("gy"), col("density"))
+      .orderBy("event_id")
+  }
+
   /** Integer CDF of Poisson(1) scaled to 1e4: P(X ≤ k) for k = 0..4,
     * then everything else. Fixed constants (⌊1e4·Σ e⁻¹/i!⌋), shared
     * with the DuckDB oracle restatement verbatim.

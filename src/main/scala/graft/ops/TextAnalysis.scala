@@ -492,4 +492,40 @@ object TextAnalysis {
         "vocab_size")
       .orderBy("pct")
   }
+
+  /** Classifier reliability table: bin the [[qualityScore]] micro
+    * score into fixed-width buckets and report, per bin, the count,
+    * the mean score, and the empirical positive rate of a reference
+    * label — the model-eval artifact (a calibration / reliability
+    * diagram's data) a labeling pipeline publishes before trusting a
+    * score threshold. Here the reference label is `lang = 'en'`
+    * (the `documents` table carries ground-truth `lang`), i.e. "does
+    * the en-stopword-weighted quality score actually separate
+    * English?" — the same shape applies to any (score, label) pair.
+    *
+    * Fixed-width binning (not quantile) keeps the bin id a pure
+    * per-row map — one combinable aggregate, no rank pass; bins are
+    * `score_micro div binWidthMicro`, capped into `bins` buckets.
+    * All arithmetic integer-exact (micro/ppm floors).
+    */
+  def calibrationTable(docs: DataFrame, bins: Int = 10,
+      binWidthMicro: Long = 600000L, posLang: String = "en",
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val scored = qualityScore(docs, textCol = textCol, idCol = idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .select(
+        least(expr(s"score_micro div ${binWidthMicro}L"), lit(bins - 1L))
+          .as("bin"),
+        col("score_micro"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"))
+    scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("score_micro")).as("ssum"),
+        sum(col("pos")).as("pos"))
+      .select(col("bin"), col("n"),
+        expr("ssum div n").as("mean_score_micro"), col("pos"),
+        expr("pos * 1000000 div n").as("pos_rate_ppm"))
+      .orderBy("bin")
+  }
 }

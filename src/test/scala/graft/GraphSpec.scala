@@ -203,4 +203,38 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(r.where(col("csize") =!= 3L).count() === 0)
     assert(r.select("label").distinct().count() === 2)
   }
+
+  test("kCore: pendant chain peels away, clique survives, cascade is real") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // K4 on 1-4 (degree 3 each) + chain 4-5-6: 6 has degree 1, drops
+    // round 1; that leaves 5 at degree 1, which needs round 2 — the
+    // cascade a single degree filter misses
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L))
+    val e = (k4 ++ chain).toDF("src", "dst")
+    val r = Graph.kCore(e, k = 2L, rounds = 3).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("deg")).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one round only: 5 still present (its pendant 6 dropped, but the
+    // recheck that would drop 5 hasn't run) — proves rounds matter
+    val r1 = Graph.kCore(e, k = 2L, rounds = 1).collect()
+      .map(_.getAs[Long]("node")).toSet
+    assert(r1.contains(5L))
+  }
+
+  test("kCore: stable flag reports fixpoint vs still-peeling") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val e = k4.toDF("src", "dst")
+    // K4 at k=2: nothing peels, round 2 confirms round 1 → stable
+    val st = Graph.kCore(e, k = 2L, rounds = 2).collect()
+    assert(st.nonEmpty && st.forall(_.getAs[Boolean]("stable")))
+    // chain of 5 at k=2: every round peels the two current endpoints,
+    // round counts keep shrinking → not stable within 2 rounds
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("src", "dst")
+    val un = Graph.kCore(chain, k = 2L, rounds = 2).collect()
+    assert(un.forall(!_.getAs[Boolean]("stable")))
+  }
 }

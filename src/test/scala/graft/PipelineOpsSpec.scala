@@ -769,4 +769,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq === Seq((50, 2L, 4L), (99, 3L, 5L)))
   }
+
+  test("calibrationTable: exact bins, means and positive rates") {
+    // "the the the the" en: ttr 250000, stop 1e6, len 40000 →
+    // score 250000*3 + 1000000*2 + 40000 = 2790000 → bin 4, pos
+    // "aa bb" fr: ttr 1e6, stop 0, len 20000 → 3020000 → bin 5, neg
+    val d = Seq((1L, "the the the the", "en"), (2L, "aa bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.calibrationTable(d).collect()
+      .map(x => (x.getAs[Long]("bin"), x.getAs[Long]("n"),
+        x.getAs[Long]("mean_score_micro"), x.getAs[Long]("pos"),
+        x.getAs[Long]("pos_rate_ppm")))
+    assert(r.toSeq === Seq((4L, 1L, 2790000L, 1L, 1000000L),
+      (5L, 1L, 3020000L, 0L, 0L)))
+  }
+
+  test("knnLabelAudit: mislabeled point flagged, consistent point passes") {
+    // audited ids (mod 20): 0 carries label 9 inside a label-1
+    // cluster → suspect; 20 carries the cluster's own label → clean
+    val pts = Seq(
+      (0L, Array(1.0f, 0.00f), 9),
+      (1L, Array(1.0f, 0.01f), 1),
+      (2L, Array(1.0f, 0.02f), 1),
+      (3L, Array(1.0f, 0.03f), 1),
+      (4L, Array(1.0f, 0.04f), 1),
+      (5L, Array(1.0f, 0.05f), 1),
+      (20L, Array(1.0f, 0.06f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.knnLabelAudit(pts).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Int]("own_label"),
+        x.getAs[Int]("maj_label"), x.getAs[Boolean]("suspect"))).toSeq
+    assert(r === Seq((0L, 9, 1, true), (20L, 1, 1, false)))
+  }
 }

@@ -474,6 +474,32 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.map(_._1) === Seq(0L, 7L, 14L))
   }
 
+  test("gridDensityOutliers: lone cell flagged, dense cluster passes") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // 12 events in one (band, hour) cell — density 12 > 10, clean;
+    // 1 event alone at (band 5, hour 12) — density 1 ≤ 10, flagged
+    val rows = (1L to 12L).map(i => (i, 5.0, 10L)) :+ (99L, 100.0, 12 * 3600L)
+    val d = rows.toDF("event_id", "value", "sec")
+      .select(col("event_id"), col("value"), to_timestamp(col("sec")).as("ts"))
+    val r = Stats.gridDensityOutliers(d).collect()
+      .map(x => (x.getAs[Long]("event_id"), x.getAs[Long]("gx"),
+        x.getAs[Long]("gy"), x.getAs[Long]("density")))
+    assert(r.toSeq === Seq((99L, 5L, 12L, 1L)))
+  }
+
+  test("gridDensityOutliers: neighborhood sums cross cell borders") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // 6 events in (0,0) + 6 in the adjacent (1,0) hour cell: each
+    // cell's 3×3 density is 12 — the neighbor's mass must count
+    val rows = (1L to 6L).map(i => (i, 5.0, 10L)) ++
+      (7L to 12L).map(i => (i, 25.0, 10L))
+    val d = rows.toDF("event_id", "value", "sec")
+      .select(col("event_id"), col("value"), to_timestamp(col("sec")).as("ts"))
+    assert(Stats.gridDensityOutliers(d).count() === 0L)
+    // raise the bar above the combined mass and everything flags
+    assert(Stats.gridDensityOutliers(d, dmin = 12L).count() === 12L)
+  }
+
   test("bootstrapCi: constant-value group collapses the band onto the mean") {
     // every resample of a constant is the constant: lo = hi = mean
     val d = (1L to 200L).map(i => ("g", 7.5, i))
