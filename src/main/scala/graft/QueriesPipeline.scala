@@ -245,6 +245,115 @@ private[graft] object QueriesPipeline {
       |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
       |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): date-windowed orders
+    * kept only when a correlated EXISTS finds a late-shipping
+    * lineitem — the semi-join decorrelation test. `l_shipdate >
+    * o_orderdate + 30 days` stands in for the reference schema's
+    * commitdate/receiptdate lateness (columns not in the synthetic
+    * table).
+    */
+  private val TpchQ4Sql =
+    """SELECT o.o_orderpriority AS o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): 6-join star over a
+    * region's customers, revenue bucketed by supplier nation and
+    * order year, each nation's share of the year total via a window
+    * over the aggregate. Revenue exact as cents×pct BIGINTs; the
+    * share alone goes through double (floor(a·10⁶/b) — identical
+    * IEEE in both engines) because a BIGINT ppm cross-multiply
+    * overflows at warehouse scale.
+    */
+  private val TpchQ8Sql =
+    """WITH rev AS (
+      |  SELECT year(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |      AS rev_c_pct
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |    AND r.r_name = 'ASIA'
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT o_year, supp_nation,
+      |  CAST(SUM(rev_c_pct) AS BIGINT) AS nation_rev,
+      |  CAST(floor(CAST(SUM(rev_c_pct) AS DOUBLE) * 1000000 /
+      |    CAST(SUM(SUM(rev_c_pct)) OVER (PARTITION BY o_year)
+      |      AS DOUBLE)) AS BIGINT) AS share_ppm
+      |FROM rev GROUP BY o_year, supp_nation
+      |ORDER BY o_year, supp_nation""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item revenue): the quarter's 'R'
+    * lineitems rolled up to customers, top 20 by revenue with the
+    * key as tiebreak so LIMIT is total-order deterministic.
+    */
+  private val TpchQ10Sql =
+    """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+      |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |    (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |    AS BIGINT) AS revenue_c_pct
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY revenue_c_pct DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape (promo revenue share): one month's revenue
+    * split by `p_type = 'PROMO'` (the synthetic table stores the
+    * type family without a suffix, so equality replaces LIKE
+    * 'PROMO%'), share as the same double-floored ppm as Q8.
+    */
+  private val TpchQ14Sql =
+    """SELECT CAST(floor(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+      |      CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |    ELSE 0 END) AS DOUBLE) * 1000000 /
+      |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |      AS DOUBLE)) AS BIGINT) AS promo_share_ppm
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l.l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): a quarter's per-supplier
+    * revenue as a CTE ("the view"), the max selected by scalar
+    * subquery — ties all surface (no LIMIT), ordered by key.
+    */
+  private val TpchQ15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      |      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |      AS BIGINT) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+      |  r.total_rev AS total_rev
+      |FROM supplier s
+      |JOIN rev r ON r.l_suppkey = s.s_suppkey
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s.s_suppkey""".stripMargin
+
   /** DuckDB CTE chain `s0`…`s<rounds>` + `p_r`/`m_r`: the full BPE
     * merge replay of `Curation.bpeMerges` — normalization, corpus
     * pair counts, deterministic argmax, and the leftmost
@@ -5325,5 +5434,158 @@ private[graft] object QueriesPipeline {
              |FROM pts p JOIN dens d ON d.gx = p.gx AND d.gy = p.gy
              |WHERE d.density <= 10
              |ORDER BY event_id""".stripMargin)),
+
+    // Mutual-kNN pair mining: reciprocal top-5 within the 1-in-10
+    // sample — the hub-killing precision filter of bitext/near-dup
+    // candidate generation, both directional ranks reported.
+    Q("q214_mutual_knn",
+      (s, dir) => Similarity.mutualKnn(Tables(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id % 10 = 0),
+              |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+              |    CAST(floor((${duckCos("a.v", "b.v")}) * 1000000)
+              |      AS BIGINT) AS cos_e6
+              |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |    ORDER BY cos_e6 DESC, vec_id) AS rank FROM scored),
+              |top AS (SELECT * FROM rk WHERE rank <= 5)
+              |SELECT ab.q_id AS a_id, ab.vec_id AS b_id, ab.cos_e6,
+              |  ab.rank AS rank_ab, ba.rank AS rank_ba
+              |FROM top ab JOIN top ba
+              |  ON ba.q_id = ab.vec_id AND ba.vec_id = ab.q_id
+              |WHERE ab.q_id < ab.vec_id
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Join-cardinality preflight: 256-bucket histogram product
+    // estimate vs the exact join count on the orders x lineitem
+    // orderkey join — the re-plan gate before a 100 TB shuffle.
+    Q("q215_join_cardinality",
+      (s, dir) => Audit.joinCardinalityEstimate(
+        Tables(s, dir, "orders"), Tables(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey"),
+      Some(s"""WITH ha AS (SELECT (${duckMix31("o_orderkey")}) % 256
+              |      AS bucket, CAST(COUNT(*) AS BIGINT) AS ca
+              |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+              |hb AS (SELECT (${duckMix31("l_orderkey")}) % 256
+              |      AS bucket, CAST(COUNT(*) AS BIGINT) AS cb
+              |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+              |est AS (SELECT COALESCE(CAST(SUM(ca * cb) AS BIGINT), 0)
+              |    AS est FROM ha JOIN hb ON hb.bucket = ha.bucket),
+              |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact
+              |  FROM orders o JOIN lineitem l
+              |    ON l.l_orderkey = o.o_orderkey)
+              |SELECT est.est AS est, ex.exact AS exact,
+              |  est.est * 1000000 // ex.exact AS ratio_ppm
+              |FROM est CROSS JOIN ex""".stripMargin)),
+
+    // Next-event prediction eval: first-order model trained on the
+    // mix31-even user split, hit@1/hit@3 on held-out users, exact
+    // ppm, cold-start priors scored as misses.
+    Q("q216_next_event_eval",
+      (s, dir) => Analytics.nextEventEval(Tables(s, dir, "events")),
+      Some(s"""WITH pr AS (SELECT user_id AS u, event_type AS t,
+              |    ts, event_id AS id,
+              |    (${duckMix31("user_id")}) % 2 AS split
+              |  FROM events
+              |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              |    AND ts IS NOT NULL),
+              |px AS (SELECT u, t, split,
+              |    LEAD(t) OVER (PARTITION BY u ORDER BY ts, id) AS nt
+              |  FROM pr),
+              |pairs AS (SELECT * FROM px WHERE nt IS NOT NULL),
+              |cnts AS (SELECT t AS from_type, nt AS cand,
+              |    CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM pairs WHERE split = 0 GROUP BY 1, 2),
+              |rk AS (SELECT from_type, cand,
+              |    ROW_NUMBER() OVER (PARTITION BY from_type
+              |      ORDER BY cnt DESC, cand) AS rnk
+              |  FROM cnts),
+              |top AS (SELECT * FROM rk WHERE rnk <= 3),
+              |ev AS (SELECT p.t, p.nt, top.rnk
+              |  FROM pairs p LEFT JOIN top
+              |    ON top.from_type = p.t AND top.cand = p.nt
+              |  WHERE p.split = 1)
+              |SELECT t AS from_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+              |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS hit1,
+              |  CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS hit3,
+              |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    * 1000000 // COUNT(*) AS hit1_ppm,
+              |  CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) * 1000000 // COUNT(*) AS hit3_ppm
+              |FROM ev GROUP BY t ORDER BY from_type""".stripMargin)),
+
+    // Per-dimension embedding whitening in the q66 micro contract:
+    // floored micro means, exact integer deviations, floor-sqrt
+    // scale, floor-division z in ppm (dims with zero variance drop).
+    Q("q217_whiten_embeddings",
+      (s, dir) => Similarity.whitenEmbeddings(Tables(s, dir, "embeddings")),
+      Some("""WITH e AS (SELECT vec_id,
+             |    generate_subscripts(embedding, 1) - 1 AS idx,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+             |      AS BIGINT) AS micro
+             |  FROM embeddings),
+             |mn AS (SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(micro) AS BIGINT) // COUNT(*) AS mean_micro
+             |  FROM e GROUP BY 1),
+             |dv AS (SELECT e.vec_id, e.idx,
+             |    e.micro - mn.mean_micro AS dev
+             |  FROM e JOIN mn ON mn.idx = e.idx),
+             |sd AS (SELECT idx,
+             |    CAST(floor(sqrt(CAST(SUM(dev * dev) AS DOUBLE)
+             |      / COUNT(*))) AS BIGINT) AS sd_micro
+             |  FROM dv GROUP BY 1)
+             |SELECT dv.vec_id AS vec_id, CAST(dv.idx AS INTEGER) AS idx,
+             |  (dv.dev * 1000000) // sd.sd_micro AS z_ppm
+             |FROM dv JOIN sd ON sd.idx = dv.idx
+             |WHERE sd.sd_micro > 0
+             |ORDER BY vec_id, idx""".stripMargin)),
+
+    // TPC-H Q4 shape (same-text oracle): see TpchQ4Sql
+    Q("q218_tpch_q4",
+      (s, dir) => {
+        Seq("orders", "lineitem")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ4Sql)
+      },
+      Some(TpchQ4Sql)),
+
+    // TPC-H Q8 shape (same-text oracle): see TpchQ8Sql
+    Q("q219_tpch_q8",
+      (s, dir) => {
+        Seq("lineitem", "orders", "customer", "nation", "region",
+            "supplier")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ8Sql)
+      },
+      Some(TpchQ8Sql)),
+
+    // TPC-H Q10 shape (same-text oracle): see TpchQ10Sql
+    Q("q220_tpch_q10",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ10Sql)
+      },
+      Some(TpchQ10Sql)),
+
+    // TPC-H Q14 shape (same-text oracle): see TpchQ14Sql
+    Q("q221_tpch_q14",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ14Sql)
+      },
+      Some(TpchQ14Sql)),
+
+    // TPC-H Q15 shape (same-text oracle): see TpchQ15Sql
+    Q("q222_tpch_q15",
+      (s, dir) => {
+        Seq("lineitem", "supplier")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ15Sql)
+      },
+      Some(TpchQ15Sql)),
   )
 }

@@ -283,4 +283,55 @@ object Analytics {
         expr("(cab * n_baskets * 1000000) div (ca * cb)").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
   }
+
+  /** Next-event prediction eval: train the [[transitionMatrix]]-style
+    * first-order model on one user split, score hit@1 / hit@3 on the
+    * held-out split — the full train/evaluate loop of a sequence
+    * recommender, in-engine, with exact ppm metrics per prior state.
+    * The split is a seeded user hash (`mix31(user) % 2`), so train
+    * and eval never share a user (the leakage rule q166-style
+    * splits enforce for documents applies to behavioral sequences
+    * too: a user's own history in train inflates their eval hits).
+    *
+    * A transition whose prior state never occurred in train scores a
+    * miss at every k (the honest cold-start accounting). Candidate
+    * ranking breaks count ties by event-type name, so hit@k is
+    * deterministic. Scale: train counts + rank are
+    * |states|²-bounded and broadcast; eval pairs come off one
+    * per-user window, one combinable final aggregate.
+    */
+  def nextEventEval(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    val w = Window.partitionBy("u").orderBy("ts", "id")
+    val pairs = events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("ts"), col(idCol).as("id"),
+        (mix31Col(col(userCol).cast("long")) % 2).as("split"))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .where(col("nt").isNotNull)
+      .localCheckpoint() // train counts and eval probes share it
+    val ranked = pairs.where(col("split") === 0)
+      .groupBy(col("t").as("from_type"), col("nt").as("cand"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("from_type")
+          .orderBy(col("cnt").desc, col("cand"))))
+      .where(col("rnk") <= 3)
+    val scored = pairs.where(col("split") === 1)
+      .join(broadcast(ranked),
+        pairs("t") === ranked("from_type") && pairs("nt") === ranked("cand"),
+        "left")
+    scored.groupBy(col("t").as("from_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("hit1"),
+        sum(when(col("rnk").isNotNull, 1L).otherwise(0L)).as("hit3"))
+      .select(col("from_type"), col("n_eval"), col("hit1"), col("hit3"),
+        expr("hit1 * 1000000 div n_eval").as("hit1_ppm"),
+        expr("hit3 * 1000000 div n_eval").as("hit3_ppm"))
+      .orderBy("from_type")
+  }
 }

@@ -351,6 +351,38 @@ object Audit {
     * [[lDiversity]]: those audit the raw table, this gates what
     * leaves it.
     */
+  /** Join-cardinality preflight: estimate `|A ⋈ B|` from two
+    * m-bucket key histograms (`Σ_b cntA_b·cntB_b`) before running
+    * the join, and report the estimate beside the exact count — the
+    * planner-style sanity gate a pipeline runs before committing a
+    * 100 TB shuffle (a blow-up shows in a 2·m-cell sketch for the
+    * cost of two combinable aggregates; the exact join here is the
+    * verification half of the report, the thing production SKIPS
+    * when the estimate already says "re-plan"). The estimate is
+    * exact when buckets are collision-free and an upper bound
+    * otherwise (hash collisions only merge buckets, and
+    * `(a₁+a₂)(b₁+b₂) ≥ a₁b₁+a₂b₂` for non-negative counts).
+    * Bucketing is seeded `mix31`, oracle-replayable.
+    */
+  def joinCardinalityEstimate(a: DataFrame, b: DataFrame, keyA: String,
+      keyB: String, m: Int = 256): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    val ha = a.where(col(keyA).isNotNull)
+      .groupBy((mix31Col(col(keyA).cast("long")) % m).as("bucket"))
+      .agg(count(lit(1)).as("ca"))
+    val hb = b.where(col(keyB).isNotNull)
+      .groupBy((mix31Col(col(keyB).cast("long")) % m).as("bucket"))
+      .agg(count(lit(1)).as("cb"))
+    val est = ha.join(hb, "bucket")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("est"))
+    val exact = a.select(col(keyA).as("k")).where(col("k").isNotNull)
+      .join(b.select(col(keyB).as("k")).where(col("k").isNotNull), "k")
+      .agg(count(lit(1)).as("exact"))
+    est.crossJoin(exact)
+      .select(col("est"), col("exact"),
+        expr("est * 1000000 div exact").as("ratio_ppm"))
+  }
+
   def privateRelease(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts", k: Long = 20L, b: Int = 5): DataFrame = {
     import graft.ops.Similarity.mix31Col

@@ -499,6 +499,84 @@ object Similarity {
     * ([[lshTopK]] / [[Ivf.topK]]) as the neighbor source; brute
     * force here keeps the oracle exact.
     */
+  /** Mutual-kNN pair mining: within a deterministic sample, keep the
+    * pairs where EACH side ranks the other inside its own top-k —
+    * the reciprocal-neighbor filter (the heart of bitext mining and
+    * high-precision near-dup candidate generation: one-directional
+    * kNN keeps hubs that are "near everything"; mutuality kills
+    * them). Same micro-cosine + tie contract as [[bruteForceTopK]],
+    * self excluded before ranking; both directional ranks are
+    * reported. At 100 TB the same mutuality test runs per LSH/IVF
+    * bucket over ANN lists; the sampled brute-force form keeps the
+    * oracle exact.
+    */
+  def mutualKnn(emb: DataFrame, k: Int = 5, sampleMod: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.where(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"))
+    val pairs = Par.spread(s.select(col("id").as("q_id"),
+        col("vec").as("q_vec"), col("nrm").as("q_norm")))
+      .crossJoin(broadcast(s.select(col("id").as("vec_id"),
+        col("vec").as("c_vec"), col("nrm").as("c_norm"))))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        floor(dot(col("q_vec"), col("c_vec")) /
+          (col("q_norm") * col("c_norm")) * 1e6).cast("long").as("cos_e6"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_e6").desc, col("vec_id"))
+    val ranked = pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val ab = ranked.select(col("q_id").as("a_id"), col("vec_id").as("b_id"),
+      col("cos_e6"), col("rank").as("rank_ab"))
+    val ba = ranked.select(col("q_id").as("b_id"), col("vec_id").as("a_id"),
+      col("rank").as("rank_ba"))
+    ab.join(ba, Seq("a_id", "b_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_e6"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Per-dimension embedding whitening (mean-center + unit variance —
+    * the SimCSE-style post-processing that fixes anisotropic
+    * embedding spaces before cosine retrieval), integer-exact in the
+    * q66 micro-unit contract: elements floor to micro ints, the
+    * per-dim mean is the truncated micro average, deviations are exact
+    * ints, and the scale is `floor(sqrt(Σdev²/n))` (one double sqrt —
+    * correctly rounded IEEE, so engine-portable like the cosine
+    * fold). Output long-format `(vec_id, idx, z_ppm)` with
+    * `z_ppm = dev·10⁶ div sd`. Two combinable aggregates over
+    * (dim)-keyed rows; the d-sized moment table broadcasts back.
+    */
+  def whitenEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("int").as("idx"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("micro"))
+    val mean = e.groupBy("idx")
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("sm"))
+      .select(col("idx"), col("n"),
+        expr("sm div n").as("mean_micro"))
+    val dev = e.join(broadcast(mean), "idx")
+      .select(col("vec_id"), col("idx"),
+        (col("micro") - col("mean_micro")).as("dev"))
+      .localCheckpoint() // moment pass and z output share it
+    val sd = dev.groupBy("idx")
+      .agg(count(lit(1)).as("n"), sum(col("dev") * col("dev")).as("ss"))
+      .select(col("idx"),
+        floor(sqrt(col("ss") / col("n"))).cast("long").as("sd_micro"))
+    // `div` truncates toward zero, and so does DuckDB's integer `//`
+    // (verified: -5 // 2 = -2) — negative deviations stay in parity
+    dev.join(broadcast(sd), "idx")
+      .where(col("sd_micro") > 0)
+      .select(col("vec_id"), col("idx"),
+        expr("dev * 1000000 div sd_micro").as("z_ppm"))
+      .orderBy("vec_id", "idx")
+  }
+
   def knnLabelAudit(emb: DataFrame, k: Int = 5, sampleMod: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {

@@ -252,4 +252,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     val l = (1L to 50L).map(i => (i, i)).toDF("id", "rnk")
     assert(graft.ops.Similarity.rrfFuse(Seq(l), topN = 5).count() === 5)
   }
+
+  test("nextEventEval: held-out hits, cold-start priors score as misses") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // mix31 splits users 1-10 → eval(1), 11-20 → train(0). Every user
+    // emits A then B; eval user 1 additionally emits C then A.
+    val base = (1L to 20L).flatMap(u =>
+      Seq((u * 100L, u, "A", 1L), (u * 100L + 1L, u, "B", 2L)))
+    val extra = Seq((9001L, 1L, "C", 3L), (9002L, 1L, "A", 4L))
+    val d = (base ++ extra).toDF("event_id", "user_id", "event_type", "sec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("sec")).as("ts"))
+    val r = graft.ops.Analytics.nextEventEval(d).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[Long]("n_eval"),
+        x.getAs[Long]("hit1"), x.getAs[Long]("hit3"),
+        x.getAs[Long]("hit1_ppm"))).toSeq
+    // A→B trained on users 11-20; eval users' A→B all hit@1. User 1's
+    // B→C and C→A probe transitions absent from train: misses at
+    // every k (B only ever precedes C in eval; C never trains at all)
+    assert(r === Seq(("A", 10L, 10L, 10L, 1000000L),
+      ("B", 1L, 0L, 0L, 0L), ("C", 1L, 0L, 0L, 0L)))
+  }
 }

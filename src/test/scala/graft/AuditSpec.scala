@@ -152,4 +152,20 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r1.toSeq === r2.toSeq)
   }
+
+  test("joinCardinalityEstimate: collision-free is exact, collisions only inflate") {
+    val a = Seq(1L, 1L, 2L).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 3L).toDF("kb")
+    // exact: key 1 → 2·1, key 2 → 1·2 = 4 matches
+    val r = Audit.joinCardinalityEstimate(a, b, "ka", "kb", m = 256)
+      .collect().head
+    assert(r.getAs[Long]("exact") === 4L)
+    assert(r.getAs[Long]("est") === 4L)
+    assert(r.getAs[Long]("ratio_ppm") === 1000000L)
+    // m = 1 merges every key into one bucket: 3·4 = 12 ≥ exact
+    val c = Audit.joinCardinalityEstimate(a, b, "ka", "kb", m = 1)
+      .collect().head
+    assert(c.getAs[Long]("est") === 12L)
+    assert(c.getAs[Long]("est") >= c.getAs[Long]("exact"))
+  }
 }

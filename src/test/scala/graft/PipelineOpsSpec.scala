@@ -801,4 +801,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
         x.getAs[Int]("maj_label"), x.getAs[Boolean]("suspect"))).toSeq
     assert(r === Seq((0L, 9, 1, true), (20L, 1, 1, false)))
   }
+
+  test("mutualKnn: reciprocal pair kept, one-directional hub edge dropped") {
+    // a(0) and b(10) point at each other; c(20) points at b, but b's
+    // top-1 is a — so (b, c) is one-directional and must not survive
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.99f, 0.1f)),
+      (20L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.mutualKnn(pts, k = 1).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),
+        x.getAs[Int]("rank_ab"), x.getAs[Int]("rank_ba"))).toSeq
+    assert(r === Seq((0L, 10L, 1, 1)))
+  }
+
+  test("whitenEmbeddings: exact z on a hand pair; zero-variance dim drops") {
+    val pts = Seq((1L, Array(1.0f, 3.0f)), (2L, Array(3.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.whitenEmbeddings(pts).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Int]("idx"),
+        x.getAs[Long]("z_ppm"))).toSeq
+    // dim0: micros (1e6, 3e6), mean 2e6, devs ∓1e6, sd 1e6 → z ∓1e6;
+    // dim1 is constant → sd 0 → dropped entirely
+    assert(r === Seq((1L, 0, -1000000L), (2L, 0, 1000000L)))
+  }
 }
