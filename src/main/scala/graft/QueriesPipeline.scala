@@ -5587,5 +5587,35 @@ private[graft] object QueriesPipeline {
         s.sql(TpchQ15Sql)
       },
       Some(TpchQ15Sql)),
+
+    // Seeded contrastive negative sampling: k uniform draws per
+    // anchor over the dense id ranking (Par.globalRowNumber — no
+    // single-partition sort), exact-dup draws dropped by the q30
+    // fingerprint. Every draw oracle-replayed.
+    Q("q223_negative_samples",
+      (s, dir) => Curation.negativeSamples(Tables(s, dir, "documents")),
+      Some(s"""WITH ids AS (SELECT doc_id AS id,
+              |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+              |  FROM documents),
+              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM documents),
+              |probes AS (SELECT a.id AS anchor_id, j.j,
+              |    (${duckMix31("a.id * 7 + j.j")}) % nn.n AS r
+              |  FROM ids a
+              |  CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
+              |  CROSS JOIN nn
+              |  WHERE a.id % 10 = 0),
+              |neg AS (SELECT p.anchor_id, p.j, i.id AS neg_id
+              |  FROM probes p JOIN ids i ON i.rk = p.r),
+              |fp AS (SELECT doc_id,
+              |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+              |  FROM documents)
+              |SELECT g.anchor_id AS anchor_id, CAST(g.j AS BIGINT) AS j,
+              |  g.neg_id AS neg_id
+              |FROM neg g
+              |JOIN fp fa ON fa.doc_id = g.anchor_id
+              |JOIN fp fb ON fb.doc_id = g.neg_id
+              |WHERE fa.fp <> fb.fp
+              |ORDER BY anchor_id, j""".stripMargin)),
   )
 }

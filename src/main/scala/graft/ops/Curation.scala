@@ -775,4 +775,46 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Seeded negative sampling for contrastive training pairs: for
+    * each anchor (a deterministic 1-in-`sampleMod` sample), draw `k`
+    * pseudo-random corpus documents by seeded hash over a DENSE id
+    * ranking, then drop any draw that is the anchor's exact
+    * duplicate (same q30 normalized-md5 fingerprint — a "negative"
+    * that's really a copy of the anchor poisons the loss; dropped
+    * rows are simply absent, honest count per anchor ≤ k).
+    *
+    * The dense rank comes from [[Par.globalRowNumber]] (range
+    * shuffle + broadcast offsets — never a single-partition sort),
+    * so `draw = mix31(anchor·7 + j) mod N` indexes the corpus
+    * uniformly whatever the id distribution looks like; the draw →
+    * id resolution is an equi-join on the rank. Everything is
+    * seeded, so reruns emit identical pairs and the oracle replays
+    * every draw.
+    */
+  def negativeSamples(docs: DataFrame, k: Int = 3, sampleMod: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    val ids = Par.globalRowNumber(docs.select(col(idCol).as("id")),
+      Seq("id"))
+    val n = docs.count()
+    val probes = ids.where(pmod(col("id"), lit(sampleMod)) === 0)
+      .select(col("id").as("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("r",
+        mix31Col(col("anchor_id") * 7L + col("j")) % n)
+    val neg = probes.join(ids.select(col("id").as("neg_id"),
+        (col("rownum") - 1L).as("r")), "r")
+    val fp = docs.select(col(idCol).as("fid"),
+      md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("fp"))
+    neg
+      .join(fp.select(col("fid").as("anchor_id"), col("fp").as("fa")),
+        "anchor_id")
+      .join(fp.select(col("fid").as("neg_id"), col("fp").as("fb")),
+        "neg_id")
+      .where(col("fa") =!= col("fb"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"),
+        col("neg_id"))
+      .orderBy("anchor_id", "j")
+  }
 }

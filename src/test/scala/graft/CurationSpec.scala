@@ -343,4 +343,36 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val wantA = (0 until 6).map(_.toLong).sortBy(i => (mix31(i), i)).take(3)
     assert(r.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq === wantA)
   }
+
+  test("negativeSamples: seeded draws resolve via dense rank, dups dropped") {
+    import org.apache.spark.sql.functions.col
+    def mix31(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      x ^= (x >> 15)
+      x = (x * 1103515245L) & 0x7FFFFFFFL
+      x ^ (x >> 12)
+    }
+    // sparse ids (rank ≠ id) prove the dense-rank resolution; doc 7 is
+    // an exact-dup (post-normalization) of anchor 0
+    val texts = Map(0L -> "alpha  beta", 3L -> "gamma", 7L -> "Alpha Beta",
+      12L -> "delta", 20L -> "epsilon", 31L -> "zeta")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val ids = texts.keys.toSeq.sorted // rank r → ids(r)
+    val r = Curation.negativeSamples(docs, k = 3, sampleMod = 10)
+      .collect().map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("j"),
+        x.getAs[Long]("neg_id"))).toSeq
+    // replay every draw: anchors 0 and 20; dup (anchor 0 drawing 0 or
+    // 7) and self-fingerprint draws vanish
+    val want = for {
+      a <- Seq(0L, 20L); j <- 1L to 3L
+      neg = ids((mix31(a * 7 + j) % ids.length).toInt)
+      if !(a == 0L && (neg == 0L || neg == 7L)) && !(a == 20L && neg == 20L)
+    } yield (a, j, neg)
+    assert(r === want)
+    // rerun is identical (seeded end to end)
+    val r2 = Curation.negativeSamples(docs, k = 3, sampleMod = 10)
+      .collect().map(x => (x.getAs[Long]("anchor_id"), x.getAs[Long]("j"),
+        x.getAs[Long]("neg_id"))).toSeq
+    assert(r2 === r)
+  }
 }
