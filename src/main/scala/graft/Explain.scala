@@ -37,7 +37,11 @@ object Explain {
       "q182_shortest_path", "q184_funnel_k", "q190_greedy_cover",
       "q191_cusum_changepoint", "q192_chi_square", "q194_tpch_q17",
       "q196_decision_stump", "q197_naive_bayes",
-      "q198_quantile_normalize")
+      "q198_quantile_normalize", "q207_countmin_sketch",
+      "q209_bootstrap_ci", "q211_kcore", "q212_knn_label_audit",
+      "q213_grid_density_outliers", "q214_mutual_knn",
+      "q216_next_event_eval", "q217_whiten_embeddings", "q219_tpch_q8",
+      "q223_negative_samples")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
