@@ -394,6 +394,79 @@ private[graft] object QueriesPipeline {
     s"xor($x2, $x2 // 4096)"
   }
 
+  /** DuckDB replay of `Stats.holtForecast`'s packed-scalar Holt fold
+    * (see the op's scaladoc for why the state is one BIGINT): same
+    * constants, same truncating divisions, unpacked at the end.
+    */
+  private val HoltOracleSql: String = {
+    val L = "(acc // 2147483648 - 1073741824)"
+    val B = "(acc % 2147483648 - 1073741824)"
+    val NL = s"((500 * x + 500 * ($L + $B)) // 1000)"
+    val NB = s"((300 * ($NL - $L) + 700 * $B) // 1000)"
+    s"""WITH daily AS (SELECT event_type AS grp,
+       |    epoch_us(ts) // 86400000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ds AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    list_sort(list({'day': day, 'cnt': cnt})) AS l
+       |  FROM daily GROUP BY 1),
+       |st AS (SELECT grp, n_days,
+       |    list_reduce(
+       |      list_prepend(
+       |        (l[1].cnt * 1000 + 1073741824) * 2147483648 + 1073741824,
+       |        list_transform(l[2:], x -> x.cnt * 1000)),
+       |      (acc, x) -> ($NL + 1073741824) * 2147483648
+       |                  + ($NB + 1073741824)) AS s
+       |  FROM ds)
+       |SELECT grp, n_days,
+       |  s // 2147483648 - 1073741824 AS level_milli,
+       |  s % 2147483648 - 1073741824 AS trend_milli,
+       |  (s // 2147483648 - 1073741824) + (s % 2147483648 - 1073741824)
+       |    AS forecast_milli
+       |FROM st ORDER BY grp""".stripMargin
+  }
+
+  /** DuckDB replay of `DocDedup.alignSpans` — positioned 3-gram
+    * shingles, df-cut, pair filter, diagonal gaps-and-islands, best
+    * run per pair.
+    */
+  private val AlignSpansOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |ps0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> {'pos': i - 1,
+      |          'sh': ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]})) AS p
+      |  FROM w WHERE len(ws) >= 3),
+      |ps AS (SELECT doc_id, p.pos AS pos, p.sh AS sh FROM ps0),
+      |keep AS (SELECT sh FROM (SELECT sh,
+      |    COUNT(DISTINCT doc_id) AS d FROM ps GROUP BY 1)
+      |  WHERE d <= 100),
+      |psf AS (SELECT ps.* FROM ps JOIN keep USING (sh)),
+      |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.pos AS pa, b.pos AS pb
+      |  FROM psf a JOIN psf b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      |  FROM m GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |d AS (SELECT m.*, m.pa - m.pb AS diag
+      |  FROM m JOIN pairs USING (a_id, b_id)),
+      |r AS (SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id,
+      |    diag ORDER BY pa) AS isl FROM d),
+      |runs AS (SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+      |    CAST(MIN(pa) AS BIGINT) AS start_a,
+      |    CAST(MIN(pb) AS BIGINT) AS start_b
+      |  FROM r GROUP BY a_id, b_id, diag, isl),
+      |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id, b_id
+      |    ORDER BY run_len DESC, start_a, start_b) AS rn FROM runs)
+      |SELECT best.a_id AS a_id, best.b_id AS b_id,
+      |  pairs.n_matches AS n_matches, best.run_len AS run_len,
+      |  best.start_a AS start_a, best.start_b AS start_b
+      |FROM best JOIN pairs USING (a_id, b_id)
+      |WHERE best.rn = 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** DuckDB restatement of the engine-portable base-31 code-point
     * fold (`VecKernels.polyHash31` / `TextAnalysis.rollingHash`,
     * proven bit-exact by q38) applied to string expression `e`.
@@ -5617,5 +5690,98 @@ private[graft] object QueriesPipeline {
               |JOIN fp fb ON fb.doc_id = g.neg_id
               |WHERE fa.fp <> fb.fp
               |ORDER BY anchor_id, j""".stripMargin)),
+
+    // STL-lite decomposition: calendar-centered 7-day trend (RANGE
+    // frame, full windows only), per-dow lower-median seasonal of
+    // the detrended series, exact residual. cnt = trend + seasonal
+    // + resid, verified per component.
+    Q("q224_stl_decompose",
+      (s, dir) => Stats.stlDecompose(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |tr0 AS (SELECT grp, day, cnt,
+             |    COUNT(*) OVER w AS win_n,
+             |    CAST(SUM(cnt) OVER w AS BIGINT) AS win_sum
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY grp ORDER BY day
+             |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |tr AS (SELECT grp, day, cnt, win_sum // 7 AS trend,
+             |    cnt - win_sum // 7 AS detr, day % 7 AS dow
+             |  FROM tr0 WHERE win_n = 7),
+             |rk AS (SELECT grp, dow, detr, day,
+             |    ROW_NUMBER() OVER (PARTITION BY grp, dow
+             |      ORDER BY detr, day) AS rn,
+             |    COUNT(*) OVER (PARTITION BY grp, dow) AS n
+             |  FROM tr),
+             |seas AS (SELECT grp, dow, detr AS seasonal FROM rk
+             |  WHERE rn = (n + 1) // 2)
+             |SELECT tr.grp AS grp, tr.day AS day, tr.cnt AS cnt,
+             |  tr.trend AS trend, seas.seasonal AS seasonal,
+             |  tr.detr - seas.seasonal AS resid
+             |FROM tr JOIN seas ON seas.grp = tr.grp AND seas.dow = tr.dow
+             |ORDER BY grp, day""".stripMargin)),
+
+    // Holt linear smoothing: integer milli-unit (level, trend) fold
+    // over the sorted per-group day list (HOF aggregate, calendar-
+    // bounded state), one-step forecast = l + b. The (l, b) state is
+    // packed into one BIGINT — DuckDB 1.0's list_reduce miscomputes
+    // multi-field struct accumulators (its two-step fold disagrees
+    // with its own single-step evaluation), so BOTH engines fold the
+    // packed scalar and the oracle replays every step.
+    Q("q225_holt_forecast",
+      (s, dir) => Stats.holtForecast(Tables(s, dir, "events")),
+      Some(HoltOracleSql)),
+
+    // Near-dup span alignment: longest common contiguous shingle run
+    // per candidate pair via the diagonal gaps-and-islands pass —
+    // the WHERE behind q21's near-dup verdicts.
+    Q("q226_align_spans",
+      (s, dir) => DocDedup.alignSpans(Tables(s, dir, "documents")),
+      Some(AlignSpansOracleSql)),
+
+    // ANN recall dashboard: SRP-LSH top-3 vs exact brute-force top-3
+    // over the q25/q26 query set, per-query recall in exact ppm —
+    // both chains fully restated in the oracle.
+    Q("q227_ann_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.annRecallReport(emb, emb.where(col("vec_id") < 5),
+          k = 3, planes = 6)
+      },
+      Some(s"""WITH ${duckSrpBits(6)},
+              |bk AS (SELECT vec_id, SUM(bit << CAST(p AS INTEGER)) AS bucket
+              |  FROM srpbits GROUP BY 1),
+              |c AS (SELECT e.vec_id, e.v, bk.bucket
+              |  FROM e JOIN bk USING (vec_id)),
+              |q AS (SELECT vec_id AS q_id, v AS qv, bucket
+              |  FROM c WHERE vec_id < 5),
+              |ls AS (SELECT q.q_id, c.vec_id,
+              |    CAST(floor((${duckCos("q.qv", "c.v")}) * 1000000)
+              |      AS BIGINT) AS cos_e6
+              |  FROM c JOIN q ON c.bucket = q.bucket),
+              |lr AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (
+              |    PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM ls),
+              |ann AS (SELECT q_id, vec_id FROM lr WHERE rank <= 3),
+              |bs AS (SELECT q.q_id, e.vec_id,
+              |    CAST(floor((${duckCos("q.qv", "e.v")}) * 1000000)
+              |      AS BIGINT) AS cos_e6
+              |  FROM e, q),
+              |br AS (SELECT q_id, vec_id, ROW_NUMBER() OVER (
+              |    PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+              |  FROM bs),
+              |ex AS (SELECT q_id, vec_id FROM br WHERE rank <= 3)
+              |SELECT ex.q_id AS q_id,
+              |  CAST(COUNT(ann.vec_id) AS BIGINT) AS n_common,
+              |  CAST(COUNT(ann.vec_id) AS BIGINT) * 1000000 // 3
+              |    AS recall_ppm
+              |FROM ex LEFT JOIN ann
+              |  ON ann.q_id = ex.q_id AND ann.vec_id = ex.vec_id
+              |GROUP BY ex.q_id
+              |ORDER BY q_id""".stripMargin)),
   )
 }

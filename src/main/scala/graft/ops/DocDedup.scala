@@ -637,4 +637,65 @@ object DocDedup {
           .as("jac_ppm"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Near-dup span alignment: for every candidate pair sharing at
+    * least `minShared` positioned word `n`-gram shingles, find the
+    * LONGEST common contiguous run via the diagonal trick — matches
+    * on the same diagonal (`posA − posB`) with consecutive `posA`
+    * are one contiguous common span, so runs fall out of a
+    * gaps-and-islands pass per (pair, diagonal), no quadratic
+    * alignment DP. This is the dedup EXPLAINABILITY artifact: q21
+    * says "these two are near-dups", this says WHERE (run start in
+    * each doc, length in shingles).
+    *
+    * A df-cut (shingles in more than `maxDf` docs are dropped before
+    * the join) carries q21's skew guard. Shingles join as strings
+    * here so the oracle replays the chain verbatim; the 100 TB path
+    * swaps the join key for the 8-byte `shingle_hashes` kernel
+    * exactly as [[ngramJaccard]] does — same plan shape, smaller
+    * shuffle rows.
+    */
+  def alignSpans(docs: DataFrame, n: Int = 3, minShared: Long = 5L,
+      maxDf: Long = 100L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingleExpr = (0 until n).map(j => s"ws[i + $j]").mkString(", ")
+    val ps = Par.spread(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(ws) - $n),
+           |  i -> struct(i AS pos, concat_ws(' ', $shingleExpr) AS sh))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
+      .localCheckpoint() // df-cut + both join branches share it
+    val keep = ps.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .where(col("d") <= maxDf).select("sh")
+    val psf = ps.join(keep, "sh")
+    val m = psf.as("a").join(psf.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .localCheckpoint() // pair filter + island pass share it
+    val pairs = m.groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .where(col("n_matches") >= minShared)
+    val d = m.join(pairs, Seq("a_id", "b_id"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wi = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    val runs = d.withColumn("isl", col("pa") - row_number().over(wi))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run_len"), min(col("pa")).as("start_a"),
+        min(col("pb")).as("start_b"))
+    val wb = Window.partitionBy("a_id", "b_id")
+      .orderBy(col("run_len").desc, col("start_a"), col("start_b"))
+    runs.withColumn("rn", row_number().over(wb))
+      .where(col("rn") === 1)
+      .join(pairs, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("n_matches"),
+        col("run_len"), col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"))
+      .orderBy("a_id", "b_id")
+  }
 }

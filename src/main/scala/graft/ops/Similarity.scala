@@ -483,6 +483,34 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Standing ANN recall report: run the SRP-LSH top-k
+    * ([[lshTopK]]) and the exact brute-force top-k
+    * ([[bruteForceTopK]]) over the SAME queries with the SAME
+    * score/tie contract, and report per query how many of the true
+    * top-k the ANN path recovered — the recall@k dashboard every ANN
+    * deployment keeps next to its index (an ANN without a measured
+    * recall is a rumor). Exact-ppm recall; queries missing from the
+    * ANN output entirely (empty probe bucket) surface as recall 0,
+    * not absent rows.
+    *
+    * Scale: both paths broadcast the query side (corpus never
+    * shuffles); production swaps the brute-force leg for a SAMPLED
+    * query set — which is what `queries` already is.
+    */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      planes: Int = 6): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("q_id"), col("vec_id"))
+    val ann = lshTopK(corpus, queries, k, planes)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_common"))
+      .select(col("q_id"), col("n_common"),
+        expr(s"n_common * 1000000 div ${k}L").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
   /** k-NN label-noise audit (Confident-Learning-shaped): for a
     * deterministic sample of labeled vectors, find the `k` nearest
     * corpus neighbors (same micro-cosine + tie contract as

@@ -778,6 +778,98 @@ object Stats {
       .orderBy("grp", "day")
   }
 
+  /** STL-lite seasonal-trend decomposition of per-group daily counts:
+    * `cnt = trend + seasonal + resid`, integer-exact end to end —
+    * trend is the CALENDAR-centered 7-day mean (RANGE frame on the
+    * day number, so data gaps can't smear the window; edge days
+    * without the full ±3-day frame are dropped, not guessed),
+    * seasonal is the per-(group, day-of-week) lower median of the
+    * detrended series (q201's median contract), and the residual is
+    * what remains. The decomposition every seasonality-aware monitor
+    * (rate spikes, seasonal baselines) implicitly assumes — here
+    * materialized and verifiable component by component.
+    *
+    * Scale: daily counts are one combinable aggregate; every window
+    * after that runs over |group|·|days| rows (calendar-sized, not
+    * event-sized), partitioned per group.
+    */
+  def stlDecompose(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy("grp").orderBy("day").rangeBetween(-3, 3)
+    val tr = daily
+      .withColumn("win_n", count(lit(1)).over(wr))
+      .withColumn("win_sum", sum(col("cnt")).over(wr))
+      .where(col("win_n") === 7)
+      .select(col("grp"), col("day"), col("cnt"),
+        expr("win_sum div 7").as("trend"))
+      .withColumn("detr", col("cnt") - col("trend"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint() // median pass and output share it
+    val byDow = Window.partitionBy("grp", "dow")
+    val seas = tr
+      .withColumn("rn", row_number().over(byDow.orderBy("detr", "day")))
+      .withColumn("n", count(lit(1)).over(byDow))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("grp"), col("dow"), col("detr").as("seasonal"))
+    tr.join(broadcast(seas), Seq("grp", "dow"))
+      .select(col("grp"), col("day"), col("cnt"), col("trend"),
+        col("seasonal"),
+        (col("detr") - col("seasonal")).as("resid"))
+      .orderBy("grp", "day")
+  }
+
+  /** Holt linear (double-exponential) smoothing over per-group daily
+    * counts, integer milli-units: `l' = (α·c·1000 + (1000−α)·(l+b))
+    * div 1000`, `b' = (β·(l'−l) + (1000−β)·b) div 1000` with α=500,
+    * β=300 — the one-step-ahead forecast `l+b` a capacity monitor
+    * publishes next to the raw trend. The recurrence is inherently
+    * sequential IN DAYS, so it folds a SORTED bounded per-group day
+    * list through a HOF `aggregate` — never a driver loop, never an
+    * unbounded collect: the fold length is the calendar, not the
+    * data.
+    *
+    * The (l, b) state is PACKED into one BIGINT —
+    * `(l + 2³⁰)·2³¹ + (b + 2³⁰)` — because DuckDB 1.0's
+    * `list_reduce` miscomputes multi-field struct accumulators
+    * (verified: a two-step struct fold disagrees with its own
+    * single-step evaluation), and the oracle must replay this fold
+    * bit for bit. The packing bounds |l|, |b| < 2³⁰ milli-units
+    * (≈ a billion events/day/group) — far above any real group.
+    */
+  def holtForecast(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("cnt"))
+    val L = "(acc div 2147483648L - 1073741824L)"
+    val B = "(acc % 2147483648L - 1073741824L)"
+    val NL = s"((500 * c + 500 * ($L + $B)) div 1000)"
+    val NB = s"((300 * ($NL - $L) + 700 * $B) div 1000)"
+    daily.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("ds"), count(lit(1)).as("n_days"))
+      .select(col("grp"), col("n_days"),
+        expr(s"""aggregate(
+          slice(transform(ds, x -> x.cnt * 1000L), 2, size(ds) - 1),
+          (ds[0].cnt * 1000L + 1073741824L) * 2147483648L + 1073741824L,
+          (acc, c) -> ($NL + 1073741824L) * 2147483648L
+                      + ($NB + 1073741824L),
+          acc -> named_struct(
+            'l', acc div 2147483648L - 1073741824L,
+            'b', acc % 2147483648L - 1073741824L))""").as("st"))
+      .select(col("grp"), col("n_days"),
+        col("st.l").as("level_milli"), col("st.b").as("trend_milli"),
+        (col("st.l") + col("st.b")).as("forecast_milli"))
+      .orderBy("grp")
+  }
+
   /** Grid-density outlier detection (the DBSCAN-core counting step,
     * relationally): bucket events onto a bounded 2-D grid
     * (value-band × hour-of-day), sum each cell's 3×3 neighborhood

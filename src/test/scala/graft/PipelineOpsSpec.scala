@@ -816,6 +816,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r === Seq((0L, 10L, 1, 1)))
   }
 
+  test("alignSpans: diagonal run found with exact starts and length") {
+    // shared contiguous block "a b c d" → 3-gram matches "a b c"
+    // (1,1) and "b c d" (2,2) on diagonal 0 → one run of length 2
+    val docs = Seq((1L, "x a b c d y"), (2L, "q a b c d z w"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.DocDedup.alignSpans(docs, minShared = 2L).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert((x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) === ((1L, 2L)))
+    assert(x.getAs[Long]("n_matches") === 2L)
+    assert(x.getAs[Long]("run_len") === 2L)
+    assert((x.getAs[Long]("start_a"), x.getAs[Long]("start_b")) === ((1L, 1L)))
+    // below the shared threshold nothing is emitted
+    assert(graft.ops.DocDedup.alignSpans(docs, minShared = 3L).count() === 0)
+  }
+
+  test("annRecallReport: co-bucketed corpus gives full recall") {
+    // near-identical positive vectors share every SRP sign → one
+    // bucket → the LSH path sees the whole corpus → recall 10⁶
+    val pts = (0L until 8L).map(i =>
+      (i, Array(1.0f, 0.5f + 0.001f * i, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity
+      .annRecallReport(pts, pts.where(col("vec_id") < 2), k = 3)
+      .collect()
+    assert(r.length === 2)
+    assert(r.forall(_.getAs[Long]("recall_ppm") === 1000000L))
+  }
+
   test("whitenEmbeddings: exact z on a hand pair; zero-variance dim drops") {
     val pts = Seq((1L, Array(1.0f, 3.0f)), (2L, Array(3.0f, 3.0f)))
       .toDF("vec_id", "embedding")

@@ -474,6 +474,39 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.map(_._1) === Seq(0L, 7L, 14L))
   }
 
+  test("stlDecompose: components sum back to the count; edges drop") {
+    val ev = Tables(spark, sf("sf0.01"), "events")
+    val r = Stats.stlDecompose(ev).collect()
+    assert(r.nonEmpty)
+    // the decomposition identity holds on every emitted row
+    assert(r.forall(x => x.getAs[Long]("cnt") ===
+      x.getAs[Long]("trend") + x.getAs[Long]("seasonal") +
+        x.getAs[Long]("resid")))
+    // edge days without the full ±3 calendar window are dropped:
+    // per group, emitted days are a strict interior of the raw span
+    val rawDays = ev.where(col("event_type") === "click")
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(min("d"), max("d")).head()
+    val emitted = r.filter(_.getAs[String]("grp") == "click")
+      .map(_.getAs[Long]("day"))
+    assert(emitted.min === rawDays.getLong(0) + 3)
+    assert(emitted.max === rawDays.getLong(1) - 3)
+  }
+
+  test("holtForecast: exact hand fold") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // days 0,1,2 with counts 10,12,14 → l=12650, b=705, f=13355 milli
+    val rows = (0 to 2).flatMap(d => (1 to 10 + 2 * d).map(i =>
+      ("g", d * 86400L + i)))
+    val d = rows.toDF("event_type", "sec")
+      .select(col("event_type"), to_timestamp(col("sec")).as("ts"))
+    val r = Stats.holtForecast(d).collect().head
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Long]("level_milli") === 12650L)
+    assert(r.getAs[Long]("trend_milli") === 705L)
+    assert(r.getAs[Long]("forecast_milli") === 13355L)
+  }
+
   test("gridDensityOutliers: lone cell flagged, dense cluster passes") {
     import org.apache.spark.sql.functions.to_timestamp
     // 12 events in one (band, hour) cell — density 12 > 10, clean;
