@@ -5783,5 +5783,133 @@ private[graft] object QueriesPipeline {
               |  ON ann.q_id = ex.q_id AND ann.vec_id = ex.vec_id
               |GROUP BY ex.q_id
               |ORDER BY q_id""".stripMargin)),
+
+    // Lang-ID eval: per-class precision/recall/F1 of q28's heuristic
+    // against ground truth, classes = truth ∪ predictions, exact ppm
+    // with 0/0 guards. The confusion-matrix marginal report.
+    Q("q228_langid_eval",
+      (s, dir) => TextAnalysis.langIdEval(Tables(s, dir, "documents")),
+      Some("""WITH sc AS (SELECT doc_id, lang AS truth,
+             |    len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+             |    len(list_filter(string_split(text,' '),
+             |      t -> t IN ('el','la','de','los','y','en','es'))) AS s_es,
+             |    len(list_filter(string_split(text,' '),
+             |      t -> t IN ('le','la','de','les','et','en','est'))) AS s_fr
+             |  FROM documents),
+             |pr AS (SELECT truth,
+             |    CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+             |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |         WHEN s_es >= s_fr THEN 'es'
+             |         ELSE 'fr' END AS pred
+             |  FROM sc),
+             |cells AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM pr GROUP BY 1, 2),
+             |classes AS (SELECT truth AS cls FROM cells
+             |  UNION SELECT pred FROM cells),
+             |tt AS (SELECT truth AS cls, CAST(SUM(c) AS BIGINT) AS n_truth
+             |  FROM cells GROUP BY 1),
+             |pt AS (SELECT pred AS cls, CAST(SUM(c) AS BIGINT) AS n_pred
+             |  FROM cells GROUP BY 1),
+             |tp AS (SELECT truth AS cls, c AS tp FROM cells
+             |  WHERE truth = pred),
+             |j AS (SELECT cl.cls,
+             |    COALESCE(tp.tp, 0) AS tp,
+             |    COALESCE(tt.n_truth, 0) AS n_truth,
+             |    COALESCE(pt.n_pred, 0) AS n_pred
+             |  FROM classes cl
+             |  LEFT JOIN tt ON tt.cls = cl.cls
+             |  LEFT JOIN pt ON pt.cls = cl.cls
+             |  LEFT JOIN tp ON tp.cls = cl.cls),
+             |pr2 AS (SELECT cls, tp, n_truth, n_pred,
+             |    CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred
+             |         ELSE 0 END AS precision_ppm,
+             |    CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth
+             |         ELSE 0 END AS recall_ppm
+             |  FROM j)
+             |SELECT cls, tp, n_truth, n_pred, precision_ppm, recall_ppm,
+             |  CASE WHEN precision_ppm + recall_ppm > 0
+             |    THEN 2 * precision_ppm * recall_ppm //
+             |         (precision_ppm + recall_ppm)
+             |    ELSE 0 END AS f1_ppm
+             |FROM pr2 ORDER BY cls""".stripMargin)),
+
+    // Referential-integrity sweep over the declared FK graph: child
+    // rows, distinct keys, orphans per relationship — each check one
+    // broadcast anti-join, unioned into the report.
+    Q("q229_integrity_sweep",
+      (s, dir) => Audit.integritySweep(Seq(
+        ("customer.nation", Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"),
+        ("lineitem.orders", Tables(s, dir, "lineitem"), "l_orderkey",
+          Tables(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.part", Tables(s, dir, "lineitem"), "l_partkey",
+          Tables(s, dir, "part"), "p_partkey"),
+        ("lineitem.supplier", Tables(s, dir, "lineitem"), "l_suppkey",
+          Tables(s, dir, "supplier"), "s_suppkey"),
+        ("nation.region", Tables(s, dir, "nation"), "n_regionkey",
+          Tables(s, dir, "region"), "r_regionkey"),
+        ("orders.customer", Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"),
+        ("supplier.nation", Tables(s, dir, "supplier"), "s_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"))),
+      Some("""SELECT 'customer.nation' AS fk,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             |   WHERE c_nationkey IS NOT NULL) AS child_rows,
+             |  (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+             |   FROM customer) AS child_keys,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             |   WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+             |     (SELECT n_nationkey FROM nation
+             |      WHERE n_nationkey IS NOT NULL)) AS orphan_rows
+             |UNION ALL SELECT 'lineitem.orders',
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_orderkey IS NOT NULL),
+             |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+             |     (SELECT o_orderkey FROM orders
+             |      WHERE o_orderkey IS NOT NULL))
+             |UNION ALL SELECT 'lineitem.part',
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_partkey IS NOT NULL),
+             |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+             |     (SELECT p_partkey FROM part
+             |      WHERE p_partkey IS NOT NULL))
+             |UNION ALL SELECT 'lineitem.supplier',
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_suppkey IS NOT NULL),
+             |  (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+             |  (SELECT COUNT(*) FROM lineitem
+             |   WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
+             |     (SELECT s_suppkey FROM supplier
+             |      WHERE s_suppkey IS NOT NULL))
+             |UNION ALL SELECT 'nation.region',
+             |  (SELECT COUNT(*) FROM nation
+             |   WHERE n_regionkey IS NOT NULL),
+             |  (SELECT COUNT(DISTINCT n_regionkey) FROM nation),
+             |  (SELECT COUNT(*) FROM nation
+             |   WHERE n_regionkey IS NOT NULL AND n_regionkey NOT IN
+             |     (SELECT r_regionkey FROM region
+             |      WHERE r_regionkey IS NOT NULL))
+             |UNION ALL SELECT 'orders.customer',
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey IS NOT NULL),
+             |  (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             |  (SELECT COUNT(*) FROM orders
+             |   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+             |     (SELECT c_custkey FROM customer
+             |      WHERE c_custkey IS NOT NULL))
+             |UNION ALL SELECT 'supplier.nation',
+             |  (SELECT COUNT(*) FROM supplier
+             |   WHERE s_nationkey IS NOT NULL),
+             |  (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+             |  (SELECT COUNT(*) FROM supplier
+             |   WHERE s_nationkey IS NOT NULL AND s_nationkey NOT IN
+             |     (SELECT n_nationkey FROM nation
+             |      WHERE n_nationkey IS NOT NULL))
+             |ORDER BY fk""".stripMargin)),
   )
 }

@@ -351,6 +351,29 @@ object Audit {
     * [[lDiversity]]: those audit the raw table, this gates what
     * leaves it.
     */
+  /** Referential-integrity sweep: one report row per declared FK
+    * relationship — child row count, distinct child keys, and orphan
+    * rows (child keys absent from the parent) — the whole-schema
+    * version of [[orphanCount]] a warehouse runs after every load.
+    * Each check is one anti-join (parent side broadcast when small)
+    * + combinable counts; checks are independent and union at the
+    * end, so the sweep parallelizes across relationships.
+    */
+  def integritySweep(
+      fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    fks.map { case (name, child, childKey, parent, parentKey) =>
+      val c = child.select(col(childKey).as("k")).where(col("k").isNotNull)
+      val p = parent.select(col(parentKey).as("k")).where(col("k").isNotNull)
+        .distinct()
+      val orphans = c.join(broadcast(p), Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("child_rows"),
+          countDistinct(col("k")).as("child_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows")))
+        .select(lit(name).as("fk"), col("child_rows"), col("child_keys"),
+          col("orphan_rows"))
+    }.reduce(_.unionByName(_)).orderBy("fk")
+  }
+
   /** Join-cardinality preflight: estimate `|A ⋈ B|` from two
     * m-bucket key histograms (`Σ_b cntA_b·cntB_b`) before running
     * the join, and report the estimate beside the exact count — the

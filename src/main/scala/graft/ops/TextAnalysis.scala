@@ -493,6 +493,51 @@ object TextAnalysis {
       .orderBy("pct")
   }
 
+  /** Per-class precision/recall/F1 of [[langId]] against the
+    * ground-truth `lang` column — the classifier eval report
+    * (confusion-matrix marginals) in exact ppm, classes = everything
+    * appearing as truth OR prediction (so a class the model never
+    * predicts shows precision 0 over 0 → reported as 0, recall
+    * honest). `f1_ppm = 2·p·r div (p + r)` with the 0/0 guard.
+    * One |classes|²-bounded aggregate; marginals fold from the cells.
+    */
+  def langIdEval(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val cells = langId(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("truth")),
+        "doc_id")
+      .groupBy(col("truth"), col("lang_pred").as("pred"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // marginals and tp probes share it
+    val classes = cells.select(col("truth").as("cls"))
+      .union(cells.select(col("pred").as("cls"))).distinct()
+    val truthTot = cells.groupBy(col("truth").as("cls"))
+      .agg(sum(col("c")).as("n_truth"))
+    val predTot = cells.groupBy(col("pred").as("cls"))
+      .agg(sum(col("c")).as("n_pred"))
+    val tp = cells.where(col("truth") === col("pred"))
+      .select(col("truth").as("cls"), col("c").as("tp"))
+    classes
+      .join(truthTot, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("tp * 1000000 div n_pred"))
+          .otherwise(lit(0L)))
+      .withColumn("recall_ppm",
+        when(col("n_truth") > 0, expr("tp * 1000000 div n_truth"))
+          .otherwise(lit(0L)))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          expr("2 * precision_ppm * recall_ppm div " +
+            "(precision_ppm + recall_ppm)")).otherwise(lit(0L)))
+      .orderBy("cls")
+  }
+
   /** Classifier reliability table: bin the [[qualityScore]] micro
     * score into fixed-width buckets and report, per bin, the count,
     * the mean score, and the empirical positive rate of a reference

@@ -153,6 +153,16 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("integritySweep: orphans counted per relationship, clean FKs zero") {
+    val child = Seq(1L, 2L, 9L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Audit.integritySweep(Seq(
+      ("bad.fk", child, "ck", parent, "pk"),
+      ("good.fk", parent, "pk", parent, "pk"))).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(("bad.fk", 3L, 3L, 1L), ("good.fk", 3L, 3L, 0L)))
+  }
+
   test("joinCardinalityEstimate: collision-free is exact, collisions only inflate") {
     val a = Seq(1L, 1L, 2L).toDF("ka")
     val b = Seq(1L, 2L, 2L, 3L).toDF("kb")

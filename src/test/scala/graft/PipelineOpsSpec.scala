@@ -770,6 +770,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.toSeq === Seq((50, 2L, 4L), (99, 3L, 5L)))
   }
 
+  test("langIdEval: exact per-class PRF including never-predicted classes") {
+    // en/es predicted right; zh exists only as truth (pred 'und'),
+    // und exists only as prediction
+    val docs = Seq((1L, "the a", "en"), (2L, "el la", "es"),
+      (3L, "xx yy", "zh")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langIdEval(docs).collect()
+      .map(x => x.getAs[String]("cls") ->
+        (x.getAs[Long]("tp"), x.getAs[Long]("n_truth"),
+          x.getAs[Long]("n_pred"), x.getAs[Long]("precision_ppm"),
+          x.getAs[Long]("recall_ppm"), x.getAs[Long]("f1_ppm"))).toMap
+    assert(r("en") === ((1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+    assert(r("es") === ((1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+    assert(r("zh") === ((0L, 1L, 0L, 0L, 0L, 0L)))
+    assert(r("und") === ((0L, 0L, 1L, 0L, 0L, 0L)))
+  }
+
   test("calibrationTable: exact bins, means and positive rates") {
     // "the the the the" en: ttr 250000, stop 1e6, len 40000 →
     // score 250000*3 + 1000000*2 + 40000 = 2790000 → bin 4, pos
