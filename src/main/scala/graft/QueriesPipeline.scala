@@ -5911,5 +5911,96 @@ private[graft] object QueriesPipeline {
              |     (SELECT n_nationkey FROM nation
              |      WHERE n_nationkey IS NOT NULL))
              |ORDER BY fk""".stripMargin)),
+
+    // Per-source dedup-rate dashboard: exact-duplicate share per
+    // source via the q30 fingerprint — the corpus-mix health metric
+    // a curation run reads before choosing dedup order.
+    Q("q230_source_dedup_rates",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val fp = d.select(col("source"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        fp.groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            countDistinct(col("fp")).as("uniq"))
+          .select(col("source"), col("docs"), col("uniq"),
+            (col("docs") - col("uniq")).as("dups"),
+            expr("(docs - uniq) * 1000000 div docs").as("dup_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH fp AS (SELECT source,
+             |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |  FROM documents)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+             |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS uniq,
+             |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dups,
+             |  (CAST(COUNT(*) AS BIGINT)
+             |   - CAST(COUNT(DISTINCT fp) AS BIGINT)) * 1000000
+             |    // COUNT(*) AS dup_ppm
+             |FROM fp GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Joinable-column discovery: exact value-set Jaccard between key
+    // columns across tables — the FK graph rediscovered from data
+    // (the MinHash-sketch column-matching baseline).
+    Q("q231_joinable_columns",
+      (s, dir) => Audit.joinableColumns(Seq(
+        ("customer.c_custkey", Tables(s, dir, "customer"), "c_custkey"),
+        ("customer.c_nationkey", Tables(s, dir, "customer"), "c_nationkey"),
+        ("lineitem.l_orderkey", Tables(s, dir, "lineitem"), "l_orderkey"),
+        ("lineitem.l_partkey", Tables(s, dir, "lineitem"), "l_partkey"),
+        ("lineitem.l_suppkey", Tables(s, dir, "lineitem"), "l_suppkey"),
+        ("nation.n_nationkey", Tables(s, dir, "nation"), "n_nationkey"),
+        ("orders.o_custkey", Tables(s, dir, "orders"), "o_custkey"),
+        ("orders.o_orderkey", Tables(s, dir, "orders"), "o_orderkey"),
+        ("part.p_partkey", Tables(s, dir, "part"), "p_partkey"),
+        ("supplier.s_nationkey", Tables(s, dir, "supplier"), "s_nationkey"),
+        ("supplier.s_suppkey", Tables(s, dir, "supplier"), "s_suppkey"))),
+      Some("""WITH m AS (
+             |  SELECT 'customer.c_custkey' AS cid,
+             |    CAST(c_custkey AS VARCHAR) AS v FROM customer
+             |    WHERE c_custkey IS NOT NULL
+             |  UNION SELECT 'customer.c_nationkey',
+             |    CAST(c_nationkey AS VARCHAR) FROM customer
+             |    WHERE c_nationkey IS NOT NULL
+             |  UNION SELECT 'lineitem.l_orderkey',
+             |    CAST(l_orderkey AS VARCHAR) FROM lineitem
+             |    WHERE l_orderkey IS NOT NULL
+             |  UNION SELECT 'lineitem.l_partkey',
+             |    CAST(l_partkey AS VARCHAR) FROM lineitem
+             |    WHERE l_partkey IS NOT NULL
+             |  UNION SELECT 'lineitem.l_suppkey',
+             |    CAST(l_suppkey AS VARCHAR) FROM lineitem
+             |    WHERE l_suppkey IS NOT NULL
+             |  UNION SELECT 'nation.n_nationkey',
+             |    CAST(n_nationkey AS VARCHAR) FROM nation
+             |    WHERE n_nationkey IS NOT NULL
+             |  UNION SELECT 'orders.o_custkey',
+             |    CAST(o_custkey AS VARCHAR) FROM orders
+             |    WHERE o_custkey IS NOT NULL
+             |  UNION SELECT 'orders.o_orderkey',
+             |    CAST(o_orderkey AS VARCHAR) FROM orders
+             |    WHERE o_orderkey IS NOT NULL
+             |  UNION SELECT 'part.p_partkey',
+             |    CAST(p_partkey AS VARCHAR) FROM part
+             |    WHERE p_partkey IS NOT NULL
+             |  UNION SELECT 'supplier.s_nationkey',
+             |    CAST(s_nationkey AS VARCHAR) FROM supplier
+             |    WHERE s_nationkey IS NOT NULL
+             |  UNION SELECT 'supplier.s_suppkey',
+             |    CAST(s_suppkey AS VARCHAR) FROM supplier
+             |    WHERE s_suppkey IS NOT NULL),
+             |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM m GROUP BY 1),
+             |ix AS (SELECT a.cid AS ca, b.cid AS cb,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM m a JOIN m b ON a.v = b.v AND a.cid < b.cid
+             |  GROUP BY 1, 2),
+             |j AS (SELECT ix.ca, ix.cb, ix.inter, sa.n AS na, sb.n AS nb,
+             |    ix.inter * 1000000 // (sa.n + sb.n - ix.inter) AS jac_ppm
+             |  FROM ix JOIN sz sa ON sa.cid = ix.ca
+             |  JOIN sz sb ON sb.cid = ix.cb)
+             |SELECT ca, cb, inter, na, nb, jac_ppm FROM j
+             |WHERE jac_ppm >= 10000
+             |ORDER BY ca, cb""".stripMargin)),
   )
 }

@@ -374,6 +374,38 @@ object Audit {
     }.reduce(_.unionByName(_)).orderBy("fk")
   }
 
+  /** Joinable-column discovery (schema matching by VALUES): melt the
+    * given `(table, column)` selections to distinct
+    * `(column-id, value)` pairs, self-join on value, and report each
+    * column pair's exact value-set Jaccard in ppm — "which columns
+    * would join" discovered from data, the FK graph without a
+    * catalog. At warehouse scale the exact distinct-join becomes the
+    * per-column MinHash sketch ([[DocDedup.sourceSimilarity]]'s
+    * shape — columns² sketch comparisons, no value join); the exact
+    * form here is the oracle-checkable baseline.
+    */
+  def joinableColumns(cols: Seq[(String, DataFrame, String)],
+      minJacPpm: Long = 10000L): DataFrame = {
+    val melted = cols.map { case (name, df, c) =>
+      df.select(lit(name).as("cid"), col(c).cast("string").as("v"))
+        .where(col("v").isNotNull).distinct()
+    }.reduce(_.unionByName(_)).localCheckpoint() // sizes + join share it
+    val sizes = melted.groupBy("cid").agg(count(lit(1)).as("n"))
+    val inter = melted.as("a").join(melted.as("b"),
+        col("a.v") === col("b.v") && col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("ca"), col("b.cid").as("cb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("cid").as("ca"), col("n").as("na"))),
+        "ca")
+      .join(broadcast(sizes.select(col("cid").as("cb"), col("n").as("nb"))),
+        "cb")
+      .select(col("ca"), col("cb"), col("inter"), col("na"), col("nb"),
+        expr("inter * 1000000 div (na + nb - inter)").as("jac_ppm"))
+      .where(col("jac_ppm") >= minJacPpm)
+      .orderBy("ca", "cb")
+  }
+
   /** Join-cardinality preflight: estimate `|A ⋈ B|` from two
     * m-bucket key histograms (`Σ_b cntA_b·cntB_b`) before running
     * the join, and report the estimate beside the exact count — the

@@ -163,6 +163,18 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r.toSeq === Seq(("bad.fk", 3L, 3L, 1L), ("good.fk", 3L, 3L, 0L)))
   }
 
+  test("joinableColumns: overlapping keys found with exact Jaccard, disjoint cut") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val b = Seq(3L, 4L, 5L).toDF("k")
+    val c = Seq(100L, 200L).toDF("k")
+    val r = Audit.joinableColumns(Seq(("t1.k", a, "k"), ("t2.k", b, "k"),
+      ("t3.k", c, "k"))).collect()
+      .map(x => ((x.getString(0), x.getString(1)),
+        (x.getAs[Long]("inter"), x.getAs[Long]("jac_ppm")))).toMap
+    // |{3,4}| / |{1..5}| = 2/5 = 400000 ppm; t3 is disjoint from both
+    assert(r === Map(("t1.k", "t2.k") -> ((2L, 400000L))))
+  }
+
   test("joinCardinalityEstimate: collision-free is exact, collisions only inflate") {
     val a = Seq(1L, 1L, 2L).toDF("ka")
     val b = Seq(1L, 2L, 2L, 3L).toDF("kb")
