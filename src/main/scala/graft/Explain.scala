@@ -41,7 +41,8 @@ object Explain {
       "q209_bootstrap_ci", "q211_kcore", "q212_knn_label_audit",
       "q213_grid_density_outliers", "q214_mutual_knn",
       "q216_next_event_eval", "q217_whiten_embeddings", "q219_tpch_q8",
-      "q223_negative_samples")
+      "q223_negative_samples", "q224_stl_decompose", "q226_align_spans",
+      "q227_ann_recall", "q231_joinable_columns")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
