@@ -6002,5 +6002,56 @@ private[graft] object QueriesPipeline {
              |SELECT ca, cb, inter, na, nb, jac_ppm FROM j
              |WHERE jac_ppm >= 10000
              |ORDER BY ca, cb""".stripMargin)),
+
+    // Length-balanced shard assignment: LPT-style round-robin deal
+    // over the no-global-sort token ranking; per-shard totals and
+    // signed ppm deviation from the ideal share.
+    Q("q232_balanced_shards",
+      (s, dir) => Curation.balancedShards(Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id AS id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |r AS (SELECT id, toks, ROW_NUMBER() OVER
+             |    (ORDER BY -toks, id) AS rn FROM t),
+             |a AS (SELECT toks, (rn - 1) % 8 AS shard FROM r),
+             |sh AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(toks) AS BIGINT) AS tokens
+             |  FROM a GROUP BY 1),
+             |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS grand FROM sh)
+             |SELECT sh.shard AS shard, sh.n_docs AS n_docs,
+             |  sh.tokens AS tokens,
+             |  (sh.tokens * 8 - g.grand) * 1000000 // g.grand AS dev_ppm
+             |FROM sh CROSS JOIN g ORDER BY shard""".stripMargin)),
+
+    // Matryoshka truncation distortion: mean |cos_prefix − cos_full|
+    // per dimension prefix over the sampled pair set — which prefix
+    // is safe to index before the q131 full-vector re-rank.
+    Q("q233_mrl_distortion",
+      (s, dir) => Similarity.mrlDistortion(Tables(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id % 20 = 0),
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    a.v AS va, b.v AS vb
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+              |f AS (SELECT a_id, b_id, va, vb,
+              |    CAST(floor((${duckCos("va", "vb")}) * 1000000)
+              |      AS BIGINT) AS cos_full
+              |  FROM p),
+              |x AS (
+              |  SELECT 8 AS dim, abs(CAST(floor(
+              |      (${duckCos("va[1:8]", "vb[1:8]")}) * 1000000)
+              |      AS BIGINT) - cos_full) AS err FROM f
+              |  UNION ALL
+              |  SELECT 16, abs(CAST(floor(
+              |      (${duckCos("va[1:16]", "vb[1:16]")}) * 1000000)
+              |      AS BIGINT) - cos_full) FROM f
+              |  UNION ALL
+              |  SELECT 32, abs(CAST(floor(
+              |      (${duckCos("va[1:32]", "vb[1:32]")}) * 1000000)
+              |      AS BIGINT) - cos_full) FROM f)
+              |SELECT CAST(dim AS BIGINT) AS dim,
+              |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  CAST(SUM(err) AS BIGINT) // COUNT(*) AS mean_abs_err_e6
+              |FROM x GROUP BY dim ORDER BY dim""".stripMargin)),
   )
 }

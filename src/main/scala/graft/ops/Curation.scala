@@ -776,6 +776,37 @@ object Curation {
       .limit(k)
   }
 
+  /** Length-balanced training-shard assignment: rank documents by
+    * token count (descending, id tiebreak) WITHOUT a global sort
+    * ([[Par.globalRowNumber]]) and deal them round-robin across `w`
+    * shards — the distributed stand-in for LPT bin packing (dealing
+    * in descending size order bounds any shard's excess by one
+    * largest-remaining doc per round, the greedy-multiway-partition
+    * guarantee). Returns the per-shard report: doc count, token
+    * total, and signed deviation from the ideal share in ppm — the
+    * imbalance number a training job reads before accepting the
+    * layout. Per-doc assignments are a `shard` column on the ranked
+    * frame, derivable by the same two-pass rank at any scale.
+    */
+  def balancedShards(docs: DataFrame, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("toks"))
+      .withColumn("neg", -col("toks"))
+    val ranked = Par.globalRowNumber(toks, Seq("neg", "id"))
+      .withColumn("shard", pmod(col("rownum") - 1, lit(w.toLong)))
+    val shards = ranked.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val total = shards.agg(sum(col("tokens")).as("grand"))
+    shards.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr(s"(tokens * ${w}L - grand) * 1000000 div grand")
+          .as("dev_ppm"))
+      .orderBy("shard")
+  }
+
   /** Seeded negative sampling for contrastive training pairs: for
     * each anchor (a deterministic 1-in-`sampleMod` sample), draw `k`
     * pseudo-random corpus documents by seeded hash over a DENSE id

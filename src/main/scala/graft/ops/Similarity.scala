@@ -483,6 +483,38 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Matryoshka truncation distortion report: over a deterministic
+    * pair sample, compare full-dimension micro-cosine against the
+    * cosine of each dimension PREFIX (8/16/32/...) and report the
+    * mean absolute error per prefix — the measurement behind "serve
+    * the 16-dim prefix, re-rank with the full vector" (q131's
+    * two-stage shape): it tells you which prefix is safe to index.
+    * Same left-fold cosine contract as [[bruteForceTopK]], exact
+    * micro arithmetic; pair sample is `id % sampleMod == 0` both
+    * sides, `a < b`.
+    */
+  def mrlDistortion(emb: DataFrame, prefixes: Seq[Int] = Seq(8, 16, 32),
+      sampleMod: Int = 20, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.where(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pairs = Par.spread(s.select(col("id").as("a_id"),
+        col("vec").as("va")))
+      .join(broadcast(s.select(col("id").as("b_id"), col("vec").as("vb"))),
+        col("a_id") < col("b_id"))
+      .withColumn("cos_full", cosineMicro(col("va"), col("vb")))
+    val perPrefix = prefixes.map { d =>
+      pairs.select(lit(d.toLong).as("dim"),
+        abs(cosineMicro(slice(col("va"), 1, d), slice(col("vb"), 1, d))
+          - col("cos_full")).as("err"))
+    }.reduce(_.unionByName(_))
+    perPrefix.groupBy("dim")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("err_sum"))
+      .select(col("dim"), col("n_pairs"),
+        expr("err_sum div n_pairs").as("mean_abs_err_e6"))
+      .orderBy("dim")
+  }
+
   /** Standing ANN recall report: run the SRP-LSH top-k
     * ([[lshTopK]]) and the exact brute-force top-k
     * ([[bruteForceTopK]]) over the SAME queries with the SAME

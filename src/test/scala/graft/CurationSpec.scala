@@ -344,6 +344,19 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq === wantA)
   }
 
+  test("balancedShards: LPT deal and exact deviation report") {
+    import org.apache.spark.sql.functions.col
+    // token sizes 10,8,2,1 into 2 shards: descending deal → shard0
+    // gets {10,2}=12, shard1 gets {8,1}=9; grand 21
+    val docs = Seq((1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(8)("w").mkString(" ")),
+      (3L, "w w"), (4L, "w")).toDF("doc_id", "text")
+    val r = Curation.balancedShards(docs, w = 2).collect()
+      .map(x => (x.getAs[Long]("shard"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("tokens"), x.getAs[Long]("dev_ppm"))).toSeq
+    assert(r === Seq((0L, 2L, 12L, 142857L), (1L, 2L, 9L, -142857L)))
+  }
+
   test("negativeSamples: seeded draws resolve via dense rank, dups dropped") {
     import org.apache.spark.sql.functions.col
     def mix31(v: Long): Long = {

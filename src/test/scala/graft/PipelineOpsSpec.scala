@@ -861,6 +861,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.forall(_.getAs[Long]("recall_ppm") === 1000000L))
   }
 
+  test("mrlDistortion: full-length prefix has zero error, short prefix real error") {
+    val pts = Seq((0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (40L, Array(1.0f, 1.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.mrlDistortion(pts, prefixes = Seq(2, 4))
+      .collect().map(x => x.getAs[Long]("dim") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Long]("mean_abs_err_e6"))).toMap
+    assert(r(4L) === ((3L, 0L))) // prefix = full vector → exact
+    assert(r(2L)._1 === 3L)
+    assert(r(2L)._2 > 0L) // dropping the shared 4th dim distorts
+  }
+
   test("whitenEmbeddings: exact z on a hand pair; zero-variance dim drops") {
     val pts = Seq((1L, Array(1.0f, 3.0f)), (2L, Array(3.0f, 3.0f)))
       .toDF("vec_id", "embedding")
