@@ -6053,5 +6053,79 @@ private[graft] object QueriesPipeline {
               |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
               |  CAST(SUM(err) AS BIGINT) // COUNT(*) AS mean_abs_err_e6
               |FROM x GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // Rocchio PRF expansion: BM25 feedback set → terms ranked by
+    // feedback-vs-corpus rate lift (cross-multiplied exact), query
+    // terms and singleton-feedback terms excluded.
+    Q("q234_prf_expansion",
+      (s, dir) => TextAnalysis.prfExpansion(Tables(s, dir, "documents"),
+        Seq("spark", "join", "window")),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot
+             |  FROM base),
+             |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, dl, unnest(t) AS w FROM base)
+             |  WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+             |dfT AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+             |  FROM tf GROUP BY 1),
+             |fb AS (SELECT tf.doc_id AS doc_id,
+             |    CAST(SUM(
+             |      (((st.n - dfT.df + 1) * 1000000) // (dfT.df + 1))
+             |        * 88000 * tf.tf
+             |      // (40000 * tf.tf + 12000
+             |          + 36 * ((1000 * tf.dl * st.n) // st.tot))
+             |    ) AS BIGINT) AS score
+             |  FROM tf CROSS JOIN st JOIN dfT USING (w)
+             |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20),
+             |dw AS (SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, unnest(t) AS w FROM base) WHERE w <> ''),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+             |ka AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM fb),
+             |dfa AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM dw GROUP BY 1),
+             |fbdf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS fb_df
+             |  FROM dw JOIN fb USING (doc_id)
+             |  WHERE w NOT IN ('spark', 'join', 'window')
+             |  GROUP BY 1 HAVING COUNT(*) >= 2)
+             |SELECT fbdf.w AS term, fbdf.fb_df AS fb_df,
+             |  dfa.df AS corpus_df,
+             |  fbdf.fb_df * nn.n * 1000000 // (ka.k * dfa.df)
+             |    AS lift_ppm
+             |FROM fbdf JOIN dfa USING (w) CROSS JOIN nn CROSS JOIN ka
+             |ORDER BY lift_ppm DESC, fb_df DESC, term
+             |LIMIT 10""".stripMargin)),
+
+    // One-way variance decomposition: eta² of value by event_type in
+    // ppm — the effect-size gate before trusting a per-group
+    // breakdown. Milli-exact SS terms against truncated means.
+    Q("q235_variance_decomposition",
+      (s, dir) => Stats.varianceDecomposition(Tables(s, dir, "events")),
+      Some("""WITH x AS (SELECT event_type AS grp,
+             |    CAST(floor(value * 1000) AS BIGINT) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+             |    CAST(SUM(x) AS BIGINT) AS s_g
+             |  FROM x GROUP BY 1),
+             |g2 AS (SELECT grp, n_g, s_g, s_g // n_g AS mean_g FROM g),
+             |grand AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             |    CAST(SUM(s_g) AS BIGINT) // CAST(SUM(n_g) AS BIGINT)
+             |      AS mean
+             |  FROM g2),
+             |ssw AS (SELECT CAST(SUM((x.x - g2.mean_g) * (x.x - g2.mean_g))
+             |      AS BIGINT) AS ssw
+             |  FROM x JOIN g2 ON g2.grp = x.grp),
+             |ssb AS (SELECT CAST(SUM(n_g * (mean_g - grand.mean)
+             |      * (mean_g - grand.mean)) AS BIGINT) AS ssb,
+             |    CAST(COUNT(*) AS BIGINT) AS n_groups
+             |  FROM g2 CROSS JOIN grand)
+             |SELECT grand.n AS n, ssb.n_groups AS n_groups,
+             |  ssb.ssb AS ssb, ssw.ssw AS ssw,
+             |  CAST(floor(CAST(ssb.ssb AS DOUBLE) * 1000000 /
+             |    CAST(ssb.ssb + ssw.ssw AS DOUBLE)) AS BIGINT)
+             |    AS eta2_ppm
+             |FROM grand CROSS JOIN ssb CROSS JOIN ssw""".stripMargin)),
   )
 }

@@ -778,6 +778,43 @@ object Stats {
       .orderBy("grp", "day")
   }
 
+  /** One-way variance decomposition (ANOVA sums of squares): how much
+    * of a metric's variance the grouping axis explains —
+    * `eta² = SSB/(SSB+SSW)` in ppm, the effect-size gate before
+    * trusting a per-group breakdown (a grouping with eta² ≈ 0 is
+    * noise dressed as insight). Milli-unit integers end to end;
+    * group and grand means are truncated integer means and the SS
+    * terms are defined against THOSE means (the exactness contract —
+    * both engines replay the identical arithmetic); only the final
+    * ppm ratio goes through a double floor (exact cross-multiply
+    * would overflow BIGINT at warehouse row counts).
+    * Two combinable aggregates + one broadcast-means second pass.
+    */
+  def varianceDecomposition(events: DataFrame,
+      grpCol: String = "event_type", valCol: String = "value"): DataFrame = {
+    val x = events
+      .where(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        expr(s"CAST(floor($valCol * 1000) AS BIGINT)").as("x"))
+      .localCheckpoint() // group stats and the deviation pass share it
+    val g = x.groupBy("grp")
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+      .withColumn("mean_g", expr("s_g div n_g"))
+    val grand = g.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"))
+      .withColumn("mean", expr("s div n"))
+    val ssw = x.join(broadcast(g.select(col("grp"), col("mean_g"))), "grp")
+      .agg(sum((col("x") - col("mean_g")) * (col("x") - col("mean_g")))
+        .as("ssw"))
+    val ssb = g.crossJoin(broadcast(grand.select(col("mean"))))
+      .agg(sum(col("n_g") * (col("mean_g") - col("mean"))
+        * (col("mean_g") - col("mean"))).as("ssb"),
+        count(lit(1)).as("n_groups"))
+    grand.select(col("n")).crossJoin(ssb).crossJoin(ssw)
+      .select(col("n"), col("n_groups"), col("ssb"), col("ssw"),
+        expr("CAST(floor(CAST(ssb AS DOUBLE) * 1000000 / " +
+          "CAST(ssb + ssw AS DOUBLE)) AS BIGINT)").as("eta2_ppm"))
+  }
+
   /** STL-lite seasonal-trend decomposition of per-group daily counts:
     * `cnt = trend + seasonal + resid`, integer-exact end to end —
     * trend is the CALENDAR-centered 7-day mean (RANGE frame on the

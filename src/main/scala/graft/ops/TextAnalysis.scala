@@ -493,6 +493,44 @@ object TextAnalysis {
       .orderBy("pct")
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio's term-
+    * selection half): retrieve the [[bm25TopK]] feedback set for the
+    * query, then rank candidate expansion terms by how over-
+    * represented they are in the feedback docs vs the corpus —
+    * `lift = (fb_df/|fb|) / (df/N)` cross-multiplied exact
+    * (`fb_df·N·10⁶ div (|fb|·df)`), original query terms and
+    * singleton feedback terms excluded. The classic zero-training
+    * retrieval-quality lever; the output IS the expanded query.
+    *
+    * Scale: the feedback set is ≤ k doc ids (broadcast semi-join);
+    * corpus df is one combinable distinct-aggregate (shared with any
+    * BM25 index build); candidate ranking tops out at the feedback
+    * vocabulary.
+    */
+  def prfExpansion(docs: DataFrame, terms: Seq[String], kDocs: Int = 20,
+      topTerms: Int = 10, minFbDf: Long = 2L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fb = bm25TopK(docs, terms, kDocs, textCol, idCol)
+      .select(col("doc_id"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    val dw = base.select(col("doc_id"), explode(col("t")).as("w"))
+      .where(col("w") =!= "").distinct()
+      .localCheckpoint() // corpus df and feedback df share it
+    val n = base.count()
+    val kActual = fb.count()
+    val dfAll = dw.groupBy("w").agg(count(lit(1)).as("df"))
+    val fbDf = dw.join(broadcast(fb), "doc_id")
+      .groupBy("w").agg(count(lit(1)).as("fb_df"))
+      .where(col("fb_df") >= minFbDf && !col("w").isin(terms: _*))
+    fbDf.join(dfAll, "w")
+      .select(col("w").as("term"), col("fb_df"), col("df").as("corpus_df"),
+        expr(s"fb_df * ${n}L * 1000000 div (${kActual}L * corpus_df)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("fb_df").desc, col("term"))
+      .limit(topTerms)
+  }
+
   /** Per-class precision/recall/F1 of [[langId]] against the
     * ground-truth `lang` column — the classifier eval report
     * (confusion-matrix marginals) in exact ppm, classes = everything

@@ -770,6 +770,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.toSeq === Seq((50, 2L, 4L), (99, 3L, 5L)))
   }
 
+  test("prfExpansion: feedback-co-occurring term surfaces with exact lift") {
+    // query 'apple' retrieves docs 1-2; 'banana' rides along in both;
+    // 'cherry' lives only outside the feedback set
+    val docs = Seq((1L, "apple banana"), (2L, "apple banana"),
+      (3L, "cherry x"), (4L, "cherry y"), (5L, "cherry z"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.prfExpansion(docs, Seq("apple"))
+      .collect().map(x => (x.getAs[String]("term"), x.getAs[Long]("fb_df"),
+        x.getAs[Long]("corpus_df"), x.getAs[Long]("lift_ppm"))).toSeq
+    // lift = (2/2) / (2/5) = 2.5 → 2500000 ppm; apple itself excluded
+    assert(r === Seq(("banana", 2L, 2L, 2500000L)))
+  }
+
   test("langIdEval: exact per-class PRF including never-predicted classes") {
     // en/es predicted right; zh exists only as truth (pred 'und'),
     // und exists only as prediction

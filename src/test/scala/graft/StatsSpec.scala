@@ -474,6 +474,21 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.map(_._1) === Seq(0L, 7L, 14L))
   }
 
+  test("varianceDecomposition: pure between and pure within extremes") {
+    val between = Seq(("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0))
+      .toDF("event_type", "value")
+    val rb = Stats.varianceDecomposition(between).collect().head
+    assert(rb.getAs[Long]("ssw") === 0L)
+    assert(rb.getAs[Long]("ssb") === 4000000L)
+    assert(rb.getAs[Long]("eta2_ppm") === 1000000L)
+    val within = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("event_type", "value")
+    val rw = Stats.varianceDecomposition(within).collect().head
+    assert(rw.getAs[Long]("ssb") === 0L)
+    assert(rw.getAs[Long]("ssw") === 4000000L)
+    assert(rw.getAs[Long]("eta2_ppm") === 0L)
+  }
+
   test("stlDecompose: components sum back to the count; edges drop") {
     val ev = Tables(spark, sf("sf0.01"), "events")
     val r = Stats.stlDecompose(ev).collect()
