@@ -394,6 +394,44 @@ private[graft] object QueriesPipeline {
     s"xor($x2, $x2 // 4096)"
   }
 
+  /** TPC-H Q12 shape (shipping-mode priority mix): join + two-way
+    * conditional count per mode axis; `l_returnflag` stands in for
+    * the reference schema's `l_shipmode` (not in the synthetic
+    * table).
+    */
+  private val TpchQ12Sql =
+    """SELECT l.l_returnflag AS mode,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT',
+      |    '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin
+
+  /** TPC-H Q16 shape (supplier diversity per part attribute):
+    * distinct-supplier counts per (brand, type, size) with a brand
+    * exclusion and a NOT IN supplier blacklist; supplier-part pairs
+    * derive from lineitem (the synthetic schema has no partsupp),
+    * the blacklist is negative-balance suppliers (no comment
+    * column).
+    */
+  private val TpchQ16Sql =
+    """SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+      |  p.p_size AS p_size,
+      |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#5'
+      |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |    WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   /** DuckDB replay of `Stats.holtForecast`'s packed-scalar Holt fold
     * (see the op's scaladoc for why the state is one BIGINT): same
     * constants, same truncating divisions, unpacked at the end.
@@ -6127,5 +6165,82 @@ private[graft] object QueriesPipeline {
              |    CAST(ssb.ssb + ssw.ssw AS DOUBLE)) AS BIGINT)
              |    AS eta2_ppm
              |FROM grand CROSS JOIN ssb CROSS JOIN ssw""".stripMargin)),
+
+    // Split-calibrated threshold: deepest calibration-prefix cutoff
+    // meeting the precision floor (max recall at target), graded on
+    // the held-out split. Prefix scan via the two-pass primitives —
+    // no single-partition window.
+    Q("q236_threshold_calibration",
+      (s, dir) => TextAnalysis.thresholdCalibration(
+        Tables(s, dir, "documents")),
+      Some(s"""WITH f AS (SELECT doc_id, lang,
+              |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+              |    CAST(len(list_distinct(string_split(text,' ')))
+              |      AS BIGINT) AS n_uniq,
+              |    CAST(len(list_filter(string_split(text,' '),
+              |        t -> t IN ('the','a','of','and','to','in','is')))
+              |      AS BIGINT) AS stop_cnt
+              |  FROM documents),
+              |sc AS (SELECT doc_id,
+              |    CAST((n_uniq*1000000)//n_words AS BIGINT) * 3
+              |      + CAST((stop_cnt*1000000)//n_words AS BIGINT) * 2
+              |      + least(n_words, 100) * 10000 AS score_micro,
+              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+              |    (${duckMix31("doc_id")}) % 2 AS split
+              |  FROM f),
+              |cal AS (SELECT doc_id, score_micro, pos,
+              |    ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+              |      AS rnk,
+              |    SUM(pos) OVER (ORDER BY score_micro DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS cum_pos
+              |  FROM sc WHERE split = 0),
+              |ch AS (SELECT CAST(MAX(rnk) AS BIGINT) AS cal_rank
+              |  FROM cal WHERE cum_pos * 1000000 >= 500000 * rnk),
+              |thr AS (SELECT ch.cal_rank, cal.score_micro
+              |      AS threshold_micro
+              |  FROM ch JOIN cal ON cal.rnk = ch.cal_rank),
+              |ev AS (SELECT sc.score_micro, sc.pos FROM sc
+              |  WHERE split = 1)
+              |SELECT thr.cal_rank AS cal_rank,
+              |  thr.threshold_micro AS threshold_micro,
+              |  CAST(COUNT(*) AS BIGINT) AS eval_n,
+              |  CAST(SUM(CASE WHEN ev.score_micro >= thr.threshold_micro
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS eval_pred,
+              |  CAST(SUM(CASE WHEN ev.score_micro >= thr.threshold_micro
+              |    THEN ev.pos ELSE 0 END) AS BIGINT) AS eval_tp,
+              |  CASE WHEN SUM(CASE WHEN ev.score_micro >=
+              |      thr.threshold_micro THEN 1 ELSE 0 END) > 0
+              |    THEN CAST(SUM(CASE WHEN ev.score_micro >=
+              |      thr.threshold_micro THEN ev.pos ELSE 0 END)
+              |      AS BIGINT) * 1000000
+              |      // CAST(SUM(CASE WHEN ev.score_micro >=
+              |      thr.threshold_micro THEN 1 ELSE 0 END) AS BIGINT)
+              |    ELSE 0 END AS eval_precision_ppm,
+              |  CASE WHEN SUM(ev.pos) > 0
+              |    THEN CAST(SUM(CASE WHEN ev.score_micro >=
+              |      thr.threshold_micro THEN ev.pos ELSE 0 END)
+              |      AS BIGINT) * 1000000 // CAST(SUM(ev.pos) AS BIGINT)
+              |    ELSE 0 END AS eval_recall_ppm
+              |FROM ev CROSS JOIN thr
+              |GROUP BY thr.cal_rank, thr.threshold_micro""".stripMargin)),
+
+    // TPC-H Q12 shape (same-text oracle): see TpchQ12Sql
+    Q("q237_tpch_q12",
+      (s, dir) => {
+        Seq("orders", "lineitem")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ12Sql)
+      },
+      Some(TpchQ12Sql)),
+
+    // TPC-H Q16 shape (same-text oracle): see TpchQ16Sql
+    Q("q238_tpch_q16",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier")
+          .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql(TpchQ16Sql)
+      },
+      Some(TpchQ16Sql)),
   )
 }

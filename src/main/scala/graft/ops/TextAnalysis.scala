@@ -576,6 +576,63 @@ object TextAnalysis {
       .orderBy("cls")
   }
 
+  /** Split-calibrated threshold selection: on a seeded calibration
+    * split, rank docs by [[qualityScore]] and pick the DEEPEST
+    * score cutoff whose prefix precision (vs the `lang = posLang`
+    * label) still meets `targetPrecisionPpm` — max recall at the
+    * precision floor — then report the achieved precision/recall on
+    * the held-out split at that cutoff. The honest way to pick a
+    * classifier threshold: chosen on one split, graded on the other
+    * (picking and grading on the same data overstates both
+    * numbers).
+    *
+    * All rank/precision arithmetic is exact cross-multiplied ppm;
+    * the descending-score prefix scan runs through the two-pass
+    * no-single-partition primitives ([[Par.globalRowNumber]] for the
+    * rank, [[Par.prefixSum]] for the cumulative positives), so the
+    * calibration split needn't fit one task even when it's the whole
+    * corpus.
+    */
+  def thresholdCalibration(docs: DataFrame,
+      targetPrecisionPpm: Long = 500000L, posLang: String = "en",
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    import graft.ops.Similarity.mix31Col
+    val scored = qualityScore(docs, textCol = textCol, idCol = idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("score_micro"),
+        when(col("lang") === posLang, 1L).otherwise(0L).as("pos"),
+        (mix31Col(col(idCol).cast("long")) % 2).as("split"))
+      .localCheckpoint() // calibration ranking and eval share it
+    val calBase = scored.where(col("split") === 0)
+      .withColumn("neg", -col("score_micro"))
+    val cal = Par.prefixSum(
+      Par.globalRowNumber(calBase, Seq("neg", "doc_id"))
+        .withColumnRenamed("rownum", "rnk"),
+      Seq(), Seq("neg", "doc_id"), "pos", "cum_pos")
+    val chosen = cal
+      .where(col("cum_pos") * 1000000L >= lit(targetPrecisionPpm) * col("rnk"))
+      .agg(max(col("rnk")).as("cal_rank"))
+    val thr = chosen.join(cal.select(col("rnk").as("cal_rank"),
+      col("score_micro").as("threshold_micro")), "cal_rank")
+    val ev = scored.where(col("split") === 1)
+    ev.crossJoin(broadcast(thr))
+      .groupBy("cal_rank", "threshold_micro")
+      .agg(count(lit(1)).as("eval_n"),
+        sum(when(col("score_micro") >= col("threshold_micro"), 1L)
+          .otherwise(0L)).as("eval_pred"),
+        sum(when(col("score_micro") >= col("threshold_micro"),
+          col("pos")).otherwise(0L)).as("eval_tp"),
+        sum(col("pos")).as("eval_pos"))
+      .select(col("cal_rank"), col("threshold_micro"), col("eval_n"),
+        col("eval_pred"), col("eval_tp"),
+        expr("CASE WHEN eval_pred > 0 THEN eval_tp * 1000000 div eval_pred"
+          + " ELSE 0 END").as("eval_precision_ppm"),
+        expr("CASE WHEN eval_pos > 0 THEN eval_tp * 1000000 div eval_pos"
+          + " ELSE 0 END").as("eval_recall_ppm"))
+  }
+
   /** Classifier reliability table: bin the [[qualityScore]] micro
     * score into fixed-width buckets and report, per bin, the count,
     * the mean score, and the empirical positive rate of a reference

@@ -783,6 +783,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r === Seq(("banana", 2L, 2L, 2500000L)))
   }
 
+  test("thresholdCalibration: cutoff picked on cal split, graded on eval") {
+    // mix31 parity: ids 1-10 → eval, 11-20 → calibration. Good docs
+    // score 5,050,000 (en), bad 3,030,000 (fr). Target 90%: the
+    // deepest feasible calibration prefix is the 5 good docs.
+    val good = "the a of and to"
+    val bad = "zz yy xx"
+    val docs = ((11L to 15L).map((_, good, "en")) ++
+      (16L to 20L).map((_, bad, "fr")) ++
+      (1L to 3L).map((_, good, "en")) ++
+      (4L to 10L).map((_, bad, "fr")))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.ops.TextAnalysis
+      .thresholdCalibration(docs, targetPrecisionPpm = 900000L)
+      .collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("cal_rank") === 5L)
+    assert(x.getAs[Long]("threshold_micro") === 5050000L)
+    assert(x.getAs[Long]("eval_n") === 10L)
+    assert(x.getAs[Long]("eval_pred") === 3L)
+    assert(x.getAs[Long]("eval_tp") === 3L)
+    assert(x.getAs[Long]("eval_precision_ppm") === 1000000L)
+    assert(x.getAs[Long]("eval_recall_ppm") === 1000000L)
+  }
+
   test("langIdEval: exact per-class PRF including never-predicted classes") {
     // en/es predicted right; zh exists only as truth (pred 'und'),
     // und exists only as prediction
