@@ -42,7 +42,8 @@ object Explain {
       "q213_grid_density_outliers", "q214_mutual_knn",
       "q216_next_event_eval", "q217_whiten_embeddings", "q219_tpch_q8",
       "q223_negative_samples", "q224_stl_decompose", "q226_align_spans",
-      "q227_ann_recall", "q231_joinable_columns")
+      "q227_ann_recall", "q231_joinable_columns", "q232_balanced_shards",
+      "q236_threshold_calibration")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
