@@ -6242,5 +6242,111 @@ private[graft] object QueriesPipeline {
         s.sql(TpchQ16Sql)
       },
       Some(TpchQ16Sql)),
+
+    // Bounded-round k-truss peel of the small-part co-purchase graph
+    // (k=4: edges need ≥ 2 triangles) — the edge-cohesion filter
+    // that kills bridges k-core keeps. Still shrinking at round 3 on
+    // this corpus (1244 → 425 → 213 → 159) and the stable flag says
+    // so honestly.
+    Q("q239_ktruss",
+      (s, dir) => {
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
+          .select(col("p_partkey").as("l_partkey"))
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), "l_partkey")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        Graph.kTruss(e, k = 4L, rounds = 3)
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+             |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem JOIN pk ON pk.p_partkey = l_partkey),
+             |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |adj0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+             |sup0 AS (SELECT e.u, e.v, COUNT(*) AS sup FROM e0 e
+             |  JOIN adj0 a1 ON a1.u = e.u
+             |  JOIN adj0 a2 ON a2.u = e.v AND a2.v = a1.v
+             |  GROUP BY e.u, e.v),
+             |e1 AS (SELECT e.u, e.v FROM e0 e
+             |  JOIN sup0 s ON s.u = e.u AND s.v = e.v WHERE s.sup >= 2),
+             |adj1 AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+             |sup1 AS (SELECT e.u, e.v, COUNT(*) AS sup FROM e1 e
+             |  JOIN adj1 a1 ON a1.u = e.u
+             |  JOIN adj1 a2 ON a2.u = e.v AND a2.v = a1.v
+             |  GROUP BY e.u, e.v),
+             |e2 AS (SELECT e.u, e.v FROM e1 e
+             |  JOIN sup1 s ON s.u = e.u AND s.v = e.v WHERE s.sup >= 2),
+             |adj2 AS (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+             |sup2 AS (SELECT e.u, e.v, COUNT(*) AS sup FROM e2 e
+             |  JOIN adj2 a1 ON a1.u = e.u
+             |  JOIN adj2 a2 ON a2.u = e.v AND a2.v = a1.v
+             |  GROUP BY e.u, e.v),
+             |e3 AS (SELECT e.u, e.v FROM e2 e
+             |  JOIN sup2 s ON s.u = e.u AND s.v = e.v WHERE s.sup >= 2),
+             |adj3 AS (SELECT u, v FROM e3 UNION ALL SELECT v, u FROM e3),
+             |supF AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS sup
+             |  FROM e3 e
+             |  JOIN adj3 a1 ON a1.u = e.u
+             |  JOIN adj3 a2 ON a2.u = e.v AND a2.v = a1.v
+             |  GROUP BY e.u, e.v)
+             |SELECT e.u AS u, e.v AS v,
+             |  COALESCE(s.sup, 0) AS sup,
+             |  (SELECT COUNT(*) FROM e2) = (SELECT COUNT(*) FROM e3)
+             |    AS stable
+             |FROM e3 e LEFT JOIN supF s ON s.u = e.u AND s.v = e.v
+             |ORDER BY u, v""".stripMargin)),
+
+    // Rank-biased precision of the BM25 ranking at p=1/2 — the
+    // log-free retrieval metric, exact pico units; relevance =
+    // contains ALL query terms; graded vs the ideal ranking.
+    Q("q240_rbp_eval",
+      (s, dir) => TextAnalysis.rbpEval(Tables(s, dir, "documents"),
+        Seq("spark", "join", "window")),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot
+             |  FROM base),
+             |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, dl, unnest(t) AS w FROM base)
+             |  WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+             |dfT AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+             |  FROM tf GROUP BY 1),
+             |fb AS (SELECT tf.doc_id AS doc_id,
+             |    CAST(SUM(
+             |      (((st.n - dfT.df + 1) * 1000000) // (dfT.df + 1))
+             |        * 88000 * tf.tf
+             |      // (40000 * tf.tf + 12000
+             |          + 36 * ((1000 * tf.dl * st.n) // st.tot))
+             |    ) AS BIGINT) AS score
+             |  FROM tf CROSS JOIN st JOIN dfT USING (w)
+             |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20),
+             |rk AS (SELECT doc_id, ROW_NUMBER() OVER
+             |    (ORDER BY score DESC, doc_id) AS rank FROM fb),
+             |rel AS (SELECT doc_id, CAST(1 AS BIGINT) AS rel FROM base
+             |  WHERE list_has_all(t, ['spark', 'join', 'window'])),
+             |rr AS (SELECT rk.rank, COALESCE(rel.rel, 0) AS rel
+             |  FROM rk LEFT JOIN rel USING (doc_id)),
+             |nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rel),
+             |ideal AS (SELECT CAST(SUM(
+             |    1000000000000 // CAST(pow(2, r.r) AS BIGINT))
+             |    AS BIGINT) AS ideal
+             |  FROM (SELECT unnest(range(1,
+             |    least(20, (SELECT n FROM nrel)) + 1)) AS r) r)
+             |SELECT CAST((SELECT COUNT(*) FROM rr) AS BIGINT) AS n_ranked,
+             |  CAST((SELECT SUM(rel) FROM rr) AS BIGINT) AS n_rel_ranked,
+             |  nrel.n AS n_rel_total,
+             |  CAST((SELECT SUM(rel * (1000000000000 //
+             |    CAST(pow(2, rank) AS BIGINT))) FROM rr) AS BIGINT)
+             |    AS rbp_pico,
+             |  ideal.ideal AS ideal_pico,
+             |  CAST((SELECT SUM(rel * (1000000000000 //
+             |    CAST(pow(2, rank) AS BIGINT))) FROM rr) AS BIGINT)
+             |    * 1000000 // ideal.ideal AS nrbp_ppm
+             |FROM nrel CROSS JOIN ideal""".stripMargin)),
   )
 }

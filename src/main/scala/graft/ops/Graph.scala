@@ -306,6 +306,52 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Bounded-round k-truss peeling — the EDGE analog of [[kCore]]:
+    * repeatedly drop edges whose support (triangles through the
+    * edge, i.e. common neighbors of its endpoints) is below `k − 2`,
+    * `rounds` times. A k-truss is a stronger cohesion filter than a
+    * k-core: an edge survives only if embedded in enough triangles,
+    * which kills bridge/hub edges a degree filter keeps. Each round
+    * is ONE triangle-per-edge count (edge ⋈ adjacency ⋈ adjacency on
+    * the closing vertex — the q112 wedge-join shape) + a filter;
+    * `localCheckpoint` keeps the DAG fixed-depth. Output: surviving
+    * canonical edges with their support IN THE FINAL graph (zero if
+    * the last peel orphaned them) and the count-stability flag of
+    * the last two rounds.
+    */
+  def kTruss(edges: DataFrame, k: Long = 4L, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      e.as("e")
+        .join(adj.as("a1"), col("a1.u") === col("e.u"))
+        .join(adj.as("a2"), col("a2.u") === col("e.v") &&
+          col("a2.v") === col("a1.v"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("sup"))
+    }
+    val dir0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    var e = dir0
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct().repartition(col("u")).localCheckpoint()
+    var prev = -1L
+    var last = -2L
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e).where(col("sup") >= k - 2), Seq("u", "v"),
+          "left_semi")
+        .localCheckpoint()
+      prev = last
+      last = e.count()
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("sup"),
+        lit(prev == last).as("stable"))
+      .orderBy("u", "v")
+  }
+
   /** Bounded-round k-core peeling: repeatedly drop nodes of degree
     * < `k` (and their incident edges), `rounds` times — the classic
     * density filter separating the cohesive core from the periphery

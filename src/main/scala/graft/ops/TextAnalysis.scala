@@ -493,6 +493,45 @@ object TextAnalysis {
       .orderBy("pct")
   }
 
+  /** Rank-biased precision (Moffat & Zobel) of the [[bm25TopK]]
+    * ranking, with persistence p = 1/2 in EXACT pico units:
+    * `RBP = (1−p)·Σ p^(r−1)·rel_r = Σ rel_r · 10¹² div 2^r` — the
+    * retrieval-effectiveness metric that needs no log (nDCG's
+    * `log₂(r+1)` is float; RBP at p=1/2 is pure integer), so the
+    * score is oracle-exact. Relevance is containment of ALL query
+    * terms (the conjunctive qrel a synthetic corpus supports);
+    * `rbp_pico` is graded against the ideal ranking's
+    * `ideal_pico` (all relevant docs first) as `nrbp_ppm`.
+    * One ranking pass + one bounded per-rank fold.
+    */
+  def rbpEval(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = docs.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t"))
+      .where(terms.map(t => array_contains(col("t"), t)).reduce(_ && _))
+      .select(col("doc_id"), lit(1L).as("rel"))
+      .localCheckpoint() // ranking join + ideal fold share it
+    val ranked = bm25TopK(docs, terms, k, textCol, idCol)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .join(rel, Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val rbp = ranked.agg(
+      count(lit(1)).as("n_ranked"),
+      sum(col("rel")).as("n_rel_ranked"),
+      sum(expr("rel * (1000000000000 div CAST(pow(2, rank) AS BIGINT))"))
+        .as("rbp_pico"))
+    val nRel = rel.count()
+    val ideal = (1 to math.min(k, nRel.toInt))
+      .map(r => 1000000000000L / (1L << r)).sum
+    require(ideal > 0, s"rbpEval: no document contains all of $terms")
+    rbp.select(col("n_ranked"), col("n_rel_ranked"),
+        lit(nRel).as("n_rel_total"), col("rbp_pico"),
+        lit(ideal).as("ideal_pico"),
+        expr(s"rbp_pico * 1000000 div ${ideal}L").as("nrbp_ppm"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio's term-
     * selection half): retrieve the [[bm25TopK]] feedback set for the
     * query, then rank candidate expansion terms by how over-

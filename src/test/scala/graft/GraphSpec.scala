@@ -223,6 +223,21 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(r1.contains(5L))
   }
 
+  test("kTruss: bridge edges die, triangle-embedded edges survive with support") {
+    import spark.implicits._
+    // triangles {1,2,3} and {2,3,4} share edge (2,3); (4,5) is a bridge
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val r = Graph.kTruss(e, k = 3L, rounds = 2).collect()
+      .map(x => (x.getAs[Long]("u"), x.getAs[Long]("v")) ->
+        x.getAs[Long]("sup")).toMap
+    assert(r === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+    // k=4 needs 2 triangles per edge: only (2,3) qualifies round 1,
+    // then loses both triangles → everything peels away
+    assert(Graph.kTruss(e, k = 4L, rounds = 3).count() === 0L)
+  }
+
   test("kCore: stable flag reports fixpoint vs still-peeling") {
     import spark.implicits._
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

@@ -770,6 +770,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.toSeq === Seq((50, 2L, 4L), (99, 3L, 5L)))
   }
 
+  test("rbpEval: exact pico weights, perfect ranking normalizes to 1") {
+    val docs = Seq((1L, "spark join x"), (2L, "spark y"),
+      (3L, "spark join z")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.rbpEval(docs, Seq("spark", "join"))
+      .collect().head
+    // relevant = {1, 3}, ranked 1st and 2nd (both-term docs outscore
+    // the single-term doc): rbp = 1e12/2 + 1e12/4 = ideal → nrbp 1.0
+    assert(r.getAs[Long]("n_rel_total") === 2L)
+    assert(r.getAs[Long]("n_rel_ranked") === 2L)
+    assert(r.getAs[Long]("rbp_pico") === 750000000000L)
+    assert(r.getAs[Long]("ideal_pico") === 750000000000L)
+    assert(r.getAs[Long]("nrbp_ppm") === 1000000L)
+  }
+
   test("prfExpansion: feedback-co-occurring term surfaces with exact lift") {
     // query 'apple' retrieves docs 1-2; 'banana' rides along in both;
     // 'cherry' lives only outside the feedback set
