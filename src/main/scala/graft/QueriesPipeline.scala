@@ -6348,5 +6348,56 @@ private[graft] object QueriesPipeline {
              |    CAST(pow(2, rank) AS BIGINT))) FROM rr) AS BIGINT)
              |    * 1000000 // ideal.ideal AS nrbp_ppm
              |FROM nrel CROSS JOIN ideal""".stripMargin)),
+
+    // Watermark-lateness audit: per-type share of events a 1-hour
+    // watermark would drop (arrival order = event id), plus worst
+    // lateness — the measured basis for picking withWatermark.
+    Q("q241_lateness_audit",
+      (s, dir) => Temporal.latenessAudit(Tables(s, dir, "events"),
+        delayUs = 3600000000L),
+      Some("""WITH a AS (SELECT event_type AS grp, event_id AS id,
+             |    epoch_us(ts) AS us
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |h AS (SELECT grp, us,
+             |    MAX(us) OVER (PARTITION BY grp ORDER BY id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS hwm
+             |  FROM a),
+             |l AS (SELECT grp, us,
+             |    greatest(hwm - 3600000000 - us, 0) AS late_us
+             |  FROM h)
+             |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_late,
+             |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000000 // COUNT(*) AS late_ppm,
+             |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+             |FROM l GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // Heaps-law vocabulary growth: distinct types after each decile
+    // of the corpus — first-occurrence charging, no per-checkpoint
+    // rescan. Flattening curve ⇒ vocab saturation.
+    Q("q242_vocab_growth",
+      (s, dir) => TextAnalysis.vocabGrowth(Tables(s, dir, "documents")),
+      Some("""WITH fd AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT)
+             |      AS first_doc
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' '))
+             |      AS tok FROM documents)
+             |  WHERE tok <> '' GROUP BY tok),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id)
+             |    AS rn FROM documents),
+             |bounds AS (SELECT (rk.rn * 10 + nn.n - 1) // nn.n AS pct_x,
+             |    CAST(MAX(rk.doc_id) AS BIGINT) AS bound
+             |  FROM rk CROSS JOIN nn GROUP BY 1)
+             |SELECT CAST(b.pct_x * 10 AS BIGINT) AS pct,
+             |  b.bound AS bound,
+             |  CAST(SUM(CASE WHEN fd.first_doc <= b.bound THEN 1
+             |    ELSE 0 END) AS BIGINT) AS types
+             |FROM fd CROSS JOIN bounds b
+             |GROUP BY b.pct_x, b.bound
+             |ORDER BY pct""".stripMargin)),
   )
 }

@@ -390,4 +390,37 @@ object Temporal {
           .as("covered_us"))
       .orderBy("grp")
   }
+
+  /** Watermark-lateness audit: replay the stream's arrival order
+    * (event id as the arrival proxy a batch table has) and count,
+    * per group, the events that a watermark of `delayUs` would have
+    * dropped — `late ⟺ ts < running_max(ts) − delay` over arrival
+    * order — plus the worst lateness seen. The number to read BEFORE
+    * picking `withWatermark`'s delay: it turns "how late is my
+    * data" from folklore into a measured distribution. One per-group
+    * prefix-max window over (group-partitioned) arrival order, one
+    * combinable aggregate.
+    */
+  def latenessAudit(events: DataFrame, delayUs: Long,
+      grpCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .where(col(grpCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(idCol).as("id"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .withColumn("late_us",
+        greatest(col("hwm") - lit(delayUs) - col("us"), lit(0L)))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .select(col("grp"), col("n"), col("n_late"),
+        expr("n_late * 1000000 div n").as("late_ppm"),
+        col("max_late_us"))
+      .orderBy("grp")
+  }
 }

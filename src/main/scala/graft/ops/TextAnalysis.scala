@@ -493,6 +493,41 @@ object TextAnalysis {
       .orderBy("pct")
   }
 
+  /** Heaps-law vocabulary growth curve: distinct types seen after
+    * the first 10%, 20%, … of the corpus (by doc id order) — each
+    * token charges its FIRST document, so the cumulative distinct
+    * count at a checkpoint is just "tokens whose first doc is ≤ the
+    * checkpoint boundary", one min-aggregate + one bounded
+    * checkpoint fold. No prefix re-scan per checkpoint, no global
+    * dedup state: the curve that says whether more data still buys
+    * vocabulary (sub-linear growth bending flat ⇒ the tokenizer's
+    * vocab is saturating).
+    */
+  def vocabGrowth(docs: DataFrame, checkpoints: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val firstDoc = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+      .localCheckpoint() // every checkpoint probes it
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val n = ids.count()
+    // checkpoint i (1..checkpoints) holds ranks with ⌈r·c/n⌉ = i; its
+    // boundary doc is the bucket max — robust for any n
+    val bounds = Par.globalRowNumber(ids, Seq("doc_id"))
+      .select(expr(s"(rownum * $checkpoints + ${n}L - 1) div ${n}L")
+        .as("pct_x"), col("doc_id"))
+      .groupBy("pct_x").agg(max(col("doc_id")).as("bound"))
+    firstDoc.crossJoin(broadcast(bounds))
+      .groupBy("pct_x", "bound")
+      .agg(sum(when(col("first_doc") <= col("bound"), 1L).otherwise(0L))
+        .as("types"))
+      .select((col("pct_x") * (100L / checkpoints)).as("pct"),
+        col("bound"), col("types"))
+      .orderBy("pct")
+  }
+
   /** Rank-biased precision (Moffat & Zobel) of the [[bm25TopK]]
     * ranking, with persistence p = 1/2 in EXACT pico units:
     * `RBP = (1−p)·Σ p^(r−1)·rel_r = Σ rel_r · 10¹² div 2^r` — the

@@ -770,6 +770,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.toSeq === Seq((50, 2L, 4L), (99, 3L, 5L)))
   }
 
+  test("vocabGrowth: first-occurrence charging yields the exact decile curve") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.vocabGrowth(docs).collect()
+      .map(x => (x.getAs[Long]("pct"), x.getAs[Long]("bound"),
+        x.getAs[Long]("types"))).toSeq
+    // ranks 1-4 land in ceil-deciles 3,5,8,10; types accumulate at
+    // each boundary's first-occurrence count
+    assert(r === Seq((30L, 1L, 2L), (50L, 2L, 3L), (80L, 3L, 3L),
+      (100L, 4L, 4L)))
+  }
+
   test("rbpEval: exact pico weights, perfect ranking normalizes to 1") {
     val docs = Seq((1L, "spark join x"), (2L, "spark y"),
       (3L, "spark join z")).toDF("doc_id", "text")

@@ -241,4 +241,19 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     // two implementations drifted
     assert(ours === builtin)
   }
+
+  test("latenessAudit: straggler measured against the running high-water mark") {
+    // arrival order by id: ts 100s, then a 10s straggler (90s late,
+    // 40s beyond a 50s watermark), then 200s
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val d = Seq((1L, "g", 100L), (2L, "g", 10L), (3L, "g", 200L))
+      .toDF("event_id", "event_type", "sec")
+      .select(col("event_id"), col("event_type"),
+        to_timestamp(col("sec")).as("ts"))
+    val r = Temporal.latenessAudit(d, delayUs = 50000000L).collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("n_late") === 1L)
+    assert(r.getAs[Long]("late_ppm") === 333333L)
+    assert(r.getAs[Long]("max_late_us") === 40000000L)
+  }
 }
