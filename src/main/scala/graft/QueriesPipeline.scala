@@ -6399,5 +6399,161 @@ private[graft] object QueriesPipeline {
              |FROM fd CROSS JOIN bounds b
              |GROUP BY b.pct_x, b.bound
              |ORDER BY pct""".stripMargin)),
+
+    // HITS hubs & authorities over the bipartite customer→part basket
+    // graph (small-part slice): auth = part popularity weighted by
+    // buyer breadth, hub = buyer breadth weighted by part popularity.
+    // L1-normalized integer fixed point (floor rescale in
+    // decimal/HUGEINT), so the oracle unrolls both pull-renorm rounds
+    // and matches bit for bit. Part nodes offset by 1e8 so the two id
+    // spaces can share one node column without collision.
+    Q("q243_hits_copurchase",
+      (s, dir) => {
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
+          .select(col("p_partkey").as("l_partkey"))
+        val e = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), "l_partkey")
+          .join(Tables(s, dir, "orders")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+            "l_orderkey")
+          .select(col("o_custkey").as("src"),
+            (col("l_partkey") + lit(100000000L)).as("dst"))
+        Graph.hits(e)
+      },
+      Some {
+        def pull(in: String, out: String, from: String, to: String,
+            inC: String, outC: String): String =
+          s"""${out}r AS (SELECT e.$to AS node,
+             |    CAST(SUM($in.$inC) AS HUGEINT) AS raw
+             |  FROM e JOIN $in ON $in.node = e.$from GROUP BY 1),
+             |$out AS (SELECT node, (raw * 1000000000000)
+             |    // (SELECT SUM(raw) FROM ${out}r) AS $outC FROM ${out}r)"""
+            .stripMargin
+        s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+           |e AS (SELECT DISTINCT o.o_custkey AS src,
+           |    l.l_partkey + 100000000 AS dst
+           |  FROM lineitem l
+           |  JOIN pk ON pk.p_partkey = l.l_partkey
+           |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+           |srcs AS (SELECT DISTINCT src AS node FROM e),
+           |h0 AS (SELECT node, 1000000000000
+           |    // (SELECT COUNT(*) FROM srcs) AS hub FROM srcs),
+           |${pull("h0", "a1", "src", "dst", "hub", "auth")},
+           |${pull("a1", "h1", "dst", "src", "auth", "hub")},
+           |${pull("h1", "a2", "src", "dst", "hub", "auth")},
+           |${pull("a2", "h2", "dst", "src", "auth", "hub")}
+           |SELECT COALESCE(a2.node, h2.node) AS node,
+           |  CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth,
+           |  CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub
+           |FROM a2 FULL JOIN h2 ON a2.node = h2.node
+           |ORDER BY auth DESC, node LIMIT 100""".stripMargin
+      }),
+
+    // Common-neighbor link prediction on the small-part co-purchase
+    // graph: rank part pairs that are NOT co-purchased yet by shared
+    // co-purchase partners (cn) with Jaccard-ppm tie-break — the
+    // "frequently bought with both" recommendation candidate list.
+    // The apex-degree ≤ 64 guard is part of the contract (and the
+    // oracle): hub parts assert little and cost d² wedges.
+    Q("q244_link_prediction",
+      (s, dir) => {
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
+          .select(col("p_partkey").as("l_partkey"))
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), "l_partkey")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        Graph.linkPredict(e, topN = 50, maxApexDegree = 64L)
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+             |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem JOIN pk ON pk.p_partkey = l_partkey),
+             |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |deg AS (SELECT node, COUNT(*) AS d FROM (
+             |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+             |  GROUP BY 1),
+             |adj AS (SELECT u AS apex, v AS nb FROM e0
+             |  UNION ALL SELECT v, u FROM e0),
+             |adjg AS (SELECT adj.apex, adj.nb FROM adj
+             |  JOIN deg ON deg.node = adj.apex AND deg.d <= 64),
+             |cand AS (SELECT a.nb AS u, b.nb AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS cn
+             |  FROM adjg a JOIN adjg b
+             |    ON a.apex = b.apex AND a.nb < b.nb
+             |  GROUP BY 1, 2),
+             |ne AS (SELECT c.u, c.v, c.cn FROM cand c
+             |  LEFT JOIN e0 ON e0.u = c.u AND e0.v = c.v
+             |  WHERE e0.u IS NULL)
+             |SELECT ne.u, ne.v, ne.cn,
+             |  CAST((ne.cn * 1000000) // (du.d + dv.d - ne.cn) AS BIGINT)
+             |    AS jaccard_ppm
+             |FROM ne JOIN deg du ON du.node = ne.u
+             |  JOIN deg dv ON dv.node = ne.v
+             |ORDER BY cn DESC, jaccard_ppm DESC, u, v
+             |LIMIT 50""".stripMargin)),
+
+    // Personalized PageRank from the p_size=1 parts over the
+    // small-part co-purchase graph — random-walk-with-restart
+    // proximity to a seed catalog slice, the graph recommendation
+    // primitive q86's global rank can't express. Same floor
+    // fixed-point contract as q86; teleport and initial mass live
+    // only on the seeds, so the oracle's three unrolled iterations
+    // carry a per-node seed CASE instead of a global base.
+    Q("q245_ppr_copurchase",
+      (s, dir) => {
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
+          .select(col("p_partkey").as("l_partkey"))
+        val li = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), "l_partkey")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        val seeds = Tables(s, dir, "part").where(col("p_size") === 1)
+          .select(col("p_partkey").as("node"))
+        Graph.personalizedPageRank(e, seeds)
+          .withColumnRenamed("node", "part_id")
+          .withColumnRenamed("rank", "rank_p12")
+      },
+      Some {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (SELECT n.node,
+             |    MAX(CASE WHEN sd.node IS NOT NULL
+             |      THEN ((1000000000000 // (SELECT COUNT(*) FROM sd))
+             |            * 150000) // 1000000 ELSE 0 END)
+             |    + COALESCE(SUM(
+             |        (($prev.rank * 850000) // 1000000) // deg.d), 0)
+             |      AS rank
+             |  FROM n LEFT JOIN sd ON sd.node = n.node
+             |  LEFT JOIN e ON e.dst = n.node
+             |  LEFT JOIN $prev ON $prev.node = e.src
+             |  LEFT JOIN deg ON deg.src = e.src
+             |  GROUP BY n.node)""".stripMargin
+        s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+           |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem JOIN pk ON pk.p_partkey = l_partkey),
+           |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+           |n AS (SELECT DISTINCT node FROM
+           |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |sd AS (SELECT node FROM n WHERE node IN
+           |    (SELECT p_partkey FROM part WHERE p_size = 1)),
+           |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+           |rk0 AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL
+           |    THEN 1000000000000 // (SELECT COUNT(*) FROM sd)
+           |    ELSE 0 END AS rank
+           |  FROM n LEFT JOIN sd ON sd.node = n.node),
+           |${iter("rk0", "rk1")},
+           |${iter("rk1", "rk2")},
+           |${iter("rk2", "rk3")}
+           |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank_p12
+           |FROM rk3 WHERE rank > 0
+           |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+      }),
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as join + aggregate rounds — the
@@ -246,8 +246,23 @@ object Graph {
     // and the teleport base, both floored like the in-plan divisions
     val r0 = scale / n
     val base = r0 * (1000000L - dampPpm) / 1000000L
+    powerIterate(e, nodes, iterations, dampPpm,
+      init = nodes.withColumn("rank", lit(r0)),
+      baseCol = lit(base))
+      .orderBy(col("rank").desc, col("node"))
+  }
+
+  /** The shared damped power-iteration core of [[pageRank]] and
+    * [[personalizedPageRank]]: `iterations` rounds of
+    * `rank'(v) = base(v) + Σ_{u→v} (rank(u)·damp ÷ 10⁶) ÷ outdeg(u)`
+    * in floor fixed-point. `e` must already be dst-partitioned and
+    * materialized; `init`/`base` differ per variant (uniform mass +
+    * uniform teleport vs seed-only mass + seed-only teleport).
+    */
+  private def powerIterate(e: DataFrame, nodes: DataFrame, iterations: Int,
+      dampPpm: Long, init: DataFrame, baseCol: Column): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
-    var r = nodes.withColumn("rank", lit(r0))
+    var r = init
     for (_ <- 1 to iterations) {
       val contrib = e.join(broadcast(r.withColumnRenamed("node", "src")), "src")
         .join(broadcast(deg), "src")
@@ -256,10 +271,169 @@ object Graph {
         .groupBy("node").agg(sum(col("c")).as("inflow"))
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
+          (baseCol + coalesce(col("inflow"), lit(0L))).as("rank"))
         .localCheckpoint()
     }
-    r.orderBy(col("rank").desc, col("node"))
+    r
+  }
+
+  /** Personalized PageRank — THE graph recommendation primitive:
+    * random-walk-with-restart mass from a SEED set, so rank measures
+    * proximity to the seeds instead of global importance ("parts
+    * bought together with this brand", "accounts near these flagged
+    * ones"). Same integer fixed-point contract as [[pageRank]]
+    * (floor divisions, dangling mass leaks, fixed `iterations`), with
+    * two changes: initial mass and the teleport base both live ONLY
+    * on the seeds (uniform `scale ÷ |S|` split), every other node's
+    * base is zero. Non-seed rank is therefore pure inflow — nodes
+    * unreachable from the seeds stay at exactly 0 and are dropped.
+    *
+    * Scale shape: identical to pageRank — the edge set shuffles once
+    * (dst-partitioned), rank/degree tables are node-sized broadcasts,
+    * each round one combinable aggregate. The seed table joins once
+    * up front (broadcast; seed sets are query-sized).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3, dampPpm: Long = 850000L,
+      scale: Long = 1000000000000L, topN: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().repartition(col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // seeds restricted to nodes actually in the graph — mass on an
+    // isolated seed could never flow anyway, and |S| must count only
+    // rows that hold mass or the per-seed share is silently diluted
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi").localCheckpoint()
+    val nSeeds = s.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    val r0 = scale / nSeeds
+    val base = r0 * (1000000L - dampPpm) / 1000000L
+    val isSeed = s.withColumn("seed", lit(1))
+    val init = nodes.join(broadcast(isSeed), Seq("node"), "left")
+      .select(col("node"),
+        when(col("seed").isNotNull, lit(r0)).otherwise(lit(0L)).as("rank"))
+    val withBase = nodes.join(broadcast(isSeed), Seq("node"), "left")
+    val ranked = powerIterate(e, withBase.select("node", "seed"), iterations,
+      dampPpm, init,
+      baseCol = when(col("seed").isNotNull, lit(base)).otherwise(lit(0L)))
+    ranked.where(col("rank") > 0)
+      .select(col("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topN)
+  }
+
+  /** HITS hubs & authorities in integer fixed-point — the OTHER
+    * classic eigenvector ranking, for graphs where pointing and being
+    * pointed at mean different things (here: customers → parts they
+    * bought, so hub score = breadth of a customer's basket weighted by
+    * how popular its parts are, authority = part popularity weighted
+    * by who buys it). Each round is the textbook pair of pulls with an
+    * L1 renormalization — `auth(v) = Σ_{u→v} hub(u)` rescaled so
+    * Σauth = `scale`, then `hub(u) = Σ_{u→v} auth(v)` rescaled the
+    * same way. All arithmetic is floor integer: the rescale multiply
+    * runs in decimal(38,0) (`raw × scale` overflows a long) and
+    * floor-divides back to a long, so every engine agrees bit for bit.
+    * L1 (not the textbook L2) keeps the iteration transcendental-free
+    * — same direction, same ranking, oracle-exact.
+    *
+    * Scale shape: the edge set shuffles ONCE (dst-partitioned — the
+    * auth pull reuses it; the hub pull's map-side partial aggregate
+    * shrinks edge→node before its src shuffle); hub/auth tables are
+    * node-sized broadcasts; the L1 sums are single-scalar driver
+    * reads per round (an action already forced by the round's
+    * localCheckpoint). Returns the `topN` nodes by
+    * (auth desc, node) with both scores.
+    */
+  def hits(edges: DataFrame, iterations: Int = 2,
+      scale: Long = 1000000000000L, topN: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().repartition(col("dst")).localCheckpoint()
+    val srcs = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val dsts = e.select(col("dst").as("node")).distinct().localCheckpoint()
+    val nSrc = srcs.count()
+    require(nSrc > 0, "hits over an empty edge set")
+    // init: uniform hub mass summing to ~scale — keeps every later raw
+    // sum ≤ scale·davg, far inside long range at any graph size
+    var hub = srcs.withColumn("hub", lit(scale / nSrc)).localCheckpoint()
+    var auth = dsts.withColumn("auth", lit(0L))
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val total = df.agg(sum(col(c))).head.getLong(0)
+      require(total > 0, s"hits: $c mass vanished")
+      df.select(col("node"),
+        expr(s"(cast($c as decimal(38,0)) * ${scale}L) div ${total}L").as(c))
+    }
+    for (_ <- 1 to iterations) {
+      auth = renorm(
+        e.join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")),
+        "auth").localCheckpoint()
+      hub = renorm(
+        e.join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
+        "hub").localCheckpoint()
+    }
+    auth.join(hub, Seq("node"), "full")
+      .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+      .orderBy(col("auth").desc, col("node"))
+      .limit(topN)
+  }
+
+  /** Common-neighbor link prediction — rank NON-edges by how many
+    * neighbors their endpoints share (the baseline link-prediction /
+    * "people you may know" score), with the Jaccard overlap of the
+    * two neighborhoods as ppm tie-breaker. A candidate pair is any
+    * two distinct neighbors of a shared apex; scoring walks the same
+    * wedge join as [[triangleCount]] but KEEPS the open wedges
+    * (closed ones are existing edges, anti-joined away) instead of
+    * closing them.
+    *
+    * The apex-degree cut is the scale guard and part of the declared
+    * contract: a hub apex of degree d contributes d² wedges, so
+    * apexes with degree > `maxApexDegree` are excluded from wedge
+    * generation (same design as the shingle df-cut in
+    * [[DocDedup.ngramJaccard]] — a popularity hub asserts little
+    * about any single pair, and the guard bounds the self-join at
+    * Σ min(d,D)² ≤ D·m). Common-neighbor counts are therefore
+    * "common neighbors of degree ≤ D"; Jaccard uses FULL endpoint
+    * degrees. Degrees are node-sized and broadcast; the wedge join
+    * and the existing-edge anti-join shuffle on pair keys only.
+    */
+  def linkPredict(edges: DataFrame, topN: Int = 50,
+      maxApexDegree: Long = 64L,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d")).localCheckpoint()
+    // adjacency restricted to low-degree apexes (the guard), both
+    // orientations so every neighbor pair of an apex becomes a wedge
+    val lowApex = deg.where(col("d") <= maxApexDegree)
+      .select(col("node").as("apex"))
+    val adj = und.select(col("u").as("apex"), col("v").as("nb"))
+      .union(und.select(col("v").as("apex"), col("u").as("nb")))
+      .join(broadcast(lowApex), "apex")
+    val cand = adj.as("a").join(adj.as("b"),
+        col("a.apex") === col("b.apex") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("u"), col("b.nb").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      .join(und, Seq("u", "v"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
+      .select(col("u"), col("v"), col("cn"),
+        expr("(cn * 1000000) div (du + dv - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("u"), col("v"))
+      .limit(topN)
   }
 
   /** Synchronous majority-vote label propagation (community

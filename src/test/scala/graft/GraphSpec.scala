@@ -238,6 +238,65 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(Graph.kTruss(e, k = 4L, rounds = 3).count() === 0L)
   }
 
+  test("hits: bipartite basket — popular part wins authority, broad buyer wins hub") {
+    import spark.implicits._
+    // customers 1,2,3 → parts 10,20: part 10 bought by everyone,
+    // customer 1 buys both parts
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L)).toDF("src", "dst")
+    val r = Graph.hits(e).collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("auth"), x.getAs[Long]("hub"))).toMap
+    // bipartite: sources have zero auth, sinks zero hub
+    assert(r(1L)._1 === 0L && r(10L)._2 === 0L)
+    assert(r(10L)._1 > r(20L)._1) // 3 buyers beat 1
+    assert(r(1L)._2 > r(2L)._2)   // two-part basket beats one
+    assert(r(2L)._2 === r(3L)._2) // symmetric buyers tie exactly
+    // ordering contract: auth desc, node — part 10 leads
+    val first = Graph.hits(e).head
+    assert(first.getAs[Long]("node") === 10L)
+    // L1 renorm: each side's mass is scale minus floor dust only
+    assert(math.abs(r.values.map(_._1).sum - 1000000000000L) < 10)
+    assert(math.abs(r.values.map(_._2).sum - 1000000000000L) < 10)
+  }
+
+  test("linkPredict: open wedges score, existing edges never do") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals are the only candidates,
+    // each with two common neighbors and Jaccard 2/(2+2-2) = 1
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.linkPredict(sq).collect()
+      .map(x => (x.getAs[Long]("u"), x.getAs[Long]("v")) ->
+        (x.getAs[Long]("cn"), x.getAs[Long]("jaccard_ppm"))).toMap
+    assert(r === Map((1L, 3L) -> (2L, 1000000L), (2L, 4L) -> (2L, 1000000L)))
+    // a triangle is fully connected: no non-edge candidates at all
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPredict(tri).count() === 0L)
+  }
+
+  test("linkPredict: apex-degree guard drops hub-mediated wedges") {
+    import spark.implicits._
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    // hub apex degree 5: guarded out at maxApexDegree=3 (leaves have
+    // degree 1 and generate no pairs), kept at the default
+    assert(Graph.linkPredict(star, maxApexDegree = 3L).count() === 0L)
+    assert(Graph.linkPredict(star).count() === 10L) // C(5,2) leaf pairs
+  }
+
+  test("personalizedPageRank: mass stays near the seed, unreachable nodes drop") {
+    import spark.implicits._
+    // chain 1→2→3 plus a disconnected 4→5; seed at 1
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank")).toMap
+    assert(r.keySet === Set(1L, 2L, 3L)) // 4,5 unreachable → rank 0 → dropped
+    // exact floor fixed-point: base 150e9 at the seed, one damped hop
+    // to 2, two to 3 (within 3 iterations)
+    assert(r(1L) === 150000000000L)
+    assert(r(2L) === 127500000000L)
+    assert(r(3L) === 108375000000L)
+  }
+
   test("kCore: stable flag reports fixpoint vs still-peeling") {
     import spark.implicits._
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
