@@ -6555,5 +6555,180 @@ private[graft] object QueriesPipeline {
            |FROM rk3 WHERE rank > 0
            |ORDER BY rank DESC, node LIMIT 100""".stripMargin
       }),
+
+    // Approximate functional-dependency discovery over orders: the g₃
+    // violation count per candidate A→B (rows to delete for the FD to
+    // hold). o_orderkey→o_custkey certifies exactly (key); the others
+    // measure how far the attribute pairs are from dependence — the
+    // schema-curation signal for near-keys and dirty denormalization.
+    Q("q246_fd_discovery",
+      (s, dir) => Audit.fdDiscovery(Tables(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_custkey", "o_custkey" -> "o_orderstatus",
+          "o_orderpriority" -> "o_orderstatus",
+          "o_orderdate" -> "o_orderpriority")),
+      Some {
+        def pair(i: Int, det: String, dep: String): String =
+          s"""g$i AS (SELECT $det AS a, $dep AS b, COUNT(*) AS c
+             |  FROM orders WHERE $det IS NOT NULL GROUP BY 1, 2),
+             |p$i AS (SELECT a, SUM(c) AS n, MAX(c) AS m FROM g$i
+             |  GROUP BY 1),
+             |r$i AS (SELECT '$det' AS det, '$dep' AS dep,
+             |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |    CAST(SUM(n) AS BIGINT) AS n_rows,
+             |    CAST(SUM(n - m) AS BIGINT) AS violations
+             |  FROM p$i)""".stripMargin
+        s"""WITH ${pair(1, "o_orderkey", "o_custkey")},
+           |${pair(2, "o_custkey", "o_orderstatus")},
+           |${pair(3, "o_orderpriority", "o_orderstatus")},
+           |${pair(4, "o_orderdate", "o_orderpriority")},
+           |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+           |SELECT det, dep, n_groups, n_rows, violations,
+           |  CAST(violations * 1000000 // n_rows AS BIGINT)
+           |    AS violation_ppm,
+           |  violations = 0 AS holds
+           |FROM u ORDER BY det, dep""".stripMargin
+      }),
+
+    // Autocorrelation (lags 1-3, ppm) of each event type's daily
+    // count series — the persistence/seasonality fingerprint before
+    // model selection. Deviations scaled by n (dev = n·x − Σx) keep
+    // the mean-centering integer-exact; both engines' integer
+    // division truncates toward zero, so negative acf floors agree.
+    Q("q247_acf_daily",
+      (s, dir) => Stats.acf(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |d AS (SELECT grp, day, x,
+             |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             |    CAST(SUM(x) OVER (PARTITION BY grp) AS BIGINT) AS s
+             |  FROM daily),
+             |dv AS (SELECT grp, n, n * x - s AS dev,
+             |    LEAD(n * x - s, 1) OVER (PARTITION BY grp ORDER BY day)
+             |      AS d1,
+             |    LEAD(n * x - s, 2) OVER (PARTITION BY grp ORDER BY day)
+             |      AS d2,
+             |    LEAD(n * x - s, 3) OVER (PARTITION BY grp ORDER BY day)
+             |      AS d3
+             |  FROM d),
+             |a AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n_days,
+             |    SUM(dev * dev) AS den, SUM(dev * d1) AS num1,
+             |    SUM(dev * d2) AS num2, SUM(dev * d3) AS num3
+             |  FROM dv GROUP BY 1)
+             |SELECT grp, n_days,
+             |  CAST(num1 * 1000000 // nullif(den, 0) AS BIGINT)
+             |    AS acf1_ppm,
+             |  CAST(num2 * 1000000 // nullif(den, 0) AS BIGINT)
+             |    AS acf2_ppm,
+             |  CAST(num3 * 1000000 // nullif(den, 0) AS BIGINT)
+             |    AS acf3_ppm
+             |FROM a ORDER BY grp""".stripMargin)),
+
+    // Greedy k-center (farthest-point) coreset over the embedding
+    // corpus: 8 maximally-spread exemplars on the milli-quantized
+    // grid, exact integer squared-L2, ties to the smaller id. The
+    // oracle replays all 8 selection rounds relationally; d2_sel is
+    // non-increasing and ends at the covering radius.
+    Q("q248_kcenter_coreset",
+      (s, dir) => Similarity.kCenterSelect(Tables(s, dir, "embeddings"),
+        k = 8),
+      Some {
+        val d2 = (a: String, b: String) =>
+          s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+            s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        val rounds = (2 to 8).map { i =>
+          val (p, c, m) = (s"m${i - 1}", s"c$i", s"m$i")
+          s"""$c AS (SELECT vec_id, q, md FROM $p
+             |  ORDER BY md DESC, vec_id LIMIT 1),
+             |$m AS (SELECT m.vec_id, m.q,
+             |    LEAST(m.md, ${d2("m.q", s"$c.q")}) AS md
+             |  FROM $p m CROSS JOIN $c)""".stripMargin
+        }.mkString(",\n")
+        val sel = (2 to 8).map(i =>
+          s"SELECT $i AS sel_order, vec_id, md AS d2_sel FROM c$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |c1 AS (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+           |m1 AS (SELECT e.vec_id, e.q, ${d2("e.q", "c1.q")} AS md
+           |  FROM e CROSS JOIN c1),
+           |$rounds
+           |SELECT sel_order, vec_id, d2_sel FROM (
+           |  SELECT 1 AS sel_order, vec_id, CAST(0 AS BIGINT) AS d2_sel
+           |  FROM c1
+           |  UNION ALL $sel)
+           |ORDER BY sel_order""".stripMargin
+      }),
+
+    // Tokenizer fertility + encoding profile per language: tokens per
+    // 100 chars (whitespace and the q29 BPE-ish regex), UTF-8 bytes
+    // per whitespace token, non-ASCII character share — the corpus
+    // planning table a token-budgeted mixture reads per language.
+    Q("q249_fertility_profile",
+      (s, dir) => TextAnalysis.fertilityProfile(Tables(s, dir, "documents")),
+      Some("""WITH s AS (SELECT lang, COUNT(*) AS n_docs,
+             |    SUM(length(text)) AS chars, SUM(strlen(text)) AS bytes,
+             |    SUM(len(string_split(text, ' '))) AS ws,
+             |    SUM(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS bpe,
+             |    SUM(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+             |      AS ascii
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND text IS NOT NULL
+             |  GROUP BY 1)
+             |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(chars AS BIGINT) AS chars,
+             |  CAST(ws AS BIGINT) AS ws_tokens,
+             |  CAST(bpe AS BIGINT) AS bpe_tokens,
+             |  CAST(ws * 100000 // nullif(chars, 0) AS BIGINT)
+             |    AS ws_per_100c_e3,
+             |  CAST(bpe * 100000 // nullif(chars, 0) AS BIGINT)
+             |    AS bpe_per_100c_e3,
+             |  CAST(bytes * 1000 // nullif(ws, 0) AS BIGINT)
+             |    AS bytes_per_ws_e3,
+             |  CAST((chars - ascii) * 1000000 // nullif(chars, 0) AS BIGINT)
+             |    AS non_ascii_ppm
+             |FROM s ORDER BY lang""".stripMargin)),
+
+    // Token-bucket alert throttling per user: burst of 3, sustained
+    // 1/day, credit kept in µs-of-refill so the whole fold is
+    // add/compare integer arithmetic. The Spark side is an in-plan
+    // per-key array fold; the oracle replays the same recurrence as a
+    // recursive CTE over row_number'd events — allowed flags and
+    // arrival credit match bit for bit.
+    Q("q250_token_bucket",
+      (s, dir) => Temporal.tokenBucket(Tables(s, dir, "events"),
+        capacity = 3, refillUs = 86400000000L),
+      Some("""WITH RECURSIVE ev AS (SELECT user_id, event_id,
+             |    epoch_us(ts) AS us,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |st AS (
+             |  SELECT user_id, rn, us, event_id,
+             |    CAST(259200000000 AS BIGINT) AS avail_us,
+             |    TRUE AS allowed,
+             |    CAST(172800000000 AS BIGINT) AS tok
+             |  FROM ev WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn, e.us, e.event_id,
+             |    LEAST(259200000000, s.tok + (e.us - s.us)) AS avail_us,
+             |    LEAST(259200000000, s.tok + (e.us - s.us))
+             |      >= 86400000000 AS allowed,
+             |    LEAST(259200000000, s.tok + (e.us - s.us))
+             |      - CASE WHEN LEAST(259200000000, s.tok + (e.us - s.us))
+             |          >= 86400000000 THEN 86400000000 ELSE 0 END AS tok
+             |  FROM ev e JOIN st s
+             |    ON s.user_id = e.user_id AND e.rn = s.rn + 1)
+             |SELECT user_id, event_id, allowed, avail_us
+             |FROM st ORDER BY user_id, event_id""".stripMargin)),
   )
 }

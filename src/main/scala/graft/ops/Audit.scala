@@ -406,6 +406,44 @@ object Audit {
       .orderBy("ca", "cb")
   }
 
+  /** Approximate functional-dependency discovery — for each declared
+    * determinant→dependent column pair, count the rows that would
+    * have to change for `A → B` to hold exactly:
+    * `violations = Σ_a (cnt(a) − max_b cnt(a,b))` (the g₃ error of
+    * the FD-mining literature). `violations = 0` certifies an exact
+    * dependency (a key, a derived column, a denormalized copy);
+    * small ppm values surface "almost-FDs" — dirty denormalizations
+    * and near-keys a schema-curation pass should look at. Reports one
+    * row per pair with group count, row count, violations, ppm, and
+    * the holds-exactly flag.
+    *
+    * Scale shape: per pair two map-side-combinable aggregates
+    * (groupBy(A,B) → groupBy(A)); nothing but |distinct A| rows ever
+    * crosses the second shuffle, and the per-pair results union into
+    * a p-row report. Pairs are independent passes by design — at
+    * warehouse scale you run the pairs you care about, not the p²
+    * lattice (FD mining prunes the lattice; this op is the verified
+    * measurement kernel it calls per candidate).
+    */
+  def fdDiscovery(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdDiscovery needs at least one column pair")
+    pairs.map { case (det, dep) =>
+      val g = df.where(col(det).isNotNull)
+        .groupBy(col(det).as("a"), col(dep).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val perA = g.groupBy("a")
+        .agg(sum(col("c")).as("n"), max(col("c")).as("m"))
+      perA.agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_rows"),
+          sum(col("n") - col("m")).as("violations"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          col("n_groups"), col("n_rows"), col("violations"),
+          expr("violations * 1000000 div n_rows").as("violation_ppm"),
+          (col("violations") === 0L).as("holds"))
+    }.reduce(_.unionByName(_)).orderBy("det", "dep")
+  }
+
   /** Join-cardinality preflight: estimate `|A ⋈ B|` from two
     * m-bucket key histograms (`Σ_b cntA_b·cntB_b`) before running
     * the join, and report the estimate beside the exact count — the

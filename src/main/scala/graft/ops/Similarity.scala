@@ -237,6 +237,56 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Greedy k-center (farthest-point) coreset selection — pick `k`
+    * maximally spread vectors: seed at the smallest id, then k−1
+    * rounds of "take the point farthest from everything chosen so
+    * far". The classic 2-approximation to the k-center objective and
+    * the standard diversity-sampling pass for training-data curation
+    * (coresets, dedup-cluster exemplars, eval-set seeding) — the
+    * counterweight to similarity dedup, which removes the CLOSE pairs
+    * while this keeps the SPREAD ones.
+    *
+    * Determinism contract: vectors quantize to a global milli grid
+    * (`floor(x·quant)` per element) so distances are exact integer
+    * squared-L2 in milli² units; ties on the max break to the smaller
+    * id. Each selected row reports the distance that won its
+    * selection — a non-increasing sequence whose last value is the
+    * (k−1)-center covering radius of the corpus.
+    *
+    * Scale shape: each round is one map (update the running min-dist
+    * against the single new center, broadcast as a literal) + one
+    * argmax aggregate — k scans total, nothing ever shuffles
+    * row-scale; the k×dim centers live on the driver (query-sized by
+    * definition). localCheckpoint per round keeps lineage flat.
+    */
+  def kCenterSelect(embeddings: DataFrame, k: Int = 8, quant: Long = 1000L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+    val q = embeddings.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * quant).cast("long")).as("q"))
+      .localCheckpoint()
+    val seed = q.orderBy("vec_id").limit(1).collect()(0)
+    var picked = Vector((1, seed.getLong(0), 0L))
+    var cur = q.withColumn("md",
+        d2(col("q"), typedLit(seed.getSeq[Long](1))))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val top = cur.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picked :+= ((i, top.getLong(0), top.getAs[Long]("md")))
+      val cq = typedLit(top.getSeq[Long](1))
+      cur = cur.withColumn("md", least(col("md"), d2(col("q"), cq)))
+        .localCheckpoint()
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    picked.toDF("sel_order", "vec_id", "d2_sel").orderBy("sel_order")
+  }
+
   /** Product-quantization encoding — the memory-bound ANN serving
     * format: the vector splits into `m` contiguous subvectors, each
     * assigned to its nearest codeword (argmin L2, ties to the lower

@@ -778,6 +778,57 @@ object Stats {
       .orderBy("grp", "day")
   }
 
+  /** Autocorrelation of the daily event-count series per group, lags
+    * 1..3 in ppm — the standard seasonality/persistence fingerprint
+    * (high acf1 = momentum, acf7 would be weekly rhythm) a forecast
+    * pipeline reads before picking a model. Integer-exact throughout:
+    * with `n` days, counts `x_t`, `S = Σx`, the mean-centered
+    * deviation is scaled to `dev_t = n·x_t − S` (no division, no
+    * float), and `acf_k = Σ_{t≤n−k} dev_t·dev_{t+k} · 10⁶ ÷ Σ dev_t²`
+    * — numerator possibly negative, and BOTH engines' integer
+    * division truncates toward zero (Spark `div`, DuckDB `//`), so
+    * the floor contract holds bit for bit. A constant series has
+    * zero denominator → NULL acf (nullif guard both sides).
+    *
+    * Scale shape: one combinable (grp, day) count — the 100 TB scan
+    * folds to |groups|·|days| rows — then window lags and one final
+    * aggregate over that tiny table; nothing row-scale ever reaches
+    * the window.
+    */
+  def acf(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("x"))
+    val byGrp = Window.partitionBy("grp")
+    val ordered = Window.partitionBy("grp").orderBy("day")
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(byGrp))
+      .withColumn("s", sum(col("x")).over(byGrp))
+      .withColumn("dev", col("n") * col("x") - col("s"))
+      .withColumn("d1", lead(col("dev"), 1).over(ordered))
+      .withColumn("d2", lead(col("dev"), 2).over(ordered))
+      .withColumn("d3", lead(col("dev"), 3).over(ordered))
+    dev.groupBy("grp")
+      .agg(max(col("n")).as("n_days"),
+        sum(col("dev") * col("dev")).as("den"),
+        sum(col("dev") * col("d1")).as("num1"),
+        sum(col("dev") * col("d2")).as("num2"),
+        sum(col("dev") * col("d3")).as("num3"))
+      .select(col("grp"), col("n_days"),
+        // decimal(38) numerator: num·10⁶ would pass a long only up to
+        // ~10⁸ events/day; DuckDB's SUM is HUGEINT-wide already
+        expr("cast(num1 as decimal(38,0)) * 1000000 div nullif(den, 0)")
+          .as("acf1_ppm"),
+        expr("cast(num2 as decimal(38,0)) * 1000000 div nullif(den, 0)")
+          .as("acf2_ppm"),
+        expr("cast(num3 as decimal(38,0)) * 1000000 div nullif(den, 0)")
+          .as("acf3_ppm"))
+      .orderBy("grp")
+  }
+
   /** One-way variance decomposition (ANOVA sums of squares): how much
     * of a metric's variance the grouping axis explains —
     * `eta² = SSB/(SSB+SSW)` in ppm, the effect-size gate before

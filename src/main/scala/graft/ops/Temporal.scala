@@ -423,4 +423,66 @@ object Temporal {
         col("max_late_us"))
       .orderBy("grp")
   }
+
+  /** Token-bucket alert throttling — the rate-limit gate an alerting
+    * pipeline puts between trigger and notification: each key holds a
+    * bucket of `capacity` tokens refilling one token per `refillUs`;
+    * every event first accrues elapsed credit (capped at capacity),
+    * then spends one token if a full token is available (`allowed`),
+    * else is suppressed. Classic burst-of-`capacity`,
+    * sustained-1-per-refill contract.
+    *
+    * Division-free integer arithmetic: credit is kept in
+    * MICROSECONDS-of-refill (one token ≡ `refillUs` µs), so refill is
+    * a plain `Δus` add and the spend a subtract — no floor division
+    * anywhere, bit-exact in any engine. `avail_us` reports the credit
+    * at arrival (`avail_us div refillUs` = whole tokens).
+    *
+    * Scale shape: a per-key ordered fold — keys hash-distribute, and
+    * the in-plan codegen'd `aggregate` fold walks each key's sorted
+    * event array once. Per-key arrays are collect_list-bounded like
+    * [[graft.engine.Trigger]] snippets: right for alert-keyed streams
+    * (events per key per window is moderate); an unbounded-key
+    * variant belongs in the streaming twin
+    * ([[graft.streaming.StreamingAlerts]] keyed state), where the
+    * bucket is two longs of state per key and nothing is collected.
+    */
+  def tokenBucket(events: DataFrame, capacity: Int = 3,
+      refillUs: Long = 86400000000L, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    val capUs = capacity * refillUs
+    val sorted = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).cast("long").as("id"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("us"), col("id")))).as("evs"))
+    val folded = sorted.withColumn("res",
+      aggregate(
+        col("evs"),
+        struct(lit(capUs).as("tok"), lit(null).cast("bigint").as("prev"),
+          expr("cast(array() as " +
+            "array<struct<id:bigint,allowed:boolean,avail_us:bigint>>)")
+            .as("out")),
+        (acc, e) => {
+          val delta = when(acc.getField("prev").isNull, lit(0L))
+            .otherwise(e.getField("us") - acc.getField("prev"))
+          val avail = least(lit(capUs), acc.getField("tok") + delta)
+          val allowed = avail >= lit(refillUs)
+          struct(
+            (avail - when(allowed, lit(refillUs)).otherwise(lit(0L)))
+              .as("tok"),
+            e.getField("us").as("prev"),
+            concat(acc.getField("out"),
+              array(struct(e.getField("id").as("id"),
+                allowed.as("allowed"), avail.as("avail_us")))).as("out"))
+        },
+        acc => acc.getField("out")))
+    folded.select(col("k"), explode(col("res")).as("r"))
+      .select(col("k").as(keyCol), col("r.id").as(idCol),
+        col("r.allowed").as("allowed"), col("r.avail_us").as("avail_us"))
+      .orderBy(keyCol, idCol)
+  }
 }

@@ -742,4 +742,43 @@ object TextAnalysis {
         expr("pos * 1000000 div n").as("pos_rate_ppm"))
       .orderBy("bin")
   }
+
+  /** Tokenizer-fertility and encoding profile per language — the
+    * corpus-planning table behind token budgets: how many whitespace
+    * and BPE-ish tokens (q29's regex tokenizer) a language produces
+    * per 100 characters, how many UTF-8 bytes a whitespace token
+    * costs, and what share of characters is non-ASCII. Fertility
+    * differences are why a fixed byte budget buys different token
+    * counts per language; the non-ASCII share is the cheap encoding
+    * sanity gate (a sudden jump = mojibake or a scraper bug).
+    * Integer floor ratios; milli (e3) for per-token costs, ppm for
+    * shares.
+    *
+    * Scale shape: one map-only projection then one combinable
+    * aggregate to |langs| rows — a 100 TB corpus folds in a single
+    * pass with counters only crossing the shuffle.
+    */
+  def fertilityProfile(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    docs.where(col(langCol).isNotNull && col(textCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("chars"),
+        octet_length(col(textCol)).cast("long").as("bytes"),
+        size(split(col(textCol), " ")).cast("long").as("ws"),
+        regexp_count(col(textCol),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("bpe"),
+        length(regexp_replace(col(textCol), "[^\\x00-\\x7F]", ""))
+          .cast("long").as("ascii"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"),
+        sum(col("bytes")).as("bytes"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"), sum(col("ascii")).as("ascii_chars"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("ws_tokens"),
+        col("bpe_tokens"),
+        expr("ws_tokens * 100000 div nullif(chars, 0)").as("ws_per_100c_e3"),
+        expr("bpe_tokens * 100000 div nullif(chars, 0)").as("bpe_per_100c_e3"),
+        expr("bytes * 1000 div nullif(ws_tokens, 0)").as("bytes_per_ws_e3"),
+        expr("(chars - ascii_chars) * 1000000 div nullif(chars, 0)")
+          .as("non_ascii_ppm"))
+      .orderBy("lang")
 }

@@ -190,4 +190,24 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(c.getAs[Long]("est") === 12L)
     assert(c.getAs[Long]("est") >= c.getAs[Long]("exact"))
   }
+
+  test("fdDiscovery: exact FD certifies, violations count the g3 error") {
+    val df = Seq((1, "a", 10), (1, "a", 11), (2, "b", 10), (2, "c", 12))
+      .toDF("k", "v", "w")
+    val r = Audit.fdDiscovery(df, Seq("k" -> "v", "w" -> "k", "v" -> "k"))
+      .collect().map(x => (x.getAs[String]("det"), x.getAs[String]("dep")) ->
+        (x.getAs[Long]("n_groups"), x.getAs[Long]("n_rows"),
+          x.getAs[Long]("violations"), x.getAs[Long]("violation_ppm"),
+          x.getAs[Boolean]("holds"))).toMap
+    // k→v: k=1 pure (a,a), k=2 splits (b,c) → one row must go
+    assert(r(("k", "v")) === ((2L, 4L, 1L, 250000L, false)))
+    // w→k: w=10 maps to both k=1 and k=2 → 1 violation of 4 rows
+    assert(r(("w", "k")) === ((3L, 4L, 1L, 250000L, false)))
+    // v→k holds exactly: every v value has a single k
+    assert(r(("v", "k")) === ((3L, 4L, 0L, 0L, true)))
+    // ordering contract: (det, dep) ascending
+    val names = Audit.fdDiscovery(df, Seq("w" -> "k", "k" -> "v"))
+      .collect().map(_.getAs[String]("det")).toSeq
+    assert(names === Seq("k", "w"))
+  }
 }

@@ -948,4 +948,44 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     // dim1 is constant → sd 0 → dropped entirely
     assert(r === Seq((1L, 0, -1000000L), (2L, 0, 1000000L)))
   }
+
+  test("kCenterSelect: farthest-point order on a line, radius shrinks") {
+    import org.apache.spark.sql.functions._
+    // 1-D points 0.0, 0.1, 0.5, 1.0 (milli grid: 0, 100, 500, 1000):
+    // seed = id 0 (min id, at 0.0) → farthest is 1.0 (d²=1e6) →
+    // then 0.5 (min(500²,500²)=250000) → then 0.1 (100²=10000)
+    val e = Seq((0L, Seq(0.0f)), (1L, Seq(0.1f)), (2L, Seq(0.5f)),
+      (3L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.kCenterSelect(e, k = 4).collect()
+      .map(x => (x.getAs[Int]("sel_order"), x.getAs[Long]("vec_id"),
+        x.getAs[Long]("d2_sel"))).toSeq
+    assert(r === Seq((1, 0L, 0L), (2, 3L, 1000000L), (3, 2L, 250000L),
+      (4, 1L, 10000L)))
+    // d2_sel non-increasing: the greedy covering radius only shrinks
+    assert(r.map(_._3).drop(1).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("fertilityProfile: exact integer ratios per language") {
+    val d = Seq(
+      (0L, "ab cd", "en"),   // 5 chars, 2 ws tokens, 2 bpe tokens
+      (1L, "a b c", "en"),   // 5 chars, 3 ws, 3 bpe
+      (2L, "x!", "de"))      // 2 chars, 1 ws, 2 bpe (x + !)
+      .toDF("doc_id", "text", "lang")
+    val r = graft.ops.TextAnalysis.fertilityProfile(d).collect()
+      .map(x => x.getAs[String]("lang") ->
+        (x.getAs[Long]("chars"), x.getAs[Long]("ws_tokens"),
+          x.getAs[Long]("bpe_tokens"), x.getAs[Long]("ws_per_100c_e3"),
+          x.getAs[Long]("non_ascii_ppm"))).toMap
+    // en: 10 chars, 5 ws → 5·100000/10 = 50000 per-100c-e3; all ASCII
+    assert(r("en") === ((10L, 5L, 5L, 50000L, 0L)))
+    assert(r("de") === ((2L, 1L, 2L, 50000L, 0L)))
+  }
+
+  test("fertilityProfile: non-ASCII share counts multibyte chars") {
+    val d = Seq((0L, "aéb", "fr")).toDF("doc_id", "text", "lang")
+    val r = graft.ops.TextAnalysis.fertilityProfile(d).collect().head
+    // é is 1 of 3 chars → 333333 ppm; UTF-8 bytes = 4 for 1 ws token
+    assert(r.getAs[Long]("non_ascii_ppm") === 333333L)
+    assert(r.getAs[Long]("bytes_per_ws_e3") === 4000L)
+  }
 }

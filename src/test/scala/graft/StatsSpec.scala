@@ -583,4 +583,30 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       .repartition(7)).collect().head
     assert(a.toSeq === b.toSeq)
   }
+
+  test("acf: alternating series → exact negative lag-1, positive lag-2") {
+    // daily counts 10,20,10,20,10,20: dev = 6x−90 = ∓30 alternating;
+    // den = 6·900, num1 = 5·(−900), num2 = 4·900, num3 = 3·(−900)
+    val rows = Seq(10, 20, 10, 20, 10, 20).zipWithIndex
+      .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
+    val df = rows.toDF("d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+      .withColumn("event_type", lit("a"))
+    val r = Stats.acf(df).collect().head
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[Long]("acf1_ppm") === -833333L) // −4500/5400 floored to 0
+    assert(r.getAs[Long]("acf2_ppm") === 666666L)
+    assert(r.getAs[Long]("acf3_ppm") === -500000L)
+  }
+
+  test("acf: constant series has zero variance → NULL acf") {
+    val rows = Seq(5, 5, 5).zipWithIndex
+      .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
+    val df = rows.toDF("d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+      .withColumn("event_type", lit("flat"))
+    val r = Stats.acf(df).collect().head
+    assert(r.isNullAt(r.fieldIndex("acf1_ppm")))
+    assert(r.isNullAt(r.fieldIndex("acf3_ppm")))
+  }
 }

@@ -256,4 +256,38 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("late_ppm") === 333333L)
     assert(r.getAs[Long]("max_late_us") === 40000000L)
   }
+
+  test("tokenBucket: burst allowed, sustained rate throttles, credit caps") {
+    import org.apache.spark.sql.functions._
+    // capacity 2, refill 10 s: t=0 spends 1 of 2, t=1s spends the
+    // refilling remainder, t=5s finds only 5 s credit → denied,
+    // t=30s hits the cap again
+    val ev = Seq((1L, 0L), (2L, 1000000L), (3L, 5000000L),
+      (4L, 30000000L))
+      .toDF("event_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withColumn("user_id", lit(7L))
+    val r = graft.ops.Temporal.tokenBucket(ev, capacity = 2,
+      refillUs = 10000000L).collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        (x.getAs[Boolean]("allowed"), x.getAs[Long]("avail_us"))).toMap
+    assert(r(1L) === ((true, 20000000L)))
+    assert(r(2L) === ((true, 11000000L)))
+    assert(r(3L) === ((false, 5000000L)))
+    assert(r(4L) === ((true, 20000000L))) // capped at capacity, not 30 s
+  }
+
+  test("tokenBucket: keys throttle independently") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq((7L, 1L, 0L), (7L, 2L, 1000L), (8L, 3L, 500L))
+      .toDF("user_id", "event_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = graft.ops.Temporal.tokenBucket(ev, capacity = 1,
+      refillUs = 10000000L).collect()
+      .map(x => x.getAs[Long]("event_id") -> x.getAs[Boolean]("allowed"))
+      .toMap
+    // each key's first event spends the single token; key 7's second
+    // event 1 ms later is denied, key 8's first is untouched by key 7
+    assert(r === Map(1L -> true, 2L -> false, 3L -> true))
+  }
 }
