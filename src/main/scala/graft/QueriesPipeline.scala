@@ -34,6 +34,36 @@ private[graft] object QueriesPipeline {
     dir.getAbsolutePath
   }
 
+  // shared token-bucket oracle (q250 batch + q251 streaming twin —
+  // identical recurrence, one source of truth): recursive CTE folding
+  // capacity 3 × refill 1 day in µs-of-refill credit
+  private val tokenBucketOracle: String =
+    """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+      |    epoch_us(ts) AS us,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |st AS (
+      |  SELECT user_id, rn, us, event_id,
+      |    CAST(259200000000 AS BIGINT) AS avail_us,
+      |    TRUE AS allowed,
+      |    CAST(172800000000 AS BIGINT) AS tok
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.us, e.event_id,
+      |    LEAST(259200000000, s.tok + (e.us - s.us)) AS avail_us,
+      |    LEAST(259200000000, s.tok + (e.us - s.us))
+      |      >= 86400000000 AS allowed,
+      |    LEAST(259200000000, s.tok + (e.us - s.us))
+      |      - CASE WHEN LEAST(259200000000, s.tok + (e.us - s.us))
+      |          >= 86400000000 THEN 86400000000 ELSE 0 END AS tok
+      |  FROM ev e JOIN st s
+      |    ON s.user_id = e.user_id AND e.rn = s.rn + 1)
+      |SELECT user_id, event_id, allowed, avail_us
+      |FROM st ORDER BY user_id, event_id""".stripMargin
+
   // shared cosine text for the DuckDB side (deterministic left fold,
   // same op order as Similarity.dot's aggregate fold)
   private def duckCos(a: String, b: String): String =
@@ -6705,30 +6735,58 @@ private[graft] object QueriesPipeline {
     Q("q250_token_bucket",
       (s, dir) => Temporal.tokenBucket(Tables(s, dir, "events"),
         capacity = 3, refillUs = 86400000000L),
-      Some("""WITH RECURSIVE ev AS (SELECT user_id, event_id,
-             |    epoch_us(ts) AS us,
-             |    ROW_NUMBER() OVER (PARTITION BY user_id
-             |      ORDER BY epoch_us(ts), event_id) AS rn
-             |  FROM events
-             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-             |    AND event_id IS NOT NULL),
-             |st AS (
-             |  SELECT user_id, rn, us, event_id,
-             |    CAST(259200000000 AS BIGINT) AS avail_us,
-             |    TRUE AS allowed,
-             |    CAST(172800000000 AS BIGINT) AS tok
-             |  FROM ev WHERE rn = 1
+      Some(tokenBucketOracle)),
+
+    // STREAMING token-bucket throttle through the oracle gate: the
+    // flatMapGroupsWithState twin (two longs of state per key) over
+    // the single-microbatch event replay — decisions equal the batch
+    // fold and therefore the same recursive-CTE oracle, bit for bit.
+    Q("q251_stream_token_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.tokenBucketStream(
+          QueriesAlert.eventStream(s, dir), capacity = 3,
+          refillUs = 86400000000L)
+        QueriesAlert.drainToMemory(s, out.toDF(), "q251_sink",
+          OutputMode.Append())
+          .orderBy("user_id", "event_id")
+      },
+      Some(tokenBucketOracle)),
+
+    // Kaplan-Meier churn survival over event-derived user lifetimes:
+    // right-censored at the corpus edge (last-active within 3 days =
+    // censored, leaves the risk set without counting as churn). The
+    // ppm product floors per step, so the oracle's recursive CTE
+    // replays the identical integer recurrence.
+    Q("q252_survival_curve",
+      (s, dir) => Analytics.survivalCurve(Tables(s, dir, "events"),
+        censorDays = 3L),
+      Some("""WITH RECURSIVE ev AS (SELECT user_id AS k,
+             |    epoch_us(ts) // 86400000000 AS day
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |lt AS (SELECT k, MIN(day) AS fd, MAX(day) AS ld FROM ev
+             |  GROUP BY 1),
+             |g AS (SELECT MAX(ld) AS gmax FROM lt),
+             |u AS (SELECT ld - fd AS t,
+             |    CASE WHEN ld <= gmax - 3 THEN 1 ELSE 0 END AS churn
+             |  FROM lt CROSS JOIN g),
+             |tg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ends,
+             |    CAST(SUM(churn) AS BIGINT) AS d
+             |  FROM u GROUP BY 1),
+             |grid AS (SELECT t,
+             |    CAST(SUM(ends) OVER (ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n,
+             |    d, ROW_NUMBER() OVER (ORDER BY t) AS rn
+             |  FROM tg),
+             |km AS (
+             |  SELECT rn, t, n, d, (1000000 * (n - d)) // n AS s
+             |  FROM grid WHERE rn = 1
              |  UNION ALL
-             |  SELECT e.user_id, e.rn, e.us, e.event_id,
-             |    LEAST(259200000000, s.tok + (e.us - s.us)) AS avail_us,
-             |    LEAST(259200000000, s.tok + (e.us - s.us))
-             |      >= 86400000000 AS allowed,
-             |    LEAST(259200000000, s.tok + (e.us - s.us))
-             |      - CASE WHEN LEAST(259200000000, s.tok + (e.us - s.us))
-             |          >= 86400000000 THEN 86400000000 ELSE 0 END AS tok
-             |  FROM ev e JOIN st s
-             |    ON s.user_id = e.user_id AND e.rn = s.rn + 1)
-             |SELECT user_id, event_id, allowed, avail_us
-             |FROM st ORDER BY user_id, event_id""".stripMargin)),
+             |  SELECT g2.rn, g2.t, g2.n, g2.d,
+             |    (km.s * (g2.n - g2.d)) // g2.n
+             |  FROM grid g2 JOIN km ON g2.rn = km.rn + 1)
+             |SELECT t, n AS n_risk, d AS d_churn, CAST(s AS BIGINT) AS s_ppm
+             |FROM km ORDER BY t""".stripMargin)),
   )
 }

@@ -334,4 +334,69 @@ object Analytics {
         expr("hit3 * 1000000 div n_eval").as("hit3_ppm"))
       .orderBy("from_type")
   }
+
+  /** Kaplan-Meier churn survival curve — the right-censoring-aware
+    * "what share of users is still active after k days" estimate that
+    * a naive retention ratio gets wrong (users near the observation
+    * edge haven't had TIME to churn; dropping them from the at-risk
+    * set instead of counting them as churned is the whole point of
+    * KM). Lifetime = days between a user's first and last event;
+    * users whose last activity is within `censorDays` of the corpus
+    * edge are censored (they leave the at-risk set at their lifetime
+    * without counting as a churn event). One row per observed
+    * lifetime t: at-risk count `n_risk`, churn events `d_churn`, and
+    * the survival estimate `s_ppm = Π_{s≤t} floor(S·(n_s−d_s)/n_s)`
+    * — the product folded in ppm with per-step floor, so both
+    * engines replay identical integer arithmetic.
+    *
+    * Scale shape: one combinable per-user min/max aggregate (the
+    * 100 TB scan folds to |users| rows), one count aggregate to
+    * |lifetimes| ≤ observation-window-days rows, and the sequential
+    * KM product folds over THAT tiny array in-plan — nothing
+    * row-scale ever reaches the fold.
+    */
+  def survivalCurve(events: DataFrame, censorDays: Long = 3L,
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val lifetimes = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("k").agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+    val gmax = lifetimes.agg(max(col("ld"))).head.getLong(0)
+    val byT = lifetimes
+      .select((col("ld") - col("fd")).as("t"),
+        (col("ld") <= gmax - censorDays).cast("long").as("churn"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("ends"), sum(col("churn")).as("d"))
+    // at-risk n(t) = users whose lifetime ≥ t: reverse-cumulative ends
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = byT.withColumn("n", sum(col("ends")).over(w))
+      .select("t", "n", "d")
+    // sequential KM product over the ≤|days| grid rows: collect the
+    // sorted grid into one array and fold with per-step ppm floor
+    // ((x − x mod n)/n is exact in double up to 2^53 — ppm·users fits)
+    val folded = grid
+      .agg(sort_array(collect_list(struct(col("t"), col("n"), col("d"))))
+        .as("g"))
+      .select(aggregate(col("g"),
+        struct(lit(1000000L).as("s"),
+          expr("cast(array() as array<struct<" +
+            "t:bigint,n_risk:bigint,d_churn:bigint,s_ppm:bigint>>)")
+            .as("out")),
+        (acc, e) => {
+          val x = acc.getField("s") * (e.getField("n") - e.getField("d"))
+          val s2 = ((x - pmod(x, e.getField("n"))) / e.getField("n"))
+            .cast("long")
+          struct(s2.as("s"),
+            concat(acc.getField("out"), array(struct(
+              e.getField("t").as("t"), e.getField("n").as("n_risk"),
+              e.getField("d").as("d_churn"), s2.as("s_ppm")))).as("out"))
+        },
+        acc => acc.getField("out")).as("res"))
+      .select(explode(col("res")).as("r"))
+    folded.select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+        col("r.d_churn").as("d_churn"), col("r.s_ppm").as("s_ppm"))
+      .orderBy("t")
+  }
 }

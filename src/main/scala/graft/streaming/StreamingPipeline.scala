@@ -196,6 +196,63 @@ object StreamingPipeline {
         })
   }
 
+  /** Token-bucket state: credit in µs-of-refill + last event's µs
+    * (−1 = none yet) — two longs per key, the O(1) state the batch
+    * fold's collect_list can't offer on an unbounded stream.
+    */
+  case class BucketState(tokUs: Long, prevUs: Long)
+  case class ThrottleRow(user_id: Long, event_id: Long, allowed: Boolean,
+      avail_us: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.tokenBucket]]: per-key
+    * burst-of-capacity / sustained-1-per-refill throttling with the
+    * identical division-free µs-credit recurrence, as
+    * flatMapGroupsWithState keyed state. Each micro-batch sorts its
+    * per-key rows by (event time, id) and folds them through the
+    * bucket; the carried state is two longs, so key cardinality —
+    * not stream length — bounds the store.
+    *
+    * Ordering contract (same as ewmaStream): deterministic given the
+    * batch boundaries; events arriving in a LATER micro-batch with an
+    * EARLIER timestamp are folded when they arrive (their delta is
+    * clamped at 0, never negative credit). Replayed in one batch the
+    * output equals the batch fold bit for bit — that equivalence is
+    * the oracle gate (q251 vs q250's recursive-CTE oracle).
+    */
+  def tokenBucketStream(events: DataFrame, capacity: Int = 3,
+      refillUs: Long = 86400000000L, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id")
+      : org.apache.spark.sql.Dataset[ThrottleRow] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    val capUs = capacity * refillUs
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[BucketState]) => {
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(BucketState(capUs, -1L))
+          val out = sorted.map { case (_, us, id) =>
+            val delta = if (st.prevUs < 0) 0L else math.max(0L, us - st.prevUs)
+            val avail = math.min(capUs, st.tokUs + delta)
+            val allowed = avail >= refillUs
+            st = BucketState(avail - (if (allowed) refillUs else 0L),
+              math.max(st.prevUs, us))
+            ThrottleRow(key, id, allowed, avail)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Per-bucket Misra-Gries sketch state. `counts` is the bounded
     * counter map (≤ k entries), `processed` the bucket's total row
     * count — the guarantee check needs N = Σ processed.

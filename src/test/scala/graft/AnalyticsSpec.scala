@@ -273,4 +273,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r === Seq(("A", 10L, 10L, 10L, 1000000L),
       ("B", 1L, 0L, 0L, 0L), ("C", 1L, 0L, 0L, 0L)))
   }
+
+  test("survivalCurve: censored users leave the risk set without churning") {
+    import org.apache.spark.sql.functions._
+    // day-indexed events; corpus edge = day 10, censor horizon 3 days:
+    // A (days 0-2, L=2) and B (day 0, L=0) churn; C (0-10) and
+    // D (9-10) are still active at the edge → censored
+    val rows = Seq(("A", 0L), ("A", 2L), ("B", 0L), ("C", 0L), ("C", 10L),
+      ("D", 9L), ("D", 10L))
+    val d = rows.toDF("user_id", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+    val r = graft.ops.Analytics.survivalCurve(d, censorDays = 3L).collect()
+      .map(x => (x.getAs[Long]("t"), x.getAs[Long]("n_risk"),
+        x.getAs[Long]("d_churn"), x.getAs[Long]("s_ppm"))).toSeq
+    // t=0: 4 at risk, B churns → 750000; t=1: D censored (no churn,
+    // S unchanged); t=2: A churns with 2 at risk → 375000; t=10: C
+    // censored, curve flat
+    assert(r === Seq((0L, 4L, 1L, 750000L), (1L, 3L, 0L, 750000L),
+      (2L, 2L, 1L, 375000L), (10L, 1L, 0L, 375000L)))
+  }
 }

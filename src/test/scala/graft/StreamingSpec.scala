@@ -15,6 +15,7 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   def tsH(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
 
   case class Ev(ts: Timestamp, user_id: Long, event_type: String)
+  case class TbEv(ts: Timestamp, user_id: Long, event_id: Long)
 
   test("thresholdStream fires per closed window when count >= threshold") {
     implicit val sc = spark.sqlContext
@@ -490,6 +491,40 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       rows.groupBy(_.getAs[Long]("processed")).foreach { case (_, rs) =>
         assert(rs.length <= 2)
       }
+    } finally q.stop()
+  }
+
+  test("tokenBucketStream: burst spends, sustained throttles, state survives batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TbEv]
+    // capacity 2, refill 10 min (600e6 µs): two quick allows, third
+    // minute-spaced event finds only 120 s credit → denied
+    val out = graft.streaming.StreamingPipeline.tokenBucketStream(
+      mem.toDF(), capacity = 2, refillUs = 600000000L)
+    val q = out.writeStream.format("memory").queryName("tb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(TbEv(ts(0), 1L, 1L), TbEv(ts(1), 1L, 2L),
+        TbEv(ts(2), 1L, 3L))
+      q.processAllAvailable()
+      // carried state: 28 min later the bucket is back at the cap
+      mem.addData(TbEv(ts(30), 1L, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("tb").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Boolean]("allowed"), r.getAs[Long]("avail_us"))).toMap
+      assert(rows(1L) === ((true, 1200000000L)))
+      assert(rows(2L) === ((true, 660000000L)))
+      assert(rows(3L) === ((false, 120000000L)))
+      assert(rows(4L) === ((true, 1200000000L)))
+      // batch parity: the same replay through Temporal.tokenBucket
+      val batch = Seq((ts(0), 1L, 1L), (ts(1), 1L, 2L), (ts(2), 1L, 3L),
+        (ts(30), 1L, 4L)).toDF("ts", "user_id", "event_id")
+      val b = graft.ops.Temporal.tokenBucket(batch, capacity = 2,
+        refillUs = 600000000L).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Boolean]("allowed"), r.getAs[Long]("avail_us"))).toMap
+      assert(b === rows)
     } finally q.stop()
   }
 }
