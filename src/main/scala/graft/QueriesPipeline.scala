@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Graph, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
+import graft.ops.{Analytics, Audit, Bloom, Curation, DocDedup, Entity, Graph, HeavyHitters, Multimodal, Par, Similarity, Skew, Stats, Temporal, TextAnalysis}
 import graft.sources.{BloomSkipping, KeyedTable, Lake, Skipping, ZOrder}
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -6788,5 +6788,122 @@ private[graft] object QueriesPipeline {
              |  FROM grid g2 JOIN km ON g2.rn = km.rn + 1)
              |SELECT t, n AS n_risk, d AS d_churn, CAST(s AS BIGINT) AS s_ppm
              |FROM km ORDER BY t""".stripMargin)),
+
+    // Walk-forward backtest of the q225 Holt model: the SAME
+    // milli-integer recurrence, scoring each day's one-step-ahead
+    // forecast before folding the day in — one traversal, n−1 honest
+    // out-of-sample errors. Oracle replays the fold as a recursive
+    // CTE (no list_reduce struct limitation there).
+    Q("q253_walkforward_holt",
+      (s, dir) => Stats.walkForwardHolt(Tables(s, dir, "events")),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT grp, cnt * 1000 AS cm,
+             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS rn
+             |  FROM daily),
+             |nd AS (SELECT grp, CAST(MAX(rn) AS BIGINT) AS n_days
+             |  FROM rk GROUP BY 1),
+             |st AS (
+             |  SELECT grp, rn, cm AS l, CAST(0 AS BIGINT) AS b,
+             |    CAST(0 AS BIGINT) AS se, CAST(0 AS BIGINT) AS me,
+             |    CAST(0 AS BIGINT) AS k
+             |  FROM rk WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.grp, r.rn,
+             |    (500 * r.cm + 500 * (s.l + s.b)) // 1000,
+             |    (300 * (((500 * r.cm + 500 * (s.l + s.b)) // 1000)
+             |            - s.l) + 700 * s.b) // 1000,
+             |    s.se + abs(r.cm - (s.l + s.b)),
+             |    GREATEST(s.me, abs(r.cm - (s.l + s.b))),
+             |    s.k + 1
+             |  FROM rk r JOIN st s ON r.grp = s.grp AND r.rn = s.rn + 1)
+             |SELECT st.grp, nd.n_days, st.k AS n_eval,
+             |  CAST(st.se // st.k AS BIGINT) AS mae_milli,
+             |  st.me AS max_err_milli
+             |FROM st JOIN nd ON nd.grp = st.grp AND st.rn = nd.n_days
+             |WHERE nd.n_days >= 2
+             |ORDER BY st.grp""".stripMargin)),
+
+    // Consistent-hash ring resize audit on the customer key space:
+    // 8 → 10 shards, 16 vnodes. The per-shard report contrasts ring
+    // movement (only keys the new shards take over) against naive
+    // mod-N placement (most keys move) — the measured case for ring
+    // placement before rebalancing a 100 TB keyed store.
+    Q("q254_shard_rebalance",
+      (s, dir) => Skew.consistentShardDiff(Tables(s, dir, "orders"),
+        "o_custkey", shardsBefore = 8, shardsAfter = 10, vnodes = 16),
+      Some {
+        def ring(n: Int, as: String): String =
+          s"""$as AS (SELECT CAST(s.shard AS BIGINT) AS shard,
+             |    ${duckMix31("s.shard * 1000003 + v.v * 7919")} AS rpos
+             |  FROM (SELECT unnest(range(0, $n)) AS shard) s
+             |  CROSS JOIN (SELECT unnest(range(0, 16)) AS v) v)"""
+            .stripMargin
+        def assign(r: String, as: String, shardAs: String): String =
+          s"""$as AS (SELECT k, shard AS $shardAs FROM (
+             |    SELECT kp.k, $r.shard, ROW_NUMBER() OVER (
+             |      PARTITION BY kp.k
+             |      ORDER BY ($r.rpos < kp.kpos), $r.rpos, $r.shard) AS rn
+             |    FROM kp CROSS JOIN $r)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH ks AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k
+           |  FROM orders WHERE o_custkey IS NOT NULL),
+           |kp AS (SELECT k, ${duckMix31("k")} AS kpos FROM ks),
+           |${ring(8, "rb")},
+           |${ring(10, "ra")},
+           |${assign("rb", "bef", "before")},
+           |${assign("ra", "aft", "after")},
+           |j AS (SELECT bef.k, bef.before, aft.after,
+           |    kp.kpos % 8 AS mod_before, kp.kpos % 10 AS mod_after
+           |  FROM bef JOIN aft USING (k) JOIN kp USING (k))
+           |SELECT before AS shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN before <> after THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS ring_moved,
+           |  CAST(SUM(CASE WHEN before <> after THEN 1 ELSE 0 END)
+           |    * 1000000 // COUNT(*) AS BIGINT) AS ring_moved_ppm,
+           |  CAST(SUM(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS mod_moved,
+           |  CAST(SUM(CASE WHEN mod_before <> mod_after THEN 1 ELSE 0 END)
+           |    * 1000000 // COUNT(*) AS BIGINT) AS mod_moved_ppm
+           |FROM j GROUP BY 1 ORDER BY shard""".stripMargin
+      }),
+
+    // Trending parts: current-half top-20 by shipment count with the
+    // rank shift vs the previous half — change detection on top of
+    // heavy hitters, with previous ranks computed only for the 20
+    // probes (count-of-better against broadcast probes, no global
+    // item sort anywhere).
+    Q("q255_trending_parts",
+      (s, dir) => HeavyHitters.trendingDelta(Tables(s, dir, "lineitem"),
+        itemCol = "l_partkey", tsCol = "l_shipdate",
+        splitIso = "1998-07-01", k = 20),
+      Some("""WITH it AS (SELECT l_partkey AS item,
+             |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_prev,
+             |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur
+             |  FROM lineitem
+             |  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+             |  GROUP BY 1),
+             |cur AS (SELECT * FROM it WHERE cnt_cur > 0
+             |  ORDER BY cnt_cur DESC, item LIMIT 20),
+             |pr AS (SELECT item, CAST(ROW_NUMBER() OVER (
+             |    ORDER BY cnt_prev DESC, item) AS BIGINT) AS prev_rank
+             |  FROM it WHERE cnt_prev > 0),
+             |rk AS (SELECT cur.*, CAST(ROW_NUMBER() OVER (
+             |    ORDER BY cnt_cur DESC, item) AS BIGINT) AS rank_cur
+             |  FROM cur)
+             |SELECT rk.rank_cur, rk.item, rk.cnt_cur, rk.cnt_prev,
+             |  CASE WHEN rk.cnt_prev > 0 THEN pr.prev_rank END
+             |    AS prev_rank,
+             |  CASE WHEN rk.cnt_prev > 0 THEN pr.prev_rank - rk.rank_cur
+             |    END AS rank_delta,
+             |  rk.cnt_prev = 0 AS is_new
+             |FROM rk LEFT JOIN pr ON pr.item = rk.item
+             |ORDER BY rk.rank_cur""".stripMargin)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Heavy-hitter discovery with bounded memory — the Misra-Gries
@@ -125,5 +126,56 @@ object HeavyHitters {
       .select(col("tok"), col("exact"), col("est"),
         (col("est") - col("exact")).as("overshoot"))
       .orderBy("tok")
+  }
+
+  /** Trending-item report: the current window's top-k items with
+    * their rank SHIFT against the previous window — the
+    * change-detection layer on top of plain heavy hitters (a stable
+    * #1 is old news; a #40 jumping to #3 is the story). An item
+    * absent from the previous window is flagged `is_new` with NULL
+    * prev rank/delta.
+    *
+    * Scale shape deliberately avoids any global ranking sort: one
+    * combinable conditional-count pass folds the event stream to
+    * |items| rows; the current top-k comes from a sort-limit (Spark's
+    * TakeOrdered — no full sort materializes); previous-window ranks
+    * are computed ONLY for those k items, each as a broadcast
+    * count-of-better (count items with a strictly better
+    * (count, id)) — k·|items| predicate evaluations map-side, never a
+    * window over the item universe.
+    */
+  def trendingDelta(df: DataFrame, itemCol: String, tsCol: String,
+      splitIso: String, k: Int = 20): DataFrame = {
+    val split = lit(splitIso).cast("timestamp")
+    val items = df
+      .where(col(itemCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(itemCol).as("item"))
+      .agg(
+        sum(when(col(tsCol) < split, 1L).otherwise(0L)).as("cnt_prev"),
+        sum(when(col(tsCol) >= split, 1L).otherwise(0L)).as("cnt_cur"))
+      .localCheckpoint() // top-k cut and rank probes share it
+    val cur = items.where(col("cnt_cur") > 0)
+      .orderBy(col("cnt_cur").desc, col("item")).limit(k)
+    val prevNZ = items.where(col("cnt_prev") > 0)
+      .select(col("item").as("p2"), col("cnt_prev").as("c2"))
+    // rank-of-better: stream the previous-window item table once
+    // against the k broadcast probes, counting items ahead of each
+    // probe in (count desc, item) order — map-side, no item sort
+    val better = prevNZ.join(broadcast(cur.select(col("item").as("probe"),
+        col("cnt_prev").as("pc"))),
+        col("c2") > col("pc") || (col("c2") === col("pc") &&
+          col("p2") < col("probe")))
+      .groupBy(col("probe").as("item"))
+      .agg(count(lit(1)).as("better"))
+    val w = Window.orderBy(col("cnt_cur").desc, col("item"))
+    cur.join(broadcast(better), Seq("item"), "left")
+      .withColumn("better", coalesce(col("better"), lit(0L)))
+      .withColumn("rank_cur", row_number().over(w).cast("long"))
+      .select(col("rank_cur"), col("item"), col("cnt_cur"), col("cnt_prev"),
+        when(col("cnt_prev") > 0, col("better") + 1L).as("prev_rank"),
+        when(col("cnt_prev") > 0, col("better") + 1L - col("rank_cur"))
+          .as("rank_delta"),
+        (col("cnt_prev") === 0L).as("is_new"))
+      .orderBy("rank_cur")
   }
 }

@@ -958,6 +958,52 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Walk-forward (expanding-window) backtest of the [[holtForecast]]
+    * model: replay the identical milli-integer double-exponential
+    * recurrence (α=0.5, β=0.3, init level=first count, trend=0) and,
+    * BEFORE folding each day in, score the one-step-ahead forecast
+    * `l+b` against that day's actual — the honest eval a forecast
+    * pipeline runs before trusting q225's number (in-sample fit
+    * always looks better than walk-forward error). Emits per group
+    * the eval count, mean absolute error (floor milli) and worst
+    * single-day error.
+    *
+    * Single pass: the per-step forecast is a byproduct of the same
+    * fold that advances the state, so backtesting costs exactly one
+    * traversal — not n refits. Same scale shape as holtForecast: the
+    * 100 TB scan folds to |groups|·|days| rows before any sequential
+    * work.
+    */
+  def walkForwardHolt(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("cnt"))
+    daily.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("ds"), count(lit(1)).as("n_days"))
+      .where(col("n_days") >= 2) // one day trains, nothing to score
+      .select(col("grp"), col("n_days"),
+        expr("""aggregate(
+          slice(transform(ds, x -> x.cnt * 1000L), 2, size(ds) - 1),
+          named_struct('l', ds[0].cnt * 1000L, 'b', 0L,
+            'se', 0L, 'me', 0L, 'k', 0L),
+          (acc, c) -> named_struct(
+            'l', (500 * c + 500 * (acc.l + acc.b)) div 1000,
+            'b', (300 * (((500 * c + 500 * (acc.l + acc.b)) div 1000)
+                         - acc.l) + 700 * acc.b) div 1000,
+            'se', acc.se + abs(c - (acc.l + acc.b)),
+            'me', greatest(acc.me, abs(c - (acc.l + acc.b))),
+            'k', acc.k + 1),
+          acc -> acc)""").as("st"))
+      .select(col("grp"), col("n_days"), col("st.k").as("n_eval"),
+        expr("st.se div st.k").as("mae_milli"),
+        col("st.me").as("max_err_milli"))
+      .orderBy("grp")
+  }
+
   /** Grid-density outlier detection (the DBSCAN-core counting step,
     * relationally): bucket events onto a bounded 2-D grid
     * (value-band × hour-of-day), sum each cell's 3×3 neighborhood

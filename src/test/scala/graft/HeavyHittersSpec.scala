@@ -65,4 +65,24 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSuite {
       .toMap
     assert(r === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("trendingDelta: rank shifts computed, absent-before items flagged new") {
+    import org.apache.spark.sql.functions._
+    // prev window: item 1×5, item 2×3; cur window: item 3×4, item 2×2,
+    // item 1×1 — top-2 cur is item 3 (new) then item 2 (held rank 2)
+    val rows =
+      Seq.fill(5)((1L, 0L)) ++ Seq.fill(3)((2L, 0L)) ++
+      Seq.fill(4)((3L, 100L)) ++ Seq.fill(2)((2L, 100L)) ++ Seq((1L, 100L))
+    val d = rows.toDF("item", "day")
+      .withColumn("ts", expr(
+        "timestamp_micros(day * 86400000000 + 820454400000000)")) // ~1996
+    val r = HeavyHitters.trendingDelta(d, "item", "ts", "1996-02-15", k = 2)
+      .collect().map(x => (x.getAs[Long]("rank_cur"), x.getAs[Long]("item"),
+        x.getAs[Long]("cnt_cur"), x.getAs[Long]("cnt_prev"),
+        Option(x.getAs[Any]("prev_rank")), Option(x.getAs[Any]("rank_delta")),
+        x.getAs[Boolean]("is_new"))).toSeq
+    assert(r === Seq(
+      (1L, 3L, 4L, 0L, None, None, true),
+      (2L, 2L, 2L, 3L, Some(2L), Some(0L), false)))
+  }
 }

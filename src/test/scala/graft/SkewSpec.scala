@@ -37,4 +37,25 @@ class SkewSpec extends AnyFunSuite with SparkSuite {
       .distinct().count()
     assert(salts >= 6, s"expected the hot key spread over most of 8 salts, got $salts")
   }
+
+  test("consistentShardDiff: no-op resize moves nothing; ring beats mod on grow") {
+    import spark.implicits._
+    val keys = (1L to 200L).toDF("k")
+    val same = graft.ops.Skew.consistentShardDiff(keys, "k", 4, 4)
+      .collect()
+    assert(same.nonEmpty)
+    assert(same.forall(_.getAs[Long]("ring_moved") === 0L))
+    assert(same.forall(_.getAs[Long]("mod_moved") === 0L))
+    // grow 2 → 3: mod reshuffles ~2/3 of keys, the ring only the
+    // share the new shard takes (~1/3) — the property the op audits
+    val grow = graft.ops.Skew.consistentShardDiff(keys, "k", 2, 3)
+      .collect()
+    val ring = grow.map(_.getAs[Long]("ring_moved")).sum
+    val mod = grow.map(_.getAs[Long]("mod_moved")).sum
+    assert(ring < mod, s"ring moved $ring, mod moved $mod")
+    assert(grow.map(_.getAs[Long]("n_keys")).sum === 200L)
+    // shards are the declared before-space
+    assert(grow.forall(r => r.getAs[Long]("shard") >= 0L &&
+      r.getAs[Long]("shard") < 2L))
+  }
 }

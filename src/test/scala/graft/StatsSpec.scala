@@ -599,6 +599,27 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("acf3_ppm") === -500000L)
   }
 
+  test("walkForwardHolt: hand-folded one-step errors, flat series scores zero") {
+    import org.apache.spark.sql.functions._
+    def mk(counts: Seq[Int], grp: String) = counts.zipWithIndex
+      .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
+      .toDF("d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+      .withColumn("event_type", lit(grp))
+    // 10,20,30: init l=10000 b=0 → err 10000, state (15000,1500) →
+    // forecast 16500, err 13500; mae = 23500 div 2
+    val r = graft.ops.Stats.walkForwardHolt(mk(Seq(10, 20, 30), "g"))
+      .collect().head
+    assert(r.getAs[Long]("n_eval") === 2L)
+    assert(r.getAs[Long]("mae_milli") === 11750L)
+    assert(r.getAs[Long]("max_err_milli") === 13500L)
+    // flat series: the model is exact, every walk-forward error is 0
+    val f = graft.ops.Stats.walkForwardHolt(mk(Seq(7, 7, 7, 7), "flat"))
+      .collect().head
+    assert(f.getAs[Long]("mae_milli") === 0L)
+    assert(f.getAs[Long]("max_err_milli") === 0L)
+  }
+
   test("acf: constant series has zero variance → NULL acf") {
     val rows = Seq(5, 5, 5).zipWithIndex
       .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
