@@ -6905,5 +6905,62 @@ private[graft] object QueriesPipeline {
              |  rk.cnt_prev = 0 AS is_new
              |FROM rk LEFT JOIN pr ON pr.item = rk.item
              |ORDER BY rk.rank_cur""".stripMargin)),
+
+    // Forecast bake-off: naive / seasonal-naive / Holt walk-forward
+    // MAE on the common eval rows (rn ≥ 8), winner per event type
+    // with ties to the simpler model — the model-selection gate in
+    // front of q225. Baselines are window lags; Holt replays the
+    // q253 recursive fold with the eval-row condition.
+    Q("q256_forecast_bakeoff",
+      (s, dir) => Stats.forecastBakeoff(Tables(s, dir, "events")),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT grp, cnt * 1000 AS cm,
+             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS rn
+             |  FROM daily),
+             |lg AS (SELECT grp, rn, cm,
+             |    LAG(cm, 1) OVER (PARTITION BY grp ORDER BY rn) AS l1,
+             |    LAG(cm, 7) OVER (PARTITION BY grp ORDER BY rn) AS l7
+             |  FROM rk),
+             |base AS (SELECT grp, CAST(MAX(rn) AS BIGINT) AS n_days,
+             |    CAST(SUM(CASE WHEN rn >= 8 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_eval,
+             |    CAST(SUM(CASE WHEN rn >= 8 THEN abs(cm - l1) END)
+             |      AS BIGINT) AS sen,
+             |    CAST(SUM(CASE WHEN rn >= 8 THEN abs(cm - l7) END)
+             |      AS BIGINT) AS ses
+             |  FROM lg GROUP BY 1
+             |  HAVING SUM(CASE WHEN rn >= 8 THEN 1 ELSE 0 END) > 0),
+             |st AS (
+             |  SELECT grp, rn, cm AS l, CAST(0 AS BIGINT) AS b,
+             |    CAST(0 AS BIGINT) AS seh, CAST(0 AS BIGINT) AS k
+             |  FROM rk WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.grp, r.rn,
+             |    (500 * r.cm + 500 * (s.l + s.b)) // 1000,
+             |    (300 * (((500 * r.cm + 500 * (s.l + s.b)) // 1000)
+             |            - s.l) + 700 * s.b) // 1000,
+             |    s.seh + CASE WHEN s.k >= 6
+             |      THEN abs(r.cm - (s.l + s.b)) ELSE 0 END,
+             |    s.k + 1
+             |  FROM rk r JOIN st s ON r.grp = s.grp AND r.rn = s.rn + 1),
+             |nd AS (SELECT grp, MAX(rn) AS mx FROM rk GROUP BY 1),
+             |hf AS (SELECT st.grp, st.seh FROM st
+             |  JOIN nd ON nd.grp = st.grp AND st.rn = nd.mx)
+             |SELECT base.grp, base.n_days, base.n_eval,
+             |  CAST(sen // n_eval AS BIGINT) AS mae_naive_milli,
+             |  CAST(ses // n_eval AS BIGINT) AS mae_snaive_milli,
+             |  CAST(hf.seh // n_eval AS BIGINT) AS mae_holt_milli,
+             |  CASE
+             |    WHEN sen // n_eval <= ses // n_eval
+             |     AND sen // n_eval <= hf.seh // n_eval THEN 'naive'
+             |    WHEN ses // n_eval <= hf.seh // n_eval THEN 'snaive'
+             |    ELSE 'holt' END AS best
+             |FROM base JOIN hf ON hf.grp = base.grp
+             |ORDER BY base.grp""".stripMargin)),
   )
 }

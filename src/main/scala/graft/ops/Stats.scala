@@ -1004,6 +1004,69 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Forecast bake-off — naive (yesterday), seasonal-naive (7 rows
+    * back) and the q225/q253 Holt fold scored on the SAME eval rows
+    * (row index ≥ 8, the first point where all three models are
+    * defined), one MAE per model per group plus the winner. The
+    * model-selection table a forecast pipeline reads before shipping
+    * a default: Holt must beat the free baselines on walk-forward
+    * error or it doesn't earn its state. Ties break toward the
+    * simpler model (naive ≺ snaive ≺ holt). All milli-integer.
+    *
+    * Scale shape: the combinable daily fold first (100 TB → |groups|·
+    * |days| rows), then window lags + one aggregate for the
+    * baselines and the q253 single-traversal fold for Holt, joined
+    * per group.
+    */
+  def forecastBakeoff(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // lag table and Holt fold share it
+    val w = Window.partitionBy("grp").orderBy("day")
+    val lagged = daily.withColumn("cm", col("cnt") * 1000L)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("l1", lag(col("cm"), 1).over(w))
+      .withColumn("l7", lag(col("cm"), 7).over(w))
+    val base = lagged.groupBy("grp")
+      .agg(max(col("rn")).cast("long").as("n_days"),
+        sum(when(col("rn") >= 8, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("rn") >= 8, abs(col("cm") - col("l1")))).as("sen"),
+        sum(when(col("rn") >= 8, abs(col("cm") - col("l7")))).as("ses"))
+      .where(col("n_eval") > 0)
+    // the q253 Holt recurrence, error accumulated only on eval rows
+    // (step counter k ≥ 6 ⇔ row index ≥ 8)
+    val holt = daily.groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("ds"))
+      .select(col("grp"),
+        expr("""aggregate(
+          slice(transform(ds, x -> x.cnt * 1000L), 2, size(ds) - 1),
+          named_struct('l', ds[0].cnt * 1000L, 'b', 0L, 'seh', 0L, 'k', 0L),
+          (acc, c) -> named_struct(
+            'l', (500 * c + 500 * (acc.l + acc.b)) div 1000,
+            'b', (300 * (((500 * c + 500 * (acc.l + acc.b)) div 1000)
+                         - acc.l) + 700 * acc.b) div 1000,
+            'seh', acc.seh + if(acc.k >= 6,
+                               abs(c - (acc.l + acc.b)), 0L),
+            'k', acc.k + 1),
+          acc -> acc.seh)""").as("seh"))
+    base.join(holt, "grp")
+      .select(col("grp"), col("n_days"), col("n_eval"),
+        expr("sen div n_eval").as("mae_naive_milli"),
+        expr("ses div n_eval").as("mae_snaive_milli"),
+        expr("seh div n_eval").as("mae_holt_milli"))
+      .withColumn("best",
+        when(col("mae_naive_milli") <= col("mae_snaive_milli") &&
+             col("mae_naive_milli") <= col("mae_holt_milli"), "naive")
+          .when(col("mae_snaive_milli") <= col("mae_holt_milli"), "snaive")
+          .otherwise("holt"))
+      .orderBy("grp")
+  }
+
   /** Grid-density outlier detection (the DBSCAN-core counting step,
     * relationally): bucket events onto a bounded 2-D grid
     * (value-band × hour-of-day), sum each cell's 3×3 neighborhood

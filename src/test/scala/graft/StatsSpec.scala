@@ -620,6 +620,30 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(f.getAs[Long]("max_err_milli") === 0L)
   }
 
+  test("forecastBakeoff: weekly pattern hands the win to seasonal-naive") {
+    import org.apache.spark.sql.functions._
+    def mk(counts: Seq[Int], grp: String) = counts.zipWithIndex
+      .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
+      .toDF("d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+      .withColumn("event_type", lit(grp))
+    // two identical weeks: lag-7 is exact on every eval row while
+    // naive pays the day-to-day ramp
+    val week = Seq(10, 11, 12, 13, 14, 15, 16)
+    val r = graft.ops.Stats.forecastBakeoff(mk(week ++ week, "w"))
+      .collect().head
+    assert(r.getAs[Long]("n_eval") === 7L)
+    assert(r.getAs[Long]("mae_snaive_milli") === 0L)
+    assert(r.getAs[Long]("mae_naive_milli") > 0L)
+    assert(r.getAs[String]("best") === "snaive")
+    // flat series: all three are exact; ties break to the simplest
+    val f = graft.ops.Stats.forecastBakeoff(mk(Seq.fill(9)(5), "flat"))
+      .collect().head
+    assert(f.getAs[Long]("mae_naive_milli") === 0L)
+    assert(f.getAs[Long]("mae_holt_milli") === 0L)
+    assert(f.getAs[String]("best") === "naive")
+  }
+
   test("acf: constant series has zero variance → NULL acf") {
     val rows = Seq(5, 5, 5).zipWithIndex
       .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
