@@ -43,7 +43,9 @@ object Explain {
       "q216_next_event_eval", "q217_whiten_embeddings", "q219_tpch_q8",
       "q223_negative_samples", "q224_stl_decompose", "q226_align_spans",
       "q227_ann_recall", "q231_joinable_columns", "q232_balanced_shards",
-      "q236_threshold_calibration")
+      "q236_threshold_calibration", "q244_link_prediction",
+      "q246_fd_discovery", "q248_kcenter_coreset", "q250_token_bucket",
+      "q252_survival_curve", "q254_shard_rebalance", "q255_trending_parts")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
