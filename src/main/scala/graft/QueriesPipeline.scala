@@ -6962,5 +6962,95 @@ private[graft] object QueriesPipeline {
              |    ELSE 'holt' END AS best
              |FROM base JOIN hf ON hf.grp = base.grp
              |ORDER BY base.grp""".stripMargin)),
+
+    // Context-length sweep: per candidate max length, dropped-token /
+    // truncated-doc shares, concat-packing lower bound, naive padding
+    // waste — the exact tradeoff table behind picking a training
+    // sequence length. Single corpus pass, |lengths|-way counter
+    // explode.
+    Q("q257_packing_sweep",
+      (s, dir) => Curation.packingSweep(Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT CAST(len(string_split(text, ' '))
+             |      AS BIGINT) AS tok
+             |  FROM documents WHERE text IS NOT NULL),
+             |x AS (SELECT tok, CAST(unnest([64, 128, 256, 512]) AS BIGINT)
+             |    AS len FROM t),
+             |a AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+             |    CAST(SUM(LEAST(tok, len)) AS BIGINT) AS kept_tokens,
+             |    CAST(SUM(GREATEST(tok - len, 0)) AS BIGINT)
+             |      AS dropped_tokens,
+             |    CAST(SUM(CASE WHEN tok > len THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS truncated_docs
+             |  FROM x GROUP BY 1)
+             |SELECT len, n_docs, total_tokens, kept_tokens,
+             |  dropped_tokens, truncated_docs,
+             |  CAST(dropped_tokens * 1000000 // total_tokens AS BIGINT)
+             |    AS dropped_ppm,
+             |  CAST(truncated_docs * 1000000 // n_docs AS BIGINT)
+             |    AS truncated_doc_ppm,
+             |  CAST((kept_tokens + len - 1) // len AS BIGINT)
+             |    AS packed_seqs_lb,
+             |  CAST((n_docs * len - kept_tokens) * 1000000
+             |    // (n_docs * len) AS BIGINT) AS naive_pad_ppm
+             |FROM a ORDER BY len""".stripMargin)),
+
+    // Temperature-α=1/2 mixture weights: per-source √n flattening vs
+    // the natural share, plus draw quotas for a 100-doc budget.
+    // ⌊√(n·10⁶)⌋ is integer-exact in both engines (n·10⁶ ≪ 2^52).
+    Q("q258_temperature_mixture",
+      (s, dir) => Curation.temperatureMixture(Tables(s, dir, "documents"),
+        budget = 100L),
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |w AS (SELECT source, n_docs,
+             |    CAST(floor(sqrt(n_docs * 1000000.0)) AS BIGINT)
+             |      AS weight_e3
+             |  FROM c),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+             |    CAST(SUM(weight_e3) AS BIGINT) AS tw FROM w)
+             |SELECT source, n_docs, weight_e3,
+             |  CAST(n_docs * 1000000 // t.tn AS BIGINT) AS natural_ppm,
+             |  CAST(weight_e3 * 1000000 // t.tw AS BIGINT) AS temp_ppm,
+             |  CAST((100 * weight_e3) // t.tw AS BIGINT) AS quota
+             |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // Leave-one-source-out quality ablation: corpus mean of the q78
+    // integer quality score with each source removed — exact algebra
+    // on global sums, one pass, no per-source rescan. Positive delta
+    // = dropping the source raises corpus quality.
+    Q("q259_loso_ablation",
+      (s, dir) => Curation.losoQualityAblation(Tables(s, dir, "documents")),
+      Some("""WITH f AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(len(list_distinct(string_split(text, ' ')))
+             |      AS BIGINT) AS n_uniq,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('the','a','of','and','to','in','is')))
+             |      AS BIGINT) AS stop_cnt
+             |  FROM documents),
+             |p AS (SELECT doc_id,
+             |    (n_uniq * 1000000) // n_words * 3
+             |      + (stop_cnt * 1000000) // n_words * 2
+             |      + least(n_words, 100) * 10000 AS score_micro
+             |  FROM f),
+             |sc AS (SELECT d.source, p.score_micro FROM p
+             |  JOIN documents d USING (doc_id)
+             |  WHERE d.source IS NOT NULL),
+             |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(score_micro) AS BIGINT) AS ssum
+             |  FROM sc GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+             |    CAST(SUM(ssum) AS BIGINT) AS ts FROM per)
+             |SELECT source, n_docs,
+             |  CAST(ssum // n_docs AS BIGINT) AS mean_micro,
+             |  CAST(ts // tn AS BIGINT) AS overall_micro,
+             |  CAST(CASE WHEN tn > n_docs
+             |    THEN (ts - ssum) // (tn - n_docs) END AS BIGINT)
+             |    AS loso_micro,
+             |  CAST(CASE WHEN tn > n_docs
+             |    THEN (ts - ssum) // (tn - n_docs) - ts // tn END
+             |    AS BIGINT) AS delta_micro
+             |FROM per CROSS JOIN t ORDER BY source""".stripMargin)),
   )
 }

@@ -848,4 +848,101 @@ object Curation {
         col("neg_id"))
       .orderBy("anchor_id", "j")
   }
+
+  /** Context-length sweep — the planning table behind "what max
+    * sequence length do we train at": for each candidate length L,
+    * the share of tokens a hard truncation at L drops, the share of
+    * DOCUMENTS it touches, the concat-packing lower bound on
+    * sequence count (⌈kept/L⌉), and the padding waste of the naive
+    * one-doc-per-sequence layout. Longer L keeps more tokens but
+    * pads more; this table is the tradeoff, exact.
+    *
+    * Scale shape: token counts are one map; the L sweep is a
+    * |lengths|-way in-plan explode of counters (map-side), folded by
+    * one combinable aggregate to |lengths| rows — a single pass over
+    * the corpus regardless of how many lengths are swept.
+    */
+  def packingSweep(docs: DataFrame, lengths: Seq[Int] = Seq(64, 128, 256, 512),
+      textCol: String = "text"): DataFrame = {
+    require(lengths.nonEmpty, "packingSweep needs at least one length")
+    docs.where(col(textCol).isNotNull)
+      .select(size(split(col(textCol), " ")).cast("long").as("tok"))
+      .select(col("tok"), explode(
+        array(lengths.map(l => lit(l.toLong)): _*)).as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(least(col("tok"), col("len"))).as("kept_tokens"),
+        sum(greatest(col("tok") - col("len"), lit(0L))).as("dropped_tokens"),
+        sum((col("tok") > col("len")).cast("long")).as("truncated_docs"))
+      .select(col("len"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("dropped_tokens"), col("truncated_docs"),
+        expr("dropped_tokens * 1000000 div total_tokens")
+          .as("dropped_ppm"),
+        expr("truncated_docs * 1000000 div n_docs").as("truncated_doc_ppm"),
+        expr("(kept_tokens + len - 1) div len").as("packed_seqs_lb"),
+        expr("(n_docs * len - kept_tokens) * 1000000 div (n_docs * len)")
+          .as("naive_pad_ppm"))
+      .orderBy("len")
+  }
+
+  /** Temperature-scaled mixture weights (α = 1/2): per-source sampling
+    * weight ∝ √n_docs — the standard flattening between proportional
+    * (α=1, big sources dominate) and uniform (α=0, tiny sources
+    * over-sampled) when mixing corpora for training. √ is the one
+    * fixed α whose weights stay oracle-exact: `w = ⌊√(n·10⁶)⌋` is an
+    * integer every engine computes identically (n·10⁶ ≪ 2^52, and a
+    * correctly-rounded double sqrt floors exactly there). Reports the
+    * flattened share beside the natural share and the per-source
+    * draw quota for `budget` documents.
+    *
+    * One combinable count to |sources| rows; the share/quota math is
+    * report-sized.
+    */
+  def temperatureMixture(docs: DataFrame, budget: Long = 100L,
+      srcCol: String = "source"): DataFrame = {
+    val counts = docs.where(col(srcCol).isNotNull)
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_e3",
+        floor(sqrt(col("n_docs").cast("double") * 1e6)).cast("long"))
+    val totals = counts.agg(sum(col("n_docs")).as("tn"),
+      sum(col("weight_e3")).as("tw"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("weight_e3"),
+        expr("n_docs * 1000000 div tn").as("natural_ppm"),
+        expr("weight_e3 * 1000000 div tw").as("temp_ppm"),
+        expr(s"($budget * weight_e3) div tw").as("quota"))
+      .orderBy("source")
+  }
+
+  /** Leave-one-source-out quality ablation — the cheapest data
+    * valuation: the corpus mean quality score with each source
+    * REMOVED, against the overall mean, computed exactly from one
+    * pass of global sums (no per-source rescan — LOSO means are
+    * algebra on (ΣS, N) minus the source's own sums). A positive
+    * delta says dropping the source would RAISE corpus quality — the
+    * below-average sources a mixture pass should down-weight first.
+    * Scores are the q78 integer linear classifier
+    * ([[TextAnalysis.qualityScore]]), so everything is micro-exact.
+    */
+  def losoQualityAblation(docs: DataFrame, srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")),
+        "doc_id")
+    val per = scored.where(col("source").isNotNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_micro")).as("ssum"))
+    val tot = per.agg(sum(col("n_docs")).as("tn"), sum(col("ssum")).as("ts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("ssum div n_docs").as("mean_micro"),
+        expr("ts div tn").as("overall_micro"),
+        expr("case when tn > n_docs then (ts - ssum) div (tn - n_docs) end")
+          .as("loso_micro"),
+        expr("case when tn > n_docs then (ts - ssum) div (tn - n_docs)" +
+          " - ts div tn end").as("delta_micro"))
+      .orderBy("source")
+  }
 }

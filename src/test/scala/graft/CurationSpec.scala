@@ -388,4 +388,50 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
         x.getAs[Long]("neg_id"))).toSeq
     assert(r2 === r)
   }
+
+  test("packingSweep: exact truncation/padding table at one length") {
+    val d = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
+    val r = Curation.packingSweep(d, lengths = Seq(3)).collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("total_tokens") === 6L)
+    assert(r.getAs[Long]("kept_tokens") === 5L)   // min(4,3) + 2
+    assert(r.getAs[Long]("dropped_tokens") === 1L)
+    assert(r.getAs[Long]("truncated_docs") === 1L)
+    assert(r.getAs[Long]("dropped_ppm") === 166666L)
+    assert(r.getAs[Long]("truncated_doc_ppm") === 500000L)
+    assert(r.getAs[Long]("packed_seqs_lb") === 2L) // ceil(5/3)
+    assert(r.getAs[Long]("naive_pad_ppm") === 166666L) // (6-5)/6
+  }
+
+  test("temperatureMixture: sqrt flattening moves share toward the small source") {
+    val d = (Seq.fill(9)("big") ++ Seq("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val r = Curation.temperatureMixture(d, budget = 100L).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("weight_e3"), x.getAs[Long]("natural_ppm"),
+          x.getAs[Long]("temp_ppm"), x.getAs[Long]("quota"))).toMap
+    // √9e6 = 3000, √1e6 = 1000: 90/10 natural flattens to 75/25
+    assert(r("big") === ((3000L, 900000L, 750000L, 75L)))
+    assert(r("small") === ((1000L, 100000L, 250000L, 25L)))
+  }
+
+  test("losoQualityAblation: LOSO mean is exactly the other sources' mean") {
+    val d = Seq((0L, "the a of and to in is", "sa"), // stopword-heavy
+      (1L, "unique tokens every one here now", "sb"))
+      .toDF("doc_id", "text", "source")
+    val scores = graft.ops.TextAnalysis.qualityScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score_micro"))
+      .toMap
+    val r = Curation.losoQualityAblation(d).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("loso_micro"), x.getAs[Long]("delta_micro"))).toMap
+    val overall = (scores(0L) + scores(1L)) / 2
+    assert(r("sa")._1 === scores(1L)) // without sa only doc 1 remains
+    assert(r("sb")._1 === scores(0L))
+    assert(r("sa")._2 === scores(1L) - overall)
+    // single source: nothing remains when removed → NULL loso
+    val one = Curation.losoQualityAblation(
+      Seq((0L, "x y", "only")).toDF("doc_id", "text", "source")).collect()
+    assert(one.head.isNullAt(one.head.fieldIndex("loso_micro")))
+  }
 }
