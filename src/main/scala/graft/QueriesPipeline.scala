@@ -7052,5 +7052,105 @@ private[graft] object QueriesPipeline {
              |    THEN (ts - ssum) // (tn - n_docs) - ts // tn END
              |    AS BIGINT) AS delta_micro
              |FROM per CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // Dimension delta attribution: split the stream at its temporal
+    // midpoint and decompose the overall count delta per value of
+    // (event_type, day-of-week) — signed contribution ppm + traffic
+    // share shift, the root-cause table behind "what moved the
+    // metric".
+    Q("q260_delta_attribution",
+      (s, dir) => Analytics.deltaAttribution(Tables(s, dir, "events"),
+        Seq("event_type" -> col("event_type"),
+          "dow" -> pmod(expr("unix_micros(ts) div 86400000000"), lit(7L)))),
+      Some("""WITH b AS (SELECT epoch_us(ts) AS us, event_type,
+             |    (epoch_us(ts) // 86400000000) % 7 AS dow
+             |  FROM events WHERE ts IS NOT NULL),
+             |sp AS (SELECT (MIN(us) + MAX(us) + 1) // 2 AS s FROM b),
+             |d1 AS (SELECT 'event_type' AS dim,
+             |    CAST(event_type AS VARCHAR) AS value,
+             |    CAST(SUM(CASE WHEN us < (SELECT s FROM sp)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS prev_cnt,
+             |    CAST(SUM(CASE WHEN us >= (SELECT s FROM sp)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+             |  FROM b WHERE event_type IS NOT NULL GROUP BY 2),
+             |d2 AS (SELECT 'dow' AS dim, CAST(dow AS VARCHAR) AS value,
+             |    CAST(SUM(CASE WHEN us < (SELECT s FROM sp)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS prev_cnt,
+             |    CAST(SUM(CASE WHEN us >= (SELECT s FROM sp)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+             |  FROM b GROUP BY 2),
+             |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+             |t AS (SELECT CAST(SUM(prev_cnt) AS BIGINT) AS tp,
+             |    CAST(SUM(cur_cnt) AS BIGINT) AS tc FROM d1)
+             |SELECT dim, value, prev_cnt, cur_cnt,
+             |  cur_cnt - prev_cnt AS delta,
+             |  CAST((cur_cnt - prev_cnt) * 1000000
+             |    // nullif(t.tc - t.tp, 0) AS BIGINT) AS contrib_ppm,
+             |  CAST(cur_cnt * 1000000 // t.tc
+             |    - prev_cnt * 1000000 // t.tp AS BIGINT)
+             |    AS share_shift_ppm
+             |FROM u CROSS JOIN t ORDER BY dim, value""".stripMargin)),
+
+    // SRE burn rate: per day, error share of the trailing 1-day and
+    // 7-day windows; page only when BOTH burn above the 20% budget
+    // (fast window = happening now, slow window = not a blip).
+    Q("q261_burn_rate",
+      (s, dir) => Analytics.burnRate(Tables(s, dir, "events"),
+        budgetPpm = 200000L),
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS tot_1d,
+             |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+             |      ELSE 0 END) AS BIGINT) AS err_1d
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1),
+             |w AS (SELECT day, err_1d, tot_1d,
+             |    CAST(SUM(tot_1d) OVER (ORDER BY day
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS tot_7d,
+             |    CAST(SUM(err_1d) OVER (ORDER BY day
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS err_7d
+             |  FROM d)
+             |SELECT day, err_1d, tot_1d,
+             |  CAST(err_1d * 1000000 // tot_1d AS BIGINT) AS ratio_1d_ppm,
+             |  err_7d, tot_7d,
+             |  CAST(err_7d * 1000000 // tot_7d AS BIGINT) AS ratio_7d_ppm,
+             |  err_1d * 1000000 // tot_1d > 200000
+             |    AND err_7d * 1000000 // tot_7d > 200000 AS page
+             |FROM w ORDER BY day""".stripMargin)),
+
+    // Conversion-latency percentiles for the view→purchase funnel:
+    // nearest-rank p50/p90/p99 of first→second delays over converted
+    // users — exact (value at ⌈p·n⌉), global order via the two-pass
+    // row-number primitive, never a single-partition window.
+    Q("q262_conversion_latency",
+      (s, dir) => Analytics.conversionLatency(Tables(s, dir, "events"),
+        "view", "purchase"),
+      Some("""WITH b AS (SELECT user_id AS key, event_type AS t,
+             |    epoch_us(ts) AS us FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IN ('view', 'purchase')),
+             |f1 AS (SELECT key, MIN(CASE WHEN t = 'view' THEN us END)
+             |    AS first_us FROM b GROUP BY 1),
+             |s AS (SELECT b.key, MIN(b.us) AS second_us FROM b
+             |  JOIN f1 ON f1.key = b.key AND b.t = 'purchase'
+             |    AND b.us >= f1.first_us
+             |  GROUP BY 1),
+             |c AS (SELECT s.second_us - f1.first_us AS delay_us
+             |  FROM f1 JOIN s USING (key)
+             |  WHERE f1.first_us IS NOT NULL
+             |    AND s.second_us - f1.first_us <= 3600000000),
+             |r AS (SELECT delay_us, ROW_NUMBER() OVER (ORDER BY delay_us)
+             |    AS rn FROM c),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+             |SELECT n.n AS n_converted,
+             |  (SELECT delay_us FROM r
+             |    WHERE rn = (n.n * 500000 + 999999) // 1000000) AS p50_us,
+             |  (SELECT delay_us FROM r
+             |    WHERE rn = (n.n * 900000 + 999999) // 1000000) AS p90_us,
+             |  (SELECT delay_us FROM r
+             |    WHERE rn = (n.n * 990000 + 999999) // 1000000) AS p99_us
+             |FROM n""".stripMargin)),
   )
 }

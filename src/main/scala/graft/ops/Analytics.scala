@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -333,6 +333,113 @@ object Analytics {
         expr("hit1 * 1000000 div n_eval").as("hit1_ppm"),
         expr("hit3 * 1000000 div n_eval").as("hit3_ppm"))
       .orderBy("from_type")
+  }
+
+  /** Dimension delta attribution (the Adtributor shape, exact): split
+    * the stream at its temporal midpoint and, for every value of
+    * every declared dimension, report how much of the OVERALL count
+    * delta that value explains (`contrib_ppm`, signed — values can
+    * move against the total) and how its traffic share shifted.
+    * This is the root-cause table an on-call reads when a metric
+    * jumps: "the +18% is 92% the `error` type on weekends".
+    *
+    * Scale shape: one conditional-count pass per dimension (each
+    * map-side combinable, |values| rows out), overall totals from
+    * the first dimension's sums, broadcast back — the stream scans
+    * once per dimension, nothing value-scale shuffles.
+    */
+  def deltaAttribution(events: DataFrame,
+      dims: Seq[(String, Column)], tsCol: String = "ts"): DataFrame = {
+    require(dims.nonEmpty, "deltaAttribution needs at least one dimension")
+    val us = unix_micros(col(tsCol))
+    val bounds = events.where(col(tsCol).isNotNull)
+      .agg(min(us).as("lo"), max(us).as("hi")).head
+    val split = (bounds.getLong(0) + bounds.getLong(1) + 1L) / 2L
+    val perDim = dims.map { case (name, c) =>
+      events.where(col(tsCol).isNotNull && c.isNotNull)
+        .groupBy(c.cast("string").as("value"))
+        .agg(
+          sum(when(us < split, 1L).otherwise(0L)).as("prev_cnt"),
+          sum(when(us >= split, 1L).otherwise(0L)).as("cur_cnt"))
+        .select(lit(name).as("dim"), col("value"), col("prev_cnt"),
+          col("cur_cnt"))
+    }
+    val union = perDim.reduce(_.unionByName(_)).localCheckpoint()
+    val totals = union.where(col("dim") === dims.head._1)
+      .agg(sum(col("prev_cnt")).as("tp"), sum(col("cur_cnt")).as("tc"))
+    union.crossJoin(broadcast(totals))
+      .select(col("dim"), col("value"), col("prev_cnt"), col("cur_cnt"),
+        (col("cur_cnt") - col("prev_cnt")).as("delta"),
+        expr("(cur_cnt - prev_cnt) * 1000000 div nullif(tc - tp, 0)")
+          .as("contrib_ppm"),
+        expr("cur_cnt * 1000000 div tc - prev_cnt * 1000000 div tp")
+          .as("share_shift_ppm"))
+      .orderBy("dim", "value")
+  }
+
+  /** SRE burn-rate page condition over the event stream: per day, the
+    * error share of the trailing 1-day and trailing 7-day windows in
+    * ppm, and the multi-window page flag (BOTH above `budgetPpm` —
+    * the short window proves it's happening now, the long one that
+    * it's not a blip; the standard fast+slow burn pairing). Day
+    * windows are ROWS frames over the daily aggregate, so a 100 TB
+    * stream folds to |days| rows before any window runs.
+    */
+  def burnRate(events: DataFrame, budgetPpm: Long = 100000L,
+      errType: String = "error", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val daily = events
+      .where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("tot_1d"),
+        sum((col(typeCol) === errType).cast("long")).as("err_1d"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("tot_7d", sum(col("tot_1d")).over(w7))
+      .withColumn("err_7d", sum(col("err_1d")).over(w7))
+      .select(col("day"), col("err_1d"), col("tot_1d"),
+        expr("err_1d * 1000000 div tot_1d").as("ratio_1d_ppm"),
+        col("err_7d"), col("tot_7d"),
+        expr("err_7d * 1000000 div tot_7d").as("ratio_7d_ppm"),
+        (expr("err_1d * 1000000 div tot_1d") > budgetPpm &&
+         expr("err_7d * 1000000 div tot_7d") > budgetPpm).as("page"))
+      .orderBy("day")
+  }
+
+  /** Conversion-latency distribution for a [[funnel]] step pair:
+    * nearest-rank percentiles (value at row ⌈p·n⌉ of the ascending
+    * delay order — exact, no interpolation) of first→second delays
+    * over CONVERTED keys. The number a product/alerting review reads
+    * next after the conversion rate: not whether users convert, but
+    * how long it takes.
+    *
+    * Global order comes from [[Par.globalRowNumber]] (range exchange
+    * + broadcast offsets), so no single-partition window ever holds
+    * the delay table.
+    */
+  def conversionLatency(events: DataFrame, firstType: String,
+      secondType: String, windowUs: Long = 3600000000L,
+      keyCol: String = "user_id"): DataFrame = {
+    val delays = funnel(events, firstType, secondType, windowUs,
+        keyCol = keyCol)
+      .where(col("converted") === 1)
+      .select((col("second_us") - col("first_us")).as("delay_us"))
+    val ranked = Par.globalRowNumber(delays, Seq("delay_us"))
+      .localCheckpoint()
+    val n = ranked.count()
+    require(n > 0, s"conversionLatency: no conversions for $firstType→$secondType")
+    def rankOf(pPpm: Long): Long = (n * pPpm + 999999L) / 1000000L
+    val picks = Map("p50_us" -> rankOf(500000L), "p90_us" -> rankOf(900000L),
+      "p99_us" -> rankOf(990000L))
+    val cells = picks.map { case (name, r) =>
+      ranked.where(col("rownum") === r)
+        .select(lit(name).as("pct"), col("delay_us"))
+    }.reduce(_.unionByName(_))
+    cells.groupBy()
+      .pivot("pct", Seq("p50_us", "p90_us", "p99_us"))
+      .agg(first(col("delay_us")))
+      .withColumn("n_converted", lit(n))
+      .select("n_converted", "p50_us", "p90_us", "p99_us")
   }
 
   /** Kaplan-Meier churn survival curve — the right-censoring-aware

@@ -274,6 +274,54 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       ("B", 1L, 0L, 0L, 0L), ("C", 1L, 0L, 0L, 0L)))
   }
 
+  test("deltaAttribution: signed contributions and share shifts, exact") {
+    import org.apache.spark.sql.functions._
+    // span us 0..9 → split 5. A: prev {0,1,2}, cur {6};
+    // B: prev {3}, cur {5,7,8,9,9}. Overall delta = 6 − 4 = +2.
+    val rows = Seq(("A", 0L), ("A", 1L), ("A", 2L), ("A", 6L),
+      ("B", 3L), ("B", 5L), ("B", 7L), ("B", 8L), ("B", 9L), ("B", 9L))
+    val d = rows.toDF("t", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = graft.ops.Analytics.deltaAttribution(d, Seq("t" -> col("t")))
+      .collect().map(x => x.getAs[String]("value") ->
+        (x.getAs[Long]("prev_cnt"), x.getAs[Long]("cur_cnt"),
+          x.getAs[Long]("delta"), x.getAs[Long]("contrib_ppm"),
+          x.getAs[Long]("share_shift_ppm"))).toMap
+    assert(r("A") === ((3L, 1L, -2L, -1000000L, -583334L)))
+    assert(r("B") === ((1L, 5L, 4L, 2000000L, 583333L)))
+  }
+
+  test("burnRate: pages only when both windows burn above budget") {
+    import org.apache.spark.sql.functions._
+    // day 0: 3 errors / 10 (30%); day 1: 0 / 10 — trailing 7d on
+    // day 1 is 3/20 = 15%
+    val rows = Seq.fill(3)(("error", 0L)) ++ Seq.fill(7)(("view", 0L)) ++
+      Seq.fill(10)(("view", 1L))
+    val d = rows.toDF("event_type", "day")
+      .withColumn("ts", expr("timestamp_micros(day * 86400000000)"))
+    val r = graft.ops.Analytics.burnRate(d, budgetPpm = 200000L).collect()
+      .map(x => x.getAs[Long]("day") ->
+        (x.getAs[Long]("ratio_1d_ppm"), x.getAs[Long]("ratio_7d_ppm"),
+          x.getAs[Boolean]("page"))).toMap
+    assert(r(0L) === ((300000L, 300000L, true)))
+    assert(r(1L) === ((0L, 150000L, false)))
+  }
+
+  test("conversionLatency: nearest-rank percentiles over converted delays") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 4L).flatMap(u =>
+      Seq(("view", u, u * 1000000L), ("purchase", u, u * 1000000L + u * 10L)))
+    val d = rows.toDF("event_type", "user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = graft.ops.Analytics.conversionLatency(d, "view", "purchase")
+      .collect().head
+    // delays 10,20,30,40: p50 → rank 2 (20), p90/p99 → rank 4 (40)
+    assert(r.getAs[Long]("n_converted") === 4L)
+    assert(r.getAs[Long]("p50_us") === 20L)
+    assert(r.getAs[Long]("p90_us") === 40L)
+    assert(r.getAs[Long]("p99_us") === 40L)
+  }
+
   test("survivalCurve: censored users leave the risk set without churning") {
     import org.apache.spark.sql.functions._
     // day-indexed events; corpus edge = day 10, censor horizon 3 days:
