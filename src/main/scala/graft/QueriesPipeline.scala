@@ -7152,5 +7152,77 @@ private[graft] object QueriesPipeline {
              |  (SELECT delay_us FROM r
              |    WHERE rn = (n.n * 990000 + 999999) // 1000000) AS p99_us
              |FROM n""".stripMargin)),
+
+    // Per-dimension Fisher selectivity (one-way eta² per embedding
+    // coordinate vs label): SSB/SSW exact on the milli grid against
+    // truncated integer means via the q−2ms+nm² identity — which
+    // dims carry the class signal, in one combinable pass.
+    Q("q263_fisher_dims",
+      (s, dir) => Similarity.fisherDims(Tables(s, dir, "embeddings")),
+      Some("""WITH x AS (SELECT CAST(label AS BIGINT) AS lab,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+             |      AS idx,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+             |      AS BIGINT) AS x
+             |  FROM embeddings
+             |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+             |gl AS (SELECT idx, lab, CAST(COUNT(*) AS BIGINT) AS n_l,
+             |    CAST(SUM(x) AS BIGINT) AS s_l,
+             |    CAST(SUM(x * x) AS BIGINT) AS q_l
+             |  FROM x GROUP BY 1, 2),
+             |gl2 AS (SELECT idx, lab, n_l, s_l, q_l,
+             |    s_l // n_l AS m_l FROM gl),
+             |gi AS (SELECT idx, CAST(SUM(n_l) AS BIGINT) AS n,
+             |    CAST(SUM(s_l) AS BIGINT) AS s,
+             |    CAST(COUNT(*) AS BIGINT) AS n_labels
+             |  FROM gl GROUP BY 1),
+             |gi2 AS (SELECT idx, n, n_labels, s // n AS m FROM gi),
+             |agg AS (SELECT gl2.idx, MAX(gi2.n) AS n,
+             |    MAX(gi2.n_labels) AS n_labels,
+             |    CAST(SUM(n_l * (m_l - m) * (m_l - m)) AS BIGINT) AS ssb,
+             |    CAST(SUM(q_l - 2 * m_l * s_l + n_l * m_l * m_l)
+             |      AS BIGINT) AS ssw
+             |  FROM gl2 JOIN gi2 ON gi2.idx = gl2.idx GROUP BY 1)
+             |SELECT idx, n, n_labels, ssb, ssw,
+             |  CAST(floor(CAST(ssb AS DOUBLE) * 1000000
+             |    / CAST(nullif(ssb + ssw, 0) AS DOUBLE)) AS BIGINT)
+             |    AS eta2_ppm
+             |FROM agg ORDER BY eta2_ppm DESC, idx""".stripMargin)),
+
+    // Nearest-centroid classification eval: per-label truncated-mean
+    // prototypes on the milli grid, integer L2² argmin (ties to the
+    // smaller label), exact confusion matrix — the baseline "are the
+    // labels even clustered" eval for the embedding space.
+    Q("q264_ncc_eval",
+      (s, dir) => Similarity.nccEval(Tables(s, dir, "embeddings")),
+      Some("""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+             |    list_transform(embedding::DOUBLE[],
+             |      v -> CAST(floor(v * 1000) AS BIGINT)) AS x
+             |  FROM embeddings
+             |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+             |e AS (SELECT CAST(label AS BIGINT) AS lab,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+             |      AS idx,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+             |      AS BIGINT) AS xv
+             |  FROM embeddings
+             |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+             |cm AS (SELECT lab, idx,
+             |    CAST(SUM(xv) AS BIGINT) // COUNT(*) AS m
+             |  FROM e GROUP BY 1, 2),
+             |cent AS (SELECT lab AS clab, list(m ORDER BY idx) AS c
+             |  FROM cm GROUP BY 1),
+             |d AS (SELECT q.vec_id, q.lab, cent.clab,
+             |    CAST(list_sum(list_transform(list_zip(q.x, cent.c),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+             |  FROM q CROSS JOIN cent),
+             |pred AS (SELECT vec_id, lab, clab FROM (
+             |    SELECT vec_id, lab, clab, ROW_NUMBER() OVER (
+             |      PARTITION BY vec_id ORDER BY dist, clab) AS rn
+             |    FROM d)
+             |  WHERE rn = 1)
+             |SELECT lab AS true_lab, clab AS pred_lab,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt, lab = clab AS correct
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -287,6 +287,97 @@ object Similarity {
     picked.toDF("sel_order", "vec_id", "d2_sel").orderBy("sel_order")
   }
 
+  /** Per-dimension Fisher selectivity of the embedding space against
+    * the label column — the one-way eta² of [[Stats.varianceDecomposition]]
+    * computed for EVERY dimension in one pass: which coordinates
+    * actually separate the classes (linear-probe feature selection,
+    * embedding-space debugging: a handful of high-eta² dims means the
+    * labels live in a tiny subspace). Same integer contract: milli
+    * grid, truncated integer means, SSB/SSW exact against those
+    * means via the q−2ms+nm² identity (no second data pass), only
+    * the final ppm ratio through a double floor.
+    *
+    * Scale shape: ONE combinable (dim, label) aggregate folds the
+    * corpus to |dims|·|labels| rows; everything after is
+    * report-sized arithmetic with the per-dim totals broadcast.
+    */
+  def fisherDims(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labCol: String = "label"): DataFrame = {
+    val x = embeddings
+      .where(col(labCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labCol).cast("long").as("lab"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "v")))
+      .select(col("lab"), col("idx").cast("long").as("idx"),
+        expr("CAST(floor(v * 1000) AS BIGINT)").as("x"))
+    val gl = x.groupBy("idx", "lab")
+      .agg(count(lit(1)).as("n_l"), sum(col("x")).as("s_l"),
+        sum(col("x") * col("x")).as("q_l"))
+      .withColumn("m_l", expr("s_l div n_l"))
+      .localCheckpoint() // per-dim totals and the SS folds share it
+    val gi = gl.groupBy("idx")
+      .agg(sum(col("n_l")).as("n"), sum(col("s_l")).as("s"),
+        count(lit(1)).as("n_labels"))
+      .withColumn("m", expr("s div n"))
+    gl.join(broadcast(gi.select("idx", "n", "n_labels", "m")), "idx")
+      .groupBy("idx")
+      .agg(max(col("n")).as("n"), max(col("n_labels")).as("n_labels"),
+        sum(col("n_l") * (col("m_l") - col("m")) *
+          (col("m_l") - col("m"))).as("ssb"),
+        sum(col("q_l") - lit(2L) * col("m_l") * col("s_l") +
+          col("n_l") * col("m_l") * col("m_l")).as("ssw"))
+      .select(col("idx"), col("n"), col("n_labels"), col("ssb"), col("ssw"),
+        // nullif guard: a constant dimension has SSB = SSW = 0 and
+        // 0/0 would NaN (ANSI cast error) — report NULL instead
+        expr("CAST(floor(CAST(ssb AS DOUBLE) * 1000000 / " +
+          "CAST(nullif(ssb + ssw, 0) AS DOUBLE)) AS BIGINT)")
+          .as("eta2_ppm"))
+      .orderBy(col("eta2_ppm").desc, col("idx"))
+  }
+
+  /** Nearest-centroid classification eval — fit the one-prototype-per-
+    * label classifier (per-dim truncated integer means on the milli
+    * grid) and score it on the corpus: the confusion matrix with a
+    * correctness flag per cell, exact. The first eval any embedding
+    * space gets ("are the labels even linearly clustered?") and the
+    * honest baseline an ANN-powered classifier must beat. Distances
+    * are integer squared-L2; argmin ties break to the smaller label.
+    *
+    * Scale shape: centroids are |labels|·dim — broadcast; classify is
+    * a map over the corpus (one fold per centroid per row); the
+    * confusion aggregate is combinable. Nothing vector-scale
+    * shuffles.
+    */
+  def nccEval(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labCol: String = "label"): DataFrame = {
+    val q = embeddings
+      .where(col(labCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(labCol).cast("long").as("lab"),
+        transform(col(vecCol).cast("array<double>"),
+          v => floor(v * 1000).cast("long")).as("x"))
+      .localCheckpoint() // centroid fit and the scoring pass share it
+    val cents = q
+      .select(col("lab"), posexplode(col("x")).as(Seq("idx", "xv")))
+      .groupBy("lab", "idx")
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("s"))
+      .withColumn("m", expr("s div n"))
+      .groupBy("lab")
+      .agg(transform(sort_array(collect_list(struct(col("idx"), col("m")))),
+        e => e.getField("m")).as("c"))
+    val d2 = q.crossJoin(broadcast(cents.select(col("lab").as("clab"),
+        col("c"))))
+      .select(col("vec_id"), col("lab"),
+        struct(aggregate(zip_with(col("x"), col("c"),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("d"),
+          col("clab")).as("cand"))
+      .groupBy("vec_id", "lab")
+      .agg(min(col("cand")).as("m"))
+      .select(col("lab").as("true_lab"), col("m.clab").as("pred_lab"))
+    d2.groupBy("true_lab", "pred_lab")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("correct", col("true_lab") === col("pred_lab"))
+      .orderBy("true_lab", "pred_lab")
+  }
+
   /** Product-quantization encoding — the memory-bound ANN serving
     * format: the vector splits into `m` contiguous subvectors, each
     * assigned to its nearest codeword (argmin L2, ties to the lower

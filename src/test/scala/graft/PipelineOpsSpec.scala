@@ -981,6 +981,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r("de") === ((2L, 1L, 2L, 50000L, 0L)))
   }
 
+  test("fisherDims: separating dim scores high, constant dim guards to NULL") {
+    // dim 0 separates labels cleanly; dim 1 is constant (0/0 → NULL)
+    val e = Seq((0L, Seq(0.0f, 0.005f), 0), (1L, Seq(0.002f, 0.005f), 0),
+      (2L, Seq(0.010f, 0.005f), 1), (3L, Seq(0.012f, 0.005f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.fisherDims(e).collect()
+      .map(x => x.getAs[Long]("idx") ->
+        (x.getAs[Long]("ssb"), x.getAs[Long]("ssw"),
+          Option(x.getAs[Any]("eta2_ppm")))).toMap
+    // float32: 0.010f is 9.9999…e-3, so milli = {0,2} vs {9,12} —
+    // means 1 and 10, grand 5 → SSB 2·16+2·25 = 82,
+    // SSW (4−4+2) + (225−420+200) = 7, eta² = ⌊82e6/89⌋
+    assert(r(0L) === ((82L, 7L, Some(921348L))))
+    assert(r(1L) === ((0L, 0L, None)))
+  }
+
+  test("nccEval: exact confusion matrix with a cross-label outlier") {
+    // label 0 at milli {0,2,12}: centroid 4; label 1 at {10,12}:
+    // centroid 11. The 12 with label 0 sits nearer centroid 1.
+    val e = Seq((0L, Seq(0.0f), 0), (1L, Seq(0.002f), 0),
+      (2L, Seq(0.012f), 0), (3L, Seq(0.010f), 1), (4L, Seq(0.012f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.nccEval(e).collect()
+      .map(x => (x.getAs[Long]("true_lab"), x.getAs[Long]("pred_lab")) ->
+        (x.getAs[Long]("cnt"), x.getAs[Boolean]("correct"))).toMap
+    assert(r === Map((0L, 0L) -> ((2L, true)), (0L, 1L) -> ((1L, false)),
+      (1L, 1L) -> ((2L, true))))
+  }
+
   test("fertilityProfile: non-ASCII share counts multibyte chars") {
     val d = Seq((0L, "aéb", "fr")).toDF("doc_id", "text", "lang")
     val r = graft.ops.TextAnalysis.fertilityProfile(d).collect().head
