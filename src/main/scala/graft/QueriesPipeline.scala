@@ -7224,5 +7224,60 @@ private[graft] object QueriesPipeline {
              |SELECT lab AS true_lab, clab AS pred_lab,
              |  CAST(COUNT(*) AS BIGINT) AS cnt, lab = clab AS correct
              |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ABC / Pareto revenue classes over parts: decimal-exact revenue
+    // micro per row (the q01 contract), cumulative share via the
+    // two-pass prefix-sum primitive, 70/90 integer cuts — the
+    // "which slice of the catalog is the money" inventory table.
+    Q("q265_abc_classes",
+      (s, dir) => Analytics.abcClasses(Tables(s, dir, "lineitem")),
+      Some("""WITH m AS (SELECT l_partkey AS part,
+             |    CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2))
+             |         - CAST(l_discount AS DECIMAL(18,2)))) * 1000000
+             |      AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM m),
+             |c AS (SELECT rev, CAST(SUM(rev) OVER (
+             |    ORDER BY rev DESC, part
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum FROM m),
+             |k AS (SELECT CASE
+             |    WHEN cum <= (SELECT tot * 7 // 10 FROM t) THEN 'A'
+             |    WHEN cum <= (SELECT tot * 9 // 10 FROM t) THEN 'B'
+             |    ELSE 'C' END AS cls, rev FROM c)
+             |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |  CAST(SUM(rev) AS BIGINT) AS rev_micro_total,
+             |  CAST(CAST(SUM(rev) AS HUGEINT) * 1000000
+             |    // (SELECT tot FROM t) AS BIGINT) AS share_ppm
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Delta-encoding size estimate for orders keys: exact bit-length
+    // of sorted successor deltas (binary-string length, no float
+    // log2) vs raw 8-byte storage — near-sequential o_orderkey
+    // compresses hard, the scattered o_custkey barely.
+    Q("q266_delta_compression",
+      (s, dir) => Audit.deltaCompressionEstimate(Tables(s, dir, "orders"),
+        Seq("o_custkey", "o_orderkey")),
+      Some {
+        def one(c: String): String =
+          s"""(WITH v AS (SELECT CAST($c AS BIGINT) AS v FROM orders
+             |    WHERE $c IS NOT NULL),
+             |  r AS (SELECT v, LAG(v) OVER (ORDER BY v) AS pv FROM v),
+             |  a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |      CAST(SUM(CASE WHEN pv IS NULL THEN 64
+             |        ELSE length(format('{:b}', v - pv)) END) AS BIGINT)
+             |        AS delta_bits
+             |    FROM r)
+             |  SELECT '$c' AS col_name, n, n * 64 AS raw_bits,
+             |    delta_bits,
+             |    CAST(delta_bits * 1000000 // (n * 64) AS BIGINT)
+             |      AS ratio_ppm,
+             |    CAST((delta_bits + 7) // 8 AS BIGINT) AS est_bytes
+             |  FROM a)""".stripMargin
+        s"""SELECT * FROM (${one("o_custkey")}
+           |UNION ALL ${one("o_orderkey")})
+           |ORDER BY col_name""".stripMargin
+      }),
   )
 }

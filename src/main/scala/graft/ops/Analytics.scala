@@ -335,6 +335,43 @@ object Analytics {
       .orderBy("from_type")
   }
 
+  /** ABC / Pareto revenue classification — rank parts by exact
+    * decimal revenue and cut the cumulative share at 70% (A), 90%
+    * (B), rest C: the classic "which 10% of the catalog is 70% of
+    * the money" inventory table. Revenue is the q01 decimal-exact
+    * product floored to micro per row, so both engines sum identical
+    * longs; the cumulative comes from [[Par.prefixSum]] (range
+    * exchange + broadcast offsets — no single-partition window over
+    * the part table); the 70/90 cuts are integer threshold compares
+    * against driver scalars.
+    */
+  def abcClasses(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .where(col("l_partkey").isNotNull)
+      .select(col("l_partkey").as("part"),
+        ((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))) * 1000000)
+          .cast("long").as("rm"))
+      .groupBy("part").agg(sum(col("rm")).as("rev_micro"))
+      .withColumn("negrev", -col("rev_micro"))
+    val cum = Par.prefixSum(rev, Seq(), Seq("negrev", "part"), "rev_micro")
+      .localCheckpoint()
+    val tot = cum.agg(sum(col("rev_micro"))).head.getLong(0)
+    require(tot > 0, "abcClasses: no revenue")
+    val (cutA, cutB) = (tot * 7 / 10, tot * 9 / 10)
+    cum
+      .withColumn("cls", when(col("cum") <= cutA, "A")
+        .when(col("cum") <= cutB, "B").otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_micro")).as("rev_micro_total"))
+      .select(col("cls"), col("n_parts"), col("rev_micro_total"),
+        expr(s"cast(rev_micro_total as decimal(38,0)) * 1000000" +
+          s" div ${tot}L").as("share_ppm"))
+      .orderBy("cls")
+  }
+
   /** Dimension delta attribution (the Adtributor shape, exact): split
     * the stream at its temporal midpoint and, for every value of
     * every declared dimension, report how much of the OVERALL count

@@ -406,6 +406,44 @@ object Audit {
       .orderBy("ca", "cb")
   }
 
+  /** Delta-encoding size estimate per column — the storage-planning
+    * audit behind "should this column sort the file": sort each
+    * column's values ascending, charge 64 bits for the first value
+    * and exact bit-length of each non-negative delta after it
+    * (`length(bin(δ))`, the integer bit count both engines compute
+    * from a binary string — no float log2), and report the projected
+    * bytes against raw 8-byte storage. Near-sequential keys compress
+    * ~8×; random keys don't — this table says which is which before
+    * anyone rewrites a 100 TB lake with a new sort order.
+    *
+    * Scale shape per column: the global order is
+    * [[Par.globalRowNumber]] (range exchange, no single-partition
+    * window); successor deltas come from ONE rownum equi-join; the
+    * bit-length fold is map-side combinable. Columns are independent
+    * passes, unioned into a |columns|-row report.
+    */
+  def deltaCompressionEstimate(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "deltaCompressionEstimate needs columns")
+    cols.map { c =>
+      val vals = df.select(col(c).cast("long").as("v"))
+        .where(col("v").isNotNull)
+      val ranked = graft.ops.Par.globalRowNumber(vals, Seq("v"))
+        .localCheckpoint()
+      val deltas = ranked.as("a")
+        .join(ranked.select((col("rownum") + 1L).as("rownum"),
+          col("v").as("pv")).as("b"), Seq("rownum"), "left")
+        .select(col("v"), col("pv"), col("rownum"))
+        .withColumn("bits",
+          when(col("pv").isNull, lit(64L))
+            .otherwise(length(bin(col("v") - col("pv"))).cast("long")))
+      deltas.agg(count(lit(1)).as("n"), sum(col("bits")).as("delta_bits"))
+        .select(lit(c).as("col_name"), col("n"),
+          (col("n") * 64L).as("raw_bits"), col("delta_bits"),
+          expr("delta_bits * 1000000 div (n * 64)").as("ratio_ppm"),
+          expr("(delta_bits + 7) div 8").as("est_bytes"))
+    }.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
   /** Approximate functional-dependency discovery — for each declared
     * determinant→dependent column pair, count the rows that would
     * have to change for `A → B` to hold exactly:

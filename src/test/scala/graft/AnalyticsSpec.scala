@@ -274,6 +274,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       ("B", 1L, 0L, 0L, 0L), ("C", 1L, 0L, 0L, 0L)))
   }
 
+  test("abcClasses: 70/90 cumulative cuts with exact decimal revenue") {
+    val li = Seq((1L, 70.0, 0.0), (2L, 20.0, 0.0), (3L, 6.0, 0.0),
+      (4L, 4.0, 0.0)).toDF("l_partkey", "l_extendedprice", "l_discount")
+    val r = graft.ops.Analytics.abcClasses(li).collect()
+      .map(x => x.getAs[String]("cls") ->
+        (x.getAs[Long]("n_parts"), x.getAs[Long]("rev_micro_total"),
+          x.getAs[Long]("share_ppm"))).toMap
+    // cum 70 → A (≤70%), 90 → B (≤90%), 96 and 100 → C
+    assert(r("A") === ((1L, 70000000L, 700000L)))
+    assert(r("B") === ((1L, 20000000L, 200000L)))
+    assert(r("C") === ((2L, 10000000L, 100000L)))
+  }
+
   test("deltaAttribution: signed contributions and share shifts, exact") {
     import org.apache.spark.sql.functions._
     // span us 0..9 → split 5. A: prev {0,1,2}, cur {6};

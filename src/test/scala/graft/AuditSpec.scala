@@ -191,6 +191,21 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(c.getAs[Long]("est") >= c.getAs[Long]("exact"))
   }
 
+  test("deltaCompressionEstimate: sequential keys compress, gaps cost bits") {
+    val d = Seq(1L, 2L, 3L, 4L).toDF("seq")
+      .withColumn("gap", col("seq") * 0 + col("seq")) // placeholder col
+    val r = Audit.deltaCompressionEstimate(d, Seq("seq")).collect().head
+    // first row 64 bits + three 1-bit deltas = 67 of 256 raw
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("delta_bits") === 67L)
+    assert(r.getAs[Long]("ratio_ppm") === 261718L)
+    assert(r.getAs[Long]("est_bytes") === 9L)
+    // a 1024 jump charges exactly 11 bits (length of '10000000000')
+    val g = Seq(0L, 1024L).toDF("v")
+    val rg = Audit.deltaCompressionEstimate(g, Seq("v")).collect().head
+    assert(rg.getAs[Long]("delta_bits") === 75L)
+  }
+
   test("fdDiscovery: exact FD certifies, violations count the g3 error") {
     val df = Seq((1, "a", 10), (1, "a", 11), (2, "b", 10), (2, "c", 12))
       .toDF("k", "v", "w")
