@@ -7279,5 +7279,79 @@ private[graft] object QueriesPipeline {
            |UNION ALL ${one("o_orderkey")})
            |ORDER BY col_name""".stripMargin
       }),
+
+    // Order-to-ship latency percentiles per priority: exact
+    // nearest-rank p50/p90/p99 in whole days via the two-pass
+    // (group, value)-count design — no per-group sort of line items,
+    // the hottest priority folds map-side like any other.
+    Q("q267_ship_latency",
+      (s, dir) => Stats.groupPercentiles(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(Tables(s, dir, "orders").select(
+            col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")), "l_orderkey")
+          .select(col("o_orderpriority"),
+            expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+              " div 86400000000").as("lat_days")),
+        "o_orderpriority", "lat_days")
+        .withColumnRenamed("grp", "priority"),
+      Some("""WITH j AS (SELECT o.o_orderpriority AS grp,
+             |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+             |      // 86400000000 AS v
+             |  FROM lineitem l JOIN orders o
+             |    ON o.o_orderkey = l.l_orderkey
+             |  WHERE o.o_orderpriority IS NOT NULL
+             |    AND l.l_shipdate IS NOT NULL
+             |    AND o.o_orderdate IS NOT NULL),
+             |c AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM j GROUP BY 1, 2),
+             |cm AS (SELECT grp, v,
+             |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum,
+             |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+             |  FROM c),
+             |p50 AS (SELECT grp, MIN(v) AS p50 FROM cm
+             |  WHERE cum >= (n * 500000 + 999999) // 1000000 GROUP BY 1),
+             |p90 AS (SELECT grp, MIN(v) AS p90 FROM cm
+             |  WHERE cum >= (n * 900000 + 999999) // 1000000 GROUP BY 1),
+             |p99 AS (SELECT grp, MIN(v) AS p99 FROM cm
+             |  WHERE cum >= (n * 990000 + 999999) // 1000000 GROUP BY 1),
+             |mx AS (SELECT grp, MAX(n) AS n, MAX(v) AS max_v FROM cm
+             |  GROUP BY 1)
+             |SELECT mx.grp AS priority, mx.n, p50.p50, p90.p90, p99.p99,
+             |  mx.max_v
+             |FROM mx JOIN p50 USING (grp) JOIN p90 USING (grp)
+             |  JOIN p99 USING (grp)
+             |ORDER BY priority""".stripMargin)),
+
+    // Incremental sessionization with handoff: q33's sessions split
+    // at the batch edge into final 'closed' sessions vs 'open'
+    // carry-state — the contract that stops a daily job from
+    // double-counting boundary-spanning sessions.
+    Q("q268_incremental_sessionize",
+      (s, dir) => Temporal.sessionizeIncremental(Tables(s, dir, "events"),
+        "user_id", "ts", gapUs = 1800000000L),
+      Some("""WITH t AS (SELECT user_id AS key, epoch_us(ts) AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |m AS (SELECT key, us,
+             |    CASE WHEN us - LAG(us) OVER (PARTITION BY key ORDER BY us)
+             |      > 1800000000 OR LAG(us) OVER (PARTITION BY key
+             |        ORDER BY us) IS NULL THEN 1 ELSE 0 END AS brk
+             |  FROM t),
+             |sids AS (SELECT key, us, CAST(SUM(brk) OVER (
+             |    PARTITION BY key ORDER BY us ROWS BETWEEN UNBOUNDED
+             |    PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM m),
+             |sess AS (SELECT key, session_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events,
+             |    MIN(us) AS start_us, MAX(us) AS end_us
+             |  FROM sids GROUP BY 1, 2),
+             |e AS (SELECT MAX(end_us) AS edge FROM sess)
+             |SELECT key, session_id, n_events, start_us, end_us,
+             |  CASE WHEN end_us + 1800000000 <= (SELECT edge FROM e)
+             |    THEN 'closed' ELSE 'open' END AS status
+             |FROM sess ORDER BY key, session_id""".stripMargin)),
   )
 }

@@ -958,6 +958,41 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Per-group nearest-rank percentiles (p50/p90/p99 + max) over an
+    * integer metric — exact, and scale-right for skewed groups: the
+    * first pass is a combinable (group, value) count (the 100 TB
+    * stream folds to |groups|·|distinct values| rows — bounded when
+    * the metric is discretized, e.g. whole days), the cumulative and
+    * the rank picks then run over THAT table. No per-group sort of
+    * row-scale data ever happens, unlike the naive
+    * `row_number().over(partitionBy(group))` which sorts every row of
+    * the hottest group in one task. Percentile = smallest value whose
+    * running count reaches ⌈p·n⌉ (nearest-rank, no interpolation).
+    */
+  def groupPercentiles(df: DataFrame, grpCol: String,
+      valCol: String): DataFrame = {
+    val counts = df.where(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("grp")
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wg))
+      .localCheckpoint() // three rank picks + the totals share it
+    def pick(pPpm: Long, as: String) =
+      cum.where(col("cum") >=
+          expr(s"(n * ${pPpm}L + 999999L) div 1000000L"))
+        .groupBy("grp").agg(min(col("v")).as(as))
+    pick(500000L, "p50").join(pick(900000L, "p90"), Seq("grp"))
+      .join(pick(990000L, "p99"), Seq("grp"))
+      .join(cum.groupBy("grp")
+        .agg(max(col("n")).as("n"), max(col("v")).as("max_v")), Seq("grp"))
+      .select(col("grp"), col("n"), col("p50"), col("p90"), col("p99"),
+        col("max_v"))
+      .orderBy("grp")
+  }
+
   /** Walk-forward (expanding-window) backtest of the [[holtForecast]]
     * model: replay the identical milli-integer double-exponential
     * recurrence (α=0.5, β=0.3, init level=first count, trend=0) and,

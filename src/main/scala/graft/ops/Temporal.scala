@@ -424,6 +424,33 @@ object Temporal {
       .orderBy("grp")
   }
 
+  /** Incremental sessionization with state handoff — the daily-batch
+    * form of [[sessionize]]: sessions whose gap window has CLOSED by
+    * the batch edge (`end + gap ≤ max event time`) emit as final
+    * (`closed`), sessions still inside their gap window emit as
+    * carry-state (`open`) for the next batch to resume (union the
+    * open rows' keys' raw events back in, or seed the next batch's
+    * lag with `end_us`). Without this split a daily job double-counts
+    * every boundary-spanning session — the standard incremental
+    * sessionize contract, batch twin of the streaming
+    * `session_window` state.
+    *
+    * Same shape as sessionize (per-key window over event times, one
+    * key shuffle) plus one broadcast scalar (the batch edge).
+    */
+  def sessionizeIncremental(events: DataFrame, keyCol: String,
+      tsCol: String, gapUs: Long): DataFrame = {
+    val sessions = sessionize(events, keyCol, tsCol, gapUs)
+      .localCheckpoint()
+    val edge = sessions.agg(max(col("end_us"))).head.getLong(0)
+    sessions
+      .withColumn("status",
+        when(col("end_us") + gapUs <= edge, "closed").otherwise("open"))
+      .select(col("key"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"), col("status"))
+      .orderBy("key", "session_id")
+  }
+
   /** Token-bucket alert throttling — the rate-limit gate an alerting
     * pipeline puts between trigger and notification: each key holds a
     * bucket of `capacity` tokens refilling one token per `refillUs`;

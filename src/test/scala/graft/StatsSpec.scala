@@ -620,6 +620,24 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(f.getAs[Long]("max_err_milli") === 0L)
   }
 
+  test("groupPercentiles: exact nearest-rank picks on a 1..10 group") {
+    val d = (1L to 10L).map(v => ("g", v)).toDF("grp_col", "v")
+    val r = graft.ops.Stats.groupPercentiles(d, "grp_col", "v")
+      .collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("p50") === 5L)  // ⌈0.5·10⌉ = 5th value
+    assert(r.getAs[Long]("p90") === 9L)
+    assert(r.getAs[Long]("p99") === 10L)
+    assert(r.getAs[Long]("max_v") === 10L)
+    // duplicates collapse into counts, ranks stay exact
+    val dup = Seq(("h", 1L), ("h", 1L), ("h", 1L), ("h", 9L))
+      .toDF("grp_col", "v")
+    val rd = graft.ops.Stats.groupPercentiles(dup, "grp_col", "v")
+      .collect().head
+    assert(rd.getAs[Long]("p50") === 1L) // rank 2 of [1,1,1,9]
+    assert(rd.getAs[Long]("p90") === 9L) // rank 4
+  }
+
   test("forecastBakeoff: weekly pattern hands the win to seasonal-naive") {
     import org.apache.spark.sql.functions._
     def mk(counts: Seq[Int], grp: String) = counts.zipWithIndex

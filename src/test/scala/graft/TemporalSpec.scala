@@ -257,6 +257,21 @@ class TemporalSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("max_late_us") === 40000000L)
   }
 
+  test("sessionizeIncremental: gap-expired sessions close, edge sessions stay open") {
+    import org.apache.spark.sql.functions._
+    // key 1 sessions at [0, 10min]; key 2's single event IS the batch
+    // edge (2 h) — its 30-min gap window is still running
+    val ev = Seq((1L, 0L), (1L, 600000000L), (2L, 7200000000L))
+      .toDF("user_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val r = graft.ops.Temporal.sessionizeIncremental(ev, "user_id", "ts",
+      gapUs = 1800000000L).collect()
+      .map(x => x.getAs[Long]("key") ->
+        (x.getAs[Long]("n_events"), x.getAs[String]("status"))).toMap
+    assert(r(1L) === ((2L, "closed")))
+    assert(r(2L) === ((1L, "open")))
+  }
+
   test("tokenBucket: burst allowed, sustained rate throttles, credit caps") {
     import org.apache.spark.sql.functions._
     // capacity 2, refill 10 s: t=0 spends 1 of 2, t=1s spends the
