@@ -7353,5 +7353,216 @@ private[graft] object QueriesPipeline {
              |  CASE WHEN end_us + 1800000000 <= (SELECT edge FROM e)
              |    THEN 'closed' ELSE 'open' END AS status
              |FROM sess ORDER BY key, session_id""".stripMargin)),
+
+    // Theil–Sen robust daily trend: lower median of pairwise slopes
+    // (floor milli, trunc-toward-zero division on both engines) —
+    // the outlier-immune complement to q177's least-squares slope.
+    // Pair set is day-grid-bounded, never row-bounded.
+    Q("q269_theilsen_trend",
+      (s, dir) => Stats.theilSenTrend(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS x,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |nd AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days
+             |  FROM daily GROUP BY 1),
+             |p AS (SELECT a.grp, (b.y - a.y) * 1000 // (b.x - a.x)
+             |    AS slope_milli
+             |  FROM daily a JOIN daily b ON a.grp = b.grp AND a.x < b.x),
+             |r AS (SELECT grp, slope_milli,
+             |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY slope_milli)
+             |      AS rn,
+             |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_pairs
+             |  FROM p)
+             |SELECT r.grp, nd.n_days, r.n_pairs, r.slope_milli,
+             |  CASE WHEN r.slope_milli > 0 THEN 'up'
+             |    WHEN r.slope_milli < 0 THEN 'down' ELSE 'flat' END AS trend
+             |FROM r JOIN nd ON nd.grp = r.grp
+             |WHERE r.rn = (r.n_pairs + 1) // 2
+             |ORDER BY r.grp""".stripMargin)),
+
+    // LSH banding parameter sweep: for every (bands, rows) split of a
+    // 16-hash MinHash signature, the theoretical S-curve (stepwise-
+    // floored integer powers — oracle-exact) beside the empirical
+    // candidate volume and verified yield on this corpus. The oracle
+    // recomputes the whole chain: q22's signature restatement, a
+    // per-config band fold, candidate joins, exact-Jaccard verify,
+    // and the predicted probabilities via recursive-CTE powers.
+    Q("q270_lsh_param_sweep",
+      (s, dir) => DocDedup.lshParameterSweep(Tables(s, dir, "documents")),
+      Some(s"""WITH RECURSIVE ${duckShingles("", "documents")},
+              |mh AS (SELECT doc_id, s,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(s, ''),
+              |        c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 37 + b) % 2147483647) AS h37
+              |  FROM sh),
+              |yy AS (SELECT doc_id, ${duckMix31("h37")} AS y FROM mh),
+              |sig AS (SELECT doc_id, i, MIN(${duckMix31("y + i")}) AS m
+              |  FROM yy CROSS JOIN (SELECT unnest(range(0, 16)) AS i) xs
+              |  GROUP BY 1, 2),
+              |cfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS nb),
+              |bands AS (SELECT c.nb, doc_id, i // (16 // c.nb) AS band,
+              |    list_reduce(list_prepend(CAST(i // (16 // c.nb) AS BIGINT),
+              |        list(m ORDER BY i)),
+              |      (a, y) -> (a * 1103515245 + y) % 2147483648) AS bh
+              |  FROM sig CROSS JOIN cfg c
+              |  GROUP BY c.nb, doc_id, i // (16 // c.nb)),
+              |cand AS (SELECT DISTINCT a.nb, a.doc_id AS a_id,
+              |    b.doc_id AS b_id
+              |  FROM bands a JOIN bands b ON a.nb = b.nb
+              |    AND a.band = b.band AND a.bh = b.bh
+              |    AND a.doc_id < b.doc_id),
+              |dp AS (SELECT DISTINCT a_id, b_id FROM cand),
+              |iv AS (SELECT d.a_id, d.b_id, COUNT(*) AS inter
+              |  FROM dp d
+              |  JOIN sh a ON a.doc_id = d.a_id
+              |  JOIN sh b ON b.doc_id = d.b_id AND b.s = a.s
+              |  GROUP BY 1, 2),
+              |ver AS (SELECT i.a_id, i.b_id FROM iv i
+              |  JOIN sz sa ON sa.doc_id = i.a_id
+              |  JOIN sz sb ON sb.doc_id = i.b_id
+              |  WHERE i.inter * 1000000 >= 500000 * (sa.n + sb.n - i.inter)),
+              |counts AS (SELECT c.nb,
+              |    CAST(COUNT(*) AS BIGINT) AS cand_pairs,
+              |    CAST(SUM(CASE WHEN v.a_id IS NOT NULL THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS true_pairs
+              |  FROM cand c LEFT JOIN ver v
+              |    ON v.a_id = c.a_id AND v.b_id = c.b_id
+              |  GROUP BY 1),
+              |grid AS (SELECT unnest([300000, 500000, 700000, 900000]) AS t),
+              |powr AS (SELECT nb, 16 // nb AS nr, CAST(t AS BIGINT) AS t,
+              |    1 AS k, CAST(t AS BIGINT) AS x
+              |  FROM cfg CROSS JOIN grid
+              |  UNION ALL SELECT nb, nr, t, k + 1, x * t // 1000000
+              |  FROM powr WHERE k < nr),
+              |tr AS (SELECT nb, t, x AS tr FROM powr
+              |  WHERE k = 16 // nb),
+              |powb AS (SELECT nb, t, 1 AS k, 1000000 - tr AS base,
+              |    1000000 - tr AS x
+              |  FROM tr
+              |  UNION ALL SELECT nb, t, k + 1, base, x * base // 1000000
+              |  FROM powb WHERE k < nb),
+              |pred0 AS (SELECT nb, t, 1000000 - x AS p FROM powb
+              |  WHERE k = nb),
+              |pred AS (SELECT nb,
+              |    MAX(CASE WHEN t = 300000 THEN p END) AS p30_ppm,
+              |    MAX(CASE WHEN t = 500000 THEN p END) AS p50_ppm,
+              |    MAX(CASE WHEN t = 700000 THEN p END) AS p70_ppm,
+              |    MAX(CASE WHEN t = 900000 THEN p END) AS p90_ppm
+              |  FROM pred0 GROUP BY 1)
+              |SELECT CAST(cfg.nb AS BIGINT) AS n_bands,
+              |  CAST(16 // cfg.nb AS BIGINT) AS n_rows,
+              |  pr.p30_ppm, pr.p50_ppm, pr.p70_ppm, pr.p90_ppm,
+              |  COALESCE(ct.cand_pairs, 0) AS cand_pairs,
+              |  COALESCE(ct.true_pairs, 0) AS true_pairs
+              |FROM cfg JOIN pred pr ON pr.nb = cfg.nb
+              |LEFT JOIN counts ct ON ct.nb = cfg.nb
+              |ORDER BY n_bands""".stripMargin)),
+
+    // Encoding-hygiene audit over a deterministically dirtied corpus
+    // (planted replacement chars / C0 controls / mojibake pairs —
+    // same derivation on both engines, like q63's planted PII):
+    // counts per class + cleaned length after strip-and-collapse.
+    Q("q271_text_clean",
+      (s, dir) => Curation.textClean(
+        Tables(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit("\uFFFD x")))
+          .when(col("doc_id") % 11 === 3,
+            concat(lit("a\u0001b  "), col("text")))
+          .when(col("doc_id") % 11 === 7,
+            concat(col("text"), lit(" caf\u00C3\u00A9")))
+          .otherwise(col("text")))),
+      Some("""WITH dirty AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 11 = 0 THEN text || chr(65533) || ' x'
+             |    WHEN doc_id % 11 = 3 THEN 'a' || chr(1) || 'b  ' || text
+             |    WHEN doc_id % 11 = 7 THEN text || ' caf' || chr(195)
+             |      || chr(169)
+             |    ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+             |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT)
+             |    AS n_replacement,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[\x01-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) AS BIGINT)
+             |    AS n_mojibake,
+             |  CAST(length(trim(regexp_replace(regexp_replace(text,
+             |    '[\x01-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]', '', 'g'),
+             |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean,
+             |  len(regexp_extract_all(text, '\x{FFFD}')) = 0
+             |    AND len(regexp_extract_all(text,
+             |      '[\x01-\x08\x0B\x0C\x0E-\x1F]')) = 0
+             |    AND len(regexp_extract_all(text,
+             |      '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) = 0 AS is_clean
+             |FROM dirty ORDER BY doc_id""".stripMargin)),
+
+    // Contiguous 3-event path mining over user streams: trigram
+    // counts + distinct-user support, top-20 under a total order.
+    // q183's transition matrix is the bigram special case.
+    Q("q272_event_trigrams",
+      (s, dir) => Analytics.frequentSequences(Tables(s, dir, "events")),
+      Some("""WITH o AS (SELECT user_id AS u, event_type AS e1,
+             |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS e2,
+             |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS e3
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL)
+             |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+             |FROM o WHERE e3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY cnt DESC, e1, e2, e3
+             |LIMIT 20""".stripMargin)),
+
+    // Leading principal direction by integer power iteration over the
+    // exact covariance numerators (q174's Gram kernel with diagonal).
+    // The oracle replays the identical trajectory: quantize, moments,
+    // full symmetric A, two matvec+renorm rounds.
+    Q("q273_power_iteration",
+      (s, dir) => Similarity.powerComponent(Tables(s, dir, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+             |  FROM embeddings
+             |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+             |x AS (SELECT vec_id, i, q[i] AS xi
+             |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM v)),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+             |s AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS sx
+             |  FROM x GROUP BY 1),
+             |p AS (SELECT a.i AS di, b.i AS dj,
+             |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |  GROUP BY 1, 2),
+             |up AS (SELECT p.di, p.dj,
+             |    CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS a
+             |  FROM p CROSS JOIN n
+             |  JOIN s sa ON sa.i = p.di JOIN s sb ON sb.i = p.dj),
+             |am AS (SELECT di, dj, a FROM up
+             |  UNION ALL SELECT dj, di, a FROM up WHERE di <> dj),
+             |ma AS (SELECT MAX(abs(a)) AS ma FROM am),
+             |a0 AS (SELECT di, dj, a * 1000 // ma AS a
+             |  FROM am CROSS JOIN ma),
+             |v0 AS (SELECT unnest(range(1, 65)) AS j,
+             |    CAST(1000 AS BIGINT) AS w),
+             |u1 AS (SELECT a0.di AS i, CAST(SUM(a0.a * v0.w) AS BIGINT) AS u
+             |  FROM a0 JOIN v0 ON v0.j = a0.dj GROUP BY 1),
+             |m1 AS (SELECT MAX(abs(u)) AS m FROM u1),
+             |v1 AS (SELECT i AS j, u * 1000 // m AS w FROM u1 CROSS JOIN m1),
+             |u2 AS (SELECT a0.di AS i, CAST(SUM(a0.a * v1.w) AS BIGINT) AS u
+             |  FROM a0 JOIN v1 ON v1.j = a0.dj GROUP BY 1),
+             |m2 AS (SELECT MAX(abs(u)) AS m FROM u2)
+             |SELECT CAST(i AS INTEGER) AS dim_i,
+             |  CAST(u * 1000 // m AS BIGINT) AS w_milli
+             |FROM u2 CROSS JOIN m2
+             |ORDER BY dim_i""".stripMargin)),
   )
 }

@@ -543,4 +543,37 @@ object Analytics {
         col("r.d_churn").as("d_churn"), col("r.s_ppm").as("s_ppm"))
       .orderBy("t")
   }
+
+  /** Contiguous 3-event sequence mining: the most common
+    * `e₁ → e₂ → e₃` runs across user event streams (per-user total
+    * order `(ts, event_id)` — the same tie ladder as
+    * [[transitionMatrix]], which is this op's bigram special case),
+    * with both raw occurrence count and distinct-user support so a
+    * single looping user can't fake a popular path. Top-N under a
+    * TOTAL order (count desc, then the trigram itself) so the cut is
+    * deterministic.
+    *
+    * Shape: one per-user key shuffle for the two leads, then a
+    * combinable (e₁,e₂,e₃) count-and-support aggregate, then a
+    * TakeOrdered N — never a global sort. Sequence state is two
+    * lookahead rows per task, so a 100 TB stream costs exactly its
+    * one user-key shuffle.
+    */
+  def frequentSequences(events: DataFrame, topN: Int = 20,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(expr(s"unix_micros($tsCol)"), col(idCol))
+    events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("u")).as("n_users"))
+      .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topN)
+  }
 }

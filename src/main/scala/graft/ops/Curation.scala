@@ -945,4 +945,46 @@ object Curation {
           " - ts div tn end").as("delta_micro"))
       .orderBy("source")
   }
+
+  // encoding-hygiene character classes, shared by the audit columns
+  // and the cleanup rewrite so they can never disagree. � is the
+  // decoder's replacement char; controls exclude \t \n \r (legitimate
+  // whitespace — the collapse step owns those).
+  private val BadCharRe = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]"
+  // UTF-8 bytes decoded as Latin-1: lead byte Ã/Â (U+00C3/U+00C2)
+  // followed by a continuation char in U+0080-U+00BF
+  private val MojibakeRe = "[\\u00C2\\u00C3][\\u0080-\\u00BF]"
+
+  /** Encoding-hygiene audit + canonical cleanup — the ingest gate a
+    * web-scraped corpus runs before any tokenizer sees the text:
+    * counts decoder replacement chars (U+FFFD), stray control chars
+    * (C0 minus tab/newline/CR), and mojibake lead pairs (UTF-8 read
+    * as Latin-1: `Ã`/`Â` + continuation), then emits the cleaned
+    * length after stripping the bad classes and collapsing whitespace
+    * runs. Mojibake is FLAGGED, never auto-repaired — re-decoding is
+    * lossy guesswork that belongs in a quarantine queue, not a bulk
+    * rewrite. The audit classes and the strip rewrite share one regex
+    * constant, so the `is_clean` flag can never drift from the
+    * cleanup it promises.
+    *
+    * Shape: map-only (regex counts + one rewrite per row) — embarrassingly
+    * parallel at 100 TB, no shuffle, no state.
+    */
+  def textClean(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).as("n_chars_raw"),
+        regexp_count(col(textCol), lit("\uFFFD")).cast("long")
+          .as("n_replacement"),
+        regexp_count(col(textCol), lit("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("n_control"),
+        regexp_count(col(textCol), lit(MojibakeRe)).cast("long")
+          .as("n_mojibake"),
+        length(trim(regexp_replace(
+          regexp_replace(col(textCol), BadCharRe, ""), "\\s+", " ")))
+          .as("n_chars_clean"))
+      .withColumn("is_clean",
+        col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("n_mojibake") === 0)
+      .orderBy("doc_id")
 }

@@ -698,4 +698,86 @@ object DocDedup {
         col("start_b").cast("long").as("start_b"))
       .orderBy("a_id", "b_id")
   }
+
+  /** `base_ppm^k` with a floor back to ppm after every multiply —
+    * the stepwise-exact integer power both engines reproduce
+    * digit-for-digit (one shot `pow()` would need floats). k ≥ 1.
+    */
+  private def powPpmStep(basePpm: Long, k: Int): Long =
+    (1 until k).foldLeft(basePpm)((acc, _) => acc * basePpm / 1000000L)
+
+  /** LSH banding parameter sweep — the tuning table a dedup pipeline
+    * reads before committing to a (bands, rows) split of its MinHash
+    * signatures: for every way to band a `numHashes`-long signature,
+    * the THEORETICAL candidate probability `1 − (1 − t^r)^b` at each
+    * design Jaccard level (stepwise-floored ppm integers, so the
+    * S-curve table is oracle-exact), beside the EMPIRICAL cost and
+    * yield of that banding on this corpus: distinct candidate pairs
+    * generated, and how many survive exact-Jaccard verification at
+    * the design threshold. More bands/fewer rows buys recall with
+    * candidate volume; this emits both sides of that trade at once.
+    *
+    * Scale shape: signatures are computed ONCE (the map-only
+    * `minhash_state` kernel) and checkpointed; each config re-bands
+    * the cached (id, sig) rows — narrow band-key shuffles, never the
+    * text. Exact verification runs once over the UNION of candidate
+    * pairs across configs (a nested banding produces nested candidate
+    * sets, so the union is just the widest config's set), then each
+    * config counts its verified subset. The `rows = 1` config is the
+    * real cost ceiling — "share ANY single hash" — which is exactly
+    * why it belongs in the sweep output rather than in production.
+    */
+  def lshParameterSweep(docs: DataFrame, numHashes: Int = 16, n: Int = 3,
+      thresholdPpm: Long = 500000L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gridPpm = Seq(300000L, 500000L, 700000L, 900000L)
+    val cfgs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val sigs = signatures(docs, n, numHashes, textCol, idCol)
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .localCheckpoint()
+    // each config's candidate pair set, materialized once (pair ids
+    // only — candidate sets are report-sized, the corpus never is)
+    def candIds(b: Int, r: Int) = {
+      val bd = sigs
+        .select(col("doc_id"), explode(bandKeys(col("sig"), b, r)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      bd.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bd.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .localCheckpoint()
+    }
+    val candByCfg = cfgs.map { case (b, r) => ((b, r), candIds(b, r)) }
+    // verify once on the union of all configs' candidates (hashed
+    // shingle sets; 64-bit collision odds negligible — q21/q22's
+    // contract), then let each config count its verified subset.
+    // Coarser bandings are subsets of the rows=1 set, so the union
+    // dedups to the widest config's pairs.
+    val allCands = candByCfg.map(_._2).reduce(_ union _).distinct()
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val verified = allCands
+      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .where(inter * 1000000L >= lit(thresholdPpm) *
+        (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter))
+      .select("a_id", "b_id")
+      .localCheckpoint()
+    // 5 small counting actions over pre-materialized pair sets — the
+    // report is |divisors| rows; all heavy lifting stayed distributed
+    candByCfg.map { case ((b, r), cands) =>
+      val pred = gridPpm.map { t =>
+        1000000L - powPpmStep(1000000L - powPpmStep(t, r), b)
+      }
+      (b.toLong, r.toLong, pred.head, pred(1), pred(2), pred(3),
+        cands.count(),
+        cands.join(verified, Seq("a_id", "b_id"), "left_semi").count())
+    }.toDF("n_bands", "n_rows", "p30_ppm", "p50_ppm", "p70_ppm", "p90_ppm",
+      "cand_pairs", "true_pairs")
+      .orderBy("n_bands")
+  }
 }

@@ -1214,4 +1214,48 @@ object Stats {
         col("lo_micro"), col("hi_micro"))
       .orderBy("grp")
   }
+
+  /** Theil–Sen robust daily trend per group: the lower median of all
+    * pairwise day-to-day slopes `(y₂−y₁)·1000 div (x₂−x₁)` (floor
+    * milli-units, trunc-toward-zero on both engines) — the
+    * outlier-immune complement to [[groupTrend]]'s least squares: one
+    * corrupted day can flip an OLS slope's sign but moves the median
+    * of C(n,2) pairwise slopes by at most one rank. Emits the day and
+    * pair counts, the median slope, and the up/down/flat label.
+    *
+    * Shape: the 100 TB scan folds FIRST to |group×day| daily counts
+    * (one combinable aggregate); the pair join is over the day grid
+    * only — C(days, 2) per group is calendar-bounded (a 3-year series
+    * is ~600k pairs), independent of raw row count. Median by
+    * rank-pick over that bounded pair set, never a global sort of the
+    * input. Groups with a single day have no pairs and drop out.
+    */
+  def theilSenTrend(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val nDays = daily.groupBy("grp").agg(count(lit(1)).as("n_days"))
+    val pairs = daily.select(col("grp"), col("x").as("xa"), col("y").as("ya"))
+      .join(daily.select(col("grp"), col("x").as("xb"), col("y").as("yb")),
+        Seq("grp"))
+      .where(col("xa") < col("xb"))
+      .select(col("grp"),
+        expr("(yb - ya) * 1000 div (xb - xa)").as("slope_milli"))
+    val w = Window.partitionBy("grp").orderBy("slope_milli")
+    val wg = Window.partitionBy("grp")
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(wg))
+      // lower median: the ceil(n/2)-th smallest — any permutation of
+      // equal values at that rank picks the same VALUE, so ties in
+      // row_number never reach the output
+      .where(col("rn") === expr("(n_pairs + 1) div 2"))
+      .join(nDays, Seq("grp"))
+      .select(col("grp"), col("n_days"), col("n_pairs"), col("slope_milli"),
+        when(col("slope_milli") > 0, "up")
+          .when(col("slope_milli") < 0, "down").otherwise("flat").as("trend"))
+      .orderBy("grp")
+  }
 }

@@ -353,4 +353,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r === Seq((0L, 4L, 1L, 750000L), (1L, 3L, 0L, 750000L),
       (2L, 2L, 1L, 375000L), (10L, 1L, 0L, 375000L)))
   }
+
+  test("frequentSequences: trigram counts with distinct-user support") {
+    // user 1 loops A→B→C twice (4 trigrams, ABC twice); user 2 runs
+    // it once — ABC totals 3 occurrences but only 2 users, so the
+    // support column exposes the looping user
+    val d = (Seq("A", "B", "C", "A", "B", "C").zipWithIndex
+        .map { case (t, i) => (1L, t, i.toLong) } ++
+      Seq("A", "B", "C").zipWithIndex
+        .map { case (t, i) => (2L, t, (10 + i).toLong) })
+      .zipWithIndex.map { case ((u, t, s), id) => (id.toLong, u, t, s) }
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", expr("timestamp_micros(s * 1000000)"))
+    val r = graft.ops.Analytics.frequentSequences(d).collect()
+      .map(x => (x.getAs[String]("e1"), x.getAs[String]("e2"),
+        x.getAs[String]("e3"), x.getAs[Long]("cnt"),
+        x.getAs[Long]("n_users")))
+    assert(r.length === 3)
+    assert(r.head === ("A", "B", "C", 3L, 2L))
+    assert(r.toSet.contains(("B", "C", "A", 1L, 1L)))
+    assert(r.toSet.contains(("C", "A", "B", 1L, 1L)))
+  }
 }

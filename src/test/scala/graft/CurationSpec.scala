@@ -434,4 +434,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       Seq((0L, "x y", "only")).toDF("doc_id", "text", "source")).collect()
     assert(one.head.isNullAt(one.head.fieldIndex("loso_micro")))
   }
+
+  test("textClean: per-class counts, strip-and-collapse length, flag") {
+    val d = Seq(
+      (1L, "hello  world"),            // double space collapses
+      (2L, "a\u0001b\u0002c"),         // two C0 controls, stripped
+      (3L, "x\uFFFDy\uFFFDz"),         // two replacement chars
+      (4L, "caf\u00C3\u00A9 ok"),      // mojibake pair — flagged, kept
+      (5L, " tab\there ")              // tab is whitespace, not control
+    ).toDF("doc_id", "text")
+    val r = Curation.textClean(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_replacement"), x.getAs[Long]("n_control"),
+          x.getAs[Long]("n_mojibake"), x.getAs[Long]("n_chars_clean"),
+          x.getAs[Boolean]("is_clean"))).toMap
+    assert(r(1L) === ((0L, 0L, 0L, 11L, true)))
+    assert(r(2L) === ((0L, 2L, 0L, 3L, false)))
+    assert(r(3L) === ((2L, 0L, 0L, 3L, false)))
+    assert(r(4L) === ((0L, 0L, 1L, 8L, false)))
+    assert(r(5L) === ((0L, 0L, 0L, 8L, true)))
+  }
 }

@@ -1017,4 +1017,50 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("non_ascii_ppm") === 333333L)
     assert(r.getAs[Long]("bytes_per_ws_e3") === 4000L)
   }
+
+  test("lshParameterSweep: S-curve monotone in bands, dup pair found everywhere") {
+    // docs 1/2 identical (every banding catches them), doc 3 disjoint
+    // vocabulary (no shared shingle → can never become a candidate)
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val r = graft.ops.DocDedup.lshParameterSweep(d).collect()
+      .map(x => x.getAs[Long]("n_bands") ->
+        (x.getAs[Long]("n_rows"), x.getAs[Long]("p50_ppm"),
+          x.getAs[Long]("cand_pairs"), x.getAs[Long]("true_pairs"))).toMap
+    assert(r.keySet === Set(1L, 2L, 4L, 8L, 16L))
+    r.foreach { case (b, (rows, _, cand, truePairs)) =>
+      assert(b * rows === 16L)
+      assert(cand === 1L, s"bands=$b")      // only the identical pair
+      assert(truePairs === 1L, s"bands=$b")
+    }
+    // more bands (shorter rows) = more permissive: p(t) strictly
+    // rises along 1→2→4→8→16 bands at the 0.5 design point
+    val ps = Seq(1L, 2L, 4L, 8L, 16L).map(b => r(b)._2)
+    assert(ps === ps.sorted && ps.distinct === ps)
+    // endpoints of the S-curve table: a single 16-row band at t=0.5
+    // is 0.5^16 ≈ 15 ppm; 16 single-row bands ≈ 1 − 0.5^16
+    assert(ps.head === 15L)
+    assert(ps.last >= 999000L)
+  }
+
+  test("powerComponent: finds the dominant variance axis exactly") {
+    // all variance on dim 2, none on dim 1 → component (0, 1000)
+    val e1 = Seq(Seq(0.0f, 0.5f), Seq(0.0f, -0.5f),
+      Seq(0.0f, 1.0f), Seq(0.0f, -1.0f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val r1 = graft.ops.Similarity.powerComponent(e1, dim = 2).collect()
+      .map(x => x.getAs[Int]("dim_i") -> x.getAs[Long]("w_milli")).toMap
+    assert(r1 === Map(1 -> 0L, 2 -> 1000L))
+    // perfectly correlated dims → the diagonal direction (1000, 1000)
+    val e2 = Seq(Seq(0.8f, 0.8f), Seq(-0.8f, -0.8f), Seq(0.4f, 0.4f),
+      Seq(-0.4f, -0.4f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val r2 = graft.ops.Similarity.powerComponent(e2, dim = 2).collect()
+      .map(x => x.getAs[Int]("dim_i") -> x.getAs[Long]("w_milli")).toMap
+    assert(r2 === Map(1 -> 1000L, 2 -> 1000L))
+  }
 }

@@ -672,4 +672,38 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.isNullAt(r.fieldIndex("acf1_ppm")))
     assert(r.isNullAt(r.fieldIndex("acf3_ppm")))
   }
+
+  test("theilSenTrend: one corrupted day cannot move the median slope") {
+    // days 0-4 with counts 1,2,3,4,100 — a clean +1/day trend plus a
+    // 25× spike on the last day. 6 of the 10 pairwise slopes are
+    // exactly 1000 milli; the 4 spike-involved slopes are huge. The
+    // lower median (rank 5 of 10) lands on 1000 — where OLS would be
+    // dragged to ~18× that.
+    val rows = Seq(1, 2, 3, 4, 100).zipWithIndex
+      .flatMap { case (c, day) => Seq.fill(c)(day.toLong) }
+    val df = rows.toDF("d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+      .withColumn("event_type", lit("a"))
+    val r = Stats.theilSenTrend(df).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_days") === 5L)
+    assert(r.head.getAs[Long]("n_pairs") === 10L)
+    assert(r.head.getAs[Long]("slope_milli") === 1000L)
+    assert(r.head.getAs[String]("trend") === "up")
+    // sanity: OLS on the same series IS dragged far above 1000 milli
+    val ols = Stats.groupTrend(df).collect().head
+    assert(ols.getAs[Long]("slope_num") * 1000L >
+      10L * ols.getAs[Long]("slope_den"))
+  }
+
+  test("theilSenTrend: single-day groups drop out; down trends label") {
+    val rows = (Seq.fill(3)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(1)(2L))
+      .map(("down", _)) :+ (("lone", 0L))
+    val df = rows.toDF("event_type", "d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+    val r = Stats.theilSenTrend(df).collect()
+    assert(r.map(_.getAs[String]("grp")).toSeq === Seq("down"))
+    assert(r.head.getAs[Long]("slope_milli") === -1000L)
+    assert(r.head.getAs[String]("trend") === "down")
+  }
 }
