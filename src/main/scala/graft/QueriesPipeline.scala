@@ -34,6 +34,28 @@ private[graft] object QueriesPipeline {
     dir.getAbsolutePath
   }
 
+  // shared two-step funnel oracle (q102 batch + q274 streaming twin —
+  // the stream's single-microbatch replay equals the batch fold, so
+  // one definition serves both and they can never drift)
+  private val funnelOracle: String =
+    """WITH b AS (SELECT user_id AS key, event_type AS t,
+      |            epoch_us(ts) AS us FROM events
+      |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |            AND event_type IN ('view', 'purchase')),
+      |f AS (SELECT key,
+      |        MIN(CASE WHEN t = 'view' THEN us END) AS first_us,
+      |        list(CASE WHEN t = 'purchase' THEN us END) AS seconds
+      |      FROM b GROUP BY 1),
+      |g AS (SELECT key, first_us,
+      |        list_min(list_filter(seconds, s -> s >= first_us))
+      |          AS second_us
+      |      FROM f WHERE first_us IS NOT NULL)
+      |SELECT key AS user_id, first_us, second_us,
+      |  CAST(CASE WHEN second_us IS NOT NULL
+      |       AND second_us - first_us <= 3600000000
+      |       THEN 1 ELSE 0 END AS INTEGER) AS converted
+      |FROM g ORDER BY key""".stripMargin
+
   // shared token-bucket oracle (q250 batch + q251 streaming twin —
   // identical recurrence, one source of truth): recursive CTE folding
   // capacity 3 × refill 1 day in µs-of-refill credit
@@ -2292,23 +2314,7 @@ private[graft] object QueriesPipeline {
       (s, dir) => Analytics.funnel(Tables(s, dir, "events"),
           "view", "purchase")
         .withColumnRenamed("key", "user_id"),
-      Some("""WITH b AS (SELECT user_id AS key, event_type AS t,
-             |            epoch_us(ts) AS us FROM events
-             |          WHERE user_id IS NOT NULL AND ts IS NOT NULL
-             |            AND event_type IN ('view', 'purchase')),
-             |f AS (SELECT key,
-             |        MIN(CASE WHEN t = 'view' THEN us END) AS first_us,
-             |        list(CASE WHEN t = 'purchase' THEN us END) AS seconds
-             |      FROM b GROUP BY 1),
-             |g AS (SELECT key, first_us,
-             |        list_min(list_filter(seconds, s -> s >= first_us))
-             |          AS second_us
-             |      FROM f WHERE first_us IS NOT NULL)
-             |SELECT key AS user_id, first_us, second_us,
-             |  CAST(CASE WHEN second_us IS NOT NULL
-             |       AND second_us - first_us <= 3600000000
-             |       THEN 1 ELSE 0 END AS INTEGER) AS converted
-             |FROM g ORDER BY key""".stripMargin)),
+      Some(funnelOracle)),
 
     // retention triangle on integer epoch-days: cohort = first active
     // day; one row per (cohort, offset) counting users active that
@@ -7564,5 +7570,91 @@ private[graft] object QueriesPipeline {
              |  CAST(u * 1000 // m AS BIGINT) AS w_milli
              |FROM u2 CROSS JOIN m2
              |ORDER BY dim_i""".stripMargin)),
+
+    // STREAMING two-step funnel through the oracle gate: the
+    // flatMapGroupsWithState twin of q102 (two longs of state per
+    // key) over the single-microbatch replay — rows equal the batch
+    // fold, so the same relational oracle applies verbatim.
+    Q("q274_stream_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.funnelStream(
+          QueriesAlert.eventStream(s, dir), "view", "purchase")
+        QueriesAlert.drainToMemory(s, out.toDF(), "q274_sink",
+          OutputMode.Append())
+          .orderBy("user_id")
+      },
+      Some(funnelOracle)),
+
+    // Embedding drift monitor: per-label centroid shift between the
+    // even-id reference slice and the odd-id fresh slice — exact
+    // micro-unit centroids (q66's contract), L2² shift, worst-moved
+    // dimension with signed shift, and the threshold flag.
+    Q("q275_centroid_drift",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        Similarity.centroidDrift(e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1))
+      },
+      Some("""WITH e AS (SELECT vec_id % 2 AS side, label,
+             |    generate_subscripts(embedding, 1) - 1 AS idx,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+             |      AS BIGINT) AS micro
+             |  FROM embeddings),
+             |c AS (SELECT side, label, idx, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*))
+             |      AS BIGINT) AS mm
+             |  FROM e GROUP BY 1, 2, 3),
+             |j AS (SELECT a.label, a.idx, a.n AS n_ref, b.n AS n_new,
+             |    b.mm - a.mm AS d
+             |  FROM c a JOIN c b ON a.label = b.label AND a.idx = b.idx
+             |  WHERE a.side = 0 AND b.side = 1),
+             |g AS (SELECT label, MAX(n_ref) AS n_ref, MAX(n_new) AS n_new,
+             |    CAST(SUM(d * d) AS BIGINT) AS l2sq_micro2
+             |  FROM j GROUP BY 1),
+             |t AS (SELECT label, idx, d, ROW_NUMBER() OVER (
+             |    PARTITION BY label ORDER BY abs(d) DESC, idx) AS rn
+             |  FROM j)
+             |SELECT g.label, g.n_ref, g.n_new, g.l2sq_micro2,
+             |  CAST(t.idx AS INTEGER) AS top_dim, t.d AS top_shift_micro,
+             |  g.l2sq_micro2 >= 100000000 AS drifted
+             |FROM g JOIN t ON t.label = g.label AND t.rn = 1
+             |ORDER BY g.label""".stripMargin)),
+
+    // Broadcast-join preflight across the whole star schema: exact
+    // row counts + deterministic byte estimates per table vs the
+    // 10 MiB autoBroadcastJoinThreshold — which join sides can be
+    // map-side at tonight's sizes.
+    Q("q276_broadcast_advisor",
+      (s, dir) => Audit.broadcastAdvisor(
+        Tables.names.map(n => n -> Tables(s, dir, n))),
+      Some {
+        def sz(t: String, fixed: Int, strs: Seq[String],
+            arr: Option[String] = None): String = {
+          val strPart = if (strs.isEmpty) ""
+            else strs.map(c => s"COALESCE(SUM(strlen($c)), 0)")
+              .mkString(" + ", " + ", s" + COUNT(*) * ${strs.size * 4}")
+          val arrPart = arr.map(c =>
+            s" + COALESCE(SUM(len($c) * 4), 0) + COUNT(*) * 4").getOrElse("")
+          s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) * $fixed$strPart$arrPart AS BIGINT) AS est_bytes
+             |FROM $t""".stripMargin
+        }
+        s"""WITH u AS (${sz("region", 4, Seq("r_name"))}
+           |UNION ALL ${sz("nation", 8, Seq("n_name"))}
+           |UNION ALL ${sz("customer", 20, Seq("c_name", "c_mktsegment"))}
+           |UNION ALL ${sz("supplier", 20, Seq("s_name"))}
+           |UNION ALL ${sz("part", 20, Seq("p_name", "p_brand", "p_type"))}
+           |UNION ALL ${sz("orders", 32,
+              Seq("o_orderstatus", "o_orderpriority"))}
+           |UNION ALL ${sz("lineitem", 68,
+              Seq("l_returnflag", "l_linestatus"))}
+           |UNION ALL ${sz("events", 32, Seq("event_type", "props"))}
+           |UNION ALL ${sz("documents", 16, Seq("text", "lang", "source"))}
+           |UNION ALL ${sz("embeddings", 12, Seq(), Some("embedding"))})
+           |SELECT table_name, n_rows, est_bytes,
+           |  est_bytes <= 10485760 AS broadcastable
+           |FROM u ORDER BY table_name""".stripMargin
+      }),
   )
 }

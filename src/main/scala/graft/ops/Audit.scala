@@ -528,4 +528,48 @@ object Audit {
       .select(col("grp"), col("day"), (col("cnt") + col("noise")).as("released"))
       .orderBy("grp", "day")
   }
+
+  /** Broadcast-join preflight: per table, the exact row count and a
+    * deterministic in-memory size estimate from the schema — 8 bytes
+    * per 64-bit/double/timestamp column, 4 per 32-bit int, and for
+    * strings the exact total character bytes plus a 4-byte offset
+    * per value — against a threshold (default Spark's own 10 MiB
+    * `autoBroadcastJoinThreshold`). The one-page answer to "which
+    * sides of tonight's joins can be broadcast, and how close to the
+    * cliff is each" — at 100 TB the difference between a map-side
+    * hash join and a sort-merge shuffle is the plan. Estimates are
+    * integer sums (combinable, one scan per table), so the whole
+    * report is oracle-exact — unlike Catalyst's own `sizeInBytes`
+    * statistics, which this advisor deliberately mirrors in spirit
+    * but pins to reproducible arithmetic.
+    */
+  def broadcastAdvisor(tables: Seq[(String, DataFrame)],
+      thresholdBytes: Long = 10L * 1024 * 1024): DataFrame = {
+    val perTable = tables.map { case (name, df) =>
+      import org.apache.spark.sql.types._
+      val widths: Seq[Column] = df.schema.fields.toSeq.map { f =>
+        f.dataType match {
+          case StringType =>
+            coalesce(sum(octet_length(col(f.name))), lit(0L)) +
+              count(lit(1)) * 4L
+          case IntegerType | FloatType => count(lit(1)) * 4L
+          case ArrayType(et, _) =>
+            val elem = et match {
+              case IntegerType | FloatType => 4L
+              case _ => 8L
+            }
+            coalesce(sum(size(col(f.name)).cast("long") * elem), lit(0L)) +
+              count(lit(1)) * 4L
+          case _ => count(lit(1)) * 8L // long / double / timestamp
+        }
+      }
+      df.agg(count(lit(1)).as("n_rows"),
+          widths.reduce(_ + _).cast("long").as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("est_bytes"))
+    }
+    perTable.reduce(_ unionAll _)
+      .withColumn("broadcastable", col("est_bytes") <= thresholdBytes)
+      .orderBy("table_name")
+  }
 }

@@ -810,6 +810,45 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Embedding drift monitor: per-label centroid shift between two
+    * corpus slices (reference vs new batch) — the re-index/retrain
+    * tripwire an embedding pipeline checks before trusting yesterday's
+    * ANN index or classifier prototypes on today's vectors. Both
+    * slices run [[labelCentroidsMicro]]'s exact integer-centroid
+    * contract, so the L2² shift (micro² units), the worst-moved
+    * dimension (ties to the smallest index), and the signed shift on
+    * it are all oracle-exact. Labels present in only one slice drop
+    * out (no centroid to compare).
+    *
+    * Shape: two combinable (label, dim) aggregates over disjoint
+    * row slices of ONE scan pattern, then a |labels|·dim-row join —
+    * corpus size only touches the map side.
+    */
+  def centroidDrift(ref: DataFrame, fresh: DataFrame,
+      thresholdMicro2: Long = 100000000L, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, nAs: String, mAs: String) =
+      labelCentroidsMicro(df, labelCol, vecCol)
+        .select(col("label"), col("idx"), col("n").as(nAs),
+          col("mean_micro").as(mAs))
+    side(ref, "n_ref", "m_ref")
+      .join(side(fresh, "n_new", "m_new"), Seq("label", "idx"))
+      .withColumn("d", col("m_new") - col("m_ref"))
+      .groupBy("label")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_new")).as("n_new"),
+        sum(col("d") * col("d")).as("l2sq_micro2"),
+        // argmax |d| with ties to the smallest dim: struct max orders
+        // by |d| first, then by -idx (so the LARGER -idx = smaller
+        // idx wins among ties)
+        max(struct(abs(col("d")).as("ad"), (-col("idx")).as("ni"),
+          col("idx").as("idx"), col("d").as("d"))).as("top"))
+      .select(col("label"), col("n_ref"), col("n_new"),
+        col("l2sq_micro2"), col("top.idx").as("top_dim"),
+        col("top.d").as("top_shift_micro"),
+        (col("l2sq_micro2") >= thresholdMicro2).as("drifted"))
+      .orderBy("label")
+  }
+
   /** Leading principal direction of the embedding covariance by
     * integer power iteration — the one-vector PCA a pipeline runs to
     * find the dominant axis of variation (is it semantic, or a length

@@ -313,4 +313,79 @@ object StreamingPipeline {
           m.iterator.map { case (item, est) => MgRow(bucket, item, est, p) }
         })
   }
+
+  /** Per-key funnel progress: earliest first-step time and the
+    * earliest second-step at-or-after it. `-1` = not seen.
+    */
+  case class FunnelState(firstUs: Long, secondUs: Long)
+
+  case class FunnelRow(user_id: Long, first_us: Long,
+      second_us: Option[Long], converted: Int)
+
+  /** Streaming two-step funnel — the serving twin of
+    * [[graft.ops.Analytics.funnel]]: per key, track the earliest
+    * `firstType` event and the earliest `secondType` at-or-after it;
+    * emit the key's current funnel row after each batch that touches
+    * it (`converted` = second within `windowUs` of first). Two longs
+    * of state per key, like the token-bucket stream.
+    *
+    * Parity contract: a single-microbatch replay reproduces the batch
+    * fold exactly (each batch sorts its per-key rows and resolves the
+    * at-or-after constraint after folding, the batch op's own order).
+    * Across batches the fold stays exact while arrival respects
+    * event-time order per key (the watermark regime); a FIRST-step
+    * event arriving after a batch boundary BEHIND already-seen
+    * second-steps can undercount conversions — those seconds were
+    * discarded as pre-first. That loss window is bounded by the
+    * source's disorder, the same bound every watermarked op here
+    * carries. A later emission for a key supersedes earlier ones
+    * (last-write-wins on `user_id`).
+    */
+  def funnelStream(events: DataFrame, firstType: String, secondType: String,
+      windowUs: Long = 3600000000L, keyCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts")
+      : org.apache.spark.sql.Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(firstType, secondType))
+      .select(col(keyCol).cast("long").as("k"),
+        (col(typeCol) === firstType).as("isFirst"),
+        unix_micros(col(tsCol)).as("us"))
+      .as[(Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Boolean, Long)],
+         state: GroupState[FunnelState]) => {
+          val batch = rows.toIndexedSeq
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          // batch-fold order: settle the earliest first, THEN scan
+          // seconds at-or-after it — the exact shape of the batch op
+          val batchFirst = batch.collect { case (_, true, us) => us }
+          val newFirst =
+            (batchFirst ++ Option.when(st.firstUs >= 0)(st.firstUs)).minOption
+              .getOrElse(-1L)
+          if (newFirst >= 0) {
+            val cand = batch.collect {
+              case (_, false, us) if us >= newFirst => us
+            } ++ Option.when(st.secondUs >= newFirst && st.secondUs >= 0)(
+              st.secondUs)
+            st = FunnelState(newFirst, cand.minOption.getOrElse(-1L))
+            state.update(st)
+            Iterator.single(FunnelRow(key, st.firstUs,
+              Option.when(st.secondUs >= 0)(st.secondUs),
+              if (st.secondUs >= 0 && st.secondUs - st.firstUs <= windowUs) 1
+              else 0))
+          } else {
+            // seconds-only so far: hold nothing. Under in-order
+            // arrival a first that shows up later has a LATER
+            // event time, so these seconds are < first_us and the
+            // batch op drops them too; only a late (out-of-order)
+            // first loses them — the documented undercount window.
+            Iterator.empty
+          }
+        })
+  }
 }

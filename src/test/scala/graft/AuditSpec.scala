@@ -225,4 +225,26 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.getAs[String]("det")).toSeq
     assert(names === Seq("k", "w"))
   }
+
+  test("broadcastAdvisor: exact byte arithmetic per type, threshold flag") {
+    // 2 rows: long(8) + string(len+4) + int(4); strings "ab","c" = 3
+    // bytes + 2×4 offsets → est = 2×8 + 3 + 8 + 2×4 = 35
+    val t1 = Seq((1L, "ab", 7), (2L, "c", 9)).toDF("id", "s", "i")
+    // array<float>: 3+1 elems ×4 + 2×4 offsets + 2×8 for the long
+    val t2 = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(4.0f)))
+      .toDF("id", "v")
+    val r = Audit.broadcastAdvisor(Seq("one" -> t1, "two" -> t2),
+        thresholdBytes = 40L)
+      .collect().map(x => x.getAs[String]("table_name") ->
+        (x.getAs[Long]("n_rows"), x.getAs[Long]("est_bytes"),
+          x.getAs[Boolean]("broadcastable"))).toMap
+    assert(r("one") === ((2L, 35L, true)))
+    assert(r("two") === ((2L, 40L, true)))
+    // null strings charge only the offset, and the flag flips
+    val t3 = Seq((1L, null: String), (2L, "xyz")).toDF("id", "s")
+    val r3 = Audit.broadcastAdvisor(Seq("three" -> t3),
+        thresholdBytes = 20L).collect().head
+    assert(r3.getAs[Long]("est_bytes") === 2L * 8 + 3 + 2 * 4)
+    assert(!r3.getAs[Boolean]("broadcastable"))
+  }
 }

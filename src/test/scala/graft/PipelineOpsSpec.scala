@@ -1045,6 +1045,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(ps.last >= 999000L)
   }
 
+  test("centroidDrift: exact shift, worst dim, one-sided labels drop") {
+    val ref = Seq((0L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.5f, 0.5f), 1),
+      (4L, Seq(0.9f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val fresh = Seq((1L, Seq(0.1f, 0.0f), 0), (3L, Seq(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ops.Similarity.centroidDrift(ref, fresh).collect()
+      .map(x => x.getAs[Int]("label") ->
+        (x.getAs[Long]("l2sq_micro2"), x.getAs[Int]("top_dim"),
+          x.getAs[Long]("top_shift_micro"), x.getAs[Boolean]("drifted")))
+      .toMap
+    // label 0 moved +0.1 on dim 0 → 1e5 micro shift, 1e10 micro² L2²
+    assert(r(0) === ((10000000000L, 0, 100000L, true)))
+    // label 1 static → zero shift, tie on |d| resolves to dim 0
+    assert(r(1) === ((0L, 0, 0L, false)))
+    // label 2 exists only in the reference slice → no comparison
+    assert(!r.contains(2))
+  }
+
   test("powerComponent: finds the dominant variance axis exactly") {
     // all variance on dim 2, none on dim 1 → component (0, 1000)
     val e1 = Seq(Seq(0.0f, 0.5f), Seq(0.0f, -0.5f),

@@ -527,4 +527,45 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(b === rows)
     } finally q.stop()
   }
+
+  test("funnelStream: in-order batches match the batch funnel; LWW emission") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = graft.streaming.StreamingPipeline.funnelStream(
+      mem.toDF(), "view", "purchase", windowUs = 600000000L)
+    val q = out.writeStream.format("memory").queryName("fnl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 view@0 + purchase@5 (converted); u2 purchase-only
+      // (no funnel row); u3 view@2 (open)
+      mem.addData(Ev(ts(0), 1L, "view"), Ev(ts(5), 1L, "purchase"),
+        Ev(ts(1), 2L, "purchase"), Ev(ts(2), 3L, "view"))
+      q.processAllAvailable()
+      // batch 2 (later event times): u3's purchase lands 20 min after
+      // its view — outside the 10-min window → not converted; u1 gets
+      // a LATER purchase that must NOT displace its earlier second
+      mem.addData(Ev(ts(22), 3L, "purchase"), Ev(ts(30), 1L, "purchase"))
+      q.processAllAvailable()
+      // last emission per key wins
+      val rows = spark.table("fnl").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Long]("first_us"), Option(r.getAs[Any]("second_us")),
+            r.getAs[Int]("converted"))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(!rows.contains(2L))
+      // batch parity on the full replay
+      val batch = Seq((ts(0), 1L, "view"), (ts(5), 1L, "purchase"),
+        (ts(1), 2L, "purchase"), (ts(2), 3L, "view"),
+        (ts(22), 3L, "purchase"), (ts(30), 1L, "purchase"))
+        .toDF("ts", "user_id", "event_type")
+      val b = graft.ops.Analytics.funnel(batch, "view", "purchase",
+        windowUs = 600000000L).collect()
+        .map(r => (r.getAs[Long]("key"),
+          (r.getAs[Long]("first_us"), Option(r.getAs[Any]("second_us")),
+            r.getAs[Int]("converted")))).toMap
+      assert(rows === b)
+      assert(rows(1L)._3 === 1)   // converted inside the window
+      assert(rows(3L)._3 === 0)   // second arrived, window exceeded
+    } finally q.stop()
+  }
 }
