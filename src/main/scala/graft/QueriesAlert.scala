@@ -90,15 +90,22 @@ private[graft] object QueriesAlert {
     * schema is read as stored (ts = nanos long under nanosAsLong) and
     * normalizeTs restores the µs timestamp.
     */
-  private[graft] def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet").schema
-    // one microbatch regardless of file count: q54's DISTINCT oracle
-    // equivalence needs the whole replay inside a single batch (across
-    // batches the advancing watermark could drop late keys and expire
-    // dedup state, both diverging from batch DISTINCT)
+  private[graft] def eventStream(s: SparkSession, dir: String): DataFrame =
+    tableStream(s, dir, "events")
+
+  /** Any testdata table replayed as a file stream. One microbatch
+    * regardless of file count: q54's DISTINCT oracle equivalence (and
+    * every "single-microbatch replay == batch fold" parity contract)
+    * needs the whole replay inside a single batch — across batches
+    * the advancing watermark could drop late keys and expire dedup
+    * state, both diverging from the batch op.
+    */
+  private[graft] def tableStream(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$name.parquet").schema
     Tables.normalizeTs(s.readStream.schema(raw)
       .option("maxFilesPerTrigger", Int.MaxValue)
-      .parquet(s"$dir/events.[p]arquet"))
+      .parquet(s"$dir/$name.[p]arquet"))
   }
 
   def registry: Seq[Q] = Seq(

@@ -34,6 +34,22 @@ private[graft] object QueriesPipeline {
     dir.getAbsolutePath
   }
 
+  // shared per-label centroid oracle (q66 batch + q279 streaming twin
+  // — integer sums commute, so the stream replay equals the batch op
+  // and one definition serves both)
+  private val centroidOracle: String =
+    """WITH e AS (SELECT label,
+      |            generate_subscripts(embedding,1) - 1 AS idx,
+      |            CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000000)
+      |              AS BIGINT) AS micro
+      |          FROM embeddings)
+      |SELECT label, CAST(idx AS INTEGER) AS idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(micro) AS BIGINT) AS sum_micro,
+      |  CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      |    AS mean_micro
+      |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   // shared two-step funnel oracle (q102 batch + q274 streaming twin —
   // the stream's single-microbatch replay equals the batch fold, so
   // one definition serves both and they can never drift)
@@ -1501,17 +1517,7 @@ private[graft] object QueriesPipeline {
     // partitioning independent) and the oracle matches bit for bit.
     Q("q66_label_centroids",
       (s, dir) => Similarity.labelCentroidsMicro(Tables(s, dir, "embeddings")),
-      Some("""WITH e AS (SELECT label,
-             |            generate_subscripts(embedding,1) - 1 AS idx,
-             |            CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000000)
-             |              AS BIGINT) AS micro
-             |          FROM embeddings)
-             |SELECT label, CAST(idx AS INTEGER) AS idx,
-             |  CAST(COUNT(*) AS BIGINT) AS n,
-             |  CAST(SUM(micro) AS BIGINT) AS sum_micro,
-             |  CAST(floor(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
-             |    AS mean_micro
-             |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+      Some(centroidOracle)),
 
     // the composite curation pipeline in ONE plan — quality gate
     // (q59's repetition keep) → exact-dedup representatives (min id
@@ -7656,5 +7662,117 @@ private[graft] object QueriesPipeline {
            |  est_bytes <= 10485760 AS broadcastable
            |FROM u ORDER BY table_name""".stripMargin
       }),
+
+    // Rayleigh-quotient dominance of q273's leading direction: exact
+    // integer λ estimate vs the scaled-covariance trace — is one axis
+    // eating the geometry. Oracle extends q273's trajectory with one
+    // more matvec and the three scalar folds.
+    Q("q277_power_explained",
+      (s, dir) => Similarity.powerExplained(Tables(s, dir, "embeddings")),
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+             |  FROM embeddings
+             |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+             |x AS (SELECT vec_id, i, q[i] AS xi
+             |  FROM (SELECT vec_id, q, unnest(range(1, 65)) AS i FROM v)),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+             |s AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS sx
+             |  FROM x GROUP BY 1),
+             |p AS (SELECT a.i AS di, b.i AS dj,
+             |    CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+             |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |  GROUP BY 1, 2),
+             |up AS (SELECT p.di, p.dj,
+             |    CAST(n.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS a
+             |  FROM p CROSS JOIN n
+             |  JOIN s sa ON sa.i = p.di JOIN s sb ON sb.i = p.dj),
+             |am AS (SELECT di, dj, a FROM up
+             |  UNION ALL SELECT dj, di, a FROM up WHERE di <> dj),
+             |ma AS (SELECT MAX(abs(a)) AS ma FROM am),
+             |a0 AS (SELECT di, dj, a * 1000 // ma AS a
+             |  FROM am CROSS JOIN ma),
+             |v0 AS (SELECT unnest(range(1, 65)) AS j,
+             |    CAST(1000 AS BIGINT) AS w),
+             |u1 AS (SELECT a0.di AS i, CAST(SUM(a0.a * v0.w) AS BIGINT) AS u
+             |  FROM a0 JOIN v0 ON v0.j = a0.dj GROUP BY 1),
+             |m1 AS (SELECT MAX(abs(u)) AS m FROM u1),
+             |v1 AS (SELECT i AS j, u * 1000 // m AS w FROM u1 CROSS JOIN m1),
+             |u2 AS (SELECT a0.di AS i, CAST(SUM(a0.a * v1.w) AS BIGINT) AS u
+             |  FROM a0 JOIN v1 ON v1.j = a0.dj GROUP BY 1),
+             |m2 AS (SELECT MAX(abs(u)) AS m FROM u2),
+             |v2 AS (SELECT i AS j, u * 1000 // m AS w FROM u2 CROSS JOIN m2),
+             |u3 AS (SELECT a0.di AS i, CAST(SUM(a0.a * v2.w) AS BIGINT) AS u
+             |  FROM a0 JOIN v2 ON v2.j = a0.dj GROUP BY 1),
+             |num AS (SELECT CAST(SUM(u3.u * v2.w) AS BIGINT) AS num
+             |  FROM u3 JOIN v2 ON v2.j = u3.i),
+             |den AS (SELECT CAST(SUM(w * w) AS BIGINT) AS den FROM v2),
+             |tr AS (SELECT CAST(SUM(a) AS BIGINT) AS trace_scaled
+             |  FROM a0 WHERE di = dj),
+             |top AS (SELECT j AS top_dim FROM v2
+             |  ORDER BY abs(w) DESC, j LIMIT 1)
+             |SELECT num * 1000 // den AS lambda_milli, tr.trace_scaled,
+             |  num * 1000000 // (den * tr.trace_scaled) AS explained_ppm,
+             |  CAST(top.top_dim AS INTEGER) AS top_dim
+             |FROM num CROSS JOIN den CROSS JOIN tr CROSS JOIN top""".stripMargin)),
+
+    // Near-dup threshold sensitivity: one q21-chain candidate+verify
+    // pass (df-cut guard in-plan) feeds every grid row; membership is
+    // integer cross-multiplication, so the whole table is exact.
+    Q("q278_dedup_threshold_sweep",
+      (s, dir) => DocDedup.dedupThresholdSweep(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS ws
+             |  FROM documents),
+             |tok AS (SELECT doc_id, lang,
+             |    ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |  FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1) AS i
+             |        FROM w) t
+             |  WHERE i+2 <= len(ws)),
+             |sh AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    COUNT(*) AS inter
+             |  FROM sh a JOIN sh b ON a.s=b.s AND a.lang=b.lang
+             |    AND a.doc_id<b.doc_id
+             |  GROUP BY 1,2),
+             |pu AS (SELECT p.a_id, p.b_id, p.inter,
+             |    sa.n + sb.n - p.inter AS un
+             |  FROM pairs p
+             |  JOIN sizes sa ON p.a_id=sa.doc_id
+             |  JOIN sizes sb ON p.b_id=sb.doc_id
+             |  WHERE p.inter * 1000000 >= 500000 * (sa.n + sb.n - p.inter)),
+             |grid AS (SELECT CAST(unnest([500000, 600000, 700000, 800000,
+             |    900000]) AS BIGINT) AS t_ppm),
+             |at AS (SELECT g.t_ppm, p.a_id, p.b_id FROM pu p
+             |  CROSS JOIN grid g
+             |  WHERE p.inter * 1000000 >= g.t_ppm * p.un),
+             |bp AS (SELECT t_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |    CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_removable
+             |  FROM at GROUP BY 1),
+             |bd AS (SELECT t_ppm, CAST(COUNT(DISTINCT id) AS BIGINT)
+             |    AS n_docs
+             |  FROM (SELECT t_ppm, a_id AS id FROM at
+             |        UNION ALL SELECT t_ppm, b_id FROM at)
+             |  GROUP BY 1)
+             |SELECT g.t_ppm, COALESCE(bp.n_pairs, 0) AS n_pairs,
+             |  COALESCE(bd.n_docs, 0) AS n_docs,
+             |  COALESCE(bp.n_removable, 0) AS n_removable
+             |FROM grid g LEFT JOIN bp ON bp.t_ppm = g.t_ppm
+             |LEFT JOIN bd ON bd.t_ppm = g.t_ppm
+             |ORDER BY g.t_ppm""".stripMargin)),
+
+    // STREAMING per-label centroid maintenance through the gate:
+    // integer sums commute, so the single-batch replay equals q66's
+    // batch op and its oracle verbatim.
+    Q("q279_stream_centroids",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.centroidStream(
+          QueriesAlert.tableStream(s, dir, "embeddings"))
+        QueriesAlert.drainToMemory(s, out.toDF(), "q279_sink",
+          OutputMode.Append())
+          .orderBy("label", "idx")
+      },
+      Some(centroidOracle)),
   )
 }

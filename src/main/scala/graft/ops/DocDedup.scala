@@ -42,35 +42,93 @@ object DocDedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       blockCol: String = "lang", textCol: String = "text",
-      idCol: String = "doc_id", maxShingleDocFreq: Long = 0L): DataFrame = {
-    // shingles are joined as xxhash64 longs, not strings — the shuffle
-    // carries 8 bytes per shingle instead of ~20 chars (collision odds
-    // at 64 bits are negligible against any realistic corpus).
-    // shingle_hashes is the native codegen'd kernel (one map-side pass
-    // per doc); sizes come from the array length — no counting shuffle.
-    // materialized once (localCheckpoint): the self-join consumes both
-    // branches and sizes rejoins at the end
+      idCol: String = "doc_id", maxShingleDocFreq: Long = 0L): DataFrame =
+    ngramJaccardPairs(docs, n, blockCol, textCol, idCol, maxShingleDocFreq)
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "inter", "jac")
+      .orderBy("a_id", "b_id")
+
+  /** Near-dup threshold sensitivity sweep: how many pairs, touched
+    * docs, and removable duplicates (the larger id of each pair) a
+    * dedup run would act on at each Jaccard threshold of `gridPpm` —
+    * the one-page answer to "how aggressive should tonight's dedup
+    * be" that [[ngramJaccard]] callers otherwise re-run per
+    * threshold. ONE candidate+verify pass at the lowest grid point
+    * (with the q21 df-cut guard in-plan) feeds every grid row;
+    * threshold membership is the integer cross-multiplication
+    * `inter·10⁶ ≥ t·union`, so the table is oracle-exact.
+    *
+    * `n_removable` counts distinct larger-ids — an upper bound on
+    * docs a min-id-representative dedup removes (the exact figure
+    * needs [[clusters]]' connected components; at the planning stage
+    * the bound is the number that matters).
+    */
+  def dedupThresholdSweep(docs: DataFrame, n: Int = 3,
+      gridPpm: Seq[Long] = Seq(500000L, 600000L, 700000L, 800000L, 900000L),
+      blockCol: String = "lang", maxShingleDocFreq: Long = 100L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = gridPpm.min
+    val p = ngramJaccardPairs(docs, n, blockCol, textCol, idCol,
+        maxShingleDocFreq)
+      .withColumn("union_", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 1000000L >= lit(base) * col("union_"))
+      .select("a_id", "b_id", "inter", "union_")
+      .localCheckpoint() // pair set is dedup-report-sized; 3 readers
+    val grid = gridPpm.toDF("t_ppm")
+    val at = p.crossJoin(grid)
+      .where(col("inter") * 1000000L >= col("t_ppm") * col("union_"))
+    val byPairs = at.groupBy("t_ppm").agg(count(lit(1)).as("n_pairs"),
+      countDistinct(col("b_id")).as("n_removable"))
+    val byDocs = at
+      .select(col("t_ppm"), explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy("t_ppm").agg(countDistinct(col("id")).as("n_docs"))
+    grid.join(byPairs, Seq("t_ppm"), "left")
+      .join(byDocs, Seq("t_ppm"), "left")
+      .select(col("t_ppm"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_removable"), lit(0L)).as("n_removable"))
+      .orderBy("t_ppm")
+  }
+
+  /** [[ngramJaccard]]'s candidate chain up to (pair, inter, na, nb) —
+    * shared with [[dedupThresholdSweep]] so the two can't drift.
+    *
+    * Shingles are joined as xxhash64 longs, not strings — the shuffle
+    * carries 8 bytes per shingle instead of ~20 chars (collision odds
+    * at 64 bits are negligible against any realistic corpus).
+    * `shingle_hashes` is the native codegen'd kernel (one map-side
+    * pass per doc); sizes come from the array length — no counting
+    * shuffle. The tokenized base materializes once (localCheckpoint):
+    * the self-join consumes both branches and sizes rejoin at the end.
+    *
+    * df-cut (0 = off — the default stays EXACT so library callers
+    * never lose recall silently; the registered q21/q37 opt in with
+    * an explicit cutoff): drop shingles shared by more than
+    * `maxShingleDocFreq` docs BEFORE the self-join. A stopword-run
+    * shingle in f docs contributes f² join rows — the classic skew
+    * blow-up at corpus scale. The hot list comes from a map-side-
+    * combinable groupBy (no skew concentration: partial counts
+    * merge). No broadcast hint: with a high cutoff the hot list is
+    * tiny and AQE broadcasts it at runtime; with a low cutoff it can
+    * be huge and a forced broadcast would OOM the driver — the exact
+    * failure this guard exists to prevent. Cut shingles leave `inter`
+    * (and thus jac, still over FULL set sizes) a lower bound for any
+    * pair that shared one — recall turns approximate, and a surviving
+    * pair's jac undercounts its hot shared shingles. On this corpus
+    * q21/q37's cutoff of 100 cuts nothing (measured max shingle df at
+    * sf0.01 is 7; true pairs share df ≤ 6), so those queries stay
+    * exact with the guard in-plan.
+    */
+  private def ngramJaccardPairs(docs: DataFrame, n: Int, blockCol: String,
+      textCol: String, idCol: String, maxShingleDocFreq: Long): DataFrame = {
     val base = Par.spread(docs).select(col(idCol).as("doc_id"), col(blockCol).as("block"),
         call_function("shingle_hashes", split(col(textCol), " "), lit(n)).as("hs"))
       .localCheckpoint()
     val shAll = base.select(col("doc_id"), col("block"), explode(col("hs")).as("s"))
-    // df-cut (0 = off — the default stays EXACT so library callers
-    // never lose recall silently; the registered q21/q37 opt in with
-    // an explicit cutoff): drop shingles shared by more than
-    // maxShingleDocFreq docs BEFORE the self-join. A
-    // stopword-run shingle in f docs contributes f² join rows — the
-    // classic skew blow-up at corpus scale. The hot list comes from a
-    // map-side-combinable groupBy (no skew concentration: partial
-    // counts merge). No broadcast hint: with a high cutoff the hot
-    // list is tiny and AQE broadcasts it at runtime; with a low cutoff
-    // it can be huge and a forced broadcast would OOM the driver — the
-    // exact failure this guard exists to prevent. Cut shingles leave
-    // `inter` (and thus jac, still over FULL set sizes) a lower bound
-    // for any pair that shared one — recall turns approximate, and a
-    // surviving pair's jac undercounts its hot shared shingles. On
-    // this corpus q21/q37's cutoff of 100 cuts nothing (measured max
-    // shingle df at sf0.01 is 7; true pairs share df ≤ 6), so those
-    // queries stay exact with the guard in-plan.
     val sh =
       if (maxShingleDocFreq <= 0) shAll
       else {
@@ -89,10 +147,6 @@ object DocDedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= threshold)
-      .select("a_id", "b_id", "inter", "jac")
-      .orderBy("a_id", "b_id")
   }
 
   /** PPJoin-style prefix-filtered set-similarity self-join — the

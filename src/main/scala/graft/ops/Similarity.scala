@@ -874,6 +874,17 @@ object Similarity {
   def powerComponent(embeddings: DataFrame, dim: Int = 64,
       quant: Long = 1000L, iters: Int = 2,
       vecCol: String = "embedding"): DataFrame = {
+    val aFull = scaledCovariance(embeddings, dim, quant, vecCol)
+    iterateComponent(aFull, embeddings.sparkSession, dim, iters)
+      .select(col("j").as("dim_i"), col("w").as("w_milli"))
+      .orderBy("dim_i")
+  }
+
+  /** The milli-scaled exact covariance matrix of [[powerComponent]]
+    * as (i, j, a) rows — full symmetric, entries in [-1000, 1000].
+    */
+  private def scaledCovariance(embeddings: DataFrame, dim: Int,
+      quant: Long, vecCol: String): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val d = dim
@@ -934,10 +945,17 @@ object Similarity {
     val aMirror = upper.union(
       upper.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("a")))
-    val aFull = aMirror
+    aMirror
       .crossJoin(broadcast(aMirror.agg(max(abs(col("a"))).as("ma"))))
       .select(col("i"), col("j"), expr("a * 1000 div ma").as("a"))
       .localCheckpoint() // read once per iteration
+  }
+
+  /** `iters` rounds of matvec + L∞-milli renorm from the all-ones
+    * vector; returns the final (j, w) component. */
+  private def iterateComponent(aFull: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, d: Int,
+      iters: Int): DataFrame = {
     var v = spark.range(1, d + 1)
       .select(col("id").cast("int").as("j"), lit(1000L).as("w"))
     for (_ <- 1 to iters) {
@@ -947,7 +965,46 @@ object Similarity {
       v = u.crossJoin(broadcast(u.agg(max(abs(col("u"))).as("m"))))
         .select(col("i").as("j"), expr("u * 1000 div m").as("w"))
     }
-    v.select(col("j").as("dim_i"), col("w").as("w_milli"))
-      .orderBy("dim_i")
+    v
+  }
+
+  /** How dominant is the leading axis: the exact-integer Rayleigh
+    * quotient of [[powerComponent]]'s final vector against the same
+    * milli-scaled covariance, beside the matrix trace — one row with
+    * `lambda_milli = (vᵀAv)·1000 div (vᵀv)` (the top-eigenvalue
+    * estimate in scaled-A units), the trace (total variance, same
+    * units), the explained share in ppm, and the heaviest component
+    * dimension. The go/no-go for "is one direction eating the
+    * geometry" (a length artifact or degenerate encoder) before ANN
+    * bucketing trusts these vectors.
+    *
+    * Integer ranges: |v| ≤ 10³, |Av| ≤ d·10⁶, so vᵀAv ≤ d²·10⁹ and
+    * `num·10⁶` stays in long for d ≤ 64; everything else is smaller.
+    * Shape: one Gram pass (corpus folds away map-side), then
+    * d²-row joins — report-sized.
+    */
+  def powerExplained(embeddings: DataFrame, dim: Int = 64,
+      quant: Long = 1000L, iters: Int = 2,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val aFull = scaledCovariance(embeddings, dim, quant, vecCol)
+    val v = iterateComponent(aFull, spark, dim, iters)
+      .localCheckpoint() // three readers: matvec, vᵀv, top-dim pick
+    val u = aFull.join(v, "j").groupBy(col("i"))
+      .agg(sum(col("a") * col("w")).as("u"))
+    val num = u.join(v.select(col("j").as("i"), col("w")), "i")
+      .agg(sum(col("u") * col("w")).as("num"))
+    val den = v.agg(sum(col("w") * col("w")).as("den"))
+    val trace = aFull.where(col("i") === col("j"))
+      .agg(sum(col("a")).as("trace_scaled"))
+    val top = v
+      .select(max(struct(abs(col("w")).as("aw"), (-col("j")).as("nj"),
+        col("j").as("j"))).as("t"))
+      .select(col("t.j").as("top_dim"))
+    num.crossJoin(den).crossJoin(trace).crossJoin(top)
+      .select(expr("num * 1000 div den").as("lambda_milli"),
+        col("trace_scaled"),
+        expr("num * 1000000 div (den * trace_scaled)").as("explained_ppm"),
+        col("top_dim"))
   }
 }

@@ -341,6 +341,60 @@ object StreamingPipeline {
     * carries. A later emission for a key supersedes earlier ones
     * (last-write-wins on `user_id`).
     */
+  /** Running per-label vector sums: `n` vectors folded, micro-unit
+    * coordinate sums (size = dim). */
+  case class CentroidState(n: Long, sums: Seq[Long])
+
+  case class CentroidRow(label: Int, idx: Int, n: Long, sum_micro: Long,
+      mean_micro: Long)
+
+  /** Streaming per-label centroid maintenance — the ingest-time twin
+    * of [[graft.ops.Similarity.labelCentroidsMicro]]: every arriving
+    * vector floors its coordinates to micro-longs and adds them into
+    * the label's running sum (integer addition commutes, so arrival
+    * order and batching can never change the state — the exact
+    * property the batch op's contract pins). After each batch a
+    * touched label re-emits its full centroid row set; the latest
+    * emission per (label, idx) is the serving value (LWW).
+    *
+    * State per label is dim+1 longs. A drained single-batch replay
+    * equals the batch op bit for bit, so q66's oracle applies
+    * verbatim.
+    */
+  def centroidStream(embeddings: DataFrame, dim: Int = 64,
+      labelCol: String = "label", vecCol: String = "embedding")
+      : org.apache.spark.sql.Dataset[CentroidRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .where(col(labelCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim)
+      .select(col(labelCol).cast("int").as("lab"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (label: Int, rows: Iterator[(Int, Seq[Double])],
+         state: GroupState[CentroidState]) => {
+          val st = state.getOption.getOrElse(
+            CentroidState(0L, Vector.fill(dim)(0L)))
+          val sums = st.sums.toArray
+          var n = st.n
+          rows.foreach { case (_, v) =>
+            var i = 0
+            while (i < dim) {
+              sums(i) += math.floor(v(i) * 1e6).toLong
+              i += 1
+            }
+            n += 1L
+          }
+          state.update(CentroidState(n, sums.toVector))
+          (0 until dim).iterator.map(i =>
+            CentroidRow(label, i, n, sums(i), Math.floorDiv(sums(i), n)))
+        })
+  }
+
   def funnelStream(events: DataFrame, firstType: String, secondType: String,
       windowUs: Long = 3600000000L, keyCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts")

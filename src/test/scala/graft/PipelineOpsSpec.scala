@@ -1064,6 +1064,43 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(!r.contains(2))
   }
 
+  test("powerExplained: rank-1 geometry shows 100% explained share") {
+    // all variance on dim 2 → λ = trace, explained = 1e6 ppm
+    val e1 = Seq(Seq(0.0f, 0.5f), Seq(0.0f, -0.5f),
+      Seq(0.0f, 1.0f), Seq(0.0f, -1.0f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val r1 = graft.ops.Similarity.powerExplained(e1, dim = 2).collect().head
+    assert(r1.getAs[Long]("explained_ppm") === 1000000L)
+    assert(r1.getAs[Int]("top_dim") === 2)
+    // perfectly correlated dims: still rank 1 — λ doubles the trace
+    // share of either diagonal, explained stays 100%; ties → dim 1
+    val e2 = Seq(Seq(0.8f, 0.8f), Seq(-0.8f, -0.8f), Seq(0.4f, 0.4f),
+      Seq(-0.4f, -0.4f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val r2 = graft.ops.Similarity.powerExplained(e2, dim = 2).collect().head
+    assert(r2.getAs[Long]("explained_ppm") === 1000000L)
+    assert(r2.getAs[Long]("lambda_milli") === 2000000L)
+    assert(r2.getAs[Int]("top_dim") === 1)
+  }
+
+  test("dedupThresholdSweep: one pass, exact counts per threshold") {
+    val d = Seq(
+      (1L, "a b c d e", "en"),   // vs 2: jac 1/2; vs 3: identical
+      (2L, "a b c d x", "en"),
+      (3L, "a b c d e", "en")).toDF("doc_id", "text", "lang")
+    val r = graft.ops.DocDedup.dedupThresholdSweep(d).collect()
+      .map(x => x.getAs[Long]("t_ppm") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Long]("n_docs"),
+          x.getAs[Long]("n_removable"))).toMap
+    // at 0.5: all three pairs; above: only the identical (1,3)
+    assert(r(500000L) === ((3L, 3L, 2L)))
+    Seq(600000L, 700000L, 800000L, 900000L).foreach { t =>
+      assert(r(t) === ((1L, 2L, 1L)), s"t=$t")
+    }
+  }
+
   test("powerComponent: finds the dominant variance axis exactly") {
     // all variance on dim 2, none on dim 1 → component (0, 1000)
     val e1 = Seq(Seq(0.0f, 0.5f), Seq(0.0f, -0.5f),

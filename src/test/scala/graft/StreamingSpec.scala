@@ -568,4 +568,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(rows(3L)._3 === 0)   // second arrived, window exceeded
     } finally q.stop()
   }
+
+  test("centroidStream: integer sums fold across batches; LWW rows match batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Int, Seq[Float])]
+    val out = graft.streaming.StreamingPipeline.centroidStream(
+      mem.toDF().toDF("label", "embedding"), dim = 2)
+    val q = out.writeStream.format("memory").queryName("cent")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((0, Seq(1.0f, 0.0f)), (1, Seq(-0.3f, 0.5f)))
+      q.processAllAvailable()
+      mem.addData((0, Seq(0.0f, 1.0f)))
+      q.processAllAvailable()
+      // last emission per (label, idx) is the serving value
+      val rows = spark.table("cent").collect()
+        .map(r => (r.getAs[Int]("label"), r.getAs[Int]("idx")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sum_micro"),
+            r.getAs[Long]("mean_micro")))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(rows((0, 0)) === ((2L, 1000000L, 500000L)))
+      assert(rows((0, 1)) === ((2L, 1000000L, 500000L)))
+      // -0.3f widens to -0.30000001…, so the micro floor is -300001 —
+      // exactly the float-widening the batch op (and oracle) produce
+      assert(rows((1, 0)) === ((1L, -300001L, -300001L)))
+      assert(rows((1, 1)) === ((1L, 500000L, 500000L)))
+      // equality with the batch op on the full replay
+      val batch = Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(-0.3f, 0.5f), 1),
+        (2L, Seq(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+      val b = graft.ops.Similarity.labelCentroidsMicro(batch).collect()
+        .map(r => (r.getAs[Int]("label"), r.getAs[Int]("idx")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sum_micro"),
+            r.getAs[Long]("mean_micro"))).toMap
+      assert(rows === b)
+    } finally q.stop()
+  }
 }
