@@ -7761,6 +7761,62 @@ private[graft] object QueriesPipeline {
              |LEFT JOIN bd ON bd.t_ppm = g.t_ppm
              |ORDER BY g.t_ppm""".stripMargin)),
 
+    // Shazam-shaped audio matching over the stub PCM chain: peak
+    // constellation hashes (energy-bin pairs + frame gap), snippet→
+    // track hash join, offset-histogram alignment — snippets are
+    // byte-offset substrings of every 10th track, so the true match
+    // must win with votes concentrated on one offset. The oracle
+    // restates frames → peaks → pair hashes → vote argmax end to end.
+    Q("q280_audio_match",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Multimodal.audioMatch(docs,
+          docs.where(col("doc_id") % 10 === 0)
+            .withColumn("text", substring(col("text"), 33, 160)))
+      },
+      Some {
+        def cons(p: String, src: String): String =
+          s"""${p}ch AS (SELECT doc_id,
+             |    CAST(unnest(range(1, length(text)+1)) AS INTEGER) AS j,
+             |    text
+             |  FROM $src),
+             |${p}cp AS (SELECT doc_id, (j-1) // 16 AS f,
+             |    unicode(substring(text, j, 1)) AS c
+             |  FROM ${p}ch WHERE (j-1) // 16 < length(text) // 16),
+             |${p}fe AS (SELECT doc_id, f, CAST(SUM(c*c) AS BIGINT) AS energy
+             |  FROM ${p}cp GROUP BY 1, 2),
+             |${p}pk AS (SELECT doc_id, f, energy % 1024 AS b FROM (
+             |    SELECT doc_id, f, energy,
+             |      LAG(energy) OVER (PARTITION BY doc_id ORDER BY f) AS pe,
+             |      LEAD(energy) OVER (PARTITION BY doc_id ORDER BY f) AS ne
+             |    FROM ${p}fe)
+             |  WHERE pe IS NOT NULL AND ne IS NOT NULL
+             |    AND energy > pe AND energy >= ne),
+             |${p}hp AS (SELECT a.doc_id, CAST(a.f AS BIGINT) AS f1,
+             |    a.b * 8192 + b.b * 8 + (b.f - a.f) AS h
+             |  FROM ${p}pk a JOIN ${p}pk b ON a.doc_id = b.doc_id
+             |    AND b.f > a.f AND b.f <= a.f + 4)""".stripMargin
+        s"""WITH snipsrc AS (SELECT doc_id, substring(text, 33, 160) AS text
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |${cons("t", "documents")},
+           |${cons("s", "snipsrc")},
+           |g AS (SELECT s.doc_id AS snippet_id, t.doc_id AS track_id,
+           |    t.f1 - s.f1 AS offset_frames,
+           |    CAST(COUNT(*) AS BIGINT) AS votes
+           |  FROM shp s JOIN thp t ON s.h = t.h GROUP BY 1, 2, 3),
+           |tot AS (SELECT snippet_id, track_id,
+           |    CAST(SUM(votes) AS BIGINT) AS n_matches
+           |  FROM g GROUP BY 1, 2),
+           |r AS (SELECT g.snippet_id, g.track_id, g.offset_frames,
+           |    g.votes, tot.n_matches,
+           |    ROW_NUMBER() OVER (PARTITION BY g.snippet_id
+           |      ORDER BY g.votes DESC, g.track_id, g.offset_frames) AS rn
+           |  FROM g JOIN tot ON tot.snippet_id = g.snippet_id
+           |    AND tot.track_id = g.track_id)
+           |SELECT snippet_id, track_id, offset_frames, votes, n_matches
+           |FROM r WHERE rn = 1 ORDER BY snippet_id""".stripMargin
+      }),
+
     // STREAMING per-label centroid maintenance through the gate:
     // integer sums commute, so the single-batch replay equals q66's
     // batch op and its oracle verbatim.

@@ -321,6 +321,75 @@ object Multimodal {
     * reuses that partitioning. Frames per doc are bounded by media
     * duration, so window state stays small regardless of corpus size.
     */
+  /** Constellation fingerprints over the stub PCM chain — the Shazam
+    * shape on [[frameEnergies]]' deterministic frames: peak frames
+    * (strict rise, ties-to-first plateau rule: `e > prev ∧ e ≥ next`,
+    * interior frames only), then anchor-target pairs within `maxDt`
+    * frames, hashed as `bin₁·8192 + bin₂·8 + Δf` with
+    * `bin = energy mod 1024` standing in for the frequency bin a real
+    * decoder would supply. Integer end to end, so the whole chain
+    * restates relationally. One row per (doc, anchor frame, hash).
+    *
+    * Scale shape: energies and peaks are map-only + one per-doc
+    * window; the pair join is per-doc over peak frames (bounded by
+    * duration·peak density); emitted hashes are the classic inverted
+    * index a match join consumes — no stage touches the corpus
+    * cross-product.
+    */
+  def constellation(blobs: Dataset[Blob], frameBytes: Int = 16,
+      maxDt: Int = 4, bins: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fe = frameEnergies(blobs, frameBytes).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame")
+    val peaks = fe
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("ne", lead(col("energy"), 1).over(w))
+      .where(col("pe").isNotNull && col("ne").isNotNull &&
+        col("energy") > col("pe") && col("energy") >= col("ne"))
+      .select(col("doc_id"), col("frame"),
+        pmod(col("energy"), lit(bins)).as("b"))
+    peaks.as("a").join(peaks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.frame") > col("a.frame") &&
+          col("b.frame") <= col("a.frame") + maxDt)
+      .select(col("a.doc_id").as("doc_id"),
+        col("a.frame").cast("long").as("f1"),
+        (col("a.b") * 8192L + col("b.b") * 8L +
+          (col("b.frame") - col("a.frame"))).as("h"))
+  }
+
+  /** Snippet-to-track audio matching over [[constellation]]
+    * fingerprints: hash equi-join, per-(snippet, track) offset
+    * histogram (`track f₁ − snippet f₁` — a true containment match
+    * concentrates its votes on ONE offset), best offset per snippet
+    * by vote count (ties: smallest track, then offset). Emits the
+    * winning track with its aligned offset, the winning-offset votes,
+    * and the pair's total hash matches — `votes ≈ n_matches` is the
+    * "confident match" signal, scattered offsets mean coincidence.
+    */
+  def audioMatch(tracks: DataFrame, snippets: DataFrame,
+      frameBytes: Int = 16, maxDt: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = constellation(toBlobs(tracks), frameBytes, maxDt)
+      .select(col("doc_id").as("track_id"), col("f1").as("tf1"), col("h"))
+    val sf = constellation(toBlobs(snippets), frameBytes, maxDt)
+      .select(col("doc_id").as("snippet_id"), col("f1").as("sf1"), col("h"))
+    val votes = sf.join(tf, "h")
+      .groupBy(col("snippet_id"), col("track_id"),
+        (col("tf1") - col("sf1")).as("offset_frames"))
+      .agg(count(lit(1)).as("votes"))
+    val totals = votes.groupBy("snippet_id", "track_id")
+      .agg(sum(col("votes")).as("n_matches"))
+    val w = Window.partitionBy("snippet_id")
+      .orderBy(col("votes").desc, col("track_id"), col("offset_frames"))
+    votes.join(totals, Seq("snippet_id", "track_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("snippet_id", "track_id", "offset_frames", "votes",
+        "n_matches")
+      .orderBy("snippet_id")
+  }
+
   def vadSegments(docs: DataFrame, frameBytes: Int = 16,
       threshold: Long = 157000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

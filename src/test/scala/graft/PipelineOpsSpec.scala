@@ -1064,6 +1064,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(!r.contains(2))
   }
 
+  test("audioMatch: snippet aligns to its track at the byte offset") {
+    // 7 frames of 16 bytes: quiet 'a' valleys, three distinct loud
+    // peaks (z, x, w) at frames 1/3/5 — distinct energy bins so the
+    // constellation hashes are unambiguous
+    val track = "a" * 16 + "z" * 16 + "a" * 16 + "x" * 16 +
+      "a" * 16 + "w" * 16 + "a" * 16
+    val tracks = Seq((1L, track), (2L, "b" * 112)).toDF("doc_id", "text")
+    // snippet = frames 1-6 (bytes 17..112): interior peaks x@2, w@4 →
+    // the (x,w,Δ2) hash matches the track's (3,5) pair at offset 1
+    val snippets = Seq((1L, track.substring(16, 112)),
+      (9L, "q r s t u v w x y z a b c d e f")).toDF("doc_id", "text")
+    val r = graft.ops.Multimodal.audioMatch(tracks, snippets).collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getAs[Long]("snippet_id") === 1L)
+    assert(m.getAs[Long]("track_id") === 1L)
+    assert(m.getAs[Long]("offset_frames") === 1L)
+    assert(m.getAs[Long]("votes") === 1L)
+    assert(m.getAs[Long]("n_matches") === 1L)
+  }
+
   test("powerExplained: rank-1 geometry shows 100% explained share") {
     // all variance on dim 2 → λ = trace, explained = 1e6 ppm
     val e1 = Seq(Seq(0.0f, 0.5f), Seq(0.0f, -0.5f),
