@@ -7817,6 +7817,65 @@ private[graft] object QueriesPipeline {
            |FROM r WHERE rn = 1 ORDER BY snippet_id""".stripMargin
       }),
 
+    // Keyframe selection per shot: q156's cut detector + the argmax-
+    // signature representative frame riding the same aggregate.
+    Q("q281_keyframes",
+      (s, dir) => Multimodal.keyframes(Tables(s, dir, "documents")),
+      Some("""WITH m AS (SELECT doc_id, text,
+             |    octet_length(encode(text)) AS len FROM documents),
+             |fr AS (SELECT doc_id, text,
+             |    CAST(unnest(range(0, 1 + len % 8)) AS INTEGER) AS f
+             |  FROM m),
+             |ch AS (SELECT doc_id, f, text,
+             |    CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS j
+             |  FROM fr),
+             |sig AS (SELECT doc_id, f,
+             |    CAST(SUM(unicode(substring(text, j, 1))
+             |      * ((j - 1 + f) % 7 + 1)) % 10000 AS BIGINT) AS s
+             |  FROM ch GROUP BY 1, 2),
+             |d AS (SELECT doc_id, f, s,
+             |    LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |  FROM sig),
+             |b AS (SELECT doc_id, f, s,
+             |    CASE WHEN prev IS NOT NULL AND ABS(s - prev) > 5000
+             |      THEN 1 ELSE 0 END AS bd
+             |  FROM d),
+             |sh AS (SELECT doc_id, f, s, CAST(SUM(bd) OVER (
+             |      PARTITION BY doc_id ORDER BY f) AS BIGINT) AS shot
+             |  FROM b),
+             |kf AS (SELECT doc_id, shot, f, s, ROW_NUMBER() OVER (
+             |    PARTITION BY doc_id, shot ORDER BY s DESC, f) AS rn
+             |  FROM sh)
+             |SELECT sh.doc_id, sh.shot,
+             |  CAST(MIN(sh.f) AS BIGINT) AS start_frame,
+             |  CAST(MAX(sh.f) AS BIGINT) AS end_frame,
+             |  COUNT(*) AS n_frames,
+             |  CAST(MIN(kf.f) AS BIGINT) AS key_frame,
+             |  MIN(kf.s) AS key_sig
+             |FROM sh JOIN kf ON kf.doc_id = sh.doc_id AND kf.shot = sh.shot
+             |  AND kf.rn = 1
+             |GROUP BY 1, 2 ORDER BY sh.doc_id, sh.shot""".stripMargin)),
+
+    // Daily active/new/returning users + cumulative distinct curve —
+    // no distinct-over-window: news come from the per-user min-day
+    // fold, the cumulative total is their prefix sum.
+    Q("q282_daily_users",
+      (s, dir) => Analytics.dailyActiveUsers(Tables(s, dir, "events")),
+      Some("""WITH d AS (SELECT DISTINCT user_id AS key,
+             |    epoch_us(ts) // 86400000000 AS day
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |a AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM d GROUP BY 1),
+             |fs AS (SELECT key, MIN(day) AS day FROM d GROUP BY 1),
+             |nw AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+             |  FROM fs GROUP BY 1)
+             |SELECT a.day, a.n_active, COALESCE(nw.n_new, 0) AS n_new,
+             |  a.n_active - COALESCE(nw.n_new, 0) AS n_returning,
+             |  CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY a.day)
+             |    AS BIGINT) AS cum_users
+             |FROM a LEFT JOIN nw ON nw.day = a.day
+             |ORDER BY a.day""".stripMargin)),
+
     // STREAMING per-label centroid maintenance through the gate:
     // integer sums commute, so the single-batch replay equals q66's
     // batch op and its oracle verbatim.

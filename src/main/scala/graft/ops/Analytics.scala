@@ -559,6 +559,38 @@ object Analytics {
     * lookahead rows per task, so a 100 TB stream costs exactly its
     * one user-key shuffle.
     */
+  /** Daily active / new / returning users with the cumulative
+    * distinct-user curve — the audience dashboard derived without any
+    * distinct-over-window: a user is "new" on their first-seen day
+    * (min-day fold), so dailies are plain counts and the cumulative
+    * distinct total is the prefix sum of news (every user charged
+    * exactly once, [[graft.ops.TextAnalysis.vocabGrowth]]'s
+    * first-occurrence trick on users instead of types).
+    *
+    * Shape: one (user, day) distinct + per-user min fold — both
+    * combinable key shuffles; the trailing prefix window runs over
+    * the DAY grid (calendar-bounded), not the data.
+    */
+  def dailyActiveUsers(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .distinct()
+    val act = days.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val news = days.groupBy("key").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    act.join(news, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy("day")
+  }
+
   def frequentSequences(events: DataFrame, topN: Int = 20,
       userCol: String = "user_id", typeCol: String = "event_type",
       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {

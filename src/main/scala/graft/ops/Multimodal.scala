@@ -310,17 +310,6 @@ object Multimodal {
       .orderBy("doc_id", "shot")
   }
 
-  /** Energy-threshold VAD: frames with energy ≥ `threshold` are
-    * "active"; consecutive active frames merge into segments
-    * (gaps-and-islands via `frame − row_number`, the standard
-    * relational islands trick). Output is one row per segment with its
-    * frame span, length, and total energy.
-    *
-    * Scale shape: decode + energy are map-only; the only shuffle keys
-    * by doc_id for the per-doc window and the segment aggregation
-    * reuses that partitioning. Frames per doc are bounded by media
-    * duration, so window state stays small regardless of corpus size.
-    */
   /** Constellation fingerprints over the stub PCM chain — the Shazam
     * shape on [[frameEnergies]]' deterministic frames: peak frames
     * (strict rise, ties-to-first plateau rule: `e > prev ∧ e ≥ next`,
@@ -390,6 +379,51 @@ object Multimodal {
       .orderBy("snippet_id")
   }
 
+  /** Keyframe selection: [[shotSegments]]' cut detector plus, per
+    * shot, the representative frame — the maximum-signature frame
+    * (the stand-in for "most visually rich"; ties to the earliest
+    * frame). The thumbnail/preview extraction step of a video
+    * ingest pipeline: one row per shot with its span and the chosen
+    * keyframe + signature.
+    *
+    * Scale shape: identical to shotSegments (map-only signatures, one
+    * per-doc window, per-(doc, shot) aggregate) — the argmax rides
+    * the same aggregate as the span, no extra pass.
+    */
+  def keyframes(docs: DataFrame, threshold: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = frameSignatures(toBlobs(docs)).toDF()
+    val byFrame = Window.partitionBy("doc_id").orderBy("frame")
+    sig.withColumn("prev", lag(col("sig"), 1).over(byFrame))
+      .withColumn("bd",
+        when(col("prev").isNotNull &&
+          abs(col("sig") - col("prev")) > threshold, 1L).otherwise(0L))
+      .withColumn("shot", sum(col("bd")).over(
+        byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(min(col("frame")).cast("long").as("start_frame"),
+        max(col("frame")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        max(struct(col("sig").as("s"), (-col("frame")).as("nf"),
+          col("frame").as("frame"))).as("kf"))
+      .select(col("doc_id"), col("shot"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        col("kf.frame").cast("long").as("key_frame"),
+        col("kf.s").as("key_sig"))
+      .orderBy("doc_id", "shot")
+  }
+
+  /** Energy-threshold VAD: frames with energy ≥ `threshold` are
+    * "active"; consecutive active frames merge into segments
+    * (gaps-and-islands via `frame − row_number`, the standard
+    * relational islands trick). Output is one row per segment with its
+    * frame span, length, and total energy.
+    *
+    * Scale shape: decode + energy are map-only; the only shuffle keys
+    * by doc_id for the per-doc window and the segment aggregation
+    * reuses that partitioning. Frames per doc are bounded by media
+    * duration, so window state stays small regardless of corpus size.
+    */
   def vadSegments(docs: DataFrame, frameBytes: Int = 16,
       threshold: Long = 157000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

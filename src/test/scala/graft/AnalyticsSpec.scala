@@ -354,6 +354,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       (2L, 2L, 1L, 375000L), (10L, 1L, 0L, 375000L)))
   }
 
+  test("dailyActiveUsers: new vs returning split, cumulative curve") {
+    val d = Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 1L), (1L, 0L))
+      .toDF("user_id", "d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+    val r = graft.ops.Analytics.dailyActiveUsers(d).collect()
+      .map(x => (x.getAs[Long]("day"), x.getAs[Long]("n_active"),
+        x.getAs[Long]("n_new"), x.getAs[Long]("n_returning"),
+        x.getAs[Long]("cum_users"))).toSeq
+    assert(r === Seq((0L, 2L, 2L, 0L, 2L), (1L, 2L, 1L, 1L, 3L)))
+  }
+
   test("frequentSequences: trigram counts with distinct-user support") {
     // user 1 loops A→B→C twice (4 trigrams, ABC twice); user 2 runs
     // it once — ABC totals 3 occurrences but only 2 users, so the

@@ -1064,6 +1064,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(!r.contains(2))
   }
 
+  test("keyframes: argmax-signature frame inside the shot span") {
+    // "ab" → 3 stub frames with sigs 293/488/683 (hand fold): one
+    // shot (diffs < 5000), keyframe = frame 2 at sig 683
+    val d = Seq((1L, "ab")).toDF("doc_id", "text")
+    val r = graft.ops.Multimodal.keyframes(d).collect()
+    assert(r.length === 1)
+    val k = r.head
+    assert((k.getAs[Long]("start_frame"), k.getAs[Long]("end_frame"),
+      k.getAs[Long]("n_frames"), k.getAs[Long]("key_frame"),
+      k.getAs[Long]("key_sig")) === ((0L, 2L, 3L, 2L, 683L)))
+  }
+
   test("audioMatch: snippet aligns to its track at the byte offset") {
     // 7 frames of 16 bytes: quiet 'a' valleys, three distinct loud
     // peaks (z, x, w) at frames 1/3/5 — distinct energy bins so the
