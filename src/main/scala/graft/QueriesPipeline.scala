@@ -7876,6 +7876,61 @@ private[graft] object QueriesPipeline {
              |FROM a LEFT JOIN nw ON nw.day = a.day
              |ORDER BY a.day""".stripMargin)),
 
+    // Per-source curation funnel in one scan: length floor → language
+    // gate → q78's linear quality classifier, stacked conditional
+    // sums + end-to-end yield ppm.
+    Q("q283_curation_funnel",
+      (s, dir) => TextAnalysis.curationFunnel(Tables(s, dir, "documents")),
+      Some("""WITH f AS (SELECT doc_id, source, lang, n_chars,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+             |    AS n_uniq,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |      t -> t IN ('the','a','of','and','to','in','is')))
+             |    AS BIGINT) AS stop_cnt
+             |  FROM documents),
+             |p AS (SELECT source, lang, n_chars,
+             |  (n_uniq*1000000)//n_words*3 + (stop_cnt*1000000)//n_words*2
+             |    + least(n_words, 100) * 10000 AS score
+             |  FROM f),
+             |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS pass_len,
+             |  CAST(SUM(CASE WHEN n_chars >= 200 AND lang = 'en'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+             |  CAST(SUM(CASE WHEN n_chars >= 200 AND lang = 'en'
+             |    AND score >= 2400000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS pass_quality
+             |  FROM p GROUP BY 1)
+             |SELECT source, n_docs, pass_len, pass_lang, pass_quality,
+             |  pass_quality * 1000000 // n_docs AS yield_ppm
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Apriori level-3 triples with the anti-monotone prune in-plan:
+    // candidates only extend frequent pairs, support + extension
+    // confidence exact.
+    Q("q284_frequent_triples",
+      (s, dir) => Analytics.frequentTriples(
+        Tables(s, dir, "lineitem").join(Tables(s, dir, "part"),
+          col("l_partkey") === col("p_partkey")),
+        itemCol = "p_brand", minSup = 50L),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, p_brand AS p
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+             |pb AS (SELECT a.o AS ob, a.p AS pa, b.p AS pb
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+             |pr AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS cab
+             |  FROM pb GROUP BY 1, 2 HAVING COUNT(*) >= 50),
+             |tr AS (SELECT x.pa, x.pb, c.p AS pc,
+             |    CAST(COUNT(*) AS BIGINT) AS support,
+             |    MAX(pr.cab) AS cab
+             |  FROM pb x JOIN pr ON pr.pa = x.pa AND pr.pb = x.pb
+             |  JOIN op c ON c.o = x.ob AND c.p > x.pb
+             |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 50)
+             |SELECT pa, pb, pc, support,
+             |  support * 1000000 // cab AS conf_ext_ppm
+             |FROM tr ORDER BY support DESC, pa, pb, pc""".stripMargin)),
+
     // STREAMING per-label centroid maintenance through the gate:
     // integer sums commute, so the single-batch replay equals q66's
     // batch op and its oracle verbatim.

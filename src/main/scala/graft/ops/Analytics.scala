@@ -284,6 +284,44 @@ object Analytics {
       .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
   }
 
+  /** Apriori level-3: frequent item TRIPLES grown from the frequent
+    * pairs, with the anti-monotone prune IN-PLAN — a triple candidate
+    * exists only by extending a frequent (pa, pb) with a same-basket
+    * item pc > pb, so the blow-up a naive 3-way basket self-join
+    * invites (every C(|basket|, 3)) never materializes: infrequent
+    * pairs are dead before the third join. Emits support and the
+    * extension confidence `(pa,pb) → pc`.
+    *
+    * Shape: the pair stage is [[frequentPairs]]' basket-keyed join +
+    * combinable count with the support HAVING; the extend stage joins
+    * the surviving pairs back to baskets on the basket key. At 100 TB
+    * the support cutoff is the whole ballgame — it caps every
+    * downstream cardinality, which is exactly Apriori's point.
+    */
+  def frequentTriples(baskets: DataFrame, basketCol: String = "l_orderkey",
+      itemCol: String = "l_partkey", minSup: Long = 3L): DataFrame = {
+    val op = baskets
+      .select(col(basketCol).as("o"), col(itemCol).as("p"))
+      .where(col("o").isNotNull && col("p").isNotNull)
+      .distinct().localCheckpoint() // pair join + the extend join
+    val pairBaskets = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("ob"), col("a.p").as("pa"), col("b.p").as("pb"))
+    val pairs = pairBaskets.groupBy("pa", "pb")
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minSup)
+    val triples = pairBaskets
+      .join(pairs, Seq("pa", "pb")) // anti-monotone prune
+      .join(op.as("c"), col("c.o") === col("ob") && col("c.p") > col("pb"))
+      .groupBy(col("pa"), col("pb"), col("c.p").as("pc"))
+      .agg(count(lit(1)).as("support"), max(col("cab")).as("cab"))
+      .where(col("support") >= minSup)
+    triples
+      .select(col("pa"), col("pb"), col("pc"), col("support"),
+        expr("support * 1000000 div cab").as("conf_ext_ppm"))
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+  }
+
   /** Next-event prediction eval: train the [[transitionMatrix]]-style
     * first-order model on one user split, score hit@1 / hit@3 on the
     * held-out split — the full train/evaluate loop of a sequence

@@ -781,4 +781,39 @@ object TextAnalysis {
         expr("(chars - ascii_chars) * 1000000 div nullif(chars, 0)")
           .as("non_ascii_ppm"))
       .orderBy("lang")
+
+  /** Per-source curation funnel in ONE scan: how many documents each
+    * source contributes, and how many survive each stacked gate —
+    * length floor, target language, then the [[qualityScore]] linear
+    * classifier (same weights/threshold, computed inline so the
+    * funnel never re-scans) — plus the end-to-end yield in ppm. The
+    * "where does my corpus die" dashboard a curation run reads before
+    * blaming any single filter.
+    *
+    * Shape: stacked conditional sums inside one combinable groupBy —
+    * a 100 TB corpus costs exactly one scan and a |sources|-row
+    * shuffle, no per-gate passes, no joins.
+    */
+  def curationFunnel(docs: DataFrame, minChars: Long = 200L,
+      lang: String = "en", thresholdMicro: Long = 2400000L,
+      textCol: String = "text", srcCol: String = "source",
+      langCol: String = "lang", charsCol: String = "n_chars"): DataFrame = {
+    val words = split(col(textCol), " ")
+    def ppm(num: Column, den: Column): Column = Curation.ppmFloor(num, den)
+    val score =
+      ppm(size(array_distinct(words)).cast("long"), size(words).cast("long")) * 3 +
+      ppm(stopHits(words, EnStop).cast("long"), size(words).cast("long")) * 2 +
+      least(size(words).cast("long"), lit(100L)) * 10000L
+    val g1 = col(charsCol) >= minChars
+    val g2 = g1 && col(langCol) === lang
+    val g3 = g2 && score >= thresholdMicro
+    def cnt(c: Column, as: String) =
+      sum(when(c, 1L).otherwise(0L)).as(as)
+    docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), cnt(g1, "pass_len"),
+        cnt(g2, "pass_lang"), cnt(g3, "pass_quality"))
+      .withColumn("yield_ppm",
+        expr("pass_quality * 1000000 div n_docs"))
+      .orderBy("source")
+  }
 }

@@ -354,6 +354,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       (2L, 2L, 1L, 375000L), (10L, 1L, 0L, 375000L)))
   }
 
+  test("frequentTriples: anti-monotone prune, exact support + confidence") {
+    // orders 1-5 buy {a,b,c}; order 6 buys {a,b,d} — only (a,b,c)
+    // survives minSup 3, extended from the frequent (a,b) pair
+    // (support 6) → confidence 5/6
+    val rows = (1L to 5L).flatMap(o => Seq((o, "a"), (o, "b"), (o, "c"))) ++
+      Seq((6L, "a"), (6L, "b"), (6L, "d"))
+    val d = rows.toDF("l_orderkey", "item")
+    val r = graft.ops.Analytics.frequentTriples(d, itemCol = "item")
+      .collect()
+    assert(r.length === 1)
+    val t = r.head
+    assert((t.getString(0), t.getString(1), t.getString(2),
+      t.getAs[Long]("support"), t.getAs[Long]("conf_ext_ppm")) ===
+      (("a", "b", "c", 5L, 833333L)))
+  }
+
   test("dailyActiveUsers: new vs returning split, cumulative curve") {
     val d = Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 1L), (1L, 0L))
       .toDF("user_id", "d")

@@ -1064,6 +1064,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(!r.contains(2))
   }
 
+  test("curationFunnel: stacked gates count exactly, one scan") {
+    val longEn = (1 to 80).map("word" + _).mkString(" ")   // distinct → ttr 1e6
+    val longRep = Seq.fill(125)("w").mkString(" ")         // ttr tanks the score
+    val d = Seq(
+      (1L, longEn, "A", "en"), (2L, "too short", "A", "en"),
+      (3L, longEn, "A", "fr"), (4L, longRep, "B", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = graft.ops.TextAnalysis.curationFunnel(d).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("pass_len"),
+          x.getAs[Long]("pass_lang"), x.getAs[Long]("pass_quality"),
+          x.getAs[Long]("yield_ppm"))).toMap
+    assert(r("A") === ((3L, 2L, 1L, 1L, 333333L)))
+    assert(r("B") === ((1L, 1L, 1L, 0L, 0L)))
+  }
+
   test("keyframes: argmax-signature frame inside the shot span") {
     // "ab" → 3 stub frames with sigs 293/488/683 (hand fold): one
     // shot (diffs < 5000), keyframe = frame 2 at sig 683
