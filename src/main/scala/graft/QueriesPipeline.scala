@@ -7931,6 +7931,172 @@ private[graft] object QueriesPipeline {
              |  support * 1000000 // cab AS conf_ext_ppm
              |FROM tr ORDER BY support DESC, pa, pb, pc""".stripMargin)),
 
+    // Per-source KS drift vs the global length distribution: exact
+    // cross-multiplied ECDFs on a groups×values grid, peak gap +
+    // location per source.
+    Q("q285_ks_per_source",
+      (s, dir) => Stats.ksPerGroup(Tables(s, dir, "documents"),
+        "source", "n_chars"),
+      Some("""WITH b AS (SELECT source AS grp, n_chars AS v
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+             |gv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM b GROUP BY 1, 2),
+             |pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cg
+             |  FROM b GROUP BY 1),
+             |cg AS (SELECT v, CAST(SUM(cg) OVER (ORDER BY v) AS BIGINT)
+             |    AS cumg
+             |  FROM pv),
+             |grid AS (SELECT g.grp, cg.v, cg.cumg
+             |  FROM (SELECT DISTINCT grp FROM gv) g CROSS JOIN cg),
+             |cum AS (SELECT grid.grp, grid.v, grid.cumg,
+             |    CAST(SUM(COALESCE(gv.c, 0)) OVER (PARTITION BY grid.grp
+             |      ORDER BY grid.v) AS BIGINT) AS cums
+             |  FROM grid LEFT JOIN gv ON gv.grp = grid.grp
+             |    AND gv.v = grid.v),
+             |tot AS (SELECT grp, MAX(cums) AS ng FROM cum GROUP BY 1),
+             |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM b),
+             |d AS (SELECT cum.grp, tot.ng, na.n_all, cum.v,
+             |    abs(cum.cums * na.n_all - cum.cumg * tot.ng) AS d,
+             |    ROW_NUMBER() OVER (PARTITION BY cum.grp ORDER BY
+             |      abs(cum.cums * na.n_all - cum.cumg * tot.ng) DESC,
+             |      cum.v) AS rn
+             |  FROM cum JOIN tot ON tot.grp = cum.grp CROSS JOIN na)
+             |SELECT grp, ng, n_all, d AS d_num,
+             |  d * 1000000 // (ng * n_all) AS ks_ppm, v AS at_value
+             |FROM d WHERE rn = 1 ORDER BY grp""".stripMargin)),
+
+    // IDF-weighted Jaccard near-dup pairs: rare shingles dominate the
+    // vote (w = 1e6 // df over the df-guarded shingle universe);
+    // catches shared-rare-content pairs plain Jaccard dilutes.
+    Q("q286_weighted_jaccard",
+      (s, dir) => DocDedup.weightedJaccard(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, lang,
+             |    string_split(text,' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, lang,
+             |    ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |  FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1) AS i
+             |        FROM w) t
+             |  WHERE i+2 <= len(ws)),
+             |sh0 AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+             |df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM sh0 GROUP BY 1),
+             |sh AS (SELECT sh0.doc_id, sh0.lang, sh0.s,
+             |    1000000 // df.df AS w
+             |  FROM sh0 JOIN df ON df.s = sh0.s WHERE df.df <= 100),
+             |wt AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt
+             |  FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(SUM(a.w) AS BIGINT) AS inter_w,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT p.a_id, p.b_id, p.inter, p.inter_w,
+             |  p.inter_w * 1000000 // (wa.wt + wb.wt - p.inter_w)
+             |    AS jacw_ppm
+             |FROM p JOIN wt wa ON wa.doc_id = p.a_id
+             |JOIN wt wb ON wb.doc_id = p.b_id
+             |WHERE p.inter_w * 1000000 // (wa.wt + wb.wt - p.inter_w)
+             |  >= 300000
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Display-cardinality cap: top-3 event types keep identity, the
+    // tail rolls into 'other' with its merge count; exact ppm shares.
+    Q("q287_topk_other",
+      (s, dir) => Analytics.topKOther(Tables(s, dir, "events"),
+        "event_type", k = 3),
+      Some("""WITH c AS (SELECT event_type AS category,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |t AS (SELECT category, cnt FROM c
+             |  ORDER BY cnt DESC, category LIMIT 3),
+             |o AS (SELECT 'other' AS category,
+             |    CAST(SUM(cnt) AS BIGINT) AS cnt,
+             |    CAST(COUNT(*) AS BIGINT) AS n_merged
+             |  FROM c WHERE category NOT IN (SELECT category FROM t)
+             |  HAVING COUNT(*) > 0),
+             |u AS (SELECT category, cnt, CAST(1 AS BIGINT) AS n_merged
+             |  FROM t UNION ALL SELECT * FROM o),
+             |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c)
+             |SELECT u.category, u.cnt, u.n_merged,
+             |  u.cnt * 1000000 // tt.tot AS share_ppm
+             |FROM u CROSS JOIN tt
+             |ORDER BY u.cnt DESC, u.category""".stripMargin)),
+
+    // Average neighbor degree over the co-purchase graph (exact
+    // milli): the assortativity / hub-attachment diagnostic, one
+    // degree join — no iteration.
+    Q("q288_avg_neighbor_degree",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        Graph.avgNeighborDegree(e)
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+             |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+             |  FROM e GROUP BY 1),
+             |s AS (SELECT e.u, CAST(SUM(dn.deg) AS BIGINT) AS s
+             |  FROM e JOIN deg dn ON dn.u = e.v GROUP BY 1)
+             |SELECT s.u AS node, deg.deg,
+             |  s.s * 1000 // deg.deg AS nbr_deg_milli,
+             |  s.s * 1000 // deg.deg > deg.deg * 1000 AS hubby
+             |FROM s JOIN deg ON deg.u = s.u
+             |ORDER BY nbr_deg_milli DESC, node LIMIT 100""".stripMargin)),
+
+    // Region → nation revenue hierarchy with exact cents + ppm
+    // share-of-parent at both levels — the drill-down rollup every
+    // BI layer renders.
+    Q("q289_hierarchy_share",
+      (s, dir) => {
+        val rev = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("cents"))
+        val regional = rev.groupBy("region")
+          .agg(sum(col("cents")).as("region_cents"))
+        val total = rev.agg(sum(col("cents")).as("total_cents"))
+        rev.join(regional, "region").crossJoin(broadcast(total))
+          .select(col("region"), col("nation"), col("cents"),
+            expr("cents * 1000000 div region_cents")
+              .as("nation_share_ppm"),
+            col("region_cents"),
+            expr("region_cents * 1000000 div total_cents")
+              .as("region_share_ppm"))
+          .orderBy("region", "nation")
+      },
+      Some("""WITH rev AS (SELECT r_name AS region, n_name AS nation,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2),
+             |rg AS (SELECT region, CAST(SUM(cents) AS BIGINT)
+             |    AS region_cents FROM rev GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents
+             |  FROM rev)
+             |SELECT rev.region, rev.nation, rev.cents,
+             |  rev.cents * 1000000 // rg.region_cents AS nation_share_ppm,
+             |  rg.region_cents,
+             |  rg.region_cents * 1000000 // tt.total_cents
+             |    AS region_share_ppm
+             |FROM rev JOIN rg ON rg.region = rev.region CROSS JOIN tt
+             |ORDER BY rev.region, rev.nation""".stripMargin)),
+
     // STREAMING per-label centroid maintenance through the gate:
     // integer sums commute, so the single-batch replay equals q66's
     // batch op and its oracle verbatim.

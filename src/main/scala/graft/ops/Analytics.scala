@@ -284,6 +284,37 @@ object Analytics {
       .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
   }
 
+  /** Top-k categories + an "other" rollup — the display-cardinality
+    * cap every dashboard needs: the k biggest categories by count
+    * (ties to name) keep their identity, the tail collapses into one
+    * `other` row carrying its total and how many categories it
+    * merged. Shares in exact ppm of the grand total.
+    *
+    * Shape: one combinable category count, a TakeOrdered-k cut, and a
+    * broadcast anti-join for the tail — the category axis never
+    * globally sorts.
+    */
+  def topKOther(df: DataFrame, catCol: String, k: Int = 5): DataFrame = {
+    val counts = df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // top-k cut + tail rollup + total share it
+    val top = counts.orderBy(col("cnt").desc, col("category")).limit(k)
+    val other = counts.join(broadcast(top.select("category")),
+        Seq("category"), "left_anti")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+        count(lit(1)).as("n_merged"))
+      .select(lit("other").as("category"), col("cnt"), col("n_merged"))
+      .where(col("n_merged") > 0)
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    top.withColumn("n_merged", lit(1L))
+      .unionByName(other)
+      .crossJoin(broadcast(total))
+      .select(col("category"), col("cnt"), col("n_merged"),
+        expr("cnt * 1000000 div tot").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("category"))
+  }
+
   /** Apriori level-3: frequent item TRIPLES grown from the frequent
     * pairs, with the anti-monotone prune IN-PLAN — a triple candidate
     * exists only by extending a frequent (pa, pb) with a same-basket

@@ -94,6 +94,50 @@ object DocDedup {
       .orderBy("t_ppm")
   }
 
+  /** IDF-weighted set similarity: like [[ngramJaccard]] but each
+    * shingle votes with weight `10⁶ div df` (rare shingles dominate,
+    * boilerplate shingles are nearly free) — the weighted-Jaccard
+    * variant that catches "same rare content wrapped in different
+    * boilerplate" pairs plain Jaccard dilutes away. All-integer:
+    * `jacw = Σ_{A∩B} w · 10⁶ div (W_A + W_B − Σ_{A∩B} w)`.
+    *
+    * Scale shape: df is the same map-side-combinable count the df-cut
+    * guard already takes; weights join back to the exploded shingles
+    * (key = shingle, no new shuffle shape); the pair join carries the
+    * guard. Weighted totals per doc are one more combinable fold.
+    */
+  def weightedJaccard(docs: DataFrame, n: Int = 3,
+      thresholdPpm: Long = 300000L, blockCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id",
+      maxShingleDocFreq: Long = 100L): DataFrame = {
+    val base = Par.spread(docs).select(col(idCol).as("doc_id"),
+        col(blockCol).as("block"),
+        call_function("shingle_hashes", split(col(textCol), " "), lit(n))
+          .as("hs"))
+      .localCheckpoint()
+    val shAll = base.select(col("doc_id"), col("block"),
+      explode(col("hs")).as("s"))
+    val df = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+    val sh = shAll
+      .join(df.where(col("df") <= maxShingleDocFreq), Seq("s"))
+      .withColumn("w", expr("1000000 div df"))
+      .localCheckpoint() // pair join (both sides) + per-doc totals
+    val wt = sh.groupBy("doc_id").agg(sum(col("w")).as("wt"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w")).as("inter_w"), count(lit(1)).as("inter"))
+    pairs
+      .join(wt.select(col("doc_id").as("a_id"), col("wt").as("wa")), "a_id")
+      .join(wt.select(col("doc_id").as("b_id"), col("wt").as("wb")), "b_id")
+      .withColumn("jacw_ppm",
+        expr("inter_w * 1000000 div (wa + wb - inter_w)"))
+      .where(col("jacw_ppm") >= thresholdPpm)
+      .select("a_id", "b_id", "inter", "inter_w", "jacw_ppm")
+      .orderBy("a_id", "b_id")
+  }
+
   /** [[ngramJaccard]]'s candidate chain up to (pair, inter, na, nb) —
     * shared with [[dedupThresholdSweep]] so the two can't drift.
     *

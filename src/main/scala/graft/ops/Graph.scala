@@ -566,4 +566,34 @@ object Graph {
       .select(col("u").as("node"), col("deg"), lit(stable).as("stable"))
       .orderBy("node")
   }
+
+  /** Average neighbor degree per node (exact milli) — the
+    * assortativity diagnostic: hub-attached nodes show
+    * `nbr_deg_milli ≫ 1000·deg` (a disassortative, hub-and-spoke
+    * graph), peers-attach-to-peers shows the two in line. Also one
+    * GraphSAGE-style mean-aggregation round with degree as the
+    * feature — the shape any neighborhood feature propagation takes.
+    * Top-`topN` by average neighbor degree (ties to node id).
+    *
+    * Shape: distinct edges → one combinable degree count → one join
+    * of edges against the degree table (key = node, the graph's
+    * natural shuffle) → combinable per-node sum. No iteration, no
+    * window.
+    */
+  def avgNeighborDegree(edges: DataFrame, topN: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint() // degree count + the propagation join
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("u").as("v"), col("deg").as("dn")), "v")
+      .groupBy("u").agg(sum(col("dn")).as("s"))
+      .join(deg, "u")
+      .select(col("u").as("node"), col("deg"),
+        expr("s * 1000 div deg").as("nbr_deg_milli"))
+      .withColumn("hubby", col("nbr_deg_milli") > col("deg") * 1000L)
+      .orderBy(col("nbr_deg_milli").desc, col("node"))
+      .limit(topN)
+  }
 }

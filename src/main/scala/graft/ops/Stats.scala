@@ -656,6 +656,53 @@ object Stats {
         col("v").as("at_value"))
   }
 
+  /** Per-group KS drift vs the GLOBAL distribution: for every group,
+    * the exact two-sample statistic `max_v |F_g(v)·N − F(v)·n_g|`
+    * (integer cross-multiplied ECDFs — [[ksTwoSample]] generalized
+    * from one A/B pair to every group at once) with the ppm statistic
+    * and the value where the gap peaks. The "which source drifted"
+    * sweep a corpus health check runs per ingest.
+    *
+    * Shape: two combinable aggregates (per-(group, value) and
+    * per-value counts), a groups×values grid join for the per-group
+    * prefix (the value axis is the distinct-value count, bounded by
+    * the metric's resolution, not the row count), and one global
+    * prefix window. Long-exact while `cum·N` fits (~3·10⁹ rows at
+    * micro resolution; decimal past that).
+    */
+  def ksPerGroup(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val base = df
+      .where(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valCol).cast("long").as("v"))
+    val perGV = base.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val perV = base.groupBy("v").agg(count(lit(1)).as("cg"))
+    val wG = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumG = perV.withColumn("cumg", sum(col("cg")).over(wG))
+    val grid = perGV.select("grp").distinct()
+      .crossJoin(cumG.select("v", "cumg"))
+    val wS = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.join(perGV, Seq("grp", "v"), "left")
+      .withColumn("cums", sum(coalesce(col("c"), lit(0L))).over(wS))
+      .localCheckpoint() // totals + the argmax both probe it
+    val totals = cum.groupBy("grp").agg(max(col("cums")).as("ng"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    val wD = Window.partitionBy("grp")
+      .orderBy(col("d").desc, col("v"))
+    cum.join(totals, "grp").crossJoin(broadcast(nAll))
+      .withColumn("d",
+        abs(col("cums") * col("n_all") - col("cumg") * col("ng")))
+      .withColumn("rn", row_number().over(wD))
+      .where(col("rn") === 1)
+      .select(col("grp"), col("ng"), col("n_all"),
+        col("d").as("d_num"),
+        expr("d * 1000000 div (ng * n_all)").as("ks_ppm"),
+        col("v").as("at_value"))
+      .orderBy("grp")
+  }
+
   /** Train a decision stump in-engine: the split threshold of a
     * numeric feature minimizing weighted Gini impurity against a
     * binary label — the weak learner under boosting, and the

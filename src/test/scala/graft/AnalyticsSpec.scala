@@ -354,6 +354,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       (2L, 2L, 1L, 375000L), (10L, 1L, 0L, 375000L)))
   }
 
+  test("topKOther: tail rolls up with merge count, exact shares") {
+    val rows = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d") ++ Seq("e")
+    val r = graft.ops.Analytics.topKOther(rows.toDF("cat"), "cat", k = 2)
+      .collect()
+      .map(x => (x.getAs[String]("category"), x.getAs[Long]("cnt"),
+        x.getAs[Long]("n_merged"), x.getAs[Long]("share_ppm")))
+    // ordered by count desc: the rolled-up tail (6) outweighs a (5)
+    assert(r.toSeq === Seq(("other", 6L, 3L, 400000L),
+      ("a", 5L, 1L, 333333L), ("b", 4L, 1L, 266666L)))
+    // no tail when k covers everything → no 'other' row
+    val all = graft.ops.Analytics.topKOther(rows.toDF("cat"), "cat", k = 5)
+      .collect().map(_.getAs[String]("category"))
+    assert(!all.contains("other") && all.length === 5)
+  }
+
   test("frequentTriples: anti-monotone prune, exact support + confidence") {
     // orders 1-5 buy {a,b,c}; order 6 buys {a,b,d} — only (a,b,c)
     // survives minSup 3, extended from the frequent (a,b) pair

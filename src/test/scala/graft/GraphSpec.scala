@@ -311,4 +311,18 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     val un = Graph.kCore(chain, k = 2L, rounds = 2).collect()
     assert(un.forall(!_.getAs[Boolean]("stable")))
   }
+
+  test("avgNeighborDegree: star graph — spokes read the hub, hub reads spokes") {
+    // hub 1 ↔ {2,3,4}; edges given both directions like a co-purchase
+    // derivation would produce
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L),
+      (4L, 1L)).toDF("src", "dst")
+    val r = Graph.avgNeighborDegree(e).collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("deg"), x.getAs[Long]("nbr_deg_milli"),
+          x.getAs[Boolean]("hubby"))).toMap
+    assert(r(1L) === ((3L, 1000L, false)))     // hub sees degree-1 spokes
+    Seq(2L, 3L, 4L).foreach(n =>
+      assert(r(n) === ((1L, 3000L, true)), s"node $n"))
+  }
 }

@@ -1064,6 +1064,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(!r.contains(2))
   }
 
+  test("weightedJaccard: shared-rare pair passes where plain Jaccard dilutes") {
+    // word sets (n=1): docs 1/2 share only the rare word (df 2); the
+    // four filler docs make the commons cheap (df 5 → w 200000).
+    // jacw(1,2) = 5e5·1e6 // (9e5+9e5−5e5) = 384615 — passes 350000
+    // where plain Jaccard is 1/5; jacw(1,filler) = 307692 — cut.
+    val d = (Seq((1L, "rare common1 common2"), (2L, "rare common3 common4")) ++
+      (3L to 6L).map(i => (i, "common1 common2 common3 common4")))
+      .map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val r = graft.ops.DocDedup.weightedJaccard(d, n = 1,
+      thresholdPpm = 350000L).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) ->
+        x.getAs[Long]("jacw_ppm")).toMap
+    assert(r((1L, 2L)) === 384615L)
+    assert(!r.contains((1L, 3L)) && !r.contains((2L, 3L)))
+    // the four identical filler docs pair at exactly 1e6
+    assert(r((3L, 4L)) === 1000000L && r.size === 7)
+  }
+
   test("curationFunnel: stacked gates count exactly, one scan") {
     val longEn = (1 to 80).map("word" + _).mkString(" ")   // distinct → ttr 1e6
     val longRep = Seq.fill(125)("w").mkString(" ")         // ttr tanks the score

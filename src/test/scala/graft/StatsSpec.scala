@@ -673,6 +673,27 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.isNullAt(r.fieldIndex("acf3_ppm")))
   }
 
+  test("ksPerGroup: exact peak gap and location per group") {
+    // a = {1,2}, b = {9,10}: each group's ECDF peaks its gap against
+    // the pooled distribution at v=2 with |cum_g·N − cum·n_g| = 4 →
+    // ks = 4e6/(2·4) = 500000
+    val d = Seq(("a", 1L), ("a", 2L), ("b", 9L), ("b", 10L))
+      .toDF("grp_in", "val_in")
+    val r = Stats.ksPerGroup(d, "grp_in", "val_in").collect()
+      .map(x => x.getAs[String]("grp") ->
+        (x.getAs[Long]("d_num"), x.getAs[Long]("ks_ppm"),
+          x.getAs[Long]("at_value"))).toMap
+    assert(r("a") === ((4L, 500000L, 2L)))
+    assert(r("b") === ((4L, 500000L, 2L)))
+    // a group drawn from the pool shows a smaller gap than an outlier
+    val e = Seq.tabulate(20)(i => ("mixed", (i % 10).toLong)) ++
+      Seq.tabulate(4)(i => ("high", (100 + i).toLong))
+    val r2 = Stats.ksPerGroup(e.toDF("grp_in", "val_in"),
+        "grp_in", "val_in").collect()
+      .map(x => x.getAs[String]("grp") -> x.getAs[Long]("ks_ppm")).toMap
+    assert(r2("high") > r2("mixed"))
+  }
+
   test("theilSenTrend: one corrupted day cannot move the median slope") {
     // days 0-4 with counts 1,2,3,4,100 — a clean +1/day trend plus a
     // 25× spike on the last day. 6 of the 10 pairwise slopes are
