@@ -34,6 +34,59 @@ private[graft] object QueriesPipeline {
     dir.getAbsolutePath
   }
 
+  // the q231/q290 melted (column id, value) block — one source of
+  // truth for the joinable-column candidate set in both oracles
+  private val duckColumnsMelted: String =
+    """m AS (
+      |  SELECT 'customer.c_custkey' AS cid,
+      |    CAST(c_custkey AS VARCHAR) AS v FROM customer
+      |    WHERE c_custkey IS NOT NULL
+      |  UNION SELECT 'customer.c_nationkey',
+      |    CAST(c_nationkey AS VARCHAR) FROM customer
+      |    WHERE c_nationkey IS NOT NULL
+      |  UNION SELECT 'lineitem.l_orderkey',
+      |    CAST(l_orderkey AS VARCHAR) FROM lineitem
+      |    WHERE l_orderkey IS NOT NULL
+      |  UNION SELECT 'lineitem.l_partkey',
+      |    CAST(l_partkey AS VARCHAR) FROM lineitem
+      |    WHERE l_partkey IS NOT NULL
+      |  UNION SELECT 'lineitem.l_suppkey',
+      |    CAST(l_suppkey AS VARCHAR) FROM lineitem
+      |    WHERE l_suppkey IS NOT NULL
+      |  UNION SELECT 'nation.n_nationkey',
+      |    CAST(n_nationkey AS VARCHAR) FROM nation
+      |    WHERE n_nationkey IS NOT NULL
+      |  UNION SELECT 'orders.o_custkey',
+      |    CAST(o_custkey AS VARCHAR) FROM orders
+      |    WHERE o_custkey IS NOT NULL
+      |  UNION SELECT 'orders.o_orderkey',
+      |    CAST(o_orderkey AS VARCHAR) FROM orders
+      |    WHERE o_orderkey IS NOT NULL
+      |  UNION SELECT 'part.p_partkey',
+      |    CAST(p_partkey AS VARCHAR) FROM part
+      |    WHERE p_partkey IS NOT NULL
+      |  UNION SELECT 'supplier.s_nationkey',
+      |    CAST(s_nationkey AS VARCHAR) FROM supplier
+      |    WHERE s_nationkey IS NOT NULL
+      |  UNION SELECT 'supplier.s_suppkey',
+      |    CAST(s_suppkey AS VARCHAR) FROM supplier
+      |    WHERE s_suppkey IS NOT NULL)""".stripMargin
+
+  /** The q231/q290 candidate columns on the Spark side. */
+  private def joinableColSet(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+    ("customer.c_custkey", Tables(s, dir, "customer"), "c_custkey"),
+    ("customer.c_nationkey", Tables(s, dir, "customer"), "c_nationkey"),
+    ("lineitem.l_orderkey", Tables(s, dir, "lineitem"), "l_orderkey"),
+    ("lineitem.l_partkey", Tables(s, dir, "lineitem"), "l_partkey"),
+    ("lineitem.l_suppkey", Tables(s, dir, "lineitem"), "l_suppkey"),
+    ("nation.n_nationkey", Tables(s, dir, "nation"), "n_nationkey"),
+    ("orders.o_custkey", Tables(s, dir, "orders"), "o_custkey"),
+    ("orders.o_orderkey", Tables(s, dir, "orders"), "o_orderkey"),
+    ("part.p_partkey", Tables(s, dir, "part"), "p_partkey"),
+    ("supplier.s_nationkey", Tables(s, dir, "supplier"), "s_nationkey"),
+    ("supplier.s_suppkey", Tables(s, dir, "supplier"), "s_suppkey"))
+
   // shared per-label centroid oracle (q66 batch + q279 streaming twin
   // — integer sums commute, so the stream replay equals the batch op
   // and one definition serves both)
@@ -6023,65 +6076,21 @@ private[graft] object QueriesPipeline {
     // columns across tables — the FK graph rediscovered from data
     // (the MinHash-sketch column-matching baseline).
     Q("q231_joinable_columns",
-      (s, dir) => Audit.joinableColumns(Seq(
-        ("customer.c_custkey", Tables(s, dir, "customer"), "c_custkey"),
-        ("customer.c_nationkey", Tables(s, dir, "customer"), "c_nationkey"),
-        ("lineitem.l_orderkey", Tables(s, dir, "lineitem"), "l_orderkey"),
-        ("lineitem.l_partkey", Tables(s, dir, "lineitem"), "l_partkey"),
-        ("lineitem.l_suppkey", Tables(s, dir, "lineitem"), "l_suppkey"),
-        ("nation.n_nationkey", Tables(s, dir, "nation"), "n_nationkey"),
-        ("orders.o_custkey", Tables(s, dir, "orders"), "o_custkey"),
-        ("orders.o_orderkey", Tables(s, dir, "orders"), "o_orderkey"),
-        ("part.p_partkey", Tables(s, dir, "part"), "p_partkey"),
-        ("supplier.s_nationkey", Tables(s, dir, "supplier"), "s_nationkey"),
-        ("supplier.s_suppkey", Tables(s, dir, "supplier"), "s_suppkey"))),
-      Some("""WITH m AS (
-             |  SELECT 'customer.c_custkey' AS cid,
-             |    CAST(c_custkey AS VARCHAR) AS v FROM customer
-             |    WHERE c_custkey IS NOT NULL
-             |  UNION SELECT 'customer.c_nationkey',
-             |    CAST(c_nationkey AS VARCHAR) FROM customer
-             |    WHERE c_nationkey IS NOT NULL
-             |  UNION SELECT 'lineitem.l_orderkey',
-             |    CAST(l_orderkey AS VARCHAR) FROM lineitem
-             |    WHERE l_orderkey IS NOT NULL
-             |  UNION SELECT 'lineitem.l_partkey',
-             |    CAST(l_partkey AS VARCHAR) FROM lineitem
-             |    WHERE l_partkey IS NOT NULL
-             |  UNION SELECT 'lineitem.l_suppkey',
-             |    CAST(l_suppkey AS VARCHAR) FROM lineitem
-             |    WHERE l_suppkey IS NOT NULL
-             |  UNION SELECT 'nation.n_nationkey',
-             |    CAST(n_nationkey AS VARCHAR) FROM nation
-             |    WHERE n_nationkey IS NOT NULL
-             |  UNION SELECT 'orders.o_custkey',
-             |    CAST(o_custkey AS VARCHAR) FROM orders
-             |    WHERE o_custkey IS NOT NULL
-             |  UNION SELECT 'orders.o_orderkey',
-             |    CAST(o_orderkey AS VARCHAR) FROM orders
-             |    WHERE o_orderkey IS NOT NULL
-             |  UNION SELECT 'part.p_partkey',
-             |    CAST(p_partkey AS VARCHAR) FROM part
-             |    WHERE p_partkey IS NOT NULL
-             |  UNION SELECT 'supplier.s_nationkey',
-             |    CAST(s_nationkey AS VARCHAR) FROM supplier
-             |    WHERE s_nationkey IS NOT NULL
-             |  UNION SELECT 'supplier.s_suppkey',
-             |    CAST(s_suppkey AS VARCHAR) FROM supplier
-             |    WHERE s_suppkey IS NOT NULL),
-             |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
-             |  FROM m GROUP BY 1),
-             |ix AS (SELECT a.cid AS ca, b.cid AS cb,
-             |    CAST(COUNT(*) AS BIGINT) AS inter
-             |  FROM m a JOIN m b ON a.v = b.v AND a.cid < b.cid
-             |  GROUP BY 1, 2),
-             |j AS (SELECT ix.ca, ix.cb, ix.inter, sa.n AS na, sb.n AS nb,
-             |    ix.inter * 1000000 // (sa.n + sb.n - ix.inter) AS jac_ppm
-             |  FROM ix JOIN sz sa ON sa.cid = ix.ca
-             |  JOIN sz sb ON sb.cid = ix.cb)
-             |SELECT ca, cb, inter, na, nb, jac_ppm FROM j
-             |WHERE jac_ppm >= 10000
-             |ORDER BY ca, cb""".stripMargin)),
+      (s, dir) => Audit.joinableColumns(joinableColSet(s, dir)),
+      Some(s"""WITH $duckColumnsMelted,
+              |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM m GROUP BY 1),
+              |ix AS (SELECT a.cid AS ca, b.cid AS cb,
+              |    CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM m a JOIN m b ON a.v = b.v AND a.cid < b.cid
+              |  GROUP BY 1, 2),
+              |j AS (SELECT ix.ca, ix.cb, ix.inter, sa.n AS na, sb.n AS nb,
+              |    ix.inter * 1000000 // (sa.n + sb.n - ix.inter) AS jac_ppm
+              |  FROM ix JOIN sz sa ON sa.cid = ix.ca
+              |  JOIN sz sb ON sb.cid = ix.cb)
+              |SELECT ca, cb, inter, na, nb, jac_ppm FROM j
+              |WHERE jac_ppm >= 10000
+              |ORDER BY ca, cb""".stripMargin)),
 
     // Length-balanced shard assignment: LPT-style round-robin deal
     // over the no-global-sort token ranking; per-shard totals and
@@ -8096,6 +8105,112 @@ private[graft] object QueriesPipeline {
              |    AS region_share_ppm
              |FROM rev JOIN rg ON rg.region = rev.region CROSS JOIN tt
              |ORDER BY rev.region, rev.nation""".stripMargin)),
+
+    // q231's promised scale path delivered: per-column MinHash
+    // signatures (h37→mix31, engine-portable) beside the exact
+    // value-set Jaccard for every pair — the standing accuracy report
+    // for shipping sketches instead of the exact melted join.
+    Q("q290_joinable_sketch",
+      (s, dir) => Audit.joinableColumnsSketch(joinableColSet(s, dir)),
+      Some(s"""WITH $duckColumnsMelted,
+              |yy AS (SELECT cid, ${duckMix31(
+                "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+                "list_transform(string_split(v, ''), " +
+                "c -> CAST(unicode(c) AS BIGINT))), " +
+                "(a, b) -> (a * 37 + b) % 2147483647)")} AS y, v
+              |  FROM m),
+              |sig AS (SELECT cid, i, MIN(${duckMix31("y + i")}) AS mh
+              |  FROM yy CROSS JOIN (SELECT unnest(range(0, 32)) AS i) xs
+              |  GROUP BY 1, 2),
+              |est AS (SELECT a.cid AS ca, b.cid AS cb,
+              |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS matches
+              |  FROM sig a JOIN sig b ON a.i = b.i AND a.cid < b.cid
+              |  GROUP BY 1, 2),
+              |sz AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM m GROUP BY 1),
+              |ix AS (SELECT a.cid AS ca, b.cid AS cb,
+              |    CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM m a JOIN m b ON a.v = b.v AND a.cid < b.cid
+              |  GROUP BY 1, 2)
+              |SELECT est.ca, est.cb, est.matches,
+              |  matches * 1000000 // 32 AS est_ppm,
+              |  COALESCE(ix.inter, 0) * 1000000
+              |    // (sa.n + sb.n - COALESCE(ix.inter, 0)) AS jac_ppm,
+              |  abs(matches * 1000000 // 32
+              |    - COALESCE(ix.inter, 0) * 1000000
+              |      // (sa.n + sb.n - COALESCE(ix.inter, 0))) AS err_ppm
+              |FROM est LEFT JOIN ix ON ix.ca = est.ca AND ix.cb = est.cb
+              |JOIN sz sa ON sa.cid = est.ca
+              |JOIN sz sb ON sb.cid = est.cb
+              |ORDER BY est.ca, est.cb""".stripMargin)),
+
+    // Subject-access export: one user cohort's full activity summary
+    // — per (user, event type): count, first/last seen, active days.
+    Q("q291_subject_access",
+      (s, dir) => Tables(s, dir, "events")
+        .where(col("user_id") % 997 === 3 && col("ts").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          countDistinct(expr("unix_micros(ts) div 86400000000"))
+            .as("n_days"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+             |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+             |    AS n_days
+             |FROM events WHERE user_id % 997 = 3 AND ts IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Lead-lag cross-correlation of view vs purchase daily counts:
+    // exact integer covariance per lag, best-lag flag.
+    Q("q292_best_lag_xcorr",
+      (s, dir) => Stats.bestLagXcorr(Tables(s, dir, "events"),
+        "view", "purchase"),
+      Some("""WITH daily AS (SELECT event_type AS t,
+             |    epoch_us(ts) // 86400000000 AS day,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE event_type IN ('view', 'purchase') AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |a AS (SELECT day AS da, c AS xa FROM daily WHERE t = 'view'),
+             |b AS (SELECT day AS db, c AS xb FROM daily
+             |  WHERE t = 'purchase'),
+             |lags AS (SELECT CAST(unnest(range(-3, 4)) AS BIGINT) AS lag),
+             |al AS (SELECT l.lag, a.xa, b.xb
+             |  FROM lags l CROSS JOIN a JOIN b ON b.db = a.da + l.lag),
+             |pl AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(xa) AS BIGINT) AS sx,
+             |    CAST(SUM(xb) AS BIGINT) AS sy,
+             |    CAST(SUM(xa * xb) AS BIGINT) AS sxy
+             |  FROM al GROUP BY 1),
+             |cv AS (SELECT lag, n, n * sxy - sx * sy AS cov_num FROM pl)
+             |SELECT lag, n, cov_num,
+             |  ROW_NUMBER() OVER (ORDER BY cov_num DESC, abs(lag), lag) = 1
+             |    AS best
+             |FROM cv ORDER BY lag""".stripMargin)),
+
+    // Retention-policy dry run: rows + estimated bytes per age bucket
+    // against the table's newest timestamp; delete flag on expired.
+    Q("q293_retention_dry_run",
+      (s, dir) => Audit.retentionDryRun(Tables(s, dir, "events"),
+        keepDays = 21L, warmDays = 7L),
+      Some("""WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+             |aged AS (SELECT event_type, props,
+             |    (mx.mx - epoch_us(ts)) // 86400000000 AS age_days
+             |  FROM events CROSS JOIN mx WHERE ts IS NOT NULL),
+             |bk AS (SELECT CASE WHEN age_days <= 7 THEN 'a_warm'
+             |    WHEN age_days <= 21 THEN 'b_cool'
+             |    ELSE 'c_expired' END AS bucket, event_type, props
+             |  FROM aged)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) * 32 + COALESCE(SUM(strlen(event_type)), 0)
+             |    + COALESCE(SUM(strlen(props)), 0) + COUNT(*) * 8
+             |    AS BIGINT) AS est_bytes,
+             |  bucket = 'c_expired' AS would_delete
+             |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // STREAMING per-label centroid maintenance through the gate:
     // integer sums commute, so the single-batch replay equals q66's

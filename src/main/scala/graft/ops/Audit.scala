@@ -406,6 +406,89 @@ object Audit {
       .orderBy("ca", "cb")
   }
 
+  /** [[joinableColumns]]' scale path made concrete: per-column
+    * MinHash signatures (the engine-portable h37→mix31 chain, k
+    * combinable mins per column — ONE scan, no value self-join)
+    * beside the exact value-set Jaccard, for every column pair — the
+    * standing accuracy report that justifies shipping sketches
+    * instead of the exact join at 100 TB (where `melted ⋈ melted` on
+    * raw values is the cost ceiling). `err_ppm` is the estimate's
+    * absolute error.
+    *
+    * Shape: signature build is |distinct values|·k rows into a
+    * (column, i) min fold — combinable, never a cross join; the
+    * signature compare is |columns|²·k tiny rows. The exact branch
+    * (for the report's truth column) is the q231 join — at true scale
+    * you drop that branch and keep the sketches.
+    */
+  def joinableColumnsSketch(cols: Seq[(String, DataFrame, String)],
+      numHashes: Int = 32): DataFrame = {
+    val melted = cols.map { case (name, df, c) =>
+      df.select(lit(name).as("cid"), col(c).cast("string").as("v"))
+        .where(col("v").isNotNull).distinct()
+    }.reduce(_.unionByName(_)).localCheckpoint() // sigs + sizes + exact
+    val h37 = expr("aggregate(filter(split(v, ''), c -> c <> ''), 0L, " +
+      "(a, c) -> (a * 37 + ascii(c)) % 2147483647)")
+    val sigs = melted.withColumn("y", Similarity.mix31Col(h37))
+      .select(col("cid"), col("y"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .groupBy("cid", "i")
+      .agg(min(Similarity.mix31Col(col("y") + col("i"))).as("m"))
+    val est = sigs.as("a").join(sigs.as("b"),
+        col("a.i") === col("b.i") && col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("ca"), col("b.cid").as("cb"))
+      .agg(sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L))
+        .as("matches"))
+      .withColumn("est_ppm", expr(s"(matches * 1000000) div $numHashes"))
+    val sizes = melted.groupBy("cid").agg(count(lit(1)).as("n"))
+    val inter = melted.as("a").join(melted.as("b"),
+        col("a.v") === col("b.v") && col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("ca"), col("b.cid").as("cb"))
+      .agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("ca", "cb"), "left")
+      .join(broadcast(sizes.select(col("cid").as("ca"), col("n").as("na"))),
+        "ca")
+      .join(broadcast(sizes.select(col("cid").as("cb"), col("n").as("nb"))),
+        "cb")
+      .select(col("ca"), col("cb"), col("matches"), col("est_ppm"),
+        expr("(coalesce(inter, 0) * 1000000) div (na + nb - coalesce(inter, 0))")
+          .as("jac_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("jac_ppm")))
+      .orderBy("ca", "cb")
+  }
+
+  /** Retention-policy dry run: what a TTL delete would actually
+    * remove — rows and estimated bytes per age bucket (vs the
+    * table's newest timestamp, so the report is reproducible), with
+    * the delete flag on the expired bucket. The "how much does this
+    * policy save, and are we sure" page before anyone runs the real
+    * DELETE at 100 TB. Byte estimate follows
+    * [[broadcastAdvisor]]'s deterministic per-type widths.
+    *
+    * Shape: one scalar max + one combinable bucket aggregate —
+    * a single scan.
+    */
+  def retentionDryRun(events: DataFrame, keepDays: Long = 90L,
+      warmDays: Long = 30L, tsCol: String = "ts"): DataFrame = {
+    val mx = events.agg(max(unix_micros(col(tsCol))).as("mx"))
+    val aged = events.where(col(tsCol).isNotNull)
+      .crossJoin(broadcast(mx))
+      .withColumn("age_days",
+        expr(s"(mx - unix_micros($tsCol)) div 86400000000"))
+      .withColumn("bucket",
+        when(col("age_days") <= warmDays, "a_warm")
+          .when(col("age_days") <= keepDays, "b_cool")
+          .otherwise("c_expired"))
+    aged.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) * 32L +
+          coalesce(sum(octet_length(col("event_type"))), lit(0L)) +
+          coalesce(sum(octet_length(col("props"))), lit(0L)) +
+          count(lit(1)) * 8L).as("est_bytes"))
+      .withColumn("would_delete", col("bucket") === "c_expired")
+      .orderBy("bucket")
+  }
+
   /** Delta-encoding size estimate per column — the storage-planning
     * audit behind "should this column sort the file": sort each
     * column's values ascending, charge 64 bits for the first value

@@ -656,6 +656,46 @@ object Stats {
         col("v").as("at_value"))
   }
 
+  /** Lead-lag cross-correlation between two event types' daily
+    * counts: for every lag in [−maxLag, maxLag], the exact integer
+    * covariance numerator `n·Σxy − Σx·Σy` over days where series A at
+    * `day` aligns with series B at `day + lag` (inner alignment —
+    * days one series misses are excluded, documented), and the
+    * best-lag flag (max covariance, ties to the smallest |lag|, then
+    * lag). "Do purchases follow views by a day" without ever leaving
+    * integer arithmetic.
+    *
+    * Shape: one combinable (type, day) count folds the scan away;
+    * each lag is a day-grid self-join (calendar-bounded); the lag
+    * axis is 2·maxLag+1 rows.
+    */
+  def bestLagXcorr(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int = 3, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isin(typeA, typeB) && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both sides of every lag join
+    val a = daily.where(col("t") === typeA).select(col("day"), col("c").as("xa"))
+    val b = daily.where(col("t") === typeB).select(col("day"), col("c").as("xb"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lags = (-maxLag to maxLag).map(_.toLong).toDF("lag")
+    val aligned = lags.crossJoin(a.withColumnRenamed("day", "da"))
+      .join(b.withColumnRenamed("day", "db"),
+        col("db") === col("da") + col("lag"))
+    val perLag = aligned.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"),
+        sum(col("xb")).as("sy"), sum(col("xa") * col("xb")).as("sxy"))
+      .select(col("lag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+    val w = Window.orderBy(col("cov_num").desc, abs(col("lag")), col("lag"))
+    perLag.withColumn("best", row_number().over(w) === 1)
+      .orderBy("lag")
+  }
+
   /** Per-group KS drift vs the GLOBAL distribution: for every group,
     * the exact two-sample statistic `max_v |F_g(v)·N − F(v)·n_g|`
     * (integer cross-multiplied ECDFs — [[ksTwoSample]] generalized

@@ -226,6 +226,35 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(names === Seq("k", "w"))
   }
 
+  test("joinableColumnsSketch: identical columns match fully, disjoint zero") {
+    val a = (1L to 50L).toDF("k")
+    val b = (1L to 50L).toDF("k")          // identical value set
+    val c = (1001L to 1050L).toDF("k")     // disjoint
+    val r = Audit.joinableColumnsSketch(Seq(("a.k", a, "k"), ("b.k", b, "k"),
+        ("c.k", c, "k"))).collect()
+      .map(x => (x.getAs[String]("ca"), x.getAs[String]("cb")) ->
+        (x.getAs[Long]("matches"), x.getAs[Long]("est_ppm"),
+          x.getAs[Long]("jac_ppm"), x.getAs[Long]("err_ppm"))).toMap
+    assert(r(("a.k", "b.k")) === ((32L, 1000000L, 1000000L, 0L)))
+    assert(r(("a.k", "c.k")) === ((0L, 0L, 0L, 0L)))
+    assert(r(("b.k", "c.k")) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("retentionDryRun: age buckets split at the newest timestamp") {
+    val d = Seq((1L, 0L), (2L, 5L), (3L, 10L), (4L, 40L))
+      .toDF("event_id", "age")
+      // newest row (age 0) anchors the clock; others age backwards
+      .withColumn("ts", expr("timestamp_micros((100 - age) * 86400000000)"))
+      .withColumn("event_type", lit("x"))
+      .withColumn("props", lit("{}"))
+    val r = Audit.retentionDryRun(d, keepDays = 21L, warmDays = 7L)
+      .collect().map(x => x.getAs[String]("bucket") ->
+        (x.getAs[Long]("n_rows"), x.getAs[Boolean]("would_delete"))).toMap
+    assert(r("a_warm") === ((2L, false)))     // ages 0, 5
+    assert(r("b_cool") === ((1L, false)))     // age 10
+    assert(r("c_expired") === ((1L, true)))   // age 40
+  }
+
   test("broadcastAdvisor: exact byte arithmetic per type, threshold flag") {
     // 2 rows: long(8) + string(len+4) + int(4); strings "ab","c" = 3
     // bytes + 2×4 offsets → est = 2×8 + 3 + 8 + 2×4 = 35

@@ -673,6 +673,25 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.isNullAt(r.fieldIndex("acf3_ppm")))
   }
 
+  test("bestLagXcorr: a shifted copy peaks at its true lag") {
+    // purchases = views shifted forward one day (same varying daily
+    // profile) → covariance maxes exactly at lag +1
+    val profile = Seq(5, 1, 8, 2, 9, 3, 7, 1, 6, 4)
+    val rows = profile.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("view", d.toLong)) ++
+        Seq.fill(c)(("purchase", (d + 1).toLong))
+    }
+    val df = rows.toDF("event_type", "d")
+      .withColumn("ts", expr("timestamp_micros(d * 86400000000)"))
+    val r = Stats.bestLagXcorr(df, "view", "purchase").collect()
+      .map(x => x.getAs[Long]("lag") ->
+        (x.getAs[Long]("cov_num"), x.getAs[Boolean]("best"))).toMap
+    assert(r.size === 7)
+    assert(r(1L)._2 === true)
+    assert(r.filter(_._2._2).keySet === Set(1L))
+    assert(r(1L)._1 > r(0L)._1 && r(1L)._1 > r(2L)._1)
+  }
+
   test("ksPerGroup: exact peak gap and location per group") {
     // a = {1,2}, b = {9,10}: each group's ECDF peaks its gap against
     // the pooled distribution at v=2 with |cum_g·N − cum·n_g| = 4 →
