@@ -45,7 +45,11 @@ object Explain {
       "q227_ann_recall", "q231_joinable_columns", "q232_balanced_shards",
       "q236_threshold_calibration", "q244_link_prediction",
       "q246_fd_discovery", "q248_kcenter_coreset", "q250_token_bucket",
-      "q252_survival_curve", "q254_shard_rebalance", "q255_trending_parts")
+      "q252_survival_curve", "q254_shard_rebalance", "q255_trending_parts",
+      "q270_lsh_param_sweep", "q273_power_iteration",
+      "q278_dedup_threshold_sweep", "q280_audio_match",
+      "q285_ks_per_source", "q288_avg_neighbor_degree",
+      "q290_joinable_sketch")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
