@@ -8212,6 +8212,144 @@ private[graft] object QueriesPipeline {
              |  bucket = 'c_expired' AS would_delete
              |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // STREAMING windowed leaderboard: tumbling 6h windows × event
+    // type counted in-stream (Complete drain), top-3 per window
+    // ranked on the drained aggregate.
+    Q("q294_stream_leaderboard",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.OutputMode
+        val counts = graft.streaming.StreamingPipeline.leaderboardStream(
+          QueriesAlert.eventStream(s, dir))
+        val drained = QueriesAlert.drainToMemory(s, counts,
+          "q294_sink", OutputMode.Complete())
+        val w = Window.partitionBy("window_start")
+          .orderBy(col("cnt").desc, col("event_type"))
+        drained.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .orderBy("window_start", "rank")
+      },
+      Some("""WITH w AS (SELECT time_bucket(INTERVAL 6 HOUR, ts)
+             |    AS window_start, event_type,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |r AS (SELECT window_start, event_type, cnt,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+             |      ORDER BY cnt DESC, event_type) AS INTEGER) AS rank
+             |  FROM w)
+             |SELECT window_start, event_type, cnt, rank FROM r
+             |WHERE rank <= 3
+             |ORDER BY window_start, rank""".stripMargin)),
+
+    // Dedup-strategy referee: pairwise precision/recall of the
+    // near-dup CC clustering (q37) against exact-hash groups (q20) as
+    // truth — C(n,2) arithmetic on size tables, no pair lists. Exact
+    // dups are jac-1.0 pairs, so recall is 1e6 by construction and
+    // precision reads "how much MORE the near pass merges".
+    Q("q295_dedup_agreement",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val a = docs.select(col("doc_id").as("id"),
+          md5(col("text")).as("cluster"))
+        val near = DocDedup.clusters(DocDedup.ngramJaccard(docs, n = 3,
+          threshold = 0.5, maxShingleDocFreq = 100L))
+        val b = docs.select(col("doc_id").as("id"))
+          .join(near.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("cluster_id").cast("string"),
+              concat(lit("s"), col("id"))).as("cluster"))
+        Audit.clusteringAgreement(a, b)
+      },
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, lang, string_split(text,' ') AS ws
+             |  FROM documents),
+             |tok AS (SELECT doc_id, lang,
+             |    ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+             |  FROM (SELECT doc_id, lang, ws, generate_subscripts(ws,1)
+             |        AS i FROM w) t
+             |  WHERE i+2 <= len(ws)),
+             |sh AS (SELECT DISTINCT doc_id, lang, s FROM tok),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh
+             |  GROUP BY doc_id),
+             |prs AS (SELECT p.a_id, p.b_id FROM (
+             |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |      COUNT(*) AS inter
+             |    FROM sh a JOIN sh b ON a.s=b.s AND a.lang=b.lang
+             |      AND a.doc_id<b.doc_id
+             |    GROUP BY 1,2) p
+             |  JOIN sizes sa ON p.a_id=sa.doc_id
+             |  JOIN sizes sb ON p.b_id=sb.doc_id
+             |  WHERE CAST(p.inter AS DOUBLE)/(sa.n+sb.n-p.inter) >= 0.5),
+             |edges AS (SELECT a_id AS s, d FROM (
+             |    SELECT a_id, b_id AS d FROM prs
+             |    UNION SELECT b_id, a_id FROM prs) x(a_id, d)),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+             |nodes AS (SELECT DISTINCT s AS node FROM edges),
+             |cc AS (SELECT n.node AS doc_id,
+             |    LEAST(n.node, COALESCE(MIN(r.d), n.node)) AS cluster_id
+             |  FROM nodes n LEFT JOIN reach r ON r.s = n.node
+             |  GROUP BY n.node),
+             |asg_a AS (SELECT doc_id AS id, md5(text) AS cluster
+             |  FROM documents),
+             |asg_b AS (SELECT d.doc_id AS id,
+             |    COALESCE(CAST(cc.cluster_id AS VARCHAR),
+             |      's' || CAST(d.doc_id AS VARCHAR)) AS cluster
+             |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+             |pa AS (SELECT CAST(COALESCE(SUM(n*(n-1)//2), 0) AS BIGINT)
+             |    AS pairs_a
+             |  FROM (SELECT COUNT(*) AS n FROM asg_a GROUP BY cluster)),
+             |pb AS (SELECT CAST(COALESCE(SUM(n*(n-1)//2), 0) AS BIGINT)
+             |    AS pairs_b
+             |  FROM (SELECT COUNT(*) AS n FROM asg_b GROUP BY cluster)),
+             |bo AS (SELECT CAST(COALESCE(SUM(n*(n-1)//2), 0) AS BIGINT)
+             |    AS n_both
+             |  FROM (SELECT COUNT(*) AS n FROM asg_a a JOIN asg_b b
+             |        ON a.id = b.id GROUP BY a.cluster, b.cluster))
+             |SELECT pa.pairs_a, pb.pairs_b, bo.n_both,
+             |  CASE WHEN pb.pairs_b > 0
+             |    THEN bo.n_both * 1000000 // pb.pairs_b END AS precision_ppm,
+             |  CASE WHEN pa.pairs_a > 0
+             |    THEN bo.n_both * 1000000 // pa.pairs_a END AS recall_ppm
+             |FROM pa CROSS JOIN pb CROSS JOIN bo""".stripMargin)),
+
+    // Automated spike drill-down: the strongest hourly spike by
+    // integer excess, attributed to its top users (in-spike share vs
+    // baseline share, exact ppm).
+    Q("q296_spike_drilldown",
+      (s, dir) => Analytics.spikeDrilldown(Tables(s, dir, "events")),
+      Some("""WITH b AS (SELECT event_type AS t, user_id AS u,
+             |    epoch_us(ts) // 3600000000 AS h
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |hc AS (SELECT t, h, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM b GROUP BY 1, 2),
+             |tt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS total,
+             |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hours
+             |  FROM b GROUP BY 1),
+             |sp AS (SELECT hc.t, hc.h, hc.cnt AS spike_cnt, tt.total,
+             |    hc.cnt * tt.n_hours - tt.total AS score
+             |  FROM hc JOIN tt ON tt.t = hc.t
+             |  ORDER BY score DESC, hc.t, hc.h LIMIT 1),
+             |isp AS (SELECT sp.t, sp.h, sp.spike_cnt, sp.total, sp.score,
+             |    b.u, CAST(COUNT(*) AS BIGINT) AS u_cnt
+             |  FROM b JOIN sp ON sp.t = b.t AND sp.h = b.h
+             |  GROUP BY 1, 2, 3, 4, 5, 6),
+             |bl AS (SELECT t, u, CAST(COUNT(*) AS BIGINT) AS u_total
+             |  FROM b GROUP BY 1, 2)
+             |SELECT isp.t AS event_type, isp.h * 3600000000
+             |    AS hour_start_us,
+             |  isp.spike_cnt, isp.score, isp.u AS user_id, isp.u_cnt,
+             |  isp.u_cnt * 1000000 // isp.spike_cnt AS in_spike_share_ppm,
+             |  bl.u_total * 1000000 // isp.total AS baseline_share_ppm
+             |FROM isp JOIN bl ON bl.t = isp.t AND bl.u = isp.u
+             |ORDER BY isp.u_cnt DESC, isp.u LIMIT 5""".stripMargin)),
+
     // STREAMING per-label centroid maintenance through the gate:
     // integer sums commute, so the single-batch replay equals q66's
     // batch op and its oracle verbatim.

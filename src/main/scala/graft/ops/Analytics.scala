@@ -284,6 +284,53 @@ object Analytics {
       .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
   }
 
+  /** Automated spike drill-down: find THE strongest hourly spike
+    * across event types (integer excess `cnt·n_hours − total` — n·x
+    * minus the sum, the mean-free spike score), then attribute it:
+    * the top users inside that hour with their in-spike share vs
+    * their baseline share of the same event type (both exact ppm).
+    * The "what blew up and who did it" page an on-call run opens
+    * first — q158 raises the alarm, this names the driver.
+    *
+    * Shape: one (type, hour) count + per-type totals (combinable), a
+    * 1-row argmax broadcast back onto the raw scan for the single
+    * spike hour, then one per-user count inside it — the drill-down
+    * join touches only the spike hour's rows.
+    */
+  def spikeDrilldown(events: DataFrame, topUsers: Int = 5,
+      typeCol: String = "event_type", keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val base = events
+      .where(col(typeCol).isNotNull && col(keyCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"), col(keyCol).as("u"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .localCheckpoint() // hourly counts + the drill both scan it
+    val hourly = base.groupBy("t", "h").agg(count(lit(1)).as("cnt"))
+    val totals = base.groupBy("t")
+      .agg(count(lit(1)).as("total"), countDistinct(col("h")).as("n_hours"))
+    val spike = hourly.join(totals, "t")
+      .withColumn("score", col("cnt") * col("n_hours") - col("total"))
+      .orderBy(col("score").desc, col("t"), col("h"))
+      .limit(1)
+      .select(col("t"), col("h"), col("cnt").as("spike_cnt"),
+        col("total"), col("score"))
+    val inSpike = base.join(broadcast(spike), Seq("t", "h"))
+      .groupBy("t", "h", "spike_cnt", "total", "score", "u")
+      .agg(count(lit(1)).as("u_cnt"))
+    val baseline = base.groupBy(col("t").as("t"), col("u").as("u"))
+      .agg(count(lit(1)).as("u_total"))
+    inSpike.join(baseline, Seq("t", "u"))
+      .select(col("t").as("event_type"),
+        (col("h") * 3600000000L).as("hour_start_us"),
+        col("spike_cnt"), col("score"), col("u").as("user_id"),
+        col("u_cnt"),
+        expr("u_cnt * 1000000 div spike_cnt").as("in_spike_share_ppm"),
+        expr("u_total * 1000000 div total").as("baseline_share_ppm"))
+      .orderBy(col("u_cnt").desc, col("user_id"))
+      .limit(topUsers)
+  }
+
   /** Top-k categories + an "other" rollup — the display-cardinality
     * cap every dashboard needs: the k biggest categories by count
     * (ties to name) keep their identity, the tail collapses into one

@@ -457,6 +457,38 @@ object Audit {
       .orderBy("ca", "cb")
   }
 
+  /** Pairwise agreement between two clusterings of the same id set —
+    * the standard external cluster-evaluation counts, exact: a "pair"
+    * is two ids sharing a cluster; `n_both` counts pairs co-clustered
+    * under BOTH assignments; precision = n_both/pairs_b treats A as
+    * truth and B as prediction, recall = n_both/pairs_a. The dedup-
+    * strategy referee: "how much of what strategy B merges does
+    * strategy A endorse" without ever materializing a pair list —
+    * C(n,2) arithmetic on cluster sizes and on the JOINT size table
+    * does it with three combinable aggregates.
+    *
+    * Both inputs must cover the same ids ((id, cluster), one row per
+    * id); map uncovered ids to singleton clusters before calling.
+    */
+  def clusteringAgreement(a: DataFrame, b: DataFrame): DataFrame = {
+    def pairsOf(df: DataFrame, as: String) =
+      df.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(as))
+    val joint = a.select(col("id"), col("cluster").as("ca"))
+      .join(b.select(col("id"), col("cluster").as("cb")), "id")
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("n_both"))
+    pairsOf(a, "pairs_a").crossJoin(pairsOf(b, "pairs_b"))
+      .crossJoin(joint)
+      .select(col("pairs_a"), col("pairs_b"), col("n_both"),
+        when(col("pairs_b") > 0,
+          expr("n_both * 1000000 div pairs_b")).otherwise(null)
+          .as("precision_ppm"),
+        when(col("pairs_a") > 0,
+          expr("n_both * 1000000 div pairs_a")).otherwise(null)
+          .as("recall_ppm"))
+  }
+
   /** Retention-policy dry run: what a TTL delete would actually
     * remove — rows and estimated bytes per age bucket (vs the
     * table's newest timestamp, so the report is reproducible), with

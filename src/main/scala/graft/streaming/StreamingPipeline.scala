@@ -314,6 +314,26 @@ object StreamingPipeline {
         })
   }
 
+  /** Streaming windowed leaderboard counts: tumbling event-time
+    * windows × event type, the aggregate feeding a per-window top-k
+    * (ranking happens on the drained result — window functions are
+    * not streaming-incremental, the counts are). Complete-mode drain
+    * emits trailing windows too, so a backfill replay equals the
+    * batch window aggregate and shares its oracle.
+    */
+  def leaderboardStream(events: DataFrame,
+      windowDuration: String = "6 hours",
+      watermarkDelay: String = "10 minutes", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame =
+    events.withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", watermarkDelay)
+      .where(col(typeCol).isNotNull && col("__ts").isNotNull)
+      .groupBy(window(col("__ts"), windowDuration),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+
   /** Per-key funnel progress: earliest first-step time and the
     * earliest second-step at-or-after it. `-1` = not seen.
     */

@@ -354,6 +354,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
       (2L, 2L, 1L, 375000L), (10L, 1L, 0L, 375000L)))
   }
 
+  test("spikeDrilldown: finds the planted spike hour and its driver") {
+    // type x: hours 0-2 are 2/hour (user 9), hour 3 bursts to 10
+    // (user 7 ×8, user 8 ×2); type y idles at 1/hour
+    val rows =
+      (0 until 3).flatMap(h => Seq.fill(2)(("x", 9L, h.toLong))) ++
+      Seq.fill(8)(("x", 7L, 3L)) ++ Seq.fill(2)(("x", 8L, 3L)) ++
+      (0 until 4).map(h => ("y", 1L, h.toLong))
+    val d = rows.toDF("event_type", "user_id", "hh")
+      .withColumn("ts", expr("timestamp_micros(hh * 3600000000)"))
+    val r = graft.ops.Analytics.spikeDrilldown(d).collect()
+    assert(r.length === 2)
+    val top = r.head
+    assert(top.getAs[String]("event_type") === "x")
+    assert(top.getAs[Long]("hour_start_us") === 3L * 3600000000L)
+    assert(top.getAs[Long]("spike_cnt") === 10L)
+    assert(top.getAs[Long]("user_id") === 7L)
+    assert(top.getAs[Long]("in_spike_share_ppm") === 800000L)
+    assert(top.getAs[Long]("baseline_share_ppm") === 500000L)
+    assert(r(1).getAs[Long]("user_id") === 8L)
+    assert(r(1).getAs[Long]("in_spike_share_ppm") === 200000L)
+  }
+
   test("topKOther: tail rolls up with merge count, exact shares") {
     val rows = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
       Seq.fill(2)("d") ++ Seq("e")

@@ -226,6 +226,25 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(names === Seq("k", "w"))
   }
 
+  test("clusteringAgreement: exact pair arithmetic, no pair lists") {
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("id", "cluster")
+    val b = Seq((1L, "p"), (2L, "p"), (3L, "p"), (4L, "q"))
+      .toDF("id", "cluster")
+    val r = Audit.clusteringAgreement(a, b).collect().head
+    // A has 1 pair {1,2}; B has 3 pairs {12,13,23}; both share {1,2}
+    assert(r.getAs[Long]("pairs_a") === 1L)
+    assert(r.getAs[Long]("pairs_b") === 3L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Long]("precision_ppm") === 333333L)
+    assert(r.getAs[Long]("recall_ppm") === 1000000L)
+    // all-singleton side: zero pairs → NULL ratio, not a crash
+    val s = Seq((1L, "a"), (2L, "b")).toDF("id", "cluster")
+    val r2 = Audit.clusteringAgreement(s, b.where($"id" <= 2)).collect().head
+    assert(r2.getAs[Long]("pairs_a") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("recall_ppm")))
+  }
+
   test("joinableColumnsSketch: identical columns match fully, disjoint zero") {
     val a = (1L to 50L).toDF("k")
     val b = (1L to 50L).toDF("k")          // identical value set

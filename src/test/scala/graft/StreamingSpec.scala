@@ -569,6 +569,26 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("leaderboardStream: windowed counts accumulate across batches (Complete)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = graft.streaming.StreamingPipeline.leaderboardStream(
+      mem.toDF(), windowDuration = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ldr")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(Ev(ts(0), 1L, "view"), Ev(ts(1), 1L, "view"),
+        Ev(ts(2), 1L, "purchase"))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(30), 1L, "view"))   // same 10:00 window
+      q.processAllAvailable()
+      val rows = spark.table("ldr").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("cnt"))
+        .toMap
+      assert(rows === Map("view" -> 3L, "purchase" -> 1L))
+    } finally q.stop()
+  }
+
   test("centroidStream: integer sums fold across batches; LWW rows match batch") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Int, Seq[Float])]
