@@ -28,7 +28,9 @@ object SparkEntry {
   import SparkEntryRegistry.Q
 
   private def registry: Seq[Q] = {
-    val all = coreQueries ++ QueriesAlert.registry ++ QueriesPipeline.registry
+    val all = coreQueries ++ QueriesAlert.registry ++
+      QueriesPipeline.registry ++ QueriesTpchFull.registry ++
+      QueriesExt.registry
     // a duplicate name would silently shadow a query AND its oracle
     // check — the correctness gate would shrink with no signal
     val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }

@@ -1345,4 +1345,87 @@ object Stats {
           .when(col("slope_milli") < 0, "down").otherwise("flat").as("trend"))
       .orderBy("grp")
   }
+
+  /** Matrix-profile-lite over the hourly event-count series: for every
+    * complete length-`w` window, the squared euclidean distance to its
+    * nearest NON-OVERLAPPING window (|Δstart| ≥ w, the trivial-match
+    * exclusion zone) plus that neighbor's start — the motif/discord
+    * primitive (low profile = repeated shape, high = anomaly). Counts
+    * are integers, so distances are exact BIGINTs; ties break to the
+    * smallest neighbor start.
+    *
+    * Scale shape: the only data-sized work is the combinable
+    * (hour, count) aggregate — a 100 TB scan folds to one row per
+    * hour. The profile is computed on that SPAN-bounded series (a
+    * year = 8.8k windows): windows materialize as length-`w` arrays
+    * via one per-series window pass, the pair grid is a broadcast
+    * range-join (exclusion-zone predicate), and dist² is a codegen'd
+    * zip_with/aggregate fold per pair. For multi-decade spans the
+    * exact grid would want a PAA-bucket candidate cut + exact verify
+    * (the MinHash-verify pattern); at dashboard spans exact all-pairs
+    * on the aggregated series IS the right plan.
+    */
+  def matrixProfile(events: DataFrame, tsCol: String = "ts",
+      w: Int = 24): DataFrame = {
+    val counts = events.where(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("y"))
+    // dense hour grid: gap hours are real zero-count windows, not holes
+    val span = counts.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = span.select(explode(sequence(col("h0"), col("h1"))).as("h"),
+      col("h0"))
+    val series = grid.join(counts, Seq("h"), "left")
+      .select(col("h"), (col("h") - col("h0")).as("s"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    // one single-partition window pass over the span-bounded series
+    // (hundreds-to-thousands of rows by construction)
+    val byS = Window.orderBy("s")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wins = series
+      .withColumn("v", collect_list(col("y")).over(byS))
+      .where(size(col("v")) === w)
+      .select(col("s"), col("v"))
+      .localCheckpoint() // both sides of the pair grid read it
+    val pairs = wins.as("a").join(broadcast(wins.as("b")),
+        abs(col("a.s") - col("b.s")) >= w)
+      .select(col("a.s").as("s"), col("b.s").as("s2"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, d) -> acc + d)").as("d2"))
+    pairs.groupBy("s")
+      .agg(min(struct(col("d2"), col("s2"))).as("m"))
+      .select(col("s"), col("m.d2").as("dist2"), col("m.s2").as("nn"))
+      .orderBy("s")
+  }
+
+  /** Gini concentration of a metric across contributors, per group —
+    * the inequality summary next to q176's HHI: 0 = evenly spread,
+    * →1 = one contributor holds everything. Exact integer form on
+    * cent totals `x_(1..n)` sorted ascending (ties broken by the
+    * contributor key so the rank assignment is total-ordered):
+    * `G_ppm = ⌊(2·Σ i·x_i − (n+1)·Σx_i)·10⁶ / (n·Σx_i)⌋`.
+    *
+    * Scale shape: one combinable (group, contributor) sum folds the
+    * raw scan; the rank window runs over contributor-level rows (the
+    * |users|-sized table, not the event stream), partitioned by group
+    * so groups scale out; the final fold is map-side combinable.
+    */
+  def giniConcentration(events: DataFrame, grpCol: String = "event_type",
+      keyCol: String = "user_id", valCol: String = "value"): DataFrame = {
+    val per = events
+      .where(col(grpCol).isNotNull && col(keyCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"), col(keyCol).as("k"))
+      .agg(sum(expr(s"cast(round($valCol * 100) as bigint)")).as("xc"))
+    val byGrp = Window.partitionBy("grp")
+    per
+      .withColumn("i", row_number().over(byGrp.orderBy("xc", "k")).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("total_c"),
+        sum(col("i") * col("xc")).as("ix"))
+      .select(col("grp"), col("n"), col("total_c"),
+        // decimal(38): ix·10⁶ overflows BIGINT around 10¹³ total cents
+        expr("cast(2 * ix - (n + 1) * total_c as decimal(38,0)) " +
+          "* 1000000 div nullif(n * total_c, 0)").as("gini_ppm"))
+      .orderBy("grp")
+  }
 }

@@ -816,4 +816,57 @@ object TextAnalysis {
         expr("pass_quality * 1000000 div n_docs"))
       .orderBy("source")
   }
+
+  /** Per-document suffix-array ranks by prefix doubling — the
+    * distributed construction behind exact substring dedup at corpus
+    * scale (the suffix array is what "find every duplicated span ≥ L"
+    * indexes, cf. training-set dedup à la Lee et al.). Round k sorts
+    * suffixes by their first 2^k characters using only the PREVIOUS
+    * round's ranks: rank2k(i) = dense_rank by (rankk(i), rankk(i+2^k)),
+    * with 0 as the past-the-end sentinel (every real rank is ≥ 1, so
+    * shorter-suffix-first falls out of the sort like byte-lex compare).
+    * ⌈log₂ maxLen⌉ rounds total.
+    *
+    * Shape: both the `lead` and the `dense_rank` of every round are
+    * windows PARTITIONED BY doc_id — so after the first shuffle the
+    * rounds are per-partition sorts with no further exchange (Spark
+    * reuses the child partitioning), and docs scale out horizontally.
+    * No joins: the pos+2^k lookup is a `lead(rank, 2^k)`, not a
+    * self-join. Rounds are localCheckpoint'd so the lineage doesn't
+    * stack ⌈log₂ maxLen⌉ window plans. Returns (doc_id, n_suffixes,
+    * rank_checksum = Σ pos·rank) — the checksum pins every rank
+    * without shipping |text| rows per doc.
+    */
+  def suffixArrayChecksum(docs: DataFrame, maxLen: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Window.partitionBy("doc_id")
+    val byPos = perDoc.orderBy("pos")
+    var df = Par.spread(docs)
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, maxLen).as("t"))
+      .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
+      // round 0: rank by first character (ascii ≥ 1 keeps the 0
+      // sentinel strictly smallest)
+      .withColumn("rank",
+        dense_rank().over(perDoc.orderBy(expr("substring(t, pos, 1)")))
+          .cast("long"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .localCheckpoint()
+    var k = 1
+    while (k < maxLen) {
+      df = df
+        .withColumn("r2", lead(col("rank"), k, 0L).over(byPos))
+        .withColumn("rank",
+          dense_rank().over(perDoc.orderBy("rank", "r2")).cast("long"))
+        .select(col("doc_id"), col("pos"), col("rank"))
+        .localCheckpoint()
+      k *= 2
+    }
+    df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_suffixes"),
+        sum(col("pos") * col("rank")).as("rank_checksum"))
+      .orderBy("doc_id")
+  }
 }

@@ -1188,4 +1188,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       .map(x => x.getAs[Int]("dim_i") -> x.getAs[Long]("w_milli")).toMap
     assert(r2 === Map(1 -> 1000L, 2 -> 1000L))
   }
+
+  test("suffixArrayChecksum matches brute-force suffix sort") {
+    // banana: classic repeated-suffix stress; abab: period-2 ties that
+    // only resolve in the second doubling round; z: single char
+    val docs = Seq((1L, "banana"), (2L, "abab"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.suffixArrayChecksum(docs, maxLen = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_suffixes"), r.getAs[Long]("rank_checksum"))).toMap
+    val want = Seq((1L, "banana"), (2L, "abab"), (3L, "z")).map {
+      case (id, t) =>
+        val ranks = (1 to t.length)
+          .sortBy(p => t.substring(p - 1)).zipWithIndex
+          .map { case (p, i) => p.toLong * (i + 1) }
+        id -> (t.length.toLong, ranks.sum)
+    }.toMap
+    assert(got === want)
+  }
 }

@@ -746,4 +746,46 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.head.getAs[Long]("slope_milli") === -1000L)
     assert(r.head.getAs[String]("trend") === "down")
   }
+
+  test("matrixProfile finds the planted repeat and flags the discord") {
+    // 4 days of hourly events: days 1, 2 and 4 share the same daily
+    // shape (1 event at hour h for even h); day 3 is a burst day.
+    // Every window aligned to a repeated day has an identical twin
+    // 24h or 72h away (dist² = 0 for the day-aligned windows); the
+    // burst-day windows sit far from everything.
+    def day(d: Int, burst: Boolean): Seq[(Long, java.sql.Timestamp)] =
+      (0 until 24).flatMap { h =>
+        val n = if (burst) 5 else if (h % 2 == 0) 1 else 0
+        Seq.fill(n)((d * 24L + h,
+          new java.sql.Timestamp((d * 24L + h) * 3600 * 1000)))
+      }
+    val ev = (day(0, false) ++ day(1, false) ++ day(2, true) ++
+      day(3, false)).toDF("event_id", "ts")
+    val r = Stats.matrixProfile(ev).collect()
+      .map(x => x.getAs[Long]("s") ->
+        (x.getAs[Long]("dist2"), x.getAs[Long]("nn"))).toMap
+    // window at day-0 hour-0 matches day-1 hour-0 exactly
+    assert(r(0L) === (0L, 24L))
+    // day-1 start prefers its identical day-0 twin (smaller nn wins ties)
+    assert(r(24L) === (0L, 0L))
+    // burst-day start: nearest is a clean day, 12 hours × (5-1)² +
+    // 12 × 5² = 492
+    assert(r(48L)._1 === 492L)
+  }
+
+  test("giniConcentration: equal split is 0, near-total concentration is high") {
+    // type "eq": 4 users × 25.00 → gini 0 (the -(n+1) correction
+    // exactly cancels); type "one": one user holds 99.97 of 100.00
+    val d = (Seq(("eq", 1L, 25.0), ("eq", 2L, 25.0), ("eq", 3L, 25.0),
+      ("eq", 4L, 25.0)) ++
+      Seq(("one", 1L, 0.01), ("one", 2L, 0.01), ("one", 3L, 0.01),
+        ("one", 4L, 99.97)))
+      .toDF("event_type", "user_id", "value")
+    val r = Stats.giniConcentration(d).collect()
+      .map(x => x.getAs[String]("grp") -> x.getAs[Long]("gini_ppm")).toMap
+    assert(r("eq") === 0L)
+    // sorted cents (1,1,1,9997): G = (2·(1+2+3+4·9997)−5·10000)/(4·10000)
+    assert(r("one") === ((2L * (1 + 2 + 3 + 4 * 9997) - 5 * 10000) *
+      1000000L) / (4L * 10000))
+  }
 }
