@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Stats, TextAnalysis}
+import graft.ops.{Analytics, Similarity, Stats, TextAnalysis}
 
 /** Round-4 extension registry (q301+): operators added after the
   * QueriesPipeline file reached review-hostile size. Same contract as
@@ -82,5 +82,156 @@ private[graft] object QueriesExt {
              |  CAST((2 * SUM(i * xc) - (COUNT(*) + 1) * SUM(xc))
              |    * 1000000 // NULLIF(COUNT(*) * SUM(xc), 0) AS BIGINT)
              |    AS gini_ppm
-             |FROM r GROUP BY grp ORDER BY grp""".stripMargin)))
+             |FROM r GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // Exact closed-form two-feature OLS (extended price ~ quantity +
+    // retail price) — nine combinable integer moments, Cramer solve in
+    // exact wide arithmetic, residual R² second pass. The one float
+    // step is the final identically-ordered double ratio.
+    Q("q304_ols_regression",
+      (s, dir) => Stats.olsRegression(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "part")),
+      Some("""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             |    CAST(round(p_retailprice * 10) AS BIGINT) AS x2,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS y
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x1) AS BIGINT) AS s1,
+             |    CAST(SUM(x2) AS BIGINT) AS s2,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             |    CAST(SUM(x2 * y) AS BIGINT) AS s2y FROM b),
+             |c AS (SELECT n, sy, s1, s2,
+             |    CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1
+             |      AS c11,
+             |    CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2
+             |      AS c22,
+             |    CAST(n AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * s2
+             |      AS c12,
+             |    CAST(n AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy
+             |      AS c1y,
+             |    CAST(n AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * sy
+             |      AS c2y
+             |  FROM s),
+             |d AS (SELECT n, sy, s1, s2,
+             |    c11 * c22 - c12 * c12 AS det,
+             |    c1y * c22 - c2y * c12 AS n1,
+             |    c2y * c11 - c1y * c12 AS n2 FROM c),
+             |e AS (SELECT n, sy, s1, s2,
+             |    n1 // det * 1000 + (n1 - n1 // det * det) * 1000 // det
+             |      AS b1_milli,
+             |    n2 // det * 1000 + (n2 - n2 // det * det) * 1000 // det
+             |      AS b2_milli
+             |  FROM d),
+             |f AS (SELECT n, sy, b1_milli, b2_milli,
+             |    (1000 * sy - b1_milli * s1 - b2_milli * s2) // n
+             |      AS b0_milli FROM e),
+             |g AS (SELECT f.n AS n, f.b0_milli AS b0_milli,
+             |    f.b1_milli AS b1_milli, f.b2_milli AS b2_milli,
+             |    CAST(SUM(CAST(1000 * y - (f.b0_milli + f.b1_milli * x1
+             |        + f.b2_milli * x2) AS HUGEINT)
+             |      * (1000 * y - (f.b0_milli + f.b1_milli * x1
+             |        + f.b2_milli * x2))) AS HUGEINT) AS sse,
+             |    CAST(SUM(CAST(f.n * y - f.sy AS HUGEINT)
+             |      * (f.n * y - f.sy)) AS HUGEINT) AS sst
+             |  FROM b CROSS JOIN f GROUP BY 1, 2, 3, 4)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(b0_milli AS BIGINT) AS b0_milli,
+             |  CAST(b1_milli AS BIGINT) AS b1_milli,
+             |  CAST(b2_milli AS BIGINT) AS b2_milli,
+             |  1000000 - CAST(floor(CAST(sse AS DOUBLE)
+             |    * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             |    / CAST(sst AS DOUBLE)) AS BIGINT) AS r2_ppm
+             |FROM g""".stripMargin)),
+
+    // Sequential-pattern support a→b (unbounded gap): users with some
+    // a strictly before some b, via one per-user min/max fold.
+    Q("q305_seq_pair_support",
+      (s, dir) => Analytics.sequentialPairSupport(
+        Tables(s, dir, "events")),
+      Some("""WITH ut AS (SELECT user_id AS u, event_type AS t,
+             |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             |    AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT)
+             |    AS n_users FROM ut)
+             |SELECT a.t AS first_type, b.t AS then_type,
+             |  CAST(COUNT(DISTINCT a.u) AS BIGINT) AS support_users,
+             |  CAST(COUNT(DISTINCT a.u) * 1000000 // tot.n_users
+             |    AS BIGINT) AS support_ppm
+             |FROM ut a JOIN ut b
+             |  ON a.u = b.u AND a.t <> b.t AND a.lo < b.hi
+             |CROSS JOIN tot
+             |GROUP BY a.t, b.t, tot.n_users
+             |ORDER BY support_users DESC, first_type, then_type"""
+        .stripMargin)),
+
+    // RAKE-lite keyphrases: stopword-free runs scored by the corpus
+    // word graph (deg/freq), exact micro units.
+    Q("q306_rake_keywords",
+      (s, dir) => TextAnalysis.rakeKeywords(Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |tok AS (SELECT doc_id, unnest(ws) AS w,
+             |    generate_subscripts(ws, 1) AS pos FROM w),
+             |tk AS (SELECT doc_id, pos, w,
+             |    (w IN ('the','a','of','and','to','in','is')) AS is_stop
+             |  FROM tok WHERE length(w) > 0),
+             |ph AS (SELECT doc_id, pos, w, is_stop,
+             |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+             |  FROM tk),
+             |np AS (SELECT doc_id, pid, pos, w FROM ph
+             |  WHERE NOT is_stop),
+             |pl AS (SELECT doc_id, pid,
+             |    CAST(COUNT(*) AS BIGINT) AS len,
+             |    string_agg(w, ' ' ORDER BY pos) AS phrase
+             |  FROM np GROUP BY 1, 2 HAVING COUNT(*) <= 5),
+             |kept AS (SELECT np.doc_id, np.pid, np.w, pl.len
+             |  FROM np JOIN pl USING (doc_id, pid)),
+             |st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             |    CAST(SUM(len) AS BIGINT) AS deg FROM kept GROUP BY 1),
+             |sc AS (SELECT w, deg * 1000000 // freq AS score_micro
+             |  FROM st),
+             |ps AS (SELECT kept.doc_id, kept.pid,
+             |    CAST(SUM(sc.score_micro) AS BIGINT) AS ps
+             |  FROM kept JOIN sc USING (w) GROUP BY 1, 2)
+             |SELECT pl.phrase AS phrase,
+             |  CAST(MAX(pl.len) AS BIGINT) AS len,
+             |  CAST(COUNT(*) AS BIGINT) AS occurrences,
+             |  CAST(MAX(ps.ps) AS BIGINT) AS score_micro
+             |FROM ps JOIN pl USING (doc_id, pid)
+             |GROUP BY pl.phrase
+             |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin)),
+
+    // Diagonal-Mahalanobis embedding outliers: exact cross-multiplied
+    // z² sum per vector, top-20 discords.
+    Q("q307_mahalanobis_outliers",
+      (s, dir) => Similarity.mahalanobisOutliers(
+        Tables(s, dir, "embeddings")),
+      Some("""WITH x AS (SELECT vec_id,
+             |    generate_subscripts(embedding, 1) AS idx,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+             |      AS BIGINT) AS xm
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |st AS (SELECT idx, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(xm) AS BIGINT) AS s,
+             |    CAST(SUM(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS q
+             |  FROM x GROUP BY 1),
+             |z AS (SELECT x.vec_id,
+             |    COALESCE((CAST(st.n AS HUGEINT) * x.xm - st.s)
+             |      * (CAST(st.n AS HUGEINT) * x.xm - st.s) * 1000000
+             |      // NULLIF(CAST(st.n AS HUGEINT) * st.q
+             |        - CAST(st.s AS HUGEINT) * st.s, 0), 0) AS z2
+             |  FROM x JOIN st USING (idx))
+             |SELECT vec_id, CAST(SUM(z2) AS BIGINT) AS score_ppm,
+             |  CAST(COUNT(*) AS BIGINT) AS dims
+             |FROM z GROUP BY 1
+             |ORDER BY score_ppm DESC, vec_id LIMIT 20""".stripMargin)))
 }

@@ -724,4 +724,41 @@ object Analytics {
       .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
       .limit(topN)
   }
+
+  /** Sequential-pattern support (PrefixSpan level 2 with unbounded
+    * gap): for every ordered type pair a→b, how many users emitted
+    * some `a` strictly before some `b` — the subsequence-containment
+    * count q272's ADJACENT trigrams can't see (a → … → b across any
+    * distance still counts here). Containment test per user is just
+    * `min_ts(a) < max_ts(b)`, so the whole op rides one combinable
+    * (user, type) min/max aggregate.
+    *
+    * Scale shape: the raw scan folds to |users|·|types| rows; the
+    * a×b expansion multiplies by |types| (a catalog constant, not a
+    * data dimension), and the final count groups to |types|². The
+    * one shuffle is the per-user aggregate key.
+    */
+  def sequentialPairSupport(events: DataFrame,
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val ut = events
+      .where(col(typeCol).isNotNull && col(userCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(expr(s"unix_micros($tsCol)")).as("lo"),
+        max(expr(s"unix_micros($tsCol)")).as("hi"))
+      .localCheckpoint() // both sides of the pair expansion + the total
+    val total = ut.select(countDistinct(col("u")).as("n_users"))
+    ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") =!= col("b.t") &&
+          col("a.lo") < col("b.hi"))
+      .groupBy(col("a.t").as("first_type"), col("b.t").as("then_type"))
+      .agg(countDistinct(col("a.u")).as("support_users"))
+      .crossJoin(broadcast(total))
+      .withColumn("support_ppm",
+        expr("support_users * 1000000 div n_users"))
+      .select("first_type", "then_type", "support_users", "support_ppm")
+      .orderBy(col("support_users").desc, col("first_type"),
+        col("then_type"))
+  }
 }

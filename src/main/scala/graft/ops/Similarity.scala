@@ -1007,4 +1007,40 @@ object Similarity {
         expr("num * 1000000 div (den * trace_scaled)").as("explained_ppm"),
         col("top_dim"))
   }
+
+  /** Diagonal-Mahalanobis embedding outliers: per-vector anomaly score
+    * Σ_d (x_d − μ_d)²/σ_d² in exact ppm integers — the embedding-space
+    * complement to q213's value-space grid density (a vector can be
+    * in-range on every metric yet sit nowhere near the data cloud).
+    * Per-dim cross-multiplied form (micro units xm = ⌊x·10⁶⌋):
+    * z²_d·10⁶ = (n·xm − S_d)²·10⁶ div (n·Q_d − S_d²) — no float
+    * moment is ever computed; a zero-variance dim contributes 0.
+    *
+    * Scale shape: posexplode is map-only dim fan-out; the per-dim
+    * (n, S, Q) aggregate is combinable and folds a 100 TB scan to
+    * `dim` rows, broadcast back onto the stream; the score is one
+    * combinable per-vector sum and the output a bounded top-k.
+    */
+  def mahalanobisOutliers(embeddings: DataFrame, k: Int = 20,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val xm = embeddings
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx"),
+        floor(col("x") * 1e6).cast("long").as("xm"))
+      .localCheckpoint() // stats pass + score pass share it
+    val stats = xm.groupBy("idx").agg(
+      count(lit(1)).as("n"), sum("xm").as("s"),
+      sum(expr("cast(xm as decimal(19,0)) * xm")).as("q"))
+    xm.join(broadcast(stats), "idx")
+      .withColumn("dev", expr("cast(n as decimal(12,0)) * xm - s"))
+      .withColumn("z2_ppm", expr(
+        """coalesce(dev * dev * 1000000
+           div nullif(cast(n as decimal(12,0)) * q - cast(s as decimal(20,0)) * s, 0), 0)"""))
+      .groupBy("vec_id")
+      .agg(sum(col("z2_ppm")).as("score_ppm"), count(lit(1)).as("dims"))
+      .orderBy(col("score_ppm").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -1346,6 +1346,78 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Exact two-feature OLS (y = b0 + b1·x1 + b2·x2) fit with the
+    * closed-form normal equations over COMBINABLE integer sums — the
+    * distributed linear-model primitive: one map-side-foldable
+    * aggregate produces the nine moments (n, Σx1, Σx2, Σy, Σx1²,
+    * Σx2², Σx1x2, Σx1y, Σx2y), the centered 2×2 system solves by
+    * Cramer in exact decimal arithmetic, and a second pass scores
+    * residuals with the integer milli coefficients. Nothing but the
+    * two scans is data-sized; the solve is a one-row cross join.
+    *
+    * Exactness contract: units are chosen so every intermediate fits
+    * DECIMAL(38)/HUGEINT at sf0.1 with headroom to ~10⁷ rows (y in
+    * whole dollars, x2 in deci-dollars; the worst term C1y·C22 is
+    * ~10³⁷ at 6·10⁵ rows, growing ~n² — beyond that, rescale units).
+    * The milli coefficients are exact integer two-step divisions
+    * (q·1000 + trunc(r·1000/D) ≡ trunc(num·1000/D), avoiding the
+    * num·1000 overflow); both engines truncate toward zero. Only the
+    * final R² ratio is one identically-ordered double division.
+    */
+  def olsRegression(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val base = lineitem.join(broadcast(part),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        expr("cast(round(l_quantity) as bigint)").as("x1"),
+        expr("cast(round(p_retailprice * 10) as bigint)").as("x2"),
+        expr("cast(round(l_extendedprice) as bigint)").as("y"))
+      .localCheckpoint() // moments pass + residual pass share it
+    val sums = base.agg(
+      count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    val coef = sums
+      // centered second moments: C_ab = n·S_ab − S_a·S_b (exact)
+      .withColumn("c11", expr(
+        "cast(n as decimal(12,0)) * s11 - cast(s1 as decimal(20,0)) * s1"))
+      .withColumn("c22", expr(
+        "cast(n as decimal(12,0)) * s22 - cast(s2 as decimal(20,0)) * s2"))
+      .withColumn("c12", expr(
+        "cast(n as decimal(12,0)) * s12 - cast(s1 as decimal(20,0)) * s2"))
+      .withColumn("c1y", expr(
+        "cast(n as decimal(12,0)) * s1y - cast(s1 as decimal(20,0)) * sy"))
+      .withColumn("c2y", expr(
+        "cast(n as decimal(12,0)) * s2y - cast(s2 as decimal(20,0)) * sy"))
+      .withColumn("det", expr("c11 * c22 - c12 * c12"))
+      .withColumn("n1", expr("c1y * c22 - c2y * c12"))
+      .withColumn("n2", expr("c2y * c11 - c1y * c12"))
+      // b_milli = trunc(num·1000/det) without materializing num·1000
+      .withColumn("b1_milli", expr(
+        "n1 div det * 1000 + (n1 - n1 div det * det) * 1000 div det"))
+      .withColumn("b2_milli", expr(
+        "n2 div det * 1000 + (n2 - n2 div det * det) * 1000 div det"))
+      .withColumn("b0_milli", expr(
+        "(1000 * sy - b1_milli * s1 - b2_milli * s2) div n"))
+      .select("n", "sy", "b0_milli", "b1_milli", "b2_milli")
+    base.crossJoin(broadcast(coef))
+      .withColumn("resid_milli",
+        expr("1000 * y - (b0_milli + b1_milli * x1 + b2_milli * x2)"))
+      .withColumn("dev", expr("n * y - sy"))
+      .groupBy("n", "b0_milli", "b1_milli", "b2_milli")
+      .agg(
+        sum(expr("cast(resid_milli as decimal(19,0)) * resid_milli"))
+          .as("sse"),
+        sum(expr("cast(dev as decimal(19,0)) * dev")).as("sst"))
+      .select(col("n"), col("b0_milli"), col("b1_milli"), col("b2_milli"),
+        expr("""1000000 - cast(floor(cast(sse as double)
+          * cast(n as double) * cast(n as double)
+          / cast(sst as double)) as bigint)""").as("r2_ppm"))
+  }
+
   /** Matrix-profile-lite over the hourly event-count series: for every
     * complete length-`w` window, the squared euclidean distance to its
     * nearest NON-OVERLAPPING window (|Δstart| ≥ w, the trivial-match

@@ -817,6 +817,64 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** RAKE-lite keyword extraction over the corpus: candidate phrases
+    * are maximal stopword-free word runs (capped at `maxPhraseLen` —
+    * longer runs are boilerplate, not keyphrases), each word scores
+    * `deg/freq` where `freq` counts its occurrences inside candidate
+    * phrases and `deg` sums the lengths of the phrases it appears in
+    * (so words that live in longer collocations outrank bare
+    * high-frequency words), and a phrase scores the sum of its word
+    * scores — exact micro-unit integers throughout. Distinct from
+    * q95's collocations (adjacent-pair PMI) and q61's tf-idf
+    * (per-doc term weighting): RAKE ranks multi-word PHRASES with a
+    * corpus-global word graph.
+    *
+    * Scale shape: tokenize map-only; the phrase segmentation is a
+    * per-doc running stopword count (window partitioned by doc); word
+    * stats are one combinable groupBy over the token stream; the
+    * score join broadcasts the |vocab|-sized stats table; final
+    * ranking is a bounded top-k.
+    */
+  def rakeKeywords(docs: DataFrame, stops: Seq[String] = EnStop,
+      maxPhraseLen: Int = 5, k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Par.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("col", "w")
+      .where(length(col("w")) > 0)
+      .withColumn("is_stop", col("w").isInCollection(stops))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val inPhrase = toks
+      .withColumn("pid",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
+      .where(!col("is_stop"))
+      .select(col("doc_id"), col("pid"), col("pos"), col("w"))
+      .localCheckpoint() // phrase table + word stats + score join share it
+    val phrases = inPhrase.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("len"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, w))), s -> s.w)"),
+          " ").as("phrase"))
+      .where(col("len") <= maxPhraseLen)
+    val kept = inPhrase.join(phrases.select("doc_id", "pid", "len"),
+      Seq("doc_id", "pid"))
+    val stats = kept.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .withColumn("score_micro", expr("deg * 1000000 div freq"))
+    kept.join(broadcast(stats.select("w", "score_micro")), "w")
+      .groupBy("doc_id", "pid")
+      .agg(sum("score_micro").as("ps"))
+      .join(phrases, Seq("doc_id", "pid"))
+      .groupBy("phrase")
+      .agg(max(col("len")).as("len"), count(lit(1)).as("occurrences"),
+        max(col("ps")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Per-document suffix-array ranks by prefix doubling — the
     * distributed construction behind exact substring dedup at corpus
     * scale (the suffix array is what "find every duplicated span ≥ L"

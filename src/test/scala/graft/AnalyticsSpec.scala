@@ -439,4 +439,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r.toSet.contains(("B", "C", "A", 1L, 1L)))
     assert(r.toSet.contains(("C", "A", "B", 1L, 1L)))
   }
+
+  test("sequentialPairSupport counts strictly-ordered containment with gaps") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // u1: A at 10, C at 20, B at 30 → A→C, A→B, C→B (gap over C counts)
+    // u2: B at 10, A at 20           → B→A only (A NOT before B)
+    // u3: A and B both at 10         → ties are NOT "before" (strict <)
+    val ev = Seq((1L, "A", t(10)), (1L, "C", t(20)), (1L, "B", t(30)),
+      (2L, "B", t(10)), (2L, "A", t(20)),
+      (3L, "A", t(10)), (3L, "B", t(10)))
+      .toDF("user_id", "event_type", "ts")
+    val r = Analytics.sequentialPairSupport(ev).collect()
+      .map(x => (x.getAs[String]("first_type"), x.getAs[String]("then_type"))
+        -> (x.getAs[Long]("support_users"), x.getAs[Long]("support_ppm")))
+      .toMap
+    assert(r(("A", "B")) === (1L, 333333L)) // u1 only, of 3 users
+    assert(r(("A", "C")) === (1L, 333333L))
+    assert(r(("C", "B")) === (1L, 333333L))
+    assert(r(("B", "A")) === (1L, 333333L)) // u2
+    assert(!r.contains(("B", "C"))) // nobody has B before C
+  }
 }

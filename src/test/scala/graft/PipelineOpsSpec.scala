@@ -1206,4 +1206,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     }.toMap
     assert(got === want)
   }
+
+  test("rakeKeywords scores phrases by the deg/freq word graph") {
+    // One doc, stopword 'the' splits two phrases: "red widget" and
+    // "red". Word stats over kept phrases: red: freq 2, deg 2+1=3 →
+    // 1.5e6; widget: freq 1, deg 2 → 2e6.
+    val docs = Seq((1L, "red widget the red")).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeywords(docs).collect()
+      .map(x => x.getAs[String]("phrase") ->
+        (x.getAs[Long]("len"), x.getAs[Long]("occurrences"),
+          x.getAs[Long]("score_micro"))).toMap
+    assert(r("red widget") === (2L, 1L, 1500000L + 2000000L))
+    assert(r("red") === (1L, 1L, 1500000L))
+  }
+
+  test("mahalanobisOutliers ranks the planted discord first") {
+    // 9 vectors near the origin with slight per-dim jitter (nonzero
+    // variance), one far off in both dims → largest z² sum
+    val vecs = (0 until 9).map(i =>
+      (i.toLong, Array(0.001f * (i % 3), 0.001f * (i % 2)))) :+
+      (99L, Array(0.4f, 0.4f))
+    val r = Similarity.mahalanobisOutliers(vecs.toDF("vec_id", "embedding"))
+      .collect()
+    assert(r.head.getAs[Long]("vec_id") === 99L)
+    assert(r.head.getAs[Long]("dims") === 2L)
+    assert(r.head.getAs[Long]("score_ppm") > r(1).getAs[Long]("score_ppm"))
+  }
 }

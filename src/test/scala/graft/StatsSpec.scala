@@ -788,4 +788,23 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r("one") === ((2L * (1 + 2 + 3 + 4 * 9997) - 5 * 10000) *
       1000000L) / (4L * 10000))
   }
+
+  test("olsRegression recovers an exactly-linear relationship") {
+    // y = 7 + 2·x1 + 3·(x2/10) dollars exactly, on a non-degenerate
+    // (x1, x2) grid — coefficients must come back exact in milli and
+    // R² must be a perfect 1000000 (zero residuals)
+    val li = (for (q <- 1 to 5; p <- 0 until 4) yield {
+      val retail = 900.0 + p * 10 // one decimal place, like the table
+      (100L + p, q.toDouble, 7.0 + 2 * q + 3 * retail / 10)
+    }).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = (0 until 4).map(p => (100L + p, 900.0 + p * 10))
+      .toDF("p_partkey", "p_retailprice")
+    val r = Stats.olsRegression(li, part).collect().head
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("b1_milli") === 2000L)
+    // x2 = retail·10 deci-dollars, so 3·retail/10 = 0.03·x2 dollars
+    assert(r.getAs[Long]("b2_milli") === 30L)
+    assert(r.getAs[Long]("b0_milli") === 7000L)
+    assert(r.getAs[Long]("r2_ppm") === 1000000L)
+  }
 }
