@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Similarity, Stats, TextAnalysis}
+import graft.ops.{Analytics, Graph, Similarity, Stats, TextAnalysis}
 
 /** Round-4 extension registry (q301+): operators added after the
   * QueriesPipeline file reached review-hostile size. Same contract as
@@ -233,5 +233,78 @@ private[graft] object QueriesExt {
              |SELECT vec_id, CAST(SUM(z2) AS BIGINT) AS score_ppm,
              |  CAST(COUNT(*) AS BIGINT) AS dims
              |FROM z GROUP BY 1
-             |ORDER BY score_ppm DESC, vec_id LIMIT 20""".stripMargin)))
+             |ORDER BY score_ppm DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // Strongly connected component from the pivot of the DIRECTED
+    // part-handoff customer graph (consecutive buyers of a small part
+    // order by date) — FW-BW reachability to fixpoint, intersected.
+    // Recursive-CTE oracle (UNION-dedup handles cycles exactly).
+    Q("q308_scc_pivot",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 3)
+          .select(col("p_partkey"))
+        val po = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("p"), col("o_custkey").as("cust"),
+            col("o_orderdate").as("dt"))
+          .distinct()
+        val w = Window.partitionBy("p").orderBy("dt", "cust")
+        val edges = po.withColumn("nxt", lead(col("cust"), 1).over(w))
+          .where(col("nxt").isNotNull && col("nxt") =!= col("cust"))
+          .select(col("cust").as("src"), col("nxt").as("dst"))
+        Graph.sccFromPivot(edges)
+      },
+      Some("""WITH RECURSIVE
+             |pk AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+             |po AS (SELECT DISTINCT l_partkey AS p,
+             |    o.o_custkey AS cust, o.o_orderdate AS dt
+             |  FROM lineitem l
+             |  JOIN pk ON pk.p_partkey = l.l_partkey
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |ed AS (SELECT cust AS src, LEAD(cust) OVER
+             |    (PARTITION BY p ORDER BY dt, cust) AS dst FROM po),
+             |e AS (SELECT DISTINCT src, dst FROM ed
+             |  WHERE dst IS NOT NULL AND dst <> src),
+             |pv AS (SELECT LEAST(MIN(src), MIN(dst)) AS n FROM e),
+             |fwd(n) AS (SELECT n FROM pv
+             |  UNION
+             |  SELECT e.dst FROM e JOIN fwd ON e.src = fwd.n),
+             |bwd(n) AS (SELECT n FROM pv
+             |  UNION
+             |  SELECT e.src FROM e JOIN bwd ON e.dst = bwd.n),
+             |scc AS (SELECT fwd.n FROM fwd JOIN bwd ON bwd.n = fwd.n)
+             |SELECT n AS node,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM scc) AS scc_size
+             |FROM scc ORDER BY node""".stripMargin)),
+
+    // Deterministic RANSAC line on the daily series: anchor-pair
+    // hypotheses, exact cross-multiplied inlier band, consensus win.
+    Q("q309_ransac_line",
+      (s, dir) => Stats.ransacLine(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS y
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |base AS (SELECT MIN(d) AS d0,
+             |    CAST(COUNT(*) AS BIGINT) AS n_days,
+             |    CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+             |xy AS (SELECT d - base.d0 AS x, y, base.n_days AS n_days,
+             |    sy // (10 * n_days) AS eps FROM daily, base),
+             |an AS (SELECT x, y, n_days, eps FROM xy WHERE x % 7 = 0),
+             |hyp AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2,
+             |    b.y AS y2, a.n_days AS n_days, a.eps AS eps
+             |  FROM an a JOIN an b ON a.x < b.x),
+             |cnt AS (SELECT x1, y1, x2, y2, hyp.n_days AS n_days,
+             |    hyp.eps AS eps, CAST(COUNT(*) AS BIGINT) AS inliers
+             |  FROM xy JOIN hyp ON abs((xy.y - y1) * (x2 - x1)
+             |    - (y2 - y1) * (xy.x - x1)) <= hyp.eps * (x2 - x1)
+             |  GROUP BY 1, 2, 3, 4, 5, 6)
+             |SELECT x1, y1, x2, y2, n_days,
+             |  CAST(eps AS BIGINT) AS eps, inliers,
+             |  CAST((y2 - y1) * 1000 // (x2 - x1) AS BIGINT)
+             |    AS slope_milli
+             |FROM cnt ORDER BY inliers DESC, x1, x2 LIMIT 1"""
+        .stripMargin)))
 }

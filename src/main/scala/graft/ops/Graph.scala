@@ -596,4 +596,50 @@ object Graph {
       .orderBy(col("nbr_deg_milli").desc, col("node"))
       .limit(topN)
   }
+
+  /** The strongly connected component containing the minimum node id
+    * of a DIRECTED graph — the cycle-cluster primitive the undirected
+    * family (q37 CC, q211 k-core) cannot see: on a directed handoff
+    * graph "reachable" and "mutually reachable" differ, and the SCC
+    * is exactly the mutual part. FW-BW pivot step: frontier-expand
+    * forward reachability from the pivot and backward reachability to
+    * it, each to FIXPOINT (the driver loop stops when a round adds no
+    * node — diameter-bounded, checked per round, not guessed); the
+    * SCC is the intersection.
+    *
+    * Scale shape: each round is one hash join (frontier × edges) +
+    * distinct, both keyed on the node id; the reach set only grows, so
+    * work per round is bounded by |reachable edges|. The per-round
+    * driver `count()` is a scalar, not a collect. At 1000-executor
+    * scale the same loop runs with the edge table hash-partitioned
+    * once and reused every round.
+    */
+  def sccFromPivot(edges: DataFrame, maxRounds: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint() // reused every round, both directions
+    val pivot = e.select(least(min("src"), min("dst")).as("n"))
+    def reach(forward: Boolean): DataFrame = {
+      var r = pivot.localCheckpoint()
+      var size = r.count()
+      var round = 0
+      var grew = true
+      while (grew && round < maxRounds) {
+        val step =
+          if (forward) e.join(r, e("src") === r("n")).select(e("dst").as("n"))
+          else e.join(r, e("dst") === r("n")).select(e("src").as("n"))
+        r = r.unionByName(step).distinct().localCheckpoint()
+        val s2 = r.count()
+        grew = s2 > size
+        size = s2
+        round += 1
+      }
+      r
+    }
+    val scc = reach(forward = true).join(reach(forward = false), "n")
+    scc.crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
+      .select(col("n").as("node"), col("scc_size"))
+      .orderBy("node")
+  }
 }

@@ -1346,6 +1346,53 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Deterministic RANSAC line fit on the daily event-count series:
+    * candidate lines are drawn through every pair of ANCHOR days
+    * (day % 7 == 0 — a deterministic stand-in for random sampling, so
+    * both engines enumerate the identical hypothesis set), each
+    * hypothesis counts its inliers with an exact cross-multiplied
+    * point-to-line test (|Δy·(x2−x1) − (y2−y1)·Δx| ≤ eps·(x2−x1),
+    * never a float slope), and the winner is the most-inlier line
+    * with the smallest (x1, x2) tiebreak. eps self-scales to a tenth
+    * of the mean daily count (integer division), so the tolerance
+    * band follows the data volume. Robust to the outlier days that
+    * wreck q177's least-squares slope; complements q269's Theil–Sen
+    * (median-of-slopes) with an inlier-consensus fit that also
+    * REPORTS its consensus size.
+    *
+    * Scale shape: the raw scan folds to one row per day (combinable);
+    * anchors and hypothesis pairs are calendar-bounded; the inlier
+    * count is a broadcast of the tiny hypothesis table onto the daily
+    * series — one data-sized pass, no quadratics in the data.
+    */
+  def ransacLine(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events.where(col(tsCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("y"))
+      .localCheckpoint() // anchors, eps and the inlier pass share it
+    val base = daily.agg(min("d").as("d0"), count(lit(1)).as("n_days"),
+      sum("y").as("sy"))
+    val xy = daily.crossJoin(broadcast(base))
+      .select((col("d") - col("d0")).as("x"), col("y"),
+        col("n_days"), expr("sy div (10 * n_days)").as("eps"))
+      .localCheckpoint()
+    val anchors = xy.where(col("x") % 7 === 0)
+      .select(col("x"), col("y"), col("n_days"), col("eps"))
+    val hyp = anchors.as("a").join(anchors.as("b"),
+        col("a.x") < col("b.x"))
+      .select(col("a.x").as("x1"), col("a.y").as("y1"),
+        col("b.x").as("x2"), col("b.y").as("y2"),
+        col("a.n_days").as("n_days"), col("a.eps").as("eps"))
+    xy.select("x", "y").crossJoin(broadcast(hyp))
+      .where(expr(
+        "abs((y - y1) * (x2 - x1) - (y2 - y1) * (x - x1)) <= eps * (x2 - x1)"))
+      .groupBy("x1", "y1", "x2", "y2", "n_days", "eps")
+      .agg(count(lit(1)).as("inliers"))
+      .withColumn("slope_milli", expr("(y2 - y1) * 1000 div (x2 - x1)"))
+      .orderBy(col("inliers").desc, col("x1"), col("x2"))
+      .limit(1)
+  }
+
   /** Exact two-feature OLS (y = b0 + b1·x1 + b2·x2) fit with the
     * closed-form normal equations over COMBINABLE integer sums — the
     * distributed linear-model primitive: one map-side-foldable

@@ -325,4 +325,14 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     Seq(2L, 3L, 4L).foreach(n =>
       assert(r(n) === ((1L, 3000L, true)), s"node $n"))
   }
+
+  test("sccFromPivot intersects forward and backward reachability") {
+    // 1→2→3→1 is a cycle (the pivot's SCC); 3→4→5 dangles forward
+    // (reachable but not mutual); 6→1 dangles backward
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 1L)).toDF("src", "dst")
+    val r = Graph.sccFromPivot(e).collect()
+      .map(x => (x.getAs[Long]("node"), x.getAs[Long]("scc_size")))
+    assert(r.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L)))
+  }
 }

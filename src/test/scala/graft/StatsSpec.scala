@@ -807,4 +807,23 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("b0_milli") === 7000L)
     assert(r.getAs[Long]("r2_ppm") === 1000000L)
   }
+
+  test("ransacLine's consensus ignores the burst days OLS would chase") {
+    // 22 days at exactly 100 events/day, except days 3 and 10 burst to
+    // 600. Anchors are days 0, 7, 14, 21 — all on the flat line; every
+    // hypothesis is flat and picks up the 20 flat days (eps = mean/10
+    // = 14 — the bursts are 500 off the line, way outside).
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp((day * 86400L + i) * 1000)
+    val rows = for {
+      d <- 0 until 22
+      i <- 0 until (if (d == 3 || d == 10) 600 else 100)
+    } yield Tuple1(t(d, i))
+    val r = Stats.ransacLine(rows.toDF("ts")).collect().head
+    assert(r.getAs[Long]("inliers") === 20L)
+    assert(r.getAs[Long]("slope_milli") === 0L)
+    assert((r.getAs[Long]("x1"), r.getAs[Long]("x2")) === (0L, 7L))
+    assert(r.getAs[Long]("eps") ===
+      (20L * 100 + 2 * 600) / (10 * 22)) // 14
+  }
 }
