@@ -49,7 +49,11 @@ object Explain {
       "q270_lsh_param_sweep", "q273_power_iteration",
       "q278_dedup_threshold_sweep", "q280_audio_match",
       "q285_ks_per_source", "q288_avg_neighbor_degree",
-      "q290_joinable_sketch")
+      "q290_joinable_sketch",
+      "q297_tpch_q2", "q298_tpch_q9", "q301_suffix_array",
+      "q302_matrix_profile", "q304_ols_regression",
+      "q306_rake_keywords", "q307_mahalanobis_outliers",
+      "q309_ransac_line")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -13,7 +13,9 @@ import graft.ops.{Analytics, Graph, Similarity, Stats, TextAnalysis}
 private[graft] object QueriesExt {
   import SparkEntryRegistry.Q
 
-  def registry: Seq[Q] = Seq(
+  def registry: Seq[Q] = firstBatch ++ secondBatch
+
+  private def firstBatch: Seq[Q] = Seq(
     // Distributed suffix-array construction (prefix doubling: ⌈log₂
     // maxLen⌉ per-doc window rounds, no joins) — the index behind
     // exact duplicated-span mining at corpus scale. Oracle sorts the
@@ -152,7 +154,14 @@ private[graft] object QueriesExt {
     Q("q305_seq_pair_support",
       (s, dir) => Analytics.sequentialPairSupport(
         Tables(s, dir, "events")),
-      Some("""WITH ut AS (SELECT user_id AS u, event_type AS t,
+      Some(SeqPairOracle)))
+
+  /** q305's oracle — also applied verbatim to q312's streaming twin
+    * (single-batch replay drains the identical (u, t, lo, hi) state
+    * the batch op folds, then runs the same shared aggregation tail).
+    */
+  private val SeqPairOracle: String =
+    """WITH ut AS (SELECT user_id AS u, event_type AS t,
              |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
              |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
              |  FROM events
@@ -170,8 +179,9 @@ private[graft] object QueriesExt {
              |CROSS JOIN tot
              |GROUP BY a.t, b.t, tot.n_users
              |ORDER BY support_users DESC, first_type, then_type"""
-        .stripMargin)),
+      .stripMargin
 
+  private def secondBatch: Seq[Q] = Seq(
     // RAKE-lite keyphrases: stopword-free runs scored by the corpus
     // word graph (deg/freq), exact micro units.
     Q("q306_rake_keywords",
@@ -306,5 +316,94 @@ private[graft] object QueriesExt {
              |  CAST((y2 - y1) * 1000 // (x2 - x1) AS BIGINT)
              |    AS slope_milli
              |FROM cnt ORDER BY inliers DESC, x1, x2 LIMIT 1"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // Rank correlation daily count × daily revenue: Spearman on the
+    // tie-broken total-ordered ranks, Kendall concordance with
+    // explicit tie buckets on the raw values — exact milli.
+    Q("q310_rank_correlation",
+      (s, dir) => Stats.rankCorrelation(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS x,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             |      AS BIGINT) AS y
+             |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1),
+             |rk AS (SELECT d, x, y,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY x, d) AS BIGINT)
+             |      AS rx,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY y, d) AS BIGINT)
+             |      AS ry FROM daily),
+             |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             |    CAST(1000 - 6000 * SUM((rx - ry) * (rx - ry))
+             |      // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT)
+             |      AS spearman_milli
+             |  FROM rk),
+             |pr AS (SELECT
+             |    CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+             |      OR a.x > b.x AND a.y > b.y THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c_pairs,
+             |    CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+             |      OR a.x > b.x AND a.y < b.y THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS d_pairs,
+             |    CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+             |    CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+             |    CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
+             |  FROM daily a JOIN daily b ON a.d < b.d)
+             |SELECT sp.n_days AS n_days, sp.spearman_milli AS
+             |  spearman_milli, pr.c_pairs AS c_pairs,
+             |  pr.d_pairs AS d_pairs, pr.ties_x AS ties_x,
+             |  pr.ties_y AS ties_y, pr.ties_xy AS ties_xy,
+             |  CAST((pr.c_pairs - pr.d_pairs) * 1000
+             |    // (sp.n_days * (sp.n_days - 1) // 2) AS BIGINT)
+             |    AS tau_a_milli
+             |FROM sp, pr""".stripMargin)),
+
+    // Median-of-means robust mean per type beside the plain mean —
+    // the gap is the heavy-tail diagnostic.
+    Q("q311_median_of_means",
+      (s, dir) => Stats.medianOfMeans(Tables(s, dir, "events")),
+      Some("""WITH b AS (SELECT event_type AS grp, user_id % 8 AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             |      AS BIGINT) AS sum_c
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |bm AS (SELECT grp, b, cnt, sum_c,
+             |    sum_c * 1000 // cnt AS bmean_milli FROM b),
+             |md AS (SELECT grp, nb AS n_buckets,
+             |    bmean_milli AS mom_milli FROM (
+             |    SELECT grp, b, bmean_milli,
+             |      ROW_NUMBER() OVER (PARTITION BY grp
+             |        ORDER BY bmean_milli, b) AS rn,
+             |      COUNT(*) OVER (PARTITION BY grp) AS nb FROM bm) t
+             |  WHERE rn = (nb + 1) // 2),
+             |mn AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
+             |    CAST(SUM(sum_c) * 1000 // SUM(cnt) AS BIGINT)
+             |      AS mean_milli FROM bm GROUP BY 1)
+             |SELECT md.grp AS grp, mn.n AS n,
+             |  CAST(md.n_buckets AS BIGINT) AS n_buckets,
+             |  CAST(md.mom_milli AS BIGINT) AS mom_milli,
+             |  mn.mean_milli AS mean_milli
+             |FROM md JOIN mn ON mn.grp = md.grp ORDER BY grp"""
+        .stripMargin)),
+
+    // Streaming twin of q305: per-user (type → first/last ts) state
+    // maintained in-stream, drained, then the SAME shared aggregation
+    // tail — q305's oracle verbatim.
+    Q("q312_stream_seq_pairs",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.seqPairStream(
+          QueriesAlert.tableStream(s, dir, "events"))
+        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
+          "q312_sink", OutputMode.Append())
+        Analytics.pairSupportFromUt(drained)
+      },
+      Some(SeqPairOracle)))
 }

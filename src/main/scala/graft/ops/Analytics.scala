@@ -747,6 +747,15 @@ object Analytics {
       .groupBy(col(userCol).as("u"), col(typeCol).as("t"))
       .agg(min(expr(s"unix_micros($tsCol)")).as("lo"),
         max(expr(s"unix_micros($tsCol)")).as("hi"))
+    pairSupportFromUt(ut)
+  }
+
+  /** The a→b support tail over an already-folded (u, t, lo, hi)
+    * table — shared by the batch op and the streaming twin (whose
+    * drained state IS this table).
+    */
+  private[graft] def pairSupportFromUt(ut0: DataFrame): DataFrame = {
+    val ut = ut0
       .localCheckpoint() // both sides of the pair expansion + the total
     val total = ut.select(countDistinct(col("u")).as("n_users"))
     ut.as("a").join(ut.as("b"),

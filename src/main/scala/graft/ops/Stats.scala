@@ -1346,6 +1346,96 @@ object Stats {
       .orderBy("grp")
   }
 
+  /** Rank correlation between the daily event count and daily revenue
+    * — Spearman ρ (on total-ordered ranks: ties broken by day, so
+    * both engines assign the identical permutation; documented
+    * divergence from average-rank ρ under heavy ties) and Kendall
+    * concordance counted on the RAW values with explicit tie buckets
+    * (C, D, x-only, y-only, both), τ-a in exact milli. The monotone-
+    * association complement to q177's linear slope: a relationship
+    * can be perfectly monotone and badly non-linear.
+    *
+    * Scale shape: the event scan folds to one row per day
+    * (combinable); ranks and the pair grid run on the SPAN-bounded
+    * daily table — the pair count is (days choose 2), a calendar
+    * quantity, not a data one.
+    */
+  def rankCorrelation(events: DataFrame, tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val daily = events.where(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(expr(s"unix_micros($tsCol) div 86400000000").as("d"),
+        expr(s"cast(round($valCol * 100) as bigint)").as("vc"))
+      .groupBy("d").agg(count(lit(1)).as("x"), sum("vc").as("y"))
+      .localCheckpoint() // rank pass + pair pass share it
+    val ranked = daily
+      .withColumn("rx",
+        row_number().over(Window.orderBy("x", "d")).cast("long"))
+      .withColumn("ry",
+        row_number().over(Window.orderBy("y", "d")).cast("long"))
+    val sp = ranked.agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+      .select(col("n").as("n_days"),
+        expr("1000 - 6000 * sd2 div (n * (n * n - 1))")
+          .as("spearman_milli"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .select(
+        (col("a.x") < col("b.x") && col("a.y") < col("b.y") ||
+          col("a.x") > col("b.x") && col("a.y") > col("b.y")).as("c"),
+        (col("a.x") < col("b.x") && col("a.y") > col("b.y") ||
+          col("a.x") > col("b.x") && col("a.y") < col("b.y")).as("dd"),
+        (col("a.x") === col("b.x") && col("a.y") =!= col("b.y")).as("tx"),
+        (col("a.y") === col("b.y") && col("a.x") =!= col("b.x")).as("ty"),
+        (col("a.x") === col("b.x") && col("a.y") === col("b.y")).as("txy"))
+      .agg(sum(when(col("c"), 1L).otherwise(0L)).as("c_pairs"),
+        sum(when(col("dd"), 1L).otherwise(0L)).as("d_pairs"),
+        sum(when(col("tx"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("ty"), 1L).otherwise(0L)).as("ties_y"),
+        sum(when(col("txy"), 1L).otherwise(0L)).as("ties_xy"))
+    sp.crossJoin(broadcast(pairs))
+      .withColumn("tau_a_milli",
+        expr("(c_pairs - d_pairs) * 1000 div (n_days * (n_days - 1) div 2)"))
+  }
+
+  /** Median-of-means robust mean per group: contributors are split
+    * into `k` deterministic buckets (key mod k — both engines compute
+    * the identical partition), each bucket takes an exact truncated
+    * milli mean, and the estimate is the median bucket mean (ties
+    * broken by bucket id). Reported beside the plain mean so the gap
+    * IS the outlier diagnostic: heavy-tail contamination moves the
+    * mean, not the median-of-means.
+    *
+    * Scale shape: one combinable (group, bucket) sum folds the scan
+    * to |groups|·k rows; the median is a window over those k rows.
+    */
+  def medianOfMeans(events: DataFrame, k: Int = 8,
+      grpCol: String = "event_type", keyCol: String = "user_id",
+      valCol: String = "value"): DataFrame = {
+    val b = events
+      .where(col(grpCol).isNotNull && col(keyCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"),
+        pmod(col(keyCol), lit(k.toLong)).as("b"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr(s"cast(round($valCol * 100) as bigint)")).as("sum_c"))
+      .withColumn("bmean_milli", expr("sum_c * 1000 div cnt"))
+      .localCheckpoint() // median rank + totals share it
+    val byGrp = Window.partitionBy("grp")
+    val med = b
+      .withColumn("rn",
+        row_number().over(byGrp.orderBy("bmean_milli", "b")))
+      .withColumn("nb", count(lit(1)).over(byGrp))
+      .where(col("rn") === expr("(nb + 1) div 2"))
+      .select(col("grp"), col("nb").as("n_buckets"),
+        col("bmean_milli").as("mom_milli"))
+    val mean = b.groupBy("grp")
+      .agg(sum("cnt").as("n"), sum("sum_c").as("tot_c"))
+      .select(col("grp"), col("n"),
+        expr("tot_c * 1000 div n").as("mean_milli"))
+    med.join(mean, "grp")
+      .select("grp", "n", "n_buckets", "mom_milli", "mean_milli")
+      .orderBy("grp")
+  }
+
   /** Deterministic RANSAC line fit on the daily event-count series:
     * candidate lines are drawn through every pair of ANCHOR days
     * (day % 7 == 0 — a deterministic stand-in for random sampling, so

@@ -913,7 +913,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint()
     var k = 1
-    while (k < maxLen) {
+    var distinct = false
+    while (k < maxLen && !distinct) {
       df = df
         .withColumn("r2", lead(col("rank"), k, 0L).over(byPos))
         .withColumn("rank",
@@ -921,6 +922,15 @@ object TextAnalysis {
         .select(col("doc_id"), col("pos"), col("rank"))
         .localCheckpoint()
       k *= 2
+      // early exit: once every doc's ranks are a permutation (max ==
+      // count), later rounds are identity — on real text that happens
+      // around k≈16, not maxLen. The check reads the checkpoint just
+      // materialized, so it costs one cheap aggregate, and it can
+      // never fire early-wrong: unique ranks are a fixpoint of the
+      // doubling step.
+      distinct = df.groupBy("doc_id")
+        .agg(max("rank").as("m"), count(lit(1)).as("c"))
+        .where(col("m") =!= col("c")).limit(1).count() == 0
     }
     df.groupBy("doc_id")
       .agg(count(lit(1)).as("n_suffixes"),

@@ -363,6 +363,50 @@ object StreamingPipeline {
     */
   /** Running per-label vector sums: `n` vectors folded, micro-unit
     * coordinate sums (size = dim). */
+  case class SeqPairState(lo: Map[String, Long], hi: Map[String, Long])
+
+  case class SeqTypeRow(u: Long, t: String, lo: Long, hi: Long)
+
+  /** Streaming per-user (type → first/last timestamp) maintenance —
+    * the ingest-time twin of [[graft.ops.Analytics
+    * .sequentialPairSupport]]'s fold: min/max are commutative, so
+    * batching and arrival order can never change the state. After
+    * each batch a touched user re-emits its full per-type row set;
+    * latest emission wins. State per user is 2·|seen types| longs —
+    * catalog-bounded, no timeout needed. The a→b support aggregation
+    * runs over the drained state table via the SAME shared tail as
+    * the batch op, so q305's oracle applies verbatim to a
+    * single-batch replay.
+    */
+  def seqPairStream(events: DataFrame, typeCol: String = "event_type",
+      userCol: String = "user_id", tsCol: String = "ts")
+      : org.apache.spark.sql.Dataset[SeqTypeRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"), col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[SeqPairState]) => {
+          var st = state.getOption.getOrElse(
+            SeqPairState(Map.empty, Map.empty))
+          rows.foreach { case (_, t, us) =>
+            st = SeqPairState(
+              st.lo.updated(t, st.lo.get(t).fold(us)(math.min(_, us))),
+              st.hi.updated(t, st.hi.get(t).fold(us)(math.max(_, us))))
+          }
+          state.update(st)
+          st.lo.keysIterator.toSeq.sorted.iterator
+            .map(t => SeqTypeRow(u, t, st.lo(t), st.hi(t)))
+        })
+  }
+
   case class CentroidState(n: Long, sums: Seq[Long])
 
   case class CentroidRow(label: Int, idx: Int, n: Long, sum_micro: Long,

@@ -826,4 +826,46 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("eps") ===
       (20L * 100 + 2 * 600) / (10 * 22)) // 14
   }
+
+  test("rankCorrelation: perfect monotone series scores 1000/1000") {
+    // day d has d+1 events each worth 1.00 → count and revenue are
+    // the same increasing sequence: ρ = τ = 1 exactly, no ties
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp((day * 86400L + i) * 1000)
+    val rows = for (d <- 0 until 10; i <- 0 to d)
+      yield (t(d, i), 1.0)
+    val r = Stats.rankCorrelation(rows.toDF("ts", "value")).collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("spearman_milli") === 1000L)
+    assert(r.getAs[Long]("tau_a_milli") === 1000L)
+    assert(r.getAs[Long]("c_pairs") === 45L)
+    assert(r.getAs[Long]("d_pairs") === 0L)
+    assert(r.getAs[Long]("ties_x") === 0L)
+  }
+
+  test("rankCorrelation: anti-monotone revenue flips the sign") {
+    // count rises with day, per-event value falls fast enough that
+    // revenue strictly falls: ρ = τ = −1
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp((day * 86400L + i) * 1000)
+    val rows = for (d <- 0 until 6; i <- 0 to d)
+      yield (t(d, i), (100.0 - 20 * d) / (d + 1))
+    val r = Stats.rankCorrelation(rows.toDF("ts", "value")).collect().head
+    assert(r.getAs[Long]("spearman_milli") === -1000L)
+    assert(r.getAs[Long]("tau_a_milli") === -1000L)
+  }
+
+  test("medianOfMeans shrugs off the bucket the mean chases") {
+    // users 0..7 → 8 singleton buckets; user 3 is a 10000.00 outlier,
+    // everyone else spends 10.00. MoM = 1000 milli-cents·10 = 10000;
+    // mean dragged to (7·1000 + 1000000)/8 = 125875 milli-cents
+    val d = (0 until 8).map(u =>
+      ("buy", u.toLong, if (u == 3) 10000.0 else 10.0))
+      .toDF("event_type", "user_id", "value")
+    val r = Stats.medianOfMeans(d).collect().head
+    assert(r.getAs[Long]("n_buckets") === 8L)
+    assert(r.getAs[Long]("mom_milli") === 1000L * 1000)
+    assert(r.getAs[Long]("mean_milli") ===
+      (7L * 1000 * 1000 + 1000000L * 1000) / 8)
+  }
 }

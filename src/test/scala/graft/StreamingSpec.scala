@@ -623,4 +623,41 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(rows === b)
     } finally q.stop()
   }
+
+  test("seqPairStream: min/max state folds across batches; tail matches batch op") {
+    implicit val sc = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingPipeline.seqPairStream(
+      mem.toDF().toDF("user_id", "event_type", "ts"))
+    val q = out.writeStream.format("memory").queryName("seqp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 sees B at 30 first; batch 2 delivers the EARLIER
+      // A at 10 — min-state must absorb out-of-order arrival
+      mem.addData((1L, "B", t(30)), (2L, "A", t(5)))
+      q.processAllAvailable()
+      mem.addData((1L, "A", t(10)), (1L, "B", t(40)), (2L, "B", t(3)))
+      q.processAllAvailable()
+      // final emission per (u, t) carries the cumulative state
+      val drained = spark.table("seqp")
+        .groupBy("u", "t").agg(
+          org.apache.spark.sql.functions.min("lo").as("lo"),
+          org.apache.spark.sql.functions.max("hi").as("hi"))
+      val got = graft.ops.Analytics.pairSupportFromUt(drained).collect()
+        .map(r => (r.getAs[String]("first_type"),
+          r.getAs[String]("then_type")) -> r.getAs[Long]("support_users"))
+        .toMap
+      val batch = Seq((1L, "B", t(30)), (2L, "A", t(5)), (1L, "A", t(10)),
+        (1L, "B", t(40)), (2L, "B", t(3)))
+        .toDF("user_id", "event_type", "ts")
+      val want = graft.ops.Analytics.sequentialPairSupport(batch).collect()
+        .map(r => (r.getAs[String]("first_type"),
+          r.getAs[String]("then_type")) -> r.getAs[Long]("support_users"))
+        .toMap
+      assert(got === want)
+      // u1: A(10) before B(40) counts even though B arrived first
+      assert(got(("A", "B")) === 1L)
+    } finally q.stop()
+  }
 }
