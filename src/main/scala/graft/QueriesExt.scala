@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Graph, Similarity, Stats, TextAnalysis}
+import graft.ops.{Analytics, Graph, Security, Similarity, Stats, TextAnalysis}
 
 /** Round-4 extension registry (q301+): operators added after the
   * QueriesPipeline file reached review-hostile size. Same contract as
@@ -405,5 +405,86 @@ private[graft] object QueriesExt {
           "q312_sink", OutputMode.Append())
         Analytics.pairSupportFromUt(drained)
       },
-      Some(SeqPairOracle)))
+      Some(SeqPairOracle)),
+
+    // Beaconing: per-key inter-arrival gaps quantized to buckets, the
+    // modal bucket's share flags metronomic callbacks.
+    Q("q313_beaconing",
+      (s, dir) => Security.beaconing(Tables(s, dir, "events")),
+      Some("""WITH s AS (SELECT user_id AS u, event_type AS t,
+             |    epoch_us(ts) AS us, event_id AS id
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |d AS (SELECT u, t,
+             |    (us - LAG(us) OVER (PARTITION BY u, t
+             |      ORDER BY us, id)) // 21600000000 AS gap_bucket,
+             |    LAG(us) OVER (PARTITION BY u, t ORDER BY us, id)
+             |      AS prev
+             |  FROM s),
+             |g AS (SELECT u, t, gap_bucket FROM d
+             |  WHERE prev IS NOT NULL),
+             |h AS (SELECT u, t, gap_bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
+             |m AS (SELECT u, t, gap_bucket AS modal_gap_bucket,
+             |    c AS modal_hits FROM (
+             |    SELECT u, t, gap_bucket, c, ROW_NUMBER() OVER
+             |      (PARTITION BY u, t ORDER BY c DESC, gap_bucket)
+             |      AS rn FROM h) x
+             |  WHERE rn = 1),
+             |tt AS (SELECT u, t, CAST(COUNT(*) AS BIGINT) AS n_deltas
+             |  FROM g GROUP BY 1, 2)
+             |SELECT tt.u AS user_id, tt.t AS event_type,
+             |  tt.n_deltas AS n_deltas,
+             |  m.modal_gap_bucket AS modal_gap_bucket,
+             |  m.modal_hits AS modal_hits,
+             |  CAST(m.modal_hits * 1000000 // tt.n_deltas AS BIGINT)
+             |    AS regular_ppm
+             |FROM tt JOIN m ON m.u = tt.u AND m.t = tt.t
+             |WHERE tt.n_deltas >= 3
+             |  AND m.modal_hits * 1000000 // tt.n_deltas >= 400000
+             |ORDER BY regular_ppm DESC, user_id, event_type
+             |LIMIT 50""".stripMargin)),
+
+    // First-seen novelty: never-before-seen (user, type) pairs per
+    // day with a prior-average spike flag.
+    Q("q314_first_seen_spike",
+      (s, dir) => Security.firstSeenSpike(Tables(s, dir, "events")),
+      Some("""WITH fd AS (SELECT user_id AS u, event_type AS t,
+             |    CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS d
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_pairs
+             |  FROM fd GROUP BY 1),
+             |w AS (SELECT d, new_pairs,
+             |    CAST(SUM(new_pairs) OVER (ORDER BY d) AS BIGINT)
+             |      AS cum_pairs,
+             |    CAST(COUNT(*) OVER (ORDER BY d) - 1 AS BIGINT)
+             |      AS prior_days
+             |  FROM daily)
+             |SELECT d, new_pairs, cum_pairs,
+             |  prior_days > 0 AND new_pairs * prior_days >=
+             |    (cum_pairs - new_pairs) * 2 AS spike
+             |FROM w ORDER BY d""".stripMargin)),
+
+    // Password-spray shape: hours touching many users at most twice
+    // each — breadth without depth.
+    Q("q315_spray",
+      (s, dir) => Security.spray(Tables(s, dir, "events")),
+      Some("""WITH pu AS (SELECT event_type AS t,
+             |    epoch_us(ts) // 3600000000 AS h, user_id AS u,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL
+             |  GROUP BY 1, 2, 3)
+             |SELECT t AS event_type, h AS hour,
+             |  CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  CAST(SUM(c) AS BIGINT) AS n_events,
+             |  CAST(MAX(c) AS BIGINT) AS max_per_user
+             |FROM pu GROUP BY 1, 2
+             |HAVING COUNT(*) >= 10 AND MAX(c) <= 2
+             |ORDER BY event_type, hour""".stripMargin)))
 }

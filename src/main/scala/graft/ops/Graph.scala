@@ -620,24 +620,41 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint() // reused every round, both directions
     val pivot = e.select(least(min("src"), min("dst")).as("n"))
+    // delta iteration: only the round's NEW frontier joins the edge
+    // table (the classic semi-naive trick — re-expanding the whole
+    // reach set repeats every earlier round's work), and the
+    // "anything new?" check rides the frontier count the loop already
+    // needs. Termination is an empty frontier: exact fixpoint.
     def reach(forward: Boolean): DataFrame = {
       var r = pivot.localCheckpoint()
-      var size = r.count()
+      var frontier = r
       var round = 0
-      var grew = true
-      while (grew && round < maxRounds) {
+      var growing = true
+      while (growing && round < maxRounds) {
         val step =
-          if (forward) e.join(r, e("src") === r("n")).select(e("dst").as("n"))
-          else e.join(r, e("dst") === r("n")).select(e("src").as("n"))
-        r = r.unionByName(step).distinct().localCheckpoint()
-        val s2 = r.count()
-        grew = s2 > size
-        size = s2
+          (if (forward)
+             e.join(frontier, e("src") === frontier("n"))
+               .select(e("dst").as("n"))
+           else
+             e.join(frontier, e("dst") === frontier("n"))
+               .select(e("src").as("n")))
+            .distinct()
+        frontier = step.join(r, Seq("n"), "left_anti").localCheckpoint()
+        growing = frontier.limit(1).count() > 0
+        if (growing) r = r.unionByName(frontier).localCheckpoint()
         round += 1
       }
       r
     }
-    val scc = reach(forward = true).join(reach(forward = false), "n")
+    // the two directions are independent Spark job chains — overlap
+    // them so the driver loop isn't serialized on both eccentricities
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fwdF = Future(reach(forward = true))
+    val bwdF = Future(reach(forward = false))
+    val scc = Await.result(fwdF, Duration.Inf)
+      .join(Await.result(bwdF, Duration.Inf), "n")
     scc.crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
       .select(col("n").as("node"), col("scc_size"))
       .orderBy("node")

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Security-analytics operators over the event stream — the detection
+  * shapes the reference's alert engine exists to serve (threshold /
+  * deadman / sequence are its primitives; these are the composite
+  * behavioral detections an analyst builds FROM those primitives).
+  * All integer-exact with full relational oracles, same contract as
+  * the rest of the registry.
+  */
+object Security {
+
+  /** Beaconing detection: keys whose inter-arrival gaps cluster on one
+    * modal interval — the C2-callback / cron-imposter shape (humans
+    * are bursty; implants are metronomes). Per (user, type) with
+    * enough events: successive deltas (total-ordered by ts, id),
+    * quantized to `gapBucketUs` buckets, the modal bucket (ties →
+    * smallest), and the share of deltas landing in it —
+    * `regular_ppm ≥ regularPpm` with ≥ `minDeltas` gaps flags the
+    * key. (On a real feed the bucket is a minute; the synthetic
+    * corpus's sparse uniform cadence needs 6 h buckets to have any
+    * modal mass at all — the parameter IS the knob.)
+    *
+    * Scale shape: ONE shuffle on the (user, type) key; the lag, the
+    * bucket histogram and the modal pick are all windows inside that
+    * partitioning (Spark reuses the exchange), and the histogram is
+    * |keys|·|distinct gaps| — bounded by the event count, folded
+    * map-side first.
+    */
+  def beaconing(events: DataFrame, gapBucketUs: Long = 21600000000L,
+      minDeltas: Long = 3L, regularPpm: Long = 400000L,
+      topN: Int = 50): DataFrame = {
+    val byKey = Window.partitionBy("u", "t")
+    val seq = events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        expr("unix_micros(ts)").as("us"), col("event_id").as("id"))
+      .withColumn("prev", lag(col("us"), 1).over(byKey.orderBy("us", "id")))
+      .where(col("prev").isNotNull)
+      .select(col("u"), col("t"),
+        expr(s"(us - prev) div $gapBucketUs").as("gap_bucket"))
+    val hist = seq.groupBy("u", "t", "gap_bucket")
+      .agg(count(lit(1)).as("c"))
+    val modal = hist
+      .withColumn("rn", row_number().over(
+        byKey.orderBy(col("c").desc, col("gap_bucket"))))
+      .where(col("rn") === 1)
+      .select(col("u"), col("t"), col("gap_bucket").as("modal_gap_bucket"),
+        col("c").as("modal_hits"))
+    val totals = seq.groupBy("u", "t").agg(count(lit(1)).as("n_deltas"))
+    totals.join(modal, Seq("u", "t"))
+      .where(col("n_deltas") >= minDeltas)
+      .withColumn("regular_ppm",
+        expr("modal_hits * 1000000 div n_deltas"))
+      .where(col("regular_ppm") >= regularPpm)
+      .select(col("u").as("user_id"), col("t").as("event_type"),
+        col("n_deltas"), col("modal_gap_bucket"), col("modal_hits"),
+        col("regular_ppm"))
+      .orderBy(col("regular_ppm").desc, col("user_id"), col("event_type"))
+      .limit(topN)
+  }
+
+  /** First-seen novelty spikes: the day-by-day count of never-before-
+    * seen (user, type) pairs, with a spike flag when a day mints at
+    * least twice the average of all PRIOR days (integer cross-multiply
+    * — no float mean). New-entity emergence is the classic early
+    * compromise signal the pure-volume triggers miss.
+    *
+    * Scale shape: one (user, type) min-fold charges each pair to its
+    * first day (combinable — the 100 TB scan folds to |pairs| rows);
+    * everything after runs on the day-grid table.
+    */
+  def firstSeenSpike(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(col("user_id").as("u"), col("event_type").as("t"))
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("d"))
+    val daily = firstDay.groupBy("d")
+      .agg(count(lit(1)).as("new_pairs"))
+    val byDay = Window.orderBy("d")
+    daily
+      .withColumn("cum_pairs", sum(col("new_pairs")).over(byDay))
+      .withColumn("prior_days",
+        (count(lit(1)).over(byDay) - 1L).cast("long"))
+      .withColumn("prior_sum", col("cum_pairs") - col("new_pairs"))
+      // spike ⟺ new · prior_days ≥ 2 · prior_sum (vacuous on day 1)
+      .withColumn("spike",
+        col("prior_days") > 0 &&
+          col("new_pairs") * col("prior_days") >= col("prior_sum") * 2)
+      .select("d", "new_pairs", "cum_pairs", "spike")
+      .orderBy("d")
+  }
+
+  /** Password-spray shape: hours where one event type touches MANY
+    * distinct users but no user more than a couple of times — the
+    * low-and-slow inverse of a brute force (per-user thresholds stay
+    * silent by design; the breadth is the signal). Exact counts per
+    * (type, hour); flag when `n_users ≥ minUsers` and
+    * `max_per_user ≤ maxPerUser`.
+    *
+    * Scale shape: one combinable (type, hour, user) count, then a
+    * (type, hour) fold carrying count-distinct-by-construction (the
+    * inner groupBy already dedups users) and a max — no
+    * count_distinct shuffle on the raw stream.
+    */
+  def spray(events: DataFrame, minUsers: Long = 10L,
+      maxPerUser: Long = 2L): DataFrame = {
+    val perUser = events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(col("event_type").as("t"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        col("user_id").as("u"))
+      .agg(count(lit(1)).as("c"))
+    perUser.groupBy("t", "h")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        max(col("c")).as("max_per_user"))
+      .where(col("n_users") >= minUsers &&
+        col("max_per_user") <= maxPerUser)
+      .select(col("t").as("event_type"), col("h").as("hour"),
+        col("n_users"), col("n_events"), col("max_per_user"))
+      .orderBy("event_type", "hour")
+  }
+}
