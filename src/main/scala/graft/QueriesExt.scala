@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Graph, Security, Similarity, Stats, TextAnalysis}
+import graft.ops.{Analytics, Audit, Graph, Security, Similarity, Stats, TextAnalysis}
 
 /** Round-4 extension registry (q301+): operators added after the
   * QueriesPipeline file reached review-hostile size. Same contract as
@@ -486,5 +486,61 @@ private[graft] object QueriesExt {
              |  CAST(MAX(c) AS BIGINT) AS max_per_user
              |FROM pu GROUP BY 1, 2
              |HAVING COUNT(*) >= 10 AND MAX(c) <= 2
-             |ORDER BY event_type, hour""".stripMargin)))
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // Dormant-account reactivation: latest ≥3-day gap ending in a
+    // ≥2-event burst within 2 days — the takeover tell.
+    Q("q316_dormant_reactivation",
+      (s, dir) => Security.dormantReactivation(Tables(s, dir, "events")),
+      Some("""WITH s AS (SELECT user_id AS u, epoch_us(ts) AS us,
+             |    event_id AS id
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |d AS (SELECT u, us, us - LAG(us) OVER
+             |    (PARTITION BY u ORDER BY us, id) AS gap FROM s),
+             |dd AS (SELECT u, us, gap FROM d
+             |  WHERE gap >= 3 * 86400000000),
+             |g AS (SELECT u, MAX(us) AS react_us FROM dd GROUP BY 1),
+             |wg AS (SELECT dd.u, g.react_us, dd.gap FROM dd
+             |  JOIN g ON g.u = dd.u AND dd.us = g.react_us),
+             |b AS (SELECT wg.u, CAST(COUNT(*) AS BIGINT)
+             |    AS burst_events
+             |  FROM s JOIN wg ON s.u = wg.u
+             |    AND s.us >= wg.react_us
+             |    AND s.us < wg.react_us + 2 * 86400000000
+             |  GROUP BY 1)
+             |SELECT wg.u AS user_id, wg.react_us AS react_us,
+             |  CAST(wg.gap // 86400000000 AS BIGINT) AS gap_days,
+             |  b.burst_events AS burst_events
+             |FROM wg JOIN b ON b.u = wg.u
+             |WHERE b.burst_events >= 2 ORDER BY user_id"""
+        .stripMargin)),
+
+    // AQP calibration: deterministic 1-in-10 portable-hash sample,
+    // scaled estimate vs exact total with err_ppm + variance moments.
+    Q("q317_aqp_estimate",
+      (s, dir) => Audit.aqpEstimate(Tables(s, dir, "lineitem")),
+      Some(s"""WITH k AS (SELECT
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+             |    ((${QueriesPipeline.duckMix31(
+                   "(l_orderkey * 8 + l_linenumber)")}) % 10 = 0)
+             |      AS in_sample
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_sample,
+             |    CAST(SUM(xc) AS BIGINT) AS exact_total_c,
+             |    CAST(SUM(CASE WHEN in_sample THEN xc ELSE 0 END)
+             |      AS BIGINT) AS sample_sum_c,
+             |    CAST(SUM(CASE WHEN in_sample
+             |      THEN CAST(xc AS HUGEINT) * xc ELSE 0 END)
+             |      AS HUGEINT) AS sample_sq_c
+             |  FROM k)
+             |SELECT n_total, n_sample, exact_total_c,
+             |  CAST(sample_sum_c * 10 AS BIGINT) AS est_total_c,
+             |  CAST(abs(sample_sum_c * 10 - exact_total_c) * 1000000
+             |    // exact_total_c AS BIGINT) AS err_ppm,
+             |  CAST(CAST(n_sample AS HUGEINT) * sample_sq_c
+             |    - CAST(sample_sum_c AS HUGEINT) * sample_sum_c
+             |    AS HUGEINT) AS sample_var_n2_c2
+             |FROM a""".stripMargin)))
 }

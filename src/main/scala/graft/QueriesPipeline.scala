@@ -508,7 +508,7 @@ private[graft] object QueriesPipeline {
     * arithmetic (`//` on non-negative values = the kernel's `>>`).
     * The input expression must be non-negative.
     */
-  private def duckMix31(e: String): String = {
+  private[graft] def duckMix31(e: String): String = {
     val x0 = s"(($e) % 2147483648)"
     val x1 = s"xor($x0, $x0 // 32768)"
     val x2 = s"(($x1 * 1103515245) % 2147483648)"

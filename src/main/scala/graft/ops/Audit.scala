@@ -687,4 +687,46 @@ object Audit {
       .withColumn("broadcastable", col("est_bytes") <= thresholdBytes)
       .orderBy("table_name")
   }
+
+  /** Approximate-query-processing estimate with its own honesty
+    * check: a deterministic 1-in-`rate` hash sample (the portable
+    * mix31 of the row key, so both engines draw the IDENTICAL
+    * sample) scales the sample revenue up and reports the exact
+    * error against the full aggregate — the dashboard pattern where
+    * a 10% scan answers in a tenth of the time and this query IS the
+    * calibration that says how far off it runs. Also reports the
+    * exact between-row variance moments (n·Σx² − (Σx)² over cents)
+    * so a consumer can form a CLT interval; no float ever enters the
+    * comparison.
+    *
+    * Scale shape: one scan, two combinable conditional sums — the
+    * sample is a predicate, not a materialization.
+    */
+  def aqpEstimate(lineitem: DataFrame, rate: Long = 10L): DataFrame = {
+    val keyed = lineitem
+      .where(col("l_extendedprice").isNotNull)
+      .select(
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("xc"),
+        (graft.ops.Similarity.mix31Col(
+          col("l_orderkey") * 8 + col("l_linenumber")) % rate === 0)
+          .as("in_sample"))
+    keyed.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        sum(col("xc")).as("exact_total_c"),
+        sum(when(col("in_sample"), col("xc")).otherwise(0L))
+          .as("sample_sum_c"),
+        sum(when(col("in_sample"),
+            expr("cast(xc as decimal(19,0)) * xc").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .as("sample_sq_c"))
+      .select(col("n_total"), col("n_sample"),
+        col("exact_total_c"),
+        (col("sample_sum_c") * rate).as("est_total_c"),
+        expr(s"abs(sample_sum_c * $rate - exact_total_c) * 1000000 " +
+          "div exact_total_c").as("err_ppm"),
+        expr("cast(n_sample as decimal(12,0)) * sample_sq_c - " +
+          "cast(sample_sum_c as decimal(20,0)) * sample_sum_c")
+          .as("sample_var_n2_c2"))
+  }
 }

@@ -96,6 +96,46 @@ object Security {
       .orderBy("d")
   }
 
+  /** Dormant-account reactivation: users whose LATEST inactivity gap
+    * of at least `dormantDays` ends in a burst of `minBurst`+ events
+    * within `burstWindowDays` — the account-takeover tell (stolen
+    * credentials wake accounts their owners forgot). Gap detection is
+    * one lag inside the per-user partitioning; the burst count joins
+    * events back against each user's single reactivation instant.
+    *
+    * Scale shape: one (user) shuffle for the lag; the reactivation
+    * table is ≤ one row per user, broadcast back onto the stream for
+    * the burst count — no self-join wider than |users|.
+    */
+  def dormantReactivation(events: DataFrame, dormantDays: Long = 3L,
+      burstWindowDays: Long = 2L, minBurst: Long = 2L): DataFrame = {
+    val byUser = Window.partitionBy("u")
+    val s = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("u"), expr("unix_micros(ts)").as("us"),
+        col("event_id").as("id"))
+    val d = s
+      .withColumn("gap",
+        col("us") - lag(col("us"), 1).over(byUser.orderBy("us", "id")))
+      .where(col("gap") >= dormantDays * 86400000000L)
+      .localCheckpoint() // reactivation pick + gap lookup share it
+    val g = d.groupBy("u").agg(max("us").as("react_us"))
+    val withGap = d.as("d").join(g.as("g"),
+        col("d.u") === col("g.u") && col("d.us") === col("g.react_us"))
+      .select(col("d.u").as("u"), col("g.react_us").as("react_us"),
+        col("d.gap").as("gap"))
+    val burst = s.join(broadcast(withGap.select(col("u"), col("react_us"))),
+        Seq("u"))
+      .where(col("us") >= col("react_us") &&
+        col("us") < col("react_us") + burstWindowDays * 86400000000L)
+      .groupBy("u").agg(count(lit(1)).as("burst_events"))
+    withGap.join(burst, "u")
+      .where(col("burst_events") >= minBurst)
+      .select(col("u").as("user_id"), col("react_us"),
+        expr("gap div 86400000000").as("gap_days"), col("burst_events"))
+      .orderBy("user_id")
+  }
+
   /** Password-spray shape: hours where one event type touches MANY
     * distinct users but no user more than a couple of times — the
     * low-and-slow inverse of a brute force (per-user thresholds stay

@@ -295,4 +295,34 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r3.getAs[Long]("est_bytes") === 2L * 8 + 3 + 2 * 4)
     assert(!r3.getAs[Boolean]("broadcastable"))
   }
+
+  test("aqpEstimate at rate 1 degenerates to the exact total") {
+    // rate=1 samples EVERY row (x % 1 == 0): the estimate must equal
+    // the exact total with err_ppm 0, and the variance moments reduce
+    // to the hand-computable n·Σx² − S²
+    val li = Seq((1L, 1, 1.00), (1L, 2, 3.00))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val r = Audit.aqpEstimate(li, rate = 1L).collect().head
+    assert(r.getAs[Long]("n_total") === 2L)
+    assert(r.getAs[Long]("n_sample") === 2L)
+    assert(r.getAs[Long]("est_total_c") === 400L)
+    assert(r.getAs[Long]("exact_total_c") === 400L)
+    assert(r.getAs[Long]("err_ppm") === 0L)
+    // 2·(100² + 300²) − 400² = 40000
+    assert(r.getAs[java.math.BigDecimal]("sample_var_n2_c2")
+      .longValueExact() === 40000L)
+  }
+
+  test("aqpEstimate's sample is a strict subset that still lands near") {
+    // 1000 identical rows at 2.00: any k-row sample scales back to
+    // exactly k·200·rate; with xc constant the variance moment is 0
+    val li = (1 to 1000).map(i => (i.toLong, 1, 2.00))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val r = Audit.aqpEstimate(li, rate = 10L).collect().head
+    val k = r.getAs[Long]("n_sample")
+    assert(k > 0 && k < 1000)
+    assert(r.getAs[Long]("est_total_c") === k * 200 * 10)
+    assert(r.getAs[java.math.BigDecimal]("sample_var_n2_c2")
+      .longValueExact() === 0L)
+  }
 }

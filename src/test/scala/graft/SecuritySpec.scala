@@ -57,4 +57,22 @@ class SecuritySpec extends AnyFunSuite with SparkSuite {
     assert(r.head.getAs[Long]("n_users") === 12L)
     assert(r.head.getAs[Long]("max_per_user") === 1L)
   }
+
+  test("dormantReactivation needs BOTH the gap and the burst") {
+    val day = 86400L
+    // u1: active, 4-day silence, then 3 events in a burst → flagged
+    // u2: same silence but a single return event → no burst, silent
+    // u3: steady daily activity → no qualifying gap
+    val ev = (Seq((1L, 1L, t(0)), (2L, 1L, t(4 * day)),
+      (3L, 1L, t(4 * day + 100)), (4L, 1L, t(5 * day))) ++
+      Seq((10L, 2L, t(0)), (11L, 2L, t(4 * day))) ++
+      (0 until 6).map(i => (20L + i, 3L, t(i * day))))
+      .map { case (id, u, ts) => (id, u, "x", ts) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Security.dormantReactivation(ev).collect()
+    assert(r.map(_.getAs[Long]("user_id")).toSeq === Seq(1L))
+    assert(r.head.getAs[Long]("gap_days") === 4L)
+    assert(r.head.getAs[Long]("burst_events") === 3L)
+    assert(r.head.getAs[Long]("react_us") === 4 * day * 1000000L)
+  }
 }
