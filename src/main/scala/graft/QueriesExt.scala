@@ -542,5 +542,124 @@ private[graft] object QueriesExt {
              |  CAST(CAST(n_sample AS HUGEINT) * sample_sq_c
              |    - CAST(sample_sum_c AS HUGEINT) * sample_sum_c
              |    AS HUGEINT) AS sample_var_n2_c2
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // Month-over-month revenue bridge: new/expansion/contraction/
+    // churn decomposition in exact cents, identity-checked.
+    Q("q318_revenue_bridge",
+      (s, dir) => Analytics.revenueBridge(Tables(s, dir, "orders")),
+      Some("""WITH rev AS (SELECT o_custkey AS c,
+             |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev_c
+             |  FROM orders
+             |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM rev),
+             |mo AS (SELECT unnest(range(sp.m0, sp.m1 + 1)) AS m
+             |  FROM sp),
+             |cu AS (SELECT DISTINCT c FROM rev),
+             |grid AS (SELECT cu.c, mo.m,
+             |    COALESCE(rev.rev_c, 0) AS rev_c
+             |  FROM cu CROSS JOIN mo
+             |  LEFT JOIN rev ON rev.c = cu.c AND rev.m = mo.m),
+             |lg AS (SELECT c, m, rev_c, LAG(rev_c) OVER
+             |    (PARTITION BY c ORDER BY m) AS prev_c FROM grid)
+             |SELECT m, CAST(SUM(prev_c) AS BIGINT) AS starting_c,
+             |  CAST(SUM(CASE WHEN prev_c = 0 AND rev_c > 0
+             |    THEN rev_c ELSE 0 END) AS BIGINT) AS new_c,
+             |  CAST(SUM(CASE WHEN prev_c > 0 AND rev_c > prev_c
+             |    THEN rev_c - prev_c ELSE 0 END) AS BIGINT)
+             |    AS expansion_c,
+             |  CAST(SUM(CASE WHEN rev_c > 0 AND rev_c < prev_c
+             |    THEN prev_c - rev_c ELSE 0 END) AS BIGINT)
+             |    AS contraction_c,
+             |  CAST(SUM(CASE WHEN prev_c > 0 AND rev_c = 0
+             |    THEN prev_c ELSE 0 END) AS BIGINT) AS churned_c,
+             |  CAST(SUM(rev_c) AS BIGINT) AS ending_c
+             |FROM lg WHERE prev_c IS NOT NULL
+             |GROUP BY m ORDER BY m""".stripMargin)),
+
+    // Right-censored LTV curve: cumulative revenue per account age
+    // over the users still observable at that age.
+    Q("q319_ltv_curve",
+      (s, dir) => Analytics.ltvCurve(Tables(s, dir, "events")),
+      Some("""WITH base AS (SELECT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d,
+             |    CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL),
+             |fd AS (SELECT u, MIN(d) AS f FROM base GROUP BY 1),
+             |mx AS (SELECT MAX(d) AS dmax FROM base),
+             |ba AS (SELECT base.d - fd.f AS age,
+             |    CAST(SUM(base.vc) AS BIGINT) AS rev_c
+             |  FROM base JOIN fd ON fd.u = base.u GROUP BY 1),
+             |ar AS (SELECT mx.dmax - fd.f AS horizon,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM fd CROSS JOIN mx GROUP BY 1),
+             |grid AS (SELECT unnest(range(0,
+             |    (SELECT MAX(horizon) FROM ar) + 1)) AS age),
+             |risk AS (SELECT grid.age, COALESCE(ar.n, 0) AS n,
+             |    CAST(SUM(COALESCE(ar.n, 0)) OVER
+             |      (ORDER BY grid.age DESC) AS BIGINT) AS at_risk
+             |  FROM grid LEFT JOIN ar ON ar.horizon = grid.age)
+             |SELECT risk.age AS age,
+             |  CAST(COALESCE(ba.rev_c, 0) AS BIGINT) AS rev_c,
+             |  risk.at_risk AS at_risk,
+             |  CAST(SUM(COALESCE(ba.rev_c, 0)) OVER (ORDER BY risk.age)
+             |    AS BIGINT) AS cum_rev_c,
+             |  CAST(SUM(COALESCE(ba.rev_c, 0)) OVER (ORDER BY risk.age)
+             |    * 1000 // risk.at_risk AS BIGINT) AS ltv_milli
+             |FROM risk LEFT JOIN ba ON ba.age = risk.age
+             |ORDER BY age""".stripMargin)),
+
+    // Stockout projection over the derived partsupp: cumulative
+    // shipped quantity per (part, supplier) vs available stock, the
+    // 50 earliest projected stockouts.
+    Q("q320_stockout_projection",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, dir, "lineitem")
+        val ps = li.select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey")).distinct()
+          .withColumn("ps_availqty",
+            expr("(ps_partkey * 7 + ps_suppkey * 11) % 50 + 1"))
+        val byPair = Window.partitionBy("l_partkey", "l_suppkey")
+          .orderBy("day", "l_orderkey", "l_linenumber")
+        val cum = li
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"),
+            expr("unix_micros(l_shipdate) div 86400000000").as("day"),
+            expr("cast(round(l_quantity) as bigint)").as("q"))
+          .withColumn("cum_q", sum(col("q")).over(byPair))
+        cum.join(ps,
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .where(col("cum_q") > col("ps_availqty"))
+          .groupBy("ps_partkey", "ps_suppkey", "ps_availqty")
+          .agg(min("day").as("stockout_day"))
+          .orderBy(col("stockout_day"), col("ps_partkey"),
+            col("ps_suppkey"))
+          .limit(50)
+      },
+      Some(s"""WITH ${QueriesTpchFull.PartsuppCte},
+             |cum AS (SELECT l_partkey, l_suppkey,
+             |    epoch_us(l_shipdate) // 86400000000 AS day,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) OVER
+             |      (PARTITION BY l_partkey, l_suppkey
+             |       ORDER BY epoch_us(l_shipdate) // 86400000000,
+             |         l_orderkey, l_linenumber) AS BIGINT) AS cum_q
+             |  FROM lineitem)
+             |SELECT ps.ps_partkey AS ps_partkey,
+             |  ps.ps_suppkey AS ps_suppkey,
+             |  ps.ps_availqty AS ps_availqty,
+             |  CAST(MIN(cum.day) AS BIGINT) AS stockout_day
+             |FROM cum JOIN partsupp ps
+             |  ON ps.ps_partkey = cum.l_partkey
+             |  AND ps.ps_suppkey = cum.l_suppkey
+             |WHERE cum.cum_q > ps.ps_availqty
+             |GROUP BY 1, 2, 3
+             |ORDER BY stockout_day, ps_partkey, ps_suppkey
+             |LIMIT 50""".stripMargin)))
 }

@@ -45,7 +45,7 @@ private[graft] object QueriesTpchFull {
     * comparison has both outcomes on this corpus; supplycost in exact
     * cents 100..100099.
     */
-  private val PartsuppCte =
+  private[graft] val PartsuppCte =
     """partsupp AS (
       |  SELECT ps_partkey, ps_suppkey,
       |    CAST((ps_partkey * 7 + ps_suppkey * 11) % 50 + 1 AS BIGINT)

@@ -750,6 +750,100 @@ object Analytics {
     pairSupportFromUt(ut)
   }
 
+  /** Month-over-month revenue bridge: each period's revenue delta
+    * decomposed into NEW (customer's first paying month after a zero),
+    * EXPANSION (paying more than last month), CONTRACTION (paying
+    * less, still paying) and CHURN (paying → zero) — the waterfall
+    * every revenue dashboard opens with, in exact cents with the
+    * accounting identity `ending = starting + new + expansion −
+    * contraction − churn` holding bit for bit.
+    *
+    * Scale shape: orders fold to (customer, month) sums (combinable);
+    * the zero-filled grid is |customers| × |months in span| — months
+    * are calendar-bounded, so the grid is a constant factor on the
+    * customer dimension, partitioned by customer for the lag.
+    */
+  def revenueBridge(orders: DataFrame): DataFrame = {
+    val rev = orders
+      .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .groupBy(col("o_custkey").as("c"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("rev_c"))
+      .localCheckpoint() // span probe + grid join share it
+    val span = rev.agg(min("m").as("m0"), max("m").as("m1"))
+    val months = span.select(explode(sequence(col("m0"), col("m1")))
+      .as("m"))
+    val custs = rev.select(col("c")).distinct()
+    val grid = custs.crossJoin(broadcast(months))
+      .join(rev, Seq("c", "m"), "left")
+      .select(col("c"), col("m"), coalesce(col("rev_c"), lit(0L))
+        .as("rev_c"))
+    val byCust = Window.partitionBy("c").orderBy("m")
+    val lagged = grid
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(byCust))
+      .where(col("prev_c").isNotNull) // first month has no bridge
+    lagged.groupBy("m")
+      .agg(
+        sum(col("prev_c")).as("starting_c"),
+        sum(when(col("prev_c") === 0 && col("rev_c") > 0, col("rev_c"))
+          .otherwise(0L)).as("new_c"),
+        sum(when(col("prev_c") > 0 && col("rev_c") > col("prev_c"),
+          col("rev_c") - col("prev_c")).otherwise(0L)).as("expansion_c"),
+        sum(when(col("rev_c") > 0 && col("rev_c") < col("prev_c"),
+          col("prev_c") - col("rev_c")).otherwise(0L)).as("contraction_c"),
+        sum(when(col("prev_c") > 0 && col("rev_c") === 0, col("prev_c"))
+          .otherwise(0L)).as("churned_c"),
+        sum(col("rev_c")).as("ending_c"))
+      .orderBy("m")
+  }
+
+  /** Average-lifetime-value curve: cumulative revenue per user by
+    * account age (days since the user's first event), divided at each
+    * age by the users OBSERVABLE at that age (first day early enough
+    * that the corpus window covers age `a`) — the right-censoring
+    * correction that keeps late cohorts from dragging the tail down.
+    * Exact milli-cents.
+    *
+    * Scale shape: one (user, age) fold (combinable) after a
+    * broadcast of the per-user first day; the curve itself lives on
+    * the age grid (span-bounded).
+    */
+  def ltvCurve(events: DataFrame): DataFrame = {
+    val base = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .localCheckpoint() // first-day fold + age fold share it
+    val firstDay = base.groupBy("u").agg(min("d").as("f"))
+    val maxDay = base.agg(max("d").as("dmax"))
+    val byAgeRows = base.join(firstDay, "u")
+      .groupBy((col("d") - col("f")).as("age"))
+      .agg(sum("vc").as("rev_c"))
+    val atRisk = firstDay.crossJoin(broadcast(maxDay))
+      .groupBy((col("dmax") - col("f")).as("horizon"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid bound + suffix sum share it
+    // dense age grid 0..max horizon; users observable at age a =
+    // count(horizon ≥ a), a suffix sum down the grid
+    val grid = atRisk.agg(max("horizon").as("hmax"))
+      .select(explode(sequence(lit(0L), col("hmax"))).as("age"))
+    val byAge = Window.orderBy("age")
+    val risk = grid
+      .join(atRisk.withColumnRenamed("horizon", "age"), Seq("age"), "left")
+      .select(col("age"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("at_risk", sum(col("n")).over(
+        Window.orderBy(col("age").desc)))
+    risk.join(byAgeRows, Seq("age"), "left")
+      .select(col("age"), coalesce(col("rev_c"), lit(0L)).as("rev_c"),
+        col("at_risk"))
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(byAge))
+      .withColumn("ltv_milli", expr("cum_rev_c * 1000 div at_risk"))
+      .orderBy("age")
+  }
+
   /** The a→b support tail over an already-folded (u, t, lo, hi)
     * table — shared by the batch op and the streaming twin (whose
     * drained state IS this table).

@@ -459,4 +459,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r(("B", "A")) === (1L, 333333L)) // u2
     assert(!r.contains(("B", "C"))) // nobody has B before C
   }
+
+  test("revenueBridge decomposes the delta and the identity holds") {
+    def d(y: Int, m: Int) = java.sql.Timestamp.valueOf(
+      f"$y-$m%02d-15 00:00:00")
+    // month 1→2: c1 grows 100→150 (expansion 50), c2 shrinks 80→30
+    // (contraction 50), c3 churns 60→0, c4 is new at 40
+    val o = Seq(
+      (1L, d(2024, 1), 100.0), (1L, d(2024, 2), 150.0),
+      (2L, d(2024, 1), 80.0), (2L, d(2024, 2), 30.0),
+      (3L, d(2024, 1), 60.0),
+      (4L, d(2024, 2), 40.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.revenueBridge(o).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("starting_c") === 24000L)
+    assert(x.getAs[Long]("new_c") === 4000L)
+    assert(x.getAs[Long]("expansion_c") === 5000L)
+    assert(x.getAs[Long]("contraction_c") === 5000L)
+    assert(x.getAs[Long]("churned_c") === 6000L)
+    assert(x.getAs[Long]("ending_c") ===
+      x.getAs[Long]("starting_c") + x.getAs[Long]("new_c") +
+        x.getAs[Long]("expansion_c") - x.getAs[Long]("contraction_c") -
+        x.getAs[Long]("churned_c"))
+  }
+
+  test("ltvCurve right-censors late cohorts out of the denominator") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    // u1 starts day 0 (horizon 2), u2 starts day 2 (horizon 0):
+    // at age 0 both are observable, at ages 1-2 only u1 is
+    val ev = Seq((1L, t(0), 10.0), (1L, t(1), 10.0), (1L, t(2), 10.0),
+      (2L, t(2), 100.0))
+      .toDF("user_id", "ts", "value")
+    val r = Analytics.ltvCurve(ev).collect()
+      .map(x => x.getAs[Long]("age") ->
+        (x.getAs[Long]("at_risk"), x.getAs[Long]("cum_rev_c"),
+          x.getAs[Long]("ltv_milli"))).toMap
+    assert(r(0L) === (2L, 11000L, 5500000L)) // (1000+10000)·1000/2
+    assert(r(1L) === (1L, 12000L, 12000000L))
+    assert(r(2L) === (1L, 13000L, 13000000L))
+  }
 }
