@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Analytics, Audit, Graph, Security, Similarity, Stats, TextAnalysis}
+import graft.ops.{Analytics, Audit, Curation, Graph, Security, Similarity, Stats, TextAnalysis}
 
 /** Round-4 extension registry (q301+): operators added after the
   * QueriesPipeline file reached review-hostile size. Same contract as
@@ -661,5 +661,89 @@ private[graft] object QueriesExt {
              |WHERE cum.cum_q > ps.ps_availqty
              |GROUP BY 1, 2, 3
              |ORDER BY stockout_day, ps_partkey, ps_suppkey
-             |LIMIT 50""".stripMargin)))
+             |LIMIT 50""".stripMargin)),
+
+    // One IPF (raking) sweep toward uniform source×lang margins —
+    // the training-mixture rebalance step, integer-exact.
+    Q("q321_ipf_raking",
+      (s, dir) => Curation.ipfRaking(Tables(s, dir, "documents")),
+      Some("""WITH cells AS (SELECT source AS src, lang,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+             |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_lang
+             |  FROM cells),
+             |rows_ AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_n
+             |  FROM cells GROUP BY 1),
+             |a AS (SELECT src,
+             |    CAST(total // n_src * 1000000 // row_n AS BIGINT)
+             |      AS a_ppm
+             |  FROM rows_, tot),
+             |ar AS (SELECT cells.src, cells.lang, cells.n, a.a_ppm,
+             |    cells.n * a.a_ppm AS w1_micro
+             |  FROM cells JOIN a USING (src)),
+             |cs AS (SELECT lang, CAST(SUM(w1_micro) AS BIGINT)
+             |    AS col_micro FROM ar GROUP BY 1),
+             |b AS (SELECT lang,
+             |    CAST(total // n_lang * 1000000000000 // col_micro
+             |      AS BIGINT) AS b_ppm
+             |  FROM cs, tot),
+             |f AS (SELECT ar.src, ar.lang, ar.n, ar.a_ppm, b.b_ppm,
+             |    CAST(ar.a_ppm * b.b_ppm // 1000000 AS BIGINT)
+             |      AS w_ppm
+             |  FROM ar JOIN b USING (lang))
+             |SELECT src, lang, n, a_ppm, b_ppm, w_ppm,
+             |  CAST(SUM(n * w_ppm) OVER (PARTITION BY lang) AS BIGINT)
+             |    AS achieved_col_micro
+             |FROM f ORDER BY src, lang""".stripMargin)),
+
+    // RFM quintile segmentation (total-ordered ntiles, 5 = best),
+    // rolled up to segment cells.
+    Q("q322_rfm_segments",
+      (s, dir) => Analytics.rfmSegments(Tables(s, dir, "events")),
+      Some("""WITH per AS (SELECT user_id AS u,
+             |    MAX(epoch_us(ts) // 86400000000) AS last_d,
+             |    CAST(COUNT(*) AS BIGINT) AS f,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             |      AS BIGINT) AS m_c
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1),
+             |mx AS (SELECT MAX(last_d) AS dmax FROM per),
+             |sc AS (SELECT u, m_c,
+             |    6 - ntile(5) OVER (ORDER BY mx.dmax - last_d, u)
+             |      AS r_score,
+             |    6 - ntile(5) OVER (ORDER BY f DESC, u) AS f_score,
+             |    6 - ntile(5) OVER (ORDER BY m_c DESC, u) AS m_score
+             |  FROM per, mx)
+             |SELECT r_score, f_score, m_score,
+             |  CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  CAST(SUM(m_c) AS BIGINT) AS segment_rev_c,
+             |  r_score = 5 AND f_score = 5 AND m_score = 5 AS champion
+             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+        .stripMargin)),
+
+    // Longest consecutive-active-day streak per user (gaps-and-
+    // islands), top 20.
+    Q("q323_activity_streaks",
+      (s, dir) => Analytics.activityStreaks(Tables(s, dir, "events")),
+      Some("""WITH days AS (SELECT DISTINCT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |isl AS (SELECT u,
+             |    d - ROW_NUMBER() OVER (PARTITION BY u ORDER BY d)
+             |      AS grp, d FROM days),
+             |st AS (SELECT u, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             |    MIN(d) AS start_d FROM isl GROUP BY 1, 2),
+             |best AS (SELECT u, len, start_d, ROW_NUMBER() OVER
+             |    (PARTITION BY u ORDER BY len DESC, start_d) AS rn
+             |  FROM st)
+             |SELECT u AS user_id, len AS streak_days,
+             |  CAST(start_d AS BIGINT) AS streak_start_day
+             |FROM best WHERE rn = 1
+             |ORDER BY streak_days DESC, user_id LIMIT 20"""
+        .stripMargin)))
 }

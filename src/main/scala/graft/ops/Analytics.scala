@@ -750,6 +750,73 @@ object Analytics {
     pairSupportFromUt(ut)
   }
 
+  /** RFM segmentation: per-user Recency (days since last event),
+    * Frequency (event count) and Monetary (cent total), each scored
+    * into quintiles over a TOTAL order (metric, then user id — ntile
+    * is deterministic only under a total order, so the tiebreak is
+    * part of the contract), rolled up to segment cells. Score 5 =
+    * best (most recent / most frequent / highest spend).
+    *
+    * Scale shape: one combinable per-user fold; the ntile windows run
+    * over user-level rows; the rollup is ≤ 125 cells.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val per = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .groupBy(col("user_id").as("u"))
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("m_c"))
+    val dmax = per.agg(max("last_d").as("dmax"))
+    val scored = per.crossJoin(broadcast(dmax))
+      .withColumn("r_days", col("dmax") - col("last_d"))
+      // most recent first → ntile 1 = best; flip to 6-n so 5 = best
+      .withColumn("r_score",
+        expr("6 - ntile(5) over (order by r_days, u)"))
+      .withColumn("f_score",
+        expr("6 - ntile(5) over (order by f desc, u)"))
+      .withColumn("m_score",
+        expr("6 - ntile(5) over (order by m_c desc, u)"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m_c").as("segment_rev_c"))
+      .withColumn("champion",
+        col("r_score") === 5 && col("f_score") === 5 &&
+          col("m_score") === 5)
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Longest consecutive-active-day streak per user — the
+    * gaps-and-islands fold (day − row_number is constant inside a
+    * run), reporting each user's best streak and its start. Top
+    * `topN` by streak length.
+    *
+    * Scale shape: distinct (user, day) is one combinable fold; the
+    * island window runs inside the per-user partitioning; output is
+    * a bounded top-k.
+    */
+  def activityStreaks(events: DataFrame, topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("u")
+    val days = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val islands = days
+      .withColumn("grp",
+        col("d") - row_number().over(byUser.orderBy("d")))
+      .groupBy("u", "grp")
+      .agg(count(lit(1)).as("len"), min("d").as("start_d"))
+    islands
+      .withColumn("rn", row_number().over(
+        byUser.orderBy(col("len").desc, col("start_d"))))
+      .where(col("rn") === 1)
+      .select(col("u").as("user_id"), col("len").as("streak_days"),
+        col("start_d").as("streak_start_day"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(topN)
+  }
+
   /** Month-over-month revenue bridge: each period's revenue delta
     * decomposed into NEW (customer's first paying month after a zero),
     * EXPANSION (paying more than last month), CONTRACTION (paying

@@ -987,4 +987,50 @@ object Curation {
         col("n_replacement") === 0 && col("n_control") === 0 &&
           col("n_mojibake") === 0)
       .orderBy("doc_id")
+
+  /** One IPF (raking) sweep toward uniform (source × lang) margins:
+    * the distribution-matching step a training-mixture rebalance runs
+    * when the corpus must hit target marginals that no per-cell
+    * weight satisfies directly. Row factors first (`a_i = T_row·10⁶
+    * div R_i` ppm), then column factors against the row-adjusted
+    * column sums, final cell weight `a_i·b_j div 10⁶` — all integer,
+    * so the oracle replays the sweep bit for bit; the achieved column
+    * margin is emitted as the convergence evidence (rows drift after
+    * the column sweep — that residual IS what iteration would fix).
+    *
+    * Scale shape: one combinable (source, lang) count folds the
+    * corpus; everything else runs on the |sources|×|langs| cell grid.
+    */
+  def ipfRaking(docs: DataFrame, srcCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val cells = docs
+      .where(col(srcCol).isNotNull && col(langCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // margins + two sweeps all read it
+    val tot = cells.agg(sum("n").as("total"),
+      countDistinct("src").as("n_src"),
+      countDistinct("lang").as("n_lang"))
+    val rows = cells.groupBy("src").agg(sum("n").as("row_n"))
+    val a = rows.crossJoin(broadcast(tot))
+      .select(col("src"),
+        expr("total div n_src * 1000000 div row_n").as("a_ppm"))
+    val afterRow = cells.join(broadcast(a), "src")
+      .withColumn("w1_micro", expr("n * a_ppm"))
+    val colSums = afterRow.groupBy("lang")
+      .agg(sum("w1_micro").as("col_micro"))
+    val b = colSums.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        expr("total div n_lang * 1000000000000 div col_micro")
+          .as("b_ppm"))
+    afterRow.join(broadcast(b), "lang")
+      .withColumn("w_ppm", expr("a_ppm * b_ppm div 1000000"))
+      .withColumn("cell_micro", expr("n * w_ppm"))
+      .withColumn("achieved_col_micro",
+        sum(col("cell_micro")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select("src", "lang", "n", "a_ppm", "b_ppm", "w_ppm",
+        "achieved_col_micro")
+      .orderBy("src", "lang")
+  }
 }

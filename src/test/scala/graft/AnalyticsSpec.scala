@@ -500,4 +500,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r(1L) === (1L, 12000L, 12000000L))
     assert(r(2L) === (1L, 13000L, 13000000L))
   }
+
+  test("rfmSegments: five clean quintiles land their champions") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    // 5 users, user u has u events on day u spending 10·u — every
+    // metric ranks users identically, so each lands in its own
+    // (k,k,k) diagonal segment and user 5 is the champion
+    val ev = (1 to 5).flatMap(u => (1 to u).map(i =>
+      (u.toLong, t(u), 10.0 * u)))
+      .toDF("user_id", "ts", "value")
+    val r = Analytics.rfmSegments(ev).collect()
+      .map(x => (x.getAs[Int]("r_score"), x.getAs[Int]("f_score"),
+        x.getAs[Int]("m_score")) ->
+        (x.getAs[Long]("n_users"), x.getAs[Boolean]("champion")))
+      .toMap
+    assert(r.size === 5)
+    (1 to 5).foreach(k =>
+      assert(r((k, k, k)) === (1L, k == 5), s"segment $k"))
+  }
+
+  test("activityStreaks finds the longest island per user") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    // u1: days 1,2,3 then 7,8 → best streak 3 from day 1
+    // u2: days 2,4,6 → best streak 1 from day 2 (earliest tie)
+    val ev = (Seq(1L, 2L, 3L, 7L, 8L).map(d => (1L, t(d))) ++
+      Seq(2L, 4L, 6L).map(d => (2L, t(d))))
+      .toDF("user_id", "ts")
+    val r = Analytics.activityStreaks(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("streak_days"), x.getAs[Long]("streak_start_day")))
+      .toMap
+    assert(r(1L) === (3L, 1L))
+    assert(r(2L) === (1L, 2L))
+  }
 }

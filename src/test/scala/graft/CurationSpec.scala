@@ -454,4 +454,29 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r(4L) === ((0L, 0L, 1L, 8L, false)))
     assert(r(5L) === ((0L, 0L, 0L, 8L, true)))
   }
+
+  test("ipfRaking: one sweep hits the column margin exactly on a 2x2") {
+    // counts: (s1,en)=30 (s1,fr)=10 | (s2,en)=10 (s2,fr)=50; total
+    // 100, targets 50/row and 50/col. Row factors: a(s1)=1.25e6,
+    // a(s2)=833333 ppm. Row-adjusted col sums: en = 30·1.25e6 +
+    // 10·833333 = 45.83e6 micro; fr = 10·1.25e6 + 50·833333 =
+    // 54.17e6 micro. b = 50e12 // col_micro.
+    val docs = (Seq.fill(30)(("s1", "en")) ++ Seq.fill(10)(("s1", "fr")) ++
+      Seq.fill(10)(("s2", "en")) ++ Seq.fill(50)(("s2", "fr")))
+      .zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val r = graft.ops.Curation.ipfRaking(docs).collect()
+      .map(x => (x.getAs[String]("src"), x.getAs[String]("lang")) -> x)
+      .toMap
+    val s1en = r(("s1", "en"))
+    assert(s1en.getAs[Long]("a_ppm") === 1250000L)
+    assert(r(("s2", "fr")).getAs[Long]("a_ppm") === 833333L)
+    val colEn = 30L * 1250000 + 10L * 833333
+    assert(s1en.getAs[Long]("b_ppm") === 50L * 1000000000000L / colEn)
+    // the column sweep ran LAST, so the achieved column margin is the
+    // target up to ppm truncation (within 100 micro-docs of 50·10⁶)
+    val achieved = s1en.getAs[Long]("achieved_col_micro")
+    assert(math.abs(achieved - 50000000L) < 100L,
+      s"achieved=$achieved")
+  }
 }
