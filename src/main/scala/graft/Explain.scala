@@ -53,7 +53,8 @@ object Explain {
       "q297_tpch_q2", "q298_tpch_q9", "q301_suffix_array",
       "q302_matrix_profile", "q304_ols_regression",
       "q306_rake_keywords", "q307_mahalanobis_outliers",
-      "q309_ransac_line")
+      "q309_ransac_line", "q313_beaconing", "q317_aqp_estimate",
+      "q318_revenue_bridge", "q321_ipf_raking")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

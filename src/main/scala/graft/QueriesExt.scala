@@ -703,28 +703,7 @@ private[graft] object QueriesExt {
     // rolled up to segment cells.
     Q("q322_rfm_segments",
       (s, dir) => Analytics.rfmSegments(Tables(s, dir, "events")),
-      Some("""WITH per AS (SELECT user_id AS u,
-             |    MAX(epoch_us(ts) // 86400000000) AS last_d,
-             |    CAST(COUNT(*) AS BIGINT) AS f,
-             |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
-             |      AS BIGINT) AS m_c
-             |  FROM events
-             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-             |    AND value IS NOT NULL
-             |  GROUP BY 1),
-             |mx AS (SELECT MAX(last_d) AS dmax FROM per),
-             |sc AS (SELECT u, m_c,
-             |    6 - ntile(5) OVER (ORDER BY mx.dmax - last_d, u)
-             |      AS r_score,
-             |    6 - ntile(5) OVER (ORDER BY f DESC, u) AS f_score,
-             |    6 - ntile(5) OVER (ORDER BY m_c DESC, u) AS m_score
-             |  FROM per, mx)
-             |SELECT r_score, f_score, m_score,
-             |  CAST(COUNT(*) AS BIGINT) AS n_users,
-             |  CAST(SUM(m_c) AS BIGINT) AS segment_rev_c,
-             |  r_score = 5 AND f_score = 5 AND m_score = 5 AS champion
-             |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
-        .stripMargin)),
+      Some(RfmOracle)),
 
     // Longest consecutive-active-day streak per user (gaps-and-
     // islands), top 20.
@@ -745,5 +724,47 @@ private[graft] object QueriesExt {
              |  CAST(start_d AS BIGINT) AS streak_start_day
              |FROM best WHERE rn = 1
              |ORDER BY streak_days DESC, user_id LIMIT 20"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // Streaming twin of q322: per-user R/F/M state maintained
+    // in-stream (three commutative longs), drained, then the SAME
+    // shared quintile tail — q322's oracle verbatim.
+    Q("q324_stream_rfm",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.rfmStream(
+          QueriesAlert.tableStream(s, dir, "events"))
+        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
+          "q324_sink", OutputMode.Append())
+          // cumulative emissions: the final state per user is the
+          // max of every tracked (all three are nondecreasing)
+          .groupBy("u").agg(max("last_d").as("last_d"),
+            max("f").as("f"), max("m_c").as("m_c"))
+        Analytics.rfmScoreTail(drained)
+      },
+      Some(RfmOracle)))
+
+  /** q322's oracle — also applied verbatim to q324's streaming twin. */
+  private val RfmOracle: String =
+    """WITH per AS (SELECT user_id AS u,
+      |    MAX(epoch_us(ts) // 86400000000) AS last_d,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+      |      AS BIGINT) AS m_c
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL
+      |  GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS dmax FROM per),
+      |sc AS (SELECT u, m_c,
+      |    6 - ntile(5) OVER (ORDER BY mx.dmax - last_d, u)
+      |      AS r_score,
+      |    6 - ntile(5) OVER (ORDER BY f DESC, u) AS f_score,
+      |    6 - ntile(5) OVER (ORDER BY m_c DESC, u) AS m_score
+      |  FROM per, mx)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(m_c) AS BIGINT) AS segment_rev_c,
+      |  r_score = 5 AND f_score = 5 AND m_score = 5 AS champion
+      |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

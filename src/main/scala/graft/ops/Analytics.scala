@@ -768,6 +768,15 @@ object Analytics {
       .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_d"),
         count(lit(1)).as("f"),
         sum(expr("cast(round(value * 100) as bigint)")).as("m_c"))
+    rfmScoreTail(per)
+  }
+
+  /** The quintile-scoring tail over an already-folded
+    * (u, last_d, f, m_c) table — shared by the batch op and the
+    * streaming twin (whose drained state IS this table).
+    */
+  private[graft] def rfmScoreTail(per0: DataFrame): DataFrame = {
+    val per = per0.localCheckpoint() // dmax probe + scoring share it
     val dmax = per.agg(max("last_d").as("dmax"))
     val scored = per.crossJoin(broadcast(dmax))
       .withColumn("r_days", col("dmax") - col("last_d"))

@@ -43,15 +43,18 @@ object Security {
       .where(col("prev").isNotNull)
       .select(col("u"), col("t"),
         expr(s"(us - prev) div $gapBucketUs").as("gap_bucket"))
+    // ONE scan + one (u, t) shuffle: totals fold from the histogram
+    // (Σ bucket counts = delta count), not from a second pass
     val hist = seq.groupBy("u", "t", "gap_bucket")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // modal window + totals fold share it
     val modal = hist
       .withColumn("rn", row_number().over(
         byKey.orderBy(col("c").desc, col("gap_bucket"))))
       .where(col("rn") === 1)
       .select(col("u"), col("t"), col("gap_bucket").as("modal_gap_bucket"),
         col("c").as("modal_hits"))
-    val totals = seq.groupBy("u", "t").agg(count(lit(1)).as("n_deltas"))
+    val totals = hist.groupBy("u", "t").agg(sum(col("c")).as("n_deltas"))
     totals.join(modal, Seq("u", "t"))
       .where(col("n_deltas") >= minDeltas)
       .withColumn("regular_ppm",

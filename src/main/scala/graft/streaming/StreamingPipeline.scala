@@ -407,6 +407,42 @@ object StreamingPipeline {
         })
   }
 
+  case class RfmState(lastD: Long, f: Long, mC: Long)
+
+  case class RfmRow(u: Long, last_d: Long, f: Long, m_c: Long)
+
+  /** Streaming per-user RFM maintenance — the ingest-time twin of
+    * [[graft.ops.Analytics.rfmSegments]]'s fold: max / count / sum
+    * all commute, so arrival order and batching can never change the
+    * state (three longs per user). Latest emission per user is the
+    * serving row; the quintile scoring runs over the drained state
+    * via the SAME shared tail as the batch op, so q322's oracle
+    * applies verbatim to a single-batch replay.
+    */
+  def rfmStream(events: DataFrame): org.apache.spark.sql.Dataset[RfmRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id").cast("long").as("u"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[RfmState]) => {
+          var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+          rows.foreach { case (_, d, vc) =>
+            st = RfmState(math.max(st.lastD, d), st.f + 1L, st.mC + vc)
+          }
+          state.update(st)
+          Iterator.single(RfmRow(u, st.lastD, st.f, st.mC))
+        })
+  }
+
   case class CentroidState(n: Long, sums: Seq[Long])
 
   case class CentroidRow(label: Int, idx: Int, n: Long, sum_micro: Long,

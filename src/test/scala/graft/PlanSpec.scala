@@ -179,4 +179,22 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     val exact = graft.functions.Paths.column(df.schema, "b.a")
     assert(df.select(exact.cast("string")).head().getString(0) === "x")
   }
+
+  test("q317: the AQP sample is a predicate — one scan, no join") {
+    val plan = planOf("q317_aqp_estimate")
+    assert(plan.split("FileScan").length - 1 === 1,
+      "sample must not materialize a second scan")
+    assert(!plan.contains("Join"), "no join anywhere in the AQP pass")
+  }
+
+  test("q322: RFM never sort-merge joins; the global max broadcasts") {
+    // the per-user fold is checkpointed (its scan ran once at build
+    // time), so the serving plan reads the materialization — at most
+    // one scan can ever appear, and the dmax side must broadcast
+    val plan = planOf("q322_rfm_segments")
+    assert(plan.split("FileScan").length - 1 <= 1,
+      "the per-user fold must not rescan events")
+    assert(!plan.contains("SortMergeJoin"),
+      "dmax must broadcast, not shuffle the user table")
+  }
 }

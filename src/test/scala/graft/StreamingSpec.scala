@@ -660,4 +660,32 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(got(("A", "B")) === 1L)
     } finally q.stop()
   }
+
+  test("rfmStream: commutative R/F/M state folds across batches") {
+    implicit val sc = spark.sqlContext
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingPipeline.rfmStream(
+      mem.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("rfm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 2 delivers an EARLIER day for u1 — max-state must hold
+      mem.addData((1L, t(5), 10.0), (2L, t(3), 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, t(2), 2.5), (2L, t(4), 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("rfm")
+        .groupBy("u").agg(
+          org.apache.spark.sql.functions.max("last_d").as("last_d"),
+          org.apache.spark.sql.functions.max("f").as("f"),
+          org.apache.spark.sql.functions.max("m_c").as("m_c"))
+        .collect()
+        .map(r => r.getAs[Long]("u") ->
+          (r.getAs[Long]("last_d"), r.getAs[Long]("f"),
+            r.getAs[Long]("m_c"))).toMap
+      assert(fin(1L) === (5L, 2L, 1250L)) // day 2 did NOT regress last_d
+      assert(fin(2L) === (4L, 2L, 600L))
+    } finally q.stop()
+  }
 }
