@@ -13,7 +13,7 @@ import graft.ops.{Analytics, Audit, Curation, Graph, Security, Similarity, Stats
 private[graft] object QueriesExt {
   import SparkEntryRegistry.Q
 
-  def registry: Seq[Q] = firstBatch ++ secondBatch
+  def registry: Seq[Q] = firstBatch ++ secondBatch ++ thirdBatch
 
   private def firstBatch: Seq[Q] = Seq(
     // Distributed suffix-array construction (prefix doubling: ⌈log₂
@@ -743,6 +743,50 @@ private[graft] object QueriesExt {
         Analytics.rfmScoreTail(drained)
       },
       Some(RfmOracle)))
+
+  /** Per-JVM scratch root for source round-trips (same discipline as
+    * QueriesPipeline.lakeRoot: no cross-process overwrite races).
+    */
+  private lazy val extScratch: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_").toFile
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(dir)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def thirdBatch: Seq[Q] = Seq(
+    // DataSource V2 connector round-trip: per-source JSON-block blobs
+    // written as text, read back through the custom connector (one
+    // row per OBJECT, tokenized inside the PartitionReader), parsed
+    // and aggregated — q16's oracle, through the connector.
+    Q("q325_jsonblocks_v2_source",
+      (s, dir) => {
+        val out = s"$extScratch/q325_blocks"
+        Tables(s, dir, "documents")
+          .groupBy("source")
+          .agg(concat_ws("", collect_list(
+            format_string("""{"doc_id":%d,"source":"%s"}""",
+              col("doc_id"), col("source")))).as("value"))
+          .select("value")
+          .write.mode("overwrite").text(out)
+        s.read.format("graft.sources.JsonBlocksSource").load(out)
+          .select(
+            expr("cast(get_json_object(block, '$.doc_id') as bigint)")
+              .as("doc_id"),
+            expr("get_json_object(block, '$.source')").as("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS cnt, min(doc_id) AS min_id,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY source ORDER BY source"""
+        .stripMargin)))
 
   /** q322's oracle — also applied verbatim to q324's streaming twin. */
   private val RfmOracle: String =

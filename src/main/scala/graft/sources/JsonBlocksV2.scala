@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for brace-concatenated JSON-block files —
+  * the reference's raw log shape (S13, utils/helpers.py tokenizer;
+  * CloudTrail-style delivery drops many JSON objects back to back
+  * with no delimiter). `spark.read.format("graft.sources
+  * .JsonBlocksSource").load(dir)` yields one row per JSON OBJECT
+  * (`block` string + `src_file` provenance), ready for
+  * `spark.read.json` / `from_json` downstream — no driver-side
+  * tokenize, no wholetext-then-flatMap detour.
+  *
+  * Ladder step beyond (c): a connector, not an operator — the
+  * brace-balance split (Ingest.splitJsonBlocks, string-aware) runs
+  * INSIDE each PartitionReader, so tokenization distributes with the
+  * files. The file is the parallelism unit by construction: a block
+  * boundary is only known after balancing every brace before it, so
+  * byte-range splits would shred objects (same reason the wholetext
+  * read existed). At 100 TB that is the right contract for this
+  * format — delivery drops are many small-to-medium files, and a
+  * 1000-executor cluster scales out on file count.
+  */
+class JsonBlocksSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonBlocksSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JsonBlocksTable(properties.get("path"))
+}
+
+object JsonBlocksSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("block", StringType, nullable = false),
+    StructField("src_file", StringType, nullable = false)))
+
+  /** Leaf data files under `path` (a file, directory or glob),
+    * skipping hidden/metadata entries — one InputPartition each.
+    */
+  private[sources] def leafFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val roots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    roots.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+    }.filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.toString)
+      .sorted
+  }
+}
+
+private[sources] class JsonBlocksTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"jsonblocks($path)"
+  override def schema(): StructType = JsonBlocksSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new JsonBlocksScan(Option(path).getOrElse(options.get("path")))
+    }
+}
+
+private[sources] class JsonBlocksScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = JsonBlocksSource.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonBlocksSource.leafFiles(path)
+      .map(JsonBlocksPartition(_): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonBlocksReaderFactory
+}
+
+private[sources] case class JsonBlocksPartition(file: String)
+    extends InputPartition
+
+private[sources] class JsonBlocksReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[JsonBlocksPartition].file
+    new PartitionReader[InternalRow] {
+      // whole-file read is the format's contract (see class doc); the
+      // tokenizer is the SAME string-aware brace balancer the S13
+      // surface uses, so the two paths can never disagree
+      private lazy val blocks: Iterator[String] = {
+        val p = new Path(file)
+        val fs = p.getFileSystem(new Configuration())
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          Ingest.splitJsonBlocks(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .iterator
+        } finally in.close()
+      }
+      private var current: String = _
+
+      override def next(): Boolean =
+        if (blocks.hasNext) { current = blocks.next(); true } else false
+
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(current),
+          UTF8String.fromString(file))
+
+      override def close(): Unit = ()
+    }
+  }
+}
