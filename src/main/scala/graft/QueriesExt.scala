@@ -786,7 +786,57 @@ private[graft] object QueriesExt {
       Some("""SELECT source, COUNT(*) AS cnt, min(doc_id) AS min_id,
              |  max(doc_id) AS max_id
              |FROM documents GROUP BY source ORDER BY source"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // Markov stationary distribution (4 exact ppm power sweeps on
+    // q183's transition matrix) vs the empirical type share.
+    Q("q326_stationary_distribution",
+      (s, dir) => Analytics.stationaryDistribution(
+        Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT user_id AS u, event_type AS et, ts,
+             |    event_id AS id
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |pr AS (SELECT et AS from_type,
+             |    lead(et, 1) OVER (PARTITION BY u ORDER BY ts, id)
+             |      AS to_type
+             |  FROM t),
+             |c AS (SELECT from_type, to_type,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |p AS (SELECT c.from_type AS i, c.to_type AS j,
+             |    CAST(c.cnt * 1000000 // tot.row_total AS BIGINT)
+             |      AS p_ppm
+             |  FROM c JOIN (SELECT from_type,
+             |      CAST(SUM(cnt) AS BIGINT) AS row_total
+             |    FROM c GROUP BY 1) tot USING (from_type)),
+             |ty AS (SELECT DISTINCT i AS ty FROM p),
+             |v0 AS (SELECT ty, CAST(1000000 //
+             |    (SELECT COUNT(*) FROM ty) AS BIGINT) AS v_ppm
+             |  FROM ty),
+             |v1 AS (SELECT p.j AS ty, CAST(SUM(v0.v_ppm * p.p_ppm)
+             |    // 1000000 AS BIGINT) AS v_ppm
+             |  FROM p JOIN v0 ON v0.ty = p.i GROUP BY 1),
+             |v2 AS (SELECT p.j AS ty, CAST(SUM(v1.v_ppm * p.p_ppm)
+             |    // 1000000 AS BIGINT) AS v_ppm
+             |  FROM p JOIN v1 ON v1.ty = p.i GROUP BY 1),
+             |v3 AS (SELECT p.j AS ty, CAST(SUM(v2.v_ppm * p.p_ppm)
+             |    // 1000000 AS BIGINT) AS v_ppm
+             |  FROM p JOIN v2 ON v2.ty = p.i GROUP BY 1),
+             |v4 AS (SELECT p.j AS ty, CAST(SUM(v3.v_ppm * p.p_ppm)
+             |    // 1000000 AS BIGINT) AS v_ppm
+             |  FROM p JOIN v3 ON v3.ty = p.i GROUP BY 1),
+             |emp AS (SELECT et AS ty, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM t GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM emp)
+             |SELECT v4.ty AS event_type, v4.v_ppm AS stationary_ppm,
+             |  CAST(emp.n * 1000000 // tt.tot AS BIGINT)
+             |    AS empirical_ppm,
+             |  CAST(v4.v_ppm - emp.n * 1000000 // tt.tot AS BIGINT)
+             |    AS gap_ppm
+             |FROM v4 JOIN emp USING (ty) CROSS JOIN tt
+             |ORDER BY event_type""".stripMargin)))
 
   /** q322's oracle — also applied verbatim to q324's streaming twin. */
   private val RfmOracle: String =

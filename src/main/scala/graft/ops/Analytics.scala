@@ -750,6 +750,64 @@ object Analytics {
     pairSupportFromUt(ut)
   }
 
+  /** Stationary distribution of the event-type Markov chain (q183's
+    * transition matrix iterated to its fixed point): four exact
+    * integer power sweeps `v_{k+1}(j) = Σ_i v_k(i)·p_ij_ppm div 10⁶`
+    * from the uniform start, reported beside the EMPIRICAL type share
+    * — the gap says how far the chain's long-run behavior sits from
+    * today's mix (the "where is this heading" column on a journey
+    * dashboard). All ppm integer arithmetic; truncation loses < 1 ppm
+    * per type per sweep, and both engines truncate identically.
+    *
+    * Scale shape: the raw scan folds to the |types|² matrix (one
+    * user-key shuffle for the lead); every sweep is a join on that
+    * catalog-sized grid.
+    */
+  def stationaryDistribution(events: DataFrame, sweeps: Int = 4)
+      : DataFrame = {
+    val byUser = Window.partitionBy("u").orderBy("ts", "id")
+    val t = events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").as("u"), col("event_type").as("et"),
+        col("ts"), col("event_id").as("id"))
+    val pairs = t
+      .withColumn("to_type", lead(col("et"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .select(col("et").as("from_type"), col("to_type"))
+    val c = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // matrix + row totals + every sweep read it
+    val p = c.join(
+        c.groupBy("from_type").agg(sum("cnt").as("row_total")),
+        "from_type")
+      .select(col("from_type").as("i"), col("to_type").as("j"),
+        expr("cnt * 1000000 div row_total").as("p_ppm"))
+      .localCheckpoint()
+    val types = p.select(col("i").as("ty")).distinct()
+      .localCheckpoint()
+    val nTypes = types.count()
+    var v = types.select(col("ty"),
+      lit(1000000L / nTypes).as("v_ppm"))
+    (1 to sweeps).foreach { _ =>
+      v = p.join(v, p("i") === v("ty"))
+        .groupBy(col("j").as("newTy"))
+        .agg(expr("sum(v_ppm * p_ppm) div 1000000").as("v_ppm"))
+        .withColumnRenamed("newTy", "ty")
+        .localCheckpoint()
+    }
+    val empirical = t.groupBy(col("et").as("ty"))
+      .agg(count(lit(1)).as("n"))
+    val totalN = empirical.agg(sum("n").as("tot"))
+    v.join(empirical, "ty").crossJoin(broadcast(totalN))
+      .select(col("ty").as("event_type"),
+        col("v_ppm").as("stationary_ppm"),
+        expr("n * 1000000 div tot").as("empirical_ppm"))
+      .withColumn("gap_ppm",
+        col("stationary_ppm") - col("empirical_ppm"))
+      .orderBy("event_type")
+  }
+
   /** RFM segmentation: per-user Recency (days since last event),
     * Frequency (event count) and Monetary (cent total), each scored
     * into quintiles over a TOTAL order (metric, then user id — ntile

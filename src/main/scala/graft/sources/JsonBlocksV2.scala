@@ -6,9 +6,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,17 +65,81 @@ object JsonBlocksSource {
 }
 
 private[sources] class JsonBlocksTable(path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"jsonblocks($path)"
   override def schema(): StructType = JsonBlocksSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan =
         new JsonBlocksScan(Option(path).getOrElse(options.get("path")))
     }
+
+  /** Write side: each task concatenates its `block` strings into one
+    * delivery-drop file (the format IS concatenation — no delimiter
+    * to add), written task-temporary and renamed on task commit so a
+    * failed/speculative task never publishes a partial file. The
+    * input's FIRST string column is the block; extra columns (e.g.
+    * the read side's provenance) are ignored.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val blockIdx = info.schema().fields.indexWhere(_.dataType == StringType)
+    require(blockIdx >= 0, "jsonblocks write needs a string column")
+    val target = Option(path)
+      .getOrElse(info.options.get("path"))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new JsonBlocksBatchWrite(
+          target, blockIdx, info.queryId())
+      }
+    }
+  }
+}
+
+private[sources] class JsonBlocksBatchWrite(path: String, blockIdx: Int,
+    queryId: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new JsonBlocksWriterFactory(path, blockIdx, queryId)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class JsonBlocksCommit(file: String)
+    extends WriterCommitMessage
+
+private[sources] class JsonBlocksWriterFactory(path: String, blockIdx: Int,
+    queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val dir = new Path(path)
+    private val fs = dir.getFileSystem(new Configuration())
+    private val tmp = new Path(dir,
+      f".${queryId}_$partitionId%05d-$taskId.json.tmp")
+    private val fin = new Path(dir, f"part-$partitionId%05d.json")
+    private lazy val out = { fs.mkdirs(dir); fs.create(tmp, true) }
+
+    override def write(record: InternalRow): Unit =
+      out.write(record.getUTF8String(blockIdx).getBytes)
+
+    override def commit(): WriterCommitMessage = {
+      out.close()
+      // task commit = atomic publish; last attempt wins (overwrite)
+      if (fs.exists(fin)) fs.delete(fin, false)
+      fs.rename(tmp, fin)
+      JsonBlocksCommit(fin.toString)
+    }
+
+    override def abort(): Unit = {
+      try out.close() catch { case _: Throwable => () }
+      fs.delete(tmp, false): Unit
+    }
+
+    override def close(): Unit = ()
+  }
 }
 
 private[sources] class JsonBlocksScan(path: String) extends Scan with Batch {

@@ -533,4 +533,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(r(1L) === (3L, 1L))
     assert(r(2L) === (1L, 2L))
   }
+
+  test("stationaryDistribution converges to the 2-state closed form") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // one user alternating A,B,A,B,...,A (20 events): transitions
+    // A→B ×10, B→A ×9 — both rows deterministic (p=1e6), so the
+    // chain just swaps mass and every sweep keeps the uniform vector
+    val ev = (0 until 20).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "A" else "B", t(i)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Analytics.stationaryDistribution(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("stationary_ppm"), x.getAs[Long]("empirical_ppm")))
+      .toMap
+    assert(r("A")._1 === 500000L)
+    assert(r("B")._1 === 500000L)
+    assert(r("A")._2 === 500000L) // 10 of 20
+  }
 }

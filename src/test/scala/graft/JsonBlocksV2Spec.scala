@@ -41,4 +41,23 @@ class JsonBlocksV2Spec extends AnyFunSuite with SparkSuite {
     assert(parsed.where("msg = 'open { not a block'").count() === 1)
     assert(parsed.where("nested.k = 'v'").count() === 1)
   }
+
+  test("V2 connector write → read round-trips the block set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jb_v2_w_").toFile
+    val blocks = (1 to 7).map(i => s"""{"id":$i,"v":"x{$i"}""")
+    blocks.toDF("block")
+      // the write schema is the table schema; src_file is ignored
+      .withColumn("src_file", org.apache.spark.sql.functions.lit(""))
+      .repartition(2) // multiple writer tasks, multiple drop files
+      .write.format("graft.sources.JsonBlocksSource")
+      .mode("append").save(dir.getAbsolutePath)
+    val back = spark.read.format("graft.sources.JsonBlocksSource")
+      .load(dir.getAbsolutePath)
+    assert(back.count() === 7)
+    assert(back.select("block").as[String].collect().sorted ===
+      blocks.sorted.toArray)
+    // two writer partitions → two delivery files
+    assert(back.select("src_file").distinct().count() === 2)
+  }
 }
