@@ -411,40 +411,7 @@ private[graft] object QueriesExt {
     // modal bucket's share flags metronomic callbacks.
     Q("q313_beaconing",
       (s, dir) => Security.beaconing(Tables(s, dir, "events")),
-      Some("""WITH s AS (SELECT user_id AS u, event_type AS t,
-             |    epoch_us(ts) AS us, event_id AS id
-             |  FROM events
-             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-             |    AND ts IS NOT NULL),
-             |d AS (SELECT u, t,
-             |    (us - LAG(us) OVER (PARTITION BY u, t
-             |      ORDER BY us, id)) // 21600000000 AS gap_bucket,
-             |    LAG(us) OVER (PARTITION BY u, t ORDER BY us, id)
-             |      AS prev
-             |  FROM s),
-             |g AS (SELECT u, t, gap_bucket FROM d
-             |  WHERE prev IS NOT NULL),
-             |h AS (SELECT u, t, gap_bucket,
-             |    CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
-             |m AS (SELECT u, t, gap_bucket AS modal_gap_bucket,
-             |    c AS modal_hits FROM (
-             |    SELECT u, t, gap_bucket, c, ROW_NUMBER() OVER
-             |      (PARTITION BY u, t ORDER BY c DESC, gap_bucket)
-             |      AS rn FROM h) x
-             |  WHERE rn = 1),
-             |tt AS (SELECT u, t, CAST(COUNT(*) AS BIGINT) AS n_deltas
-             |  FROM g GROUP BY 1, 2)
-             |SELECT tt.u AS user_id, tt.t AS event_type,
-             |  tt.n_deltas AS n_deltas,
-             |  m.modal_gap_bucket AS modal_gap_bucket,
-             |  m.modal_hits AS modal_hits,
-             |  CAST(m.modal_hits * 1000000 // tt.n_deltas AS BIGINT)
-             |    AS regular_ppm
-             |FROM tt JOIN m ON m.u = tt.u AND m.t = tt.t
-             |WHERE tt.n_deltas >= 3
-             |  AND m.modal_hits * 1000000 // tt.n_deltas >= 400000
-             |ORDER BY regular_ppm DESC, user_id, event_type
-             |LIMIT 50""".stripMargin)),
+      Some(BeaconOracle)),
 
     // First-seen novelty: never-before-seen (user, type) pairs per
     // day with a prior-average spike flag.
@@ -836,7 +803,94 @@ private[graft] object QueriesExt {
              |  CAST(v4.v_ppm - emp.n * 1000000 // tt.tot AS BIGINT)
              |    AS gap_ppm
              |FROM v4 JOIN emp USING (ty) CROSS JOIN tt
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Streaming twin of q313: per-(user, type) gap histogram
+    // maintained in-stream, drained, then the SAME shared modal tail
+    // — q313's oracle verbatim.
+    Q("q327_stream_beaconing",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.beaconStream(
+          QueriesAlert.tableStream(s, dir, "events"))
+        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
+          "q327_sink", OutputMode.Append())
+          // cumulative emissions: counts only grow, so the final
+          // histogram per (key, bucket) is the max
+          .groupBy("u", "t", "gap_bucket").agg(max("c").as("c"))
+        Security.beaconingFromHist(drained)
+      },
+      Some(BeaconOracle)),
+
+    // Lorenz curve points beside q303's Gini: exact bottom-p% value
+    // shares at the nearest-rank deciles.
+    Q("q328_lorenz_points",
+      (s, dir) => Stats.lorenzPoints(Tables(s, dir, "events")),
+      Some("""WITH per AS (SELECT event_type AS grp, user_id AS k,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             |      AS BIGINT) AS xc
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             |    AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |w AS (SELECT grp, xc,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+             |      ORDER BY xc, k) AS BIGINT) AS i,
+             |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT)
+             |      AS n,
+             |    CAST(SUM(xc) OVER (PARTITION BY grp ORDER BY xc, k)
+             |      AS BIGINT) AS cum_c,
+             |    CAST(SUM(xc) OVER (PARTITION BY grp) AS BIGINT)
+             |      AS total_c
+             |  FROM per),
+             |d AS (SELECT grp, i, n, cum_c, total_c,
+             |    unnest(range(10, 91, 10)) AS decile FROM w)
+             |SELECT grp, CAST(decile AS BIGINT) AS decile,
+             |  n AS n_contributors,
+             |  CAST(cum_c * 1000000 // total_c AS BIGINT)
+             |    AS bottom_share_ppm
+             |FROM d WHERE i = decile * n // 100
+             |ORDER BY grp, decile""".stripMargin)))
+
+  /** q313's oracle — also applied verbatim to q327's streaming twin
+    * (single-batch replay drains the identical gap histogram the
+    * batch op folds, then runs the same shared modal tail).
+    */
+  private val BeaconOracle: String =
+    """WITH s AS (SELECT user_id AS u, event_type AS t,
+             |    epoch_us(ts) AS us, event_id AS id
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |d AS (SELECT u, t,
+             |    (us - LAG(us) OVER (PARTITION BY u, t
+             |      ORDER BY us, id)) // 21600000000 AS gap_bucket,
+             |    LAG(us) OVER (PARTITION BY u, t ORDER BY us, id)
+             |      AS prev
+             |  FROM s),
+             |g AS (SELECT u, t, gap_bucket FROM d
+             |  WHERE prev IS NOT NULL),
+             |h AS (SELECT u, t, gap_bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
+             |m AS (SELECT u, t, gap_bucket AS modal_gap_bucket,
+             |    c AS modal_hits FROM (
+             |    SELECT u, t, gap_bucket, c, ROW_NUMBER() OVER
+             |      (PARTITION BY u, t ORDER BY c DESC, gap_bucket)
+             |      AS rn FROM h) x
+             |  WHERE rn = 1),
+             |tt AS (SELECT u, t, CAST(COUNT(*) AS BIGINT) AS n_deltas
+             |  FROM g GROUP BY 1, 2)
+             |SELECT tt.u AS user_id, tt.t AS event_type,
+             |  tt.n_deltas AS n_deltas,
+             |  m.modal_gap_bucket AS modal_gap_bucket,
+             |  m.modal_hits AS modal_hits,
+             |  CAST(m.modal_hits * 1000000 // tt.n_deltas AS BIGINT)
+             |    AS regular_ppm
+             |FROM tt JOIN m ON m.u = tt.u AND m.t = tt.t
+             |WHERE tt.n_deltas >= 3
+             |  AND m.modal_hits * 1000000 // tt.n_deltas >= 400000
+             |ORDER BY regular_ppm DESC, user_id, event_type
+             |LIMIT 50""".stripMargin
 
   /** q322's oracle — also applied verbatim to q324's streaming twin. */
   private val RfmOracle: String =

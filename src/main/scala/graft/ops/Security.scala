@@ -47,6 +47,18 @@ object Security {
     // (Σ bucket counts = delta count), not from a second pass
     val hist = seq.groupBy("u", "t", "gap_bucket")
       .agg(count(lit(1)).as("c"))
+    beaconingFromHist(hist, minDeltas, regularPpm, topN)
+  }
+
+  /** The modal-share tail over an already-folded
+    * (u, t, gap_bucket, c) histogram — shared by the batch op and
+    * the streaming twin (whose drained state IS this histogram).
+    */
+  private[graft] def beaconingFromHist(hist0: DataFrame,
+      minDeltas: Long = 3L, regularPpm: Long = 400000L,
+      topN: Int = 50): DataFrame = {
+    val byKey = Window.partitionBy("u", "t")
+    val hist = hist0
       .localCheckpoint() // modal window + totals fold share it
     val modal = hist
       .withColumn("rn", row_number().over(

@@ -1555,6 +1555,40 @@ object Stats {
           / cast(sst as double)) as bigint)""").as("r2_ppm"))
   }
 
+  /** Lorenz curve points beside q303's Gini: per group, the exact
+    * cumulative value share held by the bottom 10%..90% of
+    * contributors (nearest-rank deciles over the same total order
+    * the Gini uses) — the curve that SHOWS the inequality the single
+    * coefficient summarizes. Everything integer: prefix sums over
+    * the contributor table, decile ranks by integer floor.
+    *
+    * Scale shape: identical to q303 — one combinable (group, key)
+    * fold, then windows over contributor-level rows partitioned by
+    * group; the decile probe is a filter, not a second pass.
+    */
+  def lorenzPoints(events: DataFrame, grpCol: String = "event_type",
+      keyCol: String = "user_id", valCol: String = "value"): DataFrame = {
+    val byGrp = Window.partitionBy("grp")
+    val per = events
+      .where(col(grpCol).isNotNull && col(keyCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"), col(keyCol).as("k"))
+      .agg(sum(expr(s"cast(round($valCol * 100) as bigint)")).as("xc"))
+    per
+      .withColumn("i", row_number().over(byGrp.orderBy("xc", "k")).cast("long"))
+      .withColumn("n", count(lit(1)).over(byGrp))
+      .withColumn("cum_c", sum(col("xc")).over(
+        byGrp.orderBy("xc", "k")))
+      .withColumn("total_c", sum(col("xc")).over(byGrp))
+      // nearest-rank decile boundary: row i closes decile p iff
+      // i = ⌊p·n/100⌋ for some p ∈ {10..90}
+      .withColumn("decile", explode(sequence(lit(10L), lit(90L), lit(10L))))
+      .where(col("i") === expr("decile * n div 100"))
+      .select(col("grp"), col("decile"), col("n").as("n_contributors"),
+        expr("cum_c * 1000000 div total_c").as("bottom_share_ppm"))
+      .orderBy("grp", "decile")
+  }
+
   /** Matrix-profile-lite over the hourly event-count series: for every
     * complete length-`w` window, the squared euclidean distance to its
     * nearest NON-OVERLAPPING window (|Δstart| ≥ w, the trivial-match

@@ -407,6 +407,55 @@ object StreamingPipeline {
         })
   }
 
+  case class BeaconState(lastUs: Long, counts: Map[Long, Long])
+
+  case class BeaconRow(u: Long, t: String, gap_bucket: Long, c: Long)
+
+  /** Streaming inter-arrival histogram per (user, type) — the
+    * ingest-time twin of [[graft.ops.Security.beaconing]]'s fold.
+    * Each batch slice is sorted (us, id) and walked against the
+    * carried last-arrival, so gap buckets accumulate across batches;
+    * a touched key re-emits its full histogram (latest emission per
+    * (key, bucket) wins — counts only grow). CONTRACT: per-key
+    * arrival must be batch-monotone (a later batch never carries an
+    * earlier event) — the single-batch gate replay satisfies it
+    * trivially, and a production feed would enforce it with a
+    * watermark-buffered sort upstream. State is last_us + the bucket
+    * map (bounded by the distinct-gap count of the key).
+    */
+  def beaconStream(events: DataFrame,
+      gapBucketUs: Long = 21600000000L)
+      : org.apache.spark.sql.Dataset[BeaconRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("u"), col("event_type").as("t"),
+        expr("unix_micros(ts)").as("us"), col("event_id").cast("long").as("id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[BeaconState]) => {
+          var st = state.getOption.getOrElse(
+            BeaconState(Long.MinValue, Map.empty))
+          var last = st.lastUs
+          var counts = st.counts
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+            if (last != Long.MinValue) {
+              val b = (r._3 - last) / gapBucketUs
+              counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+            }
+            last = r._3
+          }
+          state.update(BeaconState(last, counts))
+          counts.toSeq.sortBy(_._1).iterator
+            .map { case (b, c) => BeaconRow(key._1, key._2, b, c) }
+        })
+  }
+
   case class RfmState(lastD: Long, f: Long, mC: Long)
 
   case class RfmRow(u: Long, last_d: Long, f: Long, m_c: Long)

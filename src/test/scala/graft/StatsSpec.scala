@@ -868,4 +868,46 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("mean_milli") ===
       (7L * 1000 * 1000 + 1000000L * 1000) / 8)
   }
+
+  test("lorenzPoints: uniform spend is the diagonal") {
+    // 10 users × 10.00 in one group: bottom p% holds exactly p% — the
+    // Lorenz curve of perfect equality is the diagonal
+    val d = (0 until 10).map(u => ("eq", u.toLong, 10.0))
+      .toDF("event_type", "user_id", "value")
+    val r = graft.ops.Stats.lorenzPoints(d).collect()
+      .map(x => x.getAs[Long]("decile") ->
+        x.getAs[Long]("bottom_share_ppm")).toMap
+    (10L to 90L by 10L).foreach(p =>
+      assert(r(p) === p * 10000L, s"decile $p"))
+  }
+
+  test("streaming beaconing twin: gaps accumulate across batches") {
+    // driver-side check that the shared tail on a two-batch drain
+    // equals the batch op — the registered q327 proves the
+    // single-batch contract; this pins the cross-batch fold
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val mem = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingPipeline.beaconStream(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      gapBucketUs = 60000000L)
+    val q = out.writeStream.format("memory").queryName("bcn")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 1L, "cb", t(0)), (2L, 1L, "cb", t(60)))
+      q.processAllAvailable()
+      // batch 2 continues the cadence: the 60s gap from t(60)→t(120)
+      // needs the carried last-arrival
+      mem.addData((3L, 1L, "cb", t(120)), (4L, 1L, "cb", t(180)))
+      q.processAllAvailable()
+      val hist = spark.table("bcn")
+        .groupBy("u", "t", "gap_bucket")
+        .agg(max("c").as("c")).collect()
+        .map(r => r.getAs[Long]("gap_bucket") -> r.getAs[Long]("c"))
+        .toMap
+      assert(hist === Map(1L -> 3L)) // three one-minute gaps
+    } finally q.stop()
+  }
 }
