@@ -850,7 +850,73 @@ private[graft] object QueriesExt {
              |  CAST(cum_c * 1000000 // total_c AS BIGINT)
              |    AS bottom_share_ppm
              |FROM d WHERE i = decile * n // 100
-             |ORDER BY grp, decile""".stripMargin)))
+             |ORDER BY grp, decile""".stripMargin)),
+
+    // Time-respecting reachability (temporal Bellman-Ford, 3 rounds)
+    // on the timestamped part-handoff graph: which customers a
+    // compromise at the seed set could have reached, with earliest
+    // arrival — strictly-increasing edge times along every path.
+    Q("q329_temporal_reach",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 3)
+          .select(col("p_partkey"))
+        val po = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("p"), col("o_custkey").as("cust"),
+            col("o_orderdate").as("dt"))
+          .distinct()
+        val w = Window.partitionBy("p").orderBy("dt", "cust")
+        val edges = po
+          .withColumn("nxt", lead(col("cust"), 1).over(w))
+          .withColumn("nxt_dt", lead(col("dt"), 1).over(w))
+          .where(col("nxt").isNotNull && col("nxt") =!= col("cust"))
+          .select(col("cust").as("src"), col("nxt").as("dst"),
+            expr("unix_micros(nxt_dt)").as("t"))
+          .distinct()
+        val seeds = Tables(s, dir, "customer")
+          .where(col("c_custkey") < 5)
+          .select(col("c_custkey").as("n"))
+        Graph.temporalReach(edges, seeds)
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+             |po AS (SELECT DISTINCT l_partkey AS p,
+             |    o.o_custkey AS cust, o.o_orderdate AS dt
+             |  FROM lineitem l
+             |  JOIN pk ON pk.p_partkey = l.l_partkey
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |ed AS (SELECT cust AS src,
+             |    LEAD(cust) OVER (PARTITION BY p ORDER BY dt, cust)
+             |      AS dst,
+             |    LEAD(dt) OVER (PARTITION BY p ORDER BY dt, cust)
+             |      AS nxt_dt
+             |  FROM po),
+             |e AS (SELECT DISTINCT src, dst,
+             |    epoch_us(nxt_dt) AS t FROM ed
+             |  WHERE dst IS NOT NULL AND dst <> src),
+             |b0 AS (SELECT c_custkey AS n,
+             |    CAST(-9223372036854775808 AS BIGINT) AS at
+             |  FROM customer WHERE c_custkey < 5),
+             |r1 AS (SELECT e.dst AS n, MIN(e.t) AS at FROM e
+             |  JOIN b0 ON e.src = b0.n AND e.t > b0.at GROUP BY 1),
+             |b1 AS (SELECT n, MIN(at) AS at FROM
+             |  (SELECT n, at FROM b0 UNION ALL SELECT n, at FROM r1)
+             |  GROUP BY 1),
+             |r2 AS (SELECT e.dst AS n, MIN(e.t) AS at FROM e
+             |  JOIN b1 ON e.src = b1.n AND e.t > b1.at GROUP BY 1),
+             |b2 AS (SELECT n, MIN(at) AS at FROM
+             |  (SELECT n, at FROM b1 UNION ALL SELECT n, at FROM r2)
+             |  GROUP BY 1),
+             |r3 AS (SELECT e.dst AS n, MIN(e.t) AS at FROM e
+             |  JOIN b2 ON e.src = b2.n AND e.t > b2.at GROUP BY 1),
+             |b3 AS (SELECT n, MIN(at) AS at FROM
+             |  (SELECT n, at FROM b2 UNION ALL SELECT n, at FROM r3)
+             |  GROUP BY 1)
+             |SELECT n AS node, CAST(at AS BIGINT) AS earliest_at
+             |FROM b3 WHERE at <> -9223372036854775808
+             |ORDER BY node""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

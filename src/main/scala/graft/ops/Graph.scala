@@ -597,6 +597,48 @@ object Graph {
       .limit(topN)
   }
 
+  /** Time-respecting reachability from seed nodes over TIMESTAMPED
+    * directed edges: a path counts only if edge times strictly
+    * increase along it — the "who could have been infected after the
+    * initial compromise" frontier that static BFS (q170) over-counts
+    * (an edge that fired BEFORE you arrived can't carry you). Each
+    * round relaxes EVERY current best arrival through the edge table
+    * (temporal Bellman–Ford: `at_h(v) = min(at_{h−1}(v), min{e.t :
+    * e = (u,v), e.t > at_{h−1}(u)})`) — frontier-only pruning would
+    * be WRONG here, because a later hop can reach a node with an
+    * EARLIER arrival and unlock spread its first reach couldn't.
+    * Seeds carry `at = Long.MinValue` (usable from time zero).
+    * Returns non-seed nodes with their earliest k-hop arrival.
+    *
+    * Scale shape: per round one hash join keyed on the src node +
+    * one min-fold; the best-arrival table carries two columns.
+    */
+  def temporalReach(edges: DataFrame, seeds: DataFrame, hops: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      tCol: String = "t"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(tCol).as("t"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("t").isNotNull)
+      .localCheckpoint() // reused every round
+    var best = seeds.select(col("n"), lit(Long.MinValue).as("at"))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val relaxed = e.join(best, e("src") === best("n"))
+        .where(col("t") > col("at"))
+        .groupBy(e("dst").as("n2"))
+        .agg(min(col("t")).as("at2"))
+        .select(col("n2").as("n"), col("at2").as("at"))
+      best = best.unionByName(relaxed)
+        .groupBy("n").agg(min("at").as("at"))
+        .localCheckpoint()
+    }
+    // seeds stay at MinValue (min with any real arrival) → excluded
+    best.where(col("at") =!= Long.MinValue)
+      .select(col("n").as("node"), col("at").as("earliest_at"))
+      .orderBy("node")
+  }
+
   /** The strongly connected component containing the minimum node id
     * of a DIRECTED graph — the cycle-cluster primitive the undirected
     * family (q37 CC, q211 k-core) cannot see: on a directed handoff

@@ -335,4 +335,35 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.getAs[Long]("node"), x.getAs[Long]("scc_size")))
     assert(r.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L)))
   }
+
+  test("temporalReach: edge times must increase along the path") {
+    import spark.implicits._
+    // 1→2 at t=10, 2→3 at t=5 (BEFORE arrival at 2 — unusable),
+    // 2→4 at t=20 (usable); 5→1 at t=1 (into the seed, irrelevant);
+    // and the late-arrival trap: 1→6 at t=30, 6→7 at t=25 — 7 is NOT
+    // reachable through 6 even though both edges exist statically
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 5L), (2L, 4L, 20L),
+      (5L, 1L, 1L), (1L, 6L, 30L), (6L, 7L, 25L))
+      .toDF("src", "dst", "t")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val r = Graph.temporalReach(e, seeds).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("earliest_at"))
+      .toMap
+    assert(r === Map(2L -> 10L, 4L -> 20L, 6L -> 30L))
+  }
+
+  test("temporalReach: a later hop's earlier arrival still spreads") {
+    import spark.implicits._
+    // two routes to node 3: direct at t=50, and 1→2(t=5)→3(t=10);
+    // node 4 needs arrival at 3 BEFORE t=20 — only the 2-hop route
+    // provides it, so frontier-only search that kept 3's first reach
+    // at t=50... (min-fold per round handles it; pin the behavior)
+    val e = Seq((1L, 3L, 50L), (1L, 2L, 5L), (2L, 3L, 10L),
+      (3L, 4L, 20L)).toDF("src", "dst", "t")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val r = Graph.temporalReach(e, seeds).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("earliest_at"))
+      .toMap
+    assert(r === Map(2L -> 5L, 3L -> 10L, 4L -> 20L))
+  }
 }
