@@ -916,7 +916,54 @@ private[graft] object QueriesExt {
              |  GROUP BY 1)
              |SELECT n AS node, CAST(at AS BIGINT) AS earliest_at
              |FROM b3 WHERE at <> -9223372036854775808
-             |ORDER BY node""".stripMargin)))
+             |ORDER BY node""".stripMargin)),
+
+    // Hierarchical forecast reconciliation check: direct per-part
+    // naive vs top-down brand allocation, absolute errors per brand.
+    Q("q330_forecast_reconciliation",
+      (s, dir) => Stats.forecastReconciliation(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "part")),
+      Some("""WITH ppd AS (SELECT p.p_brand AS brand,
+             |    p.p_partkey AS pk,
+             |    epoch_us(l.l_shipdate) // 86400000000 AS d,
+             |    CAST(SUM(CAST(round(l.l_quantity) AS BIGINT))
+             |      AS BIGINT) AS q
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  GROUP BY 1, 2, 3),
+             |mx AS (SELECT MAX(d) AS dmax FROM ppd),
+             |hist AS (SELECT ppd.* FROM ppd, mx WHERE d < mx.dmax),
+             |ph AS (SELECT brand, pk, CAST(SUM(q) AS BIGINT)
+             |    AS part_hist FROM hist GROUP BY 1, 2),
+             |bh AS (SELECT brand, CAST(SUM(q) AS BIGINT)
+             |    AS brand_hist FROM hist GROUP BY 1),
+             |pp AS (SELECT pk, q AS part_prev FROM hist, mx
+             |  WHERE d = mx.dmax - 1),
+             |bp AS (SELECT brand, CAST(SUM(q) AS BIGINT)
+             |    AS brand_prev FROM hist, mx
+             |  WHERE d = mx.dmax - 1 GROUP BY 1),
+             |ac AS (SELECT pk, q AS actual FROM ppd, mx
+             |  WHERE d = mx.dmax),
+             |f AS (SELECT ph.brand, ph.pk,
+             |    COALESCE(ac.actual, 0) AS actual,
+             |    COALESCE(pp.part_prev, 0) AS f_direct,
+             |    COALESCE(bp.brand_prev, 0) *
+             |      (ph.part_hist * 1000000 // bh.brand_hist)
+             |      // 1000000 AS f_topdown
+             |  FROM ph JOIN bh ON bh.brand = ph.brand
+             |  LEFT JOIN bp ON bp.brand = ph.brand
+             |  LEFT JOIN pp ON pp.pk = ph.pk
+             |  LEFT JOIN ac ON ac.pk = ph.pk)
+             |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |  CAST(SUM(abs(actual - f_direct)) AS BIGINT)
+             |    AS abs_err_direct,
+             |  CAST(SUM(abs(actual - f_topdown)) AS BIGINT)
+             |    AS abs_err_topdown,
+             |  CASE WHEN SUM(abs(actual - f_topdown)) <
+             |      SUM(abs(actual - f_direct)) THEN 'topdown'
+             |    WHEN SUM(abs(actual - f_topdown)) >
+             |      SUM(abs(actual - f_direct)) THEN 'direct'
+             |    ELSE 'tie' END AS winner
+             |FROM f GROUP BY brand ORDER BY brand""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

