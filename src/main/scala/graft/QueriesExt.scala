@@ -963,7 +963,61 @@ private[graft] object QueriesExt {
              |    WHEN SUM(abs(actual - f_topdown)) >
              |      SUM(abs(actual - f_direct)) THEN 'direct'
              |    ELSE 'tie' END AS winner
-             |FROM f GROUP BY brand ORDER BY brand""".stripMargin)))
+             |FROM f GROUP BY brand ORDER BY brand""".stripMargin)),
+
+    // Rare-transition audit: the 5 lowest-probability transitions
+    // actually taken, with step/user breadth and an example actor.
+    Q("q331_rare_transitions",
+      (s, dir) => Security.rareTransitions(Tables(s, dir, "events")),
+      Some("""WITH t AS (SELECT user_id AS u, event_type AS et,
+             |    epoch_us(ts) AS us, event_id AS id
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL),
+             |st AS (SELECT u, et AS from_type,
+             |    lead(et, 1) OVER (PARTITION BY u ORDER BY us, id)
+             |      AS to_type
+             |  FROM t),
+             |steps AS (SELECT u, from_type, to_type FROM st
+             |  WHERE to_type IS NOT NULL),
+             |c AS (SELECT from_type, to_type,
+             |    CAST(COUNT(*) AS BIGINT) AS n_steps,
+             |    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+             |    CAST(MIN(u) AS BIGINT) AS example_user
+             |  FROM steps GROUP BY 1, 2)
+             |SELECT c.from_type, c.to_type, c.n_steps, c.n_users,
+             |  c.example_user,
+             |  CAST(c.n_steps * 1000000 // tot.row_total AS BIGINT)
+             |    AS p_ppm
+             |FROM c JOIN (SELECT from_type,
+             |    CAST(SUM(n_steps) AS BIGINT) AS row_total
+             |  FROM c GROUP BY 1) tot USING (from_type)
+             |ORDER BY p_ppm, from_type, to_type LIMIT 5"""
+        .stripMargin)),
+
+    // Index of dispersion (Fano) of daily counts per type — the
+    // Poisson-vs-bursty triage in exact milli.
+    Q("q332_dispersion_index",
+      (s, dir) => Stats.dispersionIndex(Tables(s, dir, "events")),
+      Some("""WITH daily AS (SELECT event_type AS grp,
+             |    epoch_us(ts) // 86400000000 AS d,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+             |grid AS (SELECT g.d, t.grp FROM
+             |  (SELECT unnest(range(sp.d0, sp.d1 + 1)) AS d FROM sp) g
+             |  CROSS JOIN (SELECT DISTINCT grp FROM daily) t),
+             |z AS (SELECT grid.grp, COALESCE(daily.x, 0) AS x
+             |  FROM grid LEFT JOIN daily
+             |    ON daily.grp = grid.grp AND daily.d = grid.d)
+             |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |  CAST(SUM(x) AS BIGINT) AS total,
+             |  CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000
+             |    // NULLIF(COUNT(*) * SUM(x), 0) AS BIGINT)
+             |    AS fano_milli
+             |FROM z GROUP BY grp ORDER BY grp""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

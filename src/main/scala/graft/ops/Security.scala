@@ -111,6 +111,44 @@ object Security {
       .orderBy("d")
   }
 
+  /** Rare-transition audit: the `k` transitions the GLOBAL chain
+    * rates lowest among those actually taken — each with its
+    * probability, how many steps took it and how many distinct users
+    * did (breadth 1 = one actor doing something nobody else does,
+    * the interesting case). A fixed bottom-k instead of an absolute
+    * threshold: "rare" is relative to THIS corpus's mix, so the
+    * audit can never come back vacuously empty or uselessly full.
+    *
+    * Scale shape: one user-key shuffle for the lead; the matrix and
+    * its per-cell user counts fold to |types|² rows; bottom-k is a
+    * bounded sort on that grid.
+    */
+  def rareTransitions(events: DataFrame, k: Int = 5): DataFrame = {
+    val byUser = Window.partitionBy("u").orderBy("us", "id")
+    val t = events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").as("u"), col("event_type").as("et"),
+        expr("unix_micros(ts)").as("us"), col("event_id").as("id"))
+    val steps = t
+      .withColumn("to_type", lead(col("et"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .select(col("u"), col("et").as("from_type"), col("to_type"))
+    val c = steps.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_steps"),
+        countDistinct(col("u")).as("n_users"),
+        min(col("u")).as("example_user"))
+      .localCheckpoint() // row totals + the ranked cut share it
+    c.join(
+        c.groupBy("from_type").agg(sum("n_steps").as("row_total")),
+        "from_type")
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        col("n_users"), col("example_user"),
+        expr("n_steps * 1000000 div row_total").as("p_ppm"))
+      .orderBy(col("p_ppm"), col("from_type"), col("to_type"))
+      .limit(k)
+  }
+
   /** Dormant-account reactivation: users whose LATEST inactivity gap
     * of at least `dormantDays` ends in a burst of `minBurst`+ events
     * within `burstWindowDays` — the account-takeover tell (stolen

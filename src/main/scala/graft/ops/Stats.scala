@@ -1555,6 +1555,39 @@ object Stats {
           / cast(sst as double)) as bigint)""").as("r2_ppm"))
   }
 
+  /** Index of dispersion (Fano factor) of the daily count series per
+    * group, exact milli: `F = var/mean = (n·Σx² − S²) / (n·S)` on the
+    * zero-filled day grid — F ≈ 1000 is Poisson-compatible arrivals,
+    * F ≫ 1000 is bursty/clustered, F ≪ 1000 is metronomic — the
+    * one-number regularity triage BEFORE reaching for q247's ACF or
+    * q313's beaconing per key.
+    *
+    * Scale shape: one combinable (group, day) count; the grid fill
+    * and the moment fold run on |groups|×|days| rows.
+    */
+  def dispersionIndex(events: DataFrame,
+      grpCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .where(col(grpCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(grpCol).as("grp"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // span + grid fill share it
+    val span = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .crossJoin(daily.select("grp").distinct())
+    grid.join(daily, Seq("grp", "d"), "left")
+      .select(col("grp"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .select(col("grp"), col("n_days"), col("s").as("total"),
+        expr("""(n_days * q - s * s) * 1000
+          div nullif(n_days * s, 0)""").as("fano_milli"))
+      .orderBy("grp")
+  }
+
   /** Hierarchical forecast reconciliation check (top-down vs direct):
     * forecast the LAST day's per-part demand two ways — directly
     * (per-part seasonal-naive: the part's own previous day) and

@@ -75,4 +75,23 @@ class SecuritySpec extends AnyFunSuite with SparkSuite {
     assert(r.head.getAs[Long]("burst_events") === 3L)
     assert(r.head.getAs[Long]("react_us") === 4 * day * 1000000L)
   }
+
+  test("rareTransitions ranks the one-off step first with breadth 1") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // everyone cycles A→B→A...; one actor makes a single A→C step
+    val common = (0 until 10).flatMap(u => (0 until 6).map(i =>
+      (u * 100L + i, u.toLong, if (i % 2 == 0) "A" else "B",
+        t(u * 1000L + i))))
+    val oddball = Seq((9901L, 99L, "A", t(500000)),
+      (9902L, 99L, "C", t(500001)))
+    val ev = (common ++ oddball)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.ops.Security.rareTransitions(ev).collect()
+    val top = r.head
+    assert((top.getAs[String]("from_type"), top.getAs[String]("to_type"))
+      === ("A", "C"))
+    assert(top.getAs[Long]("n_steps") === 1L)
+    assert(top.getAs[Long]("n_users") === 1L)
+    assert(top.getAs[Long]("example_user") === 99L)
+  }
 }

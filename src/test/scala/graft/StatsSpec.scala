@@ -941,4 +941,21 @@ class StatsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("abs_err_topdown") === 5L)
     assert(r.getAs[String]("winner") === "tie")
   }
+
+  test("dispersionIndex: constant series reads 0, all-in-one-day reads n·1000-ish") {
+    def t(day: Long, i: Long) =
+      new java.sql.Timestamp((day * 86400 + i) * 1000)
+    // "flat": 5 events every day for 4 days → variance 0 → fano 0.
+    // "burst": 20 events on day 0 of 4 → F = (n·Σx²−S²)·1000/(n·S)
+    // = (4·400 − 400)·1000/(4·20) = 15000
+    val ev = ((0 until 4).flatMap(d => (0 until 5).map(i =>
+      ("flat", t(d, i)))) ++
+      (0 until 20).map(i => ("burst", t(0, i))))
+      .toDF("event_type", "ts")
+    val r = Stats.dispersionIndex(ev).collect()
+      .map(x => x.getAs[String]("grp") -> x.getAs[Long]("fano_milli"))
+      .toMap
+    assert(r("flat") === 0L)
+    assert(r("burst") === 15000L)
+  }
 }
