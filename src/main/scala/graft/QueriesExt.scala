@@ -1017,7 +1017,74 @@ private[graft] object QueriesExt {
              |  CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * 1000
              |    // NULLIF(COUNT(*) * SUM(x), 0) AS BIGINT)
              |    AS fano_milli
-             |FROM z GROUP BY grp ORDER BY grp""".stripMargin)))
+             |FROM z GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // Per-seed blast radius: q329's temporal relaxation vectorized
+    // over ten seeds in ONE fold (seed column in the frontier).
+    Q("q333_blast_radius",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pk = Tables(s, dir, "part").where(col("p_size") <= 3)
+          .select(col("p_partkey"))
+        val po = Tables(s, dir, "lineitem")
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("p"), col("o_custkey").as("cust"),
+            col("o_orderdate").as("dt"))
+          .distinct()
+        val w = Window.partitionBy("p").orderBy("dt", "cust")
+        val edges = po
+          .withColumn("nxt", lead(col("cust"), 1).over(w))
+          .withColumn("nxt_dt", lead(col("dt"), 1).over(w))
+          .where(col("nxt").isNotNull && col("nxt") =!= col("cust"))
+          .select(col("cust").as("src"), col("nxt").as("dst"),
+            expr("unix_micros(nxt_dt)").as("t"))
+          .distinct()
+        val seeds = Tables(s, dir, "customer")
+          .where(col("c_custkey") < 10)
+          .select(col("c_custkey").as("seed"))
+        Graph.blastRadius(edges, seeds)
+      },
+      Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+             |po AS (SELECT DISTINCT l_partkey AS p,
+             |    o.o_custkey AS cust, o.o_orderdate AS dt
+             |  FROM lineitem l
+             |  JOIN pk ON pk.p_partkey = l.l_partkey
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey),
+             |ed AS (SELECT cust AS src,
+             |    LEAD(cust) OVER (PARTITION BY p ORDER BY dt, cust)
+             |      AS dst,
+             |    LEAD(dt) OVER (PARTITION BY p ORDER BY dt, cust)
+             |      AS nxt_dt
+             |  FROM po),
+             |e AS (SELECT DISTINCT src, dst,
+             |    epoch_us(nxt_dt) AS t FROM ed
+             |  WHERE dst IS NOT NULL AND dst <> src),
+             |b0 AS (SELECT c_custkey AS seed, c_custkey AS n,
+             |    CAST(-9223372036854775808 AS BIGINT) AS at
+             |  FROM customer WHERE c_custkey < 10),
+             |r1 AS (SELECT b0.seed, e.dst AS n, MIN(e.t) AS at FROM e
+             |  JOIN b0 ON e.src = b0.n AND e.t > b0.at GROUP BY 1, 2),
+             |b1 AS (SELECT seed, n, MIN(at) AS at FROM
+             |  (SELECT seed, n, at FROM b0
+             |   UNION ALL SELECT seed, n, at FROM r1) GROUP BY 1, 2),
+             |r2 AS (SELECT b1.seed, e.dst AS n, MIN(e.t) AS at FROM e
+             |  JOIN b1 ON e.src = b1.n AND e.t > b1.at GROUP BY 1, 2),
+             |b2 AS (SELECT seed, n, MIN(at) AS at FROM
+             |  (SELECT seed, n, at FROM b1
+             |   UNION ALL SELECT seed, n, at FROM r2) GROUP BY 1, 2),
+             |r3 AS (SELECT b2.seed, e.dst AS n, MIN(e.t) AS at FROM e
+             |  JOIN b2 ON e.src = b2.n AND e.t > b2.at GROUP BY 1, 2),
+             |b3 AS (SELECT seed, n, MIN(at) AS at FROM
+             |  (SELECT seed, n, at FROM b2
+             |   UNION ALL SELECT seed, n, at FROM r3) GROUP BY 1, 2)
+             |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+             |  CAST(MIN(at) AS BIGINT) AS first_spread_at,
+             |  CAST(MAX(at) AS BIGINT) AS last_spread_at
+             |FROM b3 WHERE at <> -9223372036854775808
+             |GROUP BY seed ORDER BY n_reached DESC, seed"""
+        .stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

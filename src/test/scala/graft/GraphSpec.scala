@@ -366,4 +366,20 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       .toMap
     assert(r === Map(2L -> 5L, 3L -> 10L, 4L -> 20L))
   }
+
+  test("blastRadius: one fold ranks seeds by per-seed temporal spread") {
+    import spark.implicits._
+    // seed 1 spreads two hops (1→2 t10, 2→3 t20); seed 5 spreads one
+    // hop (5→6 t5, 6→7 edge at t3 is stale); seed 9 reaches nothing
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 20L), (5L, 6L, 5L),
+      (6L, 7L, 3L)).toDF("src", "dst", "t")
+    val seeds = Seq(1L, 5L, 9L).toDF("seed")
+    val r = Graph.blastRadius(e, seeds).collect()
+      .map(x => x.getAs[Long]("seed") ->
+        (x.getAs[Long]("n_reached"), x.getAs[Long]("first_spread_at"),
+          x.getAs[Long]("last_spread_at"))).toMap
+    assert(r(1L) === (2L, 10L, 20L))
+    assert(r(5L) === (1L, 5L, 5L))
+    assert(!r.contains(9L))
+  }
 }
