@@ -54,7 +54,8 @@ object Explain {
       "q302_matrix_profile", "q304_ols_regression",
       "q306_rake_keywords", "q307_mahalanobis_outliers",
       "q309_ransac_line", "q313_beaconing", "q317_aqp_estimate",
-      "q318_revenue_bridge", "q321_ipf_raking")
+      "q318_revenue_bridge", "q321_ipf_raking", "q326_stationary_distribution",
+      "q329_temporal_reach", "q333_blast_radius")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
