@@ -1084,7 +1084,40 @@ private[graft] object QueriesExt {
              |  CAST(MAX(at) AS BIGINT) AS last_spread_at
              |FROM b3 WHERE at <> -9223372036854775808
              |GROUP BY seed ORDER BY n_reached DESC, seed"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // Corpus-mass concentration: q328's Lorenz machinery read over
+    // documents — what share of character mass the bottom-p% of docs
+    // hold per source (the "is this source a few megadocs or many
+    // shards" curation diagnostic).
+    Q("q334_corpus_mass_lorenz",
+      (s, dir) => Stats.lorenzPoints(Tables(s, dir, "documents"),
+        grpCol = "source", keyCol = "doc_id", valCol = "n_chars"),
+      Some("""WITH per AS (SELECT source AS grp, doc_id AS k,
+             |    CAST(SUM(CAST(round(n_chars * 100) AS BIGINT))
+             |      AS BIGINT) AS xc
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+             |    AND n_chars IS NOT NULL
+             |  GROUP BY 1, 2),
+             |w AS (SELECT grp, xc,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+             |      ORDER BY xc, k) AS BIGINT) AS i,
+             |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT)
+             |      AS n,
+             |    CAST(SUM(xc) OVER (PARTITION BY grp ORDER BY xc, k)
+             |      AS BIGINT) AS cum_c,
+             |    CAST(SUM(xc) OVER (PARTITION BY grp) AS BIGINT)
+             |      AS total_c
+             |  FROM per),
+             |d AS (SELECT grp, i, n, cum_c, total_c,
+             |    unnest(range(10, 91, 10)) AS decile FROM w)
+             |SELECT grp, CAST(decile AS BIGINT) AS decile,
+             |  n AS n_contributors,
+             |  CAST(cum_c * 1000000 // total_c AS BIGINT)
+             |    AS bottom_share_ppm
+             |FROM d WHERE i = decile * n // 100
+             |ORDER BY grp, decile""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the
