@@ -1117,7 +1117,77 @@ private[graft] object QueriesExt {
              |  CAST(cum_c * 1000000 // total_c AS BIGINT)
              |    AS bottom_share_ppm
              |FROM d WHERE i = decile * n // 100
-             |ORDER BY grp, decile""".stripMargin)))
+             |ORDER BY grp, decile""".stripMargin)),
+    // Cross-source boilerplate leakage matrix: for every source
+    // pair, how many 5-token OPENING prefixes they share and how
+    // many docs that implicates — the shared-template diagnostic
+    // q230's per-source dup rates can't see (syndicated feeds copy
+    // headers long before they copy bodies).
+    Q("q335_cross_source_dupes",
+      (s, dir) => {
+        val bySrc = Tables(s, dir, "documents")
+          .where(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"), expr(
+            "array_join(slice(split(text, ' '), 1, 5), ' ')").as("text"))
+          .groupBy("source", "text")
+          .agg(count(lit(1)).as("n_docs"))
+          .localCheckpoint() // both sides of the pair join
+        bySrc.as("a").join(bySrc.as("b"),
+            col("a.text") === col("b.text") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared_texts"),
+            sum(col("a.n_docs") + col("b.n_docs")).as("docs_implicated"))
+          .orderBy(col("shared_texts").desc, col("source_a"),
+            col("source_b"))
+          .limit(30)
+      },
+      Some("""WITH bs AS (SELECT source,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ')
+             |      AS text,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |  CAST(COUNT(*) AS BIGINT) AS shared_texts,
+             |  CAST(SUM(a.n_docs + b.n_docs) AS BIGINT)
+             |    AS docs_implicated
+             |FROM bs a JOIN bs b
+             |  ON a.text = b.text AND a.source < b.source
+             |GROUP BY 1, 2
+             |ORDER BY shared_texts DESC, source_a, source_b
+             |LIMIT 30""".stripMargin)),
+
+    // Exact rolling 7-day active users per day (sliding distinct by
+    // membership explode — each (user, day) charges the 7 windows it
+    // falls in, then one distinct per complete window).
+    Q("q336_rolling_wau",
+      (s, dir) => {
+        val ud = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").as("u"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .distinct()
+          .localCheckpoint() // span probe + window explode share it
+        val span = ud.agg(min("d").as("d0"), max("d").as("d1"))
+        ud.withColumn("w", explode(sequence(col("d"), expr("d + 6"))))
+          .crossJoin(broadcast(span))
+          .where(col("w") <= col("d1") && col("w") >= expr("d0 + 6"))
+          .groupBy(col("w").as("day"))
+          .agg(countDistinct("u").as("wau"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+             |x AS (SELECT ud.u, unnest(range(ud.d, ud.d + 7)) AS w
+             |  FROM ud)
+             |SELECT w AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
+             |FROM x, sp WHERE w <= sp.d1 AND w >= sp.d0 + 6
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the
