@@ -1187,7 +1187,38 @@ private[graft] object QueriesExt {
              |  FROM ud)
              |SELECT w AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
              |FROM x, sp WHERE w <= sp.d1 AND w >= sp.d0 + 6
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Temporal-sanity audit: time-arrow rules RI can't express —
+    // ship-before-order, absurdly-late ship, straggling order spans.
+    Q("q337_temporal_sanity",
+      (s, dir) => Audit.temporalSanity(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "orders")),
+      Some("""WITH j AS (SELECT l_orderkey AS ok,
+             |    epoch_us(l_shipdate) // 86400000000 AS sd,
+             |    epoch_us(o_orderdate) // 86400000000 AS od
+             |  FROM lineitem JOIN orders
+             |    ON o_orderkey = l_orderkey),
+             |r1 AS (SELECT 'ship_before_order' AS rule,
+             |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+             |    CAST(SUM(CASE WHEN sd < od THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_violations FROM j),
+             |r2 AS (SELECT 'ship_late' AS rule,
+             |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+             |    CAST(SUM(CASE WHEN sd > od + 180 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_violations FROM j),
+             |sp AS (SELECT ok, MAX(sd) - MIN(sd) AS span FROM j
+             |  GROUP BY 1),
+             |r3 AS (SELECT 'order_span' AS rule,
+             |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+             |    CAST(SUM(CASE WHEN span > 90 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_violations FROM sp),
+             |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |  UNION ALL SELECT * FROM r3)
+             |SELECT rule, n_checked, n_violations,
+             |  CAST(n_violations * 1000000 // NULLIF(n_checked, 0)
+             |    AS BIGINT) AS viol_ppm
+             |FROM u ORDER BY rule""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

@@ -688,6 +688,45 @@ object Audit {
       .orderBy("table_name")
   }
 
+  /** Temporal-sanity audit — the time-arrow rules referential
+    * integrity (q229) can't express: a line shipped BEFORE its order
+    * existed, a line shipped absurdly long after it, and orders whose
+    * lines straggle across an implausible span. One row per rule
+    * with checked/violation counts and exact ppm — the standing
+    * contract check a feed owner alerts on.
+    *
+    * Scale shape: one fact-dim join keyed on the order key (the
+    * fact's natural shuffle) feeds the two row-level rules as
+    * conditional sums; the span rule folds the same join to one row
+    * per order first. All combinable.
+    */
+  def temporalSanity(lineitem: DataFrame, orders: DataFrame,
+      lateDays: Long = 180L, spanDays: Long = 90L): DataFrame = {
+    val j = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("sd"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("od"))
+      .localCheckpoint() // row rules + the span fold share it
+    def rule(name: String, checked: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column,
+        src: org.apache.spark.sql.DataFrame) =
+      src.agg(sum(when(checked, 1L).otherwise(0L)).as("n_checked"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_checked"),
+          col("n_violations"),
+          expr("n_violations * 1000000 div nullif(n_checked, 0)")
+            .as("viol_ppm"))
+    val spans = j.groupBy("ok")
+      .agg((max("sd") - min("sd")).as("span"))
+    rule("ship_before_order", lit(true), col("sd") < col("od"), j)
+      .unionByName(rule("ship_late", lit(true),
+        col("sd") > col("od") + lateDays, j))
+      .unionByName(rule("order_span", lit(true),
+        col("span") > spanDays, spans))
+      .orderBy("rule")
+  }
+
   /** Approximate-query-processing estimate with its own honesty
     * check: a deterministic 1-in-`rate` hash sample (the portable
     * mix31 of the row key, so both engines draw the IDENTICAL

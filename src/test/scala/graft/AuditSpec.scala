@@ -325,4 +325,22 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[java.math.BigDecimal]("sample_var_n2_c2")
       .longValueExact() === 0L)
   }
+
+  test("temporalSanity: each rule counts exactly its planted violations") {
+    def d(day: Long) = new java.sql.Timestamp(day * 86400 * 1000)
+    // order 1: ordered day 10; lines shipped day 5 (BEFORE order!),
+    // day 12, day 200 (late AND stretching the span to 195)
+    // order 2: ordered day 20, one clean line day 25
+    val li = Seq((1L, d(5)), (1L, d(12)), (1L, d(200)), (2L, d(25)))
+      .toDF("l_orderkey", "l_shipdate")
+    val o = Seq((1L, d(10)), (2L, d(20)))
+      .toDF("o_orderkey", "o_orderdate")
+    val r = graft.ops.Audit.temporalSanity(li, o).collect()
+      .map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_checked"), x.getAs[Long]("n_violations")))
+      .toMap
+    assert(r("ship_before_order") === (4L, 1L))
+    assert(r("ship_late") === (4L, 1L)) // day 200 vs order day 10
+    assert(r("order_span") === (2L, 1L)) // order 1 spans 195 days
+  }
 }
