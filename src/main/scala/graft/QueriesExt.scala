@@ -1218,7 +1218,95 @@ private[graft] object QueriesExt {
              |SELECT rule, n_checked, n_violations,
              |  CAST(n_violations * 1000000 // NULLIF(n_checked, 0)
              |    AS BIGINT) AS viol_ppm
-             |FROM u ORDER BY rule""".stripMargin)))
+             |FROM u ORDER BY rule""".stripMargin)),
+
+    // Stickiness: DAU / exact rolling-7-day WAU per day, ppm — the
+    // canonical engagement ratio, both numerator and denominator
+    // exact distincts.
+    Q("q338_stickiness",
+      (s, dir) => {
+        val ud = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").as("u"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .distinct()
+          .localCheckpoint() // DAU fold + WAU explode share it
+        val span = ud.agg(min("d").as("d0"), max("d").as("d1"))
+        val dau = ud.groupBy(col("d").as("day"))
+          .agg(countDistinct("u").as("dau"))
+        val wau = ud
+          .withColumn("w", explode(sequence(col("d"), expr("d + 6"))))
+          .groupBy(col("w").as("day"))
+          .agg(countDistinct("u").as("wau"))
+        dau.join(wau, "day").crossJoin(broadcast(span))
+          .where(col("day") >= expr("d0 + 6") && col("day") <= col("d1"))
+          .select(col("day"), col("dau"), col("wau"),
+            expr("dau * 1000000 div wau").as("stickiness_ppm"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+             |dau AS (SELECT d AS day, CAST(COUNT(DISTINCT u) AS BIGINT)
+             |    AS dau FROM ud GROUP BY 1),
+             |wau AS (SELECT w AS day, CAST(COUNT(DISTINCT u) AS BIGINT)
+             |    AS wau
+             |  FROM (SELECT u, unnest(range(d, d + 7)) AS w FROM ud)
+             |  GROUP BY 1)
+             |SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau,
+             |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+             |    AS stickiness_ppm
+             |FROM dau JOIN wau ON wau.day = dau.day, sp
+             |WHERE dau.day >= sp.d0 + 6 AND dau.day <= sp.d1
+             |ORDER BY day""".stripMargin)),
+
+    // Capture-recapture (Lincoln-Petersen) population estimate: mark
+    // the first half-window's users, recapture in the second, and
+    // estimate the true active population n1·n2/m — reported beside
+    // the observed distinct count so the gap reads as "users we
+    // haven't even seen yet".
+    Q("q339_capture_recapture",
+      (s, dir) => {
+        val ud = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id").as("u"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .localCheckpoint() // midpoint probe + both windows share it
+        // integer midpoint: float '/' would round differently across
+        // engines on odd sums (Spark cast truncates, DuckDB rounds)
+        val mid = ud.agg(expr("(min(d) + max(d)) div 2").as("m"))
+        val marked = ud.crossJoin(broadcast(mid))
+          .select(col("u"), (col("d") <= col("m")).as("first"))
+          .groupBy("u")
+          .agg(max(when(col("first"), 1L).otherwise(0L)).as("in1"),
+            max(when(!col("first"), 1L).otherwise(0L)).as("in2"))
+        marked.agg(
+            sum("in1").as("n1"), sum("in2").as("n2"),
+            sum(col("in1") * col("in2")).as("overlap"),
+            count(lit(1)).as("observed"))
+          .select(col("n1"), col("n2"), col("overlap"), col("observed"),
+            expr("n1 * n2 div nullif(overlap, 0)").as("est_population"))
+      },
+      Some("""WITH ud AS (SELECT user_id AS u,
+             |    epoch_us(ts) // 86400000000 AS d FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |mid AS (SELECT CAST((MIN(d) + MAX(d)) // 2 AS BIGINT)
+             |    AS m FROM ud),
+             |mk AS (SELECT u,
+             |    CAST(MAX(CASE WHEN d <= mid.m THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS in1,
+             |    CAST(MAX(CASE WHEN d > mid.m THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS in2
+             |  FROM ud, mid GROUP BY u)
+             |SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+             |  CAST(SUM(in2) AS BIGINT) AS n2,
+             |  CAST(SUM(in1 * in2) AS BIGINT) AS overlap,
+             |  CAST(COUNT(*) AS BIGINT) AS observed,
+             |  CAST(SUM(in1) * SUM(in2)
+             |    // NULLIF(SUM(in1 * in2), 0) AS BIGINT)
+             |    AS est_population
+             |FROM mk""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the
