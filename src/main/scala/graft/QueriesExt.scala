@@ -1306,7 +1306,34 @@ private[graft] object QueriesExt {
              |  CAST(SUM(in1) * SUM(in2)
              |    // NULLIF(SUM(in1 * in2), 0) AS BIGINT)
              |    AS est_population
-             |FROM mk""".stripMargin)))
+             |FROM mk""".stripMargin)),
+
+    // Vocabulary richness per source: Chao1 + Good-Turing unseen
+    // mass — "is this source mined out" for the curation pass.
+    Q("q340_vocab_richness",
+      (s, dir) => TextAnalysis.vocabularyRichness(
+        Tables(s, dir, "documents")),
+      Some("""WITH wc AS (SELECT source, w,
+             |    CAST(COUNT(*) AS BIGINT) AS c FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS w
+             |    FROM documents
+             |    WHERE text IS NOT NULL AND source IS NOT NULL) t
+             |  WHERE length(w) > 0 GROUP BY 1, 2)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS types,
+             |  CAST(SUM(c) AS BIGINT) AS tokens,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS singletons,
+             |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS doubletons,
+             |  CAST(COUNT(*) +
+             |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             |    * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+             |    // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+             |    AS BIGINT) AS chao1_est,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+             |    // SUM(c) AS BIGINT) AS gt_unseen_ppm
+             |FROM wc GROUP BY source ORDER BY source"""
+        .stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

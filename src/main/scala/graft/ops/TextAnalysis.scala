@@ -875,6 +875,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary-richness report per source: observed types and
+    * tokens, singleton/doubleton counts, the bias-corrected Chao1
+    * species-richness estimate `S + N1(N1−1)/(2(N2+1))` (how many
+    * types the source WOULD show with infinite sampling) and the
+    * Good–Turing unseen-mass estimate `N1/N` in ppm (the probability
+    * the very next token is a never-seen type) — the pair of
+    * estimators that tells a curation pass whether a source is
+    * mined out or still paying. Exact integers; pairs with q242's
+    * Heaps-law growth curve.
+    *
+    * Scale shape: tokenize map-only, one (source, word) count fold,
+    * then a combinable per-source summary — nothing wider than the
+    * vocab table ever shuffles.
+    */
+  def vocabularyRichness(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val wc = Par.spread(docs)
+      .where(col(textCol).isNotNull && col(srcCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("source")
+      .agg(count(lit(1)).as("types"), sum("c").as("tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("doubletons"))
+      .select(col("source"), col("types"), col("tokens"),
+        col("singletons"), col("doubletons"),
+        expr("""types + singletons * (singletons - 1)
+          div (2 * (doubletons + 1))""").as("chao1_est"),
+        expr("singletons * 1000000 div tokens").as("gt_unseen_ppm"))
+      .orderBy("source")
+  }
+
   /** Per-document suffix-array ranks by prefix doubling — the
     * distributed construction behind exact substring dedup at corpus
     * scale (the suffix array is what "find every duplicated span ≥ L"

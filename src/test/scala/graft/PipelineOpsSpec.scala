@@ -1232,4 +1232,18 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.head.getAs[Long]("dims") === 2L)
     assert(r.head.getAs[Long]("score_ppm") > r(1).getAs[Long]("score_ppm"))
   }
+
+  test("vocabularyRichness: hand-counted Chao1 and Good-Turing mass") {
+    // source s: tokens = a a b c → types 3, N1 = 2 (b, c), N2 = 1 (a)
+    // chao1 = 3 + 2·1/(2·2) = 3 ; gt = 2e6/4 = 500000
+    val docs = Seq((1L, "a a b", "s"), (2L, "c", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.vocabularyRichness(docs).collect().head
+    assert(r.getAs[Long]("types") === 3L)
+    assert(r.getAs[Long]("tokens") === 4L)
+    assert(r.getAs[Long]("singletons") === 2L)
+    assert(r.getAs[Long]("doubletons") === 1L)
+    assert(r.getAs[Long]("chao1_est") === 3L)
+    assert(r.getAs[Long]("gt_unseen_ppm") === 500000L)
+  }
 }
