@@ -1333,7 +1333,79 @@ private[graft] object QueriesExt {
              |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
              |    // SUM(c) AS BIGINT) AS gt_unseen_ppm
              |FROM wc GROUP BY source ORDER BY source"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // Discount-response table: quantity and revenue at each discount
+    // level — the raw elasticity read a pricing pass starts from.
+    Q("q341_discount_response",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .where(col("l_discount").isNotNull && col("l_quantity").isNotNull)
+        .groupBy(expr("cast(round(l_discount * 100) as bigint)")
+          .as("discount_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("cast(round(l_quantity) as bigint)")).as("total_qty"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("revenue_c"))
+        .withColumn("qty_per_line_milli",
+          expr("total_qty * 1000 div n_lines"))
+        .orderBy("discount_pct"),
+      Some("""SELECT CAST(round(l_discount * 100) AS BIGINT)
+             |    AS discount_pct,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |    AS total_qty,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS revenue_c,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) * 1000
+             |    // COUNT(*) AS BIGINT) AS qty_per_line_milli
+             |FROM lineitem
+             |WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sample-representativeness audit for q317's AQP sample: per
+    // event type, population vs in-sample share (both exact ppm) and
+    // the absolute gap — the "is the cheap scan allowed to stand in
+    // for the full one" check, on the identical portable-hash sample.
+    Q("q342_sample_representativeness",
+      (s, dir) => {
+        val keyed = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull)
+          .select(col("event_type"),
+            (graft.ops.Similarity.mix31Col(col("event_id")) % 10 === 0)
+              .as("in_sample"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pop"),
+            sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_samp"))
+          .localCheckpoint() // totals + shares share it
+        val tot = keyed.agg(sum("n_pop").as("tp"), sum("n_samp").as("ts2"))
+        keyed.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("n_pop"), col("n_samp"),
+            expr("n_pop * 1000000 div tp").as("pop_share_ppm"),
+            expr("n_samp * 1000000 div ts2").as("samp_share_ppm"))
+          .withColumn("gap_ppm",
+            abs(col("pop_share_ppm") - col("samp_share_ppm")))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH k AS (SELECT event_type,
+             |    ((${QueriesPipeline.duckMix31("event_id")}) % 10 = 0)
+             |      AS in_sample
+             |  FROM events WHERE event_type IS NOT NULL),
+             |g AS (SELECT event_type,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pop,
+             |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_samp
+             |  FROM k GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS tp,
+             |    CAST(SUM(n_samp) AS BIGINT) AS ts2 FROM g)
+             |SELECT g.event_type AS event_type, g.n_pop AS n_pop,
+             |  g.n_samp AS n_samp,
+             |  CAST(g.n_pop * 1000000 // t.tp AS BIGINT)
+             |    AS pop_share_ppm,
+             |  CAST(g.n_samp * 1000000 // t.ts2 AS BIGINT)
+             |    AS samp_share_ppm,
+             |  CAST(abs(g.n_pop * 1000000 // t.tp
+             |    - g.n_samp * 1000000 // t.ts2) AS BIGINT) AS gap_ppm
+             |FROM g, t ORDER BY event_type""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the
