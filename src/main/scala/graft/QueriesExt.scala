@@ -1405,7 +1405,113 @@ private[graft] object QueriesExt {
              |    AS samp_share_ppm,
              |  CAST(abs(g.n_pop * 1000000 // t.tp
              |    - g.n_samp * 1000000 // t.ts2) AS BIGINT) AS gap_ppm
-             |FROM g, t ORDER BY event_type""".stripMargin)))
+             |FROM g, t ORDER BY event_type""".stripMargin)),
+
+    // Inclusion-direction audit over the schema's candidate key
+    // pairs: containment ppm BOTH ways plus the implied direction —
+    // q231/q290 score joinability symmetrically (Jaccard); FK
+    // discovery needs the asymmetric read (child ⊆ parent).
+    Q("q343_inclusion_directions",
+      (s, dir) => {
+        def side(df: org.apache.spark.sql.DataFrame, c: String) =
+          df.select(col(c).cast("long").as("k"))
+            .where(col("k").isNotNull).distinct()
+        val pairs = Seq(
+          ("orders.o_custkey", "customer.c_custkey",
+            side(Tables(s, dir, "orders"), "o_custkey"),
+            side(Tables(s, dir, "customer"), "c_custkey")),
+          ("lineitem.l_partkey", "part.p_partkey",
+            side(Tables(s, dir, "lineitem"), "l_partkey"),
+            side(Tables(s, dir, "part"), "p_partkey")),
+          ("lineitem.l_suppkey", "supplier.s_suppkey",
+            side(Tables(s, dir, "lineitem"), "l_suppkey"),
+            side(Tables(s, dir, "supplier"), "s_suppkey")),
+          ("events.user_id", "customer.c_custkey",
+            side(Tables(s, dir, "events"), "user_id"),
+            side(Tables(s, dir, "customer"), "c_custkey")))
+        pairs.map { case (an, bn, a, b) =>
+          val ac = a.count(); val bc = b.count()
+          val ov = a.join(b, "k").count()
+          val sess = s
+          import sess.implicits._
+          Seq((an, bn, ac, bc, ov)).toDF(
+            "col_a", "col_b", "n_a", "n_b", "overlap")
+        }.reduce(_ unionByName _)
+          .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+            col("overlap"),
+            expr("overlap * 1000000 div n_a").as("a_in_b_ppm"),
+            expr("overlap * 1000000 div n_b").as("b_in_a_ppm"))
+          .withColumn("direction",
+            when(expr("overlap * 1000000 div n_a") === 1000000 &&
+                 expr("overlap * 1000000 div n_b") < 1000000, "a_fk_of_b")
+              .when(expr("overlap * 1000000 div n_b") === 1000000 &&
+                    expr("overlap * 1000000 div n_a") < 1000000,
+                "b_fk_of_a")
+              .when(expr("overlap * 1000000 div n_a") === 1000000,
+                "bijective")
+              .otherwise("partial"))
+          .orderBy("col_a", "col_b")
+      },
+      Some("""WITH p1 AS (SELECT 'orders.o_custkey' AS col_a,
+             |    'customer.c_custkey' AS col_b,
+             |    (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+             |      FROM orders WHERE o_custkey IS NOT NULL) AS n_a,
+             |    (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+             |      FROM customer WHERE c_custkey IS NOT NULL) AS n_b,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |      (SELECT DISTINCT o_custkey FROM orders
+             |       WHERE o_custkey IS NOT NULL) a
+             |      JOIN (SELECT DISTINCT c_custkey FROM customer) b
+             |        ON b.c_custkey = a.o_custkey) AS overlap),
+             |p2 AS (SELECT 'lineitem.l_partkey',
+             |    'part.p_partkey',
+             |    (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+             |      FROM lineitem WHERE l_partkey IS NOT NULL),
+             |    (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT)
+             |      FROM part WHERE p_partkey IS NOT NULL),
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |      (SELECT DISTINCT l_partkey FROM lineitem
+             |       WHERE l_partkey IS NOT NULL) a
+             |      JOIN (SELECT DISTINCT p_partkey FROM part) b
+             |        ON b.p_partkey = a.l_partkey)),
+             |p3 AS (SELECT 'lineitem.l_suppkey',
+             |    'supplier.s_suppkey',
+             |    (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+             |      FROM lineitem WHERE l_suppkey IS NOT NULL),
+             |    (SELECT CAST(COUNT(DISTINCT s_suppkey) AS BIGINT)
+             |      FROM supplier WHERE s_suppkey IS NOT NULL),
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |      (SELECT DISTINCT l_suppkey FROM lineitem
+             |       WHERE l_suppkey IS NOT NULL) a
+             |      JOIN (SELECT DISTINCT s_suppkey FROM supplier) b
+             |        ON b.s_suppkey = a.l_suppkey)),
+             |p4 AS (SELECT 'events.user_id',
+             |    'customer.c_custkey',
+             |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             |      FROM events WHERE user_id IS NOT NULL),
+             |    (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+             |      FROM customer WHERE c_custkey IS NOT NULL),
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |      (SELECT DISTINCT user_id FROM events
+             |       WHERE user_id IS NOT NULL) a
+             |      JOIN (SELECT DISTINCT c_custkey FROM customer) b
+             |        ON b.c_custkey = a.user_id)),
+             |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+             |SELECT col_a, col_b, n_a, n_b, overlap,
+             |  CAST(overlap * 1000000 // n_a AS BIGINT) AS a_in_b_ppm,
+             |  CAST(overlap * 1000000 // n_b AS BIGINT) AS b_in_a_ppm,
+             |  CASE
+             |    WHEN overlap * 1000000 // n_a = 1000000
+             |      AND overlap * 1000000 // n_b < 1000000
+             |      THEN 'a_fk_of_b'
+             |    WHEN overlap * 1000000 // n_b = 1000000
+             |      AND overlap * 1000000 // n_a < 1000000
+             |      THEN 'b_fk_of_a'
+             |    WHEN overlap * 1000000 // n_a = 1000000
+             |      THEN 'bijective'
+             |    ELSE 'partial' END AS direction
+             |FROM u ORDER BY col_a, col_b""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the
