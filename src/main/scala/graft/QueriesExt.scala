@@ -1511,7 +1511,81 @@ private[graft] object QueriesExt {
              |    WHEN overlap * 1000000 // n_a = 1000000
              |      THEN 'bijective'
              |    ELSE 'partial' END AS direction
-             |FROM u ORDER BY col_a, col_b""".stripMargin)))
+             |FROM u ORDER BY col_a, col_b""".stripMargin)),
+
+    // Diurnality index per type: exact goodness-of-fit of the
+    // hour-of-day histogram against uniform — milli statistic
+    // Σ(24·o_h − T)² / (24·T·24), high = strongly diurnal. The
+    // uniform-fit complement to q192's pairwise independence test.
+    Q("q344_diurnality",
+      (s, dir) => {
+        val hod = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("ts").isNotNull)
+          .groupBy(col("event_type").as("grp"),
+            expr("pmod(unix_micros(ts) div 3600000000, 24)").as("h"))
+          .agg(count(lit(1)).as("o"))
+        hod.groupBy("grp")
+          .agg(sum("o").as("t"),
+            sum(expr("cast(24 * o as decimal(20,0)) * (24 * o)"))
+              .as("sq"),
+            sum(expr("cast(o as decimal(20,0)) * 48")).as("lin"),
+            count(lit(1)).as("hours_hit"))
+          // Σ(24o−T)² = 576·Σo² − 48T·Σo + 24·T² = sq − lin·T + 24T²
+          // (missing hours contribute T² each: + (24−hit)·T²)
+          .select(col("grp"), col("t").as("total"), col("hours_hit"),
+            expr("""cast((sq - lin * t + cast(hours_hit as decimal(20,0)) * t * t
+              + (24 - hours_hit) * cast(t as decimal(20,0)) * t) * 1000
+              div (cast(576 as decimal(20,0)) * t) as bigint)""")
+              .as("diurnality_milli"))
+          .orderBy("grp")
+      },
+      Some("""WITH hod AS (SELECT event_type AS grp,
+             |    (epoch_us(ts) // 3600000000) % 24 AS h,
+             |    CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |a AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS t,
+             |    CAST(SUM(CAST(24 * o AS HUGEINT) * (24 * o))
+             |      AS HUGEINT) AS sq,
+             |    CAST(SUM(CAST(o AS HUGEINT) * 48) AS HUGEINT) AS lin,
+             |    CAST(COUNT(*) AS BIGINT) AS hours_hit
+             |  FROM hod GROUP BY 1)
+             |SELECT grp, t AS total, hours_hit,
+             |  CAST((sq - lin * t + CAST(hours_hit AS HUGEINT) * t * t
+             |    + (24 - hours_hit) * CAST(t AS HUGEINT) * t) * 1000
+             |    // (CAST(576 AS HUGEINT) * t) AS BIGINT)
+             |    AS diurnality_milli
+             |FROM a ORDER BY grp""".stripMargin)),
+
+    // Church-Gale term burstiness: collection frequency over document
+    // frequency — terms that clump in few docs (cf/df high) vs evenly
+    // spread function words; top 30 among established terms.
+    Q("q345_term_burstiness",
+      (s, dir) => {
+        val occ = Tables(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) > 0)
+        occ.groupBy("w")
+          .agg(count(lit(1)).as("cf"),
+            countDistinct(col("doc_id")).as("df"))
+          .where(col("df") >= 5)
+          .withColumn("burst_milli", expr("cf * 1000 div df"))
+          .orderBy(col("burst_milli").desc, col("w"))
+          .limit(30)
+      },
+      Some("""WITH occ AS (SELECT doc_id, unnest(string_split(text, ' '))
+             |    AS w
+             |  FROM documents WHERE text IS NOT NULL),
+             |st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf,
+             |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM occ WHERE length(w) > 0 GROUP BY 1)
+             |SELECT w, cf, df,
+             |  CAST(cf * 1000 // df AS BIGINT) AS burst_milli
+             |FROM st WHERE df >= 5
+             |ORDER BY burst_milli DESC, w LIMIT 30""".stripMargin)))
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the
