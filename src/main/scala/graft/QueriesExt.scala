@@ -1585,7 +1585,40 @@ private[graft] object QueriesExt {
              |SELECT w, cf, df,
              |  CAST(cf * 1000 // df AS BIGINT) AS burst_milli
              |FROM st WHERE df >= 5
-             |ORDER BY burst_milli DESC, w LIMIT 30""".stripMargin)))
+             |ORDER BY burst_milli DESC, w LIMIT 30""".stripMargin)),
+
+    // Streaming twin of q315: per-(type, hour) user counts maintained
+    // in-stream, drained, then the SAME breadth-without-depth tail —
+    // q315's oracle verbatim.
+    Q("q346_stream_spray",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val out = graft.streaming.StreamingPipeline.sprayStream(
+          QueriesAlert.tableStream(s, dir, "events"))
+        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
+          "q346_sink", OutputMode.Append())
+          // cumulative emissions: counts only grow — final is the max
+          .groupBy("t", "h", "u").agg(max("c").as("c"))
+        Security.sprayFromPerUser(drained)
+      },
+      Some(SprayOracle)))
+
+  /** q315's oracle — also applied verbatim to q346's streaming twin. */
+  private val SprayOracle: String =
+    """WITH pu AS (SELECT event_type AS t,
+      |    epoch_us(ts) // 3600000000 AS h, user_id AS u,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT t AS event_type, h AS hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(c) AS BIGINT) AS n_events,
+      |  CAST(MAX(c) AS BIGINT) AS max_per_user
+      |FROM pu GROUP BY 1, 2
+      |HAVING COUNT(*) >= 10 AND MAX(c) <= 2
+      |ORDER BY event_type, hour""".stripMargin
 
   /** q313's oracle — also applied verbatim to q327's streaming twin
     * (single-batch replay drains the identical gap histogram the

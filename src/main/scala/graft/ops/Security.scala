@@ -210,6 +210,15 @@ object Security {
         expr("unix_micros(ts) div 3600000000").as("h"),
         col("user_id").as("u"))
       .agg(count(lit(1)).as("c"))
+    sprayFromPerUser(perUser, minUsers, maxPerUser)
+  }
+
+  /** The breadth-without-depth tail over an already-folded
+    * (t, h, u, c) table — shared by the batch op and the streaming
+    * twin (whose drained state IS this table).
+    */
+  private[graft] def sprayFromPerUser(perUser: DataFrame,
+      minUsers: Long = 10L, maxPerUser: Long = 2L): DataFrame =
     perUser.groupBy("t", "h")
       .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
         max(col("c")).as("max_per_user"))
@@ -218,5 +227,4 @@ object Security {
       .select(col("t").as("event_type"), col("h").as("hour"),
         col("n_users"), col("n_events"), col("max_per_user"))
       .orderBy("event_type", "hour")
-  }
 }

@@ -456,6 +456,45 @@ object StreamingPipeline {
         })
   }
 
+  case class SprayState(counts: Map[Long, Long])
+
+  case class SprayRow(t: String, h: Long, u: Long, c: Long)
+
+  /** Streaming per-(type, hour) user-count maintenance — the
+    * ingest-time twin of [[graft.ops.Security.spray]]'s inner fold:
+    * additive counts commute, so batching cannot change the state. A
+    * touched window re-emits its full per-user table (latest emission
+    * per (key, user) wins — counts only grow). State per key is the
+    * hour's distinct-user count map; hour keys stop growing an hour
+    * after their window passes, so a production feed would expire
+    * them with an event-time timeout.
+    */
+  def sprayStream(events: DataFrame)
+      : org.apache.spark.sql.Dataset[SprayRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type").as("t"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        col("user_id").cast("long").as("u"))
+      .as[(String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[SprayState]) => {
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          rows.foreach { case (_, _, u) =>
+            counts = counts.updated(u, counts.getOrElse(u, 0L) + 1L)
+          }
+          state.update(SprayState(counts))
+          counts.toSeq.sortBy(_._1).iterator
+            .map { case (u, c) => SprayRow(key._1, key._2, u, c) }
+        })
+  }
+
   case class RfmState(lastD: Long, f: Long, mC: Long)
 
   case class RfmRow(u: Long, last_d: Long, f: Long, m_c: Long)
