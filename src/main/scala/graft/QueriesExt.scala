@@ -1601,7 +1601,87 @@ private[graft] object QueriesExt {
           .groupBy("t", "h", "u").agg(max("c").as("c"))
         Security.sprayFromPerUser(drained)
       },
-      Some(SprayOracle)))
+      Some(SprayOracle)),
+
+    // Supplier-concentration risk per part: the top supplier's share
+    // of shipped quantity, single-source flag — the supply-chain
+    // fragility read. Top 50 most concentrated among multi-line parts.
+    Q("q347_supplier_concentration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perSupp = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("q"))
+        val byPart = Window.partitionBy("pk")
+        perSupp
+          .withColumn("total_q", sum(col("q")).over(byPart))
+          .withColumn("n_suppliers", count(lit(1)).over(byPart))
+          .withColumn("rn", row_number().over(
+            byPart.orderBy(col("q").desc, col("sk"))))
+          .where(col("rn") === 1 && col("total_q") >= 50)
+          .select(col("pk").as("p_partkey"), col("n_suppliers"),
+            col("total_q"), col("sk").as("top_suppkey"),
+            expr("q * 1000000 div total_q").as("top_share_ppm"),
+            (col("n_suppliers") === 1).as("single_source"))
+          .orderBy(col("top_share_ppm").desc, col("p_partkey"))
+          .limit(50)
+      },
+      Some("""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+             |      AS BIGINT) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |w AS (SELECT pk, sk, q,
+             |    CAST(SUM(q) OVER (PARTITION BY pk) AS BIGINT)
+             |      AS total_q,
+             |    CAST(COUNT(*) OVER (PARTITION BY pk) AS BIGINT)
+             |      AS n_suppliers,
+             |    ROW_NUMBER() OVER (PARTITION BY pk
+             |      ORDER BY q DESC, sk) AS rn
+             |  FROM ps)
+             |SELECT pk AS p_partkey, n_suppliers, total_q,
+             |  sk AS top_suppkey,
+             |  CAST(q * 1000000 // total_q AS BIGINT)
+             |    AS top_share_ppm,
+             |  n_suppliers = 1 AS single_source
+             |FROM w WHERE rn = 1 AND total_q >= 50
+             |ORDER BY top_share_ppm DESC, p_partkey LIMIT 50"""
+        .stripMargin)),
+
+    // Dead-SKU report: parts with real history but zero sales in the
+    // trailing 30 days — ranked by the volume now going nowhere.
+    Q("q348_dead_skus",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"),
+            expr("unix_micros(l_shipdate) div 86400000000").as("d"),
+            expr("cast(round(l_quantity) as bigint)").as("q"))
+          .localCheckpoint() // horizon probe + per-part fold share it
+        val mx = li.agg(max("d").as("dmax"))
+        li.crossJoin(broadcast(mx))
+          .groupBy("pk")
+          .agg(sum("q").as("hist_qty"), max("d").as("last_day"),
+            max("dmax").as("dmax"))
+          .where(col("last_day") <= col("dmax") - 30 &&
+            col("hist_qty") >= 100)
+          .select(col("pk").as("p_partkey"), col("hist_qty"),
+            (col("dmax") - col("last_day")).as("days_silent"))
+          .orderBy(col("hist_qty").desc, col("p_partkey"))
+          .limit(50)
+      },
+      Some("""WITH li AS (SELECT l_partkey AS pk,
+             |    epoch_us(l_shipdate) // 86400000000 AS d,
+             |    CAST(round(l_quantity) AS BIGINT) AS q
+             |  FROM lineitem),
+             |mx AS (SELECT MAX(d) AS dmax FROM li),
+             |f AS (SELECT pk, CAST(SUM(q) AS BIGINT) AS hist_qty,
+             |    MAX(d) AS last_day, MAX(mx.dmax) AS dmax
+             |  FROM li, mx GROUP BY pk)
+             |SELECT pk AS p_partkey, hist_qty,
+             |  CAST(dmax - last_day AS BIGINT) AS days_silent
+             |FROM f
+             |WHERE last_day <= dmax - 30 AND hist_qty >= 100
+             |ORDER BY hist_qty DESC, p_partkey LIMIT 50"""
+        .stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =
