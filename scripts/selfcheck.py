@@ -32,6 +32,11 @@ def canon(rows, cols):
         # mirror the driver: values pass through pandas, so DuckDB
         # HUGEINT (e.g. SUM over INTEGER) arrives as float64 and must
         # stringify differently from an int64 — keep that visible here.
+        if isinstance(v, (list, np.ndarray)):
+            # the driver's pandas canon crashes sorting ARRAY cells
+            # (r04 q203 ERR) — make that a loud local failure too
+            raise TypeError("array cell in result — driver canon "
+                            "cannot sort this; flatten at the edge")
         if isinstance(v, np.generic):
             v = v.item()
         if v is None:
@@ -62,7 +67,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result written")
             failures += 1
             continue
-        gdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        # Read the SPARK side via pandas/pyarrow, NOT through DuckDB:
+        # routing it through read_parquet normalizes DECIMAL columns
+        # to float64, which made this gate blind to the r04
+        # Decimal-vs-float64 hash-fail class (q132/q133/q200/q317) —
+        # the driver's canon sees Decimal('209.00') from pandas while
+        # the oracle side arrives as float64 209.0. Mirror that here.
+        import pandas as pd
+        gdf = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                        ignore_index=True)
         got = [tuple(r) for r in gdf.itertuples(index=False, name=None)]
         got_cols = list(gdf.columns)
         try:
@@ -73,8 +86,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
-        gc, gr = canon(got, got_cols)
-        wc, wr = canon(want, want_cols)
+        try:
+            gc, gr = canon(got, got_cols)
+            wc, wr = canon(want, want_cols)
+        except TypeError as e:
+            print(f"FAIL {name}: canon error: {e}")
+            failures += 1
+            continue
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != oracle {wc}")
             failures += 1

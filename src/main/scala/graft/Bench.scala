@@ -42,7 +42,18 @@ object Bench {
     // `failed` (and keeps its timing in `queries` for diagnosis) but
     // never flatters the headline total
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the driver keeps only the tail of stdout (r04 lost per-query
+    // history for q100+ to truncation) — persist the full JSON to a
+    // committed file too, and keep the one-line JSON as the FINAL
+    // stdout line for the driver's parser
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -508,7 +508,7 @@ private[graft] object QueriesExt {
              |    // exact_total_c AS BIGINT) AS err_ppm,
              |  CAST(CAST(n_sample AS HUGEINT) * sample_sq_c
              |    - CAST(sample_sum_c AS HUGEINT) * sample_sum_c
-             |    AS HUGEINT) AS sample_var_n2_c2
+             |    AS DOUBLE) AS sample_var_n2_c2
              |FROM a""".stripMargin)),
 
     // Month-over-month revenue bridge: new/expansion/contraction/
@@ -1681,7 +1681,91 @@ private[graft] object QueriesExt {
              |FROM f
              |WHERE last_day <= dmax - 30 AND hist_qty >= 100
              |ORDER BY hist_qty DESC, p_partkey LIMIT 50"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // STREAMING sequence parity (tests/test_alerts.py:345-435's
+    // threshold→deadman scenario) through the transformWithState
+    // path end-to-end: slot 0 trips on the 3rd purchase per user
+    // (event-time order, id tiebreak), slot 1 is a deadman over the
+    // 7-day window after the trip — ≤1 follow-up error completes the
+    // sequence when the watermark passes the deadline. The emitted
+    // row carries the RENDERED slot-1 criteria (cross-slot template
+    // resolved to the slot-0 value — the reference's
+    // `assert "bitwarden" in criteria` shape) and the final summary.
+    // The oracle restates the full state machine relationally,
+    // including the watermark gate (max event time − 10 min, floored
+    // to the ms timer clock): a sequence whose window is still open
+    // at end-of-stream must NOT emit.
+    Q("q350_stream_sequence",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val provider = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(provider)
+        s.conf.set(provider,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val spec: graft.model.AlertDoc.Doc = Map(
+            "alert_name" -> "purchases_then_quiet",
+            "alert_type" -> "sequence",
+            "lifespan" -> "7 days",
+            "summary" -> ("{{slots.0.metadata.count}} purchases by " +
+              "{{slots.0.metadata.value}} with only " +
+              "{{slots.1.metadata.count}} follow-up errors"),
+            "slots" -> Seq(
+              Map("alert_type" -> "threshold",
+                "criteria" -> "event_type='purchase'",
+                "aggregation_key" -> "user_id",
+                "threshold" -> 3),
+              Map("alert_type" -> "deadman",
+                "criteria" -> ("event_type='error' AND " +
+                  "user_id='{{slots.0.metadata.value}}'"),
+                "threshold" -> 1)))
+          val out = graft.streaming.StreamingAlertsTws.sequenceStreamTws(
+            QueriesAlert.tableStream(s, dir, "events"), spec,
+            slot1Family = col("event_type") === "error")
+          QueriesAlert.drainToMemory(s, out.toDF(), "q350_sink",
+            OutputMode.Append())
+            .orderBy("value")
+        } finally saved match {
+          case Some(v) => s.conf.set(provider, v)
+          case None    => s.conf.unset(provider)
+        }
+      },
+      Some("""WITH ev AS (SELECT * FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |wm AS (SELECT (epoch_us(MAX(ts)) // 1000
+             |    - 600000) * 1000 AS wm_us FROM ev),
+             |p AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM ev WHERE event_type = 'purchase'),
+             |a AS (SELECT user_id,
+             |    CAST(COUNT(*) AS BIGINT) AS a_cnt FROM p GROUP BY 1),
+             |t0 AS (SELECT user_id, us AS t0_us FROM p WHERE rn = 3),
+             |fired AS (SELECT t0.user_id, t0.t0_us FROM t0, wm
+             |  WHERE t0.t0_us + 604800000000 <= wm.wm_us),
+             |b AS (SELECT f.user_id, f.t0_us,
+             |    CAST(COUNT(e.event_id) AS BIGINT) AS b_cnt
+             |  FROM fired f
+             |  LEFT JOIN ev e ON e.user_id = f.user_id
+             |    AND e.event_type = 'error'
+             |    AND epoch_us(e.ts) > f.t0_us
+             |    AND epoch_us(e.ts) <= f.t0_us + 604800000000
+             |  GROUP BY 1, 2)
+             |SELECT 'purchases_then_quiet' AS alert_name,
+             |  CAST(b.user_id AS VARCHAR) AS value,
+             |  CAST(b.t0_us AS BIGINT) AS t0_us,
+             |  b.b_cnt AS b_count,
+             |  'event_type=''error'' AND user_id='''
+             |    || CAST(b.user_id AS VARCHAR) || '''' AS criteria,
+             |  CAST(a.a_cnt AS VARCHAR) || ' purchases by '
+             |    || CAST(b.user_id AS VARCHAR) || ' with only '
+             |    || CAST(b.b_cnt AS VARCHAR)
+             |    || ' follow-up errors' AS summary
+             |FROM b JOIN a ON a.user_id = b.user_id
+             |WHERE b.b_cnt <= 1
+             |ORDER BY value""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -190,12 +190,23 @@ private[graft] object QueriesPipeline {
       |EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error'
       |ORDER BY user_id""".stripMargin
 
+  // Output edge is DOUBLE, not DECIMAL: the correctness gate reads the
+  // Spark parquet through pandas (DECIMAL → Decimal('209.00')) and the
+  // DuckDB oracle through .df() (DECIMAL → float64 209.0), so decimal
+  // edges hash-mismatch on trailing zeros even when values are equal.
+  // Both engines run this same text: the decimal math stays internal
+  // and the final decimal→double conversion is the identical IEEE
+  // nearest on both sides (r04 verdict task 1).
+  // o_orderdate stays the raw TIMESTAMP (the Q3 convention): a DATE
+  // edge is the only date32 output in the suite and pandas (date) vs
+  // DuckDB .df() (Timestamp 00:00:00) stringify it differently.
   private val TpchQ18Sql =
     """SELECT c.c_name, o.o_orderkey,
-      |  CAST(o.o_orderdate AS DATE) AS o_orderdate,
-      |  CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-      |    AS total_qty
+      |  o.o_orderdate AS o_orderdate,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS o_totalprice,
+      |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+      |    AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
       |FROM orders o
       |JOIN customer c ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -261,9 +272,9 @@ private[graft] object QueriesPipeline {
     */
   private val TpchQ5Sql =
     """SELECT n.n_name AS n_name,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
       |           (1 - CAST(l.l_discount AS DECIMAL(18,2))))
-      |    AS DECIMAL(28,4)) AS revenue
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS revenue
       |FROM customer c
       |JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -278,9 +289,9 @@ private[graft] object QueriesPipeline {
   private val TpchQ7Sql =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
       |           (1 - CAST(l.l_discount AS DECIMAL(18,2))))
-      |    AS DECIMAL(28,4)) AS revenue
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS revenue
       |FROM supplier s
       |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       |JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -302,9 +313,9 @@ private[graft] object QueriesPipeline {
     */
   private val TpchQ3Sql =
     """SELECT l.l_orderkey AS l_orderkey,
-      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
       |           (1 - CAST(l.l_discount AS DECIMAL(18,2))))
-      |    AS DECIMAL(28,4)) AS revenue,
+      |    AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
       |  o.o_orderdate AS o_orderdate,
       |  o.o_orderpriority AS o_orderpriority
       |FROM customer c
@@ -967,9 +978,12 @@ private[graft] object QueriesPipeline {
     // EXACT cosine pair contract (label-blocked all-pairs). Kept exact
     // deliberately: the qualifying pairs here all measure cos ∈
     // [0.35, 0.48], where SRP per-plane collision prob ≈ 0.62 — no LSH
-    // blocking preserves this pair set, so a bounded-block rewrite
+    // blocking preserves this pair set, so a LOSSY bounded rewrite
     // would silently change the answer. The bounded 100 TB path with
     // its own fully-verified contract is q55 (embeddingCosineBanded).
+    // Per-TASK width is bounded even so: the candidate join runs on
+    // the salted salt² grid (r05), so a skewed label spreads across
+    // salt² cells instead of one task — same pair set, same oracle.
     Q("q24_dedup_embedding_cosine",
       (s, dir) => DocDedup.embeddingCosine(Tables(s, dir, "embeddings"),
         thresholdMicro = 350000L),
@@ -1952,11 +1966,10 @@ private[graft] object QueriesPipeline {
     // float algorithm made hash-checkable.
     Q("q86_pagerank_copurchase",
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        // shared materialized graph (CoPurchase): the co-purchase
+        // edge derivation is one lake asset reused by the whole graph
+        // family, not a per-query fact-table self-join
+        val e = graft.ops.CoPurchase.directed(s, dir)
         graft.ops.Graph.pageRank(e)
           .withColumnRenamed("node", "part_id")
           .withColumnRenamed("rank", "rank_p12")
@@ -2661,18 +2674,8 @@ private[graft] object QueriesPipeline {
     // wedge join survives power-law hubs. Each triangle is owned by
     // its minimum-order vertex and credited to all three.
     Q("q112_triangle_count",
-      (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        // co-purchase edges generated directly as u < v: halves the
-        // self-join output vs <>, and the dedup inside triangleCount
-        // then has nothing to flip — same undirected edge set
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        graft.ops.Graph.triangleCount(e)
-      },
+      (s, dir) =>
+        graft.ops.Graph.triangleCount(graft.ops.CoPurchase.undirected(s, dir)),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |            FROM lineitem),
              |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
@@ -3956,15 +3959,8 @@ private[graft] object QueriesPipeline {
     // ppm cohesion per node (q112's degree-oriented wedge join + a
     // degree join); deg<2 nodes excluded
     Q("q155_clustering_coefficient",
-      (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        graft.ops.Graph.clusteringCoefficient(e)
-      },
+      (s, dir) => graft.ops.Graph.clusteringCoefficient(
+        graft.ops.CoPurchase.undirected(s, dir)),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |            FROM lineitem),
              |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
@@ -5366,8 +5362,13 @@ private[graft] object QueriesPipeline {
     // Inverted index with bounded postings head: df/tf per token plus
     // the first 10 posting doc_ids through the WindowTopKRewrite
     // bounded heap — hot tokens cost O(k) map-side state, not O(df).
+    // The postings head is emitted space-joined: the gate's pandas
+    // canon cannot sort rows on an ARRAY cell (r04's one ERR row), so
+    // no registered query returns an array column at the edge — the
+    // typed array stays in the library API (invertedIndex itself).
     Q("q203_inverted_index",
-      (s, dir) => TextAnalysis.invertedIndex(Tables(s, dir, "documents")),
+      (s, dir) => TextAnalysis.invertedIndex(Tables(s, dir, "documents"))
+        .withColumn("postings", array_join(col("postings"), " ")),
       Some("""WITH tk AS (SELECT doc_id,
              |    unnest(string_split(text, ' ')) AS tok
              |  FROM documents),
@@ -5380,7 +5381,8 @@ private[graft] object QueriesPipeline {
              |hk AS (SELECT tok, doc_id, ROW_NUMBER() OVER
              |    (PARTITION BY tok ORDER BY doc_id) AS rn
              |  FROM post),
-             |pl AS (SELECT tok, list_sort(list(doc_id)) AS postings
+             |pl AS (SELECT tok,
+             |    array_to_string(list_sort(list(doc_id)), ' ') AS postings
              |  FROM hk WHERE rn <= 10 GROUP BY 1)
              |SELECT s.tok AS tok, s.df AS df, s.tf_total AS tf_total,
              |  pl.postings AS postings
@@ -5391,16 +5393,9 @@ private[graft] object QueriesPipeline {
     // co-purchase graph — community detection on top of the q112/q155
     // edge derivation; ties to the smallest label, sizes folded last.
     Q("q204_label_propagation",
-      (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        // both orientations on purpose: a row (u,v) = "u hears v"
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        graft.ops.Graph.labelPropagation(e)
-      },
+      // both orientations on purpose: a row (u,v) = "u hears v"
+      (s, dir) => graft.ops.Graph.labelPropagation(
+        graft.ops.CoPurchase.directed(s, dir)),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o,
              |    l_partkey AS p FROM lineitem),
              |e AS (SELECT DISTINCT a.p AS u, b.p AS v
@@ -5560,15 +5555,8 @@ private[graft] object QueriesPipeline {
     // stabilizes in 3 rounds on this corpus — the stable flag is
     // part of the contract and the oracle recomputes it).
     Q("q211_kcore",
-      (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        Graph.kCore(e, k = 70L, rounds = 3)
-      },
+      (s, dir) => Graph.kCore(graft.ops.CoPurchase.directed(s, dir),
+        k = 70L, rounds = 3),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o,
              |    l_partkey AS p FROM lineitem),
              |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
@@ -6300,18 +6288,8 @@ private[graft] object QueriesPipeline {
     // this corpus (1244 → 425 → 213 → 159) and the stable flag says
     // so honestly.
     Q("q239_ktruss",
-      (s, dir) => {
-        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
-          .select(col("p_partkey").as("l_partkey"))
-        val li = Tables(s, dir, "lineitem")
-          .join(broadcast(pk), "l_partkey")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        Graph.kTruss(e, k = 4L, rounds = 3)
-      },
+      (s, dir) => Graph.kTruss(graft.ops.CoPurchase.undirectedSmall(s, dir),
+        k = 4L, rounds = 3),
       Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
              |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem JOIN pk ON pk.p_partkey = l_partkey),
@@ -6507,18 +6485,9 @@ private[graft] object QueriesPipeline {
     // The apex-degree ≤ 64 guard is part of the contract (and the
     // oracle): hub parts assert little and cost d² wedges.
     Q("q244_link_prediction",
-      (s, dir) => {
-        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
-          .select(col("p_partkey").as("l_partkey"))
-        val li = Tables(s, dir, "lineitem")
-          .join(broadcast(pk), "l_partkey")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        Graph.linkPredict(e, topN = 50, maxApexDegree = 64L)
-      },
+      (s, dir) => Graph.linkPredict(
+        graft.ops.CoPurchase.undirectedSmall(s, dir),
+        topN = 50, maxApexDegree = 64L),
       Some("""WITH pk AS (SELECT p_partkey FROM part WHERE p_size <= 5),
              |li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem JOIN pk ON pk.p_partkey = l_partkey),
@@ -6556,15 +6525,7 @@ private[graft] object QueriesPipeline {
     // carry a per-node seed CASE instead of a global base.
     Q("q245_ppr_copurchase",
       (s, dir) => {
-        val pk = Tables(s, dir, "part").where(col("p_size") <= 5)
-          .select(col("p_partkey").as("l_partkey"))
-        val li = Tables(s, dir, "lineitem")
-          .join(broadcast(pk), "l_partkey")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        val e = graft.ops.CoPurchase.directedSmall(s, dir)
         val seeds = Tables(s, dir, "part").where(col("p_size") === 1)
           .select(col("p_partkey").as("node"))
         Graph.personalizedPageRank(e, seeds)

@@ -156,7 +156,69 @@ object Functions {
       // Spark's parser claims dateadd/date_add with unquoted-unit
       // syntax before registry lookup (same as date_diff), so it
       // lives in Criteria.rewrite.
+
+      // Presto regexp_like(string, pattern) — Catalyst RLike (Java
+      // regex both engines; the criteria corpus uses the common
+      // subset). Spark spells it `string RLIKE pattern` / `rlike()`,
+      // so wild criteria written for Presto need the alias.
+      reg.createOrReplaceTempFunction("regexp_like",
+        exprs => RLike(exprs.head, exprs(1)), "built-in")
+
+      // Presto array_agg / map_agg. Wrapped into AggregateExpression
+      // here (the registry's resolver only auto-wraps a builder whose
+      // RESULT is the AggregateFunction, which map_agg's isn't).
+      reg.createOrReplaceTempFunction("array_agg",
+        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(exprs.head).toAggregateExpression(), "built-in")
+      reg.createOrReplaceTempFunction("map_agg",
+        exprs => MapFromEntries(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .CollectList(CreateStruct(Seq(exprs.head, exprs(1))))
+            .toAggregateExpression()),
+        "built-in")
     }
+
+    // Presto json_size(json, path): children count of the element at
+    // path — object → #keys, array → #elements, scalar → 0, missing/
+    // malformed → NULL. No Catalyst twin (json_array_length is
+    // array-only), so a driver-grade UDF; criteria predicates on
+    // json_size are not hot-path kernels.
+    spark.udf.register("json_size", (json: String, path: String) => {
+      def walk(node: com.fasterxml.jackson.databind.JsonNode,
+          segs: List[String]): Option[com.fasterxml.jackson.databind.JsonNode] =
+        segs match {
+          case Nil => Option(node)
+          case s :: rest =>
+            val (field, idxs) = {
+              val i = s.indexOf('[')
+              if (i < 0) (s, Seq.empty[Int])
+              else (s.substring(0, i),
+                s.substring(i).split("\\[").filter(_.nonEmpty)
+                  .map(_.stripSuffix("]").toInt).toSeq)
+            }
+            val afterField =
+              if (field.isEmpty) Option(node)
+              else Option(node.get(field))
+            idxs.foldLeft(afterField) {
+              case (n, idx) => n.flatMap(x => Option(x.get(idx)))
+            } match {
+              case Some(n) => walk(n, rest)
+              case None    => None
+            }
+        }
+      if (json == null || path == null || !path.startsWith("$")) null
+      else {
+        val parsed = scala.util.Try(
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+          .toOption
+        val segs = path.stripPrefix("$").split("\\.").toList
+          .filter(_.nonEmpty)
+        parsed.flatMap(walk(_, segs)).map { n =>
+          if (n.isContainerNode) java.lang.Integer.valueOf(n.size())
+          else java.lang.Integer.valueOf(0)
+        }.orNull
+      }
+    })
   }
 
   /** IPv4 dotted-quad (optionally with /cidr). */

@@ -764,8 +764,12 @@ object Audit {
         (col("sample_sum_c") * rate).as("est_total_c"),
         expr(s"abs(sample_sum_c * $rate - exact_total_c) * 1000000 " +
           "div exact_total_c").as("err_ppm"),
+        // n²-scaled variance is HUGEINT-wide: the math stays decimal,
+        // but the OUTPUT edge is double — the gate's pandas canon
+        // stringifies Decimal('…0') differently from DuckDB's float64
+        // even when numerically equal (r04 q317 hash-fail class)
         expr("cast(n_sample as decimal(12,0)) * sample_sq_c - " +
           "cast(sample_sum_c as decimal(20,0)) * sample_sum_c")
-          .as("sample_var_n2_c2"))
+          .cast("double").as("sample_var_n2_c2"))
   }
 }

@@ -572,25 +572,53 @@ object DocDedup {
     * LSH blocking preserves this pair set (0.62^26 ≈ 2·10⁻⁶ that even
     * one plane keeps all 26 pairs) and, information-theoretically, no
     * subquadratic exact method exists at such thresholds. This
-    * operator is therefore the EXACT contract with O(block²) cost —
-    * bound the block key yourself; for the bounded near-dup
-    * (cos ≥ ~0.9) regime use [[embeddingCosineBanded]] (q55), whose
-    * SRP banding is oracle-verified end to end.
+    * operator is therefore the EXACT contract with O(block²) TOTAL
+    * cost; for the bounded near-dup (cos ≥ ~0.9) regime use
+    * [[embeddingCosineBanded]] (q55), whose SRP banding is
+    * oracle-verified end to end.
+    *
+    * What IS bounded here is per-task width: a skewed block key (one
+    * label holding most of the corpus) must not serialize the whole
+    * block's O(block²) pairs into one join task. The candidate join
+    * runs on the salted grid — each vector gets a deterministic
+    * bucket g = hash(id) mod `salt`; the left side replicates across
+    * grid column j, the right across grid row i, and the equi-join on
+    * (block, gₐ=i, j=g_b) lands every pair in EXACTLY one of salt²
+    * cells, so per-task pair width is (|block|/salt)² regardless of
+    * skew and the grid parallelism scales with `salt`. The grid
+    * carries only (id, block, bucket) — vectors rejoin by id AFTER
+    * candidate generation (the same narrow-shuffle shape as
+    * [[embeddingCosineBanded]]), so the salt× replication never
+    * touches the embedding payload. Output is pair-for-pair identical
+    * to the naive block join (same q24 oracle).
     */
   def embeddingCosine(embeddings: DataFrame, thresholdMicro: Long = 950000L,
       blockCol: String = "label", idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    // norm once per vector; the block equi-join then pays one dot
-    // product per candidate pair
+      vecCol: String = "embedding", salt: Int = 8): DataFrame = {
+    require(salt >= 1, s"salt must be positive, got $salt")
+    // norm once per vector; candidates then pay one dot product each
     val e = Par.spread(embeddings.select(
       col(idCol).as("vid"), col(blockCol).as("block"), col(vecCol).as("vec"),
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("norm")))
       .localCheckpoint()
-    e.as("a").join(e.as("b"),
-        col("a.block") === col("b.block") && col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"),
-        floor(Similarity.dot(col("a.vec"), col("b.vec")) /
-          (col("a.norm") * col("b.norm")) * 1e6).cast("long").as("cos_e6"))
+    val grid = array((0 until salt).map(lit): _*)
+    val keyed = e.select(col("vid"), col("block"),
+      pmod(Similarity.mix31Col(col("vid")), lit(salt)).as("g"))
+    val left = keyed.withColumn("j", explode(grid))
+    val right = keyed.withColumn("i", explode(grid))
+    val cand = left.as("a").join(right.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.g") === col("b.i") && col("a.j") === col("b.g") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("a_id"), col("b.vid").as("b_id"))
+    cand
+      .join(e.select(col("vid").as("a_id"), col("vec").as("va"),
+        col("norm").as("na")), "a_id")
+      .join(e.select(col("vid").as("b_id"), col("vec").as("vb"),
+        col("norm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        floor(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) * 1e6).cast("long").as("cos_e6"))
       .where(col("cos_e6") >= thresholdMicro)
       .orderBy("a_id", "b_id")
   }

@@ -68,9 +68,12 @@ private[sources] class JsonBlocksTable(path: String)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"jsonblocks($path)"
   override def schema(): StructType = JsonBlocksSource.Schema
+  // no TRUNCATE: the WriteBuilder is append-shaped (task-commit
+  // rename, last attempt wins per partition file); declaring TRUNCATE
+  // without SupportsTruncate let mode("overwrite") pass the
+  // capability check only to fail at write planning
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -82,12 +85,23 @@ private[sources] class JsonBlocksTable(path: String)
     * delivery-drop file (the format IS concatenation — no delimiter
     * to add), written task-temporary and renamed on task commit so a
     * failed/speculative task never publishes a partial file. The
-    * input's FIRST string column is the block; extra columns (e.g.
-    * the read side's provenance) are ignored.
+    * block column is resolved BY NAME (`block`, case-insensitive) —
+    * binding the first string column by position would silently write
+    * the wrong column for a frame ordered e.g. (src_file, block).
+    * Position is the fallback only when no column is named `block`
+    * AND exactly one string column exists (unambiguous).
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val blockIdx = info.schema().fields.indexWhere(_.dataType == StringType)
-    require(blockIdx >= 0, "jsonblocks write needs a string column")
+    val fields = info.schema().fields
+    val byName = fields.indexWhere(f =>
+      f.name.equalsIgnoreCase("block") && f.dataType == StringType)
+    val stringIdxs = fields.indices.filter(fields(_).dataType == StringType)
+    val blockIdx =
+      if (byName >= 0) byName
+      else if (stringIdxs.size == 1) stringIdxs.head
+      else throw new IllegalArgumentException(
+        "jsonblocks write needs a string column named 'block', or " +
+          s"exactly one string column; got schema ${info.schema().sql}")
     val target = Option(path)
       .getOrElse(info.options.get("path"))
     new WriteBuilder {
@@ -171,7 +185,15 @@ private[sources] class JsonBlocksReaderFactory
         val fs = p.getFileSystem(new Configuration())
         val in = fs.open(p)
         try {
-          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val len = fs.getFileStatus(p).getLen
+          // whole-file materialization is the documented contract;
+          // a >2 GiB delivery file would wrap the Int and silently
+          // truncate — fail loudly instead
+          require(len <= Int.MaxValue,
+            s"jsonblocks file $file is $len bytes — the whole-file " +
+              "brace-balance contract caps a single delivery file at " +
+              "2 GiB; split the drop upstream")
+          val bytes = new Array[Byte](len.toInt)
           in.readFully(bytes)
           Ingest.splitJsonBlocks(
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))

@@ -74,7 +74,7 @@ object StreamingAlerts {
   /** Blank criteria means "everything" (shells default to "" when the
     * author omits it); NULL from three-valued logic never passes.
     */
-  private def criteriaColumn(spec: Doc): Column = {
+  private[streaming] def criteriaColumn(spec: Doc): Column = {
     val text = AlertDoc.str(spec, "criteria").trim
     if (text.isEmpty) lit(true) else coalesce(Criteria.toColumn(text), lit(false))
   }
@@ -89,7 +89,7 @@ object StreamingAlerts {
   private val clockSafeFilter =
     udf((b: Boolean) => b).asNondeterministic()
 
-  private def whereAfterWatermark(df: DataFrame, pred: Column): DataFrame =
+  private[streaming] def whereAfterWatermark(df: DataFrame, pred: Column): DataFrame =
     df.where(clockSafeFilter(coalesce(pred, lit(false))))
 
   case class LastSeen(lastMs: Long)

@@ -96,6 +96,43 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getString(7) === "2024-01-05T13:00:00.123")
   }
 
+  test("Presto regexp_like / json_size parse through the registry") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT regexp_like('error-4xx', 'err.*xx$') AS hit,
+        |       regexp_like('ok', 'err') AS miss,
+        |       json_size('{"a":{"x":1,"y":2},"b":[1,2,3],"c":7}', '$.a') AS obj,
+        |       json_size('{"b":[1,2,3]}', '$.b') AS arr,
+        |       json_size('{"c":7}', '$.c') AS scalar,
+        |       json_size('{"c":7}', '$') AS root,
+        |       json_size('{"c":7}', '$.missing') AS absent,
+        |       json_size('not json', '$.a') AS bad,
+        |       json_size('{"a":[{"k":1,"j":2}]}', '$.a[0]') AS idx
+        |""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === 3)
+    assert(r.getInt(4) === 0)
+    assert(r.getInt(5) === 1)
+    assert(r.isNullAt(6) && r.isNullAt(7))
+    assert(r.getInt(8) === 2)
+  }
+
+  test("Presto array_agg / map_agg aggregate through the registry") {
+    Functions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L))
+      .toDF("g", "k", "v").createOrReplaceTempView("t_agg")
+    val rows = spark.sql(
+      """SELECT g, sort_array(array_agg(v)) AS vs,
+        |       element_at(map_agg(k, v), 'b') AS kb
+        |FROM t_agg GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](1) === Seq(10L, 20L))
+    assert(rows(0).getLong(2) === 20L)
+    assert(rows(1).getSeq[Long](1) === Seq(30L))
+    assert(rows(1).isNullAt(2))
+  }
+
   test("Presto day_of_week is ISO: Monday=1, Sunday=7") {
     Functions.register(spark)
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday

@@ -60,4 +60,44 @@ class JsonBlocksV2Spec extends AnyFunSuite with SparkSuite {
     // two writer partitions → two delivery files
     assert(back.select("src_file").distinct().count() === 2)
   }
+
+  test("V2 connector write binds the block column BY NAME, not position") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jb_v2_n_").toFile
+    // provenance-style string column FIRST: positional binding would
+    // write the wrong column as the delivery file
+    Seq(("ignored.json", """{"id":9}"""))
+      .toDF("src_file", "block")
+      .write.format("graft.sources.JsonBlocksSource")
+      .mode("append").save(dir.getAbsolutePath)
+    val back = spark.read.format("graft.sources.JsonBlocksSource")
+      .load(dir.getAbsolutePath)
+    assert(back.select("block").as[String].collect().toSeq ===
+      Seq("""{"id":9}"""))
+  }
+
+  test("V2 connector write fails loudly on an ambiguous schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jb_v2_a_").toFile
+    val e = intercept[Exception] {
+      Seq(("a", "b")).toDF("x", "y")
+        .write.format("graft.sources.JsonBlocksSource")
+        .mode("append").save(dir.getAbsolutePath)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("block")))
+  }
+
+  test("V2 connector rejects overwrite (no TRUNCATE capability) up front") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jb_v2_o_").toFile
+    intercept[Exception] {
+      Seq("""{"id":1}""").toDF("block")
+        .write.format("graft.sources.JsonBlocksSource")
+        .mode("overwrite").save(dir.getAbsolutePath)
+    }
+    ()
+  }
 }

@@ -688,4 +688,72 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(fin(2L) === (4L, 2L, 600L))
     } finally q.stop()
   }
+
+  case class SeqEv(ts: Timestamp, user_id: Long, event_id: Long,
+      event_type: String)
+
+  test("transformWithState sequence: cross-slot criteria renders the slot-0 value") {
+    // the reference's threshold→deadman scenario
+    // (tests/test_alerts.py:345-435): slot 0 trips on the T-th
+    // qualifying event, the deadman window then watches for absence,
+    // and the rendered slot-1 criteria must contain the SLOT-0 value
+    // (its `assert "bitwarden" in criteria` shape).
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SeqEv]
+      val spec: graft.model.AlertDoc.Doc = Map(
+        "alert_name" -> "root_no_pw_manager",
+        "alert_type" -> "sequence",
+        "lifespan" -> "30 minutes",
+        "summary" -> ("{{slots.0.metadata.count}} root logins by " +
+          "{{slots.0.metadata.value}} without use of a password manager"),
+        "slots" -> Seq(
+          Map("alert_type" -> "threshold",
+            "criteria" -> "event_type='root_login'",
+            "aggregation_key" -> "user_id",
+            "threshold" -> 2),
+          Map("alert_type" -> "deadman",
+            "criteria" -> ("event_type='bitwarden' AND " +
+              "user_id='{{slots.0.metadata.value}}'"),
+            "threshold" -> 0)))
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTws(
+        mem.toDF(), spec,
+        slot1Family = org.apache.spark.sql.functions.col("event_type") === "bitwarden",
+        watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("seqtws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: two root logins, NO bitwarden access → completes.
+        // user 2: two root logins but a bitwarden access inside the
+        // window → deadman not satisfied, no alert.
+        mem.addData(
+          SeqEv(ts(1), 1, 11, "root_login"), SeqEv(ts(2), 1, 12, "root_login"),
+          SeqEv(ts(1), 2, 21, "root_login"), SeqEv(ts(2), 2, 22, "root_login"),
+          SeqEv(ts(10), 2, 23, "bitwarden"))
+        q.processAllAvailable()
+        // advance the watermark past both deadlines (t0 + 30 min)
+        mem.addData(SeqEv(tsH(12, 0), 9, 99, "root_login"))
+        q.processAllAvailable()
+        val rows = spark.table("seqtws").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        val r = rows.head
+        // the bitwarden assertion shape: rendered criteria carries
+        // the slot-0 aggregation value
+        assert(r.getAs[String]("criteria") ===
+          "event_type='bitwarden' AND user_id='1'")
+        assert(r.getAs[String]("summary") ===
+          "2 root logins by 1 without use of a password manager")
+        assert(r.getAs[Long]("b_count") === 0L)
+        // t0 = the 2nd (threshold-th) root login's event time
+        assert(r.getAs[Long]("t0_us") === ts(2).getTime * 1000L)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None    => spark.conf.unset(provider)
+    }
+  }
 }
