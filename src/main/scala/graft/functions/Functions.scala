@@ -141,6 +141,7 @@ object Functions {
     // Spark's DayOfWeek is 1 = Sunday, so shift: ((dow + 5) % 7) + 1.
     locally {
       import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
       import org.apache.spark.sql.types.IntegerType
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("day_of_week",
@@ -167,58 +168,60 @@ object Functions {
       // Presto array_agg / map_agg. Wrapped into AggregateExpression
       // here (the registry's resolver only auto-wraps a builder whose
       // RESULT is the AggregateFunction, which map_agg's isn't).
+      //
+      // Presto array_agg RETAINS NULL elements; Spark's CollectList
+      // drops them. Collect struct(v) (never null even when v is) and
+      // unwrap with a transform lambda so the NULLs survive.
       reg.createOrReplaceTempFunction("array_agg",
-        exprs => org.apache.spark.sql.catalyst.expressions.aggregate
-          .CollectList(exprs.head).toAggregateExpression(), "built-in")
+        { exprs =>
+          val lv = UnresolvedNamedLambdaVariable(Seq("s"))
+          ArrayTransform(
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .CollectList(CreateNamedStruct(Seq(Literal("v"), exprs.head)))
+              .toAggregateExpression(),
+            LambdaFunction(UnresolvedExtractValue(lv, Literal("v")), Seq(lv)))
+        }, "built-in")
+      // Presto map_agg keeps one value per duplicate key (arbitrary
+      // pick); under Spark's default mapKeyDedupPolicy=EXCEPTION a
+      // duplicate key would instead throw. Dedupe by key BEFORE
+      // MapFromEntries: sort entries then keep each entry whose key
+      // differs from its predecessor (first-win, deterministic) — no
+      // session-conf change, no runtime throw.
       reg.createOrReplaceTempFunction("map_agg",
-        exprs => MapFromEntries(
-          org.apache.spark.sql.catalyst.expressions.aggregate
-            .CollectList(CreateStruct(Seq(exprs.head, exprs(1))))
-            .toAggregateExpression()),
-        "built-in")
+        { exprs =>
+          val collected = SortArray(
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .CollectList(CreateNamedStruct(
+                Seq(Literal("k"), exprs.head, Literal("v"), exprs(1))))
+              .toAggregateExpression(),
+            Literal(true))
+          val e = UnresolvedNamedLambdaVariable(Seq("e"))
+          val i = UnresolvedNamedLambdaVariable(Seq("i"))
+          def keyOf(x: Expression): Expression =
+            UnresolvedExtractValue(x, Literal("k"))
+          // entries are key-sorted so duplicates are adjacent: keep
+          // index 0 and entries whose key differs from the previous
+          // one (element_at is 1-based, so ordinal i = 0-based i-1)
+          val dedup = ArrayFilter(collected,
+            LambdaFunction(
+              Or(EqualTo(i, Literal(0)),
+                 Not(EqualNullSafe(keyOf(e),
+                   keyOf(ElementAt(collected, i, None, failOnError = false))))),
+              Seq(e, i)))
+          MapFromEntries(dedup)
+        }, "built-in")
     }
 
     // Presto json_size(json, path): children count of the element at
     // path — object → #keys, array → #elements, scalar → 0, missing/
     // malformed → NULL. No Catalyst twin (json_array_length is
     // array-only), so a driver-grade UDF; criteria predicates on
-    // json_size are not hot-path kernels.
-    spark.udf.register("json_size", (json: String, path: String) => {
-      def walk(node: com.fasterxml.jackson.databind.JsonNode,
-          segs: List[String]): Option[com.fasterxml.jackson.databind.JsonNode] =
-        segs match {
-          case Nil => Option(node)
-          case s :: rest =>
-            val (field, idxs) = {
-              val i = s.indexOf('[')
-              if (i < 0) (s, Seq.empty[Int])
-              else (s.substring(0, i),
-                s.substring(i).split("\\[").filter(_.nonEmpty)
-                  .map(_.stripSuffix("]").toInt).toSeq)
-            }
-            val afterField =
-              if (field.isEmpty) Option(node)
-              else Option(node.get(field))
-            idxs.foldLeft(afterField) {
-              case (n, idx) => n.flatMap(x => Option(x.get(idx)))
-            } match {
-              case Some(n) => walk(n, rest)
-              case None    => None
-            }
-        }
-      if (json == null || path == null || !path.startsWith("$")) null
-      else {
-        val parsed = scala.util.Try(
-          new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
-          .toOption
-        val segs = path.stripPrefix("$").split("\\.").toList
-          .filter(_.nonEmpty)
-        parsed.flatMap(walk(_, segs)).map { n =>
-          if (n.isContainerNode) java.lang.Integer.valueOf(n.size())
-          else java.lang.Integer.valueOf(0)
-        }.orNull
-      }
-    })
+    // json_size are not hot-path kernels. The walk lives in the
+    // top-level [[JsonSizeFn]] so the registered closure stays free of
+    // `Functions$` (which is not Serializable — capturing it made the
+    // UDF throw Task-not-serializable on any executor-side eval).
+    spark.udf.register("json_size",
+      (json: String, path: String) => JsonSizeFn.size(json, path))
   }
 
   /** IPv4 dotted-quad (optionally with /cidr). */
@@ -248,4 +251,56 @@ object Functions {
     */
   def isIp(s: String): Boolean =
     (s.contains(".") || s.contains(":")) && (isIPv4(s) || isIPv6(s))
+}
+
+/** Executor-side implementation of Presto `json_size`.
+  *
+  * Top-level and Serializable so the UDF closure registered in
+  * [[Functions.register]] captures only this module (never the
+  * non-serializable `Functions$`). Malformed inputs — bad JSON, a
+  * path not starting with `$`, or a non-numeric array index like
+  * `$.a[x]` — all return NULL per the Presto contract; nothing here
+  * throws.
+  */
+private[graft] object JsonSizeFn extends Serializable {
+
+  def size(json: String, path: String): Integer = {
+    if (json == null || path == null || !path.startsWith("$")) null
+    else {
+      val parsed = scala.util.Try(
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+        .toOption
+      val segs = path.stripPrefix("$").split("\\.").toList
+        .filter(_.nonEmpty)
+      parsed.flatMap(walk(_, segs)).map { n =>
+        if (n.isContainerNode) java.lang.Integer.valueOf(n.size())
+        else java.lang.Integer.valueOf(0)
+      }.orNull
+    }
+  }
+
+  private def walk(node: com.fasterxml.jackson.databind.JsonNode,
+      segs: List[String]): Option[com.fasterxml.jackson.databind.JsonNode] =
+    segs match {
+      case Nil => Option(node)
+      case s :: rest =>
+        val i = s.indexOf('[')
+        val field = if (i < 0) s else s.substring(0, i)
+        // Malformed index segments (non-numeric) resolve to None →
+        // NULL result, consistent with the malformed-JSON handling.
+        val idxs: Option[Seq[Int]] =
+          if (i < 0) Some(Seq.empty)
+          else scala.util.Try(
+            s.substring(i).split("\\[").filter(_.nonEmpty)
+              .map(_.stripSuffix("]").toInt).toSeq).toOption
+        val afterField =
+          if (field.isEmpty) Option(node)
+          else Option(node.get(field))
+        idxs.flatMap(_.foldLeft(afterField) {
+          case (n, idx) => n.flatMap(x => Option(x.get(idx)))
+        }) match {
+          case Some(n) => walk(n, rest)
+          case None    => None
+        }
+    }
 }

@@ -308,9 +308,9 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("est_total_c") === 400L)
     assert(r.getAs[Long]("exact_total_c") === 400L)
     assert(r.getAs[Long]("err_ppm") === 0L)
-    // 2·(100² + 300²) − 400² = 40000
-    assert(r.getAs[java.math.BigDecimal]("sample_var_n2_c2")
-      .longValueExact() === 40000L)
+    // 2·(100² + 300²) − 400² = 40000 (double at the output edge,
+    // matching the q317 oracle canon)
+    assert(r.getAs[Double]("sample_var_n2_c2") === 40000.0)
   }
 
   test("aqpEstimate's sample is a strict subset that still lands near") {
@@ -322,8 +322,7 @@ class AuditSpec extends AnyFunSuite with SparkSuite {
     val k = r.getAs[Long]("n_sample")
     assert(k > 0 && k < 1000)
     assert(r.getAs[Long]("est_total_c") === k * 200 * 10)
-    assert(r.getAs[java.math.BigDecimal]("sample_var_n2_c2")
-      .longValueExact() === 0L)
+    assert(r.getAs[Double]("sample_var_n2_c2") === 0.0)
   }
 
   test("temporalSanity: each rule counts exactly its planted violations") {

@@ -118,6 +118,50 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getInt(8) === 2)
   }
 
+  test("json_size evaluates executor-side inside a criteria predicate") {
+    // The r05 regression: the UDF closure captured non-serializable
+    // Functions$ and threw on any executor-side eval. Pin the fix by
+    // forcing a real distributed evaluation over a DataFrame filter —
+    // the shape a wild criteria like `json_size(details, '$.tags') > 1`
+    // takes (alerts/an_alert.yml:5's json-predicate style).
+    Functions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("e1", """{"tags":["a","b"],"sev":3}"""),
+      ("e2", """{"tags":["a"],"sev":1}"""),
+      ("e3", """not json"""),
+      ("e4", """{"tags":[],"sev":9}"""))
+      .toDF("event_id", "details").repartition(4)
+    df.createOrReplaceTempView("t_js_exec")
+    val hits = spark.sql(
+      """SELECT event_id FROM t_js_exec
+        |WHERE json_size(details, '$.tags') > 1""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(hits === Array("e1"))
+    // malformed array index in the path → NULL, never a task failure
+    val r = spark.sql(
+      "SELECT json_size('{\"a\":[1,2]}', '$.a[x]') AS bad_idx").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("array_agg retains NULLs; map_agg tolerates duplicate keys") {
+    Functions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a", Some(10L)), (1L, "a", Some(99L)), (1L, "b", None))
+      .toDF("g", "k", "v").createOrReplaceTempView("t_agg_presto")
+    val r = spark.sql(
+      """SELECT size(array_agg(v)) AS n_with_null,
+        |       map_agg(k, v) AS m
+        |FROM t_agg_presto GROUP BY g""".stripMargin).head()
+    // Presto array_agg keeps the NULL element (CollectList would drop it)
+    assert(r.getInt(0) === 3)
+    // duplicate key 'a' must not throw under mapKeyDedupPolicy=EXCEPTION;
+    // one deterministic value survives (first in sorted entry order)
+    val m = r.getMap[String, Any](1)
+    assert(m.keySet === Set("a", "b"))
+    assert(m("a") === 10L)
+  }
+
   test("Presto array_agg / map_agg aggregate through the registry") {
     Functions.register(spark)
     import spark.implicits._
