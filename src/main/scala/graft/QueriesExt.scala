@@ -1720,9 +1720,10 @@ private[graft] object QueriesExt {
                 "criteria" -> ("event_type='error' AND " +
                   "user_id='{{slots.0.metadata.value}}'"),
                 "threshold" -> 1)))
+          // slot1Family intentionally omitted — the template-free
+          // family (event_type='error') is derived from the criteria
           val out = graft.streaming.StreamingAlertsTws.sequenceStreamTws(
-            QueriesAlert.tableStream(s, dir, "events"), spec,
-            slot1Family = col("event_type") === "error")
+            QueriesAlert.tableStream(s, dir, "events"), spec)
           QueriesAlert.drainToMemory(s, out.toDF(), "q350_sink",
             OutputMode.Append())
             .orderBy("value")
@@ -1735,7 +1736,8 @@ private[graft] object QueriesExt {
              |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |    AND event_id IS NOT NULL),
              |wm AS (SELECT (epoch_us(MAX(ts)) // 1000
-             |    - 600000) * 1000 AS wm_us FROM ev),
+             |    - 600000) * 1000 AS wm_us FROM events
+             |  WHERE ts IS NOT NULL),
              |p AS (SELECT user_id, epoch_us(ts) AS us, event_id,
              |    ROW_NUMBER() OVER (PARTITION BY user_id
              |      ORDER BY ts, event_id) AS rn
@@ -1765,6 +1767,98 @@ private[graft] object QueriesExt {
              |    || ' follow-up errors' AS summary
              |FROM b JOIN a ON a.user_id = b.user_id
              |WHERE b.b_cnt <= 1
+             |ORDER BY value""".stripMargin)),
+
+    // 3-SLOT streaming sequence through the N-slot chain processor
+    // (the reference's sequences are N-slot, alerta.py:274-317): 3
+    // purchases trip slot 0, then 2 clicks inside the 7-day sequence
+    // window trip slot 1, then a deadman watches errors in
+    // (t1, t0+7d] — ≤1 completes when the watermark passes the
+    // deadline. Slot families are DERIVED from each slot's criteria
+    // (template-bearing conjuncts stripped); the emitted row carries
+    // the rendered slot-2 criteria embedding slot-1's value. The
+    // oracle restates the chain relationally: rn=3 purchase, rn=2
+    // in-window click, window error count, ms-floored watermark gate.
+    Q("q352_stream_sequence3",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val provider = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(provider)
+        s.conf.set(provider,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val spec: graft.model.AlertDoc.Doc = Map(
+            "alert_name" -> "buy_click_then_quiet",
+            "alert_type" -> "sequence",
+            "lifespan" -> "7 days",
+            "summary" -> ("{{slots.0.metadata.count}} purchases, " +
+              "{{slots.1.metadata.count}} clicks, then only " +
+              "{{slots.2.metadata.count}} errors for " +
+              "{{slots.2.metadata.value}}"),
+            "slots" -> Seq(
+              Map("alert_type" -> "threshold",
+                "criteria" -> "event_type='purchase'",
+                "aggregation_key" -> "user_id",
+                "threshold" -> 3),
+              Map("alert_type" -> "threshold",
+                "criteria" -> ("event_type='click' AND " +
+                  "user_id='{{slots.0.metadata.value}}'"),
+                "threshold" -> 2),
+              Map("alert_type" -> "deadman",
+                "criteria" -> ("event_type='error' AND " +
+                  "user_id='{{slots.1.metadata.value}}'"),
+                "threshold" -> 1)))
+          val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+            QueriesAlert.tableStream(s, dir, "events"), spec)
+          QueriesAlert.drainToMemory(s, out.toDF(), "q352_sink",
+            OutputMode.Append())
+            .orderBy("value")
+        } finally saved match {
+          case Some(v) => s.conf.set(provider, v)
+          case None    => s.conf.unset(provider)
+        }
+      },
+      Some("""WITH ev AS (SELECT * FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |wm AS (SELECT (epoch_us(MAX(ts)) // 1000
+             |    - 600000) * 1000 AS wm_us FROM events
+             |  WHERE ts IS NOT NULL),
+             |p AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM ev WHERE event_type = 'purchase'),
+             |t0 AS (SELECT user_id, us AS t0_us FROM p WHERE rn = 3),
+             |c AS (SELECT t0.user_id, t0.t0_us, epoch_us(e.ts) AS us,
+             |    ROW_NUMBER() OVER (PARTITION BY t0.user_id
+             |      ORDER BY e.ts, e.event_id) AS rn
+             |  FROM t0 JOIN ev e ON e.user_id = t0.user_id
+             |    AND e.event_type = 'click'
+             |    AND epoch_us(e.ts) > t0.t0_us
+             |    AND epoch_us(e.ts) <= t0.t0_us + 604800000000),
+             |t1 AS (SELECT user_id, t0_us, us AS t1_us
+             |  FROM c WHERE rn = 2),
+             |fired AS (SELECT t1.* FROM t1, wm
+             |  WHERE t1.t0_us + 604800000000 <= wm.wm_us),
+             |b AS (SELECT f.user_id, f.t0_us, f.t1_us,
+             |    CAST(COUNT(e.event_id) AS BIGINT) AS b_cnt
+             |  FROM fired f
+             |  LEFT JOIN ev e ON e.user_id = f.user_id
+             |    AND e.event_type = 'error'
+             |    AND epoch_us(e.ts) > f.t1_us
+             |    AND epoch_us(e.ts) <= f.t0_us + 604800000000
+             |  GROUP BY 1, 2, 3)
+             |SELECT 'buy_click_then_quiet' AS alert_name,
+             |  CAST(user_id AS VARCHAR) AS value,
+             |  CAST(t0_us AS BIGINT) AS t0_us,
+             |  CAST(t1_us AS BIGINT) AS t_last_us,
+             |  b_cnt AS dm_count,
+             |  'event_type=''error'' AND user_id='''
+             |    || CAST(user_id AS VARCHAR) || '''' AS criteria,
+             |  '3 purchases, 2 clicks, then only '
+             |    || CAST(b_cnt AS VARCHAR) || ' errors for '
+             |    || CAST(user_id AS VARCHAR) AS summary
+             |FROM b WHERE b_cnt <= 1
              |ORDER BY value""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */

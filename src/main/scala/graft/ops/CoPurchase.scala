@@ -52,7 +52,16 @@ object CoPurchase {
       p
     })
 
-  private def tag(dir: String): String = new java.io.File(dir).getName
+  /** Cache tag: basename + a hash of the CANONICAL path, so two sf
+    * dirs that share a basename (/a/sf1 vs /b/sf1) never alias to one
+    * cached graph in the same JVM. Basename kept for debuggability.
+    */
+  private def tag(dir: String): String = {
+    val f = new java.io.File(dir)
+    val canon = scala.util.Try(f.getCanonicalPath)
+      .getOrElse(f.getAbsolutePath)
+    f"${f.getName}_${canon.hashCode & 0x7fffffff}%08x"
+  }
 
   /** Canonical undirected co-purchase edges (src < dst, distinct)
     * over the whole part catalog — derived once per sf dir, then a

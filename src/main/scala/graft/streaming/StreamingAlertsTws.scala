@@ -71,6 +71,44 @@ case class SeqBufEvent(isA: Boolean, tsUs: Long, id: Long)
 /** The armed flush timer (wrapped so absent state is null, not 0). */
 case class SeqTimerState(timerMs: Long)
 
+/** One buffered event for the N-slot streaming sequence: a bitmask of
+  * the slot families the event belongs to (bit k set = matches slot
+  * k's template-free family predicate), event-time micros, and the id
+  * tiebreaker. Top-level — encoder codegen cannot reach nested case
+  * classes.
+  */
+case class NSeqEvent(mask: Long, tsUs: Long, id: Long)
+
+/** Chain progress for the N-slot sequence: next slot to fill, trip
+  * times of the filled slots (µs), progress count inside the current
+  * threshold slot, and the running window count when the final slot
+  * is a deadman. Only FINALIZED events (below the watermark) ever
+  * advance the chain, so this state is replay-stable.
+  */
+case class NSeqChain(slotIdx: Int, trips: Seq[Long], curCount: Long,
+    dmCount: Long)
+
+/** Completed N-slot streaming sequence alert: slot-0 trip time, the
+  * last THRESHOLD slot's trip time, the final deadman window count
+  * (0 when the last slot is a threshold), the rendered last-slot
+  * criteria and the final summary.
+  */
+case class StreamNSeqAlert(alert_name: String, value: String,
+    t0_us: Long, t_last_us: Long, dm_count: Long, criteria: String,
+    summary: String)
+
+/** Compacted summary of FINALIZED events (event time below the
+  * watermark — Spark's late-row filter guarantees no future arrival
+  * can be ordered before them, so their contribution is fixed):
+  * total finalized slot-0 count, finalized in-window slot-1 count,
+  * and the first `threshold` slot-0 events in (ts, id) order (enough
+  * to pin t0 — every unfinalized event sorts after them). Keeps per-
+  * key state bounded by the watermark delay instead of the stream's
+  * lifetime.
+  */
+case class SeqCompact(aCntFinal: Long, bCntFinal: Long,
+    firstA: Seq[SeqBufEvent])
+
 /** Completed streaming sequence alert: slot-0 trip time, slot-1
   * deadman count, the RENDERED slot-1 criteria (the cross-slot
   * template reference resolved against slot-0's data — the
@@ -97,10 +135,12 @@ case class StreamSeqAlert(alert_name: String, value: String,
   * [[graft.functions.Template]] walker the batch engine uses, on the
   * executor, against the same slots-doc shape.
   *
-  * Scale shape: state per key is the key's buffered event handles
-  * (bounded by the lifespan horizon — RocksDB-backed), timers replace
-  * rather than accumulate, and completion clears state so the key
-  * re-arms.
+  * Scale shape: each timer tick compacts events finalized by the
+  * watermark into a [[SeqCompact]] summary (counts + the first
+  * `threshold` slot-0 events), so RocksDB state per key is bounded by
+  * the watermark-delay horizon — not the stream's lifetime; timers
+  * replace rather than accumulate, and completion clears state so the
+  * key re-arms.
   */
 class SequenceTwsProcessor(name: String, thresholdT: Int, deadmanMax: Long,
     lifespanMs: Long, criteriaTpl: String, summaryTpl: String)
@@ -108,12 +148,15 @@ class SequenceTwsProcessor(name: String, thresholdT: Int, deadmanMax: Long,
 
   @transient private var buf: org.apache.spark.sql.streaming.ListState[SeqBufEvent] = _
   @transient private var armed: org.apache.spark.sql.streaming.ValueState[SeqTimerState] = _
+  @transient private var compact: org.apache.spark.sql.streaming.ValueState[SeqCompact] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[SeqBufEvent](
       "buf", Encoders.product[SeqBufEvent], TTLConfig.NONE)
     armed = getHandle.getValueState[SeqTimerState](
       "armed", Encoders.product[SeqTimerState], TTLConfig.NONE)
+    compact = getHandle.getValueState[SeqCompact](
+      "compact", Encoders.product[SeqCompact], TTLConfig.NONE)
   }
 
   private def rearm(at: Long): Unit = {
@@ -140,20 +183,54 @@ class SequenceTwsProcessor(name: String, thresholdT: Int, deadmanMax: Long,
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[StreamSeqAlert] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val c0 = Option(compact.get()).getOrElse(SeqCompact(0L, 0L, Nil))
+
+    // Compact: fold events finalized by the watermark (ts < wm — no
+    // future arrival can be ordered before them) into the summary.
+    //  * slot-0: bump the finalized count, keep only the first
+    //    `thresholdT` in (ts, id) order — enough to pin t0, since
+    //    every unfinalized event has ts ≥ wm > any finalized ts.
+    //  * slot-1: if t0 is already pinned by finalized slot-0 events,
+    //    count window members exactly; otherwise drop them — any
+    //    future t0 is ≥ wm > their ts, so the (t0, t0+lifespan]
+    //    window can never admit them.
     val evs = buf.get().toVector
-    val as = evs.filter(_.isA).sortBy(e => (e.tsUs, e.id))
-    if (as.size < thresholdT) { Iterator.empty } // slot 0 not tripped yet
+    val (fin, act) = evs.partition(_.tsUs < wmUs)
+    val finA = fin.filter(_.isA)
+    val aCntFinal = c0.aCntFinal + finA.size
+    val firstA = (c0.firstA ++ finA).sortBy(e => (e.tsUs, e.id))
+      .take(thresholdT)
+    val t0Fixed = if (aCntFinal >= thresholdT)
+      Some(firstA(thresholdT - 1).tsUs) else None
+    val bCntFinal = c0.bCntFinal + (t0Fixed match {
+      case Some(t0) => fin.count(e =>
+        !e.isA && e.tsUs > t0 && e.tsUs <= t0 + lifespanMs * 1000L)
+      case None => 0L
+    })
+    def persist(): Unit = {
+      compact.update(SeqCompact(aCntFinal, bCntFinal, firstA))
+      buf.clear()
+      if (act.nonEmpty) buf.appendList(act.toArray)
+    }
+
+    val actA = act.filter(_.isA).sortBy(e => (e.tsUs, e.id))
+    val allA = firstA ++ actA // firstA all < wm ≤ actA: already ordered
+    val aTotal = aCntFinal + actA.size
+    if (allA.size < thresholdT) { persist(); Iterator.empty } // slot 0 not tripped yet
     else {
-      val t0Us = as(thresholdT - 1).tsUs
+      val t0Us = allA(thresholdT - 1).tsUs
       val deadlineUs = t0Us + lifespanMs * 1000L
-      if (timerValues.getCurrentWatermarkInMs() * 1000L < deadlineUs) {
+      if (wmUs < deadlineUs) {
         // slot-1 window still open — wait it out (ceil to the ms tick
         // at-or-after the µs deadline)
         rearm((deadlineUs + 999L) / 1000L)
+        persist()
         Iterator.empty
       } else {
-        val b = evs.count(e => !e.isA && e.tsUs > t0Us && e.tsUs <= deadlineUs)
-        buf.clear(); armed.clear() // completion re-arms the key
+        val b = bCntFinal +
+          act.count(e => !e.isA && e.tsUs > t0Us && e.tsUs <= deadlineUs)
+        buf.clear(); armed.clear(); compact.clear() // completion re-arms the key
         if (b > deadmanMax) Iterator.empty
         else {
           // the slots doc the batch engine would hold at this point:
@@ -162,7 +239,7 @@ class SequenceTwsProcessor(name: String, thresholdT: Int, deadmanMax: Long,
           val doc: AlertDoc.Doc = Map(
             "alert_name" -> name,
             "slots" -> Seq(
-              Map("metadata" -> Map("value" -> key, "count" -> as.size),
+              Map("metadata" -> Map("value" -> key, "count" -> aTotal),
                 "triggered" -> true),
               Map("metadata" -> Map("value" -> key, "count" -> b))))
           Iterator.single(StreamSeqAlert(name, key, t0Us, b,
@@ -170,6 +247,146 @@ class SequenceTwsProcessor(name: String, thresholdT: Int, deadmanMax: Long,
             graft.functions.Template.render(summaryTpl, doc)))
         }
       }
+    }
+  }
+}
+
+/** The N-slot sequence state machine on `transformWithState` — the
+  * streaming twin of [[graft.engine.SequenceEngine]]'s full N-slot
+  * driver loop (alerta.py:274-317 fills slots strictly in order).
+  *
+  * Shape: slot 0 and any middle slots are THRESHOLD slots; the final
+  * slot may be a threshold or a deadman. Slot k (k ≥ 1) trips at its
+  * T_k-th family event inside the sequence window
+  * `(t_{k-1}, t_0 + lifespan]` in (event-time, id) order; a final
+  * deadman counts its family inside `(t_{n-2}, t_0 + lifespan]` and
+  * completes — watermark-gated — when the deadline passes with
+  * ≤ `threshold` members. A sequence whose window closes mid-chain
+  * expires silently (the batch engine's expire_sequence_alerts,
+  * alerta.py:240-248).
+  *
+  * Only watermark-FINALIZED events advance the chain (no future
+  * arrival can be ordered before them — Spark's late-row filter), so
+  * trips are replay-stable and the buffer holds at most one
+  * watermark-delay of events per key. Active (unfinalized) events are
+  * still SIMULATED through the chain to arm the deadline timer early,
+  * so a key that goes silent after tripping still completes when the
+  * global watermark passes its deadline.
+  *
+  * Reported slot counts: threshold slots report their threshold (the
+  * count that tripped them); a final deadman reports its window count.
+  */
+class NSeqTwsProcessor(name: String, slotKinds: Seq[(String, Long)],
+    lifespanMs: Long, lastCriteriaTpl: String, summaryTpl: String)
+    extends StatefulProcessor[String, (String, Long, Long, Long), StreamNSeqAlert] {
+
+  require(slotKinds.nonEmpty && slotKinds.head._1 == "threshold",
+    "slot 0 must be a threshold")
+  require(slotKinds.init.forall(_._1 == "threshold"),
+    "only the final slot may be a deadman")
+
+  private val last = slotKinds.size - 1
+  private val lastIsDeadman = slotKinds(last)._1 == "deadman"
+  private val lifespanUs = lifespanMs * 1000L
+
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[NSeqEvent] = _
+  @transient private var chain: org.apache.spark.sql.streaming.ValueState[NSeqChain] = _
+  @transient private var armed: org.apache.spark.sql.streaming.ValueState[SeqTimerState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[NSeqEvent](
+      "nbuf", Encoders.product[NSeqEvent], TTLConfig.NONE)
+    chain = getHandle.getValueState[NSeqChain](
+      "nchain", Encoders.product[NSeqChain], TTLConfig.NONE)
+    armed = getHandle.getValueState[SeqTimerState](
+      "narmed", Encoders.product[SeqTimerState], TTLConfig.NONE)
+  }
+
+  private def rearm(at: Long): Unit = {
+    val prev = Option(armed.get()).map(_.timerMs)
+    if (!prev.contains(at)) {
+      prev.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(at)
+      armed.update(SeqTimerState(at))
+    }
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long, Long)],
+      timerValues: TimerValues): Iterator[StreamNSeqAlert] = {
+    rows.foreach(r => buf.appendValue(NSeqEvent(r._2, r._3, r._4)))
+    rearm(timerValues.getCurrentWatermarkInMs() + 1)
+    Iterator.empty
+  }
+
+  /** Feed events (already (ts, id)-sorted) through the chain from the
+    * given state; returns the advanced state.
+    */
+  private def advance(st: NSeqChain, evs: Seq[NSeqEvent]): NSeqChain = {
+    var k = st.slotIdx; var trips = st.trips
+    var cur = st.curCount; var dm = st.dmCount
+    for (e <- evs) {
+      val inSeqWindow = trips.isEmpty ||
+        e.tsUs <= trips.head + lifespanUs
+      if (k <= last && slotKinds(k)._1 == "threshold" && inSeqWindow) {
+        val afterPrev = trips.isEmpty || e.tsUs > trips.last
+        if (((e.mask >> k) & 1L) == 1L && afterPrev) {
+          cur += 1
+          if (cur >= slotKinds(k)._2) { trips = trips :+ e.tsUs; k += 1; cur = 0 }
+        }
+      } else if (k == last && lastIsDeadman && inSeqWindow &&
+          ((e.mask >> last) & 1L) == 1L && e.tsUs > trips.last) {
+        dm += 1
+      }
+    }
+    NSeqChain(k, trips, cur, dm)
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[StreamNSeqAlert] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val st0 = Option(chain.get()).getOrElse(NSeqChain(0, Nil, 0L, 0L))
+    val evs = buf.get().toVector
+    val (fin, act) = evs.partition(_.tsUs < wmUs)
+    val st = advance(st0, fin.sortBy(e => (e.tsUs, e.id)))
+
+    def clearAll(): Unit = { buf.clear(); chain.clear(); armed.clear() }
+    def emit(tLast: Long, dm: Long): Iterator[StreamNSeqAlert] = {
+      val slotDocs: Seq[AlertDoc.Doc] = slotKinds.zipWithIndex.map {
+        case (("deadman", _), i) if i == last =>
+          Map("metadata" -> Map("value" -> key, "count" -> dm))
+        case ((_, t), _) =>
+          Map("metadata" -> Map("value" -> key, "count" -> t),
+            "triggered" -> true)
+      }
+      val doc: AlertDoc.Doc = Map("alert_name" -> name, "slots" -> slotDocs)
+      Iterator.single(StreamNSeqAlert(name, key, st.trips.head, tLast, dm,
+        graft.functions.Template.render(lastCriteriaTpl, doc),
+        graft.functions.Template.render(summaryTpl, doc)))
+    }
+
+    if (!lastIsDeadman && st.slotIdx > last) {
+      // all-threshold sequence completed on a finalized trip
+      clearAll(); emit(st.trips.last, 0L)
+    } else if (st.trips.nonEmpty &&
+        wmUs >= st.trips.head + lifespanUs) {
+      if (lastIsDeadman && st.slotIdx == last) {
+        clearAll()
+        if (st.dmCount <= slotKinds(last)._2) emit(st.trips.last, st.dmCount)
+        else Iterator.empty
+      } else { clearAll(); Iterator.empty } // expired mid-chain
+    } else {
+      // persist compacted state; arm the deadline — using a trip
+      // PROVISIONALLY simulated through still-active events if the
+      // finalized chain hasn't produced one yet, so a silent key still
+      // wakes up when the watermark passes its deadline
+      chain.update(st)
+      buf.clear()
+      if (act.nonEmpty) buf.appendList(act.toArray)
+      val t0 = st.trips.headOption.orElse(
+        advance(st, act.sortBy(e => (e.tsUs, e.id))).trips.headOption)
+      t0.foreach(t => rearm((t + lifespanUs + 999L) / 1000L))
+      Iterator.empty
     }
   }
 }
@@ -195,6 +412,94 @@ object StreamingAlertsTws {
       new DeadmanProcessor(name, lifespanMs), TimeMode.EventTime(), OutputMode.Append)
   }
 
+  /** Split a criteria string on top-level ANDs (outside parens and
+    * single-quoted strings) — the corpus's criteria are conjunctions,
+    * and the template-bearing conjunct is always a whole conjunct.
+    */
+  private[graft] def topLevelConjuncts(criteria: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var i = 0
+    val s = criteria
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { cur += c; inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (depth == 0 && (c == 'A' || c == 'a') &&
+          i + 3 <= s.length &&
+          s.substring(i, i + 3).equalsIgnoreCase("AND") &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_') &&
+          (i + 3 == s.length || !s.charAt(i + 3).isLetterOrDigit && s.charAt(i + 3) != '_')) {
+        out += cur.result(); cur.clear(); i += 3
+      } else { cur += c; i += 1 }
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The template-free FAMILY part of a slot's criteria: drop every
+    * top-level conjunct carrying a `{{…}}` cross-slot reference (those
+    * resolve per key at render time — the key-pinning they express is
+    * enforced structurally by the groupByKey). Empty result → `true`
+    * (the slot watches every event of the key).
+    */
+  private[graft] def familyCriteria(criteria: String): String =
+    topLevelConjuncts(criteria).filterNot(_.contains("{{"))
+      .mkString(" AND ")
+
+  private[graft] def familyColumn(criteria: String): org.apache.spark.sql.Column = {
+    val fam = familyCriteria(criteria).trim
+    if (fam.isEmpty) lit(true)
+    else coalesce(graft.criteria.Criteria.toColumn(fam), lit(false))
+  }
+
+  /** The full N-SLOT sequence as a stream — [[NSeqTwsProcessor]]'s
+    * driver: derives each slot's family predicate from its criteria
+    * automatically (template-bearing conjuncts stripped), tags each
+    * event with a slot-membership bitmask, and runs one keyed chain
+    * state machine per aggregation value. Slot 0 and middle slots are
+    * thresholds; the final slot may be a threshold or a deadman.
+    */
+  def sequenceStreamTwsN(events: DataFrame, spec: Doc,
+      tsCol: String = "ts", idCol: String = "event_id",
+      watermarkDelay: String = "10 minutes"): Dataset[StreamNSeqAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val name = AlertDoc.str(spec, "alert_name", "unnamed")
+    val lifespanMs = graft.functions.Dates.interval(
+      AlertDoc.str(spec, "lifespan", "1 hour")).toMillis
+    val slots = AlertDoc.docs(spec, "slots")
+    require(slots.size >= 2, s"sequenceStreamTwsN wants ≥2 slots, got ${slots.size}")
+    val slotKinds = slots.map(s =>
+      (AlertDoc.str(s, "alert_type", "threshold"),
+        AlertDoc.str(s, "threshold", "1").toLong))
+    val keyCol = Paths.column(events.schema,
+      AlertDoc.str(slots.head, "aggregation_key")).cast(StringType)
+    val famCols = slots.map(s => familyColumn(AlertDoc.str(s, "criteria")))
+    val maskCol = famCols.zipWithIndex.map { case (c, i) =>
+      when(coalesce(c, lit(false)), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val keyed = StreamingAlerts.whereAfterWatermark(
+      events
+        .withColumn("__ts", col(tsCol).cast("timestamp"))
+        .withWatermark("__ts", watermarkDelay)
+        .withColumn("__k", keyCol)
+        .withColumn("__mask", maskCol),
+      col("__mask") =!= 0L && col("__k").isNotNull &&
+        col("__ts").isNotNull && col(idCol).isNotNull)
+      .select(col("__k"), col("__mask"),
+        unix_micros(col("__ts")).as("__us"),
+        col(idCol).cast("long").as("__id"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+    keyed.transformWithState(
+      new NSeqTwsProcessor(name, slotKinds, lifespanMs,
+        AlertDoc.str(slots.last, "criteria"), AlertDoc.str(spec, "summary")),
+      TimeMode.EventTime(), OutputMode.Append)
+  }
+
   /** The threshold→deadman SEQUENCE as a stream (the reference's
     * tests/test_alerts.py:345-435 scenario: "root login without a
     * corresponding password manager access"). `spec` is the same
@@ -208,10 +513,12 @@ object StreamingAlertsTws {
     * event family the deadman watches) — needed up front because the
     * streaming filter runs BEFORE per-key state exists; the rendered
     * criteria's key-pinning clause is enforced structurally by the
-    * groupByKey.
+    * groupByKey. Defaults to [[familyCriteria]]'s automatic
+    * derivation (template-bearing conjuncts stripped); pass a Column
+    * only to override it.
     */
   def sequenceStreamTws(events: DataFrame, spec: Doc,
-      slot1Family: org.apache.spark.sql.Column,
+      slot1Family: org.apache.spark.sql.Column = null,
       tsCol: String = "ts", idCol: String = "event_id",
       watermarkDelay: String = "10 minutes"): Dataset[StreamSeqAlert] = {
     val spark = events.sparkSession
@@ -227,13 +534,15 @@ object StreamingAlertsTws {
     val keyCol = Paths.column(events.schema,
       AlertDoc.str(slot0, "aggregation_key")).cast(StringType)
     val slot0Col = StreamingAlerts.criteriaColumn(slot0)
+    val fam1 = Option(slot1Family)
+      .getOrElse(familyColumn(AlertDoc.str(slot1, "criteria")))
     val keyed = StreamingAlerts.whereAfterWatermark(
       events
         .withColumn("__ts", col(tsCol).cast("timestamp"))
         .withWatermark("__ts", watermarkDelay)
         .withColumn("__k", keyCol)
         .withColumn("__isA", coalesce(slot0Col, lit(false))),
-      (col("__isA") || coalesce(slot1Family, lit(false))) &&
+      (col("__isA") || coalesce(fam1, lit(false))) &&
         col("__k").isNotNull && col("__ts").isNotNull &&
         col(idCol).isNotNull)
       .select(col("__k"), col("__isA"), unix_micros(col("__ts")).as("__us"),

@@ -132,6 +132,95 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("familyCriteria strips template-bearing conjuncts, keeps the rest") {
+    import graft.streaming.StreamingAlertsTws.{familyCriteria, topLevelConjuncts}
+    assert(familyCriteria(
+      "event_type='click' AND user_id='{{slots.0.metadata.value}}'")
+      === "event_type='click'")
+    // AND inside a quoted string is data, not a connective
+    assert(topLevelConjuncts("a='x AND y' AND b='{{z}}'")
+      === Seq("a='x AND y'", "b='{{z}}'"))
+    // parenthesized OR group survives as one conjunct
+    assert(familyCriteria(
+      "(event_type='a' OR event_type='b') AND k='{{v}}'")
+      === "(event_type='a' OR event_type='b')")
+    // fully-templated criteria → empty family (slot watches all events)
+    assert(familyCriteria("user_id='{{slots.0.metadata.value}}'") === "")
+  }
+
+  test("N-slot TWS sequence chains thresholds into a deadman; " +
+      "rendered last-slot criteria embeds the previous slot's value") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      case class EvId(ts: Timestamp, user_id: Long, event_type: String,
+        event_id: Long)
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      val spec = Map[String, Any]("alert_name" -> "chain3",
+        "lifespan" -> "1 hour",
+        "summary" -> ("{{slots.1.metadata.count}} clicks then " +
+          "{{slots.2.metadata.count}} errors for {{slots.2.metadata.value}}"),
+        "slots" -> Seq(
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='purchase'",
+            "aggregation_key" -> "user_id", "threshold" -> 3),
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='click' AND user_id='{{slots.0.metadata.value}}'",
+            "threshold" -> 2),
+          Map[String, Any]("alert_type" -> "deadman",
+            "criteria" -> "event_type='error' AND user_id='{{slots.1.metadata.value}}'",
+            "threshold" -> 1)))
+      val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        df, spec, watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("nseq")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        def ev(t: Timestamp, u: Long, ty: String): (Timestamp, Long, String, Long) = {
+          id += 1; (t, u, ty, id)
+        }
+        // batch 1: purchases only — the chain must carry progress
+        // across microbatches (incremental finalized processing)
+        mem.addData(
+          ev(ts(0), 1, "purchase"), ev(ts(1), 1, "purchase"),
+          ev(ts(2), 1, "purchase"), // t0(u1)=10:02
+          ev(ts(0), 2, "purchase"), ev(ts(1), 2, "purchase"),
+          ev(ts(2), 2, "purchase"),
+          ev(ts(0), 3, "purchase"), ev(ts(1), 3, "purchase")) // u3: only 2
+        q.processAllAvailable()
+        // batch 2: clicks + errors — u1 stays quiet (1 error), u2 noisy
+        mem.addData(
+          ev(ts(3), 1, "click"), ev(ts(4), 1, "click"), // t1(u1)=10:04
+          ev(ts(5), 1, "error"),
+          ev(ts(3), 2, "click"), ev(ts(4), 2, "click"),
+          ev(ts(5), 2, "error"), ev(ts(6), 2, "error"), ev(ts(7), 2, "error"))
+        q.processAllAvailable()
+        assert(spark.table("nseq").isEmpty) // windows still open
+        // batch 3: unrelated traffic at 11:30 advances the watermark
+        // past both deadlines (t0 + 1h = 11:02)
+        mem.addData(ev(tsH(11, 30), 9, "view"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 31), 9, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("nseq").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        val r = rows.head
+        // the rendered slot-2 criteria embeds slot-1's value (the key)
+        assert(r.getAs[String]("criteria")
+          === "event_type='error' AND user_id='1'")
+        assert(r.getAs[String]("summary") === "2 clicks then 1 errors for 1")
+        assert(r.getAs[Long]("dm_count") === 1L)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
