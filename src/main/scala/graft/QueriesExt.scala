@@ -1769,6 +1769,39 @@ private[graft] object QueriesExt {
              |WHERE b.b_cnt <= 1
              |ORDER BY value""".stripMargin)),
 
+    // Presto-dialect breadth, second batch — pins the round-5 shim
+    // additions (regexp_like, json_size, array_agg, map_agg) in the
+    // DRIVER's oracle gate, not only ScalaTest (the spec-only path
+    // shipped a broken json_size once). The json_size predicate is
+    // data-dependent — `[7,7,...]` built per row must measure
+    // user_id%4+1 elements or the row vanishes and the hash diverges;
+    // map_agg's first-win-by-(k,v) dedup makes element_at('click')
+    // the MIN event_id among clicks, restated with a FILTERed MIN.
+    Q("q351_presto_dialect2",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql("""SELECT user_id,
+                |  array_join(sort_array(array_agg(event_type)), ',') AS types,
+                |  element_at(map_agg(event_type, event_id), 'click') AS click_min_id,
+                |  CAST(MAX(json_size(props, '$')) AS BIGINT) AS props_keys
+                |FROM events
+                |WHERE regexp_like(event_type, '^(click|view|purchase)$')
+                |  AND json_size(
+                |        concat('[', repeat('7,', CAST(user_id % 4 AS INT)), '7]'),
+                |        '$') = CAST(user_id % 4 AS INT) + 1
+                |  AND user_id IS NOT NULL AND event_id IS NOT NULL
+                |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id,
+             |  string_agg(event_type, ',' ORDER BY event_type) AS types,
+             |  MIN(event_id) FILTER (WHERE event_type = 'click') AS click_min_id,
+             |  CAST(1 AS BIGINT) AS props_keys
+             |FROM events
+             |WHERE regexp_matches(event_type, '^(click|view|purchase)$')
+             |  AND user_id IS NOT NULL AND event_id IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // 3-SLOT streaming sequence through the N-slot chain processor
     // (the reference's sequences are N-slot, alerta.py:274-317): 3
     // purchases trip slot 0, then 2 clicks inside the 7-day sequence

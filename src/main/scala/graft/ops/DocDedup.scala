@@ -592,18 +592,37 @@ object DocDedup {
     * touches the embedding payload. Output is pair-for-pair identical
     * to the naive block join (same q24 oracle).
     */
+  /** Grid size for [[embeddingCosine]]'s salted candidate join, from
+    * the widest block: aim each grid cell at ≤ ~2048² candidate pairs
+    * (a few seconds of dot products per task), so a skewed block
+    * fans out across more cells while a corpus of small blocks keeps
+    * salt = 1 and pays zero replication. Capped at 64 — beyond that
+    * the salt× row replication costs more than the extra parallelism
+    * buys.
+    */
+  private[graft] def gridSalt(maxBlock: Long,
+      targetCellWidth: Long = 2048L): Int =
+    math.min(64L, math.max(1L,
+      (maxBlock + targetCellWidth - 1) / targetCellWidth)).toInt
+
   def embeddingCosine(embeddings: DataFrame, thresholdMicro: Long = 950000L,
       blockCol: String = "label", idCol: String = "vec_id",
-      vecCol: String = "embedding", salt: Int = 8): DataFrame = {
-    require(salt >= 1, s"salt must be positive, got $salt")
+      vecCol: String = "embedding", salt: Int = 0): DataFrame = {
     // norm once per vector; candidates then pay one dot product each
     val e = Par.spread(embeddings.select(
       col(idCol).as("vid"), col(blockCol).as("block"), col(vecCol).as("vec"),
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("norm")))
       .localCheckpoint()
-    val grid = array((0 until salt).map(lit): _*)
+    // salt ≤ 0 → auto-tune from the WIDEST block (one tiny agg job —
+    // a single max row), so per-task pair width stays bounded on a
+    // skewed key without over-replicating a corpus of small blocks
+    val saltN =
+      if (salt >= 1) salt
+      else gridSalt(e.groupBy(col("block")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0))
+    val grid = array((0 until saltN).map(lit): _*)
     val keyed = e.select(col("vid"), col("block"),
-      pmod(Similarity.mix31Col(col("vid")), lit(salt)).as("g"))
+      pmod(Similarity.mix31Col(col("vid")), lit(saltN)).as("g"))
     val left = keyed.withColumn("j", explode(grid))
     val right = keyed.withColumn("i", explode(grid))
     val cand = left.as("a").join(right.as("b"),

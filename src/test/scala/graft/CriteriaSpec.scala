@@ -68,6 +68,34 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(row.count() === 1)   // Presto direction: t2 - t1 = 5 hours
   }
 
+  test("Presto split_part / array_join / map_keys / map_values / " +
+      "date_trunc evaluate through criteria unchanged") {
+    // these four are native Spark functions whose names AND argument
+    // orders already match Presto, so a wild criteria using them needs
+    // no rewrite and no registry shim — pin that contract per function
+    graft.functions.Functions.register(spark)
+    val row = spark.sql(
+      """SELECT 'a-b-c' AS s, map('x', 1, 'y', 2) AS m,
+        |       array('p', 'q') AS arr,
+        |       TIMESTAMP '2024-03-15 13:45:12' AS ts""".stripMargin)
+    // split_part(string, delim, index) — 1-based, Presto order
+    assert(row.where(Criteria.toColumn("split_part(s, '-', 2) = 'b'"))
+      .count() === 1)
+    // array_join(array, delimiter) — Presto order (array first)
+    assert(row.where(Criteria.toColumn("array_join(arr, '|') = 'p|q'"))
+      .count() === 1)
+    // map_keys / map_values enumerate in insertion order
+    assert(row.where(Criteria.toColumn(
+      "contains(map_keys(m), 'y') AND map_values(m)[0] = 1")).count() === 1)
+    // date_trunc('unit', ts) — Presto's string-unit form, unit first
+    assert(row.where(Criteria.toColumn(
+      "date_trunc('hour', ts) = TIMESTAMP '2024-03-15 13:00:00'"))
+      .count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "date_trunc('month', ts) = TIMESTAMP '2024-03-01 00:00:00'"))
+      .count() === 1)
+  }
+
   test("date_add('unit', n, ts) rewrites to timestampadd and evaluates") {
     assert(Criteria.rewrite("date_add('hour', 2, ts)")
       === "timestampadd(hour, 2, ts)")

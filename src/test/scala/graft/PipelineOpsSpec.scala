@@ -89,6 +89,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(api === 1000000L)
   }
 
+  test("embeddingCosine auto-salt: a skewed block picks a larger grid, " +
+      "pairs unchanged") {
+    // the decision function: small blocks stay unreplicated, a skewed
+    // block scales the grid with its width, capped at 64
+    assert(DocDedup.gridSalt(0L) === 1)
+    assert(DocDedup.gridSalt(2048L) === 1)
+    assert(DocDedup.gridSalt(2049L) === 2)
+    assert(DocDedup.gridSalt(20480L) === 10)
+    assert(DocDedup.gridSalt(1000000L) === 64) // cap
+    // auto (salt=0) and any explicit grid agree pair-for-pair on a
+    // skewed corpus (one label holds every vector)
+    val e = (0L until 40L).map(i =>
+        (i, Array(1.0f + i, 2.0f, 3.0f), 0)) // near-colinear family
+      .toDF("vec_id", "embedding", "label")
+    val auto = DocDedup.embeddingCosine(e, thresholdMicro = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicit = DocDedup.embeddingCosine(e, thresholdMicro = 900000L,
+        salt = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === explicit && auto.nonEmpty)
+  }
+
   test("brute-force top-k: query's own vector ranks first") {
     val e = Tables(spark, sf(), "embeddings")
     val top = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 7), k = 2).collect()
