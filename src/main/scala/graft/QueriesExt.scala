@@ -1769,6 +1769,57 @@ private[graft] object QueriesExt {
              |WHERE b.b_cnt <= 1
              |ORDER BY value""".stripMargin)),
 
+    // Sliding-window chunker (window 64, stride 48 — overlapping
+    // context windows, the RAG/pretraining shape): map-side explode,
+    // exact token spans; the oracle regenerates every chunk.
+    Q("q355_chunk_sliding",
+      (s, dir) => graft.ops.Curation.chunkSliding(
+        Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE text IS NOT NULL AND len(string_split(text,' ')) >= 1),
+             |ch AS (SELECT doc_id, ci,
+             |    array_to_string(w[ci*48+1 : ci*48+64], ' ') AS chunk_text,
+             |    LEAST(64, len(w) - ci*48) AS n_toks
+             |  FROM t, UNNEST(range(0, (len(w)-1)//48 + 1)) AS u(ci))
+             |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             |  CAST(ci*48 AS BIGINT) AS start_tok,
+             |  CAST(n_toks AS BIGINT) AS n_toks, chunk_text
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Gopher-style WITHIN-doc repetition profile (top-n-gram mass and
+    // repeated-n-gram mass per doc, exact permille) — the curation
+    // gate that flags looping/template text before training. The
+    // oracle recomputes every n-gram position relationally.
+    Q("q354_intra_repetition",
+      (s, dir) => graft.ops.Curation.intraDocRepetition(
+        Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents WHERE text IS NOT NULL),
+             |g AS (
+             |  SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+             |  FROM t, UNNEST(range(1, len(w))) AS u(i)
+             |  WHERE len(w) >= 2
+             |  UNION ALL
+             |  SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |  FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+             |  WHERE len(w) >= 3),
+             |c AS (SELECT doc_id, n, gram, COUNT(*) AS c
+             |  FROM g GROUP BY 1, 2, 3),
+             |m AS (SELECT doc_id, n, SUM(c) AS pos, MAX(c) AS top,
+             |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+             |  FROM c GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(MAX(CASE WHEN n=2 THEN top END) AS BIGINT) AS top2,
+             |  CAST(MAX(CASE WHEN n=2 THEN (top*1000)//pos END) AS BIGINT)
+             |    AS top2_permille,
+             |  CAST(MAX(CASE WHEN n=2 THEN (dup*1000)//pos END) AS BIGINT)
+             |    AS dup2_permille,
+             |  CAST(MAX(CASE WHEN n=3 THEN (top*1000)//pos END) AS BIGINT)
+             |    AS top3_permille,
+             |  CAST(MAX(CASE WHEN n=3 THEN (dup*1000)//pos END) AS BIGINT)
+             |    AS dup3_permille
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Presto-dialect breadth, second batch — pins the round-5 shim
     // additions (regexp_like, json_size, array_agg, map_agg) in the
     // DRIVER's oracle gate, not only ScalaTest (the spec-only path

@@ -1049,6 +1049,41 @@ private[graft] object QueriesPipeline {
               |WHERE cos_e6 >= 350000
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // hard-negative mining (contrastive training): per anchor, the
+    // most-similar vector of a DIFFERENT label, candidates through the
+    // q55 SRP band equi-join, exact-cosine ranked. The oracle restates
+    // the full algorithm — banding, cross-label filter, rank — so the
+    // bucketed contract is hash-verified, not an empirical-recall
+    // claim (q26's precedent).
+    Q("q353_hard_negatives",
+      (s, dir) => graft.ops.Similarity.hardNegatives(
+        Tables(s, dir, "embeddings"), k = 2),
+      Some(s"""WITH ${duckSrpBits(24)},
+              |bands AS (SELECT vec_id, p // 6 AS band,
+              |            SUM(bit << CAST(p % 6 AS INTEGER)) AS bh
+              |          FROM srpbits GROUP BY 1, 2),
+              |lab AS (SELECT vec_id, label FROM embeddings),
+              |cand AS (SELECT DISTINCT a.vec_id AS anchor_id,
+              |            b.vec_id AS neg_id
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.bh = b.bh
+              |         JOIN lab la ON la.vec_id = a.vec_id
+              |         JOIN lab lb ON lb.vec_id = b.vec_id
+              |         WHERE la.label <> lb.label),
+              |scored AS (
+              |  SELECT c.anchor_id, c.neg_id, lb.label AS neg_label,
+              |    CAST(floor((${duckCos("ea.v", "eb.v")}) * 1000000) AS BIGINT) AS cos_e6
+              |  FROM cand c JOIN e ea ON ea.vec_id = c.anchor_id
+              |              JOIN e eb ON eb.vec_id = c.neg_id
+              |              JOIN lab lb ON lb.vec_id = c.neg_id),
+              |ranked AS (SELECT anchor_id, neg_id, neg_label, cos_e6,
+              |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |      ORDER BY cos_e6 DESC, neg_id) AS rank
+              |  FROM scored)
+              |SELECT anchor_id, rank, neg_id, neg_label, cos_e6
+              |FROM ranked WHERE rank <= 2
+              |ORDER BY anchor_id, rank""".stripMargin)),
+
     Q("q25_ann_bruteforce_topk",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

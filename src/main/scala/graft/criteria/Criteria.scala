@@ -40,15 +40,16 @@ object Criteria {
         "timestampadd($1,")
     // split into alternating [code, 'literal', code, ...] chunks;
     // '' inside a literal is the SQL escape for a quote
+    val subFixed = rewriteSubscripts(unitFixed)
     val literal = "'(?:[^']|'')*'".r
     val sb = new StringBuilder
     var last = 0
-    for (m <- literal.findAllMatchIn(unitFixed)) {
-      sb.append(rewriteCode(unitFixed.substring(last, m.start)))
+    for (m <- literal.findAllMatchIn(subFixed)) {
+      sb.append(rewriteCode(subFixed.substring(last, m.start)))
       sb.append(m.matched) // literal untouched
       last = m.end
     }
-    sb.append(rewriteCode(unitFixed.substring(last)))
+    sb.append(rewriteCode(subFixed.substring(last)))
     sb.toString
   }
 
@@ -56,6 +57,76 @@ object Criteria {
     code
       .replaceAll("(?i)\\bjson_extract_scalar\\b", "get_json_object")
       .replaceAll("(?i)\\bTRY_CAST\\b", "try_cast")
+
+  /** Presto `expr[i]` subscripts are 1-BASED on arrays; Spark's `[]`
+    * is 0-based — a wild criteria using `split(x, ',')[1]` would
+    * silently read the WRONG element. Rewrite every subscript to
+    * `element_at(expr, i)`, which carries Presto's semantics in Spark
+    * for both arrays (1-based, negative-from-end) and maps (key
+    * lookup). `ARRAY[...]` constructors become Spark's `array(...)`.
+    * (Divergence kept: Presto errors on an out-of-range array index,
+    * element_at returns NULL — lax, never wrong-element.)
+    *
+    * Innermost-first, literal-aware, fixpoint loop: each pass rewrites
+    * one bracket pair whose content holds no further brackets, so
+    * `a[b[1]]` and chained `m[1][2]` both resolve.
+    */
+  @annotation.tailrec
+  private[graft] def rewriteSubscripts(s: String): String = {
+    val spans = "'(?:[^']|'')*'".r.findAllMatchIn(s)
+      .map(m => (m.start, m.end)).toSeq
+    def inLiteral(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
+    // innermost pair = the last '[' before the first ']' (both outside
+    // literals); its content is bracket-free by construction
+    var open = -1; var close = -1; var i = 0
+    while (i < s.length && close < 0) {
+      if (!inLiteral(i)) {
+        if (s.charAt(i) == '[') open = i
+        else if (s.charAt(i) == ']' && open >= 0) close = i
+      }
+      i += 1
+    }
+    if (close < 0) s
+    else {
+      val inner = s.substring(open + 1, close)
+      var j = open - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+      val baseStart: Int =
+        if (j < 0) -1
+        else if (s.charAt(j) == ')') {
+          // balance parens backward (literal-aware), then take the
+          // function name in front
+          var depth = 0; var k = j; var stop = -1
+          while (k >= 0 && stop < 0) {
+            if (!inLiteral(k)) {
+              if (s.charAt(k) == ')') depth += 1
+              else if (s.charAt(k) == '(') { depth -= 1; if (depth == 0) stop = k }
+            }
+            k -= 1
+          }
+          if (stop < 0) -1
+          else {
+            var m = stop - 1
+            while (m >= 0 && identChar(s.charAt(m))) m -= 1
+            m + 1
+          }
+        } else if (identChar(s.charAt(j))) {
+          var k = j
+          while (k >= 0 && identChar(s.charAt(k))) k -= 1
+          k + 1
+        } else -1
+      if (baseStart < 0) s // stray bracket — not a subscript, leave as-is
+      else {
+        val base = s.substring(baseStart, j + 1)
+        val replaced =
+          if (base.equalsIgnoreCase("array")) s"array($inner)"
+          else s"element_at($base, $inner)"
+        rewriteSubscripts(
+          s.substring(0, baseStart) + replaced + s.substring(close + 1))
+      }
+    }
+  }
 
   /** Parse rewritten criteria into a Column predicate. Catalyst then
     * pushes whatever it can into the scan (envelope-column equality

@@ -710,6 +710,89 @@ object Curation {
     * reused, not repeated. At 100 TB grams travel hashed (xxhash64),
     * and the df table needs only `df >= 2` rows (a semi-join set).
     */
+  /** Sliding-window document chunker: split each document into
+    * word-token windows of `window` tokens advancing by `stride`
+    * (stride < window → overlapping context, the RAG/pretraining
+    * norm). Chunk starts are the arithmetic progression
+    * {0, stride, 2·stride, …} below the doc's token count; the tail
+    * chunk is emitted even when short (dropping it would silently
+    * lose document suffixes). Emits the chunk text plus its exact
+    * token span so downstream spans can be mapped back.
+    *
+    * Deterministic slicing — the oracle regenerates every chunk.
+    *
+    * Scale shape: pure map-side explode (one row per chunk, no
+    * shuffle, no join); chunk count per doc is ⌈W/stride⌉, so output
+    * size is linear in corpus tokens × (window/stride) overlap factor.
+    */
+  def chunkSliding(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = split(col(textCol), " ")
+    Par.spread(docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= 1))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / lit(stride)).cast("int"))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * stride).cast("long").as("start_tok"),
+        least(lit(window), size(col("t")) - col("ci") * stride)
+          .cast("long").as("n_toks"),
+        array_join(slice(col("t"), col("ci") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** WITHIN-document repetition profile (the Gopher curation rules,
+    * Rae et al. 2021 §A1.1): per document and n-gram size, the mass
+    * of the single most-frequent word n-gram and the mass of ALL
+    * repeated n-grams, in exact permille of the doc's n-gram
+    * positions. High top-fraction flags looping/template text; high
+    * dup-fraction flags boilerplate-stuffed docs — the two cheapest
+    * pre-training quality gates after length. Complements
+    * [[dupSpanStats]], which measures CROSS-document repetition.
+    *
+    * Integer-exact (`count·1000 div positions`), so the oracle
+    * reproduces every cell. Docs shorter than min(ns) words have no
+    * positions and are absent.
+    *
+    * Scale shape: n-gram positions explode map-side; the
+    * (doc, n, gram) count and the per-(doc, n) roll-up are both
+    * combinable aggregations, and nothing leaves the doc's key space —
+    * no joins, no skew coupling between documents.
+    */
+  def intraDocRepetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    val toks = split(col(textCol), " ")
+    val base = Par.spread(docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("t")))
+    val gramArrays = ns.map { n =>
+      when(size(col("t")) >= n,
+        transform(sequence(lit(0), size(col("t")) - n),
+          p => struct(lit(n).as("n"),
+            array_join(slice(col("t"), p + 1, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }
+    val grams = base.select(col("doc_id"),
+        explode(flatten(array(gramArrays: _*))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val m = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(
+        sum(col("c")).as("pos"), max(col("c")).as("top"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+    m.groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("top"))).as("top2"),
+        max(when(col("n") === 2, expr("top*1000 div pos"))).as("top2_permille"),
+        max(when(col("n") === 2, expr("dup*1000 div pos"))).as("dup2_permille"),
+        max(when(col("n") === 3, expr("top*1000 div pos"))).as("top3_permille"),
+        max(when(col("n") === 3, expr("dup*1000 div pos"))).as("dup3_permille"))
+      .orderBy("doc_id")
+  }
+
   def dupSpanStats(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = split(col(textCol), " ")

@@ -47,6 +47,68 @@ object Similarity {
     rankTopK(c.crossJoin(broadcast(q)), k)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most-cosine-similar vectors carrying a DIFFERENT
+    * label — the negatives a contrastive loss learns most from.
+    * Candidates come through the same SRP band equi-join as
+    * [[DocDedup.embeddingCosineBanded]] (a pair qualifies when ANY
+    * band agrees), so the join is bucket-bounded, never all-pairs;
+    * exact cosine then ranks candidates per anchor (desc, id
+    * tiebreak). Anchors whose buckets hold no cross-label vector are
+    * absent — at contrastive scale those anchors fall back to
+    * in-batch negatives anyway.
+    *
+    * Deterministic end to end (portable LCG planes + integer
+    * micro-cosine), so the oracle restates the WHOLE algorithm —
+    * banding included — relationally (q353), the q55 contract.
+    *
+    * Scale shape: signatures are one map-side kernel pass; the band
+    * self-join carries (vid, label, band, bh) only; vectors rejoin by
+    * id after pair dedup, so band replication never moves the
+    * embedding payload; the rank is one per-anchor window over
+    * candidates.
+    */
+  def hardNegatives(embeddings: DataFrame, k: Int = 1,
+      planesPerBand: Int = 6, bands: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val planes = planesPerBand * bands
+    require(planes <= 63, "bands*planesPerBand must fit a long's sign bits")
+    val e = Par.spread(embeddings.select(
+      col(idCol).as("vid"), col(labelCol).as("lbl"),
+      col(vecCol).cast("array<double>").as("vec"),
+      srpBucket(col(vecCol), planes).as("sig"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("norm")))
+      .localCheckpoint()
+    val mask = (1L << planesPerBand) - 1L
+    val bandStructs = (0 until bands).map(b => struct(
+      lit(b).as("band"),
+      shiftrightunsigned(col("sig"), b * planesPerBand)
+        .bitwiseAND(lit(mask)).as("bh")))
+    val banded = e.select(col("vid"), col("lbl"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vid"), col("lbl"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.lbl") =!= col("b.lbl"))
+      .select(col("a.vid").as("anchor_id"), col("b.vid").as("neg_id"))
+      .dropDuplicates("anchor_id", "neg_id")
+    val scored = cand
+      .join(e.select(col("vid").as("anchor_id"), col("vec").as("va"),
+        col("norm").as("na")), "anchor_id")
+      .join(e.select(col("vid").as("neg_id"), col("lbl").as("neg_label"),
+        col("vec").as("vb"), col("norm").as("nb")), "neg_id")
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"),
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("cos_e6"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_e6").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("anchor_id", "rank", "neg_id", "neg_label", "cos_e6")
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Shared ANN tail: micro-cosine score over precomputed norms, then
     * the rank-k cut per query — ONE definition of the score/tie-break
     * contract for every ANN surface (brute-force and LSH would drift

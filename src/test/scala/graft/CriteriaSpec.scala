@@ -84,9 +84,10 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     // array_join(array, delimiter) — Presto order (array first)
     assert(row.where(Criteria.toColumn("array_join(arr, '|') = 'p|q'"))
       .count() === 1)
-    // map_keys / map_values enumerate in insertion order
+    // map_keys / map_values enumerate in insertion order; the [1]
+    // subscript is PRESTO 1-based (rewritten to element_at)
     assert(row.where(Criteria.toColumn(
-      "contains(map_keys(m), 'y') AND map_values(m)[0] = 1")).count() === 1)
+      "contains(map_keys(m), 'y') AND map_values(m)[1] = 1")).count() === 1)
     // date_trunc('unit', ts) — Presto's string-unit form, unit first
     assert(row.where(Criteria.toColumn(
       "date_trunc('hour', ts) = TIMESTAMP '2024-03-15 13:00:00'"))
@@ -94,6 +95,28 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(row.where(Criteria.toColumn(
       "date_trunc('month', ts) = TIMESTAMP '2024-03-01 00:00:00'"))
       .count() === 1)
+  }
+
+  test("Presto subscripts are 1-based: [] rewrites to element_at; " +
+      "ARRAY[..] becomes array(..)") {
+    assert(Criteria.rewriteSubscripts("split(x, ',')[1] = 'a'")
+      === "element_at(split(x, ','), 1) = 'a'")
+    // nested + chained subscripts resolve innermost-first
+    assert(Criteria.rewriteSubscripts("m[keys[1]][2]")
+      === "element_at(element_at(m, element_at(keys, 1)), 2)")
+    // ARRAY constructor, any case
+    assert(Criteria.rewriteSubscripts("array['a','b'][2] = 'b'")
+      === "element_at(array('a','b'), 2) = 'b'")
+    // brackets inside string literals are data
+    assert(Criteria.rewriteSubscripts("x = 'a[1]'") === "x = 'a[1]'")
+    // END-TO-END: Presto's split(...)[1] is the FIRST token — the
+    // 0-based Spark subscript would silently return 'b' here
+    val row = spark.sql("SELECT 'a-b-c' AS s")
+      .where(Criteria.toColumn("split(s, '-')[1] = 'a'"))
+    assert(row.count() === 1)
+    val neg = spark.sql("SELECT 'a-b-c' AS s")
+      .where(Criteria.toColumn("split(s, '-')[-1] = 'c'")) // from-end
+    assert(neg.count() === 1)
   }
 
   test("date_add('unit', n, ts) rewrites to timestampadd and evaluates") {

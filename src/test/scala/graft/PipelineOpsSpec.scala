@@ -111,6 +111,61 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(auto === explicit && auto.nonEmpty)
   }
 
+  test("hardNegatives: nearest cross-label vector wins; same-label excluded") {
+    // labels 0/1 colinear across labels → every anchor's hard negative
+    // is its cross-label twin at cosine 1.0; the same-label twin
+    // (also cosine 1.0) must NOT appear
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(3.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(e, k = 1, planesPerBand = 2, bands = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getInt(3), x.getLong(4))).toMap
+    // anchors 0 and 1 (label 0): hardest negative is vec 2 (label 1, cos 1.0)
+    assert(r(0L) === ((2L, 1, 1000000L)))
+    assert(r(1L) === ((2L, 1, 1000000L)))
+    // anchor 2 (label 1): cross-label candidates are 0/1 — min id wins the tie
+    assert(r(2L)._1 === 0L && r(2L)._3 === 1000000L)
+    // rank column is dense per anchor and capped at k
+    val ranks = Similarity.hardNegatives(e, k = 3, planesPerBand = 2, bands = 2)
+      .collect().groupBy(_.getLong(0))
+    ranks.values.foreach(rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length)))
+  }
+
+  test("intraDocRepetition: looping text scores high, varied text low") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),        // "a b" dominates 2-grams
+      (2L, "w x y z q r s t"),        // all 2-grams unique
+      (3L, "a"))                      // shorter than n=2 → absent
+      .toDF("doc_id", "text")
+    val r = graft.ops.Curation.intraDocRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    // doc 1: 7 positions of 2-grams, "a b" occurs 4, "b a" 3 → all repeated
+    assert(r(1L).getAs[Long]("top2") === 4L)
+    assert(r(1L).getAs[Long]("top2_permille") === 4000L / 7)
+    assert(r(1L).getAs[Long]("dup2_permille") === 1000L)
+    // doc 2: no repeats at all
+    assert(r(2L).getAs[Long]("top2") === 1L)
+    assert(r(2L).getAs[Long]("dup2_permille") === 0L)
+    assert(r(2L).getAs[Long]("dup3_permille") === 0L)
+  }
+
+  test("chunkSliding: overlapping windows cover every token; short tail kept") {
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val r = graft.ops.Curation.chunkSliding(docs, window = 4, stride = 3)
+      .collect()
+    assert(r.map(_.getAs[Long]("start_tok")).toSeq === Seq(0L, 3L, 6L, 9L))
+    assert(r.map(_.getAs[Long]("n_toks")).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(r(1).getAs[String]("chunk_text") === "t3 t4 t5 t6")
+    assert(r(3).getAs[String]("chunk_text") === "t9") // suffix never lost
+    // stride == window → disjoint partition, tokens covered exactly once
+    val flat = graft.ops.Curation.chunkSliding(docs, window = 3, stride = 3)
+      .collect().map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(flat === "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+  }
+
   test("brute-force top-k: query's own vector ranks first") {
     val e = Tables(spark, sf(), "embeddings")
     val top = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 7), k = 2).collect()
