@@ -55,7 +55,9 @@ object Explain {
       "q306_rake_keywords", "q307_mahalanobis_outliers",
       "q309_ransac_line", "q313_beaconing", "q317_aqp_estimate",
       "q318_revenue_bridge", "q321_ipf_raking", "q326_stationary_distribution",
-      "q329_temporal_reach", "q333_blast_radius")
+      "q329_temporal_reach", "q333_blast_radius",
+      "q132_tpch_q18", "q353_hard_negatives", "q354_intra_repetition",
+      "q355_chunk_sliding", "q356_cosine_sweep")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1049,6 +1049,38 @@ private[graft] object QueriesPipeline {
               |WHERE cos_e6 >= 350000
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // embedding-dedup threshold sweep (q278's cosine twin): pairs /
+    // touched vectors / removable duplicates per micro-cosine grid
+    // point, one exact candidate+verify pass at the lowest threshold.
+    Q("q356_cosine_sweep",
+      (s, dir) => DocDedup.cosineThresholdSweep(
+        Tables(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |    embedding::DOUBLE[] AS v FROM embeddings),
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    CAST(floor((${duckCos("a.v", "b.v")}) * 1000000) AS BIGINT)
+              |      AS cos_e6
+              |  FROM e a JOIN e b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id),
+              |grid AS (SELECT CAST(unnest([300000, 400000, 500000,
+              |    700000, 900000]) AS BIGINT) AS t_micro),
+              |at AS (SELECT g.t_micro, p.a_id, p.b_id FROM p
+              |  CROSS JOIN grid g WHERE p.cos_e6 >= g.t_micro),
+              |bp AS (SELECT t_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |    CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_removable
+              |  FROM at GROUP BY 1),
+              |bv AS (SELECT t_micro, CAST(COUNT(DISTINCT id) AS BIGINT)
+              |    AS n_vecs
+              |  FROM (SELECT t_micro, a_id AS id FROM at
+              |        UNION ALL SELECT t_micro, b_id FROM at)
+              |  GROUP BY 1)
+              |SELECT g.t_micro, COALESCE(bp.n_pairs, 0) AS n_pairs,
+              |  COALESCE(bv.n_vecs, 0) AS n_vecs,
+              |  COALESCE(bp.n_removable, 0) AS n_removable
+              |FROM grid g LEFT JOIN bp ON bp.t_micro = g.t_micro
+              |LEFT JOIN bv ON bv.t_micro = g.t_micro
+              |ORDER BY g.t_micro""".stripMargin)),
+
     // hard-negative mining (contrastive training): per anchor, the
     // most-similar vector of a DIFFERENT label, candidates through the
     // q55 SRP band equi-join, exact-cosine ranked. The oracle restates

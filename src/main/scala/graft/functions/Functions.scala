@@ -210,6 +210,23 @@ object Functions {
               Seq(e, i)))
           MapFromEntries(dedup)
         }, "built-in")
+
+      // Presto approx aggregates. Same function surface, different
+      // sketch internals (Presto qdigest/HLL vs Spark HLL++ /
+      // percentile-approx) — estimates agree on small cardinalities
+      // but are NOT cross-engine contract-stable, so these are
+      // spec-pinned rather than oracle-gated: a criteria thresholding
+      // an estimate gets Spark's estimate. `arbitrary` maps to First
+      // ignoring nulls (Presto's "an arbitrary non-null value").
+      reg.createOrReplaceTempFunction("approx_distinct",
+        exprs => aggregate.HyperLogLogPlusPlus(exprs.head)
+          .toAggregateExpression(), "built-in")
+      reg.createOrReplaceTempFunction("approx_percentile",
+        exprs => new aggregate.ApproximatePercentile(exprs.head, exprs(1))
+          .toAggregateExpression(), "built-in")
+      reg.createOrReplaceTempFunction("arbitrary",
+        exprs => aggregate.First(exprs.head, ignoreNulls = true)
+          .toAggregateExpression(), "built-in")
     }
 
     // Presto json_size(json, path): children count of the element at

@@ -642,6 +642,39 @@ object DocDedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding-dedup threshold sensitivity sweep — [[dedupThresholdSweep]]'s
+    * cosine twin: how many pairs, touched vectors, and removable
+    * duplicates (larger id of each pair) a semantic dedup would act on
+    * at each micro-cosine threshold of `gridMicro`. ONE candidate +
+    * verify pass of [[embeddingCosine]] at the lowest grid point feeds
+    * every row; membership is the integer compare `cos_e6 ≥ t`, so the
+    * table is oracle-exact. The answer to "how aggressive should the
+    * SemDeDup pass be" without re-running the pair join per threshold.
+    */
+  def cosineThresholdSweep(embeddings: DataFrame,
+      gridMicro: Seq[Long] = Seq(300000L, 400000L, 500000L, 700000L, 900000L),
+      blockCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val p = embeddingCosine(embeddings, gridMicro.min, blockCol, idCol, vecCol)
+      .select("a_id", "b_id", "cos_e6")
+      .localCheckpoint() // sweep-report-sized; 3 readers below
+    val grid = gridMicro.toDF("t_micro")
+    val at = p.crossJoin(grid).where(col("cos_e6") >= col("t_micro"))
+    val byPairs = at.groupBy("t_micro").agg(count(lit(1)).as("n_pairs"),
+      countDistinct(col("b_id")).as("n_removable"))
+    val byVecs = at
+      .select(col("t_micro"), explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy("t_micro").agg(countDistinct(col("id")).as("n_vecs"))
+    grid.join(byPairs, Seq("t_micro"), "left")
+      .join(byVecs, Seq("t_micro"), "left")
+      .select(col("t_micro"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_removable"), lit(0L)).as("n_removable"))
+      .orderBy("t_micro")
+  }
+
   /** Bounded-block embedding near-dup pairs — the 100 TB path.
     * SRP band signatures generate candidates through an equi-join on
     * `(band, bandHash)` instead of an unbounded data-dependent block:

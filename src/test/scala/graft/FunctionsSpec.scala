@@ -162,6 +162,23 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(m("a") === 10L)
   }
 
+  test("Presto approx_distinct / approx_percentile / arbitrary " +
+      "aggregate through the registry") {
+    Functions.register(spark)
+    import spark.implicits._
+    (1 to 100).map(i => (i % 5, i.toDouble))
+      .toDF("g", "v").createOrReplaceTempView("t_approx")
+    val r = spark.sql(
+      """SELECT approx_distinct(g) AS nd,
+        |       approx_percentile(v, 0.5) AS p50,
+        |       arbitrary(g) AS anyg
+        |FROM t_approx""".stripMargin).head()
+    // HLL++ is exact at cardinality 5
+    assert(r.getLong(0) === 5L)
+    assert(r.getDouble(1) >= 40.0 && r.getDouble(1) <= 60.0)
+    assert((0 to 4).contains(r.getInt(2)))
+  }
+
   test("Presto array_agg / map_agg aggregate through the registry") {
     Functions.register(spark)
     import spark.implicits._

@@ -152,6 +152,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r(2L).getAs[Long]("dup3_permille") === 0L)
   }
 
+  test("cosineThresholdSweep: counts are monotone non-increasing in t") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(1.0f, 1.0f), 0), (3L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = DocDedup.cosineThresholdSweep(e,
+        gridMicro = Seq(100000L, 700000L, 990000L)).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100000L, 700000L, 990000L))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.sliding(2).forall(w => w(0) >= w(1))) // tighter t → fewer
+    // (0,1)≈.995 (0,2)=.707 (1,2)≈.77 (2,3)=.707 clear 0.1; the two
+    // near-orthogonal pairs (0,3)=0 and (1,3)≈.0995 do not
+    assert(pairs(0) === 4L)
+    assert(pairs(2) === 1L) // only the 0-1 near-twins clear 0.99
+  }
+
   test("chunkSliding: overlapping windows cover every token; short tail kept") {
     val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val r = graft.ops.Curation.chunkSliding(docs, window = 4, stride = 3)
