@@ -1769,6 +1769,41 @@ private[graft] object QueriesExt {
              |WHERE b.b_cnt <= 1
              |ORDER BY value""".stripMargin)),
 
+    // CCNet-style head/middle/tail perplexity buckets: per language,
+    // best-first by the q90 LM score, split at 1/3 and 2/3 of
+    // cumulative TOKEN mass. Integer-exact; the oracle restates the
+    // score pipeline plus the per-language running-mass window.
+    Q("q357_ccnet_buckets",
+      (s, dir) => graft.ops.Curation.ccnetBuckets(
+        Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents WHERE text IS NOT NULL),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |           i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+             |       FROM w WHERE len(ws) >= 2),
+             |o AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+             |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM o GROUP BY 1, 2),
+             |cp AS (SELECT w1, COUNT(*) AS cp FROM o GROUP BY 1),
+             |sc AS (SELECT o.doc_id, (cb.cb*1000000)//cp.cp AS ppm
+             |       FROM o JOIN cb USING (w1, w2) JOIN cp USING (w1)),
+             |lm AS (SELECT doc_id, CAST(SUM(ppm)//COUNT(*) AS BIGINT)
+             |         AS lm_ppm
+             |       FROM sc GROUP BY 1),
+             |j AS (SELECT lm.doc_id, d.lang, lm.lm_ppm,
+             |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+             |      FROM lm JOIN documents d ON d.doc_id = lm.doc_id),
+             |c AS (SELECT doc_id, lang, lm_ppm, toks,
+             |    SUM(toks) OVER (PARTITION BY lang
+             |      ORDER BY lm_ppm DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(toks) OVER (PARTITION BY lang) AS total
+             |  FROM j)
+             |SELECT doc_id, lang, lm_ppm, toks,
+             |  CASE WHEN cum*3 <= total THEN 'head'
+             |       WHEN cum*3 <= total*2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Sliding-window chunker (window 64, stride 48 — overlapping
     // context windows, the RAG/pretraining shape): map-side explode,
     // exact token spans; the oracle regenerates every chunk.

@@ -710,6 +710,41 @@ object Curation {
     * reused, not repeated. At 100 TB grams travel hashed (xxhash64),
     * and the df table needs only `df >= 2` rows (a semi-join set).
     */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    * each language, order documents best-first by corpus LM score
+    * ([[TextAnalysis.bigramLmScore]] — the integer stand-in for
+    * negative perplexity) and split them into head/middle/tail at the
+    * 1/3 and 2/3 marks of cumulative TOKEN mass (not doc count — the
+    * buckets are what a mixing plan samples tokens from). Contract:
+    * a doc is `head` when its inclusive cumulative mass ≤ total/3,
+    * `middle` up to 2/3, else `tail`; ties in score break by doc_id.
+    * Docs under 2 tokens carry no LM score and are absent (gate them
+    * with the length rules first).
+    *
+    * Scale shape: the LM score is q90's combinable-aggregate pipeline;
+    * the cumulative mass is one window per language partition — the
+    * partition count is |languages|, each sortable independently; no
+    * global sort, no driver state.
+    */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val scored = TextAnalysis.bigramLmScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        size(split(col(textCol), " ")).cast("long").as("toks")), "doc_id")
+    val order = Window.partitionBy("lang")
+      .orderBy(col("lm_ppm").desc, col("doc_id"))
+    val all = Window.partitionBy("lang")
+    scored
+      .withColumn("cum", sum(col("toks")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("toks")).over(all))
+      .select(col("doc_id"), col("lang"), col("lm_ppm"), col("toks"),
+        when(col("cum") * 3 <= col("total"), lit("head"))
+          .when(col("cum") * 3 <= col("total") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Sliding-window document chunker: split each document into
     * word-token windows of `window` tokens advancing by `stride`
     * (stride < window → overlapping context, the RAG/pretraining

@@ -152,6 +152,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r(2L).getAs[Long]("dup3_permille") === 0L)
   }
 
+  test("ccnetBuckets: per-language token-mass terciles, best-first") {
+    val docs = Tables(spark, sf(), "documents").limit(60)
+    val rows = graft.ops.Curation.ccnetBuckets(docs).collect()
+    assert(rows.nonEmpty)
+    // re-derive the bucket contract in plain Scala from the emitted
+    // (lang, lm_ppm, doc_id, toks) — pins the window semantics
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r =>
+        (-r.getAs[Long]("lm_ppm"), r.getAs[Long]("doc_id")))
+      val total = ordered.map(_.getAs[Long]("toks")).sum
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getAs[Long]("toks")
+        val want = if (cum * 3 <= total) "head"
+          else if (cum * 3 <= total * 2) "middle" else "tail"
+        assert(r.getAs[String]("bucket") === want)
+      }
+      // buckets appear in head→middle→tail order along the ranking
+      val seq = ordered.map(_.getAs[String]("bucket")).distinct
+      assert(seq.sameElements(seq.sortBy(
+        Seq("head", "middle", "tail").indexOf(_))))
+    }
+  }
+
   test("cosineThresholdSweep: counts are monotone non-increasing in t") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.1f), 0),

@@ -203,3 +203,36 @@ object CdcProps extends Properties("TextAnalysis.cdcChunks") {
       TextAnalysis.cdcChunks(t, 16, 64).mkString == t
     }
 }
+
+object SubscriptRewriteProps extends Properties("Criteria.rewriteSubscripts") {
+  import graft.criteria.Criteria.rewriteSubscripts
+
+  // SQL-ish text with no bracket characters anywhere
+  val bracketFree: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.identifier, Gen.const("'a b'"), Gen.const("("), Gen.const(")"),
+    Gen.const(" AND "), Gen.const("= 1"), Gen.const(", ")))
+    .map(_.mkString(" "))
+
+  property("identity on bracket-free text") = forAll(bracketFree) { s =>
+    rewriteSubscripts(s) == s
+  }
+
+  property("brackets inside string literals never rewrite") =
+    forAll(Gen.identifier, Gen.choose(0, 9)) { (id, i) =>
+      val s = s"x = '$id[$i]'"
+      rewriteSubscripts(s) == s
+    }
+
+  property("ident[i] becomes element_at(ident, i) for any identifier") =
+    forAll(Gen.identifier, Gen.choose(1, 99)) { (id0, i) =>
+      val id = s"c_$id0" // never the ARRAY keyword
+      rewriteSubscripts(s"$id[$i] = 0") == s"element_at($id, $i) = 0"
+    }
+
+  property("output never contains a subscript bracket after a rewritable base") =
+    forAll(Gen.identifier, Gen.choose(1, 9), Gen.choose(1, 9)) { (id, i, j) =>
+      val out = rewriteSubscripts(s"f($id)[$i][$j]")
+      !out.contains("[") && out ==
+        s"element_at(element_at(f($id), $i), $j)"
+    }
+}

@@ -221,6 +221,53 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("N-slot TWS: mid-chain expiry is silent; all-threshold chain " +
+      "completes on its last trip") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      def spec(slots: Seq[Map[String, Any]]) = Map[String, Any](
+        "alert_name" -> "nseq2", "lifespan" -> "30 minutes",
+        "summary" -> "done {{slots.0.metadata.value}}", "slots" -> slots)
+      val thr = (crit: String, t: Int) => Map[String, Any](
+        "alert_type" -> "threshold", "criteria" -> crit,
+        "aggregation_key" -> "user_id", "threshold" -> t)
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        spec(Seq(thr("event_type='purchase'", 2),
+          thr("event_type='click'", 1))),
+        watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("nseq2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        def ev(t: Timestamp, u: Long, ty: String) = { id += 1; (t, u, ty, id) }
+        // u1: 2 purchases then a click inside the window → completes
+        // u2: 2 purchases, click arrives AFTER t0+30min → expires silently
+        mem.addData(
+          ev(ts(0), 1, "purchase"), ev(ts(1), 1, "purchase"),
+          ev(ts(2), 1, "click"),
+          ev(ts(0), 2, "purchase"), ev(ts(1), 2, "purchase"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 0), 2, "click")) // past u2's deadline
+        q.processAllAvailable()
+        mem.addData(ev(tsH(12, 0), 9, "view"), ev(tsH(12, 1), 9, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("nseq2").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        assert(rows.head.getAs[Long]("dm_count") === 0L) // threshold-final
+        assert(rows.head.getAs[String]("summary") === "done 1")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
