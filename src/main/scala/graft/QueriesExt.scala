@@ -1769,6 +1769,93 @@ private[graft] object QueriesExt {
              |WHERE b.b_cnt <= 1
              |ORDER BY value""".stripMargin)),
 
+    // MIDDLE-position deadman in the streaming N-slot chain (the
+    // batch engine allows deadman slots anywhere, alerta.py:310-316):
+    // 3 purchases → a 3-day quiet window with ≤2 errors (trips AT the
+    // window end; >2 aborts the sequence) → 2 clicks complete. The
+    // oracle restates the whole chain: rn=3 purchase, windowed error
+    // count filter, rn=2 click after the window end, finalization
+    // gate t2 < watermark.
+    Q("q358_stream_sequence_middm",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val provider = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(provider)
+        s.conf.set(provider,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val spec: graft.model.AlertDoc.Doc = Map(
+            "alert_name" -> "buy_quiet_click",
+            "alert_type" -> "sequence",
+            "lifespan" -> "14 days",
+            "summary" -> ("{{slots.1.metadata.count}} errors in the " +
+              "quiet window for {{slots.0.metadata.value}}"),
+            "slots" -> Seq(
+              Map("alert_type" -> "threshold",
+                "criteria" -> "event_type='purchase'",
+                "aggregation_key" -> "user_id",
+                "threshold" -> 3),
+              Map("alert_type" -> "deadman",
+                "criteria" -> ("event_type='error' AND " +
+                  "user_id='{{slots.0.metadata.value}}'"),
+                "threshold" -> 2, "lifespan" -> "3 days"),
+              Map("alert_type" -> "threshold",
+                "criteria" -> ("event_type='click' AND " +
+                  "user_id='{{slots.1.metadata.value}}'"),
+                "threshold" -> 2)))
+          val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+            QueriesAlert.tableStream(s, dir, "events"), spec)
+          QueriesAlert.drainToMemory(s, out.toDF(), "q358_sink",
+            OutputMode.Append())
+            .orderBy("value")
+        } finally saved match {
+          case Some(v) => s.conf.set(provider, v)
+          case None    => s.conf.unset(provider)
+        }
+      },
+      Some("""WITH ev AS (SELECT * FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |wm AS (SELECT (epoch_us(MAX(ts)) // 1000
+             |    - 600000) * 1000 AS wm_us FROM events
+             |  WHERE ts IS NOT NULL),
+             |p AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM ev WHERE event_type = 'purchase'),
+             |t0 AS (SELECT user_id, us AS t0_us FROM p WHERE rn = 3),
+             |dm AS (SELECT t0.user_id, t0.t0_us,
+             |    t0.t0_us + 259200000000 AS t1_us,
+             |    CAST(COUNT(e.event_id) AS BIGINT) AS err_cnt
+             |  FROM t0 LEFT JOIN ev e ON e.user_id = t0.user_id
+             |    AND e.event_type = 'error'
+             |    AND epoch_us(e.ts) > t0.t0_us
+             |    AND epoch_us(e.ts) <= t0.t0_us + 259200000000
+             |  GROUP BY 1, 2, 3),
+             |ok AS (SELECT * FROM dm WHERE err_cnt <= 2),
+             |c AS (SELECT ok.user_id, ok.t0_us, ok.err_cnt,
+             |    epoch_us(e.ts) AS us,
+             |    ROW_NUMBER() OVER (PARTITION BY ok.user_id
+             |      ORDER BY e.ts, e.event_id) AS rn
+             |  FROM ok JOIN ev e ON e.user_id = ok.user_id
+             |    AND e.event_type = 'click'
+             |    AND epoch_us(e.ts) > ok.t1_us
+             |    AND epoch_us(e.ts) <= ok.t0_us + 1209600000000),
+             |t2 AS (SELECT user_id, t0_us, err_cnt, us AS t2_us
+             |  FROM c WHERE rn = 2)
+             |SELECT 'buy_quiet_click' AS alert_name,
+             |  CAST(t2.user_id AS VARCHAR) AS value,
+             |  CAST(t2.t0_us AS BIGINT) AS t0_us,
+             |  CAST(t2.t2_us AS BIGINT) AS t_last_us,
+             |  CAST(0 AS BIGINT) AS dm_count,
+             |  'event_type=''click'' AND user_id='''
+             |    || CAST(t2.user_id AS VARCHAR) || '''' AS criteria,
+             |  CAST(t2.err_cnt AS VARCHAR)
+             |    || ' errors in the quiet window for '
+             |    || CAST(t2.user_id AS VARCHAR) AS summary
+             |FROM t2, wm WHERE t2.t2_us < wm.wm_us
+             |ORDER BY value""".stripMargin)),
+
     // CCNet-style head/middle/tail perplexity buckets: per language,
     // best-first by the q90 LM score, split at 1/3 and 2/3 of
     // cumulative TOKEN mass. Integer-exact; the oracle restates the

@@ -86,7 +86,13 @@ case class NSeqEvent(mask: Long, tsUs: Long, id: Long)
   * advance the chain, so this state is replay-stable.
   */
 case class NSeqChain(slotIdx: Int, trips: Seq[Long], curCount: Long,
-    dmCount: Long)
+    dmCount: Long, counts: Seq[Long])
+
+/** One slot of the N-slot streaming sequence: kind ("threshold" |
+  * "deadman"), trigger threshold, and — for deadman slots — the
+  * slot's own window in ms (0 = the rest of the sequence window).
+  */
+case class NSeqSlot(kind: String, threshold: Long, windowMs: Long)
 
 /** Completed N-slot streaming sequence alert: slot-0 trip time, the
   * last THRESHOLD slot's trip time, the final deadman window count
@@ -253,40 +259,49 @@ class SequenceTwsProcessor(name: String, thresholdT: Int, deadmanMax: Long,
 
 /** The N-slot sequence state machine on `transformWithState` — the
   * streaming twin of [[graft.engine.SequenceEngine]]'s full N-slot
-  * driver loop (alerta.py:274-317 fills slots strictly in order).
+  * driver loop (alerta.py:274-317 fills slots strictly in order;
+  * deadman slots are legal at ANY position > 0, alerta.py:310-316).
   *
-  * Shape: slot 0 and any middle slots are THRESHOLD slots; the final
-  * slot may be a threshold or a deadman. Slot k (k ≥ 1) trips at its
-  * T_k-th family event inside the sequence window
-  * `(t_{k-1}, t_0 + lifespan]` in (event-time, id) order; a final
-  * deadman counts its family inside `(t_{n-2}, t_0 + lifespan]` and
-  * completes — watermark-gated — when the deadline passes with
-  * ≤ `threshold` members. A sequence whose window closes mid-chain
-  * expires silently (the batch engine's expire_sequence_alerts,
-  * alerta.py:240-248).
+  * Semantics: slot 0 is a threshold keyed by the aggregation value.
+  * A threshold slot k trips at its T_k-th family event inside
+  * `(t_{k-1}, t_0 + lifespan]` in (event-time, id) order. A deadman
+  * slot k watches `(t_{k-1}, end_k]` with
+  * `end_k = min(t_{k-1} + window_k, t_0 + lifespan)` (window_k = the
+  * slot's own `lifespan`; 0 = the rest of the sequence window): when
+  * the clock passes end_k with ≤ `threshold` family events the slot
+  * trips AT end_k and the chain continues; with more, the sequence
+  * ABORTS silently (the quiet period was violated). A sequence whose
+  * window closes mid-chain expires silently
+  * (expire_sequence_alerts, alerta.py:240-248).
   *
   * Only watermark-FINALIZED events advance the chain (no future
   * arrival can be ordered before them — Spark's late-row filter), so
   * trips are replay-stable and the buffer holds at most one
-  * watermark-delay of events per key. Active (unfinalized) events are
-  * still SIMULATED through the chain to arm the deadline timer early,
-  * so a key that goes silent after tripping still completes when the
-  * global watermark passes its deadline.
+  * watermark-delay of events per key; deadman windows evaluate
+  * in-fold once a finalized event passes their end, or against the
+  * watermark (counting still-buffered actives exactly) at a timer.
+  * Active events are also SIMULATED through the chain to arm the
+  * next deadline timer early, so a key that goes silent after
+  * tripping still completes when the global watermark passes its
+  * boundary.
   *
   * Reported slot counts: threshold slots report their threshold (the
-  * count that tripped them); a final deadman reports its window count.
+  * count that tripped them); deadman slots report their exact window
+  * count.
   */
-class NSeqTwsProcessor(name: String, slotKinds: Seq[(String, Long)],
+class NSeqTwsProcessor(name: String, slotSpecs: Seq[NSeqSlot],
     lifespanMs: Long, lastCriteriaTpl: String, summaryTpl: String)
     extends StatefulProcessor[String, (String, Long, Long, Long), StreamNSeqAlert] {
 
-  require(slotKinds.nonEmpty && slotKinds.head._1 == "threshold",
+  require(slotSpecs.nonEmpty && slotSpecs.head.kind == "threshold",
     "slot 0 must be a threshold")
-  require(slotKinds.init.forall(_._1 == "threshold"),
-    "only the final slot may be a deadman")
+  require(slotSpecs.zipWithIndex.drop(1).dropRight(1).forall { case (sp, _) =>
+    sp.kind == "threshold" || sp.windowMs > 0L },
+    "a deadman at a middle position needs its own window (slot lifespan)")
 
-  private val last = slotKinds.size - 1
-  private val lastIsDeadman = slotKinds(last)._1 == "deadman"
+  private val last = slotSpecs.size - 1
+  private val lastIsDeadman = slotSpecs(last).kind == "deadman"
+  private val lastThrIdx = slotSpecs.lastIndexWhere(_.kind == "threshold")
   private val lifespanUs = lifespanMs * 1000L
 
   @transient private var buf: org.apache.spark.sql.streaming.ListState[NSeqEvent] = _
@@ -319,74 +334,127 @@ class NSeqTwsProcessor(name: String, slotKinds: Seq[(String, Long)],
     Iterator.empty
   }
 
-  /** Feed events (already (ts, id)-sorted) through the chain from the
-    * given state; returns the advanced state.
+  private def seqEndUs(trips: Seq[Long]): Long = trips.head + lifespanUs
+
+  /** Deadman slot k's window end: its own window capped by the
+    * sequence deadline.
     */
-  private def advance(st: NSeqChain, evs: Seq[NSeqEvent]): NSeqChain = {
+  private def dmEndUs(k: Int, trips: Seq[Long]): Long = {
+    val own = if (slotSpecs(k).windowMs > 0L)
+      trips.last + slotSpecs(k).windowMs * 1000L else Long.MaxValue
+    math.min(own, seqEndUs(trips))
+  }
+
+  /** Feed events (already (ts, id)-sorted) through the chain from the
+    * given state. Deadman windows whose end a later finalized event
+    * has passed evaluate in-fold (the window is fully finalized at
+    * that point). Returns None when a deadman window was violated —
+    * the sequence aborts.
+    */
+  private def advance(st: NSeqChain, evs: Seq[NSeqEvent]): Option[NSeqChain] = {
     var k = st.slotIdx; var trips = st.trips
     var cur = st.curCount; var dm = st.dmCount
-    for (e <- evs) {
-      val inSeqWindow = trips.isEmpty ||
-        e.tsUs <= trips.head + lifespanUs
-      if (k <= last && slotKinds(k)._1 == "threshold" && inSeqWindow) {
-        val afterPrev = trips.isEmpty || e.tsUs > trips.last
-        if (((e.mask >> k) & 1L) == 1L && afterPrev) {
-          cur += 1
-          if (cur >= slotKinds(k)._2) { trips = trips :+ e.tsUs; k += 1; cur = 0 }
-        }
-      } else if (k == last && lastIsDeadman && inSeqWindow &&
-          ((e.mask >> last) & 1L) == 1L && e.tsUs > trips.last) {
-        dm += 1
+    var counts = st.counts
+    var aborted = false
+    var idx = 0
+    while (!aborted && idx < evs.size) {
+      val e = evs(idx)
+      // time-driven deadman trips this event's arrival finalizes (the
+      // window is entirely below this finalized event, hence exact)
+      while (!aborted && k <= last && slotSpecs(k).kind == "deadman" &&
+          trips.nonEmpty && e.tsUs > dmEndUs(k, trips)) {
+        if (dm <= slotSpecs(k).threshold) {
+          trips = trips :+ dmEndUs(k, trips); counts = counts :+ dm
+          k += 1; dm = 0L
+        } else aborted = true // window violated — sequence aborts
       }
+      if (!aborted) {
+        if (k <= last && trips.nonEmpty && e.tsUs > seqEndUs(trips)) {
+          // beyond the sequence deadline: nothing more can consume it
+        } else if (k <= last && slotSpecs(k).kind == "threshold") {
+          val afterPrev = trips.isEmpty || e.tsUs > trips.last
+          if (((e.mask >> k) & 1L) == 1L && afterPrev) {
+            cur += 1
+            if (cur >= slotSpecs(k).threshold) {
+              trips = trips :+ e.tsUs; counts = counts :+ cur
+              k += 1; cur = 0L
+            }
+          }
+        } else if (k <= last && slotSpecs(k).kind == "deadman" &&
+            ((e.mask >> k) & 1L) == 1L && e.tsUs > trips.last &&
+            e.tsUs <= dmEndUs(k, trips)) {
+          dm += 1
+        }
+      }
+      idx += 1
     }
-    NSeqChain(k, trips, cur, dm)
+    if (aborted) None else Some(NSeqChain(k, trips, cur, dm, counts))
   }
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[StreamNSeqAlert] = {
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-    val st0 = Option(chain.get()).getOrElse(NSeqChain(0, Nil, 0L, 0L))
+    val st0 = Option(chain.get()).getOrElse(NSeqChain(0, Nil, 0L, 0L, Nil))
     val evs = buf.get().toVector
     val (fin, act) = evs.partition(_.tsUs < wmUs)
-    val st = advance(st0, fin.sortBy(e => (e.tsUs, e.id)))
 
     def clearAll(): Unit = { buf.clear(); chain.clear(); armed.clear() }
-    def emit(tLast: Long, dm: Long): Iterator[StreamNSeqAlert] = {
-      val slotDocs: Seq[AlertDoc.Doc] = slotKinds.zipWithIndex.map {
-        case (("deadman", _), i) if i == last =>
-          Map("metadata" -> Map("value" -> key, "count" -> dm))
-        case ((_, t), _) =>
-          Map("metadata" -> Map("value" -> key, "count" -> t),
+    def emit(st: NSeqChain): Iterator[StreamNSeqAlert] = {
+      val slotDocs: Seq[AlertDoc.Doc] = slotSpecs.zipWithIndex.map {
+        case (sp, i) =>
+          val c = if (sp.kind == "deadman") st.counts(i) else sp.threshold
+          Map("metadata" -> Map("value" -> key, "count" -> c),
             "triggered" -> true)
       }
       val doc: AlertDoc.Doc = Map("alert_name" -> name, "slots" -> slotDocs)
-      Iterator.single(StreamNSeqAlert(name, key, st.trips.head, tLast, dm,
+      val dmOut = if (lastIsDeadman) st.counts.last else 0L
+      Iterator.single(StreamNSeqAlert(name, key, st.trips.head,
+        st.trips(lastThrIdx), dmOut,
         graft.functions.Template.render(lastCriteriaTpl, doc),
         graft.functions.Template.render(summaryTpl, doc)))
     }
 
-    if (!lastIsDeadman && st.slotIdx > last) {
-      // all-threshold sequence completed on a finalized trip
-      clearAll(); emit(st.trips.last, 0L)
-    } else if (st.trips.nonEmpty &&
-        wmUs >= st.trips.head + lifespanUs) {
-      if (lastIsDeadman && st.slotIdx == last) {
-        clearAll()
-        if (st.dmCount <= slotKinds(last)._2) emit(st.trips.last, st.dmCount)
-        else Iterator.empty
-      } else { clearAll(); Iterator.empty } // expired mid-chain
-    } else {
-      // persist compacted state; arm the deadline — using a trip
-      // PROVISIONALLY simulated through still-active events if the
-      // finalized chain hasn't produced one yet, so a silent key still
-      // wakes up when the watermark passes its deadline
-      chain.update(st)
-      buf.clear()
-      if (act.nonEmpty) buf.appendList(act.toArray)
-      val t0 = st.trips.headOption.orElse(
-        advance(st, act.sortBy(e => (e.tsUs, e.id))).trips.headOption)
-      t0.foreach(t => rearm((t + lifespanUs + 999L) / 1000L))
-      Iterator.empty
+    advance(st0, fin.sortBy(e => (e.tsUs, e.id))) match {
+      case None => clearAll(); Iterator.empty // deadman violated
+      case Some(folded) =>
+        // watermark-driven deadman trips: the window end has passed
+        // the clock, so its membership is exact — count the still-
+        // active in-window events too (they can only be at ts == end
+        // == wm, and later slots start strictly after end)
+        var st = folded; var aborted = false
+        while (!aborted && st.slotIdx <= last &&
+            slotSpecs(st.slotIdx).kind == "deadman" && st.trips.nonEmpty &&
+            wmUs >= dmEndUs(st.slotIdx, st.trips)) {
+          val k = st.slotIdx
+          val end = dmEndUs(k, st.trips)
+          val dmTot = st.dmCount + act.count(a =>
+            ((a.mask >> k) & 1L) == 1L && a.tsUs > st.trips.last &&
+              a.tsUs <= end)
+          if (dmTot <= slotSpecs(k).threshold)
+            st = NSeqChain(k + 1, st.trips :+ end, 0L, 0L,
+              st.counts :+ dmTot)
+          else aborted = true
+        }
+        if (aborted) { clearAll(); Iterator.empty }
+        else if (st.slotIdx > last) { clearAll(); emit(st) }
+        else if (st.trips.nonEmpty && wmUs >= seqEndUs(st.trips)) {
+          clearAll(); Iterator.empty // expired mid-chain
+        } else {
+          // persist; arm the nearest pending boundary — from a trip
+          // PROVISIONALLY simulated through still-active events when
+          // the finalized chain hasn't produced one, so a silent key
+          // still wakes when the watermark passes its deadline
+          chain.update(st)
+          buf.clear()
+          if (act.nonEmpty) buf.appendList(act.toArray)
+          val horizon = Some(st).filter(_.trips.nonEmpty)
+            .orElse(advance(st, act.sortBy(e => (e.tsUs, e.id))).filter(_.trips.nonEmpty))
+            .map(s => if (s.slotIdx <= last &&
+                slotSpecs(s.slotIdx).kind == "deadman")
+              dmEndUs(s.slotIdx, s.trips) else seqEndUs(s.trips))
+          horizon.foreach(b => rearm((b + 999L) / 1000L))
+          Iterator.empty
+        }
     }
   }
 }
@@ -472,9 +540,12 @@ object StreamingAlertsTws {
       AlertDoc.str(spec, "lifespan", "1 hour")).toMillis
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.size >= 2, s"sequenceStreamTwsN wants ≥2 slots, got ${slots.size}")
-    val slotKinds = slots.map(s =>
-      (AlertDoc.str(s, "alert_type", "threshold"),
-        AlertDoc.str(s, "threshold", "1").toLong))
+    val slotSpecs = slots.map { s =>
+      val w = AlertDoc.str(s, "lifespan", "")
+      NSeqSlot(AlertDoc.str(s, "alert_type", "threshold"),
+        AlertDoc.str(s, "threshold", "1").toLong,
+        if (w.isEmpty) 0L else graft.functions.Dates.interval(w).toMillis)
+    }
     val keyCol = Paths.column(events.schema,
       AlertDoc.str(slots.head, "aggregation_key")).cast(StringType)
     val famCols = slots.map(s => familyColumn(AlertDoc.str(s, "criteria")))
@@ -495,7 +566,7 @@ object StreamingAlertsTws {
       .as[(String, Long, Long, Long)]
       .groupByKey(_._1)
     keyed.transformWithState(
-      new NSeqTwsProcessor(name, slotKinds, lifespanMs,
+      new NSeqTwsProcessor(name, slotSpecs, lifespanMs,
         AlertDoc.str(slots.last, "criteria"), AlertDoc.str(spec, "summary")),
       TimeMode.EventTime(), OutputMode.Append)
   }

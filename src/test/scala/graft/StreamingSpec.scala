@@ -268,6 +268,63 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("N-slot TWS: a MIDDLE deadman slot trips on quiet, aborts on noise") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      val spec = Map[String, Any]("alert_name" -> "quiet_then_click",
+        "lifespan" -> "1 hour",
+        "summary" -> ("{{slots.1.metadata.count}} errors then click for " +
+          "{{slots.0.metadata.value}}"),
+        "slots" -> Seq(
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='purchase'",
+            "aggregation_key" -> "user_id", "threshold" -> 2),
+          Map[String, Any]("alert_type" -> "deadman",
+            "criteria" -> "event_type='error'",
+            "threshold" -> 0, "lifespan" -> "10 minutes"),
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='click'", "threshold" -> 1)))
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        spec, watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("middm")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        def ev(t: Timestamp, u: Long, ty: String) = { id += 1; (t, u, ty, id) }
+        // u1: 2 purchases (t0=10:01), QUIET 10 min (deadman trips at
+        // 10:11), click 10:15 → completes
+        // u2: same purchases, but an error at 10:05 violates the
+        // quiet window → sequence aborts; its 10:15 click is ignored
+        mem.addData(
+          ev(ts(0), 1, "purchase"), ev(ts(1), 1, "purchase"),
+          ev(ts(15), 1, "click"),
+          ev(ts(0), 2, "purchase"), ev(ts(1), 2, "purchase"),
+          ev(ts(5), 2, "error"), ev(ts(15), 2, "click"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 30), 9, "view"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 31), 9, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("middm").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        val r = rows.head
+        assert(r.getAs[String]("summary") === "0 errors then click for 1")
+        // t_last is the click trip (the final THRESHOLD slot)
+        assert(r.getAs[Long]("t_last_us") === ts(15).getTime * 1000L)
+        assert(r.getAs[Long]("dm_count") === 0L)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
