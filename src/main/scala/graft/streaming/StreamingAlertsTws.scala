@@ -440,19 +440,30 @@ class NSeqTwsProcessor(name: String, slotSpecs: Seq[NSeqSlot],
         else if (st.trips.nonEmpty && wmUs >= seqEndUs(st.trips)) {
           clearAll(); Iterator.empty // expired mid-chain
         } else {
-          // persist; arm the nearest pending boundary — from a trip
-          // PROVISIONALLY simulated through still-active events when
-          // the finalized chain hasn't produced one, so a silent key
-          // still wakes when the watermark passes its deadline
+          // persist; arm the nearest pending boundary. Candidates:
+          // (a) the earliest still-active event's FINALIZATION tick —
+          // the chain only advances on finalized events, so a key
+          // whose inputs stop must still wake when the global
+          // watermark passes its buffered events; (b) the pending
+          // deadman window end / sequence deadline, from the real
+          // chain or one PROVISIONALLY simulated through active
+          // events, so a silent tripped key completes on time.
           chain.update(st)
           buf.clear()
           if (act.nonEmpty) buf.appendList(act.toArray)
-          val horizon = Some(st).filter(_.trips.nonEmpty)
+          val chainBoundary = Some(st).filter(_.trips.nonEmpty)
             .orElse(advance(st, act.sortBy(e => (e.tsUs, e.id))).filter(_.trips.nonEmpty))
-            .map(s => if (s.slotIdx <= last &&
-                slotSpecs(s.slotIdx).kind == "deadman")
-              dmEndUs(s.slotIdx, s.trips) else seqEndUs(s.trips))
-          horizon.foreach(b => rearm((b + 999L) / 1000L))
+            .map { s =>
+              val b = if (s.slotIdx <= last &&
+                  slotSpecs(s.slotIdx).kind == "deadman")
+                dmEndUs(s.slotIdx, s.trips) else seqEndUs(s.trips)
+              (b + 999L) / 1000L
+            }
+          val actBoundary =
+            if (act.isEmpty) None
+            else Some(act.map(_.tsUs).min / 1000L + 1L)
+          (chainBoundary.toSeq ++ actBoundary.toSeq)
+            .minOption.foreach(rearm)
           Iterator.empty
         }
     }

@@ -325,6 +325,56 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("N-slot TWS: consecutive middle deadmans cascade in one tick") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      val spec = Map[String, Any]("alert_name" -> "double_quiet",
+        "lifespan" -> "2 hours",
+        "summary" -> "{{slots.0.metadata.value}} stayed quiet twice",
+        "slots" -> Seq(
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='purchase'",
+            "aggregation_key" -> "user_id", "threshold" -> 1),
+          Map[String, Any]("alert_type" -> "deadman",
+            "criteria" -> "event_type='error'",
+            "threshold" -> 0, "lifespan" -> "10 minutes"),
+          Map[String, Any]("alert_type" -> "deadman",
+            "criteria" -> "event_type='signup'",
+            "threshold" -> 0, "lifespan" -> "10 minutes"),
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='click'", "threshold" -> 1)))
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        spec, watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("dq")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        def ev(t: Timestamp, u: Long, ty: String) = { id += 1; (t, u, ty, id) }
+        // purchase 10:00 → quiet errors to 10:10 → quiet signups to
+        // 10:20 → click 10:25: BOTH windows and the click resolve in
+        // the same late-watermark tick (the cascade)
+        mem.addData(ev(ts(0), 1, "purchase"), ev(ts(25), 1, "click"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 0), 9, "view"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 1), 9, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("dq").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        assert(rows.head.getAs[Long]("t_last_us") === ts(25).getTime * 1000L)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
