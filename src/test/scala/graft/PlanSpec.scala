@@ -187,6 +187,35 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Join"), "no join anywhere in the AQP pass")
   }
 
+  test("q355: the chunker is one map-only stage — no exchange, no join") {
+    val plan = planOf("q355_chunk_sliding")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle")
+    assert(!plan.contains("Join"), "chunking must not join")
+  }
+
+  test("q354: intra-doc repetition never joins; aggregates are partial") {
+    val plan = planOf("q354_intra_repetition")
+    assert(!plan.contains("Join"),
+      "everything stays inside the document's key space")
+    assert(plan.contains("partial_"),
+      "gram counts must map-side combine before the exchange")
+  }
+
+  test("q353: hard negatives never cross-join; vectors rejoin by id") {
+    val plan = planOf("q353_hard_negatives")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come through the band equi-join")
+  }
+
+  test("q132: Q18 one-pass — a single lineitem aggregate, dims broadcast") {
+    val plan = planOf("q132_tpch_q18")
+    assert(plan.split("Scan parquet").length - 1 === 3,
+      "exactly one scan per table — lineitem must not be read twice")
+    assert(!plan.contains("SortMergeJoin"),
+      "the HAVING-filtered key set must broadcast into orders")
+  }
+
   test("q322: RFM never sort-merge joins; the global max broadcasts") {
     // the per-user fold is checkpointed (its scan ran once at build
     // time), so the serving plan reads the materialization — at most
