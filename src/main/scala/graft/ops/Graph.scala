@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as join + aggregate rounds — the
@@ -172,6 +173,61 @@ object Graph {
     * static; each round materializes (localCheckpoint) to keep
     * lineage flat.
     */
+  /** DeepWalk-style walk-corpus generation (Perozzi et al. 2014) with
+    * DETERMINISTIC steps: from every node, `walksPerNode` walks of
+    * `length` hops, where step `s` of walk `w` at node `n` moves to
+    * the neighbor at index `mix31(n·1000003 + w·4096 + s) mod deg(n)`
+    * of `n`'s id-ordered neighbor list. Hash-derived randomness makes
+    * the corpus replayable on any engine — the oracle unrolls every
+    * step relationally — while keeping the walk distribution
+    * uniform-ish per step, which is all a skip-gram trainer needs.
+    * Output rows: (n0 = start node, w = walk index, step, node).
+    *
+    * Scale shape: the ranked adjacency (one window over the edge
+    * list, partitioned by node) replaces in-memory adjacency; each
+    * hop is ONE equi-join of the walker frontier against
+    * (node, rank) — `length` bounded rounds, localCheckpoint per
+    * round keeps lineage flat, no driver state. Frontier size is
+    * nodes × walksPerNode, constant across rounds.
+    */
+  def deterministicWalks(edges: DataFrame, walksPerNode: Int = 2,
+      length: Int = 3, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("node").orderBy("nbr")) - 1)
+      .localCheckpoint()
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val walkIds = (0 until walksPerNode).toDF("w")
+    var frontier = deg.select(col("node").as("n0"))
+      .crossJoin(broadcast(walkIds))
+      .withColumn("cur", col("n0"))
+      .localCheckpoint()
+    var acc = frontier.select(col("n0"), col("w"),
+      lit(0).as("step"), col("cur").as("node"))
+    for (s <- 1 to length) {
+      frontier = frontier
+        .join(deg.withColumnRenamed("node", "cur"), "cur")
+        .withColumn("rnk", pmod(Similarity.mix31Col(
+          col("cur") * 1000003L + col("w") * 4096L + lit(s.toLong)),
+          col("d")))
+        .join(adj.withColumnRenamed("node", "cur"), Seq("cur", "rnk"))
+        .select(col("n0"), col("w"), col("nbr").as("cur"))
+        .localCheckpoint()
+      acc = acc.union(frontier.select(col("n0"), col("w"),
+        lit(s).as("step"), col("cur").as("node")))
+    }
+    acc.orderBy("n0", "w", "step")
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
       srcCol: String = "src", dstCol: String = "dst",
       seedCol: String = "node"): DataFrame = {

@@ -7,6 +7,31 @@ import graft.ops.Graph
 class GraphSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
+  test("deterministicWalks: every hop follows a real edge, replayably") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val adj: Map[Long, Set[Long]] = Map(
+      1L -> Set(2L, 3L, 4L), 2L -> Set(1L, 3L), 3L -> Set(1L, 2L, 4L),
+      4L -> Set(1L, 3L))
+    def runOnce() = Graph.deterministicWalks(e, walksPerNode = 2, length = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val rows = runOnce()
+    // every (start, walk) has steps 0..3; step 0 is the start itself
+    val byWalk = rows.groupBy(r => (r._1, r._2))
+    assert(byWalk.size === 4 * 2)
+    byWalk.foreach { case ((n0, _), steps) =>
+      val seq = steps.sortBy(_._3).map(_._4)
+      assert(seq.length === 4 && seq.head === n0)
+      seq.sliding(2).foreach(p => assert(adj(p(0)).contains(p(1)),
+        s"hop ${p(0)}→${p(1)} is not an edge"))
+    }
+    // replayable: a second run yields the identical corpus
+    assert(runOnce().toSeq === rows.toSeq)
+    // the two walks from one start differ somewhere (hash varies by w)
+    assert(byWalk.groupBy(_._1._1).values.exists(m =>
+      m.values.map(_.sortBy(_._3).map(_._4).toSeq).toSet.size > 1))
+  }
+
   test("pageRank: a symmetric cycle stays uniform") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(e).collect().map(_.getAs[Long]("rank")).toSeq
