@@ -1088,6 +1088,52 @@ private[graft] object QueriesPipeline {
               |UNION ALL SELECT n0, w, 3, cur FROM s3
               |ORDER BY n0, w, step""".stripMargin)),
 
+    // skip-gram pairs over the q359 walk corpus — the word2vec-style
+    // (center, context) co-occurrence counts an embedding trainer
+    // consumes. One walk-keyed self-join with a bounded step-distance
+    // predicate; the oracle extends q359's unrolled walks.
+    Q("q360_skipgram_pairs",
+      (s, dir) => graft.ops.Graph.skipgramPairs(
+        graft.ops.Graph.deterministicWalks(
+          graft.ops.CoPurchase.undirected(s, dir))),
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              |            FROM lineitem),
+              |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
+              |          GREATEST(a.p, b.p) AS v
+              |        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+              |adj AS (SELECT node, nbr,
+              |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1
+              |      AS rnk
+              |  FROM (SELECT u AS node, v AS nbr FROM und
+              |        UNION ALL SELECT v, u FROM und)),
+              |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+              |  FROM adj GROUP BY 1),
+              |w0 AS (SELECT d.node AS n0, ws.w, d.node AS cur
+              |  FROM deg d CROSS JOIN (SELECT unnest([0, 1]) AS w) ws),
+              |s1 AS (SELECT f.n0, f.w, a.nbr AS cur FROM w0 f
+              |  JOIN deg dg ON dg.node = f.cur
+              |  JOIN adj a ON a.node = f.cur
+              |    AND a.rnk = (${duckMix31("f.cur*1000003 + f.w*4096 + 1")}) % dg.d),
+              |s2 AS (SELECT f.n0, f.w, a.nbr AS cur FROM s1 f
+              |  JOIN deg dg ON dg.node = f.cur
+              |  JOIN adj a ON a.node = f.cur
+              |    AND a.rnk = (${duckMix31("f.cur*1000003 + f.w*4096 + 2")}) % dg.d),
+              |s3 AS (SELECT f.n0, f.w, a.nbr AS cur FROM s2 f
+              |  JOIN deg dg ON dg.node = f.cur
+              |  JOIN adj a ON a.node = f.cur
+              |    AND a.rnk = (${duckMix31("f.cur*1000003 + f.w*4096 + 3")}) % dg.d),
+              |walks AS (
+              |  SELECT n0, w, 0 AS step, cur AS node FROM w0
+              |  UNION ALL SELECT n0, w, 1, cur FROM s1
+              |  UNION ALL SELECT n0, w, 2, cur FROM s2
+              |  UNION ALL SELECT n0, w, 3, cur FROM s3)
+              |SELECT a.node AS center, b.node AS context,
+              |  CAST(COUNT(*) AS BIGINT) AS cnt
+              |FROM walks a JOIN walks b
+              |  ON a.n0 = b.n0 AND a.w = b.w AND a.step <> b.step
+              |  AND abs(a.step - b.step) <= 2
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // embedding-dedup threshold sweep (q278's cosine twin): pairs /
     // touched vectors / removable duplicates per micro-cosine grid
     // point, one exact candidate+verify pass at the lowest threshold.

@@ -228,6 +228,29 @@ object Graph {
     acc.orderBy("n0", "w", "step")
   }
 
+  /** Skip-gram training pairs from a walk corpus
+    * ([[deterministicWalks]]'s output shape): for every walk, all
+    * (center, context) node pairs within `window` steps of each
+    * other (both directions, center ≠ step-equal), aggregated to
+    * co-occurrence counts — the direct input of a word2vec-style
+    * embedding trainer. One self-equi-join on the walk id with a
+    * bounded step-distance predicate; counts are map-side
+    * combinable on (center, context).
+    */
+  def skipgramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be ≥ 1, got $window")
+    val a = walks.select(col("n0"), col("w"),
+      col("step").as("sa"), col("node").as("center"))
+    val b = walks.select(col("n0"), col("w"),
+      col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("n0", "w"))
+      .where(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("center", "context")
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
       srcCol: String = "src", dstCol: String = "dst",
       seedCol: String = "node"): DataFrame = {

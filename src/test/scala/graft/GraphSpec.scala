@@ -32,6 +32,23 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       m.values.map(_.sortBy(_._3).map(_._4).toSeq).toSet.size > 1))
   }
 
+  test("skipgramPairs: symmetric within-window co-occurrence counts") {
+    // one hand-built walk 1→2→3→4 (plus a second walk of the same
+    // shape shifted) — window 2 pairs are enumerable by hand
+    val walks = Seq(
+      (1L, 0, 0, 1L), (1L, 0, 1, 2L), (1L, 0, 2, 3L), (1L, 0, 3, 4L))
+      .toDF("n0", "w", "step", "node")
+    val m = Graph.skipgramPairs(walks, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // each unordered pair within distance ≤2 appears once per direction
+    assert(m((1L, 2L)) === 1L && m((2L, 1L)) === 1L)
+    assert(m((1L, 3L)) === 1L && m((3L, 1L)) === 1L)
+    assert(!m.contains((1L, 4L))) // distance 3 > window
+    assert(m((2L, 4L)) === 1L)
+    // symmetry holds globally
+    m.foreach { case ((c, x), n) => assert(m((x, c)) === n) }
+  }
+
   test("pageRank: a symmetric cycle stays uniform") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(e).collect().map(_.getAs[Long]("rank")).toSeq
