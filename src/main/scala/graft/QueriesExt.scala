@@ -1969,10 +1969,51 @@ private[graft] object QueriesExt {
       Some("""SELECT user_id,
              |  string_agg(event_type, ',' ORDER BY event_type) AS types,
              |  MIN(event_id) FILTER (WHERE event_type = 'click') AS click_min_id,
-             |  CAST(1 AS BIGINT) AS props_keys
+             |  CAST(MAX(CASE
+             |    WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+             |    WHEN json_type(props) = 'OBJECT' THEN len(json_keys(props))
+             |    WHEN json_type(props) = 'ARRAY' THEN json_array_length(props)
+             |    ELSE 0 END) AS BIGINT) AS props_keys
              |FROM events
              |WHERE regexp_matches(event_type, '^(click|view|purchase)$')
              |  AND user_id IS NOT NULL AND event_id IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Presto-dialect breadth, third batch: generic TRY(expr) (runtime
+    // error → NULL — distinct from TRY_CAST) and the 3-arg
+    // date_add('unit', n, ts) through the full rewrite path (the text
+    // is Presto; Criteria.rewrite lowers date_add to timestampadd
+    // because Spark's parser claims the name). Both are
+    // data-dependent: the CASE cast succeeds only for even user_ids,
+    // the TINYINT cast overflows (ANSI throw → TRY → NULL) exactly
+    // for user_id > 127, and the shift amount is user_id % 24 hours.
+    // to_unixtime keeps the timestamp compare engine-portable (µs /
+    // 1e6 in IEEE double on both sides).
+    Q("q362_presto_dialect3",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  SUM(TRY(CAST(CASE WHEN user_id % 2 = 0
+            |      THEN CAST(user_id AS VARCHAR) ELSE event_type END
+            |    AS INTEGER))) AS even_sum,
+            |  MAX(TRY(CAST(user_id AS TINYINT))) AS small_id,
+            |  MAX(to_unixtime(
+            |    date_add('hour', CAST(user_id % 24 AS INTEGER), ts))) AS shifted
+            |FROM events
+            |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  CAST(SUM(TRY_CAST(CASE WHEN user_id % 2 = 0
+             |      THEN CAST(user_id AS VARCHAR) ELSE event_type END
+             |    AS INTEGER)) AS BIGINT) AS even_sum,
+             |  MAX(TRY_CAST(user_id AS TINYINT)) AS small_id,
+             |  MAX(CAST(epoch_us(ts + (user_id % 24) * INTERVAL 1 HOUR)
+             |    AS DOUBLE) / 1000000.0) AS shifted
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // 3-SLOT streaming sequence through the N-slot chain processor

@@ -40,7 +40,7 @@ object Criteria {
         "timestampadd($1,")
     // split into alternating [code, 'literal', code, ...] chunks;
     // '' inside a literal is the SQL escape for a quote
-    val subFixed = rewriteSubscripts(unitFixed)
+    val subFixed = rewriteSubscripts(rewriteQuotedIdents(unitFixed))
     val literal = "'(?:[^']|'')*'".r
     val sb = new StringBuilder
     var last = 0
@@ -57,6 +57,39 @@ object Criteria {
     code
       .replaceAll("(?i)\\bjson_extract_scalar\\b", "get_json_object")
       .replaceAll("(?i)\\bTRY_CAST\\b", "try_cast")
+      // Presto's bare unparameterized VARCHAR (CAST(x AS VARCHAR)) —
+      // Spark requires a length for VARCHAR but takes STRING;
+      // VARCHAR(n) is valid in both and stays untouched
+      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+
+  /** Presto double-quoted identifiers → Spark backtick-quoted
+    * (`"a b"` → `` `a b` ``). Presto string literals are always
+    * single-quoted, so outside single-quoted literals a double-quoted
+    * token is ALWAYS an identifier — while Spark (with ANSI
+    * double-quoted-identifiers off) would read it as a string literal
+    * and silently compare against the wrong thing. `""` inside is
+    * Presto's escape for one quote; a literal backtick inside the
+    * identifier becomes Spark's doubled-backtick escape.
+    */
+  private[graft] def rewriteQuotedIdents(s: String): String = {
+    val literal = "'(?:[^']|'')*'".r
+    val dquoted = "\"(?:[^\"]|\"\")*\"".r
+    def fix(code: String): String =
+      dquoted.replaceAllIn(code, m => {
+        val ident = m.matched.substring(1, m.matched.length - 1)
+          .replace("\"\"", "\"").replace("`", "``")
+        java.util.regex.Matcher.quoteReplacement(s"`$ident`")
+      })
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- literal.findAllMatchIn(s)) {
+      sb.append(fix(s.substring(last, m.start)))
+      sb.append(m.matched)
+      last = m.end
+    }
+    sb.append(fix(s.substring(last)))
+    sb.toString
+  }
 
   /** Presto `expr[i]` subscripts are 1-BASED on arrays; Spark's `[]`
     * is 0-based — a wild criteria using `split(x, ',')[1]` would
@@ -69,16 +102,26 @@ object Criteria {
     *
     * Innermost-first, literal-aware, fixpoint loop: each pass rewrites
     * one bracket pair whose content holds no further brackets, so
-    * `a[b[1]]` and chained `m[1][2]` both resolve.
+    * `a[b[1]]` and chained `m[1][2]` both resolve. A bracket pair
+    * whose base is unrecognizable (a stray bracket, a non-subscript
+    * construct) is SKIPPED — the scan resumes after it so every later
+    * rewritable subscript in the same criteria still converts, instead
+    * of being silently left as a 0-based Spark subscript. Backtick-
+    * quoted bases (from [[rewriteQuotedIdents]]) are valid subscript
+    * bases.
     */
+  private[graft] def rewriteSubscripts(s: String): String =
+    rewriteSubscriptsFrom(s, 0)
+
   @annotation.tailrec
-  private[graft] def rewriteSubscripts(s: String): String = {
+  private def rewriteSubscriptsFrom(s: String, from: Int): String = {
     val spans = "'(?:[^']|'')*'".r.findAllMatchIn(s)
       .map(m => (m.start, m.end)).toSeq
     def inLiteral(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
-    // innermost pair = the last '[' before the first ']' (both outside
-    // literals); its content is bracket-free by construction
-    var open = -1; var close = -1; var i = 0
+    // innermost pair at-or-after `from` = the last '[' before the
+    // first ']' (both outside literals); its content is bracket-free
+    // by construction
+    var open = -1; var close = -1; var i = math.max(from, 0)
     while (i < s.length && close < 0) {
       if (!inLiteral(i)) {
         if (s.charAt(i) == '[') open = i
@@ -111,19 +154,28 @@ object Criteria {
             while (m >= 0 && identChar(s.charAt(m))) m -= 1
             m + 1
           }
+        } else if (s.charAt(j) == '`') {
+          // backtick-quoted identifier base (rewriteQuotedIdents
+          // output): scan to the opening backtick
+          var k = j - 1
+          while (k >= 0 && s.charAt(k) != '`') k -= 1
+          if (k < 0) -1 else k
         } else if (identChar(s.charAt(j))) {
           var k = j
           while (k >= 0 && identChar(s.charAt(k))) k -= 1
           k + 1
         } else -1
-      if (baseStart < 0) s // stray bracket — not a subscript, leave as-is
+      if (baseStart < 0)
+        // stray bracket — not a subscript. Skip past this pair and
+        // keep rewriting the rest of the string.
+        rewriteSubscriptsFrom(s, close + 1)
       else {
         val base = s.substring(baseStart, j + 1)
         val replaced =
           if (base.equalsIgnoreCase("array")) s"array($inner)"
           else s"element_at($base, $inner)"
-        rewriteSubscripts(
-          s.substring(0, baseStart) + replaced + s.substring(close + 1))
+        rewriteSubscriptsFrom(
+          s.substring(0, baseStart) + replaced + s.substring(close + 1), 0)
       }
     }
   }

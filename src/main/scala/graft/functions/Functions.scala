@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, StringLocate}
+import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, StringLocate, TryEval}
 
 /** Session-level function surface (SURVEY.md §4 custom work).
   *
@@ -227,6 +227,16 @@ object Functions {
       reg.createOrReplaceTempFunction("arbitrary",
         exprs => aggregate.First(exprs.head, ignoreNulls = true)
           .toAggregateExpression(), "built-in")
+
+      // Presto TRY(expr) — NULL instead of a runtime error (division
+      // by zero, bad cast/parse, numeric overflow), around an
+      // ARBITRARY expression. Catalyst TryEval is the exact node
+      // Spark's own try_add/try_divide build on, so the semantics
+      // (runtime-error → NULL, analysis errors still loud) match
+      // Presto's TRY contract. Distinct from TRY_CAST, which the
+      // textual rewrite already lowercases to Spark's try_cast.
+      reg.createOrReplaceTempFunction("try",
+        exprs => TryEval(exprs.head), "built-in")
     }
 
     // Presto json_size(json, path): children count of the element at

@@ -438,7 +438,22 @@ class NSeqTwsProcessor(name: String, slotSpecs: Seq[NSeqSlot],
         if (aborted) { clearAll(); Iterator.empty }
         else if (st.slotIdx > last) { clearAll(); emit(st) }
         else if (st.trips.nonEmpty && wmUs >= seqEndUs(st.trips)) {
-          clearAll(); Iterator.empty // expired mid-chain
+          // The watermark reached the sequence deadline with the chain
+          // still open. The deadline is INCLUSIVE (window contract
+          // `<= t0 + lifespan`), and when wm lands EXACTLY on it an
+          // event AT the deadline is still active (ts >= wm) — fold
+          // those boundary actives through the chain (the deadman loop
+          // above counts them the same way) so a final-threshold trip
+          // at the inclusive deadline still emits instead of being
+          // silently expired. When wm is strictly past the deadline
+          // the filter is empty and this is the plain expiry path.
+          val boundary = act.filter(_.tsUs <= seqEndUs(st.trips))
+            .sortBy(e => (e.tsUs, e.id))
+          val res = advance(st, boundary) match {
+            case Some(s2) if s2.slotIdx > last => emit(s2)
+            case _ => Iterator.empty // expired mid-chain (or violated)
+          }
+          clearAll(); res
         } else {
           // persist; arm the nearest pending boundary. Candidates:
           // (a) the earliest still-active event's FINALIZATION tick —
@@ -523,6 +538,16 @@ object StreamingAlertsTws {
     * resolve per key at render time — the key-pinning they express is
     * enforced structurally by the groupByKey). Empty result → `true`
     * (the slot watches every event of the key).
+    *
+    * CONTRACT for the all-templated edge: a slot whose criteria is
+    * ENTIRELY template-bearing (no template-free conjunct at all)
+    * deliberately gets the match-all family — every event of the key
+    * advances it, and the templated criteria only surfaces RENDERED on
+    * the emitted alert. This is correct when the templates express
+    * key-pinning (the corpus shape); a template over a NON-key field
+    * cannot be evaluated pre-state and is out of this contract —
+    * authors must carry at least one template-free conjunct for such
+    * slots. Spec-pinned in StreamingSpec ("ENTIRELY template-bearing").
     */
   private[graft] def familyCriteria(criteria: String): String =
     topLevelConjuncts(criteria).filterNot(_.contains("{{"))

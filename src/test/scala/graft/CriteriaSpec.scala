@@ -119,6 +119,32 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(neg.count() === 1)
   }
 
+  test("a stray bracket pair no longer halts the rewrite: later " +
+      "subscripts still convert; double-quoted identifiers subscript") {
+    // the unrecognizable base ('+') is skipped, the later rewritable
+    // subscript STILL becomes element_at (the r6 fixpoint bailed out
+    // and left it 0-based)
+    assert(Criteria.rewriteSubscripts("+[9] AND split(x, ',')[1] = 'a'")
+      === "+[9] AND element_at(split(x, ','), 1) = 'a'")
+    // Presto double-quoted identifier as a subscript base
+    assert(Criteria.rewrite("\"my col\"[1] = 'a'")
+      === "element_at(`my col`, 1) = 'a'")
+    // double-quoted identifiers convert to backticks anywhere outside
+    // string literals; literals keep their double quotes
+    assert(Criteria.rewrite("\"a\"\"b\" = 'say \"hi\"'")
+      === "`a\"b` = 'say \"hi\"'")
+    // END-TO-END: a double-quoted (Presto) identifier resolves as a
+    // column, not a string literal
+    val row = spark.sql("SELECT 'v' AS `my col`")
+      .where(Criteria.toColumn("\"my col\" = 'v'"))
+    assert(row.count() === 1)
+    // Presto's bare VARCHAR cast → STRING; VARCHAR(n) survives
+    assert(Criteria.rewrite("CAST(x AS VARCHAR) = 'varchar ok'")
+      === "CAST(x AS STRING) = 'varchar ok'")
+    assert(Criteria.rewrite("CAST(x AS VARCHAR(10)) = 'y'")
+      === "CAST(x AS VARCHAR(10)) = 'y'")
+  }
+
   test("date_add('unit', n, ts) rewrites to timestampadd and evaluates") {
     assert(Criteria.rewrite("date_add('hour', 2, ts)")
       === "timestampadd(hour, 2, ts)")

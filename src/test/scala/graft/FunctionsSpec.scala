@@ -194,6 +194,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(rows(1).isNullAt(2))
   }
 
+  test("Presto TRY(expr): runtime errors become NULL; success passes " +
+      "through; reduce/transform carry Presto's lambda arg order") {
+    Functions.register(spark)
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val r = spark.sql(
+        """SELECT TRY(1 / 0) AS div0,
+          |       TRY(CAST('nope' AS INT)) AS badcast,
+          |       TRY(CAST('7' AS INT)) AS ok,
+          |       TRY(element_at(array(1, 2), 9) + 1) AS oob,
+          |       reduce(array(1, 2, 3), 0, (s, x) -> s + x, s -> s * 10) AS red,
+          |       element_at(transform(array(1, 2, 3), x -> x * x), 1) AS sq1
+          |""".stripMargin).head()
+      assert(r.isNullAt(0) && r.isNullAt(1))
+      assert(r.getInt(2) === 7)
+      assert(r.isNullAt(3)) // registered element_at is NULL-on-OOB; +1 keeps NULL
+      assert(r.getInt(4) === 60) // ((0+1+2+3) finished by *10) — Presto arg order
+      assert(r.getInt(5) === 1) // transform preserves order; element_at 1-based
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+  }
+
   test("Presto day_of_week is ISO: Monday=1, Sunday=7") {
     Functions.register(spark)
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday

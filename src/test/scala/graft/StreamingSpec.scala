@@ -148,6 +148,58 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(familyCriteria("user_id='{{slots.0.metadata.value}}'") === "")
   }
 
+  test("a slot whose criteria is ENTIRELY template-bearing watches " +
+      "every event of the key (documented match-all family)") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      val spec = Map[String, Any]("alert_name" -> "all_templated",
+        "lifespan" -> "1 hour",
+        "summary" -> "follow-ups for {{slots.0.metadata.value}}",
+        "slots" -> Seq(
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='purchase'",
+            "aggregation_key" -> "user_id", "threshold" -> 1),
+          // no template-free conjunct at all: the family strips to
+          // empty → lit(true), i.e. ANY 2 events of the key after t0
+          // advance the slot; the key-pinning the template expresses
+          // is enforced structurally by the groupByKey, and the
+          // criteria itself only surfaces RENDERED on the alert
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" ->
+              "json_extract_scalar(details,'$.user')='{{slots.0.metadata.value}}'",
+            "threshold" -> 2)))
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        spec, watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("alltpl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        def ev(t: Timestamp, u: Long, ty: String) = { id += 1; (t, u, ty, id) }
+        mem.addData(ev(ts(0), 1, "purchase"),
+          ev(ts(1), 1, "view"), ev(ts(2), 1, "error"), // any 2 events trip
+          ev(ts(0), 2, "view")) // key 2 never trips slot 0
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 10), 9, "view"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 11), 9, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("alltpl").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        assert(rows.head.getAs[String]("criteria")
+          === "json_extract_scalar(details,'$.user')='1'")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("N-slot TWS sequence chains thresholds into a deadman; " +
       "rendered last-slot criteria embeds the previous slot's value") {
     implicit val sc = spark.sqlContext
@@ -368,6 +420,64 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         val rows = spark.table("dq").collect()
         assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
         assert(rows.head.getAs[Long]("t_last_us") === ts(25).getTime * 1000L)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
+  test("N-slot TWS: a final-threshold event AT the inclusive sequence " +
+      "deadline still completes when the watermark lands exactly on it") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      val spec = Map[String, Any]("alert_name" -> "boundary",
+        "lifespan" -> "1 hour",
+        "summary" -> "{{slots.0.metadata.value}} completed at the deadline",
+        "slots" -> Seq(
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='purchase'",
+            "aggregation_key" -> "user_id", "threshold" -> 1),
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='click'", "threshold" -> 1)))
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        spec, watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("bdry")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        def ev(t: Timestamp, u: Long, ty: String) = { id += 1; (t, u, ty, id) }
+        // purchase 10:00 → click at EXACTLY 11:00 = t0 + lifespan (the
+        // inclusive deadline). Round-minute traffic at 11:01 puts the
+        // watermark (delay 1 min) EXACTLY on 11:00 — the click is still
+        // active (ts == wm) at the expiry tick and must be folded, not
+        // silently dropped with the sequence.
+        mem.addData(ev(ts(0), 1, "purchase"), ev(tsH(11, 0), 1, "click"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 1), 9, "view"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 1), 9, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("bdry").collect()
+        assert(rows.map(_.getAs[String]("value")).toSeq === Seq("1"))
+        assert(rows.head.getAs[Long]("t_last_us") === tsH(11, 0).getTime * 1000L)
+        // a click STRICTLY past the deadline must still expire silently
+        mem.addData(ev(ts(5), 2, "purchase"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(11, 6), 2, "click")) // 11:05 deadline + 1 min
+        q.processAllAvailable()
+        mem.addData(ev(tsH(12, 0), 9, "view"))
+        q.processAllAvailable()
+        mem.addData(ev(tsH(12, 1), 9, "view"))
+        q.processAllAvailable()
+        assert(spark.table("bdry").collect()
+          .map(_.getAs[String]("value")).toSeq === Seq("1"))
       } finally q.stop()
     } finally saved match {
       case Some(v) => spark.conf.set(provider, v)
