@@ -44,16 +44,26 @@ object Bench {
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // the driver keeps only the tail of stdout (r04 lost per-query
-    // history for q100+ to truncation) — persist the full JSON to a
-    // committed file too, and keep the one-line JSON as the FINAL
-    // stdout line for the driver's parser
+    // the driver keeps only the LAST ~2000 chars of stdout (observed
+    // in BENCH_r05/r06: the ~15 KB full line is decapitated and
+    // `parsed` comes back null) — persist the full JSON to the
+    // committed bench_out.json, print it for humans, then print a
+    // COMPACT summary (top-20 slowest queries, 3-decimal) as the
+    // FINAL stdout line so the driver's parser sees one complete JSON
+    // object inside its tail window
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     println(line)
+    val top = results.filter { case (k, _) => !failed(k) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"failed":$failedJson,""" +
+      s""""queries":$top,"queries_note":"top-20 slowest; full per-query in bench_out.json"}""")
     spark.stop()
   }
 }
