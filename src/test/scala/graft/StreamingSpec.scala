@@ -485,6 +485,66 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("N-slot TWS state stays bounded by the watermark horizon for " +
+      "keys that never complete (no per-batch growth)") {
+    implicit val sc = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Long)]
+      // threshold 1000 never trips: the key sits in slot 0 forever
+      // while events keep arriving — the r5 leak shape. Finalized
+      // events must fold into the O(1) chain row; only the
+      // watermark-delay window of actives may stay buffered.
+      val spec = Map[String, Any]("alert_name" -> "nevercomplete",
+        "lifespan" -> "30 days",
+        "summary" -> "{{slots.0.metadata.value}}",
+        "slots" -> Seq(
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='purchase'",
+            "aggregation_key" -> "user_id", "threshold" -> 1000),
+          Map[String, Any]("alert_type" -> "threshold",
+            "criteria" -> "event_type='click'", "threshold" -> 1)))
+      val out = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+        mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        spec, watermarkDelay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("bounded")
+        .outputMode(OutputMode.Append).start()
+      try {
+        var id = 0L
+        val rowsPerBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (b <- 1 to 12) {
+          // 10 purchases per batch, event time advancing 2 min/batch —
+          // the watermark (delay 1 min) finalizes each batch's events
+          // during the next one
+          mem.addData((1 to 10).map { i =>
+            id += 1
+            (new Timestamp(ts(0).getTime + (b * 120L + i) * 1000L),
+              1L, "purchase", id)
+          }: _*)
+          q.processAllAvailable()
+          rowsPerBatch += Option(q.lastProgress)
+            .flatMap(p => p.stateOperators.headOption)
+            .map(_.numRowsTotal).getOrElse(0L)
+        }
+        // 120 events fed to one never-completing key: state must NOT
+        // grow linearly with batches. Allow the chain row + timer +
+        // one watermark-window of buffered actives, nothing more.
+        val early = rowsPerBatch.slice(2, 5).max
+        val late = rowsPerBatch.takeRight(3).max
+        assert(late > 0, s"no state rows observed — probe broken: $rowsPerBatch")
+        assert(late <= early + 2,
+          s"state grew with batch count: $rowsPerBatch")
+        assert(late < 40, s"state not bounded: $rowsPerBatch")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("sequenceStream expires partially-filled sequences past their lifespan") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
