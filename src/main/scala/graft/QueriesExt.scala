@@ -1979,6 +1979,124 @@ private[graft] object QueriesExt {
              |  AND user_id IS NOT NULL AND event_id IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // BATCH ↔ STREAMING equivalence gate for the sequence semantics:
+    // the SAME 3-slot spec (5 purchases → 2 clicks → ≤2-error quiet
+    // window, keyed per user over a fixed 4-user subset) runs through
+    // BOTH independent implementations — the reference's batch driver
+    // loop (engine.SequenceEngine, scheduled tick-by-tick by
+    // SequenceReplay at event-time-exact cadence) and the streaming
+    // N-slot transformWithState chain — and the result is the FULL
+    // OUTER JOIN of their fired sets on (value, t0, t_last, dm_count)
+    // with per-side indicators. Any divergence between the two
+    // engines surfaces as a row with a false flag → row-count/hash
+    // mismatch vs the oracle, which restates the chain relationally
+    // and expects TRUE/TRUE everywhere. The subset covers all four
+    // outcomes: complete, quiet-window abort (>2 errors), no 2nd
+    // click (expiry), and never reaching slot 0.
+    Q("q361_seq_batch_stream_equiv",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val provider = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(provider)
+        s.conf.set(provider,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val spec: graft.model.AlertDoc.Doc = Map(
+            "alert_name" -> "replay_equiv",
+            "alert_type" -> "sequence",
+            "lifespan" -> "7 days",
+            "summary" -> ("{{slots.0.metadata.count}} purchases, " +
+              "{{slots.1.metadata.count}} clicks, " +
+              "{{slots.2.metadata.count}} errors"),
+            "slots" -> Seq(
+              Map("alert_type" -> "threshold",
+                "criteria" -> ("event_type='purchase' AND " +
+                  "user_id IN (3,7,11,14) AND ts < TIMESTAMP '2024-01-15'"),
+                "aggregation_key" -> "user_id",
+                "threshold" -> 5, "event_sample_count" -> 0),
+              Map("alert_type" -> "threshold",
+                "criteria" -> ("event_type='click' AND " +
+                  "user_id='{{slots.0.metadata.value}}' AND " +
+                  "ts > CAST('{{slots.0.utctimestamp}}' AS TIMESTAMP)"),
+                "aggregation_key" -> "user_id",
+                "threshold" -> 2, "event_sample_count" -> 0),
+              Map("alert_type" -> "deadman",
+                "criteria" -> ("event_type='error' AND " +
+                  "user_id='{{slots.1.metadata.value}}' AND " +
+                  "ts > CAST('{{slots.1.utctimestamp}}' AS TIMESTAMP)"),
+                "aggregation_key" -> "user_id",
+                "threshold" -> 2, "event_sample_count" -> 0)))
+          val stream = graft.streaming.StreamingAlertsTws.sequenceStreamTwsN(
+            QueriesAlert.tableStream(s, dir, "events"), spec)
+          val streamDf = QueriesAlert.drainToMemory(s, stream.toDF(),
+            "q361_sink", OutputMode.Append())
+            .select(col("value"), col("t0_us"), col("t_last_us"),
+              col("dm_count"))
+            .withColumn("in_stream", lit(true))
+          val ev = Tables(s, dir, "events")
+          val fired = graft.engine.SequenceReplay.run(s, ev, spec)
+          // same drain-horizon gate the streaming side lives under: a
+          // sequence whose window is still open at the final watermark
+          // (max ts − 10 min, ms-floored) must not count on either side
+          val wmUs = (ev.agg(max(col("ts"))).head().getTimestamp(0)
+            .getTime - 600000L) * 1000L
+          import s.implicits._
+          val batchDf = fired.filter(_.t0_us + 604800000000L <= wmUs)
+            .toDF()
+            .select(col("value"), col("t0_us"), col("t_last_us"),
+              col("dm_count"))
+            .withColumn("in_batch", lit(true))
+          batchDf.join(streamDf,
+            Seq("value", "t0_us", "t_last_us", "dm_count"), "full_outer")
+            .select(col("value"), col("t0_us"), col("t_last_us"),
+              col("dm_count"),
+              coalesce(col("in_batch"), lit(false)).as("in_batch"),
+              coalesce(col("in_stream"), lit(false)).as("in_stream"))
+            .orderBy("value", "t0_us")
+        } finally saved match {
+          case Some(v) => s.conf.set(provider, v)
+          case None    => s.conf.unset(provider)
+        }
+      },
+      Some("""WITH ev AS (SELECT * FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |wm AS (SELECT (epoch_us(MAX(ts)) // 1000
+             |    - 600000) * 1000 AS wm_us FROM events
+             |  WHERE ts IS NOT NULL),
+             |p AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM ev WHERE event_type = 'purchase'
+             |    AND user_id IN (3,7,11,14)
+             |    AND ts < TIMESTAMP '2024-01-15'),
+             |t0 AS (SELECT user_id, us AS t0_us FROM p WHERE rn = 5),
+             |c AS (SELECT t0.user_id, t0.t0_us, epoch_us(e.ts) AS us,
+             |    ROW_NUMBER() OVER (PARTITION BY t0.user_id
+             |      ORDER BY e.ts, e.event_id) AS rn
+             |  FROM t0 JOIN ev e ON e.user_id = t0.user_id
+             |    AND e.event_type = 'click'
+             |    AND epoch_us(e.ts) > t0.t0_us
+             |    AND epoch_us(e.ts) <= t0.t0_us + 604800000000),
+             |t1 AS (SELECT user_id, t0_us, us AS t1_us
+             |  FROM c WHERE rn = 2),
+             |dm AS (SELECT t1.user_id, t1.t0_us, t1.t1_us,
+             |    CAST(COUNT(e.event_id) AS BIGINT) AS err_cnt
+             |  FROM t1 LEFT JOIN ev e ON e.user_id = t1.user_id
+             |    AND e.event_type = 'error'
+             |    AND epoch_us(e.ts) > t1.t1_us
+             |    AND epoch_us(e.ts) <= t1.t0_us + 604800000000
+             |  GROUP BY 1, 2, 3)
+             |SELECT CAST(dm.user_id AS VARCHAR) AS value,
+             |  CAST(dm.t0_us AS BIGINT) AS t0_us,
+             |  CAST(dm.t1_us AS BIGINT) AS t_last_us,
+             |  dm.err_cnt AS dm_count,
+             |  TRUE AS in_batch, TRUE AS in_stream
+             |FROM dm, wm
+             |WHERE dm.err_cnt <= 2
+             |  AND dm.t0_us + 604800000000 <= wm.wm_us
+             |ORDER BY value, t0_us""".stripMargin)),
+
     // Presto-dialect breadth, third batch: generic TRY(expr) (runtime
     // error → NULL — distinct from TRY_CAST) and the 3-arg
     // date_add('unit', n, ts) through the full rewrite path (the text
