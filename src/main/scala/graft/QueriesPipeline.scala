@@ -552,6 +552,17 @@ private[graft] object QueriesPipeline {
     s"xor($x2, $x2 // 4096)"
   }
 
+  /** Exact integer floor-sqrt in DuckDB SQL: IEEE sqrt (bit-identical
+    * to Spark's) with the same off-by-one guard Graph.sgnsShards
+    * applies, so floor(sqrt(x)) is mathematically exact on both
+    * engines.
+    */
+  private[graft] def duckIsqrt(x: String): String = {
+    val s = s"CAST(FLOOR(SQRT(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    s"(CASE WHEN (($s)+1)*(($s)+1) <= ($x) THEN ($s)+1 " +
+      s"WHEN ($s)*($s) > ($x) THEN ($s)-1 ELSE ($s) END)"
+  }
+
   /** TPC-H Q12 shape (shipping-mode priority mix): join + two-way
     * conditional count per mode axis; `l_returnflag` stands in for
     * the reference schema's `l_shipmode` (not in the synthetic
@@ -1133,6 +1144,85 @@ private[graft] object QueriesPipeline {
               |  ON a.n0 = b.n0 AND a.w = b.w AND a.step <> b.step
               |  AND abs(a.step - b.step) <= 2
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SGNS shard prep over the walk corpus (the q359/q360 trainer
+    // story completed): every skip-gram pair draws 2 deterministic
+    // negatives from the unigram^(3/4) noise table (two integer
+    // square roots make floor(freq^0.75) exact; draws are mix31 mod
+    // ΣW resolved against a dense position table) and gets an
+    // LPT-style shard (rank by descending cnt, mod 4). Draws that
+    // collide with their own pair are dropped (≤2 negatives per pair,
+    // honest). The oracle replays walks → pairs → noise table →
+    // every draw relationally.
+    Q("q363_sgns_shards",
+      (s, dir) => graft.ops.Graph.sgnsShards(
+        graft.ops.Graph.deterministicWalks(
+          graft.ops.CoPurchase.undirected(s, dir))),
+      Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              |            FROM lineitem),
+              |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
+              |          GREATEST(a.p, b.p) AS v
+              |        FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+              |adj AS (SELECT node, nbr,
+              |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) - 1
+              |      AS rnk
+              |  FROM (SELECT u AS node, v AS nbr FROM und
+              |        UNION ALL SELECT v, u FROM und)),
+              |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+              |  FROM adj GROUP BY 1),
+              |w0 AS (SELECT d.node AS n0, ws.w, d.node AS cur
+              |  FROM deg d CROSS JOIN (SELECT unnest([0, 1]) AS w) ws),
+              |s1 AS (SELECT f.n0, f.w, a.nbr AS cur FROM w0 f
+              |  JOIN deg dg ON dg.node = f.cur
+              |  JOIN adj a ON a.node = f.cur
+              |    AND a.rnk = (${duckMix31("f.cur*1000003 + f.w*4096 + 1")}) % dg.d),
+              |s2 AS (SELECT f.n0, f.w, a.nbr AS cur FROM s1 f
+              |  JOIN deg dg ON dg.node = f.cur
+              |  JOIN adj a ON a.node = f.cur
+              |    AND a.rnk = (${duckMix31("f.cur*1000003 + f.w*4096 + 2")}) % dg.d),
+              |s3 AS (SELECT f.n0, f.w, a.nbr AS cur FROM s2 f
+              |  JOIN deg dg ON dg.node = f.cur
+              |  JOIN adj a ON a.node = f.cur
+              |    AND a.rnk = (${duckMix31("f.cur*1000003 + f.w*4096 + 3")}) % dg.d),
+              |walks AS (
+              |  SELECT n0, w, 0 AS step, cur AS node FROM w0
+              |  UNION ALL SELECT n0, w, 1, cur FROM s1
+              |  UNION ALL SELECT n0, w, 2, cur FROM s2
+              |  UNION ALL SELECT n0, w, 3, cur FROM s3),
+              |pairs AS (SELECT a.node AS center, b.node AS context,
+              |    CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM walks a JOIN walks b
+              |    ON a.n0 = b.n0 AND a.w = b.w AND a.step <> b.step
+              |    AND abs(a.step - b.step) <= 2
+              |  GROUP BY 1, 2),
+              |uni AS (SELECT context AS node, SUM(cnt) AS freq
+              |  FROM pairs GROUP BY 1),
+              |wtt AS (SELECT node,
+              |    ${duckIsqrt(duckIsqrt("freq*freq*freq"))} AS wt
+              |  FROM uni),
+              |wts AS (SELECT * FROM wtt WHERE wt > 0),
+              |cum AS (SELECT node, wt,
+              |    CAST(SUM(wt) OVER (ORDER BY node
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM wts),
+              |tbl AS (SELECT node AS neg, unnest(range(cum - wt, cum))
+              |    AS pos FROM cum),
+              |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS w FROM wts),
+              |draws AS (SELECT center, context, cnt, CAST(j AS BIGINT) AS j
+              |  FROM pairs, UNNEST(range(1, 3)) AS u(j)),
+              |res AS (SELECT d.center, d.context, d.cnt, d.j, t.neg
+              |  FROM draws d, tot
+              |  JOIN tbl t ON t.pos =
+              |    (${duckMix31("d.center*1000003 + d.context*8191 + d.j")}) % tot.w
+              |  WHERE t.neg <> d.center AND t.neg <> d.context),
+              |shardof AS (SELECT center, context,
+              |    (ROW_NUMBER() OVER (ORDER BY cnt DESC, center, context)
+              |      - 1) % 4 AS shard
+              |  FROM pairs)
+              |SELECT s.shard, r.center, r.context, r.cnt, r.j, r.neg
+              |FROM res r JOIN shardof s
+              |  ON s.center = r.center AND s.context = r.context
+              |ORDER BY r.center, r.context, r.j""".stripMargin)),
 
     // embedding-dedup threshold sweep (q278's cosine twin): pairs /
     // touched vectors / removable duplicates per micro-cosine grid

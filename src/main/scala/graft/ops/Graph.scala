@@ -237,7 +237,15 @@ object Graph {
     * bounded step-distance predicate; counts are map-side
     * combinable on (center, context).
     */
-  def skipgramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+  def skipgramPairs(walks: DataFrame, window: Int = 2): DataFrame =
+    skipgramPairsUnordered(walks, window).orderBy("center", "context")
+
+  /** [[skipgramPairs]] without the presentation sort — for downstream
+    * consumers ([[sgnsShards]]) that would otherwise materialize a
+    * pointless global range-sort into their checkpoint.
+    */
+  private def skipgramPairsUnordered(walks: DataFrame,
+      window: Int): DataFrame = {
     require(window >= 1, s"window must be ≥ 1, got $window")
     val a = walks.select(col("n0"), col("w"),
       col("step").as("sa"), col("node").as("center"))
@@ -248,7 +256,70 @@ object Graph {
         abs(col("sa") - col("sb")) <= window)
       .groupBy("center", "context")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("center", "context")
+  }
+
+  /** SGNS (skip-gram with negative sampling) trainer-input shards
+    * over a walk corpus — the last hop between the graph family and
+    * an embedding trainer: every [[skipgramPairs]] (center, context)
+    * pair gets `negK` DETERMINISTIC negative draws from the
+    * unigram^(3/4) noise distribution (word2vec's) and an LPT-style
+    * balanced shard id (the [[Curation.balancedShards]] round-robin
+    * rule: rank pairs by descending cost, shard = rank mod S).
+    *
+    * Exactness: the noise weight floor(freq^(3/4)) is computed as two
+    * INTEGER square roots (floor(sqrt(floor(sqrt(f³))))) with an
+    * off-by-one guard around the IEEE sqrt, so the whole sampling
+    * table is integer-exact and the oracle replays every draw. Draws
+    * are `mix31(center·1000003 + context·8191 + j) mod ΣW` resolved
+    * against a dense position table — an EQUI-join, never a range
+    * probe. A draw colliding with its own pair (neg == center or
+    * context) is dropped, so a pair honestly carries ≤ negK
+    * negatives (same contract as [[Curation.negativeSamples]]).
+    *
+    * Scale shape: the position table is vocabulary-scale × avg
+    * weight (≪ pair scale) and broadcasts into the draw join; the
+    * cumulative offsets come from [[Par.prefixSum]] (range shuffle +
+    * broadcast offsets — never a single-partition window); the shard
+    * ranking is [[Par.globalRowNumber]]. Pair-side work is one
+    * map-side-combinable aggregate plus two broadcast joins.
+    */
+  def sgnsShards(walks: DataFrame, window: Int = 2, negK: Int = 2,
+      shards: Int = 4): DataFrame = {
+    require(negK >= 1, s"negK must be ≥ 1, got $negK")
+    require(shards >= 1, s"shards must be ≥ 1, got $shards")
+    val pairs = skipgramPairsUnordered(walks, window).localCheckpoint()
+    def isqrt(x: Column): Column = {
+      val s = floor(sqrt(x.cast("double"))).cast("long")
+      val s1 = when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+      when(s1 * s1 > x, s1 - 1).otherwise(s1)
+    }
+    val uni = pairs.groupBy(col("context").as("node"))
+      .agg(sum("cnt").as("freq"))
+      .withColumn("wt",
+        isqrt(isqrt(col("freq") * col("freq") * col("freq"))))
+      .where(col("wt") > 0)
+    val cum = Par.prefixSum(uni, Seq.empty, Seq("node"), "wt", "cum")
+    val table = cum.select(col("node").as("neg"),
+        explode(sequence(col("cum") - col("wt"), col("cum") - 1)).as("pos"))
+      .localCheckpoint()
+    val totalW = table.count()
+    val draws = pairs
+      .select(col("center"), col("context"), col("cnt"),
+        explode(sequence(lit(1), lit(negK))).as("j"))
+      .withColumn("pos", pmod(Similarity.mix31Col(
+        col("center") * 1000003L + col("context") * 8191L + col("j")),
+        lit(totalW)))
+    val shardOf = Par.globalRowNumber(
+        pairs.withColumn("negcnt", -col("cnt")),
+        Seq("negcnt", "center", "context"))
+      .withColumn("shard", pmod(col("rownum") - 1, lit(shards.toLong)))
+      .select("center", "context", "shard")
+    draws.join(broadcast(table), "pos")
+      .where(col("neg") =!= col("center") && col("neg") =!= col("context"))
+      .join(shardOf, Seq("center", "context"))
+      .select(col("shard"), col("center"), col("context"), col("cnt"),
+        col("j").cast("long").as("j"), col("neg"))
+      .orderBy("center", "context", "j")
   }
 
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,

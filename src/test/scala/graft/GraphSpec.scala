@@ -49,6 +49,40 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     m.foreach { case ((c, x), n) => assert(m((x, c)) === n) }
   }
 
+  test("sgnsShards: deterministic unigram^(3/4) negatives, ≤ negK per " +
+      "pair, shards round-robin by descending count") {
+    val walks = Seq(
+      (1L, 0, 0, 1L), (1L, 0, 1, 2L), (1L, 0, 2, 3L), (1L, 0, 3, 4L),
+      (2L, 0, 0, 2L), (2L, 0, 1, 3L), (2L, 0, 2, 4L), (2L, 0, 3, 1L))
+      .toDF("n0", "w", "step", "node")
+    def runOnce() = Graph.sgnsShards(walks, window = 2, negK = 2,
+      shards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val rows = runOnce()
+    assert(rows.nonEmpty)
+    // deterministic: an identical rerun replays every draw
+    assert(runOnce().toSeq === rows.toSeq)
+    // ≤ negK draws per pair, j ∈ {1, 2}, and no draw collides with
+    // its own pair (collisions are dropped, not resampled)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((c, x), g) =>
+      assert(g.length <= 2)
+      g.foreach { r =>
+        assert(r._5 == 1L || r._5 == 2L)
+        assert(r._6 != c && r._6 != x)
+      }
+    }
+    // negatives come from the corpus vocabulary
+    val vocab = Set(1L, 2L, 3L, 4L)
+    rows.foreach(r => assert(vocab.contains(r._6)))
+    // shard ids cover [0, shards); assignment is count-desc round-robin
+    // so the two shards carry an equal number of PAIRS (±1)
+    val shardsOf = rows.map(r => ((r._2, r._3), r._1)).distinct
+    val perShard = shardsOf.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perShard.keySet.subsetOf(Set(0L, 1L)))
+    assert(math.abs(perShard.getOrElse(0L, 0) - perShard.getOrElse(1L, 0)) <= 1)
+  }
+
   test("pageRank: a symmetric cycle stays uniform") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(e).collect().map(_.getAs[Long]("rank")).toSeq
