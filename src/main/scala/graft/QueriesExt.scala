@@ -2134,6 +2134,60 @@ private[graft] object QueriesExt {
              |WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Presto-dialect breadth, fourth batch: lambda matchers
+    // (any_match/all_match/none_match), starts_with,
+    // levenshtein_distance, the dow/doy/week part shorthands, the
+    // from_unixtime TIMESTAMP shadow (Spark's builtin formats a
+    // string), bitwise function forms, and the
+    // to_hex(sha256(to_utf8(s))) binary idiom — all data-dependent
+    // per user and restated exactly in DuckDB.
+    Q("q364_presto_dialect4",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  SUM(CASE WHEN any_match(split(event_type, 'i'),
+            |      x -> length(x) > 2) THEN 1 ELSE 0 END) AS am,
+            |  SUM(CASE WHEN none_match(split(event_type, 'i'),
+            |      x -> x = 'cl') THEN 1 ELSE 0 END) AS nm,
+            |  SUM(CASE WHEN starts_with(event_type, 'c')
+            |      THEN 1 ELSE 0 END) AS sw,
+            |  CAST(MAX(levenshtein_distance(event_type, 'click'))
+            |    AS BIGINT) AS lev,
+            |  MIN(to_hex(sha256(to_utf8(event_type)))) AS h,
+            |  MAX(CAST(dow(ts) AS BIGINT)) AS mdow,
+            |  MAX(CAST(doy(ts) AS BIGINT)) AS mdoy,
+            |  MAX(CAST(week(ts) AS BIGINT)) AS mweek,
+            |  CAST(bitwise_and(MAX(user_id), 12) AS BIGINT) AS band,
+            |  MAX(to_unixtime(from_unixtime(user_id * 3600))) AS rt
+            |FROM events
+            |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  CAST(SUM(CASE WHEN len(list_filter(
+             |      string_split(event_type, 'i'),
+             |      x -> length(x) > 2)) > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS am,
+             |  CAST(SUM(CASE WHEN len(list_filter(
+             |      string_split(event_type, 'i'),
+             |      x -> x = 'cl')) = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS nm,
+             |  CAST(SUM(CASE WHEN starts_with(event_type, 'c')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS sw,
+             |  CAST(MAX(levenshtein(event_type, 'click')) AS BIGINT)
+             |    AS lev,
+             |  MIN(upper(sha256(event_type))) AS h,
+             |  MAX(CAST(isodow(ts) AS BIGINT)) AS mdow,
+             |  MAX(CAST(dayofyear(ts) AS BIGINT)) AS mdoy,
+             |  MAX(CAST(weekofyear(ts) AS BIGINT)) AS mweek,
+             |  CAST((MAX(user_id) & 12) AS BIGINT) AS band,
+             |  CAST(MAX(user_id * 3600) AS DOUBLE) AS rt
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // 3-SLOT streaming sequence through the N-slot chain processor
     // (the reference's sequences are N-slot, alerta.py:274-317): 3
     // purchases trip slot 0, then 2 clicks inside the 7-day sequence

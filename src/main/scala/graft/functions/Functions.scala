@@ -237,6 +237,74 @@ object Functions {
       // textual rewrite already lowercases to Spark's try_cast.
       reg.createOrReplaceTempFunction("try",
         exprs => TryEval(exprs.head), "built-in")
+
+      // Presto lambda matchers — Spark spells them exists/forall;
+      // the Catalyst nodes take the unresolved LambdaFunction the
+      // parser hands any function call, so a plain registration works
+      reg.createOrReplaceTempFunction("any_match",
+        exprs => ArrayExists(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("all_match",
+        exprs => ArrayForAll(exprs.head, exprs(1)), "built-in")
+      // none_match(a, f) = all_match(a, x -> NOT f(x)) — the analyzer
+      // requires a lambda's DIRECT parent to be the higher-order
+      // function, so Not must go inside the lambda body, not above it
+      reg.createOrReplaceTempFunction("none_match",
+        exprs => exprs(1) match {
+          case LambdaFunction(fn, args, hidden) =>
+            ArrayForAll(exprs.head, LambdaFunction(Not(fn), args, hidden))
+          case other => ArrayForAll(exprs.head, other)
+        }, "built-in")
+
+      // Presto string breadth: starts_with (Spark: startswith),
+      // levenshtein_distance (Spark: levenshtein)
+      reg.createOrReplaceTempFunction("starts_with",
+        exprs => StartsWith(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("levenshtein_distance",
+        exprs => Levenshtein(exprs.head, exprs(1)), "built-in")
+
+      // Presto datetime part shorthands (dow/doy ISO like day_of_week
+      // above; week = ISO week-of-year)
+      reg.createOrReplaceTempFunction("dow",
+        exprs => Add(
+          Pmod(Add(DayOfWeek(exprs.head), Literal(5)), Literal(7)),
+          Literal(1)), "built-in")
+      reg.createOrReplaceTempFunction("doy",
+        exprs => DayOfYear(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("week",
+        exprs => WeekOfYear(exprs.head), "built-in")
+
+      // Presto from_unixtime returns a TIMESTAMP; Spark's builtin of
+      // the same name formats a STRING — dialect-correct shadow
+      // (registered sessions are Presto-dialect by contract, like
+      // `contains` above)
+      reg.createOrReplaceTempFunction("from_unixtime",
+        exprs => SecondsToTimestamp(exprs.head), "built-in")
+
+      // Presto bitwise function forms (operators in Spark)
+      reg.createOrReplaceTempFunction("bitwise_and",
+        exprs => BitwiseAnd(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("bitwise_or",
+        exprs => BitwiseOr(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("bitwise_xor",
+        exprs => BitwiseXor(exprs.head, exprs(1)), "built-in")
+
+      // Presto binary/hash idiom to_hex(sha256(to_utf8(s))):
+      // to_utf8/from_utf8 are UTF-8 casts, sha256 returns VARBINARY
+      // (Spark's sha2 yields lowercase hex — unhex restores the raw
+      // digest so downstream to_hex/length see Presto's type), and
+      // to_hex renders UPPERCASE hex exactly like Presto.
+      reg.createOrReplaceTempFunction("to_utf8",
+        exprs => Cast(exprs.head, org.apache.spark.sql.types.BinaryType),
+        "built-in")
+      reg.createOrReplaceTempFunction("from_utf8",
+        exprs => Cast(exprs.head, org.apache.spark.sql.types.StringType),
+        "built-in")
+      reg.createOrReplaceTempFunction("sha256",
+        exprs => Unhex(Sha2(exprs.head, Literal(256))), "built-in")
+      reg.createOrReplaceTempFunction("to_hex",
+        exprs => Hex(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("from_hex",
+        exprs => Unhex(exprs.head), "built-in")
     }
 
     // Presto json_size(json, path): children count of the element at

@@ -216,6 +216,43 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
   }
 
+  test("Presto 4th-tranche registry: lambda matchers, starts_with, " +
+      "levenshtein_distance, dow/doy/week, from_unixtime TIMESTAMP, " +
+      "bitwise forms, to_hex(sha256(to_utf8()))") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT any_match(array(1, 5), x -> x > 4) AS am,
+        |       all_match(array(1, 5), x -> x > 0) AS alm,
+        |       none_match(array(1, 5), x -> x > 9) AS nm,
+        |       starts_with('clickstream', 'click') AS sw,
+        |       levenshtein_distance('kitten', 'sitting') AS lev,
+        |       dow(TIMESTAMP '2024-01-01 00:00:00') AS mon,
+        |       doy(TIMESTAMP '2024-02-01 00:00:00') AS d32,
+        |       week(TIMESTAMP '2024-01-04 00:00:00') AS w1,
+        |       from_unixtime(3600) AS t1,
+        |       bitwise_and(12, 10) AS ba,
+        |       bitwise_or(12, 10) AS bo,
+        |       bitwise_xor(12, 10) AS bx,
+        |       to_hex(sha256(to_utf8('abc'))) AS h,
+        |       from_utf8(to_utf8('roundtrip')) AS rt,
+        |       length(sha256(to_utf8('abc'))) AS hlen
+        |""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2)
+      && r.getBoolean(3))
+    assert(r.getInt(4) === 3)
+    assert(r.getInt(5) === 1) // 2024-01-01 is a Monday → ISO dow 1
+    assert(r.getInt(6) === 32)
+    assert(r.getInt(7) === 1)
+    assert(r.getTimestamp(8).toInstant
+      === java.time.Instant.parse("1970-01-01T01:00:00Z"))
+    assert(r.getInt(9) === 8 && r.getInt(10) === 14 && r.getInt(11) === 6)
+    // NIST SHA-256("abc") test vector, Presto's uppercase to_hex form
+    assert(r.getString(12) ===
+      "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD")
+    assert(r.getString(13) === "roundtrip")
+    assert(r.getInt(14) === 32) // sha256 is a real 32-byte VARBINARY
+  }
+
   test("Presto day_of_week is ISO: Monday=1, Sunday=7") {
     Functions.register(spark)
     // 2024-01-01 is a Monday; 2024-01-07 a Sunday

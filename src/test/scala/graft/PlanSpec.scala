@@ -208,6 +208,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "candidates must come through the band equi-join")
   }
 
+  test("q363: SGNS draw resolution is a broadcast equi-join — the " +
+      "noise table never shuffles the pair side") {
+    val plan = planOf("q363_sgns_shards")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "draws must resolve by position equi-join, never a range probe")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-scale position table must broadcast")
+  }
+
   test("q132: Q18 one-pass — a single lineitem aggregate, dims broadcast") {
     val plan = planOf("q132_tpch_q18")
     assert(plan.split("Scan parquet").length - 1 === 3,
