@@ -57,7 +57,8 @@ object Explain {
       "q318_revenue_bridge", "q321_ipf_raking", "q326_stationary_distribution",
       "q329_temporal_reach", "q333_blast_radius",
       "q132_tpch_q18", "q353_hard_negatives", "q354_intra_repetition",
-      "q355_chunk_sliding", "q356_cosine_sweep")
+      "q355_chunk_sliding", "q356_cosine_sweep", "q362_presto_dialect3",
+      "q363_sgns_shards", "q364_presto_dialect4")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
