@@ -1065,8 +1065,8 @@ private[graft] object QueriesPipeline {
     // graph embeddings, replayable on any engine. The oracle unrolls
     // all three hops relationally (ranked adjacency + mix31 pick).
     Q("q359_walk_corpus",
-      (s, dir) => graft.ops.Graph.deterministicWalks(
-        graft.ops.CoPurchase.undirected(s, dir)),
+      (s, dir) => graft.ops.CoPurchase.walks(s, dir)
+        .orderBy("n0", "w", "step"),
       Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
               |            FROM lineitem),
               |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
@@ -1105,8 +1105,7 @@ private[graft] object QueriesPipeline {
     // predicate; the oracle extends q359's unrolled walks.
     Q("q360_skipgram_pairs",
       (s, dir) => graft.ops.Graph.skipgramPairs(
-        graft.ops.Graph.deterministicWalks(
-          graft.ops.CoPurchase.undirected(s, dir))),
+        graft.ops.CoPurchase.walks(s, dir)),
       Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
               |            FROM lineitem),
               |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
@@ -1156,8 +1155,7 @@ private[graft] object QueriesPipeline {
     // every draw relationally.
     Q("q363_sgns_shards",
       (s, dir) => graft.ops.Graph.sgnsShards(
-        graft.ops.Graph.deterministicWalks(
-          graft.ops.CoPurchase.undirected(s, dir))),
+        graft.ops.CoPurchase.walks(s, dir)),
       Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
               |            FROM lineitem),
               |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,

@@ -88,6 +88,21 @@ object CoPurchase {
     und.union(und.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Deterministic DeepWalk corpus over the co-purchase graph
+    * ([[Graph.deterministicWalks]] at the registered defaults) —
+    * itself a lake asset three queries consume (q359 walk dump, q360
+    * skip-gram pairs, q363 SGNS shards): the hash-derived steps make
+    * it bit-stable, so materializing once per sf dir is
+    * result-identical to inline derivation, and downstream consumers
+    * scan a compact parquet instead of replaying the per-hop joins.
+    */
+  def walks(s: SparkSession, dir: String): DataFrame = {
+    val p = materialize(s"walks_${tag(dir)}") {
+      Graph.deterministicWalks(undirected(s, dir))
+    }
+    s.read.parquet(p)
+  }
+
   /** Canonical undirected edges over the small-parts subgraph
     * (p_size <= 5) — the q239/q244/q245 slice.
     */
