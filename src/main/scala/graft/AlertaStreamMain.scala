@@ -11,7 +11,15 @@ import graft.streaming.StreamingAlerts
   * growing events directory with Structured Streaming.
   *
   * Usage:
-  *   AlertaStreamMain <eventsDir> <specsGlob> <outDir> [availableNow]
+  *   AlertaStreamMain <eventsDir> <specsGlob> <outDir> [availableNow] [seqEngine]
+  *
+  * `seqEngine` picks the sequence implementation: `fmgws` (default,
+  * [[StreamingAlerts.sequenceStream]]) or `tws` — the N-slot
+  * transformWithState chain ([[graft.streaming.StreamingAlertsTws
+  * .sequenceStreamTwsN]], RocksDB state store set automatically),
+  * the implementation with middle-deadman support, per-key rendered
+  * criteria on the emitted alert, and watermark-horizon-bounded
+  * state.
   *
   * One streaming query per spec (threshold/deadman/sequence →
   * [[StreamingAlerts]]), each appending alert rows to
@@ -36,6 +44,9 @@ object AlertaStreamMain {
       case Some(other) => sys.error(
         s"unknown mode '$other' — expected availableNow or continuous")
     }
+    val seqEngine = args.lift(4).getOrElse("fmgws")
+    require(seqEngine == "fmgws" || seqEngine == "tws",
+      s"unknown seqEngine '$seqEngine' — expected fmgws or tws")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,9 +70,15 @@ object AlertaStreamMain {
       val dup = seen.updateWith(base)(c => Some(c.getOrElse(0) + 1)).get
       val name = if (dup == 1) base else base + "-" + dup
       val out = AlertDoc.str(spec, "alert_type") match {
-        case "threshold" => Some(StreamingAlerts.thresholdStream(events, spec))
-        case "deadman"   => Some(StreamingAlerts.deadmanStream(events, spec))
-        case "sequence"  => Some(StreamingAlerts.sequenceStream(events, spec))
+        case "threshold" => Some(StreamingAlerts.thresholdStream(events, spec).toDF())
+        case "deadman"   => Some(StreamingAlerts.deadmanStream(events, spec).toDF())
+        case "sequence" if seqEngine == "tws" =>
+          // transformWithState requires the RocksDB provider
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          Some(graft.streaming.StreamingAlertsTws
+            .sequenceStreamTwsN(events, spec).toDF())
+        case "sequence"  => Some(StreamingAlerts.sequenceStream(events, spec).toDF())
         case other =>
           System.err.println(s"[stream] unknown alert_type '$other' for $name — skipped")
           None
