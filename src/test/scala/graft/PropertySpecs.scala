@@ -235,4 +235,36 @@ object SubscriptRewriteProps extends Properties("Criteria.rewriteSubscripts") {
       !out.contains("[") && out ==
         s"element_at(element_at(f($id), $i), $j)"
     }
+
+  property("a stray bracket never suppresses later rewrites") =
+    forAll(Gen.identifier, Gen.choose(1, 9)) { (id0, i) =>
+      val id = s"c_$id0"
+      rewriteSubscripts(s"+[0] AND $id[$i] = 1") ==
+        s"+[0] AND element_at($id, $i) = 1"
+    }
+}
+
+object QuotedIdentProps extends Properties("Criteria.rewriteQuotedIdents") {
+  import graft.criteria.Criteria.rewriteQuotedIdents
+
+  property("identity without double quotes") = forAll(Gen.identifier) { id =>
+    val s = s"$id = 'x \"y\" z'".replace("\"", "") + " AND b = 1"
+    rewriteQuotedIdents(s) == s
+  }
+
+  property("double-quoted identifier becomes backtick-quoted") =
+    forAll(Gen.identifier, Gen.identifier) { (a, b) =>
+      rewriteQuotedIdents(s""""$a $b" = 1""") == s"`$a $b` = 1"
+    }
+
+  property("double quotes inside single-quoted literals are data") =
+    forAll(Gen.identifier) { id =>
+      val s = s"x = 'say \"$id\"'"
+      rewriteQuotedIdents(s) == s
+    }
+
+  property("doubled-quote escape unescapes into the identifier") =
+    forAll(Gen.identifier) { id =>
+      rewriteQuotedIdents(s""""a""$id" = 1""") == s"`a\"$id` = 1"
+    }
 }
