@@ -1979,6 +1979,38 @@ private[graft] object QueriesExt {
              |  AND user_id IS NOT NULL AND event_id IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Temperature-scaled mixing allocation (the multilingual
+    // pretraining p_i ∝ n_i^(1/T) rule at T=2, i.e. √-weights): per
+    // language, exact integer weights floor(√tokens) and a
+    // largest-remainder split of the 1M-token budget — Σalloc is
+    // EXACTLY the budget, and the oracle replays weights, floor
+    // quotas and the +1 remainders.
+    Q("q365_temperature_mix",
+      (s, dir) => graft.ops.Curation.temperatureMix(
+        Tables(s, dir, "documents")),
+      Some(s"""WITH n AS (SELECT lang AS label,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+              |      AS n_tokens
+              |  FROM documents
+              |  WHERE lang IS NOT NULL AND text IS NOT NULL
+              |  GROUP BY 1),
+              |w AS (SELECT label, n_tokens,
+              |    ${QueriesPipeline.duckIsqrt("n_tokens")} AS weight
+              |  FROM n WHERE ${QueriesPipeline.duckIsqrt("n_tokens")} > 0),
+              |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS W FROM w),
+              |base AS (SELECT label, n_tokens, weight,
+              |    (1000000 * weight) // W AS a,
+              |    (1000000 * weight) % W AS r
+              |  FROM w, tot),
+              |lv AS (SELECT CAST(1000000 - SUM(a) AS BIGINT) AS L
+              |  FROM base),
+              |rk AS (SELECT *, ROW_NUMBER()
+              |    OVER (ORDER BY r DESC, label) AS rn FROM base)
+              |SELECT label, n_tokens, CAST(weight AS BIGINT) AS weight,
+              |  CAST(a + CASE WHEN rn <= lv.L THEN 1 ELSE 0 END
+              |    AS BIGINT) AS alloc
+              |FROM rk, lv ORDER BY label""".stripMargin)),
+
     // BATCH ↔ STREAMING equivalence gate for the sequence semantics:
     // the SAME 3-slot spec (5 purchases → 2 clicks → ≤2-error quiet
     // window, keyed per user over a fixed 4-user subset) runs through

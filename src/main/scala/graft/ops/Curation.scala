@@ -188,6 +188,55 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixing allocation — the multilingual
+    * pretraining rule p_i ∝ n_i^(1/T), with the exponent expressed in
+    * QUARTERS (q/4) so every weight is integer-exact: q=4 is
+    * proportional sampling (T=1), q=2 the common √-temperature (T=2),
+    * q=3 ≙ n^0.75, q=1 ≙ n^0.25 (strong tail-language upsampling).
+    * floor(n^(q/4)) comes from nested exact integer square roots
+    * ([[Similarity.isqrtCol]]), and the token budget splits across
+    * labels by largest-remainder (Hamilton) apportionment — so
+    * Σalloc == budget EXACTLY and the oracle replays every
+    * allocation, including the +1 remainders.
+    *
+    * Scale shape: one combinable aggregate folds the corpus to the
+    * label grid (|labels| rows); the total and the remainder ranking
+    * run on that grid ([[Par.globalRowNumber]] — no single-partition
+    * window even if the label set ever grows).
+    */
+  def temperatureMix(docs: DataFrame, quarters: Int = 2,
+      budgetTokens: Long = 1000000L, labelCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(quarters >= 1 && quarters <= 4,
+      s"quarters must be in [1, 4], got $quarters")
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    import graft.ops.Similarity.isqrtCol
+    val n = docs
+      .where(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(labelCol).as("label"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    def pow(x: Column): Column = quarters match {
+      case 4 => x
+      case 2 => isqrtCol(x)
+      case 1 => isqrtCol(isqrtCol(x))
+      case 3 => isqrtCol(isqrtCol(x * x * x))
+    }
+    val w = n.withColumn("weight", pow(col("n_tokens")))
+      .where(col("weight") > 0)
+    val tot = w.agg(sum("weight").as("W"))
+    val base = w.crossJoin(broadcast(tot))
+      .withColumn("a", expr(s"(${budgetTokens}L * weight) div W"))
+      .withColumn("r", expr(s"(${budgetTokens}L * weight) % W"))
+    val leftover = base.agg((lit(budgetTokens) - sum("a")).as("L"))
+    Par.globalRowNumber(base.withColumn("negr", -col("r")),
+        Seq("negr", "label"))
+      .crossJoin(broadcast(leftover))
+      .select(col("label"), col("n_tokens"), col("weight"),
+        (col("a") + when(col("rownum") <= col("L"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("label")
+  }
+
   /** Deterministic weighted priority sample (weighted bottom-k): each
     * row draws rank `mix31(id) // weight` — heavier rows divide their
     * hash by more, landing proportionally lower — and the k smallest

@@ -288,11 +288,7 @@ object Graph {
     require(negK >= 1, s"negK must be ≥ 1, got $negK")
     require(shards >= 1, s"shards must be ≥ 1, got $shards")
     val pairs = skipgramPairsUnordered(walks, window).localCheckpoint()
-    def isqrt(x: Column): Column = {
-      val s = floor(sqrt(x.cast("double"))).cast("long")
-      val s1 = when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
-      when(s1 * s1 > x, s1 - 1).otherwise(s1)
-    }
+    def isqrt(x: Column): Column = Similarity.isqrtCol(x)
     val uni = pairs.groupBy(col("context").as("node"))
       .agg(sum("cnt").as("freq"))
       .withColumn("wt",

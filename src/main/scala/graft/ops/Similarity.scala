@@ -130,6 +130,19 @@ object Similarity {
     * multiply mod 2^31, xorshift), shared by every differential fold
     * that mirrors a mixed kernel.
     */
+  /** Exact integer floor square root: IEEE sqrt (correctly rounded,
+    * bit-identical on every engine) plus an off-by-one guard, so
+    * floor(√x) is mathematically exact for non-negative BIGINT x —
+    * the building block for integer fractional powers
+    * (floor(x^(q/4)) via nested calls) that keep weight tables
+    * oracle-replayable.
+    */
+  private[graft] def isqrtCol(x: Column): Column = {
+    val s = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+    when(s1 * s1 > x, s1 - 1).otherwise(s1)
+  }
+
   private[graft] def mix31Col(v: Column): Column = {
     // pmod, not %: VecKernels.mix31 masks with & 0x7FFFFFFF, which is
     // the NON-NEGATIVE residue mod 2^31 even for negative inputs —

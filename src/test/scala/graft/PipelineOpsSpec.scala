@@ -1363,4 +1363,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("chao1_est") === 3L)
     assert(r.getAs[Long]("gt_unseen_ppm") === 500000L)
   }
+
+  test("temperatureMix: Σalloc is exactly the budget; lower " +
+      "temperature-exponent flattens the mix toward tail languages") {
+    import graft.ops.Curation
+    // en: 9+9+6+9 = 33 tokens across 4 docs; es: 11 tokens
+    val m2 = Curation.temperatureMix(docs, quarters = 2,
+      budgetTokens = 1001L).collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight"),
+          r.getAs[Long]("alloc"))).toMap
+    assert(m2("en")._1 === 33L && m2("es")._1 === 11L)
+    assert(m2("en")._2 === 5L && m2("es")._2 === 3L) // floor(√n)
+    // Hamilton split of 1001 over weights (5, 3): exact, sums to budget
+    assert(m2.values.map(_._3).sum === 1001L)
+    assert(m2("en")._3 === 626L && m2("es")._3 === 375L)
+    // proportional (q=4) gives en a larger share than √-temperature
+    val m4 = Curation.temperatureMix(docs, quarters = 4,
+      budgetTokens = 1001L).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("alloc")).toMap
+    assert(m4.values.sum === 1001L)
+    assert(m4("en") > m2("en")._3 && m4("es") < m2("es")._3)
+  }
 }
