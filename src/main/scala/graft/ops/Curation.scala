@@ -780,13 +780,16 @@ object Curation {
     val scored = TextAnalysis.bigramLmScore(docs, textCol, idCol)
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         size(split(col(textCol), " ")).cast("long").as("toks")), "doc_id")
-    val order = Window.partitionBy("lang")
-      .orderBy(col("lm_ppm").desc, col("doc_id"))
-    val all = Window.partitionBy("lang")
-    scored
-      .withColumn("cum", sum(col("toks")).over(
-        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("toks")).over(all))
+    // running mass via the range-shuffle prefix-sum primitive — a
+    // 90%-one-language corpus spreads across partitions instead of
+    // serializing in a single per-language window (the skew caveat
+    // SCALE.md used to carry for this operator); per-language totals
+    // are a combinable aggregate broadcast back onto the rows
+    val withCum = Par.prefixSum(
+      scored.withColumn("neglm", -col("lm_ppm")),
+      Seq("lang"), Seq("neglm", "doc_id"), "toks", "cum")
+    val totals = scored.groupBy("lang").agg(sum("toks").as("total"))
+    withCum.join(broadcast(totals), "lang")
       .select(col("doc_id"), col("lang"), col("lm_ppm"), col("toks"),
         when(col("cum") * 3 <= col("total"), lit("head"))
           .when(col("cum") * 3 <= col("total") * 2, lit("middle"))
