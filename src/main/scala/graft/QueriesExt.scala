@@ -2310,7 +2310,181 @@ private[graft] object QueriesExt {
              |    || CAST(b_cnt AS VARCHAR) || ' errors for '
              |    || CAST(user_id AS VARCHAR) AS summary
              |FROM b WHERE b_cnt <= 1
-             |ORDER BY value""".stripMargin)))
+             |ORDER BY value""".stripMargin)),
+
+    // Gopher quality-rule bundle (Rae et al. 2021 §A1.1.2) with
+    // per-rule verdicts and a drop-reason bitmask — every metric is
+    // exact integer arithmetic (micro-unit floors), so the oracle
+    // restates the full bundle including the mask composition.
+    // minStopHits=1 so the required-word rule actually discriminates
+    // on this corpus (its vocabulary carries 'the'/'of'/'and'/'to'
+    // unevenly); the remaining thresholds are the paper's.
+    Q("q366_gopher_rules",
+      (s, dir) => graft.ops.TextAnalysis.gopherRules(
+        Tables(s, dir, "documents"), minStopHits = 1L),
+      Some("""WITH w AS (SELECT doc_id, text,
+             |    string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |m AS (SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(ws, x -> length(x)))
+             |      AS BIGINT) AS word_chars,
+             |    CAST(2 * length(text)
+             |      - length(replace(text, '#', ''))
+             |      - length(replace(text, '…', '')) AS BIGINT)
+             |      AS sym_cnt,
+             |    CAST(len(list_filter(ws,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+             |      AS alpha_cnt,
+             |    CAST(len(list_filter(
+             |      ['the','be','to','of','and','that','have','with'],
+             |      x -> list_contains(ws, x))) AS BIGINT) AS stop_hits
+             |  FROM w),
+             |p AS (SELECT doc_id, n_words,
+             |    (word_chars * 1000000) // n_words AS mwl_ppm,
+             |    (sym_cnt * 1000000) // n_words AS sym_ppm,
+             |    (alpha_cnt * 1000000) // n_words AS alpha_ppm,
+             |    stop_hits
+             |  FROM m),
+             |f AS (SELECT *,
+             |    (CASE WHEN n_words BETWEEN 20 AND 1000
+             |       THEN 0 ELSE 1 END)
+             |  + (CASE WHEN mwl_ppm BETWEEN 3000000 AND 10000000
+             |       THEN 0 ELSE 2 END)
+             |  + (CASE WHEN sym_ppm <= 100000 THEN 0 ELSE 4 END)
+             |  + (CASE WHEN alpha_ppm >= 800000 THEN 0 ELSE 8 END)
+             |  + (CASE WHEN stop_hits >= 1 THEN 0 ELSE 16 END)
+             |    AS fail_mask
+             |  FROM p)
+             |SELECT doc_id, n_words, mwl_ppm, sym_ppm, alpha_ppm,
+             |  stop_hits, CAST(fail_mask AS BIGINT) AS fail_mask,
+             |  fail_mask = 0 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // FUZZY benchmark decontamination, hash-verified END TO END like
+    // q22: the oracle recomputes the portable minhash signatures,
+    // band keys and the CROSS-corpus candidate join relationally for
+    // both sides (corpus = doc_id%5≠0, eval = %5=0 — q47's split),
+    // then the exact-Jaccard micro-unit verify and the per-doc
+    // verdict aggregation. The oracle checks the ALGORITHM (banding
+    // included), not an empirical recall claim; the verify join uses
+    // shingle STRINGS where the kernel uses 64-bit hashes (identical
+    // counts absent collisions — the q21/q22 contract).
+    Q("q367_fuzzy_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Curation.fuzzyDecontaminate(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0))
+      },
+      Some {
+        def mhSide(p: String): String = {
+          val h37 = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |      list_transform(string_split(s, ''),
+            |        c -> CAST(unicode(c) AS BIGINT))),
+            |      (a, b) -> (a * 37 + b) % 2147483647)""".stripMargin
+          s"""${p}mh AS (SELECT doc_id, s,
+             |    $h37 AS h37
+             |  FROM ${p}sh),
+             |${p}yy AS (SELECT doc_id,
+             |    ${QueriesPipeline.duckMix31("h37")} AS y FROM ${p}mh),
+             |${p}sig AS (SELECT doc_id, i,
+             |    MIN(${QueriesPipeline.duckMix31("y + i")}) AS m
+             |  FROM ${p}yy CROSS JOIN
+             |    (SELECT unnest(range(0, 16)) AS i) xs
+             |  GROUP BY 1, 2),
+             |${p}bands AS (SELECT doc_id, i // 4 AS band,
+             |    list_reduce(list_prepend(CAST(i // 4 AS BIGINT),
+             |        list(m ORDER BY i)),
+             |      (a, b) -> (a * 1103515245 + b) % 2147483648) AS bh
+             |  FROM ${p}sig GROUP BY doc_id, i // 4)""".stripMargin
+        }
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 5 <> 0),
+           |evals AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 5 = 0),
+           |${QueriesPipeline.duckShingles("c", "corpus")},
+           |${QueriesPipeline.duckShingles("e", "evals")},
+           |${mhSide("c")},
+           |${mhSide("e")},
+           |cand AS (SELECT DISTINCT c.doc_id AS doc_id,
+           |    e.doc_id AS eval_id
+           |  FROM cbands c JOIN ebands e
+           |    ON c.band = e.band AND c.bh = e.bh),
+           |pairs AS (SELECT cd.doc_id, cd.eval_id,
+           |    COUNT(*) AS inter
+           |  FROM cand cd
+           |  JOIN csh a ON a.doc_id = cd.doc_id
+           |  JOIN esh b ON b.doc_id = cd.eval_id AND b.s = a.s
+           |  GROUP BY 1, 2),
+           |j AS (SELECT p.doc_id, p.eval_id,
+           |    (p.inter * 1000000) // (sa.n + sb.n - p.inter)
+           |      AS jac_ppm
+           |  FROM pairs p
+           |  JOIN csz sa ON sa.doc_id = p.doc_id
+           |  JOIN esz sb ON sb.doc_id = p.eval_id
+           |  WHERE (p.inter * 1000000) // (sa.n + sb.n - p.inter)
+           |    >= 500000)
+           |SELECT doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           |  CAST(MIN(eval_id) AS BIGINT) AS eval_hit,
+           |  CAST(MAX(jac_ppm) AS BIGINT) AS best_jac_ppm
+           |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Presto-dialect breadth, fifth batch — the silent-divergence
+    // set: literal-delimiter split (Spark's builtin reads '.' as
+    // regex-any and would explode to characters), MySQL-token
+    // date_format/date_parse (Spark's date_format would render the
+    // literal text "%Y"), ngrams composition, and hamming_distance.
+    // All data-dependent per user; DuckDB restates split via
+    // string_split (literal there too) and the MySQL tokens via
+    // strftime/strptime's C tokens (%i minute ↔ %M, %s second ↔ %S).
+    Q("q368_presto_dialect5",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MAX(cardinality(split(
+            |    event_type || '.' || CAST(user_id AS VARCHAR), '.')))
+            |    AS nparts,
+            |  MIN(element_at(split(
+            |    event_type || '.' || CAST(user_id AS VARCHAR), '.'), 1))
+            |    AS head_part,
+            |  MAX(date_format(ts, '%Y-%m-%dT%H:%i')) AS last_minute,
+            |  MAX(to_unixtime(date_parse(
+            |    date_format(ts, '%Y-%m-%d %H:%i:%s'),
+            |    '%Y-%m-%d %H:%i:%s'))) AS rt,
+            |  MAX(array_join(element_at(ngrams(split(
+            |    event_type || '.z.' || CAST(user_id AS VARCHAR), '.'),
+            |    2), 2), '-')) AS g2,
+            |  CAST(SUM(hamming_distance(substr(event_type, 1, 3),
+            |    substr(reverse(event_type), 1, 3))) AS BIGINT) AS hd
+            |FROM events
+            |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            |  AND event_type IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  CAST(MAX(len(string_split(
+             |    event_type || '.' || CAST(user_id AS VARCHAR), '.')))
+             |    AS INTEGER) AS nparts,
+             |  MIN(string_split(
+             |    event_type || '.' || CAST(user_id AS VARCHAR), '.')[1])
+             |    AS head_part,
+             |  MAX(strftime(ts, '%Y-%m-%dT%H:%M')) AS last_minute,
+             |  MAX(CAST(epoch_us(date_trunc('second', ts)) AS DOUBLE)
+             |    / 1000000.0) AS rt,
+             |  MAX(array_to_string(list_slice(string_split(
+             |    event_type || '.z.' || CAST(user_id AS VARCHAR), '.'),
+             |    2, 3), '-')) AS g2,
+             |  CAST(SUM(hamming(substr(event_type, 1, 3),
+             |    substr(reverse(event_type), 1, 3))) AS BIGINT) AS hd
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  AND event_type IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -705,7 +705,7 @@ private[graft] object QueriesPipeline {
     * for the tokenize step every Jaccard oracle shares (q21 inlines an
     * equivalent dated before this helper; q22/q47 compose it).
     */
-  private def duckShingles(p: String, src: String): String =
+  private[graft] def duckShingles(p: String, src: String): String =
     s"""${p}w AS (SELECT doc_id, string_split(text,' ') AS ws FROM $src),
        |${p}tok AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
        |       FROM (SELECT doc_id, ws, generate_subscripts(ws,1) AS i FROM ${p}w) t

@@ -305,7 +305,134 @@ object Functions {
         exprs => Hex(exprs.head), "built-in")
       reg.createOrReplaceTempFunction("from_hex",
         exprs => Unhex(exprs.head), "built-in")
+
+      // ── fifth tranche: the silent-divergence set ──────────────────
+      // Presto split(s, delim[, limit]) splits on a LITERAL delimiter;
+      // Spark's builtin of the same name treats it as a Java regex —
+      // split(x, '.') silently explodes to characters instead of
+      // splitting on dots. Shadow with regex-quoted literal semantics
+      // when the delimiter is a foldable literal (the whole criteria
+      // corpus); a non-literal delimiter keeps Spark's regex reading,
+      // documented. Empty-delimiter '' keeps Spark's char-split (the
+      // engine's own SQL uses it; Presto rejects '' outright, so no
+      // Presto-dialect criteria can depend on it). Trailing empty
+      // fields are KEPT on both engines (Spark limit -1 = Presto).
+      reg.createOrReplaceTempFunction("split",
+        { exprs =>
+          val delim = exprs(1) match {
+            case Literal(d: org.apache.spark.unsafe.types.UTF8String, _)
+                if d != null && d.toString.nonEmpty =>
+              Literal(java.util.regex.Pattern.quote(d.toString))
+            case other => other
+          }
+          val limit = if (exprs.length > 2) exprs(2) else Literal(-1)
+          StringSplit(exprs.head, delim, limit)
+        }, "built-in")
+
+      // Presto date_format/date_parse use MySQL %-tokens (%Y-%m-%d
+      // %H:%i:%s); Spark's date_format of the same NAME wants Java
+      // patterns — '%Y' through Spark renders literal "%Y". Shadow
+      // both, translating a literal format via [[mysqlFormatToJava]]
+      // (literal runs single-quoted so stray letters never become
+      // pattern tokens). Non-literal formats fall back to Spark's
+      // pattern dialect, documented.
+      def mysqlFmt(e: Expression): Expression = e match {
+        case Literal(f: org.apache.spark.unsafe.types.UTF8String, _)
+            if f != null =>
+          Literal(Functions.mysqlFormatToJava(f.toString))
+        case other => other
+      }
+      reg.createOrReplaceTempFunction("date_format",
+        exprs => DateFormatClass(exprs.head, mysqlFmt(exprs(1))),
+        "built-in")
+      reg.createOrReplaceTempFunction("date_parse",
+        exprs => GetTimestamp(exprs.head, mysqlFmt(exprs(1)),
+          org.apache.spark.sql.types.TimestampType),
+        "built-in")
+      // Joda-pattern cousins: the corpus subset (y M d H m s E) reads
+      // identically in Java's formatter, so the literal passes
+      // through; divergent Joda tokens (Y = year-of-era vs Java's
+      // week-year, x/w) are NOT translated — documented common-subset
+      // contract, same stance as the approx aggregates above.
+      reg.createOrReplaceTempFunction("format_datetime",
+        exprs => DateFormatClass(exprs.head, exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("parse_datetime",
+        exprs => GetTimestamp(exprs.head, exprs(1),
+          org.apache.spark.sql.types.TimestampType),
+        "built-in")
+
+      // Presto map_concat: duplicate keys take the value from the
+      // LAST map argument; Spark's map_concat under the default
+      // mapKeyDedupPolicy=EXCEPTION throws instead. Keep each entry
+      // of the concatenated entry list only if no LATER entry carries
+      // the same key (O(n²) over map sizes — criteria maps are tiny),
+      // then rebuild. No session-conf change, no runtime throw.
+      reg.createOrReplaceTempFunction("map_concat",
+        { exprs =>
+          val entries = Concat(exprs.map(MapEntries))
+          val e = UnresolvedNamedLambdaVariable(Seq("e"))
+          val i = UnresolvedNamedLambdaVariable(Seq("i"))
+          val x = UnresolvedNamedLambdaVariable(Seq("x"))
+          def keyOf(v: Expression): Expression =
+            UnresolvedExtractValue(v, Literal("key"))
+          val keepLast = ArrayFilter(entries,
+            LambdaFunction(
+              Not(ArrayExists(
+                Slice(entries, Add(i, Literal(2)),
+                  Size(entries, legacySizeOfNull = false)),
+                LambdaFunction(EqualNullSafe(keyOf(x), keyOf(e)), Seq(x)))),
+              Seq(e, i)))
+          MapFromEntries(keepLast)
+        }, "built-in")
+
+      // Presto ngrams(array, n) → array of overlapping length-n
+      // sub-arrays; shorter-than-n input yields the whole array as
+      // its single (truncated) gram. Pure composition — sequence +
+      // slice — so it stays codegen-friendly.
+      reg.createOrReplaceTempFunction("ngrams",
+        { exprs =>
+          val arr = exprs.head
+          val i = UnresolvedNamedLambdaVariable(Seq("i"))
+          val upper = Greatest(Seq(
+            Add(Subtract(Size(arr, legacySizeOfNull = false), exprs(1)),
+              Literal(1)),
+            Literal(1)))
+          ArrayTransform(
+            Sequence(Literal(1), upper, None),
+            LambdaFunction(Slice(arr, i, exprs(1)), Seq(i)))
+        }, "built-in")
     }
+
+    // Presto normalize(s) — Unicode NFC via the JDK (identical
+    // tables). Presto's 2-arg form takes the FORM as an unquoted SQL
+    // keyword (normalize(s, NFKC)) which Spark's parser reads as a
+    // column reference before any registry lookup, so only the
+    // default-NFC 1-arg form is registrable — documented limit.
+    spark.udf.register("normalize", (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
+
+    // Presto hamming_distance(s1, s2) — equal-length inputs by
+    // contract (Presto throws otherwise; so do we, loudly).
+    spark.udf.register("hamming_distance", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else {
+        require(a.length == b.length,
+          s"hamming_distance wants equal lengths, got ${a.length}/${b.length}")
+        var i = 0; var d = 0L
+        while (i < a.length) { if (a(i) != b(i)) d += 1; i += 1 }
+        java.lang.Long.valueOf(d)
+      })
+
+    // Presto url_encode/url_decode (application/x-www-form-urlencoded,
+    // UTF-8 — the JDK coder is that exact spec)
+    spark.udf.register("url_encode", (s: String) =>
+      if (s == null) null
+      else java.net.URLEncoder.encode(s, "UTF-8"))
+    spark.udf.register("url_decode", (s: String) =>
+      if (s == null) null
+      else java.net.URLDecoder.decode(s, "UTF-8"))
 
     // Presto json_size(json, path): children count of the element at
     // path — object → #keys, array → #elements, scalar → 0, missing/
@@ -317,6 +444,46 @@ object Functions {
     // UDF throw Task-not-serializable on any executor-side eval).
     spark.udf.register("json_size",
       (json: String, path: String) => JsonSizeFn.size(json, path))
+  }
+
+  /** MySQL %-token datetime format (Presto's date_format/date_parse
+    * dialect) → Java DateTimeFormatter pattern. Literal runs are
+    * single-quoted so stray letters in the format never turn into
+    * pattern tokens ('T' in `%Y-%m-%dT%H` stays the literal T); `%%`
+    * is a literal percent; an unknown `%x` drops the percent and
+    * keeps x literal (MySQL's own behavior). Week-based MySQL tokens
+    * (%U/%u/%X/%x) have no exact Java twin and fall through as
+    * literals — loud in output rather than silently wrong.
+    */
+  private[graft] def mysqlFormatToJava(fmt: String): String = {
+    val tok = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'M' -> "MMMM", 'b' -> "MMM",
+      'm' -> "MM", 'c' -> "M", 'd' -> "dd", 'e' -> "d",
+      'j' -> "DDD", 'H' -> "HH", 'k' -> "H", 'h' -> "hh",
+      'I' -> "hh", 'l' -> "h", 'i' -> "mm", 's' -> "ss",
+      'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a", 'W' -> "EEEE",
+      'a' -> "EEE", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a",
+      'v' -> "ww")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val t = fmt.charAt(i + 1)
+        if (t == '%') { lit.append('%'); i += 2 }
+        else tok.get(t) match {
+          case Some(j) => flush(); out.append(j); i += 2
+          case None    => lit.append(t); i += 2
+        }
+      } else { lit.append(ch); i += 1 }
+    }
+    flush()
+    out.toString
   }
 
   /** IPv4 dotted-quad (optionally with /cidr). */

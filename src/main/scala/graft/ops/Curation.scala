@@ -1203,4 +1203,63 @@ object Curation {
         "achieved_col_micro")
       .orderBy("src", "lang")
   }
+
+  /** FUZZY benchmark decontamination: flag corpus documents whose
+    * shingle-set Jaccard against ANY eval document reaches
+    * `threshold` — the near-duplicate complement of [[decontaminate]]
+    * (which needs an exact shared shingle and misses lightly
+    * paraphrased test leakage). Candidates come from MinHash-LSH
+    * banding ACROSS the two corpora (a corpus doc and an eval doc
+    * agreeing on any full signature band), then exact Jaccard over
+    * the hashed shingle sets verifies each candidate — approximate
+    * recall, exact precision, same contract as
+    * [[DocDedup.minhashLsh]] whose signature/banding kernels this op
+    * reuses (`minhash_state`, `bandKeys`).
+    *
+    * Returns one row per CONTAMINATED corpus doc: how many eval docs
+    * it matched, the smallest matching eval id, and the best Jaccard
+    * in micro-units (exact integers — `⌊inter·10⁶/union⌋`).
+    *
+    * Scale shape: the eval side is benchmark-sized by contract, so
+    * its banded signatures broadcast — the 100 TB corpus streams
+    * map-side through the band join carrying only (doc_id, band, bh);
+    * shingle sets rejoin by id AFTER candidate dedup (the eval side's
+    * via a second broadcast), so replication never carries payload.
+    * The only wide shuffle is the per-doc verdict aggregation,
+    * map-side combinable and keyed by doc id.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      thresholdPpm: Long = 500000L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val mh = call_function("minhash_state",
+      split(col(textCol), " "), lit(n), lit(numHashes))
+    def sigs(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), mh.as("mh"))
+      .select(col(as), col("mh.sh").as("sh"), col("mh.sig").as("sig"))
+      .where(size(col("sh")) > 0)
+    def banded(df: DataFrame, as: String) = df
+      .select(col(as), explode(DocDedup.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col(as), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // eval is read twice (bands, then shingle rejoin) — materialize
+    // once; corpus signatures stream straight through the band join
+    val evS = sigs(evalSet, "eval_id").localCheckpoint()
+    val coS = sigs(Par.spread(corpus), "doc_id")
+    val cand = banded(coS, "doc_id")
+      .join(broadcast(banded(evS, "eval_id")), Seq("band", "bh"))
+      .select("doc_id", "eval_id").dropDuplicates("doc_id", "eval_id")
+    coS.select(col("doc_id"), col("sh").as("sha"))
+      .join(cand, Seq("doc_id"))
+      .join(broadcast(evS.select(col("eval_id"), col("sh").as("shb"))),
+        Seq("eval_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jac_ppm", ppmFloor(col("inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
+      .where(col("jac_ppm") >= thresholdPpm)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), min(col("eval_id")).as("eval_hit"),
+        max(col("jac_ppm")).as("best_jac_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -929,6 +929,80 @@ object TextAnalysis {
     * rank_checksum = Σ pos·rank) — the checksum pins every rank
     * without shipping |text| rows per doc.
     */
+  /** The Gopher words the per-doc stopword RULE requires (Rae et al.
+    * 2021 §A1.1.2: "contains at least two of the following English
+    * words") — distinct from [[EnStop]], which is a frequency list
+    * for language voting, not a rule gate.
+    */
+  val GopherRequired: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule bundle (Rae et al. 2021 §A1.1.2) as one
+    * map-only column program with PER-RULE verdicts — the form a
+    * curation pipeline needs when it must explain WHY a document was
+    * dropped, not just that it was:
+    *
+    *   - rule 0 `r_wc`: word count within `[minWords, maxWords]`;
+    *   - rule 1 `r_mwl`: mean word length within
+    *     `[minMwlPpm, maxMwlPpm]` micro-chars (`Σ word chars ·10⁶ /
+    *     n_words`, exact integer floor);
+    *   - rule 2 `r_sym`: symbol-to-word ratio (`#` and `…`
+    *     occurrences per word) at most `maxSymPpm`;
+    *   - rule 3 `r_alpha`: at least `minAlphaPpm` of words carry an
+    *     alphabetic character;
+    *   - rule 4 `r_stop`: at least `minStopHits` DISTINCT words from
+    *     [[GopherRequired]] appear.
+    *
+    * `fail_mask` sets bit k for each failed rule k (0 = keep) — the
+    * drop-reason histogram is then one `groupBy(fail_mask)` away.
+    * Every metric is exact integer arithmetic (micro-unit floors via
+    * [[Curation.ppmFloor]]'s proven-exact form), so the whole bundle
+    * carries a full DuckDB oracle. Map-only: the projection pushes to
+    * the scan, nothing shuffles but the presentation sort; at 100 TB
+    * the bundle costs one pass over the text column.
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 20L, maxWords: Long = 1000L,
+      minMwlPpm: Long = 3000000L, maxMwlPpm: Long = 10000000L,
+      maxSymPpm: Long = 100000L, minAlphaPpm: Long = 800000L,
+      minStopHits: Long = 2L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def ppm(num: Column, den: Column): Column = Curation.ppmFloor(num, den)
+    def occurrences(of: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), lit(of), lit("")))).cast("long")
+    val words = split(col(textCol), " ")
+    val base = Par.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("word_chars"),
+        (occurrences("#") + occurrences("…")).as("sym_cnt"),
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("alpha_cnt"),
+        size(array_intersect(array_distinct(words),
+          array(GopherRequired.map(lit): _*))).cast("long").as("stop_hits"))
+      .withColumn("mwl_ppm", ppm(col("word_chars"), col("n_words")))
+      .withColumn("sym_ppm", ppm(col("sym_cnt"), col("n_words")))
+      .withColumn("alpha_ppm", ppm(col("alpha_cnt"), col("n_words")))
+    val rules = Seq(
+      col("n_words") >= minWords && col("n_words") <= maxWords,
+      col("mwl_ppm") >= minMwlPpm && col("mwl_ppm") <= maxMwlPpm,
+      col("sym_ppm") <= maxSymPpm,
+      col("alpha_ppm") >= minAlphaPpm,
+      col("stop_hits") >= minStopHits)
+    val mask = rules.zipWithIndex.map { case (r, i) =>
+      when(r, lit(0L)).otherwise(lit(1L << i))
+    }.reduce(_ + _)
+    base
+      .withColumn("fail_mask", mask)
+      .select((Seq("doc_id", "n_words", "mwl_ppm", "sym_ppm", "alpha_ppm",
+        "stop_hits").map(col) :+ col("fail_mask") :+
+        (col("fail_mask") === 0L).as("keep")): _*)
+      .orderBy("doc_id")
+  }
+
   def suffixArrayChecksum(docs: DataFrame, maxLen: Int = 1024,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -39,6 +39,29 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       Seq((1L, 2L, 100L)))
   }
 
+  test("fuzzyDecontaminate flags banded near-dups, ignores disjoint docs") {
+    val corpus = docs(
+      (1L, "a b c d e f", "s"),        // identical to eval 100
+      (2L, "z1 z2 z3 z4 z5", "s"))     // disjoint vocabulary
+    val eval = docs((100L, "a b c d e f", "s"))
+    // identical text → identical signatures → every band agrees →
+    // candidate survives; exact Jaccard 1.0 → 1_000_000 micro-units
+    val out = Curation.fuzzyDecontaminate(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1L, 100L, 1000000L)))
+  }
+
+  test("fuzzyDecontaminate aggregates per corpus doc across eval hits") {
+    val corpus = docs((1L, "a b c d e f", "s"))
+    val eval = docs(
+      (101L, "a b c d e f", "s"),
+      (100L, "a b c d e f", "s"))
+    val out = Curation.fuzzyDecontaminate(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // both eval docs hit; eval_hit is the SMALLEST eval id
+    assert(out.toSeq === Seq((1L, 2L, 100L, 1000000L)))
+  }
+
   test("repetition: top-2gram char fraction and duplicate-5gram position fraction") {
     // "x y x y x y" (11 chars): 2-grams = [x y, y x, x y, y x, x y] →
     // top gram "x y" (len 3) cnt 3 → top_chars 9 → 9e6/11 = 818181.8 →

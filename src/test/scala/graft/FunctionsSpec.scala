@@ -266,6 +266,87 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getInt(3) === 1)
   }
 
+  test("Presto 5th-tranche registry: literal split, MySQL-token " +
+      "date_format/date_parse, ngrams, map_concat last-wins, " +
+      "normalize, hamming_distance, url_encode/url_decode") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT split('a.b.c', '.') AS sp,
+        |       split('a,b,c,d', ',', 2) AS sp2,
+        |       split('a,,b,,', ',') AS spe,
+        |       date_format(TIMESTAMP '2024-03-05 07:09:02',
+        |         '%Y-%m-%dT%H:%i:%s') AS df,
+        |       date_format(TIMESTAMP '2024-03-05 07:09:02',
+        |         '%e %b %Y %l %p') AS dfw,
+        |       date_parse('2024-03-05 07:09:02',
+        |         '%Y-%m-%d %H:%i:%s') AS dp,
+        |       format_datetime(TIMESTAMP '2024-03-05 07:09:02',
+        |         'yyyy-MM-dd HH:mm') AS fdt,
+        |       parse_datetime('2024-03-05 07:09',
+        |         'yyyy-MM-dd HH:mm') AS pdt,
+        |       ngrams(array('a', 'b', 'c', 'd'), 2) AS ng,
+        |       ngrams(array('a', 'b'), 3) AS ngshort,
+        |       map_concat(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mc,
+        |       hamming_distance('karolin', 'kathrin') AS hd,
+        |       url_encode('a b&c') AS ue,
+        |       url_decode('a+b%26c') AS ud
+        |""".stripMargin).head()
+    // literal-delimiter split: '.' splits on dots, never regex-any
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) === Seq("a", "b,c,d")) // limit keeps rest
+    assert(r.getSeq[String](2) === Seq("a", "", "b", "", "")) // trailing kept
+    assert(r.getString(3) === "2024-03-05T07:09:02") // literal T survives
+    assert(r.getString(4) === "5 Mar 2024 7 AM")
+    assert(r.getTimestamp(5).toLocalDateTime
+      === java.time.LocalDateTime.of(2024, 3, 5, 7, 9, 2))
+    assert(r.getString(6) === "2024-03-05 07:09")
+    assert(r.getTimestamp(7).toLocalDateTime
+      === java.time.LocalDateTime.of(2024, 3, 5, 7, 9, 0))
+    assert(r.getSeq[Seq[String]](8)
+      === Seq(Seq("a", "b"), Seq("b", "c"), Seq("c", "d")))
+    assert(r.getSeq[Seq[String]](9) === Seq(Seq("a", "b"))) // short input
+    assert(r.getMap[String, Int](10) === Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(r.getLong(11) === 3L)
+    assert(r.getString(12) === "a+b%26c")
+    assert(r.getString(13) === "a b&c")
+  }
+
+  test("Presto normalize composes combining marks (NFC)") {
+    Functions.register(spark)
+    import spark.implicits._
+    // decomposed e + U+0301 COMBINING ACUTE → composed U+00E9
+    val decomposed = "e" + 0x0301.toChar
+    val composed = String.valueOf(0x00e9.toChar)
+    val r = Seq(Tuple1(decomposed)).toDF("s")
+      .selectExpr("normalize(s) AS n", "length(normalize(s)) AS l")
+      .head()
+    assert(r.getString(0) === composed)
+    assert(r.getInt(1) === 1)
+  }
+
+  test("registered split keeps Spark's char-split for '' and regex " +
+      "reading for non-literal delimiters") {
+    Functions.register(spark)
+    val r = spark.sql(
+      """SELECT split('ab', '') AS chars,
+        |       split('axxb', repeat('x', 2)) AS nonlit""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq("a", "b"))
+    // repeat('x',2) is foldable but not a parse-time literal — the
+    // builder sees the unresolved call and falls back to regex
+    // semantics; 'xx' has no metacharacters so both dialects agree
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+  }
+
+  test("mysqlFormatToJava quotes literal runs and honors %%") {
+    assert(Functions.mysqlFormatToJava("%Y-%m-%dT%H:%i:%s")
+      === "yyyy'-'MM'-'dd'T'HH':'mm':'ss")
+    assert(Functions.mysqlFormatToJava("%H%%on %W") === "HH'%on 'EEEE")
+    assert(Functions.mysqlFormatToJava("at %T sharp")
+      === "'at 'HH:mm:ss' sharp'")
+    // unknown token: percent dropped, letter kept literal (MySQL)
+    assert(Functions.mysqlFormatToJava("%Q%d") === "'Q'dd")
+  }
+
   test("to_utc UDF coerces epochs of any magnitude") {
     Functions.register(spark)
     val r = spark.sql("SELECT to_utc('1704068166000') AS t").head()

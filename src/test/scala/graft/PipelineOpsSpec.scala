@@ -655,6 +655,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r.getBoolean(5))
   }
 
+  test("gopherRules: per-rule verdicts and the drop-reason bitmask") {
+    val d = Seq(
+      // 6 words: wc fails (bit 0); word_chars 15 → mwl 2_500_000 < 3M
+      // fails (bit 1); sym/alpha pass; only 'the' of the required
+      // words → stop fails (bit 4) → mask 1+2+16 = 19
+      (1L, "the cat sat on a mat", "en", "s"),
+      // 20 words, word_chars 3+3+18·4 = 78 → mwl 3_900_000; 'the' and
+      // 'and' present → every rule passes → mask 0, keep
+      (2L, ("the and " + Seq.fill(18)("word").mkString(" ")), "en", "s"),
+      // 6 words incl. '#','#','…': sym_cnt 3 → 500_000 ppm fails
+      // (bit 2); alpha 3/6 = 500_000 fails (bit 3); wc/mwl/stop fail
+      // too → mask 31
+      (3L, "see # and # done …", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.gopherRules(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) === 2500000L)        // mwl_ppm
+    assert(r(1L).getLong(5) === 1L)              // stop_hits
+    assert(r(1L).getLong(6) === 19L && !r(1L).getBoolean(7))
+    assert(r(2L).getLong(2) === 3900000L)
+    assert(r(2L).getLong(6) === 0L && r(2L).getBoolean(7))
+    assert(r(3L).getLong(3) === 500000L)         // sym_ppm
+    assert(r(3L).getLong(4) === 500000L)         // alpha_ppm
+    assert(r(3L).getLong(6) === 31L && !r(3L).getBoolean(7))
+  }
+
   test("label centroids: micro-floor before sum — exact and partitioning-independent") {
     val e = Seq(
       (1L, Array(0.5f, -0.25f), "x"),

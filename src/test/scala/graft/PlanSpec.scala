@@ -218,6 +218,25 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the vocabulary-scale position table must broadcast")
   }
 
+  test("q366: the Gopher rule bundle is one map-only stage — no " +
+      "exchange but the presentation sort, no join") {
+    val plan = planOf("q366_gopher_rules")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "per-doc rule metrics must not shuffle")
+    assert(!plan.contains("Join"), "the bundle reads only the doc row")
+  }
+
+  test("q367: fuzzy decontamination — eval side broadcasts everywhere, " +
+      "candidates come through the band equi-join") {
+    val plan = planOf("q367_fuzzy_decontaminate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "corpus×eval candidates must come from the banded equi-join")
+    assert(!plan.contains("SortMergeJoin"),
+      "the benchmark-sized eval side must broadcast, never shuffle " +
+        "the corpus against it")
+  }
+
   test("q132: Q18 one-pass — a single lineitem aggregate, dims broadcast") {
     val plan = planOf("q132_tpch_q18")
     assert(plan.split("Scan parquet").length - 1 === 3,
