@@ -2484,7 +2484,127 @@ private[graft] object QueriesExt {
              |FROM events
              |WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |  AND event_type IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Eval-side contamination report (GPT-3 appendix-C shape): per
+    // EVAL doc, what fraction of its distinct 3-grams the corpus
+    // contains — the complement of q20/q367's corpus-side verdicts.
+    // Exact integer ppm, fully restated relationally.
+    Q("q369_contamination_overlap",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Curation.contaminationOverlap(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0))
+      },
+      Some("""WITH ew AS (SELECT doc_id AS eval_id,
+             |    string_split(text, ' ') AS ws FROM documents
+             |  WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+             |cw AS (SELECT string_split(text, ' ') AS ws
+             |  FROM documents
+             |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             |eg AS (SELECT DISTINCT eval_id,
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT eval_id, ws, generate_subscripts(ws, 1) AS i
+             |        FROM ew) t
+             |  WHERE i + 2 <= len(ws)),
+             |cg AS (SELECT DISTINCT
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT ws, generate_subscripts(ws, 1) AS i
+             |        FROM cw) t
+             |  WHERE i + 2 <= len(ws)),
+             |hit AS (SELECT DISTINCT eg.gram
+             |  FROM eg JOIN cg USING (gram))
+             |SELECT eval_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(COUNT(h.gram) AS BIGINT) AS hit_grams,
+             |  CAST((COUNT(h.gram) * 1000000) // COUNT(*) AS BIGINT)
+             |    AS overlap_ppm,
+             |  ((COUNT(h.gram) * 1000000) // COUNT(*)) >= 100000
+             |    AS dirty
+             |FROM eg LEFT JOIN hit h ON h.gram = eg.gram
+             |GROUP BY eval_id ORDER BY eval_id""".stripMargin)),
+
+    // C4-style duplicate-span REMOVAL (q153/dupSpanStats reports;
+    // this rewrites): global first-occurrence-wins on 8-token spans,
+    // every later occurrence removed together with the tokens it
+    // covers. The oracle replays the first-occurrence table (min of
+    // the doc_id·10⁶+pos key), the coverage explode and the ordered
+    // text rebuild.
+    Q("q370_remove_dup_spans",
+      (s, dir) => graft.ops.Curation.removeDupSpans(
+        Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |pos AS (SELECT doc_id, ws,
+             |    generate_subscripts(ws, 1) AS i FROM t),
+             |g AS (SELECT doc_id, i AS pos,
+             |    array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+             |  FROM pos WHERE i + 7 <= len(ws)),
+             |f AS (SELECT gram, MIN(doc_id * 1000000 + pos) AS fk
+             |  FROM g GROUP BY 1),
+             |d AS (SELECT g.doc_id, g.pos
+             |  FROM g JOIN f USING (gram)
+             |  WHERE g.doc_id * 1000000 + g.pos <> f.fk),
+             |rp AS (SELECT DISTINCT * FROM (SELECT doc_id,
+             |    unnest(range(pos, pos + 8)) AS p FROM d) u),
+             |tok AS (SELECT doc_id, i AS p, ws[i] AS tok FROM pos),
+             |kept AS (SELECT tok.* FROM tok
+             |  ANTI JOIN rp USING (doc_id, p)),
+             |agg AS (SELECT doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY p) AS kept_text
+             |  FROM kept GROUP BY 1)
+             |SELECT t.doc_id,
+             |  CAST(len(ws) AS BIGINT) AS n_tokens,
+             |  COALESCE(agg.n_kept, 0) AS n_kept,
+             |  CAST(len(ws) AS BIGINT) - COALESCE(agg.n_kept, 0)
+             |    AS n_removed,
+             |  COALESCE(agg.kept_text, '') AS kept_text
+             |FROM t LEFT JOIN agg USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Streaming benchmark-decontamination gate: the corpus side of
+    // q369's split arrives as a STREAM and every doc sharing a
+    // 3-gram with the static eval set is flagged map-only (the eval
+    // gram table rides the plan as a literal — no join, no state).
+    // Output matches the batch decontaminate contract; the oracle
+    // restates the distinct-shared-gram counts and earliest eval id.
+    Q("q371_stream_decontaminate",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val evals = Tables(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+        val stream = QueriesAlert.tableStream(s, dir, "documents")
+          .where(col("doc_id") % 5 =!= 0)
+        val out = graft.streaming.StreamingPipeline
+          .decontaminateStream(stream, evals)
+        QueriesAlert.drainToMemory(s, out, "q371_sink",
+          OutputMode.Append()).orderBy("doc_id")
+      },
+      Some("""WITH ew AS (SELECT doc_id AS eval_id,
+             |    string_split(text, ' ') AS ws FROM documents
+             |  WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+             |cw AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             |eg AS (SELECT DISTINCT eval_id,
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT eval_id, ws, generate_subscripts(ws, 1) AS i
+             |        FROM ew) t
+             |  WHERE i + 2 <= len(ws)),
+             |cg AS (SELECT DISTINCT doc_id,
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+             |        FROM cw) t
+             |  WHERE i + 2 <= len(ws)),
+             |j AS (SELECT cg.doc_id, cg.gram,
+             |    MIN(eg.eval_id) AS e
+             |  FROM cg JOIN eg USING (gram) GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS hit_shingles,
+             |  CAST(MIN(e) AS BIGINT) AS eval_hit
+             |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

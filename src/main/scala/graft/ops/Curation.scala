@@ -1228,6 +1228,102 @@ object Curation {
     * The only wide shuffle is the per-doc verdict aggregation,
     * map-side combinable and keyed by doc id.
     */
+  /** Eval-side contamination overlap report (the GPT-3 appendix-C
+    * shape, word-n-gram form): for each EVAL document, the fraction
+    * (micro-units, exact floor) of its DISTINCT n-grams that appear
+    * anywhere in the training corpus, plus the dirty verdict at
+    * `dirtyPpm`. The complement of [[decontaminate]] /
+    * [[fuzzyDecontaminate]], which flag CORPUS docs — this is the
+    * report a benchmark owner reads to decide whether an eval split
+    * is still trustworthy against a given corpus.
+    *
+    * Scale shape: the eval side is benchmark-sized by contract, so
+    * its distinct gram set broadcasts; the 100 TB corpus streams
+    * map-side through the broadcast semi-join carrying only the gram
+    * string, and the surviving matched-gram set (bounded by the eval
+    * vocabulary, not the corpus) is the only thing that shuffles.
+    * The per-eval-doc aggregation is map-side combinable.
+    */
+  def contaminationOverlap(corpus: DataFrame, evalSet: DataFrame,
+      n: Int = 3, dirtyPpm: Long = 100000L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def gramRows(df: DataFrame, as: String) = {
+      val t = split(col(textCol), " ")
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as(as), t.as("t"))
+        .where(size(col("t")) >= n)
+        .select(col(as), explode(array_distinct(
+          transform(sequence(lit(0), size(col("t")) - n),
+            p => array_join(slice(col("t"), p + 1, lit(n)), " "))))
+          .as("gram"))
+    }
+    val ev = gramRows(evalSet, "eval_id")
+    val hit = gramRows(Par.spread(corpus), "doc_id")
+      .join(broadcast(ev.select("gram").distinct()), Seq("gram"))
+      .select("gram").distinct()
+    ev.join(hit.withColumn("h", lit(1L)), Seq("gram"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("h"), lit(0L))).as("hit_grams"))
+      .withColumn("overlap_ppm", ppmFloor(col("hit_grams"), col("n_grams")))
+      .withColumn("dirty", col("overlap_ppm") >= dirtyPpm)
+      .orderBy("eval_id")
+  }
+
+  /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2,
+    * word-n-gram form — this corpus has no sentence structure):
+    * every occurrence of an n-token span whose exact text appeared
+    * EARLIER in the corpus (global (doc, position) order, first
+    * occurrence wins) is removed; a token goes when ANY removed span
+    * covers it. Returns the rewritten corpus —
+    * `(doc_id, n_tokens, n_kept, n_removed, kept_text)` — where
+    * [[dupSpanStats]] only reports. Deterministic: the keeper of a
+    * span is min over the encoded key `doc_id·10⁶ + pos`, exact
+    * integers throughout.
+    *
+    * Scale shape: the first-occurrence table is one map-combinable
+    * MIN keyed by the gram; the join back re-distributes by gram (a
+    * hot span costs fan-out proportional to its occurrence count,
+    * same as any global dedup); coverage explode is bounded by n per
+    * duplicate; the rebuild aggregation is keyed by doc. No driver
+    * state, no collect.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = Par.spread(docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t")))
+      .localCheckpoint()
+    val grams = base.where(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - n),
+          p => array_join(slice(col("t"), p + 1, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val first = grams.groupBy("gram")
+      .agg(min(col("doc_id") * 1000000L + col("pos")).as("fk"))
+    val removedPos = grams.join(first, Seq("gram"))
+      .where(col("doc_id") * 1000000L + col("pos") =!= col("fk"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+      .join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("kept_text"))
+    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       n: Int = 3, numHashes: Int = 16, bands: Int = 4,
       thresholdPpm: Long = 500000L, textCol: String = "text",

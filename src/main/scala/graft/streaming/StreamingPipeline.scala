@@ -79,6 +79,52 @@ object StreamingPipeline {
       .join(corpusSigs.select(col("text_hash")).dropDuplicates("text_hash"),
         Seq("text_hash"), "left_anti")
 
+  /** Streaming benchmark-decontamination gate: flag each arriving
+    * corpus document that shares ≥ `minHits` distinct word n-grams
+    * with a static eval set — [[graft.ops.Curation.decontaminate]]'s
+    * exact-overlap contract as a crawl-time filter. Output per
+    * flagged doc: `(doc_id, hit_shingles, eval_hit)` (distinct shared
+    * grams, earliest matching eval id) — the batch op's schema with
+    * gram STRINGS in place of shingle hashes (identical counts absent
+    * collisions, the q21/q22 contract).
+    *
+    * Scale shape: the eval set is benchmark-sized BY CONTRACT, so its
+    * gram → earliest-id table ships to every task as a plan literal —
+    * the streaming analogue of the batch broadcast join. The stream
+    * side is then fully map-only: no join, no shuffle, no state, no
+    * watermark, safe in any output mode. (The lossy scale-out
+    * variant of the same shape is a Bloom filter of eval grams; this
+    * corpus' eval vocabularies fit exactly.) The one-time static-side
+    * aggregation that builds the table is a bounded driver pull,
+    * same class as the audited query-vector collects.
+    */
+  def decontaminateStream(docs: DataFrame, evalSet: DataFrame,
+      n: Int = 3, minHits: Long = 1L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def grams(c: Column): Column = {
+      val t = split(c, " ")
+      array_distinct(when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          p => array_join(slice(t, p + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+    }
+    val lookup: Map[String, Long] = evalSet
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("eval_id"),
+        explode(grams(col(textCol))).as("gram"))
+      .groupBy("gram").agg(min("eval_id").as("eval_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lk = typedLit(lookup)
+    val g = grams(col(textCol))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(filter(g, x => element_at(lk, x).isNotNull)).cast("long")
+          .as("hit_shingles"),
+        array_min(filter(transform(g, x => element_at(lk, x)),
+          x => x.isNotNull)).as("eval_hit"))
+      .where(col("hit_shingles") >= minHits)
+  }
+
   /** Stream-static near-dup alarm: MinHash band join of the live
     * stream against the persisted corpus signature snapshot, verified
     * IN-STREAM by exact Jaccard over the shingle-hash sets both sides

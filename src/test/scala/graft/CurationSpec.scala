@@ -27,6 +27,64 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       Seq((1L, 1L, 100L)))
   }
 
+  test("contaminationOverlap: per-EVAL ppm of distinct grams the corpus holds") {
+    val corpus = docs(
+      (1L, "a b c d", "s"),            // grams: abc bcd
+      (2L, "x y z w", "s"))            // grams: xyz yzw
+    val eval = docs(
+      (100L, "a b c q r", "s"),        // grams: abc bcq cqr → 1/3 hit
+      (105L, "m n o p", "s"))          // grams: mno nop → 0/2 hit
+    val out = Curation.contaminationOverlap(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (100L, 3L, 1L, 333333L, true),   // floor(1e6/3), over 10% → dirty
+      (105L, 2L, 0L, 0L, false)))
+  }
+
+  test("contaminationOverlap counts a repeated eval gram once") {
+    val corpus = docs((1L, "a b c d", "s"))
+    // "a b c" occurs twice in the eval doc; distinct grams are
+    // {abc, bca, cab} → 3, of which only abc is in the corpus
+    val eval = docs((100L, "a b c a b c", "s"))
+    val out = Curation.contaminationOverlap(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((100L, 3L, 1L)))
+  }
+
+  test("removeDupSpans: later occurrences of a span go, first stays") {
+    val corpus = docs(
+      (1L, "a b c d e", "s"),          // holds the first "a b c d"
+      (2L, "a b c d x", "s"),          // dup span at pos 1 → a b c d removed
+      (3L, "q q q q", "s"))            // only span occurs once → kept
+    val out = Curation.removeDupSpans(corpus, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 5L, 0L, "a b c d e"),
+      (2L, 5L, 1L, 4L, "x"),
+      (3L, 4L, 4L, 0L, "q q q q")))
+  }
+
+  test("removeDupSpans: overlapping dup spans union their coverage; " +
+      "within-doc repeats count as duplicates") {
+    // doc 1 pos1 "a b c" is globally first; doc 1 pos4 "a b c" is a
+    // WITHIN-doc duplicate → tokens 4-6 removed; doc 2's overlapping
+    // dup spans at pos 1 ("a b c") and pos 3 ("c a b" — first seen at
+    // doc 1 pos 3? no: "c a b" first occurs doc 1 pos 3) remove 1-5
+    val corpus = docs(
+      (1L, "a b c a b c", "s"),        // grams: abc(1) bca(2) cab(3) abc(4)
+      (2L, "a b c a b", "s"))          // grams: abc(1) bca(2) cab(3)
+    val out = Curation.removeDupSpans(corpus, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: abc@4 dup (first was doc1@1) → covers 4,5,6 → keep "a b c"
+    // doc 2: abc@1, bca@2, cab@3 all dups of doc 1 → cover 1..5 → ""
+    assert(out.toSeq === Seq(
+      (1L, 6L, 3L, 3L, "a b c"),
+      (2L, 5L, 0L, 5L, "")))
+  }
+
   test("decontaminate counts distinct shingles once per corpus doc across eval docs") {
     val corpus = docs((1L, "a b c d e", "s"))     // shingles: abc bcd cde
     val eval = docs(

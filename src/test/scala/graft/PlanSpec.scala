@@ -237,6 +237,30 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
         "the corpus against it")
   }
 
+  test("q369: contamination overlap — the corpus streams through a " +
+      "broadcast semi-join on the eval gram set") {
+    val plan = planOf("q369_contamination_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // corpus grams must meet the eval gram set via broadcast — a
+    // shuffle of the 100 TB gram stream against a benchmark-sized
+    // set would be the scale killer
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-wide shuffle join against the benchmark side")
+  }
+
+  test("q370: duplicate-span removal shuffles only on gram and doc " +
+      "keys — no cartesian, no nested loop") {
+    val plan = planOf("q370_remove_dup_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // first-occurrence table: partial MIN before the gram exchange
+    assert(plan.contains("partial_min") || plan.contains("PartialMerge")
+      || plan.contains("HashAggregate"),
+      "the first-occurrence MIN must combine map-side")
+  }
+
   test("q132: Q18 one-pass — a single lineitem aggregate, dims broadcast") {
     val plan = planOf("q132_tpch_q18")
     assert(plan.split("Scan parquet").length - 1 === 3,

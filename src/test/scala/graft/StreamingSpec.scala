@@ -836,6 +836,36 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags eval-gram overlap map-only, " +
+      "stateless across batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val evals = Seq(
+      (100L, "alpha beta gamma epsilon"),
+      (101L, "beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline
+      .decontaminateStream(mem.toDF(), evals)
+    val q = out.writeStream.format("memory").queryName("dcs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Doc(ts(1), 1, "alpha beta gamma delta"), // shares abg(100), bgd(101)
+        Doc(ts(2), 2, "beta gamma alpha"),       // same words, no shared gram
+        Doc(ts(3), 3, "x y"))                    // too short for a 3-gram
+      q.processAllAvailable()
+      // second batch: statelessness — same doc text flags again
+      mem.addData(Doc(ts(4), 4, "beta gamma delta qq"))
+      q.processAllAvailable()
+      val rows = spark.table("dcs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // doc 1: distinct shared grams {abg, bgd} = 2, earliest eval 100;
+      // doc 4: {bgd} = 1, earliest eval 101 (the gram is not in 100)
+      assert(rows.toSeq === Seq((1L, 2L, 100L), (4L, 1L, 101L)))
+    } finally q.stop()
+  }
+
   test("ewmaStream accumulates state across batches, matching the batch fold") {
     implicit val sc = spark.sqlContext
     case class VEv(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
