@@ -2604,7 +2604,72 @@ private[graft] object QueriesExt {
              |SELECT doc_id,
              |  CAST(COUNT(*) AS BIGINT) AS hit_shingles,
              |  CAST(MIN(e) AS BIGINT) AS eval_hit
-             |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin)))
+             |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-prefiltered decontamination: Spark's runtime-filter
+    // sketch as an explicit map-only gram gate in front of the exact
+    // verify join. False positives die at the verify, so the output
+    // is EXACTLY the q371 contract — which is why an approximate
+    // structure can still carry a full oracle (the same restatement).
+    Q("q372_bloom_decontaminate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Curation.bloomDecontaminate(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0))
+      },
+      Some("""WITH ew AS (SELECT doc_id AS eval_id,
+             |    string_split(text, ' ') AS ws FROM documents
+             |  WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+             |cw AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+             |eg AS (SELECT DISTINCT eval_id,
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT eval_id, ws, generate_subscripts(ws, 1) AS i
+             |        FROM ew) t
+             |  WHERE i + 2 <= len(ws)),
+             |cg AS (SELECT DISTINCT doc_id,
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+             |        FROM cw) t
+             |  WHERE i + 2 <= len(ws)),
+             |j AS (SELECT cg.doc_id, cg.gram,
+             |    MIN(eg.eval_id) AS e
+             |  FROM cg JOIN eg USING (gram) GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS hit_shingles,
+             |  CAST(MIN(e) AS BIGINT) AS eval_hit
+             |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Epoch allocation under a token budget (the data-constrained
+    // scaling question): greedy by halving marginal value, boundary
+    // pick partial. Pure integer planning table — the oracle replays
+    // candidates, the value ordering, the running cost and the clamp.
+    Q("q373_epoch_allocation",
+      (s, dir) => graft.ops.Curation.epochAllocation(
+        Tables(s, dir, "documents"), budgetTokens = 60000L),
+      Some("""WITH s AS (SELECT source AS src,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1),
+             |c AS (SELECT src, n_tokens, CAST(e AS INTEGER) AS epoch,
+             |    n_tokens * (CAST(1 AS BIGINT) << (8 - e))
+             |      AS value_scaled
+             |  FROM s CROSS JOIN
+             |    (SELECT unnest(range(1, 9)) AS e) xs),
+             |w AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+             |      ORDER BY value_scaled DESC, src, epoch
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS BIGINT) AS cum_before FROM c)
+             |SELECT src, n_tokens, epoch, value_scaled, cum_before,
+             |  CAST(GREATEST(0, LEAST(n_tokens, 60000 - cum_before))
+             |    AS BIGINT) AS alloc_tokens
+             |FROM w
+             |WHERE GREATEST(0, LEAST(n_tokens, 60000 - cum_before)) > 0
+             |ORDER BY value_scaled DESC, src, epoch""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -549,5 +549,23 @@ object GraftExtensions {
     (FunctionIdentifier("topk_rows"),
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
       (es: Seq[Expression]) =>
-        TopKRows(es(0), es(1).eval().asInstanceOf[Number].intValue)))
+        TopKRows(es(0), es(1).eval().asInstanceOf[Number].intValue)),
+    // Spark's runtime-filter Bloom pair, surfaced by name so curation
+    // ops can build an explicit membership prefilter (the same sketch
+    // InjectRuntimeFilter plants automatically for join pruning).
+    // Both sides hash the RAW value through XxHash64 here, so callers
+    // never coordinate hashing: bloom_agg(v, items, bits) aggregates
+    // to the serialized filter; bloom_might_contain(bf, v) probes it.
+    // The probe's filter side must be foldable (a collected literal —
+    // driver-bounded by contract wherever the engine uses it).
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "bloom_agg"),
+      (es: Seq[Expression]) => new aggregate.BloomFilterAggregate(
+        new XxHash64(Seq(es(0))), es(1), es(2)).toAggregateExpression()),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (es: Seq[Expression]) =>
+        BloomFilterMightContain(es(0), new XxHash64(Seq(es(1))))))
 }

@@ -1270,6 +1270,99 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** [[decontaminate]]'s 100 TB-scale path: a Bloom prefilter in
+    * front of the exact verify join. The eval side's distinct gram
+    * set aggregates into ONE serialized Bloom filter (Spark's own
+    * runtime-filter sketch, surfaced as `bloom_agg`), which rides the
+    * corpus scan as a plan literal — the probe is a map-only,
+    * codegen'd predicate, so only grams the filter admits (the eval
+    * vocabulary plus its false positives, a fraction set by
+    * `numBits`) ever reach the broadcast verify join. False
+    * positives die at the verify, so the OUTPUT is exactly
+    * [[decontaminate]]'s: approximate pruning, exact result — which
+    * is why this op still carries a full oracle.
+    *
+    * The eval side is benchmark-sized by contract; building its
+    * filter is one bounded aggregation and a driver pull of
+    * `numBits/8` bytes (1 MiB at the default), the same class as the
+    * audited query-vector collects.
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      n: Int = 3, minHits: Long = 1L, estItems: Long = 1L << 20,
+      numBits: Long = 1L << 23, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def gramRows(df: DataFrame, as: String) = {
+      val t = split(col(textCol), " ")
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as(as), t.as("t"))
+        .where(size(col("t")) >= n)
+        .select(col(as), explode(array_distinct(
+          transform(sequence(lit(0), size(col("t")) - n),
+            p => array_join(slice(col("t"), p + 1, lit(n)), " "))))
+          .as("gram"))
+    }
+    val ev = gramRows(evalSet, "eval_id").localCheckpoint()
+    val bf: Array[Byte] = ev.select("gram").distinct()
+      .agg(call_function("bloom_agg", col("gram"),
+        lit(estItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val pre = gramRows(Par.spread(corpus), "doc_id")
+      .where(call_function("bloom_might_contain", lit(bf), col("gram")))
+    pre.join(broadcast(ev), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("hit_shingles"),
+        min(col("eval_id")).as("eval_hit"))
+      .where(col("hit_shingles") >= minHits)
+      .orderBy("doc_id")
+  }
+
+  /** Epoch allocation under a token budget with geometrically
+    * diminishing returns — the data-constrained-scaling question
+    * (Muennighoff et al. 2023): given each source's token count, how
+    * many REPEAT epochs does each source get when every further
+    * epoch of the same data is worth half the previous one?
+    * Greedy by marginal value: candidate (source, epoch k ≤
+    * `maxEpochs`) pairs carry value `n_tokens · 2^(maxEpochs−k)`
+    * (exact integers, same ordering as n/2^(k−1)) and cost
+    * `n_tokens`; picks happen in (value desc, source, epoch) order
+    * until the budget runs out, the boundary pick taking whatever
+    * remains. Halving guarantees epoch k of a source always
+    * outranks its epoch k+1, so allocations are contiguous without
+    * an explicit constraint.
+    *
+    * Returns the picked rows: `(source, epoch, n_tokens,
+    * value_scaled, cum_before, alloc_tokens)`. The candidate table
+    * is #sources × maxEpochs — a PLANNING artifact, so its
+    * single-partition cumulative window is bounded by spec count,
+    * never by corpus size (the one full-corpus pass is the
+    * map-combinable per-source token sum).
+    */
+  def epochAllocation(docs: DataFrame, budgetTokens: Long,
+      maxEpochs: Int = 8, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 32,
+      s"maxEpochs wants 1..32, got $maxEpochs")
+    val perSrc = Par.spread(docs)
+      .where(col(textCol).isNotNull && col(srcCol).isNotNull)
+      .groupBy(col(srcCol).as("src"))
+      .agg(sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value_scaled").desc, col("src"), col("epoch"))
+      .rowsBetween(Long.MinValue, -1)
+    perSrc
+      .select(col("src"), col("n_tokens"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("epoch"))
+      .withColumn("value_scaled",
+        expr(s"n_tokens * shiftleft(CAST(1 AS BIGINT), $maxEpochs - epoch)"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(col("n_tokens"),
+          lit(budgetTokens) - col("cum_before"))))
+      .where(col("alloc_tokens") > 0)
+      .orderBy(col("value_scaled").desc, col("src"), col("epoch"))
+  }
+
   /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2,
     * word-n-gram form — this corpus has no sentence structure):
     * every occurrence of an n-token span whose exact text appeared

@@ -52,6 +52,45 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq === Seq((100L, 3L, 1L)))
   }
 
+  test("bloomDecontaminate matches decontaminate's exact output " +
+      "(false positives die at the verify)") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta", "s"),
+      (2L, "beta gamma alpha delta", "s"),
+      (3L, "zeta eta theta iota", "s"))
+    val eval = docs(
+      (100L, "alpha beta gamma epsilon", "s"),
+      (101L, "beta gamma alpha kappa", "s"))
+    val exact = Curation.decontaminate(corpus, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // a deliberately tiny filter (64 bits) forces false positives at
+    // the prefilter; the verify join must still kill every one
+    val bloom = Curation.bloomDecontaminate(corpus, eval,
+      estItems = 4L, numBits = 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bloom === exact)
+    assert(exact.map(_._1) === Seq(1L, 2L)) // doc 3 shares nothing
+  }
+
+  test("epochAllocation: halving marginal value, boundary pick partial") {
+    val corpus = docs(
+      (1L, "a b c d e f g h i j", "big"),   // 10 tokens
+      (2L, "k l m n", "small"))              // 4 tokens
+    // maxEpochs=2, budget=17. candidates (value = n·2^(2-k)):
+    //   (big,1)=20, (small,1)=8, (big,2)=10, (small,2)=4
+    // order: big1(20) → small1(8) → big2(10) → wait: 10 > 8!
+    // order by value desc: big1(20), big2(10), small1(8), small2(4)
+    // cum: 0, 10, 20 → small1 alloc = min(4, 17-20) ≤ 0 → dropped;
+    // big2 alloc = min(10, 17-10) = 7 (partial boundary pick)
+    val out = Curation.epochAllocation(corpus, budgetTokens = 17L,
+      maxEpochs = 2).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("big", 1, 10L, 20L, 0L, 10L),
+      ("big", 2, 10L, 10L, 10L, 7L)))
+  }
+
   test("removeDupSpans: later occurrences of a span go, first stays") {
     val corpus = docs(
       (1L, "a b c d e", "s"),          // holds the first "a b c d"

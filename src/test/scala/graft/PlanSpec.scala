@@ -261,6 +261,16 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the first-occurrence MIN must combine map-side")
   }
 
+  test("q372: bloom prefilter rides the corpus scan as a map-only " +
+      "predicate; verify join broadcasts") {
+    val plan = planOf("q372_bloom_decontaminate")
+    assert(plan.contains("might_contain"),
+      "the Bloom probe must appear as a filter predicate in the plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "only bloom-admitted grams may reach the (broadcast) verify join")
+  }
+
   test("q132: Q18 one-pass — a single lineitem aggregate, dims broadcast") {
     val plan = planOf("q132_tpch_q18")
     assert(plan.split("Scan parquet").length - 1 === 3,
