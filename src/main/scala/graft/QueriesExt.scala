@@ -2669,7 +2669,95 @@ private[graft] object QueriesExt {
              |    AS BIGINT) AS alloc_tokens
              |FROM w
              |WHERE GREATEST(0, LEAST(n_tokens, 60000 - cum_before)) > 0
-             |ORDER BY value_scaled DESC, src, epoch""".stripMargin)))
+             |ORDER BY value_scaled DESC, src, epoch""".stripMargin)),
+
+    // q366's Gopher rule bundle applied AT CRAWL TIME: the documents
+    // table arrives as a stream and the gate scores each row
+    // map-only (no join, no state). Same oracle as the batch bundle —
+    // the two implementations are pinned to each other through it.
+    Q("q374_stream_gopher_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "documents")
+        val out = graft.streaming.StreamingPipeline
+          .gopherGateStream(stream, minStopHits = 1L)
+        QueriesAlert.drainToMemory(s, out, "q374_sink",
+          OutputMode.Append()).orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, text,
+             |    string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |m AS (SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(ws, x -> length(x)))
+             |      AS BIGINT) AS word_chars,
+             |    CAST(2 * length(text)
+             |      - length(replace(text, '#', ''))
+             |      - length(replace(text, '…', '')) AS BIGINT)
+             |      AS sym_cnt,
+             |    CAST(len(list_filter(ws,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+             |      AS alpha_cnt,
+             |    CAST(len(list_filter(
+             |      ['the','be','to','of','and','that','have','with'],
+             |      x -> list_contains(ws, x))) AS BIGINT) AS stop_hits
+             |  FROM w),
+             |p AS (SELECT doc_id, n_words,
+             |    (word_chars * 1000000) // n_words AS mwl_ppm,
+             |    (sym_cnt * 1000000) // n_words AS sym_ppm,
+             |    (alpha_cnt * 1000000) // n_words AS alpha_ppm,
+             |    stop_hits
+             |  FROM m),
+             |f AS (SELECT *,
+             |    (CASE WHEN n_words BETWEEN 20 AND 1000
+             |       THEN 0 ELSE 1 END)
+             |  + (CASE WHEN mwl_ppm BETWEEN 3000000 AND 10000000
+             |       THEN 0 ELSE 2 END)
+             |  + (CASE WHEN sym_ppm <= 100000 THEN 0 ELSE 4 END)
+             |  + (CASE WHEN alpha_ppm >= 800000 THEN 0 ELSE 8 END)
+             |  + (CASE WHEN stop_hits >= 1 THEN 0 ELSE 16 END)
+             |    AS fail_mask
+             |  FROM p)
+             |SELECT doc_id, n_words, mwl_ppm, sym_ppm, alpha_ppm,
+             |  stop_hits, CAST(fail_mask AS BIGINT) AS fail_mask,
+             |  fail_mask = 0 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Pairwise source-overlap audit: exact vocabulary Jaccard and
+    // both directed containments per source pair — the mixture
+    // designer's near-copy detector. The oracle restates the
+    // distinct (source, gram) projection and every ratio.
+    Q("q375_source_overlap",
+      (s, dir) => graft.ops.Curation.sourceOverlapMatrix(
+        Tables(s, dir, "documents")),
+      Some("""WITH w AS (SELECT source AS src,
+             |    string_split(text, ' ') AS ws FROM documents
+             |  WHERE text IS NOT NULL AND source IS NOT NULL),
+             |sg AS (SELECT DISTINCT src,
+             |    array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+             |  FROM (SELECT src, ws, generate_subscripts(ws, 1) AS i
+             |        FROM w) t
+             |  WHERE i + 2 <= len(ws) AND len(ws) >= 3),
+             |sz AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_grams
+             |  FROM sg GROUP BY 1),
+             |p AS (SELECT a.src AS src_a, b.src AS src_b,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM sg a JOIN sg b
+             |    ON a.gram = b.gram AND a.src < b.src
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b,
+             |  za.n_grams AS na, zb.n_grams AS nb, inter,
+             |  CAST((inter * 1000000)
+             |    // (za.n_grams + zb.n_grams - inter) AS BIGINT)
+             |    AS jaccard_ppm,
+             |  CAST((inter * 1000000) // za.n_grams AS BIGINT)
+             |    AS contain_a_ppm,
+             |  CAST((inter * 1000000) // zb.n_grams AS BIGINT)
+             |    AS contain_b_ppm
+             |FROM p
+             |JOIN sz za ON za.src = p.src_a
+             |JOIN sz zb ON zb.src = p.src_b
+             |ORDER BY src_a, src_b""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

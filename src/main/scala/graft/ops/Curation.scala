@@ -1270,6 +1270,56 @@ object Curation {
       .orderBy("eval_id")
   }
 
+  /** Pairwise source-overlap audit: for every unordered source pair,
+    * the exact Jaccard (micro-units) between their distinct word
+    * n-gram vocabularies plus both directed containments — the
+    * corpus-audit view that tells a mixture designer which sources
+    * are near-copies before [[mixturePlan]] weights them.
+    *
+    * Scale shape: the only corpus-wide work is the distinct
+    * (source, gram) projection and one aggregation keyed by gram that
+    * collects the gram's source SET (bounded by #sources, a spec
+    * constant — never corpus-sized). Pairs expand per gram from that
+    * array (≤ S² rows each), so no gram-keyed self-join of the corpus
+    * against itself ever happens; the pair aggregation and the size
+    * joins are planning-table-sized.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val t = split(col(textCol), " ")
+    val sg = Par.spread(docs)
+      .where(col(textCol).isNotNull && col(srcCol).isNotNull)
+      .select(col(srcCol).as("src"), t.as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("src"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("t")) - n),
+          p => array_join(slice(col("t"), p + 1, lit(n)), " "))))
+        .as("gram"))
+      .distinct()
+    val sizes = sg.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val ss = sort_array(collect_set(col("src")))
+    val pairs = sg.groupBy("gram").agg(ss.as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2),
+          size(col("ss"))), b => struct(a.as("src_a"), b.as("src_b"))))))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n_grams").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n_grams").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("inter"),
+        ppmFloor(col("inter"), col("na") + col("nb") - col("inter"))
+          .as("jaccard_ppm"),
+        ppmFloor(col("inter"), col("na")).as("contain_a_ppm"),
+        ppmFloor(col("inter"), col("nb")).as("contain_b_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** [[decontaminate]]'s 100 TB-scale path: a Bloom prefilter in
     * front of the exact verify join. The eval side's distinct gram
     * set aggregates into ONE serialized Bloom filter (Spark's own

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
+    // streaming relations can't be probed with .rdd (and micro-batch
+    // parallelism is the source rate's job) — pass them through so
+    // batch column programs that call spread stay stream-reusable
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // `.rdd` pays a physical-planning pass, but it is the only probe
     // that sees the ACTUAL scan-task count. File count is not a valid

@@ -966,6 +966,21 @@ object TextAnalysis {
       minMwlPpm: Long = 3000000L, maxMwlPpm: Long = 10000000L,
       maxSymPpm: Long = 100000L, minAlphaPpm: Long = 800000L,
       minStopHits: Long = 2L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    gopherRulesUnsorted(docs, minWords, maxWords, minMwlPpm, maxMwlPpm,
+      maxSymPpm, minAlphaPpm, minStopHits, textCol, idCol)
+      .orderBy("doc_id")
+
+  /** [[gopherRules]] minus the presentation sort — the bundle is a
+    * pure per-row projection, so THIS form is legal over a stream in
+    * any output mode (the streaming gate in
+    * [[graft.streaming.StreamingPipeline.gopherGateStream]] wraps it).
+    */
+  def gopherRulesUnsorted(docs: DataFrame,
+      minWords: Long = 20L, maxWords: Long = 1000L,
+      minMwlPpm: Long = 3000000L, maxMwlPpm: Long = 10000000L,
+      maxSymPpm: Long = 100000L, minAlphaPpm: Long = 800000L,
+      minStopHits: Long = 2L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def ppm(num: Column, den: Column): Column = Curation.ppmFloor(num, den)
     def occurrences(of: String): Column =
@@ -1000,7 +1015,6 @@ object TextAnalysis {
       .select((Seq("doc_id", "n_words", "mwl_ppm", "sym_ppm", "alpha_ppm",
         "stop_hits").map(col) :+ col("fail_mask") :+
         (col("fail_mask") === 0L).as("keep")): _*)
-      .orderBy("doc_id")
   }
 
   def suffixArrayChecksum(docs: DataFrame, maxLen: Int = 1024,

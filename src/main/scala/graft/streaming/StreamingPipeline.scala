@@ -125,6 +125,21 @@ object StreamingPipeline {
       .where(col("hit_shingles") >= minHits)
   }
 
+  /** Streaming Gopher quality gate: the q366 rule bundle
+    * ([[graft.ops.TextAnalysis.gopherRulesUnsorted]]) applied at
+    * crawl time. Pure per-row projection — no join, no state, no
+    * watermark, legal in any output mode — emitting the same
+    * per-rule verdicts and drop-reason bitmask as the batch op, so a
+    * curation pipeline can explain every drop live. `keepOnly = true`
+    * turns the report into a filter (the gate proper).
+    */
+  def gopherGateStream(docs: DataFrame, minStopHits: Long = 2L,
+      keepOnly: Boolean = false): DataFrame = {
+    val scored = graft.ops.TextAnalysis.gopherRulesUnsorted(
+      docs, minStopHits = minStopHits)
+    if (keepOnly) scored.where(col("keep")) else scored
+  }
+
   /** Stream-static near-dup alarm: MinHash band join of the live
     * stream against the persisted corpus signature snapshot, verified
     * IN-STREAM by exact Jaccard over the shingle-hash sets both sides

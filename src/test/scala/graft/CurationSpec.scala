@@ -52,6 +52,23 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq === Seq((100L, 3L, 1L)))
   }
 
+  test("sourceOverlapMatrix: exact pairwise Jaccard and containments " +
+      "over distinct gram vocabularies") {
+    val corpus = docs(
+      (1L, "a b c d", "s1"),           // grams: abc bcd
+      (2L, "a b c", "s2"),             // grams: abc
+      (3L, "x y z", "s3"),             // grams: xyz (disjoint)
+      (4L, "a b c d", "s1"))           // duplicate doc — grams dedupe
+    val out = Curation.sourceOverlapMatrix(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    // only s1×s2 shares anything: inter=1, |s1|=2, |s2|=1 →
+    // jaccard = floor(1e6/2), contain_a = 1/2, contain_b = 1/1
+    assert(out.toSeq === Seq(
+      ("s1", "s2", 2L, 1L, 1L, 500000L, 500000L, 1000000L)))
+  }
+
   test("bloomDecontaminate matches decontaminate's exact output " +
       "(false positives die at the verify)") {
     val corpus = docs(

@@ -866,6 +866,31 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("gopherGateStream keepOnly filters to keep=0-mask rows, " +
+      "matching the batch bundle's verdicts") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // 50 words, mean word length in-range, contains 'the'
+    val good = (1 to 25).map(i => s"the word$i").mkString(" ")
+    val bad = "x1 x2 x3"                                    // too short, no stopword
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline
+      .gopherGateStream(mem.toDF(), minStopHits = 1L, keepOnly = true)
+    val q = out.writeStream.format("memory").queryName("ggs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(ts(1), 1, good), Doc(ts(2), 2, bad))
+      q.processAllAvailable()
+      val rows = spark.table("ggs").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+      // verdicts equal the batch op's on the same rows
+      val batch = graft.ops.TextAnalysis.gopherRules(
+        Seq((1L, good), (2L, bad)).toDF("doc_id", "text"),
+        minStopHits = 1L).where("keep").collect()
+      assert(rows.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("ewmaStream accumulates state across batches, matching the batch fold") {
     implicit val sc = spark.sqlContext
     case class VEv(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
