@@ -2757,7 +2757,70 @@ private[graft] object QueriesExt {
              |FROM p
              |JOIN sz za ON za.src = p.src_a
              |JOIN sz zb ON zb.src = p.src_b
-             |ORDER BY src_a, src_b""".stripMargin)))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Wordpiece fertility by pure relational Viterbi: vocab = all
+    // single chars + top-512 2..4-grams ranked by weighted count,
+    // per-word min-(cost, pieces) DP as ONE Catalyst aggregate fold —
+    // no UDF anywhere. The oracle replays the vocab ranking, the
+    // candidate spans and the identical encoded fold via list_reduce.
+    Q("q376_wordpiece_fertility",
+      (s, dir) => graft.ops.TextAnalysis.wordpieceFertility(
+        Tables(s, dir, "documents")),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |wstream AS (SELECT doc_id, w AS word
+             |  FROM (SELECT doc_id, unnest(ws) AS w FROM base) t
+             |  WHERE length(w) BETWEEN 1 AND 32),
+             |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt,
+             |    CAST(length(word) AS BIGINT) AS len
+             |  FROM wstream GROUP BY 1),
+             |spans AS (SELECT word, wcnt, len, s, l,
+             |    substring(word, CAST(s + 1 AS INTEGER),
+             |      CAST(l AS INTEGER)) AS piece
+             |  FROM (SELECT word, wcnt, len,
+             |        unnest(range(0, len)) AS s FROM wc) t
+             |  CROSS JOIN (SELECT unnest(range(1, 5)) AS l) u
+             |  WHERE s + l <= len),
+             |gram AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+             |  FROM spans GROUP BY 1),
+             |vocab AS (SELECT piece,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+             |      AS BIGINT) AS cost
+             |  FROM (SELECT piece, cnt FROM gram WHERE length(piece) = 1
+             |        UNION ALL
+             |        SELECT piece, cnt FROM
+             |          (SELECT piece, cnt FROM gram
+             |           WHERE length(piece) >= 2
+             |           ORDER BY cnt DESC, piece LIMIT 512) m) v),
+             |cands AS (SELECT s.word, s.len,
+             |    list(struct_pack(e := s.s + s.l, s := s.s,
+             |      cost := v.cost)) AS cands
+             |  FROM spans s JOIN vocab v ON v.piece = s.piece
+             |  GROUP BY s.word, s.len),
+             |dp AS (SELECT word,
+             |    list_reduce(
+             |      list_prepend([CAST(0 AS BIGINT)],
+             |        list_transform(range(1, len + 1),
+             |          i -> [CAST(i AS BIGINT)])),
+             |      (a, b) -> list_append(a,
+             |        list_min(list_transform(
+             |          list_filter(cands, c -> c.e = b[1]),
+             |          c -> a[CAST(c.s + 1 AS INTEGER)]
+             |            + c.cost * 64 + 1))))[-1] AS combined
+             |  FROM cands),
+             |perdoc AS (SELECT w.doc_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_words,
+             |    CAST(SUM(d.combined // 64) AS BIGINT) AS total_cost,
+             |    CAST(SUM(d.combined % 64) AS BIGINT) AS n_pieces
+             |  FROM wstream w JOIN dp d USING (word) GROUP BY 1)
+             |SELECT b.doc_id,
+             |  COALESCE(p.n_words, 0) AS n_words,
+             |  COALESCE(p.total_cost, 0) AS total_cost,
+             |  COALESCE(p.n_pieces, 0) AS n_pieces
+             |FROM (SELECT DISTINCT doc_id FROM base) b
+             |LEFT JOIN perdoc p USING (doc_id)
+             |ORDER BY b.doc_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -1017,6 +1017,102 @@ object TextAnalysis {
         (col("fail_mask") === 0L).as("keep")): _*)
   }
 
+  /** Wordpiece segmentation fertility by pure relational Viterbi —
+    * the "how many pieces does a trained subword vocab spend on this
+    * corpus" question (SentencePiece/WordPiece's operational side),
+    * with NO UDF and no kernel: the per-word min-cost DP is a single
+    * Catalyst `aggregate` fold over candidate spans.
+    *
+    *   - vocab: every single character plus the `topK` most frequent
+    *     2..`maxPieceLen`-char grams of the (occurrence-weighted)
+    *     word stream; piece cost = 1-based rank in (count desc,
+    *     gram asc) order over that union — deterministic integers;
+    *   - segmentation objective, per word: lexicographically minimize
+    *     (total piece cost, piece count). Both fold through ONE
+    *     encoded long (`cost·64 + pieces` — valid because words are
+    *     capped at `maxWordLen` < 64 pieces), so the DP value is
+    *     unique and tie-free even when segmentations tie;
+    *   - words longer than `maxWordLen` are excluded everywhere
+    *     (none exist in this corpus; the cap is what makes the
+    *     encoding exact).
+    *
+    * Output per doc: `(doc_id, n_words, total_cost, n_pieces)` —
+    * n_pieces/n_words is the tokenizer-fertility the packing ops
+    * budget with.
+    *
+    * Scale shape: the DP runs once per DISTINCT word (the corpus
+    * word stream only feeds two map-combinable counts and the final
+    * per-doc sum); candidate spans join the vocab by broadcast (top-K
+    * + alphabet — bounded); the top-K itself is TakeOrdered, never a
+    * global sort. The only single-partition window ranks the bounded
+    * vocab union — planning-table-sized by construction.
+    */
+  def wordpieceFertility(docs: DataFrame, topK: Int = 512,
+      maxPieceLen: Int = 4, maxWordLen: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Par.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+      .localCheckpoint()
+    val wc = words.groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .withColumn("len", length(col("word")))
+    // occurrence-weighted gram counts, from the distinct-word table
+    val spans = wc.select(col("word"), col("wcnt"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("s"))
+      .select(col("word"), col("wcnt"), col("len"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("len") - col("s")))).as("l"))
+      .withColumn("piece", expr("substring(word, s + 1, l)"))
+    val gramCnt = spans.groupBy("piece")
+      .agg(sum(col("wcnt")).as("cnt"))
+    val singles = gramCnt.where(length(col("piece")) === 1)
+    val multi = gramCnt.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(topK)
+    val vocab = singles.union(multi)
+      .withColumn("cost", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("piece"))).cast("long"))
+      .select("piece", "cost")
+    val cands = spans
+      .join(broadcast(vocab), Seq("piece"))
+      .groupBy("word", "len")
+      .agg(collect_list(struct((col("s") + col("l")).as("e"),
+        col("s"), col("cost"))).as("cands"))
+    // the Viterbi fold: dp[0] = 0; dp[i] = min over spans ending at i
+    // of dp[start] + cost·64 + 1 (encoded lexicographic objective).
+    // Every position has its single-char span — the vocab contains
+    // every character of every kept word by construction — so the
+    // inner array_min is never over an empty array.
+    val dp = cands.withColumn("combined",
+      element_at(
+        aggregate(
+          sequence(lit(1), col("len")),
+          array(lit(0L)),
+          (acc, i) => concat(acc, array(
+            array_min(transform(
+              filter(col("cands"), c => c.getField("e") === i),
+              c => element_at(acc, c.getField("s").cast("int") + 1)
+                + c.getField("cost") * 64L + 1L)))),
+          acc => acc),
+        -1))
+      .select("word", "combined")
+    val perDoc = words.join(dp, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("combined div 64")).as("total_cost"),
+        sum(expr("combined % 64")).as("n_pieces"))
+    Par.spread(docs).where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("total_cost"), lit(0L)).as("total_cost"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
   def suffixArrayChecksum(docs: DataFrame, maxLen: Int = 1024,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

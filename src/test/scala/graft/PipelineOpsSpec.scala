@@ -17,6 +17,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     (4L, "el gato y el perro en la casa de los padres", "es", "s4"))
     .toDF("doc_id", "text", "lang", "source")
 
+  test("wordpieceFertility: lexicographic (cost, pieces) Viterbi over " +
+      "a rank-cost vocab, hand-checkable corpus") {
+    // one doc, words "aa ab": grams and weighted counts —
+    //   a: appears in aa(×2 spans), ab(×1) → cnt 3
+    //   b: 1 ; aa: 1 ; ab: 1
+    // vocab rank (cnt desc, piece asc): a=1, aa=2, ab=3, b=4
+    // DP "aa": a|a = 1+1 = 2 cost 2 pieces → 2·64+2 = 130;
+    //          aa = 2 cost 1 piece → 2·64+1 = 129 → min 129
+    // DP "ab": a|b = 1+4 = 5 → 5·64+2 = 322; ab = 3 → 3·64+1 = 193
+    val one = Seq((7L, "aa ab")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.wordpieceFertility(one).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // totals: cost 2+3 = 5, pieces 1+1 = 2
+    assert(out.toSeq === Seq((7L, 2L, 5L, 2L)))
+  }
+
+  test("wordpieceFertility ties break to fewer pieces at equal cost") {
+    // craft equal-cost segmentations: words: "ab" ×2 and "a","b"
+    // weighted counts: a: ab×1·2 + a×1 = 3; b: 3; ab: 2
+    // ranks: a=1, b=2, ab=3
+    // DP "ab": a|b = 1+2 = 3 (2 pieces → 3·64+2=194);
+    //          ab = 3 (1 piece → 3·64+1=193) — EQUAL cost, fewer
+    //          pieces wins via the encoding
+    val one = Seq((1L, "ab ab a b")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.wordpieceFertility(one).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // words: ab(3,1) ab(3,1) a(1,1) b(2,1) → cost 9, pieces 4
+    assert(out.toSeq === Seq((1L, 4L, 9L, 4L)))
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = DocDedup.exact(docs).collect()
     val dupGroup = r.find(_.getAs[Long]("dup_count") == 2L)

@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "only bloom-admitted grams may reach the (broadcast) verify join")
   }
 
+  test("q376: wordpiece DP — vocab joins broadcast, no UDF in the plan") {
+    val plan = planOf("q376_wordpiece_fertility")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounded vocab must broadcast into the candidate join")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "the Viterbi fold is a Catalyst aggregate — no UDF may appear")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q132: Q18 one-pass — a single lineitem aggregate, dims broadcast") {
     val plan = planOf("q132_tpch_q18")
     assert(plan.split("Scan parquet").length - 1 === 3,
