@@ -2820,7 +2820,64 @@ private[graft] object QueriesExt {
              |  COALESCE(p.n_pieces, 0) AS n_pieces
              |FROM (SELECT DISTINCT doc_id FROM base) b
              |LEFT JOIN perdoc p USING (doc_id)
-             |ORDER BY b.doc_id""".stripMargin)))
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // Self-referential streaming near-dup: the documents table
+    // streams through LSH banding and every doc is verified against
+    // the EARLIEST occupant of each of its band buckets. One-batch
+    // drain → representative = min doc id per bucket, which the
+    // oracle restates with q22's portable-minhash banding machinery
+    // (verify join on shingle STRINGS — the q21/q22 collision
+    // contract) and integer-micro Jaccard.
+    Q("q377_stream_self_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "documents")
+        val out = graft.streaming.StreamingPipeline
+          .selfDedupStream(stream)
+        QueriesAlert.drainToMemory(s, out.toDF(), "q377_sink",
+          OutputMode.Append()).orderBy("doc_id", "c_id", "band")
+      },
+      Some(s"""WITH ${QueriesPipeline.duckShingles("", "documents")},
+              |mh AS (SELECT doc_id, s,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(s, ''),
+              |        c -> CAST(unicode(c) AS BIGINT))),
+              |      (a, b) -> (a * 37 + b) % 2147483647) AS h37
+              |  FROM sh),
+              |yy AS (SELECT doc_id, ${QueriesPipeline.duckMix31("h37")}
+              |    AS y FROM mh),
+              |sig AS (SELECT doc_id, i,
+              |    MIN(${QueriesPipeline.duckMix31("y + i")}) AS m
+              |  FROM yy CROSS JOIN
+              |    (SELECT unnest(range(0, 16)) AS i) xs
+              |  GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+              |    list_reduce(list_prepend(CAST(i // 4 AS BIGINT),
+              |        list(m ORDER BY i)),
+              |      (a, b) -> (a * 1103515245 + b) % 2147483648) AS bh
+              |  FROM sig GROUP BY doc_id, i // 4),
+              |reps AS (SELECT band, bh, MIN(doc_id) AS rep
+              |  FROM bands GROUP BY 1, 2),
+              |cand AS (SELECT b.doc_id, r.rep AS c_id, b.band
+              |  FROM bands b JOIN reps r
+              |    ON r.band = b.band AND r.bh = b.bh
+              |      AND b.doc_id > r.rep),
+              |pairs AS (SELECT c.doc_id, c.c_id, c.band,
+              |    COUNT(*) AS inter
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.doc_id
+              |  JOIN sh b ON b.doc_id = c.c_id AND b.s = a.s
+              |  GROUP BY 1, 2, 3)
+              |SELECT p.doc_id, p.c_id, p.band,
+              |  CAST((inter * 1000000) // (sa.n + sb.n - inter)
+              |    AS BIGINT) AS jac_micro
+              |FROM pairs p
+              |JOIN sz sa ON sa.doc_id = p.doc_id
+              |JOIN sz sb ON sb.doc_id = p.c_id
+              |WHERE (inter * 1000000) // (sa.n + sb.n - inter)
+              |  >= 500000
+              |ORDER BY p.doc_id, p.c_id, p.band""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

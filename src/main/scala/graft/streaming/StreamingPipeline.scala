@@ -193,6 +193,85 @@ object StreamingPipeline {
       .select("doc_id", "c_id", "band", "jac_micro")
   }
 
+  /** Per-band-bucket dedup state: the FIRST document seen in this
+    * (band, bandhash) bucket — id plus its shingle-hash set for the
+    * in-stream exact-Jaccard verify.
+    */
+  case class BandRep(repId: Long, sh: Seq[Long])
+
+  case class SelfDupRow(doc_id: Long, c_id: Long, band: Int,
+    jac_micro: Long)
+
+  /** SELF-referential streaming near-dup: every arriving document is
+    * LSH-banded ([[graft.ops.DocDedup.bandKeys]], the batch layout)
+    * and compared against the EARLIEST document that ever occupied
+    * each of its band buckets — [[nearDupAlarmStream]] dedups a
+    * stream against a static snapshot; this op dedups the stream
+    * against itself, the shape an always-on crawl ingest needs.
+    * Emits one row per (doc, band) whose exact Jaccard against the
+    * bucket representative reaches `threshold` — alarm events like
+    * the static twin, not a distinct pair list.
+    *
+    * Determinism contract: within a micro-batch each bucket's
+    * arrivals are processed in doc-id order (the per-key batch is
+    * buffered and sorted), so a single-batch drain reproduces the
+    * batch semantics exactly: representative = min doc id per
+    * bucket. Across batches "earliest" means earliest BATCH first —
+    * arrival order, the honest streaming answer.
+    *
+    * Scale shape: map-only signature + banding up to one shuffle
+    * keyed by (band, bandhash); state is ONE (id, shingle set) per
+    * occupied bucket — proportional to the corpus' bucket count, the
+    * same size class as the batch LSH's band table, and the
+    * price of self-dedup against unbounded history (a dedup horizon
+    * belongs to the CALLER's retention policy; wire a timeout here
+    * only when the product wants forgetting).
+    */
+  def selfDedupStream(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[SelfDupRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rows = numHashes / bands
+    val thrMicro = math.floor(threshold * 1e6).toLong
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mh = call_function("minhash_state",
+      split(col(textCol), " "), lit(n), lit(numHashes))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), mh.as("mh"))
+      .select(col("doc_id"), col("mh.sh").as("sh"), col("mh.sig").as("sig"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        explode(graft.ops.DocDedup.bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), it: Iterator[(Long, Seq[Long], Int, Long)],
+         state: GroupState[BandRep]) => {
+          val sorted = it.toIndexedSeq.sortBy(_._1)
+          var st = state.getOption
+          val out = Seq.newBuilder[SelfDupRow]
+          sorted.foreach { case (id, sh, band, _) =>
+            st match {
+              case None => st = Some(BandRep(id, sh))
+              case Some(rep) =>
+                val a = sh.toSet
+                val b = rep.sh.toSet
+                val inter = a.intersect(b).size.toLong
+                val uni = a.size + b.size - inter
+                // floor(inter·10⁶/uni): exact in double at these sizes,
+                // the same contract as the static near-dup alarm
+                val jac = math.floor(inter.toDouble * 1e6 / uni).toLong
+                if (jac >= thrMicro) out += SelfDupRow(id, rep.repId, band, jac)
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Stateless in-stream fingerprinting: attach simhash + MinHash
     * signature per document via the native kernels (pure projection —
     * safe in any output mode, no state, no watermark needed).

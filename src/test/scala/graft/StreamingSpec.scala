@@ -866,6 +866,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("selfDedupStream: within a batch the min-id doc is the bucket " +
+      "rep; across batches arrival order wins") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val text = "one two three four five six"
+    val mem = MemoryStream[Doc]
+    val out = graft.streaming.StreamingPipeline.selfDedupStream(mem.toDF())
+    val q = out.toDF().writeStream.format("memory").queryName("sds")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: ids 5 and 9, identical text → 5 is rep (in-batch
+      // min-id order), 9 flags against 5 on every band with jac 1.0
+      mem.addData(Doc(ts(1), 5, text), Doc(ts(2), 9, text))
+      q.processAllAvailable()
+      val b1 = spark.table("sds").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).distinct
+      assert(b1.toSeq === Seq((9L, 5L, 1000000L)))
+      // batch 2: id 3 (SMALLER than 5) arrives later → flags against
+      // the RESIDENT rep 5 — arrival order, not id order
+      mem.addData(Doc(ts(3), 3, text))
+      q.processAllAvailable()
+      val b2 = spark.table("sds").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.sorted
+      assert(b2.toSeq === Seq((3L, 5L), (9L, 5L)))
+      // disjoint doc never flags
+      mem.addData(Doc(ts(4), 11, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      assert(spark.table("sds").collect()
+        .map(_.getLong(0)).distinct.sorted.toSeq === Seq(3L, 9L))
+    } finally q.stop()
+  }
+
   test("gopherGateStream keepOnly filters to keep=0-mask rows, " +
       "matching the batch bundle's verdicts") {
     implicit val sc = spark.sqlContext
