@@ -58,7 +58,11 @@ object Explain {
       "q329_temporal_reach", "q333_blast_radius",
       "q132_tpch_q18", "q353_hard_negatives", "q354_intra_repetition",
       "q355_chunk_sliding", "q356_cosine_sweep", "q362_presto_dialect3",
-      "q363_sgns_shards", "q364_presto_dialect4")
+      "q363_sgns_shards", "q364_presto_dialect4",
+      "q366_gopher_rules", "q367_fuzzy_decontaminate",
+      "q369_contamination_overlap", "q370_remove_dup_spans",
+      "q372_bloom_decontaminate", "q375_source_overlap",
+      "q376_wordpiece_fertility")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
