@@ -352,15 +352,19 @@ private[graft] object QueriesAlert {
         Tables(s, dir, "events").createOrReplaceTempView("events")
         // element_at exercises Presto's NULL-out-of-bounds contract
         // (ANSI Spark would throw); the lambda inside cardinality
-        // exercises Presto lambda syntax via Spark's native HOF parser
-        s.sql("""SELECT user_id, COUNT(*) AS cnt
+        // exercises Presto lambda syntax via Spark's native HOF
+        // parser. Criteria.rewrite maps the builtin-colliding names
+        // (contains/element_at/split → presto_*, the no-shadow
+        // invariant); everything else resolves natively.
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id, COUNT(*) AS cnt
                 |FROM events
                 |WHERE json_extract_scalar(props, '$.k') IS NOT NULL
                 |  AND strpos(event_type, 'c') = 1
                 |  AND contains(array('click', 'purchase'), event_type)
                 |  AND element_at(split(event_type, 'i'), 2) IS NOT NULL
                 |  AND cardinality(filter(split(event_type, ''), x -> x = 'c')) >= 1
-                |GROUP BY user_id ORDER BY user_id""".stripMargin)
+                |GROUP BY user_id ORDER BY user_id""".stripMargin))
       },
       Some("""SELECT user_id, COUNT(*) AS cnt
              |FROM events
@@ -681,8 +685,11 @@ private[graft] object QueriesAlert {
         // chars(x): Spark's split('', -1) appends a trailing empty
         // string DuckDB's string_split does not — filter it out so the
         // slice/join surface agrees for event types of ANY length (the
-        // fixture's are all ≥4 chars, which would mask the divergence)
-        s.sql("""WITH t AS (SELECT event_type,
+        // fixture's are all ≥4 chars, which would mask the divergence).
+        // Criteria.rewrite maps split → presto_split (whose builder
+        // keeps Spark's char-split for the '' delimiter).
+        s.sql(graft.criteria.Criteria.rewrite(
+          """WITH t AS (SELECT event_type,
                 |  reduce(transform(filter(split(event_type, ''), c -> c <> ''),
                 |                   c -> codepoint(c)),
                 |         0, (acc, x) -> acc + x, acc -> acc) AS char_sum,
@@ -692,7 +699,7 @@ private[graft] object QueriesAlert {
                 |                       c -> upper(c)), '.') AS first3
                 |  FROM events WHERE regexp_like(event_type, '^[a-z_]+$'))
                 |SELECT event_type, char_sum, pre_r, first3, COUNT(*) AS cnt
-                |FROM t GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin)
+                |FROM t GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin))
       },
       Some("""SELECT event_type,
              |  list_reduce(list_prepend(0,

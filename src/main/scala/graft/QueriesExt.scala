@@ -1954,7 +1954,8 @@ private[graft] object QueriesExt {
       (s, dir) => {
         graft.functions.Functions.register(s)
         Tables(s, dir, "events").createOrReplaceTempView("events")
-        s.sql("""SELECT user_id,
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
                 |  array_join(sort_array(array_agg(event_type)), ',') AS types,
                 |  element_at(map_agg(event_type, event_id), 'click') AS click_min_id,
                 |  CAST(MAX(json_size(props, '$')) AS BIGINT) AS props_keys
@@ -1964,7 +1965,7 @@ private[graft] object QueriesExt {
                 |        concat('[', repeat('7,', CAST(user_id % 4 AS INT)), '7]'),
                 |        '$') = CAST(user_id % 4 AS INT) + 1
                 |  AND user_id IS NOT NULL AND event_id IS NOT NULL
-                |GROUP BY user_id ORDER BY user_id""".stripMargin)
+                |GROUP BY user_id ORDER BY user_id""".stripMargin))
       },
       Some("""SELECT user_id,
              |  string_agg(event_type, ',' ORDER BY event_type) AS types,
@@ -2528,9 +2529,10 @@ private[graft] object QueriesExt {
     // C4-style duplicate-span REMOVAL (q153/dupSpanStats reports;
     // this rewrites): global first-occurrence-wins on 8-token spans,
     // every later occurrence removed together with the tokens it
-    // covers. The oracle replays the first-occurrence table (min of
-    // the doc_id·10⁶+pos key), the coverage explode and the ordered
-    // text rebuild.
+    // covers. The oracle replays the first-occurrence table (min by
+    // lexicographic (doc_id, pos) — no arithmetic key encoding, so
+    // million-token docs can't collide), the coverage explode and
+    // the ordered text rebuild.
     Q("q370_remove_dup_spans",
       (s, dir) => graft.ops.Curation.removeDupSpans(
         Tables(s, dir, "documents")),
@@ -2541,11 +2543,14 @@ private[graft] object QueriesExt {
              |g AS (SELECT doc_id, i AS pos,
              |    array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
              |  FROM pos WHERE i + 7 <= len(ws)),
-             |f AS (SELECT gram, MIN(doc_id * 1000000 + pos) AS fk
-             |  FROM g GROUP BY 1),
+             |f AS (SELECT gram, doc_id AS fd, pos AS fp FROM (
+             |    SELECT g.*, row_number() OVER (
+             |      PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             |    FROM g) t
+             |  WHERE rn = 1),
              |d AS (SELECT g.doc_id, g.pos
              |  FROM g JOIN f USING (gram)
-             |  WHERE g.doc_id * 1000000 + g.pos <> f.fk),
+             |  WHERE NOT (g.doc_id = f.fd AND g.pos = f.fp)),
              |rp AS (SELECT DISTINCT * FROM (SELECT doc_id,
              |    unnest(range(pos, pos + 8)) AS p FROM d) u),
              |tok AS (SELECT doc_id, i AS p, ws[i] AS tok FROM pos),

@@ -3097,7 +3097,8 @@ private[graft] object QueriesPipeline {
       (s, dir) => {
         graft.functions.Functions.register(s)
         Tables(s, dir, "events").createOrReplaceTempView("events")
-        s.sql("""WITH t AS (SELECT event_id, event_type, user_id, ts,
+        s.sql(graft.criteria.Criteria.rewrite(
+          """WITH t AS (SELECT event_id, event_type, user_id, ts,
                 |    'https://ex.com/t/' || event_type || '?u=' ||
                 |      cast(user_id AS string) || '&x=1' AS url,
                 |    'a=1,b=' || cast(user_id % 10 AS string) AS kv
@@ -3109,7 +3110,7 @@ private[graft] object QueriesPipeline {
                 |  element_at(split_to_map(kv, ',', '='), 'b') AS pb,
                 |  to_unixtime(ts) AS unix_s,
                 |  to_iso8601(ts) AS iso
-                |FROM t ORDER BY event_id""".stripMargin)
+                |FROM t ORDER BY event_id""".stripMargin))
       },
       Some("""SELECT event_id, 'ex.com' AS host,
              |  '/t/' || event_type AS path,

@@ -53,10 +53,24 @@ object Criteria {
     sb.toString
   }
 
+  /** The dialect shims that would shadow a Spark builtin are
+    * registered as `presto_<name>` (the no-shadow invariant,
+    * [[graft.functions.Functions.prefixedNames]]); criteria text
+    * keeps the bare Presto spelling and this token pass maps it.
+    * Single source of truth: the regex is BUILT from Functions'
+    * set, so a new prefixed shim can never drift out of sync.
+    * Function-call position only (`(?=\s*\()`) — a column that
+    * happens to be named `split` is not a call and stays untouched.
+    */
+  private val prefixedCall =
+    ("(?i)\\b(" + graft.functions.Functions.prefixedNames.toSeq.sorted
+      .mkString("|") + ")\\b(?=\\s*\\()")
+
   private def rewriteCode(code: String): String =
     code
       .replaceAll("(?i)\\bjson_extract_scalar\\b", "get_json_object")
       .replaceAll("(?i)\\bTRY_CAST\\b", "try_cast")
+      .replaceAll(prefixedCall, "presto_$1")
       // Presto's bare unparameterized VARCHAR (CAST(x AS VARCHAR)) —
       // Spark requires a length for VARCHAR but takes STRING;
       // VARCHAR(n) is valid in both and stays untouched
@@ -72,22 +86,47 @@ object Criteria {
     * identifier becomes Spark's doubled-backtick escape.
     */
   private[graft] def rewriteQuotedIdents(s: String): String = {
-    val literal = "'(?:[^']|'')*'".r
-    val dquoted = "\"(?:[^\"]|\"\")*\"".r
-    def fix(code: String): String =
-      dquoted.replaceAllIn(code, m => {
-        val ident = m.matched.substring(1, m.matched.length - 1)
-          .replace("\"\"", "\"").replace("`", "``")
-        java.util.regex.Matcher.quoteReplacement(s"`$ident`")
-      })
+    // One left-to-right pass over BOTH quote kinds: whichever quote
+    // opens first owns its span. (Pre-extracting single-quoted spans
+    // first mis-chunked a double-quoted identifier containing an
+    // apostrophe — "it's col" — by pairing the apostrophe with a
+    // later real string literal.)
     val sb = new StringBuilder
-    var last = 0
-    for (m <- literal.findAllMatchIn(s)) {
-      sb.append(fix(s.substring(last, m.start)))
-      sb.append(m.matched)
-      last = m.end
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          // single-quoted literal: copy verbatim; '' is the escape
+          var j = i + 1
+          var closed = false
+          while (j < s.length && !closed) {
+            if (s.charAt(j) == '\'') {
+              if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+              else { closed = true; j += 1 }
+            } else j += 1
+          }
+          sb.append(s.substring(i, j)); i = j
+        case '"' =>
+          // double-quoted identifier → backtick-quoted; "" escapes a
+          // quote, a literal backtick doubles per Spark's escape
+          var j = i + 1
+          val ident = new StringBuilder
+          var closed = false
+          while (j < s.length && !closed) {
+            if (s.charAt(j) == '"') {
+              if (j + 1 < s.length && s.charAt(j + 1) == '"') {
+                ident.append('"'); j += 2
+              } else { closed = true; j += 1 }
+            } else { ident.append(s.charAt(j)); j += 1 }
+          }
+          if (closed)
+            sb.append('`').append(ident.toString.replace("`", "``"))
+              .append('`')
+          else sb.append(s.substring(i, j)) // unterminated: verbatim
+          i = j
+        case c => sb.append(c); i += 1
+      }
     }
-    sb.append(fix(s.substring(last)))
     sb.toString
   }
 
@@ -234,10 +273,23 @@ object Criteria {
     * timestamp — used when materializing an events lake laid out
     * `year=/month=/day=/hour=` for parity with the reference's Athena
     * table (alerta.py:136-146).
+    *
+    * Registry-immune by construction: the `DateFormatClass` nodes are
+    * built directly rather than resolved by NAME, so even a session
+    * whose `FunctionRegistry` carries a foreign `date_format` (on
+    * Spark 4 the DataFrame DSL resolves through the registry — the r7
+    * `hour='HH'` lake-poisoning class) still writes the reference
+    * layout. Defense in depth on top of the no-shadow invariant in
+    * [[graft.functions.Functions.register]].
     */
-  def withPartitionColumns(df: DataFrame, tsCol: Column): DataFrame =
-    df.withColumn("year", date_format(tsCol, "yyyy"))
-      .withColumn("month", date_format(tsCol, "MM"))
-      .withColumn("day", date_format(tsCol, "dd"))
-      .withColumn("hour", date_format(tsCol, "HH"))
+  def withPartitionColumns(df: DataFrame, tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    def fmt(pattern: String): Column = ColumnBridge.column(
+      DateFormatClass(ColumnBridge.expression(tsCol), Literal(pattern)))
+    df.withColumn("year", fmt("yyyy"))
+      .withColumn("month", fmt("MM"))
+      .withColumn("day", fmt("dd"))
+      .withColumn("hour", fmt("HH"))
+  }
 }

@@ -80,7 +80,8 @@ object SequenceReplay {
   }
 
   def run(spark: SparkSession, events: DataFrame, spec: Doc,
-      idField: String = "event_id", tsField: String = "ts"): Seq[Fired] = {
+      idField: String = "event_id", tsField: String = "ts",
+      maxReplayKeys: Int = 1000): Seq[Fired] = {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.size >= 2, "sequence replay wants >= 2 slots")
@@ -99,6 +100,17 @@ object SequenceReplay {
     val evKeyCol = Paths.column(events.schema, keyPath).cast(StringType)
     val slot0Keys = events.where(famCols.head && evKeyCol.isNotNull)
       .select(evKeyCol.as("__rk")).distinct()
+    // This is a VERIFICATION harness: the driver-paced tick loop is
+    // O(keys × slots) driver work by design. Refuse loudly when a
+    // mis-scoped spec would turn it into an accidental production
+    // path (a wild slot-0 family admitting the whole key universe) —
+    // the bounded batch/streaming engines are the scale paths.
+    val slot0KeyCount = slot0Keys.limit(maxReplayKeys + 1).count()
+    require(slot0KeyCount <= maxReplayKeys,
+      s"SequenceReplay saw > $maxReplayKeys distinct slot-0 keys — " +
+        "this harness replays driver-paced and is bounded by contract; " +
+        "scope the spec's slot-0 criteria or use the streaming engine " +
+        "(StreamingAlertsTws) for production-sized key sets")
     val lake = events
       .where(famCols.reduce(_ || _))
       .where(col(idField).isNotNull && col(tsField).isNotNull)

@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, StringLocate, TryEval}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry => SparkFunctionRegistry}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GetJsonObject, StringLocate, TryEval}
 
 /** Session-level function surface (SURVEY.md §4 custom work).
   *
@@ -15,70 +17,111 @@ import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, StringLocate, T
   * `to_utc` exposes the permissive timestamp ladder (T3) to SQL;
   * `is_ip`/`is_ipv4`/`is_ipv6` are the reference's lake-helper IP
   * validators (utils/helpers.py:44-74).
+  *
+  * ── The no-shadow invariant ─────────────────────────────────────────
+  * On Spark 4 the Scala DataFrame DSL resolves function NAMES through
+  * the session `FunctionRegistry` (`Column.fn`), so a temp function
+  * registered over a builtin name hijacks ENGINE-INTERNAL code too:
+  * the r7 regression had the Presto `date_format` shim (MySQL
+  * %-tokens) turn `Criteria.withPartitionColumns`' `date_format(ts,
+  * 'HH')` into the literal string "HH" and poison every lake write in
+  * the session. Therefore [[register]] NEVER overrides a builtin name:
+  *   - a dialect shim whose semantics DIFFER from the Spark builtin of
+  *     the same name is registered as `presto_<name>`
+  *     ([[prefixedNames]]), and [[graft.criteria.Criteria.rewrite]]
+  *     maps the bare token so criteria text stays verbatim Presto;
+  *   - a shim whose semantics MATCH the builtin is not registered at
+  *     all (the builtin already is the Presto behavior) — that set is
+  *     `regexp_like`, `approx_percentile`, `cardinality`,
+  *     `url_encode`, `url_decode`, `array_sort`, `json_array_length`;
+  *   - every registration funnels through a guard that throws at
+  *     register time if a future tranche tries to claim a builtin
+  *     name, so the class can never ship silently again.
   */
 object Functions {
 
+  /** Dialect shims whose Presto semantics DIVERGE from the Spark
+    * builtin of the same name. Registered as `presto_<name>`;
+    * [[graft.criteria.Criteria.rewrite]] rewrites the bare tokens in
+    * criteria text. Divergences, name by name:
+    *   - `split`: literal delimiter (Spark: Java regex)
+    *   - `date_format`/MySQL %-tokens (Spark: Java pattern)
+    *   - `from_unixtime`: returns TIMESTAMP (Spark: STRING)
+    *   - `contains`: array membership (Spark 3.5+: string search)
+    *   - `element_at`: NULL on out-of-range (Spark ANSI: throws)
+    *   - `array_agg`: retains NULL elements (Spark: drops them)
+    *   - `map_concat`: duplicate keys last-win (Spark: throws under
+    *     mapKeyDedupPolicy=EXCEPTION)
+    */
+  private[graft] val prefixedNames: Set[String] = Set(
+    "split", "date_format", "from_unixtime", "contains",
+    "element_at", "array_agg", "map_concat")
+
+  private def isBuiltin(name: String): Boolean =
+    SparkFunctionRegistry.builtin.functionExists(FunctionIdentifier(name))
+
+  /** Guard shared by every registration path: a dialect name may
+    * never claim a Spark builtin (the r7 `hour='HH'` lake-poisoning
+    * class). Loud at register time — the very first spec that calls
+    * [[register]] fails if a new tranche breaks the invariant.
+    */
+  private def guarded(name: String): String = {
+    require(!isBuiltin(name),
+      s"dialect shim '$name' would shadow the Spark builtin of the " +
+        "same name session-wide (DataFrame DSL resolves through the " +
+        "registry on Spark 4) — add it to Functions.prefixedNames and " +
+        "let Criteria.rewrite map the bare token instead")
+    name
+  }
+
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "json_extract_scalar",
-      exprs => GetJsonObject(exprs.head, exprs(1)),
-      "built-in")
+    val reg = spark.sessionState.functionRegistry
+
+    /** Register a dialect shim under its no-shadow name: bare when the
+      * name is free, `presto_<name>` when it is in [[prefixedNames]].
+      */
+    def shim(name: String)(builder: Seq[Expression] => Expression): Unit = {
+      val target = if (prefixedNames(name)) s"presto_$name" else name
+      reg.createOrReplaceTempFunction(guarded(target), builder, "built-in")
+    }
+
+    shim("json_extract_scalar")(exprs => GetJsonObject(exprs.head, exprs(1)))
 
     // Presto json_extract returns JSON text; for scalar and object
     // extraction get_json_object matches (objects/arrays come back as
     // JSON text, scalars unquoted — the corpus only compares scalars)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "json_extract",
-      exprs => GetJsonObject(exprs.head, exprs(1)),
-      "built-in")
+    shim("json_extract")(exprs => GetJsonObject(exprs.head, exprs(1)))
 
     // Presto strpos(string, substring) — Spark's locate flips the
     // argument order, so a textual rewrite can't express this; a
     // native registration can.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "strpos",
-      exprs => StringLocate(exprs(1), exprs.head,
-        org.apache.spark.sql.catalyst.expressions.Literal(1)),
-      "built-in")
+    shim("strpos")(exprs => StringLocate(exprs(1), exprs.head,
+      org.apache.spark.sql.catalyst.expressions.Literal(1)))
 
-    // Presto contains(array, elem) — Catalyst ArrayContains, same
-    // shape. (Presto's contains is array-only; string search is
-    // strpos/position, so shadowing Spark's string contains is the
-    // dialect-correct choice for registered sessions.)
-    // Presto date_diff('unit', ...) can't be registered — Spark's
-    // parser claims the name with unquoted-unit syntax — so it lives
-    // in Criteria.rewrite instead.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "contains",
-      exprs => org.apache.spark.sql.catalyst.expressions.ArrayContains(
-        exprs.head, exprs(1)),
-      "built-in")
+    // Presto contains(array, elem) — Catalyst ArrayContains. Spark
+    // 3.5+ has a string-search builtin of the same name, so this one
+    // registers as presto_contains (Criteria.rewrite maps the token).
+    shim("contains")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.ArrayContains(
+        exprs.head, exprs(1)))
 
-    // Presto cardinality(array|map) — Catalyst Size with Presto's
-    // null-in → null-out (never legacy -1)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cardinality",
-      exprs => org.apache.spark.sql.catalyst.expressions.Size(
-        exprs.head, legacySizeOfNull = false),
-      "built-in")
+    // Presto cardinality(array|map): Spark's builtin `cardinality`
+    // already matches (null-in → null-out under the default non-legacy
+    // conf), so the dialect registers NOTHING for it — no-shadow rule.
 
     // Presto element_at(array, index) / element_at(map, key): NULL
-    // when the index is out of bounds or the key is absent — pinned
-    // non-failing regardless of the session's ANSI mode (Spark's own
-    // element_at would throw OOB under ANSI)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "element_at",
-      exprs => org.apache.spark.sql.catalyst.expressions.ElementAt(
-        exprs.head, exprs(1), failOnError = false),
-      "built-in")
+    // when the index is out of bounds — pinned non-failing regardless
+    // of the session's ANSI mode (Spark's builtin under ANSI throws on
+    // array OOB), hence presto_element_at.
+    shim("element_at")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.ElementAt(
+        exprs.head, exprs(1), failOnError = false))
 
     // Presto codepoint(varchar(1)) → Catalyst Ascii (first-char code
     // point — identical for the single-character inputs the Presto
     // signature admits)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "codepoint",
-      exprs => org.apache.spark.sql.catalyst.expressions.Ascii(exprs.head),
-      "built-in")
+    shim("codepoint")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.Ascii(exprs.head))
 
     // one ladder, two dialect names: to_utc (the reference's helper)
     // and Presto's from_iso8601_timestamp (offset-aware ISO input
@@ -86,53 +129,49 @@ object Functions {
     val toUtcUdf = (s: String) =>
       if (s == null) null
       else java.sql.Timestamp.from(Dates.toUTC(s))
-    spark.udf.register("to_utc", toUtcUdf)
-    spark.udf.register("from_iso8601_timestamp", toUtcUdf)
+    spark.udf.register(guarded("to_utc"), toUtcUdf)
+    spark.udf.register(guarded("from_iso8601_timestamp"), toUtcUdf)
 
-    spark.udf.register("is_ipv4", (s: String) => s != null && isIPv4(s))
-    spark.udf.register("is_ipv6", (s: String) => s != null && isIPv6(s))
-    spark.udf.register("is_ip", (s: String) => s != null && isIp(s))
+    spark.udf.register(guarded("is_ipv4"), (s: String) => s != null && isIPv4(s))
+    spark.udf.register(guarded("is_ipv6"), (s: String) => s != null && isIPv6(s))
+    spark.udf.register(guarded("is_ip"), (s: String) => s != null && isIp(s))
 
     // Presto split_to_map(s, entryDelim, kvDelim) = Catalyst
     // StringToMap with the same argument order
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "split_to_map",
-      exprs => org.apache.spark.sql.catalyst.expressions.StringToMap(
-        exprs.head, exprs(1), exprs(2)),
-      "built-in")
+    shim("split_to_map")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.StringToMap(
+        exprs.head, exprs(1), exprs(2)))
 
     // Presto to_unixtime(timestamp) → DOUBLE seconds (fractional µs
     // kept). Exact-integer µs divided by 1e6 in IEEE double — the
     // same two operands in any engine, so bit-identical output.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "to_unixtime",
-      exprs => org.apache.spark.sql.catalyst.expressions.Divide(
+    shim("to_unixtime")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.Divide(
         org.apache.spark.sql.catalyst.expressions.Cast(
           org.apache.spark.sql.catalyst.expressions.UnixMicros(exprs.head),
           org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.catalyst.expressions.Literal(1e6)),
-      "built-in")
+        org.apache.spark.sql.catalyst.expressions.Literal(1e6)))
 
     // Presto to_iso8601(timestamp) → "yyyy-MM-ddTHH:mm:ss.SSS" (the
     // no-zone form Presto renders for TIMESTAMP)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "to_iso8601",
-      exprs => org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+    shim("to_iso8601")(exprs =>
+      org.apache.spark.sql.catalyst.expressions.DateFormatClass(
         exprs.head,
         org.apache.spark.sql.catalyst.expressions.Literal(
-          "yyyy-MM-dd'T'HH:mm:ss.SSS")),
-      "built-in")
+          "yyyy-MM-dd'T'HH:mm:ss.SSS")))
 
     // Presto URL extractors via the JDK parser (null on malformed —
     // Presto's contract). url_extract_parameter returns the FIRST
-    // value of the named query parameter.
+    // value of the named query parameter. (url_encode/url_decode are
+    // NOT registered: Spark 3.4+'s builtins are the same
+    // application/x-www-form-urlencoded UTF-8 coder.)
     def uri(s: String): Option[java.net.URI] =
       if (s == null) None else scala.util.Try(new java.net.URI(s)).toOption
-    spark.udf.register("url_extract_host",
+    spark.udf.register(guarded("url_extract_host"),
       (s: String) => uri(s).map(_.getHost).orNull)
-    spark.udf.register("url_extract_path",
+    spark.udf.register(guarded("url_extract_path"),
       (s: String) => uri(s).map(_.getRawPath).orNull)
-    spark.udf.register("url_extract_parameter", (s: String, p: String) =>
+    spark.udf.register(guarded("url_extract_parameter"), (s: String, p: String) =>
       uri(s).flatMap(u => Option(u.getRawQuery)).flatMap(q =>
         q.split("&").iterator.map(_.split("=", 2))
           .collectFirst { case Array(k, v) if k == p => v }).orNull)
@@ -142,74 +181,63 @@ object Functions {
     locally {
       import org.apache.spark.sql.catalyst.expressions._
       import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-      import org.apache.spark.sql.types.IntegerType
-      val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("day_of_week",
-        exprs => Add(
-          Pmod(Add(DayOfWeek(exprs.head), Literal(5)), Literal(7)),
-          Literal(1)),
-        "built-in")
-      reg.createOrReplaceTempFunction("day_of_year",
-        exprs => DayOfYear(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("week_of_year",
-        exprs => WeekOfYear(exprs.head), "built-in")
+      shim("day_of_week")(exprs => Add(
+        Pmod(Add(DayOfWeek(exprs.head), Literal(5)), Literal(7)),
+        Literal(1)))
+      shim("day_of_year")(exprs => DayOfYear(exprs.head))
+      shim("week_of_year")(exprs => WeekOfYear(exprs.head))
       // NOTE: Presto date_add('unit', n, ts) is NOT registrable —
       // Spark's parser claims dateadd/date_add with unquoted-unit
       // syntax before registry lookup (same as date_diff), so it
       // lives in Criteria.rewrite.
 
-      // Presto regexp_like(string, pattern) — Catalyst RLike (Java
-      // regex both engines; the criteria corpus uses the common
-      // subset). Spark spells it `string RLIKE pattern` / `rlike()`,
-      // so wild criteria written for Presto need the alias.
-      reg.createOrReplaceTempFunction("regexp_like",
-        exprs => RLike(exprs.head, exprs(1)), "built-in")
+      // Presto regexp_like(string, pattern): Spark's builtin
+      // regexp_like is the identical RLike — nothing to register.
 
       // Presto array_agg / map_agg. Wrapped into AggregateExpression
       // here (the registry's resolver only auto-wraps a builder whose
       // RESULT is the AggregateFunction, which map_agg's isn't).
       //
-      // Presto array_agg RETAINS NULL elements; Spark's CollectList
-      // drops them. Collect struct(v) (never null even when v is) and
-      // unwrap with a transform lambda so the NULLs survive.
-      reg.createOrReplaceTempFunction("array_agg",
-        { exprs =>
-          val lv = UnresolvedNamedLambdaVariable(Seq("s"))
-          ArrayTransform(
-            org.apache.spark.sql.catalyst.expressions.aggregate
-              .CollectList(CreateNamedStruct(Seq(Literal("v"), exprs.head)))
-              .toAggregateExpression(),
-            LambdaFunction(UnresolvedExtractValue(lv, Literal("v")), Seq(lv)))
-        }, "built-in")
+      // Presto array_agg RETAINS NULL elements; Spark's builtin
+      // array_agg (CollectList) drops them → presto_array_agg.
+      // Collect struct(v) (never null even when v is) and unwrap with
+      // a transform lambda so the NULLs survive.
+      shim("array_agg") { exprs =>
+        val lv = UnresolvedNamedLambdaVariable(Seq("s"))
+        ArrayTransform(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .CollectList(CreateNamedStruct(Seq(Literal("v"), exprs.head)))
+            .toAggregateExpression(),
+          LambdaFunction(UnresolvedExtractValue(lv, Literal("v")), Seq(lv)))
+      }
       // Presto map_agg keeps one value per duplicate key (arbitrary
       // pick); under Spark's default mapKeyDedupPolicy=EXCEPTION a
       // duplicate key would instead throw. Dedupe by key BEFORE
       // MapFromEntries: sort entries then keep each entry whose key
       // differs from its predecessor (first-win, deterministic) — no
       // session-conf change, no runtime throw.
-      reg.createOrReplaceTempFunction("map_agg",
-        { exprs =>
-          val collected = SortArray(
-            org.apache.spark.sql.catalyst.expressions.aggregate
-              .CollectList(CreateNamedStruct(
-                Seq(Literal("k"), exprs.head, Literal("v"), exprs(1))))
-              .toAggregateExpression(),
-            Literal(true))
-          val e = UnresolvedNamedLambdaVariable(Seq("e"))
-          val i = UnresolvedNamedLambdaVariable(Seq("i"))
-          def keyOf(x: Expression): Expression =
-            UnresolvedExtractValue(x, Literal("k"))
-          // entries are key-sorted so duplicates are adjacent: keep
-          // index 0 and entries whose key differs from the previous
-          // one (element_at is 1-based, so ordinal i = 0-based i-1)
-          val dedup = ArrayFilter(collected,
-            LambdaFunction(
-              Or(EqualTo(i, Literal(0)),
-                 Not(EqualNullSafe(keyOf(e),
-                   keyOf(ElementAt(collected, i, None, failOnError = false))))),
-              Seq(e, i)))
-          MapFromEntries(dedup)
-        }, "built-in")
+      shim("map_agg") { exprs =>
+        val collected = SortArray(
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .CollectList(CreateNamedStruct(
+              Seq(Literal("k"), exprs.head, Literal("v"), exprs(1))))
+            .toAggregateExpression(),
+          Literal(true))
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        val i = UnresolvedNamedLambdaVariable(Seq("i"))
+        def keyOf(x: Expression): Expression =
+          UnresolvedExtractValue(x, Literal("k"))
+        // entries are key-sorted so duplicates are adjacent: keep
+        // index 0 and entries whose key differs from the previous
+        // one (element_at is 1-based, so ordinal i = 0-based i-1)
+        val dedup = ArrayFilter(collected,
+          LambdaFunction(
+            Or(EqualTo(i, Literal(0)),
+               Not(EqualNullSafe(keyOf(e),
+                 keyOf(ElementAt(collected, i, None, failOnError = false))))),
+            Seq(e, i)))
+        MapFromEntries(dedup)
+      }
 
       // Presto approx aggregates. Same function surface, different
       // sketch internals (Presto qdigest/HLL vs Spark HLL++ /
@@ -218,15 +246,13 @@ object Functions {
       // spec-pinned rather than oracle-gated: a criteria thresholding
       // an estimate gets Spark's estimate. `arbitrary` maps to First
       // ignoring nulls (Presto's "an arbitrary non-null value").
-      reg.createOrReplaceTempFunction("approx_distinct",
-        exprs => aggregate.HyperLogLogPlusPlus(exprs.head)
-          .toAggregateExpression(), "built-in")
-      reg.createOrReplaceTempFunction("approx_percentile",
-        exprs => new aggregate.ApproximatePercentile(exprs.head, exprs(1))
-          .toAggregateExpression(), "built-in")
-      reg.createOrReplaceTempFunction("arbitrary",
-        exprs => aggregate.First(exprs.head, ignoreNulls = true)
-          .toAggregateExpression(), "built-in")
+      // approx_percentile needs no shim — Spark's builtin of the same
+      // name is the same surface.
+      shim("approx_distinct")(exprs =>
+        aggregate.HyperLogLogPlusPlus(exprs.head).toAggregateExpression())
+      shim("arbitrary")(exprs =>
+        aggregate.First(exprs.head, ignoreNulls = true)
+          .toAggregateExpression())
 
       // Presto TRY(expr) — NULL instead of a runtime error (division
       // by zero, bad cast/parse, numeric overflow), around an
@@ -235,172 +261,149 @@ object Functions {
       // (runtime-error → NULL, analysis errors still loud) match
       // Presto's TRY contract. Distinct from TRY_CAST, which the
       // textual rewrite already lowercases to Spark's try_cast.
-      reg.createOrReplaceTempFunction("try",
-        exprs => TryEval(exprs.head), "built-in")
+      shim("try")(exprs => TryEval(exprs.head))
 
       // Presto lambda matchers — Spark spells them exists/forall;
       // the Catalyst nodes take the unresolved LambdaFunction the
       // parser hands any function call, so a plain registration works
-      reg.createOrReplaceTempFunction("any_match",
-        exprs => ArrayExists(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("all_match",
-        exprs => ArrayForAll(exprs.head, exprs(1)), "built-in")
+      shim("any_match")(exprs => ArrayExists(exprs.head, exprs(1)))
+      shim("all_match")(exprs => ArrayForAll(exprs.head, exprs(1)))
       // none_match(a, f) = all_match(a, x -> NOT f(x)) — the analyzer
       // requires a lambda's DIRECT parent to be the higher-order
       // function, so Not must go inside the lambda body, not above it
-      reg.createOrReplaceTempFunction("none_match",
-        exprs => exprs(1) match {
-          case LambdaFunction(fn, args, hidden) =>
-            ArrayForAll(exprs.head, LambdaFunction(Not(fn), args, hidden))
-          case other => ArrayForAll(exprs.head, other)
-        }, "built-in")
+      shim("none_match")(exprs => exprs(1) match {
+        case LambdaFunction(fn, args, hidden) =>
+          ArrayForAll(exprs.head, LambdaFunction(Not(fn), args, hidden))
+        case other => ArrayForAll(exprs.head, other)
+      })
 
       // Presto string breadth: starts_with (Spark: startswith),
       // levenshtein_distance (Spark: levenshtein)
-      reg.createOrReplaceTempFunction("starts_with",
-        exprs => StartsWith(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("levenshtein_distance",
-        exprs => Levenshtein(exprs.head, exprs(1)), "built-in")
+      shim("starts_with")(exprs => StartsWith(exprs.head, exprs(1)))
+      shim("levenshtein_distance")(exprs =>
+        Levenshtein(exprs.head, exprs(1)))
 
       // Presto datetime part shorthands (dow/doy ISO like day_of_week
       // above; week = ISO week-of-year)
-      reg.createOrReplaceTempFunction("dow",
-        exprs => Add(
-          Pmod(Add(DayOfWeek(exprs.head), Literal(5)), Literal(7)),
-          Literal(1)), "built-in")
-      reg.createOrReplaceTempFunction("doy",
-        exprs => DayOfYear(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("week",
-        exprs => WeekOfYear(exprs.head), "built-in")
+      shim("dow")(exprs => Add(
+        Pmod(Add(DayOfWeek(exprs.head), Literal(5)), Literal(7)),
+        Literal(1)))
+      shim("doy")(exprs => DayOfYear(exprs.head))
+      shim("week")(exprs => WeekOfYear(exprs.head))
 
       // Presto from_unixtime returns a TIMESTAMP; Spark's builtin of
-      // the same name formats a STRING — dialect-correct shadow
-      // (registered sessions are Presto-dialect by contract, like
-      // `contains` above)
-      reg.createOrReplaceTempFunction("from_unixtime",
-        exprs => SecondsToTimestamp(exprs.head), "built-in")
+      // the same name formats a STRING → presto_from_unixtime
+      shim("from_unixtime")(exprs => SecondsToTimestamp(exprs.head))
 
       // Presto bitwise function forms (operators in Spark)
-      reg.createOrReplaceTempFunction("bitwise_and",
-        exprs => BitwiseAnd(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("bitwise_or",
-        exprs => BitwiseOr(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("bitwise_xor",
-        exprs => BitwiseXor(exprs.head, exprs(1)), "built-in")
+      shim("bitwise_and")(exprs => BitwiseAnd(exprs.head, exprs(1)))
+      shim("bitwise_or")(exprs => BitwiseOr(exprs.head, exprs(1)))
+      shim("bitwise_xor")(exprs => BitwiseXor(exprs.head, exprs(1)))
 
       // Presto binary/hash idiom to_hex(sha256(to_utf8(s))):
       // to_utf8/from_utf8 are UTF-8 casts, sha256 returns VARBINARY
       // (Spark's sha2 yields lowercase hex — unhex restores the raw
       // digest so downstream to_hex/length see Presto's type), and
       // to_hex renders UPPERCASE hex exactly like Presto.
-      reg.createOrReplaceTempFunction("to_utf8",
-        exprs => Cast(exprs.head, org.apache.spark.sql.types.BinaryType),
-        "built-in")
-      reg.createOrReplaceTempFunction("from_utf8",
-        exprs => Cast(exprs.head, org.apache.spark.sql.types.StringType),
-        "built-in")
-      reg.createOrReplaceTempFunction("sha256",
-        exprs => Unhex(Sha2(exprs.head, Literal(256))), "built-in")
-      reg.createOrReplaceTempFunction("to_hex",
-        exprs => Hex(exprs.head), "built-in")
-      reg.createOrReplaceTempFunction("from_hex",
-        exprs => Unhex(exprs.head), "built-in")
+      shim("to_utf8")(exprs =>
+        Cast(exprs.head, org.apache.spark.sql.types.BinaryType))
+      shim("from_utf8")(exprs =>
+        Cast(exprs.head, org.apache.spark.sql.types.StringType))
+      shim("sha256")(exprs => Unhex(Sha2(exprs.head, Literal(256))))
+      shim("to_hex")(exprs => Hex(exprs.head))
+      shim("from_hex")(exprs => Unhex(exprs.head))
 
       // ── fifth tranche: the silent-divergence set ──────────────────
       // Presto split(s, delim[, limit]) splits on a LITERAL delimiter;
       // Spark's builtin of the same name treats it as a Java regex —
       // split(x, '.') silently explodes to characters instead of
-      // splitting on dots. Shadow with regex-quoted literal semantics
-      // when the delimiter is a foldable literal (the whole criteria
-      // corpus); a non-literal delimiter keeps Spark's regex reading,
-      // documented. Empty-delimiter '' keeps Spark's char-split (the
-      // engine's own SQL uses it; Presto rejects '' outright, so no
-      // Presto-dialect criteria can depend on it). Trailing empty
-      // fields are KEPT on both engines (Spark limit -1 = Presto).
-      reg.createOrReplaceTempFunction("split",
-        { exprs =>
-          val delim = exprs(1) match {
-            case Literal(d: org.apache.spark.unsafe.types.UTF8String, _)
-                if d != null && d.toString.nonEmpty =>
-              Literal(java.util.regex.Pattern.quote(d.toString))
-            case other => other
-          }
-          val limit = if (exprs.length > 2) exprs(2) else Literal(-1)
-          StringSplit(exprs.head, delim, limit)
-        }, "built-in")
+      // splitting on dots → presto_split, regex-quoted literal
+      // semantics when the delimiter is a foldable literal (the whole
+      // criteria corpus); a non-literal delimiter keeps Spark's regex
+      // reading, documented. Empty-delimiter '' keeps Spark's
+      // char-split (the engine's own SQL uses it; Presto rejects ''
+      // outright, so no Presto-dialect criteria can depend on it).
+      // Trailing empty fields are KEPT on both engines (Spark limit
+      // -1 = Presto).
+      shim("split") { exprs =>
+        val delim = exprs(1) match {
+          case Literal(d: org.apache.spark.unsafe.types.UTF8String, _)
+              if d != null && d.toString.nonEmpty =>
+            Literal(java.util.regex.Pattern.quote(d.toString))
+          case other => other
+        }
+        val limit = if (exprs.length > 2) exprs(2) else Literal(-1)
+        StringSplit(exprs.head, delim, limit)
+      }
 
       // Presto date_format/date_parse use MySQL %-tokens (%Y-%m-%d
       // %H:%i:%s); Spark's date_format of the same NAME wants Java
-      // patterns — '%Y' through Spark renders literal "%Y". Shadow
-      // both, translating a literal format via [[mysqlFormatToJava]]
-      // (literal runs single-quoted so stray letters never become
-      // pattern tokens). Non-literal formats fall back to Spark's
-      // pattern dialect, documented.
+      // patterns — '%Y' through Spark renders literal "%Y" →
+      // presto_date_format. Translate a literal format via
+      // [[mysqlFormatToJava]] (literal runs single-quoted so stray
+      // letters never become pattern tokens). Non-literal formats
+      // fall back to Spark's pattern dialect, documented.
       def mysqlFmt(e: Expression): Expression = e match {
         case Literal(f: org.apache.spark.unsafe.types.UTF8String, _)
             if f != null =>
           Literal(Functions.mysqlFormatToJava(f.toString))
         case other => other
       }
-      reg.createOrReplaceTempFunction("date_format",
-        exprs => DateFormatClass(exprs.head, mysqlFmt(exprs(1))),
-        "built-in")
-      reg.createOrReplaceTempFunction("date_parse",
-        exprs => GetTimestamp(exprs.head, mysqlFmt(exprs(1)),
-          org.apache.spark.sql.types.TimestampType),
-        "built-in")
+      shim("date_format")(exprs =>
+        DateFormatClass(exprs.head, mysqlFmt(exprs(1))))
+      shim("date_parse")(exprs =>
+        GetTimestamp(exprs.head, mysqlFmt(exprs(1)),
+          org.apache.spark.sql.types.TimestampType))
       // Joda-pattern cousins: the corpus subset (y M d H m s E) reads
       // identically in Java's formatter, so the literal passes
       // through; divergent Joda tokens (Y = year-of-era vs Java's
       // week-year, x/w) are NOT translated — documented common-subset
       // contract, same stance as the approx aggregates above.
-      reg.createOrReplaceTempFunction("format_datetime",
-        exprs => DateFormatClass(exprs.head, exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("parse_datetime",
-        exprs => GetTimestamp(exprs.head, exprs(1),
-          org.apache.spark.sql.types.TimestampType),
-        "built-in")
+      shim("format_datetime")(exprs =>
+        DateFormatClass(exprs.head, exprs(1)))
+      shim("parse_datetime")(exprs =>
+        GetTimestamp(exprs.head, exprs(1),
+          org.apache.spark.sql.types.TimestampType))
 
       // Presto map_concat: duplicate keys take the value from the
-      // LAST map argument; Spark's map_concat under the default
-      // mapKeyDedupPolicy=EXCEPTION throws instead. Keep each entry
-      // of the concatenated entry list only if no LATER entry carries
-      // the same key (O(n²) over map sizes — criteria maps are tiny),
-      // then rebuild. No session-conf change, no runtime throw.
-      reg.createOrReplaceTempFunction("map_concat",
-        { exprs =>
-          val entries = Concat(exprs.map(MapEntries))
-          val e = UnresolvedNamedLambdaVariable(Seq("e"))
-          val i = UnresolvedNamedLambdaVariable(Seq("i"))
-          val x = UnresolvedNamedLambdaVariable(Seq("x"))
-          def keyOf(v: Expression): Expression =
-            UnresolvedExtractValue(v, Literal("key"))
-          val keepLast = ArrayFilter(entries,
-            LambdaFunction(
-              Not(ArrayExists(
-                Slice(entries, Add(i, Literal(2)),
-                  Size(entries, legacySizeOfNull = false)),
-                LambdaFunction(EqualNullSafe(keyOf(x), keyOf(e)), Seq(x)))),
-              Seq(e, i)))
-          MapFromEntries(keepLast)
-        }, "built-in")
+      // LAST map argument; Spark's builtin of the same name under the
+      // default mapKeyDedupPolicy=EXCEPTION throws instead →
+      // presto_map_concat. Keep each entry of the concatenated entry
+      // list only if no LATER entry carries the same key (O(n²) over
+      // map sizes — criteria maps are tiny), then rebuild. No
+      // session-conf change, no runtime throw.
+      shim("map_concat") { exprs =>
+        val entries = Concat(exprs.map(MapEntries))
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        val i = UnresolvedNamedLambdaVariable(Seq("i"))
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        def keyOf(v: Expression): Expression =
+          UnresolvedExtractValue(v, Literal("key"))
+        val keepLast = ArrayFilter(entries,
+          LambdaFunction(
+            Not(ArrayExists(
+              Slice(entries, Add(i, Literal(2)),
+                Size(entries, legacySizeOfNull = false)),
+              LambdaFunction(EqualNullSafe(keyOf(x), keyOf(e)), Seq(x)))),
+            Seq(e, i)))
+        MapFromEntries(keepLast)
+      }
 
       // Presto ngrams(array, n) → array of overlapping length-n
       // sub-arrays; shorter-than-n input yields the whole array as
       // its single (truncated) gram. Pure composition — sequence +
       // slice — so it stays codegen-friendly.
-      reg.createOrReplaceTempFunction("ngrams",
-        { exprs =>
-          val arr = exprs.head
-          val i = UnresolvedNamedLambdaVariable(Seq("i"))
-          val upper = Greatest(Seq(
-            Add(Subtract(Size(arr, legacySizeOfNull = false), exprs(1)),
-              Literal(1)),
-            Literal(1)))
-          ArrayTransform(
-            Sequence(Literal(1), upper, None),
-            LambdaFunction(Slice(arr, i, exprs(1)), Seq(i)))
-        }, "built-in")
+      shim("ngrams") { exprs =>
+        val arr = exprs.head
+        val i = UnresolvedNamedLambdaVariable(Seq("i"))
+        val upper = Greatest(Seq(
+          Add(Subtract(Size(arr, legacySizeOfNull = false), exprs(1)),
+            Literal(1)),
+          Literal(1)))
+        ArrayTransform(
+          Sequence(Literal(1), upper, None),
+          LambdaFunction(Slice(arr, i, exprs(1)), Seq(i)))
+      }
     }
 
     // Presto normalize(s) — Unicode NFC via the JDK (identical
@@ -408,14 +411,14 @@ object Functions {
     // keyword (normalize(s, NFKC)) which Spark's parser reads as a
     // column reference before any registry lookup, so only the
     // default-NFC 1-arg form is registrable — documented limit.
-    spark.udf.register("normalize", (s: String) =>
+    spark.udf.register(guarded("normalize"), (s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s,
         java.text.Normalizer.Form.NFC))
 
     // Presto hamming_distance(s1, s2) — equal-length inputs by
     // contract (Presto throws otherwise; so do we, loudly).
-    spark.udf.register("hamming_distance", (a: String, b: String) =>
+    spark.udf.register(guarded("hamming_distance"), (a: String, b: String) =>
       if (a == null || b == null) null
       else {
         require(a.length == b.length,
@@ -425,15 +428,6 @@ object Functions {
         java.lang.Long.valueOf(d)
       })
 
-    // Presto url_encode/url_decode (application/x-www-form-urlencoded,
-    // UTF-8 — the JDK coder is that exact spec)
-    spark.udf.register("url_encode", (s: String) =>
-      if (s == null) null
-      else java.net.URLEncoder.encode(s, "UTF-8"))
-    spark.udf.register("url_decode", (s: String) =>
-      if (s == null) null
-      else java.net.URLDecoder.decode(s, "UTF-8"))
-
     // Presto json_size(json, path): children count of the element at
     // path — object → #keys, array → #elements, scalar → 0, missing/
     // malformed → NULL. No Catalyst twin (json_array_length is
@@ -442,7 +436,7 @@ object Functions {
     // top-level [[JsonSizeFn]] so the registered closure stays free of
     // `Functions$` (which is not Serializable — capturing it made the
     // UDF throw Task-not-serializable on any executor-side eval).
-    spark.udf.register("json_size",
+    spark.udf.register(guarded("json_size"),
       (json: String, path: String) => JsonSizeFn.size(json, path))
   }
 
@@ -452,8 +446,10 @@ object Functions {
     * pattern tokens ('T' in `%Y-%m-%dT%H` stays the literal T); `%%`
     * is a literal percent; an unknown `%x` drops the percent and
     * keeps x literal (MySQL's own behavior). Week-based MySQL tokens
-    * (%U/%u/%X/%x) have no exact Java twin and fall through as
-    * literals — loud in output rather than silently wrong.
+    * (%U/%u/%v/%V/%X/%x) have no exact Java twin — Spark rejects
+    * week-based pattern letters ('w'/'W' field) since 3.0 — and fall
+    * through as literals: loud in output rather than a runtime
+    * unsupported-pattern error.
     */
   private[graft] def mysqlFormatToJava(fmt: String): String = {
     val tok = Map(
@@ -462,8 +458,7 @@ object Functions {
       'j' -> "DDD", 'H' -> "HH", 'k' -> "H", 'h' -> "hh",
       'I' -> "hh", 'l' -> "h", 'i' -> "mm", 's' -> "ss",
       'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a", 'W' -> "EEEE",
-      'a' -> "EEE", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a",
-      'v' -> "ww")
+      'a' -> "EEE", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
     val out = new StringBuilder
     val lit = new StringBuilder
     def flush(): Unit = if (lit.nonEmpty) {

@@ -40,10 +40,13 @@ object Paths {
           case Some(f) => resolve(c.getField(seg), f.dataType, rest)
           case None    => lit(null).cast(StringType)
         }
+      // try_element_at, not element_at: the DotDict contract is NULL
+      // on any miss (P3), and under ANSI the builtin element_at
+      // throws on an out-of-range array index
       case (at: ArrayType, seg :: rest) if seg.forall(_.isDigit) =>
-        resolve(element_at(c, seg.toInt + 1), at.elementType, rest)
+        resolve(try_element_at(c, lit(seg.toInt + 1)), at.elementType, rest)
       case (mt: MapType, seg :: rest) =>
-        resolve(element_at(c, lit(seg)), mt.valueType, rest)
+        resolve(try_element_at(c, lit(seg)), mt.valueType, rest)
       case (StringType, segs) =>
         get_json_object(c, "$" + jsonPath(segs))
       case _ => lit(null).cast(StringType)

@@ -1421,8 +1421,11 @@ object Curation {
     * covers it. Returns the rewritten corpus —
     * `(doc_id, n_tokens, n_kept, n_removed, kept_text)` — where
     * [[dupSpanStats]] only reports. Deterministic: the keeper of a
-    * span is min over the encoded key `doc_id·10⁶ + pos`, exact
-    * integers throughout.
+    * span is `min(struct(doc_id, pos))` — true lexicographic
+    * (doc, position) order, safe for documents of ANY token count (an
+    * arithmetic `doc_id·10⁶ + pos` encoding would collide across
+    * documents past 10⁶ tokens and overflow past doc_id ~9.2e12 —
+    * real hazards in a 100 TB corpus).
     *
     * Scale shape: the first-occurrence table is one map-combinable
     * MIN keyed by the gram; the join back re-distributes by gram (a
@@ -1443,9 +1446,10 @@ object Curation {
           p => array_join(slice(col("t"), p + 1, lit(n)), " "))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
     val first = grams.groupBy("gram")
-      .agg(min(col("doc_id") * 1000000L + col("pos")).as("fk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("fk"))
     val removedPos = grams.join(first, Seq("gram"))
-      .where(col("doc_id") * 1000000L + col("pos") =!= col("fk"))
+      .where(col("doc_id") =!= col("fk.doc_id") ||
+        col("pos") =!= col("fk.pos"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()

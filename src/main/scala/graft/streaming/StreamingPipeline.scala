@@ -89,14 +89,20 @@ object StreamingPipeline {
     * collisions, the q21/q22 contract).
     *
     * Scale shape: the eval set is benchmark-sized BY CONTRACT, so its
-    * gram → earliest-id table ships to every task as a plan literal —
-    * the streaming analogue of the batch broadcast join. The stream
-    * side is then fully map-only: no join, no shuffle, no state, no
-    * watermark, safe in any output mode. (The lossy scale-out
-    * variant of the same shape is a Bloom filter of eval grams; this
-    * corpus' eval vocabularies fit exactly.) The one-time static-side
-    * aggregation that builds the table is a bounded driver pull,
-    * same class as the audited query-vector collects.
+    * gram → earliest-id table ships to every executor ONCE as a
+    * `SparkContext.broadcast` java HashMap and the stream side probes
+    * it O(1) per gram inside one UDF pass — the streaming analogue of
+    * the batch broadcast hash join. Fully map-only: no join, no
+    * shuffle, no state, no watermark, safe in any output mode. (The
+    * r7 version embedded the table as a `typedLit` plan literal;
+    * literal `MapData` has NO hash index — `element_at` is a linear
+    * scan — so the "map-only" plan was secretly
+    * O(corpus-grams × eval-grams), 84× slower than its Bloom twin.
+    * The broadcast HashMap keeps the same no-join shape with real
+    * O(1) probes, and the plan no longer carries megabytes of
+    * literal.) The one-time static-side aggregation that builds the
+    * table is a bounded driver pull, same class as the audited
+    * query-vector collects.
     */
   def decontaminateStream(docs: DataFrame, evalSet: DataFrame,
       n: Int = 3, minHits: Long = 1L, textCol: String = "text",
@@ -108,21 +114,50 @@ object StreamingPipeline {
           p => array_join(slice(t, p + 1, lit(n)), " ")))
         .otherwise(array().cast("array<string>")))
     }
-    val lookup: Map[String, Long] = evalSet
+    val lookup = new java.util.HashMap[String, java.lang.Long]()
+    evalSet
       .where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("eval_id"),
         explode(grams(col(textCol))).as("gram"))
       .groupBy("gram").agg(min("eval_id").as("eval_id"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val lk = typedLit(lookup)
-    val g = grams(col(textCol))
+      .collect().foreach(r => lookup.put(r.getString(0), r.getLong(1)))
+    val bc = docs.sparkSession.sparkContext.broadcast(lookup)
+    // fused kernel: grams are generated AND probed in one JVM pass
+    // over the raw text (no array<string> column materialized, no
+    // Catalyst↔Scala array conversion); only HITS pay a set insert,
+    // so the distinct-gram contract costs O(hits), not O(grams)
+    val nn = n
+    val probe = udf((text: String) => {
+      val m = bc.value
+      val ws = text.split(" ")
+      if (ws.length < nn) None
+      else {
+        var minEval = Long.MaxValue
+        val hitGrams = new java.util.HashSet[String]()
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i + nn <= ws.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < nn) {
+            if (j > 0) sb.append(' ')
+            sb.append(ws(i + j)); j += 1
+          }
+          val g = sb.toString
+          val v = m.get(g)
+          if (v != null && hitGrams.add(g) && v < minEval) minEval = v
+          i += 1
+        }
+        if (hitGrams.isEmpty) None
+        else Some((hitGrams.size.toLong, minEval))
+      }
+    })
     docs.where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
-        size(filter(g, x => element_at(lk, x).isNotNull)).cast("long")
-          .as("hit_shingles"),
-        array_min(filter(transform(g, x => element_at(lk, x)),
-          x => x.isNotNull)).as("eval_hit"))
-      .where(col("hit_shingles") >= minHits)
+        probe(col(textCol)).as("p"))
+      .where(col("p").isNotNull && col("p._1") >= minHits)
+      .select(col("doc_id"), col("p._1").as("hit_shingles"),
+        col("p._2").as("eval_hit"))
   }
 
   /** Streaming Gopher quality gate: the q366 rule bundle
@@ -197,7 +232,11 @@ object StreamingPipeline {
     * (band, bandhash) bucket — id plus its shingle-hash set for the
     * in-stream exact-Jaccard verify.
     */
-  case class BandRep(repId: Long, sh: Seq[Long])
+  /** Per-bucket state: the first occupant's id plus its SORTED
+    * shingle-hash array (primitive encoding — the lightest exact
+    * representation; sorting makes the verify a linear merge).
+    */
+  case class BandRep(repId: Long, sh: Array[Long])
 
   case class SelfDupRow(doc_id: Long, c_id: Long, band: Int,
     jac_micro: Long)
@@ -220,16 +259,23 @@ object StreamingPipeline {
     * arrival order, the honest streaming answer.
     *
     * Scale shape: map-only signature + banding up to one shuffle
-    * keyed by (band, bandhash); state is ONE (id, shingle set) per
-    * occupied bucket — proportional to the corpus' bucket count, the
-    * same size class as the batch LSH's band table, and the
-    * price of self-dedup against unbounded history (a dedup horizon
-    * belongs to the CALLER's retention policy; wire a timeout here
-    * only when the product wants forgetting).
+    * keyed by (band, bandhash); state is ONE `(id, sorted
+    * shingle-hash array)` per occupied bucket — proportional to the
+    * corpus' bucket count, the same size class as the batch LSH's
+    * band table. Eviction contract: with the default `stateTtl =
+    * None` the representative lives forever (self-dedup against
+    * unbounded history — the honest price of "ever seen before");
+    * passing a TTL (e.g. `"6 hours"`) arms a processing-time timeout
+    * per bucket so the dedup horizon becomes a retention policy: a
+    * bucket idle past the TTL drops its representative and the next
+    * arrival becomes the new first occupant. State growth is spec-
+    * pinned (StreamingSpec "selfDedupStream state is one row per
+    * occupied bucket"): re-sending the same corpus adds ZERO rows.
     */
   def selfDedupStream(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5, textCol: String = "text",
-      idCol: String = "doc_id"): org.apache.spark.sql.Dataset[SelfDupRow] = {
+      idCol: String = "doc_id", stateTtl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[SelfDupRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val rows = numHashes / bands
     val thrMicro = math.floor(threshold * 1e6).toLong
@@ -237,6 +283,9 @@ object StreamingPipeline {
     import spark.implicits._
     val mh = call_function("minhash_state",
       split(col(textCol), " "), lit(n), lit(numHashes))
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .select(col(idCol).cast("long").as("doc_id"), mh.as("mh"))
       .select(col("doc_id"), col("mh.sh").as("sh"), col("mh.sig").as("sig"))
@@ -247,28 +296,44 @@ object StreamingPipeline {
         col("bk.band").as("band"), col("bk.bh").as("bh"))
       .as[(Long, Seq[Long], Int, Long)]
       .groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (key: (Int, Long), it: Iterator[(Long, Seq[Long], Int, Long)],
          state: GroupState[BandRep]) => {
-          val sorted = it.toIndexedSeq.sortBy(_._1)
-          var st = state.getOption
-          val out = Seq.newBuilder[SelfDupRow]
-          sorted.foreach { case (id, sh, band, _) =>
-            st match {
-              case None => st = Some(BandRep(id, sh))
-              case Some(rep) =>
-                val a = sh.toSet
-                val b = rep.sh.toSet
-                val inter = a.intersect(b).size.toLong
-                val uni = a.size + b.size - inter
-                // floor(inter·10⁶/uni): exact in double at these sizes,
-                // the same contract as the static near-dup alarm
-                val jac = math.floor(inter.toDouble * 1e6 / uni).toLong
-                if (jac >= thrMicro) out += SelfDupRow(id, rep.repId, band, jac)
+          if (state.hasTimedOut) {
+            // TTL horizon passed with no arrivals: forget the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(_._1)
+            var st = state.getOption
+            val out = Seq.newBuilder[SelfDupRow]
+            sorted.foreach { case (id, sh, band, _) =>
+              st match {
+                case None => st = Some(BandRep(id, sh.toArray.sorted))
+                case Some(rep) =>
+                  // exact |A∩B| by sorted-merge against the stored
+                  // sorted array (shingle hashes are distinct per doc)
+                  val a = sh.toArray.sorted
+                  val b = rep.sh
+                  var i = 0; var j = 0; var inter = 0L
+                  while (i < a.length && j < b.length) {
+                    if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+                    else if (a(i) < b(j)) i += 1
+                    else j += 1
+                  }
+                  val uni = a.length.toLong + b.length - inter
+                  // floor(inter·10⁶/uni): exact in double at these
+                  // sizes, the same contract as the static alarm
+                  val jac = math.floor(inter.toDouble * 1e6 / uni).toLong
+                  if (jac >= thrMicro) out += SelfDupRow(id, rep.repId, band, jac)
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              stateTtl.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
         })
   }
 

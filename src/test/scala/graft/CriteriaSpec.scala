@@ -126,13 +126,21 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     // and left it 0-based)
     assert(Criteria.rewriteSubscripts("+[9] AND split(x, ',')[1] = 'a'")
       === "+[9] AND element_at(split(x, ','), 1) = 'a'")
-    // Presto double-quoted identifier as a subscript base
+    // Presto double-quoted identifier as a subscript base (full
+    // rewrite maps element_at → presto_element_at, the no-shadow name)
     assert(Criteria.rewrite("\"my col\"[1] = 'a'")
-      === "element_at(`my col`, 1) = 'a'")
+      === "presto_element_at(`my col`, 1) = 'a'")
     // double-quoted identifiers convert to backticks anywhere outside
     // string literals; literals keep their double quotes
     assert(Criteria.rewrite("\"a\"\"b\" = 'say \"hi\"'")
       === "`a\"b` = 'say \"hi\"'")
+    // an apostrophe INSIDE a double-quoted identifier must not pair
+    // with a later string literal (the r7-flagged mis-chunking): the
+    // single left-to-right pass gives the span to whichever quote
+    // opens first
+    assert(Criteria.rewrite("\"it's col\" = 'x'") === "`it's col` = 'x'")
+    assert(Criteria.rewrite("\"it's a\" = 'x' AND \"b'c\" = 'y'")
+      === "`it's a` = 'x' AND `b'c` = 'y'")
     // END-TO-END: a double-quoted (Presto) identifier resolves as a
     // column, not a string literal
     val row = spark.sql("SELECT 'v' AS `my col`")

@@ -11,6 +11,13 @@ import graft.sources.Ingest
 class FunctionsSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
+  /** Presto-dialect SQL: the builtin-colliding shim names (split,
+    * date_format, element_at, …) register as presto_<name> under the
+    * no-shadow invariant, and Criteria.rewrite maps the bare tokens —
+    * so dialect tests run the exact path wild criteria take.
+    */
+  private def psql(q: String) = spark.sql(graft.criteria.Criteria.rewrite(q))
+
   test("json_extract_scalar registered as native Catalyst function") {
     Functions.register(spark)
     val r = spark.sql(
@@ -33,7 +40,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
 
   test("contains registered with Presto array semantics") {
     Functions.register(spark)
-    val r = spark.sql(
+    val r = psql(
       """SELECT contains(array('a','b'), 'b') AS c1,
         |  contains(array('a','b'), 'z') AS c2""".stripMargin).head()
     assert(r.getBoolean(0) === true)
@@ -42,7 +49,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
 
   test("element_at / cardinality / from_iso8601_timestamp: Presto semantics") {
     graft.functions.Functions.register(spark)
-    val r = spark.sql(
+    val r = psql(
       """SELECT element_at(array(10, 20), 2) AS a,
         |       element_at(array(10, 20), 5) AS oob,
         |       element_at(map('k', 'v'), 'missing') AS nokey,
@@ -77,7 +84,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
 
   test("Presto URL/map/time surface: extractors, split_to_map, unixtime") {
     Functions.register(spark)
-    val r = spark.sql(
+    val r = psql(
       """SELECT url_extract_host('https://ex.com:8080/a/b?u=7&x=1') AS h,
         |       url_extract_path('https://ex.com/a/b?u=7') AS p,
         |       url_extract_parameter('https://ex.com/a?u=7&u=8&x=1', 'u') AS u,
@@ -149,7 +156,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     Seq((1L, "a", Some(10L)), (1L, "a", Some(99L)), (1L, "b", None))
       .toDF("g", "k", "v").createOrReplaceTempView("t_agg_presto")
-    val r = spark.sql(
+    val r = psql(
       """SELECT size(array_agg(v)) AS n_with_null,
         |       map_agg(k, v) AS m
         |FROM t_agg_presto GROUP BY g""".stripMargin).head()
@@ -184,7 +191,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     import spark.implicits._
     Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L))
       .toDF("g", "k", "v").createOrReplaceTempView("t_agg")
-    val rows = spark.sql(
+    val rows = psql(
       """SELECT g, sort_array(array_agg(v)) AS vs,
         |       element_at(map_agg(k, v), 'b') AS kb
         |FROM t_agg GROUP BY g ORDER BY g""".stripMargin).collect()
@@ -200,7 +207,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     val ansi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
-      val r = spark.sql(
+      val r = psql(
         """SELECT TRY(1 / 0) AS div0,
           |       TRY(CAST('nope' AS INT)) AS badcast,
           |       TRY(CAST('7' AS INT)) AS ok,
@@ -220,7 +227,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       "levenshtein_distance, dow/doy/week, from_unixtime TIMESTAMP, " +
       "bitwise forms, to_hex(sha256(to_utf8()))") {
     Functions.register(spark)
-    val r = spark.sql(
+    val r = psql(
       """SELECT any_match(array(1, 5), x -> x > 4) AS am,
         |       all_match(array(1, 5), x -> x > 0) AS alm,
         |       none_match(array(1, 5), x -> x > 9) AS nm,
@@ -270,7 +277,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       "date_format/date_parse, ngrams, map_concat last-wins, " +
       "normalize, hamming_distance, url_encode/url_decode") {
     Functions.register(spark)
-    val r = spark.sql(
+    val r = psql(
       """SELECT split('a.b.c', '.') AS sp,
         |       split('a,b,c,d', ',', 2) AS sp2,
         |       split('a,,b,,', ',') AS spe,
@@ -327,7 +334,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
   test("registered split keeps Spark's char-split for '' and regex " +
       "reading for non-literal delimiters") {
     Functions.register(spark)
-    val r = spark.sql(
+    val r = psql(
       """SELECT split('ab', '') AS chars,
         |       split('axxb', repeat('x', 2)) AS nonlit""".stripMargin).head()
     assert(r.getSeq[String](0) === Seq("a", "b"))

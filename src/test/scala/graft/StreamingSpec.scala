@@ -1256,4 +1256,66 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       case None    => spark.conf.unset(provider)
     }
   }
+
+  test("selfDedupStream state is one row per occupied bucket and " +
+      "re-sending the corpus adds ZERO rows (bounded-state contract)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (3L, "completely different words compose this other document here now"))
+    val out = graft.streaming.StreamingPipeline
+      .selfDedupStream(mem.toDF().toDF("doc_id", "text"))
+    val q = out.toDF().writeStream.format("memory").queryName("sds_state")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val afterFirst = q.lastProgress.stateOperators.head.numRowsTotal
+      // docs 1 and 3 each occupy up to 4 band buckets; the dup doc 2
+      // lands in doc 1's buckets — state counts BUCKETS, not docs
+      assert(afterFirst > 0 && afterFirst <= 8,
+        s"expected <= 2 docs x 4 bands rows, got $afterFirst")
+      // the dup fired against the earliest occupant
+      val fired = spark.table("sds_state").collect()
+      assert(fired.map(_.getAs[Long]("doc_id")).distinct.toSeq === Seq(2L))
+      assert(fired.forall(_.getAs[Long]("c_id") == 1L))
+      // replay the whole corpus: every bucket already has its
+      // representative, so state must not grow by a single row
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val afterReplay = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterReplay === afterFirst,
+        s"state grew on replay: $afterFirst -> $afterReplay")
+      // a genuinely new doc claims new buckets: growth is bucket-shaped
+      mem.addData((9L, "nine distinct fresh tokens never seen in any earlier text"))
+      q.processAllAvailable()
+      val afterNew = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterNew > afterReplay && afterNew <= afterReplay + 4)
+    } finally q.stop()
+  }
+
+  test("selfDedupStream with a TTL arms a processing-time timeout " +
+      "(eviction contract is wired, not just documented)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingPipeline.selfDedupStream(
+      mem.toDF().toDF("doc_id", "text"), stateTtl = Some("1 hour"))
+    val timeouts = out.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState =>
+        f.timeout
+    }
+    assert(timeouts ===
+      Seq(org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout))
+    // and the default stays NoTimeout (self-dedup against all history)
+    val def0 = graft.streaming.StreamingPipeline
+      .selfDedupStream(mem.toDF().toDF("doc_id", "text"))
+      .queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState =>
+          f.timeout
+      }
+    assert(def0 ===
+      Seq(org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout))
+  }
 }
