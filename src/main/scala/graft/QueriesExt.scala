@@ -2882,7 +2882,57 @@ private[graft] object QueriesExt {
               |JOIN sz sb ON sb.doc_id = p.c_id
               |WHERE (inter * 1000000) // (sa.n + sb.n - inter)
               |  >= 500000
-              |ORDER BY p.doc_id, p.c_id, p.band""".stripMargin)))
+              |ORDER BY p.doc_id, p.c_id, p.band""".stripMargin)),
+
+    // Presto-dialect breadth, sixth batch — registered via the r8
+    // no-shadow mechanism (colliding names go presto_* through
+    // Criteria.rewrite; array_sort/json_array_length/regexp_like
+    // resolve to Spark's IDENTICAL builtins, nothing registered):
+    // mixed-case TRY_CAST, array_sort with a comparator lambda,
+    // json_array_length on array/object/malformed inputs, and the
+    // from_iso8601_timestamp round-trip through MySQL-token
+    // date_format.
+    Q("q378_presto_dialect6",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(TRY_CAST(event_type AS INTEGER)) AS tc_bad,
+            |  MAX(Try_Cast(CAST(user_id AS VARCHAR) AS INTEGER))
+            |    AS tc_ok,
+            |  array_join(array_sort(array_distinct(array_agg(event_type)),
+            |    (x, y) -> IF(x < y, 1, IF(x = y, 0, -1))), ',')
+            |    AS types_desc,
+            |  CAST(SUM(CASE WHEN regexp_like(event_type, '^(click|view)$')
+            |    THEN 1 ELSE 0 END) AS BIGINT) AS likes,
+            |  MAX(to_unixtime(from_iso8601_timestamp(
+            |    date_format(ts, '%Y-%m-%dT%H:%i:%s') || 'Z'))) AS rt,
+            |  MAX(json_array_length(CASE CAST(user_id % 3 AS INTEGER)
+            |    WHEN 0 THEN '[1]' WHEN 1 THEN '[1,2]'
+            |    ELSE '[1,2,3]' END)) AS jal,
+            |  MIN(json_array_length('{"a":1}')) AS jal_obj
+            |FROM events
+            |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            |  AND event_type IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  MIN(TRY_CAST(event_type AS INTEGER)) AS tc_bad,
+             |  MAX(TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER))
+             |    AS tc_ok,
+             |  array_to_string(list_sort(list_distinct(list(event_type)),
+             |    'DESC'), ',') AS types_desc,
+             |  CAST(SUM(CASE WHEN regexp_matches(event_type,
+             |    '^(click|view)$') THEN 1 ELSE 0 END) AS BIGINT) AS likes,
+             |  MAX(CAST(epoch_us(date_trunc('second', ts)) AS DOUBLE)
+             |    / 1000000.0) AS rt,
+             |  MAX(CAST(user_id % 3 AS INTEGER) + 1) AS jal,
+             |  CAST(NULL AS INTEGER) AS jal_obj
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  AND event_type IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

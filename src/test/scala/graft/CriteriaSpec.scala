@@ -153,6 +153,36 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       === "CAST(x AS VARCHAR(10)) = 'y'")
   }
 
+  test("Presto 6th tranche: mixed-case TRY_CAST, array_sort comparator " +
+      "lambda, json_array_length, regexp_like — through criteria text") {
+    graft.functions.Functions.register(spark)
+    val r = spark.sql(Criteria.rewrite(
+      """SELECT Try_Cast('7' AS INTEGER) AS ok,
+        |  TRY_CAST('x' AS INTEGER) AS bad,
+        |  try_cast('8' AS INTEGER) AS lower_ok,
+        |  array_join(array_sort(array('b', 'c', 'a'),
+        |    (x, y) -> IF(x < y, 1, IF(x = y, 0, -1))), ',') AS des,
+        |  json_array_length('[1,2,3]') AS jal,
+        |  json_array_length('{"a":1}') AS jobj,
+        |  json_array_length('not json') AS jbad,
+        |  regexp_like('error-4xx', 'err.*xx$') AS rl
+        |""".stripMargin)).head()
+    assert(r.getInt(0) === 7)
+    assert(r.isNullAt(1)) // TRY_CAST any casing → NULL, never ANSI throw
+    assert(r.getInt(2) === 8)
+    assert(r.getString(3) === "c,b,a") // comparator lambda honored
+    assert(r.getInt(4) === 3)
+    assert(r.isNullAt(5) && r.isNullAt(6)) // object / malformed → NULL
+    assert(r.getBoolean(7))
+    // these resolve to Spark BUILTINS — the dialect registers nothing
+    // for identical-semantics names (no-shadow invariant), so the
+    // rewrite must leave the tokens alone
+    assert(Criteria.rewrite("json_array_length(x) > 1")
+      === "json_array_length(x) > 1")
+    assert(Criteria.rewrite("regexp_like(s, 'a+') AND array_sort(a)[1] = 2")
+      === "regexp_like(s, 'a+') AND presto_element_at(array_sort(a), 1) = 2")
+  }
+
   test("date_add('unit', n, ts) rewrites to timestampadd and evaluates") {
     assert(Criteria.rewrite("date_add('hour', 2, ts)")
       === "timestampadd(hour, 2, ts)")

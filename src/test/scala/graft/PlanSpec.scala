@@ -288,6 +288,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "the HAVING-filtered key set must broadcast into orders")
   }
 
+  test("q371: stream decontamination is map-only — no join, no plan-" +
+      "literal map (the r7 112s regression shape)") {
+    // the op is output-mode-agnostic: run the SAME function over a
+    // batch frame so the optimized plan is inspectable synchronously
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+    val out = graft.streaming.StreamingPipeline.decontaminateStream(
+      docs.where(col("doc_id") % 5 =!= 0),
+      docs.where(col("doc_id") % 5 === 0))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"),
+      "the eval table must travel as a broadcast HashMap, never a join")
+    // the r7 defect: the whole gram→id table serialized into the plan
+    // as a map literal with linear-scan probes
+    assert(!plan.contains("map(") && !plan.contains("keys:"),
+      "no literal MapData may ride the plan")
+    assert(plan.contains("UDF"),
+      "the fused gram-generate-and-probe kernel must be present")
+  }
+
   test("q322: RFM never sort-merge joins; the global max broadcasts") {
     // the per-user fold is checkpointed (its scan ran once at build
     // time), so the serving plan reads the materialization — at most
