@@ -2932,7 +2932,32 @@ private[graft] object QueriesExt {
              |FROM events
              |WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |  AND event_type IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Competence-based curriculum ordering: linear length-binned
+    // difficulty bands, easy-first rank within band (prefix-sum scan,
+    // not a per-band window), round-robin interleave across bands
+    // into one global training order. The oracle replays the binning,
+    // the (n_tokens, doc_id) rank and the interleave arithmetic.
+    Q("q379_curriculum_order",
+      (s, dir) => graft.ops.Curation.curriculumOrder(
+        Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE text IS NOT NULL),
+             |m AS (SELECT MAX(n_tokens) AS mx FROM t),
+             |b AS (SELECT doc_id, n_tokens,
+             |    CAST(LEAST(3, (n_tokens * 4) // (mx + 1)) AS INTEGER)
+             |      AS band
+             |  FROM t CROSS JOIN m),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY band ORDER BY n_tokens, doc_id)
+             |      AS band_rank FROM b)
+             |SELECT doc_id, n_tokens, band,
+             |  CAST(band_rank AS BIGINT) AS band_rank,
+             |  CAST((band_rank - 1) * 4 + band AS BIGINT)
+             |    AS curriculum_pos
+             |FROM r ORDER BY curriculum_pos""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -1505,4 +1505,44 @@ object Curation {
         max(col("jac_ppm")).as("best_jac_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Competence-based curriculum ordering (Platanios et al. 2019
+    * shape, length-as-difficulty): documents are cut into `bands`
+    * difficulty bands by linear token-count binning against the
+    * corpus max, ranked easy-first WITHIN each band, and interleaved
+    * round-robin ACROSS bands into one global training order —
+    * `curriculum_pos = (band_rank − 1)·bands + band` — so every
+    * training window sees the full difficulty mixture while still
+    * trending easy→hard inside each band. Ragged bands leave gaps in
+    * the position sequence (it is an ORDERING key, not a row number);
+    * ties break on doc id, all integer, engine-portable.
+    *
+    * Returns `(doc_id, n_tokens, band, band_rank, curriculum_pos)`
+    * ordered by `curriculum_pos`.
+    *
+    * Scale shape: the corpus max is one combinable scalar aggregate
+    * (broadcast back via crossJoin); band ranks come from
+    * [[Par.prefixSum]]'s two-pass range-shuffle scan — NEVER a
+    * `Window.partitionBy(band)` whose B giant partitions would each
+    * sort a corpus/B slice on one task at 100 TB. The final orderBy
+    * is the output contract (a training order IS a sort).
+    */
+  def curriculumOrder(docs: DataFrame, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bands >= 1 && bands <= 1024, s"bands wants 1..1024, got $bands")
+    val t = Par.spread(docs.where(col(textCol).isNotNull))
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val mx = t.agg(max(col("n_tokens")).as("mx"))
+    val banded = t.crossJoin(broadcast(mx))
+      .withColumn("band", least(lit(bands - 1),
+        expr(s"n_tokens * ${bands}L div (mx + 1L)")).cast("int"))
+      .withColumn("one", lit(1L))
+    Par.prefixSum(banded, Seq("band"), Seq("n_tokens", "doc_id"), "one",
+        outCol = "band_rank")
+      .withColumn("curriculum_pos",
+        (col("band_rank") - 1L) * bands + col("band"))
+      .select("doc_id", "n_tokens", "band", "band_rank", "curriculum_pos")
+      .orderBy("curriculum_pos")
+  }
 }

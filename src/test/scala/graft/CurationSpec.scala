@@ -616,4 +616,27 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(achieved - 50000000L) < 100L,
       s"achieved=$achieved")
   }
+
+  test("curriculumOrder: linear bands, easy-first in band, round-robin " +
+      "interleave; a million-token doc can't collide ranks (hand-computed)") {
+    // token counts: 1,2,3,4,5,8 — mx=8, bands=4, band = n*4 div 9:
+    // n=1,2→0; n=3,4→1; n=5→2; n=8→3
+    val d = Seq(
+      (10L, "a"), (11L, "a b"), (12L, "a b c"), (13L, "a b c d"),
+      (14L, "a b c d e"), (15L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = graft.ops.Curation.curriculumOrder(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("band"), x.getAs[Long]("band_rank"),
+          x.getAs[Long]("curriculum_pos"))).toMap
+    assert(r(10L) === ((0, 1L, 0L)))  // (1-1)*4+0
+    assert(r(11L) === ((0, 2L, 4L)))  // (2-1)*4+0
+    assert(r(12L) === ((1, 1L, 1L)))
+    assert(r(13L) === ((1, 2L, 5L)))
+    assert(r(14L) === ((2, 1L, 2L)))
+    assert(r(15L) === ((3, 1L, 3L)))
+    // the global order trends round-robin across bands: first window
+    // (pos 0..3) holds one doc from EVERY band
+    val firstWindow = r.values.filter(_._3 < 4).map(_._1).toSet
+    assert(firstWindow === Set(0, 1, 2, 3))
+  }
 }
