@@ -268,3 +268,35 @@ object QuotedIdentProps extends Properties("Criteria.rewriteQuotedIdents") {
       rewriteQuotedIdents(s""""a""$id" = 1""") == s"`a\"$id` = 1"
     }
 }
+
+object DialectPrefixProps extends Properties("Criteria.rewrite prefixing") {
+  import graft.criteria.Criteria.rewrite
+
+  private val prefixed = Gen.oneOf(
+    graft.functions.Functions.prefixedNames.toSeq)
+
+  property("colliding names prefix exactly once: rewrite is idempotent") =
+    forAll(prefixed, Gen.identifier) { (fn, arg) =>
+      val s = s"$fn($arg, 'x') = 1"
+      val once = rewrite(s)
+      once == s"presto_$fn($arg, 'x') = 1" && rewrite(once) == once
+    }
+
+  property("call position only: bare identifiers never prefix") =
+    forAll(prefixed) { fn =>
+      rewrite(s"$fn = 1 AND x.$fn > 2") == s"$fn = 1 AND x.$fn > 2"
+    }
+
+  property("names inside string literals never prefix") =
+    forAll(prefixed) { fn =>
+      val s = s"x = 'use $fn(a) here'"
+      rewrite(s) == s
+    }
+
+  property("every prefixedNames entry is (still) a Spark builtin — " +
+      "else the prefix is dead weight") =
+    forAll(prefixed) { fn =>
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+    }
+}
