@@ -2957,7 +2957,41 @@ private[graft] object QueriesExt {
              |  CAST(band_rank AS BIGINT) AS band_rank,
              |  CAST((band_rank - 1) * 4 + band AS BIGINT)
              |    AS curriculum_pos
-             |FROM r ORDER BY curriculum_pos""".stripMargin)))
+             |FROM r ORDER BY curriculum_pos""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram scoring: the standard LM
+    // smoothing in exact integer micro arithmetic — discounted MLE
+    // term plus continuation-probability backoff, every division a
+    // floor in a fixed order, so the oracle replays every ppm bit
+    // for bit (same discipline as q90's raw-MLE twin).
+    Q("q380_kneser_ney_score",
+      (s, dir) => graft.ops.TextAnalysis.knBigramScore(
+        Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |o AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+             |  FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i
+             |        FROM t) x
+             |  WHERE i + 1 <= len(ws)),
+             |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+             |  FROM o GROUP BY 1, 2),
+             |cp AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cp
+             |  FROM o GROUP BY 1),
+             |n1w AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1w
+             |  FROM cb GROUP BY 1),
+             |n1c AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1c
+             |  FROM cb GROUP BY 1),
+             |nbd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbd FROM cb),
+             |p AS (SELECT o.doc_id,
+             |    (GREATEST(cb.cb * 1000000 - 750000, 0) // cp.cp)
+             |    + (((750000 * n1w.n1w // cp.cp)
+             |        * (n1c.n1c * 1000000 // nbd.nbd)) // 1000000)
+             |      AS ppm
+             |  FROM o JOIN cb USING (w1, w2) JOIN cp USING (w1)
+             |  JOIN n1w USING (w1) JOIN n1c USING (w2) CROSS JOIN nbd)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS kn_ppm
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

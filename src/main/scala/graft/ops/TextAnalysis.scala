@@ -208,6 +208,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * standard LM smoothing every perplexity-style quality filter
+    * rests on) in EXACT integer micro arithmetic:
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+    *                 + λ(w1)·P_cont(w2)
+    *   λ(w1)   = D·N1+(w1,·)/c(w1)
+    *   P_cont  = N1+(·,w2) / |distinct bigrams|
+    *
+    * with discount `dMicro`/10⁶ (default the classic 0.75), every
+    * division an integer floor in a FIXED order —
+    * `term1 = (cb·10⁶ − dMicro)⁺ div cp`,
+    * `term2 = ((dMicro·n1w div cp) · (n1c·10⁶ div nbd)) div 10⁶` —
+    * so any engine replays the identical ppm. Unlike [[bigramLmScore]]
+    * (raw MLE), unseen-in-context transitions score by their
+    * continuation NOVELTY, the property that makes KN the default.
+    * Per doc: `(doc_id, n_bigrams, kn_ppm)` where kn_ppm is the
+    * floor-mean transition probability.
+    *
+    * Scale shape: identical to [[bigramLmScore]] — every dictionary
+    * (cb, cp, N1+ left/right) is a term-keyed map-side-combinable
+    * count; the distinct-bigram total is one scalar crossJoin; AQE
+    * broadcasts the dictionaries back onto occurrences; the per-doc
+    * fold is one doc-keyed aggregate.
+    */
+  def knBigramScore(docs: DataFrame, dMicro: Long = 750000L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dMicro >= 0 && dMicro <= 1000000L,
+      s"dMicro wants 0..10^6, got $dMicro")
+    val occ = Par.spread(docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .localCheckpoint() // occurrences feed four branches
+    val cb = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // the bigram dictionary feeds three more
+    val cp = occ.groupBy("w1").agg(count(lit(1)).as("cp"))
+    val n1w = cb.groupBy("w1").agg(count(lit(1)).as("n1w"))
+    val n1c = cb.groupBy("w2").agg(count(lit(1)).as("n1c"))
+    val nbd = cb.agg(count(lit(1)).as("nbd"))
+    occ.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+      .join(n1w, Seq("w1")).join(n1c, Seq("w2"))
+      .crossJoin(broadcast(nbd))
+      .select(col("doc_id"),
+        (expr(s"greatest(cb * 1000000 - $dMicro, 0) div cp") +
+          expr(s"(($dMicro * n1w div cp) * (n1c * 1000000 div nbd)) " +
+            "div 1000000")).as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").as("kn_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Collocation extraction by integer lift: for each bigram with
     * support ≥ `minSupport`, `lift_ppm = T·c(w1,w2)·10⁶ //
     * (c1(w1)·c2(w2))` — how much more often the pair co-occurs than

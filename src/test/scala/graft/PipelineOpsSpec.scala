@@ -432,6 +432,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r(2L) === ((1L, 333333L)))
   }
 
+  test("knBigramScore: discounted MLE + continuation backoff, exact " +
+      "integer micro (hand-computed)") {
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigramScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("kn_ppm")))).toMap
+    // cb: (a,b)=2 (b,a)=1 (a,c)=1; cp: a=3 b=1; N1+(a,·)=2 N1+(b,·)=1;
+    // N1+(·,a)=N1+(·,b)=N1+(·,c)=1; |distinct bigrams|=3; D=0.75
+    // (a,b): (2e6−75e4)div3 + ((75e4·2div3)·(1e6div3))div1e6
+    //      = 416666 + 166666 = 583332
+    // (b,a): 250000 + (750000·333333)div1e6 = 250000+249999 = 499999
+    // (a,c): 83333 + 166666 = 249999
+    assert(r(1L) === ((3L, (583332L + 499999L + 583332L) / 3))) // 555554
+    assert(r(2L) === ((1L, 249999L)))
+    // KN's defining property: the UNSEEN-but-plausible transition
+    // outranks raw MLE's zero — every ppm keeps a continuation term
+    assert(r(2L)._2 > 0L)
+  }
+
   test("semanticDedup: dup_of is the min same-cell neighbor over threshold") {
     val e = Tables(spark, sf("sf0.01"), "embeddings")
     val r = DocDedup.semanticDedup(e).collect()
