@@ -2991,7 +2991,44 @@ private[graft] object QueriesExt {
              |  JOIN n1w USING (w1) JOIN n1c USING (w2) CROSS JOIN nbd)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS kn_ppm
-             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)))
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + URL-keyed dedup (the crawl-pipeline
+    // pre-pass): four deterministic messy variants of the same
+    // logical URL — case-varied scheme/host, default ports, tracking
+    // params, reordered query, fragments — must collapse to ONE
+    // canonical key (scheme difference keeps http distinct). The
+    // oracle is the STRONG form: it states the expected canonical
+    // string outright rather than replaying the parser.
+    Q("q381_url_canonical_dedup",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("m", col("user_id") % 10)
+          .withColumn("url", expr(
+            """CASE CAST(user_id % 4 AS INT)
+              |  WHEN 0 THEN 'https://Ex.com/t/' || event_type
+              |    || '?b=' || m || '&a=1'
+              |  WHEN 1 THEN 'HTTPS://EX.com:443/t/' || event_type
+              |    || '?a=1&utm_source=mail&b=' || m
+              |  WHEN 2 THEN 'https://ex.com:443/t/' || event_type
+              |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
+              |  ELSE 'http://ex.com:80/t/' || event_type
+              |    || '?a=1&b=' || m END""".stripMargin))
+        graft.ops.Curation.urlKeyDedup(ev)
+      },
+      Some("""WITH c AS (SELECT event_id AS id,
+             |    (CASE WHEN user_id % 4 = 3 THEN 'http' ELSE 'https'
+             |      END) || '://ex.com/t/' || event_type
+             |      || '?a=1&b=' || (user_id % 10) AS canonical_url
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+             |k AS (SELECT canonical_url, MIN(id) AS keeper_id
+             |  FROM c GROUP BY 1)
+             |SELECT c.id, c.canonical_url, k.keeper_id,
+             |  c.id <> k.keeper_id AS is_dup
+             |FROM c JOIN k USING (canonical_url)
+             |ORDER BY c.id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -1506,6 +1506,63 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Canonical form of a web URL — the normalization every
+    * crawl-scale URL-dedup pass applies before keying (CommonCrawl /
+    * FineWeb pipelines dedup fetched pages by canonical URL before
+    * any content hash):
+    *   - scheme and host lowercase; default port stripped
+    *     (`:80` for http, `:443` for https)
+    *   - fragment dropped
+    *   - tracking query params dropped (`utm_*`, `fbclid`, `gclid`,
+    *     `ref`), remaining params SORTED so param order never splits
+    *     a key; empty query drops its `?`
+    *   - empty path becomes `/`
+    * Pure codegen'd column program (regexp_extract + array ops — no
+    * UDF), so it rides the scan map-only at any scale. Malformed
+    * input degrades gracefully: no `scheme://` match → empty host,
+    * the row keys by whatever parsed.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .otherwise(rawHost)
+    val rawPath = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** URL-keyed exact dedup over [[canonicalUrl]]: the keeper of each
+    * canonical key is the smallest id (first fetch wins), every other
+    * row flags `is_dup`. Returns `(id, canonical_url, keeper_id,
+    * is_dup)`.
+    *
+    * Scale shape: canonicalization is map-only in the scan; the
+    * keeper table is one map-combinable MIN keyed by the canonical
+    * string; the flag join re-shuffles on the same key — the
+    * inherent cost of a global dedup, nothing else moves.
+    */
+  def urlKeyDedup(df: DataFrame, urlCol: String = "url",
+      idCol: String = "event_id"): DataFrame = {
+    val t = Par.spread(df.where(col(urlCol).isNotNull))
+      .select(col(idCol).cast("long").as("id"),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+    val keeper = t.groupBy("canonical_url")
+      .agg(min(col("id")).as("keeper_id"))
+    t.join(keeper, Seq("canonical_url"))
+      .select(col("id"), col("canonical_url"), col("keeper_id"),
+        (col("id") =!= col("keeper_id")).as("is_dup"))
+      .orderBy("id")
+  }
+
   /** Competence-based curriculum ordering (Platanios et al. 2019
     * shape, length-as-difficulty): documents are cut into `bands`
     * difficulty bands by linear token-count binning against the

@@ -639,4 +639,28 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     val firstWindow = r.values.filter(_._3 < 4).map(_._1).toSet
     assert(firstWindow === Set(0, 1, 2, 3))
   }
+
+  test("canonicalUrl: ports, tracking params, fragments, param order, " +
+      "malformed input (hand-computed edges)") {
+    val d = Seq(
+      (1L, "HTTPS://Ex.Com:443/A/b?z=2&utm_source=m&a=1#frag"),
+      (2L, "http://ex.com:80?ref=x"),          // empty path -> '/'
+      (3L, "http://ex.com:8080/p"),             // NON-default port kept
+      (4L, "https://ex.com/p?fbclid=1&gclid=2"),// all params tracked
+      (5L, "not a url at all"),                 // malformed: degrades
+      (6L, "https://ex.com/p?a=1&b=2"),
+      (7L, "https://EX.com:443/p?b=2&a=1#x"))   // canonical twin of 6
+      .toDF("event_id", "url")
+    val r = graft.ops.Curation.urlKeyDedup(d).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("canonical_url"), x.getAs[Long]("keeper_id"),
+          x.getAs[Boolean]("is_dup")))).toMap
+    assert(r(1L)._1 === "https://ex.com/A/b?a=1&z=2")
+    assert(r(2L)._1 === "http://ex.com/")
+    assert(r(3L)._1 === "http://ex.com:8080/p")
+    assert(r(4L)._1 === "https://ex.com/p")
+    assert(r(5L)._1 === ":///") // no scheme/host parse; never throws
+    assert(r(6L) === (("https://ex.com/p?a=1&b=2", 6L, false)))
+    assert(r(7L) === (("https://ex.com/p?a=1&b=2", 6L, true)))
+  }
 }
