@@ -3028,7 +3028,42 @@ private[graft] object QueriesExt {
              |SELECT c.id, c.canonical_url, k.keeper_id,
              |  c.id <> k.keeper_id AS is_dup
              |FROM c JOIN k USING (canonical_url)
-             |ORDER BY c.id""".stripMargin)))
+             |ORDER BY c.id""".stripMargin)),
+
+    // Streaming crawl front gate: q381's messy URL variants arrive as
+    // a STREAM, a domain blocklist kills the tracker variant map-only,
+    // and canonical-key dedup passes one arrival per canonical URL.
+    // Which physical row survives a one-batch drain is nondeterministic
+    // (dropDuplicates keeps the first seen), so the output projects to
+    // the canonical-key SET — exactly q54's dedup-oracle discipline.
+    Q("q382_stream_url_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("m", col("user_id") % 10)
+          .withColumn("url", expr(
+            """CASE CAST(user_id % 4 AS INT)
+              |  WHEN 0 THEN 'https://Ex.com/t/' || event_type
+              |    || '?b=' || m || '&a=1'
+              |  WHEN 1 THEN 'HTTPS://EX.com:443/t/' || event_type
+              |    || '?a=1&utm_source=mail&b=' || m
+              |  WHEN 2 THEN 'https://ex.com:443/t/' || event_type
+              |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
+              |  ELSE 'http://spam.tracker.net:80/t/' || event_type
+              |    || '?a=1&b=' || m END""".stripMargin))
+        val gated = graft.streaming.StreamingPipeline
+          .urlGateStream(stream, blockedDomains = Seq("tracker.net"))
+          .select("canonical_url")
+        QueriesAlert.drainToMemory(s, gated, "q382_sink",
+          OutputMode.Append()).orderBy("canonical_url")
+      },
+      Some("""SELECT DISTINCT 'https://ex.com/t/' || event_type
+             |    || '?a=1&b=' || (user_id % 10) AS canonical_url
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND user_id % 4 <> 3
+             |ORDER BY canonical_url""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -32,6 +32,36 @@ object StreamingPipeline {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Crawl front gate on a URL stream: canonicalize
+    * ([[graft.ops.Curation.canonicalUrl]] — the SAME column program
+    * the batch dedup keys on, so live gate and batch backfill agree
+    * byte for byte), drop blocked domains (exact host or any
+    * subdomain), then suppress canonical-key duplicates within the
+    * watermark horizon. First arrival per canonical key passes.
+    *
+    * Scale shape: canonicalization and the blocklist are map-only in
+    * the scan (the blocklist is a plan literal — domain blocklists
+    * are config-sized by contract); dedup state keys by the 16-byte
+    * `url_key = md5(canonical)` (never the URL string) and the
+    * watermark evicts it — state is O(unique URLs per horizon), not
+    * O(stream).
+    */
+  def urlGateStream(docs: DataFrame, blockedDomains: Seq[String] = Nil,
+      urlCol: String = "url", tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame = {
+    val canon = docs.where(col(urlCol).isNotNull)
+      .withColumn("canonical_url",
+        graft.ops.Curation.canonicalUrl(col(urlCol)))
+    val host = regexp_extract(col("canonical_url"),
+      "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    val blocked = blockedDomains.foldLeft(lit(false))((acc, d) =>
+      acc || host === d || host.endsWith("." + d))
+    canon.where(!blocked)
+      .withColumn("url_key", md5(col("canonical_url")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("url_key")
+  }
+
   /** Stream → lake: land events hive-partitioned by UTC hour, the
     * write side of the reference's firehose→Athena layout
     * (startup.sh) on the live path. The layout prep is
