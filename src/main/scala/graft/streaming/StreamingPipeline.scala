@@ -159,7 +159,10 @@ object StreamingPipeline {
     val nn = n
     val probe = udf((text: String) => {
       val m = bc.value
-      val ws = text.split(" ")
+      // limit -1: keep trailing empty tokens — Spark's split() (which
+      // built the eval-side grams) and DuckDB's string_split both do,
+      // and a trailing-space doc must gram identically on both sides
+      val ws = text.split(" ", -1)
       if (ws.length < nn) None
       else {
         var minEval = Long.MaxValue

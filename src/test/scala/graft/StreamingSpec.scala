@@ -1318,4 +1318,22 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(def0 ===
       Seq(org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout))
   }
+
+  test("decontaminateStream tokenizes trailing/interior spaces exactly " +
+      "like the batch twin (split keeps empty tokens)") {
+    // doc 1 ends with a space: its 3-grams over [x,y,z,''] include
+    // "y z " — a kernel that drops trailing empties would miss the
+    // eval hit entirely
+    val corpus = Seq((1L, "x y z "), (2L, "p q r")).toDF("doc_id", "text")
+    val evals = Seq((10L, "a y z "), (11L, "p  q")).toDF("doc_id", "text")
+    val stream = graft.streaming.StreamingPipeline
+      .decontaminateStream(corpus, evals).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hit_shingles"),
+        r.getAs[Long]("eval_hit"))).toSet
+    val batch = graft.ops.Curation.decontaminate(corpus, evals).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hit_shingles"),
+        r.getAs[Long]("eval_hit"))).toSet
+    assert(stream === batch)
+    assert(stream.exists(_._1 == 1L), "the trailing-space hit must fire")
+  }
 }
