@@ -50,11 +50,15 @@ object Bench {
     // committed bench_out.json, print it for humans, then print a
     // COMPACT summary (top-20 slowest queries, 3-decimal) as the
     // FINAL stdout line so the driver's parser sees one complete JSON
-    // object inside its tail window
+    // object inside its tail window. Filtered iteration runs must NOT
+    // clobber the committed full-suite snapshot — they land in
+    // bench_out.partial.json instead.
+    val outFile =
+      if (only.isEmpty) "bench_out.json" else "bench_out.partial.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outFile write failed: ${e.getMessage}")
     }
     println(line)
     val top = results.filter { case (k, _) => !failed(k) }

@@ -2994,10 +2994,12 @@ private[graft] object QueriesExt {
              |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
     // URL canonicalization + URL-keyed dedup (the crawl-pipeline
-    // pre-pass): four deterministic messy variants of the same
-    // logical URL — case-varied scheme/host, default ports, tracking
-    // params, reordered query, fragments — must collapse to ONE
-    // canonical key (scheme difference keeps http distinct). The
+    // pre-pass): eight deterministic messy variants — case-varied
+    // scheme/host, default ports, tracking params, reordered query,
+    // fragments, a '?' HIDING INSIDE a fragment, percent-encoded
+    // unreserved chars (%61→a, %7E/%7e→~), and reserved escapes in
+    // two hex casings (%2f vs %2F) — must collapse to their RFC-3986
+    // canonical keys (scheme difference keeps http distinct). The
     // oracle is the STRONG form: it states the expected canonical
     // string outright rather than replaying the parser.
     Q("q381_url_canonical_dedup",
@@ -3006,21 +3008,37 @@ private[graft] object QueriesExt {
           .where(col("user_id").isNotNull && col("event_type").isNotNull)
           .withColumn("m", col("user_id") % 10)
           .withColumn("url", expr(
-            """CASE CAST(user_id % 4 AS INT)
+            """CASE CAST(user_id % 8 AS INT)
               |  WHEN 0 THEN 'https://Ex.com/t/' || event_type
               |    || '?b=' || m || '&a=1'
               |  WHEN 1 THEN 'HTTPS://EX.com:443/t/' || event_type
               |    || '?a=1&utm_source=mail&b=' || m
               |  WHEN 2 THEN 'https://ex.com:443/t/' || event_type
               |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
-              |  ELSE 'http://ex.com:80/t/' || event_type
-              |    || '?a=1&b=' || m END""".stripMargin))
+              |  WHEN 3 THEN 'http://ex.com:80/t/' || event_type
+              |    || '?a=1&b=' || m
+              |  WHEN 4 THEN 'https://ex.com/t/' || event_type
+              |    || '?%61=1&b=' || m
+              |  WHEN 5 THEN 'https://ex.com/t/' || event_type
+              |    || '#f?not=query&b=' || m
+              |  WHEN 6 THEN 'https://ex.com/%7Ehome/' || event_type
+              |    || '?x=%2fv&b=' || m
+              |  ELSE 'https://ex.com/%7ehome/' || event_type
+              |    || '?x=%2Fv&b=' || m END""".stripMargin))
         graft.ops.Curation.urlKeyDedup(ev)
       },
       Some("""WITH c AS (SELECT event_id AS id,
-             |    (CASE WHEN user_id % 4 = 3 THEN 'http' ELSE 'https'
-             |      END) || '://ex.com/t/' || event_type
-             |      || '?a=1&b=' || (user_id % 10) AS canonical_url
+             |    CASE
+             |      WHEN user_id % 8 = 3 THEN 'http://ex.com/t/'
+             |        || event_type || '?a=1&b=' || (user_id % 10)
+             |      WHEN user_id % 8 = 5 THEN 'https://ex.com/t/'
+             |        || event_type
+             |      WHEN user_id % 8 IN (6, 7) THEN
+             |        'https://ex.com/~home/' || event_type
+             |        || '?b=' || (user_id % 10) || '&x=%2Fv'
+             |      ELSE 'https://ex.com/t/' || event_type
+             |        || '?a=1&b=' || (user_id % 10)
+             |    END AS canonical_url
              |  FROM events
              |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
              |k AS (SELECT canonical_url, MIN(id) AS keeper_id
@@ -3063,7 +3081,209 @@ private[graft] object QueriesExt {
              |FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |  AND user_id % 4 <> 3
-             |ORDER BY canonical_url""".stripMargin)))
+             |ORDER BY canonical_url""".stripMargin)),
+
+    // Presto-dialect breadth, seventh batch — the JSON type surface
+    // (json_parse canonicalizes to compact text, json_format is the
+    // identity on that representation), at_timezone field shift,
+    // MAP(ARRAY, ARRAY) construction via presto_map, plus the parity
+    // set that needs NO shim because Spark's builtins already carry
+    // Presto's semantics: map_filter, map_zip_with, array_position
+    // (1-based, 0 when absent), negative-start slice, and ISO
+    // date_trunc('week'). Every computed value is restated
+    // arithmetically in the oracle (DuckDB's map surface differs, so
+    // the oracle states what the lambda computes, not how).
+    Q("q383_presto_dialect7",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(json_format(json_parse(
+            |    '{"u" : [1, 2],  "t" : "x"}'))) AS jnorm,
+            |  CAST(MAX(hour(at_timezone(ts, '+05:30'))) AS BIGINT)
+            |    AS mx_h,
+            |  CAST(MAX(cardinality(map_filter(
+            |    MAP(ARRAY['a','b','c'], ARRAY[0, 1, 2]),
+            |    (k, v) -> v > user_id % 3))) AS BIGINT) AS mf,
+            |  CAST(MAX(element_at(map_zip_with(
+            |    MAP(ARRAY['a'], ARRAY[user_id % 5]),
+            |    MAP(ARRAY['a'], ARRAY[2]),
+            |    (k, v1, v2) -> v1 + v2), 'a')) AS BIGINT) AS mzw,
+            |  CAST(SUM(array_position(ARRAY['click','view','purchase'],
+            |    event_type)) AS BIGINT) AS ap,
+            |  CAST(MAX(element_at(slice(ARRAY[10, 20, 30, 40],
+            |    -(CAST(user_id % 3 AS INTEGER)) - 1, 2), 1))
+            |    AS BIGINT) AS sl,
+            |  MAX(date_trunc('week', ts)) AS wk
+            |FROM events
+            |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            |  AND event_type IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  '{"u":[1,2],"t":"x"}' AS jnorm,
+             |  CAST(MAX(hour(ts + INTERVAL 330 MINUTE)) AS BIGINT)
+             |    AS mx_h,
+             |  CAST(2 - user_id % 3 AS BIGINT) AS mf,
+             |  CAST(user_id % 5 + 2 AS BIGINT) AS mzw,
+             |  CAST(SUM(CASE event_type WHEN 'click' THEN 1
+             |    WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+             |    ELSE 0 END) AS BIGINT) AS ap,
+             |  CAST(CASE user_id % 3 WHEN 0 THEN 40 WHEN 1 THEN 30
+             |    ELSE 20 END AS BIGINT) AS sl,
+             |  MAX(date_trunc('week', ts)) AS wk
+             |FROM events
+             |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  AND event_type IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // BATCH ↔ STREAMING equivalence gate for the crawl dedup front
+    // (q361 pinned the sequence engines to each other; this pins the
+    // ingest pipeline): ONE messy-URL corpus — canonical-key variants
+    // plus a blocked-domain variant, content keyed by event_type so
+    // DIFFERENT canonical URLs can carry duplicate content — runs
+    // through both independent stacks: batch (blocklist filter on the
+    // canonical host → urlKeyDedup keepers → exact content dedup) and
+    // streaming (urlGateStream's broadcast anti-join gate + canonical-
+    // key dedup → dedupStream's content-hash dedup, two chained
+    // stateful operators). WHICH physical row survives each stage is
+    // nondeterministic on both sides, but the surviving content SET is
+    // not — so the output is the full outer join of the two content
+    // sets with per-side flags, and the oracle restates the set and
+    // expects TRUE/TRUE everywhere. Any gate or dedup divergence
+    // surfaces as a FALSE flag → row/hash mismatch.
+    Q("q384_crawl_batch_stream_equiv",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val urlExpr =
+          """CASE CAST(user_id % 4 AS INT)
+            |  WHEN 0 THEN 'https://Ex.com/t/' || event_type
+            |    || '?b=' || m || '&a=1'
+            |  WHEN 1 THEN 'HTTPS://EX.com:443/t/' || event_type
+            |    || '?a=1&utm_source=mail&b=' || m
+            |  WHEN 2 THEN 'https://ex.com:443/t/' || event_type
+            |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
+            |  ELSE 'http://spam.tracker.net:80/t/' || event_type
+            |    || '?a=1&b=' || m END""".stripMargin
+        def corpus(df: org.apache.spark.sql.DataFrame) = df
+          .where(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("m", col("user_id") % 10)
+          .withColumn("url", expr(urlExpr))
+          .withColumn("text", concat(lit("doc about "), col("event_type")))
+        // STREAM: gate (blocklist anti-join + canonical dedup), then
+        // content-hash dedup — the two-stage live crawl front
+        val gated = graft.streaming.StreamingPipeline.urlGateStream(
+          corpus(QueriesAlert.tableStream(s, dir, "events")),
+          blockedDomains = Seq("tracker.net"))
+        val streamTexts = QueriesAlert.drainToMemory(s,
+          graft.streaming.StreamingPipeline.dedupStream(gated)
+            .select("text"), "q384_sink", OutputMode.Append())
+          .distinct().withColumn("in_stream", lit(true))
+        // BATCH: same canonicalizer kernel, independent gate plumbing
+        val b = corpus(Tables(s, dir, "events"))
+          .withColumn("canonical_url",
+            graft.ops.Curation.canonicalUrl(col("url")))
+        val host = regexp_extract(col("canonical_url"),
+          "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+        val unblocked = b.where(
+          !(host === "tracker.net" || host.endsWith(".tracker.net")))
+        val keepers = graft.ops.Curation.urlKeyDedup(unblocked)
+          .where(!col("is_dup")).select(col("keeper_id").as("event_id"))
+        val batchTexts = unblocked
+          .join(keepers, Seq("event_id"), "left_semi")
+          .select("text").distinct().withColumn("in_batch", lit(true))
+        batchTexts.join(streamTexts, Seq("text"), "full_outer")
+          .select(col("text"),
+            coalesce(col("in_batch"), lit(false)).as("in_batch"),
+            coalesce(col("in_stream"), lit(false)).as("in_stream"))
+          .orderBy("text")
+      },
+      Some("""SELECT DISTINCT 'doc about ' || event_type AS text,
+             |  TRUE AS in_batch, TRUE AS in_stream
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND user_id % 4 <> 3
+             |ORDER BY text""".stripMargin)),
+
+    // DSIR-shaped data selection: hashed-unigram importance weights
+    // from a target-vs-corpus distribution pair (add-1-smoothed
+    // integer ratio, the log-free twin of the DSIR log-likelihood
+    // ratio), floor-mean per doc, top-100. Target sample = doc_id ≡ 0
+    // (mod 7); corpus = the rest. The oracle replays the base-37 word
+    // hash, the bucket distributions, and every floor division.
+    Q("q385_dsir_selection",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Curation.dsirSelect(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+             |tok AS (SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(w, ''),
+             |        c -> CAST(unicode(c) AS BIGINT))),
+             |      (a, b) -> (a * 37 + b) % 2147483647) % 1024 AS bucket
+             |  FROM w WHERE w <> ''),
+             |prof AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tok GROUP BY 1, 2),
+             |tc AS (SELECT bucket, SUM(c) AS tc FROM prof
+             |  WHERE doc_id % 7 = 0 GROUP BY 1),
+             |rc AS (SELECT bucket, SUM(c) AS rc FROM prof
+             |  WHERE doc_id % 7 <> 0 GROUP BY 1),
+             |b AS (SELECT unnest(range(0, 1024)) AS bucket),
+             |lam AS (SELECT b.bucket,
+             |    ((COALESCE(tc.tc, 0) + 1) * 1000000)
+             |      // (COALESCE(rc.rc, 0) + 1) AS lam
+             |  FROM b LEFT JOIN tc USING (bucket)
+             |    LEFT JOIN rc USING (bucket)),
+             |s AS (SELECT prof.doc_id, SUM(prof.c * lam.lam) AS sm,
+             |    SUM(prof.c) AS n
+             |  FROM prof JOIN lam USING (bucket)
+             |  WHERE prof.doc_id % 7 <> 0 GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(sm // n AS BIGINT) AS score
+             |FROM s ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Gopher/MassiveText repetition-removal rules, word-denominated
+    // (the synthetic corpus has no line structure): most-frequent
+    // word share, most-frequent-2-gram coverage, duplicate-2-gram
+    // coverage, and the keep verdict. The oracle replays the gram
+    // counts and every floor division.
+    Q("q386_repetition_filter",
+      (s, dir) => graft.ops.TextAnalysis.repetitionStats(
+        Tables(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words
+             |  FROM t WHERE len(ws) > 0),
+             |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+             |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |tw AS (SELECT doc_id, MAX(c) AS mxw FROM wc GROUP BY 1),
+             |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+             |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+             |        FROM t) x),
+             |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+             |tb AS (SELECT doc_id, MAX(c) AS mxb,
+             |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+             |  FROM bc GROUP BY 1)
+             |SELECT n.doc_id, n.n_words,
+             |  CAST(tw.mxw * 1000000 // n.n_words AS BIGINT)
+             |    AS top_word_ppm,
+             |  CAST(COALESCE(tb.mxb, 0) * 2000000 // n.n_words AS BIGINT)
+             |    AS top_bigram_ppm,
+             |  CAST(COALESCE(tb.dup, 0) * 2000000 // n.n_words AS BIGINT)
+             |    AS dup_bigram_ppm,
+             |  (tw.mxw * 1000000 // n.n_words <= 300000
+             |    AND COALESCE(tb.mxb, 0) * 2000000 // n.n_words <= 200000
+             |    AND COALESCE(tb.dup, 0) * 2000000 // n.n_words <= 600000)
+             |    AS keep
+             |FROM n JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

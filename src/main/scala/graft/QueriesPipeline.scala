@@ -8265,14 +8265,12 @@ private[graft] object QueriesPipeline {
     // milli): the assortativity / hub-attachment diagnostic, one
     // degree join — no iteration.
     Q("q288_avg_neighbor_degree",
-      (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .select(col("a.p").as("src"), col("b.p").as("dst"))
-        Graph.avgNeighborDegree(e)
-      },
+      // shared materialized graph (CoPurchase): avgNeighborDegree
+      // dedupes its edge input internally, so the pre-distincted
+      // both-orientations view is result-identical to the inline
+      // a.p =!= b.p self-join this query used to pay per run
+      (s, dir) => Graph.avgNeighborDegree(
+        graft.ops.CoPurchase.directed(s, dir)),
       Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem),
              |e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -61,15 +61,20 @@ object Criteria {
     * set, so a new prefixed shim can never drift out of sync.
     * Function-call position only (`(?=\s*\()`) — a column that
     * happens to be named `split` is not a call and stays untouched.
+    * The leading `(?<![\w.])` (NOT a bare \b, which matches after
+    * '.') keeps qualified references like `cat.split(...)` intact:
+    * a dotted prefix means the call resolves through a qualifier,
+    * never the session temp registry, so rewriting it would mangle
+    * the name for nothing.
     */
   private val prefixedCall =
-    ("(?i)\\b(" + graft.functions.Functions.prefixedNames.toSeq.sorted
+    ("(?i)(?<![\\w.])(" + graft.functions.Functions.prefixedNames.toSeq.sorted
       .mkString("|") + ")\\b(?=\\s*\\()")
 
   private def rewriteCode(code: String): String =
     code
-      .replaceAll("(?i)\\bjson_extract_scalar\\b", "get_json_object")
-      .replaceAll("(?i)\\bTRY_CAST\\b", "try_cast")
+      .replaceAll("(?i)(?<![\\w.])json_extract_scalar\\b", "get_json_object")
+      .replaceAll("(?i)(?<![\\w.])TRY_CAST\\b", "try_cast")
       .replaceAll(prefixedCall, "presto_$1")
       // Presto's bare unparameterized VARCHAR (CAST(x AS VARCHAR)) —
       // Spark requires a length for VARCHAR but takes STRING;
@@ -228,9 +233,22 @@ object Criteria {
     * "everything" — the same contract the streaming paths document —
     * instead of an expr("") ParseException that would silently skip
     * the spec in batch.
+    *
+    * Register precondition: [[rewrite]] maps divergent dialect tokens
+    * to `presto_<name>` functions that exist only after
+    * [[graft.functions.Functions.register]] ran on the session. The
+    * engine entry points all register up front; for ad-hoc callers
+    * compiling criteria on a bare session, toColumn registers on the
+    * active session defensively (idempotent — registration is
+    * createOrReplace of the same builders).
     */
   def toColumn(presto: String): Column =
-    if (presto.trim.isEmpty) lit(true) else expr(rewrite(presto))
+    if (presto.trim.isEmpty) lit(true)
+    else {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(graft.functions.Functions.register)
+      expr(rewrite(presto))
+    }
 
   def apply(df: DataFrame, presto: String): DataFrame = df.where(toColumn(presto))
 

@@ -71,6 +71,15 @@ object SequenceReplay {
     */
   case class Fired(value: String, t0_us: Long, t_last_us: Long, dm_count: Long)
 
+  /** Default ceiling on distinct slot-0 keys [[run]] will replay.
+    * `run` THROWS past it (and pays one distinct+count probe per
+    * invocation to check) — callers with intentionally wide specs
+    * must pass `maxReplayKeys` explicitly. The cap exists because the
+    * tick loop is O(keys × slots) driver-side work by design; the
+    * streaming chain is the unbounded-key path.
+    */
+  val DefaultMaxReplayKeys: Int = 1000
+
   private def us(i: Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
 
@@ -81,7 +90,7 @@ object SequenceReplay {
 
   def run(spark: SparkSession, events: DataFrame, spec: Doc,
       idField: String = "event_id", tsField: String = "ts",
-      maxReplayKeys: Int = 1000): Seq[Fired] = {
+      maxReplayKeys: Int = DefaultMaxReplayKeys): Seq[Fired] = {
     val name = AlertDoc.str(spec, "alert_name", "unnamed")
     val slots = AlertDoc.docs(spec, "slots")
     require(slots.size >= 2, "sequence replay wants >= 2 slots")

@@ -33,7 +33,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GetJsonObject, Str
   *   - a shim whose semantics MATCH the builtin is not registered at
   *     all (the builtin already is the Presto behavior) — that set is
   *     `regexp_like`, `approx_percentile`, `cardinality`,
-  *     `url_encode`, `url_decode`, `array_sort`, `json_array_length`;
+  *     `url_encode`, `url_decode`, `array_sort`, `json_array_length`,
+  *     and (seventh tranche, parity pinned in CriteriaSpec)
+  *     `map_filter`, `map_zip_with`, `array_position` (1-based, 0
+  *     when absent), `slice` (negative start counts from the end on
+  *     both engines), `date_trunc` (`'week'` truncates to the ISO
+  *     Monday on both engines);
   *   - every registration funnels through a guard that throws at
   *     register time if a future tranche tries to claim a builtin
   *     name, so the class can never ship silently again.
@@ -52,10 +57,13 @@ object Functions {
     *   - `array_agg`: retains NULL elements (Spark: drops them)
     *   - `map_concat`: duplicate keys last-win (Spark: throws under
     *     mapKeyDedupPolicy=EXCEPTION)
+    *   - `map`: Presto's constructor is `MAP()` / `MAP(keys_array,
+    *     values_array)`; Spark's builtin of the same name takes
+    *     variadic k1, v1, k2, v2 pairs
     */
   private[graft] val prefixedNames: Set[String] = Set(
     "split", "date_format", "from_unixtime", "contains",
-    "element_at", "array_agg", "map_concat")
+    "element_at", "array_agg", "map_concat", "map")
 
   private def isBuiltin(name: String): Boolean =
     SparkFunctionRegistry.builtin.functionExists(FunctionIdentifier(name))
@@ -404,7 +412,39 @@ object Functions {
           Sequence(Literal(1), upper, None),
           LambdaFunction(Slice(arr, i, exprs(1)), Seq(i)))
       }
+
+      // ── seventh tranche ───────────────────────────────────────────
+      // Presto at_timezone(timestamp, zone): same instant, rendered
+      // (and field-extracted) in `zone`. The criteria corpus stores
+      // plain TIMESTAMPs as UTC instants (session tz UTC), so the
+      // field-level equivalent is Catalyst FromUTCTimestamp — hour(
+      // at_timezone(ts, '+05:30')) reads the zone-local hour exactly
+      // as Presto does. Offset zones and region ids both accepted.
+      shim("at_timezone")(exprs => FromUTCTimestamp(exprs.head, exprs(1)))
+
+      // Presto MAP() / MAP(keys_array, values_array). Spark's `map`
+      // builtin of the same name takes variadic k1, v1 pairs →
+      // presto_map. Duplicate keys throw on both engines (Spark's
+      // default mapKeyDedupPolicy=EXCEPTION = Presto's contract).
+      shim("map") {
+        case Seq()     => CreateMap(Nil)
+        case Seq(k, v) => MapFromArrays(k, v)
+        case other => throw new IllegalArgumentException(
+          s"Presto map() takes zero args or (keys_array, values_array), " +
+            s"got ${other.length} args")
+      }
+
+      // Presto JSON type surface. This engine represents the JSON
+      // type as its canonical compact text (Presto's own wire form):
+      // json_parse validates + canonicalizes (whitespace dropped,
+      // field order preserved, malformed input LOUD — Presto throws
+      // too), and json_format on that representation is the identity.
+      // json_extract/json_extract_scalar already consume text, so the
+      // three compose exactly like Presto's.
+      shim("json_format")(exprs => exprs.head)
     }
+    spark.udf.register(guarded("json_parse"),
+      (s: String) => JsonParseFn.parse(s))
 
     // Presto normalize(s) — Unicode NFC via the JDK (identical
     // tables). Presto's 2-arg form takes the FORM as an unquoted SQL
@@ -508,6 +548,30 @@ object Functions {
     */
   def isIp(s: String): Boolean =
     (s.contains(".") || s.contains(":")) && (isIPv4(s) || isIPv6(s))
+}
+
+/** Executor-side implementation of Presto `json_parse`: validate and
+  * canonicalize JSON text — whitespace dropped, field order preserved,
+  * scalars/arrays/objects all admitted (Jackson readTree + compact
+  * re-serialize, Presto's own canonical wire form). Malformed input
+  * throws, exactly like Presto's json_parse; NULL in → NULL out.
+  * Top-level and Serializable for the same reason as [[JsonSizeFn]].
+  */
+private[graft] object JsonParseFn extends Serializable {
+  def parse(json: String): String =
+    if (json == null) null
+    else {
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"json_parse: malformed JSON input: ${e.getMessage}")
+        }
+      if (node == null || node.isMissingNode)
+        throw new IllegalArgumentException(
+          "json_parse: malformed JSON input: empty")
+      node.toString
+    }
 }
 
 /** Executor-side implementation of Presto `json_size`.

@@ -1506,35 +1506,81 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Default tracking-param killset for [[canonicalUrl]]: a regex
+    * over the `name=`-prefix of each query param. Overridable — real
+    * crawls carry site-specific junk params beyond the common four.
+    */
+  val DefaultTrackingParamRegex: String = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** Percent-encoding normalization per RFC 3986 §6.2.2: DECODE
+    * escapes of unreserved characters (ALPHA / DIGIT / `-` `.` `_`
+    * `~` — `%41`→`A`, `%7e`→`~`), and UPPERCASE the hex digits of
+    * every escape that must stay encoded (`%2f`→`%2F` — reserved
+    * chars keep their escape, two hex casings must not split a
+    * canonical key). Malformed escapes (`%G1`, trailing `%`) pass
+    * through verbatim — lax, never corrupting. Pure column program:
+    * split on a `(?=%)` lookahead, per-token decode/uppercase under
+    * `transform`, rejoin — map-only under codegen like the rest of
+    * the canonicalizer.
+    */
+  private def normalizePercent(u: Column): Column = {
+    val toks = split(u, "(?=%)")
+    array_join(transform(toks, t => {
+      val hex = upper(substring(t, 2, 2))
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved =
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+          (code >= 48 && code <= 57) || code.isin(45, 46, 95, 126)
+      val rest = substring(t, 4, Int.MaxValue)
+      when(t.rlike("^%[0-9A-Fa-f]{2}"),
+        when(unreserved, concat(call_function("char", code), rest))
+          .otherwise(concat(lit("%"), hex, rest)))
+        .otherwise(t)
+    }), "")
+  }
+
   /** Canonical form of a web URL — the normalization every
     * crawl-scale URL-dedup pass applies before keying (CommonCrawl /
     * FineWeb pipelines dedup fetched pages by canonical URL before
     * any content hash):
+    *   - fragment dropped FIRST (so a `?` hiding inside a fragment —
+    *     `/p#f?x=1` — is never mistaken for a query)
+    *   - percent-encoding normalized ([[normalizePercent]]: unreserved
+    *     escapes decoded, surviving escapes hex-uppercased) — decoded
+    *     chars are never URL delimiters, so parsing is unaffected
     *   - scheme and host lowercase; default port stripped
     *     (`:80` for http, `:443` for https)
-    *   - fragment dropped
-    *   - tracking query params dropped (`utm_*`, `fbclid`, `gclid`,
-    *     `ref`), remaining params SORTED so param order never splits
-    *     a key; empty query drops its `?`
+    *   - tracking query params dropped (`trackingParamRegex`, default
+    *     [[DefaultTrackingParamRegex]]), remaining params SORTED so
+    *     param order never splits a key; empty query drops its `?`
     *   - empty path becomes `/`
     * Pure codegen'd column program (regexp_extract + array ops — no
     * UDF), so it rides the scan map-only at any scale. Malformed
     * input degrades gracefully: no `scheme://` match → empty host,
     * the row keys by whatever parsed.
+    *
+    * IDN contract: hosts canonicalize in their WIRE form (lowercased
+    * byte-wise). A Unicode host and its punycode (`xn--`) twin do NOT
+    * merge — per RFC 3986 they are different authorities until an
+    * IDNA mapping is applied; crawlers fetching IDN domains should
+    * pre-encode hosts to punycode (`java.net.IDN.toASCII`) upstream,
+    * once per URL at ingest, before keying.
     */
-  def canonicalUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rawHost = lower(regexp_extract(url,
+  def canonicalUrl(url: Column,
+      trackingParamRegex: String = DefaultTrackingParamRegex): Column = {
+    val u = normalizePercent(regexp_extract(url, "^([^#]*)", 1))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     val host = when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
       .when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
       .otherwise(rawHost)
-    val rawPath = regexp_extract(url,
+    val rawPath = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val q = regexp_extract(u, "\\?(.*)$", 1)
     val kept = array_sort(filter(split(q, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+      p => p =!= "" && !p.rlike(trackingParamRegex)))
     val qs = array_join(kept, "&")
     concat(scheme, lit("://"), host, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
@@ -1601,5 +1647,63 @@ object Curation {
         (col("band_rank") - 1L) * bands + col("band"))
       .select("doc_id", "n_tokens", "band", "band_rank", "curriculum_pos")
       .orderBy("curriculum_pos")
+  }
+
+  /** DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much its hashed-feature profile looks like a
+    * TARGET domain sample relative to the corpus itself, and keep the
+    * top `topN`. Features are unigram words hashed into `buckets`
+    * buckets via the engine-portable base-37 fold (the q22 kernel);
+    * both distributions are add-1-smoothed bucket counts, and the
+    * per-token importance weight is the exact integer ratio
+    * `λ_b = ((t_b + 1) · 1e6) div (r_b + 1)` — the log-free integer
+    * twin of DSIR's hashed-ngram log-likelihood ratio (same
+    * bucketing, same two-distribution estimator; a floor-division ppm
+    * instead of a float log, so the oracle replays every bit). A
+    * document's score is the floor-mean of its tokens' weights.
+    *
+    * Returns the top `topN` corpus docs as `(doc_id, n_tokens,
+    * score)`, score-desc then doc_id-asc.
+    *
+    * Scale shape: per-doc bucket profiles are ONE combinable
+    * aggregate over the token stream (profile cardinality ≤ token
+    * count, usually ≪); both distribution estimates reduce the
+    * PROFILES, never the raw stream twice; the weight table is
+    * exactly `buckets` rows and BROADCASTS into the profile join (the
+    * 100 TB side never shuffles for it); the final top-N is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame,
+      buckets: Int = 1024, topN: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val h37 = "aggregate(filter(split(w, ''), c -> c <> ''), 0L, " +
+      "(a, c) -> (a * 37 + ascii(c)) % 2147483647)"
+    def profile(df: DataFrame): DataFrame = Par.spread(df)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
+      .withColumn("bucket", expr(h37) % buckets.toLong)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val prof = profile(corpus).localCheckpoint() // counts + scoring
+    val tc = profile(target).groupBy("bucket").agg(sum("c").as("tc"))
+    val rc = prof.groupBy("bucket").agg(sum("c").as("rc"))
+    val lam = corpus.sparkSession.range(buckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
+      .select(col("bucket"), expr(
+        "((coalesce(tc, 0L) + 1L) * 1000000L) div (coalesce(rc, 0L) + 1L)")
+        .as("lam"))
+    prof.join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lam")).as("sm"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sm div n_tokens").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
   }
 }

@@ -1213,4 +1213,64 @@ object TextAnalysis {
         sum(col("pos") * col("rank")).as("rank_checksum"))
       .orderBy("doc_id")
   }
+
+  /** Within-document repetition signals — the Gopher/MassiveText
+    * repetition-removal rules (Rae et al. 2021 §A1.1) in their
+    * word-denominated form (the synthetic corpus has no line
+    * structure, so fractions are over WORDS, not characters —
+    * documented twin, same monotone signals):
+    *   - `top_word_ppm`: count of the most frequent word / n_words —
+    *     the C4-style "one token dominates" signal
+    *   - `top_bigram_ppm`: words covered by occurrences of the most
+    *     frequent word 2-gram (count × 2) / n_words; overlapping
+    *     occurrences double-count, so pathological runs ("a a a a")
+    *     can exceed 1e6 — by design, they are exactly what the rule
+    *     kills
+    *   - `dup_bigram_ppm`: words covered by ALL occurrences of
+    *     repeated 2-grams (Σ count × 2 over grams with count ≥ 2) /
+    *     n_words
+    * `keep` = all three at-or-under their thresholds. All floor
+    * divisions, engine-portable.
+    *
+    * Scale shape: one token explode into two combinable
+    * (doc_id, gram) count aggregates (shuffle keyed by doc+gram —
+    * combinable map-side, no skew beyond a doc's own vocabulary), one
+    * per-doc reduce each, and a per-doc join of the three profiles.
+    * Zero-word docs are excluded (no denominator), like [[quality]]'s
+    * null-text contract.
+    */
+  def repetitionStats(docs: DataFrame,
+      maxTopWordPpm: Long = 300000L, maxTopBigramPpm: Long = 200000L,
+      maxDupBigramPpm: Long = 600000L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = Par.spread(docs)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(col(textCol), " "), w => w =!= "").as("ws"))
+      .where(size(col("ws")) > 0)
+    val n = base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+    val topWord = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mxw"))
+    val bigrams = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mxb"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+    n.join(topWord, Seq("doc_id"))
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        expr("mxw * 1000000L div n_words").as("top_word_ppm"),
+        expr("coalesce(mxb, 0L) * 2000000L div n_words").as("top_bigram_ppm"),
+        expr("coalesce(dup, 0L) * 2000000L div n_words").as("dup_bigram_ppm"))
+      .withColumn("keep",
+        col("top_word_ppm") <= maxTopWordPpm &&
+          col("top_bigram_ppm") <= maxTopBigramPpm &&
+          col("dup_bigram_ppm") <= maxDupBigramPpm)
+      .orderBy("doc_id")
+  }
 }

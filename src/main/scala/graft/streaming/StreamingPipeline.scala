@@ -21,16 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object StreamingPipeline {
 
+  /** The uniform bounded-state knob of every keyed stream here:
+    * `None` → `NoTimeout` (state lives forever — honest when the
+    * semantics are "ever seen" / "all history"), `Some(duration)` →
+    * `ProcessingTimeTimeout`, re-armed per key after each update, so
+    * a key idle past the TTL drops its state (eviction as a retention
+    * policy). Each op's kernel handles `state.hasTimedOut` by
+    * removing and emitting nothing.
+    */
+  private def ttlTimeout(stateTtl: Option[String])
+      : org.apache.spark.sql.streaming.GroupStateTimeout =
+    if (stateTtl.isDefined)
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout
+    else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout
+
   /** Exact-dup suppression on a document stream: first arrival of each
     * content hash within the watermark horizon passes through,
     * duplicates are dropped. The hash column is added (and kept) so
-    * the sink can audit what keyed the state.
+    * the sink can audit what keyed the state. Composes behind other
+    * watermarked stages ([[urlGateStream]] → content dedup, the
+    * two-stage crawl front): an input that already carries an
+    * event-time watermark keeps it — re-stamping one downstream of a
+    * stateful operator is an analysis error on Spark 4.
     */
   def dedupStream(docs: DataFrame, tsCol: String = "ts",
-      textCol: String = "text", delay: String = "10 minutes"): DataFrame =
-    docs.withColumn("text_hash", md5(col(textCol)))
-      .withWatermark(tsCol, delay)
+      textCol: String = "text", delay: String = "10 minutes"): DataFrame = {
+    val hashed = docs.withColumn("text_hash", md5(col(textCol)))
+    val hasWatermark = docs.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined
+    (if (hasWatermark) hashed else hashed.withWatermark(tsCol, delay))
       .dropDuplicatesWithinWatermark("text_hash")
+  }
 
   /** Crawl front gate on a URL stream: canonicalize
     * ([[graft.ops.Curation.canonicalUrl]] — the SAME column program
@@ -39,24 +61,59 @@ object StreamingPipeline {
     * subdomain), then suppress canonical-key duplicates within the
     * watermark horizon. First arrival per canonical key passes.
     *
-    * Scale shape: canonicalization and the blocklist are map-only in
-    * the scan (the blocklist is a plan literal — domain blocklists
-    * are config-sized by contract); dedup state keys by the 16-byte
-    * `url_key = md5(canonical)` (never the URL string) and the
-    * watermark evicts it — state is O(unique URLs per horizon), not
-    * O(stream).
+    * Convenience overload: a literal domain list. Builds a one-column
+    * blocklist frame and delegates — the join-based gate, never a
+    * folded predicate chain (a 10⁶-domain list as per-row predicates
+    * would be O(|blocklist|) per row AND recompile the plan on every
+    * list change).
     */
   def urlGateStream(docs: DataFrame, blockedDomains: Seq[String] = Nil,
       urlCol: String = "url", tsCol: String = "ts",
       delay: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    urlGateStream(docs, blockedDomains.toDF("domain"), urlCol, tsCol, delay)
+  }
+
+  /** Blocklist-as-data form of the crawl front gate. `blocklist` is a
+    * DataFrame with a `domain` column (lowercased on entry); a URL is
+    * dropped when its host IS a listed domain or is a subdomain of
+    * one.
+    *
+    * Scale shape: subdomain matching stays EQUI-join-able by keying
+    * on label-suffixes — the gate probes the blocklist's distinct
+    * label counts (a bounded driver aggregate: real blocklists hold
+    * 2-5-label domains, so ≤ a handful of values even at 10⁷ rows)
+    * and runs ONE stream-static broadcast LEFT ANTI join per present
+    * label count, each keyed `last-k-labels(host) = domain`. Per-row
+    * cost is O(#label-counts) hash probes — independent of blocklist
+    * size — and updating the list is a data swap, not a plan
+    * recompile. Dedup state keys by the 16-byte `url_key =
+    * md5(canonical)` (never the URL string) and the watermark evicts
+    * it — state is O(unique URLs per horizon), not O(stream).
+    */
+  def urlGateStream(docs: DataFrame, blocklist: DataFrame,
+      urlCol: String, tsCol: String, delay: String): DataFrame = {
     val canon = docs.where(col(urlCol).isNotNull)
       .withColumn("canonical_url",
         graft.ops.Curation.canonicalUrl(col(urlCol)))
     val host = regexp_extract(col("canonical_url"),
       "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
-    val blocked = blockedDomains.foldLeft(lit(false))((acc, d) =>
-      acc || host === d || host.endsWith("." + d))
-    canon.where(!blocked)
+    val bl = blocklist.select(lower(col("domain")).as("domain"))
+      .withColumn("k", size(split(col("domain"), "\\.")))
+    // bounded driver pull: DISTINCT label counts of the blocklist
+    // (≤ ~10 values for any real list), NOT the list itself
+    val ks = bl.select("k").distinct().collect().map(_.getInt(0)).sorted
+    val hostLabels = split(host, "\\.")
+    val gated = ks.foldLeft(canon) { (acc, k) =>
+      // last-k labels of the host; a host with < k labels can't match
+      // a k-label domain — key it "" (matches nothing, lazily guarded)
+      val sfx = when(size(hostLabels) >= k,
+        array_join(slice(hostLabels, -k, k), ".")).otherwise(lit(""))
+      acc.join(broadcast(bl.where(col("k") === k).select("domain")),
+        sfx === col("domain"), "left_anti")
+    }
+    gated
       .withColumn("url_key", md5(col("canonical_url")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("url_key")
@@ -304,6 +361,12 @@ object StreamingPipeline {
     * arrival becomes the new first occupant. State growth is spec-
     * pinned (StreamingSpec "selfDedupStream state is one row per
     * occupied bucket"): re-sending the same corpus adds ZERO rows.
+    *
+    * State-format note (round 8): `BandRep.sh` changed from
+    * `Seq[Long]` to a SORTED `Array[Long]` — a different state
+    * encoding. A query restored from a pre-change checkpoint will
+    * misread its state; restart from a fresh checkpoint. New
+    * deployments are unaffected.
     */
   def selfDedupStream(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5, textCol: String = "text",
@@ -316,9 +379,7 @@ object StreamingPipeline {
     import spark.implicits._
     val mh = call_function("minhash_state",
       split(col(textCol), " "), lit(n), lit(numHashes))
-    val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
+    val timeoutConf = ttlTimeout(stateTtl)
     docs
       .select(col(idCol).cast("long").as("doc_id"), mh.as("mh"))
       .select(col("doc_id"), col("mh.sh").as("sh"), col("mh.sig").as("sig"))
@@ -405,12 +466,17 @@ object StreamingPipeline {
     * parity therefore holds when each key's history arrives in one
     * batch (the replay/drain case, like q54's DISTINCT equivalence)
     * or when batches are event-time aligned — the usual property of a
-    * replayed log. State is two longs per key, forever-lived
-    * (NoTimeout): bound it with a watermark timeout when keys churn.
+    * replayed log. State is two longs per key; with the default
+    * `stateTtl = None` it lives forever, and per-user keys on a
+    * crawl-scale stream grow without bound — pass a TTL (e.g.
+    * `"7 days"`) to arm a processing-time timeout per key: a key idle
+    * past the TTL drops its state and a later event restarts its fold
+    * from zero (a retention policy, the bounded-state contract every
+    * keyed stream here shares).
     */
   def ewmaStream(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valCol: String = "value",
-      tieCol: String = "event_id")
+      tieCol: String = "event_id", stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[EwmaRow] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
     val spark = events.sparkSession
@@ -422,15 +488,19 @@ object StreamingPipeline {
         floor(col(valCol) * 1e6).cast("long").as("vm"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, ttlTimeout(stateTtl))(
         (key: Long, rows: Iterator[(Long, Long, Long, Long)],
          state: GroupState[EwmaState]) => {
-          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
-          val st = sorted.foldLeft(state.getOption.getOrElse(EwmaState(0L, 0L))) {
-            case (s, (_, _, _, vm)) => EwmaState(s.n + 1, (s.acc >> 1) + vm)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+            val st = sorted.foldLeft(state.getOption.getOrElse(EwmaState(0L, 0L))) {
+              case (s, (_, _, _, vm)) => EwmaState(s.n + 1, (s.acc >> 1) + vm)
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(EwmaRow(key, st.n, st.acc))
           }
-          state.update(st)
-          Iterator.single(EwmaRow(key, st.n, st.acc))
         })
   }
 
@@ -459,7 +529,8 @@ object StreamingPipeline {
     */
   def tokenBucketStream(events: DataFrame, capacity: Int = 3,
       refillUs: Long = 86400000000L, keyCol: String = "user_id",
-      tsCol: String = "ts", idCol: String = "event_id")
+      tsCol: String = "ts", idCol: String = "event_id",
+      stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[ThrottleRow] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
     require(capacity >= 1, s"capacity must be positive, got $capacity")
@@ -473,21 +544,25 @@ object StreamingPipeline {
         unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (key: Long, rows: Iterator[(Long, Long, Long)],
          state: GroupState[BucketState]) => {
-          val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
-          var st = state.getOption.getOrElse(BucketState(capUs, -1L))
-          val out = sorted.map { case (_, us, id) =>
-            val delta = if (st.prevUs < 0) 0L else math.max(0L, us - st.prevUs)
-            val avail = math.min(capUs, st.tokUs + delta)
-            val allowed = avail >= refillUs
-            st = BucketState(avail - (if (allowed) refillUs else 0L),
-              math.max(st.prevUs, us))
-            ThrottleRow(key, id, allowed, avail)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+            var st = state.getOption.getOrElse(BucketState(capUs, -1L))
+            val out = sorted.map { case (_, us, id) =>
+              val delta = if (st.prevUs < 0) 0L else math.max(0L, us - st.prevUs)
+              val avail = math.min(capUs, st.tokUs + delta)
+              val allowed = avail >= refillUs
+              st = BucketState(avail - (if (allowed) refillUs else 0L),
+                math.max(st.prevUs, us))
+              ThrottleRow(key, id, allowed, avail)
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 
@@ -518,7 +593,8 @@ object StreamingPipeline {
     * candidate set.
     */
   def heavyHittersStream(events: DataFrame, keyCol: String = "user_id",
-      k: Int = 4096, buckets: Int = 32): org.apache.spark.sql.Dataset[MgRow] = {
+      k: Int = 4096, buckets: Int = 32, stateTtl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[MgRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -527,28 +603,32 @@ object StreamingPipeline {
         col(keyCol).cast("long").as("v"))
       .as[(Int, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, ttlTimeout(stateTtl))(
         (bucket: Int, rows: Iterator[(Int, Long)],
          state: GroupState[MgState]) => {
-          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
-          val m = scala.collection.mutable.LongMap.empty[Long]
-          prev.counts.foreach { case (i, c) => m(i) = c }
-          var processed = prev.processed
-          rows.foreach { case (_, v) =>
-            processed += 1
-            if (m.contains(v)) m(v) += 1
-            else if (m.size < k) m(v) = 1
-            else {
-              val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-              m.foreachEntry { (key, c) =>
-                if (c == 1L) dead += key else m(key) = c - 1
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+            val m = scala.collection.mutable.LongMap.empty[Long]
+            prev.counts.foreach { case (i, c) => m(i) = c }
+            var processed = prev.processed
+            rows.foreach { case (_, v) =>
+              processed += 1
+              if (m.contains(v)) m(v) += 1
+              else if (m.size < k) m(v) = 1
+              else {
+                val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+                m.foreachEntry { (key, c) =>
+                  if (c == 1L) dead += key else m(key) = c - 1
+                }
+                dead.foreach(m.remove)
               }
-              dead.foreach(m.remove)
             }
+            state.update(MgState(m.toMap, processed))
+            stateTtl.foreach(state.setTimeoutDuration)
+            val p = processed
+            m.iterator.map { case (item, est) => MgRow(bucket, item, est, p) }
           }
-          state.update(MgState(m.toMap, processed))
-          val p = processed
-          m.iterator.map { case (item, est) => MgRow(bucket, item, est, p) }
         })
   }
 
@@ -617,7 +697,8 @@ object StreamingPipeline {
     * single-batch replay.
     */
   def seqPairStream(events: DataFrame, typeCol: String = "event_type",
-      userCol: String = "user_id", tsCol: String = "ts")
+      userCol: String = "user_id", tsCol: String = "ts",
+      stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[SeqTypeRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -629,19 +710,23 @@ object StreamingPipeline {
         expr(s"unix_micros($tsCol)").as("us"))
       .as[(Long, String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (u: Long, rows: Iterator[(Long, String, Long)],
          state: GroupState[SeqPairState]) => {
-          var st = state.getOption.getOrElse(
-            SeqPairState(Map.empty, Map.empty))
-          rows.foreach { case (_, t, us) =>
-            st = SeqPairState(
-              st.lo.updated(t, st.lo.get(t).fold(us)(math.min(_, us))),
-              st.hi.updated(t, st.hi.get(t).fold(us)(math.max(_, us))))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              SeqPairState(Map.empty, Map.empty))
+            rows.foreach { case (_, t, us) =>
+              st = SeqPairState(
+                st.lo.updated(t, st.lo.get(t).fold(us)(math.min(_, us))),
+                st.hi.updated(t, st.hi.get(t).fold(us)(math.max(_, us))))
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            st.lo.keysIterator.toSeq.sorted.iterator
+              .map(t => SeqTypeRow(u, t, st.lo(t), st.hi(t)))
           }
-          state.update(st)
-          st.lo.keysIterator.toSeq.sorted.iterator
-            .map(t => SeqTypeRow(u, t, st.lo(t), st.hi(t)))
         })
   }
 
@@ -662,7 +747,7 @@ object StreamingPipeline {
     * map (bounded by the distinct-gap count of the key).
     */
   def beaconStream(events: DataFrame,
-      gapBucketUs: Long = 21600000000L)
+      gapBucketUs: Long = 21600000000L, stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[BeaconRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -674,23 +759,27 @@ object StreamingPipeline {
         expr("unix_micros(ts)").as("us"), col("event_id").cast("long").as("id"))
       .as[(Long, String, Long, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
          state: GroupState[BeaconState]) => {
-          var st = state.getOption.getOrElse(
-            BeaconState(Long.MinValue, Map.empty))
-          var last = st.lastUs
-          var counts = st.counts
-          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { r =>
-            if (last != Long.MinValue) {
-              val b = (r._3 - last) / gapBucketUs
-              counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              BeaconState(Long.MinValue, Map.empty))
+            var last = st.lastUs
+            var counts = st.counts
+            rows.toSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+              if (last != Long.MinValue) {
+                val b = (r._3 - last) / gapBucketUs
+                counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+              }
+              last = r._3
             }
-            last = r._3
+            state.update(BeaconState(last, counts))
+            stateTtl.foreach(state.setTimeoutDuration)
+            counts.toSeq.sortBy(_._1).iterator
+              .map { case (b, c) => BeaconRow(key._1, key._2, b, c) }
           }
-          state.update(BeaconState(last, counts))
-          counts.toSeq.sortBy(_._1).iterator
-            .map { case (b, c) => BeaconRow(key._1, key._2, b, c) }
         })
   }
 
@@ -704,10 +793,10 @@ object StreamingPipeline {
     * touched window re-emits its full per-user table (latest emission
     * per (key, user) wins — counts only grow). State per key is the
     * hour's distinct-user count map; hour keys stop growing an hour
-    * after their window passes, so a production feed would expire
-    * them with an event-time timeout.
+    * after their window passes — pass `stateTtl` (e.g. `"2 hours"`)
+    * to evict closed hours, the shared [[ttlTimeout]] contract.
     */
-  def sprayStream(events: DataFrame)
+  def sprayStream(events: DataFrame, stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[SprayRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -720,16 +809,20 @@ object StreamingPipeline {
         col("user_id").cast("long").as("u"))
       .as[(String, Long, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (key: (String, Long), rows: Iterator[(String, Long, Long)],
          state: GroupState[SprayState]) => {
-          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
-          rows.foreach { case (_, _, u) =>
-            counts = counts.updated(u, counts.getOrElse(u, 0L) + 1L)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+            rows.foreach { case (_, _, u) =>
+              counts = counts.updated(u, counts.getOrElse(u, 0L) + 1L)
+            }
+            state.update(SprayState(counts))
+            stateTtl.foreach(state.setTimeoutDuration)
+            counts.toSeq.sortBy(_._1).iterator
+              .map { case (u, c) => SprayRow(key._1, key._2, u, c) }
           }
-          state.update(SprayState(counts))
-          counts.toSeq.sortBy(_._1).iterator
-            .map { case (u, c) => SprayRow(key._1, key._2, u, c) }
         })
   }
 
@@ -745,7 +838,8 @@ object StreamingPipeline {
     * via the SAME shared tail as the batch op, so q322's oracle
     * applies verbatim to a single-batch replay.
     */
-  def rfmStream(events: DataFrame): org.apache.spark.sql.Dataset[RfmRow] = {
+  def rfmStream(events: DataFrame, stateTtl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[RfmRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -757,15 +851,19 @@ object StreamingPipeline {
         expr("cast(round(value * 100) as bigint)").as("vc"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (u: Long, rows: Iterator[(Long, Long, Long)],
          state: GroupState[RfmState]) => {
-          var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
-          rows.foreach { case (_, d, vc) =>
-            st = RfmState(math.max(st.lastD, d), st.f + 1L, st.mC + vc)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+            rows.foreach { case (_, d, vc) =>
+              st = RfmState(math.max(st.lastD, d), st.f + 1L, st.mC + vc)
+            }
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(RfmRow(u, st.lastD, st.f, st.mC))
           }
-          state.update(st)
-          Iterator.single(RfmRow(u, st.lastD, st.f, st.mC))
         })
   }
 
@@ -788,7 +886,8 @@ object StreamingPipeline {
     * verbatim.
     */
   def centroidStream(embeddings: DataFrame, dim: Int = 64,
-      labelCol: String = "label", vecCol: String = "embedding")
+      labelCol: String = "label", vecCol: String = "embedding",
+      stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[CentroidRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = embeddings.sparkSession
@@ -800,30 +899,35 @@ object StreamingPipeline {
         col(vecCol).cast("array<double>").as("v"))
       .as[(Int, Seq[Double])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (label: Int, rows: Iterator[(Int, Seq[Double])],
          state: GroupState[CentroidState]) => {
-          val st = state.getOption.getOrElse(
-            CentroidState(0L, Vector.fill(dim)(0L)))
-          val sums = st.sums.toArray
-          var n = st.n
-          rows.foreach { case (_, v) =>
-            var i = 0
-            while (i < dim) {
-              sums(i) += math.floor(v(i) * 1e6).toLong
-              i += 1
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(
+              CentroidState(0L, Vector.fill(dim)(0L)))
+            val sums = st.sums.toArray
+            var n = st.n
+            rows.foreach { case (_, v) =>
+              var i = 0
+              while (i < dim) {
+                sums(i) += math.floor(v(i) * 1e6).toLong
+                i += 1
+              }
+              n += 1L
             }
-            n += 1L
+            state.update(CentroidState(n, sums.toVector))
+            stateTtl.foreach(state.setTimeoutDuration)
+            (0 until dim).iterator.map(i =>
+              CentroidRow(label, i, n, sums(i), Math.floorDiv(sums(i), n)))
           }
-          state.update(CentroidState(n, sums.toVector))
-          (0 until dim).iterator.map(i =>
-            CentroidRow(label, i, n, sums(i), Math.floorDiv(sums(i), n)))
         })
   }
 
   def funnelStream(events: DataFrame, firstType: String, secondType: String,
       windowUs: Long = 3600000000L, keyCol: String = "user_id",
-      typeCol: String = "event_type", tsCol: String = "ts")
+      typeCol: String = "event_type", tsCol: String = "ts",
+      stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[FunnelRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -836,35 +940,39 @@ object StreamingPipeline {
         unix_micros(col(tsCol)).as("us"))
       .as[(Long, Boolean, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, ttlTimeout(stateTtl))(
         (key: Long, rows: Iterator[(Long, Boolean, Long)],
          state: GroupState[FunnelState]) => {
-          val batch = rows.toIndexedSeq
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
-          // batch-fold order: settle the earliest first, THEN scan
-          // seconds at-or-after it — the exact shape of the batch op
-          val batchFirst = batch.collect { case (_, true, us) => us }
-          val newFirst =
-            (batchFirst ++ Option.when(st.firstUs >= 0)(st.firstUs)).minOption
-              .getOrElse(-1L)
-          if (newFirst >= 0) {
-            val cand = batch.collect {
-              case (_, false, us) if us >= newFirst => us
-            } ++ Option.when(st.secondUs >= newFirst && st.secondUs >= 0)(
-              st.secondUs)
-            st = FunnelState(newFirst, cand.minOption.getOrElse(-1L))
-            state.update(st)
-            Iterator.single(FunnelRow(key, st.firstUs,
-              Option.when(st.secondUs >= 0)(st.secondUs),
-              if (st.secondUs >= 0 && st.secondUs - st.firstUs <= windowUs) 1
-              else 0))
-          } else {
-            // seconds-only so far: hold nothing. Under in-order
-            // arrival a first that shows up later has a LATER
-            // event time, so these seconds are < first_us and the
-            // batch op drops them too; only a late (out-of-order)
-            // first loses them — the documented undercount window.
-            Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toIndexedSeq
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+            // batch-fold order: settle the earliest first, THEN scan
+            // seconds at-or-after it — the exact shape of the batch op
+            val batchFirst = batch.collect { case (_, true, us) => us }
+            val newFirst =
+              (batchFirst ++ Option.when(st.firstUs >= 0)(st.firstUs)).minOption
+                .getOrElse(-1L)
+            if (newFirst >= 0) {
+              val cand = batch.collect {
+                case (_, false, us) if us >= newFirst => us
+              } ++ Option.when(st.secondUs >= newFirst && st.secondUs >= 0)(
+                st.secondUs)
+              st = FunnelState(newFirst, cand.minOption.getOrElse(-1L))
+              state.update(st)
+              stateTtl.foreach(state.setTimeoutDuration)
+              Iterator.single(FunnelRow(key, st.firstUs,
+                Option.when(st.secondUs >= 0)(st.secondUs),
+                if (st.secondUs >= 0 && st.secondUs - st.firstUs <= windowUs) 1
+                else 0))
+            } else {
+              // seconds-only so far: hold nothing. Under in-order
+              // arrival a first that shows up later has a LATER
+              // event time, so these seconds are < first_us and the
+              // batch op drops them too; only a late (out-of-order)
+              // first loses them — the documented undercount window.
+              Iterator.empty
+            }
           }
         })
   }

@@ -195,4 +195,67 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(shifted.toInstant ===
       java.time.Instant.parse("2024-01-01T02:00:00Z"))
   }
+
+  test("qualified function references are never prefix-rewritten " +
+      "(dotted prefix = resolves through a qualifier, not the registry)") {
+    // bare call prefixes; the dotted twin stays verbatim
+    assert(Criteria.rewrite("cat.split(x, ',') = split(x, ',')[1]")
+      === "cat.split(x, ',') = presto_element_at(presto_split(x, ','), 1)")
+    assert(Criteria.rewrite("db.schema.json_extract_scalar(j, '$.a') IS NULL")
+      === "db.schema.json_extract_scalar(j, '$.a') IS NULL")
+    assert(Criteria.rewrite("ns.TRY_CAST(x) = try_cast('1' AS INTEGER)")
+      === "ns.TRY_CAST(x) = try_cast('1' AS INTEGER)")
+  }
+
+  test("seventh tranche: json_parse/json_format canonicalize, " +
+      "at_timezone shifts fields, MAP(ARRAY, ARRAY) constructs") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql("SELECT TIMESTAMP '2024-03-15 22:45:12' AS ts")
+    // canonical compact text: whitespace dropped, field order kept
+    assert(row.where(Criteria.toColumn(
+      """json_format(json_parse(' { "b" : [1, 2],  "a" : "x" } '))
+        | = '{"b":[1,2],"a":"x"}'""".stripMargin)).count() === 1)
+    // malformed input is LOUD, the Presto contract
+    val e = intercept[Exception] {
+      row.select(Criteria.toColumn("json_parse('{oops') IS NULL")).collect()
+    }
+    assert(e.getMessage.contains("json_parse") ||
+      Option(e.getCause).exists(_.getMessage.contains("json_parse")))
+    // 22:45 UTC at +05:30 is 04:15 next day
+    assert(row.where(Criteria.toColumn(
+      "hour(at_timezone(ts, '+05:30')) = 4")).count() === 1)
+    // MAP(keys_array, values_array) + zero-arg MAP()
+    assert(row.where(Criteria.toColumn(
+      "element_at(MAP(ARRAY['a','b'], ARRAY[1, 2]), 'b') = 2 AND " +
+        "cardinality(MAP()) = 0")).count() === 1)
+    // Presto's bare `map` token never claims Spark's variadic builtin
+    // name session-wide: the builtin still takes k1, v1 pairs
+    assert(spark.sql("SELECT map('x', 1)['x']").head().getInt(0) === 1)
+  }
+
+  test("seventh-tranche parity set needs no shim: map_filter / " +
+      "map_zip_with / array_position / negative-start slice / " +
+      "ISO date_trunc('week')") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql("SELECT TIMESTAMP '2024-03-15 13:45:12' AS ts")
+    assert(row.where(Criteria.toColumn(
+      "cardinality(map_filter(MAP(ARRAY['a','b','c'], ARRAY[1, 2, 3]), " +
+        "(k, v) -> v >= 2)) = 2")).count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "element_at(map_zip_with(MAP(ARRAY['a'], ARRAY[10]), " +
+        "MAP(ARRAY['a'], ARRAY[5]), (k, v1, v2) -> v1 + v2), 'a') = 15"))
+      .count() === 1)
+    // 1-based, 0 when absent — both engines
+    assert(row.where(Criteria.toColumn(
+      "array_position(ARRAY['x','y','z'], 'y') = 2 AND " +
+        "array_position(ARRAY['x'], 'q') = 0")).count() === 1)
+    // negative start counts from the end; length clips at the tail
+    assert(row.where(Criteria.toColumn(
+      "slice(ARRAY[10, 20, 30, 40], -3, 2) = ARRAY[20, 30] AND " +
+        "slice(ARRAY[10, 20, 30, 40], -1, 2) = ARRAY[40]")).count() === 1)
+    // 2024-03-15 is a Friday; ISO week truncation lands on Monday
+    assert(row.where(Criteria.toColumn(
+      "date_trunc('week', ts) = TIMESTAMP '2024-03-11 00:00:00'"))
+      .count() === 1)
+  }
 }

@@ -663,4 +663,48 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r(6L) === (("https://ex.com/p?a=1&b=2", 6L, false)))
     assert(r(7L) === (("https://ex.com/p?a=1&b=2", 6L, true)))
   }
+
+  test("canonicalUrl: percent-encoding normalization (RFC 3986 §6.2.2) " +
+      "and fragment-hidden '?' (hand-computed edges)") {
+    val d = Seq(
+      (1L, "https://ex.com/p#f?x=1"),          // '?' inside fragment: NOT a query
+      (2L, "https://ex.com/%7Ehome?x=%2fv"),   // %7E→'~'; %2f stays, hex uppercased
+      (3L, "https://ex.com/%7ehome?x=%2Fv"),   // hex-case twin of 2
+      (4L, "https://ex.com/p?%61=1"),          // %61→'a': decoded param NAME
+      (5L, "https://ex.com/p?a=1"),            // plain twin of 4
+      (6L, "https://ex.com/p?x=100%"),         // trailing '%': verbatim, no throw
+      (7L, "https://ex.com/p?x=%G1"),          // bad hex: verbatim
+      (8L, "https://ex.com/%41%5a?b=%30"))     // %41→A %5a→Z %30→0
+      .toDF("event_id", "url")
+    val r = graft.ops.Curation.urlKeyDedup(d).collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[String]("canonical_url"), x.getAs[Long]("keeper_id"),
+          x.getAs[Boolean]("is_dup")))).toMap
+    assert(r(1L)._1 === "https://ex.com/p")
+    assert(r(2L) === (("https://ex.com/~home?x=%2Fv", 2L, false)))
+    assert(r(3L) === (("https://ex.com/~home?x=%2Fv", 2L, true)))
+    assert(r(4L) === (("https://ex.com/p?a=1", 4L, false)))
+    assert(r(5L) === (("https://ex.com/p?a=1", 4L, true)))
+    assert(r(6L)._1 === "https://ex.com/p?x=100%")
+    assert(r(7L)._1 === "https://ex.com/p?x=%G1")
+    assert(r(8L)._1 === "https://ex.com/AZ?b=0")
+  }
+
+  test("canonicalUrl: trackingParamRegex is a parameter (site-specific " +
+      "junk params beyond the default four)") {
+    val out = Seq(Tuple1("https://ex.com/p?sid=9&a=1&utm_source=m"))
+      .toDF("url")
+      .select(graft.ops.Curation.canonicalUrl(
+        org.apache.spark.sql.functions.col("url"),
+        trackingParamRegex = "^(utm_[^=]*|sid)=").as("c"))
+      .head().getString(0)
+    assert(out === "https://ex.com/p?a=1")
+    // and the default still only drops the documented four
+    val def0 = Seq(Tuple1("https://ex.com/p?sid=9&a=1&utm_source=m"))
+      .toDF("url")
+      .select(graft.ops.Curation.canonicalUrl(
+        org.apache.spark.sql.functions.col("url")).as("c"))
+      .head().getString(0)
+    assert(def0 === "https://ex.com/p?a=1&sid=9")
+  }
 }

@@ -300,3 +300,59 @@ object DialectPrefixProps extends Properties("Criteria.rewrite prefixing") {
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
     }
 }
+
+/** ScalaCheck rows for the URL canonicalizer's RFC 3986 §6.2.2
+  * percent-normalization (round-9 hardening): hex-case twins must
+  * never split a canonical key, unreserved escapes must decode to
+  * their literal form, and the whole program must be idempotent
+  * (canonical output re-canonicalizes to itself — the property that
+  * makes the key safe to persist and re-derive). Each sample batches
+  * URLs into ONE DataFrame so a property run costs a handful of tiny
+  * local jobs, not hundreds.
+  */
+object CanonicalUrlProps extends Properties("Curation.canonicalUrl") {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.col
+
+  private lazy val spark: SparkSession =
+    Tables.configure(SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters = p.withMinSuccessfulTests(8)
+
+  private def canon(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url")
+      .select(graft.ops.Curation.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private val seg: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+
+  property("hex case of an escape never splits a canonical key") =
+    forAll(Gen.listOfN(8, Gen.zip(seg, Gen.choose(0, 255)))) { pairs =>
+      val lo = pairs.map { case (s, b) => f"https://ex.com/$s%s?x=%%$b%02x" }
+      val hi = pairs.map { case (s, b) => f"https://ex.com/$s%s?x=%%$b%02X" }
+      canon(lo) == canon(hi)
+    }
+
+  property("unreserved escapes decode to the literal form") =
+    forAll(Gen.listOfN(8, seg)) { segs =>
+      val enc = segs.map { s =>
+        f"https://ex.com/%%${s.head.toInt}%02X${s.tail}" }
+      val plain = segs.map(s => s"https://ex.com/$s")
+      canon(enc) == canon(plain)
+    }
+
+  property("canonicalUrl is idempotent on its own output") =
+    forAll(Gen.listOfN(8, Gen.zip(seg, Gen.choose(0, 255)))) { pairs =>
+      val urls = pairs.map { case (s, b) =>
+        f"https://Ex.COM:443/$s%s?b=2&a=%%$b%02x#frag" }
+      val once = canon(urls)
+      canon(once) == once
+    }
+}

@@ -741,6 +741,47 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  case class UrlDoc(ts: Timestamp, doc_id: Long, url: String)
+
+  test("urlGateStream: a 1,000-domain blocklist gates as DATA — one " +
+      "broadcast anti-join per label depth, subdomain matching intact") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint, BROADCAST}
+    val mem = MemoryStream[UrlDoc]
+    // 1,000 domains across two label depths: 999 two-label + one
+    // four-label — a predicate-chain gate would fold 1,000 ORs into
+    // the plan; the data gate's plan size is O(label depths)
+    val domains = ((1 to 998).map(i => s"junk$i.example") ++
+      Seq("tracker.net", "ads.deep.example.org")).toDF("domain")
+    val out = graft.streaming.StreamingPipeline.urlGateStream(
+      mem.toDF(), domains, "url", "ts", "10 minutes")
+    val antiJoins = out.queryExecution.analyzed.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(antiJoins.size === 2, "one LeftAnti per distinct label depth {2,4}")
+    val bcast = out.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+    assert(bcast.size === 2, "the blocklist side of each anti-join is broadcast")
+    val q = out.writeStream.format("memory").queryName("urlgate_bl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        UrlDoc(ts(1), 1, "https://ok.site.com/a"),
+        UrlDoc(ts(2), 2, "https://sub.tracker.net/x"),      // subdomain of 2-label entry
+        UrlDoc(ts(3), 3, "https://tracker.net/x"),          // exact 2-label hit
+        UrlDoc(ts(4), 4, "https://ads.deep.example.org/y"), // exact 4-label hit
+        UrlDoc(ts(5), 5, "https://deep.example.org/y"),     // PARENT of the 4-label entry: passes
+        UrlDoc(ts(6), 6, "https://junk7.example/z"),        // one of the 998
+        UrlDoc(ts(7), 7, "https://tracker.net.evil/z"))     // suffix mismatch: passes
+      q.processAllAvailable()
+      val ids = spark.table("urlgate_bl").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids === Array(1L, 5L, 7L))
+    } finally q.stop()
+  }
+
   test("corpusFilterStream drops exact corpus content, passes novel docs") {
     implicit val sc = spark.sqlContext
     val corpus = Seq((100L, "the quick brown fox jumps over dogs"),
@@ -1317,6 +1358,127 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       }
     assert(def0 ===
       Seq(org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout))
+  }
+
+  case class FullEv(ts: Timestamp, user_id: Long, event_type: String,
+      event_id: Long, value: Double)
+  case class EmbRow(label: Int, embedding: Seq[Double])
+
+  test("every keyed stream arms the uniform stateTtl eviction contract: " +
+      "ProcessingTimeTimeout when set, NoTimeout by default") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val e = MemoryStream[FullEv].toDF()
+    val emb = MemoryStream[EmbRow].toDF()
+    val P = graft.streaming.StreamingPipeline
+    def timeoutOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case f: FlatMapGroupsWithState => f.timeout
+      }
+    def build(ttl: Option[String]) = Seq(
+      "ewma" -> P.ewmaStream(e, stateTtl = ttl).toDF(),
+      "tokenBucket" -> P.tokenBucketStream(e, stateTtl = ttl).toDF(),
+      "heavyHitters" -> P.heavyHittersStream(e, stateTtl = ttl).toDF(),
+      "seqPair" -> P.seqPairStream(e, stateTtl = ttl).toDF(),
+      "beacon" -> P.beaconStream(e, stateTtl = ttl).toDF(),
+      "spray" -> P.sprayStream(e, stateTtl = ttl).toDF(),
+      "rfm" -> P.rfmStream(e, stateTtl = ttl).toDF(),
+      "centroid" -> P.centroidStream(emb, dim = 2, stateTtl = ttl).toDF(),
+      "funnel" -> P.funnelStream(e, "a", "b", stateTtl = ttl).toDF())
+    build(Some("1 hour")).foreach { case (name, df) =>
+      assert(timeoutOf(df) === Seq(GroupStateTimeout.ProcessingTimeTimeout),
+        s"$name: TTL must arm a processing-time timeout")
+    }
+    build(None).foreach { case (name, df) =>
+      assert(timeoutOf(df) === Seq(GroupStateTimeout.NoTimeout),
+        s"$name: default stays NoTimeout (oracle semantics unchanged)")
+    }
+  }
+
+  test("ewmaStream state is one row per key: replaying known keys adds " +
+      "ZERO rows, a new key adds one (bounded-state plateau)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[FullEv]
+    // NoTimeout here deliberately: the plateau property (state rows =
+    // distinct keys) is timeout-independent, and an ARMED
+    // ProcessingTimeTimeout makes the micro-batch engine schedule
+    // batches forever (a potential timeout always "requires another
+    // batch"), so processAllAvailable never settles. The TTL wiring
+    // itself is pinned by the plan-level contract test above.
+    val out = graft.streaming.StreamingPipeline
+      .ewmaStream(mem.toDF())
+    val q = out.toDF().writeStream.format("memory").queryName("ewma_plateau")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        FullEv(ts(1), 1L, "a", 10L, 1.0),
+        FullEv(ts(2), 2L, "a", 11L, 2.0),
+        FullEv(ts(3), 3L, "a", 12L, 3.0))
+      q.processAllAvailable()
+      val afterFirst = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterFirst === 3L)
+      // replay traffic for the SAME keys: folds advance, state doesn't grow
+      mem.addData(FullEv(ts(4), 1L, "a", 13L, 4.0),
+        FullEv(ts(5), 2L, "a", 14L, 5.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 3L)
+      // a new key claims exactly one state row
+      mem.addData(FullEv(ts(6), 9L, "a", 15L, 6.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 4L)
+    } finally q.stop()
+  }
+
+  test("uniform bounded-state plateau: replaying the SAME rows adds " +
+      "ZERO state rows in every keyed stream (state = live keys, " +
+      "never stream length)") {
+    implicit val sc = spark.sqlContext
+    val P = graft.streaming.StreamingPipeline
+    // NoTimeout on purpose, same reason as the ewma plateau row: an
+    // armed ProcessingTimeTimeout makes processAllAvailable spin; the
+    // TTL arming is pinned by the plan-level contract test above.
+    val batch = Seq(
+      FullEv(ts(1), 1L, "a", 10L, 1.0), FullEv(ts(2), 2L, "a", 11L, 2.0),
+      FullEv(ts(3), 3L, "a", 12L, 3.0), FullEv(ts(4), 1L, "b", 13L, 4.0))
+    val cases: Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        OutputMode)] = Seq(
+      ("tokenBucket", df => P.tokenBucketStream(df).toDF(),
+        OutputMode.Append()),
+      ("heavyHitters", df => P.heavyHittersStream(df).toDF(),
+        OutputMode.Update()),
+      ("seqPair", df => P.seqPairStream(df).toDF(), OutputMode.Append()),
+      ("beacon", df => P.beaconStream(df).toDF(), OutputMode.Append()),
+      ("spray", df => P.sprayStream(df).toDF(), OutputMode.Append()),
+      ("rfm", df => P.rfmStream(df).toDF(), OutputMode.Append()),
+      ("funnel", df => P.funnelStream(df, "a", "b").toDF(),
+        OutputMode.Append()))
+    cases.foreach { case (name, build, mode) =>
+      val mem = MemoryStream[FullEv]
+      val q = build(mem.toDF()).writeStream.format("memory")
+        .queryName(s"plateau_$name").outputMode(mode).start()
+      try {
+        mem.addData(batch: _*); q.processAllAvailable()
+        val n1 = q.lastProgress.stateOperators.head.numRowsTotal
+        assert(n1 > 0, s"$name: state should exist after the first batch")
+        mem.addData(batch: _*); q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.head.numRowsTotal === n1,
+          s"$name: replaying known keys must not grow state")
+      } finally q.stop()
+    }
+    // centroid's input is an embedding stream, not events
+    val memE = MemoryStream[EmbRow]
+    val qc = P.centroidStream(memE.toDF(), dim = 2).toDF()
+      .writeStream.format("memory").queryName("plateau_centroid")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = Seq(EmbRow(0, Seq(0.1, 0.2)), EmbRow(1, Seq(0.3, 0.4)))
+      memE.addData(rows: _*); qc.processAllAvailable()
+      assert(qc.lastProgress.stateOperators.head.numRowsTotal === 2L)
+      memE.addData(rows: _*); qc.processAllAvailable()
+      assert(qc.lastProgress.stateOperators.head.numRowsTotal === 2L)
+    } finally qc.stop()
   }
 
   test("decontaminateStream tokenizes trailing/interior spaces exactly " +
