@@ -3283,7 +3283,85 @@ private[graft] object QueriesExt {
              |    AND COALESCE(tb.dup, 0) * 2000000 // n.n_words <= 600000)
              |    AS keep
              |FROM n JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // IDN crawl ingest: a Unicode host (two case variants) and its
+    // punycode twin must land on ONE canonical key once idnAsciiUrl
+    // runs at ingest — canonicalUrl's documented IDN contract made
+    // executable instead of a doc caveat. STRONG oracle: states the
+    // expected canonical string (the RFC 3490 ToASCII form) outright.
+    Q("q387_idn_host_dedup",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("url", expr(
+            """CASE CAST(user_id % 3 AS INT)
+              |  WHEN 0 THEN 'https://BÜCHER.example/t/' || event_type
+              |  WHEN 1 THEN 'https://bücher.example/t/' || event_type
+              |  ELSE 'https://xn--bcher-kva.example/t/' || event_type
+              |  END""".stripMargin))
+          .withColumn("url", graft.ops.Curation.idnAsciiUrl(col("url")))
+        graft.ops.Curation.urlKeyDedup(ev)
+      },
+      Some("""WITH c AS (SELECT event_id AS id,
+             |    'https://xn--bcher-kva.example/t/' || event_type
+             |      AS canonical_url
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+             |k AS (SELECT canonical_url, MIN(id) AS keeper_id
+             |  FROM c GROUP BY 1)
+             |SELECT c.id, c.canonical_url, k.keeper_id,
+             |  c.id <> k.keeper_id AS is_dup
+             |FROM c JOIN k USING (canonical_url)
+             |ORDER BY c.id""".stripMargin)),
+
+    // Streaming DSIR gate: the q385 weight table, trained batch-side
+    // (target = doc_id ≡ 0 mod 7 vs the rest), broadcast into a
+    // document STREAM as a primitive long[] — every arriving doc is
+    // scored in one fused JVM pass and passes at score ≥ 188000
+    // (the sf-stable score median: "more target-like
+    // than average"). The oracle replays the weights AND the gate
+    // over the whole corpus, bit for bit.
+    Q("q388_stream_dsir_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val docs = Tables(s, dir, "documents")
+        val w = graft.ops.Curation.dsirWeights(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0))
+        val gated = graft.streaming.StreamingPipeline.dsirGateStream(
+          QueriesAlert.tableStream(s, dir, "documents"), w,
+          minScore = 188000L)
+        QueriesAlert.drainToMemory(s, gated, "q388_sink",
+          OutputMode.Append()).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents WHERE text IS NOT NULL),
+             |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+             |tok AS (SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(w, ''),
+             |        c -> CAST(unicode(c) AS BIGINT))),
+             |      (a, b) -> (a * 37 + b) % 2147483647) % 1024 AS bucket
+             |  FROM w WHERE w <> ''),
+             |prof AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tok GROUP BY 1, 2),
+             |tc AS (SELECT bucket, SUM(c) AS tc FROM prof
+             |  WHERE doc_id % 7 = 0 GROUP BY 1),
+             |rc AS (SELECT bucket, SUM(c) AS rc FROM prof
+             |  WHERE doc_id % 7 <> 0 GROUP BY 1),
+             |b AS (SELECT unnest(range(0, 1024)) AS bucket),
+             |lam AS (SELECT b.bucket,
+             |    ((COALESCE(tc.tc, 0) + 1) * 1000000)
+             |      // (COALESCE(rc.rc, 0) + 1) AS lam
+             |  FROM b LEFT JOIN tc USING (bucket)
+             |    LEFT JOIN rc USING (bucket)),
+             |s AS (SELECT prof.doc_id, SUM(prof.c * lam.lam) AS sm,
+             |    SUM(prof.c) AS n
+             |  FROM prof JOIN lam USING (bucket) GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(sm // n AS BIGINT) AS score
+             |FROM s WHERE sm // n >= 188000 ORDER BY doc_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -24,62 +24,207 @@ object Criteria {
     * only OUTSIDE single-quoted SQL string literals — a criteria
     * comparing against text that happens to contain a function name
     * must not have its literal rewritten.
+    *
+    * ONE tokenizer, then passes over the token stream: the text is
+    * lexed ONCE into literals / quoted identifiers / identifiers /
+    * numbers / symbols, and every rewrite — the date_diff/date_add
+    * unit lowering, 1-based subscripts, dialect renames, presto_*
+    * prefixing — is a splice on that stream. Literal- and
+    * identifier-awareness therefore live in exactly one place (the
+    * lexer), killing the bug class where six stacked textual passes
+    * each re-decided where strings start (the "it's col" mis-chunk,
+    * the \b-after-dot prefix mangle — each found one at a time
+    * through r8).
     */
-  def rewrite(presto: String): String = {
-    // Presto date_diff('unit', t1, t2) → Spark timestampdiff(unit, ...):
-    // Spark's parser special-cases the unit as an unquoted keyword, so
-    // this must run on the whole text (the unit IS a string literal) —
-    // before the literal-preserving pass below. Same t2-t1 direction.
-    val units =
-      "year|quarter|month|week|day|hour|minute|second|millisecond|microsecond"
-    val unitFixed = presto
-      .replaceAll(s"(?i)\\bdate_diff\\(\\s*'($units)'\\s*,",
-        "timestampdiff($1,")
-      // Presto date_add('unit', n, ts) — same parser-claimed shape
-      .replaceAll(s"(?i)\\bdate_add\\(\\s*'($units)'\\s*,",
-        "timestampadd($1,")
-    // split into alternating [code, 'literal', code, ...] chunks;
-    // '' inside a literal is the SQL escape for a quote
-    val subFixed = rewriteSubscripts(rewriteQuotedIdents(unitFixed))
-    val literal = "'(?:[^']|'')*'".r
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- literal.findAllMatchIn(subFixed)) {
-      sb.append(rewriteCode(subFixed.substring(last, m.start)))
-      sb.append(m.matched) // literal untouched
-      last = m.end
-    }
-    sb.append(rewriteCode(subFixed.substring(last)))
-    sb.toString
+  def rewrite(presto: String): String =
+    render(renamePass(subscriptPass(dateFnPass(
+      lex(presto, dquote = true)))))
+
+  // ── the token stream ──────────────────────────────────────────────
+
+  /** One criteria token. `text` is always the exact output rendering;
+    * concatenating the stream reproduces the (rewritten) text, so
+    * every pass is a pure splice on the vector.
+    */
+  private sealed trait Tok { def text: String }
+  private object Tok {
+    /** Single-quoted SQL string literal, quotes and '' escapes
+      * intact — no pass ever looks inside. */
+    final case class Lit(text: String) extends Tok
+    /** Identifier in backtick rendering — a Presto double-quoted
+      * identifier the lexer already converted ("a b" → `a b`, ""
+      * unescaped, embedded backticks doubled), or one that arrived
+      * backtick-quoted. */
+    final case class QIdent(text: String) extends Tok
+    final case class Ident(text: String) extends Tok
+    final case class Num(text: String) extends Tok
+    final case class Ws(text: String) extends Tok
+    /** One non-token character (operators, punctuation, brackets). */
+    final case class Sym(text: String) extends Tok
+    /** Opaque span no pass may touch — an unterminated quote;
+      * malformed input stays verbatim instead of being reshaped. */
+    final case class Raw(text: String) extends Tok
   }
 
-  /** The dialect shims that would shadow a Spark builtin are
-    * registered as `presto_<name>` (the no-shadow invariant,
-    * [[graft.functions.Functions.prefixedNames]]); criteria text
-    * keeps the bare Presto spelling and this token pass maps it.
-    * Single source of truth: the regex is BUILT from Functions'
-    * set, so a new prefixed shim can never drift out of sync.
-    * Function-call position only (`(?=\s*\()`) — a column that
-    * happens to be named `split` is not a call and stays untouched.
-    * The leading `(?<![\w.])` (NOT a bare \b, which matches after
-    * '.') keeps qualified references like `cat.split(...)` intact:
-    * a dotted prefix means the call resolves through a qualifier,
-    * never the session temp registry, so rewriting it would mangle
-    * the name for nothing.
+  /** Lex criteria text. `dquote = true` converts Presto double-quoted
+    * identifiers to Spark backtick identifiers while lexing (outside
+    * single-quoted literals a double-quoted token is ALWAYS an
+    * identifier in Presto — its string literals are single-quoted —
+    * while Spark would silently read a string); `dquote = false`
+    * leaves '"' as an ordinary symbol (the standalone
+    * [[rewriteSubscripts]] contract, which predates quoting).
     */
-  private val prefixedCall =
-    ("(?i)(?<![\\w.])(" + graft.functions.Functions.prefixedNames.toSeq.sorted
-      .mkString("|") + ")\\b(?=\\s*\\()")
+  private def lex(s: String, dquote: Boolean): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        var j = i + 1; var closed = false
+        while (j < s.length && !closed) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        out += (if (closed) Tok.Lit(s.substring(i, j))
+                else Tok.Raw(s.substring(i, j)))
+        i = j
+      } else if (c == '"' && dquote) {
+        var j = i + 1; val ident = new StringBuilder; var closed = false
+        while (j < s.length && !closed) {
+          if (s.charAt(j) == '"') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '"') {
+              ident.append('"'); j += 2
+            } else { closed = true; j += 1 }
+          } else { ident.append(s.charAt(j)); j += 1 }
+        }
+        out += (if (closed)
+          Tok.QIdent("`" + ident.toString.replace("`", "``") + "`")
+        else Tok.Raw(s.substring(i, j)))
+        i = j
+      } else if (c == '`') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '`') j += 1
+        if (j < s.length) { out += Tok.QIdent(s.substring(i, j + 1)); i = j + 1 }
+        else { out += Tok.Raw(s.substring(i)); i = s.length }
+      } else if (c.isLetter || c == '_') {
+        var j = i + 1
+        while (j < s.length &&
+            (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        out += Tok.Ident(s.substring(i, j)); i = j
+      } else if (c.isDigit) {
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isDigit) j += 1
+        out += Tok.Num(s.substring(i, j)); i = j
+      } else if (c.isWhitespace) {
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        out += Tok.Ws(s.substring(i, j)); i = j
+      } else { out += Tok.Sym(c.toString); i += 1 }
+    }
+    out.result()
+  }
 
-  private def rewriteCode(code: String): String =
-    code
-      .replaceAll("(?i)(?<![\\w.])json_extract_scalar\\b", "get_json_object")
-      .replaceAll("(?i)(?<![\\w.])TRY_CAST\\b", "try_cast")
-      .replaceAll(prefixedCall, "presto_$1")
-      // Presto's bare unparameterized VARCHAR (CAST(x AS VARCHAR)) —
-      // Spark requires a length for VARCHAR but takes STRING;
-      // VARCHAR(n) is valid in both and stays untouched
-      .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+  private def render(toks: Vector[Tok]): String =
+    toks.iterator.map(_.text).mkString
+
+  /** Presto date_diff('unit', t1, t2) → Spark timestampdiff(unit, …)
+    * and date_add('unit', n, ts) → timestampadd(unit, …): Spark's
+    * parser claims the unit as an unquoted keyword before any
+    * registry lookup, so the unit LITERAL must be lowered to a bare
+    * token at rewrite time (same t2−t1 direction). Qualified
+    * references (`x.date_diff(...)`) stay verbatim, like every other
+    * rename.
+    */
+  private def dateFnPass(toks: Vector[Tok]): Vector[Tok] = {
+    import Tok._
+    val units = Set("year", "quarter", "month", "week", "day", "hour",
+      "minute", "second", "millisecond", "microsecond")
+    def isWs(t: Tok) = t.isInstanceOf[Ws]
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val rewrote = toks(i) match {
+        case Ident(name) if name.equalsIgnoreCase("date_diff") ||
+            name.equalsIgnoreCase("date_add") =>
+          var p = i - 1
+          while (p >= 0 && isWs(toks(p))) p -= 1
+          val qualified = p >= 0 && toks(p) == Sym(".")
+          var k = i + 1
+          while (k < toks.length && isWs(toks(k))) k += 1
+          val shapeOk = !qualified && k < toks.length &&
+            toks(k) == Sym("(")
+          if (!shapeOk) false
+          else {
+            var u = k + 1
+            while (u < toks.length && isWs(toks(u))) u += 1
+            toks.lift(u) match {
+              case Some(Lit(q)) if q.length >= 2 &&
+                  units.contains(q.substring(1, q.length - 1).toLowerCase) =>
+                var cm = u + 1
+                while (cm < toks.length && isWs(toks(cm))) cm += 1
+                if (cm < toks.length && toks(cm) == Sym(",")) {
+                  out += Ident(if (toks(i).text.equalsIgnoreCase("date_diff"))
+                    "timestampdiff" else "timestampadd")
+                  toks.slice(i + 1, u).foreach(out += _) // '(' + spacing
+                  out += Ident(q.substring(1, q.length - 1))
+                  i = u + 1
+                  true
+                } else false
+              case _ => false
+            }
+          }
+        case _ => false
+      }
+      if (!rewrote) { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Dialect renames over identifier tokens — the no-shadow mapping.
+    * The shims that would shadow a Spark builtin are registered as
+    * `presto_<name>` ([[graft.functions.Functions.prefixedNames]] is
+    * the single source of truth — a new prefixed shim can never drift
+    * out of sync with this pass); criteria text keeps the bare Presto
+    * spelling and this pass maps it, in FUNCTION-CALL POSITION only
+    * (a column that happens to be named `split` stays untouched).
+    * Qualified references (`cat.split(...)`) resolve through their
+    * qualifier, never the session registry, so they stay verbatim.
+    * `json_extract_scalar` → `get_json_object` and `TRY_CAST` →
+    * `try_cast` rename in any position; Presto's bare unparameterized
+    * `VARCHAR` (CAST(x AS VARCHAR)) becomes `STRING` — Spark requires
+    * a length on VARCHAR — while `VARCHAR(n)`, valid in both, stays.
+    */
+  private def renamePass(toks: Vector[Tok]): Vector[Tok] = {
+    import Tok._
+    def prevNonWs(i: Int): Option[Tok] = {
+      var k = i - 1
+      while (k >= 0 && toks(k).isInstanceOf[Ws]) k -= 1
+      if (k >= 0) Some(toks(k)) else None
+    }
+    def nextNonWs(i: Int): Option[Tok] = {
+      var k = i + 1
+      while (k < toks.length && toks(k).isInstanceOf[Ws]) k += 1
+      if (k < toks.length) Some(toks(k)) else None
+    }
+    toks.zipWithIndex.map {
+      case (t @ Ident(name), i) =>
+        val lower = name.toLowerCase
+        if (prevNonWs(i).contains(Sym("."))) t
+        else {
+          val called = nextNonWs(i).contains(Sym("("))
+          if (lower == "json_extract_scalar") Ident("get_json_object")
+          else if (lower == "try_cast") Ident("try_cast")
+          else if (called &&
+              graft.functions.Functions.prefixedNames(lower))
+            Ident("presto_" + name)
+          else if (lower == "varchar" && !called) Ident("STRING")
+          else t
+        }
+      case (t, _) => t
+    }
+  }
 
   /** Presto double-quoted identifiers → Spark backtick-quoted
     * (`"a b"` → `` `a b` ``). Presto string literals are always
@@ -90,50 +235,12 @@ object Criteria {
     * Presto's escape for one quote; a literal backtick inside the
     * identifier becomes Spark's doubled-backtick escape.
     */
-  private[graft] def rewriteQuotedIdents(s: String): String = {
-    // One left-to-right pass over BOTH quote kinds: whichever quote
-    // opens first owns its span. (Pre-extracting single-quoted spans
-    // first mis-chunked a double-quoted identifier containing an
-    // apostrophe — "it's col" — by pairing the apostrophe with a
-    // later real string literal.)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' =>
-          // single-quoted literal: copy verbatim; '' is the escape
-          var j = i + 1
-          var closed = false
-          while (j < s.length && !closed) {
-            if (s.charAt(j) == '\'') {
-              if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
-              else { closed = true; j += 1 }
-            } else j += 1
-          }
-          sb.append(s.substring(i, j)); i = j
-        case '"' =>
-          // double-quoted identifier → backtick-quoted; "" escapes a
-          // quote, a literal backtick doubles per Spark's escape
-          var j = i + 1
-          val ident = new StringBuilder
-          var closed = false
-          while (j < s.length && !closed) {
-            if (s.charAt(j) == '"') {
-              if (j + 1 < s.length && s.charAt(j + 1) == '"') {
-                ident.append('"'); j += 2
-              } else { closed = true; j += 1 }
-            } else { ident.append(s.charAt(j)); j += 1 }
-          }
-          if (closed)
-            sb.append('`').append(ident.toString.replace("`", "``"))
-              .append('`')
-          else sb.append(s.substring(i, j)) // unterminated: verbatim
-          i = j
-        case c => sb.append(c); i += 1
-      }
-    }
-    sb.toString
-  }
+  private[graft] def rewriteQuotedIdents(s: String): String =
+    // the lexer IS the one left-to-right pass over both quote kinds:
+    // whichever quote opens first owns its span (pre-extracting
+    // single-quoted spans first mis-chunked a double-quoted
+    // identifier containing an apostrophe — "it's col")
+    render(lex(s, dquote = true))
 
   /** Presto `expr[i]` subscripts are 1-BASED on arrays; Spark's `[]`
     * is 0-based — a wild criteria using `split(x, ',')[1]` would
@@ -155,73 +262,83 @@ object Criteria {
     * bases.
     */
   private[graft] def rewriteSubscripts(s: String): String =
-    rewriteSubscriptsFrom(s, 0)
+    render(subscriptPass(lex(s, dquote = false)))
 
-  @annotation.tailrec
-  private def rewriteSubscriptsFrom(s: String, from: Int): String = {
-    val spans = "'(?:[^']|'')*'".r.findAllMatchIn(s)
-      .map(m => (m.start, m.end)).toSeq
-    def inLiteral(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
-    // innermost pair at-or-after `from` = the last '[' before the
-    // first ']' (both outside literals); its content is bracket-free
-    // by construction
-    var open = -1; var close = -1; var i = math.max(from, 0)
-    while (i < s.length && close < 0) {
-      if (!inLiteral(i)) {
-        if (s.charAt(i) == '[') open = i
-        else if (s.charAt(i) == ']' && open >= 0) close = i
+  private def subscriptPass(toks0: Vector[Tok]): Vector[Tok] = {
+    import Tok._
+    var toks = toks0
+    var floor = 0
+    var done = false
+    while (!done) {
+      // innermost pair at-or-after `floor` = the last '[' before the
+      // first ']' (token kinds make literal-awareness automatic);
+      // its content is bracket-free by construction
+      var open = -1; var close = -1; var i = floor
+      while (i < toks.length && close < 0) {
+        toks(i) match {
+          case Sym("[")              => open = i
+          case Sym("]") if open >= 0 => close = i
+          case _                     => ()
+        }
+        i += 1
       }
-      i += 1
-    }
-    if (close < 0) s
-    else {
-      val inner = s.substring(open + 1, close)
-      var j = open - 1
-      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
-      def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
-      val baseStart: Int =
-        if (j < 0) -1
-        else if (s.charAt(j) == ')') {
-          // balance parens backward (literal-aware), then take the
-          // function name in front
-          var depth = 0; var k = j; var stop = -1
-          while (k >= 0 && stop < 0) {
-            if (!inLiteral(k)) {
-              if (s.charAt(k) == ')') depth += 1
-              else if (s.charAt(k) == '(') { depth -= 1; if (depth == 0) stop = k }
-            }
-            k -= 1
-          }
-          if (stop < 0) -1
-          else {
-            var m = stop - 1
-            while (m >= 0 && identChar(s.charAt(m))) m -= 1
-            m + 1
-          }
-        } else if (s.charAt(j) == '`') {
-          // backtick-quoted identifier base (rewriteQuotedIdents
-          // output): scan to the opening backtick
-          var k = j - 1
-          while (k >= 0 && s.charAt(k) != '`') k -= 1
-          if (k < 0) -1 else k
-        } else if (identChar(s.charAt(j))) {
-          var k = j
-          while (k >= 0 && identChar(s.charAt(k))) k -= 1
-          k + 1
-        } else -1
-      if (baseStart < 0)
-        // stray bracket — not a subscript. Skip past this pair and
-        // keep rewriting the rest of the string.
-        rewriteSubscriptsFrom(s, close + 1)
+      if (close < 0) done = true
       else {
-        val base = s.substring(baseStart, j + 1)
-        val replaced =
-          if (base.equalsIgnoreCase("array")) s"array($inner)"
-          else s"element_at($base, $inner)"
-        rewriteSubscriptsFrom(
-          s.substring(0, baseStart) + replaced + s.substring(close + 1), 0)
+        var j = open - 1
+        while (j >= 0 && toks(j).isInstanceOf[Ws]) j -= 1
+        def chainStart(from: Int): Int = {
+          // dotted identifier chain, maximal run backward
+          var m = from
+          while (m >= 0 && (toks(m) match {
+            case _: Ident | _: Num | Sym(".") => true
+            case _                            => false
+          })) m -= 1
+          m + 1
+        }
+        val baseStart: Int =
+          if (j < 0) -1
+          else toks(j) match {
+            case Sym(")") =>
+              // balance parens backward, then take the (possibly
+              // qualified) function name in front
+              var depth = 0; var k = j; var stop = -1
+              while (k >= 0 && stop < 0) {
+                toks(k) match {
+                  case Sym(")") => depth += 1
+                  case Sym("(") =>
+                    depth -= 1; if (depth == 0) stop = k
+                  case _ => ()
+                }
+                k -= 1
+              }
+              if (stop < 0) -1 else chainStart(stop - 1)
+            case _: QIdent        => j
+            case _: Ident | _: Num => chainStart(j)
+            case _                => -1
+          }
+        if (baseStart < 0)
+          // stray bracket — not a subscript. Skip past this pair and
+          // keep rewriting the rest of the stream.
+          floor = close + 1
+        else {
+          val base = toks.slice(baseStart, j + 1)
+          val inner = toks.slice(open + 1, close)
+          val isArrayCtor = base.lengthIs == 1 && (base.head match {
+            case Ident(n) => n.equalsIgnoreCase("array")
+            case _        => false
+          })
+          val replaced: Vector[Tok] =
+            if (isArrayCtor)
+              (Vector(Ident("array"), Sym("(")) ++ inner) :+ Sym(")")
+            else
+              ((Vector(Ident("element_at"), Sym("(")) ++ base :+
+                Sym(",") :+ Ws(" ")) ++ inner) :+ Sym(")")
+          toks = toks.take(baseStart) ++ replaced ++ toks.drop(close + 1)
+          floor = 0
+        }
       }
     }
+    toks
   }
 
   /** Parse rewritten criteria into a Column predicate. Catalyst then

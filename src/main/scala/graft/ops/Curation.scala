@@ -1596,6 +1596,24 @@ object Curation {
     * string; the flag join re-shuffles on the same key — the
     * inherent cost of a global dedup, nothing else moves.
     */
+  /** IDN host pre-encoding — the upstream half of [[canonicalUrl]]'s
+    * documented IDN contract: hosts canonicalize in WIRE form, so a
+    * Unicode host and its punycode twin only merge if the crawler
+    * punycode-encodes at ingest. This is that ingest step: rewrite
+    * the URL's host through `java.net.IDN.toASCII` (RFC 3490 ToASCII
+    * per label — BÜCHER.example and xn--bcher-kva.example both land
+    * on xn--bcher-kva.example), leaving scheme/path/query/fragment
+    * byte-identical. All-ASCII hosts pass through unchanged (case is
+    * [[canonicalUrl]]'s job); a host ToASCII rejects (empty label,
+    * oversize) keeps its original URL — lax, never corrupting.
+    *
+    * A driver-grade UDF by design: it runs ONCE per URL at ingest
+    * (cold path), never inside the dedup kernels — the canonical-key
+    * programs stay pure codegen'd column work.
+    */
+  def idnAsciiUrl(url: Column): Column =
+    udf((u: String) => IdnFn.asciiUrl(u)).apply(url)
+
   def urlKeyDedup(df: DataFrame, urlCol: String = "url",
       idCol: String = "event_id"): DataFrame = {
     val t = Par.spread(df.where(col(urlCol).isNotNull))
@@ -1674,29 +1692,62 @@ object Curation {
     * 100 TB side never shuffles for it); the final top-N is
     * TakeOrderedAndProject, never a global sort.
     */
-  def dsirSelect(corpus: DataFrame, target: DataFrame,
-      buckets: Int = 1024, topN: Int = 100,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(buckets >= 1, s"buckets must be positive, got $buckets")
-    require(topN >= 1, s"topN must be positive, got $topN")
+  /** Per-doc hashed-unigram bucket profile — the shared scan of the
+    * DSIR family ([[dsirSelect]], [[dsirWeights]]).
+    */
+  private def dsirProfile(df: DataFrame, buckets: Int,
+      textCol: String, idCol: String): DataFrame = {
     val h37 = "aggregate(filter(split(w, ''), c -> c <> ''), 0L, " +
       "(a, c) -> (a * 37 + ascii(c)) % 2147483647)"
-    def profile(df: DataFrame): DataFrame = Par.spread(df)
+    Par.spread(df)
       .where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
       .withColumn("bucket", expr(h37) % buckets.toLong)
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-    val prof = profile(corpus).localCheckpoint() // counts + scoring
-    val tc = profile(target).groupBy("bucket").agg(sum("c").as("tc"))
+  }
+
+  /** λ from two profile aggregates: add-1-smoothed integer ratio per
+    * bucket, complete over all `buckets` rows.
+    */
+  private def dsirWeightsFrom(prof: DataFrame, target: DataFrame,
+      buckets: Int, textCol: String, idCol: String): DataFrame = {
+    val tc = dsirProfile(target, buckets, textCol, idCol)
+      .groupBy("bucket").agg(sum("c").as("tc"))
     val rc = prof.groupBy("bucket").agg(sum("c").as("rc"))
-    val lam = corpus.sparkSession.range(buckets.toLong)
+    prof.sparkSession.range(buckets.toLong)
       .select(col("id").as("bucket"))
       .join(tc, Seq("bucket"), "left")
       .join(rc, Seq("bucket"), "left")
       .select(col("bucket"), expr(
         "((coalesce(tc, 0L) + 1L) * 1000000L) div (coalesce(rc, 0L) + 1L)")
         .as("lam"))
+  }
+
+  /** The DSIR weight table alone — `(bucket, λ)`, exactly `buckets`
+    * rows — as a BATCH ARTIFACT for serving paths that score away
+    * from the corpus that trained it (the streaming gate
+    * [[graft.streaming.StreamingPipeline.dsirGateStream]] broadcasts
+    * it into a crawl stream; persisting it beside the lake is the
+    * same story as the IVF index).
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+      buckets: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    dsirWeightsFrom(dsirProfile(corpus, buckets, textCol, idCol),
+      target, buckets, textCol, idCol)
+  }
+
+  def dsirSelect(corpus: DataFrame, target: DataFrame,
+      buckets: Int = 1024, topN: Int = 100,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    // counts + scoring both read the profile: materialize it once
+    val prof = dsirProfile(corpus, buckets, textCol, idCol)
+      .localCheckpoint()
+    val lam = dsirWeightsFrom(prof, target, buckets, textCol, idCol)
     prof.join(broadcast(lam), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("c") * col("lam")).as("sm"),
@@ -1706,4 +1757,38 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
   }
+}
+
+/** Executor-side implementation of [[Curation.idnAsciiUrl]]. Top-level
+  * and Serializable so the UDF closure captures only this module
+  * (never `Curation$` — the JsonSizeFn Task-not-serializable lesson),
+  * and the URL-shape pattern compiles once per JVM, not per row.
+  */
+private[ops] object IdnFn extends Serializable {
+  private val urlShape = java.util.regex.Pattern
+    .compile("^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]+)(.*)$",
+      java.util.regex.Pattern.DOTALL)
+
+  def asciiUrl(u: String): String =
+    if (u == null) null
+    else {
+      val m = urlShape.matcher(u)
+      if (!m.matches()) u
+      else {
+        val auth = m.group(2)
+        // split host from userinfo/port so only the host encodes
+        val at = auth.lastIndexOf('@')
+        val (userinfo, hostPort) =
+          if (at >= 0) (auth.substring(0, at + 1), auth.substring(at + 1))
+          else ("", auth)
+        val colon = hostPort.indexOf(':')
+        val (host, port) =
+          if (colon >= 0) (hostPort.substring(0, colon),
+            hostPort.substring(colon))
+          else (hostPort, "")
+        val ascii = scala.util.Try(java.net.IDN.toASCII(host))
+          .getOrElse(host)
+        m.group(1) + userinfo + ascii + port + m.group(3)
+      }
+    }
 }

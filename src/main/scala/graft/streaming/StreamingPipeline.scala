@@ -250,6 +250,51 @@ object StreamingPipeline {
         col("p._2").as("eval_hit"))
   }
 
+  /** DSIR gate on a document stream: score each arriving doc against
+    * a PRE-COMPUTED hashed-importance weight table
+    * ([[graft.ops.Curation.dsirWeights]] — the batch artifact) and
+    * pass docs whose floor-mean token weight is at-or-above
+    * `minScore` — "train the sampler offline, run it on the crawl",
+    * the same serving shape as the persisted IVF index. The weight
+    * table is exactly `buckets` rows BY CONTRACT, so it collects to a
+    * primitive long[] and ships once as a SparkContext.broadcast; the
+    * stream side is one fused JVM pass per doc (split, base-37 word
+    * hash, array probe, integer fold — the q385 arithmetic bit for
+    * bit, empty tokens skipped exactly like the batch filter).
+    * Map-only: no join, no state, no watermark.
+    */
+  def dsirGateStream(docs: DataFrame, weights: DataFrame, minScore: Long,
+      buckets: Int = 1024, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val lam = new Array[Long](buckets)
+    weights.select(col("bucket"), col("lam")) // bounded: `buckets` rows
+      .collect()
+      .foreach(r => lam(r.getLong(0).toInt) = r.getLong(1))
+    val bc = docs.sparkSession.sparkContext.broadcast(lam)
+    val score = udf((text: String) => {
+      val l = bc.value
+      var i = 0; var n = 0L; var sm = 0L
+      val len = text.length
+      while (i <= len) {
+        var j = i; var h = 0L; var any = false
+        while (j < len && text.charAt(j) != ' ') {
+          h = (h * 37 + text.charAt(j)) % 2147483647L
+          any = true; j += 1
+        }
+        if (any) { n += 1L; sm += l((h % l.length).toInt) }
+        i = j + 1
+      }
+      if (n == 0L) None else Some((n, Math.floorDiv(sm, n)))
+    })
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        score(col(textCol)).as("s"))
+      .where(col("s").isNotNull && col("s._2") >= minScore)
+      .select(col("doc_id"), col("s._1").as("n_tokens"),
+        col("s._2").as("score"))
+  }
+
   /** Streaming Gopher quality gate: the q366 rule bundle
     * ([[graft.ops.TextAnalysis.gopherRulesUnsorted]]) applied at
     * crawl time. Pure per-row projection — no join, no state, no

@@ -707,4 +707,25 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .head().getString(0)
     assert(def0 === "https://ex.com/p?a=1&sid=9")
   }
+
+  test("idnAsciiUrl punycodes ONLY the host: userinfo/port/path stay " +
+      "byte-identical, ASCII hosts and non-URLs pass through") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "https://BÜCHER.example/p?x=1#f"),
+      (2L, "http://user:pw@bücher.example:8080/p"),
+      (3L, "https://plain.EXAMPLE.com/p"),
+      (4L, "not a url"),
+      (5L, null.asInstanceOf[String])).toDF("id", "url")
+    val r = d.select(col("id"),
+        graft.ops.Curation.idnAsciiUrl(col("url")).as("u"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "https://xn--bcher-kva.example/p?x=1#f")
+    assert(r(2L) === "http://user:pw@xn--bcher-kva.example:8080/p")
+    // ASCII labels skip nameprep (RFC 3490 step 2): case is
+    // canonicalUrl's job, not the ingest encoder's
+    assert(r(3L) === "https://plain.EXAMPLE.com/p")
+    assert(r(4L) === "not a url")
+    assert(r(5L) === null)
+  }
 }

@@ -52,7 +52,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     val r = psql(
       """SELECT element_at(array(10, 20), 2) AS a,
         |       element_at(array(10, 20), 5) AS oob,
-        |       element_at(map('k', 'v'), 'missing') AS nokey,
+        |       element_at(MAP(ARRAY['k'], ARRAY['v']), 'missing') AS nokey,
         |       cardinality(array(1, 2, 3)) AS n,
         |       cardinality(CAST(NULL AS ARRAY<INT>)) AS nnull,
         |       from_iso8601_timestamp('2024-01-01T02:16:06+02:00') AS t
@@ -293,7 +293,8 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
         |         'yyyy-MM-dd HH:mm') AS pdt,
         |       ngrams(array('a', 'b', 'c', 'd'), 2) AS ng,
         |       ngrams(array('a', 'b'), 3) AS ngshort,
-        |       map_concat(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mc,
+        |       map_concat(MAP(ARRAY['a', 'b'], ARRAY[1, 2]),
+        |         MAP(ARRAY['b', 'c'], ARRAY[9, 3])) AS mc,
         |       hamming_distance('karolin', 'kathrin') AS hd,
         |       url_encode('a b&c') AS ue,
         |       url_decode('a+b%26c') AS ud

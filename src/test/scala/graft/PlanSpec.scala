@@ -318,4 +318,23 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("SortMergeJoin"),
       "dmax must broadcast, not shuffle the user table")
   }
+
+  test("q385: the DSIR weight table broadcasts into the profile join; " +
+      "the top-N is TakeOrdered, never a global sort") {
+    val plan = planOf("q385_dsir_selection")
+    // the 1024-row λ table must reach the (checkpointed) profile via
+    // a broadcast hash join — the corpus side never shuffles for it
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N selection must be TakeOrderedAndProject, not Sort+Limit")
+  }
+
+  test("q386: repetition stats never cross-join; every gram count is a " +
+      "partial-aggregate shuffle keyed by (doc, gram)") {
+    val plan = planOf("q386_repetition_filter")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "per-doc gram counting must stay an equi-keyed aggregate")
+    assert(plan.contains("HashAggregate"), plan.take(600))
+  }
 }

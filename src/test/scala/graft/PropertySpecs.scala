@@ -301,6 +301,30 @@ object DialectPrefixProps extends Properties("Criteria.rewrite prefixing") {
     }
 }
 
+/** The round-9 unification makes ONE lexer own all quoting; these pin
+  * its losslessness on ARBITRARY input (not just SQL-shaped text):
+  * rendering the token stream reproduces the input exactly unless a
+  * pass actually rewrote something. Unterminated quotes lex as opaque
+  * Raw spans and render verbatim — malformed input is never reshaped.
+  */
+object LexerRoundTripProps extends Properties("Criteria lexer") {
+  import graft.criteria.Criteria
+
+  property("render-of-lex is the identity on any text without " +
+      "double-quoted identifiers") =
+    forAll { (s0: String) =>
+      val s = s0.replace("\"", "")
+      Criteria.rewriteQuotedIdents(s) == s
+    }
+
+  property("subscript pass is the identity on arbitrary bracket-free " +
+      "text (quotes, unicode, unterminated literals included)") =
+    forAll { (s0: String) =>
+      val s = s0.replace("[", "").replace("]", "")
+      Criteria.rewriteSubscripts(s) == s
+    }
+}
+
 /** ScalaCheck rows for the URL canonicalizer's RFC 3986 §6.2.2
   * percent-normalization (round-9 hardening): hex-case twins must
   * never split a canonical key, unreserved escapes must decode to
