@@ -3166,8 +3166,13 @@ private[graft] object QueriesExt {
             |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
             |  ELSE 'http://spam.tracker.net:80/t/' || event_type
             |    || '?a=1&b=' || m END""".stripMargin
+        // user_id % 5 = 0 subsets the stream 5× (equivalence needs
+        // every VARIANT CLASS, not every row — %5 is independent of
+        // the %4 variant key and the %10 param key so all classes
+        // survive); the full-volume dedup path is q382's gate
         def corpus(df: org.apache.spark.sql.DataFrame) = df
-          .where(col("user_id").isNotNull && col("event_type").isNotNull)
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("user_id") % 5 === 0)
           .withColumn("m", col("user_id") % 10)
           .withColumn("url", expr(urlExpr))
           .withColumn("text", concat(lit("doc about "), col("event_type")))
@@ -3203,7 +3208,7 @@ private[graft] object QueriesExt {
              |  TRUE AS in_batch, TRUE AS in_stream
              |FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-             |  AND user_id % 4 <> 3
+             |  AND user_id % 5 = 0 AND user_id % 4 <> 3
              |ORDER BY text""".stripMargin)),
 
     // DSIR-shaped data selection: hashed-unigram importance weights
@@ -3361,7 +3366,37 @@ private[graft] object QueriesExt {
              |  FROM prof JOIN lam USING (bucket) GROUP BY 1)
              |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
              |  CAST(sm // n AS BIGINT) AS score
-             |FROM s WHERE sm // n >= 188000 ORDER BY doc_id""".stripMargin)))
+             |FROM s WHERE sm // n >= 188000 ORDER BY doc_id""".stripMargin)),
+
+    // Crawl-frontier politeness schedule: round-robin interleave
+    // across hosts with spacing exactly H between same-host fetches —
+    // the crawl-delay cadence as a total ordering. The oracle replays
+    // the host dense-index, the within-host rank and the interleave
+    // arithmetic.
+    Q("q389_crawl_frontier",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .withColumn("host", concat(lit("h"),
+            (col("user_id") % 20).cast("string"), lit(".example")))
+        graft.ops.Curation.frontierSchedule(ev, "host", "event_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS id,
+             |    'h' || (user_id % 20) || '.example' AS host
+             |  FROM events WHERE user_id IS NOT NULL),
+             |hi AS (SELECT host,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY host) - 1 AS BIGINT)
+             |      AS host_index
+             |  FROM (SELECT DISTINCT host FROM c)),
+             |hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM hi),
+             |r AS (SELECT id, host, CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY host ORDER BY id) AS BIGINT)
+             |      AS rank_in_host
+             |  FROM c)
+             |SELECT r.id, r.host, hi.host_index, r.rank_in_host,
+             |  (r.rank_in_host - 1) * hc.h + hi.host_index AS fetch_pos
+             |FROM r JOIN hi USING (host) CROSS JOIN hc
+             |ORDER BY fetch_pos""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

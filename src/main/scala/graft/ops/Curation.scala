@@ -1596,6 +1596,46 @@ object Curation {
     * string; the flag join re-shuffles on the same key — the
     * inherent cost of a global dedup, nothing else moves.
     */
+  /** Crawl-frontier politeness schedule: order fetches so same-host
+    * URLs never cluster — each host's k-th URL lands at global
+    * position `(k − 1) · H + host_index` (H = distinct hosts), i.e.
+    * strict round-robin across hosts with spacing exactly H between
+    * consecutive same-host fetches: the per-host crawl-delay cadence
+    * every polite crawler enforces, expressed as a TOTAL ORDERING
+    * instead of a scheduler queue (a partitioned fetch fleet just
+    * range-splits the position). Ties inside a host break on `idCol`;
+    * ragged hosts leave gaps in the sequence (it is an ordering key,
+    * not a row number — the curriculumOrder contract).
+    *
+    * Returns `(id, host, host_index, rank_in_host, fetch_pos)`
+    * ordered by `fetch_pos`.
+    *
+    * Scale shape: within-host ranks come from [[Par.prefixSum]]'s
+    * range-shuffle scan — never a per-host window sort of the URL
+    * table; the host-index table is |hosts| rows (a planning table:
+    * frontiers hold millions of URLs over thousands of hosts), ranked
+    * once in a single window and broadcast back into the URL stream
+    * with the host count.
+    */
+  def frontierSchedule(urls: DataFrame, hostCol: String = "host",
+      idCol: String = "id"): DataFrame = {
+    val t = Par.spread(urls.where(col(hostCol).isNotNull))
+      .select(col(idCol).cast("long").as("id"),
+        col(hostCol).cast("string").as("host"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("host")
+    val hIdx = t.select("host").distinct()
+      .withColumn("host_index", (row_number().over(w) - 1).cast("long"))
+    val hCount = hIdx.agg(count(lit(1)).as("h"))
+    Par.prefixSum(t.withColumn("one", lit(1L)), Seq("host"), Seq("id"),
+        "one", outCol = "rank_in_host")
+      .join(broadcast(hIdx), Seq("host"))
+      .crossJoin(broadcast(hCount))
+      .withColumn("fetch_pos",
+        (col("rank_in_host") - 1L) * col("h") + col("host_index"))
+      .select("id", "host", "host_index", "rank_in_host", "fetch_pos")
+      .orderBy("fetch_pos")
+  }
+
   /** IDN host pre-encoding — the upstream half of [[canonicalUrl]]'s
     * documented IDN contract: hosts canonicalize in WIRE form, so a
     * Unicode host and its punycode twin only merge if the crawler

@@ -224,6 +224,9 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     // 22:45 UTC at +05:30 is 04:15 next day
     assert(row.where(Criteria.toColumn(
       "hour(at_timezone(ts, '+05:30')) = 4")).count() === 1)
+    // region ids resolve with DST: 2024-03-15 is EDT (UTC−4)
+    assert(row.where(Criteria.toColumn(
+      "hour(at_timezone(ts, 'America/New_York')) = 18")).count() === 1)
     // MAP(keys_array, values_array) + zero-arg MAP()
     assert(row.where(Criteria.toColumn(
       "element_at(MAP(ARRAY['a','b'], ARRAY[1, 2]), 'b') = 2 AND " +
