@@ -1962,7 +1962,8 @@ private[graft] object QueriesExt {
                 |FROM events
                 |WHERE regexp_like(event_type, '^(click|view|purchase)$')
                 |  AND json_size(
-                |        concat('[', repeat('7,', CAST(user_id % 4 AS INT)), '7]'),
+                |        concat('[', array_join(
+                |          repeat('7,', CAST(user_id % 4 AS INT)), ''), '7]'),
                 |        '$') = CAST(user_id % 4 AS INT) + 1
                 |  AND user_id IS NOT NULL AND event_id IS NOT NULL
                 |GROUP BY user_id ORDER BY user_id""".stripMargin))
@@ -3396,7 +3397,48 @@ private[graft] object QueriesExt {
              |SELECT r.id, r.host, hi.host_index, r.rank_in_host,
              |  (r.rank_in_host - 1) * hc.h + hi.host_index AS fetch_pos
              |FROM r JOIN hi USING (host) CROSS JOIN hc
-             |ORDER BY fetch_pos""".stripMargin)))
+             |ORDER BY fetch_pos""".stripMargin)),
+
+    // Presto-dialect breadth, eighth batch — the REGEX silent-
+    // divergence set: 2-arg regexp_extract[/_all] means GROUP 0 in
+    // Presto but group 1 in Spark (the wrong-text-extracted class),
+    // 2-arg regexp_replace deletes matches, repeat builds an ARRAY,
+    // last_day_of_month. DuckDB's regexp_extract is already group-0
+    // so the oracle states most of it directly (regexp_replace needs
+    // the 'g' flag — DuckDB defaults to first-match-only).
+    Q("q390_presto_dialect8",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(regexp_extract(event_type, '^([a-z])[a-z]*')) AS re0,
+            |  MIN(regexp_extract(event_type, '^([a-z])([a-z]+)', 2))
+            |    AS re2,
+            |  MIN(array_join(regexp_extract_all(event_type, '[aeiou]'),
+            |    '')) AS vowels,
+            |  MIN(regexp_replace(event_type, '[aeiou]')) AS consonants,
+            |  MIN(array_join(repeat(event_type, 2), '|')) AS rep2,
+            |  CAST(MAX(last_day_of_month(ts)) AS VARCHAR) AS eom
+            |FROM events
+            |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            |  AND ts IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  MIN(regexp_extract(event_type, '^([a-z])[a-z]*')) AS re0,
+             |  MIN(regexp_extract(event_type, '^([a-z])([a-z]+)', 2))
+             |    AS re2,
+             |  MIN(array_to_string(regexp_extract_all(event_type,
+             |    '[aeiou]'), '')) AS vowels,
+             |  MIN(regexp_replace(event_type, '[aeiou]', '', 'g'))
+             |    AS consonants,
+             |  MIN(event_type || '|' || event_type) AS rep2,
+             |  CAST(MAX(last_day(ts)) AS VARCHAR) AS eom
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND ts IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -60,10 +60,20 @@ object Functions {
     *   - `map`: Presto's constructor is `MAP()` / `MAP(keys_array,
     *     values_array)`; Spark's builtin of the same name takes
     *     variadic k1, v1, k2, v2 pairs
+    *   - `regexp_extract` / `regexp_extract_all`: Presto's 2-arg form
+    *     returns the WHOLE match (group 0); Spark's 2-arg default is
+    *     group 1 — the nastiest kind of silent divergence (a criteria
+    *     whose pattern has groups silently extracts the wrong text)
+    *   - `regexp_replace`: Presto's 2-arg form DELETES matches;
+    *     Spark's builtin requires the replacement argument
+    *   - `repeat`: Presto repeat(x, n) builds an ARRAY of n copies
+    *     (Spark's array_repeat); Spark's builtin of the same name is
+    *     string repetition
     */
   private[graft] val prefixedNames: Set[String] = Set(
     "split", "date_format", "from_unixtime", "contains",
-    "element_at", "array_agg", "map_concat", "map")
+    "element_at", "array_agg", "map_concat", "map",
+    "regexp_extract", "regexp_extract_all", "regexp_replace", "repeat")
 
   private def isBuiltin(name: String): Boolean =
     SparkFunctionRegistry.builtin.functionExists(FunctionIdentifier(name))
@@ -442,6 +452,31 @@ object Functions {
       // json_extract/json_extract_scalar already consume text, so the
       // three compose exactly like Presto's.
       shim("json_format")(exprs => exprs.head)
+
+      // ── eighth tranche: the regex silent-divergence set ───────────
+      // Presto's 2-arg regexp_extract[/_all] returns the WHOLE match;
+      // Spark's 2-arg default is GROUP 1 — a criteria whose pattern
+      // has groups silently extracts the wrong text. Pin group 0 as
+      // the 2-arg default; an explicit 3rd arg passes through. Presto
+      // also returns NULL on no match where Spark returns '' — the
+      // NullIf wrap restores that (cost: a pattern that legitimately
+      // MATCHES the empty string also maps to NULL; documented edge).
+      shim("regexp_extract")(exprs => new NullIf(
+        RegExpExtract(exprs.head, exprs(1),
+          if (exprs.length > 2) exprs(2) else Literal(0)),
+        Literal("")))
+      shim("regexp_extract_all")(exprs => RegExpExtractAll(exprs.head,
+        exprs(1), if (exprs.length > 2) exprs(2) else Literal(0)))
+      // Presto's 2-arg regexp_replace DELETES matches (empty
+      // replacement); Spark's builtin demands all three args.
+      shim("regexp_replace")(exprs => RegExpReplace(exprs.head, exprs(1),
+        if (exprs.length > 2) exprs(2) else Literal("")))
+      // Presto repeat(x, n) → ARRAY of n copies (Spark: array_repeat;
+      // Spark's `repeat` of the same name is string repetition)
+      shim("repeat")(exprs => ArrayRepeat(exprs.head, exprs(1)))
+      // Presto last_day_of_month(ts) — Spark spells it last_day; no
+      // collision, plain registration
+      shim("last_day_of_month")(exprs => LastDay(exprs.head))
     }
     spark.udf.register(guarded("json_parse"),
       (s: String) => JsonParseFn.parse(s))

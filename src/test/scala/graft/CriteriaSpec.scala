@@ -236,6 +236,36 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(spark.sql("SELECT map('x', 1)['x']").head().getInt(0) === 1)
   }
 
+  test("eighth tranche: Presto regex defaults (group 0, NULL on miss, " +
+      "2-arg replace deletes), array repeat, last_day_of_month") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql(
+      "SELECT 'click' AS s, TIMESTAMP '2024-02-10 09:00:00' AS ts")
+    // 2-arg regexp_extract: WHOLE match (Spark's bare builtin would
+    // silently give group 1 = 'c')
+    assert(row.where(Criteria.toColumn(
+      "regexp_extract(s, '([a-z])[a-z]+') = 'click'")).count() === 1)
+    // explicit group passes through; no match is NULL, never ''
+    assert(row.where(Criteria.toColumn(
+      "regexp_extract(s, '([a-z])([a-z]+)$', 2) = 'lick' AND " +
+        "regexp_extract(s, '[0-9]+') IS NULL")).count() === 1)
+    // _all with group-0 default
+    assert(row.where(Criteria.toColumn(
+      "array_join(regexp_extract_all('a1b22c', '[0-9]+'), '-') = '1-22'"))
+      .count() === 1)
+    // 2-arg regexp_replace deletes every match (Spark requires arg 3)
+    assert(row.where(Criteria.toColumn(
+      "regexp_replace(s, '[aeiou]') = 'clck'")).count() === 1)
+    // Presto repeat builds an ARRAY (Spark's repeat is string-repeat —
+    // the builtin keeps its own semantics outside criteria)
+    assert(row.where(Criteria.toColumn(
+      "array_join(repeat(s, 2), '|') = 'click|click'")).count() === 1)
+    assert(spark.sql("SELECT repeat('ab', 2)").head().getString(0) === "abab")
+    // leap-year February month end
+    assert(row.where(Criteria.toColumn(
+      "last_day_of_month(ts) = DATE '2024-02-29'")).count() === 1)
+  }
+
   test("seventh-tranche parity set needs no shim: map_filter / " +
       "map_zip_with / array_position / negative-start slice / " +
       "ISO date_trunc('week')") {

@@ -337,9 +337,9 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     Functions.register(spark)
     val r = psql(
       """SELECT split('ab', '') AS chars,
-        |       split('axxb', repeat('x', 2)) AS nonlit""".stripMargin).head()
+        |       split('axxb', concat('x', 'x')) AS nonlit""".stripMargin).head()
     assert(r.getSeq[String](0) === Seq("a", "b"))
-    // repeat('x',2) is foldable but not a parse-time literal — the
+    // concat('x','x') is foldable but not a parse-time literal — the
     // builder sees the unresolved call and falls back to regex
     // semantics; 'xx' has no metacharacters so both dialects agree
     assert(r.getSeq[String](1) === Seq("a", "b"))
