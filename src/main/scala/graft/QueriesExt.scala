@@ -13,7 +13,8 @@ import graft.ops.{Analytics, Audit, Curation, Graph, Security, Similarity, Stats
 private[graft] object QueriesExt {
   import SparkEntryRegistry.Q
 
-  def registry: Seq[Q] = firstBatch ++ secondBatch ++ thirdBatch
+  def registry: Seq[Q] =
+    firstBatch ++ secondBatch ++ thirdBatch ++ fourthBatch
 
   private def firstBatch: Seq[Q] = Seq(
     // Distributed suffix-array construction (prefix doubling: ⌈log₂
@@ -3439,6 +3440,196 @@ private[graft] object QueriesExt {
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |  AND ts IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  // ── fourth batch: robots gate, priority sampling, window chunking ──
+
+  private def fourthBatch: Seq[Q] = Seq(
+    // RFC 9309 robots.txt gate over a synthesized per-host robots
+    // corpus (comments, CRLF-free mixed-case fields, multi-UA group
+    // heads, '*' wildcards, '$' anchors, empty Disallow, specific-
+    // agent precedence). STRONG oracle: it does NOT restate the
+    // parse/match machinery — it states the expected verdict per
+    // (host-class, path) directly from the generating arithmetic, so
+    // a parse or precedence bug cannot cancel out.
+    Q("q391_robots_gate",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_id").cast("long").as("id"),
+            col("event_type").as("et"),
+            (col("user_id") % 50).cast("long").as("hi"),
+            (col("event_id") % 20).cast("long").as("k"))
+        val urls = e.select(col("id"),
+          concat(lit("https://h"), col("hi"), lit(".example.com/"),
+            col("et"), lit("/"), col("k")).as("url"))
+        val m = col("hi") % 4
+        val hosts = e.select(col("hi")).distinct()
+          .select(concat(lit("h"), col("hi"), lit(".example.com"))
+            .as("host"),
+            when(m === 0, lit("User-Agent: *\nDisallow: /purchase" +
+              " # keep the archive light\nAllow: /purchase/1*\n"))
+            .when(m === 1, lit("# graftbot gets its own group\n" +
+              "user-agent: graftbot\ndisallow: /view$\n\n" +
+              "User-agent: *\nDisallow: /\n"))
+            .when(m === 2, lit("User-agent: graftbot\n" +
+              "User-agent: otherbot\nDisallow: /*/7\nAllow: /click\n"))
+            .otherwise(lit("User-agent: *\nDisallow:\n")).as("body"))
+        val rules = Curation.parseRobots(hosts)
+        Curation.robotsGate(urls, rules, agent = "graftbot")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(event_id AS BIGINT) AS id, event_type AS et,
+             |    CAST(user_id % 50 AS BIGINT) AS hi,
+             |    CAST(event_id % 20 AS BIGINT) AS k
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |v AS (
+             |  SELECT id, 'h' || hi || '.example.com' AS host,
+             |    '/' || et || '/' || k AS target, hi % 4 AS m, et, k
+             |  FROM e)
+             |SELECT id, host, target,
+             |  CASE
+             |    WHEN m = 0 THEN (et <> 'purchase') OR k = 1 OR k >= 10
+             |    WHEN m = 1 THEN TRUE
+             |    WHEN m = 2 THEN (k <> 7) OR et = 'click'
+             |    ELSE TRUE END AS allowed,
+             |  CASE
+             |    WHEN m = 0 AND et = 'purchase' THEN
+             |      CASE WHEN k = 1 OR k >= 10 THEN 12 ELSE 9 END
+             |    WHEN m = 2 AND et = 'click' THEN 6
+             |    WHEN m = 2 AND k = 7 THEN 4
+             |    ELSE NULL END AS win_len
+             |FROM v ORDER BY id""".stripMargin)),
+
+    // Priority sampling (Duffield–Lund–Thorup): deterministic
+    // weight-sensitive k-per-stratum draw + Horvitz–Thompson
+    // adjusted weights. Oracle recomputes the mix31 draw, the
+    // priority (one IEEE multiply + one divide of exact integers —
+    // bit-identical both engines), and the (k+1)-th threshold via the
+    // window form the bounded-heap aggregate avoids.
+    Q("q392_priority_sample",
+      (s, dir) => Curation.prioritySample(
+        Tables(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull &&
+            col("source").isNotNull), k = 10),
+      Some(s"""WITH t AS (
+             |  SELECT source AS label, CAST(doc_id AS BIGINT) AS doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             |    ${QueriesPipeline.duckMix31("CAST(doc_id AS BIGINT)")} AS h
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |    AND source IS NOT NULL),
+             |p AS (
+             |  SELECT *,
+             |    CAST(weight AS DOUBLE) * 2147483648 / (h + 1) AS priority,
+             |    row_number() OVER (PARTITION BY label
+             |      ORDER BY CAST(weight AS DOUBLE) * 2147483648 / (h + 1)
+             |        DESC, doc_id) AS rn
+             |  FROM t),
+             |tau AS (
+             |  SELECT label,
+             |    coalesce(max(CASE WHEN rn = 11 THEN priority END), 0.0)
+             |      AS tau
+             |  FROM p GROUP BY label)
+             |SELECT label, CAST(rn AS INT) AS rank, doc_id, weight,
+             |  priority, tau,
+             |  greatest(CAST(weight AS DOUBLE), tau) AS adj_weight
+             |FROM p JOIN tau USING (label) WHERE rn <= 10
+             |ORDER BY label, rank""".stripMargin)),
+
+    // Sliding-window chunking with overlap (width 8, stride 5 — the
+    // LM-eval window shape). Oracle replays the window arithmetic
+    // with generate_series + 1-based inclusive list slices.
+    Q("q393_chunk_windows",
+      (s, dir) => Curation.chunkWindows(
+        Tables(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull),
+        width = 8, stride = 5),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             |n AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+             |w AS (SELECT doc_id, ws,
+             |    CASE WHEN n <= 8 THEN 1
+             |      ELSE CAST(CEIL(CAST(n - 8 AS DOUBLE) / 5) AS BIGINT)
+             |        + 1 END AS nw
+             |  FROM n),
+             |x AS (SELECT doc_id, ws,
+             |    CAST(unnest(generate_series(0, nw - 1)) AS INT)
+             |      AS win_idx
+             |  FROM w)
+             |SELECT doc_id, win_idx,
+             |  CAST(win_idx AS BIGINT) * 5 AS start_tok,
+             |  CAST(len(ws[win_idx * 5 + 1 : win_idx * 5 + 8]) AS BIGINT)
+             |    AS n_tokens,
+             |  array_to_string(ws[win_idx * 5 + 1 : win_idx * 5 + 8], ' ')
+             |    AS chunk
+             |FROM x ORDER BY doc_id, win_idx""".stripMargin)),
+
+    // q391's robots corpus served on a STREAM: the same parsed rule
+    // table broadcast into a URL stream, disallowed fetches dropped
+    // map-only (stateless — no watermark, no state store). Oracle =
+    // q391's independent verdict restatement, filtered to the allowed
+    // set. Batch and stream share the verdict core, so this also pins
+    // their equivalence.
+    Q("q394_stream_robots_gate",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val e = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("event_type").isNotNull)
+        val m = col("hi") % 4
+        val hosts = e.select((col("user_id") % 50).cast("long").as("hi"))
+          .distinct()
+          .select(concat(lit("h"), col("hi"), lit(".example.com"))
+            .as("host"),
+            when(m === 0, lit("User-Agent: *\nDisallow: /purchase" +
+              " # keep the archive light\nAllow: /purchase/1*\n"))
+            .when(m === 1, lit("# graftbot gets its own group\n" +
+              "user-agent: graftbot\ndisallow: /view$\n\n" +
+              "User-agent: *\nDisallow: /\n"))
+            .when(m === 2, lit("User-agent: graftbot\n" +
+              "User-agent: otherbot\nDisallow: /*/7\nAllow: /click\n"))
+            .otherwise(lit("User-agent: *\nDisallow:\n")).as("body"))
+        val rules = Curation.parseRobots(hosts)
+        val stream = QueriesAlert.tableStream(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_id").cast("long").as("id"),
+            concat(lit("https://h"), (col("user_id") % 50).cast("long"),
+              lit(".example.com/"), col("event_type"), lit("/"),
+              (col("event_id") % 20).cast("long")).as("url"))
+        val gated = graft.streaming.StreamingPipeline
+          .robotsGateStream(stream, rules, agent = "graftbot")
+        QueriesAlert.drainToMemory(s, gated, "q394_sink",
+          OutputMode.Append()).orderBy("id")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(event_id AS BIGINT) AS id, event_type AS et,
+             |    CAST(user_id % 50 AS BIGINT) AS hi,
+             |    CAST(event_id % 20 AS BIGINT) AS k
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |v AS (
+             |  SELECT id, 'h' || hi || '.example.com' AS host,
+             |    '/' || et || '/' || k AS target, hi % 4 AS m, et, k
+             |  FROM e)
+             |SELECT id, host, target,
+             |  CASE
+             |    WHEN m = 0 AND et = 'purchase' THEN
+             |      CASE WHEN k = 1 OR k >= 10 THEN 12 ELSE 9 END
+             |    WHEN m = 2 AND et = 'click' THEN 6
+             |    ELSE NULL END AS win_len
+             |FROM v
+             |WHERE CASE
+             |    WHEN m = 0 THEN (et <> 'purchase') OR k = 1 OR k >= 10
+             |    WHEN m = 2 THEN (k <> 7) OR et = 'click'
+             |    ELSE TRUE END
+             |ORDER BY id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

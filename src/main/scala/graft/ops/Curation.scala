@@ -1779,6 +1779,212 @@ object Curation {
       target, buckets, textCol, idCol)
   }
 
+  // ── Robots.txt (RFC 9309) crawl gate ──────────────────────────────
+
+  /** Parse raw robots.txt bodies into one rule row per
+    * `(host, group, agent, rule)`: field names match
+    * case-insensitively, `#` starts a comment anywhere on a line,
+    * CRLF is tolerated, consecutive `User-agent` lines form ONE group
+    * head whose rules bind to every named agent, rules before any
+    * group head are ignored (RFC 9309 §2.2.1), and empty-pattern
+    * `Allow:` / `Disallow:` lines (the "no restriction" spelling) are
+    * dropped — an empty pattern matches nothing, it does not
+    * zero-length-match everything. Two groups naming the same agent
+    * merge naturally at match time (both groups' rows join back to
+    * the agent). Each surviving rule carries `pattern_len` (the RFC's
+    * longest-match octet count) and `pattern_re` — the wildcard
+    * pattern compiled to a start-anchored regex (`*` → `.*`, a
+    * trailing `$` → end anchor, everything else literal) that
+    * [[robotsGate]] evaluates against the path?query match target.
+    *
+    * Scale shape: one window per host ordered by line number — a
+    * robots.txt is capped at 500 KiB by the RFC (crawlers truncate
+    * beyond it), so the per-host sort is bounded by contract, and the
+    * output is a planning table of |hosts|·rules rows, orders of
+    * magnitude below the URL stream it gates.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String = "host",
+      textCol: String = "body"): DataFrame = {
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
+          .as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("key",
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+      .where(col("key").isin("user-agent", "allow", "disallow"))
+    val wLn = Window.partitionBy("host").orderBy("ln")
+    val grouped = lines
+      .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
+      // a UA line STARTS a group unless the previous kept line was
+      // also UA — consecutive UA lines share one group head
+      .withColumn("starts", (col("is_ua") === 1 &&
+        coalesce(lag(col("is_ua"), 1).over(wLn), lit(0)) === 0).cast("int"))
+      .withColumn("gid", sum(col("starts")).over(wLn))
+    val agents = grouped.where(col("is_ua") === 1)
+      .select(col("host"), col("gid"), lower(col("value")).as("agent"))
+    val rules = grouped.where(col("is_ua") === 0 && col("gid") > 0 &&
+        col("value") =!= "")
+      .select(col("host"), col("gid"), col("key").as("rule"),
+        col("value").as("pattern"))
+    // pattern → anchored regex: escape every metachar except '*',
+    // then '*' → '.*', then a TRAILING escaped '$' back to an anchor
+    val esc = regexp_replace(col("pattern"),
+      """([.\[\]{}()+?^$\\|])""", """\\$1""")
+    val starred = regexp_replace(esc, """\*""", ".*")
+    val anchored = regexp_replace(starred, """\\\$$""", """\$""")
+    agents.join(rules, Seq("host", "gid"))
+      .select(col("host"), col("gid"), col("agent"), col("rule"),
+        col("pattern"), length(col("pattern")).as("pattern_len"),
+        concat(lit("^"), anchored).as("pattern_re"))
+  }
+
+  /** Gate a URL table on parsed robots rules ([[parseRobots]] output)
+    * for one crawler `agent`, with RFC 9309 precedence: the
+    * applicable group per host is the agent's own if the file names
+    * it anywhere, else the `*` group; among applicable rules whose
+    * pattern matches the start of the `path?query` match target the
+    * LONGEST pattern wins, ties prefer `allow`; no matching rule — or
+    * no robots.txt for the host at all — means allowed. Returns
+    * `(id, host, target, allowed, win_len)` with `win_len` the
+    * winning pattern's length (null when no rule matched).
+    *
+    * Scale shape: rules collapse to ONE array row per host (a
+    * planning table) joined broadcast into the URL scan; the match +
+    * longest-wins fold is a per-row array program — the 100 TB URL
+    * side never shuffles and never joins row-per-rule. Pass
+    * `hintBroadcast = false` when the host universe is too large to
+    * broadcast and let AQE pick the join.
+    */
+  def robotsGate(urls: DataFrame, rules: DataFrame, agent: String = "*",
+      urlCol: String = "url", idCol: String = "id",
+      hintBroadcast: Boolean = true): DataFrame =
+    robotsVerdicts(urls, rules, agent, urlCol, idCol, hintBroadcast)
+      .orderBy("id")
+
+  /** [[robotsGate]] without the output sort — the form a streaming
+    * caller composes (sorting is illegal mid-stream; the batch gate
+    * adds `orderBy(id)` on top). The rules side is always static, so
+    * its window/groupBy prep is legal under a stream-static join.
+    */
+  private[graft] def robotsVerdicts(urls: DataFrame, rules: DataFrame,
+      agent: String, urlCol: String, idCol: String,
+      hintBroadcast: Boolean): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val scoped = rules.where(col("agent").isin(a, "*"))
+      .withColumn("is_spec", (col("agent") === a).cast("int"))
+    val wh = Window.partitionBy("host")
+    val perHost = scoped
+      .withColumn("has_spec", max(col("is_spec")).over(wh))
+      .where(col("is_spec") === col("has_spec"))
+      .groupBy("host")
+      .agg(collect_list(struct(col("pattern_len").as("len"),
+        (col("rule") === "allow").cast("int").as("al"),
+        col("pattern_re").as("re"))).as("rs"))
+    val hinted = if (hintBroadcast) broadcast(perHost) else perHost
+    val u = urls.select(col(idCol).cast("long").as("id"),
+        regexp_extract(col(urlCol), "^([^#]*)", 1).as("u0"))
+      .withColumn("host", lower(regexp_extract(col("u0"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
+      .withColumn("t0", regexp_extract(col("u0"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1))
+      .withColumn("target",
+        when(col("t0") === "", lit("/")).otherwise(col("t0")))
+    u.join(hinted, Seq("host"), "left")
+      // longest-match-wins as one array fold: non-matching rules map
+      // to null, array_max's lexicographic struct ordering does the
+      // (length, allow-beats-disallow) precedence
+      .withColumn("best", array_max(filter(
+        transform(col("rs"), r =>
+          when(regexp_like(col("target"), r("re")),
+            struct(r("len"), r("al")))),
+        x => x.isNotNull)))
+      .select(col("id"), col("host"), col("target"),
+        coalesce(col("best")("al") === 1, lit(true)).as("allowed"),
+        col("best")("len").as("win_len"))
+  }
+
+  /** Deterministic weight-sensitive sampling without replacement —
+    * priority sampling (Duffield–Lund–Thorup 2007): each item draws
+    * `u = (mix31(id)+1) / 2³¹ ∈ (0,1]` and gets priority `w / u`; the
+    * sample is the k highest-priority items per stratum, the
+    * threshold `tau` is the (k+1)-th priority (0 when the stratum has
+    * ≤ k items), and `adj_weight = max(w, tau)` is the
+    * Horvitz–Thompson estimator weight — summing `adj_weight` over
+    * the sample estimates the stratum's true weight total, the whole
+    * point of weight-sensitive sampling. mix31 is a 31-bit bijection,
+    * so the draw is a pure function of the ids, reproducible on any
+    * engine (the oracle restates it exactly: the priority is ONE
+    * IEEE multiply and ONE divide of exact integers, bit-identical in
+    * both engines).
+    *
+    * Scale shape: priorities are map-only; per-stratum selection is
+    * the bounded-heap `topk_rows` aggregate at k+1 (partial
+    * aggregation caps the shuffle at k+1 rows per stratum per task —
+    * never a per-stratum sort); tau rides the same aggregate as the
+    * heap's last element.
+    */
+  def prioritySample(docs: DataFrame, k: Int = 10,
+      labelCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val t = docs.select(col(labelCol).as("label"),
+        col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("weight"))
+      .withColumn("h", Similarity.mix31Col(col("doc_id")))
+      .withColumn("priority", col("weight").cast("double") *
+        2147483648.0 / (col("h") + 1L).cast("double"))
+    t.groupBy("label")
+      .agg(call_function("topk_rows",
+        struct((-col("priority")).as("np"), col("doc_id"), col("weight")),
+        lit(k + 1)).as("top"))
+      .select(col("label"),
+        when(size(col("top")) === k + 1,
+          -element_at(col("top"), k + 1)("np")).otherwise(0.0).as("tau"),
+        posexplode(slice(col("top"), 1, k)).as(Seq("i", "r")))
+      .select(col("label"), (col("i") + 1).cast("int").as("rank"),
+        col("r")("doc_id").as("doc_id"), col("r")("weight").as("weight"),
+        (-col("r")("np")).as("priority"), col("tau"),
+        greatest(col("r")("weight").cast("double"), col("tau"))
+          .as("adj_weight"))
+      .orderBy("label", "rank")
+  }
+
+  /** Sliding-window token chunking with overlap — the LM-eval /
+    * RAG-retrieval chunker: windows of `width` tokens start every
+    * `stride` tokens (`stride < width` ⇒ consecutive windows overlap
+    * by `width − stride`), the last window keeps its remainder, and a
+    * doc of ≤ `width` tokens is one window. The fixed-width
+    * [[chunkTokens]] is the `stride = width` special case. Emits
+    * `(doc_id, win_idx, start_tok, n_tokens, chunk)`.
+    *
+    * Map-only like [[chunkTokens]]: the fan-out is an in-plan
+    * transform+explode — no shuffle, no state, rides the scan.
+    */
+  def chunkWindows(docs: DataFrame, width: Int = 32, stride: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1, s"width must be positive, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride")
+    val ws = split(col(textCol), " ")
+    val n = size(ws)
+    // exact: n ≤ 2^31 tokens, the double ceil can't misround (the
+    // ppmFloor argument); DuckDB's CEIL matches bit for bit
+    val nw = when(n <= width, lit(1)).otherwise(
+      ceil((n - width).cast("double") / stride).cast("int") + 1)
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"), nw.as("nw"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nw") - 1),
+          i => slice(col("ws"), i * stride + 1, lit(width))))
+          .as(Seq("win_idx", "cw")))
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx").cast("long") * stride).as("start_tok"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("cw")).as("chunk"))
+      .orderBy("doc_id", "win_idx")
+  }
+
   def dsirSelect(corpus: DataFrame, target: DataFrame,
       buckets: Int = 1024, topN: Int = 100,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

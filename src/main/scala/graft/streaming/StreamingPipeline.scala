@@ -119,6 +119,26 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("url_key")
   }
 
+  /** Robots.txt politeness gate on a URL stream — the RFC 9309 twin
+    * of [[graft.ops.Curation.robotsGate]], sharing its verdict core
+    * verbatim (parse with [[graft.ops.Curation.parseRobots]] on the
+    * static side): URLs whose `path?query` target a matching rule
+    * disallows are dropped, everything else passes with the winning
+    * pattern length attached. Stateless map-only — the rules collapse
+    * to one array row per host on the STATIC side and broadcast into
+    * the stream, so the gate adds no state, no watermark, no shuffle;
+    * it composes in front of [[urlGateStream]] (blocklist + dedup)
+    * as the crawl front's first hop.
+    */
+  def robotsGateStream(urls: DataFrame, rules: DataFrame,
+      agent: String = "*", urlCol: String = "url",
+      idCol: String = "id"): DataFrame =
+    graft.ops.Curation
+      .robotsVerdicts(urls, rules, agent, urlCol, idCol,
+        hintBroadcast = true)
+      .where(col("allowed"))
+      .select("id", "host", "target", "win_len")
+
   /** Stream → lake: land events hive-partitioned by UTC hour, the
     * write side of the reference's firehose→Athena layout
     * (startup.sh) on the live path. The layout prep is

@@ -728,4 +728,143 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r(4L) === "not a url")
     assert(r(5L) === null)
   }
+
+  // ── robots.txt (RFC 9309) ───────────────────────────────────────────
+
+  private def gate(body: String, agent: String, urls: (Long, String)*) = {
+    val robots = Seq(("h.ex", body)).toDF("host", "body")
+    val u = urls.map { case (id, p) => (id, s"https://h.ex$p") }
+      .toDF("id", "url")
+    Curation.robotsGate(u, Curation.parseRobots(robots), agent)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+  }
+
+  test("robotsGate: longest match wins, allow beats disallow on ties") {
+    val body = "User-agent: *\nDisallow: /p\nAllow: /p/x\n" +
+      "Disallow: /a\nAllow: /a\n"
+    val r = gate(body, "anybot",
+      (1L, "/p/x/1"),   // allow /p/x (4) beats disallow /p (2)
+      (2L, "/p/y"),     // only disallow /p matches
+      (3L, "/a/z"),     // tie at len 2 → allow wins
+      (4L, "/other"))   // no rule matches → allowed, no win_len
+    assert(r(1L) === (true, 4))
+    assert(r(2L) === (false, 2))
+    assert(r(3L) === (true, 2))
+    assert(r(4L) === (true, -1))
+  }
+
+  test("robotsGate: '$' anchors the end, '*' spans segments, the " +
+      "match target includes the query") {
+    val body = "User-agent: *\nDisallow: /f$\nDisallow: /*/secret\n" +
+      "Disallow: /q?x=*\n"
+    val r = gate(body, "anybot",
+      (1L, "/f"),          // exact → blocked by /f$
+      (2L, "/f/g"),        // $ anchor forbids prefix-only match
+      (3L, "/a/secret"),   // wildcard spans the first segment
+      (4L, "/secret"),     // /*/secret needs a segment before it
+      (5L, "/q?x=1"),      // query is part of the match target
+      (6L, "/q"))          // no query → pattern can't match
+    assert(r(1L)._1 === false)
+    assert(r(2L)._1 === true)
+    assert(r(3L)._1 === false)
+    assert(r(4L)._1 === true)
+    assert(r(5L)._1 === false)
+    assert(r(6L)._1 === true)
+  }
+
+  test("robotsGate: a specific-agent group suppresses '*', multi-UA " +
+      "heads share rules, group repetition merges") {
+    val body = "User-agent: graftbot\nUser-agent: otherbot\n" +
+      "Disallow: /x\n\nUser-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nDisallow: /y\n"
+    // graftbot: its own groups only (/x from the shared head, /y from
+    // the second group) — the '*' Disallow-all never applies
+    val g = gate(body, "GraftBot", (1L, "/x/1"), (2L, "/y"), (3L, "/z"))
+    assert(g(1L)._1 === false)
+    assert(g(2L)._1 === false)
+    assert(g(3L)._1 === true)
+    // an agent named in no group falls back to '*'
+    val o = gate(body, "strangerbot", (1L, "/z"))
+    assert(o(1L)._1 === false)
+  }
+
+  test("robotsGate: parse hygiene — comments, CRLF, mixed-case keys, " +
+      "headless rules ignored, empty Disallow is no restriction, " +
+      "hosts without robots pass") {
+    val body = "Disallow: /headless\r\n" + // before any UA head: ignored
+      "# lead comment\r\nUSER-AGENT: *\r\n" +
+      "disallow: /c # trailing comment\r\nDisallow:\r\n"
+    val r = gate(body, "anybot", (1L, "/c/1"), (2L, "/headless"), (3L, "/d"))
+    assert(r(1L)._1 === false)   // mixed case + trailing comment parse
+    assert(r(2L)._1 === true)    // headless rule never bound to a group
+    assert(r(3L)._1 === true)    // empty Disallow ≠ disallow-everything
+    // a host absent from the rules table is allowed everywhere
+    val u = Seq((9L, "https://norobots.ex/any")).toDF("id", "url")
+    val rules = Curation.parseRobots(Seq(("h.ex", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "body"))
+    val out = Curation.robotsGate(u, rules, "anybot").collect()
+    assert(out.length === 1 && out(0).getBoolean(3) === true)
+  }
+
+  // ── priority sampling ───────────────────────────────────────────────
+
+  /** The VecKernels.mix31 kernel, restated for an independent expected
+    * value (4 lines — keeping the spec self-contained beats exposing
+    * the private kernel).
+    */
+  private def mix31(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x ^= (x >> 15)
+    x = (x * 1103515245L) & 0x7FFFFFFFL
+    x ^ (x >> 12)
+  }
+
+  test("prioritySample: DLT priorities, threshold = (k+1)-th, " +
+      "adjusted weight = max(w, tau), tau = 0 on small strata") {
+    // weights = token counts 1..5; priorities derive from mix31(id)
+    val d = docs(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"),
+      (4L, "a b c d", "s"), (5L, "a b c d e", "s"),
+      (10L, "x y z", "t"))               // stratum of 1 < k
+    val out = Curation.prioritySample(d, k = 2).collect()
+    val exp = Seq(1L, 2L, 3L, 4L, 5L).map { id =>
+      val w = id.toDouble // weight == id for these fixtures
+      (id, w * 2147483648.0 / (mix31(id) + 1).toDouble)
+    }.sortBy(-_._2)
+    val s = out.filter(_.getString(0) == "s")
+    assert(s.map(_.getLong(2)).toSeq === exp.take(2).map(_._1))
+    assert(s.map(r => r.getDouble(4)).toSeq === exp.take(2).map(_._2))
+    // tau is the 3rd-highest priority; adj = max(weight, tau)
+    val tau = exp(2)._2
+    assert(s.forall(r => r.getDouble(5) === tau))
+    assert(s.forall(r =>
+      r.getDouble(6) === math.max(r.getLong(3).toDouble, tau)))
+    // the 1-doc stratum: rank 1, tau 0, adj = own weight
+    val t = out.filter(_.getString(0) == "t")
+    assert(t.map(r => (r.getInt(1), r.getLong(2), r.getDouble(5),
+      r.getDouble(6))).toSeq === Seq((1, 10L, 0.0, 3.0)))
+  }
+
+  // ── sliding-window chunking ─────────────────────────────────────────
+
+  test("chunkWindows: stride overlap, remainder tail, short doc = one " +
+      "window, stride = width degenerates to chunkTokens") {
+    val d = docs(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" "), "s"),
+      (2L, "a b c", "s"))
+    val out = Curation.chunkWindows(d, width = 8, stride = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0, 0L, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (1L, 1, 5L, 7L, (6 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, 0, 0L, 3L, "a b c")))
+    // stride = width reproduces the fixed-width chunker rows
+    val fw = Curation.chunkWindows(d, width = 5, stride = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+    val ct = Curation.chunkTokens(d, width = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(fw.toSeq === ct.toSeq)
+  }
 }
