@@ -3629,7 +3629,110 @@ private[graft] object QueriesExt {
              |    WHEN m = 0 THEN (et <> 'purchase') OR k = 1 OR k >= 10
              |    WHEN m = 2 THEN (k <> 7) OR et = 'click'
              |    ELSE TRUE END
-             |ORDER BY id""".stripMargin)))
+             |ORDER BY id""".stripMargin)),
+
+    // Presto-dialect breadth, ninth batch — string/number surface:
+    // split_part (NULL past the field count where Spark's builtin
+    // returns '' — the silent-divergence class, so presto_split_part),
+    // format (Java String.format; Spark spells it format_string),
+    // regexp_split, strrpos (last occurrence via reversed locate),
+    // from_base/to_base (Presto renders lowercase digits; Spark's
+    // conv renders uppercase), and the IEEE predicates
+    // is_finite/is_infinite/is_nan. The oracle restates each through
+    // DuckDB's own spellings (list OOB indexing is NULL there, printf
+    // is C-style, to_hex is minimal-width).
+    Q("q395_presto_dialect9",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(split_part(event_type, 'i', 1)) AS sp1,
+            |  MIN(split_part(event_type, 'c', 3)) AS spo,
+            |  MIN(format('%s=%03d', event_type, user_id % 7)) AS fmt,
+            |  MIN(array_join(regexp_split(event_type, '[aeiou]+'), '.'))
+            |    AS rs,
+            |  CAST(MAX(strrpos(event_type, 'e')) AS BIGINT) AS srp,
+            |  MIN(to_base(user_id % 100, 16)) AS tb,
+            |  MIN(from_base(to_base(user_id % 100, 16), 16)) AS fb,
+            |  MAX(CAST(is_finite(value * 1e307 * 10) AS INT)) AS fin,
+            |  MAX(CAST(is_infinite(value * 1e307 * 10) AS INT)) AS inf,
+            |  MAX(CAST(is_nan((value * 1e307 * 10)
+            |    - (value * 1e307 * 10)) AS INT)) AS nn
+            |FROM events
+            |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            |  AND value IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  MIN(string_split(event_type, 'i')[1]) AS sp1,
+             |  MIN(string_split(event_type, 'c')[3]) AS spo,
+             |  MIN(printf('%s=%03d', event_type, user_id % 7)) AS fmt,
+             |  MIN(array_to_string(
+             |    regexp_split_to_array(event_type, '[aeiou]+'), '.'))
+             |    AS rs,
+             |  CAST(MAX(CASE WHEN strpos(reverse(event_type), 'e') = 0
+             |    THEN 0 ELSE length(event_type)
+             |      - strpos(reverse(event_type), 'e') + 1 END)
+             |    AS BIGINT) AS srp,
+             |  MIN(lower(to_hex(user_id % 100))) AS tb,
+             |  MIN(CAST(user_id % 100 AS BIGINT)) AS fb,
+             |  MAX(CAST(isfinite(value * 1e307 * 10) AS INT)) AS fin,
+             |  MAX(CAST(isinf(value * 1e307 * 10) AS INT)) AS inf,
+             |  MAX(CAST(isnan((value * 1e307 * 10)
+             |    - (value * 1e307 * 10)) AS INT)) AS nn
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND value IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q392's priority sample computed on a document STREAM: bounded
+    // (k+1)-heap state per stratum, latest emission per label wins.
+    // Priorities are a pure function of (id, weight), so the final
+    // sample is arrival-order-independent — batch and stream share
+    // ONE oracle, pinning their equivalence the q361/q384 way.
+    Q("q396_stream_priority_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "documents")
+        val sampled = graft.streaming.StreamingPipeline
+          .prioritySampleStream(stream, k = 10).toDF()
+        val out = QueriesAlert.drainToMemory(s, sampled, "q396_sink",
+          OutputMode.Update())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label")
+        out.withColumn("mx", max(col("upd")).over(w))
+          .where(col("upd") === col("mx"))
+          .select(col("label"), col("rank"), col("doc_id"),
+            col("weight"), col("priority"), col("tau"),
+            greatest(col("weight").cast("double"), col("tau"))
+              .as("adj_weight"))
+          .orderBy("label", "rank")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT source AS label, CAST(doc_id AS BIGINT) AS doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             |    ${QueriesPipeline.duckMix31("CAST(doc_id AS BIGINT)")} AS h
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |    AND source IS NOT NULL),
+             |p AS (
+             |  SELECT *,
+             |    CAST(weight AS DOUBLE) * 2147483648 / (h + 1) AS priority,
+             |    row_number() OVER (PARTITION BY label
+             |      ORDER BY CAST(weight AS DOUBLE) * 2147483648 / (h + 1)
+             |        DESC, doc_id) AS rn
+             |  FROM t),
+             |tau AS (
+             |  SELECT label,
+             |    coalesce(max(CASE WHEN rn = 11 THEN priority END), 0.0)
+             |      AS tau
+             |  FROM p GROUP BY label)
+             |SELECT label, CAST(rn AS INT) AS rank, doc_id, weight,
+             |  priority, tau,
+             |  greatest(CAST(weight AS DOUBLE), tau) AS adj_weight
+             |FROM p JOIN tau USING (label) WHERE rn <= 10
+             |ORDER BY label, rank""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

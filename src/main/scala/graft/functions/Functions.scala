@@ -69,11 +69,14 @@ object Functions {
     *   - `repeat`: Presto repeat(x, n) builds an ARRAY of n copies
     *     (Spark's array_repeat); Spark's builtin of the same name is
     *     string repetition
+    *   - `split_part`: NULL when the index exceeds the field count
+    *     (Spark's builtin returns '')
     */
   private[graft] val prefixedNames: Set[String] = Set(
     "split", "date_format", "from_unixtime", "contains",
     "element_at", "array_agg", "map_concat", "map",
-    "regexp_extract", "regexp_extract_all", "regexp_replace", "repeat")
+    "regexp_extract", "regexp_extract_all", "regexp_replace", "repeat",
+    "split_part")
 
   private def isBuiltin(name: String): Boolean =
     SparkFunctionRegistry.builtin.functionExists(FunctionIdentifier(name))
@@ -477,6 +480,55 @@ object Functions {
       // Presto last_day_of_month(ts) — Spark spells it last_day; no
       // collision, plain registration
       shim("last_day_of_month")(exprs => LastDay(exprs.head))
+
+      // ── ninth tranche: string/number breadth ──────────────────────
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+      // Presto split_part: 1-based, LITERAL delimiter, NULL when the
+      // index exceeds the field count. Spark's builtin of the same
+      // name returns '' out of range — another silent divergence →
+      // presto_split_part. (Negative indexes: Presto throws, the shim
+      // counts from the end — the ElementAt convention; documented.)
+      shim("split_part")(exprs => ElementAt(
+        StringSplitSQL(exprs.head, exprs(1)), exprs(2),
+        failOnError = false))
+      // Presto format('%s', ...) = Java String.format — Spark spells
+      // it format_string; `format` itself is a free name
+      shim("format")(exprs => FormatString(exprs: _*))
+      // Presto regexp_split(s, re) — Spark's regex split under a name
+      // Spark doesn't use
+      shim("regexp_split")(exprs =>
+        StringSplit(exprs.head, exprs(1), Literal(-1)))
+      // Presto strrpos(s, sub): LAST occurrence, 1-based, 0 when
+      // absent — locate on the reversed pair plus index arithmetic
+      // (the whole composition stays codegen'd)
+      shim("strrpos") { exprs =>
+        val rp = StringLocate(Reverse(exprs(1)), Reverse(exprs.head),
+          Literal(1))
+        If(LessThanOrEqual(rp, Literal(0)), Literal(0),
+          Add(Subtract(Subtract(Length(exprs.head), rp),
+            Length(exprs(1))), Literal(2)))
+      }
+      // Presto from_base(s, radix) → BIGINT; to_base(x, radix) →
+      // lowercase digits (Spark's conv renders uppercase — Lower
+      // restores Presto's casing)
+      shim("from_base")(exprs => Cast(
+        Conv(exprs.head, exprs(1), Literal(10)), LongType))
+      shim("to_base")(exprs => Lower(
+        Conv(Cast(exprs.head, StringType), Literal(10), exprs(1))))
+      // Presto IEEE predicates (Spark spells isnan without the
+      // underscore and has no finite/infinite tests). Null in → null
+      // out rides the comparison's own null propagation.
+      shim("is_nan")(exprs => IsNaN(Cast(exprs.head, DoubleType)))
+      shim("is_finite") { exprs =>
+        val x = Cast(exprs.head, DoubleType)
+        And(Not(IsNaN(x)),
+          LessThan(Abs(x), Literal(Double.PositiveInfinity)))
+      }
+      shim("is_infinite") { exprs =>
+        val x = Cast(exprs.head, DoubleType)
+        Or(EqualTo(x, Literal(Double.PositiveInfinity)),
+          EqualTo(x, Literal(Double.NegativeInfinity)))
+      }
     }
     spark.udf.register(guarded("json_parse"),
       (s: String) => JsonParseFn.parse(s))

@@ -635,6 +635,66 @@ object StreamingPipeline {
     * counter map (≤ k entries), `processed` the bucket's total row
     * count — the guarantee check needs N = Σ processed.
     */
+  case class PriState(items: List[(Double, Long, Long)], upd: Long)
+
+  case class PriRow(label: String, upd: Long, rank: Int, doc_id: Long,
+    weight: Long, priority: Double, tau: Double)
+
+  /** Streaming twin of [[graft.ops.Curation.prioritySample]]
+    * (Duffield–Lund–Thorup priority sampling): per-stratum state is
+    * the SAME bounded (k+1)-heap the batch `topk_rows` aggregate
+    * keeps — merge the batch's arrivals, keep the k+1 best
+    * priorities, emit the current sample + threshold every
+    * micro-batch (Update mode; the latest emission per label is the
+    * answer, tagged by the `upd` counter so a sink can keep the max).
+    * Priorities are a pure function of (id, weight) via the mix31
+    * draw, so the final sample is arrival-order-INDEPENDENT — batch
+    * and stream agree on any partitioning of the input, which is what
+    * lets the two share one oracle. State is O(k) per label
+    * regardless of stream length; `stateTtl` arms per-key eviction
+    * for label spaces that churn.
+    */
+  def prioritySampleStream(docs: DataFrame, k: Int = 10,
+      labelCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id", stateTtl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[PriRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    docs.where(col(labelCol).isNotNull && col(textCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("weight"))
+      .withColumn("np", -(col("weight").cast("double") * 2147483648.0 /
+        (graft.ops.Similarity.mix31Col(col("doc_id")) + 1L)
+          .cast("double")))
+      .select("label", "np", "doc_id", "weight")
+      .as[(String, Double, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, ttlTimeout(stateTtl))(
+        (label: String, rows: Iterator[(String, Double, Long, Long)],
+         state: GroupState[PriState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(PriState(Nil, 0L))
+            // tuple ordering = the batch aggregate's struct ordering:
+            // (np asc = priority desc, doc_id asc)
+            val merged = (prev.items ++
+              rows.map(r => (r._2, r._3, r._4))).sorted.take(k + 1)
+            val upd = prev.upd + 1
+            state.update(PriState(merged, upd))
+            stateTtl.foreach(state.setTimeoutDuration)
+            val tau = if (merged.size == k + 1) -merged.last._1 else 0.0
+            merged.take(k).iterator.zipWithIndex.map {
+              case ((np, id, w), i) =>
+                PriRow(label, upd, i + 1, id, w, -np, tau)
+            }
+          }
+        })
+  }
+
   case class MgState(counts: Map[Long, Long], processed: Long)
 
   case class MgRow(bucket: Int, item: Long, est: Long, processed: Long)

@@ -266,6 +266,39 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       "last_day_of_month(ts) = DATE '2024-02-29'")).count() === 1)
   }
 
+  test("ninth tranche: split_part NULL past the field count, format, " +
+      "regexp_split, strrpos, from_base/to_base, IEEE predicates") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql("SELECT 'purchase' AS s, 255L AS n")
+    // 1-based literal-delimiter split; index past the fields is NULL
+    // (Spark's bare builtin would return '')
+    assert(row.where(Criteria.toColumn(
+      "split_part('a.b.c', '.', 2) = 'b' AND " +
+        "split_part('a.b.c', '.', 9) IS NULL")).count() === 1)
+    // the Spark builtin keeps its own '' contract outside criteria
+    assert(spark.sql("SELECT split_part('a.b.c', '.', 9)")
+      .head().getString(0) === "")
+    assert(row.where(Criteria.toColumn(
+      "format('%s=%03d', s, 7) = 'purchase=007'")).count() === 1)
+    // regex split (Presto's name for what Spark's split builtin does)
+    assert(row.where(Criteria.toColumn(
+      "array_join(regexp_split(s, '[aeiou]+'), '.') = 'p.rch.s.'"))
+      .count() === 1)
+    // last occurrence, 1-based; 0 when absent
+    assert(row.where(Criteria.toColumn(
+      "strrpos(s, 'e') = 8 AND strrpos(s, 'ur') = 2 AND " +
+        "strrpos(s, 'z') = 0")).count() === 1)
+    // radix round-trip; Presto renders lowercase digits
+    assert(row.where(Criteria.toColumn(
+      "to_base(n, 16) = 'ff' AND from_base('ff', 16) = 255 AND " +
+        "from_base(to_base(0, 2), 2) = 0")).count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "is_finite(1.5) AND NOT is_finite(1e308 * 10) AND " +
+        "is_infinite(-1e308 * 10) AND is_nan(1e308*10 - 1e308*10) AND " +
+        "NOT is_nan(0.0) AND is_finite(CAST(NULL AS DOUBLE)) IS NULL"))
+      .count() === 1)
+  }
+
   test("seventh-tranche parity set needs no shim: map_filter / " +
       "map_zip_with / array_position / negative-start slice / " +
       "ISO date_trunc('week')") {

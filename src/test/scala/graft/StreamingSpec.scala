@@ -1371,6 +1371,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val e = MemoryStream[FullEv].toDF()
     val emb = MemoryStream[EmbRow].toDF()
+    val docs = MemoryStream[(Long, String, String)].toDF()
+      .toDF("doc_id", "text", "source")
     val P = graft.streaming.StreamingPipeline
     def timeoutOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.analyzed.collect {
@@ -1385,7 +1387,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "spray" -> P.sprayStream(e, stateTtl = ttl).toDF(),
       "rfm" -> P.rfmStream(e, stateTtl = ttl).toDF(),
       "centroid" -> P.centroidStream(emb, dim = 2, stateTtl = ttl).toDF(),
-      "funnel" -> P.funnelStream(e, "a", "b", stateTtl = ttl).toDF())
+      "funnel" -> P.funnelStream(e, "a", "b", stateTtl = ttl).toDF(),
+      "prioritySample" -> P.prioritySampleStream(docs, stateTtl = ttl)
+        .toDF())
     build(Some("1 hour")).foreach { case (name, df) =>
       assert(timeoutOf(df) === Seq(GroupStateTimeout.ProcessingTimeTimeout),
         s"$name: TTL must arm a processing-time timeout")
