@@ -3732,7 +3732,71 @@ private[graft] object QueriesExt {
              |  priority, tau,
              |  greatest(CAST(weight AS DOUBLE), tau) AS adj_weight
              |FROM p JOIN tau USING (label) WHERE rn <= 10
-             |ORDER BY label, rank""".stripMargin)))
+             |ORDER BY label, rank""".stripMargin)),
+
+    // End-to-end crawl-front COMPOSITION: canonicalize → robots gate
+    // (specific-agent group beats '*') → blocklist anti-join → keeper
+    // dedup, all four stages the q381/q391/q382 ops compose verbatim.
+    // The oracle restates the surviving canonical set and its keeper
+    // arithmetic directly from the generating variant classes —
+    // independent of every stage's machinery, so a regression in any
+    // hop (canonicalizer, parse, precedence, blocklist key, keeper
+    // MIN) surfaces as a row/hash mismatch here even if its own
+    // query stays green.
+    Q("q397_crawl_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("event_id").isNotNull)
+          .withColumn("m", col("user_id") % 10)
+          .withColumn("url", expr(
+            """CASE CAST(user_id % 4 AS INT)
+              |  WHEN 0 THEN 'https://Ex.com/t/' || event_type
+              |    || '?b=' || m || '&a=1'
+              |  WHEN 1 THEN 'HTTPS://EX.com:443/t/' || event_type
+              |    || '?a=1&utm_source=mail&b=' || m
+              |  WHEN 2 THEN 'https://ex.com:443/t/' || event_type
+              |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
+              |  ELSE 'http://spam.tracker.net:80/t/' || event_type
+              |    || '?a=1&b=' || m END""".stripMargin))
+        val urls = e.select(col("event_id").cast("long").as("id"),
+          graft.ops.Curation.canonicalUrl(col("url")).as("curl"))
+        val robots = Seq(
+          ("ex.com", "User-agent: graftbot\nDisallow: /t/purchase\n\n" +
+            "User-agent: *\nDisallow: /\n"),
+          ("docs.ex.com", "User-agent: *\nDisallow:\n")).toDF("host", "body")
+        val rules = graft.ops.Curation.parseRobots(robots)
+        val allowed = graft.ops.Curation.robotsVerdicts(urls, rules,
+            agent = "graftbot", urlCol = "curl", idCol = "id",
+            hintBroadcast = true, keep = Seq("curl"))
+          .where(col("allowed"))
+        val blocked = Seq("tracker.net").toDF("domain")
+        val labels = split(col("host"), "\\.")
+        val gated = allowed
+          .withColumn("sfx", when(size(labels) >= 2,
+            array_join(slice(labels, -2, 2), ".")).otherwise(lit("")))
+          .join(broadcast(blocked), col("sfx") === col("domain"),
+            "left_anti")
+        gated.groupBy("curl")
+          .agg(min(col("id")).as("keeper_id"),
+            count(lit(1)).as("n_fetched"))
+          .select(col("curl").as("canonical_url"), col("keeper_id"),
+            col("n_fetched"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(event_id AS BIGINT) AS id,
+             |    'https://ex.com/t/' || event_type || '?a=1&b='
+             |      || (user_id % 10) AS canonical_url
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND event_id IS NOT NULL
+             |    AND user_id % 4 <> 3
+             |    AND event_type <> 'purchase')
+             |SELECT canonical_url, MIN(id) AS keeper_id,
+             |  COUNT(*) AS n_fetched
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

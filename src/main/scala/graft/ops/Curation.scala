@@ -1867,10 +1867,13 @@ object Curation {
     * caller composes (sorting is illegal mid-stream; the batch gate
     * adds `orderBy(id)` on top). The rules side is always static, so
     * its window/groupBy prep is legal under a stream-static join.
+    * `keep` names extra `urls` columns carried through to the output
+    * (a downstream dedup wants the canonical key without re-joining
+    * the verdicts back by id).
     */
   private[graft] def robotsVerdicts(urls: DataFrame, rules: DataFrame,
       agent: String, urlCol: String, idCol: String,
-      hintBroadcast: Boolean): DataFrame = {
+      hintBroadcast: Boolean, keep: Seq[String] = Nil): DataFrame = {
     val a = agent.toLowerCase(java.util.Locale.ROOT)
     val scoped = rules.where(col("agent").isin(a, "*"))
       .withColumn("is_spec", (col("agent") === a).cast("int"))
@@ -1883,8 +1886,9 @@ object Curation {
         (col("rule") === "allow").cast("int").as("al"),
         col("pattern_re").as("re"))).as("rs"))
     val hinted = if (hintBroadcast) broadcast(perHost) else perHost
-    val u = urls.select(col(idCol).cast("long").as("id"),
-        regexp_extract(col(urlCol), "^([^#]*)", 1).as("u0"))
+    val u = urls.select(col(idCol).cast("long").as("id") +:
+        regexp_extract(col(urlCol), "^([^#]*)", 1).as("u0") +:
+        keep.map(col): _*)
       .withColumn("host", lower(regexp_extract(col("u0"),
         "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
       .withColumn("t0", regexp_extract(col("u0"),
@@ -1900,9 +1904,9 @@ object Curation {
           when(regexp_like(col("target"), r("re")),
             struct(r("len"), r("al")))),
         x => x.isNotNull)))
-      .select(col("id"), col("host"), col("target"),
-        coalesce(col("best")("al") === 1, lit(true)).as("allowed"),
-        col("best")("len").as("win_len"))
+      .select(col("id") +: col("host") +: col("target") +:
+        coalesce(col("best")("al") === 1, lit(true)).as("allowed") +:
+        col("best")("len").as("win_len") +: keep.map(col): _*)
   }
 
   /** Deterministic weight-sensitive sampling without replacement —

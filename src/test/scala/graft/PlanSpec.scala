@@ -337,4 +337,27 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "per-doc gram counting must stay an equi-keyed aggregate")
     assert(plan.contains("HashAggregate"), plan.take(600))
   }
+
+  test("q391: robots verdicts reach the URL side through ONE broadcast " +
+      "join; the match fold never shuffles the URL stream") {
+    val plan = planOf("q391_robots_gate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-host rules table must broadcast into the URL scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 100 TB URL side must never shuffle against the rules")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "longest-match must be the array fold, not a row-per-rule join")
+  }
+
+  test("q392: priority sampling selects via the bounded-heap topk_rows " +
+      "aggregate — partial combine, no per-stratum window sort") {
+    val plan = planOf("q392_priority_sample")
+    assert(plan.contains("topk_rows"), plan.take(600))
+    assert(plan.contains("partial_topk_rows"),
+      "the heap must combine map-side so each task ships k+1 rows " +
+        "per stratum, never the stratum")
+    assert(!plan.contains("Window"),
+      "selection must not fall back to a row_number window sort")
+  }
 }
