@@ -380,3 +380,85 @@ object CanonicalUrlProps extends Properties("Curation.canonicalUrl") {
       canon(once) == once
     }
 }
+
+/** ScalaCheck rows for the robots.txt rule compiler: every regex
+  * metacharacter in a pattern is a LITERAL (except `*` and a trailing
+  * `$`), so the gate's verdict on metachar-free-or-not patterns must
+  * equal plain string prefix matching; a trailing `$` anchors exactly;
+  * a longer `Allow` beats a shorter `Disallow`. One batched DataFrame
+  * per sample (the CanonicalUrlProps cost discipline).
+  */
+object RobotsProps extends Properties("Curation.robots") {
+  import org.apache.spark.sql.SparkSession
+
+  private lazy val spark: SparkSession =
+    Tables.configure(SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters = p.withMinSuccessfulTests(6)
+
+  // pattern/target alphabet: regex metachars INCLUDED (they must act
+  // as literals); '*' '$' '#' and whitespace excluded ('*'/'$' carry
+  // wildcard meaning, '#' starts a robots comment)
+  private val ch: Gen[Char] = Gen.oneOf(
+    ('a' to 'z') ++ ('0' to '9') ++ ".(){}+?|[]^\\:-_~".toSeq)
+  private val segG: Gen[String] =
+    Gen.nonEmptyListOf(ch).map(s => "/" + s.mkString.take(10))
+
+  /** Gate each (host_i, body_i, target_i) triple in one batch; return
+    * allowed flags in input order.
+    */
+  private def gate(rows: Seq[(String, String)]): Seq[Boolean] = {
+    import spark.implicits._
+    val hosts = rows.zipWithIndex.map { case ((body, _), i) =>
+      (s"h$i.ex", body) }
+    val urls = rows.zipWithIndex.map { case ((_, t), i) =>
+      (i.toLong, s"https://h$i.ex$t") }
+    val rules = graft.ops.Curation.parseRobots(
+      hosts.toDF("host", "body"))
+    val m = graft.ops.Curation.robotsGate(urls.toDF("id", "url"), rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    rows.indices.map(i => m(i.toLong))
+  }
+
+  property("metachar-free-of-wildcards patterns gate by plain string " +
+      "prefix — regex specials are literals") =
+    forAll(Gen.listOfN(6, Gen.zip(segG, segG))) { pairs =>
+      val rows = pairs.flatMap { case (p, s) =>
+        val mut = "/" + (if (p.length > 1) "z" + p.drop(2) else "z")
+        Seq((s"User-agent: *\nDisallow: $p\n", p),         // exact
+          (s"User-agent: *\nDisallow: $p\n", p + s),       // extension
+          (s"User-agent: *\nDisallow: $p\n", mut))         // near miss
+      }
+      val got = gate(rows)
+      rows.zip(got).forall { case ((body, t), allowed) =>
+        val p = body.split("Disallow: ")(1).stripSuffix("\n")
+        allowed == !t.startsWith(p)
+      }
+    }
+
+  property("a trailing '$' anchors the pattern to the whole target") =
+    forAll(Gen.listOfN(6, Gen.zip(segG, segG))) { pairs =>
+      val rows = pairs.flatMap { case (p, s) =>
+        Seq((s"User-agent: *\nDisallow: $p$$\n", p),       // exact → block
+          (s"User-agent: *\nDisallow: $p$$\n", p + s))     // longer → pass
+      }
+      val got = gate(rows)
+      pairs.indices.forall(i => !got(2 * i) && got(2 * i + 1))
+    }
+
+  property("a longer Allow overrides a shorter Disallow on its own " +
+      "subtree only") =
+    forAll(Gen.listOfN(6, Gen.zip(segG, segG))) { pairs =>
+      val rows = pairs.flatMap { case (p, q) =>
+        val body = s"User-agent: *\nDisallow: $p\nAllow: $p$q\n"
+        Seq((body, p + q),                                  // allow wins
+          (body, p))                                        // disallow only
+      }
+      val got = gate(rows)
+      pairs.indices.forall(i => got(2 * i) && !got(2 * i + 1))
+    }
+}
