@@ -1805,7 +1805,9 @@ object Curation {
     */
   def parseRobots(robots: DataFrame, hostCol: String = "host",
       textCol: String = "body"): DataFrame = {
-    val lines = robots.select(col(hostCol).as("host"),
+    // hosts key lowercase — the verdict side lowercases the URL's
+    // authority, so a mixed-case robots table must meet it there
+    val lines = robots.select(lower(col(hostCol)).as("host"),
         posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
           .as(Seq("ln", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
@@ -1933,7 +1935,10 @@ object Curation {
       labelCol: String = "source", textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val t = docs.select(col(labelCol).as("label"),
+    val t = docs
+      .where(col(labelCol).isNotNull && col(textCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(labelCol).as("label"),
         col(idCol).cast("long").as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("weight"))
       .withColumn("h", Similarity.mix31Col(col("doc_id")))

@@ -805,6 +805,14 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .toDF("host", "body"))
     val out = Curation.robotsGate(u, rules, "anybot").collect()
     assert(out.length === 1 && out(0).getBoolean(3) === true)
+    // a mixed-case robots host still meets the URL's lowercased
+    // authority (parseRobots lowercases the key)
+    val mixed = Curation.parseRobots(
+      Seq(("H.Ex", "User-agent: *\nDisallow: /c\n")).toDF("host", "body"))
+    val v = Curation.robotsGate(
+      Seq((1L, "https://h.ex/c/1")).toDF("id", "url"), mixed, "anybot")
+      .collect()
+    assert(v.length === 1 && v(0).getBoolean(3) === false)
   }
 
   // ── priority sampling ───────────────────────────────────────────────
