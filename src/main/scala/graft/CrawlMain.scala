@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** CLI entry point for the crawl-front pipeline — the fetch-side twin
+  * of [[CurationMain]]: one end-to-end pass over a URL frontier
+  * producing a politeness-ordered fetch schedule plus a per-stage
+  * audit line.
+  *
+  * Stages (each an operator the oracle gate verifies in isolation;
+  * q397 pins the composition):
+  *   1. IDN pre-encode — [[Curation.idnAsciiUrl]] (wire-form hosts)
+  *   2. canonical-key dedup — [[Curation.canonicalUrl]] keepers only
+  *      (first id per canonical key wins)
+  *   3. robots gate — [[Curation.parseRobots]] +
+  *      [[Curation.robotsGate]] for `agent` (skipped when no robots
+  *      table is given: no rules means allowed, the RFC default)
+  *   4. blocklist — broadcast label-suffix anti-join (skipped when no
+  *      blocklist table is given)
+  *   5. schedule — [[Curation.frontierSchedule]]: round-robin across
+  *      hosts, same-host fetches spaced |hosts| apart
+  *   6. write — the schedule as parquet, ordered by fetch_pos
+  *
+  * Usage: CrawlMain <urlsParquet> <outDir> [robotsParquet]
+  *        [blocklistParquet] [agent]
+  *   urlsParquet   columns (id BIGINT, url STRING)
+  *   robotsParquet columns (host STRING, body STRING) — raw robots.txt
+  *   blocklistParquet column (domain STRING)
+  *   agent         crawler product token (default "*")
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2 && args.length <= 5,
+      "usage: CrawlMain <urlsParquet> <outDir> [robotsParquet] " +
+        "[blocklistParquet] [agent]")
+    val Array(urlsPath, outDir) = args.take(2)
+    val robotsPath = args.lift(2).filter(_.nonEmpty)
+    val blockPath = args.lift(3).filter(_.nonEmpty)
+    val agent = args.lift(4).getOrElse("*")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val urls = spark.read.parquet(urlsPath)
+    val total = urls.count()
+
+    // 1-2: IDN wire form, canonical key, keeper per key
+    val canon = urls.where(col("url").isNotNull)
+      .select(col("id").cast("long").as("id"),
+        Curation.canonicalUrl(Curation.idnAsciiUrl(col("url")))
+          .as("curl"))
+    val keepers = canon.groupBy("curl").agg(min(col("id")).as("id"))
+    val dedupCount = keepers.count()
+
+    // 3: robots verdicts on the canonical form
+    val allowed = robotsPath match {
+      case Some(p) =>
+        val rules = Curation.parseRobots(spark.read.parquet(p))
+        Curation.robotsVerdicts(keepers, rules, agent,
+            urlCol = "curl", idCol = "id", hintBroadcast = true,
+            keep = Seq("curl"))
+          .where(col("allowed"))
+          .select(col("id"), col("host"), col("curl"))
+      case None =>
+        keepers.withColumn("host", lower(regexp_extract(col("curl"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)))
+          .select("id", "host", "curl")
+    }
+    val robotsCount = allowed.count()
+
+    // 4: blocklist label-suffix anti-join (the urlGateStream key)
+    val unblocked = blockPath match {
+      case Some(p) =>
+        val bl = spark.read.parquet(p)
+          .select(lower(col("domain")).as("domain"))
+          .withColumn("k", size(split(col("domain"), "\\.")))
+        val ks = bl.select("k").distinct().collect()
+          .map(_.getInt(0)).sorted
+        val labels = split(col("host"), "\\.")
+        ks.foldLeft(allowed) { (acc, k) =>
+          val sfx = when(size(labels) >= k,
+            array_join(slice(labels, -k, k), ".")).otherwise(lit(""))
+          acc.join(broadcast(bl.where(col("k") === k).select("domain")),
+            sfx === col("domain"), "left_anti")
+        }
+      case None => allowed
+    }
+    val gatedCount = unblocked.count()
+
+    // 5-6: politeness schedule, written in fetch order
+    val schedule = Curation.frontierSchedule(unblocked)
+      .join(unblocked.select(col("id"), col("curl")), Seq("id"))
+      .select("fetch_pos", "id", "host", "rank_in_host", "curl")
+      .orderBy("fetch_pos")
+    schedule.write.mode("overwrite").parquet(outDir)
+
+    println(s"""{"urls_in":$total,"canonical":$dedupCount,""" +
+      s""""robots_allowed":$robotsCount,"gated":$gatedCount,""" +
+      s""""agent":"$agent","out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -3796,7 +3796,48 @@ private[graft] object QueriesExt {
              |    AND event_type <> 'purchase')
              |SELECT canonical_url, MIN(id) AS keeper_id,
              |  COUNT(*) AS n_fetched
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Length-bucketed batching plan: equal-frequency token-length
+    // buckets (exact integer percentile_disc boundaries), first-
+    // covering-bucket assignment, per-bucket padding waste vs the
+    // single-bucket baseline. The oracle replays the boundary and
+    // waste arithmetic over the same distinct-length table.
+    Q("q398_length_buckets",
+      (s, dir) => Curation.lengthBucketPlan(
+        Tables(s, dir, "documents"), buckets = 8),
+      Some("""WITH l AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+             |    AS len
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+             |pl AS (SELECT len, COUNT(*) AS c FROM l GROUP BY 1),
+             |cm AS (SELECT len, c,
+             |    SUM(c) OVER (ORDER BY len) AS cum FROM pl),
+             |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(SUM(c * len) AS BIGINT) AS sum_len,
+             |    MAX(len) AS mx FROM pl),
+             |b AS (SELECT j.bucket, MIN(cm.len) AS boundary
+             |  FROM cm, t,
+             |    (SELECT CAST(unnest(generate_series(1, 8)) AS INT)
+             |       AS bucket) j
+             |  WHERE cm.cum * 8 >= j.bucket * t.n GROUP BY 1),
+             |cov AS (SELECT pl.len, pl.c, b.bucket, b.boundary
+             |  FROM pl JOIN b ON pl.len <= b.boundary),
+             |fb AS (SELECT len, c, MIN(boundary) AS boundary
+             |  FROM cov GROUP BY 1, 2),
+             |fb2 AS (SELECT cov.len, cov.c, fb.boundary,
+             |    MIN(cov.bucket) AS bucket
+             |  FROM cov JOIN fb ON cov.len = fb.len
+             |    AND cov.boundary = fb.boundary
+             |  GROUP BY 1, 2, 3)
+             |SELECT bucket, boundary,
+             |  CAST(SUM(c) AS BIGINT) AS n_docs,
+             |  CAST(SUM(c * len) AS BIGINT) AS sum_tokens,
+             |  CAST(SUM(c * (boundary - len)) AS BIGINT)
+             |    AS padding_waste,
+             |  (SELECT n * mx - sum_len FROM t) AS baseline_waste
+             |FROM fb2 GROUP BY 1, 2 ORDER BY 1""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -605,6 +605,66 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed batching plan (the inference/training dynamic-
+    * batching prep): cut documents into `buckets` equal-FREQUENCY
+    * token-length buckets (boundary_j = the smallest length whose
+    * cumulative doc count reaches j·N/B — percentile_disc, exact
+    * integer comparison `cum·B ≥ j·N`), assign each doc to the first
+    * bucket whose boundary covers its length, and report per bucket
+    * the padding waste of padding every member to the bucket boundary
+    * — plus the single-bucket baseline waste (`N·max − Σlen`) each row
+    * carries for the savings comparison. All counts and boundaries are
+    * exact integers; assignment depends on the length alone, so the
+    * plan is engine-reproducible.
+    *
+    * Scale shape: per-length counts are one combinable aggregate; the
+    * only windowed table is the DISTINCT-length table (bounded by the
+    * max document length, thousands of rows at corpus scale — never
+    * the corpus); boundaries broadcast back and assignment + waste
+    * are a map-only pass with one final B-row aggregate. The corpus
+    * is never globally sorted (an `ntile` over N rows would be).
+    */
+  def lengthBucketPlan(docs: DataFrame, buckets: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val lens = docs
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(size(split(col(textCol), " ")).cast("long").as("len"))
+    val perLen = lens.groupBy("len").agg(count(lit(1)).as("c"))
+    val wLen = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLen.withColumn("cum", sum(col("c")).over(wLen))
+    val tot = perLen.agg(sum(col("c")).as("n"),
+      sum(col("c") * col("len")).as("sum_len"), max(col("len")).as("mx"))
+    // boundary_j = min len with cum·B ≥ j·N (exact integers)
+    val bounds = cum.crossJoin(broadcast(tot))
+      .select(explode(sequence(lit(1), lit(buckets))).as("bucket"),
+        col("len"), col("cum"), col("n"))
+      .where(col("cum") * buckets >= col("bucket") * col("n"))
+      .groupBy("bucket").agg(min(col("len")).as("boundary"))
+    // assignment runs over the DISTINCT-length table only (the ≤-join
+    // is a bounded B-row nested loop over distinct lengths, never the
+    // corpus); a length covering several quantile cuts takes the
+    // FIRST covering bucket, so heavy lengths can leave later buckets
+    // empty — a ragged plan, replayed identically by the oracle
+    val assign = perLen
+      .join(broadcast(bounds), col("len") <= col("boundary"))
+      .groupBy("len", "c")
+      .agg(min(struct(col("boundary"), col("bucket"))).as("fb"))
+      .select(col("len"), col("c"), col("fb")("bucket").as("bucket"),
+        col("fb")("boundary").as("boundary"))
+    assign.groupBy("bucket", "boundary")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * col("len")).as("sum_tokens"),
+        sum(col("c") * (col("boundary") - col("len")))
+          .as("padding_waste"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket").cast("int").as("bucket"), col("boundary"),
+        col("n_docs"), col("sum_tokens"), col("padding_waste"),
+        (col("n") * col("mx") - col("sum_len")).as("baseline_waste"))
+      .orderBy("bucket")
+  }
+
   /** Byte-pair-encoding merge training, fixed `rounds`: each round
     * counts adjacent token pairs across the corpus, takes the global
     * argmax (ties broken by pair text — deterministic), and rewrites

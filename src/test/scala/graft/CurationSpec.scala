@@ -854,6 +854,28 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       r.getDouble(6))).toSeq === Seq((1, 10L, 0.0, 3.0)))
   }
 
+  test("lengthBucketPlan: equal-frequency boundaries, first-covering " +
+      "assignment, exact padding waste; heavy lengths leave a ragged " +
+      "plan") {
+    // lens 1..4, B=2 → boundaries (2, 4); waste 1 per bucket;
+    // baseline = 4·4 − 10 = 6
+    val d = docs(
+      (1L, "a", "s"), (2L, "a b", "s"),
+      (3L, "a b c", "s"), (4L, "a b c d", "s"))
+    val out = Curation.lengthBucketPlan(d, buckets = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1, 2L, 2L, 3L, 1L, 6L),
+      (2, 4L, 2L, 7L, 1L, 6L)))
+    // all docs one length → every boundary collapses onto it, the
+    // first bucket takes everything, later buckets are EMPTY rows
+    val same = docs((1L, "x y", "s"), (2L, "p q", "s"), (3L, "r s", "s"))
+    val ragged = Curation.lengthBucketPlan(same, buckets = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(ragged.toSeq === Seq((1, 2L, 3L, 0L)))
+  }
+
   // ── sliding-window chunking ─────────────────────────────────────────
 
   test("chunkWindows: stride overlap, remainder tail, short doc = one " +
