@@ -62,7 +62,13 @@ object Explain {
       "q366_gopher_rules", "q367_fuzzy_decontaminate",
       "q369_contamination_overlap", "q370_remove_dup_spans",
       "q372_bloom_decontaminate", "q375_source_overlap",
-      "q376_wordpiece_fertility")
+      "q376_wordpiece_fertility",
+      "q379_curriculum_order", "q380_kneser_ney_score",
+      "q381_url_canonical_dedup",
+      "q385_dsir_selection", "q386_repetition_filter",
+      "q387_idn_host_dedup", "q389_crawl_frontier", "q391_robots_gate",
+      "q392_priority_sample", "q393_chunk_windows",
+      "q397_crawl_pipeline", "q398_length_buckets")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
