@@ -3837,7 +3837,49 @@ private[graft] object QueriesExt {
              |  CAST(SUM(c * (boundary - len)) AS BIGINT)
              |    AS padding_waste,
              |  (SELECT n * mx - sum_len FROM t) AS baseline_waste
-             |FROM fb2 GROUP BY 1, 2 ORDER BY 1""".stripMargin)))
+             |FROM fb2 GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Freshness-driven recrawl scheduling over a synthesized fetch
+    // history (url key = user bucket, content = event_type, so hash
+    // flips are real). The oracle replays the lag-flip count, the
+    // integer ppm rate, and the exact 64-bit priority product.
+    Q("q399_recrawl_priority",
+      (s, dir) => Curation.recrawlPriority(
+        Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select((col("user_id") % 300).cast("long").as("url_key"),
+            col("ts"), col("event_type").as("content_hash")),
+        topN = 100),
+      Some("""WITH f AS (
+             |  SELECT CAST(user_id % 300 AS BIGINT) AS u, ts,
+             |    event_type AS h
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |l AS (SELECT u, ts, h,
+             |    lag(h) OVER (PARTITION BY u ORDER BY ts, h) AS prev
+             |  FROM f),
+             |g AS (SELECT u,
+             |    COUNT(*) AS n_fetches,
+             |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> h
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             |    CAST(epoch_us(MAX(ts)) // 1000000
+             |      - epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS span_sec,
+             |    CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS last_sec
+             |  FROM l GROUP BY u),
+             |n AS (SELECT MAX(last_sec) AS now_sec FROM g)
+             |SELECT u AS url_key, n_fetches, n_changes, span_sec,
+             |  CAST(now_sec - last_sec AS BIGINT) AS age_sec,
+             |  CAST(CASE WHEN span_sec > 0
+             |    THEN (n_changes * 1000000 * 3600) // span_sec
+             |    ELSE 0 END AS BIGINT) AS rate_ppm_hr,
+             |  CAST((CASE WHEN span_sec > 0
+             |    THEN (n_changes * 1000000 * 3600) // span_sec
+             |    ELSE 0 END * (now_sec - last_sec)) // 3600 AS BIGINT)
+             |    AS priority
+             |FROM g, n
+             |ORDER BY priority DESC, url_key LIMIT 100""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -605,6 +605,60 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Freshness-driven recrawl scheduling (the Cho–Garcia-Molina
+    * change-rate shape, linearized to stay integer-exact): from a
+    * fetch history `(url key, fetch ts, content hash)` estimate each
+    * URL's change rate — consecutive-fetch hash flips over the
+    * observed span — and rank by expected staleness
+    * `rate · age`, where age is the time since the URL's last fetch
+    * (measured against the history's own max ts, so the op is a pure
+    * function of its input). All integer micro-units: rate is
+    * ppm-changes-per-hour (`n_changes·10⁶·3600 // span_sec`),
+    * priority is `rate · age_sec // 3600` in exact 64-bit arithmetic
+    * (never through a double — the product exceeds 2⁵³). Returns the
+    * top `topN` stalest URLs.
+    *
+    * Scale shape: the per-URL history window is bounded by a URL's
+    * own fetch count (a crawler re-fetches a page dozens of times,
+    * not millions); per-URL stats are one combinable aggregate; "now"
+    * is a 1-row broadcast; the final cut is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def recrawlPriority(fetches: DataFrame, topN: Int = 100,
+      urlCol: String = "url_key", tsCol: String = "ts",
+      contentCol: String = "content_hash"): DataFrame = {
+    require(topN >= 1, s"topN must be positive, got $topN")
+    // ties on ts order by content too: rows with an equal sort key
+    // carry an equal hash, so the flip sequence is permutation-proof
+    val w = Window.partitionBy("u").orderBy("ts", "h")
+    val t = fetches
+      .where(col(urlCol).isNotNull && col(tsCol).isNotNull &&
+        col(contentCol).isNotNull)
+      .select(col(urlCol).as("u"), col(tsCol).as("ts"),
+        col(contentCol).as("h"))
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("chg",
+        (col("prev").isNotNull && col("prev") =!= col("h")).cast("long"))
+    val g = t.groupBy("u").agg(
+      count(lit(1)).as("n_fetches"),
+      sum(col("chg")).as("n_changes"),
+      (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+        .as("span_sec"),
+      unix_timestamp(max(col("ts"))).as("last_sec"))
+    val now = g.agg(max(col("last_sec")).as("now_sec"))
+    g.crossJoin(broadcast(now))
+      .withColumn("age_sec", col("now_sec") - col("last_sec"))
+      .withColumn("rate_ppm_hr", when(col("span_sec") > 0,
+        expr("n_changes * 1000000L * 3600L div span_sec"))
+        .otherwise(lit(0L)))
+      .withColumn("priority", expr("rate_ppm_hr * age_sec div 3600"))
+      .select(col("u").as("url_key"), col("n_fetches"),
+        col("n_changes"), col("span_sec"), col("age_sec"),
+        col("rate_ppm_hr"), col("priority"))
+      .orderBy(col("priority").desc, col("url_key"))
+      .limit(topN)
+  }
+
   /** Length-bucketed batching plan (the inference/training dynamic-
     * batching prep): cut documents into `buckets` equal-FREQUENCY
     * token-length buckets (boundary_j = the smallest length whose

@@ -854,6 +854,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       r.getDouble(6))).toSeq === Seq((1, 10L, 0.0, 3.0)))
   }
 
+  test("recrawlPriority: change rate = hash flips over span, " +
+      "priority = rate x age, now = the history's own max ts") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 0$h%02d:00:00")
+    val hist = Seq(
+      (10L, ts(0), "x"), (10L, ts(1), "y"), (10L, ts(2), "y"),
+      (20L, ts(3), "z"))
+      .toDF("url_key", "ts", "content_hash")
+    val out = Curation.recrawlPriority(hist, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // url 10: 1 flip over 7200s -> 500000 ppm/hr; 3600s stale ->
+    // priority 500000. url 20: single fetch -> rate 0, age 0.
+    assert(out.toSeq === Seq(
+      (10L, 3L, 1L, 7200L, 3600L, 500000L, 500000L),
+      (20L, 1L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("lengthBucketPlan: equal-frequency boundaries, first-covering " +
       "assignment, exact padding waste; heavy lengths leave a ragged " +
       "plan") {
