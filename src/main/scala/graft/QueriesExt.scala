@@ -3879,6 +3879,60 @@ private[graft] object QueriesExt {
              |    ELSE 0 END * (now_sec - last_sec)) // 3600 AS BIGINT)
              |    AS priority
              |FROM g, n
+             |ORDER BY priority DESC, url_key LIMIT 100""".stripMargin)),
+
+    // q399's recrawl stats maintained as O(1) keyed STREAM state
+    // (first/last fetch, last hash, two counters), ranked post-drain
+    // by the shared recrawlRank tail — batch and stream share q399's
+    // oracle verbatim, the q392/q396 equivalence discipline.
+    Q("q400_stream_recrawl_priority",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "events")
+          .where(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .select((col("user_id") % 300).cast("long").as("url_key"),
+            col("ts"), col("event_type").as("content_hash"))
+        val stats = graft.streaming.StreamingPipeline
+          .recrawlStatsStream(stream).toDF()
+        val out = QueriesAlert.drainToMemory(s, stats, "q400_sink",
+          OutputMode.Update())
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+        graft.ops.Curation.recrawlRank(
+          out.withColumn("mx", max(col("upd")).over(w))
+            .where(col("upd") === col("mx"))
+            .select("u", "n_fetches", "n_changes", "span_sec",
+              "last_sec"),
+          topN = 100)
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(user_id % 300 AS BIGINT) AS u, ts,
+             |    event_type AS h
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |l AS (SELECT u, ts, h,
+             |    lag(h) OVER (PARTITION BY u ORDER BY ts, h) AS prev
+             |  FROM f),
+             |g AS (SELECT u,
+             |    COUNT(*) AS n_fetches,
+             |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> h
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             |    CAST(epoch_us(MAX(ts)) // 1000000
+             |      - epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS span_sec,
+             |    CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS last_sec
+             |  FROM l GROUP BY u),
+             |n AS (SELECT MAX(last_sec) AS now_sec FROM g)
+             |SELECT u AS url_key, n_fetches, n_changes, span_sec,
+             |  CAST(now_sec - last_sec AS BIGINT) AS age_sec,
+             |  CAST(CASE WHEN span_sec > 0
+             |    THEN (n_changes * 1000000 * 3600) // span_sec
+             |    ELSE 0 END AS BIGINT) AS rate_ppm_hr,
+             |  CAST((CASE WHEN span_sec > 0
+             |    THEN (n_changes * 1000000 * 3600) // span_sec
+             |    ELSE 0 END * (now_sec - last_sec)) // 3600 AS BIGINT)
+             |    AS priority
+             |FROM g, n
              |ORDER BY priority DESC, url_key LIMIT 100""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */

@@ -645,6 +645,16 @@ object Curation {
       (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
         .as("span_sec"),
       unix_timestamp(max(col("ts"))).as("last_sec"))
+    recrawlRank(g, topN)
+  }
+
+  /** The staleness-ranking tail of [[recrawlPriority]], shared with
+    * the streaming stats twin: takes per-URL
+    * `(u, n_fetches, n_changes, span_sec, last_sec)` and ranks by the
+    * exact-integer `rate · age` product against the table's own max
+    * last-fetch time.
+    */
+  private[graft] def recrawlRank(g: DataFrame, topN: Int): DataFrame = {
     val now = g.agg(max(col("last_sec")).as("now_sec"))
     g.crossJoin(broadcast(now))
       .withColumn("age_sec", col("now_sec") - col("last_sec"))

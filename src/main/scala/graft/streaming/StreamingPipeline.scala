@@ -635,6 +635,66 @@ object StreamingPipeline {
     * counter map (≤ k entries), `processed` the bucket's total row
     * count — the guarantee check needs N = Σ processed.
     */
+  case class RecrawlState(firstUs: Long, lastUs: Long, lastH: String,
+    n: Long, chg: Long, upd: Long)
+
+  case class RecrawlRow(u: Long, n_fetches: Long, n_changes: Long,
+    span_sec: Long, last_sec: Long, upd: Long)
+
+  /** Streaming twin of [[graft.ops.Curation.recrawlPriority]]'s stats
+    * half: per-URL fetch count, content-hash flip count, and observed
+    * span maintained as O(1) keyed state (first/last fetch time, last
+    * hash, two counters), emitted every micro-batch with an update
+    * counter — the latest emission per URL is current, and
+    * [[graft.ops.Curation.recrawlRank]] ranks the drained table with
+    * the SAME integer arithmetic as the batch op, so both engines
+    * share one oracle. Within a batch arrivals fold in `(ts, hash)`
+    * order (the batch op's tie-proof order); ACROSS batches arrivals
+    * are assumed in event-time order — a late fetch folds at its
+    * arrival position, the same in-order caveat the beacon stream
+    * documents. `stateTtl` evicts URLs idle past the TTL (the
+    * uniform contract).
+    */
+  def recrawlStatsStream(fetches: DataFrame,
+      urlCol: String = "url_key", tsCol: String = "ts",
+      contentCol: String = "content_hash",
+      stateTtl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[RecrawlRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    fetches.where(col(urlCol).isNotNull && col(tsCol).isNotNull &&
+        col(contentCol).isNotNull)
+      .select(col(urlCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("us"),
+        col(contentCol).cast("string").as("h"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, ttlTimeout(stateTtl))(
+        (u: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[RecrawlState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.map(r => (r._2, r._3)).toArray.sortInPlace()
+            var st = state.getOption.getOrElse(
+              RecrawlState(sorted.head._1, sorted.head._1, null, 0L, 0L,
+                0L))
+            sorted.foreach { case (us, h) =>
+              val flip = st.lastH != null && st.lastH != h
+              st = RecrawlState(math.min(st.firstUs, us),
+                math.max(st.lastUs, us), h, st.n + 1,
+                st.chg + (if (flip) 1L else 0L), st.upd)
+            }
+            st = st.copy(upd = st.upd + 1)
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(RecrawlRow(u, st.n, st.chg,
+              st.lastUs / 1000000L - st.firstUs / 1000000L,
+              st.lastUs / 1000000L, st.upd))
+          }
+        })
+  }
+
   case class PriState(items: List[(Double, Long, Long)], upd: Long)
 
   case class PriRow(label: String, upd: Long, rank: Int, doc_id: Long,

@@ -1389,7 +1389,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       "centroid" -> P.centroidStream(emb, dim = 2, stateTtl = ttl).toDF(),
       "funnel" -> P.funnelStream(e, "a", "b", stateTtl = ttl).toDF(),
       "prioritySample" -> P.prioritySampleStream(docs, stateTtl = ttl)
-        .toDF())
+        .toDF(),
+      "recrawlStats" -> P.recrawlStatsStream(e, urlCol = "user_id",
+        contentCol = "event_type", stateTtl = ttl).toDF())
     build(Some("1 hour")).foreach { case (name, df) =>
       assert(timeoutOf(df) === Seq(GroupStateTimeout.ProcessingTimeTimeout),
         s"$name: TTL must arm a processing-time timeout")
