@@ -1459,7 +1459,10 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       ("spray", df => P.sprayStream(df).toDF(), OutputMode.Append()),
       ("rfm", df => P.rfmStream(df).toDF(), OutputMode.Append()),
       ("funnel", df => P.funnelStream(df, "a", "b").toDF(),
-        OutputMode.Append()))
+        OutputMode.Append()),
+      ("recrawlStats", df => P.recrawlStatsStream(df,
+        urlCol = "user_id", contentCol = "event_type").toDF(),
+        OutputMode.Update()))
     cases.foreach { case (name, build, mode) =>
       val mem = MemoryStream[FullEv]
       val q = build(mem.toDF()).writeStream.format("memory")
@@ -1485,6 +1488,25 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       memE.addData(rows: _*); qc.processAllAvailable()
       assert(qc.lastProgress.stateOperators.head.numRowsTotal === 2L)
     } finally qc.stop()
+    // prioritySample's input is a document stream; its state is the
+    // bounded (k+1)-heap per stratum — one row per LABEL, and feeding
+    // more docs than k never grows it past the label count
+    val memD = MemoryStream[(Long, String, String)]
+    val qp = P.prioritySampleStream(
+        memD.toDF().toDF("doc_id", "text", "source"), k = 2).toDF()
+      .writeStream.format("memory").queryName("plateau_prisample")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      memD.addData((1L, "a b", "s"), (2L, "a", "s"), (3L, "a b c", "t"))
+      qp.processAllAvailable()
+      assert(qp.lastProgress.stateOperators.head.numRowsTotal === 2L)
+      // four more docs in stratum s: the heap absorbs them, state
+      // stays one row per label
+      memD.addData((4L, "x", "s"), (5L, "x y", "s"), (6L, "y", "s"),
+        (7L, "z", "s"))
+      qp.processAllAvailable()
+      assert(qp.lastProgress.stateOperators.head.numRowsTotal === 2L)
+    } finally qp.stop()
   }
 
   test("decontaminateStream tokenizes trailing/interior spaces exactly " +
