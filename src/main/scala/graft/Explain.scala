@@ -68,7 +68,8 @@ object Explain {
       "q385_dsir_selection", "q386_repetition_filter",
       "q387_idn_host_dedup", "q389_crawl_frontier", "q391_robots_gate",
       "q392_priority_sample", "q393_chunk_windows",
-      "q397_crawl_pipeline", "q398_length_buckets")
+      "q397_crawl_pipeline", "q398_length_buckets",
+      "q399_recrawl_priority")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

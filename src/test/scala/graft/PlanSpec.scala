@@ -360,4 +360,26 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("Window"),
       "selection must not fall back to a row_number window sort")
   }
+
+  test("q397: the crawl composition joins only broadcast-side — robots " +
+      "rules and the blocklist both reach the URL stream without a " +
+      "URL-side shuffle join") {
+    val plan = planOf("q397_crawl_pipeline")
+    assert(!plan.contains("SortMergeJoin"),
+      "no stage may shuffle the URL stream against a planning table")
+    assert(plan.contains("BroadcastHashJoin"),
+      "rules and blocklist must broadcast")
+    assert(plan.contains("LeftAnti"), "the blocklist gate is an anti-join")
+  }
+
+  test("q398: the length-bucket planner's corpus work is ONE combinable " +
+      "per-length aggregate — the quantile window never sees the corpus") {
+    val plan = planOf("q398_length_buckets")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "per-length counts must combine map-side")
+    // the ≤-cover join runs over the distinct-length table against B
+    // broadcast boundary rows — a bounded nested loop is the INTENDED
+    // shape here; what must never appear is a corpus-side sort-merge
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
 }
