@@ -323,5 +323,11 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(row.where(Criteria.toColumn(
       "date_trunc('week', ts) = TIMESTAMP '2024-03-11 00:00:00'"))
       .count() === 1)
+    // Presto's 4-arg reduce(array, init, inputFn, outputFn) IS
+    // Spark's reduce builtin (the aggregate alias) — no shim; the
+    // finish lambda applies after the fold on both engines
+    assert(row.where(Criteria.toColumn(
+      "reduce(ARRAY[1, 2, 3], 10, (s, x) -> s + x, s -> s * 2) = 32"))
+      .count() === 1)
   }
 }
