@@ -3933,7 +3933,44 @@ private[graft] object QueriesExt {
              |    ELSE 0 END * (now_sec - last_sec)) // 3600 AS BIGINT)
              |    AS priority
              |FROM g, n
-             |ORDER BY priority DESC, url_key LIMIT 100""".stripMargin)))
+             |ORDER BY priority DESC, url_key LIMIT 100""".stripMargin)),
+
+    // q393's window chunker run on a document STREAM — the op is a
+    // pure map-only column program (chunkWindowsUnsorted), so it runs
+    // UNCHANGED under readStream with no state and no watermark;
+    // sharing q393's oracle pins the batch-stream equivalence and the
+    // statelessness claim in one check.
+    Q("q401_stream_chunk_windows",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+        val chunks = Curation.chunkWindowsUnsorted(stream,
+          width = 8, stride = 5)
+        QueriesAlert.drainToMemory(s, chunks, "q401_sink",
+          OutputMode.Append()).orderBy("doc_id", "win_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             |n AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+             |w AS (SELECT doc_id, ws,
+             |    CASE WHEN n <= 8 THEN 1
+             |      ELSE CAST(CEIL(CAST(n - 8 AS DOUBLE) / 5) AS BIGINT)
+             |        + 1 END AS nw
+             |  FROM n),
+             |x AS (SELECT doc_id, ws,
+             |    CAST(unnest(generate_series(0, nw - 1)) AS INT)
+             |      AS win_idx
+             |  FROM w)
+             |SELECT doc_id, win_idx,
+             |  CAST(win_idx AS BIGINT) * 5 AS start_tok,
+             |  CAST(len(ws[win_idx * 5 + 1 : win_idx * 5 + 8]) AS BIGINT)
+             |    AS n_tokens,
+             |  array_to_string(ws[win_idx * 5 + 1 : win_idx * 5 + 8], ' ')
+             |    AS chunk
+             |FROM x ORDER BY doc_id, win_idx""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -2096,7 +2096,17 @@ object Curation {
     * transform+explode — no shuffle, no state, rides the scan.
     */
   def chunkWindows(docs: DataFrame, width: Int = 32, stride: Int = 16,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    chunkWindowsUnsorted(docs, width, stride, textCol, idCol)
+      .orderBy("doc_id", "win_idx")
+
+  /** [[chunkWindows]] without the presentation sort — being a pure
+    * map-only column program, this form runs UNCHANGED on a streaming
+    * DataFrame (no state, no watermark; q401 pins the equivalence).
+    */
+  def chunkWindowsUnsorted(docs: DataFrame, width: Int = 32,
+      stride: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     require(width >= 1, s"width must be positive, got $width")
     require(stride >= 1 && stride <= width,
       s"stride must be in [1, width], got $stride")
@@ -2115,7 +2125,6 @@ object Curation {
         (col("win_idx").cast("long") * stride).as("start_tok"),
         size(col("cw")).cast("long").as("n_tokens"),
         concat_ws(" ", col("cw")).as("chunk"))
-      .orderBy("doc_id", "win_idx")
   }
 
   def dsirSelect(corpus: DataFrame, target: DataFrame,
