@@ -75,21 +75,12 @@ object CrawlMain {
     }
     val robotsCount = allowed.count()
 
-    // 4: blocklist label-suffix anti-join (the urlGateStream key)
+    // 4: blocklist label-suffix anti-join (the shared gate — same
+    // code urlGateStream and q397 run)
     val unblocked = blockPath match {
       case Some(p) =>
-        val bl = spark.read.parquet(p)
-          .select(lower(col("domain")).as("domain"))
-          .withColumn("k", size(split(col("domain"), "\\.")))
-        val ks = bl.select("k").distinct().collect()
-          .map(_.getInt(0)).sorted
-        val labels = split(col("host"), "\\.")
-        ks.foldLeft(allowed) { (acc, k) =>
-          val sfx = when(size(labels) >= k,
-            array_join(slice(labels, -k, k), ".")).otherwise(lit(""))
-          acc.join(broadcast(bl.where(col("k") === k).select("domain")),
-            sfx === col("domain"), "left_anti")
-        }
+        Curation.blocklistGate(allowed, spark.read.parquet(p),
+          col("host"))
       case None => allowed
     }
     val gatedCount = unblocked.count()

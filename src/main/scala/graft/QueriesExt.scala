@@ -3772,12 +3772,8 @@ private[graft] object QueriesExt {
             hintBroadcast = true, keep = Seq("curl"))
           .where(col("allowed"))
         val blocked = Seq("tracker.net").toDF("domain")
-        val labels = split(col("host"), "\\.")
-        val gated = allowed
-          .withColumn("sfx", when(size(labels) >= 2,
-            array_join(slice(labels, -2, 2), ".")).otherwise(lit("")))
-          .join(broadcast(blocked), col("sfx") === col("domain"),
-            "left_anti")
+        val gated = graft.ops.Curation.blocklistGate(
+          allowed, blocked, col("host"))
         gated.groupBy("curl")
           .agg(min(col("id")).as("keeper_id"),
             count(lit(1)).as("n_fetched"))
@@ -3970,7 +3966,57 @@ private[graft] object QueriesExt {
              |    AS n_tokens,
              |  array_to_string(ws[win_idx * 5 + 1 : win_idx * 5 + 8], ' ')
              |    AS chunk
-             |FROM x ORDER BY doc_id, win_idx""".stripMargin)))
+             |FROM x ORDER BY doc_id, win_idx""".stripMargin)),
+
+    // Crawl-delay-aware politeness: hosts whose robots.txt carries a
+    // Crawl-delay get their fetches spread ≥ delay slots apart —
+    // stride = max(H, delay) — while undelayed hosts keep the plain
+    // round-robin. The robots fixture pins the delay-resolution
+    // ladder too: named-agent groups beat `*` (h3: graftbot 30/50
+    // wins over *'s 999), several applicable delays take the MAX
+    // (h3 → 50), a sub-H delay never shrinks the stride (h5: 7 <
+    // H=20), non-numeric values drop (h7), and a delay under an
+    // inapplicable agent is invisible (h9). The oracle restates the
+    // whole schedule arithmetic with the resolved delays inlined.
+    Q("q402_crawl_delay_schedule",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull)
+          .withColumn("host", concat(lit("h"),
+            (col("user_id") % 20).cast("string"), lit(".example")))
+        val robots = Seq(
+          ("h3.example", "User-agent: graftbot\nCrawl-delay: 30\n\n" +
+            "User-agent: graftbot\nCrawl-delay: 50\n\n" +
+            "User-agent: *\nCrawl-delay: 999\n"),
+          ("h5.example", "User-agent: *\nCrawl-delay: 7\n"),
+          ("h7.example", "User-agent: *\nCrawl-delay: oops\n"),
+          ("h9.example", "User-agent: other\nCrawl-delay: 99\n"))
+          .toDF("host", "body")
+        val delays = graft.ops.Curation.crawlDelays(robots, "graftbot")
+        graft.ops.Curation.frontierSchedule(ev, "host", "event_id",
+          delays = Some(delays))
+      },
+      Some("""WITH c AS (SELECT event_id AS id,
+             |    'h' || (user_id % 20) || '.example' AS host
+             |  FROM events WHERE user_id IS NOT NULL),
+             |hi AS (SELECT host,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY host) - 1 AS BIGINT)
+             |      AS host_index
+             |  FROM (SELECT DISTINCT host FROM c)),
+             |hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM hi),
+             |r AS (SELECT id, host, CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY host ORDER BY id) AS BIGINT)
+             |      AS rank_in_host
+             |  FROM c)
+             |SELECT r.id, r.host, hi.host_index, r.rank_in_host,
+             |  (r.rank_in_host - 1) *
+             |    (CASE r.host
+             |       WHEN 'h3.example' THEN GREATEST(hc.h, 50)
+             |       WHEN 'h5.example' THEN GREATEST(hc.h, 7)
+             |       ELSE hc.h END) + hi.host_index AS fetch_pos
+             |FROM r JOIN hi USING (host) CROSS JOIN hc
+             |ORDER BY fetch_pos""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -482,7 +482,7 @@ object Functions {
       shim("last_day_of_month")(exprs => LastDay(exprs.head))
 
       // ── ninth tranche: string/number breadth ──────────────────────
-      import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+      import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
       // Presto split_part: 1-based, LITERAL delimiter, NULL when the
       // index exceeds the field count. Spark's builtin of the same
       // name returns '' out of range — another silent divergence →
@@ -516,9 +516,14 @@ object Functions {
       shim("to_base")(exprs => Lower(
         Conv(Cast(exprs.head, StringType), Literal(10), exprs(1))))
       // Presto IEEE predicates (Spark spells isnan without the
-      // underscore and has no finite/infinite tests). Null in → null
-      // out rides the comparison's own null propagation.
-      shim("is_nan")(exprs => IsNaN(Cast(exprs.head, DoubleType)))
+      // underscore and has no finite/infinite tests). For is_finite /
+      // is_infinite, null in → null out rides the comparison's own
+      // null propagation; Spark's IsNaN is null-INtolerant (NULL →
+      // false), so is_nan needs an explicit null gate to match
+      // Presto's is_nan(NULL) → NULL.
+      shim("is_nan")(exprs => If(IsNull(exprs.head),
+        Literal(null, BooleanType),
+        IsNaN(Cast(exprs.head, DoubleType))))
       shim("is_finite") { exprs =>
         val x = Cast(exprs.head, DoubleType)
         And(Not(IsNaN(x)),

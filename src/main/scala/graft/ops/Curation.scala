@@ -1734,28 +1734,56 @@ object Curation {
     * Returns `(id, host, host_index, rank_in_host, fetch_pos)`
     * ordered by `fetch_pos`.
     *
+    * `delays` (optional) is a `(host, crawl_delay)` frame —
+    * [[crawlDelays]] output — giving per-host MINIMUM spacing in
+    * slots: a delayed host's stride becomes `max(H, crawl_delay)`,
+    * so its consecutive fetches sit ≥ crawl_delay positions apart
+    * while undelayed hosts keep the plain round-robin. Per-host
+    * spacing guarantees survive; global positions may collide across
+    * hosts with different strides (fetch_pos stays an ORDERING key —
+    * ties are harmless to politeness, which is a same-host property).
+    *
     * Scale shape: within-host ranks come from [[Par.prefixSum]]'s
     * range-shuffle scan — never a per-host window sort of the URL
     * table; the host-index table is |hosts| rows (a planning table:
     * frontiers hold millions of URLs over thousands of hosts), ranked
-    * once in a single window and broadcast back into the URL stream
-    * with the host count.
+    * by the same parallel prefix sum and broadcast back into the URL
+    * stream with the host count; the delay table joins broadcast on
+    * host (it is ≤ |hosts| rows by construction).
     */
   def frontierSchedule(urls: DataFrame, hostCol: String = "host",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id",
+      delays: Option[DataFrame] = None): DataFrame = {
     val t = Par.spread(urls.where(col(hostCol).isNotNull))
       .select(col(idCol).cast("long").as("id"),
         col(hostCol).cast("string").as("host"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("host")
-    val hIdx = t.select("host").distinct()
-      .withColumn("host_index", (row_number().over(w) - 1).cast("long"))
+    // Host ordinal via the range-shuffle prefix-sum scan, NEVER a
+    // global Window.orderBy("host"): 10⁶-10⁷ distinct hosts through
+    // one unpartitioned window task was the crawl front's last
+    // single-partition bottleneck. prefixSum ranks each range
+    // partition locally and stitches with driver-side partition
+    // offsets, so the ordinal is dense, host-ordered, and parallel.
+    val hIdx = Par.prefixSum(
+        t.select("host").distinct().withColumn("one", lit(1L)),
+        Nil, Seq("host"), "one", outCol = "host_rank")
+      .select(col("host"), (col("host_rank") - 1L).as("host_index"))
     val hCount = hIdx.agg(count(lit(1)).as("h"))
-    Par.prefixSum(t.withColumn("one", lit(1L)), Seq("host"), Seq("id"),
-        "one", outCol = "rank_in_host")
+    val ranked = Par.prefixSum(t.withColumn("one", lit(1L)),
+        Seq("host"), Seq("id"), "one", outCol = "rank_in_host")
       .join(broadcast(hIdx), Seq("host"))
       .crossJoin(broadcast(hCount))
+    val withStride = delays match {
+      case Some(d) =>
+        val dl = d.select(lower(col("host")).as("host"),
+          col("crawl_delay").cast("long").as("crawl_delay"))
+        ranked.join(broadcast(dl), Seq("host"), "left")
+          .withColumn("stride",
+            greatest(col("h"), coalesce(col("crawl_delay"), lit(0L))))
+      case None => ranked.withColumn("stride", col("h"))
+    }
+    withStride
       .withColumn("fetch_pos",
-        (col("rank_in_host") - 1L) * col("h") + col("host_index"))
+        (col("rank_in_host") - 1L) * col("stride") + col("host_index"))
       .select("id", "host", "host_index", "rank_in_host", "fetch_pos")
       .orderBy("fetch_pos")
   }
@@ -1789,6 +1817,51 @@ object Curation {
       .select(col("id"), col("canonical_url"), col("keeper_id"),
         (col("id") =!= col("keeper_id")).as("is_dup"))
       .orderBy("id")
+  }
+
+  /** Blocklist gate: drop rows whose host IS a listed domain or is a
+    * subdomain of one. `blocklist` is a one-column `domain` frame
+    * (lowercased on entry) — blocklist-as-data, never a folded
+    * predicate chain (a 10⁶-domain list as per-row predicates would
+    * be O(|blocklist|) per row AND recompile the plan on every list
+    * change). This is THE gate: [[graft.streaming.StreamingPipeline
+    * .urlGateStream]], `CrawlMain`, and the q397 pipeline all
+    * delegate here — one copy, no drift.
+    *
+    * Scale shape: subdomain matching stays EQUI-join-able by keying
+    * on label-suffixes — one stream-static-legal broadcast LEFT ANTI
+    * join per label depth, each keyed `last-k-labels(host) = domain`.
+    * Per-row cost is O(#depths) hash probes, independent of
+    * blocklist size.
+    *
+    * `depths` picks the label depths to probe. Empty (the batch
+    * default) probes the blocklist's DISTINCT label counts — a
+    * bounded driver aggregate (real blocklists hold 2-5-label
+    * domains) re-evaluated each plan build, so it always covers the
+    * current list. Streaming callers pass a FIXED range instead
+    * (e.g. `1 to 8`): the depth set is baked into the plan at stream
+    * start, so a later list swap that introduces a brand-new label
+    * depth still gates correctly as long as it falls inside the
+    * range — the contract the fixed range buys. Domains deeper than
+    * every probed depth match nothing (each depth's anti-join build
+    * side is just the domains AT that depth).
+    */
+  def blocklistGate(df: DataFrame, blocklist: DataFrame, hostCol: Column,
+      depths: Seq[Int] = Nil): DataFrame = {
+    val bl = blocklist.select(lower(col("domain")).as("domain"))
+      .withColumn("k", size(split(col("domain"), "\\.")))
+    val ks =
+      if (depths.nonEmpty) depths.distinct.sorted
+      else bl.select("k").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val hostLabels = split(hostCol, "\\.")
+    ks.foldLeft(df) { (acc, k) =>
+      // last-k labels of the host; a host with < k labels can't match
+      // a k-label domain — key it "" (matches nothing, lazily guarded)
+      val sfx = when(size(hostLabels) >= k,
+        array_join(slice(hostLabels, -k, k), ".")).otherwise(lit(""))
+      acc.join(broadcast(bl.where(col("k") === k).select("domain")),
+        sfx === col("domain"), "left_anti")
+    }
   }
 
   /** Competence-based curriculum ordering (Platanios et al. 2019
@@ -1929,28 +2002,8 @@ object Curation {
     */
   def parseRobots(robots: DataFrame, hostCol: String = "host",
       textCol: String = "body"): DataFrame = {
-    // hosts key lowercase — the verdict side lowercases the URL's
-    // authority, so a mixed-case robots table must meet it there
-    val lines = robots.select(lower(col(hostCol)).as("host"),
-        posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
-          .as(Seq("ln", "raw")))
-      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
-      .withColumn("key",
-        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
-      .withColumn("value",
-        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
-      .where(col("key").isin("user-agent", "allow", "disallow"))
-    val wLn = Window.partitionBy("host").orderBy("ln")
-    val grouped = lines
-      .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
-      // a UA line STARTS a group unless the previous kept line was
-      // also UA — consecutive UA lines share one group head
-      .withColumn("starts", (col("is_ua") === 1 &&
-        coalesce(lag(col("is_ua"), 1).over(wLn), lit(0)) === 0).cast("int"))
-      .withColumn("gid", sum(col("starts")).over(wLn))
-    val agents = grouped.where(col("is_ua") === 1)
-      .select(col("host"), col("gid"), lower(col("value")).as("agent"))
-    val rules = grouped.where(col("is_ua") === 0 && col("gid") > 0 &&
+    val (agents, entries) = robotsGroups(robots, hostCol, textCol)
+    val rules = entries.where(col("key").isin("allow", "disallow") &&
         col("value") =!= "")
       .select(col("host"), col("gid"), col("key").as("rule"),
         col("value").as("pattern"))
@@ -1964,6 +2017,74 @@ object Curation {
       .select(col("host"), col("gid"), col("agent"), col("rule"),
         col("pattern"), length(col("pattern")).as("pattern_len"),
         concat(lit("^"), anchored).as("pattern_re"))
+  }
+
+  /** The line→group core shared by [[parseRobots]] and
+    * [[crawlDelays]]: hosts keyed lowercase (the verdict side
+    * lowercases the URL's authority), `#` comments stripped anywhere
+    * on a line, CRLF tolerated, consecutive `User-agent` lines
+    * forming ONE group head, pre-group lines ignored (RFC 9309
+    * §2.2.1). Returns `(agents, entries)`: the per-group agent names
+    * and the in-group non-UA field lines as `(host, gid, key,
+    * value)`. One bounded per-host window (robots.txt is capped at
+    * 500 KiB by the RFC).
+    */
+  private def robotsGroups(robots: DataFrame, hostCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val lines = robots.select(lower(col(hostCol)).as("host"),
+        posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
+          .as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("key",
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+      .where(col("key").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
+    val wLn = Window.partitionBy("host").orderBy("ln")
+    val grouped = lines
+      .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
+      // a UA line STARTS a group unless the previous kept line was
+      // also UA — consecutive UA lines share one group head
+      .withColumn("starts", (col("is_ua") === 1 &&
+        coalesce(lag(col("is_ua"), 1).over(wLn), lit(0)) === 0).cast("int"))
+      .withColumn("gid", sum(col("starts")).over(wLn))
+    val agents = grouped.where(col("is_ua") === 1)
+      .select(col("host"), col("gid"), lower(col("value")).as("agent"))
+    val entries = grouped.where(col("is_ua") === 0 && col("gid") > 0)
+      .select(col("host"), col("gid"), col("key"), col("value"))
+    (agents, entries)
+  }
+
+  /** Per-host `Crawl-delay` for one crawler `agent` — the de-facto
+    * extension reference-class crawlers honor alongside RFC 9309.
+    * Group applicability matches [[robotsGate]]'s precedence: the
+    * agent's own groups if the file names it anywhere on the host,
+    * else the `*` groups; non-numeric values are dropped; when the
+    * applicable groups carry several delays the LARGEST (most polite)
+    * wins. Returns `(host, crawl_delay)` — hosts with no applicable
+    * delay are absent, and [[frontierSchedule]] takes this frame
+    * directly as its per-host minimum spacing.
+    */
+  def crawlDelays(robots: DataFrame, agent: String = "*",
+      hostCol: String = "host", textCol: String = "body"): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val (agents, entries) = robotsGroups(robots, hostCol, textCol)
+    val scoped = agents.where(col("agent").isin(a, "*"))
+      .withColumn("is_spec", (col("agent") === a).cast("int"))
+    val wh = Window.partitionBy("host")
+    val applicable = scoped
+      .withColumn("has_spec", max(col("is_spec")).over(wh))
+      .where(col("is_spec") === col("has_spec"))
+      .select("host", "gid").distinct()
+    entries.where(col("key") === "crawl-delay")
+      // try_cast: a malformed delay is a dropped line, not a crawl
+      // abort (ANSI cast would fail the job on 'Crawl-delay: oops')
+      .withColumn("delay", expr("try_cast(value AS BIGINT)"))
+      .where(col("delay").isNotNull && col("delay") > 0L)
+      .join(applicable, Seq("host", "gid"))
+      .groupBy("host")
+      .agg(max(col("delay")).as("crawl_delay"))
   }
 
   /** Gate a URL table on parsed robots rules ([[parseRobots]] output)

@@ -1253,10 +1253,17 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("mxw"))
+    // sequence(1, 0) in Spark is the DESCENDING array [1, 0], so a
+    // single-word doc would evaluate element_at(ws, 2) and throw —
+    // guard the fan-out to an empty array (explode then emits no
+    // rows, the left join coalesces the profile to 0, matching the
+    // oracle's empty range(1, len(ws))).
     val bigrams = base
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(ws) - 1, 0)), " +
-          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        "case when size(ws) >= 2 then " +
+          "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "else array() end"))
         .as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("mxb"),

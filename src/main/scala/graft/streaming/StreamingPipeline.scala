@@ -80,17 +80,19 @@ object StreamingPipeline {
     * dropped when its host IS a listed domain or is a subdomain of
     * one.
     *
-    * Scale shape: subdomain matching stays EQUI-join-able by keying
-    * on label-suffixes — the gate probes the blocklist's distinct
-    * label counts (a bounded driver aggregate: real blocklists hold
-    * 2-5-label domains, so ≤ a handful of values even at 10⁷ rows)
-    * and runs ONE stream-static broadcast LEFT ANTI join per present
-    * label count, each keyed `last-k-labels(host) = domain`. Per-row
-    * cost is O(#label-counts) hash probes — independent of blocklist
-    * size — and updating the list is a data swap, not a plan
-    * recompile. Dedup state keys by the 16-byte `url_key =
-    * md5(canonical)` (never the URL string) and the watermark evicts
-    * it — state is O(unique URLs per horizon), not O(stream).
+    * Scale shape: subdomain matching is [[graft.ops.Curation
+    * .blocklistGate]] — one stream-static broadcast LEFT ANTI join
+    * per label depth, keyed `last-k-labels(host) = domain`, per-row
+    * cost O(#depths) hash probes independent of blocklist size.
+    * Updating the list is a data swap, not a plan recompile, WITH the
+    * caveat that the depth set is fixed at stream start: this gate
+    * probes the FIXED range 1..8 (not the current list's depths), so
+    * a swapped-in list whose first 7-label domain appears mid-stream
+    * is still gated — only a >8-label domain (no real blocklist has
+    * one) would wait for a query rebuild. Dedup state keys by the
+    * 16-byte `url_key = md5(canonical)` (never the URL string) and
+    * the watermark evicts it — state is O(unique URLs per horizon),
+    * not O(stream).
     */
   def urlGateStream(docs: DataFrame, blocklist: DataFrame,
       urlCol: String, tsCol: String, delay: String): DataFrame = {
@@ -99,20 +101,8 @@ object StreamingPipeline {
         graft.ops.Curation.canonicalUrl(col(urlCol)))
     val host = regexp_extract(col("canonical_url"),
       "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
-    val bl = blocklist.select(lower(col("domain")).as("domain"))
-      .withColumn("k", size(split(col("domain"), "\\.")))
-    // bounded driver pull: DISTINCT label counts of the blocklist
-    // (≤ ~10 values for any real list), NOT the list itself
-    val ks = bl.select("k").distinct().collect().map(_.getInt(0)).sorted
-    val hostLabels = split(host, "\\.")
-    val gated = ks.foldLeft(canon) { (acc, k) =>
-      // last-k labels of the host; a host with < k labels can't match
-      // a k-label domain — key it "" (matches nothing, lazily guarded)
-      val sfx = when(size(hostLabels) >= k,
-        array_join(slice(hostLabels, -k, k), ".")).otherwise(lit(""))
-      acc.join(broadcast(bl.where(col("k") === k).select("domain")),
-        sfx === col("domain"), "left_anti")
-    }
+    val gated = graft.ops.Curation.blocklistGate(
+      canon, blocklist, host, depths = 1 to 8)
     gated
       .withColumn("url_key", md5(col("canonical_url")))
       .withWatermark(tsCol, delay)
@@ -298,9 +288,16 @@ object StreamingPipeline {
       val len = text.length
       while (i <= len) {
         var j = i; var h = 0L; var any = false
+        // Iterate CODE POINTS, not UTF-16 units: the batch kernel's
+        // split(w, '') + ascii(c) hashes one full code point per
+        // step (Java regex split is code-point aware), so a
+        // surrogate pair (emoji, rare CJK) must fold as one value
+        // here too or the doc buckets differently than the weight
+        // table that scores it.
         while (j < len && text.charAt(j) != ' ') {
-          h = (h * 37 + text.charAt(j)) % 2147483647L
-          any = true; j += 1
+          val cp = text.codePointAt(j)
+          h = (h * 37 + cp) % 2147483647L
+          any = true; j += Character.charCount(cp)
         }
         if (any) { n += 1L; sm += l((h % l.length).toInt) }
         i = j + 1

@@ -297,6 +297,11 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
         "is_infinite(-1e308 * 10) AND is_nan(1e308*10 - 1e308*10) AND " +
         "NOT is_nan(0.0) AND is_finite(CAST(NULL AS DOUBLE)) IS NULL"))
       .count() === 1)
+    // Presto is_nan(NULL) is NULL — Spark's IsNaN alone would give
+    // false; the shim's explicit null gate is what this pins
+    assert(row.where(Criteria.toColumn(
+      "is_nan(CAST(NULL AS DOUBLE)) IS NULL AND " +
+        "is_infinite(CAST(NULL AS DOUBLE)) IS NULL")).count() === 1)
   }
 
   test("seventh-tranche parity set needs no shim: map_filter / " +

@@ -815,6 +815,35 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(v.length === 1 && v(0).getBoolean(3) === false)
   }
 
+  test("crawlDelays: named-agent groups beat '*', max of applicable " +
+      "delays wins, malformed and inapplicable delays drop, and " +
+      "frontierSchedule stretches only strides above H") {
+    val robots = Seq(
+      // graftbot named → its two groups apply (max 50), *'s 999 not
+      ("a.ex", "User-agent: graftbot\nCrawl-delay: 30\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 50\n\n" +
+        "User-agent: *\nCrawl-delay: 999\n"),
+      ("b.ex", "User-agent: *\nCrawl-delay: 7\n"),      // via wildcard
+      ("c.ex", "User-agent: *\nCrawl-delay: oops\n"),   // malformed
+      ("d.ex", "User-agent: other\nCrawl-delay: 99\n"), // inapplicable
+      ("e.ex", "User-agent: *\nCrawl-delay: 0\n"))      // non-positive
+      .toDF("host", "body")
+    val d = Curation.crawlDelays(robots, "graftbot").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("a.ex" -> 50L, "b.ex" -> 7L))
+    // schedule over 2 hosts (H=2): a.ex stride max(2,50)=50, b.ex's
+    // 7... both hosts delayed here, so use a third undelayed host
+    val urls = Seq(
+      (1L, "a.ex"), (2L, "a.ex"), (3L, "z.ex"), (4L, "z.ex"))
+      .toDF("id", "host")
+    val sched = Curation.frontierSchedule(urls, "host", "id",
+        delays = Some(Curation.crawlDelays(robots, "graftbot")))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // H=2; a.ex host_index 0 stride 50 → 0, 50; z.ex host_index 1
+    // stride 2 → 1, 3
+    assert(sched === Map(1L -> 0L, 2L -> 50L, 3L -> 1L, 4L -> 3L))
+  }
+
   // ── priority sampling ───────────────────────────────────────────────
 
   /** The VecKernels.mix31 kernel, restated for an independent expected

@@ -730,6 +730,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(r(3L).getLong(6) === 31L && !r(3L).getBoolean(7))
   }
 
+  test("repetitionStats: single-word doc survives (no descending " +
+      "sequence) with zeroed bigram profiles") {
+    val d = Seq(
+      (1L, "hello", "en", "s"),                 // 1 word: bigrams empty
+      (2L, "a b a b", "en", "s"),               // dup bigram 'a b' ×2
+      (3L, "  x ", "en", "s"))                  // 1 word after filter
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: n=1, mxw=1 → top_word 1_000_000; bigram side empty →
+    // both bigram ppms coalesce to 0 (the crash fix: sequence(1,0)
+    // must never evaluate)
+    assert(r(1L).getLong(1) === 1L)
+    assert(r(1L).getLong(2) === 1000000L)
+    assert(r(1L).getLong(3) === 0L && r(1L).getLong(4) === 0L)
+    assert(r(3L).getLong(3) === 0L && r(3L).getLong(4) === 0L)
+    // doc 2: n=4, mxw=2 → 500_000; bigrams (a b, b a, a b): mxb=2 →
+    // top_bigram 2·2M/4 = 1_000_000; dup = 2·2M/4 = 1_000_000
+    assert(r(2L).getLong(2) === 500000L)
+    assert(r(2L).getLong(3) === 1000000L)
+    assert(r(2L).getLong(4) === 1000000L)
+  }
+
   test("label centroids: micro-floor before sum — exact and partitioning-independent") {
     val e = Seq(
       (1L, Array(0.5f, -0.25f), "x"),

@@ -372,6 +372,24 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("LeftAnti"), "the blocklist gate is an anti-join")
   }
 
+  test("q389: the frontier host ordinal is prefix-sum parallel — no " +
+      "single-partition global window anywhere in the schedule plan") {
+    val plan = planOf("q389_crawl_frontier")
+    // every window in the plan must be partitioned (prefixSum's
+    // per-__pid running sum); an UNpartitioned spec is the
+    // Window.orderBy(host) global ordinal that serializes all
+    // distinct hosts through one task. (A SinglePartition exchange
+    // under the scalar count(*) is fine — one row crosses it.)
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty, "expected the prefix-sum window: " + plan.take(400))
+    assert(specs.forall(_.contains("__pid")),
+      "unpartitioned window spec found: " + specs.mkString(" | "))
+    assert(!plan.contains("row_number"),
+      "the ordinal must come from the range-shuffle prefix sum, not " +
+        "a global row_number window")
+  }
+
   test("q398: the length-bucket planner's corpus work is ONE combinable " +
       "per-length aggregate — the quantile window never sees the corpus") {
     val plan = planOf("q398_length_buckets")

@@ -1526,4 +1526,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(stream === batch)
     assert(stream.exists(_._1 == 1L), "the trailing-space hit must fire")
   }
+
+  test("dsirGateStream hashes per CODE POINT like the batch kernel: " +
+      "non-BMP words (surrogate pairs) bucket identically") {
+    import org.apache.spark.sql.functions._
+    // doc 1 carries an emoji word (U+1F600, a surrogate pair in
+    // UTF-16) and a rare-CJK word (U+20000); a UTF-16-unit scorer
+    // would fold each half separately and land in a different bucket
+    // than the weight table trained batch-side
+    val corpus = Seq((1L, "😀 ok 😀x"),
+      (2L, "plain words here"),
+      (3L, "𠀀 mixed a😀b")).toDF("doc_id", "text")
+    val target = Seq((9L, "😀 target")).toDF("doc_id", "text")
+    val w = graft.ops.Curation.dsirWeights(corpus, target, buckets = 64)
+    // batch replay of the gate arithmetic with the q22 h37 kernel
+    // (split(w,'') + ascii(c) — code-point aware by Java regex)
+    val h37 = "aggregate(filter(split(w, ''), c -> c <> ''), 0L, " +
+      "(a, c) -> (a * 37 + ascii(c)) % 2147483647)"
+    val batch = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .withColumn("bucket", expr(h37) % 64L)
+      .join(w, Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(lam) div count(1)").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the gate is map-only (no state), so it runs on a batch frame
+    val gate = graft.streaming.StreamingPipeline
+      .dsirGateStream(corpus, w, minScore = Long.MinValue, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gate === batch)
+    assert(gate.map(_._1) === Set(1L, 2L, 3L))
+  }
 }
