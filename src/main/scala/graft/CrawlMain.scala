@@ -49,7 +49,6 @@ object CrawlMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val urls = spark.read.parquet(urlsPath)
-    val total = urls.count()
 
     // 1-2: IDN wire form, canonical key, keeper per key
     val canon = urls.where(col("url").isNotNull)
@@ -57,10 +56,9 @@ object CrawlMain {
         Curation.canonicalUrl(Curation.idnAsciiUrl(col("url")))
           .as("curl"))
     val keepers = canon.groupBy("curl").agg(min(col("id")).as("id"))
-    val dedupCount = keepers.count()
 
     // 3: robots verdicts on the canonical form
-    val allowed = robotsPath match {
+    val allowed = (robotsPath match {
       case Some(p) =>
         val rules = Curation.parseRobots(spark.read.parquet(p))
         Curation.robotsVerdicts(keepers, rules, agent,
@@ -72,8 +70,7 @@ object CrawlMain {
         keepers.withColumn("host", lower(regexp_extract(col("curl"),
           "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)))
           .select("id", "host", "curl")
-    }
-    val robotsCount = allowed.count()
+    })
 
     // 4: blocklist label-suffix anti-join (the shared gate — same
     // code urlGateStream and q397 run)
@@ -83,7 +80,6 @@ object CrawlMain {
           col("host"))
       case None => allowed
     }
-    val gatedCount = unblocked.count()
 
     // 5-6: politeness schedule, written in fetch order
     val schedule = Curation.frontierSchedule(unblocked)
@@ -92,8 +88,27 @@ object CrawlMain {
       .orderBy("fetch_pos")
     schedule.write.mode("overwrite").parquet(outDir)
 
-    println(s"""{"urls_in":$total,"canonical":$dedupCount,""" +
-      s""""robots_allowed":$robotsCount,"gated":$gatedCount,""" +
+    // Per-stage audit in ONE aggregate job (plus the cheap raw-scan
+    // count): keepers ⊇ allowed ⊇ unblocked by id, so left-join
+    // survival flags and sum them — the gate chain runs once here and
+    // once in the write, never once per stage counter. observe() was
+    // tried and is UNFIT across this pipeline: Par.spread's `.rdd`
+    // partition probe fires a QueryExecution event whose metrics are
+    // all zero (Observation keeps the first event), and the range
+    // exchange inside Par.prefixSum runs a boundary-sampling pass
+    // over its input, double-counting any CollectMetrics accumulator
+    // beneath it — both verified on Spark 4.1.2.
+    val total = urls.count()
+    val audit = keepers
+      .join(allowed.select(col("id"), lit(1L).as("ra")), Seq("id"), "left")
+      .join(unblocked.select(col("id"), lit(1L).as("ga")), Seq("id"), "left")
+      .agg(count(lit(1)).as("canonical"),
+        coalesce(sum(col("ra")), lit(0L)).as("robots_allowed"),
+        coalesce(sum(col("ga")), lit(0L)).as("gated"))
+      .collect()(0)
+    println(s"""{"urls_in":$total,"canonical":${audit.getLong(0)},""" +
+      s""""robots_allowed":${audit.getLong(1)},""" +
+      s""""gated":${audit.getLong(2)},""" +
       s""""agent":"$agent","out":"$outDir"}""")
     spark.stop()
   }

@@ -69,7 +69,8 @@ object Explain {
       "q387_idn_host_dedup", "q389_crawl_frontier", "q391_robots_gate",
       "q392_priority_sample", "q393_chunk_windows",
       "q397_crawl_pipeline", "q398_length_buckets",
-      "q399_recrawl_priority")
+      "q399_recrawl_priority", "q402_crawl_delay_schedule",
+      "q404_presto_dialect10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

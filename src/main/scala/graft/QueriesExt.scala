@@ -4016,7 +4016,191 @@ private[graft] object QueriesExt {
              |       WHEN 'h5.example' THEN GREATEST(hc.h, 7)
              |       ELSE hc.h END) + hi.host_index AS fetch_pos
              |FROM r JOIN hi USING (host) CROSS JOIN hc
-             |ORDER BY fetch_pos""".stripMargin)))
+             |ORDER BY fetch_pos""".stripMargin)),
+
+    // The WHOLE crawl loop as ONE streaming query — robots gate →
+    // blocklist + canonical dedup → recrawl-stats state — pinned
+    // against the independent batch chain (robotsVerdicts →
+    // canonical filter → urlKeyDedup keepers → recrawlPriority) via
+    // the q361/q384 full-outer pattern. The operators are each
+    // verified solo; this pins their COMPOSITION, which is where
+    // Spark's multiple-stateful-operator and watermark rules bite
+    // (dropDuplicatesWithinWatermark feeding flatMapGroupsWithState
+    // behind two stream-static joins). Post-gate columns (page key,
+    // fetch hour, content hash) are pure functions of
+    // (event_type, m, w), so WHICH variant row survives a dedup race
+    // never shows in the output — the determinism trick that lets
+    // one oracle restate both engines.
+    Q("q403_crawl_loop_equiv",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        import s.implicits._
+        val urlExpr =
+          """CASE CAST(user_id % 4 AS INT)
+            |  WHEN 0 THEN 'https://Ex.com/p/' || event_type || '/'
+            |    || m || '?w=' || w || '&a=1'
+            |  WHEN 1 THEN 'HTTPS://EX.com/p/' || event_type || '/'
+            |    || m || '?a=1&utm_source=mail&w=' || w
+            |  WHEN 2 THEN 'https://ex.com/p/' || event_type || '/'
+            |    || m || '?w=' || w || '&a=1#frag'
+            |  ELSE 'http://spam.tracker.net/p/' || event_type || '/'
+            |    || m || '?w=' || w || '&a=1' END""".stripMargin
+        def corpus(df: org.apache.spark.sql.DataFrame) = df
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("ts").isNotNull && col("event_id").isNotNull &&
+            col("event_id") % 5 === 0)
+          .withColumn("m", col("user_id") % 10)
+          .withColumn("w", expr(
+            "CAST(unix_micros(ts) DIV 3600000000 AS BIGINT)"))
+          .withColumn("url", expr(urlExpr))
+        val robots = Seq(("ex.com",
+          "User-agent: graftbot\nDisallow: /p/purchase\n\n" +
+            "User-agent: *\nDisallow: /\n")).toDF("host", "body")
+        val rules = graft.ops.Curation.parseRobots(robots)
+        // deterministic post-gate projections shared by both engines
+        def fetchLog(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("url_key",
+            (col("m") * 131L + length(col("event_type"))).cast("long"))
+          .withColumn("fts", timestamp_micros(col("w") * 3600000000L))
+          .withColumn("content_hash", concat(col("url_key").cast("string"),
+            lit("-"), pmod(col("w"), lit(3L)).cast("string")))
+        // STREAM: the one-query loop
+        val allowedS = graft.streaming.StreamingPipeline.robotsGateStream(
+          corpus(QueriesAlert.tableStream(s, dir, "events")), rules,
+          agent = "graftbot", urlCol = "url", idCol = "event_id",
+          keep = Seq("url", "ts", "event_type", "m", "w"))
+        val gatedS = graft.streaming.StreamingPipeline.urlGateStream(
+          allowedS, Seq("tracker.net"), urlCol = "url", tsCol = "ts",
+          delay = "10 minutes")
+        val statsS = graft.streaming.StreamingPipeline.recrawlStatsStream(
+          fetchLog(gatedS), urlCol = "url_key", tsCol = "fts",
+          contentCol = "content_hash").toDF()
+        val drained = QueriesAlert.drainToMemory(s, statsS, "q403_sink",
+          OutputMode.Update())
+        val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+        val streamR = graft.ops.Curation.recrawlRank(
+            drained.withColumn("mx", max(col("upd")).over(wU))
+              .where(col("upd") === col("mx"))
+              .select("u", "n_fetches", "n_changes", "span_sec",
+                "last_sec"),
+            topN = 100)
+          .withColumn("in_stream", lit(true))
+        // BATCH: independent gate plumbing (q384's style), same kernels
+        val b = corpus(Tables(s, dir, "events"))
+        val allowedB = graft.ops.Curation.robotsVerdicts(b, rules,
+            agent = "graftbot", urlCol = "url", idCol = "event_id",
+            hintBroadcast = true,
+            keep = Seq("url", "ts", "event_type", "m", "w"))
+          .where(col("allowed"))
+        val chost = regexp_extract(
+          graft.ops.Curation.canonicalUrl(col("url")),
+          "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+        val unblockedB = allowedB.where(
+          !(chost === "tracker.net" || chost.endsWith(".tracker.net")))
+        val keepersB = graft.ops.Curation.urlKeyDedup(unblockedB,
+            urlCol = "url", idCol = "id")
+          .where(!col("is_dup")).select(col("id"))
+        val batchR = graft.ops.Curation.recrawlPriority(
+            fetchLog(unblockedB.join(keepersB, Seq("id"), "left_semi")),
+            topN = 100, urlCol = "url_key", tsCol = "fts",
+            contentCol = "content_hash")
+          .withColumn("in_batch", lit(true))
+        val cols = Seq("url_key", "n_fetches", "n_changes", "span_sec",
+          "age_sec", "rate_ppm_hr", "priority")
+        batchR.join(streamR, cols, "full_outer")
+          .select(cols.map(col) :+
+            coalesce(col("in_batch"), lit(false)).as("in_batch") :+
+            coalesce(col("in_stream"), lit(false)).as("in_stream"): _*)
+          .orderBy("url_key")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    user_id % 10 AS m, CAST(user_id % 4 AS INT) AS v,
+             |    epoch_us(ts) // 3600000000 AS w
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND ts IS NOT NULL AND event_id IS NOT NULL
+             |    AND event_id % 5 = 0),
+             |s AS (SELECT DISTINCT event_type, m, w FROM e
+             |  WHERE v <> 3 AND event_type <> 'purchase'),
+             |f AS (SELECT
+             |    CAST(m * 131 + length(event_type) AS BIGINT) AS u,
+             |    CAST(w * 3600 AS BIGINT) AS sec,
+             |    CAST(m * 131 + length(event_type) AS VARCHAR) || '-'
+             |      || CAST(w % 3 AS VARCHAR) AS h
+             |  FROM s),
+             |l AS (SELECT u, sec, h,
+             |    lag(h) OVER (PARTITION BY u ORDER BY sec, h) AS prev
+             |  FROM f),
+             |g AS (SELECT u, COUNT(*) AS n_fetches,
+             |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> h
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             |    CAST(MAX(sec) - MIN(sec) AS BIGINT) AS span_sec,
+             |    CAST(MAX(sec) AS BIGINT) AS last_sec
+             |  FROM l GROUP BY u),
+             |n AS (SELECT MAX(last_sec) AS now_sec FROM g),
+             |r AS (SELECT u AS url_key, n_fetches, n_changes, span_sec,
+             |    CAST(now_sec - last_sec AS BIGINT) AS age_sec,
+             |    CAST(CASE WHEN span_sec > 0
+             |      THEN (n_changes * 1000000 * 3600) // span_sec
+             |      ELSE 0 END AS BIGINT) AS rate_ppm_hr,
+             |    CAST((CASE WHEN span_sec > 0
+             |      THEN (n_changes * 1000000 * 3600) // span_sec
+             |      ELSE 0 END * (now_sec - last_sec)) // 3600 AS BIGINT)
+             |      AS priority
+             |  FROM g, n
+             |  ORDER BY priority DESC, url_key LIMIT 100)
+             |SELECT url_key, n_fetches, n_changes, span_sec, age_sec,
+             |  rate_ppm_hr, priority,
+             |  TRUE AS in_batch, TRUE AS in_stream
+             |FROM r ORDER BY url_key""".stripMargin)),
+
+    // Presto-dialect breadth, tenth batch: width_bucket in BOTH its
+    // forms (the 4-arg equi-width histogram Spark shares, and the
+    // 2-arg bins-array form Spark lacks — arity-dispatched behind one
+    // presto_ name), json_array_get with Presto's unquoted-scalar
+    // quirk and negative indexing, the 3-arg array_join null
+    // replacement, zip_with, and TRY around a failing ANSI cast. The
+    // oracle restates each result arithmetically (DuckDB lacks most
+    // of these spellings).
+    Q("q404_presto_dialect10",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(width_bucket(CAST(user_id % 100 AS DOUBLE),
+            |    0.0, 100.0, 10)) AS wb4,
+            |  MIN(width_bucket(CAST(user_id % 100 AS DOUBLE),
+            |    ARRAY[10.0, 50.0, 90.0])) AS wba,
+            |  MIN(json_array_get('["a","b","c"]',
+            |    CAST(user_id % 3 AS INTEGER))) AS jag,
+            |  MIN(json_array_get('["a","b","c"]', -1)) AS jneg,
+            |  MIN(array_join(ARRAY['a', NULL, event_type], ',', 'na'))
+            |    AS aj,
+            |  MIN(array_join(zip_with(ARRAY['L','R'],
+            |    ARRAY[event_type, event_type], (x, y) -> x || y), '|'))
+            |    AS zw,
+            |  CAST(MIN(try(CAST(CASE WHEN user_id % 2 = 0 THEN 'nope'
+            |    ELSE '7' END AS INTEGER))) AS BIGINT) AS tr
+            |FROM events
+            |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  CAST((user_id % 100) // 10 + 1 AS BIGINT) AS wb4,
+             |  CAST(CASE WHEN user_id % 100 < 10 THEN 0
+             |    WHEN user_id % 100 < 50 THEN 1
+             |    WHEN user_id % 100 < 90 THEN 2
+             |    ELSE 3 END AS BIGINT) AS wba,
+             |  MIN(['a','b','c'][CAST(user_id % 3 AS INT) + 1]) AS jag,
+             |  'c' AS jneg,
+             |  MIN('a,na,' || event_type) AS aj,
+             |  MIN('L' || event_type || '|R' || event_type) AS zw,
+             |  CAST(CASE WHEN user_id % 2 = 0 THEN NULL
+             |    ELSE 7 END AS BIGINT) AS tr
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   private val SprayOracle: String =

@@ -71,12 +71,15 @@ object Functions {
     *     string repetition
     *   - `split_part`: NULL when the index exceeds the field count
     *     (Spark's builtin returns '')
+    *   - `width_bucket`: Presto's 2-arg (x, bins-array) form doesn't
+    *     exist in Spark (the 4-arg form matches and the shim
+    *     delegates it to the builtin expression)
     */
   private[graft] val prefixedNames: Set[String] = Set(
     "split", "date_format", "from_unixtime", "contains",
     "element_at", "array_agg", "map_concat", "map",
     "regexp_extract", "regexp_extract_all", "regexp_replace", "repeat",
-    "split_part")
+    "split_part", "width_bucket")
 
   private def isBuiltin(name: String): Boolean =
     SparkFunctionRegistry.builtin.functionExists(FunctionIdentifier(name))
@@ -482,7 +485,7 @@ object Functions {
       shim("last_day_of_month")(exprs => LastDay(exprs.head))
 
       // ── ninth tranche: string/number breadth ──────────────────────
-      import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+      import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType}
       // Presto split_part: 1-based, LITERAL delimiter, NULL when the
       // index exceeds the field count. Spark's builtin of the same
       // name returns '' out of range — another silent divergence →
@@ -534,6 +537,47 @@ object Functions {
         Or(EqualTo(x, Literal(Double.PositiveInfinity)),
           EqualTo(x, Literal(Double.NegativeInfinity)))
       }
+
+      // ── tenth tranche ─────────────────────────────────────────────
+      // Presto width_bucket: the 4-arg equi-width histogram form
+      // matches the Spark builtin (delegate), but Presto ALSO has a
+      // 2-arg (x, bins-array) form Spark lacks — the builder
+      // dispatches on arity, which is why one registry name can carry
+      // both. Array form: bins sorted ascending by contract; the
+      // bucket is |{b ∈ bins : b ≤ x}| (lower bound inclusive, 0
+      // underflow, |bins| overflow). NULL x or bins → NULL, matching
+      // Presto (ArrayFilter alone would quietly yield 0).
+      shim("width_bucket") { exprs =>
+        if (exprs.length >= 4)
+          WidthBucket(exprs(0), exprs(1), exprs(2), exprs(3))
+        else {
+          val x = Cast(exprs.head, DoubleType)
+          val bv = UnresolvedNamedLambdaVariable(Seq("__wb_b"))
+          val lam = LambdaFunction(LessThanOrEqual(bv, x), Seq(bv))
+          If(Or(IsNull(exprs.head), IsNull(exprs(1))),
+            Literal(null, LongType),
+            Cast(Size(ArrayFilter(exprs(1), lam)), LongType))
+        }
+      }
+      // Presto json_array_get(json, index): the element as JSON text
+      // with Presto's documented broken-string quirk (scalar strings
+      // come back UNquoted) — which is exactly get_json_object's
+      // scalar behavior, so the subscript path composes it directly.
+      // Negative indexes count from the end (json_array_length
+      // arithmetic); out of range → NULL on both engines.
+      shim("json_array_get") { exprs =>
+        val j = exprs.head
+        val i = Cast(exprs(1), IntegerType)
+        val eff = If(LessThan(i, Literal(0)),
+          Add(LengthOfJsonArray(j), i), i)
+        GetJsonObject(j, Concat(Seq(Literal("$["),
+          Cast(eff, StringType), Literal("]"))))
+      }
+      // Presto zip(a1, a2, ...) — element-wise rows, up to Presto's
+      // documented 5-array arity (ArraysZip takes any N). Field
+      // names differ (Spark numbers them, Presto uses field0...);
+      // struct EQUALITY ignores names, which is what criteria compare.
+      shim("zip")(exprs => new ArraysZip(exprs))
     }
     spark.udf.register(guarded("json_parse"),
       (s: String) => JsonParseFn.parse(s))

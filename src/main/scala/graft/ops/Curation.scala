@@ -2106,8 +2106,10 @@ object Curation {
     */
   def robotsGate(urls: DataFrame, rules: DataFrame, agent: String = "*",
       urlCol: String = "url", idCol: String = "id",
-      hintBroadcast: Boolean = true): DataFrame =
-    robotsVerdicts(urls, rules, agent, urlCol, idCol, hintBroadcast)
+      hintBroadcast: Boolean = true,
+      maxRulesPerHost: Int = 1000): DataFrame =
+    robotsVerdicts(urls, rules, agent, urlCol, idCol, hintBroadcast,
+        maxRulesPerHost = maxRulesPerHost)
       .orderBy("id")
 
   /** [[robotsGate]] without the output sort — the form a streaming
@@ -2120,18 +2122,34 @@ object Curation {
     */
   private[graft] def robotsVerdicts(urls: DataFrame, rules: DataFrame,
       agent: String, urlCol: String, idCol: String,
-      hintBroadcast: Boolean, keep: Seq[String] = Nil): DataFrame = {
+      hintBroadcast: Boolean, keep: Seq[String] = Nil,
+      maxRulesPerHost: Int = 1000): DataFrame = {
+    require(maxRulesPerHost >= 1,
+      s"maxRulesPerHost must be positive, got $maxRulesPerHost")
     val a = agent.toLowerCase(java.util.Locale.ROOT)
     val scoped = rules.where(col("agent").isin(a, "*"))
       .withColumn("is_spec", (col("agent") === a).cast("int"))
     val wh = Window.partitionBy("host")
+    // Per-host rule CAP: the match fold below runs every rule's regex
+    // per URL, so a pathological 10⁴-rule robots.txt would cost
+    // O(10⁴) interpreted regexes PER URL. Cap by precedence — sort
+    // the collapsed rule array by (pattern_len, allow) and keep the
+    // TOP maxRulesPerHost after reversal, i.e. the longest patterns
+    // (allow preferred on ties), which are exactly the rules that
+    // would win longest-match precedence. A file at or under the cap
+    // (every real robots.txt — the RFC's 500 KiB body cap bounds rule
+    // count three orders of magnitude below 10⁴ typical) is untouched:
+    // the slice is a no-op when the array is shorter than the cap.
+    // Beyond it, the LOWEST-precedence (shortest) patterns drop — the
+    // documented degradation for adversarial files.
     val perHost = scoped
       .withColumn("has_spec", max(col("is_spec")).over(wh))
       .where(col("is_spec") === col("has_spec"))
       .groupBy("host")
-      .agg(collect_list(struct(col("pattern_len").as("len"),
-        (col("rule") === "allow").cast("int").as("al"),
-        col("pattern_re").as("re"))).as("rs"))
+      .agg(slice(reverse(array_sort(
+        collect_list(struct(col("pattern_len").as("len"),
+          (col("rule") === "allow").cast("int").as("al"),
+          col("pattern_re").as("re"))))), 1, maxRulesPerHost).as("rs"))
     val hinted = if (hintBroadcast) broadcast(perHost) else perHost
     val u = urls.select(col(idCol).cast("long").as("id") +:
         regexp_extract(col(urlCol), "^([^#]*)", 1).as("u0") +:

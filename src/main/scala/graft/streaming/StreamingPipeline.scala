@@ -122,12 +122,13 @@ object StreamingPipeline {
     */
   def robotsGateStream(urls: DataFrame, rules: DataFrame,
       agent: String = "*", urlCol: String = "url",
-      idCol: String = "id"): DataFrame =
+      idCol: String = "id", keep: Seq[String] = Nil): DataFrame =
     graft.ops.Curation
       .robotsVerdicts(urls, rules, agent, urlCol, idCol,
-        hintBroadcast = true)
+        hintBroadcast = true, keep = keep)
       .where(col("allowed"))
-      .select("id", "host", "target", "win_len")
+      .select(("id" +: "host" +: "target" +: "win_len" +: keep)
+        .map(col): _*)
 
   /** Stream → lake: land events hive-partitioned by UTC hour, the
     * write side of the reference's firehose→Athena layout

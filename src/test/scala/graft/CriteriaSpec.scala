@@ -335,4 +335,51 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       "reduce(ARRAY[1, 2, 3], 10, (s, x) -> s + x, s -> s * 2) = 32"))
       .count() === 1)
   }
+
+  test("tenth tranche: width_bucket 4-arg + Presto array-bins form, " +
+      "json_array_get with negative indexes, zip, and the parity set " +
+      "(zip_with, 3-arg array_join, try)") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql("SELECT 'purchase' AS s")
+    // 4-arg equi-width form delegates to the builtin expression
+    assert(row.where(Criteria.toColumn(
+      "width_bucket(5.5, 0.0, 10.0, 5) = 3 AND " +
+        "width_bucket(-1.0, 0.0, 10.0, 5) = 0 AND " +
+        "width_bucket(11.0, 0.0, 10.0, 5) = 6")).count() === 1)
+    // array-bins form: |{b in bins : b <= x}|, lower bound inclusive,
+    // NULL in -> NULL out
+    assert(row.where(Criteria.toColumn(
+      "width_bucket(0.5, ARRAY[1.0, 2.0]) = 0 AND " +
+        "width_bucket(1.0, ARRAY[1.0, 2.0]) = 1 AND " +
+        "width_bucket(5.0, ARRAY[1.0, 2.0]) = 2 AND " +
+        "width_bucket(CAST(NULL AS DOUBLE), ARRAY[1.0]) IS NULL"))
+      .count() === 1)
+    // json_array_get: Presto's broken-string quirk (scalar strings
+    // unquoted), JSON text for nested values, negative from the end,
+    // NULL out of range
+    assert(row.where(Criteria.toColumn(
+      """json_array_get('["a","b","c"]', 1) = 'b' AND
+        |json_array_get('["a",[3,9],"c"]', 1) = '[3,9]' AND
+        |json_array_get('["a","b"]', -1) = 'b' AND
+        |json_array_get('["a"]', 5) IS NULL""".stripMargin))
+      .count() === 1)
+    // zip: element-wise rows, any arity up to Presto's 5
+    val z = spark.sql(
+      "SELECT zip(array(1, 2), array('a', 'b'), array(9, 8)) AS z")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(z.size === 2)
+    assert(z(1).getInt(0) === 2 && z(1).getString(1) === "b" &&
+      z(1).getInt(2) === 8)
+    // parity set — no shim needed: zip_with, array_join's
+    // null-replacement arg, and try around a failing ANSI cast
+    assert(row.where(Criteria.toColumn(
+      "array_join(zip_with(ARRAY['a','b'], ARRAY['1','2'], " +
+        "(x, y) -> x || y), ',') = 'a1,b2'")).count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "array_join(ARRAY['a', NULL, 'c'], ',', 'na') = 'a,na,c' AND " +
+        "array_join(ARRAY['a', NULL, 'c'], ',') = 'a,c'")).count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "try(CAST('nope' AS INTEGER)) IS NULL AND " +
+        "try(CAST('7' AS INTEGER)) = 7")).count() === 1)
+  }
 }

@@ -461,4 +461,26 @@ object RobotsProps extends Properties("Curation.robots") {
       val got = gate(rows)
       pairs.indices.forall(i => got(2 * i) && !got(2 * i + 1))
     }
+
+  property("the per-host rule cap is a no-op whenever it meets or " +
+      "exceeds the rule count — verdicts identical at cap = n and " +
+      "cap = 1000") =
+    forAll(Gen.listOfN(4, segG), Gen.listOfN(5, segG)) { (pats, targets) =>
+      import spark.implicits._
+      // one host, n = 2·|pats| rules (each pattern as Disallow + a
+      // longer Allow), gated at the exact rule count vs the default
+      val body = "User-agent: *\n" + pats.map(p =>
+        s"Disallow: $p\nAllow: ${p}x\n").mkString
+      val rules = graft.ops.Curation.parseRobots(
+        Seq(("h.ex", body)).toDF("host", "body"))
+      val n = rules.count().toInt
+      val urls = (pats.map(p => s"https://h.ex$p") ++
+        pats.map(p => s"https://h.ex${p}x") ++
+        targets.map(t => s"https://h.ex$t"))
+        .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      def verdicts(cap: Int) = graft.ops.Curation.robotsGate(
+          urls.toDF("id", "url"), rules, maxRulesPerHost = cap)
+        .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+      n >= 1 && verdicts(n) == verdicts(1000)
+    }
 }

@@ -756,14 +756,18 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       Seq("tracker.net", "ads.deep.example.org")).toDF("domain")
     val out = graft.streaming.StreamingPipeline.urlGateStream(
       mem.toDF(), domains, "url", "ts", "10 minutes")
+    // the stream gate probes the FIXED depth range 1..8 (not the
+    // list's current depths) so a blocklist swap that introduces a
+    // brand-new label depth is still gated without a query rebuild —
+    // plan size is O(8), independent of the 1,000 domains
     val antiJoins = out.queryExecution.analyzed.collect {
       case j: Join if j.joinType == LeftAnti => j
     }
-    assert(antiJoins.size === 2, "one LeftAnti per distinct label depth {2,4}")
+    assert(antiJoins.size === 8, "one LeftAnti per depth in the fixed 1..8 range")
     val bcast = out.queryExecution.analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
     }
-    assert(bcast.size === 2, "the blocklist side of each anti-join is broadcast")
+    assert(bcast.size === 8, "the blocklist side of each anti-join is broadcast")
     val q = out.writeStream.format("memory").queryName("urlgate_bl")
       .outputMode(OutputMode.Append).start()
     try {
@@ -1525,6 +1529,142 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
         r.getAs[Long]("eval_hit"))).toSet
     assert(stream === batch)
     assert(stream.exists(_._1 == 1L), "the trailing-space hit must fire")
+  }
+
+  // ── checkpoint-restore pins ─────────────────────────────────────────
+  // One test per keyed-state SHAPE (shingle array, scalar struct,
+  // bounded list): run N batches, STOP the query, restart from the
+  // same checkpoint, and assert output continuity + state-row carry-
+  // over. This is the only class of streaming defect nothing else
+  // catches — a state-encoder change that serializes fine within one
+  // run but cannot DEserialize what the previous binary wrote fails
+  // here instead of shipping silently.
+
+  private def withCheckpoint[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete()
+    }
+    try f(dir.toString) finally rm(dir.toFile)
+  }
+
+  /** Start `df` against `ckpt` draining every micro-batch into a
+    * buffer (the memory sink cannot RECOVER from a checkpoint; a
+    * foreachBatch sink can — this is the restartable test harness).
+    */
+  private def startBuffered(df: org.apache.spark.sql.DataFrame,
+      ckpt: String, mode: OutputMode)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]) = {
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q = df.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => b.collect().foreach(buf.add))
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .start()
+    (q, buf)
+  }
+
+  test("checkpoint restart: selfDedupStream (shingle-array state) — a " +
+      "post-restart duplicate fires against the pre-restart " +
+      "representative, state rows carry over") {
+    implicit val sc = spark.sqlContext
+    withCheckpoint { dir =>
+      val mem = MemoryStream[(Long, String)]
+      def build() = graft.streaming.StreamingPipeline
+        .selfDedupStream(mem.toDF().toDF("doc_id", "text")).toDF()
+      val (q1, _) = startBuffered(build(), dir, OutputMode.Append)
+      val stateBefore = try {
+        mem.addData(
+          (1L, "the quick brown fox jumps over the lazy dog today"))
+        q1.processAllAvailable()
+        q1.lastProgress.stateOperators.head.numRowsTotal
+      } finally q1.stop()
+      assert(stateBefore > 0L)
+      val (q2, buf2) = startBuffered(build(), dir, OutputMode.Append)
+      try {
+        mem.addData(
+          (2L, "the quick brown fox jumps over the lazy dog today"))
+        q2.processAllAvailable()
+        // the dup fired against doc 1 — its BandRep (repId + sorted
+        // shingle array) round-tripped through the state store
+        import scala.jdk.CollectionConverters._
+        val fired = buf2.asScala
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("c_id")))
+          .toSeq.distinct
+        assert(fired === Seq((2L, 1L)),
+          s"expected the restarted state to match doc 2 to rep 1, got " +
+            fired.mkString(","))
+        // the dup claims no new buckets: restored rows == before
+        assert(q2.lastProgress.stateOperators.head.numRowsTotal
+          === stateBefore)
+      } finally q2.stop()
+    }
+  }
+
+  test("checkpoint restart: ewmaStream (scalar-struct state) — the " +
+      "fold continues from the checkpointed (n, acc), not from zero") {
+    implicit val sc = spark.sqlContext
+    withCheckpoint { dir =>
+      val mem = MemoryStream[FullEv]
+      def build() = graft.streaming.StreamingPipeline
+        .ewmaStream(mem.toDF()).toDF()
+      val (q1, _) = startBuffered(build(), dir, OutputMode.Update)
+      try {
+        // acc: (0>>1)+1_000_000 = 1_000_000; (>>1)+2_000_000 = 2_500_000
+        mem.addData(FullEv(ts(1), 1L, "a", 10L, 1.0),
+          FullEv(ts(2), 1L, "a", 11L, 2.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val (q2, buf2) = startBuffered(build(), dir, OutputMode.Update)
+      try {
+        mem.addData(FullEv(ts(3), 1L, "a", 12L, 4.0))
+        q2.processAllAvailable()
+        val r = buf2.toArray(Array.empty[org.apache.spark.sql.Row])
+        assert(r.length === 1)
+        // continued fold: n 2→3, acc (2_500_000>>1)+4_000_000; a
+        // reset state would read (1, 4_000_000)
+        assert(r(0).getAs[Long]("n_events") === 3L)
+        assert(r(0).getAs[Long]("ewma_micro") === 5250000L)
+      } finally q2.stop()
+    }
+  }
+
+  test("checkpoint restart: prioritySampleStream (bounded-list state) — " +
+      "the heap and the update counter both survive the restart") {
+    implicit val sc = spark.sqlContext
+    withCheckpoint { dir =>
+      val mem = MemoryStream[(Long, String, String)]
+      def build() = graft.streaming.StreamingPipeline
+        .prioritySampleStream(
+          mem.toDF().toDF("doc_id", "text", "source"), k = 2).toDF()
+      val (q1, buf1) = startBuffered(build(), dir, OutputMode.Update)
+      val sampleBefore = try {
+        mem.addData((1L, "a b c", "s"), (2L, "d e f g", "s"),
+          (3L, "h i", "s"))
+        q1.processAllAvailable()
+        buf1.toArray(Array.empty[org.apache.spark.sql.Row])
+          .map(r => r.getAs[Long]("doc_id")).toSet
+      } finally q1.stop()
+      assert(sampleBefore.size === 2)
+      val (q2, buf2) = startBuffered(build(), dir, OutputMode.Update)
+      try {
+        mem.addData((4L, "j", "s"))
+        q2.processAllAvailable()
+        val rows = buf2.toArray(Array.empty[org.apache.spark.sql.Row])
+        // upd continued 1→2 (a reset state would emit upd = 1)
+        assert(rows.forall(_.getAs[Long]("upd") === 2L),
+          rows.map(_.getAs[Long]("upd")).mkString(","))
+        // the merged sample still draws on pre-restart docs: the
+        // 1-token newcomer cannot displace both incumbents
+        val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+        assert(ids.intersect(sampleBefore).nonEmpty,
+          s"sample lost every pre-restart doc: $ids vs $sampleBefore")
+      } finally q2.stop()
+    }
   }
 
   test("dsirGateStream hashes per CODE POINT like the batch kernel: " +
