@@ -21,7 +21,9 @@ import graft.ops.Curation
   *   4. blocklist — broadcast label-suffix anti-join (skipped when no
   *      blocklist table is given)
   *   5. schedule — [[Curation.frontierSchedule]]: round-robin across
-  *      hosts, same-host fetches spaced |hosts| apart
+  *      hosts, same-host fetches spaced |hosts| apart — or the host's
+  *      robots `Crawl-delay` slots when larger ([[Curation
+  *      .crawlDelays]] feeds the schedule whenever robots are given)
   *   6. write — the schedule as parquet, ordered by fetch_pos
   *
   * Usage: CrawlMain <urlsParquet> <outDir> [robotsParquet]
@@ -81,8 +83,12 @@ object CrawlMain {
       case None => allowed
     }
 
-    // 5-6: politeness schedule, written in fetch order
-    val schedule = Curation.frontierSchedule(unblocked)
+    // 5-6: politeness schedule, written in fetch order. When a robots
+    // table is present its Crawl-delay lines feed the schedule too:
+    // a delayed host's stride becomes max(|hosts|, delay) slots.
+    val delays = robotsPath.map(p =>
+      Curation.crawlDelays(spark.read.parquet(p), agent))
+    val schedule = Curation.frontierSchedule(unblocked, delays = delays)
       .join(unblocked.select(col("id"), col("curl")), Seq("id"))
       .select("fetch_pos", "id", "host", "rank_in_host", "curl")
       .orderBy("fetch_pos")

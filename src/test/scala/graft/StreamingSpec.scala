@@ -1667,6 +1667,36 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("checkpoint restart: heavyHittersStream (map state) — the " +
+      "Misra-Gries counter map survives and keeps accumulating") {
+    implicit val sc = spark.sqlContext
+    withCheckpoint { dir =>
+      val mem = MemoryStream[FullEv]
+      def build() = graft.streaming.StreamingPipeline
+        .heavyHittersStream(mem.toDF(), k = 4, buckets = 1).toDF()
+      val (q1, _) = startBuffered(build(), dir, OutputMode.Update)
+      try {
+        mem.addData((1 to 5).map(i =>
+          FullEv(ts(i), 7L, "a", 10L + i, 1.0)): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val (q2, buf2) = startBuffered(build(), dir, OutputMode.Update)
+      try {
+        mem.addData(FullEv(ts(9), 7L, "a", 20L, 1.0))
+        q2.processAllAvailable()
+        val rows = buf2.toArray(Array.empty[org.apache.spark.sql.Row])
+          .filter(_.getAs[Long]("item") === 7L)
+        assert(rows.nonEmpty)
+        // continued map: est 5 → 6, processed 5 → 6; a reset state
+        // would emit (1, 1)
+        assert(rows.forall(r => r.getAs[Long]("est") === 6L &&
+          r.getAs[Long]("processed") === 6L),
+          rows.map(r => (r.getAs[Long]("est"),
+            r.getAs[Long]("processed"))).mkString(","))
+      } finally q2.stop()
+    }
+  }
+
   test("dsirGateStream hashes per CODE POINT like the batch kernel: " +
       "non-BMP words (surrogate pairs) bucket identically") {
     import org.apache.spark.sql.functions._
