@@ -4048,7 +4048,7 @@ private[graft] object QueriesExt {
         def corpus(df: org.apache.spark.sql.DataFrame) = df
           .where(col("user_id").isNotNull && col("event_type").isNotNull &&
             col("ts").isNotNull && col("event_id").isNotNull &&
-            col("event_id") % 5 === 0)
+            col("event_id") % 25 === 0)
           .withColumn("m", col("user_id") % 10)
           .withColumn("w", expr(
             "CAST(unix_micros(ts) DIV 3600000000 AS BIGINT)"))
@@ -4119,7 +4119,7 @@ private[graft] object QueriesExt {
              |  FROM events
              |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |    AND ts IS NOT NULL AND event_id IS NOT NULL
-             |    AND event_id % 5 = 0),
+             |    AND event_id % 25 = 0),
              |s AS (SELECT DISTINCT event_type, m, w FROM e
              |  WHERE v <> 3 AND event_type <> 'purchase'),
              |f AS (SELECT
