@@ -70,7 +70,8 @@ object Explain {
       "q392_priority_sample", "q393_chunk_windows",
       "q397_crawl_pipeline", "q398_length_buckets",
       "q399_recrawl_priority", "q402_crawl_delay_schedule",
-      "q404_presto_dialect10")
+      "q404_presto_dialect10", "q405_crawler_traps",
+      "q406_param_relevance")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -4200,9 +4200,216 @@ private[graft] object QueriesExt {
              |    ELSE 7 END AS BIGINT) AS tr
              |FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Crawler-trap detection: URL paths lift to templates (digits-only
+    // segment → <n>, ≥8-char hex → <h>, other digit-bearing → <x>, in
+    // that order) and a template's DISTINCT-URL count is the trap
+    // signal — the calendar class here explodes into ~1,000 URLs
+    // under one template while the event-type classes stay bounded.
+    // The oracle restates each variant class's template and count
+    // directly.
+    Q("q405_crawler_traps",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("event_id").isNotNull)
+          .withColumn("url", expr(
+            """CASE CAST(user_id % 3 AS INT)
+              |  WHEN 0 THEN 'https://ex.com/cal/2024/'
+              |    || (event_id % 1000)
+              |  WHEN 1 THEN 'https://ex.com/t/' || event_type || '/'
+              |    || (user_id % 10)
+              |  ELSE 'https://ex.com/doc/' || md5(event_type)
+              |  END""".stripMargin))
+        graft.ops.Curation.crawlerTraps(ev, minUrls = 50L)
+      },
+      Some(CrawlerTrapsOracle)),
+
+    // q405's trap monitor run LIVE: the same template projection, a
+    // canonical-key dedup, and a running per-template count — the
+    // SECOND chained multiple-stateful-operator shape in the suite
+    // (dropDuplicatesWithinWatermark feeding a streaming AGGREGATION;
+    // q403 pinned dedup feeding flatMapGroupsWithState). Update mode
+    // emits a growing count per template; the latest emission (the
+    // max) must equal the batch distinct count — q405's oracle,
+    // shared verbatim.
+    Q("q408_stream_crawler_traps",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.OutputMode
+        val stream = QueriesAlert.tableStream(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("event_id").isNotNull)
+          .withColumn("url", expr(
+            """CASE CAST(user_id % 3 AS INT)
+              |  WHEN 0 THEN 'https://ex.com/cal/2024/'
+              |    || (event_id % 1000)
+              |  WHEN 1 THEN 'https://ex.com/t/' || event_type || '/'
+              |    || (user_id % 10)
+              |  ELSE 'https://ex.com/doc/' || md5(event_type)
+              |  END""".stripMargin))
+        val traps = graft.streaming.StreamingPipeline
+          .crawlerTrapsStream(stream, minUrls = 50L)
+        QueriesAlert.drainToMemory(s, traps, "q408_sink",
+            OutputMode.Update())
+          .groupBy("template", "depth")
+          .agg(max(col("n_urls")).as("n_urls"))
+          .withColumn("is_trap", col("n_urls") >= 50L)
+          .orderBy("template")
+      },
+      Some(CrawlerTrapsOracle)),
+
+    // Tracking-param inference: learn the canonicalizer's killset
+    // from the fetch log. 'sess' never moves the content within any
+    // (page-value) context → irrelevant; 'page' moves it within
+    // every (sess-value) context → relevant. The oracle replays the
+    // context grouping and both verdicts.
+    Q("q406_param_relevance",
+      (s, dir) => {
+        val f = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("event_id").isNotNull)
+          .withColumn("url", expr(
+            """'https://ex.com/p/' || event_type
+              |  || '?page=' || (user_id % 3)
+              |  || '&sess=' || (event_id % 7)""".stripMargin))
+          .withColumn("content_hash",
+            expr("event_type || '-' || (user_id % 3)"))
+        graft.ops.Curation.paramRelevance(f)
+      },
+      Some("""WITH f AS (SELECT
+             |    'https://ex.com/p/' || event_type AS stem,
+             |    CAST(user_id % 3 AS VARCHAR) AS page,
+             |    CAST(event_id % 7 AS VARCHAR) AS sess,
+             |    event_type || '-' || (user_id % 3) AS h
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |px AS (
+             |  SELECT 'page' AS param, stem || '?sess=' || sess AS ctx,
+             |    page AS v, h FROM f
+             |  UNION ALL
+             |  SELECT 'sess', stem || '?page=' || page, sess, h FROM f),
+             |g AS (SELECT param, ctx, COUNT(DISTINCT v) AS nv,
+             |    COUNT(DISTINCT h) AS nh
+             |  FROM px GROUP BY 1, 2)
+             |SELECT 'ex.com' AS host, param,
+             |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_multi_value_groups,
+             |  CAST(SUM(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_varying_groups,
+             |  SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) >= 1 AND
+             |    SUM(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END) = 0
+             |    AS irrelevant
+             |FROM g GROUP BY param ORDER BY host, param""".stripMargin)),
+
+    // Presto-dialect breadth, eleventh batch: levenshtein_distance
+    // (Spark spells it levenshtein), to_hex/from_hex over VARBINARY
+    // (the CAST target itself needs the new VARBINARY→BINARY rewrite
+    // — Spark's parser rejects Presto's binary type name), codepoint,
+    // truncate-toward-zero, and ngrams windows (flattened to strings
+    // — the driver's canon cannot sort array cells).
+    Q("q407_presto_dialect11",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(levenshtein_distance(event_type, 'purchase')) AS lev,
+            |  MIN(to_hex(CAST(event_type AS VARBINARY))) AS hx,
+            |  MIN(CAST(from_hex(to_hex(CAST(event_type AS VARBINARY)))
+            |    AS VARCHAR)) AS rt,
+            |  MIN(codepoint(substr(event_type, 1, 1))) AS cp,
+            |  MIN(truncate(value * 10)) AS tr,
+            |  MIN(array_join(transform(
+            |    ngrams(ARRAY['a', 'b', event_type], 2),
+            |    g -> array_join(g, '')), '|')) AS ng
+            |FROM events
+            |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            |  AND value IS NOT NULL
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  MIN(levenshtein(event_type, 'purchase')) AS lev,
+             |  MIN(hex(event_type)) AS hx,
+             |  MIN(event_type) AS rt,
+             |  MIN(unicode(substr(event_type, 1, 1))) AS cp,
+             |  MIN(trunc(value * 10)) AS tr,
+             |  MIN('ab|b' || event_type) AS ng
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND value IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Presto-dialect breadth, twelfth batch: the url_extract_* family
+    // (protocol/host/path/query/fragment/parameter/port) — criteria
+    // authors slice URLs constantly and every name here is Presto's,
+    // not Spark's (parse_url underneath; port composes off AUTHORITY
+    // since parse_url has no PORT part). The oracle restates each
+    // component from the URL's construction.
+    Q("q409_presto_dialect12",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id,
+            |  MIN(url_extract_protocol(u)) AS proto,
+            |  MIN(url_extract_host(u)) AS host,
+            |  MIN(url_extract_path(u)) AS path,
+            |  MIN(url_extract_query(u)) AS q,
+            |  MIN(url_extract_parameter(u, 'b')) AS pb,
+            |  MIN(url_extract_parameter(u, 'zz')) AS pz,
+            |  MIN(url_extract_port(u)) AS port,
+            |  MIN(url_extract_fragment(u)) AS frag
+            |FROM (SELECT user_id,
+            |    'https://sub.ex.com:8443/t/' || event_type
+            |      || '?a=1&b=' || (user_id % 10) || '#s' AS u
+            |  FROM events
+            |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+            |GROUP BY user_id ORDER BY user_id""".stripMargin))
+      },
+      Some("""SELECT user_id,
+             |  'https' AS proto,
+             |  'sub.ex.com' AS host,
+             |  MIN('/t/' || event_type) AS path,
+             |  MIN('a=1&b=' || (user_id % 10)) AS q,
+             |  CAST(user_id % 10 AS VARCHAR) AS pb,
+             |  CAST(NULL AS VARCHAR) AS pz,
+             |  CAST(8443 AS BIGINT) AS port,
+             |  's' AS frag
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
+  /** q405's oracle — shared verbatim by q408's streaming trap
+    * monitor (the latest Update-mode count per template must equal
+    * the batch distinct count).
+    */
+  private val CrawlerTrapsOracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |u AS (
+      |  SELECT 'ex.com/cal/<n>/<n>' AS template,
+      |    CAST(3 AS BIGINT) AS depth,
+      |    CAST(COUNT(DISTINCT event_id % 1000) AS BIGINT)
+      |      AS n_urls
+      |  FROM e WHERE user_id % 3 = 0 HAVING COUNT(*) > 0
+      |  UNION ALL
+      |  SELECT 'ex.com/t/' || event_type || '/<n>',
+      |    CAST(3 AS BIGINT),
+      |    CAST(COUNT(DISTINCT user_id % 10) AS BIGINT)
+      |  FROM e WHERE user_id % 3 = 1 GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'ex.com/doc/<h>', CAST(2 AS BIGINT),
+      |    CAST(COUNT(DISTINCT md5(event_type)) AS BIGINT)
+      |  FROM e WHERE user_id % 3 = 2 HAVING COUNT(*) > 0)
+      |SELECT template, depth, n_urls, n_urls >= 50 AS is_trap
+      |FROM u ORDER BY template""".stripMargin
+
   private val SprayOracle: String =
     """WITH pu AS (SELECT event_type AS t,
       |    epoch_us(ts) // 3600000000 AS h, user_id AS u,

@@ -194,7 +194,8 @@ object Criteria {
     * `json_extract_scalar` → `get_json_object` and `TRY_CAST` →
     * `try_cast` rename in any position; Presto's bare unparameterized
     * `VARCHAR` (CAST(x AS VARCHAR)) becomes `STRING` — Spark requires
-    * a length on VARCHAR — while `VARCHAR(n)`, valid in both, stays.
+    * a length on VARCHAR — while `VARCHAR(n)`, valid in both, stays;
+    * `VARBINARY` becomes `BINARY` (Spark's only binary spelling).
     */
   private def renamePass(toks: Vector[Tok]): Vector[Tok] = {
     import Tok._
@@ -220,6 +221,9 @@ object Criteria {
               graft.functions.Functions.prefixedNames(lower))
             Ident("presto_" + name)
           else if (lower == "varchar" && !called) Ident("STRING")
+          // Presto's binary type is VARBINARY; Spark only parses
+          // BINARY (no parameterized form exists on either engine)
+          else if (lower == "varbinary") Ident("BINARY")
           else t
         }
       case (t, _) => t

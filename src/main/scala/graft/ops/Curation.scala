@@ -2087,6 +2087,111 @@ object Curation {
       .agg(max(col("delay")).as("crawl_delay"))
   }
 
+  /** Crawler-trap detection by URL-template cardinality: calendar
+    * pages, session-id paths, and faceted-search grids generate
+    * unbounded URL spaces that a frontier must refuse to enumerate.
+    * Each canonical URL's path is lifted to a TEMPLATE by collapsing
+    * volatile segments — digits-only → `<n>`, long hex (ids, hashes,
+    * ≥ 8 chars) → `<h>`, any other digit-bearing segment → `<x>` (the
+    * check order matters: a digits-only segment is also long-hex) —
+    * and a template whose distinct-URL count reaches `minUrls` is
+    * flagged. Returns `(template, depth, n_urls, is_trap)` — the trap
+    * list is itself crawl-front DATA (a broadcast anti-join on
+    * template gates the frontier the same way the blocklist does).
+    *
+    * Scale shape: templating is a map-only column program riding the
+    * scan (regex per segment inside `transform`); the only shuffle is
+    * one count-distinct aggregate keyed by template — template
+    * cardinality is orders of magnitude below URL cardinality (that
+    * gap IS the trap signal).
+    */
+  def crawlerTraps(urls: DataFrame, minUrls: Long = 100L,
+      urlCol: String = "url"): DataFrame = {
+    require(minUrls >= 1L, s"minUrls must be positive, got $minUrls")
+    templated(Par.spread(urls.where(col(urlCol).isNotNull)), urlCol)
+      .groupBy("template", "depth")
+      .agg(countDistinct(col("cu")).as("n_urls"))
+      .withColumn("is_trap", col("n_urls") >= minUrls)
+      .orderBy("template")
+  }
+
+  /** The template projection [[crawlerTraps]] and its streaming twin
+    * share — map-only (stream-safe): canonical URL, host, collapsed
+    * path template and its depth.
+    */
+  private[graft] def templated(urls: DataFrame, urlCol: String,
+      keep: Seq[String] = Nil): DataFrame =
+    urls.select(canonicalUrl(col(urlCol)).as("cu") +: keep.map(col): _*)
+      .withColumn("host",
+        regexp_extract(col("cu"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+      .withColumn("path",
+        regexp_extract(col("cu"), "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1))
+      .withColumn("segs", filter(split(col("path"), "/"), s => s =!= ""))
+      .withColumn("tsegs", transform(col("segs"), s =>
+        when(s.rlike("^[0-9]+$"), lit("<n>"))
+          .when(s.rlike("^[0-9a-f]{8,}$"), lit("<h>"))
+          .when(s.rlike("[0-9]"), lit("<x>"))
+          .otherwise(s)))
+      .withColumn("template", concat(col("host"), lit("/"),
+        array_join(col("tsegs"), "/")))
+      .withColumn("depth", size(col("tsegs")).cast("long"))
+
+  /** Content-irrelevant query-param inference — LEARN the
+    * canonicalizer's tracking-param killset from the fetch log
+    * instead of hand-curating it. A param `k` is irrelevant on a host
+    * when, within every CONTEXT (the URL with `k` removed: same stem,
+    * same other params), varying `k`'s value never varies the
+    * content hash; one context where content tracks the value is
+    * relevance evidence. Returns per `(host, param)`:
+    * `n_groups` (contexts carrying the param), `n_multi_value_groups`
+    * (contexts that actually vary the value — the only ones that can
+    * testify), `n_varying_groups` (contexts where content varied with
+    * the value), and the verdict `irrelevant` = has testimony and
+    * none of it shows variation. Params the default killset already
+    * drops must still be analyzed, so canonicalization here keeps ALL
+    * params (a never-matching killset regex).
+    *
+    * Scale shape: param explode is map-only (one row per URL×param);
+    * both aggregations are combinable group-bys — (host, param,
+    * context) then (host, param); context strings re-sort the
+    * SURVIVING params so the grouping key is spelling-independent.
+    */
+  def paramRelevance(fetches: DataFrame, urlCol: String = "url",
+      contentCol: String = "content_hash"): DataFrame = {
+    val cu = canonicalUrl(col(urlCol), trackingParamRegex = "(?!x)x")
+    val base = Par.spread(fetches.where(col(urlCol).isNotNull &&
+        col(contentCol).isNotNull))
+      .select(cu.as("cu"), col(contentCol).cast("string").as("h"))
+      .withColumn("host",
+        regexp_extract(col("cu"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+      .withColumn("stem", regexp_extract(col("cu"), "^([^?]*)", 1))
+      .withColumn("params",
+        filter(split(regexp_extract(col("cu"), "\\?(.*)$", 1), "&"),
+          p => p =!= ""))
+    val exploded = base
+      .select(col("host"), col("stem"), col("params"), col("h"),
+        explode(col("params")).as("kv"))
+      .withColumn("k", regexp_extract(col("kv"), "^([^=]*)", 1))
+      .withColumn("v", regexp_extract(col("kv"), "^[^=]*=(.*)$", 1))
+      // context = the URL with THIS param removed (exact key match,
+      // not prefix — `s` must not strip `sess`)
+      .withColumn("ctx", concat(col("stem"), lit("?"), array_join(
+        filter(col("params"),
+          p => element_at(split(p, "="), 1) =!= col("k")), "&")))
+    val perCtx = exploded.groupBy("host", "k", "ctx")
+      .agg(countDistinct(col("v")).as("nv"),
+        countDistinct(col("h")).as("nh"))
+    perCtx.groupBy(col("host"), col("k").as("param"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nv") >= 2, 1L).otherwise(0L))
+          .as("n_multi_value_groups"),
+        sum(when(col("nv") >= 2 && col("nh") >= 2, 1L).otherwise(0L))
+          .as("n_varying_groups"))
+      .withColumn("irrelevant", col("n_multi_value_groups") >= 1L &&
+        col("n_varying_groups") === 0L)
+      .orderBy("host", "param")
+  }
+
   /** Gate a URL table on parsed robots rules ([[parseRobots]] output)
     * for one crawler `agent`, with RFC 9309 precedence: the
     * applicable group per host is the agent's own if the file names

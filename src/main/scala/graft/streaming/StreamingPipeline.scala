@@ -130,6 +130,40 @@ object StreamingPipeline {
       .select(("id" +: "host" +: "target" +: "win_len" +: keep)
         .map(col): _*)
 
+  /** Streaming crawler-trap monitor — the live twin of
+    * [[graft.ops.Curation.crawlerTraps]], sharing its template
+    * projection verbatim (`Curation.templated`): URLs lift to path
+    * templates as they arrive, first arrival per canonical key passes
+    * a dedup, and a running distinct-URL count per template emits
+    * every micro-batch (Update mode — the latest emission per
+    * template is the current count; counts only grow, so a sink
+    * keeps the max). This chains a SECOND multiple-stateful-operator
+    * shape (dropDuplicatesWithinWatermark → streaming aggregation;
+    * q403's loop pinned dedup → flatMapGroupsWithState).
+    *
+    * Scale shape: templating map-only in the source scan; dedup state
+    * keys the 16-byte md5 of the canonical URL and the watermark
+    * evicts it; aggregation state is one counter per template —
+    * bounded by template cardinality, which is the whole point of
+    * templates. Exact-count contract matches the batch op whenever a
+    * URL's duplicates arrive within the watermark horizon (the q54
+    * replay discipline); beyond it a refetched URL recounts.
+    */
+  def crawlerTrapsStream(urls: DataFrame, minUrls: Long = 100L,
+      urlCol: String = "url", tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame = {
+    require(minUrls >= 1L, s"minUrls must be positive, got $minUrls")
+    graft.ops.Curation
+      .templated(urls.where(col(urlCol).isNotNull), urlCol,
+        keep = Seq(tsCol))
+      .withColumn("url_key", md5(col("cu")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("url_key")
+      .groupBy("template", "depth")
+      .agg(count(lit(1)).as("n_urls"))
+      .withColumn("is_trap", col("n_urls") >= minUrls)
+  }
+
   /** Stream → lake: land events hive-partitioned by UTC hour, the
     * write side of the reference's firehose→Athena layout
     * (startup.sh) on the live path. The layout prep is

@@ -382,4 +382,51 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       "try(CAST('nope' AS INTEGER)) IS NULL AND " +
         "try(CAST('7' AS INTEGER)) = 7")).count() === 1)
   }
+
+  test("eleventh tranche: levenshtein_distance, to_hex/from_hex, " +
+      "codepoint, truncate toward zero, infinity()/nan(), ngrams") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql("SELECT 'purchase' AS s")
+    assert(row.where(Criteria.toColumn(
+      "levenshtein_distance('kitten', 'sitting') = 3 AND " +
+        "levenshtein_distance(s, s) = 0")).count() === 1)
+    // hex round-trip; Spark's hex and Presto's to_hex both uppercase
+    assert(row.where(Criteria.toColumn(
+      "to_hex(CAST('MZ' AS VARBINARY)) = '4D5A' AND " +
+        "CAST(from_hex('4D5A') AS VARCHAR) = 'MZ'")).count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "codepoint('A') = 65 AND codepoint('€') = 8364")).count() === 1)
+    // toward zero on both signs; infinities pass through; NaN stays
+    assert(row.where(Criteria.toColumn(
+      "truncate(2.7) = 2.0 AND truncate(-2.7) = -2.0 AND " +
+        "truncate(infinity()) = infinity() AND " +
+        "is_nan(truncate(nan()))")).count() === 1)
+    // ngrams: n-length windows; short arrays give none; the size-0
+    // descending-sequence trap never evaluates a slice
+    assert(row.where(Criteria.toColumn(
+      "ngrams(ARRAY[1, 2, 3, 4], 2) = " +
+        "ARRAY[ARRAY[1,2], ARRAY[2,3], ARRAY[3,4]] AND " +
+        "cardinality(ngrams(ARRAY[1, 2], 3)) = 0")).count() === 1)
+  }
+
+  test("twelfth tranche: url_extract_* family — host without port, " +
+      "NULL absent components, per-name parameter, numeric port") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql(
+      "SELECT 'https://u@Ex.com:8443/a/b?x=1&y=2#frag' AS u")
+    assert(row.where(Criteria.toColumn(
+      "url_extract_protocol(u) = 'https' AND " +
+        "url_extract_host(u) = 'Ex.com' AND " +
+        "url_extract_path(u) = '/a/b' AND " +
+        "url_extract_query(u) = 'x=1&y=2' AND " +
+        "url_extract_fragment(u) = 'frag' AND " +
+        "url_extract_parameter(u, 'y') = '2' AND " +
+        "url_extract_port(u) = 8443")).count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "url_extract_query('https://ex.com/p') IS NULL AND " +
+        "url_extract_fragment('https://ex.com/p') IS NULL AND " +
+        "url_extract_port('https://ex.com/p') IS NULL AND " +
+        "url_extract_parameter('https://ex.com/p?x=1', 'z') IS NULL"))
+      .count() === 1)
+  }
 }

@@ -844,6 +844,48 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(sched === Map(1L -> 0L, 2L -> 50L, 3L -> 1L, 4L -> 3L))
   }
 
+  test("crawlerTraps: digit/hex/mixed segments collapse to a template " +
+      "in check order; the distinct-URL count per template flags traps") {
+    val urls = Seq(
+      (1L, "https://ex.com/cal/2024/01"),
+      (2L, "https://ex.com/cal/2024/02"),
+      (3L, "https://ex.com/cal/2025/07"),
+      (4L, "https://ex.com/cal/2024/01?x=1"),     // distinct canonical
+      (5L, "https://ex.com/item/deadbeef01"),     // ≥8 hex → <h>
+      (6L, "https://ex.com/item/deadbeef02"),
+      (7L, "https://ex.com/v2news"),              // digit-bearing → <x>
+      (8L, "https://ex.com/about")).toDF("id", "url")
+    val r = Curation.crawlerTraps(urls, minUrls = 3).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getBoolean(3))).toMap
+    assert(r("ex.com/cal/<n>/<n>") === ((3L, 4L, true)))
+    // digits-only wins over long-hex: 2024 is <n>, never <h>
+    assert(!r.contains("ex.com/cal/<h>/<n>"))
+    assert(r("ex.com/item/<h>") === ((2L, 2L, false)))
+    assert(r("ex.com/<x>") === ((1L, 1L, false)))
+    assert(r("ex.com/about") === ((1L, 1L, false)))
+  }
+
+  test("paramRelevance: a param whose value never moves the content " +
+      "within any context is irrelevant; one that does is not") {
+    val f = Seq(
+      ("https://ex.com/p/a?page=1&sess=x", "a1"),
+      ("https://ex.com/p/a?page=1&sess=y", "a1"),   // sess flips, content no
+      ("https://ex.com/p/a?page=2&sess=x", "a2"),   // page flips, content yes
+      ("https://ex.com/p/a?page=2&sess=y", "a2"),
+      ("https://ex.com/p/b?lone=1", "b"))           // single-valued: no testimony
+      .toDF("url", "content_hash")
+    val r = Curation.paramRelevance(f).collect()
+      .map(x => x.getString(1) -> (x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getBoolean(5))).toMap
+    // sess: 2 contexts (page=1, page=2), both multi-value, none varying
+    assert(r("sess") === ((2L, 2L, 0L, true)))
+    // page: 2 contexts (sess=x, sess=y), both multi-value, both varying
+    assert(r("page") === ((2L, 2L, 2L, false)))
+    // lone: one context, never multi-value → no testimony → NOT irrelevant
+    assert(r("lone") === ((1L, 0L, 0L, false)))
+  }
+
   // ── priority sampling ───────────────────────────────────────────────
 
   /** The VecKernels.mix31 kernel, restated for an independent expected

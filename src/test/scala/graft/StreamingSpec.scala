@@ -786,6 +786,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("crawlerTrapsStream: the dedup → aggregation chain counts each " +
+      "canonical URL once — replaying the stream moves no counter") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[UrlDoc]
+    val out = graft.streaming.StreamingPipeline
+      .crawlerTrapsStream(mem.toDF(), minUrls = 3)
+    val q = out.writeStream.format("memory").queryName("trap_stream")
+      .outputMode(OutputMode.Update).start()
+    def counts() = spark.table("trap_stream").collect()
+      .groupBy(r => r.getAs[String]("template"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n_urls")).max }
+    try {
+      val urls = Seq(
+        UrlDoc(ts(1), 1, "https://ex.com/cal/2024/01"),
+        UrlDoc(ts(2), 2, "https://ex.com/cal/2024/02"),
+        UrlDoc(ts(3), 3, "https://ex.com/cal/2025/03"),
+        UrlDoc(ts(4), 4, "https://ex.com/about"),
+        UrlDoc(ts(5), 5, "https://ex.com/cal/2024/01?utm_source=x")) // dup canonical
+      mem.addData(urls: _*)
+      q.processAllAvailable()
+      val first = counts()
+      assert(first === Map("ex.com/cal/<n>/<n>" -> 3L, "ex.com/about" -> 1L))
+      val trapRows = spark.table("trap_stream").collect()
+        .filter(_.getAs[Long]("n_urls") >= 3L)
+      assert(trapRows.forall(_.getAs[Boolean]("is_trap")))
+      // replay: every canonical key is already in dedup state →
+      // nothing reaches the aggregation, no counter moves
+      mem.addData(urls: _*)
+      q.processAllAvailable()
+      assert(counts() === first)
+    } finally q.stop()
+  }
+
   test("corpusFilterStream drops exact corpus content, passes novel docs") {
     implicit val sc = spark.sqlContext
     val corpus = Seq((100L, "the quick brown fox jumps over dogs"),
