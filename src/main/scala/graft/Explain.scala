@@ -71,7 +71,8 @@ object Explain {
       "q397_crawl_pipeline", "q398_length_buckets",
       "q399_recrawl_priority", "q402_crawl_delay_schedule",
       "q404_presto_dialect10", "q405_crawler_traps",
-      "q406_param_relevance")
+      "q406_param_relevance", "q410_learned_killset_dedup",
+      "q411_warc_ingest")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

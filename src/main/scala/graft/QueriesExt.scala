@@ -4304,12 +4304,14 @@ private[graft] object QueriesExt {
              |    AS irrelevant
              |FROM g GROUP BY param ORDER BY host, param""".stripMargin)),
 
-    // Presto-dialect breadth, eleventh batch: levenshtein_distance
-    // (Spark spells it levenshtein), to_hex/from_hex over VARBINARY
-    // (the CAST target itself needs the new VARBINARY→BINARY rewrite
-    // — Spark's parser rejects Presto's binary type name), codepoint,
-    // truncate-toward-zero, and ngrams windows (flattened to strings
-    // — the driver's canon cannot sort array cells).
+    // Presto-dialect breadth, eleventh batch. NEW surface:
+    // truncate-toward-zero and the VARBINARY→BINARY type rewrite
+    // (Spark's parser rejects Presto's binary type name, so
+    // to_hex(CAST(x AS VARBINARY)) needed it). The rest —
+    // levenshtein_distance, to_hex/from_hex, codepoint, ngrams
+    // (flattened to strings; the driver's canon cannot sort array
+    // cells) — are earlier-tranche registrations getting their FIRST
+    // oracle-gated pins here.
     Q("q407_presto_dialect11",
       (s, dir) => {
         graft.functions.Functions.register(s)
@@ -4343,11 +4345,11 @@ private[graft] object QueriesExt {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Presto-dialect breadth, twelfth batch: the url_extract_* family
-    // (protocol/host/path/query/fragment/parameter/port) — criteria
-    // authors slice URLs constantly and every name here is Presto's,
-    // not Spark's (parse_url underneath; port composes off AUTHORITY
-    // since parse_url has no PORT part). The oracle restates each
-    // component from the URL's construction.
+    // COMPLETED — protocol/query/fragment/port join the earlier
+    // host/path/parameter, all JDK-URI UDFs sharing Presto's
+    // NULL-on-malformed contract (Spark's parse_url THROWS under
+    // ANSI, so the builtin can't carry the family). The oracle
+    // restates each component from the URL's construction.
     Q("q409_presto_dialect12",
       (s, dir) => {
         graft.functions.Functions.register(s)
@@ -4380,7 +4382,98 @@ private[graft] object QueriesExt {
              |  's' AS frag
              |FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // The learned-killset loop closed: paramRelevance LEARNS which
+    // params never move content (q406's 'sess'), the verdicts become
+    // canonicalUrl's killset regex (params are DATA in → regex in —
+    // a bounded planning read: one row per (host, param)), and the
+    // re-canonicalized log dedups with the session noise gone — pages
+    // collapse from (#page × #sess) fetch URLs to #page canonical
+    // keys. The oracle restates the post-killset canonical space and
+    // its fetch multiplicity directly.
+    Q("q410_learned_killset_dedup",
+      (s, dir) => {
+        val f = Tables(s, dir, "events")
+          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
+            col("event_id").isNotNull)
+          .withColumn("url", expr(
+            """'https://ex.com/p/' || event_type
+              |  || '?page=' || (user_id % 3)
+              |  || '&sess=' || (event_id % 7)""".stripMargin))
+          .withColumn("content_hash",
+            expr("event_type || '-' || (user_id % 3)"))
+        // learn: bounded planning read — one row per (host, param)
+        val learned = graft.ops.Curation.paramRelevance(f)
+          .where(col("irrelevant"))
+          .select("param").collect().map(_.getString(0)).sorted
+        val killset = "^(" + learned.map(java.util.regex.Pattern.quote)
+          .mkString("|") + ")="
+        // apply: re-canonicalize with the learned killset, then the
+        // standard keeper dedup over the cleaned key space
+        val cleaned = f.select(col("event_id").cast("long").as("id"),
+          graft.ops.Curation.canonicalUrl(col("url"), killset).as("curl"))
+        cleaned.groupBy("curl")
+          .agg(min(col("id")).as("keeper_id"),
+            count(lit(1)).as("n_fetches"))
+          .select(col("curl").as("canonical_url"), col("keeper_id"),
+            col("n_fetches"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH c AS (SELECT CAST(event_id AS BIGINT) AS id,
+             |    'https://ex.com/p/' || event_type || '?page='
+             |      || (user_id % 3) AS canonical_url
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |    AND event_id IS NOT NULL)
+             |SELECT canonical_url, MIN(id) AS keeper_id,
+             |  COUNT(*) AS n_fetches
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WARC-lite ingest: the fetcher's container format through the
+    // S13 tokenizer family — concatenated records explode to one row
+    // each with routing headers (type, target URI, declared length)
+    // and the trimmed payload. Each doc carries a request+response
+    // pair so the explode, the header extracts, and the absent-header
+    // NULL contract all get exercised. The oracle restates both
+    // records per doc from the construction.
+    Q("q411_warc_ingest",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+          .withColumn("body", concat(
+            lit("WARC/1.0\nWARC-Type: request\n" +
+              "WARC-Target-URI: https://ex.com/t/"), col("event_type"),
+            lit("\n\nGET\n\n"),
+            lit("WARC/1.0\nWARC-Type: response\n" +
+              "WARC-Target-URI: https://ex.com/t/"), col("event_type"),
+            lit("\nContent-Length: 10\n\ndoc about "), col("event_type"),
+            lit("\n\n")))
+        graft.sources.Ingest.warcRecords(ev)
+          .orderBy("doc_id", "rec_idx")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(MIN(event_id) AS BIGINT) AS doc_id
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1),
+             |r AS (
+             |  SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+             |    'request' AS warc_type,
+             |    'https://ex.com/t/' || event_type AS target_uri,
+             |    CAST(NULL AS BIGINT) AS content_length,
+             |    'GET' AS payload
+             |  FROM e
+             |  UNION ALL
+             |  SELECT doc_id, CAST(1 AS INT), 'response',
+             |    'https://ex.com/t/' || event_type,
+             |    CAST(10 AS BIGINT), 'doc about ' || event_type
+             |  FROM e)
+             |SELECT doc_id, rec_idx, warc_type, target_uri,
+             |  content_length, payload
+             |FROM r ORDER BY doc_id, rec_idx""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   /** q405's oracle — shared verbatim by q408's streaming trap

@@ -580,16 +580,9 @@ object Functions {
       shim("zip")(exprs => new ArraysZip(exprs))
 
       // ── eleventh tranche ──────────────────────────────────────────
-      // Presto levenshtein_distance — Spark spells it levenshtein
-      shim("levenshtein_distance")(exprs =>
-        Levenshtein(exprs.head, exprs(1)))
-      // Presto to_hex/from_hex — Spark spells them hex/unhex (Spark's
-      // hex renders uppercase, same as Presto's to_hex)
-      shim("to_hex")(exprs => Hex(exprs.head))
-      shim("from_hex")(exprs => Unhex(exprs.head))
-      // Presto codepoint(char) — the code point of the (single-char)
-      // input; Spark's ascii is the same first-code-point read
-      shim("codepoint")(exprs => Ascii(exprs.head))
+      // (levenshtein_distance / to_hex / from_hex / codepoint /
+      // split_to_map / ngrams were already registered by earlier
+      // tranches above — only the genuinely-new names land here.)
       // Presto truncate(x) — round toward zero, double in double out.
       // x - x % 1 truncates both signs exactly (Spark's % keeps the
       // dividend's sign); infinities short-circuit (inf % 1 is NaN).
@@ -602,43 +595,25 @@ object Functions {
       // Presto IEEE constants
       shim("infinity")(_ => Literal(Double.PositiveInfinity))
       shim("nan")(_ => Literal(Double.NaN))
-      // Presto ngrams(array, n) → array of n-length windows. The
-      // index fan-out must dodge Spark's DESCENDING sequence(1, 0)
-      // (the q386 crash class): generate 1..size unconditionally
-      // (size ≥ 1 there; size = 0 yields [1, 0] whose members both
-      // fail the i ≤ size-n+1 filter before any slice evaluates).
-      shim("ngrams") { exprs =>
-        val arr = exprs.head
-        val n = Cast(exprs(1), IntegerType)
-        val sz = Size(arr)
-        val lim = Add(Subtract(sz, n), Literal(1))
-        val i = UnresolvedNamedLambdaVariable(Seq("__ng_i"))
-        val j = UnresolvedNamedLambdaVariable(Seq("__ng_j"))
-        val idx = ArrayFilter(new Sequence(Literal(1), sz, None),
-          LambdaFunction(LessThanOrEqual(i, lim), Seq(i)))
-        ArrayTransform(idx, LambdaFunction(Slice(arr, j, n), Seq(j)))
-      }
+    }
 
-      // ── twelfth tranche: Presto's url_extract_* family over the
-      // JVM URI parser Spark already ships as parse_url (same
-      // component semantics: host WITHOUT the port, absent component
-      // → NULL). Port has no parse_url part — it reads off the
-      // AUTHORITY with the same NULL-when-absent contract.
-      def urlPart(part: String)(exprs: Seq[Expression]): Expression =
-        ParseUrl(Seq(exprs.head, Literal(part)))
-      shim("url_extract_protocol")(urlPart("PROTOCOL"))
-      shim("url_extract_host")(urlPart("HOST"))
-      shim("url_extract_path")(urlPart("PATH"))
-      shim("url_extract_query")(urlPart("QUERY"))
-      shim("url_extract_fragment")(urlPart("REF"))
-      shim("url_extract_parameter")(exprs =>
-        ParseUrl(Seq(exprs.head, Literal("QUERY"), exprs(1))))
-      shim("url_extract_port") { exprs =>
-        val auth = ParseUrl(Seq(exprs.head, Literal("AUTHORITY")))
-        val p = RegExpExtract(auth, Literal(":([0-9]+)$"), Literal(1))
-        If(EqualTo(p, Literal("")), Literal(null, LongType),
-          Cast(p, LongType))
-      }
+    // ── twelfth tranche: complete the url_extract_* family the
+    // earlier tranche started (host/path/parameter above) — same JDK
+    // URI parser, same NULL-on-malformed contract (Presto's; Spark's
+    // parse_url THROWS under ANSI, which is why these are UDFs).
+    locally {
+      def uri(s: String): Option[java.net.URI] =
+        if (s == null) None
+        else scala.util.Try(new java.net.URI(s)).toOption
+      spark.udf.register(guarded("url_extract_protocol"),
+        (s: String) => uri(s).map(_.getScheme).orNull)
+      spark.udf.register(guarded("url_extract_query"),
+        (s: String) => uri(s).flatMap(u => Option(u.getRawQuery)).orNull)
+      spark.udf.register(guarded("url_extract_fragment"),
+        (s: String) => uri(s).flatMap(u => Option(u.getRawFragment)).orNull)
+      spark.udf.register(guarded("url_extract_port"),
+        (s: String) => uri(s).map(_.getPort).filter(_ >= 0)
+          .map(_.toLong).map(java.lang.Long.valueOf).orNull)
     }
     spark.udf.register(guarded("json_parse"),
       (s: String) => JsonParseFn.parse(s))

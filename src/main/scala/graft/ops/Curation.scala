@@ -2115,6 +2115,23 @@ object Curation {
       .orderBy("template")
   }
 
+  /** The consumption side of [[crawlerTraps]] — drop frontier URLs
+    * whose path template is on the trap list, the same
+    * list-as-DATA shape as [[blocklistGate]]: one broadcast LEFT
+    * ANTI join keyed by template (the trap table is bounded by
+    * template cardinality — a planning table), templating map-only
+    * in the scan. Stream-static legal, so the same call gates a
+    * live frontier.
+    */
+  def trapGate(urls: DataFrame, traps: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val t = templated(urls.where(col(urlCol).isNotNull), urlCol,
+      keep = urls.columns.toSeq)
+    t.join(broadcast(traps.where(col("is_trap")).select("template")),
+        Seq("template"), "left_anti")
+      .select(urls.columns.map(col).toSeq: _*)
+  }
+
   /** The template projection [[crawlerTraps]] and its streaming twin
     * share — map-only (stream-safe): canonical URL, host, collapsed
     * path template and its depth.

@@ -69,4 +69,47 @@ object Ingest {
   def isCloudtrailFile = input_file_name().rlike("(?i)\\d+_cloudtrail_.+\\.json\\.gz$")
 
   def shortUuid(): String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** WARC-lite record splitter — the crawl-native container's text
+    * profile, the S13 tokenizer family applied to fetcher output:
+    * concatenated `WARC/1.0` records explode into one row each with
+    * the three headers a curation pipeline routes on (type, target
+    * URI, declared content length) extracted case-insensitively and
+    * the payload as the text between the header block's blank line
+    * and the next record (trailing newlines stripped).
+    *
+    * Deliberate profile bounds (documented, not hidden): this is the
+    * TEXT profile — payloads carrying a literal line `WARC/1.0` split
+    * early and byte-exact `Content-Length` framing of binary payloads
+    * is the DSv2 binary source's job, not a column program's. The
+    * declared length is carried through (`content_length`) so a
+    * consumer can audit mismatches.
+    *
+    * Scale shape: pure per-row column program (split + regex
+    * extracts), map-only in the scan; one posexplode per record — no
+    * shuffle, no UDF.
+    */
+  def warcRecords(df: DataFrame, textCol: String = "body",
+      idCol: String = "doc_id"): DataFrame = {
+    val recs = filter(
+      split(regexp_replace(col(textCol), "\r", ""), "(?m)^WARC/1\\.0\n"),
+      r => r =!= "")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(recs).as(Seq("rec_idx", "rec")))
+      .withColumn("head", regexp_extract(col("rec"), "(?s)^(.*?)\n\n", 1))
+      .withColumn("warc_type", nullIfEmpty(regexp_extract(col("head"),
+        "(?im)^warc-type: *(.*) *$", 1)))
+      .withColumn("target_uri", nullIfEmpty(regexp_extract(col("head"),
+        "(?im)^warc-target-uri: *(.*) *$", 1)))
+      .withColumn("content_length", expr(
+        "try_cast(regexp_extract(head, '(?im)^content-length: *([0-9]+) *$', 1) AS BIGINT)"))
+      .withColumn("payload", regexp_replace(
+        regexp_extract(col("rec"), "(?s)^.*?\n\n(.*)$", 1), "\n+$", ""))
+      .select("doc_id", "rec_idx", "warc_type", "target_uri",
+        "content_length", "payload")
+  }
+
+  private def nullIfEmpty(c: org.apache.spark.sql.Column) =
+    when(c === "", null).otherwise(c)
 }

@@ -401,12 +401,13 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       "truncate(2.7) = 2.0 AND truncate(-2.7) = -2.0 AND " +
         "truncate(infinity()) = infinity() AND " +
         "is_nan(truncate(nan()))")).count() === 1)
-    // ngrams: n-length windows; short arrays give none; the size-0
-    // descending-sequence trap never evaluates a slice
+    // ngrams: n-length windows; shorter-than-n input clamps to ONE
+    // truncated gram (Presto's contract, pinned on the 5th-tranche
+    // registration this suite shares)
     assert(row.where(Criteria.toColumn(
       "ngrams(ARRAY[1, 2, 3, 4], 2) = " +
         "ARRAY[ARRAY[1,2], ARRAY[2,3], ARRAY[3,4]] AND " +
-        "cardinality(ngrams(ARRAY[1, 2], 3)) = 0")).count() === 1)
+        "ngrams(ARRAY[1, 2], 3) = ARRAY[ARRAY[1, 2]]")).count() === 1)
   }
 
   test("twelfth tranche: url_extract_* family — host without port, " +

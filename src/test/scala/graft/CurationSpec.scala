@@ -866,6 +866,22 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(r("ex.com/about") === ((1L, 1L, false)))
   }
 
+  test("trapGate: frontier URLs on a flagged template drop; everything " +
+      "else passes with original columns intact") {
+    val urls = Seq(
+      (1L, "https://ex.com/cal/2024/01"),
+      (2L, "https://ex.com/cal/2024/02"),
+      (3L, "https://ex.com/cal/2025/07"),
+      (4L, "https://ex.com/about"),
+      (5L, "https://ex.com/item/deadbeef01")).toDF("id", "url")
+    val traps = Curation.crawlerTraps(urls, minUrls = 3)
+    val kept = Curation.trapGate(urls, traps).collect()
+      .map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(4L, 5L))
+    assert(Curation.trapGate(urls, traps).columns.toSeq ===
+      Seq("id", "url"))
+  }
+
   test("paramRelevance: a param whose value never moves the content " +
       "within any context is irrelevant; one that does is not") {
     val f = Seq(

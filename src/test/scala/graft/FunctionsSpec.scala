@@ -391,6 +391,27 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
     assert(Ingest.splitJsonBlocks("""{"s":"}{\"{"}""") === Seq("""{"s":"}{\"{"}"""))
   }
 
+  test("warcRecords: concatenated WARC records explode with headers " +
+      "parsed case-insensitively, CRLF tolerated, payload trimmed") {
+    val body =
+      "WARC/1.0\r\nWARC-Type: request\r\n" +
+        "WARC-Target-URI: https://ex.com/a\r\nContent-Length: 5\r\n\r\n" +
+        "GET /\r\n\r\n" +
+        "WARC/1.0\nwarc-type: response\n" +
+        "WARC-TARGET-URI: https://ex.com/a\ncontent-length: 11\n\n" +
+        "doc about a\n\n" +
+        "WARC/1.0\nWARC-Type: metadata\nContent-Length: oops\n\nx\n\n"
+    val df = Seq((7L, body)).toDF("doc_id", "body")
+    val r = Ingest.warcRecords(df).orderBy("rec_idx").collect()
+      .map(x => (x.getInt(1), x.getString(2), x.getString(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4), x.getString(5)))
+    assert(r.toSeq === Seq(
+      (0, "request", "https://ex.com/a", 5L, "GET /"),
+      (1, "response", "https://ex.com/a", 11L, "doc about a"),
+      // malformed length drops to NULL (try_cast), URI header absent
+      (2, "metadata", null, -1L, "x")))
+  }
+
   test("dict helpers: sub_dict / dict_match / find_keys / enum_*") {
     val d: Doc = Map("a" -> 1, "b" -> Map("c" -> 2, "d" -> Seq(Map("e" -> 3))))
     assert(AlertDoc.subDict(d, Seq("a", "z")) === Map("a" -> 1, "z" -> null))
