@@ -2124,13 +2124,17 @@ object Curation {
     * live frontier.
     */
   def trapGate(urls: DataFrame, traps: DataFrame,
-      urlCol: String = "url"): DataFrame = {
-    val t = templated(urls.where(col(urlCol).isNotNull), urlCol,
-      keep = urls.columns.toSeq)
-    t.join(broadcast(traps.where(col("is_trap")).select("template")),
-        Seq("template"), "left_anti")
-      .select(urls.columns.map(col).toSeq: _*)
-  }
+      urlCol: String = "url"): DataFrame =
+    // the template is ONE expression (never intermediate named
+    // columns): a caller frame already carrying `host`/`path`/`segs`
+    // must come through untouched — only the reserved `__template`
+    // key is added and dropped
+    urls.where(col(urlCol).isNotNull)
+      .withColumn("__template", templateCol(col(urlCol)))
+      .join(broadcast(traps.where(col("is_trap"))
+          .select(col("template").as("__template"))),
+        Seq("__template"), "left_anti")
+      .drop("__template")
 
   /** The template projection [[crawlerTraps]] and its streaming twin
     * share — map-only (stream-safe): canonical URL, host, collapsed
@@ -2139,19 +2143,31 @@ object Curation {
   private[graft] def templated(urls: DataFrame, urlCol: String,
       keep: Seq[String] = Nil): DataFrame =
     urls.select(canonicalUrl(col(urlCol)).as("cu") +: keep.map(col): _*)
-      .withColumn("host",
-        regexp_extract(col("cu"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
-      .withColumn("path",
-        regexp_extract(col("cu"), "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1))
-      .withColumn("segs", filter(split(col("path"), "/"), s => s =!= ""))
-      .withColumn("tsegs", transform(col("segs"), s =>
-        when(s.rlike("^[0-9]+$"), lit("<n>"))
-          .when(s.rlike("^[0-9a-f]{8,}$"), lit("<h>"))
-          .when(s.rlike("[0-9]"), lit("<x>"))
-          .otherwise(s)))
-      .withColumn("template", concat(col("host"), lit("/"),
-        array_join(col("tsegs"), "/")))
+      .withColumn("tsegs", templateSegs(col("cu")))
+      .withColumn("template", concat(
+        regexp_extract(col("cu"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        lit("/"), array_join(col("tsegs"), "/")))
       .withColumn("depth", size(col("tsegs")).cast("long"))
+
+  /** The collapsed path segments of a canonical URL — one expression,
+    * no intermediate columns. */
+  private def templateSegs(cu: Column): Column = {
+    val path = regexp_extract(cu,
+      "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    transform(filter(split(path, "/"), s => s =!= ""), s =>
+      when(s.rlike("^[0-9]+$"), lit("<n>"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), lit("<h>"))
+        .when(s.rlike("[0-9]"), lit("<x>"))
+        .otherwise(s))
+  }
+
+  /** The full template of a RAW url as one expression ([[trapGate]]'s
+    * collision-free probe). */
+  private def templateCol(url: Column): Column = {
+    val cu = canonicalUrl(url)
+    concat(regexp_extract(cu, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+      lit("/"), array_join(templateSegs(cu), "/"))
+  }
 
   /** Content-irrelevant query-param inference — LEARN the
     * canonicalizer's tracking-param killset from the fetch log

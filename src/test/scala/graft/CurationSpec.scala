@@ -880,6 +880,14 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(kept.toSeq === Seq(4L, 5L))
     assert(Curation.trapGate(urls, traps).columns.toSeq ===
       Seq("id", "url"))
+    // a caller frame already carrying `host` (every frontier does)
+    // comes through with ITS values — the gate's internal template
+    // derivation must never shadow caller columns
+    val withHost = urls.withColumn("host",
+      org.apache.spark.sql.functions.lit("caller-value"))
+    val gated = Curation.trapGate(withHost, traps).collect()
+    assert(gated.map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+    assert(gated.forall(_.getAs[String]("host") === "caller-value"))
   }
 
   test("paramRelevance: a param whose value never moves the content " +
