@@ -1859,8 +1859,11 @@ object Curation {
       // a k-label domain — key it "" (matches nothing, lazily guarded)
       val sfx = when(size(hostLabels) >= k,
         array_join(slice(hostLabels, -k, k), ".")).otherwise(lit(""))
-      acc.join(broadcast(bl.where(col("k") === k).select("domain")),
-        sfx === col("domain"), "left_anti")
+      // dataframe-qualified join key: a caller frame that itself
+      // carries a `domain` column must not make the condition
+      // ambiguous
+      val d = bl.where(col("k") === k).select("domain")
+      acc.join(broadcast(d), sfx === d("domain"), "left_anti")
     }
   }
 

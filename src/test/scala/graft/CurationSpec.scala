@@ -890,6 +890,24 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
     assert(gated.forall(_.getAs[String]("host") === "caller-value"))
   }
 
+  test("blocklistGate: gates by host-label suffix and stays unambiguous " +
+      "when the caller frame itself carries a domain column") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "ok.site.com", "mine"),
+      (2L, "sub.tracker.net", "mine"),
+      (3L, "tracker.net", "mine"),
+      (4L, "tracker.net.evil", "mine"))
+      .toDF("id", "host", "domain")           // caller's own `domain`
+    val bl = Seq("tracker.net").toDF("domain")
+    val out = Curation.blocklistGate(rows, bl, col("host")).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
+    // the caller's domain column survives untouched
+    assert(out.forall(_.getAs[String]("domain") === "mine"))
+    assert(Curation.blocklistGate(rows, bl, col("host")).columns.toSeq ===
+      Seq("id", "host", "domain"))
+  }
+
   test("paramRelevance: a param whose value never moves the content " +
       "within any context is irrelevant; one that does is not") {
     val f = Seq(
