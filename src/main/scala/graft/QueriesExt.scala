@@ -4407,8 +4407,12 @@ private[graft] object QueriesExt {
         val learned = graft.ops.Curation.paramRelevance(f)
           .where(col("irrelevant"))
           .select("param").collect().map(_.getString(0)).sorted
-        val killset = "^(" + learned.map(java.util.regex.Pattern.quote)
-          .mkString("|") + ")="
+        // empty learned set must keep EVERY param: "^()=" would match
+        // any empty-key param, so degenerate to a never-matching regex
+        val killset =
+          if (learned.isEmpty) "(?!x)x"
+          else "^(" + learned.map(java.util.regex.Pattern.quote)
+            .mkString("|") + ")="
         // apply: re-canonicalize with the learned killset, then the
         // standard keeper dedup over the cleaned key space
         val cleaned = f.select(col("event_id").cast("long").as("id"),

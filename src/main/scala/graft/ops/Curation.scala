@@ -1774,9 +1774,14 @@ object Curation {
       .crossJoin(broadcast(hCount))
     val withStride = delays match {
       case Some(d) =>
-        val dl = d.select(lower(col("host")).as("host"),
+        // delay lookup is case-insensitive on BOTH sides (hosts are
+        // case-insensitive per RFC 3986): a mixed-case probe host must
+        // not silently lose its crawl-delay stride
+        val dl = d.select(lower(col("host")).as("dl_host"),
           col("crawl_delay").cast("long").as("crawl_delay"))
-        ranked.join(broadcast(dl), Seq("host"), "left")
+        ranked.join(broadcast(dl),
+            lower(col("host")) === col("dl_host"), "left")
+          .drop("dl_host")
           .withColumn("stride",
             greatest(col("h"), coalesce(col("crawl_delay"), lit(0L))))
       case None => ranked.withColumn("stride", col("h"))
@@ -1853,7 +1858,10 @@ object Curation {
     val ks =
       if (depths.nonEmpty) depths.distinct.sorted
       else bl.select("k").distinct().collect().map(_.getInt(0)).sorted.toSeq
-    val hostLabels = split(hostCol, "\\.")
+    // probe side lowercased to match the lowercased blocklist: hosts
+    // are case-insensitive (RFC 3986) and a mixed-case caller must not
+    // silently bypass the gate
+    val hostLabels = split(lower(hostCol), "\\.")
     ks.foldLeft(df) { (acc, k) =>
       // last-k labels of the host; a host with < k labels can't match
       // a k-label domain — key it "" (matches nothing, lazily guarded)
@@ -2031,6 +2039,14 @@ object Curation {
     * and the in-group non-UA field lines as `(host, gid, key,
     * value)`. One bounded per-host window (robots.txt is capped at
     * 500 KiB by the RFC).
+    *
+    * Group-splitting semantics (pinned by CurationSpec): ANY kept
+    * non-UA line — including `Crawl-delay` — ends the group head, so
+    * `User-agent: a / Crawl-delay: 1 / User-agent: b / Disallow: /x`
+    * binds the Disallow to `b` ONLY. This matches Google's parser
+    * (non-UA directives terminate the start-of-group run); a parser
+    * that ignored Crawl-delay entirely would bind the Disallow to
+    * both a and b.
     */
   private def robotsGroups(robots: DataFrame, hostCol: String,
       textCol: String): (DataFrame, DataFrame) = {

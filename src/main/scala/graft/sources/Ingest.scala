@@ -99,9 +99,9 @@ object Ingest {
         posexplode(recs).as(Seq("rec_idx", "rec")))
       .withColumn("head", regexp_extract(col("rec"), "(?s)^(.*?)\n\n", 1))
       .withColumn("warc_type", nullIfEmpty(regexp_extract(col("head"),
-        "(?im)^warc-type: *(.*) *$", 1)))
+        "(?im)^warc-type: *(.*?) *$", 1)))
       .withColumn("target_uri", nullIfEmpty(regexp_extract(col("head"),
-        "(?im)^warc-target-uri: *(.*) *$", 1)))
+        "(?im)^warc-target-uri: *(.*?) *$", 1)))
       .withColumn("content_length", expr(
         "try_cast(regexp_extract(head, '(?im)^content-length: *([0-9]+) *$', 1) AS BIGINT)"))
       .withColumn("payload", regexp_replace(

@@ -908,6 +908,47 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       Seq("id", "host", "domain"))
   }
 
+  test("blocklistGate / frontierSchedule: hosts are case-insensitive — " +
+      "a mixed-case probe host neither bypasses the blocklist nor " +
+      "loses its crawl-delay stride") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "Sub.Tracker.NET"), (2L, "ok.site.com"))
+      .toDF("id", "host")
+    val bl = Seq("tracker.net").toDF("domain")
+    assert(Curation.blocklistGate(rows, bl, col("host"))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // frontierSchedule: delay lookup matches case-insensitively on
+    // both sides, but the output host column keeps the caller's case
+    val urls = Seq((1L, "A.ex"), (2L, "A.ex"), (3L, "z.ex"), (4L, "z.ex"))
+      .toDF("id", "host")
+    val delays = Seq(("a.EX", 50L)).toDF("host", "crawl_delay")
+    val sched = Curation.frontierSchedule(urls, "host", "id",
+        delays = Some(delays)).collect()
+    assert(sched.map(r => r.getLong(0) -> r.getLong(4)).toMap ===
+      Map(1L -> 0L, 2L -> 50L, 3L -> 1L, 4L -> 3L))
+    assert(sched.map(_.getString(1)).toSet === Set("A.ex", "z.ex"))
+  }
+
+  test("parseRobots: a Crawl-delay line between two User-agent lines " +
+      "ends the group head — the later Disallow binds to the second " +
+      "agent only (Google-parser semantics, pinned)") {
+    val robots = Seq(("h.ex",
+      "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"))
+      .toDF("host", "body")
+    val rules = Curation.parseRobots(robots)
+    val u = Seq((1L, "https://h.ex/x/1")).toDF("id", "url")
+    // agent b: gets the Disallow
+    val rb = Curation.robotsGate(u, rules, "b").collect()
+    assert(rb.length === 1 && rb(0).getBoolean(3) === false)
+    // agent a: its group head ended at the Crawl-delay — /x unbound
+    val ra = Curation.robotsGate(u, rules, "a").collect()
+    assert(ra.length === 1 && ra(0).getBoolean(3) === true)
+    // and the Crawl-delay itself still binds to agent a
+    val d = Curation.crawlDelays(robots, "a").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("h.ex" -> 1L))
+  }
+
   test("paramRelevance: a param whose value never moves the content " +
       "within any context is irrelevant; one that does is not") {
     val f = Seq(

@@ -410,6 +410,14 @@ class FunctionsSpec extends AnyFunSuite with SparkSuite {
       (1, "response", "https://ex.com/a", 11L, "doc about a"),
       // malformed length drops to NULL (try_cast), URI header absent
       (2, "metadata", null, -1L, "x")))
+    // trailing spaces after a header value never reach the column:
+    // 'WARC-Type: response  ' must route as 'response'
+    val padded = "WARC/1.0\nWARC-Type: response  \n" +
+      "WARC-Target-URI: https://ex.com/b \n\np\n\n"
+    val pr = Ingest.warcRecords(Seq((8L, padded)).toDF("doc_id", "body"))
+      .collect()
+    assert(pr.length === 1 && pr(0).getString(2) === "response" &&
+      pr(0).getString(3) === "https://ex.com/b")
   }
 
   test("dict helpers: sub_dict / dict_match / find_keys / enum_*") {
