@@ -4019,18 +4019,27 @@ private[graft] object QueriesExt {
              |ORDER BY fetch_pos""".stripMargin)),
 
     // The WHOLE crawl loop as ONE streaming query — robots gate →
-    // blocklist + canonical dedup → recrawl-stats state — pinned
-    // against the independent batch chain (robotsVerdicts →
-    // canonical filter → urlKeyDedup keepers → recrawlPriority) via
-    // the q361/q384 full-outer pattern. The operators are each
-    // verified solo; this pins their COMPOSITION, which is where
-    // Spark's multiple-stateful-operator and watermark rules bite
-    // (dropDuplicatesWithinWatermark feeding flatMapGroupsWithState
-    // behind two stream-static joins). Post-gate columns (page key,
-    // fetch hour, content hash) are pure functions of
-    // (event_type, m, w), so WHICH variant row survives a dedup race
-    // never shows in the output — the determinism trick that lets
-    // one oracle restate both engines.
+    // trap gate → blocklist + canonical dedup → recrawl-stats state —
+    // pinned against the independent batch chain (robotsVerdicts →
+    // trapGate → canonical filter → urlKeyDedup keepers →
+    // recrawlPriority) via the q361/q384 full-outer pattern. The
+    // operators are each verified solo; this pins their COMPOSITION,
+    // which is where Spark's multiple-stateful-operator and watermark
+    // rules bite (dropDuplicatesWithinWatermark feeding
+    // flatMapGroupsWithState behind three stream-static joins). The
+    // v==2 variant is a calendar-trap URL family (`/cal/<n>/<n>`,
+    // per-row sid → unbounded URL space) that ONLY the trap anti-join
+    // removes — robots allows it and its host is unblocked — so a
+    // missing trap hop in either engine shows as full-outer rows. The
+    // trap list is a fixture template (q403's robots body and
+    // blocklist are fixtures for the same reason: the LEARNED loop is
+    // q410's contract; this query pins gate composition). Post-gate
+    // columns (page key, fetch hour, content hash) are pure functions
+    // of (event_type, m, w), so WHICH variant row survives a dedup
+    // race never shows in the output — the determinism trick that
+    // lets one oracle restate both engines. Subset is event_id%50
+    // (was %25): the dual state-store commit cost scales with fed
+    // rows and the composition pin needs coverage, not volume.
     Q("q403_crawl_loop_equiv",
       (s, dir) => {
         import org.apache.spark.sql.streaming.OutputMode
@@ -4041,14 +4050,14 @@ private[graft] object QueriesExt {
             |    || m || '?w=' || w || '&a=1'
             |  WHEN 1 THEN 'HTTPS://EX.com/p/' || event_type || '/'
             |    || m || '?a=1&utm_source=mail&w=' || w
-            |  WHEN 2 THEN 'https://ex.com/p/' || event_type || '/'
-            |    || m || '?w=' || w || '&a=1#frag'
+            |  WHEN 2 THEN 'https://ex.com/cal/' || m || '/' || w
+            |    || '?sid=' || event_id || '#frag'
             |  ELSE 'http://spam.tracker.net/p/' || event_type || '/'
             |    || m || '?w=' || w || '&a=1' END""".stripMargin
         def corpus(df: org.apache.spark.sql.DataFrame) = df
           .where(col("user_id").isNotNull && col("event_type").isNotNull &&
             col("ts").isNotNull && col("event_id").isNotNull &&
-            col("event_id") % 25 === 0)
+            col("event_id") % 50 === 0)
           .withColumn("m", col("user_id") % 10)
           .withColumn("w", expr(
             "CAST(unix_micros(ts) DIV 3600000000 AS BIGINT)"))
@@ -4056,7 +4065,13 @@ private[graft] object QueriesExt {
         val robots = Seq(("ex.com",
           "User-agent: graftbot\nDisallow: /p/purchase\n\n" +
             "User-agent: *\nDisallow: /\n")).toDF("host", "body")
+        // rules is a bounded planning table consumed by BOTH engines
+        // (stream broadcast + batch broadcast): materialize its
+        // window+collect_list derivation once instead of per use
         val rules = graft.ops.Curation.parseRobots(robots)
+          .localCheckpoint()
+        val traps = Seq(("ex.com/cal/<n>/<n>", true))
+          .toDF("template", "is_trap")
         // deterministic post-gate projections shared by both engines
         def fetchLog(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("url_key",
@@ -4069,8 +4084,11 @@ private[graft] object QueriesExt {
           corpus(QueriesAlert.tableStream(s, dir, "events")), rules,
           agent = "graftbot", urlCol = "url", idCol = "event_id",
           keep = Seq("url", "ts", "event_type", "m", "w"))
+        // trap gate BEFORE dedup: a frontier refuses trap URLs before
+        // spending state on them (stream-static broadcast anti-join)
+        val untrappedS = graft.ops.Curation.trapGate(allowedS, traps)
         val gatedS = graft.streaming.StreamingPipeline.urlGateStream(
-          allowedS, Seq("tracker.net"), urlCol = "url", tsCol = "ts",
+          untrappedS, Seq("tracker.net"), urlCol = "url", tsCol = "ts",
           delay = "10 minutes")
         val statsS = graft.streaming.StreamingPipeline.recrawlStatsStream(
           fetchLog(gatedS), urlCol = "url_key", tsCol = "fts",
@@ -4092,11 +4110,20 @@ private[graft] object QueriesExt {
             hintBroadcast = true,
             keep = Seq("url", "ts", "event_type", "m", "w"))
           .where(col("allowed"))
+          .transform(df => graft.ops.Curation.trapGate(df, traps))
         val chost = regexp_extract(
           graft.ops.Curation.canonicalUrl(col("url")),
           "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+        // the gated corpus feeds THREE consumers (keeper derivation's
+        // self-join reads it twice, the semi-join once): checkpoint so
+        // the robots-fold + trap + canonicalize lineage — a deep
+        // expression program whose per-stage first-execution compile
+        // dominates at this row count — runs once. At 100 TB this is
+        // the same move: the gated fetch log is a materialized lake
+        // asset, not a lineage re-derived per consumer.
         val unblockedB = allowedB.where(
           !(chost === "tracker.net" || chost.endsWith(".tracker.net")))
+          .localCheckpoint()
         val keepersB = graft.ops.Curation.urlKeyDedup(unblockedB,
             urlCol = "url", idCol = "id")
           .where(!col("is_dup")).select(col("id"))
@@ -4119,9 +4146,9 @@ private[graft] object QueriesExt {
              |  FROM events
              |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |    AND ts IS NOT NULL AND event_id IS NOT NULL
-             |    AND event_id % 25 = 0),
+             |    AND event_id % 50 = 0),
              |s AS (SELECT DISTINCT event_type, m, w FROM e
-             |  WHERE v <> 3 AND event_type <> 'purchase'),
+             |  WHERE v < 2 AND event_type <> 'purchase'),
              |f AS (SELECT
              |    CAST(m * 131 + length(event_type) AS BIGINT) AS u,
              |    CAST(w * 3600 AS BIGINT) AS sec,
