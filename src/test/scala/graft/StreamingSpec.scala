@@ -1730,6 +1730,46 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("checkpoint restart: crawlerTrapsStream (dedup + aggregation — " +
+      "TWO state stores in one query) — a post-restart duplicate " +
+      "stays deduped and the template counter continues, not resets") {
+    implicit val sc = spark.sqlContext
+    withCheckpoint { dir =>
+      val mem = MemoryStream[UrlDoc]
+      def build() = graft.streaming.StreamingPipeline
+        .crawlerTrapsStream(mem.toDF(), minUrls = 3L)
+      val (q1, _) = startBuffered(build(), dir, OutputMode.Update)
+      val stateBefore = try {
+        mem.addData(
+          UrlDoc(ts(1), 1L, "https://h.ex/cal/2024/01"),
+          UrlDoc(ts(2), 2L, "https://h.ex/cal/2024/02"))
+        q1.processAllAvailable()
+        // dedup + agg: both operators hold rows
+        q1.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q1.stop()
+      assert(stateBefore >= 3L, s"expected 2 dedup + 1 agg state " +
+        s"rows before restart, got $stateBefore")
+      val (q2, buf2) = startBuffered(build(), dir, OutputMode.Update)
+      try {
+        mem.addData(
+          // duplicate of doc 1's URL: the DEDUP store must drop it
+          UrlDoc(ts(3), 3L, "https://h.ex/cal/2024/01"),
+          // new distinct URL: the AGG store must continue 2 → 3
+          UrlDoc(ts(4), 4L, "https://h.ex/cal/2025/07"))
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val latest = buf2.asScala
+          .filter(_.getAs[String]("template") === "h.ex/cal/<n>/<n>")
+          .map(r => (r.getAs[Long]("n_urls"), r.getAs[Boolean]("is_trap")))
+          .toSeq
+        // 3, never 1 (reset agg) and never 4 (lost dedup state): the
+        // count crosses minUrls=3 exactly because BOTH stores restored
+        assert(latest.nonEmpty && latest.last === ((3L, true)),
+          s"expected the restarted counter at (3, true), got $latest")
+      } finally q2.stop()
+    }
+  }
+
   test("dsirGateStream hashes per CODE POINT like the batch kernel: " +
       "non-BMP words (surrogate pairs) bucket identically") {
     import org.apache.spark.sql.functions._
