@@ -4504,6 +4504,79 @@ private[graft] object QueriesExt {
              |  FROM e)
              |SELECT doc_id, rec_idx, warc_type, target_uri,
              |  content_length, payload
+             |FROM r ORDER BY doc_id, rec_idx""".stripMargin)),
+
+    // q411's record layout through the BINARY connector: the same
+    // request+response pair per event_type, but written as real WARC
+    // files — Content-Length byte framing, CRLF headers, one gzip
+    // member per record for odd doc ids and plain files for even
+    // (per-file sniff) — and read back via the DSv2 source
+    // (sources/WarcSource.scala), where a file is a partition and
+    // framing runs inside the PartitionReader. Differences from q411
+    // are the binary profile's honesty: content_length is the REAL
+    // payload byte count (the text profile carried a declared 10
+    // through), and the request record must declare its length too.
+    Q("q412_warc_binary_source",
+      (s, dir) => {
+        val out = s"$extScratch/q412_warc"
+        val recs = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+        // fixture write rides the executors (Hadoop FS, one file per
+        // doc — the fetcher-output layout), never a driver collect
+        recs.select("event_type", "doc_id").foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { r =>
+            val et = r.getString(0); val id = r.getLong(1)
+            val gz = id % 2 == 1
+            val p = new org.apache.hadoop.fs.Path(
+              s"$out/doc_$id.warc" + (if (gz) ".gz" else ""))
+            val fs = p.getFileSystem(conf)
+            val o = fs.create(p, true)
+            try {
+              val uri = s"https://ex.com/t/$et"
+              val get = "GET".getBytes("UTF-8")
+              val doc = s"doc about $et".getBytes("UTF-8")
+              if (gz) {
+                graft.sources.Warc.writeGzipMember(o, "request", uri, get)
+                graft.sources.Warc.writeGzipMember(o, "response", uri, doc)
+              } else {
+                graft.sources.Warc.writeRecord(o, "request", uri, get)
+                graft.sources.Warc.writeRecord(o, "response", uri, doc)
+              }
+            } finally o.close()
+          }
+        }
+        s.read.format("graft.sources.WarcSource").load(out)
+          .withColumn("doc_id", regexp_extract(col("src_file"),
+            "doc_(\\d+)\\.warc", 1).cast("long"))
+          .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+            col("target_uri"), col("content_length"),
+            col("payload").cast("string").as("payload"))
+          .orderBy("doc_id", "rec_idx")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(MIN(event_id) AS BIGINT) AS doc_id
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1),
+             |r AS (
+             |  SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+             |    'request' AS warc_type,
+             |    'https://ex.com/t/' || event_type AS target_uri,
+             |    CAST(3 AS BIGINT) AS content_length,
+             |    'GET' AS payload
+             |  FROM e
+             |  UNION ALL
+             |  SELECT doc_id, CAST(1 AS INT), 'response',
+             |    'https://ex.com/t/' || event_type,
+             |    CAST(10 + length(event_type) AS BIGINT),
+             |    'doc about ' || event_type
+             |  FROM e)
+             |SELECT doc_id, rec_idx, warc_type, target_uri,
+             |  content_length, payload
              |FROM r ORDER BY doc_id, rec_idx""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
