@@ -1439,19 +1439,24 @@ private[graft] object QueriesPipeline {
     // multimodal frame sampling: per-frame rows with offsets and
     // resize-target dims — the explode is in-plan; the oracle restates
     // the stub arithmetic over a generated frame-index series.
+    // frame sampling over the REAL header decode (q31's fixture): GIF
+    // docs fan out per their actual descriptor count, stills emit one
+    // frame — the explode stays in-plan, the counts come from bytes.
     Q("q34_frame_sampling",
-      (s, dir) => graft.ops.Multimodal.framePipeline(Tables(s, dir, "documents")),
-      Some("""WITH m AS (
-             |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
-             |f AS (SELECT doc_id,
-             |        320 + len % 320 AS width, 240 + len % 240 AS height,
-             |        CAST(1 + len % 8 AS INTEGER) AS n_frames
-             |      FROM m)
+      (s, dir) => graft.ops.Multimodal.imageFramePipeline(
+        Tables(s, dir, "documents")),
+      Some("""WITH f AS (SELECT doc_id,
+             |    CAST(1 + doc_id % 512 AS INTEGER) AS width,
+             |    CAST(1 + (doc_id * 7) % 512 AS INTEGER) AS height,
+             |    CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
+             |      ELSE 1 END AS INTEGER) AS n_frames
+             |  FROM documents)
              |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
              |  CAST(i AS BIGINT) * width * height AS offset_px,
              |  CAST(LEAST(224, width) AS INTEGER) AS out_width,
              |  CAST(LEAST(224, height) AS INTEGER) AS out_height
-             |FROM (SELECT doc_id, width, height, unnest(range(0, n_frames)) AS i FROM f) u
+             |FROM (SELECT doc_id, width, height,
+             |    unnest(range(0, n_frames)) AS i FROM f) u
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // as-of join (point-in-time feature lookup): each purchase picks
@@ -1680,15 +1685,25 @@ private[graft] object QueriesPipeline {
              |SELECT a_id, b_id, shared FROM pairs
              |WHERE shared >= 8 ORDER BY a_id, b_id""".stripMargin)),
 
+    // REAL header decode: each doc becomes an actual PNG/JPEG/GIF
+    // byte payload (Multimodal.toImageBlobs) and the pipeline reads
+    // width/height/frame-count back OUT OF THE BYTES (IHDR / SOF /
+    // descriptor walk — parseImageMeta); the oracle restates the same
+    // dimensions from the id arithmetic the fixture encoded, so a
+    // parser that misread a single header byte diverges.
     Q("q31_multimodal_metadata",
-      (s, dir) => Multimodal.pipeline(Tables(s, dir, "documents")),
-      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
-             |  320 + octet_length(encode(text)) % 320 AS width,
-             |  240 + octet_length(encode(text)) % 240 AS height,
-             |  1 + octet_length(encode(text)) % 8 AS n_frames,
-             |  (320 + octet_length(encode(text)) % 320)
-             |    * (240 + octet_length(encode(text)) % 240)
-             |    * (1 + octet_length(encode(text)) % 8) AS total_px
+      (s, dir) => Multimodal.imagePipeline(Tables(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 23
+             |    ELSE 14 + 12 * (1 + doc_id % 8) END AS BIGINT)
+             |    AS byte_len,
+             |  CAST(1 + doc_id % 512 AS INTEGER) AS width,
+             |  CAST(1 + (doc_id * 7) % 512 AS INTEGER) AS height,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
+             |    ELSE 1 END AS INTEGER) AS n_frames,
+             |  CAST((1 + doc_id % 512) * (1 + (doc_id * 7) % 512)
+             |    * (CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
+             |       ELSE 1 END) AS BIGINT) AS total_px
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // benchmark decontamination: corpus docs sharing any word 3-gram

@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition in batches.
   *
-  * The decode step is a STUB — this container has no image/audio
-  * codecs — implemented as a deterministic fake (metadata derived
-  * arithmetically from the byte payload) so the Spark-side contract is
-  * fully real and testable: binary column in, typed metadata struct
-  * out, executed via `mapPartitions` so a real decoder (JNI, ONNX,
-  * ffmpeg subprocess) drops in with per-partition init amortized
-  * across the batch. At scale, partition sizing bounds decoder memory;
-  * nothing touches the driver.
+  * The METADATA decode is real: [[parseImageMeta]] reads PNG / JPEG /
+  * GIF headers from the raw bytes with pure-JVM parsing (magic bytes,
+  * IHDR / SOF / screen-descriptor walks — no codec dependency), so
+  * width/height/frame-count come from the payload, not a fake.
+  * Payloads that are NOT a recognized image (this engine also runs
+  * text blobs through the same plumbing) fall back to [[decodeStub]]'s
+  * deterministic arithmetic — documented, oracle-restatable, and the
+  * drop-in point for a full pixel decoder (JNI, ONNX, ffmpeg
+  * subprocess), which this container cannot host. Everything is
+  * executed via `mapPartitions` so a real decoder's per-partition init
+  * amortizes across the batch; partition sizing bounds decoder memory
+  * and nothing touches the driver.
   */
 object Multimodal {
 
@@ -21,9 +25,10 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
       n_frames: Int, total_px: Long)
 
-  /** STUB decoder: deterministic fake metadata from payload length.
-    * Replace the body with a real codec; the signature and the
-    * batched-per-partition execution are the production shape.
+  /** STUB decoder for non-image payloads: deterministic fake metadata
+    * from payload length. Replace the body with a real codec; the
+    * signature and the batched-per-partition execution are the
+    * production shape.
     */
   def decodeStub(b: Blob): MediaMeta = {
     val len = b.payload.length.toLong
@@ -32,6 +37,170 @@ object Multimodal {
     val frames = (1 + len % 8).toInt
     MediaMeta(b.doc_id, len, width, height, frames,
       width.toLong * height * frames)
+  }
+
+  // ── real header parsing (pure JVM, no codec deps) ──────────────────
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** PNG: 8-byte magic then the IHDR chunk — width/height are the
+    * big-endian u32 pair at bytes 16/20 (ISO 15948 §11.2.2). Stills
+    * only (APNG's acTL frame count is out of profile): 1 frame.
+    */
+  private def parsePng(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 24 ||
+      !(0 until 8).forall(i => (p(i) & 0xff) == magic(i))) None
+    else if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+      None
+    else Some((be32(p, 16).toInt, be32(p, 20).toInt, 1))
+  }
+
+  /** JPEG: walk the FF-marker segments from SOI to the first
+    * start-of-frame (SOF0-SOF15 minus DHT/JPG/DAC), whose payload is
+    * `[precision][height u16][width u16][n components]` (ITU T.81
+    * §B.2.2). Stops at SOS — dimensions always precede scan data.
+    */
+  private def parseJpeg(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      val m = p(i + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { i += 2 }
+      else if (m == 0xd9 || m == 0xda) return None // EOI / SOS: no SOF seen
+      else {
+        val len = be16(p, i + 2)
+        val sof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+          m != 0xcc
+        if (sof) {
+          if (i + 9 >= p.length) return None
+          return Some((be16(p, i + 7), be16(p, i + 5), 1))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** GIF: `GIF87a`/`GIF89a`, logical-screen width/height as
+    * little-endian u16 at bytes 6/8, then a block walk counting image
+    * descriptors (0x2C) — the FRAME count, animation-aware — skipping
+    * extension sub-block chains and color tables by their declared
+    * sizes (GIF89a spec §§18-23).
+    */
+  private def parseGif(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(p, 6); val h = le16(p, 8)
+    val flags = p(10) & 0xff
+    var i = 13 + (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      while (i < p.length && (p(i) & 0xff) != 0) i += 1 + (p(i) & 0xff)
+      if (i < p.length) { i += 1; true } else false
+    }
+    var ok = true
+    while (ok && i < p.length && (p(i) & 0xff) != 0x3b) {
+      (p(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2; ok = skipSubBlocks()
+        case 0x2c => // image descriptor: 9 bytes + LCT + lzw + data
+          frames += 1
+          if (i + 9 >= p.length) ok = false
+          else {
+            val lf = p(i + 9) & 0xff
+            i += 10 + (if ((lf & 0x80) != 0) 3 * (1 << ((lf & 7) + 1)) else 0)
+            i += 1 // LZW minimum code size
+            ok = skipSubBlocks()
+          }
+        case _ => ok = false
+      }
+    }
+    if (frames == 0) None else Some((w, h, frames))
+  }
+
+  /** Header-decode the payload as PNG, JPEG, or GIF; None for
+    * everything else (callers fall back to [[decodeStub]]).
+    */
+  def parseImageMeta(b: Blob): Option[MediaMeta] =
+    parsePng(b.payload).orElse(parseJpeg(b.payload))
+      .orElse(parseGif(b.payload))
+      .map { case (w, h, f) =>
+        MediaMeta(b.doc_id, b.payload.length.toLong, w, h, f,
+          w.toLong * h * f)
+      }
+
+  /** Real-first decode: image headers parse from the bytes; anything
+    * unrecognized keeps the deterministic stub (the documented seam
+    * where a full codec drops in).
+    */
+  def decode(b: Blob): MediaMeta =
+    parseImageMeta(b).getOrElse(decodeStub(b))
+
+  // ── deterministic image-byte builders (fixtures + tests) ───────────
+
+  /** Minimal well-formed PNG (8-bit RGBA IHDR + empty IEND, real
+    * CRCs): 45 bytes, dimensions as requested. No pixel data — a
+    * header fixture, not a renderable image.
+    */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte), 0, 4)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte), 0, 4)
+    }
+    chunk("IHDR", Array((w >>> 24).toByte, (w >>> 16).toByte,
+      (w >>> 8).toByte, w.toByte, (h >>> 24).toByte, (h >>> 16).toByte,
+      (h >>> 8).toByte, h.toByte, 8.toByte, 6.toByte, 0, 0, 0))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** Minimal JPEG (SOI + 3-component SOF0 + EOI): 23 bytes. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Int](0xff, 0xd8, 0xff, 0xc0, 0, 17, 8,
+      h >>> 8, h & 0xff, w >>> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 0xff, 0xd9).map(_.toByte)
+
+  /** Minimal GIF89a with `frames` empty image descriptors (no color
+    * tables, empty LZW data): 14 + 12·frames bytes.
+    */
+  def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(frames >= 1, s"a GIF needs >= 1 frame, got $frames")
+    val out = new java.io.ByteArrayOutputStream(32)
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      0, 6)
+    out.write(Array((w & 0xff).toByte, (w >>> 8).toByte, (h & 0xff).toByte,
+      (h >>> 8).toByte, 0.toByte, 0.toByte, 0.toByte), 0, 7)
+    (1 to frames).foreach { _ =>
+      out.write(0x2c)
+      out.write(new Array[Byte](8), 0, 8) // left/top/width/height u16 LE
+      out.write(0) // local flags: no LCT
+      out.write(2) // LZW minimum code size
+      out.write(0) // empty data: sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Binary ingestion: any table with an id + string payload becomes a
@@ -72,7 +241,7 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions { it =>
       // per-partition decoder init would go here
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 
@@ -89,8 +258,9 @@ object Multimodal {
     blobs.mapPartitions { it =>
       // per-partition decoder/session init would go here
       it.grouped(batchSize).flatMap { batch =>
-        // real impl: one batched decode call over `batch`
-        batch.map(decodeStub)
+        // a batched-tensor decoder replaces this per-blob call with
+        // one inference over `batch`; header parsing needs no batching
+        batch.map(decode)
       }
     }
   }
@@ -98,6 +268,34 @@ object Multimodal {
   /** End-to-end: documents → blobs → metadata, ordered for the oracle. */
   def pipeline(docs: DataFrame): DataFrame =
     extractMetadata(toBlobs(docs)).toDF().orderBy("doc_id")
+
+  /** Deterministic REAL-image fixture: each doc becomes an actual
+    * PNG / JPEG / GIF byte payload (round-robin on doc_id) whose
+    * header carries dimensions derived from the id — so the decode
+    * step genuinely reads them back out of the bytes and an oracle
+    * can restate them from the id arithmetic:
+    * `w = 1 + id%512`, `h = 1 + (id·7)%512`, GIF frames `1 + id%8`.
+    * Byte lengths are fixed by construction (PNG 45, JPEG 23,
+    * GIF 14+12·frames).
+    */
+  def toImageBlobs(docs: DataFrame, idCol: String = "doc_id"): Dataset[Blob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.spread(docs.select(col(idCol).cast("long").as("doc_id")))
+      .as[Long].map { id =>
+        val w = (1 + id % 512).toInt
+        val h = (1 + (id * 7) % 512).toInt
+        Blob(id, (id % 3) match {
+          case 0 => pngBytes(w, h)
+          case 1 => jpegBytes(w, h)
+          case _ => gifBytes(w, h, (1 + id % 8).toInt)
+        })
+      }
+  }
+
+  /** documents → real image bytes → header-decoded metadata. */
+  def imagePipeline(docs: DataFrame): DataFrame =
+    extractMetadata(toImageBlobs(docs)).toDF().orderBy("doc_id")
 
   case class Frame(doc_id: Long, frame_idx: Int, offset_px: Long,
       out_width: Int, out_height: Int)
@@ -124,6 +322,13 @@ object Multimodal {
   /** documents → blobs → metadata → sampled frames, oracle-ordered. */
   def framePipeline(docs: DataFrame): DataFrame =
     sampleFrames(extractMetadata(toBlobs(docs))).toDF()
+      .orderBy("doc_id", "frame_idx")
+
+  /** documents → real image bytes → header metadata → sampled frames
+    * (GIF docs fan out per real frame count), oracle-ordered.
+    */
+  def imageFramePipeline(docs: DataFrame): DataFrame =
+    sampleFrames(extractMetadata(toImageBlobs(docs))).toDF()
       .orderBy("doc_id", "frame_idx")
 
   // --------------------------------------------------------------------

@@ -781,6 +781,62 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       (320 + len % 320).toLong * (240 + len % 240) * (1 + len % 8))
   }
 
+  test("parseImageMeta: PNG/JPEG/GIF headers decode from real bytes — " +
+      "dims and GIF frame counts round-trip the builders; non-images " +
+      "fall back to the stub") {
+    import Multimodal.{Blob, parseImageMeta}
+    val png = parseImageMeta(Blob(1L, Multimodal.pngBytes(640, 360))).get
+    assert((png.width, png.height, png.n_frames, png.byte_len)
+      === ((640, 360, 1, 45L)))
+    val jpg = parseImageMeta(Blob(2L, Multimodal.jpegBytes(1920, 1080))).get
+    assert((jpg.width, jpg.height, jpg.n_frames, jpg.byte_len)
+      === ((1920, 1080, 1, 23L)))
+    val gif = parseImageMeta(Blob(3L, Multimodal.gifBytes(32, 24, 5))).get
+    assert((gif.width, gif.height, gif.n_frames, gif.byte_len)
+      === ((32, 24, 5, (14 + 12 * 5).toLong)))
+    assert(gif.total_px === 32L * 24 * 5)
+    // realistic JPEG: APP0 (JFIF) + comment segments BEFORE the SOF —
+    // the marker walk must skip them by declared length
+    val app0 = Array[Int](0xff, 0xe0, 0, 16, 'J', 'F', 'I', 'F', 0,
+      1, 1, 0, 0, 1, 0, 1, 0, 0).map(_.toByte)
+    val com = Array[Int](0xff, 0xfe, 0, 6, 'h', 'i', '!', '?')
+      .map(_.toByte)
+    val j = Multimodal.jpegBytes(300, 200)
+    val realistic = j.take(2) ++ app0 ++ com ++ j.drop(2)
+    val rj = parseImageMeta(Blob(4L, realistic)).get
+    assert((rj.width, rj.height) === ((300, 200)))
+    // non-image payloads: parse refuses, decode() falls back to the
+    // deterministic stub
+    val txt = Blob(5L, "not an image at all".getBytes("UTF-8"))
+    assert(parseImageMeta(txt).isEmpty)
+    assert(Multimodal.decode(txt) === Multimodal.decodeStub(txt))
+    // truncated/corrupt headers refuse rather than misread
+    assert(parseImageMeta(Blob(6L,
+      Multimodal.pngBytes(9, 9).take(12))).isEmpty)
+    assert(parseImageMeta(Blob(7L,
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))).isEmpty)
+  }
+
+  test("imagePipeline: dimensions come OUT OF the bytes — corrupting " +
+      "one header byte changes the decoded width") {
+    import spark.implicits._
+    val m = Multimodal.imagePipeline(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("n_frames"))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(m(id) === (((1 + id % 512).toInt, (1 + (id * 7) % 512).toInt,
+        (if (id % 3 == 2) 1 + id % 8 else 1).toInt)))
+    }
+    // flip the PNG IHDR width low byte: the parsed width must track
+    val bytes = Multimodal.pngBytes(100, 50)
+    bytes(19) = (bytes(19) + 1).toByte
+    val corrupted = Multimodal.parseImageMeta(
+      Multimodal.Blob(1L, bytes)).get
+    assert(corrupted.width === 101 && corrupted.height === 50)
+  }
+
   test("phashNearDup: band join is lossless vs the all-pairs Hamming scan") {
     // exact dup (1,2), 1-char edit (3), unrelated (4, 5): the banded
     // candidate set filtered at hamming<=3 must equal brute force —
