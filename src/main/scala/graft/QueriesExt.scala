@@ -4577,7 +4577,60 @@ private[graft] object QueriesExt {
              |  FROM e)
              |SELECT doc_id, rec_idx, warc_type, target_uri,
              |  content_length, payload
-             |FROM r ORDER BY doc_id, rec_idx""".stripMargin)))
+             |FROM r ORDER BY doc_id, rec_idx""".stripMargin)),
+
+    // Presto dialect, thirteenth tranche through the oracle gate:
+    // histogram / multimap_agg (map-building aggregates, projected
+    // back to scalars so the compare stays exact), from_iso8601_date,
+    // sparse-map cosine_similarity on exact-in-IEEE inputs (16/20),
+    // geometric_mean pinned at ppm rounding (inputs constant per
+    // group, so the float error sits ~1e-12 from any boundary).
+    // Exact-value lambda/edge coverage lives in CriteriaSpec's
+    // thirteenth-tranche rows.
+    Q("q413_presto_dialect13",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT user_id % 10 AS g,
+            |  COALESCE(element_at(histogram(event_type), 'click'),
+            |    CAST(0 AS BIGINT)) AS h_click,
+            |  CAST(COALESCE(cardinality(element_at(
+            |    multimap_agg(event_type, CAST(event_id AS BIGINT)),
+            |    'view')), 0) AS BIGINT) AS n_view,
+            |  aggregate(COALESCE(element_at(
+            |    multimap_agg(event_type, CAST(event_id AS BIGINT)),
+            |    'view'), ARRAY[]), CAST(0 AS BIGINT), (a, x) -> a + x)
+            |    AS sum_view,
+            |  CAST(MIN(from_iso8601_date(
+            |    substr(CAST(ts AS VARCHAR), 1, 10))) AS VARCHAR)
+            |    AS first_day,
+            |  MIN(cosine_similarity(
+            |    MAP(ARRAY['x','y'], ARRAY[CAST(3 AS DOUBLE), 4.0]),
+            |    MAP(ARRAY['y'], ARRAY[4.0]))) AS cs,
+            |  CAST(ROUND(geometric_mean(
+            |    CAST(user_id % 10 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+            |    AS gm_ppm
+            |FROM events
+            |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            |  AND ts IS NOT NULL AND event_id IS NOT NULL
+            |GROUP BY user_id % 10 ORDER BY g""".stripMargin))
+      },
+      Some("""SELECT user_id % 10 AS g,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+             |    AS BIGINT) AS h_click,
+             |  CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+             |    AS BIGINT) AS n_view,
+             |  CAST(COALESCE(SUM(event_id)
+             |    FILTER (WHERE event_type = 'view'), 0) AS BIGINT)
+             |    AS sum_view,
+             |  CAST(MIN(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+             |  16.0 / 20.0 AS cs,
+             |  CAST((user_id % 10 + 1) * 1000000 AS BIGINT) AS gm_ppm
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |  AND ts IS NOT NULL AND event_id IS NOT NULL
+             |GROUP BY user_id % 10 ORDER BY g""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   /** q405's oracle — shared verbatim by q408's streaming trap

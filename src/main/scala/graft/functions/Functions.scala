@@ -640,6 +640,101 @@ object Functions {
         java.lang.Long.valueOf(d)
       })
 
+    // ── thirteenth tranche: the residual genuinely-new names ────────
+    // (json_format/json_parse/from_iso8601_timestamp/map_agg and the
+    // lambda matchers landed in earlier tranches; the builtin-parity
+    // set — array_sort's comparator form, transform_keys,
+    // transform_values, reduce — is pinned in CriteriaSpec instead of
+    // registered, per the no-shadow invariant.)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+
+      // (Trino's find_first is NOT registrable: the analyzer demands
+      // a lambda argument's DIRECT parent be the higher-order
+      // function, and find_first's natural form wraps the filter in
+      // element_at. Criteria text composes it as
+      // element_at(filter(a, f), 1) — both names already resolve.)
+
+      // Presto geometric_mean(x) = exp(avg(ln(x))) exactly — Presto
+      // computes it as the mean of logs too, so doubles round-trip.
+      shim("geometric_mean")(exprs => Exp(
+        aggregate.Average(Log(Cast(exprs.head, DoubleType)))
+          .toAggregateExpression()))
+
+      // Presto histogram(x): map value → occurrence count, nulls
+      // ignored (CollectList drops them, matching Presto). Built like
+      // map_agg: collect, distinct keys, count per key with a lambda
+      // filter — O(n·distinct) per group, fine at criteria scale
+      // because groups are bounded by the collect itself.
+      shim("histogram") { exprs =>
+        val collected = SortArray(
+          aggregate.CollectList(exprs.head).toAggregateExpression(),
+          Literal(true))
+        val k = UnresolvedNamedLambdaVariable(Seq("k"))
+        val x = UnresolvedNamedLambdaVariable(Seq("x"))
+        MapFromEntries(ArrayTransform(ArrayDistinct(collected),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("k"), k,
+            Literal("v"), Cast(Size(ArrayFilter(collected,
+              LambdaFunction(EqualTo(x, k), Seq(x)))), LongType))),
+            Seq(k))))
+      }
+
+      // Presto multimap_agg(k, v): map key → ARRAY of every value
+      // seen under it (map_agg keeps one). Same collect-then-regroup
+      // shape as histogram; entry order inside each array follows the
+      // key-sorted collect (deterministic).
+      shim("multimap_agg") { exprs =>
+        val collected = SortArray(
+          aggregate.CollectList(CreateNamedStruct(
+            Seq(Literal("k"), exprs.head, Literal("v"), exprs(1))))
+            .toAggregateExpression(),
+          Literal(true))
+        val k = UnresolvedNamedLambdaVariable(Seq("k"))
+        val e = UnresolvedNamedLambdaVariable(Seq("e"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("e2"))
+        def keyOf(v: Expression): Expression =
+          UnresolvedExtractValue(v, Literal("k"))
+        MapFromEntries(ArrayTransform(
+          ArrayDistinct(ArrayTransform(collected,
+            LambdaFunction(keyOf(e), Seq(e)))),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("k"), k,
+            Literal("v"), ArrayTransform(
+              ArrayFilter(collected,
+                LambdaFunction(EqualNullSafe(keyOf(e2), k), Seq(e2))),
+              LambdaFunction(
+                UnresolvedExtractValue(e2, Literal("v")), Seq(e2))))),
+            Seq(k))))
+      }
+    }
+
+    // Presto from_iso8601_date: ISO calendar date → DATE. Strict ISO
+    // local-date parse; malformed input → NULL (the url_extract_*
+    // laxness contract — Presto throws, this engine's criteria
+    // surface prefers null-and-filter).
+    spark.udf.register(guarded("from_iso8601_date"), (s: String) =>
+      if (s == null) null
+      else scala.util.Try(java.sql.Date.valueOf(
+        java.time.LocalDate.parse(s))).getOrElse(null))
+
+    // Presto cosine_similarity(map<varchar,double>, map<varchar,
+    // double>): sparse-vector cosine over shared keys — the dialect
+    // twin of the dense embedding kernels in ops.Similarity. Zero
+    // norm → NaN (IEEE division), null map → NULL, like Presto.
+    spark.udf.register(guarded("cosine_similarity"),
+      (a: Map[String, Double], b: Map[String, Double]) =>
+        if (a == null || b == null) null
+        else {
+          val dot = a.iterator.map { case (k, v) =>
+            v * b.getOrElse(k, 0.0) }.sum
+          val na = math.sqrt(a.valuesIterator.map(v => v * v).sum)
+          val nb = math.sqrt(b.valuesIterator.map(v => v * v).sum)
+          java.lang.Double.valueOf(dot / (na * nb))
+        })
+
     // Presto json_size(json, path): children count of the element at
     // path — object → #keys, array → #elements, scalar → 0, missing/
     // malformed → NULL. No Catalyst twin (json_array_length is

@@ -430,4 +430,49 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
         "url_extract_parameter('https://ex.com/p?x=1', 'z') IS NULL"))
       .count() === 1)
   }
+
+  test("thirteenth tranche: from_iso8601_date, cosine_similarity " +
+      "(sparse maps), geometric_mean / histogram / multimap_agg " +
+      "aggregates, and transform_keys/values parity") {
+    graft.functions.Functions.register(spark)
+    val row = spark.sql("SELECT 1 AS one")
+    // Trino find_first composes from registered names instead of a
+    // shim (lambda parents must be HOFs — see the tranche comment)
+    assert(row.where(Criteria.toColumn(
+      "element_at(filter(ARRAY[3, 8, 12, 9], x -> x > 5), 1) = 8"))
+      .count() === 1)
+    assert(row.where(Criteria.toColumn(
+      "from_iso8601_date('2024-03-15') = DATE '2024-03-15' AND " +
+        "from_iso8601_date('nope') IS NULL")).count() === 1)
+    // sparse cosine: ({a:1, b:2}, {a:3, c:4}) → 3/(√5·√25) = 0.26833
+    assert(row.where(Criteria.toColumn(
+      "abs(cosine_similarity(MAP(ARRAY['a','b'], ARRAY[1D, 2D]), " +
+        "MAP(ARRAY['a','c'], ARRAY[3D, 4D])) - 0.2683281573) < 1e-9 AND " +
+        "isnan(cosine_similarity(MAP(ARRAY['a'], ARRAY[0D]), " +
+        "MAP(ARRAY['a'], ARRAY[1D])))")).count() === 1)
+    // builtin-parity set (no shim, per the no-shadow invariant):
+    // transform_keys / transform_values — Presto's two-arg lambda
+    // forms are the Spark builtins verbatim
+    assert(row.where(Criteria.toColumn(
+      "element_at(transform_keys(MAP(ARRAY['a'], ARRAY[5]), " +
+        "(k, v) -> upper(k)), 'A') = 5 AND " +
+        "element_at(transform_values(MAP(ARRAY['a'], ARRAY[5]), " +
+        "(k, v) -> v * 2), 'a') = 10")).count() === 1)
+    // aggregates over a 6-row frame: geometric_mean of (2, 4, 8) = 4;
+    // histogram and multimap_agg regroup per key deterministically
+    val agg = spark.sql(Criteria.rewrite(
+      """SELECT geometric_mean(x) AS gm, histogram(k) AS h,
+        |  multimap_agg(k, x) AS mm
+        |FROM VALUES ('a', 2D), ('a', 4D), ('a', 8D),
+        |  ('b', 2D), ('b', 2D), ('c', 5D) AS t(k, x)""".stripMargin))
+      .head()
+    assert(math.abs(agg.getDouble(0) -
+      math.pow(2 * 4 * 8 * 2 * 2 * 5, 1.0 / 6)) < 1e-9)
+    assert(agg.getMap[String, Long](1).toMap ===
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    val mm = agg.getMap[String, scala.collection.Seq[Double]](2).toMap
+      .map { case (k, v) => k -> v.toSeq }
+    assert(mm === Map("a" -> Seq(2.0, 4.0, 8.0), "b" -> Seq(2.0, 2.0),
+      "c" -> Seq(5.0)))
+  }
 }
