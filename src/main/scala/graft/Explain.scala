@@ -72,7 +72,8 @@ object Explain {
       "q399_recrawl_priority", "q402_crawl_delay_schedule",
       "q404_presto_dialect10", "q405_crawler_traps",
       "q406_param_relevance", "q410_learned_killset_dedup",
-      "q411_warc_ingest")
+      "q411_warc_ingest", "q412_warc_binary_source",
+      "q413_presto_dialect13", "q31_multimodal_metadata")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
