@@ -20,28 +20,35 @@ import graft.ops.Curation
   *      table is given: no rules means allowed, the RFC default)
   *   4. blocklist — broadcast label-suffix anti-join (skipped when no
   *      blocklist table is given)
-  *   5. schedule — [[Curation.frontierSchedule]]: round-robin across
+  *   5. trap gate (optional) — [[Curation.crawlerTraps]] learned from
+  *      the frontier's own surviving URLs at `minTrapUrls`, applied
+  *      as [[Curation.trapGate]]'s broadcast anti-join (the q410-style
+  *      self-learning loop, composed into the CLI like q403's stream)
+  *   6. schedule — [[Curation.frontierSchedule]]: round-robin across
   *      hosts, same-host fetches spaced |hosts| apart — or the host's
   *      robots `Crawl-delay` slots when larger ([[Curation
   *      .crawlDelays]] feeds the schedule whenever robots are given)
-  *   6. write — the schedule as parquet, ordered by fetch_pos
+  *   7. write — the schedule as parquet, ordered by fetch_pos
   *
   * Usage: CrawlMain <urlsParquet> <outDir> [robotsParquet]
-  *        [blocklistParquet] [agent]
+  *        [blocklistParquet] [agent] [minTrapUrls]
   *   urlsParquet   columns (id BIGINT, url STRING)
   *   robotsParquet columns (host STRING, body STRING) — raw robots.txt
   *   blocklistParquet column (domain STRING)
   *   agent         crawler product token (default "*")
+  *   minTrapUrls   distinct-URL threshold flagging a path template as
+  *                 a crawler trap (absent/0 = trap gate off)
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2 && args.length <= 5,
+    require(args.length >= 2 && args.length <= 6,
       "usage: CrawlMain <urlsParquet> <outDir> [robotsParquet] " +
-        "[blocklistParquet] [agent]")
+        "[blocklistParquet] [agent] [minTrapUrls]")
     val Array(urlsPath, outDir) = args.take(2)
     val robotsPath = args.lift(2).filter(_.nonEmpty)
     val blockPath = args.lift(3).filter(_.nonEmpty)
     val agent = args.lift(4).getOrElse("*")
+    val minTrapUrls = args.lift(5).map(_.toLong).filter(_ > 0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,13 +90,26 @@ object CrawlMain {
       case None => allowed
     }
 
-    // 5-6: politeness schedule, written in fetch order. When a robots
+    // 5: self-learned trap gate — templates whose distinct-URL count
+    // reaches the threshold are refused (broadcast anti-join; the
+    // frontier is checkpointed so learn + apply + schedule read the
+    // gate chain once, the q403 materialization discipline)
+    val untrapped = minTrapUrls match {
+      case Some(n) =>
+        val frontier = unblocked.localCheckpoint()
+        Curation.trapGate(frontier,
+          Curation.crawlerTraps(frontier, n, urlCol = "curl"),
+          urlCol = "curl")
+      case None => unblocked
+    }
+
+    // 6-7: politeness schedule, written in fetch order. When a robots
     // table is present its Crawl-delay lines feed the schedule too:
     // a delayed host's stride becomes max(|hosts|, delay) slots.
     val delays = robotsPath.map(p =>
       Curation.crawlDelays(spark.read.parquet(p), agent))
-    val schedule = Curation.frontierSchedule(unblocked, delays = delays)
-      .join(unblocked.select(col("id"), col("curl")), Seq("id"))
+    val schedule = Curation.frontierSchedule(untrapped, delays = delays)
+      .join(untrapped.select(col("id"), col("curl")), Seq("id"))
       .select("fetch_pos", "id", "host", "rank_in_host", "curl")
       .orderBy("fetch_pos")
     schedule.write.mode("overwrite").parquet(outDir)
@@ -108,13 +128,16 @@ object CrawlMain {
     val audit = keepers
       .join(allowed.select(col("id"), lit(1L).as("ra")), Seq("id"), "left")
       .join(unblocked.select(col("id"), lit(1L).as("ga")), Seq("id"), "left")
+      .join(untrapped.select(col("id"), lit(1L).as("ta")), Seq("id"), "left")
       .agg(count(lit(1)).as("canonical"),
         coalesce(sum(col("ra")), lit(0L)).as("robots_allowed"),
-        coalesce(sum(col("ga")), lit(0L)).as("gated"))
+        coalesce(sum(col("ga")), lit(0L)).as("gated"),
+        coalesce(sum(col("ta")), lit(0L)).as("untrapped"))
       .collect()(0)
     println(s"""{"urls_in":$total,"canonical":${audit.getLong(0)},""" +
       s""""robots_allowed":${audit.getLong(1)},""" +
       s""""gated":${audit.getLong(2)},""" +
+      s""""untrapped":${audit.getLong(3)},""" +
       s""""agent":"$agent","out":"$outDir"}""")
     spark.stop()
   }
