@@ -3193,8 +3193,12 @@ private[graft] object QueriesExt {
             graft.ops.Curation.canonicalUrl(col("url")))
         val host = regexp_extract(col("canonical_url"),
           "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+        // three consumers read the gated corpus (the dedup self-join
+        // twice, the semi-join once): checkpoint so the canonicalize
+        // lineage runs once — q403's materialization discipline
         val unblocked = b.where(
           !(host === "tracker.net" || host.endsWith(".tracker.net")))
+          .localCheckpoint()
         val keepers = graft.ops.Curation.urlKeyDedup(unblocked)
           .where(!col("is_dup")).select(col("keeper_id").as("event_id"))
         val batchTexts = unblocked
