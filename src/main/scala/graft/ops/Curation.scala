@@ -1716,9 +1716,13 @@ object Curation {
     * is_dup)`.
     *
     * Scale shape: canonicalization is map-only in the scan; the
-    * keeper table is one map-combinable MIN keyed by the canonical
-    * string; the flag join re-shuffles on the same key — the
-    * inherent cost of a global dedup, nothing else moves.
+    * keeper comes from ONE key-partitioned window MIN — a single
+    * shuffle on the canonical string, the inherent cost of a global
+    * dedup, with the input scanned and canonicalized exactly once
+    * (the groupBy+rejoin alternative shuffles the same rows on the
+    * same key but pays the lineage twice). Per-key window size is
+    * duplicate multiplicity — the same hot-key co-location a keeper
+    * join would have.
     */
   /** Crawl-frontier politeness schedule: order fetches so same-host
     * URLs never cluster — each host's k-th URL lands at global
@@ -1816,9 +1820,14 @@ object Curation {
     val t = Par.spread(df.where(col(urlCol).isNotNull))
       .select(col(idCol).cast("long").as("id"),
         canonicalUrl(col(urlCol)).as("canonical_url"))
-    val keeper = t.groupBy("canonical_url")
-      .agg(min(col("id")).as("keeper_id"))
-    t.join(keeper, Seq("canonical_url"))
+    // keeper via a key-partitioned window MIN: ONE shuffle on the
+    // canonical key and ONE evaluation of the canonicalize program
+    // (the former groupBy+rejoin shuffled the same rows on the same
+    // key anyway, but scanned + canonicalized the input twice). Skew
+    // exposure is unchanged — a hot key co-located all its rows under
+    // the join too.
+    t.withColumn("keeper_id", min(col("id")).over(
+        Window.partitionBy("canonical_url")))
       .select(col("id"), col("canonical_url"), col("keeper_id"),
         (col("id") =!= col("keeper_id")).as("is_dup"))
       .orderBy("id")
