@@ -2956,7 +2956,8 @@ private[graft] object QueriesPipeline {
     // its minimum-order vertex and credited to all three.
     Q("q112_triangle_count",
       (s, dir) =>
-        graft.ops.Graph.triangleCount(graft.ops.CoPurchase.undirected(s, dir)),
+        graft.ops.Graph.triangleCountOriented(
+          graft.ops.CoPurchase.oriented(s, dir)),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |            FROM lineitem),
              |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
@@ -4241,8 +4242,8 @@ private[graft] object QueriesPipeline {
     // ppm cohesion per node (q112's degree-oriented wedge join + a
     // degree join); deg<2 nodes excluded
     Q("q155_clustering_coefficient",
-      (s, dir) => graft.ops.Graph.clusteringCoefficient(
-        graft.ops.CoPurchase.undirected(s, dir)),
+      (s, dir) => graft.ops.Graph.clusteringCoefficientOriented(
+        graft.ops.CoPurchase.oriented(s, dir)),
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |            FROM lineitem),
              |und AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,

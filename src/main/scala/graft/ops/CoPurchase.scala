@@ -88,6 +88,21 @@ object CoPurchase {
     und.union(und.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Degree-order ORIENTED edges ([[Graph.orientEdges]] output,
+    * `(src, dst, dd)`) — a pure function of the undirected set, so
+    * it persists once per sf dir like the set itself. The triangle
+    * and clustering-coefficient queries consume this directly and
+    * skip the degree aggregate + orientation joins per run; at
+    * 100 TB the oriented list is the second lake artifact of the
+    * graph family (degrees reconstruct from it exactly).
+    */
+  def oriented(s: SparkSession, dir: String): DataFrame = {
+    val p = materialize(s"ord_${tag(dir)}") {
+      Graph.orientEdges(undirected(s, dir))
+    }
+    s.read.parquet(p)
+  }
+
   /** Deterministic DeepWalk corpus over the co-purchase graph
     * ([[Graph.deterministicWalks]] at the registered defaults) —
     * itself a lake asset three queries consume (q359 walk dump, q360

@@ -54,19 +54,31 @@ object Graph {
     * Returns the `topN` nodes by `(triangles desc, node)` — counts
     * per node, each triangle crediting all three vertices.
     */
-  def triangleCount(edges: DataFrame, topN: Int = 100,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+  /** Degree-order orientation of an undirected edge set — the shared
+    * first stage of [[triangleCount]] and [[clusteringCoefficient]],
+    * and a MATERIALIZABLE artifact in its own right (it is a pure
+    * function of the edge set: [[graft.ops.CoPurchase]] persists it
+    * once per scale factor so every consumer skips the degree
+    * aggregate + orientation joins). Returns `(src, dst, dd)`: each
+    * undirected edge exactly once, oriented from its (degree, id)-
+    * smaller endpoint, with `dd` = the DESTINATION's degree (the
+    * orientation guarantees dst is the larger endpoint, so
+    * `greatest(du, dv)` is exact).
+    */
+  def orientEdges(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
     // undirected support: dedup both directions into u < v
     val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint() // degree agg + both orientation joins reuse it
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     // orient low → high in (degree, id) order; keep the tip's order key
     // so wedge pairs can be ordered WITHOUT re-joining degrees
-    val ord = und
+    und
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
       .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
       .select(
@@ -77,9 +89,17 @@ object Graph {
              (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"),
         greatest(col("du"), col("dv")).as("dd"))
-      // recover the DESTINATION's degree exactly: dd above is only
-      // correct when dst is the larger — which orientation guarantees
-      .localCheckpoint()
+  }
+
+  def triangleCount(edges: DataFrame, topN: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    triangleCountOriented(orientEdges(edges, srcCol, dstCol)
+      .localCheckpoint(), topN)
+
+  /** [[triangleCount]] from an already-oriented `(src, dst, dd)` edge
+    * list ([[orientEdges]] output, possibly a persisted artifact).
+    */
+  def triangleCountOriented(ord: DataFrame, topN: Int = 100): DataFrame = {
     // wedges between out-neighbors, tips ordered by the SAME
     // (degree, id) total order the orientation used — the closing
     // edge, if present, is then oriented exactly tip1 → tip2
@@ -112,27 +132,20 @@ object Graph {
     * O(m^{3/2}) wedge bound); the final join is node-keyed.
     */
   def clusteringCoefficient(edges: DataFrame, topN: Int = 100,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val und = edges.select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint() // degree agg + orientation + closing join reuse it
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    clusteringCoefficientOriented(orientEdges(edges, srcCol, dstCol)
+      .localCheckpoint(), topN)
+
+  /** [[clusteringCoefficient]] from an already-oriented `(src, dst,
+    * dd)` list. Degrees reconstruct exactly from the oriented set
+    * (each undirected edge appears exactly once), so the persisted
+    * artifact carries everything the coefficient needs.
+    */
+  def clusteringCoefficientOriented(ord: DataFrame,
+      topN: Int = 100): DataFrame = {
+    val deg = ord.select(col("src").as("node"))
+      .union(ord.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val ord = und
-      .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
-      .select(
-        when(col("du") < col("dv") ||
-             (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") ||
-             (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"),
-        greatest(col("du"), col("dv")).as("dd"))
-      .localCheckpoint()
     val wedges = ord.as("a").join(ord.as("b"),
         col("a.src") === col("b.src") &&
           (col("a.dd") < col("b.dd") ||
