@@ -3193,9 +3193,10 @@ private[graft] object QueriesExt {
             graft.ops.Curation.canonicalUrl(col("url")))
         val host = regexp_extract(col("canonical_url"),
           "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
-        // three consumers read the gated corpus (the dedup self-join
-        // twice, the semi-join once): checkpoint so the canonicalize
-        // lineage runs once — q403's materialization discipline
+        // two consumers read the gated corpus (the one-pass salted
+        // window dedup, then the semi-join): checkpoint so the
+        // canonicalize lineage runs once — q403's materialization
+        // discipline
         val unblocked = b.where(
           !(host === "tracker.net" || host.endsWith(".tracker.net")))
           .localCheckpoint()
@@ -4118,9 +4119,9 @@ private[graft] object QueriesExt {
         val chost = regexp_extract(
           graft.ops.Curation.canonicalUrl(col("url")),
           "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
-        // the gated corpus feeds THREE consumers (keeper derivation's
-        // self-join reads it twice, the semi-join once): checkpoint so
-        // the robots-fold + trap + canonicalize lineage — a deep
+        // the gated corpus feeds TWO consumers (the one-pass salted
+        // window dedup once, the semi-join once): checkpoint so the
+        // robots-fold + trap + canonicalize lineage — a deep
         // expression program whose per-stage first-execution compile
         // dominates at this row count — runs once. At 100 TB this is
         // the same move: the gated fetch log is a materialized lake
@@ -4634,7 +4635,239 @@ private[graft] object QueriesExt {
              |FROM events
              |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
              |  AND ts IS NOT NULL AND event_id IS NOT NULL
-             |GROUP BY user_id % 10 ORDER BY g""".stripMargin)))
+             |GROUP BY user_id % 10 ORDER BY g""".stripMargin)),
+
+    // WARC → multimodal END TO END: a binary .warc.gz fixture whose
+    // record payloads are REAL generated image bytes (PNG rec 0,
+    // JPEG rec 1, GIF rec 2 per doc — one gzip member per record),
+    // read back through the DSv2 WarcSource and header-decoded by
+    // parseImageMeta via the shared mapPartitions pipeline. q412
+    // proved the binary framing and q31 the image decode separately;
+    // this chains them — the crawl-archive → media-metadata path a
+    // multimodal ingest actually runs. The oracle restates dimensions
+    // and byte lengths from the generator arithmetic (w = 1+id%512,
+    // h = 1+(id·7)%512, GIF frames = 1+id%8; PNG 45 B, JPEG 23 B,
+    // GIF 14+12·frames B) — so a silent stub fallback (wrong dims)
+    // or a misframed record (wrong bytes) both hash-mismatch.
+    Q("q414_warc_image_chain",
+      (s, dir) => {
+        val out = s"$extScratch/q414_warc_img"
+        val recs = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+        recs.select("doc_id").foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val w = (1 + id % 512).toInt
+            val h = (1 + (id * 7) % 512).toInt
+            val fr = (1 + id % 8).toInt
+            val p = new org.apache.hadoop.fs.Path(s"$out/img_$id.warc.gz")
+            val fs = p.getFileSystem(conf)
+            val o = fs.create(p, true)
+            try {
+              val uri = s"https://ex.com/media/$id"
+              graft.sources.Warc.writeGzipMember(o, "response", uri,
+                graft.ops.Multimodal.pngBytes(w, h))
+              graft.sources.Warc.writeGzipMember(o, "response", uri,
+                graft.ops.Multimodal.jpegBytes(w, h))
+              graft.sources.Warc.writeGzipMember(o, "response", uri,
+                graft.ops.Multimodal.gifBytes(w, h, fr))
+            } finally o.close()
+          }
+        }
+        import s.implicits._
+        // composite id = doc_id·10 + rec_idx (rec_idx < 10 by
+        // construction) so the SAME extractMetadata pipeline runs
+        // unchanged over the connector's rows
+        val blobs = s.read.format("graft.sources.WarcSource").load(out)
+          .select((regexp_extract(col("src_file"),
+              "img_(\\d+)\\.warc\\.gz", 1).cast("long") * 10 +
+              col("rec_idx")).as("doc_id"),
+            col("payload"))
+          .as[graft.ops.Multimodal.Blob]
+        graft.ops.Multimodal.extractMetadata(blobs).toDF()
+          .select(expr("doc_id div 10").as("doc_id"),
+            pmod(col("doc_id"), lit(10L)).cast("int").as("rec_idx"),
+            col("byte_len"), col("width"), col("height"),
+            col("n_frames"), col("total_px"))
+          .orderBy("doc_id", "rec_idx")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(MIN(event_id) AS BIGINT) AS doc_id
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1),
+             |d AS (SELECT doc_id,
+             |    CAST(1 + doc_id % 512 AS INTEGER) AS w,
+             |    CAST(1 + (doc_id * 7) % 512 AS INTEGER) AS h,
+             |    CAST(1 + doc_id % 8 AS INTEGER) AS fr
+             |  FROM e),
+             |r AS (
+             |  SELECT doc_id, 0 AS rec_idx, CAST(45 AS BIGINT) AS byte_len,
+             |    w, h, CAST(1 AS INTEGER) AS nf FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 1, CAST(23 AS BIGINT), w, h,
+             |    CAST(1 AS INTEGER) FROM d
+             |  UNION ALL
+             |  SELECT doc_id, 2, CAST(14 + 12 * fr AS BIGINT), w, h, fr
+             |  FROM d)
+             |SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, byte_len,
+             |  w AS width, h AS height, nf AS n_frames,
+             |  CAST(w AS BIGINT) * h * nf AS total_px
+             |FROM r ORDER BY doc_id, rec_idx""".stripMargin)),
+
+    // REAL audio bytes, half 1: RIFF/WAV container parse (fmt/data
+    // chunk walk — sample rate, channels, 16-bit PCM) + integer
+    // sample decode + frame energies + the SHARED VAD islands
+    // segmentation (q149's kernel over real bytes instead of the
+    // stub). Fixture WAVs are generated per doc with id-derived
+    // header fields and samples s(i) = (id·31 + i·17) mod 2048 −
+    // 1024, so the oracle restates the header AND every frame energy
+    // from pure arithmetic — a misparsed chunk offset or a byte-order
+    // slip in the sample decode shifts energies and hash-mismatches.
+    Q("q415_wav_vad",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+        val blobs = docs.select("doc_id").as[Long].map { id =>
+          val n = (64 + (id % 5) * 16).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val ch = (1 + id % 2).toInt
+          val samples = Array.tabulate(n)(i =>
+            graft.ops.Multimodal.pcmSample(id, i.toLong))
+          graft.ops.Multimodal.Blob(id,
+            graft.ops.Multimodal.wavBytes(rate, ch, samples))
+        }.cache()
+        val meta = graft.ops.Multimodal.wavMetas(blobs).toDF()
+        val segs = graft.ops.Multimodal.wavVadSegments(blobs)
+        meta.join(segs, Seq("doc_id"))
+          .select("doc_id", "sample_rate", "channels", "bits_per_sample",
+            "n_samples", "seg_start", "seg_end", "n_frames", "sum_energy")
+          .orderBy("doc_id", "seg_start")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(MIN(event_id) AS BIGINT) AS doc_id
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1),
+             |p AS (SELECT doc_id,
+             |    CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS n,
+             |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER)
+             |      AS sample_rate,
+             |    CAST(1 + doc_id % 2 AS INTEGER) AS channels
+             |  FROM e),
+             |i AS (SELECT doc_id, CAST(unnest(range(n)) AS BIGINT) AS i
+             |  FROM p),
+             |m0 AS (SELECT doc_id, i,
+             |    (doc_id * 8192 + i) % 2147483648 AS x0 FROM i),
+             |m1 AS (SELECT doc_id, i, xor(x0, x0 // 32768) AS x1 FROM m0),
+             |m2 AS (SELECT doc_id, i,
+             |    (x1 * 1103515245) % 2147483648 AS x2 FROM m1),
+             |sm AS (SELECT doc_id, i // 16 AS f,
+             |    xor(x2, x2 // 4096) % 2048 - 1024 AS s
+             |  FROM m2),
+             |fe AS (SELECT doc_id, f, CAST(SUM(s * s) AS BIGINT)
+             |    AS energy
+             |  FROM sm GROUP BY 1, 2),
+             |v AS (SELECT doc_id, f, energy,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+             |  FROM fe WHERE energy >= 5600000),
+             |seg AS (SELECT doc_id, CAST(MIN(f) AS BIGINT) AS seg_start,
+             |    CAST(MAX(f) AS BIGINT) AS seg_end,
+             |    COUNT(*) AS n_frames,
+             |    CAST(SUM(energy) AS BIGINT) AS sum_energy
+             |  FROM v GROUP BY doc_id, f - rn)
+             |SELECT p.doc_id, p.sample_rate, p.channels,
+             |  CAST(16 AS INTEGER) AS bits_per_sample,
+             |  CAST(p.n // p.channels AS BIGINT) AS n_samples,
+             |  seg.seg_start, seg.seg_end, seg.n_frames, seg.sum_energy
+             |FROM p JOIN seg USING (doc_id)
+             |ORDER BY doc_id, seg_start""".stripMargin)),
+
+    // REAL audio bytes, half 2: the Shazam chain (q280) over WAV-
+    // decoded PCM — tracks are generated WAVs, snippets are WAVs of
+    // the SAME sample arithmetic windowed to i ∈ [32, 192) (a true
+    // 2-frame-offset containment), so the match must win with votes
+    // concentrated at offset 2. The oracle restates samples → frame
+    // energies → peaks → pair hashes → vote argmax entirely from the
+    // generator arithmetic.
+    Q("q416_wav_audio_match",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+          .select("doc_id").as[Long]
+        def wav(id: Long, from: Int, count: Int) = {
+          val samples = Array.tabulate(count)(j =>
+            graft.ops.Multimodal.pcmSample(id, (from + j).toLong))
+          graft.ops.Multimodal.Blob(id,
+            graft.ops.Multimodal.wavBytes(16000, 1, samples))
+        }
+        val tracks = docs.map(id =>
+          wav(id, 0, (256 + (id % 4) * 64).toInt))
+        val snippets = docs.map(id => wav(id, 32, 160))
+        graft.ops.Multimodal.wavAudioMatch(tracks, snippets)
+      },
+      Some {
+        def cons(p: String, lo: String, hi: String): String =
+          s"""${p}i AS (SELECT doc_id,
+             |    CAST(unnest(range($lo, $hi)) AS BIGINT) AS i
+             |  FROM e),
+             |${p}m2 AS (SELECT doc_id, i,
+             |    (xor((doc_id * 8192 + i) % 2147483648,
+             |      ((doc_id * 8192 + i) % 2147483648) // 32768)
+             |      * 1103515245) % 2147483648 AS x2
+             |  FROM ${p}i),
+             |${p}sm AS (SELECT doc_id, (i - $lo) // 16 AS f,
+             |    xor(x2, x2 // 4096) % 2048 - 1024 AS s FROM ${p}m2),
+             |${p}fe AS (SELECT doc_id, f,
+             |    CAST(SUM(s * s) AS BIGINT) AS energy
+             |  FROM ${p}sm GROUP BY 1, 2),
+             |${p}pk AS (SELECT doc_id, f, energy % 1024 AS b FROM (
+             |    SELECT doc_id, f, energy,
+             |      LAG(energy) OVER (PARTITION BY doc_id ORDER BY f)
+             |        AS pe,
+             |      LEAD(energy) OVER (PARTITION BY doc_id ORDER BY f)
+             |        AS ne
+             |    FROM ${p}fe)
+             |  WHERE pe IS NOT NULL AND ne IS NOT NULL
+             |    AND energy > pe AND energy >= ne),
+             |${p}hp AS (SELECT a.doc_id, CAST(a.f AS BIGINT) AS f1,
+             |    a.b * 8192 + b.b * 8 + (b.f - a.f) AS h
+             |  FROM ${p}pk a JOIN ${p}pk b ON a.doc_id = b.doc_id
+             |    AND b.f > a.f AND b.f <= a.f + 4)""".stripMargin
+        s"""WITH e AS (SELECT CAST(MIN(event_id) AS BIGINT) AS doc_id,
+           |    CAST(256 + (MIN(event_id) % 4) * 64 AS BIGINT) AS n
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+           |  GROUP BY event_type),
+           |${cons("t", "0", "n")},
+           |${cons("s", "32", "192")},
+           |g AS (SELECT s.doc_id AS snippet_id, t.doc_id AS track_id,
+           |    t.f1 - s.f1 AS offset_frames,
+           |    CAST(COUNT(*) AS BIGINT) AS votes
+           |  FROM shp s JOIN thp t ON s.h = t.h GROUP BY 1, 2, 3),
+           |tot AS (SELECT snippet_id, track_id,
+           |    CAST(SUM(votes) AS BIGINT) AS n_matches
+           |  FROM g GROUP BY 1, 2),
+           |r AS (SELECT g.snippet_id, g.track_id, g.offset_frames,
+           |    g.votes, tot.n_matches,
+           |    ROW_NUMBER() OVER (PARTITION BY g.snippet_id
+           |      ORDER BY g.votes DESC, g.track_id, g.offset_frames)
+           |      AS rn
+           |  FROM g JOIN tot ON tot.snippet_id = g.snippet_id
+           |    AND tot.track_id = g.track_id)
+           |SELECT snippet_id, track_id, offset_frames, votes, n_matches
+           |FROM r WHERE rn = 1 ORDER BY snippet_id""".stripMargin
+      }))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   /** q405's oracle — shared verbatim by q408's streaming trap

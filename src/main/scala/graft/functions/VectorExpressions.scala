@@ -546,6 +546,14 @@ object GraftExtensions {
     (FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
       (es: Seq[Expression]) => NearestCell(es(0), es(1))),
+    // canonical_url(url[, tracking_regex]) — the crawl stack's
+    // canonicalizer as ONE codegen'd kernel call per row (see
+    // functions/UrlExpressions.scala)
+    (FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[CanonicalizeUrl].getName, "canonical_url"),
+      (es: Seq[Expression]) => CanonicalizeUrl(es(0),
+        if (es.length > 1) es(1)
+        else Literal(graft.ops.Curation.DefaultTrackingParamRegex))),
     (FunctionIdentifier("topk_rows"),
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
       (es: Seq[Expression]) =>

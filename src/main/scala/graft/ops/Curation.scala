@@ -1669,7 +1669,7 @@ object Curation {
     * any content hash):
     *   - fragment dropped FIRST (so a `?` hiding inside a fragment —
     *     `/p#f?x=1` — is never mistaken for a query)
-    *   - percent-encoding normalized ([[normalizePercent]]: unreserved
+    *   - percent-encoding normalized (RFC 3986 §6.2.2: unreserved
     *     escapes decoded, surviving escapes hex-uppercased) — decoded
     *     chars are never URL delimiters, so parsing is unaffected
     *   - scheme and host lowercase; default port stripped
@@ -1678,10 +1678,14 @@ object Curation {
     *     [[DefaultTrackingParamRegex]]), remaining params SORTED so
     *     param order never splits a key; empty query drops its `?`
     *   - empty path becomes `/`
-    * Pure codegen'd column program (regexp_extract + array ops — no
-    * UDF), so it rides the scan map-only at any scale. Malformed
-    * input degrades gracefully: no `scheme://` match → empty host,
-    * the row keys by whatever parsed.
+    * Evaluates as ONE codegen'd native expression
+    * ([[graft.functions.CanonicalizeUrl]]) — one kernel call per row
+    * riding the scan map-only. The original column program
+    * ([[canonicalUrlColumnar]]) inlined its interpreted
+    * percent-decode HOF once per downstream reference (~8× per row);
+    * it survives as the differential-spec reference. Malformed input
+    * degrades gracefully: no `scheme://` match → empty host, the row
+    * keys by whatever parsed.
     *
     * IDN contract: hosts canonicalize in their WIRE form (lowercased
     * byte-wise). A Unicode host and its punycode (`xn--`) twin do NOT
@@ -1691,6 +1695,19 @@ object Curation {
     * once per URL at ingest, before keying.
     */
   def canonicalUrl(url: Column,
+      trackingParamRegex: String = DefaultTrackingParamRegex): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CanonicalizeUrl(
+        org.apache.spark.sql.graft.ColumnBridge.expression(url),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          trackingParamRegex)))
+
+  /** The original pure-column canonicalizer (regexp_extract + array
+    * HOFs) — bit-exact with [[canonicalUrl]] by the differential
+    * property spec, kept as the executable semantics reference (it IS
+    * the program the native kernel must match).
+    */
+  private[graft] def canonicalUrlColumnar(url: Column,
       trackingParamRegex: String = DefaultTrackingParamRegex): Column = {
     val u = normalizePercent(regexp_extract(url, "^([^#]*)", 1))
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -1710,20 +1727,6 @@ object Curation {
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
   }
 
-  /** URL-keyed exact dedup over [[canonicalUrl]]: the keeper of each
-    * canonical key is the smallest id (first fetch wins), every other
-    * row flags `is_dup`. Returns `(id, canonical_url, keeper_id,
-    * is_dup)`.
-    *
-    * Scale shape: canonicalization is map-only in the scan; the
-    * keeper comes from ONE key-partitioned window MIN — a single
-    * shuffle on the canonical string, the inherent cost of a global
-    * dedup, with the input scanned and canonicalized exactly once
-    * (the groupBy+rejoin alternative shuffles the same rows on the
-    * same key but pays the lineage twice). Per-key window size is
-    * duplicate multiplicity — the same hot-key co-location a keeper
-    * join would have.
-    */
   /** Crawl-frontier politeness schedule: order fetches so same-host
     * URLs never cluster — each host's k-th URL lands at global
     * position `(k − 1) · H + host_index` (H = distinct hosts), i.e.
@@ -1815,19 +1818,46 @@ object Curation {
   def idnAsciiUrl(url: Column): Column =
     udf((u: String) => IdnFn.asciiUrl(u)).apply(url)
 
+  /** URL-keyed exact dedup over [[canonicalUrl]]: the keeper of each
+    * canonical key is the smallest id (first fetch wins), every other
+    * row flags `is_dup`. Returns `(id, canonical_url, keeper_id,
+    * is_dup)`.
+    *
+    * Scale shape — salted two-phase keeper, straggler bound
+    * O(rows/`salts`): canonicalization is one codegen'd kernel call
+    * riding the scan; the big shuffle keys `(canonical_url, salt)`
+    * with `salt = xxhash64(id) mod salts`, so a viral hot URL spreads
+    * over `salts` tasks instead of landing every row in one. Phase 1
+    * is a window MIN per `(key, salt)`; phase 2 aggregates those
+    * partial minima to the global keeper (map-side combine shrinks it
+    * to ≤ keys·salts rows before its tiny shuffle) and joins back on
+    * `(key, salt)` — the probe side already sits hash-partitioned AND
+    * sorted on exactly those keys from the window, so the join adds
+    * NO exchange and NO sort on the data-scaled side, and both
+    * branches hang off the SAME exchange (ReusedExchange): the input
+    * is scanned and canonicalized exactly once. The unsalted window
+    * MIN this replaces put every row of one canonical URL in a single
+    * task — correct, one shuffle, but unbounded on a hot key.
+    */
   def urlKeyDedup(df: DataFrame, urlCol: String = "url",
-      idCol: String = "event_id"): DataFrame = {
+      idCol: String = "event_id", salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"urlKeyDedup needs salts >= 1, got $salts")
     val t = Par.spread(df.where(col(urlCol).isNotNull))
       .select(col(idCol).cast("long").as("id"),
         canonicalUrl(col(urlCol)).as("canonical_url"))
-    // keeper via a key-partitioned window MIN: ONE shuffle on the
-    // canonical key and ONE evaluation of the canonicalize program
-    // (the former groupBy+rejoin shuffled the same rows on the same
-    // key anyway, but scanned + canonicalized the input twice). Skew
-    // exposure is unchanged — a hot key co-located all its rows under
-    // the join too.
-    t.withColumn("keeper_id", min(col("id")).over(
-        Window.partitionBy("canonical_url")))
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+    val part = t.withColumn("part_min", min(col("id")).over(
+      Window.partitionBy("canonical_url", "salt")))
+    // global keeper from the partial minima, replicated to every salt
+    // so the rejoin keys (canonical_url, salt) and inherits the
+    // window's partitioning — inner join is lossless by construction
+    // (every salt value is present on the build side)
+    val keeper = part.groupBy("canonical_url")
+      .agg(min(col("part_min")).as("keeper_id"))
+      .select(col("canonical_url"),
+        explode(sequence(lit(0L), lit(salts.toLong - 1L))).as("salt"),
+        col("keeper_id"))
+    part.join(keeper, Seq("canonical_url", "salt"))
       .select(col("id"), col("canonical_url"), col("keeper_id"),
         (col("id") =!= col("keeper_id")).as("is_dup"))
       .orderBy("id")

@@ -5,7 +5,9 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -47,12 +49,25 @@ object JsonBlocksSource {
     StructField("block", StringType, nullable = false),
     StructField("src_file", StringType, nullable = false)))
 
+  /** The active session's Hadoop configuration (spark.hadoop.* keys
+    * applied), captured DRIVER-side at plan/write-build time so
+    * executors see the same object-store credentials and endpoints
+    * the session was configured with. Falls back to a bare
+    * Configuration when no session is active (tests constructing
+    * readers directly).
+    */
+  private[sources] def sessionHadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Leaf data files under `path` (a file, directory or glob),
     * skipping hidden/metadata entries — one InputPartition each.
     */
-  private[sources] def leafFiles(path: String): Seq[String] = {
+  private[sources] def leafFiles(path: String,
+      conf: Configuration): Seq[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val roots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     roots.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
@@ -107,17 +122,20 @@ private[sources] class JsonBlocksTable(path: String)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new JsonBlocksBatchWrite(
-          target, blockIdx, info.queryId())
+          target, blockIdx, info.queryId(),
+          new SerializableConfiguration(
+            JsonBlocksSource.sessionHadoopConf()))
       }
     }
   }
 }
 
 private[sources] class JsonBlocksBatchWrite(path: String, blockIdx: Int,
-    queryId: String) extends BatchWrite {
+    queryId: String, hadoopConf: SerializableConfiguration)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new JsonBlocksWriterFactory(path, blockIdx, queryId)
+    new JsonBlocksWriterFactory(path, blockIdx, queryId, hadoopConf)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -126,11 +144,12 @@ private[sources] case class JsonBlocksCommit(file: String)
     extends WriterCommitMessage
 
 private[sources] class JsonBlocksWriterFactory(path: String, blockIdx: Int,
-    queryId: String) extends DataWriterFactory {
+    queryId: String, hadoopConf: SerializableConfiguration)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val dir = new Path(path)
-    private val fs = dir.getFileSystem(new Configuration())
+    private val fs = dir.getFileSystem(hadoopConf.value)
     private val tmp = new Path(dir,
       f".${queryId}_$partitionId%05d-$taskId.json.tmp")
     private val fin = new Path(dir, f"part-$partitionId%05d.json")
@@ -157,21 +176,27 @@ private[sources] class JsonBlocksWriterFactory(path: String, blockIdx: Int,
 }
 
 private[sources] class JsonBlocksScan(path: String) extends Scan with Batch {
+  // session Hadoop conf captured at plan time (see WarcScan): a fresh
+  // Configuration() on executors would drop every spark.hadoop.* key
+  private val hadoopConf =
+    new SerializableConfiguration(JsonBlocksSource.sessionHadoopConf())
+
   override def readSchema(): StructType = JsonBlocksSource.Schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    JsonBlocksSource.leafFiles(path)
+    JsonBlocksSource.leafFiles(path, hadoopConf.value)
       .map(JsonBlocksPartition(_): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonBlocksReaderFactory
+    new JsonBlocksReaderFactory(hadoopConf)
 }
 
 private[sources] case class JsonBlocksPartition(file: String)
     extends InputPartition
 
-private[sources] class JsonBlocksReaderFactory
+private[sources] class JsonBlocksReaderFactory(
+    hadoopConf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -182,7 +207,7 @@ private[sources] class JsonBlocksReaderFactory
       // surface uses, so the two paths can never disagree
       private lazy val blocks: Iterator[String] = {
         val p = new Path(file)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         val in = fs.open(p)
         try {
           val len = fs.getFileStatus(p).getLen

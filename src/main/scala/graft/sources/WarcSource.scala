@@ -1,11 +1,13 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.io.{BufferedInputStream, EOFException, FilterOutputStream, InputStream, OutputStream}
 import java.util
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -92,12 +94,25 @@ object Warc {
     out.write(s"$crlf$crlf".getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** One record as ONE complete gzip member appended to `out`. */
+  /** One record as ONE complete gzip member appended to `out`. The
+    * GZIPOutputStream is close()d through a close-shielding wrapper —
+    * close (not just finish) releases the stream's native Deflater
+    * immediately, instead of leaking one Deflater per record until
+    * finalization, while the shield keeps the underlying multi-member
+    * stream open for the next member.
+    */
   def writeGzipMember(out: OutputStream, warcType: String,
       targetUri: String, payload: Array[Byte]): Unit = {
-    val gz = new GZIPOutputStream(out)
+    val shield = new FilterOutputStream(out) {
+      // bulk write passes through (FilterOutputStream's default
+      // degrades to byte-at-a-time); close only flushes
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        this.out.write(b, off, len)
+      override def close(): Unit = flush()
+    }
+    val gz = new GZIPOutputStream(shield)
     writeRecord(gz, warcType, targetUri, payload)
-    gz.finish()
+    gz.close()
   }
 }
 
@@ -116,20 +131,29 @@ private[sources] class WarcTable(path: String)
 }
 
 private[sources] class WarcScan(path: String) extends Scan with Batch {
+  // the SESSION Hadoop conf, captured at plan time on the driver and
+  // shipped serialized to every PartitionReader — a fresh
+  // Configuration() on the executor would silently drop every
+  // spark.hadoop.* setting (object-store credentials, endpoints) and
+  // work only against the local/default filesystem
+  private val hadoopConf =
+    new SerializableConfiguration(JsonBlocksSource.sessionHadoopConf())
+
   override def readSchema(): StructType = WarcSource.Schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    JsonBlocksSource.leafFiles(path)
+    JsonBlocksSource.leafFiles(path, hadoopConf.value)
       .map(WarcPartition(_): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory
+    new WarcReaderFactory(hadoopConf)
 }
 
 private[sources] case class WarcPartition(file: String) extends InputPartition
 
-private[sources] class WarcReaderFactory extends PartitionReaderFactory {
+private[sources] class WarcReaderFactory(hadoopConf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[WarcPartition].file
@@ -140,7 +164,7 @@ private[sources] class WarcReaderFactory extends PartitionReaderFactory {
 
       private def open(): InputStream = {
         val p = new Path(file)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         val raw = new BufferedInputStream(fs.open(p), 1 << 16)
         // gzip sniff without consuming: magic 0x1f 0x8b
         raw.mark(2)
@@ -152,16 +176,22 @@ private[sources] class WarcReaderFactory extends PartitionReaderFactory {
       }
 
       /** One header-ish line, CRLF or LF terminated, -1 at EOF.
-        * Returns null on EOF before any byte.
+        * Returns null on EOF before any byte. Only the CR of a CRLF
+        * TERMINATOR is dropped — a spec-illegal bare CR embedded in a
+        * header value is preserved verbatim (lax, never corrupting),
+        * not silently deleted.
         */
       private def readLine(s: InputStream): String = {
         val sb = new java.lang.StringBuilder(64)
         var c = s.read()
         if (c < 0) return null
         while (c >= 0 && c != '\n') {
-          if (c != '\r') sb.append(c.toChar)
+          sb.append(c.toChar)
           c = s.read()
         }
+        val len = sb.length()
+        if (c == '\n' && len > 0 && sb.charAt(len - 1) == '\r')
+          sb.setLength(len - 1)
         sb.toString
       }
 

@@ -400,4 +400,33 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
     // shape here; what must never appear is a corpus-side sort-merge
     assert(!plan.contains("SortMergeJoin"), plan.take(400))
   }
+
+  test("q381: urlKeyDedup is the salted two-stage keeper — every " +
+      "window salts its key (straggler bound rows/salts), the " +
+      "canonicalizer is ONE native kernel call, and the keeper table " +
+      "rejoins the rows (broadcast at this scale)") {
+    val plan = planOf("q381_url_canonical_dedup")
+    // phase 1: the partial MIN windows over (canonical_url, salt) —
+    // NO window in the plan may partition by the bare canonical key
+    // (that is the unbounded hot-key task this shape eliminates)
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(specs.nonEmpty, "expected the salted partial-MIN window")
+    assert(specs.forall(s => s.contains("canonical_url") &&
+      s.contains("salt")),
+      "window without a salt in its partition keys: " +
+        specs.mkString(" | "))
+    // phase 2: global keeper via a combinable aggregate, replicated
+    // per salt (Generate/explode) and joined back
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      "keeper aggregation must combine map-side")
+    assert(plan.contains("Generate") && plan.contains("explode"),
+      "keeper must replicate across salts for the bounded rejoin")
+    // the canonicalizer is the native expression — one kernel call,
+    // never the interpreted HOF program (split/transform/array_join)
+    assert(plan.contains("canonical_url("),
+      "expected the native canonical_url kernel in the plan")
+    assert(!plan.contains("array_join"),
+      "the interpreted HOF canonicalizer leaked back into the plan")
+  }
 }

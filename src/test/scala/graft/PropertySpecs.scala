@@ -379,6 +379,44 @@ object CanonicalUrlProps extends Properties("Curation.canonicalUrl") {
       val once = canon(urls)
       canon(once) == once
     }
+
+  // the round-12 native kernel (functions/UrlExpressions.scala) must
+  // be BIT-EXACT with the original column program on arbitrary messy
+  // input — mixed-case schemes/hosts, default and non-default ports,
+  // escapes of every byte in both hex casings, fragments hiding '?',
+  // empty/duplicated params, and outright garbage
+  private val messyUrl: Gen[String] = {
+    val schemes = Gen.oneOf("https", "HTTPS", "http", "hTTp", "ftp", "")
+    val ports = Gen.oneOf("", ":443", ":80", ":8080")
+    val frag = Gen.oneOf("", "#f", "#f?not=query", "#")
+    for {
+      sch <- schemes; hostSeg <- seg; port <- ports
+      pathB <- Gen.choose(0, 255); pathHexUp <- Gen.oneOf(true, false)
+      p1 <- seg; p2 <- seg; junk <- Gen.oneOf("", "&", "&&", "&utm_x=1",
+        "&ref=z", "&%G1=bad", "&x=100%")
+      fr <- frag
+      garbage <- Gen.oneOf(false, false, false, true)
+      g <- Gen.alphaNumStr
+    } yield
+      if (garbage) g
+      else {
+        val esc = f"%%$pathB%02x"
+        val escC = if (pathHexUp) esc.toUpperCase else esc
+        s"$sch://$hostSeg.Ex.COM$port/p$escC/$p1?b=$p2&a=1$junk$fr"
+      }
+  }
+
+  property("native canonical_url kernel == the original column " +
+      "program (differential, messy input)") =
+    forAll(Gen.listOfN(12, messyUrl)) { urls =>
+      import spark.implicits._
+      val rows = urls.toDF("url").select(
+          graft.ops.Curation.canonicalUrl(col("url")).as("native"),
+          graft.ops.Curation.canonicalUrlColumnar(col("url"))
+            .as("columnar"))
+        .collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }
 }
 
 /** ScalaCheck rows for the robots.txt rule compiler: every regex
