@@ -531,9 +531,18 @@ object Multimodal {
     * cross-product.
     */
   def constellation(blobs: Dataset[Blob], frameBytes: Int = 16,
+      maxDt: Int = 4, bins: Long = 1024L): DataFrame =
+    constellationFromEnergies(frameEnergies(blobs, frameBytes).toDF(),
+      maxDt, bins)
+
+  /** The constellation kernel over ANY `(doc_id, frame, energy)`
+    * frame table — shared by the stub-PCM chain ([[constellation]])
+    * and the real-WAV chain ([[wavConstellation]]): the peak rule,
+    * pair hashing, and scale shape are decode-agnostic.
+    */
+  def constellationFromEnergies(fe: DataFrame,
       maxDt: Int = 4, bins: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fe = frameEnergies(blobs, frameBytes).toDF()
     val w = Window.partitionBy("doc_id").orderBy("frame")
     val peaks = fe
       .withColumn("pe", lag(col("energy"), 1).over(w))
@@ -562,11 +571,20 @@ object Multimodal {
     * "confident match" signal, scattered offsets mean coincidence.
     */
   def audioMatch(tracks: DataFrame, snippets: DataFrame,
-      frameBytes: Int = 16, maxDt: Int = 4): DataFrame = {
+      frameBytes: Int = 16, maxDt: Int = 4): DataFrame =
+    matchConstellations(constellation(toBlobs(tracks), frameBytes, maxDt),
+      constellation(toBlobs(snippets), frameBytes, maxDt))
+
+  /** The hash-join + offset-histogram + vote-argmax tail of
+    * [[audioMatch]] over ANY pair of constellation fingerprint
+    * tables — shared by the stub chain and the WAV chain.
+    */
+  def matchConstellations(trackFp: DataFrame,
+      snippetFp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = constellation(toBlobs(tracks), frameBytes, maxDt)
+    val tf = trackFp
       .select(col("doc_id").as("track_id"), col("f1").as("tf1"), col("h"))
-    val sf = constellation(toBlobs(snippets), frameBytes, maxDt)
+    val sf = snippetFp
       .select(col("doc_id").as("snippet_id"), col("f1").as("sf1"), col("h"))
     val votes = sf.join(tf, "h")
       .groupBy(col("snippet_id"), col("track_id"),
@@ -630,9 +648,16 @@ object Multimodal {
     * duration, so window state stays small regardless of corpus size.
     */
   def vadSegments(docs: DataFrame, frameBytes: Int = 16,
-      threshold: Long = 157000L): DataFrame = {
+      threshold: Long = 157000L): DataFrame =
+    segmentEnergies(frameEnergies(toBlobs(docs), frameBytes).toDF(),
+      threshold)
+
+  /** The gaps-and-islands VAD segmentation over ANY
+    * `(doc_id, frame, energy)` table — shared by the stub chain
+    * ([[vadSegments]]) and the real-WAV chain ([[wavVadSegments]]).
+    */
+  def segmentEnergies(fe: DataFrame, threshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fe = frameEnergies(toBlobs(docs), frameBytes).toDF()
     val w = Window.partitionBy("doc_id").orderBy("frame")
     fe.where(col("energy") >= threshold)
       .withColumn("isl", col("frame") - row_number().over(w))
@@ -643,5 +668,188 @@ object Multimodal {
         sum(col("energy")).as("sum_energy"))
       .select("doc_id", "seg_start", "seg_end", "n_frames", "sum_energy")
       .orderBy("doc_id", "seg_start")
+  }
+
+  // --------------------------------------------------------------------
+  // Real audio bytes: RIFF/WAV container parse (fmt/data chunk walk)
+  // + integer PCM sample decode — the audio twin of the real image
+  // header decoders above. Everything downstream (frame energies →
+  // VAD islands, peaks → constellation fingerprints → offset-vote
+  // matching) is the SAME shared kernels the stub chain uses; only
+  // the byte→sample step is format-specific. Compressed codecs
+  // (MP3/AAC/Opus) remain the documented decode seam — this container
+  // cannot host their codec libraries — but linear PCM WAV, the
+  // interchange format every ASR pipeline normalizes to first, parses
+  // and decodes for real here.
+  // --------------------------------------------------------------------
+
+  case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long)
+
+  @inline private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** RIFF/WAVE chunk walk (RIFF 1991 spec / RFC 2361 WAVE profile):
+    * `RIFF <size> WAVE`, then `<id u32><size u32le>` chunks — `fmt `
+    * carries (audioFormat, channels, sampleRate, bitsPerSample),
+    * `data` carries the PCM payload; unknown chunks (LIST, fact,
+    * cue…) skip by their declared size, odd-sized chunks pad to the
+    * word boundary (the spec rule naive parsers miss). Returns
+    * (channels, sampleRate, bitsPerSample, dataOff, dataLen); None on
+    * anything malformed — bad magic, truncated chunk, non-PCM format
+    * code, bits outside {8,16} — never a silent misparse.
+    */
+  private def parseWavChunks(p: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int)] = {
+    if (p.length < 12) return None
+    def tag(off: Int) =
+      new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    var i = 12
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val size = le32(p, i + 4)
+      if (size < 0 || i + 8 + size > p.length) return None // truncated
+      if (id == "fmt " && size >= 16 && fmt.isEmpty)
+        fmt = Some((le16(p, i + 8), le16(p, i + 10), le32(p, i + 12),
+          le16(p, i + 22)))
+      else if (id == "data" && data.isEmpty) data = Some((i + 8, size))
+      i += 8 + size + (size & 1) // RIFF chunks pad to word boundaries
+    }
+    for {
+      (audioFormat, ch, rate, bits) <- fmt
+      (off, len) <- data
+      if audioFormat == 1 && ch >= 1 && rate > 0 &&
+        (bits == 8 || bits == 16)
+    } yield (ch, rate, bits, off, len)
+  }
+
+  /** Container-decode the payload as PCM WAV; None for everything
+    * else (corrupt-byte pinned — callers decide loud-vs-skip).
+    */
+  def parseWavMeta(b: Blob): Option[WavMeta] =
+    parseWavChunks(b.payload).map { case (ch, rate, bits, _, len) =>
+      WavMeta(b.doc_id, rate, ch, bits, len.toLong / (ch * (bits / 8)))
+    }
+
+  /** WAV header metadata pipeline — mapPartitions like
+    * [[extractMetadata]]; a payload that is not a decodable PCM WAV
+    * fails LOUDLY with its doc id (the WAV chain runs on real audio
+    * bytes by contract; there is no meaningful stub fallback for a
+    * sample-accurate decode).
+    */
+  def wavMetas(blobs: Dataset[Blob]): Dataset[WavMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map(b => parseWavMeta(b).getOrElse(
+      throw new IllegalStateException(
+        s"doc ${b.doc_id}: payload is not a decodable PCM WAV"))))
+  }
+
+  /** REAL PCM frame energies: decode the WAV data chunk's integer
+    * samples (16-bit signed LE, or 8-bit unsigned re-centered at 128
+    * per the WAV convention) and emit energy `Σ s²` per frame of
+    * `frameSamples` INTERLEAVED samples (channel-agnostic framing —
+    * energy is a per-stream activity measure; trailing partial frame
+    * dropped like [[frameEnergies]]). Integer-exact end to end, so
+    * the VAD/constellation chains verify relationally against a
+    * generator-arithmetic oracle. Map-only; per-row memory is one
+    * payload buffer.
+    */
+  def wavFrameEnergies(blobs: Dataset[Blob],
+      frameSamples: Int = 16): Dataset[FrameEnergy] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val (_, _, bits, off, len) = parseWavChunks(b.payload).getOrElse(
+          throw new IllegalStateException(
+            s"doc ${b.doc_id}: payload is not a decodable PCM WAV"))
+        val bytesPer = bits / 8
+        val nFrames = (len / bytesPer) / frameSamples
+        (0 until nFrames).iterator.map { f =>
+          var e = 0L
+          var k = f * frameSamples
+          while (k < (f + 1) * frameSamples) {
+            val s: Long =
+              if (bits == 16)
+                (((b.payload(off + 2 * k + 1) & 0xff) << 8) |
+                  (b.payload(off + 2 * k) & 0xff)).toShort.toLong
+              else (b.payload(off + k) & 0xff).toLong - 128L
+            e += s * s
+            k += 1
+          }
+          FrameEnergy(b.doc_id, f, e)
+        }
+      }
+    }
+  }
+
+  /** Energy-threshold VAD over REAL WAV bytes — [[wavFrameEnergies]]
+    * into the shared islands segmentation.
+    */
+  def wavVadSegments(blobs: Dataset[Blob], frameSamples: Int = 16,
+      threshold: Long = 5600000L): DataFrame =
+    segmentEnergies(wavFrameEnergies(blobs, frameSamples).toDF(), threshold)
+
+  /** Constellation fingerprints over REAL WAV bytes. */
+  def wavConstellation(blobs: Dataset[Blob], frameSamples: Int = 16,
+      maxDt: Int = 4, bins: Long = 1024L): DataFrame =
+    constellationFromEnergies(wavFrameEnergies(blobs, frameSamples).toDF(),
+      maxDt, bins)
+
+  /** Snippet-to-track matching over REAL WAV bytes — the same
+    * hash-join + offset-vote tail as [[audioMatch]].
+    */
+  def wavAudioMatch(tracks: Dataset[Blob], snippets: Dataset[Blob],
+      frameSamples: Int = 16, maxDt: Int = 4): DataFrame =
+    matchConstellations(wavConstellation(tracks, frameSamples, maxDt),
+      wavConstellation(snippets, frameSamples, maxDt))
+
+  /** Deterministic pseudo-PCM sample for WAV fixtures — the engine's
+    * standard mix31 whitening (xorshift–multiply–xorshift, the
+    * [[graft.functions.VecKernels]] finalizer) over `id·8192 + i`,
+    * folded to a centered 11-bit sample. A plain affine sample
+    * (`(id·a + i·b) mod m`) steps by a CONSTANT per index — frame
+    * energies come out monotone and the peak/VAD chains degenerate;
+    * the non-linear mix gives every frame an independent-looking
+    * energy while staying exactly restatable in any engine with
+    * 64-bit integers, xor, and floor division:
+    * `x0 = (id·8192 + i) % 2³¹; x1 = xor(x0, x0 // 2¹⁵);
+    *  x2 = (x1·1103515245) % 2³¹; s = xor(x2, x2 // 2¹²) % 2048 − 1024`.
+    */
+  def pcmSample(id: Long, i: Long): Short = {
+    var x = (id * 8192L + i) & 0x7FFFFFFFL
+    x ^= (x >> 15)
+    x = (x * 1103515245L) & 0x7FFFFFFFL
+    x ^= (x >> 12)
+    (x % 2048L - 1024L).toShort
+  }
+
+  /** Deterministic 16-bit PCM WAV bytes (44-byte canonical header +
+    * LE samples) — the fixture builder for the WAV chain, mirrored by
+    * the oracles' generator arithmetic. `samples` are INTERLEAVED
+    * when `channels` > 1; length must divide evenly.
+    */
+  def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"${samples.length} samples do not interleave over $channels channels")
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+    def tag(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    tag("RIFF"); w32(36 + dataLen); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+    tag("data"); w32(dataLen)
+    var i = 0
+    while (i < samples.length) { w16(samples(i) & 0xffff); i += 1 }
+    out.toByteArray
   }
 }

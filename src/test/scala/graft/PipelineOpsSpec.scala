@@ -817,6 +817,70 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))).isEmpty)
   }
 
+  test("parseWavMeta + wavFrameEnergies: RIFF/fmt/data walk decodes " +
+      "rate/channels/bits/samples from real bytes; energies are " +
+      "sample-exact; corrupt headers refuse rather than misparse") {
+    import Multimodal.Blob
+    val samples = Array.tabulate(48)(i => ((i * 37) % 2048 - 1024).toShort)
+    val wav = Multimodal.wavBytes(16000, 2, samples)
+    val m = Multimodal.parseWavMeta(Blob(1L, wav)).get
+    assert((m.sample_rate, m.channels, m.bits_per_sample, m.n_samples)
+      === ((16000, 2, 16, 24L))) // 48 interleaved / 2 channels
+    // a LIST chunk with an ODD size before fmt/data: the walk must
+    // skip by declared size + the RIFF word-alignment pad byte
+    val list = Array[Int]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0).map(_.toByte)
+    val padded = wav.take(12) ++ list ++ wav.drop(12)
+    // patch the RIFF size (unchecked by the parser, but keep honest)
+    val mp = Multimodal.parseWavMeta(Blob(2L, padded)).get
+    assert((mp.sample_rate, mp.channels, mp.n_samples) === ((16000, 2, 24L)))
+    // frame energies: 16-sample frames over the interleaved stream,
+    // Σ s² exactly; trailing partial frame dropped
+    import spark.implicits._
+    val fe = Multimodal.wavFrameEnergies(
+        Seq(Blob(1L, wav)).toDS(), frameSamples = 16)
+      .collect().sortBy(_.frame)
+    assert(fe.length === 3)
+    val expect = samples.grouped(16).map(
+      _.map(s => s.toLong * s).sum).toSeq
+    assert(fe.map(_.energy).toSeq === expect)
+    // 8-bit path: unsigned bytes re-centered at 128
+    val wav8 = {
+      val w = Multimodal.wavBytes(8000, 1, Array.fill(16)(0.toShort))
+      // rewrite as an 8-bit file by hand: bits=8, blockAlign=1,
+      // byteRate=8000, data = 16 raw bytes 0..15
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(w, 0, 20) // RIFF..WAVE + "fmt " + its size field (16)
+      out.write(Array[Int](1, 0, 1, 0, 0x40, 0x1f, 0, 0, 0x40, 0x1f, 0, 0,
+        1, 0, 8, 0).map(_.toByte), 0, 16)
+      out.write("data".getBytes("US-ASCII"), 0, 4)
+      out.write(Array[Int](16, 0, 0, 0).map(_.toByte), 0, 4)
+      out.write(Array.tabulate[Byte](16)(_.toByte), 0, 16)
+      out.toByteArray
+    }
+    val m8 = Multimodal.parseWavMeta(Blob(3L, wav8)).get
+    assert((m8.bits_per_sample, m8.n_samples) === ((8, 16L)))
+    val fe8 = Multimodal.wavFrameEnergies(
+      Seq(Blob(3L, wav8)).toDS(), 16).collect()
+    assert(fe8.head.energy ===
+      (0 until 16).map(b => { val s = b - 128L; s * s }).sum)
+    // corrupt: bad magic, truncated data chunk, non-PCM format code —
+    // all refuse (None), never a silent misparse
+    assert(Multimodal.parseWavMeta(Blob(4L, "RIFX junk".getBytes)).isEmpty)
+    assert(Multimodal.parseWavMeta(
+      Blob(5L, wav.take(wav.length - 4))).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE-float format code
+    assert(Multimodal.parseWavMeta(Blob(6L, nonPcm)).isEmpty)
+    assert(Multimodal.parseWavMeta(Blob(7L, wav.take(10))).isEmpty)
+    // the loud contract: wavMetas throws with the doc id on non-WAV
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.wavMetas(Seq(Blob(9L, "text".getBytes)).toDS()).collect()
+    }
+    assert(err.getMessage.contains("not a decodable PCM WAV") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("not a decodable PCM WAV")))
+  }
+
   test("imagePipeline: dimensions come OUT OF the bytes — corrupting " +
       "one header byte changes the decoded width") {
     import spark.implicits._

@@ -87,6 +87,42 @@ class WarcSourceSpec extends AnyFunSuite with SparkSuite {
     assert(msg.contains("Content-Length") && msg.contains("bad.warc"))
   }
 
+  test("image payloads survive the gzip-member round trip byte-exact: " +
+      "WARC → parseImageMeta decodes the generated dimensions (the " +
+      "q414 chain's unit half); bare CR inside a header value is " +
+      "preserved, CRLF terminators still strip") {
+    val dir = tmpDir()
+    val png = graft.ops.Multimodal.pngBytes(321, 99)
+    val gif = graft.ops.Multimodal.gifBytes(17, 12, 4)
+    val out = new java.io.FileOutputStream(
+      new java.io.File(dir, "img.warc.gz"))
+    try {
+      Warc.writeGzipMember(out, "response", "https://ex.com/p.png", png)
+      Warc.writeGzipMember(out, "response", "https://ex.com/a.gif", gif)
+    } finally out.close()
+    val rows = read(dir).orderBy("rec_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Array[Byte]]("payload").toSeq === png.toSeq)
+    val m0 = graft.ops.Multimodal.parseImageMeta(graft.ops.Multimodal
+      .Blob(0L, rows(0).getAs[Array[Byte]]("payload"))).get
+    assert((m0.width, m0.height, m0.n_frames) === ((321, 99, 1)))
+    val m1 = graft.ops.Multimodal.parseImageMeta(graft.ops.Multimodal
+      .Blob(1L, rows(1).getAs[Array[Byte]]("payload"))).get
+    assert((m1.width, m1.height, m1.n_frames) === ((17, 12, 4)))
+
+    // spec-illegal bare CR embedded in a header VALUE: preserved
+    // verbatim (never silently deleted); the CRLF terminator of the
+    // same line still strips its CR
+    val crDir = tmpDir()
+    java.nio.file.Files.write(new java.io.File(crDir, "cr.warc").toPath,
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://ex.com/a\rb\r\n" +
+        "Content-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("UTF-8"))
+    val r = read(crDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(3) === "https://ex.com/a\rb")
+  }
+
   test("truncated payload (declared length past EOF) fails loudly, " +
       "never silently short-reads") {
     val dir = tmpDir()
