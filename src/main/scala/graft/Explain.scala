@@ -73,7 +73,8 @@ object Explain {
       "q404_presto_dialect10", "q405_crawler_traps",
       "q406_param_relevance", "q410_learned_killset_dedup",
       "q411_warc_ingest", "q412_warc_binary_source",
-      "q413_presto_dialect13", "q31_multimodal_metadata")
+      "q413_presto_dialect13", "q31_multimodal_metadata",
+      "q414_warc_image_chain", "q415_wav_vad", "q416_wav_audio_match")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -65,6 +65,41 @@ private[graft] object QueriesAlert {
     * instance per shuffle partition per microbatch, so the fan-out is
     * capped at 8 — never raised above a smaller session default.
     */
+  /** Session-scoped RAM-backed root for drain checkpoints. A drain's
+    * checkpoint (offset log, commit log, per-partition state deltas —
+    * dozens of small fsync'd files per stateful operator per batch)
+    * is pure throwaway coordination state, but Spark's DEFAULT temp
+    * checkpoint lands in java.io.tmpdir, which is disk-backed ext4
+    * here — so every equivalence-twin drain paid real disk fsyncs for
+    * state it deletes seconds later. One tmpfs root (/dev/shm when
+    * present) hosts every drain's checkpoint; each drain gets a fresh
+    * subdir (a reused dir would RESUME and skip the data batch) and
+    * deletes it on completion. Durability is not a goal by
+    * construction: these are single-host AvailableNow drains (local /
+    * local-cluster on one machine) whose restart story is "re-run the
+    * query" — a REAL multi-node deployment needs a shared checkpoint
+    * filesystem and uses the production entry points
+    * (StreamingPipeline/AlertaStreamMain, caller-supplied checkpoint),
+    * never this harness.
+    */
+  private lazy val drainCheckpointRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = java.nio.file.Files
+      .createTempDirectory(base, "graft_drains_").toFile
+    sys.addShutdownHook { deleteRec(root) }
+    root.getAbsolutePath
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger
+
   private[graft] def drainToMemory(s: SparkSession, df: DataFrame, sink: String,
       mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -77,11 +112,17 @@ private[graft] object QueriesAlert {
     // shares the session.
     val sp0 = scala.util.Try(s.conf.get(sp).toInt).toOption
     sp0.foreach(v => s.conf.set(sp, math.min(v, 8).toString))
+    val cp = new java.io.File(drainCheckpointRoot,
+      s"${sink}_${drainSeq.incrementAndGet()}")
     try {
       val q = df.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", cp.getAbsolutePath)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally sp0.foreach(v => s.conf.set(sp, v.toString))
+    } finally {
+      sp0.foreach(v => s.conf.set(sp, v.toString))
+      deleteRec(cp)
+    }
     s.table(sink)
   }
 

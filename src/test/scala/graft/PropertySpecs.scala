@@ -417,6 +417,34 @@ object CanonicalUrlProps extends Properties("Curation.canonicalUrl") {
         .collect()
       rows.forall(r => r.getString(0) == r.getString(1))
     }
+
+  // fixed pathological battery, run once: line terminators (the
+  // regex-mirror slow path — Java `$`/dot-terminator semantics),
+  // decode-created schemes, empty/edge inputs, non-BMP text,
+  // multi-'?' queries, every port/scheme casing corner
+  property("native kernel == column program on the fixed edge battery " +
+      "(slow path, decode-created scheme, non-BMP, empties)") = {
+    val battery = Seq(
+      "", "x", "://", "a://", "http://", "http://?x=1", "http:///p",
+      "a:/x", "%68ttp://UP.ex:80/p?b=2&a=1", "https://ex.com:443",
+      "ftp://h:443/p", "https://h:443:443/p", "http://h:80:80/p",
+      "https://ex.com/p?a=1?b=2&c=3", "https://ex.com/p?&&a=1&",
+      "https://ex.com/p?x=1\nref=2", "http://ex.com:80/p\n?a=1",
+      "https://ex.com/p?a=\r1#f\nx", "https://ex.com/p?a=\u20281",
+      "https://ex.com/p?a=\u00851&b=2", "https://ex.com:443\n/p?x=:443",
+      "https://ex.com/\ud83d\ude00?emoji=\ud83d\ude00&a=1",
+      "https://b\u00fccher.example:443/p?x=1",
+      "https://ex.com/p?%ZZ=1&%2f=2&%41=3", "https://ex.com/p?x=100%",
+      "#onlyfragment", "?onlyquery=1", "https://ex.com/p#f?hidden=1",
+      "HTTPS://EX.COM:443#f", "https://ex.com/p?utm_a=1&UTM_b=2")
+    import spark.implicits._
+    val rows = battery.toDF("url").select(
+        graft.ops.Curation.canonicalUrl(col("url")).as("native"),
+        graft.ops.Curation.canonicalUrlColumnar(col("url"))
+          .as("columnar"))
+      .collect()
+    rows.forall(r => r.getString(0) == r.getString(1))
+  }
 }
 
 /** ScalaCheck rows for the robots.txt rule compiler: every regex
