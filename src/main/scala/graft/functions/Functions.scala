@@ -664,51 +664,23 @@ object Functions {
           .toAggregateExpression()))
 
       // Presto histogram(x): map value → occurrence count, nulls
-      // ignored (CollectList drops them, matching Presto). Built like
-      // map_agg: collect, distinct keys, count per key with a lambda
-      // filter — O(n·distinct) per group, fine at criteria scale
-      // because groups are bounded by the collect itself.
-      shim("histogram") { exprs =>
-        val collected = SortArray(
-          aggregate.CollectList(exprs.head).toAggregateExpression(),
-          Literal(true))
-        val k = UnresolvedNamedLambdaVariable(Seq("k"))
-        val x = UnresolvedNamedLambdaVariable(Seq("x"))
-        MapFromEntries(ArrayTransform(ArrayDistinct(collected),
-          LambdaFunction(CreateNamedStruct(Seq(
-            Literal("k"), k,
-            Literal("v"), Cast(Size(ArrayFilter(collected,
-              LambdaFunction(EqualTo(x, k), Seq(x)))), LongType))),
-            Seq(k))))
-      }
+      // ignored. Round 12: a one-pass TypedImperativeAggregate
+      // (functions/MapAggregates.scala) replaced the thirteenth
+      // tranche's collect-then-regroup shim — same output byte for
+      // byte (key-ascending entries, FunctionsSpec parity rows), but
+      // O(n) per group with map-side partial aggregation instead of
+      // O(n·distinct) over a collected array, and no 64 KB-codegen
+      // regroup projection.
+      shim("histogram")(exprs =>
+        HistogramAgg(exprs.head).toAggregateExpression())
 
       // Presto multimap_agg(k, v): map key → ARRAY of every value
-      // seen under it (map_agg keeps one). Same collect-then-regroup
-      // shape as histogram; entry order inside each array follows the
-      // key-sorted collect (deterministic).
-      shim("multimap_agg") { exprs =>
-        val collected = SortArray(
-          aggregate.CollectList(CreateNamedStruct(
-            Seq(Literal("k"), exprs.head, Literal("v"), exprs(1))))
-            .toAggregateExpression(),
-          Literal(true))
-        val k = UnresolvedNamedLambdaVariable(Seq("k"))
-        val e = UnresolvedNamedLambdaVariable(Seq("e"))
-        val e2 = UnresolvedNamedLambdaVariable(Seq("e2"))
-        def keyOf(v: Expression): Expression =
-          UnresolvedExtractValue(v, Literal("k"))
-        MapFromEntries(ArrayTransform(
-          ArrayDistinct(ArrayTransform(collected,
-            LambdaFunction(keyOf(e), Seq(e)))),
-          LambdaFunction(CreateNamedStruct(Seq(
-            Literal("k"), k,
-            Literal("v"), ArrayTransform(
-              ArrayFilter(collected,
-                LambdaFunction(EqualNullSafe(keyOf(e2), k), Seq(e2))),
-              LambdaFunction(
-                UnresolvedExtractValue(e2, Literal("v")), Seq(e2))))),
-            Seq(k))))
-      }
+      // seen under it (map_agg keeps one). Same one-pass aggregate;
+      // value arrays ascending with nulls first (the order the old
+      // shim's sorted struct collect produced), null keys rejected
+      // loudly like Presto.
+      shim("multimap_agg")(exprs =>
+        MultimapAgg(exprs.head, exprs(1)).toAggregateExpression())
     }
 
     // Presto from_iso8601_date: ISO calendar date → DATE. Strict ISO

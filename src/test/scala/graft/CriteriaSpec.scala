@@ -475,4 +475,62 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(mm === Map("a" -> Seq(2.0, 4.0, 8.0), "b" -> Seq(2.0, 2.0),
       "c" -> Seq(5.0)))
   }
+
+  test("histogram / multimap_agg one-pass aggregates: shim-parity " +
+      "entry order (keys ascending, values ascending nulls-first), " +
+      "null-input skip vs null-key rejection, distributed merge") {
+    graft.functions.Functions.register(spark)
+    // distributed: 200 rows over 8 partitions force partial buffers
+    // to serialize, shuffle, and merge — the TypedImperativeAggregate
+    // round-trip the old regroup shim never exercised
+    spark.range(200).repartition(8)
+      .selectExpr("CAST(id % 7 AS STRING) AS k", "id % 13 AS x",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE id % 5 END AS v")
+      .createOrReplaceTempView("mapagg_t")
+    val r = spark.sql(Criteria.rewrite(
+      """SELECT histogram(k) AS h, multimap_agg(k, v) AS mm,
+        |  histogram(CASE WHEN x < 6 THEN k END) AS hn,
+        |  map_keys(histogram(k)) AS hk,
+        |  map_keys(multimap_agg(k, v)) AS mmk
+        |FROM mapagg_t""".stripMargin)).head()
+    // exact counts: id%7 over 0..199 → keys '0'..'6'
+    val h = r.getMap[String, Long](0)
+    assert(h.toMap === (0 until 7).map(i =>
+      i.toString -> (if (i < 200 % 7) 29L else 28L)).toMap)
+    // entry order is key-ASCENDING (the sorted-collect shim's order) —
+    // asserted through map_keys (Row.getMap rehashes and drops order)
+    assert(r.getSeq[String](3) === (0 until 7).map(_.toString))
+    assert(r.getSeq[String](4) === (0 until 7).map(_.toString))
+    // histogram SKIPS null inputs (the CASE erases x >= 6 rows)
+    val hn = r.getMap[String, Long](2).toMap
+    assert(hn.values.sum ===
+      (0 until 200).count(i => i % 13 < 6).toLong)
+    // multimap value arrays: ascending with nulls FIRST (struct-sort
+    // parity); every key holds exactly its row count
+    val mm = r.getMap[String, scala.collection.Seq[Any]](1)
+    (0 until 7).foreach { i =>
+      val expect = (0 until 200).filter(_ % 7 == i)
+        .map(id => if (id % 11 == 0) null else java.lang.Long.valueOf(id % 5))
+      val sorted = expect.sortWith {
+        case (null, null) => false
+        case (null, _) => true
+        case (_, null) => false
+        case (a, b) => a.longValue < b.longValue
+      }
+      assert(mm(i.toString).toSeq === sorted, s"key $i")
+    }
+    // empty input → empty map (MapFromEntries-over-empty parity)
+    val empty = spark.sql(Criteria.rewrite(
+      "SELECT histogram(k) AS h FROM mapagg_t WHERE k = 'nope'")).head()
+    assert(empty.getMap[String, Long](0).isEmpty)
+    // null map KEY rejects loudly (Presto: map key cannot be null)
+    val err = intercept[Exception] {
+      spark.sql(Criteria.rewrite(
+        "SELECT multimap_agg(CASE WHEN k = '3' THEN NULL ELSE k END, x) " +
+          "FROM mapagg_t")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("map key cannot be null")))
+  }
 }
