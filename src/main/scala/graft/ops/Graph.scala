@@ -853,7 +853,8 @@ object Graph {
     * once and reused every round.
     */
   def sccFromPivot(edges: DataFrame, maxRounds: Int = 100,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      hopsPerRound: Int = 4): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint() // reused every round, both directions
@@ -863,21 +864,38 @@ object Graph {
     // reach set repeats every earlier round's work), and the
     // "anything new?" check rides the frontier count the loop already
     // needs. Termination is an empty frontier: exact fixpoint.
+    //
+    // MULTI-HOP rounds: each round expands `hopsPerRound` hops inside
+    // ONE plan (chained joins, per-hop distinct to bound revisits)
+    // before the round's checkpoint + anti-join + count. Handoff
+    // graphs are path-shaped (per-part customer chains), so the
+    // fixpoint depth is the longest chain — single-hop rounds paid
+    // ~4 driver-scheduled jobs PER EDGE of that chain, and the job
+    // launch latency (not the data) dominated. Depth covered is
+    // hopsPerRound·maxRounds; per-hop frontiers are ≤ |V| rows, so
+    // the deeper plan trades bounded executor work for an
+    // O(hopsPerRound) cut in driver round-trips.
     def reach(forward: Boolean): DataFrame = {
       var r = pivot.localCheckpoint()
       var frontier = r
       var round = 0
       var growing = true
       while (growing && round < maxRounds) {
-        val step =
-          (if (forward)
-             e.join(frontier, e("src") === frontier("n"))
-               .select(e("dst").as("n"))
-           else
-             e.join(frontier, e("dst") === frontier("n"))
-               .select(e("src").as("n")))
-            .distinct()
-        frontier = step.join(r, Seq("n"), "left_anti").localCheckpoint()
+        var hop = frontier
+        var acc = frontier
+        for (_ <- 1 to hopsPerRound) {
+          hop =
+            (if (forward)
+               e.join(hop, e("src") === hop("n"))
+                 .select(e("dst").as("n"))
+             else
+               e.join(hop, e("dst") === hop("n"))
+                 .select(e("src").as("n")))
+              .distinct()
+          acc = acc.unionByName(hop)
+        }
+        frontier = acc.distinct().join(r, Seq("n"), "left_anti")
+          .localCheckpoint()
         growing = frontier.limit(1).count() > 0
         if (growing) r = r.unionByName(frontier).localCheckpoint()
         round += 1
