@@ -34,6 +34,12 @@ private[graft] object QueriesPipeline {
     dir.getAbsolutePath
   }
 
+  // per-JVM guard for the q109 DPP lake fixture (see the in-query
+  // comment): lakeDir is keyed by sf dir, so two scale factors never
+  // alias; content is a pure function of the events table
+  private val dppLakes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   // the q231/q290 melted (column id, value) block — one source of
   // truth for the joinable-column candidate set in both oracles
   private val duckColumnsMelted: String =
@@ -2857,7 +2863,14 @@ private[graft] object QueriesPipeline {
         val tag = new java.io.File(dir).getName
         val lakeDir = s"$lakeRoot/dpp_$tag"
         val ev = Tables(s, dir, "events").where(col("ts").isNotNull)
-        val fact = Lake.write(ev, lakeDir)
+        // the hour-partitioned lake is a PURE function of the events
+        // table — materialize once per sf dir (the CoPurchase-artifact
+        // discipline): the operator under test is the runtime-pruned
+        // READ, and re-paying the full-table write on every
+        // best-of-3 rep measured the fixture, not the pruning
+        val fact =
+          if (dppLakes.add(lakeDir)) Lake.write(ev, lakeDir)
+          else Lake.read(s, lakeDir)
         val byHour = ev.groupBy(date_format(col("ts"), "HH").as("hour"))
           .agg(count(lit(1)).as("hcnt"))
         // the total via an empty-frame window, NOT a crossJoin with a
