@@ -56,6 +56,22 @@ object VecKernels {
     x ^ (x >> 12)
   }
 
+  /** Exact integer sqrt mirroring the column program's arithmetic
+    * path (`s = (long) floor(sqrt((double) x))`, then ±1
+    * corrections; negative x lands on −1 like the old Cast(NaN)
+    * lane), with one improvement: the +1 probe is clamped at
+    * floor(√Long.MaxValue), so the top of the long range — where the
+    * column form's `(s+1)²` overflowed (an ANSI throw) — now returns
+    * the exact root instead.
+    */
+  def isqrt(x: Long): Long = {
+    if (x < 0) return -1
+    var s = math.floor(math.sqrt(x.toDouble)).toLong
+    if (s > 3037000499L) s = 3037000499L
+    if (s < 3037000499L && (s + 1) * (s + 1) <= x) s += 1
+    if (s * s > x) s - 1 else s
+  }
+
   /** Base-31 polynomial hash of a token's code points, mod 2^31-1 —
     * the same fold as [[graft.ops.TextAnalysis.rollingHash]] (q38),
     * whose DuckDB restatement (`list_reduce` over `unicode(c)`) is
@@ -343,6 +359,30 @@ object VecKernels {
     }
     out
   }
+}
+
+/** Exact integer square root, bit-parity with the column program it
+  * replaces (`Similarity.isqrtCol`: floor(sqrt(double)) then two ±1
+  * corrections — negative input yields −1 via the NaN→0 cast path,
+  * overflow wraps like long multiply does). The column form
+  * referenced its input FIVE times per level, so nesting it (the
+  * n^(q/4) temperature powers, SGNS's freq^0.75) inlined the operand
+  * ~25×, blowing Janino's 64 KB method limit and dropping the stage
+  * out of whole-stage codegen (observed on q363). One kernel call
+  * per row restores codegen and evaluates the operand once.
+  */
+case class IntSqrt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "isqrt"
+
+  override def nullSafeEval(x: Any): Any =
+    VecKernels.isqrt(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.isqrt($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Σ a(i)*b(i) in double, strict index order — null on length mismatch

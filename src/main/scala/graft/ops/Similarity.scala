@@ -135,13 +135,18 @@ object Similarity {
     * floor(√x) is mathematically exact for non-negative BIGINT x —
     * the building block for integer fractional powers
     * (floor(x^(q/4)) via nested calls) that keep weight tables
-    * oracle-replayable.
+    * oracle-replayable. Evaluates as ONE codegen'd kernel call
+    * ([[graft.functions.IntSqrt]], same arithmetic path): the
+    * previous column form referenced its operand five times, so the
+    * NESTED fractional-power calls inlined it ~25× and blew the
+    * 64 KB codegen method limit (whole-stage codegen fell back to
+    * interpreted on q363's weight projection).
     */
-  private[graft] def isqrtCol(x: Column): Column = {
-    val s = floor(sqrt(x.cast("double"))).cast("long")
-    val s1 = when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
-    when(s1 * s1 > x, s1 - 1).otherwise(s1)
-  }
+  private[graft] def isqrtCol(x: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.IntSqrt(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          x.cast("long"))))
 
   private[graft] def mix31Col(v: Column): Column = {
     // pmod, not %: VecKernels.mix31 masks with & 0x7FFFFFFF, which is

@@ -150,6 +150,62 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
     ref.foreach { case (id, c) => assert(native(id) === c, s"vec_id=$id") }
   }
 
+  test("IntSqrt == the column-program integer sqrt it replaced, and " +
+      "the nested fractional power stays inside whole-stage codegen") {
+    import spark.implicits._
+    // the replaced program, restated: floor(sqrt(double)) + two ±1
+    // corrections
+    def columnIsqrt(x: org.apache.spark.sql.Column) = {
+      val s = floor(sqrt(x.cast("double"))).cast("long")
+      val s1 = when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+      when(s1 * s1 > x, s1 - 1).otherwise(s1)
+    }
+    // Long.MaxValue sits where the OLD program's (s+1)² probe
+    // overflows (ANSI throw) — the kernel clamps and returns the
+    // exact root there instead; pinned directly below, excluded from
+    // the differential
+    val battery: Seq[Long] = (0L to 20L) ++
+      Seq(24L, 25L, 26L, 99L, 100L, 101L, 1023L, 1024L, 1025L,
+        999999L, 1000000L, 1000001L, (1L << 40) - 1, 1L << 40,
+        (1L << 40) + 1, (1L << 62)) ++
+      (1 to 50).map(i => math.abs(i * 2654435761L) % (1L << 50))
+    assert(graft.functions.VecKernels.isqrt(Long.MaxValue)
+      === 3037000499L)
+    assert(graft.functions.VecKernels.isqrt(-5L) === -1L)
+    // repartition breaks ConvertToLocalRelation, so the expression
+    // runs through the real codegen path, not driver-side folding
+    val df = battery.toDF("x").repartition(2)
+    val r = df.select(col("x"),
+        graft.ops.Similarity.isqrtCol(col("x")).as("native"),
+        columnIsqrt(col("x")).as("columnar"))
+      .collect()
+    r.foreach(row => assert(row.getLong(1) === row.getLong(2),
+      s"x=${row.getLong(0)}"))
+    // exactness: native² ≤ x < (native+1)² wherever squares fit
+    r.foreach { row =>
+      val x = row.getLong(0); val s = row.getLong(1)
+      if (x < (1L << 61)) {
+        assert(s * s <= x && (s + 1) * (s + 1) > x, s"x=$x")
+      }
+    }
+    // the q363 weight projection (isqrt(isqrt(f³))) must stay inside
+    // ONE whole-stage codegen span — the nested column program used
+    // to blow the 64 KB method limit and fall back to interpreted
+    val small = df.where(col("x") < (1L << 21)) // cube fits a long
+    val nested = small.select(graft.ops.Similarity.isqrtCol(
+      graft.ops.Similarity.isqrtCol(col("x") * col("x") * col("x")))
+      .as("w"))
+    // run first via collect() — the SAME queryExecution (count()
+    // plans a separate aggregate) — so AQE finalizes this plan and
+    // the codegen spans appear in its string form
+    assert(nested.collect().length === small.count())
+    // the `*(n)` prefix is the WholeStageCodegen marker in the
+    // adaptive plan's string form
+    val planStr = nested.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[isqrt".r.findFirstIn(planStr)
+      .isDefined, planStr.take(500))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(call_function("vec_dot",
