@@ -726,6 +726,23 @@ private[graft] object QueriesExt {
     dir.getAbsolutePath
   }
 
+  /** Scratch subdir for a fixture whose FILE NAMES are data-derived
+    * (per-doc WARC members): keyed by the sf dir's path digest AND
+    * wiped before each write, because a directory-scan `load(out)`
+    * would otherwise read back stale per-doc files from a previous
+    * sf's doc-id set in the same JVM — extra rows the oracle doesn't
+    * have (ADVICE r12). The wipe is a handful of local files, noise
+    * against the query itself.
+    */
+  private def fixtureDir(prefix: String, sfDir: String): String = {
+    val out = new java.io.File(s"$extScratch/${prefix}_${Tables.sfTag(sfDir)}")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+    }
+    del(out)
+    out.getAbsolutePath
+  }
+
   private def thirdBatch: Seq[Q] = Seq(
     // DataSource V2 connector round-trip: per-source JSON-block blobs
     // written as text, read back through the custom connector (one
@@ -4523,16 +4540,20 @@ private[graft] object QueriesExt {
     // through), and the request record must declare its length too.
     Q("q412_warc_binary_source",
       (s, dir) => {
-        val out = s"$extScratch/q412_warc"
+        val out = fixtureDir("q412_warc", dir)
         val recs = Tables(s, dir, "events")
           .where(col("event_type").isNotNull && col("event_id").isNotNull)
           .groupBy(col("event_type"))
           .agg(min(col("event_id")).cast("long").as("doc_id"))
         // fixture write rides the executors (Hadoop FS, one file per
-        // doc — the fetcher-output layout), never a driver collect
+        // doc — the fetcher-output layout), never a driver collect;
+        // conf captured DRIVER-side (session spark.hadoop.* keys ride
+        // along — same convention as the DSv2 readers)
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
         recs.select("event_type", "doc_id").foreachPartition {
           (it: Iterator[org.apache.spark.sql.Row]) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = hconf.value
           it.foreach { r =>
             val et = r.getString(0); val id = r.getLong(1)
             val gz = id % 2 == 1
@@ -4651,14 +4672,16 @@ private[graft] object QueriesExt {
     // or a misframed record (wrong bytes) both hash-mismatch.
     Q("q414_warc_image_chain",
       (s, dir) => {
-        val out = s"$extScratch/q414_warc_img"
+        val out = fixtureDir("q414_warc_img", dir)
         val recs = Tables(s, dir, "events")
           .where(col("event_type").isNotNull && col("event_id").isNotNull)
           .groupBy(col("event_type"))
           .agg(min(col("event_id")).cast("long").as("doc_id"))
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
         recs.select("doc_id").foreachPartition {
           (it: Iterator[org.apache.spark.sql.Row]) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = hconf.value
           it.foreach { r =>
             val id = r.getLong(0)
             val w = (1 + id % 512).toInt
@@ -4743,7 +4766,11 @@ private[graft] object QueriesExt {
             graft.ops.Multimodal.pcmSample(id, i.toLong))
           graft.ops.Multimodal.Blob(id,
             graft.ops.Multimodal.wavBytes(rate, ch, samples))
-        }.cache()
+          // localCheckpoint, not cache: both consumers (meta + VAD)
+          // share the materialization, and the blocks are freed when
+          // the RDD is GC'd instead of pinning executor storage for
+          // the session's life across verify/bench reps (ADVICE r12)
+        }.localCheckpoint()
         val meta = graft.ops.Multimodal.wavMetas(blobs).toDF()
         val segs = graft.ops.Multimodal.wavVadSegments(blobs)
         meta.join(segs, Seq("doc_id"))

@@ -35,8 +35,10 @@ private[graft] object QueriesPipeline {
   }
 
   // per-JVM guard for the q109 DPP lake fixture (see the in-query
-  // comment): lakeDir is keyed by sf dir, so two scale factors never
-  // alias; content is a pure function of the events table
+  // comment): lakeDir is keyed by Tables.sfTag (absolute-path digest),
+  // so two scale factors never alias even on equal basenames; content
+  // is a pure function of the events table, and a dir enters the set
+  // only after its write succeeded
   private val dppLakes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -2860,8 +2862,12 @@ private[graft] object QueriesPipeline {
     // difference between scanning 11/24ths of the lake and all of it.
     Q("q109_dpp_join",
       (s, dir) => {
-        val tag = new java.io.File(dir).getName
-        val lakeDir = s"$lakeRoot/dpp_$tag"
+        // keyed by Tables.sfTag (path digest, not basename — equal
+        // basenames under different parents must not alias the
+        // write-once lake), and the guard is claimed only AFTER the
+        // write succeeds: a mid-write throw must not leave later
+        // runs reading a partial lake (ADVICE r12)
+        val lakeDir = s"$lakeRoot/dpp_${Tables.sfTag(dir)}"
         val ev = Tables(s, dir, "events").where(col("ts").isNotNull)
         // the hour-partitioned lake is a PURE function of the events
         // table — materialize once per sf dir (the CoPurchase-artifact
@@ -2869,8 +2875,12 @@ private[graft] object QueriesPipeline {
         // READ, and re-paying the full-table write on every
         // best-of-3 rep measured the fixture, not the pruning
         val fact =
-          if (dppLakes.add(lakeDir)) Lake.write(ev, lakeDir)
-          else Lake.read(s, lakeDir)
+          if (dppLakes.contains(lakeDir)) Lake.read(s, lakeDir)
+          else {
+            val f = Lake.write(ev, lakeDir)
+            dppLakes.add(lakeDir)
+            f
+          }
         val byHour = ev.groupBy(date_format(col("ts"), "HH").as("hour"))
           .agg(count(lit(1)).as("hcnt"))
         // the total via an empty-frame window, NOT a crossJoin with a

@@ -30,6 +30,20 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Collision-proof tag for a scale-factor dir, for keying per-sf
+    * fixture/lake paths: the basename for readability plus a digest
+    * of the ABSOLUTE path — two sf dirs with equal basenames under
+    * different parents must never alias a keyed fixture (a write-once
+    * guard like q109's lake would silently serve the first sf's data
+    * to the second).
+    */
+  def sfTag(sfDir: String): String = {
+    val f = new java.io.File(sfDir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getAbsolutePath.getBytes("UTF-8"))
+    f.getName + "_" + md.take(4).map("%02x".format(_)).mkString
+  }
+
   /** ns→µs coercion for nanosAsLong-read timestamp columns; shared by
     * every path-based loader so the rule lives in exactly one place.
     */

@@ -9,6 +9,56 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
+/** SQL-equality key discipline for the map-building aggregates: the
+  * buffers key on boxed JVM equality, where `-0.0` and `0.0` are TWO
+  * keys (`java.lang.Double.equals` compares bits), but SQL equality —
+  * and the collect/sort shims these replaced, which rode Spark's
+  * `NormalizeFloatingNumbers` discipline — merges them. Keys are
+  * normalized ON ENTRY (update only: merge and deserialize both
+  * consume buffers whose keys already passed through update, so one
+  * chokepoint is provably total), recursing through nested arrays and
+  * structs. NaN needs no rewrite — boxed `NaN.equals(NaN)` is true,
+  * matching SQL. Values are left untouched: the shims collected raw
+  * values, so `-0.0` VALUES surviving verbatim is the parity shape.
+  */
+private[functions] object FloatKeyNorm {
+  def containsFloat(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case ArrayType(et, _) => containsFloat(et)
+    case StructType(fields) => fields.exists(f => containsFloat(f.dataType))
+    case MapType(k, v, _) => containsFloat(k) || containsFloat(v)
+    case _ => false
+  }
+
+  /** `-0.0` → `0.0` at every float/double position; non-float shapes
+    * pass through by reference (no copy tax on the common path).
+    */
+  def normalize(v: Any, dt: DataType): Any =
+    if (v == null) null else dt match {
+      case DoubleType =>
+        // d == 0.0 is true for -0.0 too; rebox the canonical zero
+        val d = v.asInstanceOf[Double]
+        if (d == 0.0d) java.lang.Double.valueOf(0.0d) else v
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (f == 0.0f) java.lang.Float.valueOf(0.0f) else v
+      case ArrayType(et, _) if containsFloat(et) =>
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(et)
+        new GenericArrayData(a.map(normalize(_, et)))
+      case StructType(fields) if fields.exists(f => containsFloat(f.dataType)) =>
+        val r = v.asInstanceOf[InternalRow]
+        val out = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          out(i) = normalize(r.get(i, fields(i).dataType), fields(i).dataType)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+      case _ => v
+    }
+}
+
 /** One-pass map-building aggregates for the Presto dialect surface —
   * `histogram(x)` and `multimap_agg(k, v)`.
   *
@@ -51,6 +101,8 @@ case class HistogramAgg(child: Expression,
 
   @transient private lazy val keyOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val floatKeys: Boolean =
+    FloatKeyNorm.containsFloat(child.dataType)
 
   override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
     mutable.HashMap.empty
@@ -59,8 +111,10 @@ case class HistogramAgg(child: Expression,
       input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // values from reused row buffers must be copied before keying
-      val k = InternalRow.copyValue(v)
+      // values from reused row buffers must be copied before keying;
+      // float keys normalize -0.0 → 0.0 (SQL equality, see FloatKeyNorm)
+      val k0 = InternalRow.copyValue(v)
+      val k = if (floatKeys) FloatKeyNorm.normalize(k0, child.dataType) else k0
       buf.update(k, buf.getOrElse(k, 0L) + 1L)
     }
     buf
@@ -153,13 +207,19 @@ case class MultimapAgg(left: Expression, right: Expression,
       else base.compare(a, b)
   }
 
+  @transient private lazy val floatKeys: Boolean =
+    FloatKeyNorm.containsFloat(left.dataType)
+
   override def createAggregationBuffer(): Buf = mutable.HashMap.empty
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val k0 = left.eval(input)
     if (k0 == null) throw new IllegalArgumentException(
       "multimap_agg: map key cannot be null")
-    val k = InternalRow.copyValue(k0)
+    // float keys normalize -0.0 → 0.0 (SQL equality, see FloatKeyNorm);
+    // VALUES stay verbatim — the shims collected raw values
+    val k1 = InternalRow.copyValue(k0)
+    val k = if (floatKeys) FloatKeyNorm.normalize(k1, left.dataType) else k1
     val v = InternalRow.copyValue(right.eval(input))
     buf.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v
     buf

@@ -2,6 +2,7 @@ package graft.functions
 
 import java.util.regex.Pattern
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -249,13 +250,33 @@ object UrlKernels {
   */
 case class CanonicalizeUrl(left: Expression, right: Expression)
     extends BinaryExpression {
-  require(right.foldable, "canonical_url: tracking regex must be a literal")
 
   @transient private lazy val pattern: Pattern =
     Pattern.compile(right.eval().asInstanceOf[UTF8String].toString)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "canonical_url"
+
+  /** Typed ANALYSIS-time failures instead of executor-side casts: a
+    * non-string argument must not surface as a ClassCastException in
+    * a task, a non-foldable regex must not throw from the
+    * constructor, and a null regex literal must not NPE the lazy
+    * `pattern` (ADVICE r12).
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!left.dataType.isInstanceOf[StringType] ||
+      !right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: tracking regex must be a foldable string literal")
+    else if (right.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: tracking regex must not be null")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(url: Any, re: Any): Any =
     UrlKernels.canonicalUrl(url.asInstanceOf[UTF8String], pattern)

@@ -1842,10 +1842,31 @@ object Curation {
   def urlKeyDedup(df: DataFrame, urlCol: String = "url",
       idCol: String = "event_id", salts: Int = 16): DataFrame = {
     require(salts >= 1, s"urlKeyDedup needs salts >= 1, got $salts")
-    val t = Par.spread(df.where(col(urlCol).isNotNull))
-      .select(col(idCol).cast("long").as("id"),
-        canonicalUrl(col(urlCol)).as("canonical_url"))
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+    // ONE kernel call per row (r12 plan audit found two), by two moves:
+    //   - KnownNotNull on BOTH join keys — truthful (url is filtered
+    //     non-null and the kernel never returns null for non-null
+    //     input; pmod with a constant non-zero divisor never returns
+    //     null), and load-bearing twice over: the join infers NO
+    //     isnotnull(...) filters from non-nullable keys, so (a) the
+    //     kernel is never re-evaluated inside a pushed scan filter,
+    //     and (b) the probe and keeper branches get IDENTICAL filter
+    //     conjuncts — the keeper's exploded salt is born non-null, so
+    //     a nullable probe salt would add a probe-only conjunct that
+    //     breaks subtree identity and with it exchange reuse;
+    //   - the canonical projection sits BELOW the spread exchange,
+    //     not above it: both branches hang off that exchange, and
+    //     AQE's stage reuse dedups the exchange and everything UNDER
+    //     it — a projection above the exchange runs once per BRANCH,
+    //     under it once per ROW.
+    def notNull(c: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+    val t = Par.spread(df.where(col(urlCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          notNull(canonicalUrl(col(urlCol))).as("canonical_url"),
+          notNull(pmod(xxhash64(col(idCol).cast("long")), lit(salts.toLong)))
+            .as("salt")))
     val part = t.withColumn("part_min", min(col("id")).over(
       Window.partitionBy("canonical_url", "salt")))
     // global keeper from the partial minima, replicated to every salt

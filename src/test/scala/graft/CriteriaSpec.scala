@@ -533,4 +533,41 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("map key cannot be null")))
   }
+
+  test("histogram / multimap_agg float keys use SQL equality: -0.0 " +
+      "and 0.0 land in ONE bucket (boxed JVM equality would split " +
+      "them), top-level and nested, single-partition and merged") {
+    graft.functions.Functions.register(spark)
+    // coalesce(1): the single-partition path never serializes the
+    // buffer, so a missed normalization in update() shows up HERE
+    // (the UnsafeProjection round-trip can mask it on shuffled paths)
+    spark.range(8).coalesce(1)
+      .selectExpr(
+        "CASE WHEN id % 2 = 0 THEN -0.0D ELSE 0.0D END AS k",
+        "CAST(id AS DOUBLE) AS x")
+      .createOrReplaceTempView("negzero_t")
+    val one = spark.sql(Criteria.rewrite(
+      """SELECT histogram(k) AS h, multimap_agg(k, x) AS mm,
+        |  histogram(named_struct('a', k)) AS hs,
+        |  histogram(array(k)) AS ha
+        |FROM negzero_t""".stripMargin)).head()
+    assert(one.getMap[Double, Long](0).toMap === Map(0.0 -> 8L),
+      "-0.0 and 0.0 split the histogram key")
+    assert(one.getMap[Double, scala.collection.Seq[Double]](1)
+      .toMap.view.mapValues(_.sorted.toSeq).toMap ===
+      Map(0.0 -> (0 until 8).map(_.toDouble)),
+      "-0.0 and 0.0 split the multimap key")
+    assert(one.getMap[org.apache.spark.sql.Row, Long](2).size === 1,
+      "-0.0 inside a struct key escaped normalization")
+    assert(one.getMap[scala.collection.Seq[Double], Long](3).size === 1,
+      "-0.0 inside an array key escaped normalization")
+    // distributed: partial buffers serialize + merge across 8 tasks
+    spark.range(64).repartition(8)
+      .selectExpr("CASE WHEN id % 2 = 0 THEN -0.0D ELSE 0.0D END AS k")
+      .createOrReplaceTempView("negzero_d")
+    val h = spark.sql(Criteria.rewrite(
+      "SELECT histogram(k) AS h FROM negzero_d")).head()
+      .getMap[Double, Long](0).toMap
+    assert(h === Map(0.0 -> 64L))
+  }
 }

@@ -1069,4 +1069,32 @@ class CurationSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
     assert(fw.toSeq === ct.toSeq)
   }
+
+  test("canonical_url: bad arguments fail TYPED at analysis — never a " +
+      "task-side ClassCastException (non-string input), constructor " +
+      "throw (non-foldable regex), or NPE (null regex literal)") {
+    import org.apache.spark.sql.AnalysisException
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.ColumnBridge
+    val d = Seq((1L, "https://ex.com/p")).toDF("event_id", "url")
+    val e1 = intercept[AnalysisException] {
+      d.select(ColumnBridge.column(graft.functions.CanonicalizeUrl(
+        ColumnBridge.expression(col("event_id")), Literal("^x="))))
+        .collect()
+    }
+    assert(e1.getMessage.contains("canonical_url"))
+    val e2 = intercept[AnalysisException] {
+      d.select(ColumnBridge.column(graft.functions.CanonicalizeUrl(
+        ColumnBridge.expression(col("url")),
+        ColumnBridge.expression(col("url"))))).collect()
+    }
+    assert(e2.getMessage.contains("foldable"))
+    val e3 = intercept[AnalysisException] {
+      d.select(ColumnBridge.column(graft.functions.CanonicalizeUrl(
+        ColumnBridge.expression(col("url")),
+        Literal(null, org.apache.spark.sql.types.StringType)))).collect()
+    }
+    assert(e3.getMessage.contains("null"))
+  }
 }

@@ -428,5 +428,37 @@ class PlanSpec extends AnyFunSuite with SparkSuite {
       "expected the native canonical_url kernel in the plan")
     assert(!plan.contains("array_join"),
       "the interpreted HOF canonicalizer leaked back into the plan")
+    // ... and EXACTLY one call per row: the projection is KnownNotNull
+    // so the join infers no isnotnull(canonical_url(url)) to push into
+    // the scan filter — the r12 plan paid the kernel twice per row
+    assert(!plan.contains("isnotnull(canonical_url("),
+      "a pushed null filter re-evaluates the canonicalizer per row")
+    // runtime sharing: the canonical projection sits BELOW the spread
+    // exchange, so after execution AQE's stage reuse leaves ONE live
+    // canonicalizing stage — the second branch reads the reused
+    // exchange and never re-runs the kernel
+    val df = SparkEntry.queries("q381_url_canonical_dedup")(spark, sf())
+    df.collect() // drive AQE to the final plan (reuse is a runtime step)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(300))
+    // the tree printer re-prints a reused stage's subtree at every
+    // reference, so count DISTINCT exchanges, not text occurrences:
+    // every canonicalizing spread exchange in the final plan must be
+    // the SAME object (one plan_id → one computed stage → one kernel
+    // call per row; a second id means a branch re-scanned + re-ran it)
+    val finalSection = finalPlan.split("== Initial Plan ==").head
+    val rrIds =
+      "RoundRobinPartitioning\\(\\d+\\), [A-Z_]+, \\[plan_id=(\\d+)\\]".r
+        .findAllMatchIn(finalSection).map(_.group(1)).toList
+    assert(rrIds.nonEmpty, "expected the spread exchange in the final plan")
+    assert(rrIds.distinct.size === 1,
+      s"expected ONE live canonicalizing stage after reuse, got " +
+        s"exchanges $rrIds:\n" + finalSection.take(2000))
+    // and the kernel must sit UNDER that exchange (inside the reused
+    // stage), never above it where each branch would re-evaluate
+    val aboveExchange = finalSection.linesIterator
+      .takeWhile(!_.contains("RoundRobinPartitioning")).mkString("\n")
+    assert(!aboveExchange.contains("canonical_url("),
+      "canonical_url evaluated above the spread exchange (per branch)")
   }
 }
