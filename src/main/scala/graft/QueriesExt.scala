@@ -4894,7 +4894,178 @@ private[graft] object QueriesExt {
            |    AND tot.track_id = g.track_id)
            |SELECT snippet_id, track_id, offset_frames, votes, n_matches
            |FROM r WHERE rn = 1 ORDER BY snippet_id""".stripMargin
-      }))
+      }),
+
+    // The WARC→text→curation missing link, closed: per-doc HTML pages
+    // exercising every kernel rule on real bytes — named/decimal/hex
+    // entities, an unknown entity kept verbatim, a comment, raw-text
+    // script/style bodies (the script contains '<'), a quoted '>'
+    // attribute value, a bare literal '<', case-mixed block tags —
+    // written as .warc.gz members, read back through the binary DSv2
+    // source, extracted by the Html kernel, and chained straight into
+    // the Gopher quality bundle. The oracle restates the EXTRACTED
+    // TEXT string itself from generator arithmetic — one mis-stripped
+    // tag, swallowed entity, or lost block boundary changes the text
+    // and hash-mismatches — then recomputes the quality metrics over
+    // that reconstruction (q366's restatement, over synthesized text).
+    Q("q417_warc_html_text_chain",
+      (s, dir) => {
+        val out = fixtureDir("q417_warc_html", dir)
+        val recs = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        recs.select("doc_id").foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+          val conf = hconf.value
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val k = (1 + id % 4).toInt
+            val items = (0 until k).map(j =>
+              s"<li>item $j v${(id * 31 + j) % 97}</li>").mkString
+            val html =
+              s"<!DOCTYPE html><html><head><title>T$id</title>" +
+                "<style>p{x:1}</style><script>if(1<2){a=1;}</script>" +
+                s"</head><body><H1>Doc &amp; $id</H1><!-- c$id -->" +
+                s"<p>alpha&nbsp;beta &#65;&#x42; $id</p>" +
+                s"<ul>$items</ul>" +
+                "<p>cmp 1 < 2 q&foo;w " +
+                "<a href=\"u?a>b\">link</a> x &lt; y</p></body></html>"
+            val p = new org.apache.hadoop.fs.Path(s"$out/page_$id.warc.gz")
+            val fs = p.getFileSystem(conf)
+            val o = fs.create(p, true)
+            try graft.sources.Warc.writeGzipMember(o, "response",
+              s"https://ex.com/page/$id", html.getBytes("UTF-8"))
+            finally o.close()
+          }
+        }
+        import s.implicits._
+        val blobs = s.read.format("graft.sources.WarcSource").load(out)
+          .select(regexp_extract(col("src_file"),
+              "page_(\\d+)\\.warc\\.gz", 1).cast("long").as("doc_id"),
+            col("payload"))
+          .as[graft.ops.Multimodal.Blob]
+        val dt = graft.ops.Html.docTexts(blobs).toDF()
+        val g = graft.ops.TextAnalysis.gopherRulesUnsorted(
+          dt.withColumn("g_text", translate(col("text"), "\n", " ")),
+          textCol = "g_text")
+        dt.join(g, Seq("doc_id"))
+          .select("doc_id", "text", "n_blocks", "n_words", "mwl_ppm",
+            "sym_ppm", "alpha_ppm", "stop_hits", "fail_mask", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(MIN(event_id) AS BIGINT) AS doc_id
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1),
+             |d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS BIGINT) AS k
+             |  FROM e),
+             |t AS (SELECT doc_id, k,
+             |    'T' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             |    'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             |    'alpha beta AB ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             |    'item 0 v' || CAST((doc_id * 31) % 97 AS VARCHAR) ||
+             |    CASE WHEN k >= 2 THEN chr(10) || 'item 1 v' ||
+             |      CAST((doc_id * 31 + 1) % 97 AS VARCHAR) ELSE '' END ||
+             |    CASE WHEN k >= 3 THEN chr(10) || 'item 2 v' ||
+             |      CAST((doc_id * 31 + 2) % 97 AS VARCHAR) ELSE '' END ||
+             |    CASE WHEN k >= 4 THEN chr(10) || 'item 3 v' ||
+             |      CAST((doc_id * 31 + 3) % 97 AS VARCHAR) ELSE '' END ||
+             |    chr(10) || 'cmp 1 < 2 q&foo;w link x < y' AS text
+             |  FROM d),
+             |w AS (SELECT doc_id, k, text,
+             |    string_split(replace(text, chr(10), ' '), ' ') AS ws
+             |  FROM t),
+             |m AS (SELECT doc_id, k, text,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(ws, x -> length(x)))
+             |      AS BIGINT) AS word_chars,
+             |    CAST(0 AS BIGINT) AS sym_cnt,
+             |    CAST(len(list_filter(ws,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+             |      AS alpha_cnt,
+             |    CAST(len(list_filter(
+             |      ['the','be','to','of','and','that','have','with'],
+             |      x -> list_contains(ws, x))) AS BIGINT) AS stop_hits
+             |  FROM w),
+             |p AS (SELECT doc_id, k, text, n_words,
+             |    (word_chars * 1000000) // n_words AS mwl_ppm,
+             |    (sym_cnt * 1000000) // n_words AS sym_ppm,
+             |    (alpha_cnt * 1000000) // n_words AS alpha_ppm,
+             |    stop_hits
+             |  FROM m),
+             |f AS (SELECT *,
+             |    (CASE WHEN n_words BETWEEN 20 AND 1000
+             |       THEN 0 ELSE 1 END)
+             |  + (CASE WHEN mwl_ppm BETWEEN 3000000 AND 10000000
+             |       THEN 0 ELSE 2 END)
+             |  + (CASE WHEN sym_ppm <= 100000 THEN 0 ELSE 4 END)
+             |  + (CASE WHEN alpha_ppm >= 800000 THEN 0 ELSE 8 END)
+             |  + (CASE WHEN stop_hits >= 2 THEN 0 ELSE 16 END)
+             |    AS fail_mask
+             |  FROM p)
+             |SELECT doc_id, text, CAST(4 + k AS INTEGER) AS n_blocks,
+             |  n_words, mwl_ppm, sym_ppm, alpha_ppm, stop_hits,
+             |  CAST(fail_mask AS BIGINT) AS fail_mask,
+             |  fail_mask = 0 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Presto dialect, fourteenth tranche: reduce_agg — the arbitrary
+    // user-lambda fold aggregate, the ledger's last bucket-(c)
+    // exclusion. Four folds through the oracle gate: a plain sum, a
+    // max with a non-trivial initial state, a null-skipping
+    // conditional sum (inputFunction is invoked per NON-NULL value —
+    // the Presto contract), and a STRUCT state (sum, count) pair that
+    // exercises state serialization through the shuffle. The oracle
+    // restates each fold with the equivalent classical aggregate.
+    Q("q418_presto_reduce_agg",
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        Tables(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(graft.criteria.Criteria.rewrite(
+          """SELECT g, fold_sum, fold_max, fold_view_sum,
+            |  sc.s AS pair_sum, sc.c AS pair_cnt,
+            |  sc.s div sc.c AS pair_avg
+            |FROM (
+            |  SELECT user_id % 10 AS g,
+            |    reduce_agg(CAST(event_id AS BIGINT), CAST(0 AS BIGINT),
+            |      (s, x) -> s + x, (a, b) -> a + b) AS fold_sum,
+            |    reduce_agg(CAST(event_id AS BIGINT), CAST(-1 AS BIGINT),
+            |      (s, x) -> CASE WHEN s >= x THEN s ELSE x END,
+            |      (a, b) -> CASE WHEN a >= b THEN a ELSE b END)
+            |      AS fold_max,
+            |    reduce_agg(CASE WHEN event_type = 'view'
+            |        THEN CAST(event_id AS BIGINT) END,
+            |      CAST(0 AS BIGINT),
+            |      (s, x) -> s + x, (a, b) -> a + b) AS fold_view_sum,
+            |    reduce_agg(CAST(event_id AS BIGINT),
+            |      named_struct('s', CAST(0 AS BIGINT),
+            |        'c', CAST(0 AS BIGINT)),
+            |      (s, x) -> named_struct('s', s.s + x, 'c', s.c + 1),
+            |      (a, b) -> named_struct('s', a.s + b.s, 'c', a.c + b.c))
+            |      AS sc
+            |  FROM events
+            |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            |    AND event_type IS NOT NULL
+            |  GROUP BY user_id % 10) AS t
+            |ORDER BY g""".stripMargin))
+      },
+      Some("""SELECT user_id % 10 AS g,
+             |  CAST(SUM(event_id) AS BIGINT) AS fold_sum,
+             |  CAST(MAX(event_id) AS BIGINT) AS fold_max,
+             |  CAST(COALESCE(SUM(event_id)
+             |    FILTER (WHERE event_type = 'view'), 0) AS BIGINT)
+             |    AS fold_view_sum,
+             |  CAST(SUM(event_id) AS BIGINT) AS pair_sum,
+             |  CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+             |  CAST(SUM(event_id) // COUNT(*) AS BIGINT) AS pair_avg
+             |FROM events
+             |WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+             |  AND event_type IS NOT NULL
+             |GROUP BY 1 ORDER BY g""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   /** q405's oracle — shared verbatim by q408's streaming trap

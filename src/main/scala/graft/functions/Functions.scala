@@ -681,6 +681,22 @@ object Functions {
       // loudly like Presto.
       shim("multimap_agg")(exprs =>
         MultimapAgg(exprs.head, exprs(1)).toAggregateExpression())
+
+      // Presto reduce_agg(value, initialState, inputFn, combineFn):
+      // the arbitrary-fold aggregate — the ledger's last bucket-(c)
+      // exclusion, now a TypedImperativeAggregate whose lambdas bind
+      // through the standard HigherOrderFunction resolution (see
+      // org.apache.spark.sql.graft.ReduceAgg for the Presto contracts: constant
+      // initial state, capture-free lambdas, null inputs skipped).
+      // resolves to a PLACEHOLDER HigherOrderFunction: function
+      // resolution wraps any AggregateFunction in AggregateExpression
+      // BEFORE its lambda-parent check, so an aggregate taking
+      // lambdas can't come straight from the registry — the injected
+      // ResolveReduceAgg rule rewrites the bound placeholder into the
+      // real typed aggregate (see ReduceAgg's scaladoc).
+      shim("reduce_agg")(exprs =>
+        org.apache.spark.sql.graft.ReduceAggPlaceholder(
+          exprs(0), exprs(1), exprs(2), exprs(3)))
     }
 
     // Presto from_iso8601_date: ISO calendar date → DATE. Strict ISO

@@ -557,6 +557,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite (graft.plans.WindowTopKRewrite) joins the operator-
     // optimization batch
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // reduce_agg's placeholder->aggregate rewrite joins the resolution
+    // fixed point (see org.apache.spark.sql.graft.ReduceAgg)
+    ext.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveReduceAgg)
   }
 }
 

@@ -534,6 +534,57 @@ class CriteriaSpec extends AnyFunSuite with SparkSuite {
     assert(msgs(err).exists(_.contains("map key cannot be null")))
   }
 
+  test("reduce_agg: Presto fold contracts — null inputs skipped, " +
+      "struct state survives the distributed serialize/merge " +
+      "round-trip, and contract violations fail TYPED at analysis") {
+    graft.functions.Functions.register(spark)
+    // 8 partitions force partial-state serialization and combineFn
+    // merges — the path a single-partition test never exercises
+    spark.range(200).repartition(8)
+      .selectExpr("id", "CASE WHEN id % 7 = 0 THEN NULL ELSE id END AS v")
+      .createOrReplaceTempView("ra_t")
+    val r = spark.sql(Criteria.rewrite(
+      """SELECT
+        |  reduce_agg(v, CAST(0 AS BIGINT),
+        |    (s, x) -> s + x, (a, b) -> a + b) AS s,
+        |  reduce_agg(v, CAST(-1 AS BIGINT),
+        |    (s, x) -> CASE WHEN s >= x THEN s ELSE x END,
+        |    (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS mx,
+        |  reduce_agg(v, named_struct('s', CAST(0 AS BIGINT),
+        |      'c', CAST(0 AS BIGINT)),
+        |    (s, x) -> named_struct('s', s.s + x, 'c', s.c + 1),
+        |    (a, b) -> named_struct('s', a.s + b.s, 'c', a.c + b.c)) AS sc
+        |FROM ra_t""".stripMargin)).head()
+    val expectSum = (0L until 200L).filter(_ % 7 != 0).sum
+    val expectCnt = (0L until 200L).count(_ % 7 != 0).toLong
+    assert(r.getLong(0) === expectSum) // nulls skipped, not summed
+    assert(r.getLong(1) === 199L)
+    val sc = r.getStruct(2)
+    assert(sc.getLong(0) === expectSum)
+    assert(sc.getLong(1) === expectCnt)
+    // empty input → the initial state, untouched
+    val empty = spark.sql(Criteria.rewrite(
+      """SELECT reduce_agg(v, CAST(42 AS BIGINT),
+        |  (s, x) -> s + x, (a, b) -> a + b) AS s
+        |FROM ra_t WHERE id < 0""".stripMargin)).head()
+    assert(empty.getLong(0) === 42L)
+    // typed analysis failures: non-constant initial state; a lambda
+    // capturing a column (undefined at merge time)
+    import org.apache.spark.sql.AnalysisException
+    val e1 = intercept[AnalysisException] {
+      spark.sql(Criteria.rewrite(
+        "SELECT reduce_agg(v, id, (s, x) -> s + x, (a, b) -> a + b) " +
+          "FROM ra_t")).collect()
+    }
+    assert(e1.getMessage.contains("constant"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql(Criteria.rewrite(
+        "SELECT reduce_agg(v, CAST(0 AS BIGINT), (s, x) -> s + x + id, " +
+          "(a, b) -> a + b) FROM ra_t")).collect()
+    }
+    assert(e2.getMessage.contains("lambda"))
+  }
+
   test("histogram / multimap_agg float keys use SQL equality: -0.0 " +
       "and 0.0 land in ONE bucket (boxed JVM equality would split " +
       "them), top-level and nested, single-partition and merged") {
