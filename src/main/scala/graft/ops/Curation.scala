@@ -1830,14 +1830,17 @@ object Curation {
     * over `salts` tasks instead of landing every row in one. Phase 1
     * is a window MIN per `(key, salt)`; phase 2 aggregates those
     * partial minima to the global keeper (map-side combine shrinks it
-    * to ≤ keys·salts rows before its tiny shuffle) and joins back on
-    * `(key, salt)` — the probe side already sits hash-partitioned AND
-    * sorted on exactly those keys from the window, so the join adds
-    * NO exchange and NO sort on the data-scaled side, and both
-    * branches hang off the SAME exchange (ReusedExchange): the input
-    * is scanned and canonicalized exactly once. The unsalted window
-    * MIN this replaces put every row of one canonical URL in a single
-    * task — correct, one shuffle, but unbounded on a hot key.
+    * to ≤ keys·salts rows before its tiny shuffle), replicates it per
+    * salt, and joins back on `(key, salt)`. The probe side never
+    * recomputes: the optimizer prunes the probe's window (its
+    * `part_min` is unused downstream), so the probe is the spread
+    * exchange directly, and BOTH branches hang off that one exchange
+    * — AQE stage reuse (`ReusedExchange` in the executed plan, pinned
+    * by PlanSpec) means the input is scanned and canonicalized
+    * exactly once; the keeper side broadcasts at verified scale. The
+    * unsalted window MIN this replaces put every row of one canonical
+    * URL in a single task — correct, one shuffle, but unbounded on a
+    * hot key.
     */
   def urlKeyDedup(df: DataFrame, urlCol: String = "url",
       idCol: String = "event_id", salts: Int = 16): DataFrame = {
