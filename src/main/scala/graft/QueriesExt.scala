@@ -5132,7 +5132,84 @@ private[graft] object QueriesExt {
              |  FROM d)
              |SELECT doc_id, CAST(nb AS INTEGER) AS n_blocks,
              |  CAST(length(xt) AS BIGINT) AS n_chars, md5(xt) AS fp
-             |FROM t ORDER BY doc_id""".stripMargin)))
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // G.711 telephony WAVs — the "non-PCM WAV" seam narrowed with the
+    // two codecs that ARE pure arithmetic (ITU-T G.711 µ-law format 7
+    // / A-law format 6, the 8 kHz companders every telephony/ASR
+    // ingest meets): the chunk walk accepts the format codes, the
+    // sample decode expands each companded byte through the CCITT
+    // reference formulas, and the frame energies run the SHARED
+    // kernel. Odd docs compand µ-law, even A-law; the oracle restates
+    // byte generator → expand → Σs² per frame entirely in integer
+    // SQL, so a mis-decoded segment/sign/bias shifts energies and
+    // hash-mismatches. Genuinely compressed codecs (MP3/AAC/Opus)
+    // remain the documented loud-fail seam.
+    Q("q420_wav_g711",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "events")
+          .where(col("event_type").isNotNull && col("event_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(min(col("event_id")).cast("long").as("doc_id"))
+          .select("doc_id").as[Long]
+        val blobs = docs.map { id =>
+          val n = (64 + (id % 5) * 16).toInt
+          val ch = (1 + id % 2).toInt
+          val codes = Array.tabulate(n)(i =>
+            graft.ops.Multimodal.g711Code(id, i.toLong))
+          val fmtCode = if (id % 2 == 1) 7 else 6
+          graft.ops.Multimodal.Blob(id,
+            graft.ops.Multimodal.g711WavBytes(8000, ch, codes, fmtCode))
+        }.localCheckpoint()
+        val meta = graft.ops.Multimodal.wavMetas(blobs).toDF()
+        val fe = graft.ops.Multimodal.wavFrameEnergies(blobs).toDF()
+        meta.join(fe, Seq("doc_id"))
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("bits_per_sample"), col("n_samples"),
+            col("frame"), col("energy"))
+          .orderBy("doc_id", "frame")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(MIN(event_id) AS BIGINT) AS doc_id
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+             |  GROUP BY 1),
+             |p AS (SELECT doc_id,
+             |    CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS n,
+             |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             |    doc_id % 2 = 1 AS is_ulaw
+             |  FROM e),
+             |i AS (SELECT doc_id, CAST(unnest(range(n)) AS BIGINT) AS i
+             |  FROM p),
+             |b AS (SELECT i.doc_id, i.i,
+             |    (p.doc_id * 31 + i.i * 17) % 256 AS c, p.is_ulaw
+             |  FROM i JOIN p USING (doc_id)),
+             |u AS (SELECT doc_id, i, is_ulaw,
+             |    255 - c AS u, xor(c, 85) AS a
+             |  FROM b),
+             |sm AS (SELECT doc_id, i // 16 AS f,
+             |    CASE WHEN is_ulaw THEN
+             |      CASE WHEN u >= 128
+             |        THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+             |        ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+             |      END
+             |    ELSE
+             |      (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+             |      (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+             |            ELSE ((a % 16) * 16 + 264)
+             |              * (1 << (((a // 16) % 8) - 1)) END)
+             |    END AS s
+             |  FROM u),
+             |fe AS (SELECT doc_id, f,
+             |    CAST(SUM(s * s) AS BIGINT) AS energy
+             |  FROM sm GROUP BY 1, 2)
+             |SELECT p.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+             |  p.channels, CAST(8 AS INTEGER) AS bits_per_sample,
+             |  CAST(p.n // p.channels AS BIGINT) AS n_samples,
+             |  CAST(fe.f AS INTEGER) AS frame, fe.energy
+             |FROM p JOIN fe USING (doc_id)
+             |ORDER BY doc_id, frame""".stripMargin)))
 
   /** q315's oracle — also applied verbatim to q346's streaming twin. */
   /** q405's oracle — shared verbatim by q408's streaming trap

@@ -696,12 +696,17 @@ object Multimodal {
     * `data` carries the PCM payload; unknown chunks (LIST, fact,
     * cue…) skip by their declared size, odd-sized chunks pad to the
     * word boundary (the spec rule naive parsers miss). Returns
-    * (channels, sampleRate, bitsPerSample, dataOff, dataLen); None on
-    * anything malformed — bad magic, truncated chunk, non-PCM format
-    * code, bits outside {8,16} — never a silent misparse.
+    * (formatCode, channels, sampleRate, bitsPerSample, dataOff,
+    * dataLen); None on anything malformed — bad magic, truncated
+    * chunk, unsupported format code, bits outside the format's legal
+    * set — never a silent misparse. Supported codecs: linear PCM
+    * (code 1, 8/16-bit) and the ITU-T G.711 companders — A-law
+    * (code 6) and µ-law (code 7), both 8-bit by definition — the
+    * telephony formats every ASR ingest meets; genuinely compressed
+    * codecs (MP3/AAC/Opus) remain the documented loud-fail seam.
     */
   private def parseWavChunks(p: Array[Byte])
-      : Option[(Int, Int, Int, Int, Int)] = {
+      : Option[(Int, Int, Int, Int, Int, Int)] = {
     if (p.length < 12) return None
     def tag(off: Int) =
       new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -722,16 +727,42 @@ object Multimodal {
     for {
       (audioFormat, ch, rate, bits) <- fmt
       (off, len) <- data
-      if audioFormat == 1 && ch >= 1 && rate > 0 &&
-        (bits == 8 || bits == 16)
-    } yield (ch, rate, bits, off, len)
+      if ch >= 1 && rate > 0 &&
+        ((audioFormat == 1 && (bits == 8 || bits == 16)) ||
+          ((audioFormat == 6 || audioFormat == 7) && bits == 8))
+    } yield (audioFormat, ch, rate, bits, off, len)
+  }
+
+  /** ITU-T G.711 µ-law byte → linear sample (the CCITT reference
+    * decode: complement, rebuild `((mant<<3)+0x84)<<exp`, strip the
+    * bias, apply the sign). Pure integer arithmetic — restated
+    * verbatim in the q420 oracle.
+    */
+  @inline private[graft] def ulawDecode(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0xf) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → linear sample (reference decode: XOR
+    * 0x55, segment 0 is linear, higher segments shift; sign bit SET
+    * means positive — the A-law convention, opposite of µ-law).
+    */
+  @inline private[graft] def alawDecode(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a >> 4) & 7
+    val mant = a & 0xf
+    val t =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
   }
 
   /** Container-decode the payload as PCM WAV; None for everything
     * else (corrupt-byte pinned — callers decide loud-vs-skip).
     */
   def parseWavMeta(b: Blob): Option[WavMeta] =
-    parseWavChunks(b.payload).map { case (ch, rate, bits, _, len) =>
+    parseWavChunks(b.payload).map { case (_, ch, rate, bits, _, len) =>
       WavMeta(b.doc_id, rate, ch, bits, len.toLong / (ch * (bits / 8)))
     }
 
@@ -765,9 +796,9 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { b =>
-        val (_, _, bits, off, len) = parseWavChunks(b.payload).getOrElse(
-          throw new IllegalStateException(
-            s"doc ${b.doc_id}: payload is not a decodable PCM WAV"))
+        val (fmt, _, _, bits, off, len) = parseWavChunks(b.payload)
+          .getOrElse(throw new IllegalStateException(
+            s"doc ${b.doc_id}: payload is not a decodable PCM/G.711 WAV"))
         val bytesPer = bits / 8
         val nFrames = (len / bytesPer) / frameSamples
         (0 until nFrames).iterator.map { f =>
@@ -778,6 +809,8 @@ object Multimodal {
               if (bits == 16)
                 (((b.payload(off + 2 * k + 1) & 0xff) << 8) |
                   (b.payload(off + 2 * k) & 0xff)).toShort.toLong
+              else if (fmt == 7) ulawDecode(b.payload(off + k) & 0xff).toLong
+              else if (fmt == 6) alawDecode(b.payload(off + k) & 0xff).toLong
               else (b.payload(off + k) & 0xff).toLong - 128L
             e += s * s
             k += 1
@@ -852,4 +885,35 @@ object Multimodal {
     while (i < samples.length) { w16(samples(i) & 0xffff); i += 1 }
     out.toByteArray
   }
+
+  /** Deterministic G.711 WAV bytes: same canonical header as
+    * [[wavBytes]] but format code 6 (A-law) or 7 (µ-law), 8-bit, one
+    * COMPANDED byte per sample — the fixture builder for the q420
+    * telephony chain, mirrored by the oracle's decode arithmetic.
+    */
+  def g711WavBytes(sampleRate: Int, channels: Int, codes: Array[Byte],
+      formatCode: Int): Array[Byte] = {
+    require(formatCode == 6 || formatCode == 7,
+      s"g711WavBytes wants format 6 (A-law) or 7 (mu-law), got $formatCode")
+    require(channels >= 1 && codes.length % channels == 0,
+      s"${codes.length} codes do not interleave over $channels channels")
+    val dataLen = codes.length
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16(v >>> 16) }
+    def tag(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 4)
+    tag("RIFF"); w32(36 + dataLen); tag("WAVE")
+    tag("fmt "); w32(16); w16(formatCode); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels); w16(channels); w16(8)
+    tag("data"); w32(dataLen)
+    out.write(codes, 0, dataLen)
+    out.toByteArray
+  }
+
+  /** Deterministic companded byte stream for the G.711 fixtures —
+    * restated verbatim in the q420 oracle.
+    */
+  def g711Code(id: Long, i: Long): Byte =
+    ((id * 31L + i * 17L) % 256L).toByte
 }

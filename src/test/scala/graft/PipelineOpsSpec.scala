@@ -1603,4 +1603,52 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(m4.values.sum === 1001L)
     assert(m4("en") > m2("en")._3 && m4("es") < m2("es")._3)
   }
+
+  test("G.711 decode: CCITT reference values (µ-law and A-law table " +
+      "anchors), container accept for formats 6/7, energies exact; " +
+      "genuinely compressed codecs still refuse") {
+    import Multimodal.Blob
+    // µ-law anchors from the CCITT table: 0xFF → +0, 0x7F → -0,
+    // 0x80 → +32124 (full scale), 0x00 → -32124
+    assert(Multimodal.ulawDecode(0xff) === 0)
+    assert(Multimodal.ulawDecode(0x7f) === 0)
+    assert(Multimodal.ulawDecode(0x80) === 32124)
+    assert(Multimodal.ulawDecode(0x00) === -32124)
+    // A-law anchors: 0xD5 → +8 (smallest positive), 0x55 → -8,
+    // 0xAA → +32256 (full scale), 0x2A → -32256
+    assert(Multimodal.alawDecode(0xd5) === 8)
+    assert(Multimodal.alawDecode(0x55) === -8)
+    assert(Multimodal.alawDecode(0xaa) === 32256)
+    assert(Multimodal.alawDecode(0x2a) === -32256)
+    // container: format codes 6/7 parse with bits=8; the energies
+    // expand each companded byte before squaring
+    import spark.implicits._
+    val codes = Array.tabulate[Byte](32)(i => ((i * 11) % 256).toByte)
+    val mu = Multimodal.g711WavBytes(8000, 1, codes, 7)
+    val mMu = Multimodal.parseWavMeta(Blob(1L, mu)).get
+    assert((mMu.sample_rate, mMu.channels, mMu.bits_per_sample,
+      mMu.n_samples) === ((8000, 1, 8, 32L)))
+    val feMu = Multimodal.wavFrameEnergies(
+      Seq(Blob(1L, mu)).toDS(), 16).collect().sortBy(_.frame)
+    val expectMu = codes.grouped(16).map(_.map { b =>
+      val s = Multimodal.ulawDecode(b & 0xff).toLong; s * s
+    }.sum).toSeq
+    assert(feMu.map(_.energy).toSeq === expectMu)
+    val al = Multimodal.g711WavBytes(8000, 2, codes, 6)
+    val mAl = Multimodal.parseWavMeta(Blob(2L, al)).get
+    assert((mAl.channels, mAl.bits_per_sample, mAl.n_samples)
+      === ((2, 8, 16L))) // 32 interleaved / 2 channels
+    val feAl = Multimodal.wavFrameEnergies(
+      Seq(Blob(2L, al)).toDS(), 16).collect().sortBy(_.frame)
+    val expectAl = codes.grouped(16).map(_.map { b =>
+      val s = Multimodal.alawDecode(b & 0xff).toLong; s * s
+    }.sum).toSeq
+    assert(feAl.map(_.energy).toSeq === expectAl)
+    // G.711 must be 8-bit: a 16-bit format-7 header refuses; a
+    // genuinely compressed code (2 = ADPCM) refuses at any width
+    val bad = mu.clone(); bad(34) = 16 // bitsPerSample field
+    assert(Multimodal.parseWavMeta(Blob(3L, bad)).isEmpty)
+    val adpcm = mu.clone(); adpcm(20) = 2
+    assert(Multimodal.parseWavMeta(Blob(4L, adpcm)).isEmpty)
+  }
 }
