@@ -76,7 +76,7 @@ object Explain {
       "q413_presto_dialect13", "q31_multimodal_metadata",
       "q414_warc_image_chain", "q415_wav_vad", "q416_wav_audio_match",
       "q417_warc_html_text_chain", "q418_presto_reduce_agg",
-      "q419_html_text_scale")
+      "q419_html_text_scale", "q420_wav_g711")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -550,3 +550,71 @@ object RobotsProps extends Properties("Curation.robots") {
       n >= 1 && verdicts(n) == verdicts(1000)
     }
 }
+
+/** HTML kernel robustness (the q417/q419 extraction): lax mode is
+  * TOTAL over arbitrary markup-ish soup, the block invariants hold
+  * on whatever comes out, strict mode's throw set is exactly the
+  * truncated-structure class, and plain text passes through as its
+  * whitespace-collapsed self.
+  */
+object HtmlProps extends Properties("Html.extractBlocks") {
+  import graft.ops.Html
+
+  // markup-ish soup: text runs, tags (well-formed and not), entity
+  // fragments, comments, raw-text elements, quotes, bare delimiters
+  private val token: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaNumStr.map(_.take(8)),
+    2 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r\n"),
+    2 -> Gen.oneOf("<p>", "</p>", "<div class='x'>", "<br/>", "</ul>",
+      "<a href=\"u?a>b\">", "<SPAN>", "</i>"),
+    1 -> Gen.oneOf("<", ">", "&", "&amp;", "&#65;", "&#x42;", "&nbsp;",
+      "&bogus;", "&#;", "%"),
+    1 -> Gen.oneOf("<!-- c -->", "<!DOCTYPE html>", "<?pi?>",
+      "<script>if(1<2){}</script>", "<style>p{}</style>"),
+    1 -> Gen.oneOf("<!--", "<script>", "<div", "'", "\""))
+  private val soup: Gen[String] =
+    Gen.listOf(token).map(_.mkString)
+
+  property("lax mode is total and its blocks hold the invariants: " +
+      "non-empty, trimmed, single-spaced, newline-free") =
+    forAll(soup) { s =>
+      val blocks = Html.extractBlocks(s, strict = false)
+      blocks.forall(b => b.nonEmpty && b == b.trim &&
+        !b.contains("  ") && !b.exists(c => c == '\n' || c == '\t'))
+    }
+
+  property("strict mode either agrees with lax exactly or throws " +
+      "MalformedHtmlException — never a third behavior") =
+    forAll(soup) { s =>
+      val lax = Html.extractBlocks(s, strict = false).toSeq
+      try Html.extractBlocks(s, strict = true).toSeq == lax
+      catch { case _: Html.MalformedHtmlException => true }
+    }
+
+  property("markup-free text extracts as ONE block equal to its " +
+      "whitespace-collapsed trim (empty text: zero blocks)") =
+    forAll(Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumStr.map(_.take(6)),
+      2 -> Gen.oneOf(" ", "\t", "\n", "  "))).map(_.mkString)) { s =>
+      val collapsed = s.replaceAll("[\\s ]+", " ").trim
+      val blocks = Html.extractBlocks(s).toSeq
+      if (collapsed.isEmpty) blocks.isEmpty
+      else blocks == Seq(collapsed)
+    }
+
+  property("appending an unterminated comment throws in strict mode " +
+      "and is ignored in lax mode (the truncated-fetch contract)") =
+    forAll(soup) { s =>
+      // close any open raw-text element so the comment is the ONLY
+      // truncation; parse the prefix leniently as the reference
+      val base = s + "</script></style>x"
+      val cut = base + "<!-- truncated"
+      val laxAgree = Html.extractBlocks(cut, strict = false).toSeq ==
+        Html.extractBlocks(base + "<!-- truncated -->",
+          strict = false).toSeq
+      val strictThrows =
+        try { Html.extractBlocks(cut, strict = true); false }
+        catch { case _: Html.MalformedHtmlException => true }
+      laxAgree && strictThrows
+    }
+}
