@@ -70,10 +70,14 @@ object Bloom {
     */
   def mightContain(words: Array[Long], key: Column): Column = {
     val mBits = words.length * 64
+    // ONE literal instance shared by both probes: the bitmap column is
+    // embedded in the plan, and building it twice would double the
+    // task-binary payload (2 MB bitmaps ship as 4 MB) for zero gain
+    val arr = typedLit(words.toSeq)
     def hit(salt: Long): Column = {
       val p = pos(key, salt, mBits)
       // p >> 6 = p div 64 (p is non-negative by construction)
-      val w = element_at(typedLit(words.toSeq), shiftright(p, 6).cast("int") + 1)
+      val w = element_at(arr, shiftright(p, 6).cast("int") + 1)
       w.bitwiseAND(call_function("shiftleft", lit(1L),
         pmod(p, lit(64L)).cast("int"))) =!= 0L
     }

@@ -917,43 +917,55 @@ object DocDedup {
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"), col("sig"))
       .localCheckpoint()
-    // each config's candidate pair set, materialized once (pair ids
-    // only — candidate sets are report-sized, the corpus never is)
-    def candIds(b: Int, r: Int) = {
-      val bd = sigs
-        .select(col("doc_id"), explode(bandKeys(col("sig"), b, r)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      bd.select(col("doc_id").as("a_id"), col("band"), col("bh"))
-        .join(bd.select(col("doc_id").as("b_id"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-        .localCheckpoint()
-    }
-    val candByCfg = cfgs.map { case (b, r) => ((b, r), candIds(b, r)) }
-    // verify once on the union of all configs' candidates (hashed
+    // ONE pass for every config: each doc emits all of its band keys
+    // across all configs (Σ b = 31 keys at the default grid) tagged
+    // with the config id, so the five per-config band self-joins —
+    // five shuffles of the same signature table — collapse into one
+    // (nb, band, bh)-keyed self-join (guide §2.4: same-keyed work
+    // shares one exchange). Candidate sets are report-sized; the
+    // corpus never re-shuffles per config.
+    val bd = sigs.select(col("doc_id"), explode(concat(cfgs.map {
+        case (b, r) =>
+          array((0 until b).map(band => struct(lit(b).as("nb"),
+            bandHash(col("sig"), band, r).as("bh"),
+            lit(band).as("band"))): _*)
+      }: _*)).as("k"))
+      .select(col("doc_id"), col("k.nb").as("nb"), col("k.band").as("band"),
+        col("k.bh").as("bh"))
+    val cand = bd.select(col("doc_id").as("a_id"), col("nb"), col("band"),
+        col("bh"))
+      .join(bd.select(col("doc_id").as("b_id"), col("nb"), col("band"),
+        col("bh")), Seq("nb", "band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select("nb", "a_id", "b_id").distinct()
+      .localCheckpoint() // feeds the verify AND the per-config fold
+    // verify once on the distinct pair set across configs (hashed
     // shingle sets; 64-bit collision odds negligible — q21/q22's
-    // contract), then let each config count its verified subset.
-    // Coarser bandings are subsets of the rows=1 set, so the union
-    // dedups to the widest config's pairs.
-    val allCands = candByCfg.map(_._2).reduce(_ union _).distinct()
+    // contract). Coarser bandings are subsets of the rows=1 set, so
+    // the distinct dedups to the widest config's pairs.
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
-    val verified = allCands
+    val verified = cand.select("a_id", "b_id").distinct()
       .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .where(inter * 1000000L >= lit(thresholdPpm) *
         (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter))
       .select("a_id", "b_id")
-      .localCheckpoint()
-    // 5 small counting actions over pre-materialized pair sets — the
-    // report is |divisors| rows; all heavy lifting stayed distributed
-    candByCfg.map { case ((b, r), cands) =>
+    // ONE counting job for all configs (was 2 actions per config):
+    // verified is distinct per pair, so the left join never multiplies
+    val counted = cand
+      .join(verified.withColumn("v", lit(1)), Seq("a_id", "b_id"), "left")
+      .groupBy("nb")
+      .agg(count(lit(1)).as("cand_pairs"), count(col("v")).as("true_pairs"))
+      .collect()
+      .map(row => row.getAs[Int]("nb") ->
+        (row.getAs[Long]("cand_pairs"), row.getAs[Long]("true_pairs")))
+      .toMap
+    cfgs.map { case (b, r) =>
       val pred = gridPpm.map { t =>
         1000000L - powPpmStep(1000000L - powPpmStep(t, r), b)
       }
-      (b.toLong, r.toLong, pred.head, pred(1), pred(2), pred(3),
-        cands.count(),
-        cands.join(verified, Seq("a_id", "b_id"), "left_semi").count())
+      val (cp, tp) = counted.getOrElse(b, (0L, 0L))
+      (b.toLong, r.toLong, pred.head, pred(1), pred(2), pred(3), cp, tp)
     }.toDF("n_bands", "n_rows", "p30_ppm", "p50_ppm", "p70_ppm", "p90_ppm",
       "cand_pairs", "true_pairs")
       .orderBy("n_bands")

@@ -36,20 +36,19 @@ object Graph {
     * node-keyed shuffle each, never an edge shuffle.
     */
   /** Per-node triangle participation counts via degree-ordered
-    * orientation (Cohen's map-reduce triangle algorithm / the
-    * "compact-forward" order): every undirected edge is oriented from
-    * its (degree, id)-SMALLER endpoint to the larger, wedges are
-    * built only between a node's out-neighbors, and a wedge closes
-    * iff the oriented edge between its two tips exists. Each triangle
-    * is produced exactly once (its minimum-order vertex owns it).
+    * orientation (the "compact-forward" order): every undirected edge
+    * is oriented from its (degree, id)-SMALLER endpoint to the
+    * larger, and each oriented edge (u, v) finds its triangles as the
+    * intersection of the two endpoints' OUT-neighbor lists
+    * ([[triangleNodes]]). Each triangle is produced exactly once.
     *
     * The orientation is the scale guard: out-degree under the
     * degree-order is O(√m) for ANY graph (a node of degree d keeps
-    * only neighbors of degree ≥ d), so the wedge self-join is bounded
-    * by Σ outdeg² ≤ m^1.5 instead of the hub-quadratic Σ deg² — the
-    * difference between a social-graph power law melting a reducer
-    * and not. Degrees are node-sized and broadcast; the wedge join
-    * and the closing probe shuffle on node keys only.
+    * only neighbors of degree ≥ d), so the total intersection work is
+    * bounded by Σ outdeg² ≤ m^1.5 instead of the hub-quadratic
+    * Σ deg² — the difference between a social-graph power law melting
+    * a reducer and not. The adjacency fold and the probe joins
+    * shuffle on node keys only.
     *
     * Returns the `topN` nodes by `(triangles desc, node)` — counts
     * per node, each triangle crediting all three vertices.
@@ -76,8 +75,9 @@ object Graph {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    // orient low → high in (degree, id) order; keep the tip's order key
-    // so wedge pairs can be ordered WITHOUT re-joining degrees
+    // orient low → high in (degree, id) order; dd (the destination's
+    // degree) stays in the persisted artifact schema — degrees
+    // reconstruct from it without re-joining the degree table
     und
       .join(broadcast(deg.select(col("node").as("u"), col("d").as("du"))), "u")
       .join(broadcast(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
@@ -96,38 +96,61 @@ object Graph {
     triangleCountOriented(orientEdges(edges, srcCol, dstCol)
       .localCheckpoint(), topN)
 
+  /** Per-triangle node credits shared by [[triangleCountOriented]]
+    * and [[clusteringCoefficientOriented]], by EDGE-ITERATOR
+    * adjacency intersection instead of the wedge self-join: for every
+    * oriented edge (u, v), the triangles through it are exactly
+    * `N⁺(u) ∩ N⁺(v)` (a triangle a→b, a→c, b→c is found ONCE, at its
+    * (a, b) edge, as c — never at (a, c) or (b, c), whose
+    * intersections cannot contain the third vertex). Same triangle
+    * set, same once-per-triangle ownership as the wedge join, but the
+    * candidate wedges are never materialized as rows: the sf0.1
+    * co-purchase graph's 41M wedges became 41M in-row long probes
+    * inside `array_intersect` over 1.2M edge rows (guide §1.2 step 2
+    * — per-task work — after step 1 left no shuffle to remove: the
+    * closing probe was already a broadcast hash join, so a wedge row
+    * existed only to die in it).
+    *
+    * Scale shape: the adjacency fold and both joins are node-keyed;
+    * out-lists under the degree orientation are O(√m) long, so a row
+    * is never hub-sized. Returns one row per (triangle, member node).
+    */
+  private def triangleNodes(ord: DataFrame): DataFrame = {
+    val adj = ord.groupBy(col("src").as("n"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    ord
+      .join(adj.select(col("n").as("src"), col("nbrs").as("un")), "src")
+      .join(adj.select(col("n").as("dst"), col("nbrs").as("vn")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("un"), col("vn")).as("cs"))
+      .where(size(col("cs")) > 0)
+      // credits: src and dst once per triangle through the edge, plus
+      // every closing vertex once
+      .select(explode(concat(
+        array_repeat(col("src"), size(col("cs"))),
+        array_repeat(col("dst"), size(col("cs"))),
+        col("cs"))).as("node"))
+  }
+
   /** [[triangleCount]] from an already-oriented `(src, dst, dd)` edge
     * list ([[orientEdges]] output, possibly a persisted artifact).
     */
-  def triangleCountOriented(ord: DataFrame, topN: Int = 100): DataFrame = {
-    // wedges between out-neighbors, tips ordered by the SAME
-    // (degree, id) total order the orientation used — the closing
-    // edge, if present, is then oriented exactly tip1 → tip2
-    val wedges = ord.as("a").join(ord.as("b"),
-        col("a.src") === col("b.src") &&
-          (col("a.dd") < col("b.dd") ||
-           (col("a.dd") === col("b.dd") && col("a.dst") < col("b.dst"))))
-      .select(col("a.src").as("apex"), col("a.dst").as("t1"),
-        col("b.dst").as("t2"))
-    val tri = wedges.join(ord.select(col("src").as("t1"), col("dst").as("t2")),
-        Seq("t1", "t2"))
-      .select(col("apex"), col("t1"), col("t2"))
-    tri.select(explode(array(col("apex"), col("t1"), col("t2"))).as("node"))
+  def triangleCountOriented(ord: DataFrame, topN: Int = 100): DataFrame =
+    triangleNodes(ord)
       .groupBy("node").agg(count(lit(1)).as("triangles"))
       .orderBy(col("triangles").desc, col("node"))
       .limit(topN)
-  }
 
   /** Local clustering coefficient per node, exact ppm:
     * `cc = 2·T_v·10⁶ / (d_v·(d_v−1))` — how close each node's
     * neighborhood is to a clique, THE per-node cohesion feature for
     * community/fraud pipelines. Triangles come from the same
-    * degree-oriented wedge join as [[triangleCount]] (each triangle
-    * counted once per member node); degrees from one combinable
-    * aggregate; nodes with d < 2 are excluded (coefficient
+    * degree-oriented adjacency intersection as [[triangleCount]]
+    * (each triangle counted once per member node); degrees from one
+    * combinable aggregate; nodes with d < 2 are excluded (coefficient
     * undefined). Integer ppm floor keeps it oracle-exact.
     *
-    * Scale shape: identical to triangleCount (the wedge join is the
+    * Scale shape: identical to triangleCount (the intersection is the
     * dominant cost, bounded by the degree orientation's
     * O(m^{3/2}) wedge bound); the final join is node-keyed.
     */
@@ -146,15 +169,7 @@ object Graph {
     val deg = ord.select(col("src").as("node"))
       .union(ord.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val wedges = ord.as("a").join(ord.as("b"),
-        col("a.src") === col("b.src") &&
-          (col("a.dd") < col("b.dd") ||
-           (col("a.dd") === col("b.dd") && col("a.dst") < col("b.dst"))))
-      .select(col("a.src").as("apex"), col("a.dst").as("t1"),
-        col("b.dst").as("t2"))
-    val tri = wedges.join(ord.select(col("src").as("t1"), col("dst").as("t2")),
-        Seq("t1", "t2"))
-      .select(explode(array(col("apex"), col("t1"), col("t2"))).as("node"))
+    val tri = triangleNodes(ord)
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     deg.where(col("d") >= 2)
       .join(tri, Seq("node"), "left")
@@ -876,8 +891,14 @@ object Graph {
     // the deeper plan trades bounded executor work for an
     // O(hopsPerRound) cut in driver round-trips.
     def reach(forward: Boolean): DataFrame = {
-      var r = pivot.localCheckpoint()
-      var frontier = r
+      // the reach set is the union of the per-round frontiers, which
+      // are DISJOINT by the anti-join — so "r" never needs its own
+      // per-round materialization (one checkpoint job per round
+      // saved); the anti-join and the final result read the union of
+      // the ≤rounds frontier checkpoints directly
+      var frontiers = List(pivot.localCheckpoint())
+      def r = frontiers.reduce(_ unionByName _)
+      var frontier = frontiers.head
       var round = 0
       var growing = true
       while (growing && round < maxRounds) {
@@ -897,7 +918,7 @@ object Graph {
         frontier = acc.distinct().join(r, Seq("n"), "left_anti")
           .localCheckpoint()
         growing = frontier.limit(1).count() > 0
-        if (growing) r = r.unionByName(frontier).localCheckpoint()
+        if (growing) frontiers ::= frontier
         round += 1
       }
       r

@@ -197,9 +197,13 @@ object TextAnalysis {
         i => struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
-      .localCheckpoint() // occurrences feed three branches: materialize once
+      .localCheckpoint() // occurrences feed two branches: materialize once
     val cb = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cp = occ.groupBy("w1").agg(count(lit(1)).as("cp"))
+    // c(w1) = Σ_w2 c(w1,w2): fold the (much smaller) bigram dictionary
+    // instead of a second full pass over occurrences (guide §2.3 —
+    // aggregate the aggregate, not the data); cb's two appearances in
+    // the one plan share the exchange (ReusedExchange), no checkpoint
+    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
     occ.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
       .select(col("doc_id"), expr("(cb * 1000000) div cp").as("ppm"))
       .groupBy("doc_id")
@@ -248,8 +252,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
       .localCheckpoint() // occurrences feed four branches
     val cb = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .localCheckpoint() // the bigram dictionary feeds three more
-    val cp = occ.groupBy("w1").agg(count(lit(1)).as("cp"))
+      .localCheckpoint() // the bigram dictionary feeds four more
+    // c(w1) = Σ_w2 c(w1,w2): derived from the dictionary, not a second
+    // full occurrence pass (guide §2.3)
+    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
     val n1w = cb.groupBy("w1").agg(count(lit(1)).as("n1w"))
     val n1c = cb.groupBy("w2").agg(count(lit(1)).as("n1c"))
     val nbd = cb.agg(count(lit(1)).as("nbd"))
@@ -288,12 +294,16 @@ object TextAnalysis {
         i => struct(element_at(col("ws"), i).as("w1"),
           element_at(col("ws"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2")))
-      .localCheckpoint()
-    val c12 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .where(col("c12") >= minSupport)
-    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val c2 = occ.groupBy("w2").agg(count(lit(1)).as("c2"))
-    val total = occ.agg(count(lit(1)).as("t"))
+    // ONE pass over occurrences: every marginal (c1, c2, total) folds
+    // from the bigram dictionary (Σ over the other key / over both),
+    // so occ has a single consumer and needs no materialization
+    // (guide §2.3 — aggregate the aggregate, not the data)
+    val cAll = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds the cut + three marginal folds
+    val c12 = cAll.where(col("c12") >= minSupport)
+    val c1 = cAll.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = cAll.groupBy("w2").agg(sum("c12").as("c2"))
+    val total = cAll.agg(sum("c12").as("t"))
     c12.join(c1, Seq("w1")).join(c2, Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c12"),
@@ -1176,20 +1186,28 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val perDoc = Window.partitionBy("doc_id")
     val byPos = perDoc.orderBy("pos")
+    // round 0 ranks a WIDE prefix directly: dense_rank over the raw
+    // k0-char substring IS rank_k0 (UTF-8 byte order = codepoint
+    // order, and "shorter prefix sorts first" matches the doubling
+    // recursion's 0-sentinel), so the first ⌈log₂ k0⌉ doubling rounds
+    // — each a checkpoint + two windows + a fixpoint probe — never
+    // run. On real text ranks are distinct around k≈16, so k0=32
+    // usually makes round 0 the ONLY window round (was 5-6 rounds).
+    val k0 = 32
     var df = Par.spread(docs)
       .where(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
         substring(col(textCol), 1, maxLen).as("t"))
       .withColumn("pos", explode(sequence(lit(1), length(col("t")))))
-      // round 0: rank by first character (ascii ≥ 1 keeps the 0
-      // sentinel strictly smallest)
       .withColumn("rank",
-        dense_rank().over(perDoc.orderBy(expr("substring(t, pos, 1)")))
+        dense_rank().over(perDoc.orderBy(expr(s"substring(t, pos, $k0)")))
           .cast("long"))
       .select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint()
-    var k = 1
-    var distinct = false
+    var k = k0
+    var distinct = df.groupBy("doc_id")
+      .agg(max("rank").as("m"), count(lit(1)).as("c"))
+      .where(col("m") =!= col("c")).limit(1).count() == 0
     while (k < maxLen && !distinct) {
       df = df
         .withColumn("r2", lead(col("rank"), k, 0L).over(byPos))

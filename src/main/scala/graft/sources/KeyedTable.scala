@@ -71,7 +71,12 @@ object KeyedTable {
       Temporal.latestByKey(tgt.unionByName(src), Seq(keyCol), tsCol, tieCol)
     }
     // materialize BEFORE overwriting the directories being read, and
-    // scope dynamic partition overwrite so untouched buckets survive
+    // scope dynamic partition overwrite so untouched buckets survive.
+    // (r14 note: a bucket-clustered repartition before this write was
+    // measured and REVERTED — AQE already coalesces the merge window's
+    // output to ~1 task at bench scale, so partitionBy emits ~1 file
+    // per bucket either way and the extra exchange only added cost; at
+    // production scale insert a REBALANCE(bucket) here — guide §6.)
     val frozen = merged.localCheckpoint()
     val mode = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(mode, "STATIC")
