@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // optional extra JVM flags for profiling runs (e.g. Spark event-log
+  // confs as -D system properties); absent in driver runs, so the
+  // bench contract is untouched
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

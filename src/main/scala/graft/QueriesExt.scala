@@ -1591,7 +1591,7 @@ private[graft] object QueriesExt {
       (s, dir) => {
         def side(df: org.apache.spark.sql.DataFrame, c: String) =
           df.select(col(c).cast("long").as("k"))
-            .where(col("k").isNotNull).distinct()
+            .where(col("k").isNotNull)
         val pairs = Seq(
           ("orders.o_custkey", "customer.c_custkey",
             side(Tables(s, dir, "orders"), "o_custkey"),
@@ -1605,14 +1605,29 @@ private[graft] object QueriesExt {
           ("events.user_id", "customer.c_custkey",
             side(Tables(s, dir, "events"), "user_id"),
             side(Tables(s, dir, "customer"), "c_custkey")))
-        pairs.map { case (an, bn, a, b) =>
-          val ac = a.count(); val bc = b.count()
-          val ov = a.join(b, "k").count()
-          val sess = s
-          import sess.implicits._
-          Seq((an, bn, ac, bc, ov)).toDF(
-            "col_a", "col_b", "n_a", "n_b", "overlap")
-        }.reduce(_ unionByName _)
+        // ONE combinable aggregate per pair instead of three count()
+        // actions (the per-side distinct folds into the groupBy and
+        // |a∩b| is the count of keys flagged on both sides); the four
+        // pairs are independent job chains and overlap in driver
+        // threads (guide §2.6) so pair 2's scan back-fills pair 1's
+        // aggregate tail
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val rows = pairs.map { case (an, bn, a, b) => Future {
+          val r = a.select(col("k"), lit(1).as("ina"), lit(0).as("inb"))
+            .unionAll(b.select(col("k"), lit(0).as("ina"),
+              lit(1).as("inb")))
+            .groupBy("k").agg(max("ina").as("a"), max("inb").as("b"))
+            .agg(sum("a").cast("long").as("n_a"),
+              sum("b").cast("long").as("n_b"),
+              sum(col("a") * col("b")).cast("long").as("ov"))
+            .head()
+          (an, bn, r.getLong(0), r.getLong(1), r.getLong(2))
+        } }.map(Await.result(_, Duration.Inf))
+        val sess = s
+        import sess.implicits._
+        rows.toDF("col_a", "col_b", "n_a", "n_b", "overlap")
           .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
             col("overlap"),
             expr("overlap * 1000000 div n_a").as("a_in_b_ppm"),

@@ -68,5 +68,14 @@ object Tables {
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // prefer shuffled-hash over sort-merge when the per-partition
+      // build side fits (guide §9 / §3.1): skips both sort passes;
+      // plan-level only, result-identical. The AQE threshold lets a
+      // planned SMJ rewrite to SHJ at runtime when every post-shuffle
+      // partition is under the advisory size — scale-adaptive, not a
+      // local[32] constant (64m matches AQE's advisory partition size).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 }

@@ -257,15 +257,22 @@ object DocDedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.nt").as("na"), col("b.nt").as("nb"))
       .dropDuplicates("a_id", "b_id")
-    // exact verify over full token sets — candidates only
+    // exact verify over full token sets — candidates only. The sets
+    // are intersected IN-ROW over the materialized per-doc hash
+    // arrays (hs is distinct by the kernel's contract) instead of
+    // re-exploding every candidate through two token equi-joins: the
+    // exploded form pushed |cands|·|doc| intermediate rows (14M at
+    // sf0.1, 91 CPU-s measured) through the verify stage for the same
+    // intersection counts (guide §1.2 step 2). inter > 0 keeps the
+    // empty-intersection drop the join form had built in.
     cand
-      .join(toks.withColumnRenamed("doc_id", "a_id"), "a_id")
-      .join(toks.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-      .groupBy("a_id", "b_id", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+      .join(base.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= threshold)
+      .where(col("inter") > 0 && col("jac") >= threshold)
       .select("a_id", "b_id", "inter", "jac")
       .orderBy("a_id", "b_id")
   }
