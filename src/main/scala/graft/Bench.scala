@@ -24,7 +24,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { rep =>
+        // label the repeat's jobs (guide §1.5) so event-log/UI stage
+        // attribution is per-query; no effect on the timed work
+        spark.sparkContext.setJobDescription(s"$name rep$rep")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -33,6 +36,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.sparkContext.setJobDescription(null)
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

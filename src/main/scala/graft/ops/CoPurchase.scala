@@ -77,7 +77,7 @@ object CoPurchase {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
         .distinct()
     }
-    s.read.parquet(p)
+    graft.Tables.readCachedSchema(s, p)
   }
 
   /** Both-orientations view (src <> dst, distinct): the persisted
@@ -100,7 +100,7 @@ object CoPurchase {
     val p = materialize(s"ord_${tag(dir)}") {
       Graph.orientEdges(undirected(s, dir))
     }
-    s.read.parquet(p)
+    graft.Tables.readCachedSchema(s, p)
   }
 
   /** Deterministic DeepWalk corpus over the co-purchase graph
@@ -115,7 +115,7 @@ object CoPurchase {
     val p = materialize(s"walks_${tag(dir)}") {
       Graph.deterministicWalks(undirected(s, dir))
     }
-    s.read.parquet(p)
+    graft.Tables.readCachedSchema(s, p)
   }
 
   /** Canonical undirected edges over the small-parts subgraph
@@ -134,7 +134,7 @@ object CoPurchase {
         .select(col("a.p").as("src"), col("b.p").as("dst"))
         .distinct()
     }
-    s.read.parquet(p)
+    graft.Tables.readCachedSchema(s, p)
   }
 
   /** Both-orientations view of the small-parts subgraph. */
