@@ -13,6 +13,19 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for
     // JIT + whole-stage-codegen compiler startup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // bench self-diagnosis (r13/r14 verdicts): record the box's 1-min
+    // loadavg around each query plus the query's start offset into the
+    // run, so a contended-box outlier (q190 13.5 s at the driver vs
+    // 1.5 s quiet, identical code) is diagnosable from bench_out.json
+    // alone. Additions-only: the timed region and the contract's JSON
+    // fields are untouched.
+    def loadavg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val benchT0 = System.nanoTime()
+    val meta = scala.collection.mutable.LinkedHashMap[String,
+      (Double, Double, Double)]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // best-of-3 per query: single-shot timings on a shared box swing
     // wildly with co-tenant load (observed 5× on identical plans); the
@@ -24,6 +37,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val startOff = (System.nanoTime() - benchT0) / 1e9
+      val laBefore = loadavg()
       val times = (1 to 3).map { rep =>
         // label the repeat's jobs (guide §1.5) so event-log/UI stage
         // attribution is per-query; no effect on the timed work
@@ -37,6 +52,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       spark.sparkContext.setJobDescription(null)
+      meta(name) = (startOff, laBefore, loadavg())
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -46,8 +62,13 @@ object Bench {
     // `failed` (and keeps its timing in `queries` for diagnosis) but
     // never flatters the headline total
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    // per-query [start_offset_sec, loadavg_before, loadavg_after] —
+    // diagnostic additions; the driver reads only the fields above
+    val metaJson = meta.map { case (k, (off, l0, l1)) =>
+      f""""$k":[$off%.1f,$l0%.2f,$l1%.2f]"""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","meta":$metaJson}"""
     // the driver keeps only the LAST ~2000 chars of stdout (observed
     // in BENCH_r05/r06: the ~15 KB full line is decapitated and
     // `parsed` comes back null) — persist the full JSON to the
@@ -71,6 +92,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"failed":$failedJson,""" +
+      f""""load_start":${meta.headOption.map(_._2._2).getOrElse(-1.0)}%.2f,""" +
+      f""""load_end":${loadavg()}%.2f,""" +
       s""""queries":$top,"queries_note":"top-20 slowest; full per-query in bench_out.json"}""")
     spark.stop()
   }

@@ -84,11 +84,17 @@ object Explain {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_EXEC=1: execute the query first so the dump shows
+    // the FINAL adaptive plan (isFinalPlan=true — AQE join rewrites,
+    // coalesced reads), not the initial one
+    val exec = sys.env.get("GRAFT_EXPLAIN_EXEC").contains("1")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
           println(s"\n===== $name =====")
-          println(fn(spark, sfDir).queryExecution
+          val df = fn(spark, sfDir)
+          if (exec) df.collect()
+          println(df.queryExecution
             .explainString(ExplainMode.fromString("formatted")))
         case None => System.err.println(s"unknown query: $name")
       }

@@ -1614,14 +1614,21 @@ private[graft] object QueriesExt {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        // pool threads don't inherit the caller's job description
+        // (ADVICE r14) — re-assert it per Future for attribution
+        val desc = s.sparkContext.getLocalProperty("spark.job.description")
         val rows = pairs.map { case (an, bn, a, b) => Future {
+          s.sparkContext.setJobDescription(desc)
           val r = a.select(col("k"), lit(1).as("ina"), lit(0).as("inb"))
             .unionAll(b.select(col("k"), lit(0).as("ina"),
               lit(1).as("inb")))
             .groupBy("k").agg(max("ina").as("a"), max("inb").as("b"))
-            .agg(sum("a").cast("long").as("n_a"),
-              sum("b").cast("long").as("n_b"),
-              sum(col("a") * col("b")).cast("long").as("ov"))
+            // coalesce: a global sum over ZERO groups is NULL — an
+            // empty pair must report (0, 0, 0), not NPE (ADVICE r14)
+            .agg(coalesce(sum("a").cast("long"), lit(0L)).as("n_a"),
+              coalesce(sum("b").cast("long"), lit(0L)).as("n_b"),
+              coalesce(sum(col("a") * col("b")).cast("long"), lit(0L))
+                .as("ov"))
             .head()
           (an, bn, r.getLong(0), r.getLong(1), r.getLong(2))
         } }.map(Await.result(_, Duration.Inf))
@@ -3212,38 +3219,18 @@ private[graft] object QueriesExt {
     // surfaces as a FALSE flag → row/hash mismatch.
     Q("q384_crawl_batch_stream_equiv",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.OutputMode
-        val urlExpr =
-          """CASE CAST(user_id % 4 AS INT)
-            |  WHEN 0 THEN 'https://Ex.com/t/' || event_type
-            |    || '?b=' || m || '&a=1'
-            |  WHEN 1 THEN 'HTTPS://EX.com:443/t/' || event_type
-            |    || '?a=1&utm_source=mail&b=' || m
-            |  WHEN 2 THEN 'https://ex.com:443/t/' || event_type
-            |    || '?utm_campaign=x&b=' || m || '&a=1#frag'
-            |  ELSE 'http://spam.tracker.net:80/t/' || event_type
-            |    || '?a=1&b=' || m END""".stripMargin
-        // user_id % 5 = 0 subsets the stream 5× (equivalence needs
+        // corpus subset rationale (user_id % 5 = 0): equivalence needs
         // every VARIANT CLASS, not every row — %5 is independent of
         // the %4 variant key and the %10 param key so all classes
-        // survive); the full-volume dedup path is q382's gate
-        def corpus(df: org.apache.spark.sql.DataFrame) = df
-          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
-            col("user_id") % 5 === 0)
-          .withColumn("m", col("user_id") % 10)
-          .withColumn("url", expr(urlExpr))
-          .withColumn("text", concat(lit("doc about "), col("event_type")))
-        // STREAM: gate (blocklist anti-join + canonical dedup), then
-        // content-hash dedup — the two-stage live crawl front
-        val gated = graft.streaming.StreamingPipeline.urlGateStream(
-          corpus(QueriesAlert.tableStream(s, dir, "events")),
-          blockedDomains = Seq("tracker.net"))
-        val streamTexts = QueriesAlert.drainToMemory(s,
-          graft.streaming.StreamingPipeline.dedupStream(gated)
-            .select("text"), "q384_sink", OutputMode.Append())
+        // survive; the full-volume dedup path is q382's gate.
+        // STREAM half: gate (blocklist anti-join + canonical dedup) +
+        // content-hash dedup, drained once per (session, sf) in the
+        // shared crawl family (StreamFamilies.crawl — corpus and
+        // branch program live there, shared with this batch half)
+        val streamTexts = StreamFamilies.crawl(s, dir, "q384")
           .distinct().withColumn("in_stream", lit(true))
         // BATCH: same canonicalizer kernel, independent gate plumbing
-        val b = corpus(Tables(s, dir, "events"))
+        val b = StreamFamilies.q384Corpus(Tables(s, dir, "events"))
           .withColumn("canonical_url",
             graft.ops.Curation.canonicalUrl(col("url")))
         val host = regexp_extract(col("canonical_url"),
@@ -3636,37 +3623,9 @@ private[graft] object QueriesExt {
     // set. Batch and stream share the verdict core, so this also pins
     // their equivalence.
     Q("q394_stream_robots_gate",
-      (s, dir) => {
-        import org.apache.spark.sql.streaming.OutputMode
-        val e = Tables(s, dir, "events")
-          .where(col("user_id").isNotNull && col("event_id").isNotNull &&
-            col("event_type").isNotNull)
-        val m = col("hi") % 4
-        val hosts = e.select((col("user_id") % 50).cast("long").as("hi"))
-          .distinct()
-          .select(concat(lit("h"), col("hi"), lit(".example.com"))
-            .as("host"),
-            when(m === 0, lit("User-Agent: *\nDisallow: /purchase" +
-              " # keep the archive light\nAllow: /purchase/1*\n"))
-            .when(m === 1, lit("# graftbot gets its own group\n" +
-              "user-agent: graftbot\ndisallow: /view$\n\n" +
-              "User-agent: *\nDisallow: /\n"))
-            .when(m === 2, lit("User-agent: graftbot\n" +
-              "User-agent: otherbot\nDisallow: /*/7\nAllow: /click\n"))
-            .otherwise(lit("User-agent: *\nDisallow:\n")).as("body"))
-        val rules = Curation.parseRobots(hosts)
-        val stream = QueriesAlert.tableStream(s, dir, "events")
-          .where(col("user_id").isNotNull && col("event_id").isNotNull &&
-            col("event_type").isNotNull)
-          .select(col("event_id").cast("long").as("id"),
-            concat(lit("https://h"), (col("user_id") % 50).cast("long"),
-              lit(".example.com/"), col("event_type"), lit("/"),
-              (col("event_id") % 20).cast("long")).as("url"))
-        val gated = graft.streaming.StreamingPipeline
-          .robotsGateStream(stream, rules, agent = "graftbot")
-        QueriesAlert.drainToMemory(s, gated, "q394_sink",
-          OutputMode.Append()).orderBy("id")
-      },
+      // stream side drains once per (session, sf) in the shared crawl
+      // family (StreamFamilies.crawl); this body reads its branch out
+      (s, dir) => StreamFamilies.crawl(s, dir, "q394").orderBy("id"),
       Some("""WITH e AS (
              |  SELECT CAST(event_id AS BIGINT) AS id, event_type AS et,
              |    CAST(user_id % 50 AS BIGINT) AS hi,
@@ -4102,59 +4061,12 @@ private[graft] object QueriesExt {
     // rows and the composition pin needs coverage, not volume.
     Q("q403_crawl_loop_equiv",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.OutputMode
-        import s.implicits._
-        val urlExpr =
-          """CASE CAST(user_id % 4 AS INT)
-            |  WHEN 0 THEN 'https://Ex.com/p/' || event_type || '/'
-            |    || m || '?w=' || w || '&a=1'
-            |  WHEN 1 THEN 'HTTPS://EX.com/p/' || event_type || '/'
-            |    || m || '?a=1&utm_source=mail&w=' || w
-            |  WHEN 2 THEN 'https://ex.com/cal/' || m || '/' || w
-            |    || '?sid=' || event_id || '#frag'
-            |  ELSE 'http://spam.tracker.net/p/' || event_type || '/'
-            |    || m || '?w=' || w || '&a=1' END""".stripMargin
-        def corpus(df: org.apache.spark.sql.DataFrame) = df
-          .where(col("user_id").isNotNull && col("event_type").isNotNull &&
-            col("ts").isNotNull && col("event_id").isNotNull &&
-            col("event_id") % 50 === 0)
-          .withColumn("m", col("user_id") % 10)
-          .withColumn("w", expr(
-            "CAST(unix_micros(ts) DIV 3600000000 AS BIGINT)"))
-          .withColumn("url", expr(urlExpr))
-        val robots = Seq(("ex.com",
-          "User-agent: graftbot\nDisallow: /p/purchase\n\n" +
-            "User-agent: *\nDisallow: /\n")).toDF("host", "body")
-        // rules is a bounded planning table consumed by BOTH engines
-        // (stream broadcast + batch broadcast): materialize its
-        // window+collect_list derivation once instead of per use
-        val rules = graft.ops.Curation.parseRobots(robots)
-          .localCheckpoint()
-        val traps = Seq(("ex.com/cal/<n>/<n>", true))
-          .toDF("template", "is_trap")
-        // deterministic post-gate projections shared by both engines
-        def fetchLog(df: org.apache.spark.sql.DataFrame) = df
-          .withColumn("url_key",
-            (col("m") * 131L + length(col("event_type"))).cast("long"))
-          .withColumn("fts", timestamp_micros(col("w") * 3600000000L))
-          .withColumn("content_hash", concat(col("url_key").cast("string"),
-            lit("-"), pmod(col("w"), lit(3L)).cast("string")))
-        // STREAM: the one-query loop
-        val allowedS = graft.streaming.StreamingPipeline.robotsGateStream(
-          corpus(QueriesAlert.tableStream(s, dir, "events")), rules,
-          agent = "graftbot", urlCol = "url", idCol = "event_id",
-          keep = Seq("url", "ts", "event_type", "m", "w"))
-        // trap gate BEFORE dedup: a frontier refuses trap URLs before
-        // spending state on them (stream-static broadcast anti-join)
-        val untrappedS = graft.ops.Curation.trapGate(allowedS, traps)
-        val gatedS = graft.streaming.StreamingPipeline.urlGateStream(
-          untrappedS, Seq("tracker.net"), urlCol = "url", tsCol = "ts",
-          delay = "10 minutes")
-        val statsS = graft.streaming.StreamingPipeline.recrawlStatsStream(
-          fetchLog(gatedS), urlCol = "url_key", tsCol = "fts",
-          contentCol = "content_hash").toDF()
-        val drained = QueriesAlert.drainToMemory(s, statsS, "q403_sink",
-          OutputMode.Update())
+        // STREAM half (robots gate → trap gate → url-dedup gate →
+        // recrawl stats, the multi-stateful one-query loop): drains
+        // once per (session, sf) via StreamFamilies (corpus, rules,
+        // traps and fetch-log kernels live there, shared with this
+        // batch half — the equivalence pin's one-definition rule)
+        val drained = StreamFamilies.q403Stream(s, dir)
         val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
         val streamR = graft.ops.Curation.recrawlRank(
             drained.withColumn("mx", max(col("upd")).over(wU))
@@ -4164,7 +4076,11 @@ private[graft] object QueriesExt {
             topN = 100)
           .withColumn("in_stream", lit(true))
         // BATCH: independent gate plumbing (q384's style), same kernels
-        val b = corpus(Tables(s, dir, "events"))
+        val rules = StreamFamilies.q403Rules(s)
+        val traps = StreamFamilies.q403Traps(s)
+        def fetchLog(df: org.apache.spark.sql.DataFrame) =
+          StreamFamilies.q403FetchLog(df)
+        val b = StreamFamilies.q403Corpus(Tables(s, dir, "events"))
         val allowedB = graft.ops.Curation.robotsVerdicts(b, rules,
             agent = "graftbot", urlCol = "url", idCol = "event_id",
             hintBroadcast = true,

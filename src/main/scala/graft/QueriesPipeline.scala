@@ -2698,22 +2698,11 @@ private[graft] object QueriesPipeline {
     // needs); the replay drains in one batch so append-mode emission
     // is complete. The oracle is the equivalent batch range join.
     Q("q104_stream_stream_join",
-      (s, dir) => {
-        import org.apache.spark.sql.streaming.OutputMode
-        def side(t: String, alias: String) =
-          QueriesAlert.eventStream(s, dir)
-            .where(col("event_type") === t &&
-              col("user_id").isNotNull && col("ts").isNotNull)
-            .withWatermark("ts", "1 hour").alias(alias)
-        val joined = side("view", "v").join(side("purchase", "p"),
-            expr("v.user_id = p.user_id AND " +
-              "p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"))
-          .select(col("v.event_id").as("view_id"),
-            col("p.event_id").as("purchase_id"),
-            col("v.user_id").as("user_id"))
-        QueriesAlert.drainToMemory(s, joined, "q104_sink", OutputMode.Append())
-          .orderBy("view_id", "purchase_id")
-      },
+      // stream side drains once per (session, sf) in the shared crawl
+      // family (StreamFamilies.crawl — the SeqTwins discipline); this
+      // body reads its branch back out
+      (s, dir) => StreamFamilies.crawl(s, dir, "q104")
+        .orderBy("view_id", "purchase_id"),
       Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id,
              |  v.user_id
              |FROM events v JOIN events p

@@ -41,6 +41,13 @@ object Tables {
     * this engine's fixed session confs (nanosAsLong etc. —
     * [[configure]] pins them for every entry point), so the read is
     * byte-identical to the uncached one.
+    *
+    * WRITE-ONCE INVARIANT (ADVICE r14): the cache is per-path and
+    * never invalidated, so it may only be used for paths whose
+    * schema cannot change within a JVM — the driver-generated
+    * testdata tables and the write-once per-(JVM, sf) artifacts
+    * (CoPurchase). Paths that are REWRITTEN in-process (lake/merge
+    * dirs, scratch fixtures) must keep raw `spark.read.parquet`.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
@@ -96,7 +103,6 @@ object Tables {
       // planned SMJ rewrite to SHJ at runtime when every post-shuffle
       // partition is under the advisory size — scale-adaptive, not a
       // local[32] constant (64m matches AQE's advisory partition size).
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "64m")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

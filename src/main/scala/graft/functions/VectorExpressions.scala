@@ -183,6 +183,28 @@ object VecKernels {
     new GenericArrayData(arr)
   }
 
+  /** Intersection COUNT of two ascending-sorted distinct long arrays
+    * ([[shingleHashes]]' output contract) by two-pointer merge: no
+    * per-row hash-set build, no result-array allocation — the form
+    * `size(array_intersect(ha, hb))` pays for when only the count is
+    * needed. Exact same value by the sorted-distinct precondition.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** 62-bit ENGINE-PORTABLE shingle hash: two independent base-31/37
     * polynomial folds over the code points, combined as
     * `h31 · 2^31 + h37`. Every step is exact 64-bit integer
@@ -457,6 +479,27 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection count of two sorted-distinct long arrays (see
+  * [[VecKernels.sortedIntersectCount]]; both inputs must hold
+  * ascending distinct longs, as shingle_hashes emits).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** struct(sig: array<long>, sh: array<long>) — MinHash signature and
   * shingle-hash set in one map-side pass (see [[VecKernels.minhashState]]).
   */
@@ -577,6 +620,10 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashes(es(0), es(1))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
     (FunctionIdentifier("minhash_state"),
       new ExpressionInfo(classOf[MinHashState].getName, "minhash_state"),
       (es: Seq[Expression]) => MinHashState(es(0), es(1), es(2))),

@@ -1620,7 +1620,9 @@ object Curation {
       .join(cand, Seq("doc_id"))
       .join(broadcast(evS.select(col("eval_id"), col("sh").as("shb"))),
         Seq("eval_id"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      // sh is sorted-distinct (kernel contract): two-pointer count
+      .withColumn("inter",
+        call_function("sorted_intersect_count", col("sha"), col("shb")))
       .withColumn("jac_ppm", ppmFloor(col("inter"),
         (size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
       .where(col("jac_ppm") >= thresholdPpm)

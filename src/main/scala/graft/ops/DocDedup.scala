@@ -268,8 +268,12 @@ object DocDedup {
     cand
       .join(base.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
       .join(base.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      // hs is sorted-distinct by the kernel's contract, so the count
+      // is a two-pointer merge — no per-row hash set, no intersection
+      // array (was size(array_intersect(...)): same value, ~the whole
+      // verify stage's CPU)
       .withColumn("inter",
-        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        call_function("sorted_intersect_count", col("ha"), col("hb")))
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("inter") > 0 && col("jac") >= threshold)
@@ -345,7 +349,9 @@ object DocDedup {
       .join(shOnly.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "sha"), "a_id")
       .join(shOnly.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "shb"), "b_id")
     cand
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      // sh is sorted-distinct (kernel contract): two-pointer count
+      .withColumn("inter",
+        call_function("sorted_intersect_count", col("sha"), col("shb")))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))
       .where(col("jac") >= threshold)
@@ -505,7 +511,9 @@ object DocDedup {
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("c_id"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
       .dropDuplicates("doc_id", "c_id")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      // sh is sorted-distinct (kernel contract): two-pointer count
+      .withColumn("inter",
+        call_function("sorted_intersect_count", col("sha"), col("shb")))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("inter")))
       .where(col("jac") >= threshold)
@@ -950,7 +958,8 @@ object DocDedup {
     // shingle sets; 64-bit collision odds negligible — q21/q22's
     // contract). Coarser bandings are subsets of the rows=1 set, so
     // the distinct dedups to the widest config's pairs.
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    // sh is sorted-distinct (kernel contract): two-pointer count
+    val inter = call_function("sorted_intersect_count", col("sha"), col("shb"))
     val verified = cand.select("a_id", "b_id").distinct()
       .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")

@@ -326,7 +326,12 @@ object Graph {
     val table = cum.select(col("node").as("neg"),
         explode(sequence(col("cum") - col("wt"), col("cum") - 1)).as("pos"))
       .localCheckpoint()
-    val totalW = table.count()
+    // ΣW = max inclusive prefix = the exploded table's row count —
+    // read it from the VOCABULARY-sized cum aggregate instead of
+    // count()ing the exploded O(ΣW) table (same modulus, same one
+    // driver scalar, an O(ΣW) scan fewer; stays a literal so the
+    // draw join keeps its pinned broadcast-equi-join shape)
+    val totalW = cum.agg(coalesce(max(col("cum")), lit(0L))).head().getLong(0)
     val draws = pairs
       .select(col("center"), col("context"), col("cnt"),
         explode(sequence(lit(1), lit(negK))).as("j"))
@@ -722,22 +727,44 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val dir0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    var e = dir0.union(dir0.select(col("v"), col("u")))
+    // CANONICAL edge set (u < v), half the rows of the r14
+    // both-orientations form — and when the input already carries
+    // both orientations (CoPurchase.directed), the old
+    // union-the-flip + distinct processed FOUR copies of every
+    // undirected edge to materialize two. Degrees fold from the two
+    // endpoint projections instead (map-side-combinable, node-sized
+    // shuffle), so every round's peel now touches half the data for
+    // identical degree values.
+    var e = dir0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
       .distinct().repartition(col("u")).localCheckpoint()
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("u").as("n")).unionAll(g.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
     var prevNodes = -1L
     var lastNodes = -2L
-    for (_ <- 1 to rounds) {
-      val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
-      val alive = deg.where(col("deg") >= k).select("u").localCheckpoint()
-      prevNodes = lastNodes
-      lastNodes = alive.count()
-      e = e.join(alive, Seq("u"), "left_semi")
-        .join(alive.select(col("u").as("v")), Seq("v"), "left_semi")
+    for (i <- 1 to rounds) {
+      val alive = degrees(e).where(col("deg") >= k)
+        .select(col("n").as("u")).localCheckpoint()
+      // the stability flag only compares the LAST TWO rounds' alive
+      // counts — earlier rounds skip the count job entirely
+      if (i >= rounds - 1) {
+        prevNodes = lastNodes
+        lastNodes = alive.count()
+      }
+      // alive is node-sized: broadcast both peel probes so the edge
+      // set is filtered in place — a shuffled semi-join re-shuffles
+      // the whole edge set by the probe key EVERY round. Billion-node
+      // caveat as in pageRank: drop the hint and pre-partition both
+      // directions when nodes outgrow broadcast.
+      e = e.join(broadcast(alive), Seq("u"), "left_semi")
+        .join(broadcast(alive.select(col("u").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint()
     }
     val stable = prevNodes == lastNodes
-    e.groupBy("u").agg(count(lit(1)).as("deg"))
-      .select(col("u").as("node"), col("deg"), lit(stable).as("stable"))
+    degrees(e)
+      .select(col("n").as("node"), col("deg"), lit(stable).as("stable"))
       .orderBy("node")
   }
 
@@ -891,34 +918,41 @@ object Graph {
     // the deeper plan trades bounded executor work for an
     // O(hopsPerRound) cut in driver round-trips.
     def reach(forward: Boolean): DataFrame = {
-      // the reach set is the union of the per-round frontiers, which
-      // are DISJOINT by the anti-join — so "r" never needs its own
-      // per-round materialization (one checkpoint job per round
-      // saved); the anti-join and the final result read the union of
-      // the ≤rounds frontier checkpoints directly
-      var frontiers = List(pivot.localCheckpoint())
-      def r = frontiers.reduce(_ unionByName _)
-      var frontier = frontiers.head
+      // the reach set is re-materialized once per round. r14 tried the
+      // union-of-frontier-checkpoints form (skip the per-round reach
+      // checkpoint; frontiers are disjoint by the anti-join) and it
+      // REGRESSED on both the driver box (3.8→5.7 s) and the builder
+      // box (5.15→6.42 full-run): each round's anti-join re-read a
+      // growing union of k checkpoint scans, adding more stages per
+      // round than the one saved checkpoint job — reverted to the r13
+      // per-round materialization (measured best of three variants,
+      // see OPTIMIZATION_r15.md).
+      var r = pivot.localCheckpoint()
+      var frontier = r
       var round = 0
       var growing = true
       while (growing && round < maxRounds) {
         var hop = frontier
         var acc = frontier
         for (_ <- 1 to hopsPerRound) {
+          // the frontier is node-sized — broadcast it so the edge
+          // table is probed in place instead of shuffled per hop
+          // (bfsHops' pattern; same broadcast-vs-shuffle tradeoff for
+          // billion-node frontiers)
           hop =
             (if (forward)
-               e.join(hop, e("src") === hop("n"))
+               e.join(broadcast(hop), e("src") === hop("n"))
                  .select(e("dst").as("n"))
              else
-               e.join(hop, e("dst") === hop("n"))
+               e.join(broadcast(hop), e("dst") === hop("n"))
                  .select(e("src").as("n")))
               .distinct()
           acc = acc.unionByName(hop)
         }
-        frontier = acc.distinct().join(r, Seq("n"), "left_anti")
+        frontier = acc.distinct().join(broadcast(r), Seq("n"), "left_anti")
           .localCheckpoint()
         growing = frontier.limit(1).count() > 0
-        if (growing) frontiers ::= frontier
+        if (growing) r = r.unionByName(frontier).localCheckpoint()
         round += 1
       }
       r
@@ -928,8 +962,16 @@ object Graph {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fwdF = Future(reach(forward = true))
-    val bwdF = Future(reach(forward = false))
+    val spark = edges.sparkSession
+    // job-description is thread-local and does not reach pool threads
+    // (ADVICE r14): re-assert the caller's label inside each Future
+    val desc = spark.sparkContext.getLocalProperty("spark.job.description")
+    def labeled(work: => DataFrame): Future[DataFrame] = Future {
+      spark.sparkContext.setJobDescription(desc)
+      work
+    }
+    val fwdF = labeled(reach(forward = true))
+    val bwdF = labeled(reach(forward = false))
     val scc = Await.result(fwdF, Duration.Inf)
       .join(Await.result(bwdF, Duration.Inf), "n")
     scc.crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))

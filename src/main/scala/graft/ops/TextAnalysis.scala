@@ -435,17 +435,20 @@ object TextAnalysis {
     val toks = split(col(textCol), " ")
     val base = Par.spread(docs.select(col(idCol).cast("long").as("doc_id"),
       toks.as("t"), size(toks).cast("long").as("dl")))
-    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
-    val nDocs = stats.getLong(0)
-    val tot = stats.getLong(1)
+    // corpus stats ride the plan as a broadcast one-row cross join
+    // instead of a driver head() action: one job fewer, one fewer
+    // full pass over the corpus (the spread exchange is reused by
+    // both consumers), identical integer arithmetic
+    val stats = base.agg(count(lit(1)).as("nds"), sum(col("dl")).as("tot"))
     val tf = base.select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
       .where(col("w").isin(terms: _*))
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(dfT), Seq("w"))
+      .crossJoin(broadcast(stats))
       .withColumn("idf_micro",
-        expr(s"((${nDocs}L - df + 1L) * 1000000L) div (df + 1L)"))
-      .withColumn("dlr", expr(s"(1000L * dl * ${nDocs}L) div ${tot}L"))
+        expr("((nds - df + 1L) * 1000000L) div (df + 1L)"))
+      .withColumn("dlr", expr("(1000L * dl * nds) div tot"))
       .withColumn("contrib",
         expr("(idf_micro * 88000L * tf) div (40000L * tf + 12000L + 36L * dlr)"))
       .groupBy("doc_id")
@@ -652,22 +655,28 @@ object TextAnalysis {
   def prfExpansion(docs: DataFrame, terms: Seq[String], kDocs: Int = 20,
       topTerms: Int = 10, minFbDf: Long = 2L, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // feedback set is read twice (broadcast probe + its own count):
+    // materialize the top-k rather than re-deriving the BM25 pipeline
     val fb = bm25TopK(docs, terms, kDocs, textCol, idCol)
-      .select(col("doc_id"))
+      .select(col("doc_id")).localCheckpoint()
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("t"))
     val dw = base.select(col("doc_id"), explode(col("t")).as("w"))
       .where(col("w") =!= "").distinct()
       .localCheckpoint() // corpus df and feedback df share it
-    val n = base.count()
-    val kActual = fb.count()
+    // N and |feedback| as broadcast one-row scalars instead of two
+    // driver count() actions (two jobs + an extra corpus scan saved;
+    // same floor-division arithmetic)
+    val nDf = base.agg(count(lit(1)).as("nn"))
+    val kDf = fb.agg(count(lit(1)).as("kk"))
     val dfAll = dw.groupBy("w").agg(count(lit(1)).as("df"))
     val fbDf = dw.join(broadcast(fb), "doc_id")
       .groupBy("w").agg(count(lit(1)).as("fb_df"))
       .where(col("fb_df") >= minFbDf && !col("w").isin(terms: _*))
     fbDf.join(dfAll, "w")
+      .crossJoin(broadcast(nDf)).crossJoin(broadcast(kDf))
       .select(col("w").as("term"), col("fb_df"), col("df").as("corpus_df"),
-        expr(s"fb_df * ${n}L * 1000000 div (${kActual}L * corpus_df)")
+        expr("fb_df * nn * 1000000 div (kk * corpus_df)")
           .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("fb_df").desc, col("term"))
       .limit(topTerms)

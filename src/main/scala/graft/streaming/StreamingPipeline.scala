@@ -403,7 +403,8 @@ object StreamingPipeline {
         explode(graft.ops.DocDedup.bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("c_id"), col("c_sh"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val inter = size(array_intersect(col("sh"), col("c_sh")))
+    // sh is sorted-distinct (kernel contract): two-pointer count
+    val inter = call_function("sorted_intersect_count", col("sh"), col("c_sh"))
     val uni = size(col("sh")) + size(col("c_sh")) - inter
     // floor(inter·10⁶/uni) ≥ thr·10⁶ ⟺ inter/uni ≥ thr exactly (both
     // rationals over the same small denominator) — the stream applies

@@ -83,6 +83,25 @@ class VecExprSpec extends AnyFunSuite with SparkSuite {
       .foreach { case (_, hs) => assert(hs.isEmpty) }
   }
 
+  test("sorted_intersect_count matches size(array_intersect) on shingle sets") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(60)
+    val hs = docs.select(col("doc_id"),
+        call_function("shingle_hashes", split(col("text"), " "), lit(3))
+          .as("hs"))
+    val pairs = hs.as("a").join(hs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long")
+          .as("ref"),
+        call_function("sorted_intersect_count", col("a.hs"), col("b.hs"))
+          .as("fast"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"pair ${r.getLong(0)},${r.getLong(1)}"))
+  }
+
   test("minhash_state sig matches the k min-aggregates over explode") {
     val numHashes = 16
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
