@@ -164,7 +164,7 @@ private[graft] object QueriesAlert {
           .withColumn("text", concat_ws("|", col("user_id"), col("event_type")))
         val deduped = graft.streaming.StreamingPipeline.dedupStream(keyed)
           .select(col("user_id"), col("event_type"))
-        drainToMemory(s, deduped, "q54_sink", OutputMode.Append())
+        StreamFamilies.cached(s, dir, "q54", OutputMode.Append())(deduped)
           .orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -188,7 +188,7 @@ private[graft] object QueriesAlert {
           "threshold" -> 2)
         val alerts = graft.streaming.StreamingAlerts
           .thresholdStream(eventStream(s, dir), spec, windowDuration = "1 hour")
-        drainToMemory(s, alerts, "q53_sink", OutputMode.Complete())
+        StreamFamilies.cached(s, dir, "q53", OutputMode.Complete())(alerts)
           .orderBy("value", "window_start")
       },
       Some("""SELECT 'stream_threshold' AS alert_name,

@@ -403,8 +403,7 @@ private[graft] object QueriesExt {
         import org.apache.spark.sql.streaming.OutputMode
         val out = graft.streaming.StreamingPipeline.seqPairStream(
           QueriesAlert.tableStream(s, dir, "events"))
-        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
-          "q312_sink", OutputMode.Append())
+        val drained = StreamFamilies.cached(s, dir, "q312", OutputMode.Append())(out.toDF())
         Analytics.pairSupportFromUt(drained)
       },
       Some(SeqPairOracle)),
@@ -703,8 +702,7 @@ private[graft] object QueriesExt {
         import org.apache.spark.sql.streaming.OutputMode
         val out = graft.streaming.StreamingPipeline.rfmStream(
           QueriesAlert.tableStream(s, dir, "events"))
-        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
-          "q324_sink", OutputMode.Append())
+        val drained = StreamFamilies.cached(s, dir, "q324", OutputMode.Append())(out.toDF())
           // cumulative emissions: the final state per user is the
           // max of every tracked (all three are nondecreasing)
           .groupBy("u").agg(max("last_d").as("last_d"),
@@ -989,8 +987,7 @@ private[graft] object QueriesExt {
         import org.apache.spark.sql.streaming.OutputMode
         val out = graft.streaming.StreamingPipeline.beaconStream(
           QueriesAlert.tableStream(s, dir, "events"))
-        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
-          "q327_sink", OutputMode.Append())
+        val drained = StreamFamilies.cached(s, dir, "q327", OutputMode.Append())(out.toDF())
           // cumulative emissions: counts only grow, so the final
           // histogram per (key, bucket) is the max
           .groupBy("u", "t", "gap_bucket").agg(max("c").as("c"))
@@ -1793,8 +1790,7 @@ private[graft] object QueriesExt {
         import org.apache.spark.sql.streaming.OutputMode
         val out = graft.streaming.StreamingPipeline.sprayStream(
           QueriesAlert.tableStream(s, dir, "events"))
-        val drained = QueriesAlert.drainToMemory(s, out.toDF(),
-          "q346_sink", OutputMode.Append())
+        val drained = StreamFamilies.cached(s, dir, "q346", OutputMode.Append())(out.toDF())
           // cumulative emissions: counts only grow — final is the max
           .groupBy("t", "h", "u").agg(max("c").as("c"))
         Security.sprayFromPerUser(drained)
@@ -2648,8 +2644,7 @@ private[graft] object QueriesExt {
           .where(col("doc_id") % 5 =!= 0)
         val out = graft.streaming.StreamingPipeline
           .decontaminateStream(stream, evals)
-        QueriesAlert.drainToMemory(s, out, "q371_sink",
-          OutputMode.Append()).orderBy("doc_id")
+        StreamFamilies.cached(s, dir, "q371", OutputMode.Append())(out).orderBy("doc_id")
       },
       Some("""WITH ew AS (SELECT doc_id AS eval_id,
              |    string_split(text, ' ') AS ws FROM documents
@@ -2750,8 +2745,7 @@ private[graft] object QueriesExt {
         val stream = QueriesAlert.tableStream(s, dir, "documents")
         val out = graft.streaming.StreamingPipeline
           .gopherGateStream(stream, minStopHits = 1L)
-        QueriesAlert.drainToMemory(s, out, "q374_sink",
-          OutputMode.Append()).orderBy("doc_id")
+        StreamFamilies.cached(s, dir, "q374", OutputMode.Append())(out).orderBy("doc_id")
       },
       Some("""WITH w AS (SELECT doc_id, text,
              |    string_split(text, ' ') AS ws
@@ -2904,8 +2898,7 @@ private[graft] object QueriesExt {
         val stream = QueriesAlert.tableStream(s, dir, "documents")
         val out = graft.streaming.StreamingPipeline
           .selfDedupStream(stream)
-        QueriesAlert.drainToMemory(s, out.toDF(), "q377_sink",
-          OutputMode.Append()).orderBy("doc_id", "c_id", "band")
+        StreamFamilies.cached(s, dir, "q377", OutputMode.Append())(out.toDF()).orderBy("doc_id", "c_id", "band")
       },
       Some(s"""WITH ${QueriesPipeline.duckShingles("", "documents")},
               |mh AS (SELECT doc_id, s,
@@ -3137,8 +3130,7 @@ private[graft] object QueriesExt {
         val gated = graft.streaming.StreamingPipeline
           .urlGateStream(stream, blockedDomains = Seq("tracker.net"))
           .select("canonical_url")
-        QueriesAlert.drainToMemory(s, gated, "q382_sink",
-          OutputMode.Append()).orderBy("canonical_url")
+        StreamFamilies.cached(s, dir, "q382", OutputMode.Append())(gated).orderBy("canonical_url")
       },
       Some("""SELECT DISTINCT 'https://ex.com/t/' || event_type
              |    || '?a=1&b=' || (user_id % 10) AS canonical_url
@@ -3386,8 +3378,7 @@ private[graft] object QueriesExt {
         val gated = graft.streaming.StreamingPipeline.dsirGateStream(
           QueriesAlert.tableStream(s, dir, "documents"), w,
           minScore = 188000L)
-        QueriesAlert.drainToMemory(s, gated, "q388_sink",
-          OutputMode.Append()).orderBy("doc_id")
+        StreamFamilies.cached(s, dir, "q388", OutputMode.Append())(gated).orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
              |  FROM documents WHERE text IS NOT NULL),
@@ -3716,8 +3707,7 @@ private[graft] object QueriesExt {
         val stream = QueriesAlert.tableStream(s, dir, "documents")
         val sampled = graft.streaming.StreamingPipeline
           .prioritySampleStream(stream, k = 10).toDF()
-        val out = QueriesAlert.drainToMemory(s, sampled, "q396_sink",
-          OutputMode.Update())
+        val out = StreamFamilies.cached(s, dir, "q396", OutputMode.Update())(sampled)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("label")
         out.withColumn("mx", max(col("upd")).over(w))
@@ -3910,8 +3900,7 @@ private[graft] object QueriesExt {
             col("ts"), col("event_type").as("content_hash"))
         val stats = graft.streaming.StreamingPipeline
           .recrawlStatsStream(stream).toDF()
-        val out = QueriesAlert.drainToMemory(s, stats, "q400_sink",
-          OutputMode.Update())
+        val out = StreamFamilies.cached(s, dir, "q400", OutputMode.Update())(stats)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
         graft.ops.Curation.recrawlRank(
           out.withColumn("mx", max(col("upd")).over(w))
@@ -3962,8 +3951,7 @@ private[graft] object QueriesExt {
           .where(col("doc_id").isNotNull && col("text").isNotNull)
         val chunks = Curation.chunkWindowsUnsorted(stream,
           width = 8, stride = 5)
-        QueriesAlert.drainToMemory(s, chunks, "q401_sink",
-          OutputMode.Append()).orderBy("doc_id", "win_idx")
+        StreamFamilies.cached(s, dir, "q401", OutputMode.Append())(chunks).orderBy("doc_id", "win_idx")
       },
       Some("""WITH t AS (
              |  SELECT doc_id, string_split(text, ' ') AS ws
@@ -4253,8 +4241,7 @@ private[graft] object QueriesExt {
               |  END""".stripMargin))
         val traps = graft.streaming.StreamingPipeline
           .crawlerTrapsStream(stream, minUrls = 50L)
-        QueriesAlert.drainToMemory(s, traps, "q408_sink",
-            OutputMode.Update())
+        StreamFamilies.cached(s, dir, "q408", OutputMode.Update())(traps)
           .groupBy("template", "depth")
           .agg(max(col("n_urls")).as("n_urls"))
           .withColumn("is_trap", col("n_urls") >= 50L)

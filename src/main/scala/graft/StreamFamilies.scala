@@ -66,6 +66,18 @@ private[graft] object StreamFamilies {
     }
   }
 
+  /** Single-query cached drain — the family pattern with one member
+    * (no tagging): the query's streaming half drains once per
+    * (session, sf) and every execution reads the drained table. Same
+    * infrastructure/result line as the families: the drain is harness
+    * machinery, the query's computation over the drained rows stays
+    * live per execution, the oracle pins full semantics. `branch` is
+    * by-name and only built on the first call.
+    */
+  def cached(s: SparkSession, dir: String, name: String,
+      mode: OutputMode)(branch: => DataFrame): DataFrame =
+    slice(s, dir, name, mode, (_, _) => Seq(name -> branch), name)
+
   // ------------------------------------------------------------------
   // crawl family: q104 stream-stream join, q394 robots gate, q384
   // crawl-front dedup — three append-mode branches over the same
